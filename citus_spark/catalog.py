@@ -1,0 +1,146 @@
+"""Distribution-metadata catalog.
+
+Mirrors the reference's metadata tables (pg_dist_partition,
+pg_dist_shard, pg_dist_colocation — see reference
+src/include/distributed/pg_dist_partition.h:22-57 and
+pg_dist_colocation.h:19-24) as a small in-memory/JSON catalog.
+
+On Spark we do not track shard placements (the scheduler owns task
+placement) or hash ranges per shard (Spark's HashPartitioning owns the
+row→partition map). What we keep is exactly the information Spark
+cannot infer on its own:
+
+- which column a table is distributed by (the "distribution column"),
+- how many buckets/partitions its storage is laid out in,
+- which tables are co-located (same column type + same bucket count ⇒
+  joins/groupbys on the distribution column need no exchange),
+- which tables are reference tables (replicated ⇒ always broadcast).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+# Distribution methods — reference pg_dist_partition.h:54-57 defines
+# append/hash/range/none; we keep hash (the analytical default), range
+# (repartitionByRange layouts), and none (reference/replicated tables).
+DIST_HASH = "hash"
+DIST_RANGE = "range"
+DIST_REFERENCE = "reference"
+DIST_NONE = "none"  # single-shard / local tables
+
+DEFAULT_SHARD_COUNT = 32  # ↔ citus.shard_count default 32
+# (reference src/backend/distributed/shared_library_init.c:2518)
+
+
+@dataclass
+class TableDist:
+    """One row of the catalog (↔ one pg_dist_partition entry)."""
+
+    name: str
+    method: str = DIST_NONE
+    dist_col: str | None = None
+    buckets: int = DEFAULT_SHARD_COUNT
+    colocation_id: int = 0
+    path: str | None = None  # storage location when materialized
+
+    @property
+    def is_reference(self) -> bool:
+        return self.method == DIST_REFERENCE
+
+    @property
+    def is_hash_distributed(self) -> bool:
+        return self.method == DIST_HASH
+
+
+class DistCatalog:
+    """In-memory catalog with optional JSON persistence.
+
+    Colocation rule (↔ reference pg_dist_colocation.h: same shardcount +
+    same distribution column type ⇒ candidate colocation group): here a
+    colocation group is explicit — `colocate_with=` assigns the new
+    table the existing table's group id, and we verify bucket counts
+    match, which is the property Spark's EnsureRequirements needs to
+    elide the exchange.
+    """
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDist] = {}
+        self._next_colocation_id = 1
+
+    def register(
+        self,
+        name: str,
+        method: str,
+        dist_col: str | None = None,
+        buckets: int = DEFAULT_SHARD_COUNT,
+        colocate_with: str | None = None,
+        path: str | None = None,
+    ) -> TableDist:
+        if method == DIST_HASH and not dist_col:
+            raise ValueError(f"hash-distributed table {name!r} needs a dist_col")
+        if colocate_with is not None:
+            other = self._tables[colocate_with]
+            if other.buckets != buckets:
+                raise ValueError(
+                    f"cannot colocate {name!r} ({buckets} buckets) with "
+                    f"{colocate_with!r} ({other.buckets} buckets)"
+                )
+            colocation_id = other.colocation_id
+        elif method == DIST_HASH:
+            colocation_id = self._next_colocation_id
+            self._next_colocation_id += 1
+        else:
+            colocation_id = 0
+        entry = TableDist(
+            name=name,
+            method=method,
+            dist_col=dist_col,
+            buckets=buckets,
+            colocation_id=colocation_id,
+            path=path,
+        )
+        self._tables[name] = entry
+        return entry
+
+    def get(self, name: str) -> TableDist | None:
+        return self._tables.get(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def tables(self) -> dict[str, TableDist]:
+        return dict(self._tables)
+
+    def colocated(self, a: str, b: str) -> bool:
+        """True iff joins between a and b on their distribution columns
+        need no repartition (same colocation group)."""
+        ta, tb = self._tables.get(a), self._tables.get(b)
+        if ta is None or tb is None:
+            return False
+        if ta.is_reference or tb.is_reference:
+            return True  # reference tables join co-locally with anything
+        return (
+            ta.is_hash_distributed
+            and tb.is_hash_distributed
+            and ta.colocation_id == tb.colocation_id
+        )
+
+    # --- persistence -------------------------------------------------
+    def save(self, path: str | Path) -> None:
+        data = {
+            "next_colocation_id": self._next_colocation_id,
+            "tables": {k: asdict(v) for k, v in self._tables.items()},
+        }
+        Path(path).write_text(json.dumps(data, indent=2))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "DistCatalog":
+        cat = cls()
+        data = json.loads(Path(path).read_text())
+        cat._next_colocation_id = data.get("next_colocation_id", 1)
+        for k, v in data.get("tables", {}).items():
+            cat._tables[k] = TableDist(**v)
+        return cat

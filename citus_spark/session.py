@@ -1,0 +1,189 @@
+"""DistributedSession — the engine's front door.
+
+Wraps a SparkSession with the distribution catalog and the table-
+registration API that mirrors the reference's management UDF surface
+(create_distributed_table / create_reference_table — reference
+src/backend/distributed/commands/create_distributed_table.c:222,202).
+
+Execution model mapping (SURVEY.md §3.1): the reference plans a query
+into per-shard SQL tasks + a coordinator combine query; on Spark the
+same split is Catalyst's partial/final aggregate + Exchange insertion,
+so `sql()` here simply delegates to Spark SQL after the catalog has
+arranged the physical layout (bucketed storage for co-located joins,
+broadcast hints for reference tables) that makes Catalyst's plan match
+the reference's data-movement decisions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citus_spark.catalog import (
+    DEFAULT_SHARD_COUNT,
+    DIST_HASH,
+    DIST_REFERENCE,
+    DistCatalog,
+)
+
+# The ten driver-provided test tables (TESTDATA.md) with the
+# distribution the reference's own test schema assigns them
+# (FIXTURES.md; reference src/test/regress/sql/multi_create_table.sql:
+# lineitem/orders hash-distributed co-located on the order key; dims as
+# reference tables).
+DEFAULT_DISTRIBUTION: dict[str, tuple[str, str | None]] = {
+    "lineitem": (DIST_HASH, "l_orderkey"),
+    "orders": (DIST_HASH, "o_orderkey"),
+    "events": (DIST_HASH, "user_id"),
+    "documents": (DIST_HASH, "doc_id"),
+    "embeddings": (DIST_HASH, "vec_id"),
+    "customer": (DIST_REFERENCE, None),
+    "supplier": (DIST_REFERENCE, None),
+    "part": (DIST_REFERENCE, None),
+    "nation": (DIST_REFERENCE, None),
+    "region": (DIST_REFERENCE, None),
+}
+
+TPCH_TABLES = tuple(DEFAULT_DISTRIBUTION)
+
+
+def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSession:
+    """Build the session with the scale-oriented defaults.
+
+    AQE on (runtime re-plan, skew-join splitting, partition coalescing
+    — the Spark counterpart of the reference's adaptive executor,
+    reference src/backend/distributed/executor/adaptive_executor.c),
+    UTC timezone (oracle comparability), Arrow enabled (Pandas-UDF fast
+    path), shuffle partitions sized to cores for local mode — on a real
+    cluster this would be ~2-3× total executor cores and AQE coalesces
+    the rest.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark's
+        # parquet reader rejects nanos — read as long and convert (the
+        # data carries no sub-microsecond precision, so lossless)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class DistributedSession:
+    """SparkSession + distribution catalog.
+
+    The reference's per-table distribution choice changes *physical*
+    behavior only — query semantics are identical for any layout. We
+    keep the same invariant: every API here affects partitioning,
+    broadcasting and storage layout, never results.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.catalog = DistCatalog()
+
+    # ------------------------------------------------------------------
+    # Management API (↔ reference SQL-callable management UDFs)
+    # ------------------------------------------------------------------
+    def create_distributed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        dist_col: str,
+        buckets: int = DEFAULT_SHARD_COUNT,
+        colocate_with: str | None = None,
+    ) -> DataFrame:
+        """Register `df` as a hash-distributed table.
+
+        ↔ reference create_distributed_table()
+        (commands/create_distributed_table.c:222). The physical analog
+        of the reference's hash-sharding (uniform int32 hash ranges,
+        utils/shardinterval_utils.c:415) is Spark HashPartitioning:
+        `repartition(buckets, col)` gives pmod(hash(col), buckets)
+        placement, and two tables repartitioned the same way satisfy
+        each other's distribution requirement so Catalyst's
+        EnsureRequirements inserts no Exchange for dist-col joins.
+        """
+        if dist_col not in df.columns:
+            raise ValueError(f"distribution column {dist_col!r} not in {df.columns}")
+        self.catalog.register(
+            name, DIST_HASH, dist_col, buckets=buckets, colocate_with=colocate_with
+        )
+        out = df.repartition(buckets, F.col(dist_col))
+        out.createOrReplaceTempView(name)
+        return out
+
+    def create_reference_table(self, name: str, df: DataFrame) -> DataFrame:
+        """Register `df` as a reference table (↔ create_reference_table,
+        commands/create_distributed_table.c:202): replicated everywhere
+        in the reference; on Spark that is a broadcast relation — we
+        mark it in the catalog and wrap joins with F.broadcast via
+        `ref()`/automatic hints."""
+        self.catalog.register(name, DIST_REFERENCE)
+        df.createOrReplaceTempView(name)
+        return df
+
+    # ------------------------------------------------------------------
+    # Loading the standard test layout
+    # ------------------------------------------------------------------
+    def load_tables(self, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> None:
+        """Register the driver's parquet tables as temp views with their
+        default distribution metadata.
+
+        Note: we intentionally do NOT eagerly repartition on load — a
+        read-side repartition is an upfront shuffle most queries never
+        need. The catalog records the *intended* layout; materialized
+        (bucketed) layouts are produced by `sources.ingest` when a
+        workload benefits (co-located join benches)."""
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = self.spark.read.parquet(path)
+            method, dist_col = DEFAULT_DISTRIBUTION.get(t, ("none", None))
+            if t not in self.catalog:
+                if method == DIST_HASH:
+                    self.catalog.register(t, DIST_HASH, dist_col, path=path)
+                elif method == DIST_REFERENCE:
+                    self.catalog.register(t, DIST_REFERENCE, path=path)
+                else:
+                    self.catalog.register(t, "none", path=path)
+            df.createOrReplaceTempView(t)
+
+    def table(self, name: str) -> DataFrame:
+        df = self.spark.table(name)
+        entry = self.catalog.get(name)
+        if entry is not None and entry.is_reference:
+            # reference tables always join broadcast-side
+            # (↔ REFERENCE_JOIN, multi_join_order.h:33)
+            return F.broadcast(df)
+        return df
+
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL. Catalyst performs the worker/coordinator split
+        the reference implements in multi_logical_optimizer.c (partial
+        vs final aggregation, pushdown, limit split) natively."""
+        return self.spark.sql(query)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> DistributedSession:
+    """Convenience: a DistributedSession over `sf_dir`'s parquet tables."""
+    sess = DistributedSession(spark)
+    sess.load_tables(sf_dir)
+    return sess
