@@ -1,1 +1,476 @@
-"""placeholder — populated in later milestones this round."""
+"""Analytics operator coverage beyond the TPC-H set.
+
+Mirrors the reference's regression patterns (SURVEY.md §5):
+window_functions.sql (656 lines), multi_select_distinct.sql,
+multi_limit_clause.sql, multi_subquery_*.sql, set-op and HAVING
+suites. Where the reference restricts an operator to
+distribution-key-aligned cases (window PARTITION BY must contain the
+dist col — query_pushdown_planning.c:432; GROUPING SETS unsupported on
+distributed tables — multi_logical_planner.c:915), Spark's shuffle
+machinery lifts the restriction, so these queries deliberately use
+non-distribution keys: we exceed the reference where Spark is
+naturally more general.
+
+All entries are shared SQL (identical text on Spark and DuckDB) with
+deterministic total orders; window frames order on (ts, event_id) /
+unique keys so every engine sees the same frame contents.
+"""
+
+from citus_spark.queries import DSUM, register_shared_sql
+
+# ---------------------------------------------------------------------------
+# Window functions (↔ reference window_functions.sql;
+# SafeToPushdownWindowFunction restriction does not apply on Spark)
+
+register_shared_sql(
+    "window_rank",
+    """
+SELECT user_id, event_id, event_type, rn, rk, drk
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rk,
+         dense_rank() OVER w AS drk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+WHERE rn <= 3
+ORDER BY user_id, rn
+""",
+)
+
+register_shared_sql(
+    "window_lag_lead",
+    """
+SELECT user_id, event_id,
+       lag(event_id)  OVER w AS prev_event,
+       lead(event_id) OVER w AS next_event,
+       first_value(event_id) OVER wf AS first_event,
+       nth_value(event_id, 2) OVER wf AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+""",
+)
+
+register_shared_sql(
+    "window_running_sum",
+    """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value,
+       CAST(count(*) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS window3_n
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+
+register_shared_sql(
+    "window_ntile",
+    """
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+FROM customer
+ORDER BY c_custkey
+""",
+)
+
+# top-k per group — the reference's topn-extension workload shape
+# (multi_logical_optimizer.h:50-51) expressed as window + filter
+register_shared_sql(
+    "topk_per_group",
+    """
+SELECT user_id, event_type, n
+FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events
+  GROUP BY user_id, event_type
+) t
+WHERE rk <= 2
+ORDER BY user_id, n DESC, event_type
+""",
+)
+
+# ---------------------------------------------------------------------------
+# DISTINCT family (↔ multi_select_distinct.sql; DISTINCT ON emulated
+# with row_number — ProcessDistinctClauseForWorkerQuery,
+# multi_logical_optimizer.c:2726)
+
+register_shared_sql(
+    "select_distinct",
+    """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+register_shared_sql(
+    "distinct_on_latest_event",
+    """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+
+register_shared_sql(
+    "count_distinct",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Set operations (↔ README.md:589-626; INTERSECT/EXCEPT are
+# coordinator-only in the reference — native on Spark)
+
+register_shared_sql(
+    "setop_union_all",
+    """
+SELECT o_custkey AS custkey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_custkey AS custkey, 'urgent' AS bucket FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey, bucket
+""",
+)
+
+register_shared_sql(
+    "setop_union_distinct",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+ORDER BY c_custkey
+""",
+)
+
+register_shared_sql(
+    "setop_intersect",
+    """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+""",
+)
+
+register_shared_sql(
+    "setop_except",
+    """
+SELECT user_id FROM events WHERE event_type = 'signup'
+GROUP BY user_id HAVING count(*) > 12
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING count(*) > 12
+ORDER BY user_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP / CUBE — unsupported on distributed tables in
+# the reference (multi_logical_planner.c:915-921); Spark plans them
+# natively via Expand, so the engine exceeds reference parity here.
+
+register_shared_sql(
+    "grouping_sets",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM("l_quantity", "qty")}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+register_shared_sql(
+    "rollup_orders_by_month",
+    f"""
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS oy,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS om,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM("o_totalprice", "total")}
+FROM orders
+GROUP BY ROLLUP (oy, om)
+ORDER BY oy, om
+""",
+)
+
+register_shared_sql(
+    "cube_lineitem",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM("l_extendedprice", "price")}
+FROM lineitem
+WHERE l_quantity < 5
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+# ---------------------------------------------------------------------------
+# HAVING (worker/coordinator split in reference,
+# multi_logical_optimizer.c:2650 — native two-phase agg + filter here)
+
+register_shared_sql(
+    "having_filter",
+    f"""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {DSUM("o_totalprice", "spend")}
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 10 AND sum(CAST(o_totalprice AS DECIMAL(18,6))) > 1000000
+ORDER BY o_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# LIMIT pushdown / global top-k (↔ WorkerLimitCount,
+# multi_logical_optimizer.c:5039 — Spark plans TakeOrderedAndProject)
+
+register_shared_sql(
+    "global_topk",
+    """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+
+register_shared_sql(
+    "limit_offset",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries (↔ multi_subquery_*.sql; semi/anti joins via
+# EXISTS/NOT EXISTS — README.md:468-478; correlated scalar subqueries
+# exceed the reference, which requires dist-key correlation)
+
+register_shared_sql(
+    "semi_join_exists",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1997-07-01'
+  AND o_orderdate < date '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+register_shared_sql(
+    "anti_join_not_exists",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS customers_no_urgent
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+register_shared_sql(
+    "subquery_in",
+    """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+register_shared_sql(
+    "correlated_scalar_subquery",
+    """
+SELECT o_orderkey,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS n_lines
+FROM orders
+WHERE o_totalprice > 450000
+ORDER BY o_orderkey
+""",
+)
+
+register_shared_sql(
+    "uncorrelated_scalar_subquery",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                                  AS DOUBLE) / count(*) * 1.8
+                      FROM orders)
+ORDER BY o_orderkey
+""",
+)
+
+register_shared_sql(
+    "cte_query",
+    f"""
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_totalprice > 350000
+),
+seg AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM("o_totalprice", "total")}
+FROM big_orders JOIN seg ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Joins beyond TPC-H shapes
+
+register_shared_sql(
+    "cross_join",
+    """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+)
+
+register_shared_sql(
+    "left_outer_join",
+    f"""
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       {DSUM("coalesce(o_totalprice, 0)", "spend")}
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+
+register_shared_sql(
+    "full_outer_join",
+    """
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.n_purchases, 0) AS n_purchases,
+       coalesce(b.n_errors, 0) AS n_errors
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id) a
+FULL JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+           FROM events WHERE event_type = 'error' GROUP BY user_id) b
+  ON a.user_id = b.user_id
+ORDER BY user_id
+""",
+)
+
+register_shared_sql(
+    "inequality_theta_join",
+    """
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS richer_customers
+FROM supplier JOIN customer ON c_acctbal > s_acctbal * 2
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Date/time semantics + conditional aggregation (pivot shape)
+
+register_shared_sql(
+    "date_trunc_rollup",
+    f"""
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM("value", "total_value")}
+FROM events
+GROUP BY CAST(date_trunc('month', ts) AS DATE), event_type
+ORDER BY month_start, event_type
+""",
+)
+
+register_shared_sql(
+    "date_interval_arith",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= date '1997-01-01'
+  AND o_orderdate < date '1997-01-01' + INTERVAL 3 MONTH
+""",
+)
+
+register_shared_sql(
+    "pivot_event_counts",
+    """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap > 30 min starts a new session. The reference has
+# no native sessionization (no streaming operators, SURVEY.md §2.9);
+# this is the batch window idiom, and streaming/session_rollup.py holds
+# the Structured Streaming variant.
+
+register_shared_sql(
+    "sessionize_events",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)

@@ -1,1 +1,248 @@
-"""placeholder — populated in later milestones this round."""
+"""Deduplication family — training-data-pipeline operators.
+
+Exact dedup is a hash-groupBy (scales to any size: one shuffle on the
+content hash). Near-dup detection is MinHash+LSH: shingle → K minhash
+values → band → bucket-join, which at 100 TB replaces the quadratic
+all-pairs comparison with a shuffle on band keys; the expected cost is
+O(n · K) plus the (tiny) candidate-pair verification. SimHash gives a
+64→16-bit locality-sensitive fingerprint for Hamming-distance dedup.
+
+Everything below is built-in Spark array/lambda expressions (JVM-side,
+no Python in the hot path) and is **oracle-checked**: the hash is the
+portable md5-based `hash64` (citus_spark.functions) so DuckDB computes
+bit-identical signatures.
+
+The driver corpus has no true near-dups (500 distinct random texts),
+so LSH candidate sets may legitimately be empty at test scale; the
+pytest suite injects synthetic near-dups to assert recall.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citus_spark.functions import hash64, hash64_duck, hash64_sql
+from citus_spark.queries import load_views, register_shared_sql, register_split
+
+N_MINHASH = 4  # minhash permutations (seeds 0..3); bands of 2 → 2 bands
+SHINGLE_K = 3  # word 3-grams
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content fingerprint
+# (↔ reference DISTINCT machinery, ProcessDistinctClauseForWorkerQuery;
+# at scale: one shuffle on md5, map-side partial counts)
+register_shared_sql(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY canonical_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures
+def _shingles_spark():
+    """Distinct word-3-gram shingles as an array column (Spark)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_K),
+        lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " "),
+    )
+    # guard: short docs fall back to the whole text as one shingle
+    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
+        F.array(F.col("text"))
+    )
+
+
+_SHINGLES_DUCK = f"""
+CASE WHEN len(string_split(text, ' ')) >= {SHINGLE_K}
+     THEN list_distinct(list_transform(
+            range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+            i -> array_to_string(string_split(text, ' ')[i + 1 : i + {SHINGLE_K}], ' ')))
+     ELSE [text] END
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sh = _shingles_spark()
+
+    # NB: bind the seed via a factory, NOT `lambda x, s=s:` — a
+    # two-parameter lambda makes F.transform pass (element, index) and
+    # silently shadows the bound seed with the array index.
+    def mh(s: int):
+        return F.array_min(
+            F.transform(sh, lambda x: hash64(F.concat(x, F.lit(f"#{s}"))))
+        ).alias(f"mh{s}")
+
+    return docs.select("doc_id", *[mh(s) for s in range(N_MINHASH)]).orderBy("doc_id")
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(shingles, x -> {hash64_duck(f'''x || '#{s}' ''')})) AS mh{s}"
+        for s in range(N_MINHASH)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+)
+SELECT doc_id,
+       {mh_cols}
+FROM s
+ORDER BY doc_id
+"""
+
+
+register_split("minhash_signatures", minhash_signatures, _minhash_oracle())
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate pairs: band the signature (2 bands × 2 rows) and
+# self-join on band buckets. At scale this is the whole point: the
+# join shuffles on (band, h1, h2) — no all-pairs comparison.
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id", "0 AS band", "mh0 AS h1", "mh1 AS h2"
+    ).unionAll(sig.selectExpr("doc_id", "1 AS band", "mh2 AS h1", "mh3 AS h2"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def _lsh_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_min(list_transform(shingles, x -> {hash64_duck("x || '#0'")})) AS mh0,
+    list_min(list_transform(shingles, x -> {hash64_duck("x || '#1'")})) AS mh1,
+    list_min(list_transform(shingles, x -> {hash64_duck("x || '#2'")})) AS mh2,
+    list_min(list_transform(shingles, x -> {hash64_duck("x || '#3'")})) AS mh3
+  FROM s
+), bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+register_split("minhash_lsh_pairs", minhash_lsh_pairs, _lsh_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit): per-token hash bits vote ±1 per position; the sign
+# vector is the fingerprint. Near-dups differ in few bits (Hamming).
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    hv = hash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"CAST(sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {hash64_duck("tok")} AS hv FROM tok
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM bits
+ORDER BY doc_id
+"""
+
+
+register_split("simhash16", simhash16, _simhash_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on a bounded candidate set (the verification
+# step that follows LSH; here run on a doc_id-bounded subset so the
+# oracle can brute-force the same pairs). At scale the input would be
+# minhash_lsh_pairs instead of the id-range cross join.
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 150)
+    sh = docs.select("doc_id", _shingles_spark().alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+register_split(
+    "ngram_jaccard_topk",
+    ngram_jaccard_topk,
+    f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+""",
+)

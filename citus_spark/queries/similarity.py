@@ -1,1 +1,239 @@
-"""placeholder — populated in later milestones this round."""
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Scale design (100 TB posture):
+
+- `ann_cosine_topk` — brute-force cosine top-k for a bounded query
+  set. Plan: broadcast the query vectors, map over all candidate
+  partitions computing dot products JVM-side (zip_with/aggregate —
+  no Python), then per-query top-k via window. Cost O(|Q| · N · d)
+  flops but only ONE pass over the big side and no shuffle of the
+  candidate table (only the tiny scored pairs shuffle for the
+  window). This is the exact baseline ANN implementations are
+  measured against.
+- `ann_lsh_bucketed` — the scale path: deterministic random-hyperplane
+  signatures (sign of dot with ±1 hash-derived planes) bucket both
+  sides; candidates only join within a bucket. Replaces O(N²) with a
+  bucket-local join — the same band-join shape as MinHash-LSH dedup.
+- `ivf_assign` — IVF coarse quantization: assign every vector to the
+  nearest of K fixed centroids; at scale the assignment becomes the
+  partition key so queries probe only matching partitions.
+
+Dot products use the sequential-double-fold idiom
+(citus_spark.functions.dot_fold_*) which is bit-identical between
+Spark and DuckDB, so rankings (and therefore top-k sets with unique
+tiebreaks) match exactly.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from citus_spark.functions import dot_fold_duck, dot_fold_sql
+from citus_spark.queries import load_views, register_split
+
+N_QUERIES = 10  # bounded query set: vec_id < 10
+TOP_K = 3
+N_PLANES = 8  # LSH hyperplanes → 256 buckets
+
+
+# ---------------------------------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.expr(dot_fold_sql("qv", "cv"))
+    qnorm = F.sqrt(F.expr(dot_fold_sql("qv", "qv")))
+    cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (qnorm * cnorm)).alias("cosine"))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    )
+    return (
+        scored.withColumn("rk", w)
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv')}
+           / (sqrt({dot_fold_duck('qv', 'qv')}) * sqrt({dot_fold_duck('cv', 'cv')}))
+           AS cosine
+  FROM q JOIN c ON qid <> cid
+), ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+register_split("ann_cosine_topk", ann_cosine_topk, _ANN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse assignment: nearest of the first K vectors used as
+# fixed "centroids" (deterministic; a production build would run
+# k-means via repeated groupBy-average — same assignment operator).
+N_CENTROIDS = 8
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    v = emb.select(F.col("vec_id"), F.col("embedding").alias("vv"))
+    dot = F.expr(dot_fold_sql("vv", "cv"))
+    vnorm = F.sqrt(F.expr(dot_fold_sql("vv", "vv")))
+    cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (dot / (vnorm * cnorm)).alias("cosine")
+    )
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cosine"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+    return best
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, centroid_id,
+         {dot_fold_duck('e.embedding', 'cv')}
+           / (sqrt({dot_fold_duck('e.embedding', 'e.embedding')})
+              * sqrt({dot_fold_duck('cv', 'cv')})) AS cosine
+  FROM embeddings e CROSS JOIN cents
+), best AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, centroid_id) AS rk
+  FROM scored
+)
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+FROM best WHERE rk = 1
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+register_split("ivf_assign", ivf_assign, _IVF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path. Hyperplane p is the ±1 vector
+# derived from hash64("p:d") parity per dimension d; the 8 sign bits
+# form the bucket id. Neighbor search joins only within buckets.
+def _lsh_bucket_expr() -> str:
+    """Spark SQL expr: 8-bit hyperplane-sign bucket of `embedding`."""
+    bits = []
+    for p in range(N_PLANES):
+        proj = (
+            "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+            "(x, i) -> CAST(x AS DOUBLE) * (CASE WHEN "
+            f"CAST(conv(substr(md5(concat('{p}:', i)), 1, 15), 16, 10) AS BIGINT) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", F.expr(_lsh_bucket_expr()).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    ).filter(F.col("qid") < N_QUERIES)
+    b = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "bucket"
+    )
+    dot = F.expr(dot_fold_sql("qv", "cv"))
+    qnorm = F.sqrt(F.expr(dot_fold_sql("qv", "qv")))
+    cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+    scored = (
+        a.join(b, ["bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (qnorm * cnorm)).alias("cosine"))
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+def _lsh_bucket_duck() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, len(embedding) + 1), "
+            "i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN "
+            f"CAST('0x' || substr(md5('{p}:' || i), 1, 15) AS BIGINT) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+_LSH_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck()} AS bucket FROM embeddings
+), a AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed
+  WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS cid, embedding AS cv, bucket FROM bucketed
+), scored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv')}
+           / (sqrt({dot_fold_duck('qv', 'qv')}) * sqrt({dot_fold_duck('cv', 'cv')}))
+           AS cosine
+  FROM a JOIN b USING (bucket) WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+register_split("ann_lsh_bucketed", ann_lsh_bucketed, _LSH_ORACLE)

@@ -1,1 +1,209 @@
-"""placeholder — populated in later milestones this round."""
+"""Text analysis over the `documents` table — training-data-pipeline
+operators (language-ID, quality scoring, token counting, document
+fingerprinting).
+
+These extend the reference surface (BASELINE.json's LLM-pipeline
+scope); the reference itself delegates all scalar text functions to
+PostgreSQL inside shard SQL (SURVEY.md §2.2), and the same holds here:
+everything below is built-in `pyspark.sql.functions` (JVM-side,
+codegen'd) — no Python UDFs in the hot path, so the plan scales as a
+pure map over document partitions (no shuffle at all except the
+explicit aggregates).
+
+Spark-side implementations use the DataFrame API; oracles are
+DuckDB-dialect SQL (list/array function names differ between engines).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citus_spark.queries import load_views, register_shared_sql, register_split
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# per-language function-word profiles for the n-gram/keyword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "una"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # romanized placeholders
+}
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting — content hash (shared SQL: md5 is identical
+# in both engines). The scale path for exact dedup: group by fp.
+register_shared_sql(
+    "text_fingerprint",
+    """
+SELECT doc_id, md5(text) AS fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+# per-source corpus stats (shared SQL)
+register_shared_sql(
+    "doc_stats_by_source",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace tokens + word-regex tokens ("BPE-ish"
+# boundary: alnum runs). Pure narrow projection: the scan should read
+# only (doc_id, text).
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    words = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_ws_tokens"),
+            F.size(words).cast("long").alias("n_word_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "token_count",
+    token_count,
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length/stopword/diversity ratios combined into one
+# deterministic double. All integer counts divided as doubles, so both
+# engines produce bit-identical scores.
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        (n_stop.cast("double") / n_toks.cast("double")).alias("stopword_ratio"),
+        (n_uniq.cast("double") / n_toks.cast("double")).alias("diversity"),
+    )
+    quality = (
+        F.col("stopword_ratio") * 0.25
+        + F.col("diversity") * 0.5
+        + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 500), 0.25)
+        .otherwise(0.0)
+    )
+    return d.withColumn("quality_score", quality).orderBy("doc_id")
+
+
+register_split(
+    "text_quality",
+    text_quality,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN {STOPWORDS!r})) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity
+  FROM documents
+)
+SELECT doc_id, len_chars, n_tokens, stopword_ratio, diversity,
+       stopword_ratio * 0.25 + diversity * 0.5 +
+       CASE WHEN n_tokens >= 20 AND n_tokens <= 500 THEN 0.25 ELSE 0.0 END
+         AS quality_score
+FROM t
+ORDER BY doc_id
+""".replace("'", "'"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Language ID — keyword-profile hit counts with a fixed-priority argmax.
+# (The driver's synthetic corpus uses one shared vocabulary for every
+# lang label, so accuracy is not measurable here; the operator is the
+# deterministic scale-path plumbing: one narrow projection, no shuffle.)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    cols = [
+        F.size(F.filter(toks, lambda x: x.isin(*words))).alias(f"hits_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    d = docs.select("doc_id", *cols)
+    # fixed priority order = dict order; strict argmax with first-wins ties
+    langs = list(LANG_PROFILES)
+    pred = F
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    d = d.withColumn("pred_lang", expr.otherwise(F.lit(langs[0])))
+    return d.select(
+        "doc_id", *[F.col(f"hits_{lang}").cast("long") for lang in langs], "pred_lang"
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {words!r})) AS BIGINT)"
+        f" AS hits_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{o}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join('hits_' + lang for lang in langs)},
+       {case_sql} AS pred_lang
+FROM t
+ORDER BY doc_id
+"""
+
+
+register_split("lang_id", lang_id, _lang_oracle())
