@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 from citus_spark.functions import hash64, hash64_duck, hash64_sql
 from citus_spark.queries import load_views, register_shared_sql, register_split
 
-N_MINHASH = 4  # minhash permutations (seeds 0..3); bands of 2 → 2 bands
+N_MINHASH = 4  # minhash functions; bands of 2 → 2 bands
 SHINGLE_K = 3  # word 3-grams
+
+# The 4 minhash functions are 4 disjoint 32-bit slices of ONE md5 per
+# shingle (1-indexed hex offsets) — one hash invocation instead of
+# four. Independence of slices of a cryptographic hash is as good as
+# independent hash functions for minhash purposes.
+_MH_SLICES = [(1, 8), (9, 8), (17, 8), (25, 8)]
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on content fingerprint
@@ -70,15 +76,27 @@ CASE WHEN len(string_split(text, ' ')) >= {SHINGLE_K}
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
-    docs = spark.table("documents")
+    # CPU-bound per-row compute: spread the rows across all cores even
+    # when the source is a single small parquet file (at production
+    # scale the scan has many partitions and this repartition is
+    # unnecessary but harmless — it hashes on doc_id, the dist col).
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh = _shingles_spark()
+    # one md5 per shingle, sliced into the 4 minhash values
+    hashes = F.transform(sh, lambda x: F.md5(x))
 
-    # NB: bind the seed via a factory, NOT `lambda x, s=s:` — a
+    # NB: bind loop vars via a factory, NOT `lambda x, s=s:` — a
     # two-parameter lambda makes F.transform pass (element, index) and
-    # silently shadows the bound seed with the array index.
+    # silently shadows the bound value with the array index.
     def mh(s: int):
+        start, width = _MH_SLICES[s]
         return F.array_min(
-            F.transform(sh, lambda x: hash64(F.concat(x, F.lit(f"#{s}"))))
+            F.transform(
+                hashes,
+                lambda h: F.conv(F.substring(h, start, width), 16, 10).cast("long"),
+            )
         ).alias(f"mh{s}")
 
     return docs.select("doc_id", *[mh(s) for s in range(N_MINHASH)]).orderBy("doc_id")
@@ -86,16 +104,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mh_cols = ",\n       ".join(
-        f"list_min(list_transform(shingles, x -> {hash64_duck(f'''x || '#{s}' ''')})) AS mh{s}"
-        for s in range(N_MINHASH)
+        f"list_min(list_transform(hashes, h -> "
+        f"CAST('0x' || substr(h, {start}, {width}) AS BIGINT))) AS mh{s}"
+        for s, (start, width) in enumerate(_MH_SLICES)
     )
     return f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM s
 )
 SELECT doc_id,
        {mh_cols}
-FROM s
+FROM hs
 ORDER BY doc_id
 """
 
@@ -112,6 +133,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", "0 AS band", "mh0 AS h1", "mh1 AS h2"
     ).unionAll(sig.selectExpr("doc_id", "1 AS band", "mh2 AS h1", "mh3 AS h2"))
+    # the band table feeds both sides of the self-join; materialize it
+    # once so the signature computation doesn't run 4× (2 union legs
+    # × 2 join sides). At scale this is a cheap narrow cache.
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -129,16 +154,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
+    mh_cols = ",\n    ".join(
+        f"list_min(list_transform(hashes, h -> "
+        f"CAST('0x' || substr(h, {start}, {width}) AS BIGINT))) AS mh{s}"
+        for s, (start, width) in enumerate(_MH_SLICES)
+    )
     return f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM s
 ), sig AS (
   SELECT doc_id,
-    list_min(list_transform(shingles, x -> {hash64_duck("x || '#0'")})) AS mh0,
-    list_min(list_transform(shingles, x -> {hash64_duck("x || '#1'")})) AS mh1,
-    list_min(list_transform(shingles, x -> {hash64_duck("x || '#2'")})) AS mh2,
-    list_min(list_transform(shingles, x -> {hash64_duck("x || '#3'")})) AS mh3
-  FROM s
+    {mh_cols}
+  FROM hs
 ), bands AS (
   SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
   UNION ALL

@@ -79,6 +79,10 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split even small parquet files across tasks so single-file
+        # test tables still scan in parallel; at cluster scale files
+        # outnumber cores and this only caps skewy large files
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
