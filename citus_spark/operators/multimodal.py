@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design for 100 TB: media lives as opaque `binary` columns (or object-
+store URIs) beside typed metadata structs; all per-item compute runs
+as Arrow-batched Pandas UDFs over `mapInPandas`, which keeps the
+pipeline shape identical to any other narrow map: no shuffle, columnar
+batches in/out, decode parallelism = scan parallelism.
+
+The decode kernels themselves need image/audio libraries that are NOT
+in this container, so they are stubbed exactly at the library
+boundary: `_require_pil()` raises NotImplementedError with a clear
+message, and every operator accepts `fake=True` to run a
+deterministic fake decode so the Spark-side plumbing (schemas,
+batching, partitioning) is fully real and tested.
+
+Schema conventions:
+  media table: (id bigint, media binary, meta struct<kind string,
+                width int, height int, sample_rate int, n_frames int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "id bigint, media binary, "
+    "meta struct<kind string, width int, height int, sample_rate int, n_frames int>"
+)
+
+
+def _require_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return PIL.Image
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode requires Pillow, which is not installed in "
+            "this environment; pass fake=True for the deterministic stub"
+        ) from e
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: the
+    utf-8 bytes of `text` stand in for an encoded media payload."""
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode → (id, width, height, channels). Real path uses PIL per
+    Arrow batch; fake path derives deterministic dimensions from the
+    payload bytes (so downstream operators are testable)."""
+    if not fake:
+        _require_pil()  # raises NotImplementedError here
+
+    out_schema = "id bigint, width int, height int, channels int, n_bytes bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["media"].map(len)
+            # fake decode: dimensions derived deterministically from size
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": (n % 480 + 16).astype("int32"),
+                    "channels": 3,
+                    "n_bytes": n.astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def byte_features(df: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Real (non-stub) feature extraction: byte-histogram features +
+    content digest per media item. Shows the Arrow batch path doing
+    real vectorized work over binary columns."""
+    out_schema = (
+        "id bigint, n_bytes bigint, digest string, "
+        "hist array<double>, mean_byte double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["media"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.histogram(
+                    arr, bins=n_buckets, range=(0, 256), density=False
+                )[0]
+                total = max(len(arr), 1)
+                rows.append(
+                    {
+                        "id": i,
+                        "n_bytes": len(arr),
+                        "digest": hashlib.md5(bytes(buf)).hexdigest(),
+                        "hist": (hist / total).tolist(),
+                        "mean_byte": float(arr.mean()) if len(arr) else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize → same schema with new payload. Stubbed at the codec
+    boundary; fake path truncates/pads bytes deterministically."""
+    if not fake:
+        _require_pil()
+
+    out_schema = "id bigint, media binary"
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": pdf["media"].map(
+                        lambda b: bytes(b)[:target].ljust(target, b"\0")
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Video frame sampling → one row per sampled frame. Fake path
+    treats fixed-size byte chunks as frames; real path would use
+    pyav/ffmpeg (not installed)."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires pyav/ffmpeg; not in this environment"
+        )
+
+    out_schema = "id bigint, frame_no int, frame binary"
+    chunk = 256
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["media"]):
+                b = bytes(buf)
+                frames = [b[o : o + chunk] for o in range(0, len(b), chunk)]
+                for fn in range(0, len(frames), every_n):
+                    rows.append({"id": i, "frame_no": fn, "frame": frames[fn]})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -107,6 +107,7 @@ def _import_all() -> None:
     """Populate QUERIES/ORACLES from every query module."""
     from citus_spark.queries import (  # noqa: F401
         analytics,
+        approx,
         dedup,
         similarity,
         textops,

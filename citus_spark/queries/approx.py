@@ -1,0 +1,209 @@
+"""Approximate aggregates, sampling, TopN operator entries, and the
+PostgreSQL scalar-function surface.
+
+Reference mapping:
+- approx count distinct ↔ hll extension (worker hll_add_agg +
+  coordinator hll_union_agg, multi_logical_optimizer.c:1711-1760,
+  GUC citus.count_distinct_error_rate). Spark: native HLL++
+  `approx_count_distinct(col, rsd)`. Sketch values differ per
+  implementation → rows-only driver check; the pytest suite asserts
+  the estimate is within rsd of exact.
+- percentiles ↔ tdigest extension (10 distributed agg variants,
+  planner/tdigest_extension.c). Spark: `percentile_approx`
+  (rows-only check) and exact `percentile` (oracle-checked below —
+  both engines use linear interpolation).
+- TABLESAMPLE ↔ MultiTable.tablesample (multi_logical_planner.h:95).
+- topn entries drive citus_spark.operators.topn (↔ topn extension).
+- scalar function surface ↔ §2.2: the reference runs PostgreSQL's
+  scalar library inside shard SQL; here the same surface is Spark
+  SQL built-ins, oracle-checked for PG-compatible semantics
+  (concat ||, string ops, math, conditionals).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citus_spark.operators.topn import topn
+from citus_spark.queries import (
+    DSUM,
+    load_views,
+    register_shared_sql,
+    register_split,
+)
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — rows-only (sketch estimates are
+# implementation-specific; accuracy asserted in tests/test_operators.py)
+
+
+def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register_split("approx_count_distinct_parts", approx_count_distinct_parts)
+
+
+def percentile_approx_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.5, 0.9, 0.99], 10000
+            ).alias("price_quantiles")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register_split("percentile_approx_prices", percentile_approx_prices)
+
+
+def tablesample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    # seeded Bernoulli sample — deterministic within Spark, not across
+    # engines → rows-only
+    return spark.table("lineitem").sample(0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+register_split("tablesample_scan", tablesample_scan)
+
+
+# Exact percentile — oracle-checked: both engines interpolate
+# continuously over the sorted values.
+register_shared_sql(
+    "percentile_exact",
+    """
+SELECT o_orderpriority,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# TopN operator entries (↔ topn extension)
+def topn_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return topn(
+        spark.table("events"), ["event_type"], "user_id", k=3
+    ).orderBy("event_type", "rank")
+
+
+register_split(
+    "topn_operator",
+    topn_operator,
+    """
+SELECT event_type, user_id, cnt, rank FROM (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY count(*) DESC, user_id) AS INT) AS rank
+  FROM events GROUP BY event_type, user_id
+) t WHERE rank <= 3
+ORDER BY event_type, rank
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (shared SQL, oracle-checked). round() on
+# arbitrary doubles is excluded: Spark rounds the shortest decimal
+# repr, DuckDB the exact binary value — a documented semantic gap.
+register_shared_sql(
+    "scalar_string_functions",
+    """
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       lower(c_mktsegment) AS lseg,
+       substr(c_name, 1, 8) AS prefix,
+       c_name || ':' || c_mktsegment AS joined,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       trim('  ' || c_name || ' ') AS trimmed,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CAST(position('#' IN c_name) AS BIGINT) AS hash_pos
+FROM customer
+ORDER BY c_custkey
+LIMIT 100
+""",
+)
+
+# NB: transcendentals (ln/exp/pow) are excluded from the oracle check —
+# libm implementations differ in the last ulp between engines (observed:
+# ln off by 1e-13). sqrt/abs/floor/ceil/% are IEEE-exact everywhere.
+register_shared_sql(
+    "scalar_math_functions",
+    """
+SELECT o_orderkey,
+       abs(o_totalprice - 250000.0) AS dist_from_mid,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       sqrt(o_totalprice) AS price_sqrt,
+       CAST(o_orderkey % 10 AS DOUBLE) * CAST(o_orderkey % 10 AS DOUBLE) AS key_sq,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+FROM orders
+WHERE o_totalprice > 0
+ORDER BY o_orderkey
+LIMIT 100
+""",
+)
+
+register_shared_sql(
+    "scalar_conditionals",
+    """
+SELECT s_suppkey,
+       coalesce(nullif(s_name, ''), 'unknown') AS name_or_default,
+       greatest(s_acctbal, 0.0) AS bal_floor0,
+       least(s_acctbal, 5000.0) AS bal_cap,
+       CASE WHEN s_acctbal < 0 THEN 'debt'
+            WHEN s_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_bucket
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+
+
+# JSON extraction (dialects differ: get_json_object vs
+# json_extract_string)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy()
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
+register_split(
+    "json_extract_props",
+    json_extract_props,
+    """
+SELECT CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_total,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+""",
+)

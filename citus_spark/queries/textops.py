@@ -207,3 +207,32 @@ ORDER BY doc_id
 
 
 register_split("lang_id", lang_id, _lang_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing entry: binary media column → mapInPandas
+# (Arrow-batched) feature extraction. The payload here is the utf-8
+# encoding of `text` (the fixture has no real media), so the oracle can
+# verify the Arrow path end-to-end: byte length and md5 digest computed
+# in pandas over BINARY must equal DuckDB's string-side values.
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.multimodal import byte_features, media_from_documents
+
+    load_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return (
+        byte_features(media)
+        .select(F.col("id").alias("doc_id"), "n_bytes", "digest")
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "multimodal_byte_stats",
+    multimodal_byte_stats,
+    """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest
+FROM documents
+ORDER BY doc_id
+""",
+)
