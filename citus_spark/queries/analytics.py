@@ -16,7 +16,7 @@ deterministic total orders; window frames order on (ts, event_id) /
 unique keys so every engine sees the same frame contents.
 """
 
-from citus_spark.queries import DSUM, register_shared_sql
+from citus_spark.queries import DSUM, register_shared_sql, register_split
 
 # ---------------------------------------------------------------------------
 # Window functions (↔ reference window_functions.sql;
@@ -444,6 +444,146 @@ GROUP BY user_id
 ORDER BY user_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# LATERAL join (↔ README.md:1324-1353 — the reference allows lateral
+# correlation only on the distribution key; Catalyst decorrelates any
+# lateral subquery, so we exceed the restriction)
+register_shared_sql(
+    "lateral_join",
+    """
+SELECT o_orderkey, t.n_lines, t.max_qty
+FROM orders,
+LATERAL (
+  SELECT CAST(count(*) AS BIGINT) AS n_lines, max(l_quantity) AS max_qty
+  FROM lineitem WHERE l_orderkey = o_orderkey
+) t
+WHERE o_totalprice > 450000
+ORDER BY o_orderkey
+""",
+)
+
+# set-op ALL variants (never pushed down in the reference —
+# RecursivelyPlanSetOperations; native here)
+register_shared_sql(
+    "setop_intersect_all",
+    """
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY l_suppkey
+LIMIT 500
+""",
+)
+
+register_shared_sql(
+    "setop_except_all",
+    """
+SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+ORDER BY l_suppkey
+LIMIT 500
+""",
+)
+
+# inline VALUES relation (↔ multi-row INSERT source,
+# RouterInsertTaskList row grouping)
+register_shared_sql(
+    "values_relation_join",
+    """
+SELECT v.seg, CAST(count(*) AS BIGINT) AS n
+FROM (VALUES ('BUILDING', 1), ('MACHINERY', 2), ('AUTOMOBILE', 3))
+  AS v(seg, pri)
+JOIN customer ON c_mktsegment = v.seg
+GROUP BY v.seg
+ORDER BY v.seg
+""",
+)
+
+# window RANGE frame over numeric values (frame membership defined by
+# value distance, so no order-tie ambiguity)
+register_shared_sql(
+    "window_range_frame",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(count(*) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice
+                           RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_nearby_cheaper
+FROM orders
+WHERE o_totalprice > 480000
+ORDER BY o_orderkey
+""",
+)
+
+
+# explode/unnest — token frequency (UDTF surface, ↔ set-returning
+# functions as recurring tuples, README.md:1521-1535)
+def token_frequency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+register_split(
+    "token_frequency",
+    token_frequency,
+    """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+
+
+# ordered array aggregation (↔ array_agg with array_cat_agg combine,
+# multi_logical_optimizer.h:26-28)
+def array_agg_sorted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_returnflag"))), ","
+            ).alias("flags"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+register_split(
+    "array_agg_sorted",
+    array_agg_sorted,
+    """
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS linenumbers,
+       array_to_string(list_sort(list(l_returnflag)), ',') AS flags
+FROM lineitem
+WHERE l_orderkey < 100
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+
 
 # ---------------------------------------------------------------------------
 # Sessionization — gap > 30 min starts a new session. The reference has

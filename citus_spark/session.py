@@ -179,11 +179,57 @@ class DistributedSession:
             return F.broadcast(df)
         return df
 
+    # GUC-style session settings (↔ reference shared_library_init.c)
+    count_distinct_error_rate: float | None = None  # ↔ citus.count_distinct_error_rate
+    pg_compat: bool = False  # rewrite `expr::type` casts
+
     def sql(self, query: str) -> DataFrame:
         """Run Spark SQL. Catalyst performs the worker/coordinator split
         the reference implements in multi_logical_optimizer.c (partial
-        vs final aggregation, pushdown, limit split) natively."""
+        vs final aggregation, pushdown, limit split) natively. Opt-in
+        rewrites (plans/rewrites.py) apply first."""
+        from citus_spark.plans.rewrites import pg_casts, rewrite_count_distinct
+
+        if self.pg_compat:
+            query = pg_casts(query)
+        if self.count_distinct_error_rate:
+            query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         return self.spark.sql(query)
+
+    # ------------------------------------------------------------------
+    # Layout-maintenance API (↔ alter_distributed_table /
+    # undistribute_table management UDFs)
+    # ------------------------------------------------------------------
+    def alter_distributed_table(
+        self,
+        name: str,
+        dist_col: str | None = None,
+        buckets: int | None = None,
+        colocate_with: str | None = None,
+    ) -> DataFrame:
+        """Re-distribute a registered table (new key and/or bucket
+        count) — one repartition, exactly the reference's
+        shard-rewrite path."""
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        df = self.spark.table(name)
+        new_col = dist_col or entry.dist_col
+        new_buckets = buckets or entry.buckets
+        self.catalog.register(
+            name, DIST_HASH, new_col, buckets=new_buckets, colocate_with=colocate_with
+        )
+        out = df.repartition(new_buckets, F.col(new_col))
+        out.createOrReplaceTempView(name)
+        return out
+
+    def undistribute_table(self, name: str) -> DataFrame:
+        """Drop distribution metadata; the table becomes a plain
+        (coordinator-local in reference terms) relation."""
+        df = self.spark.table(name)
+        self.catalog.register(name, "none")
+        df.createOrReplaceTempView(name)
+        return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> DistributedSession:

@@ -1,0 +1,78 @@
+"""Plan-quality gates: the physical plans must show predicate pushdown,
+column pruning, broadcast of reference tables, and per-partition top-k
+— the properties that make these queries survive a 1000× scale-up.
+(↔ SURVEY.md §4: what Citus implements in shard_pruning.c /
+multi_logical_optimizer.c, Catalyst must be *observed* doing.)"""
+
+import re
+
+import citus_spark.queries as q
+from citus_spark.sources.ingest import plan_str
+from tests.conftest import SF_SMALL
+
+
+def test_q6_filter_pushdown(spark):
+    """Q6's date/discount/quantity predicates must reach the parquet
+    scan (chunk-skipping analog: columnar_reader.c SelectedChunkMask)."""
+    df = q.QUERIES["tpch_q6"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "PushedFilters: [" in plan, plan
+    # toString truncates long filter lists with "..."; inspect the
+    # segment following the marker
+    pushed = plan.split("PushedFilters: [", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_token_count_column_pruning(spark):
+    """token_count projects (doc_id, text): the scan must not read
+    lang/source/n_chars (↔ MultiProject pushdown / ColumnarAttrNeeded)."""
+    df = q.QUERIES["token_count"](spark, SF_SMALL)
+    plan = plan_str(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols and "n_chars" not in cols
+
+
+def test_q14_broadcasts_reference_table(spark):
+    """part is a reference table → the join must be a broadcast join,
+    not a shuffle join (↔ REFERENCE_JOIN, multi_join_order.h:33)."""
+    df = q.QUERIES["tpch_q14"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_global_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + merge — ↔ WorkerLimitCount per-shard LIMIT pushdown)."""
+    df = q.QUERIES["global_topk"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_partial_final_aggregate_split(spark):
+    """Q1 must plan two-phase aggregation (partial before the
+    exchange, final after) — the worker/master ExtendedOp split."""
+    df = q.QUERIES["tpch_q1"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned parquet + date filter ⇒ partition pruning at
+    scan time (↔ PruneShards on range distribution)."""
+    out = str(tmp_path / "events_by_day")
+    ev = q.QUERIES["date_trunc_rollup"]  # ensure views loaded
+    from citus_spark.queries import load_views
+    from pyspark.sql import functions as F
+
+    load_views(spark, SF_SMALL)
+    events = spark.table("events").withColumn("day", F.to_date("ts"))
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = plan_str(scan)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    assert scan.count() > 0

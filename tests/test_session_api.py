@@ -1,0 +1,79 @@
+"""DistributedSession management API + opt-in SQL rewrites."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+def test_create_distributed_table_partitions(sess):
+    df = sess.spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    out = sess.create_distributed_table("orders_d", df, "o_orderkey", buckets=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert sess.catalog.get("orders_d").dist_col == "o_orderkey"
+
+
+def test_alter_distributed_table(sess):
+    df = sess.spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    sess.create_distributed_table("orders_a", df, "o_orderkey", buckets=8)
+    out = sess.alter_distributed_table("orders_a", dist_col="o_custkey", buckets=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert sess.catalog.get("orders_a").dist_col == "o_custkey"
+    # rows unchanged by re-distribution
+    assert out.count() == df.count()
+
+
+def test_undistribute_table(sess):
+    df = sess.spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    sess.create_distributed_table("nation_d", df, "n_nationkey", buckets=4)
+    sess.undistribute_table("nation_d")
+    assert sess.catalog.get("nation_d").method == "none"
+
+
+def test_count_distinct_rewrite(sess):
+    sess.count_distinct_error_rate = 0.02
+    try:
+        approx = sess.sql(
+            "SELECT count(DISTINCT l_partkey) AS n FROM lineitem"
+        ).collect()[0].n
+    finally:
+        sess.count_distinct_error_rate = None
+    exact = sess.sql("SELECT count(DISTINCT l_partkey) AS n FROM lineitem").collect()[
+        0
+    ].n
+    assert approx != exact or exact < 100  # rewrite happened (approx for big N)
+    assert abs(approx - exact) / exact < 0.06
+
+
+def test_pg_cast_rewrite(sess):
+    sess.pg_compat = True
+    try:
+        rows = sess.sql(
+            "SELECT o_orderkey::string AS k, '42'::bigint AS v FROM orders LIMIT 1"
+        ).collect()
+    finally:
+        sess.pg_compat = False
+    assert rows[0].v == 42 and isinstance(rows[0].k, str)
+
+
+def test_rewrite_functions_pure():
+    from citus_spark.plans.rewrites import pg_casts, rewrite_count_distinct
+
+    assert (
+        rewrite_count_distinct("SELECT COUNT(DISTINCT a.b) FROM t", 0.05)
+        == "SELECT approx_count_distinct(a.b, 0.05) FROM t"
+    )
+    # plain COUNT untouched
+    assert rewrite_count_distinct("SELECT count(x) FROM t") == "SELECT count(x) FROM t"
+    assert pg_casts("SELECT x::int, '5'::decimal(10,2)") == (
+        "SELECT CAST(x AS int), CAST('5' AS decimal(10,2))"
+    )
