@@ -61,6 +61,7 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     # are runtime-settable and required for correct reads/compares
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
 
     found = 0
     for t in ALL_TABLES:
@@ -75,6 +76,36 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     if not found:
         # fail loudly rather than silently querying stale temp views
         raise FileNotFoundError(f"no *.parquet test tables under {sf_dir}")
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `citus_spark` importable on Spark's Python workers.
+
+    Pandas-UDF/applyInPandas kernels defined in this package pickle by
+    reference, so workers must import the package — but workers only
+    inherit the driver's cwd, not runtime sys.path edits. Shipping a
+    package zip via addPyFile works for any session, local or cluster
+    (at cluster scale this is also the correct deployment mechanism).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_citus_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(tempfile.gettempdir(), "citus_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._citus_spark_shipped = True
 
 
 def register_shared_sql(name: str, sql: str) -> None:

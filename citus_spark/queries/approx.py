@@ -178,6 +178,98 @@ ORDER BY s_suppkey
 )
 
 
+# bit/bool aggregate surface (↔ AggregateType enum bit_and/bit_or/
+# bool_and/bool_or/every, multi_logical_optimizer.h:62-102)
+register_shared_sql(
+    "bit_bool_aggregates",
+    """
+SELECT l_returnflag,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS lines_and,
+       CAST(bit_or(l_linenumber) AS BIGINT) AS lines_or,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_high_discount,
+       min(l_linestatus) AS min_status,
+       max(l_linestatus) AS max_status
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+# RIGHT OUTER JOIN (the reference supports it in both pushdown and
+# join-order paths, multi_logical_planner.c:985)
+register_shared_sql(
+    "right_outer_join",
+    """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+
+
+# Vectorized scalar UDF (↔ §2.10 user scalar UDFs — PL/pgSQL functions
+# run inside shard SQL; here a pandas_udf runs inside the scan stage).
+# Pure per-row arithmetic → bit-exact oracle.
+def pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def score(value: pd.Series, k: pd.Series) -> pd.Series:
+        # vectorized: runs on Arrow batches, one python call per batch
+        return value * 2.0 + k * 0.5
+
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_id", score(F.col("value"), k).alias("score"))
+        .filter(F.col("score") > 50.0)
+        .orderBy("event_id")
+    )
+
+
+register_split(
+    "pandas_udf_scoring",
+    pandas_udf_scoring,
+    """
+SELECT event_id,
+       value * 2.0 + CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.5
+         AS score
+FROM events
+WHERE value * 2.0 + CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.5 > 50.0
+ORDER BY event_id
+""",
+)
+
+
+# Custom distributed UDAF entry (operators/udaf.py): exact median via
+# partial/combine/final. Median of doubles is a single interpolation of
+# sorted exact values → oracle-exact vs duckdb's quantile_cont.
+def custom_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.udaf import distributed_agg, median_spec
+
+    load_views(spark, sf_dir)
+    src = spark.table("events").select("event_type", F.col("value").alias("v"))
+    out = distributed_agg(src, ["event_type"], median_spec(["event_type"], "v"))
+    return out.orderBy("event_type")
+
+
+register_split(
+    "custom_udaf_median",
+    custom_udaf_median,
+    """
+SELECT event_type,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
 # JSON extraction (dialects differ: get_json_object vs
 # json_extract_string)
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
