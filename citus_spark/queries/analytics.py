@@ -586,6 +586,108 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# Nested subquery pushdown patterns (↔ multi_subquery_*.sql: the
+# reference's subquery-pushdown planner handles these only when every
+# level exposes the distribution key; Catalyst plans them on any key)
+
+register_shared_sql(
+    "subquery_agg_in_from",
+    f"""
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {DSUM("spend", "total_spend")}
+FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend,
+         CASE WHEN count(*) >= 15 THEN 'frequent'
+              WHEN count(*) >= 8 THEN 'regular'
+              ELSE 'occasional' END AS bucket
+  FROM orders
+  GROUP BY o_custkey
+) per_customer
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+
+register_shared_sql(
+    "union_in_subquery",
+    """
+SELECT kind, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT 'big_order' AS kind, o_custkey AS custkey
+  FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT 'urgent' AS kind, o_custkey AS custkey
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+) u
+JOIN customer ON custkey = c_custkey
+WHERE c_mktsegment = 'MACHINERY'
+GROUP BY kind
+ORDER BY kind
+""",
+)
+
+register_shared_sql(
+    "window_in_subquery_join",
+    f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_top_orders,
+       {DSUM("o_totalprice", "top_order_value")}
+FROM (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) ranked
+JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+register_shared_sql(
+    "nested_cte_chain",
+    f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+         CAST(sum(n) AS BIGINT) AS n,
+         sum(total) AS total
+  FROM daily GROUP BY CAST(date_trunc('month', d) AS DATE)
+)
+SELECT m, n, CAST(total AS DOUBLE) AS total
+FROM monthly
+WHERE n > 100
+ORDER BY m
+""",
+)
+
+register_shared_sql(
+    "limit_in_subquery",
+    f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       {DSUM("o_totalprice", "total")}
+FROM (
+  SELECT o_custkey, o_totalprice
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 500
+) top_orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Time-series gap filling (↔ PostgreSQL generate_series through the
 # reference; Spark: sequence+explode). Hours with no events appear
 # with n = 0.

@@ -237,3 +237,70 @@ ORDER BY qid, rk
 """
 
 register_split("ann_lsh_bucketed", ann_lsh_bucketed, _LSH_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid (one k-means "update" step over the stored label
+# column): positional explode → per-dimension exact decimal mean →
+# array reassembly. Returns the first 4 dimensions so the oracle
+# row stays readable; means are decimal-exact in both engines.
+def centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    longform = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    dim_means = (
+        longform.filter(F.col("dim") < 4)
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)"
+                )
+                / F.count("*")
+            ).alias("m"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return dim_means.select(
+        "label", F.col("dim").cast("int").alias("dim"), "m", "n"
+    ).orderBy("label", "dim")
+
+
+register_split(
+    "centroid_update",
+    centroid_update,
+    """
+WITH longform AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         / count(*) AS m,
+       CAST(count(*) AS BIGINT) AS n
+FROM longform
+WHERE dim < 4
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+
+
+# k-means entry — iterative, not SQL-expressible → rows-only check
+# (the pytest suite asserts the objective decreases monotonically).
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.kmeans import kmeans
+
+    load_views(spark, sf_dir)
+    vectors = spark.table("embeddings").select("vec_id", "embedding")
+    assigned, _cents = kmeans(vectors, k=8, n_iter=2)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+register_split("kmeans_clusters", kmeans_clusters)
