@@ -248,16 +248,20 @@ def centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     emb = spark.table("embeddings")
     longform = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    # sorted-fold sum: collect, sort, reduce left-to-right — the
+    # summation order is canonical, so the double result is identical
+    # regardless of partitioning (and matches DuckDB's identical fold).
+    # Avoids double→decimal casts, whose rounding differs per engine
+    # on float-derived values.
+    sorted_sum = F.expr(
+        "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     dim_means = (
         longform.filter(F.col("dim") < 4)
         .groupBy("label", "dim")
         .agg(
-            (
-                F.expr(
-                    "CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)"
-                )
-                / F.count("*")
-            ).alias("m"),
+            (sorted_sum / F.count("*")).alias("m"),
             F.count("*").cast("long").alias("n"),
         )
     )
@@ -277,7 +281,9 @@ WITH longform AS (
   FROM embeddings
 )
 SELECT label, dim,
-       CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(list(CAST(x AS DOUBLE)))),
+                   (acc, v) -> acc + v)
          / count(*) AS m,
        CAST(count(*) AS BIGINT) AS n
 FROM longform

@@ -150,25 +150,28 @@ class DistributedSession:
         """Register the driver's parquet tables as temp views with their
         default distribution metadata.
 
-        Note: we intentionally do NOT eagerly repartition on load — a
-        read-side repartition is an upfront shuffle most queries never
-        need. The catalog records the *intended* layout; materialized
-        (bucketed) layouts are produced by `sources.ingest` when a
-        workload benefits (co-located join benches)."""
+        View registration (incl. session-conf hardening and the
+        events.ts nanos normalization) is shared with
+        queries.load_views so every entry point behaves identically on
+        a vanilla session. We intentionally do NOT eagerly repartition
+        on load — a read-side repartition is an upfront shuffle most
+        queries never need. The catalog records the *intended* layout;
+        materialized (bucketed) layouts are produced by
+        `sources.ingest` when a workload benefits."""
+        from citus_spark.queries import load_views
+
+        load_views(self.spark, sf_dir)
         for t in tables:
             path = os.path.join(sf_dir, f"{t}.parquet")
-            if not os.path.exists(path):
+            if not os.path.exists(path) or t in self.catalog:
                 continue
-            df = self.spark.read.parquet(path)
             method, dist_col = DEFAULT_DISTRIBUTION.get(t, ("none", None))
-            if t not in self.catalog:
-                if method == DIST_HASH:
-                    self.catalog.register(t, DIST_HASH, dist_col, path=path)
-                elif method == DIST_REFERENCE:
-                    self.catalog.register(t, DIST_REFERENCE, path=path)
-                else:
-                    self.catalog.register(t, "none", path=path)
-            df.createOrReplaceTempView(t)
+            if method == DIST_HASH:
+                self.catalog.register(t, DIST_HASH, dist_col, path=path)
+            elif method == DIST_REFERENCE:
+                self.catalog.register(t, DIST_REFERENCE, path=path)
+            else:
+                self.catalog.register(t, "none", path=path)
 
     def table(self, name: str) -> DataFrame:
         df = self.spark.table(name)
@@ -222,6 +225,25 @@ class DistributedSession:
         out = df.repartition(new_buckets, F.col(new_col))
         out.createOrReplaceTempView(name)
         return out
+
+    def explain_distribution(self, query: str | DataFrame) -> str:
+        """Citus-EXPLAIN analog: summarize the *data movement* of a
+        plan — how many shuffle exchanges, broadcasts, and scans it
+        contains, plus the physical plan. The reference's EXPLAIN
+        shows task counts per job; here exchanges play that role
+        (each exchange boundary = one distributed job)."""
+        df = self.sql(query) if isinstance(query, str) else query
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        n_bcast = plan.count("BroadcastExchange")
+        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
+        header = (
+            f"Distributed plan: {n_scans} scan(s), {n_shuffle} shuffle "
+            f"exchange(s), {n_bcast} broadcast(s)\n"
+        )
+        return header + plan
 
     def materialize(self, name: str, df: DataFrame) -> DataFrame:
         """Materialize an intermediate result for reuse across queries

@@ -60,6 +60,37 @@ def test_q1_partial_final_aggregate_split(spark):
     assert "Exchange hashpartitioning" in plan, plan
 
 
+def test_window_on_dist_col_no_exchange_when_bucketed(spark):
+    """Window PARTITION BY the bucketing column reuses the storage
+    partitioning — zero exchanges. This is the reference's window
+    pushdown rule (SafeToPushdownWindowFunction: PARTITION BY must
+    contain the dist col) realized physically instead of as a planner
+    restriction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from citus_spark.sources.ingest import n_exchanges, write_distributed
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    write_distributed(orders, "t_orders_w", "o_custkey", buckets=8)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    df = spark.table("t_orders_w").withColumn("rn", F.row_number().over(w))
+    assert n_exchanges(df) == 0, plan_str(df)
+    assert df.count() == orders.count()
+
+
+def test_explain_distribution_report(spark):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    report = sess.explain_distribution(
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag"
+    )
+    assert report.startswith("Distributed plan:")
+    assert "shuffle exchange(s)" in report and "scan(s)" in report
+
+
 def test_date_partitioned_write_prunes(spark, tmp_path):
     """Date-partitioned parquet + date filter ⇒ partition pruning at
     scan time (↔ PruneShards on range distribution)."""
