@@ -586,6 +586,50 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# NULL semantics battery. Engine defaults differ (Spark sorts NULLS
+# FIRST ASC, PostgreSQL/DuckDB NULLS LAST), so portable SQL must spell
+# ordering explicitly — the same rule the reference applies in its
+# regress suite. Fixture data is null-free; nulls are manufactured via
+# outer joins and NULLIF.
+register_shared_sql(
+    "null_semantics",
+    """
+SELECT c_custkey,
+       n_urgent,
+       CAST(count_col AS BIGINT) AS count_col,
+       coalesce(n_urgent, -1) AS n_urgent_or_default,
+       (n_urgent IS NULL) AS no_urgent_orders
+FROM (
+  SELECT c_custkey,
+         nullif(CAST(count(o_orderkey) AS BIGINT), 0) AS n_urgent,
+         count(o_orderkey) AS count_col
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+) t
+ORDER BY n_urgent DESC NULLS FIRST, c_custkey
+LIMIT 200
+""",
+)
+
+register_shared_sql(
+    "null_aggregation",
+    """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(x) AS BIGINT) AS n_nonnull,
+  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_nonnull,
+  CAST(min(x) AS DOUBLE) AS min_nonnull,
+  bool_and(x IS NULL OR x > 0) AS all_null_or_pos
+FROM (
+  SELECT nullif(l_discount, 0.0) AS x FROM lineitem
+) t
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Nested subquery pushdown patterns (↔ multi_subquery_*.sql: the
 # reference's subquery-pushdown planner handles these only when every
 # level exposes the distribution key; Catalyst plans them on any key)
