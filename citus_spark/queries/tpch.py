@@ -25,7 +25,7 @@ deterministic across engines (the reference does the same in its
 regress suite by ordering on unique keys).
 """
 
-from citus_spark.queries import DSUM, register_shared_sql
+from citus_spark.queries import DAVG, DSUM, register_shared_sql
 
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary report.
@@ -45,9 +45,9 @@ SELECT
   {DSUM("l_extendedprice", "sum_base_price")},
   {DSUM("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
   {DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+  {DAVG("l_quantity", "count(*)", "avg_qty")},
+  {DAVG("l_extendedprice", "count(*)", "avg_price")},
+  {DAVG("l_discount", "count(*)", "avg_disc")},
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= date '1998-09-02'

@@ -65,7 +65,12 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # reducer count: AQE coalescing owns the real decision at
+        # runtime; the static number only bounds scheduling overhead.
+        # cpus/2 measures fastest for local-mode data sizes; a real
+        # cluster sets adaptive.coalescePartitions.initialPartitionNum
+        # to ~2-3× total cores instead.
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus // 2)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
