@@ -586,6 +586,58 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# Edge shapes from the reference regress suite
+# (multi_select_distinct.sql / multi_limit_clause.sql patterns)
+
+register_shared_sql(
+    "distinct_on_expression",
+    """
+SELECT DISTINCT CAST(extract(year FROM o_orderdate) AS BIGINT) AS oy,
+       CASE WHEN o_totalprice >= 250000 THEN 'high' ELSE 'low' END AS price_band
+FROM orders
+ORDER BY oy, price_band
+""",
+)
+
+register_shared_sql(
+    "global_having_no_groupby",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+HAVING count(*) > 10
+""",
+)
+
+register_shared_sql(
+    "orderby_expression_not_selected",
+    """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE o_totalprice > 490000
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+)
+
+register_shared_sql(
+    "case_in_groupby",
+    f"""
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            ELSE 'large' END AS qty_band,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM("l_extendedprice", "total_price")}
+FROM lineitem
+GROUP BY CASE WHEN l_quantity < 10 THEN 'small'
+              WHEN l_quantity < 30 THEN 'medium'
+              ELSE 'large' END
+ORDER BY qty_band
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # NULL semantics battery. Engine defaults differ (Spark sorts NULLS
 # FIRST ASC, PostgreSQL/DuckDB NULLS LAST), so portable SQL must spell
 # ordering explicitly — the same rule the reference applies in its
