@@ -260,6 +260,146 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/test split — hash-based assignment (stable under
+# re-runs, additions, and re-partitioning; the only correct way to
+# split at 100 TB). Portable hash64 so the oracle verifies assignment.
+def _split_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bucket = hash64(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select(
+            F.when(bucket < 80, "train").otherwise("test").alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+register_split(
+    "train_test_split",
+    _split_fn,
+    f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN {hash64_duck("CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+) t
+GROUP BY split
+ORDER BY split
+""",
+)
+
+
+# text normalization → canonical fingerprint (dedup robustness to
+# case/punctuation/whitespace)
+register_shared_sql(
+    "text_normalize",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''),
+                               ' +', ' '))) AS norm_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+
+# Contamination check: documents sharing any word-3-gram with a
+# "benchmark" set (docs 0-9) — the eval-leak scan, as a semi-join on
+# shingle hashes (shuffle on hash at scale, no all-pairs work).
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_spark()).alias("shingle")
+    ).withColumn("h", hash64(F.col("shingle")))
+    bench = sh.filter(F.col("doc_id") < 10).select("h").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(bench, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "contamination_check",
+    contamination_check,
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), hashed AS (
+  SELECT doc_id, {hash64_duck("shingle")} AS h FROM sh
+)
+SELECT DISTINCT doc_id
+FROM hashed
+WHERE doc_id >= 10
+  AND h IN (SELECT h FROM hashed WHERE doc_id < 10)
+ORDER BY doc_id
+""",
+)
+
+
+# Duplicate clustering: connected components over the LSH candidate
+# pairs, canonical representative = min doc_id. Oracle: DuckDB
+# recursive CTE computing the same transitive closure.
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+def _components_oracle_sql() -> str:
+    mh_cols = ",\n    ".join(
+        f"list_min(list_transform(hashes, h -> "
+        f"CAST('0x' || substr(h, {start}, {width}) AS BIGINT))) AS mh{s}"
+        for s, (start, width) in enumerate(_MH_SLICES)
+    )
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM s
+), sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM hs
+), bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS doc FROM edges
+), reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT e.v AS doc, reach.r
+  FROM reach JOIN edges e ON e.u = reach.doc
+)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach
+GROUP BY doc
+ORDER BY doc_id
+"""
+
+
+register_split("dedup_components", dedup_components, _components_oracle_sql())
+
+
 register_split(
     "ngram_jaccard_topk",
     ngram_jaccard_topk,
