@@ -198,6 +198,149 @@ WHERE l_shipdate >= date '1997-09-01'
 )
 
 # ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS semi-join; adapted:
+# l_commitdate/l_receiptdate absent → large-quantity line as the
+# "late" signal).
+register_shared_sql(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1996-07-01'
+  AND o_orderdate < date '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: share of one nation's suppliers in a
+# region's revenue per year (7-relation join + conditional ratio).
+register_shared_sql(
+    "tpch_q8",
+    """
+SELECT o_year,
+       CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND o_orderdate BETWEEN date '1996-01-01' AND date '1997-12-31'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (adapted: ps_supplycost absent → cost
+# modeled as 60% of p_retailprice per unit).
+register_shared_sql(
+    "tpch_q9",
+    f"""
+SELECT nation, o_year,
+       {DSUM("amount", "sum_profit")}
+FROM (
+  SELECT n_name AS nation,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (CTE revenue view + scalar-subquery max).
+register_shared_sql(
+    "tpch_q15",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= date '1997-01-01'
+    AND l_shipdate < date '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q16 — part/supplier relationship count (adapted: the lineitem
+# fact stands in for partsupp; keeps distinct-agg + NOT IN shape).
+register_shared_sql(
+    "tpch_q16",
+    """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: returnflag 'R'
+# replaces the late-delivery predicate; keeps the correlated
+# EXISTS + NOT EXISTS double-subquery shape).
+register_shared_sql(
+    "tpch_q21",
+    """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND n_name = 'NATION_5'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+
+# ---------------------------------------------------------------------------
 # Q5 — local supplier volume: the reference's largest join graph shape
 # (6-way join with the customer-nation = supplier-nation equality).
 register_shared_sql(
