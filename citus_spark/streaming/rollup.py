@@ -29,7 +29,10 @@ def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming scan of the events table (parquet source). The ts
     column arrives as nanos-as-long (see queries.load_views) and is
     normalized to a timestamp here."""
+    from citus_spark.queries import _ship_package
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)  # stateful kernels pickle by module reference
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
