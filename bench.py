@@ -27,6 +27,8 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q9",
+    "topn_operator",
     "window_running_sum",
     "sessionize_events",
     "having_filter",
