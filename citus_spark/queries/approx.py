@@ -270,6 +270,33 @@ ORDER BY event_type
 )
 
 
+# Re-aggregatable sketch entries (rows-only: estimates are
+# implementation-defined; accuracy + merge algebra asserted in
+# tests/test_hll.py and tests/test_quantile_sketch.py)
+def hll_ndv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.hll import approx_ndv
+
+    load_views(spark, sf_dir)
+    return approx_ndv(
+        spark.table("lineitem"), ["l_returnflag"], "l_partkey"
+    ).orderBy("l_returnflag")
+
+
+register_split("hll_ndv_by_flag", hll_ndv_by_flag)
+
+
+def sketch_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.quantile_sketch import approx_quantiles
+
+    load_views(spark, sf_dir)
+    return approx_quantiles(
+        spark.table("orders"), ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+
+register_split("sketch_quantiles_by_priority", sketch_quantiles_by_priority)
+
+
 # JSON extraction (dialects differ: get_json_object vs
 # json_extract_string)
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
