@@ -586,6 +586,60 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# As-of join: each purchase joined to the user's latest view at or
+# before it. Spark side is the union+window composition
+# (operators/asof.py); the oracle uses DuckDB's NATIVE ASOF JOIN —
+# matching a different engine's built-in implementation is the
+# strongest semantics check available.
+def asof_view_before_purchase(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.asof import asof_join
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    joined = asof_join(purchases, views, on="user_id", right_cols=["view_id"])
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("view_id_right").alias("prev_view_id"),
+        (
+            F.col("ts").cast("double") - F.col("ts_right").cast("double")
+        ).alias("gap_seconds"),
+    ).orderBy("purchase_id")
+
+
+register_split(
+    "asof_view_before_purchase",
+    asof_view_before_purchase,
+    """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, v.view_id AS prev_view_id,
+       epoch(p.ts) - epoch(v.ts) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.purchase_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Edge shapes from the reference regress suite
 # (multi_select_distinct.sql / multi_limit_clause.sql patterns)
 
