@@ -60,11 +60,12 @@ def main() -> None:
 
     run("tpch_q6")  # JVM/codegen warmup, untimed
 
-    # min of two runs: steady-state time (first run pays whole-stage
-    # codegen compilation, which is a constant, not a data cost)
+    # min of three runs: steady-state time (first run pays whole-stage
+    # codegen compilation; extra run shields against transient machine
+    # load, which we observed inflating single queries 5-10×)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(min(run(name), run(name)), 4)
+        times[name] = round(min(run(name) for _ in range(3)), 4)
 
     out = {
         "metric": "headline_query_wall_sec",
