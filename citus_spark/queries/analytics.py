@@ -586,6 +586,67 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# Remaining join shapes from the reference regress suite
+
+# join on an expression (not a bare column) — forces the planner to
+# shuffle on a computed key
+register_shared_sql(
+    "join_on_expression",
+    """
+SELECT CAST(o1.o_orderkey % 1000 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders o1
+JOIN orders o2 ON o1.o_orderkey % 1000 = o2.o_orderkey % 1000
+              AND o1.o_orderkey < o2.o_orderkey
+WHERE o1.o_totalprice > 495000 AND o2.o_totalprice > 495000
+GROUP BY o1.o_orderkey % 1000
+ORDER BY bucket
+""",
+)
+
+# self-join (the reference plans it as a co-located join when both
+# sides prune to the same shards)
+register_shared_sql(
+    "self_join_reorders",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               AND a.l_linenumber < b.l_linenumber
+WHERE a.l_returnflag = 'R' AND b.l_returnflag = 'R'
+  AND a.l_quantity + b.l_quantity > 95
+""",
+)
+
+# multi-column IN (row-value comparison)
+register_shared_sql(
+    "row_value_in",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE (l_returnflag, l_linestatus) IN (('R', 'F'), ('A', 'F'))
+  AND l_quantity >= 49
+""",
+)
+
+# EXISTS combined with OR of a local predicate (pushdown boundary case
+# in the reference's recursive planner)
+register_shared_sql(
+    "exists_or_predicate",
+    """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > 499000
+   OR EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity = 50
+                AND l_discount >= 0.09)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # As-of join: each purchase joined to the user's latest view at or
 # before it. Spark side is the union+window composition
 # (operators/asof.py); the oracle uses DuckDB's NATIVE ASOF JOIN —
