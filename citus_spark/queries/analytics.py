@@ -561,7 +561,9 @@ def array_agg_sorted(spark, sf_dir):
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")), ","
+            ).alias("linenumbers"),
             F.array_join(
                 F.sort_array(F.collect_list(F.col("l_returnflag"))), ","
             ).alias("flags"),
@@ -575,7 +577,7 @@ register_split(
     array_agg_sorted,
     """
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS linenumbers,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
        array_to_string(list_sort(list(l_returnflag)), ',') AS flags
 FROM lineitem
 WHERE l_orderkey < 100

@@ -445,6 +445,111 @@ ORDER BY cntrycode
 )
 
 # ---------------------------------------------------------------------------
+# Derived partsupp: the driver fixture set has no partsupp.parquet
+# (reference loads it in multi_create_table.sql from data/partsupp.*),
+# so q2/q11/q20 derive a deterministic partsupp relation from the
+# part × supplier keys with dbgen's supplier-spread formula
+# (4 suppliers per part, step S/4 + partkey/S). Pure integer
+# arithmetic → bit-identical rows in Spark and DuckDB, making the
+# three queries exact-shape rather than adapted. availqty/supplycost
+# are keyed hashes with ≤2 decimal places, so decimal sums are exact.
+_PARTSUPP_CTE = """
+sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+gen AS (SELECT 0 AS n UNION ALL SELECT 1 UNION ALL
+        SELECT 2 UNION ALL SELECT 3),
+ps_keys AS (
+  SELECT DISTINCT
+    p_partkey AS ps_partkey,
+    (p_partkey + n * (CAST(floor(s / 4.0) AS BIGINT)
+       + CAST(floor(p_partkey / CAST(s AS DOUBLE)) AS BIGINT))) % s
+      AS ps_suppkey
+  FROM part CROSS JOIN gen CROSS JOIN sc
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 AS DOUBLE)
+           / 100.0 + 1.0 AS ps_supplycost
+  FROM ps_keys
+)"""
+
+# Q2 — minimum-cost supplier (exact shape: correlated min subquery over
+# the region-filtered partsupp; adapted only in the projected supplier
+# columns the fixture lacks: s_address/s_phone/s_comment → s_acctbal).
+register_shared_sql(
+    "tpch_q2",
+    f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size IN (15, 25, 35)
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+
+# Q11 — important stock identification (exact shape: grouped value sum
+# with a global-fraction HAVING subquery; NATION_7 stands in for
+# GERMANY).
+register_shared_sql(
+    "tpch_q11",
+    """
+WITH {cte},
+natps AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT ps_partkey,
+       CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value
+FROM natps
+GROUP BY ps_partkey
+HAVING CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) >
+       (SELECT CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) * 0.005
+        FROM natps)
+ORDER BY value DESC, ps_partkey
+""".format(cte=_PARTSUPP_CTE),
+)
+
+# Q20 — suppliers with excess stock (exact shape: IN → IN → correlated
+# half-of-shipped-quantity subquery; 'red%' parts, NATION_2).
+register_shared_sql(
+    "tpch_q20",
+    f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part
+                       WHERE p_name LIKE 'red%')
+    AND ps_availqty > (
+      SELECT 0.5 * sum(l_quantity) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= date '1996-01-01'
+        AND l_shipdate < date '1997-01-01'))
+  AND n_name = 'NATION_2'
+ORDER BY s_name
+""",
+)
+
+# ---------------------------------------------------------------------------
 # Q19 — discounted revenue, disjunctive predicate (adapted: p_container
 # and l_shipinstruct absent; brand/size/quantity OR-of-ANDs keeps the
 # DNF pushdown shape the reference prunes with, shard_pruning.c:314).
