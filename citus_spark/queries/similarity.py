@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from citus_spark.functions import dot_fold_duck, dot_fold_sql
-from citus_spark.queries import load_views, register_split
+from citus_spark.queries import DAVG, load_views, register_split
 
 N_QUERIES = 10  # bounded query set: vec_id < 10
 TOP_K = 3
@@ -38,18 +38,80 @@ N_PLANES = 8  # LSH hyperplanes → 256 buckets
 
 # ---------------------------------------------------------------------------
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, vectorized.
+
+    Two-stage plan:
+
+    1. SELECTION — an Arrow ``mapInPandas`` kernel scans the candidate
+       table once; per batch it runs one float64 GEMM of the batch
+       matrix against the (broadcast, row-normalized) query matrix and
+       emits the top ``TOP_K + 2`` candidates per query *carrying the
+       candidate vector through*, so no second scan is needed. Output
+       is O(n_batches · |Q| · k) rows — tiny.
+    2. EXACT RESCORE — the surviving pairs are re-scored with the
+       sequential-double-fold expression that is bit-identical between
+       Spark and DuckDB (citus_spark.functions.dot_fold_*), then
+       globally ranked. GEMM round-off (~1e-16) cannot demote a true
+       top-k member past the +2 slack, so the final set and every
+       reported cosine match the oracle exactly.
+
+    At 100 TB stage 1 is embarrassingly parallel (one GEMM per Arrow
+    batch, no shuffle); only the k·|Q|-per-partition survivors shuffle
+    for the global ranking. The bounded query set (|Q| = N_QUERIES)
+    is collected driver-side by design — it plays the role of the
+    broadcast side.
+    """
+    import numpy as np
+    import pandas as pd
+
     load_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qn = qmat / qnorm[:, None]
+    n_take = TOP_K + 2
+
+    def select_kernel(batches):
+        for pdf in batches:
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cnorm[cnorm == 0.0] = 1.0
+            # (batch × dim) @ (dim × |Q|) — one GEMM per Arrow batch
+            sims = (cmat / cnorm[:, None]) @ qn.T
+            sims[cids[:, None] == qids[None, :]] = -np.inf
+            k = min(n_take, len(cids))
+            idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k × |Q|)
+            out_qid = np.repeat(qids, k)
+            out_cid = cids[idx.T.ravel()]
+            yield pd.DataFrame(
+                {
+                    "qid": out_qid,
+                    "cid": out_cid,
+                    "cv": [cmat[i].tolist() for i in idx.T.ravel()],
+                }
+            )
+
+    survivors = emb.select("vec_id", "embedding").mapInPandas(
+        select_kernel, schema="qid long, cid long, cv array<double>"
+    ).filter(F.col("qid") != F.col("cid"))  # drop -inf-masked self pairs
+
+    q_df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in q_rows],
+        schema="qid long, qv array<double>",
+    )
     dot = F.expr(dot_fold_sql("qv", "cv"))
-    qnorm = F.sqrt(F.expr(dot_fold_sql("qv", "qv")))
-    cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", (dot / (qnorm * cnorm)).alias("cosine"))
+    qnorm_e = F.sqrt(F.expr(dot_fold_sql("qv", "qv")))
+    cnorm_e = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+    scored = survivors.join(F.broadcast(q_df), "qid").select(
+        "qid", "cid", (dot / (qnorm_e * cnorm_e)).alias("cosine")
     )
     w = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -241,39 +303,39 @@ register_split("ann_lsh_bucketed", ann_lsh_bucketed, _LSH_ORACLE)
 
 # ---------------------------------------------------------------------------
 # Per-label centroid (one k-means "update" step over the stored label
-# column): positional explode → per-dimension exact decimal mean →
-# array reassembly. Returns the first 4 dimensions so the oracle
-# row stays readable; means are decimal-exact in both engines.
+# column): positional explode → per-dimension order-independent exact
+# mean. Returns the first 4 dimensions so the oracle row stays
+# readable.
+#
+# Summation uses the DSUM dual-bigint fixed-point idiom
+# (citus_spark.queries.DSUM): per-row scalar IEEE ops are identical in
+# every engine and bigint partial sums are order-free, so the result
+# is bit-identical at any partition count with O(1) per-group state —
+# unlike a collect_list sorted-fold, which materializes every group
+# member on one executor (unbounded state; a hot label at 100 TB would
+# OOM). This is the same partial/final split the reference's logical
+# optimizer produces for avg (multi_logical_optimizer.c:1644).
 def centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-    longform = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-    # sorted-fold sum: collect, sort, reduce left-to-right — the
-    # summation order is canonical, so the double result is identical
-    # regardless of partitioning (and matches DuckDB's identical fold).
-    # Avoids double→decimal casts, whose rounding differs per engine
-    # on float-derived values.
-    sorted_sum = F.expr(
-        "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    spark.table("embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).filter(F.col("dim") < 4).createOrReplaceTempView("_centroid_longform")
+    return spark.sql(
+        f"""
+SELECT label, CAST(dim AS INT) AS dim,
+       {DAVG("CAST(x AS DOUBLE)", "count(*)", "m")},
+       CAST(count(*) AS BIGINT) AS n
+FROM _centroid_longform
+GROUP BY label, dim
+ORDER BY label, dim
+"""
     )
-    dim_means = (
-        longform.filter(F.col("dim") < 4)
-        .groupBy("label", "dim")
-        .agg(
-            (sorted_sum / F.count("*")).alias("m"),
-            F.count("*").cast("long").alias("n"),
-        )
-    )
-    return dim_means.select(
-        "label", F.col("dim").cast("int").alias("dim"), "m", "n"
-    ).orderBy("label", "dim")
 
 
 register_split(
     "centroid_update",
     centroid_update,
-    """
+    f"""
 WITH longform AS (
   SELECT label,
          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
@@ -281,10 +343,7 @@ WITH longform AS (
   FROM embeddings
 )
 SELECT label, dim,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_sort(list(CAST(x AS DOUBLE)))),
-                   (acc, v) -> acc + v)
-         / count(*) AS m,
+       {DAVG("CAST(x AS DOUBLE)", "count(*)", "m")},
        CAST(count(*) AS BIGINT) AS n
 FROM longform
 WHERE dim < 4
