@@ -35,6 +35,14 @@ def salted_join(
     (defaults to the first non-key column — any varied column works).
     The small side is replicated n_salts× (keep it genuinely small).
     """
+    if how not in ("inner", "left"):
+        # replicating the small side n_salts× would emit unmatched
+        # small-side rows once per replica under right/full/semi
+        # variants — silent duplicates. Those joins need a different
+        # formulation (swap sides or dedup the null-extended rows).
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}"
+        )
     if salt_source is None:
         salt_source = next(c for c in large.columns if c != on)
     lsalt = large.withColumn(

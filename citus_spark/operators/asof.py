@@ -60,15 +60,19 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    # All right columns travel in ONE struct filled by ONE
+    # last(ignorenulls) — every output column comes from the same
+    # matched right row. (Filling columns independently would, when a
+    # matched right row holds NULL in some column, take that column
+    # from an OLDER right row — a composite row that never existed.)
     out_cols = [c + suffix for c in right_cols]
-    for c in out_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "_rts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_ts").alias("_rts"), *[F.col(c) for c in out_cols]),
     )
-    return (
-        filled.filter(F.col("_side") == 1)
-        .withColumnRenamed("_rts", right_ts + suffix)
-        .drop("_side", "_ts")
+    filled = unioned.withColumn("_r", F.last(rstruct, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in out_cols],
+        F.col("_r._rts").alias(right_ts + suffix),
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from citus_spark.functions import hash64
-from citus_spark.operators.udaf import AggSpec, distributed_agg
+from citus_spark.operators.udaf import AggSpec, distributed_agg, group_ddl
 
 P = 11  # 2^11 registers → rsd ≈ 1.04/sqrt(2048) ≈ 2.3%
 M = 1 << P
@@ -52,9 +52,12 @@ def _estimate(reg: np.ndarray) -> float:
     return float(est)
 
 
-def hll_spec(group_cols: Sequence[str]) -> AggSpec:
+def hll_spec(group_cols: Sequence[str], gddl: str | None = None) -> AggSpec:
+    """`gddl`: group-column DDL (from ``group_ddl(df, cols)``) so
+    non-string keys keep their real type through the Arrow schemas;
+    defaults to all-string."""
     g = list(group_cols)
-    gddl = ", ".join(f"{c} string" for c in g)
+    gddl = gddl or ", ".join(f"{c} string" for c in g)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.iloc[:1][g].copy()
@@ -92,7 +95,7 @@ def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col) -> DataFrame
     persistable rollup form (↔ storing hll values in rollup tables)."""
     g = list(group_cols)
     hashed = df.select(*g, hash64(F.col(value_col).cast("string")).alias("h"))
-    spec = hll_spec(g)
+    spec = hll_spec(g, group_ddl(df, g))
 
     def partial_batches(it):
         for pdf in it:
@@ -108,14 +111,14 @@ def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col) -> DataFrame
 def hll_union(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     """Merge sketch rows across rollups (↔ hll_union_agg) → states."""
     g = list(group_cols)
-    spec = hll_spec(g)
+    spec = hll_spec(g, group_ddl(sketches, g))
     return sketches.groupBy(*g).applyInPandas(spec.combine, schema=spec.state_schema)
 
 
 def hll_estimate(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     """Finalize sketch states to cardinality estimates."""
     g = list(group_cols)
-    spec = hll_spec(g)
+    spec = hll_spec(g, group_ddl(sketches, g))
     return sketches.groupBy(*g).applyInPandas(
         lambda pdf: spec.final(spec.combine(pdf)), schema=spec.output_schema
     )
@@ -126,4 +129,6 @@ def approx_ndv(df: DataFrame, group_cols: Sequence[str], value_col) -> DataFrame
     hashed = df.select(
         *group_cols, hash64(F.col(value_col).cast("string")).alias("h")
     )
-    return distributed_agg(hashed, group_cols, hll_spec(group_cols))
+    return distributed_agg(
+        hashed, group_cols, hll_spec(group_cols, group_ddl(df, group_cols))
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from citus_spark.functions import hash64
-from citus_spark.operators.udaf import AggSpec, distributed_agg
+from citus_spark.operators.udaf import AggSpec, distributed_agg, group_ddl
 
 K = 2048  # sample size per group
 
@@ -34,10 +34,14 @@ def _truncate(hashes: np.ndarray, values: np.ndarray) -> tuple[list, list]:
 
 
 def quantile_sketch_spec(
-    group_cols: Sequence[str], quantiles: Sequence[float] = (0.5, 0.9, 0.99)
+    group_cols: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    gddl: str | None = None,
 ) -> AggSpec:
+    """`gddl`: group-column DDL (from ``group_ddl(df, cols)``) so
+    non-string keys keep their real type; defaults to all-string."""
     g = list(group_cols)
-    gddl = ", ".join(f"{c} string" for c in g)
+    gddl = gddl or ", ".join(f"{c} string" for c in g)
     qs = list(quantiles)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -93,7 +97,7 @@ def quantile_sketch(
 ) -> DataFrame:
     """Build persistable sketch states (group..., hs, vs)."""
     g = list(group_cols)
-    spec = quantile_sketch_spec(g)
+    spec = quantile_sketch_spec(g, gddl=group_ddl(df, g))
     src = _hashed(df, g, value_col, id_col)
 
     def partial_batches(it):
@@ -108,7 +112,9 @@ def quantile_sketch(
 
 
 def quantile_union(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
-    spec = quantile_sketch_spec(list(group_cols))
+    spec = quantile_sketch_spec(
+        list(group_cols), gddl=group_ddl(sketches, group_cols)
+    )
     return sketches.groupBy(*group_cols).applyInPandas(
         spec.combine, schema=spec.state_schema
     )
@@ -119,7 +125,9 @@ def quantile_estimate(
     group_cols: Sequence[str],
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    spec = quantile_sketch_spec(list(group_cols), quantiles)
+    spec = quantile_sketch_spec(
+        list(group_cols), quantiles, gddl=group_ddl(sketches, group_cols)
+    )
     return sketches.groupBy(*group_cols).applyInPandas(
         lambda pdf: spec.final(spec.combine(pdf)), schema=spec.output_schema
     )
@@ -135,5 +143,7 @@ def approx_quantiles(
     """One-shot grouped quantiles via the sketch path."""
     g = list(group_cols)
     return distributed_agg(
-        _hashed(df, g, value_col, id_col), g, quantile_sketch_spec(g, quantiles)
+        _hashed(df, g, value_col, id_col),
+        g,
+        quantile_sketch_spec(g, quantiles, gddl=group_ddl(df, g)),
     )

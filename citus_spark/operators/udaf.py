@@ -28,6 +28,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def group_ddl(df: DataFrame, group_cols: Sequence[str]) -> str:
+    """Derive the DDL fragment for the group columns from the input
+    DataFrame's actual schema (``"user_id bigint, lang string"``).
+
+    Spec builders need the group columns' types in their Arrow
+    state/output schemas; hardcoding ``string`` would fail or miscoerce
+    non-string keys (bigint user_id, int l_orderkey) at the
+    pandas→Arrow boundary."""
+    dt = dict(df.dtypes)
+    missing = [c for c in group_cols if c not in dt]
+    if missing:
+        raise ValueError(f"group columns {missing} not in {df.columns}")
+    return ", ".join(f"{c} {dt[c]}" for c in group_cols)
+
+
 @dataclass
 class AggSpec:
     """A distributed aggregate: schemas are Spark DDL strings for the
@@ -71,10 +86,15 @@ def distributed_agg(
 # reference distributes (avg → sum+count decomposition,
 # MasterAggregateExpression).
 def weighted_mean_spec(
-    group_cols: Sequence[str], value_col: str, weight_col: str
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    gddl: str | None = None,
 ) -> AggSpec:
+    """`gddl`: group-column DDL from ``group_ddl(df, group_cols)``;
+    defaults to all-string keys."""
     g = list(group_cols)
-    gddl = ", ".join(f"{c} string" for c in g)  # caller adjusts types if needed
+    gddl = gddl or ", ".join(f"{c} string" for c in g)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.iloc[:1][g].copy()
@@ -107,9 +127,11 @@ def weighted_mean_spec(
 # (AGGREGATE_CUSTOM_ROW_GATHER); here the state is the per-partition
 # sorted value list and combine merges lists — still distributed, with
 # state size O(rows in group) as is inherent to exact medians.
-def median_spec(group_cols: Sequence[str], value_col: str) -> AggSpec:
+def median_spec(
+    group_cols: Sequence[str], value_col: str, gddl: str | None = None
+) -> AggSpec:
     g = list(group_cols)
-    gddl = ", ".join(f"{c} string" for c in g)
+    gddl = gddl or ", ".join(f"{c} string" for c in g)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.iloc[:1][g].copy()

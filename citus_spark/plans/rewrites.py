@@ -11,25 +11,51 @@ planner GUCs.
   integer division, collation order — are documented in README §SQL
   semantics rather than rewritten textually.)
 
-These are regex-level rewrites applied before parsing, mirroring how
-the reference rewrites at the Query-tree level. They are opt-in
-(off by default) and deliberately conservative: they do not touch
-quoted strings that don't match the patterns.
+These are token-aware textual rewrites applied before parsing,
+mirroring how the reference rewrites at the Query-tree level. They
+are opt-in (off by default): the SQL is first split into
+code / string-literal / comment segments and the patterns apply only
+to code, so a literal like ``WHERE c = 'x::int'`` or a commented-out
+``COUNT(DISTINCT …)`` is never touched. A cast applied TO a literal
+(``'1'::int``) is still rewritten — the ``::`` there is code.
 """
 
 from __future__ import annotations
 
 import re
 
+# '...literal...' (with '' escapes), -- line comments, /* block */
+_SEGMENT = re.compile(r"('(?:[^']|'')*')|(--[^\n]*)|(/\*.*?\*/)", re.DOTALL)
+
 # COUNT(DISTINCT col) with a simple column or qualified name inside
 _COUNT_DISTINCT = re.compile(
     r"\bCOUNT\s*\(\s*DISTINCT\s+([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE
 )
 
-# expr::type (PG cast) where expr is a simple identifier/literal
-_PG_CAST = re.compile(
-    r"([A-Za-z_][\w.]*|'[^']*'|\d+(?:\.\d+)?)::([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
-)
+_TYPE = r"[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+# expr::type where expr is a simple identifier or number (literal
+# operands are handled at segment boundaries below)
+_PG_CAST = re.compile(rf"([A-Za-z_][\w.]*|\d+(?:\.\d+)?)::({_TYPE})")
+# a code segment that *starts* with ::type — its operand was the
+# string literal in the immediately preceding segment
+_LEADING_CAST = re.compile(rf"^::({_TYPE})")
+
+
+def _segments(sql: str) -> list[tuple[str, str]]:
+    """Split into [('code'|'literal'|'comment', text), ...]."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for m in _SEGMENT.finditer(sql):
+        out.append(("code", sql[pos : m.start()]))
+        kind = "literal" if m.group(1) is not None else "comment"
+        out.append((kind, m.group(0)))
+        pos = m.end()
+    out.append(("code", sql[pos:]))
+    return out
+
+
+def _map_code(sql: str, fn) -> str:
+    return "".join(fn(t) if k == "code" else t for k, t in _segments(sql))
 
 
 def rewrite_count_distinct(sql: str, rsd: float = 0.023) -> str:
@@ -38,9 +64,26 @@ def rewrite_count_distinct(sql: str, rsd: float = 0.023) -> str:
     rsd default 2.3% ≈ HLL with 2^11 registers, close to the
     reference's citus.count_distinct_error_rate typical setting.
     """
-    return _COUNT_DISTINCT.sub(rf"approx_count_distinct(\1, {rsd})", sql)
+    return _map_code(
+        sql, lambda s: _COUNT_DISTINCT.sub(rf"approx_count_distinct(\1, {rsd})", s)
+    )
 
 
 def pg_casts(sql: str) -> str:
     """Rewrite PostgreSQL ``expr::type`` casts to ANSI CAST."""
-    return _PG_CAST.sub(r"CAST(\1 AS \2)", sql)
+    segs = _segments(sql)
+    out: list[str] = []
+    prev_kind = None
+    for kind, text in segs:
+        if kind == "code":
+            # literal operand: previous segment was '...'  and this
+            # code segment begins with ::type
+            m = _LEADING_CAST.match(text) if prev_kind == "literal" else None
+            if m:
+                lit = out.pop()
+                out.append(f"CAST({lit} AS {m.group(1)})")
+                text = text[m.end() :]
+            text = _PG_CAST.sub(r"CAST(\1 AS \2)", text)
+        out.append(text)
+        prev_kind = kind
+    return "".join(out)

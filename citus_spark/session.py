@@ -141,11 +141,19 @@ class DistributedSession:
     def create_reference_table(self, name: str, df: DataFrame) -> DataFrame:
         """Register `df` as a reference table (↔ create_reference_table,
         commands/create_distributed_table.c:202): replicated everywhere
-        in the reference; on Spark that is a broadcast relation — we
-        mark it in the catalog and wrap joins with F.broadcast via
-        `ref()`/automatic hints."""
+        in the reference; on Spark that is a broadcast relation.
+
+        The broadcast hint is baked into the registered view's logical
+        plan, so EVERY query that references the view — through
+        `sql()`, at any subquery nesting — joins it broadcast-side
+        regardless of `autoBroadcastJoinThreshold`. This is the
+        planner responsibility the reference encodes as REFERENCE_JOIN
+        (multi_join_order.h:33): replicated tables never repartition,
+        however large. (Catalyst ignores the hint where broadcasting
+        is illegal, e.g. the preserved side of an outer join — the
+        same cases where the reference, too, must fall back.)"""
         self.catalog.register(name, DIST_REFERENCE)
-        df.createOrReplaceTempView(name)
+        df.hint("broadcast").createOrReplaceTempView(name)
         return df
 
     # ------------------------------------------------------------------
@@ -175,6 +183,10 @@ class DistributedSession:
                 self.catalog.register(t, DIST_HASH, dist_col, path=path)
             elif method == DIST_REFERENCE:
                 self.catalog.register(t, DIST_REFERENCE, path=path)
+                # re-register the view with the broadcast hint in its
+                # plan so the catalog's REFERENCE_JOIN decision binds
+                # in the SQL path (see create_reference_table)
+                self.spark.table(t).hint("broadcast").createOrReplaceTempView(t)
             else:
                 self.catalog.register(t, "none", path=path)
 

@@ -43,6 +43,49 @@ def test_q14_broadcasts_reference_table(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_reference_table_broadcasts_above_threshold(spark):
+    """A reference table must broadcast because the CATALOG says so,
+    not because it happens to fit under autoBroadcastJoinThreshold.
+    With the threshold disabled (-1), the hint baked into the
+    catalog-registered view is the only thing that can make this a
+    broadcast join (↔ REFERENCE_JOIN, multi_join_order.h:33 — Citus
+    replicated tables never repartition, whatever their size)."""
+    from citus_spark.session import DistributedSession
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sess = DistributedSession(spark)
+        sess.load_tables(SF_SMALL)
+        df = sess.sql(
+            """
+            SELECT p_brand, count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            """
+        )
+        plan = plan_str(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # sanity: without the catalog the same query shuffle-joins
+        from citus_spark.queries import load_views
+
+        load_views(spark, SF_SMALL)  # re-register plain views
+        plain = spark.sql(
+            """
+            SELECT p_brand, count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            """
+        )
+        assert "BroadcastHashJoin" not in plan_str(plain), plan_str(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        from citus_spark.queries import load_views
+
+        load_views(spark, SF_SMALL)
+
+
 def test_global_topk_uses_take_ordered(spark):
     """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
     top-k + merge — ↔ WorkerLimitCount per-shard LIMIT pushdown)."""

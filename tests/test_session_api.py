@@ -77,3 +77,12 @@ def test_rewrite_functions_pure():
     assert pg_casts("SELECT x::int, '5'::decimal(10,2)") == (
         "SELECT CAST(x AS int), CAST('5' AS decimal(10,2))"
     )
+    # '::' inside string literals / comments is data, not a cast
+    assert pg_casts("WHERE c = 'x::int'") == "WHERE c = 'x::int'"
+    assert pg_casts("-- y::int\nSELECT b::text") == "-- y::int\nSELECT CAST(b AS text)"
+    assert pg_casts("SELECT 'it''s::odd', d::date") == (
+        "SELECT 'it''s::odd', CAST(d AS date)"
+    )
+    assert rewrite_count_distinct(
+        "SELECT COUNT(DISTINCT x) FROM t WHERE s = 'COUNT(DISTINCT y)'", 0.05
+    ) == "SELECT approx_count_distinct(x, 0.05) FROM t WHERE s = 'COUNT(DISTINCT y)'"
