@@ -211,14 +211,18 @@ register_split("ivf_assign", ivf_assign, _IVF_ORACLE)
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path. Hyperplane p is the ±1 vector
-# derived from hash64("p:d") parity per dimension d; the 8 sign bits
-# form the bucket id. Neighbor search joins only within buckets.
-def _lsh_bucket_expr() -> str:
-    """Spark SQL expr: 8-bit hyperplane-sign bucket of `embedding`."""
+# derived from hash64("p:d") parity per dimension d; the n_planes sign
+# bits form the bucket id. Neighbor search joins only within buckets.
+# n_planes is the recall/cost dial: more planes → smaller buckets →
+# cheaper joins but lower recall per table (production setups union
+# several independent tables); the registered query uses
+# N_PLANES=8 so the DuckDB oracle can recompute the buckets exactly.
+def _lsh_bucket_expr(n_planes: int = N_PLANES, col: str = "embedding") -> str:
+    """Spark SQL expr: n_planes-bit hyperplane-sign bucket of `col`."""
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         proj = (
-            "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+            f"aggregate(zip_with({col}, sequence(1, size({col})), "
             "(x, i) -> CAST(x AS DOUBLE) * (CASE WHEN "
             f"CAST(conv(substr(md5(concat('{p}:', i)), 1, 15), 16, 10) AS BIGINT) % 2 = 0 "
             "THEN 1.0 ELSE -1.0 END)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
