@@ -5,8 +5,17 @@ Prints ONE JSON line:
 
 `value` is the total wall time of the headline set. Each query is
 executed fully (noop sink — no driver-side collect) after a one-query
-JVM warmup. Set BENCH_DUCKDB=1 to also time the DuckDB oracle on the
-same parquet files for a local baseline comparison.
+JVM warmup. The JSON also always carries:
+
+  duckdb_baseline / duckdb_total — the DuckDB oracle timed on the
+    same parquet files (the agreed BASELINE.md anchor), so the
+    ratio-vs-baseline is computable from this one artifact;
+  scale_trend — three representative queries timed at sf0.01 and the
+    bench scale; ratio_10x ≪ 10 demonstrates per-row cost amortizing
+    with data size (fixed scheduling floor, not a scale-killer).
+
+Set BENCH_SKIP_EXTRAS=1 to print only the headline block (fast mode
+for iterating).
 """
 
 from __future__ import annotations
@@ -75,7 +84,7 @@ def main() -> None:
         "sf": sf_val,
     }
 
-    if os.environ.get("BENCH_DUCKDB"):
+    if not os.environ.get("BENCH_SKIP_EXTRAS"):
         import duckdb
 
         con = duckdb.connect()
@@ -93,6 +102,29 @@ def main() -> None:
                 duck[name] = round(time.time() - t0, 4)
         out["duckdb_baseline"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 4)
+
+        # scale trend: same query, 10× less data → how much does wall
+        # time shrink? ratio_10x far below 10 at toy scale = the time
+        # is scheduling floor (amortizes with size), not per-row cost.
+        small_dir = "/root/testdata/sf0.01"
+        if os.path.isdir(small_dir) and small_dir != sf_dir:
+            trend: dict[str, dict[str, float]] = {}
+            for name in ("tpch_q1", "tpch_q6", "minhash_lsh_pairs"):
+                def run_small() -> float:
+                    df_small = q.QUERIES[name](spark, small_dir)
+                    t0 = time.time()
+                    df_small.write.format("noop").mode("overwrite").save()
+                    return time.time() - t0
+
+                # min-of-2: first run pays plan compilation, which
+                # would dominate at this data size and fake the ratio
+                t_small = min(run_small() for _ in range(2))
+                trend[name] = {
+                    "sf0.01_sec": round(t_small, 4),
+                    "bench_sec": times[name],
+                    "ratio_10x": round(times[name] / max(t_small, 1e-6), 2),
+                }
+            out["scale_trend"] = trend
 
     print(json.dumps(out))
 

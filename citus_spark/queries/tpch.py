@@ -28,6 +28,36 @@ regress suite by ordering on unique keys).
 from citus_spark.queries import DAVG, DSUM, register_shared_sql
 
 # ---------------------------------------------------------------------------
+# Derived partsupp: the driver fixture set has no partsupp.parquet
+# (reference loads it in multi_create_table.sql from data/partsupp.*),
+# so q2/q9/q11/q16/q20 derive a deterministic partsupp relation from
+# the part × supplier keys with dbgen's supplier-spread formula
+# (4 suppliers per part, step S/4 + partkey/S). Pure integer
+# arithmetic → bit-identical rows in Spark and DuckDB, making these
+# queries exact-shape rather than adapted. availqty/supplycost are
+# keyed hashes with ≤2 decimal places, so decimal sums are exact.
+_PARTSUPP_CTE = """
+sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+gen AS (SELECT 0 AS n UNION ALL SELECT 1 UNION ALL
+        SELECT 2 UNION ALL SELECT 3),
+ps_keys AS (
+  SELECT DISTINCT
+    p_partkey AS ps_partkey,
+    (p_partkey + n * (CAST(floor(s / 4.0) AS BIGINT)
+       + CAST(floor(p_partkey / CAST(s AS DOUBLE)) AS BIGINT))) % s
+      AS ps_suppkey
+  FROM part CROSS JOIN gen CROSS JOIN sc
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)
+           AS ps_availqty,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 AS DOUBLE)
+           / 100.0 + 1.0 AS ps_supplycost
+  FROM ps_keys
+)"""
+
+# ---------------------------------------------------------------------------
 # Q1 — pricing summary report.
 # Exercises the partial/final aggregate split that is the core of the
 # reference's logical optimizer (avg decomposed into sum+count:
@@ -247,21 +277,28 @@ ORDER BY o_year
 )
 
 # ---------------------------------------------------------------------------
-# Q9 — product type profit (adapted: ps_supplycost absent → cost
-# modeled as 60% of p_retailprice per unit).
+# Q9 — product type profit, exact shape over the derived partsupp
+# (cost = ps_supplycost · l_quantity; see the partsupp derivation
+# below Q22). NB: unlike dbgen — where lineitem suppliers are drawn
+# FROM partsupp — the fixture's l_suppkey is independent of the
+# derived (partkey, suppkey) pairs, so the partsupp join keeps the
+# ~4/|supplier| fraction of lines whose supplier happens to be one of
+# the part's four; deterministic and identical in both engines.
 register_shared_sql(
     "tpch_q9",
     f"""
+WITH {_PARTSUPP_CTE}
 SELECT nation, o_year,
        {DSUM("amount", "sum_profit")}
 FROM (
   SELECT n_name AS nation,
          CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
          l_extendedprice * (1 - l_discount)
-           - 0.6 * p_retailprice * l_quantity AS amount
+           - ps_supplycost * l_quantity AS amount
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE p_name LIKE '%red%'
@@ -293,18 +330,21 @@ ORDER BY s_suppkey
 )
 
 # ---------------------------------------------------------------------------
-# Q16 — part/supplier relationship count (adapted: the lineitem
-# fact stands in for partsupp; keeps distinct-agg + NOT IN shape).
+# Q16 — part/supplier relationship count, exact shape over the derived
+# partsupp (distinct-agg + NOT IN anti-join; p_type <> filter stands in
+# for the NOT LIKE over the fixture's single-word type domain).
 register_shared_sql(
     "tpch_q16",
-    """
+    f"""
+WITH {_PARTSUPP_CTE}
 SELECT p_brand, p_size,
-       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
 WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
   AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-  AND l_suppkey NOT IN (
+  AND ps_suppkey NOT IN (
     SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
   )
 GROUP BY p_brand, p_size
@@ -443,36 +483,6 @@ GROUP BY cntrycode
 ORDER BY cntrycode
 """,
 )
-
-# ---------------------------------------------------------------------------
-# Derived partsupp: the driver fixture set has no partsupp.parquet
-# (reference loads it in multi_create_table.sql from data/partsupp.*),
-# so q2/q11/q20 derive a deterministic partsupp relation from the
-# part × supplier keys with dbgen's supplier-spread formula
-# (4 suppliers per part, step S/4 + partkey/S). Pure integer
-# arithmetic → bit-identical rows in Spark and DuckDB, making the
-# three queries exact-shape rather than adapted. availqty/supplycost
-# are keyed hashes with ≤2 decimal places, so decimal sums are exact.
-_PARTSUPP_CTE = """
-sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
-gen AS (SELECT 0 AS n UNION ALL SELECT 1 UNION ALL
-        SELECT 2 UNION ALL SELECT 3),
-ps_keys AS (
-  SELECT DISTINCT
-    p_partkey AS ps_partkey,
-    (p_partkey + n * (CAST(floor(s / 4.0) AS BIGINT)
-       + CAST(floor(p_partkey / CAST(s AS DOUBLE)) AS BIGINT))) % s
-      AS ps_suppkey
-  FROM part CROSS JOIN gen CROSS JOIN sc
-),
-partsupp AS (
-  SELECT ps_partkey, ps_suppkey,
-         CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)
-           AS ps_availqty,
-         CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 AS DOUBLE)
-           / 100.0 + 1.0 AS ps_supplycost
-  FROM ps_keys
-)"""
 
 # Q2 — minimum-cost supplier (exact shape: correlated min subquery over
 # the region-filtered partsupp; adapted only in the projected supplier
