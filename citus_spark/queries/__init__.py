@@ -201,13 +201,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_quality", "lang_id",
     # new this round
     "json_agg_by_type", "json_object_agg_counts",
-    "ch_q1", "ch_q6", "ch_q12", "ch_q14", "ch_q19", "ch_stock_level",
+    "window_groups_frame", "recursive_order_chain",
+    "ch_q1", "ch_q12", "ch_q14", "ch_stock_level",
     # multimodal plumbing
     "multimodal_byte_stats",
 )
 
 # Never driver-verified yet; queue directly after the window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "ch_q6", "ch_q19",
     "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
     "topn_operator", "scalar_string_functions", "scalar_math_functions",
     "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",

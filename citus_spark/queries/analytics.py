@@ -996,3 +996,114 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# GROUPS window-frame mode — the one §2.5 feature Spark lacks natively
+# (reference gets it from PG, window_functions.sql). Emulated exactly:
+# a GROUPS frame is a RANGE frame over the dense_rank of the ORDER BY
+# key (operators/window_groups.py). The bucket key has value gaps, so
+# this demonstrably differs from RANGE-on-value; the bucket has peer
+# rows, so it differs from ROWS. Oracle = DuckDB's native GROUPS mode.
+def window_groups_frame(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.window_groups import groups_frame
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    orders = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("bucket"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+        )
+    )
+    out = groups_frame(
+        orders,
+        partition_by=["o_orderpriority"],
+        order_by="bucket",
+        agg=F.sum("price_int"),
+        preceding=1,
+        following=0,
+        out_col="grp_sum",
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "bucket", "grp_sum"
+    ).orderBy("o_orderkey")
+
+
+# The oracle derives GROUPS semantics from first principles (this
+# DuckDB build lacks GROUPS mode too): per-bucket sums, dense-ranked,
+# frame = current bucket + the previous *distinct* bucket by rank —
+# an independent formulation, so agreement actually checks semantics.
+register_split(
+    "window_groups_frame",
+    window_groups_frame,
+    """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_int
+  FROM orders WHERE o_orderkey < 5000
+), b AS (
+  SELECT o_orderpriority, bucket, sum(price_int) AS s,
+         dense_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY bucket) AS rk
+  FROM r GROUP BY o_orderpriority, bucket
+), f AS (
+  SELECT a.o_orderpriority, a.bucket,
+         CAST(a.s + coalesce(p.s, 0) AS BIGINT) AS grp_sum
+  FROM b a LEFT JOIN b p
+    ON p.o_orderpriority = a.o_orderpriority AND p.rk = a.rk - 1
+)
+SELECT r.o_orderkey, r.o_orderpriority, r.bucket, f.grp_sum
+FROM r JOIN f USING (o_orderpriority, bucket)
+ORDER BY o_orderkey
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# General recursive CTE (↔ WITH RECURSIVE passed through to PG in the
+# reference, with_basics.sql:404; Spark-side: iterate-to-fixpoint,
+# operators/recursive.py). The chain k → k/2 → … → 0 is a real
+# recursive ancestor walk (depth ~log2 k) that no bounded-depth unroll
+# expresses. Oracle: DuckDB's native WITH RECURSIVE.
+def recursive_order_chain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.recursive import recursive_cte
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_orderkey").alias("anc"))
+        .distinct()
+    )
+
+    def step(frontier):
+        return frontier.filter(F.col("anc") > 0).select(
+            "k", F.expr("CAST(floor(anc / 2.0) AS BIGINT)").alias("anc")
+        )
+
+    return recursive_cte(base, step, max_iter=64).orderBy("k", "anc")
+
+
+register_split(
+    "recursive_order_chain",
+    recursive_order_chain,
+    """
+WITH RECURSIVE chain AS (
+  SELECT o_orderkey AS k, o_orderkey AS anc FROM orders WHERE o_orderkey < 200
+  UNION
+  SELECT k, CAST(floor(anc / 2.0) AS BIGINT) AS anc FROM chain WHERE anc > 0
+)
+SELECT k, anc FROM chain ORDER BY k, anc
+""",
+)
