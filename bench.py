@@ -62,6 +62,11 @@ def main() -> None:
     spark = get_spark("citus_spark_bench")
 
     def run(name: str) -> float:
+        # drop persisted intermediates from previous runs — queries
+        # that persist() within themselves (LSH band tables) would
+        # otherwise accumulate cached copies across the min-of-3 loop
+        # and skew later queries via memory pressure
+        spark.catalog.clearCache()
         df = q.QUERIES[name](spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()

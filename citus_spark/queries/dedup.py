@@ -83,9 +83,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = _shingles_spark()
-    # one md5 per shingle, sliced into the 4 minhash values
-    hashes = F.transform(sh, lambda x: F.md5(x))
+    # one md5 per shingle, materialized as its own projection so the
+    # 4 slice-minima below read the SAME hash array instead of
+    # re-deriving it per column (interpreted HOFs get no common-
+    # subexpression elimination)
+    hashed = docs.select(
+        "doc_id", F.transform(_shingles_spark(), lambda x: F.md5(x)).alias("_hs")
+    )
 
     # NB: bind loop vars via a factory, NOT `lambda x, s=s:` — a
     # two-parameter lambda makes F.transform pass (element, index) and
@@ -94,12 +98,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         start, width = _MH_SLICES[s]
         return F.array_min(
             F.transform(
-                hashes,
+                F.col("_hs"),
                 lambda h: F.conv(F.substring(h, start, width), 16, 10).cast("long"),
             )
         ).alias(f"mh{s}")
 
-    return docs.select("doc_id", *[mh(s) for s in range(N_MINHASH)]).orderBy("doc_id")
+    return hashed.select(
+        "doc_id", *[mh(s) for s in range(N_MINHASH)]
+    ).orderBy("doc_id")
 
 
 def _minhash_oracle() -> str:
