@@ -122,6 +122,28 @@ def test_window_on_dist_col_no_exchange_when_bucketed(spark):
     assert df.count() == orders.count()
 
 
+def test_ch_stock_level_dual_repartition_join(spark):
+    """ch_stock_level joins order_line⋈stock on (item, warehouse) —
+    neither side's natural key — so BOTH sides must repartition on the
+    join key (↔ DUAL_PARTITION_JOIN, multi_join_order.h:38). The plan
+    must be a shuffle join with hash exchanges on both inputs, not a
+    broadcast (at 100 TB stock is huge) and not a cartesian."""
+    # at fixture scale Catalyst rightly broadcasts the small stock
+    # side; the dual-repartition claim is about the above-threshold
+    # regime, so disable broadcast to see the at-scale plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.QUERIES["ch_stock_level"](spark, SF_SMALL)
+        plan = plan_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # (a CartesianProduct appears for the intentional part×warehouses
+    # stock derivation — the ASSERTED property is the candidate join)
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
 def test_explain_distribution_report(spark):
     from citus_spark.session import DistributedSession
 

@@ -62,3 +62,35 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact-dedup over the documents fixture (plus an
+    injected duplicate file) must keep exactly one row per distinct
+    content fingerprint — the batch dedup_exact semantic."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.streaming.dedup import run_dedup_to_table
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{src}/docs.parquet")
+    # a second copy of the same corpus = every doc duplicated
+    shutil.copy(f"{SF_SMALL}/documents.parquet", f"{src}/docs_dup.parquet")
+    out = str(tmp_path / "deduped")
+
+    run_dedup_to_table(spark, src, out)
+
+    got = spark.read.parquet(out)
+    n_distinct_fp = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct_fp
+    assert got.select("fp").distinct().count() == n_distinct_fp
