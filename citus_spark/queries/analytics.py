@@ -1107,3 +1107,48 @@ WITH RECURSIVE chain AS (
 SELECT k, anc FROM chain ORDER BY k, anc
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Salted join — skew mitigation (functions/skew.py). The salt must be
+# semantically invisible: salted_join(large, small) ≡ plain join. The
+# oracle IS the plain join, so the driver verifies that equivalence.
+# l_returnflag has 3 values over 600k rows — exactly the hot-key shape
+# the salt spreads (↔ the reference's task-granularity answer to skew;
+# AQE skew-join is the first line, this is the explicit fallback).
+def salted_join_skewed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.functions.skew import salted_join
+    from citus_spark.queries import DSUM, load_views
+
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    small = spark.sql(
+        "SELECT DISTINCT l_returnflag, concat('cat_', l_returnflag) AS label "
+        "FROM lineitem"
+    )
+    joined = salted_join(li, small, on="l_returnflag", n_salts=8)
+    joined.createOrReplaceTempView("_salted")
+    return spark.sql(
+        f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n, {DSUM("l_quantity", "qty")}
+FROM _salted
+GROUP BY label
+ORDER BY label
+"""
+    )
+
+
+register_split(
+    "salted_join_skewed",
+    salted_join_skewed,
+    f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n, {DSUM("l_quantity", "qty")}
+FROM lineitem
+JOIN (SELECT DISTINCT l_returnflag, 'cat_' || l_returnflag AS label
+      FROM lineitem) s USING (l_returnflag)
+GROUP BY label
+ORDER BY label
+""",
+)
