@@ -357,6 +357,59 @@ ORDER BY label, dim
 )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — the dedup-by-embedding
+# operator (threshold form, not top-k): all pairs in the same LSH
+# bucket with cosine ≥ τ. The bucket self-join is the 100 TB shape
+# (shuffle on bucket, never all-pairs — identical to MinHash-LSH band
+# joins); the fold-based rescore keeps values bit-identical to the
+# oracle. Production recall comes from unioning several independent
+# bucket tables; one table is registered so DuckDB can recompute it.
+NEARDUP_TAU = 0.15
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", F.expr(_lsh_bucket_expr()).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    dot = F.expr(dot_fold_sql("va", "vb"))
+    na = F.sqrt(F.expr(dot_fold_sql("va", "va")))
+    nb = F.sqrt(F.expr(dot_fold_sql("vb", "vb")))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck()} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {dot_fold_duck('a.embedding', 'c.embedding')}
+           / (sqrt({dot_fold_duck('a.embedding', 'a.embedding')})
+              * sqrt({dot_fold_duck('c.embedding', 'c.embedding')})) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs
+WHERE cosine >= {NEARDUP_TAU}
+ORDER BY id_a, id_b
+"""
+
+register_split("embedding_neardup_pairs", embedding_neardup_pairs, _NEARDUP_ORACLE)
+
+
 # k-means entry — iterative, not SQL-expressible → rows-only check
 # (the pytest suite asserts the objective decreases monotonically).
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
