@@ -10,8 +10,12 @@ s = 0.8 (the classic S-curve).
 
 Construction (all JVM-side expressions, no Python in the row path):
 
-  1. one portable 60-bit hash per distinct word-k-gram shingle
-     (citus_spark.functions.hash64 — md5-based, engine-portable);
+  1. one 64-bit hash per distinct word-k-gram shingle — xxhash64 by
+     default (JVM-native, allocation-free, ~5× cheaper than the
+     md5-based portable hash at production volume); pass
+     ``portable_hash=True`` to use citus_spark.functions.hash64
+     instead when a DuckDB-side recomputation must match bit-for-bit
+     (the oracle-checked registry entries do their own md5 slicing);
   2. k universal-hash "permutations" h_i(x) = (a_i·x + b_i) mod p
      over the 31-bit Mersenne prime p = 2^31−1 (operands stay far
      inside 64-bit, no overflow), with (a_i, b_i) derived
@@ -65,11 +69,16 @@ def shingles(text_col: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(
-    text_col: Column, n_perms: int = 128, shingle_k: int = 3
+    text_col: Column,
+    n_perms: int = 128,
+    shingle_k: int = 3,
+    portable_hash: bool = False,
 ) -> Column:
     """Array column of `n_perms` minhash values for `text_col`."""
+    base = hash64 if portable_hash else (lambda s: F.xxhash64(s))
+    # pmod: xxhash64 is signed; permutation inputs must be in [0, p)
     h31 = F.transform(
-        shingles(text_col, shingle_k), lambda s: hash64(s) % _P31
+        shingles(text_col, shingle_k), lambda s: F.pmod(base(s), F.lit(_P31))
     )
 
     # bind (a, b) via a factory — a defaulted-arg lambda would change
@@ -87,6 +96,7 @@ def lsh_candidate_pairs(
     n_perms: int = 128,
     n_bands: int = 16,
     shingle_k: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs via banded LSH.
 
@@ -99,7 +109,9 @@ def lsh_candidate_pairs(
 
     sig = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), n_perms, shingle_k).alias("_sig"),
+        minhash_signature(
+            F.col(text_col), n_perms, shingle_k, portable_hash
+        ).alias("_sig"),
     )
     # band rows: (id, band, bucket) — bucket is md5 of the band slice
     banded = sig.select(
