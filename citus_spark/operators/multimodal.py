@@ -167,3 +167,57 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFra
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame, frame_len: int = 512, fake: bool = True
+) -> DataFrame:
+    """Audio feature extraction → per-clip RMS / zero-crossing-rate /
+    duration features over fixed-length frames.
+
+    Fake path interprets the media bytes as signed 8-bit PCM — a
+    deterministic stand-in that exercises the real Spark surface
+    (Arrow batch shape, frame loop, typed output schema). The real
+    path would decode with soundfile/librosa, which are not in this
+    environment."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/librosa; not in this environment"
+        )
+
+    out_schema = (
+        "id bigint, n_frames int, duration_s double, "
+        "rms_mean double, rms_max double, zcr_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["media"]):
+                pcm = np.frombuffer(bytes(buf), dtype=np.int8).astype(np.float64)
+                pcm /= 128.0
+                n = (len(pcm) // frame_len) * frame_len
+                if n == 0:
+                    rows.append(
+                        {"id": i, "n_frames": 0, "duration_s": 0.0,
+                         "rms_mean": 0.0, "rms_max": 0.0, "zcr_mean": 0.0}
+                    )
+                    continue
+                frames = pcm[:n].reshape(-1, frame_len)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                rows.append(
+                    {
+                        "id": i,
+                        "n_frames": int(len(frames)),
+                        "duration_s": float(len(pcm) / 16000.0),  # nominal 16 kHz
+                        "rms_mean": float(rms.mean()),
+                        "rms_max": float(rms.max()),
+                        "zcr_mean": float(zcr.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -110,3 +110,23 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     # update-mode emits final totals per window (2× data) and the
     # upsert replaces by key → rollup shows 2× original counts
     assert all(got2[k] == 2 * want[k][0] for k in want)
+
+
+def test_audio_features_fake(media):
+    from citus_spark.operators.multimodal import audio_features
+
+    out = audio_features(media, frame_len=64).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r.n_frames >= 0
+        assert 0.0 <= r.zcr_mean <= 1.0
+        assert r.rms_max >= r.rms_mean >= 0.0
+
+
+def test_audio_features_real_is_stubbed(media):
+    import pytest
+
+    from citus_spark.operators.multimodal import audio_features
+
+    with pytest.raises(NotImplementedError):
+        audio_features(media, fake=False)
