@@ -358,6 +358,112 @@ ORDER BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# IVF top-k search — the probe side of the IVF index (ivf_assign is
+# the build side). Query and candidate vectors are both assigned to
+# their nearest coarse centroid; the search joins candidates only
+# within the query's cell (nprobe=1), then ranks by exact cosine. At
+# scale the cell id is the partition key, so a probe touches one
+# partition instead of the whole table — the standard IVF trade
+# (recall bounded by cell assignment; raise nprobe by unioning more
+# cells). Fold-based math keeps values bit-identical to the oracle.
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        dot = F.expr(dot_fold_sql(vc, "cv"))
+        vnorm = F.sqrt(F.expr(dot_fold_sql(vc, vc)))
+        cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+        scored = df.join(F.broadcast(cents)).select(
+            idc, vc, "centroid_id", (dot / (vnorm * cnorm)).alias("c")
+        )
+        w = F.row_number().over(
+            Window.partitionBy(idc).orderBy(F.desc("c"), F.asc("centroid_id"))
+        )
+        return scored.withColumn("rk", w).filter(F.col("rk") == 1).select(
+            idc, vc, F.col("centroid_id").alias("cell")
+        )
+
+    q = assign(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        "qid",
+        "qv",
+    )
+    c = assign(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv2")),
+        "cid",
+        "cv2",
+    )
+    dot = F.expr(dot_fold_sql("qv", "cv2"))
+    qn = F.sqrt(F.expr(dot_fold_sql("qv", "qv")))
+    cn = F.sqrt(F.expr(dot_fold_sql("cv2", "cv2")))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (qn * cn)).alias("cosine"))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    )
+    return (
+        scored.withColumn("rk", w)
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", F.col("rk").cast("int").alias("rk"))
+        .orderBy("qid", "rk")
+    )
+
+
+def _ivf_topk_oracle() -> str:
+    def assign_sql(src: str, idc: str, vc: str) -> str:
+        return f"""
+  SELECT {idc}, {vc}, centroid_id AS cell FROM (
+    SELECT {idc}, {vc}, centroid_id,
+           row_number() OVER (PARTITION BY {idc} ORDER BY
+             {dot_fold_duck(vc, 'cv')}
+               / (sqrt({dot_fold_duck(vc, vc)}) * sqrt({dot_fold_duck('cv', 'cv')}))
+             DESC, centroid_id) AS rk
+    FROM {src} CROSS JOIN cents
+  ) t WHERE rk = 1"""
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), qsrc AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), csrc AS (
+  SELECT vec_id AS cid, embedding AS cv2 FROM embeddings
+), qa AS ({assign_sql('qsrc', 'qid', 'qv')}
+), ca AS ({assign_sql('csrc', 'cid', 'cv2')}
+), scored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv2')}
+           / (sqrt({dot_fold_duck('qv', 'qv')}) * sqrt({dot_fold_duck('cv2', 'cv2')}))
+           AS cosine
+  FROM qa JOIN ca USING (cell) WHERE qid <> cid
+)
+SELECT qid, cid, cosine,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+) r WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+register_split("ivf_topk", ivf_topk, _ivf_topk_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs — the dedup-by-embedding
 # operator (threshold form, not top-k): all pairs in the same LSH
 # bucket with cosine ≥ τ. The bucket self-join is the 100 TB shape
