@@ -210,7 +210,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # Never driver-verified yet; queue directly after the window.
 _VERIFY_NEXT: tuple[str, ...] = (
     "ch_q6", "ch_q19", "salted_join_skewed", "embedding_neardup_pairs",
-    "ivf_topk",
+    "ivf_topk", "stratified_sample_by_source",
     "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
     "topn_operator", "scalar_string_functions", "scalar_math_functions",
     "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",

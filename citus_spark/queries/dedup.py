@@ -423,3 +423,44 @@ ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 20
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — per-stratum keep rates via the
+# portable hash (the source-mixing / rebalancing step of a training
+# pipeline). Same idiom as train_test_split: assignment depends only
+# on the row key, so it is re-run-stable, partitioning-independent,
+# and exactly reproducible by the oracle — unlike rand()/TABLESAMPLE.
+# Rates: even-numbered sources keep 80%, odd keep 20%.
+register_split(
+    "stratified_sample_by_source",
+    lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            f"""
+WITH kept AS (
+  SELECT source, doc_id
+  FROM documents
+  WHERE {hash64_sql("CAST(doc_id AS STRING)")} % 100 <
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 80 ELSE 20 END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+        ),
+    )[1],
+    f"""
+WITH kept AS (
+  SELECT source, doc_id
+  FROM documents
+  WHERE {hash64_duck("CAST(doc_id AS VARCHAR)")} % 100 <
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 80 ELSE 20 END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+)
