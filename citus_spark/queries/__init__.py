@@ -211,7 +211,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 _VERIFY_NEXT: tuple[str, ...] = (
     "ch_q3", "ch_q4", "ch_q5", "ch_q7", "ch_q10", "ch_q11",
     "ch_q6", "ch_q19", "salted_join_skewed", "embedding_neardup_pairs",
-    "ivf_topk", "stratified_sample_by_source",
+    "ivf_topk", "stratified_sample_by_source", "video_frame_sample",
     "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
     "topn_operator", "scalar_string_functions", "scalar_math_functions",
     "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",
@@ -221,7 +221,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     # rows-only checks (no oracle by design)
     "approx_count_distinct_parts", "percentile_approx_prices",
     "tablesample_scan", "hll_ndv_by_flag", "sketch_quantiles_by_priority",
-    "kmeans_clusters", "sessionize_events",
+    "kmeans_clusters", "sessionize_events", "audio_clip_features",
 )
 
 

@@ -236,3 +236,73 @@ FROM documents
 ORDER BY doc_id
 """,
 )
+
+
+# Video frame-sampling plumbing: the UDTF-shaped mapInPandas kernel
+# (one input row → many frame rows). The fake decode chunks the
+# payload into 256-byte frames and samples every 10th, which is
+# exactly expressible in SQL — so the oracle verifies the whole
+# Arrow explode path (row fan-out, frame offsets, tail-frame length),
+# not just row counts. (`length(text)` == byte length here: the
+# fixture text is ASCII, already proven by multimodal_byte_stats'
+# green md5/n_bytes check.)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.multimodal import frame_sample, media_from_documents
+
+    load_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return (
+        frame_sample(media, every_n=10)
+        .select(
+            F.col("id").alias("doc_id"),
+            "frame_no",
+            F.octet_length("frame").alias("frame_bytes"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+register_split(
+    "video_frame_sample",
+    video_frame_sample,
+    """
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen FROM documents
+),
+f AS (
+  SELECT doc_id, blen,
+         unnest(range(0, CAST(ceil(blen / 256.0) AS BIGINT), 10)) AS frame_no
+  FROM d
+)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(CASE WHEN (frame_no + 1) * 256 <= blen THEN 256
+                 ELSE blen - frame_no * 256 END AS INT) AS frame_bytes
+FROM f
+ORDER BY doc_id, frame_no
+""",
+)
+
+
+# Audio feature extraction (RMS / zero-crossing-rate / duration) over
+# the same binary-media path. Feature math is numpy-side (not
+# SQL-expressible) → rows-only driver check; exactness is covered by
+# tests/test_multimodal.py's hand-computed fixtures.
+def audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.multimodal import audio_features, media_from_documents
+
+    load_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return (
+        audio_features(media)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_frames",
+            "duration_s",
+            "rms_mean",
+            "zcr_mean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_split("audio_clip_features", audio_clip_features)
