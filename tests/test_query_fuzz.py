@@ -1,0 +1,32 @@
+"""Differential fuzz testing: seeded random queries on Spark vs DuckDB
+(↔ the reference's query-generator differential suite,
+src/test/regress/citus_tests/query_generator/README.md:1-30 — same
+shape: generate seeded random join/filter/agg queries, run on both
+engines, diff results)."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tools.query_gen import gen_suite
+
+SUITE = gen_suite(seed=42, n=60)
+
+
+@pytest.mark.parametrize("idx", range(len(SUITE)), ids=[f"q{i:02d}" for i in range(len(SUITE))])
+def test_generated_query_matches_duckdb(spark, duck, idx):
+    from citus_spark.queries import load_views
+    from tools.oracle_check import df_to_rows
+
+    sql = SUITE[idx]
+    load_views(spark, SF_SMALL)
+    sdf = spark.sql(sql)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}\n{sql}"
+    assert sorted(scols) == sorted(dcols), sql
+    _, s = df_to_rows(scols, srows)
+    _, d = df_to_rows(dcols, drows)
+    assert s == d, sql

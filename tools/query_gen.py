@@ -1,0 +1,187 @@
+"""Seeded random query generator — the differential-testing analog of
+the reference's query generator (reference
+src/test/regress/citus_tests/query_generator/README.md:1-30,
+query_gen.py), which runs the same generated queries against Citus
+tables and plain PostgreSQL tables and diffs the results. Here the
+two engines are our Spark surface and DuckDB over the same parquet.
+
+Every generated query is portable ANSI SQL obeying the repo's
+cross-engine correctness rules (citus_spark/queries/__init__.py):
+double-typed aggregates use the exact fixed-point DSUM idiom so
+results are bit-identical regardless of partition/summation order,
+integer aggregates are cast to BIGINT, and bare SELECTs carry a
+total ORDER BY before LIMIT so the row multiset is deterministic.
+
+The generator walks a random connected path through the fixture
+join graph (the same foreign-key topology the reference's generator
+uses on its TPC-H-ish tables), then layers on random filters and
+either a group-aggregate head or a projected top-k head.
+"""
+
+from __future__ import annotations
+
+import random
+
+from citus_spark.queries import DSUM
+
+# join graph: (left_table, right_table, condition)
+EDGES = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+FILTERS = {
+    "lineitem": [
+        "l_quantity < 25",
+        "l_discount BETWEEN 0.02 AND 0.08",
+        "l_shipdate < timestamp '1997-06-01 00:00:00'",
+        "l_returnflag = 'R'",
+        "l_tax > 0.03",
+        "l_linenumber <= 4",
+    ],
+    "orders": [
+        "o_orderstatus = 'F'",
+        "o_totalprice > 50000",
+        "o_orderdate >= timestamp '1995-01-01 00:00:00'",
+        "o_orderpriority LIKE '1%'",
+    ],
+    "customer": [
+        "c_mktsegment = 'BUILDING'",
+        "c_acctbal > 1000",
+        "c_nationkey < 12",
+    ],
+    "part": ["p_size < 30", "p_retailprice > 900", "p_type LIKE '%BRASS%'"],
+    "supplier": ["s_acctbal > 0", "s_nationkey >= 5"],
+    "nation": ["n_nationkey < 20"],
+    "region": ["r_regionkey <> 2"],
+}
+
+GROUP_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "part": ["p_brand", "p_size"],
+    "supplier": ["s_nationkey"],
+    "nation": ["n_name"],
+    "region": ["r_name"],
+}
+
+# (col, kind): kind 'd' = double (DSUM), 'i' = integer (sum→BIGINT),
+# 'o' = orderable (min/max only)
+AGG_COLS = {
+    "lineitem": [
+        ("l_extendedprice", "d"),
+        ("l_quantity", "d"),
+        ("l_discount", "d"),
+        ("l_linenumber", "i"),
+        ("l_shipdate", "o"),
+    ],
+    "orders": [("o_totalprice", "d"), ("o_orderdate", "o"), ("o_orderkey", "i")],
+    "customer": [("c_acctbal", "d"), ("c_custkey", "i"), ("c_name", "o")],
+    "part": [("p_retailprice", "d"), ("p_size", "i"), ("p_name", "o")],
+    "supplier": [("s_acctbal", "d"), ("s_suppkey", "i")],
+    "nation": [("n_nationkey", "i"), ("n_name", "o")],
+    "region": [("r_regionkey", "i"), ("r_name", "o")],
+}
+
+PROJ_COLS = {
+    "lineitem": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    "customer": ["c_custkey", "c_name", "c_mktsegment"],
+    "part": ["p_partkey", "p_brand"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "nation": ["n_nationkey", "n_name"],
+    "region": ["r_regionkey", "r_name"],
+}
+
+
+def _random_join_tree(rng: random.Random) -> tuple[list[str], str]:
+    """Pick a connected set of 1–4 tables; return (tables, FROM clause)."""
+    n_tables = rng.choice([1, 2, 2, 3, 3, 4])
+    start = rng.choice(list(FILTERS))
+    tables = [start]
+    joins = []
+    while len(tables) < n_tables:
+        candidates = [
+            (l, r, c)
+            for (l, r, c) in EDGES
+            if (l in tables) != (r in tables)  # extends the tree
+        ]
+        if not candidates:
+            break
+        l, r, c = rng.choice(candidates)
+        new = r if l in tables else l
+        tables.append(new)
+        joins.append((new, c))
+    frm = f"FROM {tables[0]}"
+    for t, cond in joins:
+        frm += f"\nJOIN {t} ON {cond}"
+    return tables, frm
+
+
+def _agg_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
+    """Random aggregate head: (select_list, group_by, order_by)."""
+    g_table = rng.choice(tables)
+    g_cols = rng.sample(
+        GROUP_COLS[g_table], k=min(rng.choice([1, 1, 2]), len(GROUP_COLS[g_table]))
+    )
+    aggs = ["CAST(count(*) AS BIGINT) AS cnt"]
+    pool = [x for t in tables for x in AGG_COLS[t]]
+    for i in range(rng.choice([1, 2])):
+        col, kind = rng.choice(pool)
+        if kind == "d":
+            op = rng.choice(["sum", "min", "max"])
+            if op == "sum":
+                aggs.append(DSUM(col, f"a{i}"))
+            else:
+                aggs.append(f"{op}({col}) AS a{i}")
+        elif kind == "i":
+            op = rng.choice(["sum", "min", "max", "count"])
+            aggs.append(f"CAST({op}({col}) AS BIGINT) AS a{i}")
+        else:
+            op = rng.choice(["min", "max"])
+            aggs.append(f"{op}({col}) AS a{i}")
+    select = ", ".join(g_cols + aggs)
+    return select, "GROUP BY " + ", ".join(g_cols), ""
+
+
+def _proj_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
+    """Random projection head with total order + LIMIT (deterministic
+    multiset: ties under ORDER BY all columns are identical rows)."""
+    cols = []
+    for t in tables:
+        cols += rng.sample(PROJ_COLS[t], k=min(2, len(PROJ_COLS[t])))
+    order = "ORDER BY " + ", ".join(cols) + f"\nLIMIT {rng.choice([20, 50, 100])}"
+    return ", ".join(cols), "", order
+
+
+def gen_query(rng: random.Random) -> str:
+    tables, frm = _random_join_tree(rng)
+    preds = []
+    for t in tables:
+        for p in FILTERS[t]:
+            if rng.random() < 0.3:
+                preds.append(p)
+    where = ("WHERE " + "\n  AND ".join(preds)) if preds else ""
+    if rng.random() < 0.7:
+        select, group, order = _agg_select(rng, tables)
+    else:
+        select, group, order = _proj_select(rng, tables)
+    return "\n".join(
+        s for s in (f"SELECT {select}", frm, where, group, order) if s
+    )
+
+
+def gen_suite(seed: int = 42, n: int = 60) -> list[str]:
+    rng = random.Random(seed)
+    return [gen_query(rng) for _ in range(n)]
+
+
+if __name__ == "__main__":
+    for i, q in enumerate(gen_suite()):
+        print(f"-- generated query {i}\n{q};\n")
