@@ -101,7 +101,9 @@ PROJ_COLS = {
 
 
 def _random_join_tree(rng: random.Random) -> tuple[list[str], str]:
-    """Pick a connected set of 1–4 tables; return (tables, FROM clause)."""
+    """Pick a connected set of 1–4 tables; return (tables, FROM clause).
+    30% of joins are LEFT OUTER (the accumulated tree is the preserved
+    side), covering null-extension through aggregates and filters."""
     n_tables = rng.choice([1, 2, 2, 3, 3, 4])
     start = rng.choice(list(FILTERS))
     tables = [start]
@@ -116,11 +118,12 @@ def _random_join_tree(rng: random.Random) -> tuple[list[str], str]:
             break
         l, r, c = rng.choice(candidates)
         new = r if l in tables else l
+        kind = "LEFT JOIN" if rng.random() < 0.3 else "JOIN"
         tables.append(new)
-        joins.append((new, c))
+        joins.append((kind, new, c))
     frm = f"FROM {tables[0]}"
-    for t, cond in joins:
-        frm += f"\nJOIN {t} ON {cond}"
+    for kind, t, cond in joins:
+        frm += f"\n{kind} {t} ON {cond}"
     return tables, frm
 
 
@@ -147,7 +150,10 @@ def _agg_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
             op = rng.choice(["min", "max"])
             aggs.append(f"{op}({col}) AS a{i}")
     select = ", ".join(g_cols + aggs)
-    return select, "GROUP BY " + ", ".join(g_cols), ""
+    group = "GROUP BY " + ", ".join(g_cols)
+    if rng.random() < 0.3:
+        group += f"\nHAVING count(*) > {rng.choice([1, 5, 20])}"
+    return select, group, ""
 
 
 def _proj_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
@@ -168,12 +174,16 @@ def gen_query(rng: random.Random) -> str:
             if rng.random() < 0.3:
                 preds.append(p)
     where = ("WHERE " + "\n  AND ".join(preds)) if preds else ""
-    if rng.random() < 0.7:
+    head = "SELECT"
+    roll = rng.random()
+    if roll < 0.65:
         select, group, order = _agg_select(rng, tables)
     else:
         select, group, order = _proj_select(rng, tables)
+        if roll > 0.85:
+            head = "SELECT DISTINCT"
     return "\n".join(
-        s for s in (f"SELECT {select}", frm, where, group, order) if s
+        s for s in (f"{head} {select}", frm, where, group, order) if s
     )
 
 
