@@ -214,7 +214,8 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "ivf_topk", "stratified_sample_by_source", "video_frame_sample",
     "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
     "topn_operator", "scalar_string_functions", "scalar_math_functions",
-    "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",
+    "scalar_conditionals", "regexp_functions", "array_functions",
+    "bit_bool_aggregates", "right_outer_join",
     "json_extract_props", "union_in_subquery", "window_in_subquery_join",
     "nested_cte_chain", "limit_in_subquery", "timeseries_gapfill",
     "having_subquery",

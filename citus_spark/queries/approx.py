@@ -209,6 +209,89 @@ ORDER BY c_custkey
 )
 
 
+# Regexp surface (↔ PG regexp_* delegated to shard SQL). Split impl:
+# Spark's regexp_replace is global while DuckDB's needs the 'g' flag,
+# and the boolean-match spellings differ (RLIKE vs regexp_matches).
+# Patterns stay within the common POSIX-class subset (identical in
+# Java regex and RE2).
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_extract(text, '([0-9]+)', 1) AS first_number,
+       length(regexp_replace(text, '[aeiou]', '')) AS novowel_len,
+       text RLIKE '[0-9]' AS has_digit,
+       CAST(length(text) - length(regexp_replace(text, ' ', ''))
+            AS BIGINT) AS n_spaces
+FROM documents
+ORDER BY doc_id
+LIMIT 200
+"""
+    )
+
+
+register_split(
+    "regexp_functions",
+    regexp_functions,
+    """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_extract(text, '([0-9]+)', 1) AS first_number,
+       length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+       regexp_matches(text, '[0-9]') AS has_digit,
+       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+            AS BIGINT) AS n_spaces
+FROM documents
+ORDER BY doc_id
+LIMIT 200
+""",
+)
+
+
+# Array function surface (↔ PG array operators in shard SQL). Split
+# impl: Spark spells these split/size/element_at/array_*, DuckDB
+# string_split/len/list_*.
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       element_at(split(text, ' '), 1) AS first_token,
+       array_contains(split(text, ' '), 'the') AS has_the,
+       CAST(size(array_distinct(split(text, ' '))) AS BIGINT)
+         AS n_distinct,
+       array_join(slice(sort_array(array_distinct(split(text, ' '))),
+                        1, 5), ',') AS first5_sorted
+FROM documents
+ORDER BY doc_id
+LIMIT 200
+"""
+    )
+
+
+register_split(
+    "array_functions",
+    array_functions,
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_distinct,
+       array_to_string(list_slice(list_sort(
+           list_distinct(string_split(text, ' '))), 1, 5), ',')
+         AS first5_sorted
+FROM documents
+ORDER BY doc_id
+LIMIT 200
+""",
+)
+
+
 # Vectorized scalar UDF (↔ §2.10 user scalar UDFs — PL/pgSQL functions
 # run inside shard SQL; here a pandas_udf runs inside the scan stage).
 # Pure per-row arithmetic → bit-exact oracle.
