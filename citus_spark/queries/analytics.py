@@ -1152,3 +1152,69 @@ GROUP BY label
 ORDER BY label
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (↔ reference cdc/cdc_decoder.c — WAL-decoded
+# change streams per shard; the Spark-native analog is a snapshot
+# diff, operators/cdc.py). Two deterministic snapshots are derived
+# from orders (rows missing from old = inserts, missing from new =
+# deletes, price-bumped rows = updates), so both engines compute the
+# identical change set and the oracle verifies the whole
+# classify-over-full-outer-join path.
+def cdc_snapshot_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.cdc import snapshot_diff
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    old = orders.filter("o_orderkey % 13 <> 0").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter("o_orderkey % 11 <> 0").select(
+        "o_orderkey",
+        F.when(
+            F.expr("o_orderkey % 17 = 0"), F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+register_split(
+    "cdc_snapshot_diff",
+    cdc_snapshot_diff,
+    """
+WITH old_snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+d AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'update'
+              ELSE 'unchanged' END AS op,
+         o.o_totalprice AS old_o_totalprice,
+         o.o_orderstatus AS old_o_orderstatus,
+         n.o_totalprice AS new_o_totalprice,
+         n.o_orderstatus AS new_o_orderstatus
+  FROM old_snap o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE op <> 'unchanged'
+ORDER BY o_orderkey
+""",
+)
