@@ -211,8 +211,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 _VERIFY_NEXT: tuple[str, ...] = (
     "ch_q3", "ch_q4", "ch_q5", "ch_q7", "ch_q10", "ch_q11",
     "ch_q6", "ch_q19", "salted_join_skewed", "embedding_neardup_pairs",
-    "ivf_topk", "stratified_sample_by_source", "video_frame_sample",
-    "cdc_snapshot_diff",
+    "ivf_topk", "ivf_topk_nprobe2", "stratified_sample_by_source",
+    "video_frame_sample", "cdc_snapshot_diff",
     "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
     "topn_operator", "scalar_string_functions", "scalar_math_functions",
     "scalar_conditionals", "regexp_functions", "array_functions",

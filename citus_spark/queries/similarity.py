@@ -366,14 +366,14 @@ ORDER BY label, dim
 # partition instead of the whole table — the standard IVF trade
 # (recall bounded by cell assignment; raise nprobe by unioning more
 # cells). Fold-based math keeps values bit-identical to the oracle.
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     load_views(spark, sf_dir)
     emb = spark.table("embeddings")
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
 
-    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def assign(df: DataFrame, idc: str, vc: str, keep: int = 1) -> DataFrame:
         dot = F.expr(dot_fold_sql(vc, "cv"))
         vnorm = F.sqrt(F.expr(dot_fold_sql(vc, vc)))
         cnorm = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
@@ -383,7 +383,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = F.row_number().over(
             Window.partitionBy(idc).orderBy(F.desc("c"), F.asc("centroid_id"))
         )
-        return scored.withColumn("rk", w).filter(F.col("rk") == 1).select(
+        return scored.withColumn("rk", w).filter(F.col("rk") <= keep).select(
             idc, vc, F.col("centroid_id").alias("cell")
         )
 
@@ -393,6 +393,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qid",
         "qv",
+        keep=nprobe,  # probe the nprobe nearest cells (recall knob)
     )
     c = assign(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv2")),
@@ -418,8 +419,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_oracle() -> str:
-    def assign_sql(src: str, idc: str, vc: str) -> str:
+def _ivf_topk_oracle(nprobe: int = 1) -> str:
+    def assign_sql(src: str, idc: str, vc: str, keep: int = 1) -> str:
         return f"""
   SELECT {idc}, {vc}, centroid_id AS cell FROM (
     SELECT {idc}, {vc}, centroid_id,
@@ -428,7 +429,7 @@ def _ivf_topk_oracle() -> str:
                / (sqrt({dot_fold_duck(vc, vc)}) * sqrt({dot_fold_duck('cv', 'cv')}))
              DESC, centroid_id) AS rk
     FROM {src} CROSS JOIN cents
-  ) t WHERE rk = 1"""
+  ) t WHERE rk <= {keep}"""
 
     return f"""
 WITH cents AS (
@@ -439,7 +440,7 @@ WITH cents AS (
   WHERE vec_id < {N_QUERIES}
 ), csrc AS (
   SELECT vec_id AS cid, embedding AS cv2 FROM embeddings
-), qa AS ({assign_sql('qsrc', 'qid', 'qv')}
+), qa AS ({assign_sql('qsrc', 'qid', 'qv', keep=nprobe)}
 ), ca AS ({assign_sql('csrc', 'cid', 'cv2')}
 ), scored AS (
   SELECT qid, cid,
@@ -461,6 +462,16 @@ ORDER BY qid, rk
 
 
 register_split("ivf_topk", ivf_topk, _ivf_topk_oracle())
+
+
+def ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=2 probe: each query searches its 2 nearest cells and the
+    top-k ranks over their union — the IVF recall knob with the same
+    cell-local join shape (a probe touches nprobe partitions)."""
+    return ivf_topk(spark, sf_dir, nprobe=2)
+
+
+register_split("ivf_topk_nprobe2", ivf_topk_nprobe2, _ivf_topk_oracle(nprobe=2))
 
 
 # ---------------------------------------------------------------------------
