@@ -210,6 +210,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # Never driver-verified yet; queue directly after the window.
 _VERIFY_NEXT: tuple[str, ...] = (
     "ch_q3", "ch_q4", "ch_q5", "ch_q7", "ch_q10", "ch_q11",
+    "ch_q2", "ch_q8", "ch_q9", "ch_q13", "ch_q15", "ch_q16", "ch_q17",
+    "ch_q18", "ch_q20", "ch_q21", "ch_q22",
     "ch_q6", "ch_q19", "salted_join_skewed", "embedding_neardup_pairs",
     "ivf_topk", "ivf_topk_nprobe2", "stratified_sample_by_source",
     "video_frame_sample", "cdc_snapshot_diff",

@@ -143,12 +143,9 @@ WHERE (i_data = 'SMALL' AND ol_quantity BETWEEN 1 AND 15
 )
 
 # ---------------------------------------------------------------------------
-# Extended slice: the TPC-C composite-key join shapes
-# (↔ chbenchmark_all_queries.sql Q3,Q4,Q5,Q7,Q10,Q11). The remaining
-# CH queries map 1:1 onto TPC-H shapes already in tpch.py
-# (Q13↔q13, Q15↔q15, Q18↔q18, Q20↔q20, Q21↔q21, Q22↔q22, Q2↔q2,
-# Q16↔q16, Q17↔q17) — documented in COVERAGE.md rather than
-# duplicated here.
+# Extended slice: the TPC-C composite-key join shapes. With the
+# block at the end of this file the full 22-query CH suite is ported
+# (↔ chbenchmark_all_queries.sql Q1–Q22).
 #
 # TPC-C coordinates (warehouse, district) are derived from the
 # customer key on BOTH the order and order-line side (via the
@@ -204,6 +201,11 @@ stock2 AS (
          CAST((p_partkey * 3 + w) % 50 AS BIGINT) AS s_order_cnt,
          (w * p_partkey) % s AS s_su_suppkey
   FROM part CROSS JOIN wh2 CROSS JOIN sc
+),
+item2 AS (
+  SELECT p_partkey AS i_id, p_retailprice AS i_price, p_type AS i_data,
+         p_name AS i_name
+  FROM part
 )"""
 
 # CH Q3 — unshipped-order revenue over the customer⋈order⋈order_line
@@ -372,5 +374,276 @@ WHERE s_quantity < 25
   AND ol_delivery_d > date '1997-06-01'
 GROUP BY s_w_id
 ORDER BY s_w_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Completing the 22-query suite. LIKE patterns are remapped onto the
+# fixture's p_type vocabulary (ECONOMY/LARGE/MEDIUM/PROMO/SMALL/
+# STANDARD) with comparable selectivity; the supplier-comment "bad
+# supplier" set in Q16 is proxied by a name pattern (the fixture
+# supplier has no comment column); thresholds are chosen non-empty at
+# every scale factor. Determinism per the repo rules: DSUM/decimal
+# sums, total-order LIMITs.
+
+# CH Q2 — min-quantity stock supplier lookup per item over the
+# Europe-filtered supplier subquery (↔ chbenchmark Q2; supplier
+# address/phone/comment columns don't exist in the fixture and are
+# dropped from the projection).
+register_shared_sql(
+    "ch_q2",
+    f"""
+WITH {_CH_CTE2},
+m AS (
+  SELECT s_i_id AS m_i_id, min(s_quantity) AS m_s_quantity
+  FROM stock2
+  JOIN supplier ON s_su_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name LIKE 'EUROP%'
+  GROUP BY s_i_id
+)
+SELECT s_suppkey AS su_suppkey, s_name AS su_name, n_name, i_id, i_name
+FROM item2
+JOIN stock2 ON i_id = s_i_id
+JOIN supplier ON s_su_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN m ON i_id = m_i_id AND s_quantity = m_s_quantity
+WHERE i_data LIKE '%D%'
+  AND r_name LIKE 'EUROP%'
+ORDER BY n_name, su_name, i_id
+LIMIT 100
+""",
+)
+
+# CH Q8 — market share of one supplier nation inside a customer
+# region by year (double-nation join + conditional revenue ratio).
+register_shared_sql(
+    "ch_q8",
+    f"""
+WITH {_CH_CTE2}
+SELECT CAST(extract(year FROM o_entry_d) AS BIGINT) AS l_year,
+  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN ol_amount
+                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(sum(CAST(ol_amount AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM item2
+JOIN stock2 ON i_id = s_i_id
+JOIN order_line2 ON ol_i_id = s_i_id AND ol_supply_w_id = s_w_id
+JOIN supplier ON s_su_suppkey = s_suppkey
+JOIN oorder ON ol_w_id = o_w_id AND ol_d_id = o_d_id AND ol_o_id = o_id
+JOIN cust ON c_id = o_c_id AND c_w_id = o_w_id AND c_d_id = o_d_id
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE ol_i_id < 1000
+  AND r_name = 'EUROPE'
+  AND o_entry_d BETWEEN date '1995-01-01' AND date '1998-01-01'
+  AND i_data LIKE '%O%'
+GROUP BY extract(year FROM o_entry_d)
+ORDER BY l_year
+""",
+)
+
+# CH Q9 — profit by supplier nation and year.
+register_shared_sql(
+    "ch_q9",
+    f"""
+WITH {_CH_CTE2}
+SELECT n_name, CAST(extract(year FROM o_entry_d) AS BIGINT) AS l_year,
+  {DSUM("ol_amount", "sum_profit")}
+FROM item2
+JOIN stock2 ON i_id = s_i_id
+JOIN order_line2 ON ol_i_id = s_i_id AND ol_supply_w_id = s_w_id
+JOIN supplier ON s_su_suppkey = s_suppkey
+JOIN oorder ON ol_w_id = o_w_id AND ol_d_id = o_d_id AND ol_o_id = o_id
+JOIN nation ON s_nationkey = n_nationkey
+WHERE i_data LIKE '%M%'
+GROUP BY n_name, extract(year FROM o_entry_d)
+ORDER BY n_name, l_year DESC
+""",
+)
+
+# CH Q13 — customer order-count distribution (LEFT OUTER with an
+# extra ON-clause filter, then a distribution over the counts).
+register_shared_sql(
+    "ch_q13",
+    f"""
+WITH {_CH_CTE2},
+c_orders AS (
+  SELECT c_id, CAST(count(o_id) AS BIGINT) AS c_count
+  FROM cust
+  LEFT JOIN oorder ON c_w_id = o_w_id AND c_d_id = o_d_id
+    AND c_id = o_c_id AND o_carrier_id > 8
+  GROUP BY c_id
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+# CH Q15 — top-revenue supplier via CTE + max scalar subquery
+# (equality against an exact fixed-point total, so the max-match is
+# engine-independent).
+register_shared_sql(
+    "ch_q15",
+    f"""
+WITH {_CH_CTE2},
+revenue AS (
+  SELECT s_su_suppkey AS supplier_no,
+         {DSUM("ol_amount", "total_revenue")}
+  FROM order_line2
+  JOIN stock2 ON ol_i_id = s_i_id AND ol_supply_w_id = s_w_id
+  WHERE ol_delivery_d >= date '1996-01-01'
+  GROUP BY s_su_suppkey
+)
+SELECT s_suppkey AS su_suppkey, s_name AS su_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+
+# CH Q16 — supplier counts per item attribute with a NOT IN
+# anti-join ("bad supplier" set proxied by a name pattern).
+register_shared_sql(
+    "ch_q16",
+    f"""
+WITH {_CH_CTE2}
+SELECT i_name, substr(i_data, 1, 3) AS brand, i_price,
+       CAST(count(DISTINCT s_su_suppkey) AS BIGINT) AS supplier_cnt
+FROM stock2
+JOIN item2 ON i_id = s_i_id
+WHERE i_data NOT LIKE 'S%'
+  AND s_su_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+GROUP BY i_name, substr(i_data, 1, 3), i_price
+ORDER BY supplier_cnt DESC, i_name, brand, i_price
+LIMIT 200
+""",
+)
+
+# CH Q17 — small-order revenue over an avg-per-item subquery join
+# (the subquery's avg column is carried but unused, as in the
+# reference after its dataset adaptation).
+register_shared_sql(
+    "ch_q17",
+    f"""
+WITH {_CH_CTE2},
+t AS (
+  SELECT i_id, avg(ol_quantity) AS a
+  FROM item2
+  JOIN order_line2 ON ol_i_id = i_id
+  WHERE i_data LIKE '%D%'
+  GROUP BY i_id
+)
+SELECT CAST(sum(CAST(ol_amount AS DECIMAL(18,6))) AS DOUBLE) / 2.0
+         AS avg_yearly
+FROM order_line2
+JOIN t ON ol_i_id = t.i_id
+""",
+)
+
+# CH Q18 — large orders ranked by total amount (HAVING on an exact
+# decimal sum).
+register_shared_sql(
+    "ch_q18",
+    f"""
+WITH {_CH_CTE2}
+SELECT c_last, c_id, o_id, o_entry_d, o_ol_cnt,
+       {DSUM("ol_amount", "total_amount")}
+FROM cust
+JOIN oorder ON c_id = o_c_id AND c_w_id = o_w_id AND c_d_id = o_d_id
+JOIN order_line2 ON ol_w_id = o_w_id AND ol_d_id = o_d_id
+  AND ol_o_id = o_id
+GROUP BY o_id, o_w_id, o_d_id, c_id, c_last, o_entry_d, o_ol_cnt
+HAVING sum(CAST(ol_amount AS DECIMAL(18,6))) > 300000
+ORDER BY total_amount DESC, o_id
+LIMIT 100
+""",
+)
+
+# CH Q20 — suppliers holding excess stock of promoted items
+# (nested IN + HAVING over the stock⋈order_line join). The
+# benchmark's `2*s_quantity > sum(ol_quantity)` threshold scales
+# with data size (empty beyond tiny SFs); the HAVING compares
+# against the scale-free per-line average instead — avg of
+# integer-valued doubles is an exact sum / exact count, identical in
+# both engines.
+register_shared_sql(
+    "ch_q20",
+    f"""
+WITH {_CH_CTE2}
+SELECT s_name AS su_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN
+      (SELECT s_su_suppkey
+       FROM stock2
+       JOIN order_line2 ON ol_i_id = s_i_id
+       WHERE s_i_id IN (SELECT i_id FROM item2 WHERE i_data LIKE 'PR%')
+         AND ol_delivery_d > timestamp '1996-06-01 00:00:00'
+       GROUP BY s_i_id, s_w_id, s_quantity, s_su_suppkey
+       HAVING s_quantity > 1.5 * avg(ol_quantity))
+  AND n_name = 'NATION_3'
+ORDER BY su_name
+""",
+)
+
+# CH Q21 — suppliers on each order's LAST delivery line (correlated
+# NOT EXISTS with inequality over a self-reference of order_line).
+register_shared_sql(
+    "ch_q21",
+    f"""
+WITH {_CH_CTE2}
+SELECT s_name AS su_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN stock2 ON s_su_suppkey = s_suppkey
+JOIN order_line2 l1 ON l1.ol_w_id = s_w_id AND l1.ol_i_id = s_i_id
+JOIN oorder ON l1.ol_o_id = o_id AND l1.ol_w_id = o_w_id
+  AND l1.ol_d_id = o_d_id
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.ol_delivery_d > o_entry_d
+  AND NOT EXISTS (SELECT 1 FROM order_line2 l2
+                  WHERE l2.ol_o_id = l1.ol_o_id
+                    AND l2.ol_w_id = l1.ol_w_id
+                    AND l2.ol_d_id = l1.ol_d_id
+                    AND l2.ol_delivery_d > l1.ol_delivery_d)
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, su_name
+""",
+)
+
+# CH Q22 — acquisition-prospect accounting: customers above the
+# (exact) mean balance with no RECENT orders (NOT EXISTS on the
+# composite key; the phone-prefix filter is proxied by a key digit —
+# the fixture has no phone column — and the no-orders test is
+# restricted to a recent window, since this fixture's order/customer
+# ratio leaves virtually no customer with zero orders ever).
+register_shared_sql(
+    "ch_q22",
+    f"""
+WITH {_CH_CTE2}
+SELECT substr(c_state, 1, 1) AS country,
+       CAST(count(*) AS BIGINT) AS numcust,
+       {DSUM("c_acctbal", "totacctbal")}
+FROM cust
+WHERE c_id % 10 BETWEEN 1 AND 7
+  AND c_acctbal >
+      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*)
+       FROM cust
+       WHERE c_acctbal > 0.00 AND c_id % 10 BETWEEN 1 AND 7)
+  AND NOT EXISTS (SELECT 1 FROM oorder
+                  WHERE o_c_id = c_id AND o_w_id = c_w_id
+                    AND o_d_id = c_d_id
+                    AND o_entry_d >= date '1997-06-01')
+GROUP BY substr(c_state, 1, 1)
+ORDER BY country
 """,
 )
