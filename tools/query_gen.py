@@ -166,7 +166,62 @@ def _proj_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
     return ", ".join(cols), "", order
 
 
+# window fuzz: unique total ORDER BY inside the frame (the composite
+# lineitem key) makes every frame's contents engine-independent.
+_WIN_FUNCS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "CAST(count(*) OVER_FRAME AS BIGINT)",
+    "min(l_quantity) OVER_FRAME",
+    "max(l_extendedprice) OVER_FRAME",
+    "lag(l_linenumber, 1) OVER_PLAIN",
+    "lead(l_linenumber, 2) OVER_PLAIN",
+]
+_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+]
+
+
+def _window_query(rng: random.Random) -> str:
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 8"])
+    spec = f"PARTITION BY {part} ORDER BY l_orderkey, l_linenumber"
+    fn = rng.choice(_WIN_FUNCS)
+    frame = rng.choice(_FRAMES)
+    fn = fn.replace("OVER_FRAME", f"OVER ({spec} {frame})").replace(
+        "OVER_PLAIN", f"OVER ({spec})"
+    )
+    if "OVER" not in fn:
+        fn = f"{fn} OVER ({spec})"
+    pred = rng.choice(FILTERS["lineitem"])
+    return f"""SELECT l_orderkey, l_linenumber, {fn} AS w
+FROM lineitem
+WHERE {pred}
+ORDER BY l_orderkey, l_linenumber
+LIMIT {rng.choice([100, 500])}"""
+
+
+def _setop_query(rng: random.Random) -> str:
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    t = rng.choice(["lineitem", "orders", "customer"])
+    cols = ", ".join(PROJ_COLS[t][:2])
+    f1, f2 = rng.sample(FILTERS[t], k=2)
+    return f"""SELECT {cols} FROM {t} WHERE {f1}
+{op}
+SELECT {cols} FROM {t} WHERE {f2}"""
+
+
 def gen_query(rng: random.Random) -> str:
+    shape = rng.random()
+    if shape < 0.1:
+        return _window_query(rng)
+    if shape < 0.2:
+        return _setop_query(rng)
     tables, frm = _random_join_tree(rng)
     preds = []
     for t in tables:
