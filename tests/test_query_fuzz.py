@@ -9,7 +9,7 @@ import pytest
 from tests.conftest import SF_SMALL
 from tools.query_gen import gen_suite
 
-SUITE = gen_suite(seed=42, n=80)
+SUITE = gen_suite(seed=42, n=100)
 
 
 @pytest.mark.parametrize("idx", range(len(SUITE)), ids=[f"q{i:02d}" for i in range(len(SUITE))])

@@ -166,8 +166,13 @@ def _proj_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
     return ", ".join(cols), "", order
 
 
-# window fuzz: unique total ORDER BY inside the frame (the composite
-# lineitem key) makes every frame's contents engine-independent.
+# window fuzz: the frame's ORDER BY must be TOTAL for engine-
+# independent frame contents. This fixture's (l_orderkey,
+# l_linenumber) is NOT unique (the generator repeats line numbers),
+# so the spec orders by every distinguishing column — remaining ties
+# are fully identical rows, whose interchangeable frame values are
+# multiset-safe; the outer cut additionally orders by the computed
+# window value.
 _WIN_FUNCS = [
     "row_number()",
     "rank()",
@@ -186,9 +191,16 @@ _FRAMES = [
 ]
 
 
+_TOTAL_ORDER = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "l_shipdate"
+)
+
+
 def _window_query(rng: random.Random) -> str:
     part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 8"])
-    spec = f"PARTITION BY {part} ORDER BY l_orderkey, l_linenumber"
+    spec = f"PARTITION BY {part} ORDER BY {_TOTAL_ORDER}"
     fn = rng.choice(_WIN_FUNCS)
     frame = rng.choice(_FRAMES)
     fn = fn.replace("OVER_FRAME", f"OVER ({spec} {frame})").replace(
@@ -200,7 +212,7 @@ def _window_query(rng: random.Random) -> str:
     return f"""SELECT l_orderkey, l_linenumber, {fn} AS w
 FROM lineitem
 WHERE {pred}
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, w
 LIMIT {rng.choice([100, 500])}"""
 
 
@@ -216,12 +228,38 @@ def _setop_query(rng: random.Random) -> str:
 SELECT {cols} FROM {t} WHERE {f2}"""
 
 
+def _subquery_query(rng: random.Random) -> str:
+    """Correlated scalar subquery / (NOT) EXISTS heads — the shapes
+    the reference plans via recursive planning or pushdown depending
+    on the correlation column (README.md:468-478)."""
+    cpred = rng.choice(FILTERS["customer"])
+    opred = rng.choice(FILTERS["orders"])
+    if rng.random() < 0.5:
+        return f"""SELECT c_custkey,
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey = c_custkey AND {opred}) AS BIGINT) AS n_orders
+FROM customer
+WHERE {cpred}
+ORDER BY c_custkey
+LIMIT 200"""
+    q = "EXISTS" if rng.random() < 0.5 else "NOT EXISTS"
+    return f"""SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE {cpred}
+  AND {q} (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND {opred})
+ORDER BY c_custkey
+LIMIT 200"""
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.1:
+    if shape < 0.08:
         return _window_query(rng)
-    if shape < 0.2:
+    if shape < 0.16:
         return _setop_query(rng)
+    if shape < 0.26:
+        return _subquery_query(rng)
     tables, frm = _random_join_tree(rng)
     preds = []
     for t in tables:
