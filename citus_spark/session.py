@@ -74,6 +74,14 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # co-partitioning on a SUBSET of the join keys must elide the
+        # shuffle — this is exactly the reference's co-located join
+        # rule (a join pushes down when the distribution column is
+        # among the join quals, whatever other quals exist —
+        # LOCAL_PARTITION_JOIN, multi_join_order.h:34). Spark default
+        # (true) would shuffle both sides of e.g. the CH stock-level
+        # join even when both tables are bucketed on the item key.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
