@@ -252,6 +252,24 @@ ORDER BY c_custkey
 LIMIT 200"""
 
 
+def _grouping_sets_query(rng: random.Random) -> str:
+    """ROLLUP / CUBE / GROUPING SETS over two keys — null-extended
+    group rows exercise cross-engine NULL-group semantics. (The
+    reference only supports these after CTE materialization,
+    multi_logical_planner.c:915; Spark is native — we exceed it.)"""
+    t = rng.choice(["lineitem", "orders", "customer"])
+    g1, g2 = (GROUP_COLS[t] + GROUP_COLS[t])[:2]
+    form = rng.choice(
+        [f"ROLLUP ({g1}, {g2})", f"CUBE ({g1}, {g2})",
+         f"GROUPING SETS (({g1}), ({g1}, {g2}), ())"]
+    )
+    pred = rng.choice(FILTERS[t])
+    return f"""SELECT {g1}, {g2}, CAST(count(*) AS BIGINT) AS cnt
+FROM {t}
+WHERE {pred}
+GROUP BY {form}"""
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
     if shape < 0.08:
@@ -260,6 +278,8 @@ def gen_query(rng: random.Random) -> str:
         return _setop_query(rng)
     if shape < 0.26:
         return _subquery_query(rng)
+    if shape < 0.34:
+        return _grouping_sets_query(rng)
     tables, frm = _random_join_tree(rng)
     preds = []
     for t in tables:
