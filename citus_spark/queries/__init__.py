@@ -47,13 +47,36 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a plain TIMESTAMP across fixture
+    generations: TIMESTAMP(NANOS) parquet surfaces as a long under
+    spark.sql.legacy.parquet.nanosAsLong=true → integer-div to micros
+    (the long exceeds double precision); TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ → cast to the
+    session type (UTC session zone, so wall-clock values are unchanged,
+    matching DuckDB's naive read). Works on batch and streaming frames.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table present in sf_dir as a temp view.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong=true it surfaces as a long we
-    convert to a microsecond timestamp (integer div — the long exceeds
-    double precision). The data has no sub-microsecond component.
+    events.ts normalization (fixture generations differ):
+    TIMESTAMP(NANOS) parquet surfaces as a long under
+    spark.sql.legacy.parquet.nanosAsLong=true → integer-div to micros
+    (the long exceeds double precision); TIMESTAMP(MICROS
+    isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ → cast to the
+    session type (UTC session zone, so wall-clock values are
+    unchanged, matching DuckDB's naive read). Either way every query
+    sees a plain TIMESTAMP column.
     """
     from pyspark.sql import functions as F
 
@@ -70,8 +93,15 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
             continue
         found += 1
         df = spark.read.parquet(path)
-        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if t == "events":
+            df = normalize_events_ts(df)
+        # fixture generations differ in timestamp annotation (NANOS,
+        # MICROS-UTC, MICROS-naive); normalize every NTZ column to the
+        # session type so query code sees one stable schema (UTC
+        # session zone → wall-clock values unchanged, = DuckDB's read)
+        for c, dt in df.dtypes:
+            if dt == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(t)
     if not found:
         # fail loudly rather than silently querying stale temp views
@@ -174,66 +204,62 @@ def _import_all() -> None:
 
 
 # The driver's correctness gate hash-checks the FIRST 50 registry
-# entries each round. Round 1 verified the analytics surface (49/50
-# green, recorded in CORRECTNESS_r01.json); this window puts the
-# entries with no driver row yet — all of TPC-H, the dedup/similarity/
-# text LLM-pipeline operators — plus everything changed or added this
-# round at the front. Previously-verified entries sort last (their
-# round-1 rows stand); remaining never-verified entries sit just after
-# the window so they surface in later rounds (or immediately if the
-# cap is lifted).
-_VERIFY_FIRST: tuple[str, ...] = (
-    # TPC-H (incl. the partsupp-derived q2/q11/q20 added this round)
+# entries each round. Rounds 1+2 together verified 99 distinct entries
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json); the rotation below is
+# self-maintaining: entries with no driver row yet sort FIRST
+# (oracle-backed before rows-only, registration order within each
+# group), previously-verified entries sort last — their green rows
+# stand, and every new entry added in a later round automatically
+# lands inside the verify window.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # CORRECTNESS_r01.json (analytics surface; array_agg_sorted's red
+    # row was fixed and re-verified green in r02)
+    "window_rank", "window_lag_lead", "window_running_sum",
+    "window_ntile", "topk_per_group", "select_distinct",
+    "distinct_on_latest_event", "count_distinct", "setop_union_all",
+    "setop_union_distinct", "setop_intersect", "setop_except",
+    "grouping_sets", "rollup_orders_by_month", "cube_lineitem",
+    "having_filter", "global_topk", "limit_offset", "semi_join_exists",
+    "anti_join_not_exists", "subquery_in", "correlated_scalar_subquery",
+    "uncorrelated_scalar_subquery", "cte_query", "cross_join",
+    "left_outer_join", "full_outer_join", "inequality_theta_join",
+    "date_trunc_rollup", "date_interval_arith", "pivot_event_counts",
+    "lateral_join", "setop_intersect_all", "setop_except_all",
+    "values_relation_join", "window_range_frame", "token_frequency",
+    "join_on_expression", "self_join_reorders", "row_value_in",
+    "exists_or_predicate", "asof_view_before_purchase",
+    "distinct_on_expression", "global_having_no_groupby",
+    "orderby_expression_not_selected", "case_in_groupby",
+    "null_semantics", "null_aggregation", "subquery_agg_in_from",
+    # CORRECTNESS_r02.json
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # fixed this round (round-1's one red row)
-    "array_agg_sorted",
-    # dedup / LLM-pipeline
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs", "simhash16",
-    "train_test_split", "text_normalize", "contamination_check",
-    "dedup_components", "ngram_jaccard_topk",
-    # similarity (ann_cosine_topk + centroid_update rewritten this round)
-    "ann_cosine_topk", "ivf_assign", "ann_lsh_bucketed", "centroid_update",
-    # text analysis
-    "text_fingerprint", "doc_stats_by_source", "token_count",
-    "text_quality", "lang_id",
-    # new this round
-    "json_agg_by_type", "json_object_agg_counts",
-    "window_groups_frame", "recursive_order_chain",
-    "ch_q1", "ch_q12", "ch_q14", "ch_stock_level",
-    # multimodal plumbing
-    "multimodal_byte_stats",
-)
-
-# Never driver-verified yet; queue directly after the window.
-_VERIFY_NEXT: tuple[str, ...] = (
-    "ch_q3", "ch_q4", "ch_q5", "ch_q7", "ch_q10", "ch_q11",
-    "ch_q2", "ch_q8", "ch_q9", "ch_q13", "ch_q15", "ch_q16", "ch_q17",
-    "ch_q18", "ch_q20", "ch_q21", "ch_q22",
-    "ch_q6", "ch_q19", "salted_join_skewed", "embedding_neardup_pairs",
-    "ivf_topk", "ivf_topk_nprobe2", "stratified_sample_by_source",
-    "video_frame_sample", "cdc_snapshot_diff",
-    "pandas_udf_scoring", "custom_udaf_median", "percentile_exact",
-    "topn_operator", "scalar_string_functions", "scalar_math_functions",
-    "scalar_conditionals", "regexp_functions", "array_functions",
-    "bit_bool_aggregates", "right_outer_join",
-    "json_extract_props", "union_in_subquery", "window_in_subquery_join",
-    "nested_cte_chain", "limit_in_subquery", "timeseries_gapfill",
-    "having_subquery",
-    # rows-only checks (no oracle by design)
-    "approx_count_distinct_parts", "percentile_approx_prices",
-    "tablesample_scan", "hll_ndv_by_flag", "sketch_quantiles_by_priority",
-    "kmeans_clusters", "sessionize_events", "audio_clip_features",
-)
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "array_agg_sorted", "dedup_exact", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash16", "train_test_split",
+    "text_normalize", "contamination_check", "dedup_components",
+    "ngram_jaccard_topk", "ann_cosine_topk", "ivf_assign",
+    "ann_lsh_bucketed", "centroid_update", "text_fingerprint",
+    "doc_stats_by_source", "token_count", "text_quality", "lang_id",
+    "json_agg_by_type", "json_object_agg_counts", "window_groups_frame",
+    "recursive_order_chain", "ch_q1", "ch_q12", "ch_q14",
+    "ch_stock_level", "multimodal_byte_stats",
+})
 
 
 def _finalize_order() -> None:
     global QUERIES
-    front = [n for n in _VERIFY_FIRST + _VERIFY_NEXT if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
-    QUERIES = {n: QUERIES[n] for n in front + rest}
+    fresh_oracle = [
+        n for n in QUERIES if n not in _DRIVER_VERIFIED and n in ORACLES
+    ]
+    fresh_rows_only = [
+        n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in ORACLES
+    ]
+    verified = [n for n in QUERIES if n in _DRIVER_VERIFIED]
+    QUERIES = {
+        n: QUERIES[n] for n in fresh_oracle + fresh_rows_only + verified
+    }
 
 
 _import_all()

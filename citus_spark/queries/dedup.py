@@ -65,6 +65,36 @@ def _shingles_spark():
     )
 
 
+def _shingles_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows — the flat form of `_shingles_spark`.
+
+    Built with explode(sequence) + slice/array_join rather than array
+    higher-order functions: Spark evaluates `transform`/`aggregate`
+    lambdas in the *interpreted* expression path (no whole-stage
+    codegen, no common-subexpression elimination — and a struct-
+    returning fold inlined by CollapseProject re-evaluates once per
+    extracted field), while Generate + scalar expressions stay fully
+    codegen'd. Same rows modulo duplicate shingles, which every
+    consumer here is insensitive to (min-hash: min over duplicates ==
+    min over distinct; contamination: semi-join is set-semantics).
+    """
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "text", toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    # -1 sentinel = short-doc fallback (whole text as one shingle)
+    pos = F.when(
+        F.col("_n") >= SHINGLE_K,
+        F.sequence(F.lit(0), F.col("_n") - SHINGLE_K),
+    ).otherwise(F.array(F.lit(-1)))
+    ex = base.select("doc_id", "text", "_toks", F.explode(pos).alias("_i"))
+    shingle = F.when(
+        F.col("_i") >= 0,
+        F.array_join(F.slice(F.col("_toks"), F.col("_i") + 1, SHINGLE_K), " "),
+    ).otherwise(F.col("text"))
+    return ex.select("doc_id", shingle.alias("shingle"))
+
+
 _SHINGLES_DUCK = f"""
 CASE WHEN len(string_split(text, ' ')) >= {SHINGLE_K}
      THEN list_distinct(list_transform(
@@ -74,7 +104,17 @@ CASE WHEN len(string_split(text, ' ')) >= {SHINGLE_K}
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, mh0..mh3) signatures.
+
+    Shape: explode shingles → one md5 per row → groupBy(doc_id) with
+    four min() aggregates over the hex slices. Everything is codegen'd
+    scalar expressions, and the aggregation is a standard two-phase
+    hash-agg — map-side partial minima reduce the shuffle to 4 longs
+    per doc regardless of document length (the right 100 TB shape; an
+    earlier array-fold formulation evaluated interpreted lambdas and
+    was ~10× slower at the same output).
+    """
     load_views(spark, sf_dir)
     # CPU-bound per-row compute: spread the rows across all cores even
     # when the source is a single small parquet file (at production
@@ -83,31 +123,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # one md5 per shingle; ONE fold over the hash array carries all 4
-    # slice-minima in a struct accumulator — a single array traversal
-    # and no intermediate per-slice arrays (~35% faster than 4
-    # transform+array_min passes; interpreted HOFs get no common-
-    # subexpression elimination, so structure matters)
-    hashed = docs.select(
-        "doc_id", F.transform(_shingles_spark(), lambda x: F.md5(x)).alias("_hs")
+    hashed = _shingles_exploded(docs).select(
+        "doc_id", F.md5("shingle").alias("_h")
     )
-    convs = [
-        f"CAST(conv(substr(h, {start}, {width}), 16, 10) AS BIGINT)"
-        for start, width in _MH_SLICES
+    aggs = [
+        F.min(
+            F.conv(F.substring("_h", start, width), 16, 10).cast("long")
+        ).alias(f"mh{i}")
+        for i, (start, width) in enumerate(_MH_SLICES)
     ]
-    init = "named_struct(" + ", ".join(
-        f"'m{i}', CAST(9223372036854775807 AS BIGINT)" for i in range(N_MINHASH)
-    ) + ")"
-    merge = "named_struct(" + ", ".join(
-        f"'m{i}', least(acc.m{i}, {c})" for i, c in enumerate(convs)
-    ) + ")"
-    return (
-        hashed.selectExpr("doc_id", f"aggregate(_hs, {init}, (acc, h) -> {merge}) AS _s")
-        .selectExpr(
-            "doc_id", *[f"_s.m{i} AS mh{i}" for i in range(N_MINHASH)]
-        )
-        .orderBy("doc_id")
-    )
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signature_frame(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_oracle() -> str:
@@ -137,13 +166,29 @@ register_split("minhash_signatures", minhash_signatures, _minhash_oracle())
 # self-join on band buckets. At scale this is the whole point: the
 # join shuffles on (band, h1, h2) — no all-pairs comparison.
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.selectExpr(
-        "doc_id", "0 AS band", "mh0 AS h1", "mh1 AS h2"
-    ).unionAll(sig.selectExpr("doc_id", "1 AS band", "mh2 AS h1", "mh3 AS h2"))
+    sig = _signature_frame(spark, sf_dir)
+    # band rows via a single explode (not a 2-leg union — a union
+    # would recompute the whole signature aggregation per leg)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("mh0").alias("h1"),
+                    F.col("mh1").alias("h2"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("mh2").alias("h1"),
+                    F.col("mh3").alias("h2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band", "_b.h1", "_b.h2")
     # the band table feeds both sides of the self-join; materialize it
-    # once so the signature computation doesn't run 4× (2 union legs
-    # × 2 join sides). At scale this is a cheap narrow cache.
+    # once so the signature computation doesn't run twice. At scale
+    # this is a cheap narrow cache.
     bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -322,9 +367,7 @@ ORDER BY doc_id
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     docs = spark.table("documents")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles_spark()).alias("shingle")
-    ).withColumn("h", hash64(F.col("shingle")))
+    sh = _shingles_exploded(docs).withColumn("h", hash64(F.col("shingle")))
     bench = sh.filter(F.col("doc_id") < 10).select("h").distinct()
     return (
         sh.filter(F.col("doc_id") >= 10)

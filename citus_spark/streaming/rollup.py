@@ -19,26 +19,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
-
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """Streaming scan of the events table (parquet source). The ts
-    column arrives as nanos-as-long (see queries.load_views) and is
-    normalized to a timestamp here."""
-    from citus_spark.queries import _ship_package
+    """Streaming scan of the events table (parquet source). The
+    streaming reader needs a declared schema — take it from a batch
+    read of the same directory (one footer read; at production scale
+    the schema comes from the catalog instead), then normalize ts to a
+    plain timestamp (see queries.normalize_events_ts)."""
+    from citus_spark.queries import _ship_package, normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _ship_package(spark)  # stateful kernels pickle by module reference
+    schema = spark.read.parquet(src_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour") -> DataFrame:

@@ -6,6 +6,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from citus_spark.queries import normalize_events_ts
 from tests.conftest import SF_SMALL
 
 
@@ -86,9 +87,7 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
         for r in spark.read.parquet(rollup).collect()
     }
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").transform(normalize_events_ts)
     want = {
         (r.w, r.event_type): (r.n, round(r.total_value, 6))
         for r in ev.groupBy(

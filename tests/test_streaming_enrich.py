@@ -7,6 +7,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from citus_spark.queries import normalize_events_ts
 from tests.conftest import SF_SMALL
 
 
@@ -25,9 +26,7 @@ def test_streaming_enrich_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
 
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").transform(normalize_events_ts)
     cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -54,9 +53,7 @@ def test_stream_static_join_is_broadcast(spark):
     join."""
     from citus_spark.streaming.enrich import enrich_events
 
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").transform(normalize_events_ts)
     cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
     # watermark is streaming-only; strip it by rebuilding the same join
     dim = F.broadcast(

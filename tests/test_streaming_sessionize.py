@@ -7,6 +7,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from citus_spark.queries import normalize_events_ts
 from tests.conftest import SF_SMALL
 
 
@@ -27,9 +28,7 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
 
     # batch reference: sessionize with the same 30-min gap, then drop
     # each user's LAST session (still open in streaming state)
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").transform(normalize_events_ts)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
