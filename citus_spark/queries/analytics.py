@@ -1218,3 +1218,118 @@ SELECT * FROM d WHERE op <> 'unchanged'
 ORDER BY o_orderkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate FILTER clause (SQL:2003; the reference gets it from PG,
+# e.g. aggregate_support.sql exercises FILTER on custom aggs) — both
+# engines support it natively, so this is shared SQL. Counts are
+# exact; the conditional sum uses the decimal idiom.
+register_shared_sql(
+    "agg_filter_clause",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+            AS BIGINT) AS n_finished_custs,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# string_agg / listagg — distributed combine is collect_list + sort +
+# join (same decomposition the reference uses for array_agg with
+# jsonb_cat_agg-style combine fns, multi_logical_optimizer.h:26-28).
+# Ordered within group so the result is deterministic under any
+# partitioning.
+def string_agg_ordered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return (
+        spark.table("nation")
+        .join(spark.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").cast("long").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+register_split(
+    "string_agg_ordered",
+    string_agg_ordered,
+    """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Portable statistical moments — stddev/corr rebuilt from exact
+# fixed-point sums (DSUM) instead of the engines' float accumulators,
+# whose partition-order-dependent rounding diverges across engines and
+# across runs. From exact Σx, Σx², Σxy every engine computes the same
+# scalar-double formula → bit-identical results at any parallelism.
+register_shared_sql(
+    "stats_moments_portable",
+    f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         {DSUM("l_extendedprice", "sx")},
+         {DSUM("l_extendedprice * l_extendedprice", "sxx")},
+         {DSUM("l_quantity", "sy")},
+         {DSUM("l_quantity * l_quantity", "syy")},
+         {DSUM("l_extendedprice * l_quantity", "sxy")}
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_price,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+FROM s
+ORDER BY l_returnflag
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build — turn a change stream into validity intervals
+# (type-2 slowly-changing dimension), the warehouse-side complement of
+# the CDC snapshot diff (operators/cdc.py). Window lead() over the
+# change sequence; (ts, event_id) gives a total order under repeated
+# timestamps.
+register_shared_sql(
+    "scd2_purchase_history",
+    """
+SELECT user_id, event_id, value AS amount,
+       ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS BOOLEAN) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, valid_from, event_id
+""",
+)

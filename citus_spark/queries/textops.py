@@ -17,6 +17,7 @@ DuckDB-dialect SQL (list/array function names differ between engines).
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from citus_spark.functions import hash64_duck, hash64_sql
 from citus_spark.queries import load_views, register_shared_sql, register_split
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -306,3 +307,194 @@ def audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_split("audio_clip_features", audio_clip_features)
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection — duplicate word-bigram ratio (the Gopher-rules
+# "repetition" signal: heavily templated/spammy docs have a high share
+# of repeated n-grams). Integer counts divided as doubles → exact.
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    d = spark.table("documents").select(
+        "doc_id",
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
+    )
+    return d.withColumn(
+        "dup_ratio",
+        F.lit(1.0)
+        - F.col("n_distinct_bigrams").cast("double")
+        / F.col("n_bigrams").cast("double"),
+    ).orderBy("doc_id")
+
+
+register_split(
+    "repetition_ratio",
+    repetition_ratio,
+    """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_transform(
+                     range(len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i + 1] || ' '
+                          || string_split(text, ' ')[i + 2])
+              ELSE [text] END AS bg
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         AS dup_ratio
+FROM b
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules — mean word length, numeric-token ratio,
+# long-word ratio, symbol-to-char ratio. All ratios derive from
+# integer counts (exact across engines); the symbol count uses
+# non-regex replace() so no dialect divergence.
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n
+    )
+    numeric = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("double") / n
+    longw = F.size(F.filter(toks, lambda x: F.length(x) > 8)).cast("double") / n
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            mean_wl.alias("mean_word_len"),
+            numeric.alias("numeric_token_ratio"),
+            longw.alias("long_word_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "quality_gopher_rules",
+    quality_gopher_rules,
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+)
+SELECT doc_id,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS numeric_token_ratio,
+       CAST(len(list_filter(toks, x -> length(x) > 8)) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS long_word_ratio
+FROM t
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrub of email-shaped and long-digit-run
+# tokens (the pre-training privacy pass). Spark's regexp_replace is
+# global by default; DuckDB needs the 'g' flag — hence a split entry.
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_DIGITS = "[0-9]{4,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.md5(red).alias("redacted_fp"),
+            F.length(red).cast("long").alias("redacted_len"),
+            (F.length(red) != F.length("text")).alias("was_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "pii_redact",
+    pii_redact,
+    f"""
+WITH r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_DIGITS}', '<NUM>', 'g') AS red
+  FROM documents
+)
+SELECT doc_id, md5(red) AS redacted_fp,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       length(red) <> length(text) AS was_redacted
+FROM r
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification — exact Levenshtein over a bounded
+# candidate set (the post-LSH verification step when shingle Jaccard
+# is too coarse). levenshtein() is built into both engines with
+# identical semantics → shared SQL.
+register_shared_sql(
+    "edit_distance_pairs",
+    """
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 30)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM c a JOIN c b ON a.doc_id < b.doc_id
+ORDER BY edit_dist, doc_a, doc_b
+LIMIT 20
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform sample — ORDER BY portable hash: reproducible
+# across engines, re-runs, and partitionings (rand()/TABLESAMPLE are
+# not), and at scale it is a single top-k (TakeOrdered), no full sort.
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY {hash64_sql("CAST(doc_id AS STRING)")}, doc_id
+LIMIT 100
+"""
+    )
+
+
+register_split(
+    "deterministic_sample",
+    deterministic_sample,
+    f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY {hash64_duck("CAST(doc_id AS VARCHAR)")}, doc_id
+LIMIT 100
+""",
+)
