@@ -1333,3 +1333,42 @@ WHERE event_type = 'purchase'
 ORDER BY user_id, valid_from, event_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval join (batch form of streaming/interval_join.py — same
+# operator code drives both; the streaming variant's batch-equivalence
+# is asserted in tests/test_streaming_interval_join.py). Time-range
+# theta join: at scale both sides hash-shuffle on user_id and the
+# range predicate filters within co-located partitions.
+def interval_join_attribution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.streaming.interval_join import attribute_purchases
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    out = attribute_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.orderBy("user_id", "purchase_id", "view_id")
+
+
+register_split(
+    "interval_join_attribution",
+    interval_join_attribution,
+    """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       epoch(p.ts) - epoch(v.ts) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY user_id, purchase_id, view_id
+""",
+)
