@@ -221,3 +221,94 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) → (id, phash bigint).
+
+    Real path: decode → grayscale → 8×8 downsample → bit i set iff
+    cell i > mean. Fake path computes the same 64-cell average hash
+    directly over the payload bytes (64 equal chunks), which preserves
+    the property that matters downstream: identical payloads hash
+    identically, small payload perturbations flip few bits."""
+    if not fake:
+        _require_pil()
+
+    out_schema = "id bigint, phash bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, hashes = [], []
+            for i, buf in zip(pdf["id"], pdf["media"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                if len(arr) == 0:
+                    ids.append(i)
+                    hashes.append(0)
+                    continue
+                # 64 equal-ish chunks → cell means (the 8×8 grid analog)
+                cells = np.array_split(arr, 64)
+                means = np.array([c.mean() if len(c) else 0.0 for c in cells])
+                bits = means > means.mean()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # store as signed 64-bit (Spark bigint)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def phash_dup_candidates(
+    hashed: DataFrame, max_hamming: int = 4, n_bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-duplicate image pairs.
+
+    Scale shape: band the 64-bit hash into `n_bands` 16-bit slices and
+    self-join within a band (pigeonhole: any pair within
+    `n_bands - 1` bit flips shares at least one identical band) — the
+    same banded-LSH shuffle as MinHash dedup, never all-pairs. The
+    Hamming verify runs JVM-side (xor + bit_count)."""
+    b = 64 // n_bands
+    bands = hashed.select(
+        F.col("id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("phash", i * b)
+                        .bitwiseAND(F.lit((1 << b) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", "phash", "_b.band", "_b.bucket")
+    bands = bands.persist()
+    a, c = bands.alias("a"), bands.alias("c")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("c.phash"))
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

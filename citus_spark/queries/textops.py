@@ -498,3 +498,26 @@ ORDER BY {hash64_duck("CAST(doc_id AS VARCHAR)")}, doc_id
 LIMIT 100
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup dedup via perceptual hash — aHash per item (numpy
+# mapInPandas over the binary media column), then banded Hamming
+# self-join (pigeonhole: ≤3 differing bits guarantees a shared 16-bit
+# band) with a JVM-side bit_count verify. Numpy hashing is not
+# SQL-expressible → rows-only driver check; exactness is pinned by
+# tests/test_multimodal_streaming.py's brute-force comparison.
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.multimodal import (
+        image_ahash,
+        media_from_documents,
+        phash_dup_candidates,
+    )
+
+    load_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    pairs = phash_dup_candidates(image_ahash(media), max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+register_split("image_phash_dedup", image_phash_dedup)

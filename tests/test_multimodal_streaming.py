@@ -129,3 +129,46 @@ def test_audio_features_real_is_stubbed(media):
 
     with pytest.raises(NotImplementedError):
         audio_features(media, fake=False)
+
+
+def test_image_ahash_and_banded_hamming_dedup(spark):
+    """aHash: identical payloads collide exactly; the banded self-join
+    finds every pair within the pigeonhole guarantee (any pair with
+    < n_bands differing bits shares a band); bit_count verify is
+    JVM-side."""
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.multimodal import (
+        image_ahash,
+        media_from_documents,
+        phash_dup_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(200)
+    # inject exact duplicates with new ids: 9000+k duplicates doc k
+    dups = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 9000
+    )
+    media = media_from_documents(docs.unionByName(dups))
+    hashed = image_ahash(media)
+
+    h = {r.id: r.phash for r in hashed.collect()}
+    for k in range(5):
+        assert h[k] == h[9000 + k], "identical payloads must hash equal"
+
+    pairs = phash_dup_candidates(hashed, max_hamming=3, n_bands=4)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for k in range(5):
+        assert got.get((k, 9000 + k)) == 0, "exact dup pair must surface"
+
+    # pigeonhole completeness on this corpus: brute-force all pairs with
+    # hamming <= 3 and confirm the banded join found every one
+    import itertools
+
+    brute = {
+        (a, b): bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(h), 2)
+    }
+    want = {p: d for p, d in brute.items() if d <= 3}
+    assert set(got) == set(want)
+    assert all(got[p] == want[p] for p in want)
