@@ -521,3 +521,118 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_split("image_phash_dedup", image_phash_dedup)
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV distinct sketches (operators/theta_sketch.py) — mergeable
+# NDV states with intersection estimates, the set-expression query HLL
+# cannot answer. Deterministic bottom-k of the portable hash, so the
+# DuckDB oracle recomputes the state (and therefore the estimate)
+# bit-for-bit.
+_THETA_K = 256
+_THETA_H = float(1 << 60)
+
+
+def theta_ndv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.theta_sketch import theta_ndv, theta_sketch
+
+    load_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    sk = theta_sketch(toks, ["source"], "tok", k=_THETA_K)
+    return sk.select(
+        "source",
+        F.size("sketch").cast("long").alias("state_size"),
+        theta_ndv(F.col("sketch"), k=_THETA_K).alias("ndv_est"),
+    ).orderBy("source")
+
+
+register_split(
+    "theta_ndv_by_source",
+    theta_ndv_by_source,
+    f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), hh AS (
+  SELECT DISTINCT source, {hash64_duck("tok")} AS h FROM tok
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hh
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS state_size,
+       CASE WHEN count(*) < {_THETA_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE {float(_THETA_K - 1)} * {_THETA_H} /
+                 CAST(max(CASE WHEN rn = {_THETA_K} THEN h END) AS DOUBLE) END
+         AS ndv_est
+FROM r WHERE rn <= {_THETA_K}
+GROUP BY source
+ORDER BY source
+""",
+)
+
+
+def theta_intersection_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.theta_sketch import (
+        theta_intersect_ndv,
+        theta_sketch,
+    )
+
+    load_views(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    sk = theta_sketch(toks, ["source"], "tok", k=_THETA_K)
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            theta_intersect_ndv(
+                F.col("a.sketch"), F.col("b.sketch"), k=_THETA_K
+            ).alias("intersection_est"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+register_split(
+    "theta_intersection_sources",
+    theta_intersection_sources,
+    f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+), hh AS (
+  SELECT DISTINCT source, {hash64_duck("tok")} AS h FROM tok
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hh
+), st AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_state,
+         CASE WHEN count(*) < {_THETA_K} THEN {_THETA_H}
+              ELSE CAST(max(CASE WHEN rn = {_THETA_K} THEN h END) AS DOUBLE) END
+           AS theta
+  FROM r WHERE rn <= {_THETA_K}
+  GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         least(a.theta, b.theta) AS theta
+  FROM st a JOIN st b ON a.source < b.source
+)
+SELECT p.src_a, p.src_b,
+       CAST((SELECT count(*)
+             FROM r ra JOIN r rb ON ra.h = rb.h
+             WHERE ra.source = p.src_a AND rb.source = p.src_b
+               AND ra.rn <= {_THETA_K} AND rb.rn <= {_THETA_K}
+               AND CAST(ra.h AS DOUBLE) < p.theta) AS DOUBLE)
+         * {_THETA_H} / p.theta AS intersection_est
+FROM pairs p
+ORDER BY src_a, src_b
+""",
+)
