@@ -164,3 +164,53 @@ def n_exchanges(df: DataFrame) -> int:
         + line.count("Exchange rangepartitioning")
         for line in plan.splitlines()
     )
+
+
+def copy_to_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_col: str,
+) -> None:
+    """COPY (query) TO — JSON-lines export in `n_shards` hash-routed
+    shard files: the training-data handoff format (one .json part per
+    shard, rows routed by hash of `shard_col`, so re-exports are
+    shard-stable and downstream loaders can consume shards
+    independently). At scale this is one shuffle + parallel write —
+    the same tuple-routing shape as COPY FROM in reverse."""
+    df.repartition(n_shards, shard_col).write.mode("overwrite").json(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — bin-pack a parquet directory into
+    ~`target_file_bytes` files (↔ the reference's VACUUM/shard-split
+    maintenance family; on object storage the many-small-files problem
+    is the #1 scan-throughput killer at 100 TB).
+
+    Returns the new file count. Atomic swap via a temp directory so
+    readers never see a half-compacted table. Uses repartition (not
+    coalesce): coalesce would collapse upstream read parallelism to
+    the target count; repartition keeps the read wide and shuffles
+    once."""
+    import math
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path + ".compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    back = path + ".compact_old"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+    return n

@@ -101,3 +101,42 @@ def test_json_source_roundtrip(spark, tmp_path):
     a = ev.agg(F.sum("event_id")).collect()[0][0]
     b = back.agg(F.sum("event_id")).collect()[0][0]
     assert a == b
+
+
+def test_jsonl_shard_export_roundtrip(spark, tmp_path):
+    from citus_spark.sources.ingest import copy_to_jsonl_shards
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "shards")
+    copy_to_jsonl_shards(docs, out, n_shards=4, shard_col="doc_id")
+
+    import glob
+
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 4
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.source) for r in docs.collect()}
+    b = {int(r.doc_id): (r.text, r.source) for r in back.collect()}
+    assert a == b
+
+
+def test_compact_table_reduces_files_identical_content(spark, tmp_path):
+    from citus_spark.sources.ingest import compact_table
+
+    path = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.repartition(64).write.parquet(path)
+
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    before = {r.doc_id: r.text for r in spark.read.parquet(path).collect()}
+
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 1
+    after = {r.doc_id: r.text for r in spark.read.parquet(path).collect()}
+    assert after == before
