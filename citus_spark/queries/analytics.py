@@ -1372,3 +1372,102 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 ORDER BY user_id, purchase_id, view_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with last-observation-carried-forward — the time-series
+# rollup idiom (hourly buckets; silent hours inherit the last seen
+# value). Dialects differ only in IGNORE NULLS placement:
+# Spark `last_value(v) IGNORE NULLS`, DuckDB `last_value(v IGNORE
+# NULLS)`. Sums are DSUM-exact so carried values hash identically.
+def gapfill_locf(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH hours AS (
+  SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                          TIMESTAMP '2024-01-02 23:00:00',
+                          INTERVAL 1 HOUR)) AS hour_ts
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         {DSUM("value", "v")}
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT hour_ts,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       last_value(v) IGNORE NULLS OVER
+         (ORDER BY hour_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS v_locf
+FROM hours LEFT JOIN agg ON hour_ts = h
+ORDER BY hour_ts
+"""
+    )
+
+
+register_split(
+    "gapfill_locf",
+    gapfill_locf,
+    f"""
+WITH hours AS (
+  SELECT ts AS hour_ts
+  FROM range(TIMESTAMP '2024-01-01 00:00:00',
+             TIMESTAMP '2024-01-03 00:00:00', INTERVAL 1 HOUR) t(ts)
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         {DSUM("value", "v")}
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT hour_ts,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       last_value(v IGNORE NULLS) OVER
+         (ORDER BY hour_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS v_locf
+FROM hours LEFT JOIN agg ON hour_ts = h
+ORDER BY hour_ts
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE analog — per-column statistics in one pass (↔ the
+# reference propagating ANALYZE to shards and merging pg_statistic;
+# here the merge IS the two-phase aggregate). Generic builder: one
+# UNION ALL leg per column over a single cached scan; at 100 TB the
+# exact NDV legs switch to theta/HLL sketch states (operators/
+# theta_sketch.py) — same query shape, mergeable states.
+def _analyze_sql(table: str, cols: list[tuple[str, bool]]) -> str:
+    legs = []
+    for c, numeric in cols:
+        mn = f"CAST(min({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        legs.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       {mn} AS min_num, {mx} AS max_num
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY col_name"
+
+
+_ANALYZE_DOCS = _analyze_sql(
+    "documents",
+    [("doc_id", True), ("lang", False), ("source", False), ("n_chars", True)],
+)
+
+register_shared_sql("analyze_table_stats", _ANALYZE_DOCS)

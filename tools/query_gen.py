@@ -118,7 +118,17 @@ def _random_join_tree(rng: random.Random) -> tuple[list[str], str]:
             break
         l, r, c = rng.choice(candidates)
         new = r if l in tables else l
-        kind = "LEFT JOIN" if rng.random() < 0.3 else "JOIN"
+        p = rng.random()
+        # 60% inner, 25% left, 10% right, 5% full — outer joins cover
+        # null-extension through aggregates/filters on both sides
+        if p < 0.60:
+            kind = "JOIN"
+        elif p < 0.85:
+            kind = "LEFT JOIN"
+        elif p < 0.95:
+            kind = "RIGHT JOIN"
+        else:
+            kind = "FULL JOIN"
         tables.append(new)
         joins.append((kind, new, c))
     frm = f"FROM {tables[0]}"
@@ -149,6 +159,10 @@ def _agg_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
         else:
             op = rng.choice(["min", "max"])
             aggs.append(f"{op}({col}) AS a{i}")
+    if rng.random() < 0.35:
+        ft = rng.choice(tables)
+        fpred = rng.choice(FILTERS[ft])
+        aggs.append(f"CAST(count(*) FILTER (WHERE {fpred}) AS BIGINT) AS cf")
     select = ", ".join(g_cols + aggs)
     group = "GROUP BY " + ", ".join(g_cols)
     if rng.random() < 0.3:
@@ -158,11 +172,19 @@ def _agg_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
 
 def _proj_select(rng: random.Random, tables: list[str]) -> tuple[str, str, str]:
     """Random projection head with total order + LIMIT (deterministic
-    multiset: ties under ORDER BY all columns are identical rows)."""
+    multiset: ties under ORDER BY all columns are identical rows).
+    Explicit NULLS FIRST on every key: outer joins null-extend
+    projected columns and the engines' default null ordering differs
+    (Spark NULLS FIRST asc, DuckDB NULLS LAST) — under LIMIT that
+    would select different rows."""
     cols = []
     for t in tables:
         cols += rng.sample(PROJ_COLS[t], k=min(2, len(PROJ_COLS[t])))
-    order = "ORDER BY " + ", ".join(cols) + f"\nLIMIT {rng.choice([20, 50, 100])}"
+    order = (
+        "ORDER BY "
+        + ", ".join(f"{c} NULLS FIRST" for c in cols)
+        + f"\nLIMIT {rng.choice([20, 50, 100])}"
+    )
     return ", ".join(cols), "", order
 
 
