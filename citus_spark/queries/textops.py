@@ -636,3 +636,79 @@ FROM pairs p
 ORDER BY src_a, src_b
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concatenate the (doc_id-ordered) token stream and
+# cut fixed-length training sequences; emit each document's overlap
+# with each chunk. THE pretraining batch-prep step. Built on the
+# distributed prefix sum (operators/prefix_sum.py — two-phase, never
+# a single-task global window), then a pure-integer explode of the
+# chunk range each document spans. Everything after tokenize is exact
+# int arithmetic → the DuckDB oracle recomputes it bit-for-bit.
+_SEQ_LEN = 512
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.prefix_sum import with_global_offset
+
+    load_views(spark, sf_dir)
+    t = spark.table("documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    o = with_global_offset(t, "doc_id", "n_tokens", out_col="tok_offset")
+    first_chunk = F.floor(F.col("tok_offset") / _SEQ_LEN).cast("long")
+    last_chunk = F.floor(
+        (F.col("tok_offset") + F.col("n_tokens") - 1) / _SEQ_LEN
+    ).cast("long")
+    ex = o.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    # the slice of THIS doc that lands in THIS chunk (doc-local token
+    # positions, [start, end) )
+    c0 = F.col("chunk_id") * _SEQ_LEN
+    start_in_doc = F.greatest(c0 - F.col("tok_offset"), F.lit(0))
+    end_in_doc = F.least(
+        c0 + _SEQ_LEN - F.col("tok_offset"), F.col("n_tokens")
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        start_in_doc.cast("long").alias("tok_start"),
+        end_in_doc.cast("long").alias("tok_end"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+register_split(
+    "sequence_pack",
+    sequence_pack,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM t
+), ex AS (
+  SELECT doc_id, n_tokens, tok_offset,
+         unnest(range(CAST(floor(tok_offset / {_SEQ_LEN}.0) AS BIGINT),
+                      CAST(floor((tok_offset + n_tokens - 1) / {_SEQ_LEN}.0)
+                           AS BIGINT) + 1)) AS chunk_id
+  FROM o
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(chunk_id * {_SEQ_LEN} - tok_offset, 0) AS BIGINT)
+         AS tok_start,
+       CAST(least(chunk_id * {_SEQ_LEN} + {_SEQ_LEN} - tok_offset, n_tokens)
+         AS BIGINT) AS tok_end
+FROM ex
+ORDER BY doc_id, chunk_id
+""",
+)
