@@ -34,8 +34,8 @@ from citus_spark.catalog import (
 # lineitem/orders hash-distributed co-located on the order key; dims as
 # reference tables).
 DEFAULT_DISTRIBUTION: dict[str, tuple[str, str | None]] = {
-    "lineitem": (DIST_HASH, "l_orderkey"),
     "orders": (DIST_HASH, "o_orderkey"),
+    "lineitem": (DIST_HASH, "l_orderkey"),
     "events": (DIST_HASH, "user_id"),
     "documents": (DIST_HASH, "doc_id"),
     "embeddings": (DIST_HASH, "vec_id"),
@@ -45,6 +45,13 @@ DEFAULT_DISTRIBUTION: dict[str, tuple[str, str | None]] = {
     "nation": (DIST_REFERENCE, None),
     "region": (DIST_REFERENCE, None),
 }
+
+# ↔ the reference's default colocation: lineitem and orders share the
+# order key and land in one colocation group (multi_create_table.sql
+# distributes both on the orderkey; Citus's colocate_with => 'default'
+# groups same-type/shard-count tables). The map target must be
+# registered first — DEFAULT_DISTRIBUTION order guarantees it.
+DEFAULT_COLOCATION: dict[str, str] = {"lineitem": "orders"}
 
 TPCH_TABLES = tuple(DEFAULT_DISTRIBUTION)
 
@@ -188,7 +195,14 @@ class DistributedSession:
                 continue
             method, dist_col = DEFAULT_DISTRIBUTION.get(t, ("none", None))
             if method == DIST_HASH:
-                self.catalog.register(t, DIST_HASH, dist_col, path=path)
+                mate = DEFAULT_COLOCATION.get(t)
+                self.catalog.register(
+                    t,
+                    DIST_HASH,
+                    dist_col,
+                    colocate_with=mate if mate in self.catalog else None,
+                    path=path,
+                )
             elif method == DIST_REFERENCE:
                 self.catalog.register(t, DIST_REFERENCE, path=path)
                 # re-register the view with the broadcast hint in its
@@ -280,6 +294,27 @@ class DistributedSession:
         cached.createOrReplaceTempView(name)
         self.catalog.register(name, "none")
         return cached
+
+    def citus_tables(self) -> DataFrame:
+        """↔ the reference's `citus_tables` view (a user-facing join
+        over pg_dist_partition/pg_dist_colocation): one row per
+        catalog-registered table with its distribution type, column,
+        colocation group, and shard (bucket) count."""
+        rows = [
+            (
+                t.name,
+                t.method,
+                t.dist_col,
+                int(t.colocation_id),
+                int(t.buckets) if t.is_hash_distributed else 1,
+            )
+            for t in self.catalog.tables().values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, citus_table_type string, "
+            "distribution_column string, colocation_id int, shard_count int",
+        )
 
     def undistribute_table(self, name: str) -> DataFrame:
         """Drop distribution metadata; the table becomes a plain

@@ -86,3 +86,23 @@ def test_rewrite_functions_pure():
     assert rewrite_count_distinct(
         "SELECT COUNT(DISTINCT x) FROM t WHERE s = 'COUNT(DISTINCT y)'", 0.05
     ) == "SELECT approx_count_distinct(x, 0.05) FROM t WHERE s = 'COUNT(DISTINCT y)'"
+
+
+def test_citus_tables_metadata_view(spark):
+    """↔ reference citus_tables view: distribution metadata queryable
+    as a DataFrame, colocated tables share a colocation_id."""
+    from citus_spark.session import DistributedSession
+    from tests.conftest import SF_SMALL
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    meta = {r.table_name: r for r in s.citus_tables().collect()}
+
+    assert meta["lineitem"].citus_table_type == "hash"
+    assert meta["lineitem"].distribution_column == "l_orderkey"
+    assert meta["orders"].citus_table_type == "hash"
+    # colocated pair: same colocation group and shard count
+    assert meta["lineitem"].colocation_id == meta["orders"].colocation_id
+    assert meta["lineitem"].shard_count == meta["orders"].shard_count
+    assert meta["nation"].citus_table_type == "reference"
+    assert meta["nation"].shard_count == 1
