@@ -1471,3 +1471,59 @@ _ANALYZE_DOCS = _analyze_sql(
 )
 
 register_shared_sql("analyze_table_stats", _ANALYZE_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-window battery: percent_rank / cume_dist over a total
+# order (shared SQL — both engines implement the SQL-standard
+# definitions; the (c_acctbal, c_custkey) order is total so frame
+# contents are engine-independent).
+register_shared_sql(
+    "window_percentiles",
+    """
+SELECT c_custkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       ntile(10) OVER w AS decile
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+""",
+)
+
+
+# Fixed-width histogram — integer bucket arithmetic (no engine
+# histogram function needed, so it is portable AND the scale path:
+# one map + one tiny groupBy).
+register_shared_sql(
+    "histogram_totalprice",
+    """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_totalprice) AS DOUBLE) AS lo,
+       CAST(max(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+ORDER BY bucket
+""",
+)
+
+
+# Deterministic per-group mode — argmax by (count, value): ties break
+# to the smallest value, so the result is engine-independent (native
+# mode() is tie-nondeterministic in both engines).
+register_shared_sql(
+    "mode_event_type_per_user",
+    """
+SELECT user_id, event_type AS modal_type, n
+FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events
+  GROUP BY user_id, event_type
+) t
+WHERE rk = 1 AND user_id < 200
+ORDER BY user_id
+""",
+)
