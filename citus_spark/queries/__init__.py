@@ -245,6 +245,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "json_agg_by_type", "json_object_agg_counts", "window_groups_frame",
     "recursive_order_chain", "ch_q1", "ch_q12", "ch_q14",
     "ch_stock_level", "multimodal_byte_stats",
+    # CORRECTNESS_r03.json (49 green rows; scd2_purchase_history's red
+    # row — pandas-incompatible 9999-12-31 sentinel — is deliberately
+    # NOT listed so it re-verifies after the fix, same care taken with
+    # array_agg_sorted in r02)
+    "union_in_subquery", "window_in_subquery_join", "nested_cte_chain",
+    "limit_in_subquery", "timeseries_gapfill", "having_subquery",
+    "sessionize_events", "salted_join_skewed", "cdc_snapshot_diff",
+    "agg_filter_clause", "string_agg_ordered", "stats_moments_portable",
+    "interval_join_attribution", "gapfill_locf", "analyze_table_stats",
+    "window_percentiles", "histogram_totalprice",
+    "mode_event_type_per_user", "percentile_exact", "topn_operator",
+    "scalar_string_functions", "scalar_math_functions",
+    "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",
+    "regexp_functions", "array_functions", "pandas_udf_scoring",
+    "custom_udaf_median", "json_extract_props",
+    "ch_q2", "ch_q3", "ch_q4", "ch_q5", "ch_q6", "ch_q7", "ch_q8",
+    "ch_q9", "ch_q10", "ch_q11", "ch_q13", "ch_q15", "ch_q16",
+    "ch_q17", "ch_q18", "ch_q19", "ch_q20", "ch_q21", "ch_q22",
 })
 
 

@@ -1318,14 +1318,15 @@ ORDER BY l_returnflag
 # (type-2 slowly-changing dimension), the warehouse-side complement of
 # the CDC snapshot diff (operators/cdc.py). Window lead() over the
 # change sequence; (ts, event_id) gives a total order under repeated
-# timestamps.
+# timestamps. The open interval is NULL valid_to + is_current=true
+# (not a 9999-12-31 sentinel: arrow/pandas datetime64[ns] overflows
+# past 2262, so a max-timestamp sentinel breaks any pandas consumer).
 register_shared_sql(
     "scd2_purchase_history",
     """
 SELECT user_id, event_id, value AS amount,
        ts AS valid_from,
-       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
        CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
             AS BOOLEAN) AS is_current
 FROM events
