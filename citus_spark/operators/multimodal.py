@@ -7,11 +7,12 @@ pipeline shape identical to any other narrow map: no shuffle, columnar
 batches in/out, decode parallelism = scan parallelism.
 
 The decode kernels themselves need image/audio libraries that are NOT
-in this container, so they are stubbed exactly at the library
-boundary: `_require_pil()` raises NotImplementedError with a clear
-message, and every operator accepts `fake=True` to run a
-deterministic fake decode so the Spark-side plumbing (schemas,
-batching, partitioning) is fully real and tested.
+in this container, so they are stubbed exactly at the implementation
+boundary: `fake=False` raises NotImplementedError unconditionally
+(`_no_real_path`) — never a silent fall-through to the fake kernel —
+and every operator accepts `fake=True` to run a deterministic fake
+decode so the Spark-side plumbing (schemas, batching, partitioning)
+is fully real and tested.
 
 Schema conventions:
   media table: (id bigint, media binary, meta struct<kind string,
@@ -33,16 +34,15 @@ MEDIA_SCHEMA = (
 )
 
 
-def _require_pil():
-    try:
-        import PIL.Image  # noqa: F401
-
-        return PIL.Image
-    except ImportError as e:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "real image decode requires Pillow, which is not installed in "
-            "this environment; pass fake=True for the deterministic stub"
-        ) from e
+def _no_real_path(what: str, libs: str):
+    """Unconditional guard for operators whose real-decode branch is
+    not implemented. Raising regardless of library availability avoids
+    the silent-wrong failure mode where the library IS installed and
+    the fake kernel masquerades as a real decode."""
+    raise NotImplementedError(
+        f"real {what} is not implemented in this build (would require "
+        f"{libs}); pass fake=True for the deterministic stub"
+    )
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -66,7 +66,7 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     Arrow batch; fake path derives deterministic dimensions from the
     payload bytes (so downstream operators are testable)."""
     if not fake:
-        _require_pil()  # raises NotImplementedError here
+        _no_real_path("image decode", "Pillow")
 
     out_schema = "id bigint, width int, height int, channels int, n_bytes bigint"
 
@@ -125,7 +125,7 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> D
     """Resize → same schema with new payload. Stubbed at the codec
     boundary; fake path truncates/pads bytes deterministically."""
     if not fake:
-        _require_pil()
+        _no_real_path("image resize", "Pillow")
 
     out_schema = "id bigint, media binary"
     target = width * height * 3
@@ -232,7 +232,7 @@ def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
     the property that matters downstream: identical payloads hash
     identically, small payload perturbations flip few bits."""
     if not fake:
-        _require_pil()
+        _no_real_path("aHash (decode + 8x8 grid)", "Pillow")
 
     out_schema = "id bigint, phash bigint"
 
@@ -265,16 +265,34 @@ def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def phash_dup_candidates(
-    hashed: DataFrame, max_hamming: int = 4, n_bands: int = 4
+    hashed: DataFrame, max_hamming: int = 4, n_bands: int | None = None
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-duplicate image pairs.
 
-    Scale shape: band the 64-bit hash into `n_bands` 16-bit slices and
-    self-join within a band (pigeonhole: any pair within
-    `n_bands - 1` bit flips shares at least one identical band) — the
-    same banded-LSH shuffle as MinHash dedup, never all-pairs. The
-    Hamming verify runs JVM-side (xor + bit_count)."""
-    b = 64 // n_bands
+    Scale shape: band the 64-bit hash into `n_bands` disjoint slices
+    covering all 64 bits and self-join within a band (pigeonhole: any
+    pair within `n_bands - 1` bit flips shares at least one identical
+    band) — the same banded-LSH shuffle as MinHash dedup, never
+    all-pairs. The Hamming verify runs JVM-side (xor + bit_count).
+
+    `n_bands` defaults to `max_hamming + 1`, the smallest count whose
+    pigeonhole guarantee is *complete* at `max_hamming` (every
+    qualifying pair is emitted). An explicit `n_bands <= max_hamming`
+    trades recall for fewer/larger buckets and is rejected to keep the
+    completeness contract honest."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee completeness at "
+            f"max_hamming={max_hamming}; need n_bands >= max_hamming + 1"
+        )
+    # Disjoint widths covering all 64 bits: base width plus one extra
+    # bit in the first (64 % n_bands) bands. Full coverage keeps
+    # buckets selective; completeness only needs disjointness.
+    base = 64 // n_bands
+    widths = [base + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     bands = hashed.select(
         F.col("id"),
         F.col("phash"),
@@ -283,8 +301,8 @@ def phash_dup_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("phash", i * b)
-                        .bitwiseAND(F.lit((1 << b) - 1))
+                        F.shiftrightunsigned("phash", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("bucket"),
                     )
                     for i in range(n_bands)

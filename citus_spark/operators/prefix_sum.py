@@ -42,6 +42,13 @@ def with_global_offset(
         "_pid", F.spark_partition_id()
     )
     d = d.withColumn("_v", v.cast("long"))
+    # persist BEFORE collecting totals: the range partitioner samples
+    # per execution, so an unpersisted lineage recomputed for the
+    # window phase can place rows in different partitions than the
+    # ones the totals describe → wrong offsets. Persisting pins one
+    # materialized partitioning that both phases read (same guard the
+    # LSH band join uses).
+    d = d.persist()
     # phase 2: tiny per-partition totals; exclusive prefix driver-side
     totals = {
         r._pid: r.t

@@ -9,13 +9,27 @@ Spark-first translation:
 - the rollup table is parquet keyed by the group columns, carrying
   *mergeable partial states* (counts and fixed-point sums — the same
   decomposition the engine uses for distributed aggregation);
-- a watermark table records the highest ingested event_id per refresh
-  (the analog of the reference's `latest_rollup` sequence tracking);
+- the highest ingested event_id rides INSIDE the rollup table as a
+  constant `_last_id` column (the analog of the reference's
+  `latest_rollup` sequence tracking). Embedding it makes the rollup
+  and its watermark ONE write set: a refresh either lands both or
+  neither, so a crash between "rollup written" and "watermark
+  written" can never double-count the delta on the next refresh;
 - `refresh()` aggregates ONLY rows above the watermark (at scale:
   an id- or time-partition-pruned scan — the delta, not the corpus)
   and merges by group key: existing groups sum their partials, new
   groups append. Cost per refresh is O(delta + |touched groups|),
   independent of table history.
+
+Crash-safety contract: the delta is staged to `<rollup>.tmp` first
+and the final step is a single overwrite of the rollup directory from
+the staged copy. Plain parquet overwrite is delete-then-write, so a
+crash *inside* that last step can leave the rollup directory partial —
+but the fully-written `.tmp` staging copy survives for manual
+recovery, and the watermark (inside the data) can never run ahead of
+the data it describes. The `.tmp` directory is removed after success.
+(A table format with atomic commit — Delta/Iceberg — would close the
+remaining window; no such jars in this environment.)
 
 Merging summed partials is exact because the states are bigint
 counts and DSUM-style dual-bigint fixed-point sums — associative,
@@ -60,24 +74,26 @@ class IncrementalRollup:
         self.rollup_path = rollup_path
         self.keys = keys
         self.value_col = value_col
-        self.watermark_path = rollup_path + ".watermark"
 
     # -- watermark bookkeeping (↔ latest_rollup sequence tracking) --
     def last_id(self) -> int:
-        if not os.path.exists(self.watermark_path):
+        """Watermark = the `_last_id` constant stored inside the
+        rollup itself, so it can never desynchronize from the data."""
+        if not os.path.exists(self.rollup_path):
             return -1
-        row = self.spark.read.parquet(self.watermark_path).collect()
-        return row[0].last_id if row else -1
-
-    def _set_last_id(self, v: int) -> None:
-        self.spark.createDataFrame([(int(v),)], "last_id bigint").coalesce(
-            1
-        ).write.mode("overwrite").parquet(self.watermark_path)
+        row = (
+            self.spark.read.parquet(self.rollup_path)
+            .agg(F.max("_last_id"))
+            .collect()
+        )
+        return int(row[0][0]) if row and row[0][0] is not None else -1
 
     # -- the refresh itself --
     def refresh(self, events: DataFrame) -> int:
         """Aggregate rows with event_id above the watermark and merge
         into the rollup. Returns the number of delta rows processed."""
+        import shutil
+
         wm = self.last_id()
         delta = events.filter(F.col("event_id") > wm)
         n_delta = delta.count()
@@ -100,13 +116,18 @@ class IncrementalRollup:
         else:
             merged = part.select(*self.keys, "n", "sum_int", "sum_frac")
 
-        new_wm = part.agg(F.max("_max_id")).collect()[0][0]
+        new_wm = max(int(part.agg(F.max("_max_id")).collect()[0][0]), wm)
+        # stage rollup + watermark TOGETHER (watermark is a column), so
+        # the final publish is one overwrite — no window where the
+        # watermark describes data that was never written
         tmp = self.rollup_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.withColumn("_last_id", F.lit(new_wm)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
             self.rollup_path
         )
-        self._set_last_id(max(int(new_wm), wm))
+        shutil.rmtree(tmp, ignore_errors=True)
         return n_delta
 
     def read(self) -> DataFrame:
@@ -120,3 +141,7 @@ class IncrementalRollup:
         return df.select(
             *self.keys, F.col("n"), total.alias("total_value")
         )
+
+    def watermark(self) -> int:
+        """Public alias for the embedded watermark."""
+        return self.last_id()

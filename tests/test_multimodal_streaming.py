@@ -172,3 +172,48 @@ def test_image_ahash_and_banded_hamming_dedup(spark):
     want = {p: d for p, d in brute.items() if d <= 3}
     assert set(got) == set(want)
     assert all(got[p] == want[p] for p in want)
+
+
+def test_phash_default_bands_complete_at_boundary(spark):
+    """Default n_bands must give 100% recall at exactly max_hamming —
+    including the adversarial pair that defeats 4 bands at hamming 4:
+    one flipped bit in each 16-bit quarter (the old default's silent
+    miss). Also: random hamming-4 perturbations, and the guard that
+    rejects n_bands <= max_hamming."""
+    import random
+
+    import pytest as _pytest
+
+    from citus_spark.operators.multimodal import phash_dup_candidates
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    # adversarial: one flip per 16-bit quarter → no shared 16-bit band
+    base = rng.getrandbits(64)
+    adv = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)
+    rows += [(0, signed(base)), (1, signed(adv))]
+    expected.add((0, 1))
+    # random pairs at hamming exactly 4
+    for k in range(2, 40, 2):
+        h0 = rng.getrandbits(64)
+        h1 = h0
+        for b in rng.sample(range(64), 4):
+            h1 ^= 1 << b
+        rows += [(k, signed(h0)), (k + 1, signed(h1))]
+        expected.add((k, k + 1))
+
+    hashed = spark.createDataFrame(rows, "id bigint, phash bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_dup_candidates(hashed, max_hamming=4).collect()
+    }
+    missing = expected - set(got)
+    assert not missing, f"default bands missed hamming-4 pairs: {missing}"
+    assert all(got[p] == 4 for p in expected)
+
+    with _pytest.raises(ValueError):
+        phash_dup_candidates(hashed, max_hamming=4, n_bands=4)

@@ -64,6 +64,15 @@ def test_incremental_refresh_equals_full_recompute(spark, tmp_path):
     }
     assert got2 == got
 
+    # crash-safety hygiene: the staging dir is cleaned up after
+    # success, and the watermark lives INSIDE the rollup (one write
+    # set — no separate watermark file that can desynchronize)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "rollup") + ".tmp")
+    assert not os.path.exists(str(tmp_path / "rollup") + ".watermark")
+    assert roll.last_id() == max_id
+
 
 def test_refresh_scans_only_the_delta(spark, tmp_path):
     """The delta filter must reach the scan as a pushed predicate —
