@@ -86,12 +86,37 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
 
-    found = 0
-    for t in ALL_TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if not os.path.exists(path):
-            continue
-        found += 1
+    # Registration is idempotent per (session, dir): re-registering the
+    # same ten views costs ~0.8 s per call (parquet footer reads +
+    # plan-construction JVM round trips), which the correctness gate
+    # pays 170× and the bench 3×/query without this guard. The fixture
+    # dirs are immutable driver artifacts, so dir identity is a safe key.
+    key = os.path.abspath(sf_dir)
+    if getattr(spark, "_citus_views_dir", None) == key:
+        return
+
+    paths = {
+        t: os.path.join(sf_dir, f"{t}.parquet")
+        for t in ALL_TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    }
+    if not paths:
+        # fail loudly rather than silently querying stale temp views
+        raise FileNotFoundError(f"no *.parquet test tables under {sf_dir}")
+
+    # Size the parquet split to the corpus: floor 16 MiB (below that,
+    # task-scheduling overhead dominates sub-second queries — measured
+    # −20-30% on the floor-bound headline set vs 4 MiB), ceiling the
+    # Spark default 128 MiB (the right number when files outnumber
+    # cores, i.e. at real scale). The middle expression matters only
+    # between ~1 GiB and ~8 TiB of input on 32 cores, where splitting
+    # to ~2 waves per core beats fixed sizes.
+    total = sum(_tree_bytes(p) for p in paths.values())
+    par = spark.sparkContext.defaultParallelism or 8
+    split = max(16 << 20, min(128 << 20, total // (2 * par) or 1))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    for t, path in paths.items():
         df = spark.read.parquet(path)
         if t == "events":
             df = normalize_events_ts(df)
@@ -103,9 +128,16 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
             if dt == "timestamp_ntz":
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(t)
-    if not found:
-        # fail loudly rather than silently querying stale temp views
-        raise FileNotFoundError(f"no *.parquet test tables under {sf_dir}")
+    spark._citus_views_dir = key
+
+
+def _tree_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
 
 
 def _ship_package(spark: SparkSession) -> None:

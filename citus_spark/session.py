@@ -100,9 +100,13 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split even small parquet files across tasks so single-file
-        # test tables still scan in parallel; at cluster scale files
-        # outnumber cores and this only caps skewy large files
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # test tables still scan in parallel, but not below 16 MiB:
+        # finer splits manufacture tasks whose scheduling overhead
+        # dominates sub-second queries (measured −20-30% on the
+        # floor-bound headline set vs 4 MiB). queries.load_views
+        # re-derives this per corpus (16 MiB floor ↔ 128 MiB default
+        # ceiling for at-scale inputs where files outnumber cores).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -189,6 +193,11 @@ class DistributedSession:
         from citus_spark.queries import load_views
 
         load_views(self.spark, sf_dir)
+        # the loop below REPLACES dim views with broadcast-hinted ones,
+        # so the plain-view registration memo must not claim this dir
+        # is current — a later load_views must be able to restore the
+        # unhinted views
+        self.spark._citus_views_dir = None
         for t in tables:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if not os.path.exists(path) or t in self.catalog:
