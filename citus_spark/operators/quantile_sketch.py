@@ -10,7 +10,11 @@ associative, idempotent on overlap, re-run-stable (no rand()).
 
 The same state doubles as a KMV distinct-count estimator; we expose
 quantiles (the tdigest use case). Accuracy: standard sample-quantile
-error ~ O(1/sqrt(k)).
+error ~ O(1/sqrt(k)) at every quantile — uniform, so weak at extreme
+tails. For tail-accurate re-aggregatable quantiles (p99/p999) use
+operators/tdigest.py, whose k1 scale function concentrates resolution
+at the tails at a fraction of this state size; this KMV form remains
+useful where the same state must ALSO answer distinct-count.
 """
 
 from __future__ import annotations

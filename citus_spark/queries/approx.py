@@ -380,6 +380,53 @@ def sketch_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_split("sketch_quantiles_by_priority", sketch_quantiles_by_priority)
 
 
+# t-digest accuracy contract as an ORACLE-CHECKABLE entry: the digest
+# estimates are implementation-defined, but the *rank error* they must
+# satisfy is not. Spark computes the digest p50/p90/p99/p999 per group,
+# measures each estimate's true rank against the raw data, and outputs
+# booleans asserting the k1-scale error bounds (tails far tighter than
+# the KMV sketch's 0.022). The oracle states the same contract as
+# constants — any digest regression flips a boolean and hash-mismatches.
+def tdigest_rank_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.tdigest import approx_quantiles_tdigest
+
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    est = approx_quantiles_tdigest(
+        li, ["l_returnflag"], "l_extendedprice",
+        quantiles=(0.5, 0.9, 0.99, 0.999),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(est), "l_returnflag"
+    )
+    rank_of = lambda p: F.avg(  # noqa: E731
+        (F.col("l_extendedprice") <= F.col(p)).cast("double")
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            (F.abs(rank_of("p50") - 0.5) <= 0.01).alias("p50_ok"),
+            (F.abs(rank_of("p90") - 0.9) <= 0.01).alias("p90_ok"),
+            (F.abs(rank_of("p99") - 0.99) <= 0.003).alias("p99_ok"),
+            (F.abs(rank_of("p999") - 0.999) <= 0.001).alias("p999_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register_split(
+    "tdigest_rank_error_bounds",
+    tdigest_rank_error_bounds,
+    """
+SELECT l_returnflag,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok, TRUE AS p999_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+
 # JSON extraction (dialects differ: get_json_object vs
 # json_extract_string)
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
