@@ -527,6 +527,30 @@ ORDER BY id_a, id_b
 register_split("embedding_neardup_pairs", embedding_neardup_pairs, _NEARDUP_ORACLE)
 
 
+# Multi-table hyperplane LSH (operators/ann_lsh.py) — the production
+# recall pattern: union n_tables independent bucketings, recall =
+# 1-(1-p)^n_tables. Rows-only by design: buckets come from a seeded
+# GEMM the SQL oracle can't replay, and the fixture's embeddings are
+# near-orthogonal random vectors (max pairwise cosine ~0.51), so a
+# recall contract would be vacuous here; recall ≥0.9 at cosine ≥0.8
+# with 8×6-bit tables is asserted on a planted corpus in
+# tests/test_ann_lsh_tables.py.
+def ann_lsh_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.ann_lsh import lsh_ann_topk
+
+    load_views(spark, sf_dir)
+    return lsh_ann_topk(
+        spark.table("embeddings"),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+        n_planes=6,
+        n_tables=8,
+    )
+
+
+register_split("ann_lsh_multi_table", ann_lsh_multi_table)
+
+
 # k-means entry — iterative, not SQL-expressible → rows-only check
 # (the pytest suite asserts the objective decreases monotonically).
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
