@@ -238,14 +238,53 @@ class DistributedSession:
         """Run Spark SQL. Catalyst performs the worker/coordinator split
         the reference implements in multi_logical_optimizer.c (partial
         vs final aggregation, pushdown, limit split) natively. Opt-in
-        rewrites (plans/rewrites.py) apply first."""
+        rewrites (plans/rewrites.py) apply first. MERGE INTO text (not
+        in Spark's parser for parquet relations) routes through the
+        merge operator (plans/merge_sql.py ↔ merge_planner.c:115)."""
+        from citus_spark.plans.merge_sql import is_merge
         from citus_spark.plans.rewrites import pg_casts, rewrite_count_distinct
 
+        if is_merge(query):
+            return self._execute_merge(query)
         if self.pg_compat:
             query = pg_casts(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         return self.spark.sql(query)
+
+    def _execute_merge(self, query: str) -> DataFrame:
+        """Textual MERGE INTO → sources.ingest.merge_into. The target
+        must be a catalog table with a storage path (the analog of the
+        reference's requirement that MERGE targets be Citus tables);
+        the temp view is refreshed after the rewrite so subsequent
+        queries see the merged state. Returns the new target relation."""
+        from citus_spark.plans.merge_sql import parse_merge
+        from citus_spark.sources.ingest import merge_into
+
+        stmt = parse_merge(query)
+        entry = self.catalog.get(stmt.target)
+        if entry is None or not entry.path:
+            raise ValueError(
+                f"MERGE target {stmt.target!r} must be a catalog-registered "
+                "table with a storage path (create_distributed_table over "
+                "parquet, or load_tables)"
+            )
+        source = (
+            self.spark.sql(stmt.source)
+            if stmt.source_is_subquery
+            else self.spark.table(stmt.source)
+        )
+        merge_into(
+            self.spark,
+            entry.path,
+            source,
+            stmt.keys,
+            when_matched=stmt.when_matched,
+            insert_unmatched=stmt.insert_unmatched,
+        )
+        out = self.spark.read.parquet(entry.path)
+        out.createOrReplaceTempView(stmt.target)
+        return out
 
     # ------------------------------------------------------------------
     # Layout-maintenance API (↔ alter_distributed_table /
