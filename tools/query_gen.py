@@ -274,6 +274,56 @@ ORDER BY c_custkey
 LIMIT 200"""
 
 
+def _ch_window_subquery_query(rng: random.Random) -> str:
+    """Window-in-subquery over the derived CH (TPC-C) tables — the
+    top-k-per-group shape the reference exercises in its CH-benCHmark
+    regression (chbenchmark_all_queries.sql) layered with the
+    window-pushdown restriction it plans via SafeToPushdownWindowFunction.
+    Uses chbench's deterministic derived order_line/stock/item CTE so
+    both engines compute identical inputs.
+
+    Determinism rules: order_line's natural key is NOT unique (fixture
+    repeats (l_orderkey, l_linenumber)), so the window ORDER BY lists
+    every derived column — remaining ties are fully identical rows,
+    whose interchangeable row_number values are multiset-safe; stock's
+    (s_w_id, s_i_id) IS unique, so rank there is exact."""
+    from citus_spark.queries.chbench import _CH_CTE
+
+    k = rng.choice([3, 5, 10])
+    if rng.random() < 0.5:
+        pred = rng.choice(
+            [
+                "ol_quantity < 25",
+                "ol_delivery_d > timestamp '1996-06-01 00:00:00'",
+                "ol_amount > 1000",
+                "ol_d_id <= 5",
+            ]
+        )
+        ocols = (
+            "ol_amount DESC, ol_o_id, ol_number, ol_d_id, ol_i_id, "
+            "ol_supply_w_id, ol_delivery_d, ol_quantity"
+        )
+        return f"""WITH {_CH_CTE}
+SELECT ol_w_id, ol_o_id, ol_number, ol_amount, rk FROM (
+  SELECT ol_w_id, ol_o_id, ol_number, ol_amount,
+         CAST(row_number() OVER (PARTITION BY ol_w_id
+                                 ORDER BY {ocols}) AS INT) AS rk
+  FROM order_line
+  WHERE {pred}) t
+WHERE rk <= {k}
+ORDER BY ol_w_id, rk, ol_o_id, ol_number"""
+    price = rng.choice([500, 900, 1200])
+    return f"""WITH {_CH_CTE}
+SELECT s_w_id, s_i_id, s_quantity, rk FROM (
+  SELECT s_w_id, s_i_id, s_quantity,
+         CAST(rank() OVER (PARTITION BY s_w_id
+                           ORDER BY s_quantity DESC, s_i_id) AS INT) AS rk
+  FROM stock JOIN item ON i_id = s_i_id
+  WHERE i_price > {price}) t
+WHERE rk <= {k}
+ORDER BY s_w_id, rk, s_i_id"""
+
+
 def _grouping_sets_query(rng: random.Random) -> str:
     """ROLLUP / CUBE / GROUPING SETS over two keys — null-extended
     group rows exercise cross-engine NULL-group semantics. (The
@@ -302,6 +352,8 @@ def gen_query(rng: random.Random) -> str:
         return _subquery_query(rng)
     if shape < 0.34:
         return _grouping_sets_query(rng)
+    if shape < 0.42:
+        return _ch_window_subquery_query(rng)
     tables, frm = _random_join_tree(rng)
     preds = []
     for t in tables:
