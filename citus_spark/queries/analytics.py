@@ -1221,6 +1221,59 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# Change-feed APPLY (streaming/cdc_apply.py — the consuming half of
+# CDC, ↔ reference cdc/cdc_decoder.c's downstream contract): events
+# stands in for a Debezium-shaped feed keyed by user_id with
+# event_id as the WAL sequence; 'error' events are tombstones. The
+# batch form of the exact operator the streaming path runs per
+# micro-batch (apply_changes), oracle-checked against the
+# latest-op-per-key SQL.
+def cdc_apply_latest_state(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.streaming.cdc_apply import apply_changes
+
+    load_views(spark, sf_dir)
+    changes = spark.table("events").select(
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "value",
+    )
+    state = apply_changes(None, changes, keys=["user_id"])
+    return (
+        state.filter(F.col("op") != "delete")
+        .select(
+            "user_id",
+            F.col("seq").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register_split(
+    "cdc_apply_latest_state",
+    cdc_apply_latest_state,
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM ranked
+WHERE rk = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Aggregate FILTER clause (SQL:2003; the reference gets it from PG,
 # e.g. aggregate_support.sql exercises FILTER on custom aggs) — both
 # engines support it natively, so this is shared SQL. Counts are

@@ -1,0 +1,104 @@
+"""Change-feed apply: the streamed state must equal the batch
+latest-op-per-key computation for ANY file/batch arrival order, and
+replaying the feed must be a no-op (idempotence) — the consistency
+contract of a WAL-shaped CDC consumer."""
+
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from citus_spark.streaming.cdc_apply import (
+    apply_changes,
+    read_current,
+    run_apply_to_table,
+)
+
+
+def _feed(seed=5):
+    """Synthetic Debezium-shaped feed: 300 keys, 1-5 ops each, global
+    unique seq; ops end in delete for ~1/5 of keys."""
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+    for k in range(300):
+        n_ops = rng.randint(1, 5)
+        for i in range(n_ops):
+            seq += 1
+            if i == 0:
+                op = "insert"
+            elif i == n_ops - 1 and rng.random() < 0.2:
+                op = "delete"
+            else:
+                op = "update"
+            rows.append((op, seq, k, rng.randrange(1000), f"v{seq}"))
+    rng.shuffle(rows)  # feed files will NOT be in seq order
+    return rows
+
+
+SCHEMA = "op string, seq long, k long, amount long, note string"
+
+
+def _expected(rows):
+    """Batch oracle: payload of the max-seq op per key, minus keys
+    whose max-seq op is a delete."""
+    best = {}
+    for op, seq, k, amount, note in rows:
+        if k not in best or seq > best[k][1]:
+            best[k] = (op, seq, amount, note)
+    return {
+        k: (v[2], v[3]) for k, v in best.items() if v[0] != "delete"
+    }
+
+
+def test_streamed_apply_equals_batch_oracle(spark, tmp_path):
+    import glob
+    import shutil
+
+    rows = _feed()
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    # four unordered shards — no file contains a contiguous seq range;
+    # each shard must be a FLAT file in the stream directory
+    for i in range(4):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows[i::4], SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(feed_dir, f"part{i}.parquet"))
+    state = str(tmp_path / "state")
+
+    run_apply_to_table(spark, feed_dir, state, keys=["k"])
+    got = {
+        r.k: (r.amount, r.note) for r in read_current(spark, state).collect()
+    }
+    assert got == _expected(rows)
+
+    # tombstones are retained in the raw state (resurrection guard)
+    raw = spark.read.parquet(state)
+    assert raw.filter(F.col("op") == "delete").count() > 0
+
+    # replaying the whole feed into the same state is a no-op
+    run_apply_to_table(spark, feed_dir, state, keys=["k"], queryName="replay")
+    got2 = {
+        r.k: (r.amount, r.note) for r in read_current(spark, state).collect()
+    }
+    assert got2 == got
+
+
+def test_pure_apply_is_order_insensitive(spark):
+    """apply_changes composed over ANY partition of the feed equals
+    one-shot application — the property that makes micro-batch
+    boundaries irrelevant."""
+    rows = _feed(seed=11)
+    df = spark.createDataFrame(rows, SCHEMA)
+    one_shot = apply_changes(None, df, ["k"])
+    # split into 3 chunks applied sequentially, in shuffled order
+    chunks = [rows[0::3], rows[2::3], rows[1::3]]
+    state = None
+    for ch in chunks:
+        state = apply_changes(state, spark.createDataFrame(ch, SCHEMA), ["k"])
+    a = {(r.k, r.seq, r.op) for r in one_shot.collect()}
+    b = {(r.k, r.seq, r.op) for r in state.collect()}
+    assert a == b
