@@ -501,6 +501,43 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# Weighted deterministic sample — sequential Poisson sampling
+# (Ohlsson's πps approximation, the standard survey-sampling scheme):
+# rank by uniform-hash / weight and take the k smallest, so inclusion
+# probability is ∝ weight (here: document length — the common
+# training-data mix knob "sample long documents more"). Entirely
+# hash + one IEEE division, so the ranking is bit-identical across
+# engines and partitionings, and at scale it is a TakeOrdered top-k,
+# no full sort, no rand().
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT doc_id, source, length(text) AS n_chars
+FROM documents
+ORDER BY CAST({hash64_sql("CAST(doc_id AS STRING)")} AS DOUBLE)
+           / CAST(GREATEST(length(text), 1) AS DOUBLE),
+         doc_id
+LIMIT 100
+"""
+    )
+
+
+register_split(
+    "weighted_sample_by_length",
+    weighted_sample_by_length,
+    f"""
+SELECT doc_id, source, length(text) AS n_chars
+FROM documents
+ORDER BY CAST({hash64_duck("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / CAST(GREATEST(length(text), 1) AS DOUBLE),
+         doc_id
+LIMIT 100
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Image near-dup dedup via perceptual hash — aHash per item (numpy
 # mapInPandas over the binary media column), then banded Hamming
 # self-join (pigeonhole: ≤3 differing bits guarantees a shared 16-bit
