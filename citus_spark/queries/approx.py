@@ -32,41 +32,93 @@ from citus_spark.queries import (
 )
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates — rows-only (sketch estimates are
-# implementation-specific; accuracy asserted in tests/test_operators.py)
+# Approximate aggregates — oracle-checked via the BOOLEAN-CONTRACT
+# pattern (see tdigest_rank_error_bounds): the estimate itself is
+# implementation-specific, but its error bound is not. Spark outputs
+# the group key + the EXACT value (which DuckDB recomputes) + a
+# boolean asserting the estimate sits inside the sketch's published
+# bound; the oracle states the same contract with constants. A sketch
+# regression flips a boolean and hash-mismatches.
 
 
 def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
+    # rsd=0.02 → 3σ ≈ 6% relative; +2 absolute slack for tiny groups
+    ok = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact))
+        <= 0.06 * F.col(exact) + F.lit(2)
+    )
     return (
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("_as"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            ok("_ap", "exact_parts").alias("parts_ok"),
+            ok("_as", "exact_supps").alias("supps_ok"),
         )
         .orderBy("l_returnflag")
     )
 
 
-register_split("approx_count_distinct_parts", approx_count_distinct_parts)
+register_split(
+    "approx_count_distinct_parts",
+    approx_count_distinct_parts,
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+       TRUE AS parts_ok, TRUE AS supps_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 
 
 def percentile_approx_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    est = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("q")
+    )
+    joined = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(est), "o_orderpriority"
+    )
+    rank_of = lambda i: F.avg(  # noqa: E731
+        (F.col("o_totalprice") <= F.col("q")[i]).cast("double")
+    )
+    # accuracy=10000 → rank error ≤ 1e-4; 0.01 leaves two orders of
+    # magnitude headroom plus small-group granularity
     return (
-        spark.table("orders")
-        .groupBy("o_orderpriority")
+        joined.groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.5, 0.9, 0.99], 10000
-            ).alias("price_quantiles")
+            (F.abs(rank_of(0) - 0.5) <= 0.01).alias("p50_ok"),
+            (F.abs(rank_of(1) - 0.9) <= 0.01).alias("p90_ok"),
+            (F.abs(rank_of(2) - 0.99) <= 0.01).alias("p99_ok"),
         )
         .orderBy("o_orderpriority")
     )
 
 
-register_split("percentile_approx_prices", percentile_approx_prices)
+register_split(
+    "percentile_approx_prices",
+    percentile_approx_prices,
+    """
+SELECT o_orderpriority,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
 
 
 def tablesample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,31 +405,84 @@ ORDER BY event_type
 )
 
 
-# Re-aggregatable sketch entries (rows-only: estimates are
-# implementation-defined; accuracy + merge algebra asserted in
-# tests/test_hll.py and tests/test_quantile_sketch.py)
+# Re-aggregatable sketch entries — boolean-contract oracles (merge
+# algebra additionally property-tested in tests/test_hll.py and
+# tests/test_quantile_sketch.py)
 def hll_ndv_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citus_spark.operators.hll import approx_ndv
 
     load_views(spark, sf_dir)
-    return approx_ndv(
-        spark.table("lineitem"), ["l_returnflag"], "l_partkey"
-    ).orderBy("l_returnflag")
+    li = spark.table("lineitem")
+    est = approx_ndv(li, ["l_returnflag"], "l_partkey")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_ndv")
+    )
+    # P=11 registers → rsd ≈ 2.3%; 0.1 relative + 2 absolute ≈ 4σ
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_ndv",
+            (
+                F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                <= 0.1 * F.col("exact_ndv") + F.lit(2)
+            ).alias("ndv_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
-register_split("hll_ndv_by_flag", hll_ndv_by_flag)
+register_split(
+    "hll_ndv_by_flag",
+    hll_ndv_by_flag,
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 
 
 def sketch_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citus_spark.operators.quantile_sketch import approx_quantiles
 
     load_views(spark, sf_dir)
-    return approx_quantiles(
-        spark.table("orders"), ["o_orderpriority"], "o_totalprice", "o_orderkey"
-    ).orderBy("o_orderpriority")
+    orders = spark.table("orders")
+    est = approx_quantiles(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+    joined = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(est), "o_orderpriority"
+    )
+    rank_of = lambda c: F.avg(  # noqa: E731
+        (F.col("o_totalprice") <= F.col(c)).cast("double")
+    )
+    # KMV K=2048 → rank error ~1/sqrt(K) ≈ 2.2%; bound at 3σ ≈ 0.07
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            (F.abs(rank_of("p50") - 0.5) <= 0.07).alias("p50_ok"),
+            (F.abs(rank_of("p90") - 0.9) <= 0.07).alias("p90_ok"),
+            (F.abs(rank_of("p99") - 0.99) <= 0.07).alias("p99_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
-register_split("sketch_quantiles_by_priority", sketch_quantiles_by_priority)
+register_split(
+    "sketch_quantiles_by_priority",
+    sketch_quantiles_by_priority,
+    """
+SELECT o_orderpriority,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
 
 
 # t-digest accuracy contract as an ORACLE-CHECKABLE entry: the digest
