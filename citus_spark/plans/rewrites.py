@@ -69,6 +69,67 @@ def rewrite_count_distinct(sql: str, rsd: float = 0.023) -> str:
     )
 
 
+def extract_materialized_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """Split `WITH name AS MATERIALIZED (body)` CTEs out of a query.
+
+    ↔ reference cte_inline.c: PostgreSQL's MATERIALIZED keyword forces
+    the CTE to evaluate once into an intermediate result instead of
+    inlining (Citus then treats it like a reference-table scan —
+    read_intermediate_result). Spark's parser rejects the keyword, so
+    the session extracts these CTEs textually, evaluates each once
+    into a cached relation, and runs the remaining query against it.
+
+    Returns ([(name, body), ...] in declaration order, remaining_sql).
+    Plain (non-MATERIALIZED) CTEs are left for Catalyst to inline.
+    String literals/comments are never scanned for the keyword.
+    """
+    head = re.compile(
+        r"([A-Za-z_]\w*)\s+AS\s+MATERIALIZED\s*\(", re.IGNORECASE
+    )
+    found: list[tuple[str, str]] = []
+    while True:
+        # positions of literals/comments to skip
+        masked: list[tuple[int, int]] = [
+            (m.start(), m.end()) for m in _SEGMENT.finditer(sql)
+        ]
+
+        def in_code(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in masked)
+
+        m = next((m for m in head.finditer(sql) if in_code(m.start())), None)
+        if m is None:
+            break
+        # balanced-paren scan from the opening '(' (skip literal spans)
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            if not in_code(i):
+                i += 1
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parentheses in MATERIALIZED CTE")
+        found.append((m.group(1), sql[m.end() : i].strip()))
+        before, after = sql[: m.start()], sql[i + 1 :]
+        # drop one list comma: the following one, else the preceding one
+        m_after = re.match(r"\s*,", after)
+        if m_after:
+            after = after[m_after.end() :]
+        else:
+            before = re.sub(r",\s*$", " ", before)
+        sql = before + after
+        # no CTEs left in the WITH list → drop the WITH keyword
+        sql = re.sub(
+            r"\bWITH\s+(?=SELECT\b|\()", "", sql, count=1, flags=re.IGNORECASE
+        )
+    return found, sql
+
+
 def pg_casts(sql: str) -> str:
     """Rewrite PostgreSQL ``expr::type`` casts to ANSI CAST."""
     segs = _segments(sql)

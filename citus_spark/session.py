@@ -242,7 +242,11 @@ class DistributedSession:
         in Spark's parser for parquet relations) routes through the
         merge operator (plans/merge_sql.py ↔ merge_planner.c:115)."""
         from citus_spark.plans.merge_sql import is_merge
-        from citus_spark.plans.rewrites import pg_casts, rewrite_count_distinct
+        from citus_spark.plans.rewrites import (
+            extract_materialized_ctes,
+            pg_casts,
+            rewrite_count_distinct,
+        )
 
         if is_merge(query):
             return self._execute_merge(query)
@@ -250,6 +254,13 @@ class DistributedSession:
             query = pg_casts(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
+        # WITH x AS MATERIALIZED (...) — evaluate once into a cached
+        # relation (↔ cte_inline.c: MATERIALIZED forces an intermediate
+        # result; Citus scans it via read_intermediate_result). The
+        # cached view persists for the session, like materialize().
+        mat, query = extract_materialized_ctes(query)
+        for name, body in mat:
+            self.materialize(name, self.spark.sql(body))
         return self.spark.sql(query)
 
     def _execute_merge(self, query: str) -> DataFrame:
