@@ -431,6 +431,57 @@ WHERE o_orderdate >= date '1997-01-01'
 """,
 )
 
+# EXTRACT/date-part surface — the portability minefield (reference
+# gets PG's EXTRACT in shard SQL; SURVEY §7 lists EXTRACT return
+# types and dow numbering among the known drift risks). Spark's
+# dayofweek is 1=Sunday while DuckDB/PG isodow is 1=Monday, so each
+# side spells its own expression for the SAME ISO semantic; exact
+# bigint sums per (year, month) make any drift in any part a hash
+# mismatch over every row.
+_DATE_PARTS_HEAD = """
+SELECT y AS year, m AS month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_quarter,
+       CAST(sum(d) AS BIGINT) AS sum_day,
+       CAST(sum(h) AS BIGINT) AS sum_hour,
+       CAST(sum(dow) AS BIGINT) AS sum_isodow,
+       CAST(sum(doy) AS BIGINT) AS sum_doy,
+       CAST(sum(es) AS BIGINT) AS sum_epoch_s
+FROM parts
+GROUP BY y, m
+ORDER BY y, m
+"""
+
+def extract_date_parts(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH parts AS (
+  SELECT year(ts) AS y, month(ts) AS m, quarter(ts) AS q, day(ts) AS d,
+         hour(ts) AS h, weekday(ts) + 1 AS dow, dayofyear(ts) AS doy,
+         unix_timestamp(ts) AS es
+  FROM events
+)"""
+        + _DATE_PARTS_HEAD
+    )
+
+
+register_split(
+    "extract_date_parts",
+    extract_date_parts,
+    """
+WITH parts AS (
+  SELECT year(ts) AS y, month(ts) AS m, quarter(ts) AS q, day(ts) AS d,
+         hour(ts) AS h, isodow(ts) AS dow, dayofyear(ts) AS doy,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)"""
+    + _DATE_PARTS_HEAD,
+)
+
+
 register_shared_sql(
     "pivot_event_counts",
     """
