@@ -501,6 +501,47 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking — sliding window with overlap, the
+# tokenize-and-pack precursor every LLM training pipeline runs
+# (complement of sequence_pack: chunking splits long documents,
+# packing concatenates short ones). Pure JVM expressions: one
+# explode(sequence) fan-out + substring per chunk, no shuffle, scales
+# as a map over document partitions. chunk=500 chars, stride=400
+# (100 overlap); n_chunks = ceil((len-overlap)/stride), min 1, so
+# every character is covered and the last chunk may run short.
+_CHUNK, _STRIDE, _OVERLAP = 500, 400, 100
+
+register_split(
+    "chunk_documents_overlap",
+    lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            f"""
+SELECT doc_id, CAST(pos AS INT) AS chunk_no,
+       substring(text, pos * {_STRIDE} + 1, {_CHUNK}) AS chunk,
+       length(substring(text, pos * {_STRIDE} + 1, {_CHUNK})) AS n_chars
+FROM documents
+LATERAL VIEW explode(sequence(0,
+  greatest(CAST(ceil((length(text) - {_OVERLAP}) / {_STRIDE}.0) AS INT), 1) - 1
+)) t AS pos
+ORDER BY doc_id, chunk_no
+"""
+        ),
+    )[1],
+    f"""
+SELECT doc_id, CAST(pos AS INT) AS chunk_no,
+       substring(text, CAST(pos * {_STRIDE} + 1 AS INT), {_CHUNK}) AS chunk,
+       length(substring(text, CAST(pos * {_STRIDE} + 1 AS INT), {_CHUNK})) AS n_chars
+FROM documents,
+     unnest(range(0,
+       greatest(CAST(ceil((length(text) - {_OVERLAP}) / {_STRIDE}.0) AS BIGINT), 1)
+     )) AS t(pos)
+ORDER BY doc_id, chunk_no
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Weighted deterministic sample — sequential Poisson sampling
 # (Ohlsson's πps approximation, the standard survey-sampling scheme):
 # rank by uniform-hash / weight and take the k smallest, so inclusion

@@ -125,3 +125,29 @@ def test_minhash_lsh_finds_synthetic_neardups(spark):
     # appending one token to a ~40-token doc keeps jaccard ≈ 0.93;
     # with 2 bands of 2 minhashes expected recall is high but not 1.0
     assert hits >= 14, f"LSH recall too low: {hits}/20"
+
+
+def test_chunking_covers_documents_exactly(spark):
+    """Chunk i must equal text[i*stride : i*stride+chunk] verbatim and
+    the last chunk must reach the end of the document — no dropped or
+    duplicated characters beyond the declared overlap."""
+    from citus_spark.queries import QUERIES
+    from citus_spark.queries.textops import _CHUNK, _STRIDE
+
+    chunks = QUERIES["chunk_documents_overlap"](spark, SF_SMALL).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk))
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        text = docs[doc_id]
+        assert [p[0] for p in parts] == list(range(len(parts)))
+        for no, ch in parts:
+            assert ch == text[no * _STRIDE : no * _STRIDE + _CHUNK]
+        last_no, last_ch = parts[-1]
+        assert last_no * _STRIDE + len(last_ch) == len(text), doc_id
