@@ -114,7 +114,15 @@ def main() -> None:
         small_dir = "/root/testdata/sf0.01"
         if os.path.isdir(small_dir) and small_dir != sf_dir:
             trend: dict[str, dict[str, float]] = {}
-            for name in ("tpch_q1", "tpch_q6", "minhash_lsh_pairs"):
+            # one representative per plan family: scan-agg, filter-agg,
+            # LSH shuffle, broadcast-join chain, window chain
+            for name in (
+                "tpch_q1",
+                "tpch_q6",
+                "minhash_lsh_pairs",
+                "tpch_q3",
+                "sessionize_events",
+            ):
                 def run_small() -> float:
                     df_small = q.QUERIES[name](spark, small_dir)
                     t0 = time.time()

@@ -96,3 +96,29 @@ def test_unmatched_append_then_partner(spark, tmp_path):
     got = {r.g: (r.n, r.total_value) for r in roll.read().collect()}
     assert got == {"g1": (1, 5.5), "g2": (1, 1.25)}
     assert roll.refresh(a, b2) == 0
+
+
+def test_delta_filters_reach_the_scan(spark, tmp_path):
+    """Both sides' watermark filters must be pushed predicates — at
+    scale (id-partitioned layout) this is the prune that makes refresh
+    O(delta), mirroring the plain rollup's delta-scan gate."""
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    roll = IncrementalJoinRollup(
+        spark,
+        str(tmp_path / "rev2"),
+        join_keys=("o_orderkey", "l_orderkey"),
+        group_cols=["o_custkey"],
+        value_col="l_extendedprice",
+        a_id="o_orderkey",
+        b_id="l_orderkey",
+    )
+    roll.refresh(
+        o.filter(F.col("o_orderkey") <= 500),
+        li.filter(F.col("l_orderkey") <= 500),
+    )
+    wa, wb = roll.watermarks()
+    assert wa <= 500 and wb <= 500
+    da = o.filter(F.col("o_orderkey") > wa)
+    plan = da._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(o_orderkey" in plan
