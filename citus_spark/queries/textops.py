@@ -501,6 +501,66 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring — the classic bag-of-words ranker (Robertson/
+# Sparck-Jones idf, k1=1.2 b=0.75), the retrieval primitive a
+# training-data pipeline uses for contamination lookup and quality
+# mining. Whole pipeline is explode → two grouped counts → one
+# broadcastable join chain — no UDFs, every stage a plain shuffle on
+# its key, so it scales like any agg. Scores are rounded to integer
+# micros BEFORE ordering (ln/libm may differ in the last ulp between
+# engines; a 1e-6 quantum absorbs that while keeping ranks exact).
+_BM25_TERMS = "('spark', 'scan', 'dup')"
+_BM25 = """
+WITH toks AS (
+  {TOKS}
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl FROM doclen),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE w IN {TERMS} GROUP BY doc_id, w),
+df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))) AS score
+  FROM tf
+  JOIN df ON tf.w = df.w
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        _BM25.format(
+            TOKS="SELECT doc_id, w FROM documents "
+            "LATERAL VIEW explode(split(lower(text), ' ')) t AS w",
+            TERMS=_BM25_TERMS,
+        )
+    )
+
+
+register_split(
+    "bm25_topk",
+    bm25_topk,
+    _BM25.format(
+        TOKS="SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents",
+        TERMS=_BM25_TERMS,
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking — sliding window with overlap, the
 # tokenize-and-pack precursor every LLM training pipeline runs
 # (complement of sequence_pack: chunking splits long documents,
