@@ -6,13 +6,15 @@ as Arrow-batched Pandas UDFs over `mapInPandas`, which keeps the
 pipeline shape identical to any other narrow map: no shuffle, columnar
 batches in/out, decode parallelism = scan parallelism.
 
-The decode kernels themselves need image/audio libraries that are NOT
-in this container, so they are stubbed exactly at the implementation
-boundary: `fake=False` raises NotImplementedError unconditionally
-(`_no_real_path`) — never a silent fall-through to the fake kernel —
-and every operator accepts `fake=True` to run a deterministic fake
-decode so the Spark-side plumbing (schemas, batching, partitioning)
-is fully real and tested.
+Codec status: IMAGE decode/resize/aHash have a REAL `fake=False` path
+via the vendored pure-Python PNG codec (operators/imagecodec.py —
+stdlib zlib + numpy, so it works in this Pillow-less container).
+Audio/video decode would need soundfile/pyav, which are genuinely
+absent: those operators raise NotImplementedError unconditionally for
+`fake=False` (`_no_real_path`) — never a silent fall-through to the
+fake kernel. Every operator accepts `fake=True` for a deterministic
+fake decode so the Spark-side plumbing (schemas, batching,
+partitioning) is testable with arbitrary binary fixtures.
 
 Schema conventions:
   media table: (id bigint, media binary, meta struct<kind string,
@@ -62,13 +64,45 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode → (id, width, height, channels). Real path uses PIL per
-    Arrow batch; fake path derives deterministic dimensions from the
-    payload bytes (so downstream operators are testable)."""
-    if not fake:
-        _no_real_path("image decode", "Pillow")
-
+    """Decode → (id, width, height, channels). Real path decodes PNG
+    payloads with the vendored pure-Python codec
+    (operators/imagecodec.py — stdlib zlib + numpy, no Pillow
+    dependency); undecodable payloads yield NULL dimensions rather
+    than failing the batch. Fake path derives deterministic dimensions
+    from the payload bytes (so downstream operators are testable with
+    arbitrary binary fixtures)."""
     out_schema = "id bigint, width int, height int, channels int, n_bytes bigint"
+
+    if not fake:
+        from citus_spark.operators.imagecodec import decode_png
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, ws, hs, cs, ns = [], [], [], [], []
+                for i, buf in zip(pdf["id"], pdf["media"]):
+                    b = bytes(buf)
+                    ids.append(i)
+                    ns.append(len(b))
+                    try:
+                        arr = decode_png(b)
+                        hs.append(arr.shape[0])
+                        ws.append(arr.shape[1])
+                        cs.append(arr.shape[2])
+                    except Exception:  # corrupt/foreign payload → NULLs
+                        ws.append(None)
+                        hs.append(None)
+                        cs.append(None)
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "width": pd.array(ws, dtype="Int32"),
+                        "height": pd.array(hs, dtype="Int32"),
+                        "channels": pd.array(cs, dtype="Int32"),
+                        "n_bytes": ns,
+                    }
+                )
+
+        return df.mapInPandas(real_batches, schema=out_schema)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -122,12 +156,34 @@ def byte_features(df: DataFrame, n_buckets: int = 8) -> DataFrame:
 
 
 def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize → same schema with new payload. Stubbed at the codec
-    boundary; fake path truncates/pads bytes deterministically."""
-    if not fake:
-        _no_real_path("image resize", "Pillow")
-
+    """Resize → same schema with new payload. Real path: vendored PNG
+    decode → nearest-neighbor resize → PNG re-encode (undecodable
+    payloads pass through unchanged). Fake path truncates/pads bytes
+    deterministically."""
     out_schema = "id bigint, media binary"
+
+    if not fake:
+        from citus_spark.operators.imagecodec import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def one(buf):
+                b = bytes(buf)
+                try:
+                    return encode_png(resize_nearest(decode_png(b), width, height))
+                except Exception:  # corrupt/foreign payload → unchanged
+                    return b
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "media": pdf["media"].map(one)}
+                )
+
+        return df.mapInPandas(real_batches, schema=out_schema)
+
     target = width * height * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,9 +205,7 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFra
     treats fixed-size byte chunks as frames; real path would use
     pyav/ffmpeg (not installed)."""
     if not fake:
-        raise NotImplementedError(
-            "real frame sampling requires pyav/ffmpeg; not in this environment"
-        )
+        _no_real_path("video frame decode", "pyav/ffmpeg")
 
     out_schema = "id bigint, frame_no int, frame binary"
     chunk = 256
@@ -181,9 +235,7 @@ def audio_features(
     path would decode with soundfile/librosa, which are not in this
     environment."""
     if not fake:
-        raise NotImplementedError(
-            "real audio decode requires soundfile/librosa; not in this environment"
-        )
+        _no_real_path("audio decode", "soundfile/librosa")
 
     out_schema = (
         "id bigint, n_frames int, duration_s double, "
@@ -226,15 +278,43 @@ def audio_features(
 def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
     """Perceptual average-hash (aHash) → (id, phash bigint).
 
-    Real path: decode → grayscale → 8×8 downsample → bit i set iff
-    cell i > mean. Fake path computes the same 64-cell average hash
-    directly over the payload bytes (64 equal chunks), which preserves
-    the property that matters downstream: identical payloads hash
-    identically, small payload perturbations flip few bits."""
-    if not fake:
-        _no_real_path("aHash (decode + 8x8 grid)", "Pillow")
-
+    Real path: vendored PNG decode → luma grayscale → 8×8 block means
+    → bit i set iff cell i > mean (undecodable payloads hash to 0).
+    Fake path computes the same 64-cell average hash directly over the
+    payload bytes (64 equal chunks), which preserves the property that
+    matters downstream: identical payloads hash identically, small
+    payload perturbations flip few bits."""
     out_schema = "id bigint, phash bigint"
+
+    if not fake:
+        from citus_spark.operators.imagecodec import (
+            block_means_8x8,
+            decode_png,
+            to_gray,
+        )
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in it:
+                ids, hashes = [], []
+                for i, buf in zip(pdf["id"], pdf["media"]):
+                    ids.append(i)
+                    try:
+                        means = block_means_8x8(to_gray(decode_png(bytes(buf))))
+                    except Exception:  # corrupt/foreign payload
+                        hashes.append(0)
+                        continue
+                    bits = means > means.mean()
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                yield pd.DataFrame({"id": ids, "phash": hashes})
+
+        return df.mapInPandas(real_batches, schema=out_schema)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -661,6 +661,58 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_split("image_phash_dedup", image_phash_dedup)
 
 
+# Real PNG decode, end-to-end oracle-checked: build a deterministic
+# PNG per document (dims derived from text length, pixels from the
+# doc's bytes) with the vendored pure-Python encoder, push it through
+# decode_image(fake=False) — the REAL codec path, not the fake — and
+# report the decoded dimensions, which DuckDB predicts from length()
+# alone. A codec regression (wrong unfilter, bad IHDR parse, channel
+# mix-up) changes decoded dims or nulls them → hash mismatch.
+def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from citus_spark.operators.multimodal import decode_image
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def encode_batch(it):
+        from citus_spark.operators.imagecodec import encode_png
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w, h = len(data) % 32 + 8, len(data) % 24 + 8
+                px = np.frombuffer(data, dtype=np.uint8)
+                px = np.resize(px, h * w * 3).reshape(h, w, 3)
+                ids.append(i)
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    media = docs.mapInPandas(encode_batch, schema="id long, media binary")
+    return (
+        decode_image(media, fake=False)
+        .select("id", "width", "height", "channels")
+        .orderBy("id")
+    )
+
+
+register_split(
+    "image_decode_roundtrip",
+    image_decode_roundtrip,
+    """
+SELECT doc_id AS id,
+       CAST(length(text) % 32 + 8 AS INT) AS width,
+       CAST(length(text) % 24 + 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+ORDER BY id
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Theta/KMV distinct sketches (operators/theta_sketch.py) — mergeable
 # NDV states with intersection estimates, the set-expression query HLL
