@@ -373,6 +373,15 @@ def phash_dup_candidates(
     base = 64 // n_bands
     widths = [base + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def band_bits(i: int):
+        # a full-width band (n_bands=1) needs no mask — and (1<<64)-1
+        # overflows the signed long literal Spark accepts
+        shifted = F.shiftrightunsigned("phash", offsets[i])
+        if widths[i] >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     bands = hashed.select(
         F.col("id"),
         F.col("phash"),
@@ -381,9 +390,7 @@ def phash_dup_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("phash", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("bucket"),
+                        band_bits(i).alias("bucket"),
                     )
                     for i in range(n_bands)
                 ]

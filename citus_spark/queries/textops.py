@@ -713,6 +713,71 @@ ORDER BY id
 )
 
 
+# The ENTIRE real image-dedup pipeline, oracle-checked: PNG encode →
+# real decode → luma aHash → banded Hamming self-join. Planted dups
+# are brightness-shifted copies (+25 clipped-free by construction),
+# which real aHash maps to the IDENTICAL hash (threshold is vs the
+# cell mean — a uniform shift cancels), so the expected hamming-0
+# pair list is exactly the planted one and DuckDB enumerates it from
+# doc_ids alone. Accidental 64-bit aHash collisions between distinct
+# random-content images are ~2^-60 — structurally impossible to flip
+# the oracle.
+def image_phash_real_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from citus_spark.operators.multimodal import (
+        image_ahash,
+        phash_dup_candidates,
+    )
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").filter(
+        "doc_id < 100"
+    )
+
+    def encode_batch(it):
+        from citus_spark.operators.imagecodec import encode_png
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                # image seeded from doc_id ALONE: duplicate fixture
+                # texts must not produce accidental hamming-0 pairs.
+                # Pixels in [0, 230] so the +25 shift never clips.
+                px = (
+                    np.random.default_rng(int(i))
+                    .integers(0, 231, size=(16, 16, 3))
+                    .astype(np.uint8)
+                )
+                ids.append(i)
+                blobs.append(encode_png(px))
+                if i % 10 == 0:  # planted duplicate: uniform +25 shift
+                    ids.append(i + 9000)
+                    blobs.append(encode_png(px + 25))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    media = docs.mapInPandas(encode_batch, schema="id long, media binary")
+    hashed = image_ahash(media, fake=False)
+    return (
+        phash_dup_candidates(hashed, max_hamming=0, n_bands=1)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+register_split(
+    "image_phash_real_dedup",
+    image_phash_real_dedup,
+    """
+SELECT doc_id AS id_a, doc_id + 9000 AS id_b, CAST(0 AS INT) AS hamming
+FROM documents
+WHERE doc_id < 100 AND doc_id % 10 = 0
+ORDER BY id_a, id_b
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Theta/KMV distinct sketches (operators/theta_sketch.py) — mergeable
 # NDV states with intersection estimates, the set-expression query HLL
