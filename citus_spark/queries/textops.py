@@ -510,14 +510,18 @@ LIMIT 100
 # micros BEFORE ordering (ln/libm may differ in the last ulp between
 # engines; a 1e-6 quantum absorbs that while keeping ranks exact).
 _BM25_TERMS = "('spark', 'scan', 'dup')"
+# doclen comes from array length, NOT from the exploded tokens: the
+# explode fan-out (~100 rows/doc) is only materialized for the tiny
+# term-filtered tf branch, so the corpus-wide path stays one narrow
+# map — at 100 TB that is the difference between one scan and an
+# extra full-corpus explode+shuffle.
 _BM25 = """
-WITH toks AS (
-  {TOKS}
+WITH doclen AS (
+  {DOCLEN}
 ),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl FROM doclen),
-tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM toks
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM ({TOKS}) toks
        WHERE w IN {TERMS} GROUP BY doc_id, w),
 df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
 scored AS (
@@ -542,6 +546,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     return spark.sql(
         _BM25.format(
+            DOCLEN="SELECT doc_id, size(split(lower(text), ' ')) AS dl "
+            "FROM documents",
             TOKS="SELECT doc_id, w FROM documents "
             "LATERAL VIEW explode(split(lower(text), ' ')) t AS w",
             TERMS=_BM25_TERMS,
@@ -553,6 +559,8 @@ register_split(
     "bm25_topk",
     bm25_topk,
     _BM25.format(
+        DOCLEN="SELECT doc_id, len(string_split(lower(text), ' ')) AS dl "
+        "FROM documents",
         TOKS="SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
         "FROM documents",
         TERMS=_BM25_TERMS,
