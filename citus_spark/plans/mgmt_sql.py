@@ -1,0 +1,82 @@
+"""Textual management-UDF calls — the reference's literal SQL syntax.
+
+↔ reference: the primary user API of Citus IS SQL —
+`SELECT create_distributed_table('t', 'col', colocate_with => 'u')`
+(commands/create_distributed_table.c:222), `create_reference_table`,
+`alter_distributed_table`, `undistribute_table`, and the
+`citus_tables` metadata view. DistributedSession exposes the same
+operations as Python methods; this module routes the SQL spellings to
+them so a user can paste reference DDL scripts unchanged.
+
+Supported argument forms: positional string/int literals and the
+PostgreSQL named-argument arrow (`name => value`). Anything else
+raises with the offending text rather than guessing.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_FNS = (
+    "create_distributed_table",
+    "create_reference_table",
+    "alter_distributed_table",
+    "undistribute_table",
+)
+
+_CALL = re.compile(
+    rf"^\s*SELECT\s+({'|'.join(_FNS)})\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CITUS_TABLES = re.compile(r"\bcitus_tables\s*\(\s*\)|\bcitus_tables\b", re.I)
+
+
+@dataclass
+class MgmtCall:
+    fn: str
+    args: list[str | int]
+    kwargs: dict[str, str | int]
+
+
+def _parse_value(text: str) -> str | int:
+    text = text.strip()
+    m = re.match(r"^'([^']*)'$", text)
+    if m:
+        return m.group(1)
+    if re.match(r"^-?\d+$", text):
+        return int(text)
+    raise ValueError(f"management call: cannot parse argument {text!r}")
+
+
+def parse_mgmt(sql: str) -> MgmtCall | None:
+    """Return the management call, or None if `sql` is not one."""
+    m = _CALL.match(sql)
+    if not m:
+        return None
+    fn, body = m.group(1).lower(), m.group(2).strip()
+    args: list[str | int] = []
+    kwargs: dict[str, str | int] = {}
+    if body:
+        for part in body.split(","):
+            if "=>" in part:
+                name, val = part.split("=>", 1)
+                kwargs[name.strip().lower()] = _parse_value(val)
+            else:
+                if kwargs:
+                    raise ValueError(
+                        "management call: positional argument after named"
+                    )
+                args.append(_parse_value(part))
+    return MgmtCall(fn=fn, args=args, kwargs=kwargs)
+
+
+def uses_citus_tables(sql: str) -> bool:
+    return bool(_CITUS_TABLES.search(sql))
+
+
+def rewrite_citus_tables(sql: str, view_name: str) -> str:
+    """Replace the citus_tables()/citus_tables relation reference with
+    a registered view name."""
+    return _CITUS_TABLES.sub(view_name, sql)

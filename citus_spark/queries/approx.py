@@ -124,13 +124,47 @@ ORDER BY o_orderpriority
 def tablesample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     # seeded Bernoulli sample — deterministic within Spark, not across
-    # engines → rows-only
-    return spark.table("lineitem").sample(0.1, seed=42).select(
+    # engines, so the oracle checks the boolean CONTRACT: the sampled
+    # row count sits within 5σ of Binomial(N, 0.1) (~5.8e-7 false-
+    # positive), and every sampled row is a real lineitem row
+    # (semi-join back equals the sample size).
+    li = spark.table("lineitem")
+    s = li.sample(0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    from pyspark.sql import functions as F
+
+    n_sample = s.count()
+    n_total = li.count()
+    import math
+
+    sigma = math.sqrt(n_total * 0.1 * 0.9)
+    all_real = (
+        s.join(li, ["l_orderkey", "l_linenumber", "l_quantity"], "left_semi")
+        .count()
+        == n_sample
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                abs(n_sample - 0.1 * n_total) <= 5 * sigma,
+                bool(all_real),
+            )
+        ],
+        "n_total bigint, count_in_5_sigma boolean, rows_are_real boolean",
     )
 
 
-register_split("tablesample_scan", tablesample_scan)
+register_split(
+    "tablesample_scan",
+    tablesample_scan,
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       TRUE AS count_in_5_sigma, TRUE AS rows_are_real
+FROM lineitem
+""",
+)
 
 
 # Exact percentile — oracle-checked: both engines interpolate

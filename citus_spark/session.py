@@ -250,6 +250,9 @@ class DistributedSession:
 
         if is_merge(query):
             return self._execute_merge(query)
+        mgmt = self._execute_mgmt(query)
+        if mgmt is not None:
+            return mgmt
         if self.pg_compat:
             query = pg_casts(query)
         if self.count_distinct_error_rate:
@@ -262,6 +265,62 @@ class DistributedSession:
         for name, body in mat:
             self.materialize(name, self.spark.sql(body))
         return self.spark.sql(query)
+
+    def _execute_mgmt(self, query: str) -> DataFrame | None:
+        """Route the reference's literal SQL management-UDF spellings
+        (SELECT create_distributed_table('t', 'col', colocate_with =>
+        'u'), create_reference_table, alter_distributed_table,
+        undistribute_table, and the citus_tables metadata view) to the
+        session API, so reference DDL scripts run unchanged. Returns
+        None when `query` is not a management call."""
+        from citus_spark.plans.mgmt_sql import (
+            parse_mgmt,
+            rewrite_citus_tables,
+            uses_citus_tables,
+        )
+
+        call = parse_mgmt(query)
+        if call is None:
+            if uses_citus_tables(query):
+                self.citus_tables().createOrReplaceTempView("_citus_tables")
+                return self.spark.sql(
+                    rewrite_citus_tables(query, "_citus_tables")
+                )
+            return None
+        kw = call.kwargs
+        if call.fn == "create_distributed_table":
+            name, dist_col = str(call.args[0]), str(
+                call.args[1] if len(call.args) > 1 else kw["distribution_column"]
+            )
+            self.create_distributed_table(
+                name,
+                self.spark.table(name),
+                dist_col,
+                buckets=int(kw.get("shard_count", DEFAULT_SHARD_COUNT)),
+                colocate_with=(
+                    None
+                    if kw.get("colocate_with") in (None, "default", "none")
+                    else str(kw["colocate_with"])
+                ),
+            )
+        elif call.fn == "create_reference_table":
+            name = str(call.args[0])
+            self.create_reference_table(name, self.spark.table(name))
+        elif call.fn == "alter_distributed_table":
+            name = str(call.args[0])
+            self.alter_distributed_table(
+                name,
+                dist_col=kw.get("distribution_column"),
+                buckets=(
+                    int(kw["shard_count"]) if "shard_count" in kw else None
+                ),
+                colocate_with=kw.get("colocate_with"),
+            )
+        elif call.fn == "undistribute_table":
+            self.undistribute_table(str(call.args[0]))
+        # mirror the reference: the call returns a single NULL-valued
+        # row named after the function
+        return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
 
     def _execute_merge(self, query: str) -> DataFrame:
         """Textual MERGE INTO → sources.ingest.merge_into. The target

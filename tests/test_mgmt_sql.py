@@ -1,0 +1,69 @@
+"""The reference's literal SQL management-UDF syntax must work
+through DistributedSession.sql — paste-compatible DDL."""
+
+import pytest
+
+from citus_spark.session import DistributedSession
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    s = DistributedSession(spark)
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").createOrReplaceTempView(
+        "orders_m"
+    )
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_m"
+    )
+    spark.read.parquet(f"{SF_SMALL}/nation.parquet").createOrReplaceTempView(
+        "nation_m"
+    )
+    return s
+
+
+def test_create_distributed_table_sql(sess):
+    out = sess.sql("SELECT create_distributed_table('orders_m', 'o_orderkey')")
+    assert out.columns == ["create_distributed_table"]
+    e = sess.catalog.get("orders_m")
+    assert e.is_hash_distributed and e.dist_col == "o_orderkey"
+
+    sess.sql(
+        "SELECT create_distributed_table('lineitem_m', 'l_orderkey', "
+        "colocate_with => 'orders_m')"
+    )
+    assert sess.catalog.colocated("lineitem_m", "orders_m")
+
+
+def test_reference_alter_undistribute_sql(sess):
+    sess.sql("SELECT create_reference_table('nation_m')")
+    assert sess.catalog.get("nation_m").is_reference
+
+    sess.sql("SELECT create_distributed_table('orders_m', 'o_orderkey')")
+    sess.sql(
+        "SELECT alter_distributed_table('orders_m', "
+        "distribution_column => 'o_custkey', shard_count => 16)"
+    )
+    e = sess.catalog.get("orders_m")
+    assert e.dist_col == "o_custkey" and e.buckets == 16
+
+    sess.sql("SELECT undistribute_table('orders_m')")
+    assert not sess.catalog.get("orders_m").is_hash_distributed
+
+
+def test_citus_tables_view_sql(sess):
+    sess.sql("SELECT create_distributed_table('orders_m', 'o_orderkey')")
+    sess.sql("SELECT create_reference_table('nation_m')")
+    rows = {
+        r.table_name: r.citus_table_type
+        for r in sess.sql(
+            "SELECT table_name, citus_table_type FROM citus_tables() "
+            "ORDER BY table_name"
+        ).collect()
+    }
+    assert rows["orders_m"] == "hash" and rows["nation_m"] == "reference"
+
+
+def test_non_mgmt_sql_unaffected(sess):
+    n = sess.sql("SELECT count(*) AS n FROM orders_m").collect()[0].n
+    assert n > 0
