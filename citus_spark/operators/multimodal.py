@@ -6,15 +6,17 @@ as Arrow-batched Pandas UDFs over `mapInPandas`, which keeps the
 pipeline shape identical to any other narrow map: no shuffle, columnar
 batches in/out, decode parallelism = scan parallelism.
 
-Codec status: IMAGE decode/resize/aHash have a REAL `fake=False` path
-via the vendored pure-Python PNG codec (operators/imagecodec.py —
-stdlib zlib + numpy, so it works in this Pillow-less container).
-Audio/video decode would need soundfile/pyav, which are genuinely
-absent: those operators raise NotImplementedError unconditionally for
-`fake=False` (`_no_real_path`) — never a silent fall-through to the
-fake kernel. Every operator accepts `fake=True` for a deterministic
-fake decode so the Spark-side plumbing (schemas, batching,
-partitioning) is testable with arbitrary binary fixtures.
+Codec status: every modality now has a REAL `fake=False` path via a
+vendored pure-Python codec — PNG for images (operators/imagecodec.py,
+stdlib zlib + numpy), WAV/RIFF-PCM for audio (operators/audiocodec.py)
+and Y4M/YUV4MPEG2 for video (operators/videocodec.py). COMPRESSED
+media (jpeg, mp3/flac, h264) would need Pillow/soundfile/pyav, which
+are genuinely absent from this container; feeding such payloads to
+the real path raises ValueError from the codec's container sniffing —
+never a silent fall-through to the fake kernel. Every operator also
+accepts `fake=True` for a deterministic fake decode so the Spark-side
+plumbing (schemas, batching, partitioning) is testable with arbitrary
+binary fixtures.
 
 Schema conventions:
   media table: (id bigint, media binary, meta struct<kind string,
@@ -34,17 +36,6 @@ MEDIA_SCHEMA = (
     "id bigint, media binary, "
     "meta struct<kind string, width int, height int, sample_rate int, n_frames int>"
 )
-
-
-def _no_real_path(what: str, libs: str):
-    """Unconditional guard for operators whose real-decode branch is
-    not implemented. Raising regardless of library availability avoids
-    the silent-wrong failure mode where the library IS installed and
-    the fake kernel masquerades as a real decode."""
-    raise NotImplementedError(
-        f"real {what} is not implemented in this build (would require "
-        f"{libs}); pass fake=True for the deterministic stub"
-    )
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -201,14 +192,33 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> D
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
-    """Video frame sampling → one row per sampled frame. Fake path
-    treats fixed-size byte chunks as frames; real path would use
-    pyav/ffmpeg (not installed)."""
-    if not fake:
-        _no_real_path("video frame decode", "pyav/ffmpeg")
+    """Video frame sampling → one row per sampled frame.
 
+    Real path (`fake=False`) decodes Y4M (YUV4MPEG2) containers with
+    the vendored pure-Python codec (operators/videocodec.py) and
+    emits every `every_n`-th luma plane as the frame payload —
+    compressed codecs (h264 etc.) would need pyav/ffmpeg, which this
+    container lacks. Fake path treats fixed-size byte chunks as
+    frames so arbitrary binary fixtures exercise the plumbing."""
     out_schema = "id bigint, frame_no int, frame binary"
     chunk = 256
+
+    if not fake:
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from citus_spark.operators.videocodec import decode_y4m_frames
+
+            for pdf in it:
+                rows = []
+                for i, buf in zip(pdf["id"], pdf["media"]):
+                    for fn, plane in enumerate(decode_y4m_frames(bytes(buf))):
+                        if fn % every_n == 0:
+                            rows.append(
+                                {"id": i, "frame_no": fn, "frame": plane.tobytes()}
+                            )
+                yield pd.DataFrame(rows, columns=["id", "frame_no", "frame"])
+
+        return df.mapInPandas(real_batches, schema=out_schema)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -231,16 +241,60 @@ def audio_features(
 
     Fake path interprets the media bytes as signed 8-bit PCM — a
     deterministic stand-in that exercises the real Spark surface
-    (Arrow batch shape, frame loop, typed output schema). The real
-    path would decode with soundfile/librosa, which are not in this
-    environment."""
-    if not fake:
-        _no_real_path("audio decode", "soundfile/librosa")
-
+    (Arrow batch shape, frame loop, typed output schema). Real path
+    (`fake=False`) decodes WAV (RIFF/PCM) with the vendored
+    pure-Python codec (operators/audiocodec.py): duration uses the
+    container's true sample rate, features run over channel 0
+    normalized by the bit depth's power-of-two full scale (exact in
+    IEEE doubles, so derived values stay engine-portable). Compressed
+    audio (mp3/flac/ogg) would need soundfile/librosa, absent here."""
     out_schema = (
         "id bigint, n_frames int, duration_s double, "
         "rms_mean double, rms_max double, zcr_mean double"
     )
+
+    if not fake:
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from citus_spark.operators.audiocodec import decode_wav
+
+            for pdf in it:
+                rows = []
+                for i, buf in zip(pdf["id"], pdf["media"]):
+                    samples, rate = decode_wav(bytes(buf))
+                    ch0 = samples[:, 0]
+                    if ch0.dtype == np.uint8:
+                        pcm = (ch0.astype(np.float64) - 128.0) / 128.0
+                    elif ch0.dtype == np.int16:
+                        pcm = ch0.astype(np.float64) / 32768.0
+                    else:
+                        pcm = ch0.astype(np.float64) / 2147483648.0
+                    n = (len(pcm) // frame_len) * frame_len
+                    if n == 0:
+                        rows.append(
+                            {"id": i, "n_frames": 0,
+                             "duration_s": len(pcm) / rate,
+                             "rms_mean": 0.0, "rms_max": 0.0, "zcr_mean": 0.0}
+                        )
+                        continue
+                    frames = pcm[:n].reshape(-1, frame_len)
+                    rms = np.sqrt((frames * frames).mean(axis=1))
+                    zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                    rows.append(
+                        {
+                            "id": i,
+                            "n_frames": int(len(frames)),
+                            "duration_s": len(pcm) / rate,
+                            "rms_mean": float(rms.mean()),
+                            "rms_max": float(rms.max()),
+                            "zcr_mean": float(zcr.mean()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return df.mapInPandas(real_batches, schema=out_schema)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

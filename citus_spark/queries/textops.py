@@ -786,6 +786,149 @@ ORDER BY id_a, id_b
 )
 
 
+# Real WAV decode, end-to-end oracle-checked (same construction as
+# image_decode_roundtrip): build a deterministic RIFF/PCM clip per
+# document — stereo int16, sample count and sample rate derived from
+# text length, channel 0 a full-scale/2 period-2 square wave
+# (+16384/−16384), channel 1 silent — and push it through
+# audio_features(fake=False), the REAL codec path. Every reported
+# feature is then analytically exact in IEEE doubles: ±16384/32768 is
+# ±0.5 exactly, so per-frame RMS is 0.5 and ZCR is 1.0, and duration
+# is one int/int double division both engines perform identically.
+# The silent channel 1 makes wrong-channel extraction (interleave
+# bugs) flip rms to 0 → hash mismatch; a header misparse changes
+# sample_rate or count → duration/n_frames mismatch.
+def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from citus_spark.operators.multimodal import audio_features
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def encode_batch(it):
+        from citus_spark.operators.audiocodec import encode_wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) % 2000 + 512
+                rate = 8000 + (len(text) % 5) * 1000
+                left = np.where(np.arange(n) % 2 == 0, 16384, -16384)
+                clip = np.stack(
+                    [left, np.zeros(n, dtype=np.int64)], axis=1
+                ).astype(np.int16)
+                ids.append(i)
+                blobs.append(encode_wav(clip, rate))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    media = docs.mapInPandas(encode_batch, schema="id long, media binary")
+    return (
+        audio_features(media, fake=False)
+        .select("id", "n_frames", "duration_s", "rms_mean", "rms_max", "zcr_mean")
+        .orderBy("id")
+    )
+
+
+register_split(
+    "audio_decode_roundtrip",
+    audio_decode_roundtrip,
+    """
+SELECT doc_id AS id,
+       CAST(floor((length(text) % 2000 + 512) / 512.0) AS INT) AS n_frames,
+       CAST(length(text) % 2000 + 512 AS DOUBLE)
+         / CAST(8000 + (length(text) % 5) * 1000 AS DOUBLE) AS duration_s,
+       CAST(0.5 AS DOUBLE) AS rms_mean,
+       CAST(0.5 AS DOUBLE) AS rms_max,
+       CAST(1.0 AS DOUBLE) AS zcr_mean
+FROM documents
+ORDER BY id
+""",
+)
+
+
+# Real Y4M video decode, end-to-end oracle-checked: build a
+# deterministic YUV4MPEG2 stream per document (frame count from text
+# length, frame k's luma plane CONSTANT at (doc_id*31 + k*7) % 256,
+# C420 chroma written neutral), frame-sample every 2nd frame through
+# frame_sample(fake=False) — the REAL codec path — then reduce each
+# sampled plane to (pixel count, mean luma). The mean of a constant
+# uint8 plane over 64 pixels is that constant exactly (integer sum,
+# power-of-two divide), so DuckDB predicts every value from doc_id
+# and length() alone. A plane-layout bug (chroma not skipped, wrong
+# stride, FRAME marker drift) shifts bytes into the luma plane →
+# wrong mean or pixel count → hash mismatch.
+def video_decode_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from citus_spark.operators.multimodal import frame_sample
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").filter("doc_id < 200")
+
+    def encode_batch(it):
+        from citus_spark.operators.videocodec import encode_y4m
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = len(text) % 7 + 2
+                lumas = (int(i) * 31 + np.arange(nf) * 7) % 256
+                frames = np.broadcast_to(
+                    lumas.astype(np.uint8)[:, None, None], (nf, 8, 8)
+                ).copy()
+                ids.append(i)
+                blobs.append(encode_y4m(frames, fps=(30, 1), colorspace="420"))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    media = docs.mapInPandas(encode_batch, schema="id long, media binary")
+    sampled = frame_sample(media, every_n=2, fake=False)
+
+    def stats_batch(it):
+        for pdf in it:
+            rows = []
+            for i, fn, frame in zip(pdf["id"], pdf["frame_no"], pdf["frame"]):
+                plane = np.frombuffer(bytes(frame), dtype=np.uint8)
+                rows.append(
+                    {
+                        "id": i,
+                        "frame_no": fn,
+                        "frame_pixels": len(plane),
+                        "luma_mean": float(plane.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_no", "frame_pixels", "luma_mean"]
+            )
+
+    return sampled.mapInPandas(
+        stats_batch,
+        schema="id long, frame_no int, frame_pixels int, luma_mean double",
+    ).orderBy("id", "frame_no")
+
+
+register_split(
+    "video_decode_frame_stats",
+    video_decode_frame_stats,
+    """
+WITH d AS (
+  SELECT doc_id, length(text) % 7 + 2 AS nf
+  FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id, unnest(range(0, nf, 2)) AS frame_no FROM d
+)
+SELECT doc_id AS id, CAST(frame_no AS INT) AS frame_no,
+       CAST(64 AS INT) AS frame_pixels,
+       CAST((doc_id * 31 + frame_no * 7) % 256 AS DOUBLE) AS luma_mean
+FROM f
+ORDER BY id, frame_no
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Theta/KMV distinct sketches (operators/theta_sketch.py) — mergeable
 # NDV states with intersection estimates, the set-expression query HLL

@@ -176,13 +176,16 @@ def test_audio_features_fake(media):
         assert r.rms_max >= r.rms_mean >= 0.0
 
 
-def test_audio_features_real_is_stubbed(media):
+def test_audio_features_real_rejects_non_wav(media):
+    """The real path must fail loudly on payloads that are not RIFF/PCM
+    (the media fixture is utf-8 text bytes) — never fall through to
+    the fake kernel."""
     import pytest
 
     from citus_spark.operators.multimodal import audio_features
 
-    with pytest.raises(NotImplementedError):
-        audio_features(media, fake=False)
+    with pytest.raises(Exception, match="not a WAV"):
+        audio_features(media, fake=False).collect()
 
 
 def test_image_ahash_and_banded_hamming_dedup(spark):
