@@ -72,6 +72,9 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
     return MgmtCall(fn=fn, args=args, kwargs=kwargs)
 
 
+_CITUS_SHARDS = re.compile(r"\bcitus_shards\s*\(\s*\)|\bcitus_shards\b", re.I)
+
+
 def uses_citus_tables(sql: str) -> bool:
     return bool(_CITUS_TABLES.search(sql))
 
@@ -80,3 +83,13 @@ def rewrite_citus_tables(sql: str, view_name: str) -> str:
     """Replace the citus_tables()/citus_tables relation reference with
     a registered view name."""
     return _CITUS_TABLES.sub(view_name, sql)
+
+
+def uses_citus_shards(sql: str) -> bool:
+    return bool(_CITUS_SHARDS.search(sql))
+
+
+def rewrite_citus_shards(sql: str, view_name: str) -> str:
+    """Replace the citus_shards()/citus_shards relation reference with
+    a registered view name."""
+    return _CITUS_SHARDS.sub(view_name, sql)

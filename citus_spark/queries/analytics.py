@@ -1632,3 +1632,51 @@ WHERE rk = 1 AND user_id < 200
 ORDER BY user_id
 """,
 )
+
+
+# citus_shards metadata view, rolled up per table so the oracle is
+# engine-portable: shard contents depend on Spark's hash (DuckDB
+# cannot replay pmod(hash(col), n)), but the per-table invariants —
+# one row per shard, hash tables get exactly shard_count buckets,
+# reference tables exactly one, and per-shard rows summing to the
+# table's count — are. A lost/duplicated shard row or a miscounted
+# bucket breaks the rollup. (The full-resolution view is pinned by
+# tests/test_catalog.py; the SQL front door serves the same view via
+# `SELECT ... FROM citus_shards`.)
+def citus_shards_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    return (
+        sess.citus_shards()
+        .groupBy("table_name", "citus_table_type")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("shard_rows").cast("long").alias("total_rows"),
+        )
+        .orderBy("table_name")
+    )
+
+
+def _citus_shards_rollup_oracle() -> str:
+    hash_tables = ("documents", "embeddings", "events", "lineitem", "orders")
+    ref_tables = ("customer", "nation", "part", "region", "supplier")
+    legs = [
+        f"SELECT '{t}' AS table_name, 'hash' AS citus_table_type, "
+        f"CAST(32 AS BIGINT) AS n_shards, "
+        f"(SELECT count(*) FROM {t}) AS total_rows"
+        for t in hash_tables
+    ] + [
+        f"SELECT '{t}' AS table_name, 'reference' AS citus_table_type, "
+        f"CAST(1 AS BIGINT) AS n_shards, "
+        f"(SELECT count(*) FROM {t}) AS total_rows"
+        for t in ref_tables
+    ]
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY table_name"
+
+
+register_split(
+    "citus_shards_rollup", citus_shards_rollup, _citus_shards_rollup_oracle()
+)

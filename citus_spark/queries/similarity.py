@@ -485,8 +485,10 @@ register_split("ivf_topk_nprobe2", ivf_topk_nprobe2, _ivf_topk_oracle(nprobe=2))
 NEARDUP_TAU = 0.15
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_views(spark, sf_dir)
+def _neardup_pair_frame(spark: SparkSession) -> DataFrame:
+    """Unordered (id_a, id_b, cosine) near-dup candidate pairs —
+    shared by the pair-listing entry and the keep-one-per-cluster
+    composite (which would otherwise inherit a useless pre-join sort)."""
     emb = spark.table("embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", F.expr(_lsh_bucket_expr()).alias("bucket")
@@ -505,8 +507,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_TAU)
-        .orderBy("id_a", "id_b")
     )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return _neardup_pair_frame(spark).orderBy("id_a", "id_b")
 
 
 _NEARDUP_ORACLE = f"""
@@ -525,6 +531,73 @@ ORDER BY id_a, id_b
 """
 
 register_split("embedding_neardup_pairs", embedding_neardup_pairs, _NEARDUP_ORACLE)
+
+
+# Semantic dedup, keep-one-per-cluster (the SemDeDup-style pipeline
+# end-to-end): LSH-bucketed cosine near-dup pairs → connected
+# components (pointer doubling, operators/components.py) → canonical
+# representative = min vec_id per component, `keep` flag for every
+# vector including singletons. This is the composite a training-data
+# pipeline actually runs — pairs alone don't dedup anything. The
+# DuckDB oracle replays the identical bucket/cosine pair set and
+# resolves clusters with a recursive transitive closure, so the
+# distributed pointer-doubling fixpoint is checked against a
+# first-principles sequential formulation.
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.components import connected_components
+
+    load_views(spark, sf_dir)
+    pairs = _neardup_pair_frame(spark).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    emb = spark.table("embeddings").select("vec_id")
+    comp = F.coalesce("component", F.col("vec_id")).cast("long")
+    return (
+        emb.join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            comp.alias("component"),
+            (comp == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register_split(
+    "semantic_dedup_keep",
+    semantic_dedup_keep,
+    f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck()} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE {dot_fold_duck('a.embedding', 'c.embedding')}
+          / (sqrt({dot_fold_duck('a.embedding', 'a.embedding')})
+             * sqrt({dot_fold_duck('c.embedding', 'c.embedding')}))
+        >= {NEARDUP_TAU}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS doc FROM edges
+), reach AS (
+  SELECT doc, doc AS r FROM nodes
+  UNION
+  SELECT e.v AS doc, reach.r
+  FROM reach JOIN edges e ON e.u = reach.doc
+), comp AS (
+  SELECT doc AS vec_id, min(r) AS component FROM reach GROUP BY doc
+)
+SELECT v.vec_id,
+       CAST(coalesce(c.component, v.vec_id) AS BIGINT) AS component,
+       coalesce(c.component, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+ORDER BY v.vec_id
+""",
+)
 
 
 # Multi-table hyperplane LSH (operators/ann_lsh.py) — the production

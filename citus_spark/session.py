@@ -275,17 +275,23 @@ class DistributedSession:
         None when `query` is not a management call."""
         from citus_spark.plans.mgmt_sql import (
             parse_mgmt,
+            rewrite_citus_shards,
             rewrite_citus_tables,
+            uses_citus_shards,
             uses_citus_tables,
         )
 
         call = parse_mgmt(query)
         if call is None:
-            if uses_citus_tables(query):
+            rewritten = query
+            if uses_citus_tables(rewritten):
                 self.citus_tables().createOrReplaceTempView("_citus_tables")
-                return self.spark.sql(
-                    rewrite_citus_tables(query, "_citus_tables")
-                )
+                rewritten = rewrite_citus_tables(rewritten, "_citus_tables")
+            if uses_citus_shards(rewritten):
+                self.citus_shards().createOrReplaceTempView("_citus_shards")
+                rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
+            if rewritten is not query:
+                return self.spark.sql(rewritten)
             return None
         kw = call.kwargs
         if call.fn == "create_distributed_table":
@@ -432,6 +438,83 @@ class DistributedSession:
             rows,
             "table_name string, citus_table_type string, "
             "distribution_column string, colocation_id int, shard_count int",
+        )
+
+    def citus_shards(self) -> DataFrame:
+        """↔ the reference's `citus_shards` view (a join over
+        pg_dist_shard/pg_dist_placement with shard sizes): one row per
+        shard. A hash-distributed table's shards here are its hash
+        buckets — pmod(hash(dist_col), buckets), the same placement
+        function the co-location machinery relies on — with shard ids
+        allocated from 102008 like the reference's first shard id.
+        `shard_rows` is computed with one distributed count per table;
+        `shard_size` prorates the relation's parquet bytes by row
+        share (NULL when the relation isn't file-backed). There is no
+        nodename/nodeport column: Spark assigns bucket partitions to
+        executors per query (the analog of the reference's
+        task-assignment policy), so a static placement would be a
+        fabrication."""
+        import os
+        from urllib.parse import urlparse
+
+        rows: list[tuple] = []
+        next_shard_id = 102008
+        for t in self.catalog.tables().values():
+            if not (t.is_hash_distributed or t.is_reference):
+                continue
+            df = self.spark.table(t.name)
+            nbytes = None
+            files = df.inputFiles()
+            if files:
+                paths = [urlparse(f).path for f in files]
+                if all(os.path.exists(p) for p in paths):
+                    nbytes = sum(os.path.getsize(p) for p in paths)
+            if t.is_hash_distributed:
+                counts = dict(
+                    df.groupBy(
+                        F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets))
+                        .alias("b")
+                    )
+                    .count()
+                    .collect()
+                )
+                total = sum(counts.values())
+                for b in range(t.buckets):
+                    shard_id = next_shard_id + b
+                    n = int(counts.get(b, 0))
+                    rows.append(
+                        (
+                            t.name,
+                            shard_id,
+                            f"{t.name}_{shard_id}",
+                            t.method,
+                            int(t.colocation_id),
+                            n,
+                            int(nbytes * n / total)
+                            if nbytes is not None and total
+                            else None,
+                        )
+                    )
+                next_shard_id += t.buckets
+            else:
+                n = df.count()
+                rows.append(
+                    (
+                        t.name,
+                        next_shard_id,
+                        f"{t.name}_{next_shard_id}",
+                        t.method,
+                        int(t.colocation_id),
+                        int(n),
+                        int(nbytes) if nbytes is not None else None,
+                    )
+                )
+                next_shard_id += 1
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, shardid long, shard_name string, "
+            "citus_table_type string, colocation_id int, "
+            "shard_rows long, shard_size long",
         )
 
     def undistribute_table(self, name: str) -> DataFrame:

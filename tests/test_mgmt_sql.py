@@ -67,3 +67,36 @@ def test_citus_tables_view_sql(sess):
 def test_non_mgmt_sql_unaffected(sess):
     n = sess.sql("SELECT count(*) AS n FROM orders_m").collect()[0].n
     assert n > 0
+
+
+def test_citus_shards_view_sql(sess, spark):
+    """citus_shards: one row per hash bucket / reference replica,
+    per-shard rows summing to the table count, shard ids allocated
+    from 102008, sizes prorated from the parquet bytes."""
+    sess.sql(
+        "SELECT create_distributed_table('orders_m', 'o_orderkey', "
+        "shard_count => 8)"
+    )
+    sess.sql("SELECT create_reference_table('nation_m')")
+    rows = sess.sql(
+        "SELECT * FROM citus_shards ORDER BY shardid"
+    ).collect()
+    orders = [r for r in rows if r.table_name == "orders_m"]
+    nation = [r for r in rows if r.table_name == "nation_m"]
+    assert len(orders) == 8 and len(nation) == 1
+    assert orders[0].shardid == 102008
+    assert orders[0].shard_name == "orders_m_102008"
+    assert [r.shardid for r in orders] == list(range(102008, 102016))
+    total = spark.table("orders_m").count()
+    assert sum(r.shard_rows for r in orders) == total
+    assert nation[0].citus_table_type == "reference"
+    assert nation[0].shard_rows == spark.table("nation_m").count()
+    # parquet-backed → prorated byte sizes present and plausible
+    assert all(r.shard_size is not None and r.shard_size >= 0 for r in orders)
+    # joinable with citus_tables in one statement (both rewrites fire)
+    joined = sess.sql(
+        "SELECT t.table_name, count(*) AS n FROM citus_tables t "
+        "JOIN citus_shards s ON s.table_name = t.table_name "
+        "GROUP BY t.table_name ORDER BY t.table_name"
+    ).collect()
+    assert {r.table_name: r.n for r in joined}["orders_m"] == 8
