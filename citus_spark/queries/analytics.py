@@ -1680,3 +1680,61 @@ def _citus_shards_rollup_oracle() -> str:
 register_split(
     "citus_shards_rollup", citus_shards_rollup, _citus_shards_rollup_oracle()
 )
+
+
+# Transactional MERGE through the commit-log table format
+# (sources/txlog.py; ↔ reference merge_planner.c:115 planned inside
+# Citus's 2PC envelope — here atomicity comes from the log's exclusive
+# version claim). The entry materializes a TxTable from orders, runs a
+# whole-row upsert MERGE (updates double the price, even keys insert
+# as new rows), and reads the committed snapshot back; DuckDB predicts
+# the post-merge table relationally. A torn commit, lost update, or
+# double-applied merge changes the row set → hash mismatch.
+def txlog_merge_upsert(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.sources.txlog import TxTable
+
+    load_views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 1000")
+    )
+    src = base.filter("o_orderkey % 3 = 0").select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") + 1000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    path = "/tmp/citus_spark_txlog_entry"
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxTable.create(spark, path, base)
+    t.merge(src, keys=["o_orderkey"])
+    return t.read().orderBy("o_orderkey")
+
+
+register_split(
+    "txlog_merge_upsert",
+    txlog_merge_upsert,
+    """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey < 1000
+), s AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey + 1000000
+              ELSE o_orderkey END AS o_orderkey,
+         o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM t WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM s
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM t
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+ORDER BY o_orderkey
+""",
+)

@@ -1,0 +1,176 @@
+"""Transaction-log table format: snapshot isolation, atomic MERGE,
+optimistic concurrency, crash safety, time travel, vacuum."""
+
+import os
+
+import pytest
+
+from citus_spark.sources.txlog import Commit, ConcurrentWriteError, TxTable
+
+
+@pytest.fixture()
+def orders(spark):
+    from tests.conftest import SF_SMALL
+
+    return (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 200")
+    )
+
+
+def test_create_read_history(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    assert t.read().count() == orders.count()
+    h = t.history()
+    assert h[0]["op"] == "create" and h[0]["version"] == 0
+
+
+def test_append_and_time_travel(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders.filter("o_orderkey < 100"))
+    n0 = t.read().count()
+    v = t.append(orders.filter("o_orderkey >= 100"))
+    assert v == 1
+    assert t.read().count() == orders.count()
+    assert t.read(version=0).count() == n0  # old snapshot intact
+
+
+def test_merge_upsert_matches_nontx_semantics(spark, orders, tmp_path):
+    """TxTable.merge == sources.ingest.merge_into on the same inputs."""
+    from pyspark.sql import functions as F
+
+    from citus_spark.sources.ingest import merge_into
+
+    src = orders.filter("o_orderkey % 3 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ).withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") + 100000)
+        .otherwise(F.col("o_orderkey")),
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    t.merge(src, keys=["o_orderkey"])
+
+    plain = str(tmp_path / "plain")
+    orders.write.parquet(plain)
+    merge_into(spark, plain, src, keys=["o_orderkey"])
+
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(map(tuple, spark.read.parquet(plain).collect()))
+    assert got == want
+
+
+def test_delete_where_and_empty_table_read(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    t.delete_where("o_orderkey >= 0")  # delete everything
+    out = t.read()
+    assert out.count() == 0
+    assert out.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def test_reader_snapshot_survives_overwrite_and_vacuum(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    pinned = t.read()  # snapshot pinned at v0
+    t.overwrite(orders.limit(5))
+    assert pinned.count() == orders.count()  # still the old files
+    # vacuum with retention keeps v0's files; dropping retention kills them
+    t.vacuum(retain_versions=2)
+    assert pinned.count() == orders.count()
+    removed = t.vacuum(retain_versions=1)
+    assert removed  # v0's files collected now
+
+
+def test_crash_before_commit_leaves_table_unchanged(spark, orders, tmp_path):
+    """Data files land before the commit — kill the writer between the
+    two steps and the table must be bit-identical, with the garbage
+    collectable by vacuum."""
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    before = sorted(map(tuple, t.read().collect()))
+    # simulate the crash: stage files, never commit
+    t._write_files(orders.limit(3))
+    assert sorted(map(tuple, t.read().collect())) == before
+    orphans = t.vacuum()
+    assert orphans
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_version_claim_is_exclusive(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    with pytest.raises(FileExistsError):
+        t._commit(Commit(version=0, op="append"))
+
+
+def test_concurrent_append_retries_to_next_version(spark, orders, tmp_path):
+    t1 = TxTable.create(spark, str(tmp_path / "t"), orders.limit(3))
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    # interleave: both see v0; both append; both must land (v1, v2)
+    t1.append(orders.filter("o_orderkey < 50"))
+    t2.append(orders.filter("o_orderkey >= 50"))
+    assert t1.latest_version() == 2
+    assert t2.read().count() == 3 + orders.count()
+
+
+def test_concurrent_merge_rebases_not_clobbers(spark, orders, tmp_path):
+    """A merge that loses the race must recompute against the winner's
+    snapshot — the winner's rows survive."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    t = TxTable.create(spark, path, orders)
+    winner_rows = orders.limit(0).unionByName(
+        spark.createDataFrame(
+            [(999999, 1, 42.0)], "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        ).select(
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_totalprice"),
+        )
+    )
+
+    real_commit = t._commit
+    state = {"injected": False}
+
+    def racing_commit(commit):
+        # first replace-commit attempt: another writer sneaks in an
+        # append claiming the same version
+        if not state["injected"] and commit.op == "merge":
+            state["injected"] = True
+            other = TxTable(spark, path)
+            other.append(winner_rows)
+        return real_commit(commit)
+
+    t._commit = racing_commit
+    src = orders.limit(2).withColumn("o_totalprice", F.lit(0.0))
+    t.merge(src, keys=["o_orderkey"])
+    t._commit = real_commit
+    out = t.read()
+    assert out.filter("o_orderkey = 999999").count() == 1  # winner survived
+    assert out.filter("o_totalprice = 0.0").count() == 2  # merge applied
+
+
+def test_compact_preserves_rows_transactionally(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders.repartition(16))
+    _v, files, _s = t.snapshot()
+    assert len(files) > 1
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact(target_file_bytes=1 << 30)
+    _v, files2, _s = t.snapshot()
+    assert len(files2) == 1
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_concurrent_overwrite_conflict_raises(spark, orders, tmp_path):
+    """When every retry loses the race, the writer must fail loudly —
+    never silently clobber."""
+    path = str(tmp_path / "t")
+    t = TxTable.create(spark, path, orders)
+    real_commit = t._commit
+
+    def always_lose(commit):
+        other = TxTable(spark, path)
+        other.append(orders.limit(1))
+        return real_commit(commit)
+
+    t._commit = always_lose
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(orders.limit(1))
