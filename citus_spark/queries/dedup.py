@@ -290,6 +290,124 @@ register_split("simhash16", simhash16, _simhash_oracle())
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup candidates, end to end: a 48-bit fingerprint (same
+# per-bit token voting as simhash16 — 16 bits is a fine demo but far
+# too coarse to band over thousands of documents) banded into 4×12-bit
+# pieces; pairs sharing any band are verified with a JVM-side
+# bit_count(xor) ≤ 3 — within the pigeonhole guarantee (≤3 differing
+# bits leave ≥1 of 4 bands intact), so the candidate join is
+# COMPLETE at the declared radius, exactly like the minhash and phash
+# banded joins. Scale shape: the join is per-(band, value) buckets —
+# never all-pairs. 48 not 64 bits so every bit weight fits a signed
+# long identically in both engines (1<<63 would wrap).
+_SH_BITS = 48
+_SH_BANDS = 4
+_SH_BAND_W = _SH_BITS // _SH_BANDS
+_SH_MAXHAM = _SH_BANDS - 1
+
+
+def _simhash48_frame(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    hv = hash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(_SH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    sig = _simhash48_frame(spark)
+    mask = (1 << _SH_BAND_W) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SH_BANDS)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {_SH_BAND_W}) & {mask}").alias("bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band", "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band", "bv",
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_MAXHAM)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash48_body() -> str:
+    bit_sums = ",\n    ".join(
+        f"CAST(sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {hash64_duck("tok")} AS hv FROM tok
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+)"""
+
+
+register_split(
+    "simhash_dup_candidates",
+    simhash_dup_candidates,
+    f"""
+WITH {_simhash48_body()},
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {_SH_BAND_W})) & {(1 << _SH_BAND_W) - 1} AS bv
+  FROM sig, unnest([0, 1, 2, 3]) AS t(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
+ORDER BY doc_a, doc_b
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard on a bounded candidate set (the verification
 # step that follows LSH; here run on a doc_id-bounded subset so the
 # oracle can brute-force the same pairs). At scale the input would be

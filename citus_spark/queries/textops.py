@@ -1118,3 +1118,61 @@ FROM ex
 ORDER BY doc_id, chunk_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix reweighting — the "domain weights" computation every
+# data-mix pipeline runs before sampling: per-source token counts vs a
+# uniform target share, weight = target/actual. The division is one
+# bigint-to-double IEEE op on exact integer aggregates, so the weights
+# are bit-identical across engines. Upsampling sources (weight > 1)
+# and the downsampled tail are both visible in the output.
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_sources") * F.col("n_tokens")).cast("double")
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+register_split(
+    "domain_mix_weights",
+    domain_mix_weights,
+    """
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(n_sources * n_tokens AS DOUBLE) AS mix_weight
+FROM per_src, totals
+ORDER BY source
+""",
+)
