@@ -1738,3 +1738,69 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
 ORDER BY o_orderkey
 """,
 )
+
+
+# Window-frame EXCLUDE modes (operators/window_exclude.py) — Spark has
+# no EXCLUDE clause; the emulation is frame arithmetic over two frames
+# sharing one Window node (no extra shuffle). Oracle uses DuckDB's
+# NATIVE `EXCLUDE CURRENT ROW / GROUP / TIES`, so the emulation's
+# semantics — including sum-over-empty-frame = NULL when the current
+# row (or its peer group) was the whole frame — are checked against a
+# real implementation, same method as window_groups_frame.
+def window_exclude_modes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.window_exclude import sum_with_exclude
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    orders = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+        )
+    )
+    out = sum_with_exclude(
+        orders,
+        partition_by=["o_custkey"],
+        order_by="yr",
+        value="price_int",
+        preceding=1,
+        following=1,
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "yr",
+        F.col("excl_current").cast("long").alias("excl_current"),
+        F.col("excl_group").cast("long").alias("excl_group"),
+        F.col("excl_ties").cast("long").alias("excl_ties"),
+    ).orderBy("o_orderkey")
+
+
+register_split(
+    "window_exclude_modes",
+    window_exclude_modes,
+    """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_int
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT o_orderkey, o_custkey, yr,
+       CAST(sum(price_int) OVER (PARTITION BY o_custkey ORDER BY yr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+            EXCLUDE CURRENT ROW) AS BIGINT) AS excl_current,
+       CAST(sum(price_int) OVER (PARTITION BY o_custkey ORDER BY yr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+            EXCLUDE GROUP) AS BIGINT) AS excl_group,
+       CAST(sum(price_int) OVER (PARTITION BY o_custkey ORDER BY yr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+            EXCLUDE TIES) AS BIGINT) AS excl_ties
+FROM t
+ORDER BY o_orderkey
+""",
+)

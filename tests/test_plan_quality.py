@@ -172,3 +172,14 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1), plan
     assert scan.count() > 0
+
+
+def test_window_exclude_single_window_node(spark):
+    """The EXCLUDE emulation's two frames (requested + peer-group)
+    must fuse into ONE Window node — same partitioning and sort — so
+    exclusion costs no second shuffle or sort."""
+    import __spark_entry__ as e
+
+    df = e.queries()["window_exclude_modes"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
