@@ -1176,3 +1176,51 @@ FROM per_src, totals
 ORDER BY source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — the set-returning-function API surface itself
+# (↔ SURVEY §2.10: PG SRFs in FROM are "recurring tuples"; Spark 4's
+# @udtf is the 1:1 user-facing analog, LATERAL-joinable from SQL).
+# The built-in explode path is the hot path for production n-grams
+# (tokenization entries above use it); this entry pins the UDTF
+# *registration + LATERAL* contract end-to-end — per-row Python fan-
+# out with its own output schema — against a pure-SQL prediction.
+def python_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    load_views(spark, sf_dir)
+
+    @udtf(returnType="pos int, gram string")
+    class CharNgrams:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            for i in range(len(text) - n + 1):
+                yield i, text[i : i + n]
+
+    spark.udtf.register("char_ngrams", CharNgrams)
+    return spark.sql(
+        """
+SELECT doc_id, pos, gram
+FROM (SELECT doc_id, substring(text, 1, 40) AS s
+      FROM documents WHERE doc_id < 100),
+     LATERAL char_ngrams(s, 3)
+ORDER BY doc_id, pos
+"""
+    )
+
+
+register_split(
+    "python_udtf_ngrams",
+    python_udtf_ngrams,
+    """
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 40) AS s
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(i AS INT) AS pos, substring(s, CAST(i + 1 AS INT), 3) AS gram
+FROM t, unnest(range(0, greatest(length(s) - 2, 0))) AS u(i)
+ORDER BY doc_id, pos
+""",
+)
