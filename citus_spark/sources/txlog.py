@@ -67,6 +67,7 @@ class Commit:
     remove: list[str] = field(default_factory=list)
     read_version: int = -1
     schema_json: str = ""
+    txn: tuple[str, int] | None = None  # (app_id, txn_id) idempotence key
 
     def to_json(self) -> str:
         return json.dumps(
@@ -77,6 +78,7 @@ class Commit:
                 "remove": self.remove,
                 "read_version": self.read_version,
                 "schema": self.schema_json,
+                "txn": list(self.txn) if self.txn else None,
             }
         )
 
@@ -84,6 +86,7 @@ class Commit:
     def from_file(cls, path: str) -> "Commit":
         with open(path) as f:
             d = json.load(f)
+        txn = d.get("txn")
         return cls(
             version=d["version"],
             op=d["op"],
@@ -91,6 +94,7 @@ class Commit:
             remove=d["remove"],
             read_version=d["read_version"],
             schema_json=d["schema"],
+            txn=tuple(txn) if txn else None,
         )
 
 
@@ -224,16 +228,82 @@ class TxTable:
             os.unlink(tmp)
         return commit.version
 
-    def append(self, df: DataFrame) -> int:
-        """INSERT — never conflicts; retries version claims blindly."""
+    def last_txn_id(self, app_id: str) -> int:
+        """Highest committed txn_id for `app_id` (-1 when none) — the
+        streaming-sink idempotence cursor (↔ Delta's txn action)."""
+        out = -1
+        for c in self._commits():
+            if c.txn and c.txn[0] == app_id:
+                out = max(out, int(c.txn[1]))
+        return out
+
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        """INSERT — never conflicts; retries version claims blindly.
+
+        With `txn=(app_id, txn_id)` the append is IDEMPOTENT: if a
+        commit with the same app_id and a txn_id >= this one already
+        exists (the writer crashed after committing but before
+        recording progress, then retried), the append is a no-op.
+        This is exactly-once for a streaming foreachBatch sink that
+        passes its epoch id."""
+        if txn is not None and self.last_txn_id(txn[0]) >= int(txn[1]):
+            return self.latest_version()  # already applied — skip
         add = self._write_files(df)
         while True:
             v = self.latest_version() + 1
+            # re-check under the new snapshot: a concurrent retry of
+            # the same txn may have won the race while we wrote files
+            if txn is not None and self.last_txn_id(txn[0]) >= int(txn[1]):
+                for a in add:  # our files become unreferenced garbage
+                    try:
+                        os.unlink(os.path.join(self.path, a["path"]))
+                    except OSError:
+                        pass
+                return self.latest_version()
             try:
                 return self._commit(Commit(version=v, op="append", add=add,
-                                           read_version=v - 1))
+                                           read_version=v - 1, txn=txn))
             except FileExistsError:
                 continue  # lost the race; our files are untouched
+
+    def restore(self, version: int) -> int:
+        """ROLLBACK analog (↔ Delta RESTORE): one commit that resets
+        the live file set to snapshot `version`. History is preserved
+        — the restore itself is a new version, so it is auditable and
+        itself restorable."""
+        _v, want_files, _s = self.snapshot(version)
+        missing = [
+            f for f in want_files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                "file(s) already vacuumed"
+            )
+        for _ in range(3):
+            cur_version, cur_files, _s2 = self.snapshot()
+            add = [
+                {"path": f, "rows": None, "bytes": None}
+                for f in want_files
+                if f not in set(cur_files)
+            ]
+            remove = [f for f in cur_files if f not in set(want_files)]
+            try:
+                return self._commit(
+                    Commit(
+                        version=cur_version + 1,
+                        op="restore",
+                        add=add,
+                        remove=remove,
+                        read_version=cur_version,
+                    )
+                )
+            except FileExistsError:
+                continue
+        raise ConcurrentWriteError("restore lost the commit race 3 times")
 
     def _replace_commit(
         self, op: str, compute: "callable", max_retries: int = 3

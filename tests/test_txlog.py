@@ -174,3 +174,61 @@ def test_concurrent_overwrite_conflict_raises(spark, orders, tmp_path):
     t._commit = always_lose
     with pytest.raises(ConcurrentWriteError):
         t.overwrite(orders.limit(1))
+
+
+def test_idempotent_txn_append(spark, orders, tmp_path):
+    """Same (app_id, txn_id) twice → one commit, rows counted once;
+    the duplicate's staged files are vacuumable garbage."""
+    t = TxTable.create(spark, str(tmp_path / "t"), orders.limit(0))
+    n = orders.count()
+    v1 = t.append(orders, txn=("ingest", 7))
+    v2 = t.append(orders, txn=("ingest", 7))  # replay — must be a no-op
+    assert v2 == v1
+    assert t.read().count() == n
+    assert t.last_txn_id("ingest") == 7
+    # lower txn ids are also skipped (progress is monotone)
+    t.append(orders, txn=("ingest", 3))
+    assert t.read().count() == n
+    # a different app_id is independent
+    t.append(orders.limit(1), txn=("backfill", 0))
+    assert t.read().count() == n + 1
+
+
+def test_restore_rolls_back_and_is_auditable(spark, orders, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), orders)
+    n0 = t.read().count()
+    t.overwrite(orders.limit(2))
+    t.restore(0)
+    assert t.read().count() == n0
+    assert t.history()[0]["op"] == "restore"
+    # restoring past the vacuum horizon fails loudly
+    t.overwrite(orders.limit(1))
+    t.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+
+
+def test_streaming_tx_sink_exactly_once(spark, tmp_path):
+    """Replaying every epoch from a fresh checkpoint (the crash-
+    recovery worst case: all progress lost) must not duplicate a
+    single row."""
+    import shutil
+
+    from tests.conftest import SF_SMALL
+
+    from citus_spark.streaming.tx_sink import run_stream_to_txtable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f"{SF_SMALL}/events.parquet", f"{src}/events.parquet")
+    table = str(tmp_path / "tx")
+
+    run_stream_to_txtable(spark, src, table)
+    t = TxTable(spark, table)
+    n = t.read().count()
+    assert n == spark.read.parquet(src).count()
+
+    # second run, fresh checkpoint: every epoch replays with the same
+    # ids — all must be skipped by the txn markers
+    run_stream_to_txtable(spark, src, table)
+    assert t.read().count() == n
