@@ -1804,3 +1804,137 @@ FROM t
 ORDER BY o_orderkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-funnel analysis — the reference's flagship multi-tenant
+# analytics demo (Citus's canonical use case is exactly funnels/
+# rollups over an events table). Ordered-sequence semantics: a user
+# counts at stage k only having done stage k's event AT OR AFTER their
+# earliest qualifying stage k-1 time. Three semi-join aggregations,
+# each shuffling on user_id only (colocated with the events
+# distribution key → zero extra repartitions at scale).
+register_shared_sql(
+    "funnel_view_click_purchase",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 2 AS stage, 'click' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM c
+UNION ALL
+SELECT 3 AS stage, 'purchase' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM p
+ORDER BY stage
+""",
+)
+
+
+# Retention cohort matrix — signup-month cohort × months-since-cohort
+# active-user counts, at day granularity (the fixture spans one
+# month). Spark's datediff and DuckDB's date_diff spell the offset
+# differently, hence the split registration; date_trunc returns
+# TIMESTAMP in Spark but DATE in DuckDB, normalized by CAST.
+def retention_cohorts(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH fm AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+)
+SELECT f.cohort AS cohort_day,
+       CAST(datediff(a.d, f.cohort) AS INT) AS offset_d,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN fm f ON a.user_id = f.user_id
+GROUP BY f.cohort, offset_d
+ORDER BY cohort_day, offset_d
+"""
+    )
+
+
+register_split(
+    "retention_cohorts",
+    retention_cohorts,
+    """
+WITH fm AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.d) AS INT) AS offset_d,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN fm f ON a.user_id = f.user_id
+GROUP BY f.cohort, offset_d
+ORDER BY cohort_day, offset_d
+""",
+)
+
+
+# UNPIVOT (wide metrics → long) — the relational transpose both
+# engines now spell identically (SQL-standard UNPIVOT clause); sums
+# use the decimal idiom so the fold is order-independent.
+register_shared_sql(
+    "unpivot_lineitem_metrics",
+    """
+SELECT metric,
+       CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM (
+  SELECT l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey < 1000
+) UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+GROUP BY metric
+ORDER BY metric
+""",
+)
+
+
+# Time travel through the transaction log, driver-checked: build a
+# TxTable from orders, delete half the rows in a v1 commit, then read
+# snapshot VERSION 0 — which must still be byte-for-byte the original
+# table even though the live version no longer contains those rows.
+def txlog_time_travel(spark, sf_dir):
+    import shutil
+
+    from citus_spark.queries import load_views
+    from citus_spark.sources.txlog import TxTable
+
+    load_views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 1000")
+    )
+    path = "/tmp/citus_spark_txlog_tt"
+    shutil.rmtree(path, ignore_errors=True)
+    t = TxTable.create(spark, path, base)
+    t.delete_where("o_orderkey % 2 = 0")
+    return t.read(version=0).orderBy("o_orderkey")
+
+
+register_split(
+    "txlog_time_travel",
+    txlog_time_travel,
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+""",
+)
