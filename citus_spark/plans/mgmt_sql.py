@@ -23,6 +23,8 @@ _FNS = (
     "create_reference_table",
     "alter_distributed_table",
     "undistribute_table",
+    "rebalance_table_shards",
+    "get_rebalance_table_shards_plan",
 )
 
 _CALL = re.compile(

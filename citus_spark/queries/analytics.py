@@ -1938,3 +1938,156 @@ FROM orders WHERE o_orderkey < 1000
 ORDER BY o_orderkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Native session-window sessionization — the same 30-minute-gap
+# semantics as `sessionize_events`, but via Spark's session_window
+# grouping instead of two window-function passes. This is the
+# formulation that survives 100 TB: session_window is a partial-
+# aggregatable GROUP BY (map-side merge of per-partition session
+# fragments), whereas the window formulation must fully sort every
+# user's history before the first output row. Boundary semantics
+# (probed): two events exactly gap apart MERGE, so the oracle's
+# gaps-and-islands uses strict `>`. Oracle is the independent
+# formulation — agreement pins both.
+def session_window_native(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor("value").cast("long")).alias("value_floor_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "value_floor_sum",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+register_split(
+    "session_window_native",
+    session_window_native,
+    """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_floor_sum
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Debezium-envelope CDC decode + apply (streaming/cdc_apply.py
+# parse_debezium → apply_changes; ↔ reference cdc/cdc_decoder.c,
+# which decodes logical WAL records and republishes them in exactly
+# this op/after envelope shape). The feed is synthesized from events
+# deterministically — op: error→d, event_id%7=0→c, else u; key =
+# user_id; payload = value in exact integer cents — with the SAME
+# construction SQL on both engines, then each side decodes its own
+# envelopes (Spark: schema'd from_json, one codegen expression;
+# DuckDB: json_extract) and reduces to latest-state-per-key with
+# deletes as tombstones. A parse divergence, op-code mix-up, lost
+# tombstone, or seq-ordering bug all change the final state → hash
+# mismatch.
+def cdc_debezium_apply(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.streaming.cdc_apply import apply_changes, parse_debezium
+
+    load_views(spark, sf_dir)
+    envelopes = spark.sql(
+        """
+SELECT concat(
+  '{"op":"',
+  CASE WHEN event_type = 'error' THEN 'd'
+       WHEN event_id % 7 = 0 THEN 'c' ELSE 'u' END,
+  '","seq":', CAST(event_id AS STRING),
+  ',"key":{"user_id":', CAST(user_id AS STRING), '}',
+  ',"after":',
+  CASE WHEN event_type = 'error' THEN 'null'
+       ELSE concat('{"value_cents":',
+                   CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),
+                   '}')
+  END,
+  '}') AS envelope
+FROM events
+"""
+    )
+    changes = parse_debezium(
+        envelopes, "envelope", "user_id BIGINT", "value_cents BIGINT"
+    )
+    state = apply_changes(None, changes, keys=["user_id"])
+    return (
+        state.filter(F.col("op") != "delete")
+        .select(
+            "user_id",
+            F.col("seq").alias("last_seq"),
+            "value_cents",
+        )
+        .orderBy("user_id")
+    )
+
+
+register_split(
+    "cdc_debezium_apply",
+    cdc_debezium_apply,
+    """
+WITH env AS (
+  SELECT concat(
+    '{"op":"',
+    CASE WHEN event_type = 'error' THEN 'd'
+         WHEN event_id % 7 = 0 THEN 'c' ELSE 'u' END,
+    '","seq":', CAST(event_id AS STRING),
+    ',"key":{"user_id":', CAST(user_id AS STRING), '}',
+    ',"after":',
+    CASE WHEN event_type = 'error' THEN 'null'
+         ELSE concat('{"value_cents":',
+                     CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),
+                     '}')
+    END,
+    '}') AS envelope
+  FROM events
+), decoded AS (
+  SELECT json_extract_string(envelope, '$.op') AS op,
+         CAST(json_extract(envelope, '$.seq') AS BIGINT) AS seq,
+         CAST(json_extract(envelope, '$.key.user_id') AS BIGINT) AS user_id,
+         CAST(json_extract(envelope, '$.after.value_cents') AS BIGINT)
+           AS value_cents
+  FROM env
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY seq DESC) AS rk
+  FROM decoded
+)
+SELECT user_id, seq AS last_seq, value_cents
+FROM ranked
+WHERE rk = 1 AND op <> 'd'
+ORDER BY user_id
+""",
+)

@@ -182,6 +182,28 @@ ORDER BY o_orderpriority
 )
 
 
+# Discrete percentile (ordered-set aggregate percentile_disc, the
+# other PG WITHIN GROUP form the reference must distribute — it
+# pulls these to the coordinator or routes them through tdigest,
+# planner/tdigest_extension.c). Both engines implement the PostgreSQL
+# rule (smallest value whose cume_dist ≥ p — probed: p=0.9 over 5
+# rows returns the 5th value, not the lower-interpolation 4th), and
+# the result is a VALUE FROM THE DATA, never interpolated arithmetic,
+# so the comparison is bit-exact by construction.
+register_shared_sql(
+    "percentile_disc_priority",
+    """
+SELECT o_orderpriority,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # TopN operator entries (↔ topn extension)
 def topn_operator(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -324,6 +324,24 @@ class DistributedSession:
             )
         elif call.fn == "undistribute_table":
             self.undistribute_table(str(call.args[0]))
+        elif call.fn == "get_rebalance_table_shards_plan":
+            # plan functions return their report relation directly
+            return self.get_rebalance_table_shards_plan(
+                str(call.args[0]),
+                target_shard_rows=int(
+                    kw.get("target_shard_rows", 100_000_000)
+                ),
+            )
+        elif call.fn == "rebalance_table_shards":
+            return self.rebalance_table_shards(
+                str(call.args[0]),
+                shard_count=(
+                    int(kw["shard_count"]) if "shard_count" in kw else None
+                ),
+                target_shard_rows=int(
+                    kw.get("target_shard_rows", 100_000_000)
+                ),
+            )
         # mirror the reference: the call returns a single NULL-valued
         # row named after the function
         return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
@@ -388,6 +406,113 @@ class DistributedSession:
         out = df.repartition(new_buckets, F.col(new_col))
         out.createOrReplaceTempView(name)
         return out
+
+    def get_rebalance_table_shards_plan(
+        self, name: str, target_shard_rows: int = 100_000_000
+    ) -> DataFrame:
+        """Dry-run of `rebalance_table_shards` (↔ reference
+        get_rebalance_table_shards_plan(),
+        operations/shard_rebalancer.c): one row per table in `name`'s
+        colocation group with the current layout, measured per-bucket
+        skew, and the bucket count a rebalance would choose.
+
+        On Spark there are no static shard placements to move — the
+        scheduler assigns bucket partitions to executors per query, so
+        the reference's placement-move lever doesn't exist. The lever
+        that DOES exist is the bucket count itself: too few buckets
+        caps parallelism and makes each shuffle partition too large to
+        fit in executor memory; too many manufactures tiny tasks. The
+        proposal is ceil(largest member table / target_shard_rows),
+        applied to the WHOLE colocation group (the reference likewise
+        always moves colocation groups as a unit — a lone member
+        re-bucketed would break every exchange-free join in the
+        group). max_shard_rows / avg flags hash skew the rebalance
+        cannot fix (skewed *values* need salting, functions/skew.py).
+        """
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if not entry.is_hash_distributed:
+            raise ValueError(f"{name!r} is not hash-distributed")
+        group = [
+            t
+            for t in self.catalog.tables().values()
+            if t.is_hash_distributed and t.colocation_id == entry.colocation_id
+        ]
+        counts = {}
+        for t in group:
+            per_bucket = (
+                self.spark.table(t.name)
+                .groupBy(
+                    F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets)).alias("b")
+                )
+                .count()
+                .agg(
+                    F.sum("count").alias("total"),
+                    F.max("count").alias("mx"),
+                )
+                .collect()[0]
+            )
+            counts[t.name] = (int(per_bucket.total or 0), int(per_bucket.mx or 0))
+        largest = max(total for total, _ in counts.values())
+        proposed = max(1, -(-largest // target_shard_rows))
+        rows = [
+            (
+                t.name,
+                int(t.colocation_id),
+                int(t.buckets),
+                int(proposed),
+                counts[t.name][0],
+                counts[t.name][1],
+            )
+            for t in group
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, colocation_id int, shard_count int, "
+            "proposed_shard_count int, total_rows long, max_shard_rows long",
+        )
+
+    def rebalance_table_shards(
+        self,
+        name: str,
+        shard_count: int | None = None,
+        target_shard_rows: int = 100_000_000,
+    ) -> DataFrame:
+        """Re-balance `name`'s colocation group to a new bucket count
+        (↔ reference rebalance_table_shards(),
+        operations/shard_rebalancer.c:893 — which moves shard
+        placements between nodes; see the plan function's docstring
+        for why bucket-count right-sizing is the Spark-native analog).
+        Every member of the colocation group is rewritten with ONE
+        repartition each, colocation ids are preserved, and the
+        registered views are replaced — so joins between members stay
+        exchange-free afterwards. Returns the executed plan."""
+        plan = self.get_rebalance_table_shards_plan(
+            name, target_shard_rows=target_shard_rows
+        )
+        rows = plan.collect()
+        new_buckets = (
+            int(shard_count)
+            if shard_count is not None
+            else int(rows[0].proposed_shard_count)
+        )
+        for r in rows:
+            entry = self.catalog.get(r.table_name)
+            df = self.spark.table(r.table_name)
+            out = df.repartition(new_buckets, F.col(entry.dist_col))
+            out.createOrReplaceTempView(r.table_name)
+            # mutate in place: the group keeps its colocation id (the
+            # reference's rebalancer likewise never re-groups)
+            entry.buckets = new_buckets
+        return self.spark.createDataFrame(
+            [
+                (r.table_name, r.shard_count, new_buckets, r.total_rows)
+                for r in rows
+            ],
+            "table_name string, old_shard_count int, new_shard_count int, "
+            "total_rows long",
+        )
 
     def explain_distribution(self, query: str | DataFrame) -> str:
         """Citus-EXPLAIN analog: summarize the *data movement* of a

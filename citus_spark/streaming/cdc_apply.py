@@ -46,6 +46,46 @@ def _latest_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def parse_debezium(
+    df: DataFrame, envelope_col: str, key_fields: str, after_fields: str
+) -> DataFrame:
+    """Decode Debezium-style JSON change envelopes into the flat
+    (op, seq, key..., payload...) shape `apply_changes` consumes.
+
+    ↔ reference cdc_decoder.c's wire contract: each WAL change is
+    published as
+    `{"op": "c|u|d", "seq": <lsn>, "key": {...}, "after": {...}|null}`
+    — `key` mirrors the Kafka message key Debezium emits alongside the
+    value envelope (it is the only place a delete names its row;
+    Debezium's `before` is not needed for state maintenance and is
+    ignored if present). `key_fields` / `after_fields` are DDL
+    fragments for the two structs, e.g. ``"user_id BIGINT"`` and
+    ``"value_cents BIGINT"`` (payload = non-key columns).
+
+    op codes are normalized to the apply vocabulary: c/u (and r =
+    snapshot read) → upsert, d → delete. `after` is null for deletes;
+    its fields surface as top-level nullable columns so tombstone rows
+    keep the schema. from_json is a JVM expression — the decode stays
+    in whole-stage codegen, no Python, and works identically on batch
+    and streaming frames.
+    """
+    schema = (
+        f"op STRING, seq BIGINT, key STRUCT<{key_fields}>, "
+        f"after STRUCT<{after_fields}>"
+    )
+    parsed = df.select(
+        F.from_json(F.col(envelope_col), schema).alias("_e")
+    )
+    return parsed.select(
+        F.when(F.col("_e.op") == "d", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.col("_e.seq").alias("seq"),
+        F.col("_e.key.*"),
+        F.col("_e.after.*"),
+    )
+
+
 def apply_changes(
     state: DataFrame | None, changes: DataFrame, keys: list[str]
 ) -> DataFrame:

@@ -102,3 +102,24 @@ def test_pure_apply_is_order_insensitive(spark):
     a = {(r.k, r.seq, r.op) for r in one_shot.collect()}
     b = {(r.k, r.seq, r.op) for r in state.collect()}
     assert a == b
+
+
+def test_parse_debezium_decodes_ops_and_tombstones(spark):
+    from citus_spark.streaming.cdc_apply import apply_changes, parse_debezium
+
+    envs = [
+        ('{"op":"c","seq":1,"key":{"id":1},"after":{"v":10}}',),
+        ('{"op":"u","seq":2,"key":{"id":1},"after":{"v":20}}',),
+        ('{"op":"r","seq":1,"key":{"id":2},"after":{"v":5}}',),
+        ('{"op":"d","seq":3,"key":{"id":2},"after":null}',),
+        # out-of-order resurrect attempt: must lose to the seq-3 delete
+        ('{"op":"u","seq":2,"key":{"id":2},"after":{"v":7}}',),
+    ]
+    df = spark.createDataFrame(envs, "envelope string")
+    changes = parse_debezium(df, "envelope", "id BIGINT", "v BIGINT")
+    assert changes.columns == ["op", "seq", "id", "v"]
+    state = apply_changes(None, changes, keys=["id"]).collect()
+    by_id = {r.id: r for r in state}
+    assert by_id[1].op == "upsert" and by_id[1].v == 20 and by_id[1].seq == 2
+    # delete retained as tombstone with null payload
+    assert by_id[2].op == "delete" and by_id[2].v is None and by_id[2].seq == 3
