@@ -45,6 +45,9 @@ class TableDist:
     buckets: int = DEFAULT_SHARD_COUNT
     colocation_id: int = 0
     path: str | None = None  # storage location when materialized
+    # columnar storage options (↔ reference columnar.options catalog,
+    # columnar/columnar_metadata.c) — set via alter_columnar_table_set
+    columnar: dict | None = None
 
     @property
     def is_reference(self) -> bool:

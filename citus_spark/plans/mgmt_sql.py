@@ -25,6 +25,8 @@ _FNS = (
     "undistribute_table",
     "rebalance_table_shards",
     "get_rebalance_table_shards_plan",
+    "alter_columnar_table_set",
+    "citus_stat_statements_reset",
 )
 
 _CALL = re.compile(
@@ -75,6 +77,22 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
 
 
 _CITUS_SHARDS = re.compile(r"\bcitus_shards\s*\(\s*\)|\bcitus_shards\b", re.I)
+
+# \b between 's' and '_' does not match, so the view pattern cannot
+# fire inside citus_stat_statements_reset()
+_CITUS_STAT = re.compile(
+    r"\bcitus_stat_statements\s*\(\s*\)|\bcitus_stat_statements\b", re.I
+)
+
+
+def uses_citus_stat_statements(sql: str) -> bool:
+    return bool(_CITUS_STAT.search(sql))
+
+
+def rewrite_citus_stat_statements(sql: str, view_name: str) -> str:
+    """Replace the citus_stat_statements relation reference with a
+    registered view name."""
+    return _CITUS_STAT.sub(view_name, sql)
 
 
 def uses_citus_tables(sql: str) -> bool:

@@ -123,8 +123,11 @@ class DistributedSession:
     """
 
     def __init__(self, spark: SparkSession | None = None):
+        from citus_spark.stats import StatStatements
+
         self.spark = spark or get_spark()
         self.catalog = DistCatalog()
+        self.stat_statements = StatStatements()
 
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
@@ -264,7 +267,40 @@ class DistributedSession:
         mat, query = extract_materialized_ctes(query)
         for name, body in mat:
             self.materialize(name, self.spark.sql(body))
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        self._record_statement(query, df)
+        return df
+
+    def _record_statement(self, query: str, df: DataFrame) -> None:
+        """citus_stat_statements bookkeeping (stats.py): fingerprint
+        the statement and extract the router partition key from the
+        analyzed plan. Plan-string rendering costs ~ms at plan time;
+        never touches data."""
+        from citus_spark.stats import extract_partition_key
+
+        dist_cols = {
+            t.dist_col
+            for t in self.catalog.tables().values()
+            if t.is_hash_distributed and t.dist_col
+        }
+        key = None
+        if dist_cols:
+            try:
+                # optimized plan: literals are constant-folded back to
+                # bare text (the analyzed plan wraps them in casts)
+                plan = str(df._jdf.queryExecution().optimizedPlan())
+                key = extract_partition_key(plan, dist_cols)
+            except Exception:
+                key = None
+        self.stat_statements.record(
+            query, key, executor="router" if key is not None else "adaptive"
+        )
+
+    def citus_stat_statements(self) -> DataFrame:
+        """↔ the reference's citus_stat_statements view (one row per
+        executed statement shape with queryid, normalized text,
+        executor, router partition key, call count)."""
+        return self.stat_statements.to_df(self.spark)
 
     def _execute_mgmt(self, query: str) -> DataFrame | None:
         """Route the reference's literal SQL management-UDF spellings
@@ -276,14 +312,23 @@ class DistributedSession:
         from citus_spark.plans.mgmt_sql import (
             parse_mgmt,
             rewrite_citus_shards,
+            rewrite_citus_stat_statements,
             rewrite_citus_tables,
             uses_citus_shards,
+            uses_citus_stat_statements,
             uses_citus_tables,
         )
 
         call = parse_mgmt(query)
         if call is None:
             rewritten = query
+            if uses_citus_stat_statements(rewritten):
+                self.citus_stat_statements().createOrReplaceTempView(
+                    "_citus_stat_statements"
+                )
+                rewritten = rewrite_citus_stat_statements(
+                    rewritten, "_citus_stat_statements"
+                )
             if uses_citus_tables(rewritten):
                 self.citus_tables().createOrReplaceTempView("_citus_tables")
                 rewritten = rewrite_citus_tables(rewritten, "_citus_tables")
@@ -324,6 +369,16 @@ class DistributedSession:
             )
         elif call.fn == "undistribute_table":
             self.undistribute_table(str(call.args[0]))
+        elif call.fn == "citus_stat_statements_reset":
+            self.stat_statements.reset()
+        elif call.fn == "alter_columnar_table_set":
+            self.alter_columnar_table_set(
+                str(call.args[0]),
+                **{
+                    k: (str(v) if k == "compression" else int(v))
+                    for k, v in kw.items()
+                },
+            )
         elif call.fn == "get_rebalance_table_shards_plan":
             # plan functions return their report relation directly
             return self.get_rebalance_table_shards_plan(
@@ -406,6 +461,24 @@ class DistributedSession:
         out = df.repartition(new_buckets, F.col(new_col))
         out.createOrReplaceTempView(name)
         return out
+
+    def alter_columnar_table_set(self, name: str, **options) -> dict:
+        """Set columnar storage options on a registered table
+        (↔ reference alter_columnar_table_set(): compression,
+        compression_level, chunk_group_row_limit, stripe_row_limit —
+        stored in the catalog like the reference's columnar.options,
+        applied by sources.columnar.write_columnar on the next
+        materialization; see sources/columnar.py for the unit-for-unit
+        parquet mapping). Returns the table's effective options."""
+        from citus_spark.sources.columnar import columnar_options
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        merged = dict(entry.columnar or {})
+        merged.update(options)
+        entry.columnar = columnar_options(merged)  # validates
+        return dict(entry.columnar)
 
     def get_rebalance_table_shards_plan(
         self, name: str, target_shard_rows: int = 100_000_000

@@ -1,0 +1,109 @@
+"""Query-statistics view — citus_stat_statements analog.
+
+↔ reference stat_statements.c (src/backend/distributed/planner/
+../utils/citus_stat_statements): for every executed statement the
+reference records (queryid, normalized query, executor used,
+partition_key, calls), where partition_key is the distribution-column
+literal of router queries — the column that makes per-tenant
+resource accounting possible.
+
+Spark analog: `DistributedSession.sql` records each statement here at
+plan time. Normalization (literals → ?) and the queryid hash follow
+pg_stat_statements' model so repeated calls of the same shape
+accumulate under one fingerprint. partition_key is extracted from the
+ANALYZED plan: an equality between a cataloged table's distribution
+column and a literal — the same test the reference's router planner
+applies (fast-path single-shard detection,
+planner/fast_path_router_planner.c). The executor column mirrors that
+split: 'router' when a partition key pins the statement to one
+bucket, else 'adaptive' (the reference's name for its parallel
+multi-shard executor).
+
+Driver-memory footprint is one dict entry per query SHAPE (not per
+call), the same bound pg_stat_statements accepts; `reset()` is the
+citus_stat_statements_reset() analog.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
+_NUM_LIT = re.compile(r"\b\d+(?:\.\d+)?\b")
+_WS = re.compile(r"\s+")
+
+
+def normalize_query(sql: str) -> str:
+    """pg_stat_statements-style fingerprint text: literals → ?,
+    whitespace collapsed."""
+    out = _STRING_LIT.sub("?", sql)
+    out = _NUM_LIT.sub("?", out)
+    return _WS.sub(" ", out).strip()
+
+
+def query_id(normalized: str) -> int:
+    """Stable 63-bit id of the normalized text (pg_stat_statements
+    exposes queryid as a signed bigint)."""
+    h = hashlib.md5(normalized.encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def extract_partition_key(plan_str: str, dist_cols: set[str]) -> str | None:
+    """Find a distribution-column-equals-literal predicate in an
+    analyzed-plan string (attributes print as `name#123` with an
+    optional type suffix). Either side may hold the literal. Returns
+    the literal text, or None for multi-shard statements."""
+    # the trailing (?![\w#.]) rejects attribute references: an
+    # attribute prints as name#id, so every prefix of its name is
+    # followed by a word char or '#', and backtracking cannot save it
+    lit_pat = r"(-?\d+(?:\.\d+)?|[A-Za-z][A-Za-z0-9_.]*)(?![\w#.])"
+    for col in dist_cols:
+        m = re.search(
+            rf"\b{re.escape(col)}#\d+[A-Za-z]*\s*=\s*{lit_pat}", plan_str
+        ) or re.search(
+            rf"\b{lit_pat}\s*=\s*{re.escape(col)}#\d+[A-Za-z]*", plan_str
+        )
+        if m:
+            return m.group(1)
+    return None
+
+
+class StatStatements:
+    """Accumulator keyed by queryid; one row per statement shape."""
+
+    def __init__(self) -> None:
+        self._stats: dict[int, dict] = {}
+
+    def record(
+        self, sql: str, partition_key: str | None, executor: str
+    ) -> None:
+        norm = normalize_query(sql)
+        qid = query_id(norm)
+        row = self._stats.get(qid)
+        if row is None:
+            self._stats[qid] = {
+                "query": norm,
+                "executor": executor,
+                "partition_key": partition_key,
+                "calls": 1,
+            }
+        else:
+            row["calls"] += 1
+
+    def reset(self) -> None:
+        """↔ citus_stat_statements_reset()"""
+        self._stats.clear()
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (qid, r["query"], r["executor"], r["partition_key"], r["calls"])
+            for qid, r in self._stats.items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "queryid long, query string, executor string, "
+            "partition_key string, calls long",
+        )

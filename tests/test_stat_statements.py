@@ -1,0 +1,66 @@
+"""citus_stat_statements analog (stats.py): statement fingerprinting,
+router partition-key extraction from the optimized plan, call
+accumulation, and the SQL-surface spellings."""
+
+from tests.conftest import SF_SMALL
+
+
+def test_normalize_and_queryid_stability():
+    from citus_spark.stats import normalize_query, query_id
+
+    a = normalize_query("SELECT * FROM orders WHERE o_orderkey = 42")
+    b = normalize_query("SELECT  * FROM orders\nWHERE o_orderkey =  99")
+    assert a == b == "SELECT * FROM orders WHERE o_orderkey = ?"
+    assert query_id(a) == query_id(b)
+    c = normalize_query("SELECT * FROM orders WHERE o_custkey = 'x y'")
+    assert "'" not in c and "x y" not in c
+    assert query_id(c) != query_id(a)
+
+
+def test_router_vs_adaptive_and_call_accumulation(spark):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    sess.stat_statements.reset()
+
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 42")
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 99")  # same shape
+    sess.sql("SELECT count(*) AS n FROM orders")
+    # dist-col equality against another ATTRIBUTE is a join, not a
+    # router key
+    sess.sql(
+        "SELECT count(*) AS n FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey"
+    )
+
+    rows = {r.query: r for r in sess.citus_stat_statements().collect()}
+    router = rows["SELECT * FROM orders WHERE o_orderkey = ?"]
+    assert router.executor == "router"
+    assert router.partition_key == "42"  # first call's key, like the reference
+    assert router.calls == 2
+    agg = rows["SELECT count(*) AS n FROM orders"]
+    assert agg.executor == "adaptive" and agg.partition_key is None
+    join = rows[
+        "SELECT count(*) AS n FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey"
+    ]
+    assert join.executor == "adaptive" and join.partition_key is None
+
+
+def test_sql_surface_view_and_reset(spark):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    sess.stat_statements.reset()
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 7")
+
+    via_sql = sess.sql(
+        "SELECT queryid, calls FROM citus_stat_statements "
+        "WHERE executor = 'router'"
+    ).collect()
+    assert len(via_sql) == 1 and via_sql[0].calls == 1
+
+    sess.sql("SELECT citus_stat_statements_reset()")
+    assert sess.citus_stat_statements().count() == 0
