@@ -2091,3 +2091,54 @@ WHERE rk = 1 AND op <> 'd'
 ORDER BY user_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate FILTER on WINDOW functions (PG allows FILTER on any
+# aggregate incl. windowed ones — reference window_functions.sql runs
+# these through PG's executor; Spark's parser rejects FILTER in a
+# window context). Emulated as conditional projection inside ONE
+# Window node: sum(CASE WHEN p THEN x END) ≡ sum(x) FILTER (WHERE p)
+# because sum/avg skip NULLs, and an all-NULL frame yields NULL —
+# the exact FILTER-over-empty-set semantics. count uses the same trick
+# (counts non-NULL → 0 on empty). Oracle is DuckDB's NATIVE window
+# FILTER, so the emulation is checked against a real implementation
+# (same method as window_groups_frame / window_exclude_modes).
+def window_agg_filter(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(floor(o_totalprice) AS BIGINT) END)
+            OVER w AS BIGINT) AS urgent_price_run,
+       CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+            OVER w AS BIGINT) AS high_cnt_run
+FROM orders
+WHERE o_orderkey < 5000
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+    )
+
+
+register_split(
+    "window_agg_filter",
+    window_agg_filter,
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+              FILTER (WHERE o_orderpriority = '1-URGENT')
+            OVER w AS BIGINT) AS urgent_price_run,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+            OVER w AS BIGINT) AS high_cnt_run
+FROM orders
+WHERE o_orderkey < 5000
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""",
+)

@@ -342,17 +342,71 @@ WHERE {pred}
 GROUP BY {form}"""
 
 
+def _ordered_set_query(rng: random.Random) -> str:
+    """percentile_disc / percentile_cont WITHIN GROUP — both engines
+    implement the PostgreSQL rule (disc: smallest value with
+    cume_dist ≥ p, probed; cont: linear interpolation). disc returns
+    a value from the data (bit-exact); cont interpolates on doubles,
+    so cont is restricted to the 2dp-derived monetary columns where
+    the interpolation arithmetic is identical IEEE in both engines."""
+    t = rng.choice(["lineitem", "orders", "customer", "part"])
+    num = {
+        "lineitem": "l_extendedprice",
+        "orders": "o_totalprice",
+        "customer": "c_acctbal",
+        "part": "p_retailprice",
+    }[t]
+    g = rng.choice(GROUP_COLS[t])
+    p = rng.choice(["0.1", "0.25", "0.5", "0.9", "0.99"])
+    fn = rng.choice(["percentile_disc", "percentile_cont"])
+    pred = rng.choice(FILTERS[t])
+    return f"""SELECT {g},
+  {fn}({p}) WITHIN GROUP (ORDER BY {num}) AS pv,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM {t}
+WHERE {pred}
+GROUP BY {g}
+ORDER BY {g} NULLS FIRST"""
+
+
+def _unpivot_query(rng: random.Random) -> str:
+    """SQL-standard UNPIVOT (wide → long) with an aggregate head —
+    spelled identically by both engines."""
+    t, cols, key, keymax = rng.choice(
+        [
+            ("lineitem", ["l_quantity", "l_extendedprice", "l_discount"],
+             "l_orderkey", 2000),
+            ("orders", ["o_totalprice"], "o_orderkey", 4000),
+            ("customer", ["c_acctbal"], "c_custkey", 1500),
+        ]
+    )
+    picked = [c for c in cols if rng.random() < 0.7] or cols[:1]
+    return f"""SELECT metric,
+  CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT {', '.join([key] + picked)}
+  FROM {t} WHERE {key} < {keymax}
+) UNPIVOT (val FOR metric IN ({', '.join(picked)}))
+GROUP BY metric
+ORDER BY metric"""
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.08:
+    if shape < 0.07:
         return _window_query(rng)
+    if shape < 0.12:
+        return _ordered_set_query(rng)
     if shape < 0.16:
+        return _unpivot_query(rng)
+    if shape < 0.23:
         return _setop_query(rng)
-    if shape < 0.26:
+    if shape < 0.31:
         return _subquery_query(rng)
-    if shape < 0.34:
+    if shape < 0.38:
         return _grouping_sets_query(rng)
-    if shape < 0.42:
+    if shape < 0.45:
         return _ch_window_subquery_query(rng)
     tables, frm = _random_join_tree(rng)
     preds = []
