@@ -251,6 +251,17 @@ class DistributedSession:
             rewrite_count_distinct,
         )
 
+        import re as _re
+
+        # EXPLAIN ANALYZE <stmt> — not in Spark's grammar; ours returns
+        # the metric-annotated tree as a one-column relation, the same
+        # surface shape as Spark's own EXPLAIN
+        m = _re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.+)$", query, _re.I | _re.S)
+        if m:
+            text = self.explain_analyze_text(m.group(1))
+            return self.spark.createDataFrame(
+                [(text,)], "explain_analyze string"
+            )
         if is_merge(query):
             return self._execute_merge(query)
         mgmt = self._execute_mgmt(query)
@@ -586,6 +597,21 @@ class DistributedSession:
             "table_name string, old_shard_count int, new_shard_count int, "
             "total_rows long",
         )
+
+    def explain_analyze(self, query: str | DataFrame) -> DataFrame:
+        """EXPLAIN ANALYZE (↔ reference multi_explain.c): execute the
+        plan and return one row per (operator, metric) with real
+        execution stats — output rows, scan/agg/sort time, spill and
+        shuffle volume. See plans/explain_analyze.py."""
+        from citus_spark.plans.explain_analyze import explain_analyze
+
+        return explain_analyze(self, query)
+
+    def explain_analyze_text(self, query: str | DataFrame) -> str:
+        """EXPLAIN ANALYZE rendered as the annotated plan tree."""
+        from citus_spark.plans.explain_analyze import explain_analyze_text
+
+        return explain_analyze_text(self, query)
 
     def explain_distribution(self, query: str | DataFrame) -> str:
         """Citus-EXPLAIN analog: summarize the *data movement* of a
