@@ -48,6 +48,10 @@ class TableDist:
     # columnar storage options (↔ reference columnar.options catalog,
     # columnar/columnar_metadata.c) — set via alter_columnar_table_set
     columnar: dict | None = None
+    # time-partitioned layout metadata (↔ the reference's timeseries
+    # partition bookkeeping) — set via create_time_partitions:
+    # {"path", "ts_col", "granularity"}
+    time_partitioning: dict | None = None
 
     @property
     def is_reference(self) -> bool:

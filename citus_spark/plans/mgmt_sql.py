@@ -27,10 +27,14 @@ _FNS = (
     "get_rebalance_table_shards_plan",
     "alter_columnar_table_set",
     "citus_stat_statements_reset",
+    "create_time_partitions",
+    "drop_old_time_partitions",
 )
 
+# drop_old_time_partitions is a PROCEDURE in the reference (invoked
+# with CALL); the rest are functions (SELECT) — accept either keyword
 _CALL = re.compile(
-    rf"^\s*SELECT\s+({'|'.join(_FNS)})\s*\((.*)\)\s*;?\s*$",
+    rf"^\s*(?:SELECT|CALL)\s+({'|'.join(_FNS)})\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 

@@ -17,6 +17,7 @@ the reference's data-movement decisions.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -382,6 +383,24 @@ class DistributedSession:
             self.undistribute_table(str(call.args[0]))
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
+        elif call.fn == "create_time_partitions":
+            # reference signature carries the interval; the partition
+            # column is explicit here (Spark has no PG partition key
+            # to read it from)
+            self.create_time_partitions(
+                str(call.args[0]),
+                ts_col=str(
+                    call.args[1] if len(call.args) > 1 else kw["ts_col"]
+                ),
+                granularity=str(kw.get("partition_interval", "day")),
+            )
+        elif call.fn == "drop_old_time_partitions":
+            self.drop_old_time_partitions(
+                str(call.args[0]),
+                older_than=str(
+                    call.args[1] if len(call.args) > 1 else kw["older_than"]
+                ),
+            )
         elif call.fn == "alter_columnar_table_set":
             self.alter_columnar_table_set(
                 str(call.args[0]),
@@ -597,6 +616,81 @@ class DistributedSession:
             "table_name string, old_shard_count int, new_shard_count int, "
             "total_rows long",
         )
+
+    def create_time_partitions(
+        self,
+        name: str,
+        ts_col: str,
+        granularity: str = "day",
+        path: str | None = None,
+    ) -> list[str]:
+        """Convert a registered table to the time-partitioned layout
+        (↔ reference create_time_partitions(),
+        sql/udfs/create_time_partitions: creates the range partitions
+        covering the table's time span). Directory partitions are
+        created by value coverage — one per `granularity` period
+        present in the data — and the view is re-registered over the
+        layout, so time-scoped queries partition-prune from here on.
+        Returns the created period keys."""
+        from citus_spark.sources.partitions import (
+            list_partitions,
+            read_time_partitioned,
+            write_time_partitioned,
+        )
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if path is None:
+            # keep the previously-chosen layout path on re-invocation;
+            # otherwise a session-temp dir — NEVER beside entry.path
+            # (source fixtures may live on read-only storage)
+            if entry.time_partitioning:
+                path = entry.time_partitioning["path"]
+            else:
+                path = os.path.join(
+                    tempfile.gettempdir(), f"citus_spark_tp_{name}"
+                )
+        tp = entry.time_partitioning
+        if tp and tp["ts_col"] == ts_col and tp["granularity"] == granularity:
+            # already partitioned this way: create-if-missing semantics
+            # (the reference call is likewise idempotent over existing
+            # partitions) — and never rewrite the layout from itself
+            return list_partitions(tp["path"])
+        df = self.spark.table(name)
+        if ts_col not in df.columns:
+            raise ValueError(f"timestamp column {ts_col!r} not in {name!r}")
+        write_time_partitioned(df, path, ts_col, granularity)
+        entry.time_partitioning = {
+            "path": path,
+            "ts_col": ts_col,
+            "granularity": granularity,
+        }
+        read_time_partitioned(self.spark, path).createOrReplaceTempView(name)
+        return list_partitions(path)
+
+    def drop_old_time_partitions(self, name: str, older_than: str) -> list[str]:
+        """Drop every period strictly older than `older_than`
+        (↔ reference drop_old_time_partitions() procedure). O(1) per
+        period — a directory remove, no data rewrite, exactly the
+        reference dropping a child table. Returns the dropped
+        periods."""
+        from citus_spark.sources.partitions import (
+            drop_old_partitions,
+            read_time_partitioned,
+        )
+
+        entry = self.catalog.get(name)
+        if entry is None or not entry.time_partitioning:
+            raise KeyError(f"{name!r} is not time-partitioned")
+        tp = entry.time_partitioning
+        fmt = {"day": 10, "month": 7, "hour": 13}[tp["granularity"]]
+        dropped = drop_old_partitions(tp["path"], str(older_than)[:fmt])
+        self.spark.catalog.refreshByPath(tp["path"])
+        read_time_partitioned(self.spark, tp["path"]).createOrReplaceTempView(
+            name
+        )
+        return dropped
 
     def explain_analyze(self, query: str | DataFrame) -> DataFrame:
         """EXPLAIN ANALYZE (↔ reference multi_explain.c): execute the
