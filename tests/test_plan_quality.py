@@ -183,3 +183,20 @@ def test_window_exclude_single_window_node(spark):
     df = e.queries()["window_exclude_modes"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
+
+
+def test_session_window_partial_aggregation_before_exchange(spark):
+    """session_window_native must plan the partial-aggregatable shape:
+    map-side partial session aggregation BEFORE the user_id exchange,
+    then MergingSessions + final agg — never a raw-event sort through
+    a Window chain. This is the formulation that bounds the shuffle to
+    session fragments (not events) at 100 TB."""
+    import __spark_entry__ as e
+
+    df = e.queries()["session_window_native"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MergingSessions" in plan
+    assert "partial_count" in plan
+    # partial agg runs upstream of (deeper than) the hash exchange
+    assert plan.index("partial_count") > plan.index("Exchange hashpartitioning")
+    assert "Window" not in plan
