@@ -106,6 +106,57 @@ def read_current(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def run_envelope_apply_to_table(
+    spark: SparkSession,
+    feed_dir: str,
+    state_path: str,
+    key_fields: str,
+    after_fields: str,
+    keys: list[str],
+    queryName: str = "cdc_envelope_apply",
+) -> None:
+    """Tail a Debezium-envelope text feed (one JSON envelope per line
+    — the shape a Kafka-file bridge or the reference's cdc_decoder.c
+    consumer would drop) to completion: streaming from_json decode
+    (parse_debezium) → per-micro-batch latest-state apply. Same
+    idempotence/ordering contract as run_apply_to_table."""
+    from citus_spark.queries import _ship_package
+
+    _ship_package(spark)
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed_dir)
+    )
+    changes = parse_debezium(stream, "value", key_fields, after_fields)
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = _latest_per_key(batch, keys)
+        old = (
+            spark.read.parquet(state_path)
+            if os.path.exists(state_path)
+            else None
+        )
+        new_state = apply_changes(old, delta, keys)
+        tmp = state_path + ".tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        changes.writeStream.foreachBatch(upsert)
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + ".ckpt." + queryName)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_apply_to_table(
     spark: SparkSession,
     feed_dir: str,

@@ -123,3 +123,56 @@ def test_parse_debezium_decodes_ops_and_tombstones(spark):
     assert by_id[1].op == "upsert" and by_id[1].v == 20 and by_id[1].seq == 2
     # delete retained as tombstone with null payload
     assert by_id[2].op == "delete" and by_id[2].v is None and by_id[2].seq == 3
+
+
+def test_streamed_envelope_feed_matches_batch(spark, tmp_path):
+    """End-to-end Debezium text feed: three shard files of JSON
+    envelopes, deliberately written so later-seq changes land in
+    EARLIER-listed files, streamed one file per micro-batch through
+    parse_debezium + apply. Final state must equal the one-shot batch
+    apply of all envelopes, and deletes must hold against the
+    out-of-order resurrect in the last file."""
+    import json
+
+    from citus_spark.streaming.cdc_apply import (
+        apply_changes,
+        parse_debezium,
+        run_envelope_apply_to_table,
+    )
+
+    def env(op, seq, k, v=None):
+        after = "null" if v is None else json.dumps({"v": v})
+        return (
+            f'{{"op":"{op}","seq":{seq},"key":{{"id":{k}}},"after":{after}}}'
+        )
+
+    shards = [
+        [env("c", 5, 1, 50), env("d", 9, 2)],
+        [env("c", 1, 2, 20), env("u", 7, 1, 70)],
+        [env("u", 2, 1, 21), env("u", 8, 2, 80)],  # id2 resurrect < seq 9
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, lines in enumerate(shards):
+        (feed / f"shard{i}.json").write_text("\n".join(lines) + "\n")
+
+    state_path = str(tmp_path / "state")
+    run_envelope_apply_to_table(
+        spark, str(feed), state_path, "id BIGINT", "v BIGINT", keys=["id"]
+    )
+    streamed = {
+        (r.id, r.op, r.seq, r.v)
+        for r in spark.read.parquet(state_path).collect()
+    }
+
+    all_env = spark.createDataFrame(
+        [(line,) for lines in shards for line in lines], "value string"
+    )
+    batch = apply_changes(
+        None,
+        parse_debezium(all_env, "value", "id BIGINT", "v BIGINT"),
+        keys=["id"],
+    )
+    assert streamed == {(r.id, r.op, r.seq, r.v) for r in batch.collect()}
+    assert (1, "upsert", 7, 70) in streamed
+    assert (2, "delete", 9, None) in streamed  # tombstone survived
