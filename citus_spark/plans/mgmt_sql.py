@@ -89,6 +89,21 @@ _CITUS_STAT = re.compile(
 )
 
 
+_CITUS_ACTIVITY = re.compile(
+    r"\bcitus_stat_activity\s*\(\s*\)|\bcitus_stat_activity\b", re.I
+)
+
+
+def uses_citus_stat_activity(sql: str) -> bool:
+    return bool(_CITUS_ACTIVITY.search(sql))
+
+
+def rewrite_citus_stat_activity(sql: str, view_name: str) -> str:
+    """Replace the citus_stat_activity relation reference with a
+    registered view name."""
+    return _CITUS_ACTIVITY.sub(view_name, sql)
+
+
 def uses_citus_stat_statements(sql: str) -> bool:
     return bool(_CITUS_STAT.search(sql))
 

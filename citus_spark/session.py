@@ -324,9 +324,11 @@ class DistributedSession:
         from citus_spark.plans.mgmt_sql import (
             parse_mgmt,
             rewrite_citus_shards,
+            rewrite_citus_stat_activity,
             rewrite_citus_stat_statements,
             rewrite_citus_tables,
             uses_citus_shards,
+            uses_citus_stat_activity,
             uses_citus_stat_statements,
             uses_citus_tables,
         )
@@ -334,6 +336,13 @@ class DistributedSession:
         call = parse_mgmt(query)
         if call is None:
             rewritten = query
+            if uses_citus_stat_activity(rewritten):
+                self.citus_stat_activity().createOrReplaceTempView(
+                    "_citus_stat_activity"
+                )
+                rewritten = rewrite_citus_stat_activity(
+                    rewritten, "_citus_stat_activity"
+                )
             if uses_citus_stat_statements(rewritten):
                 self.citus_stat_statements().createOrReplaceTempView(
                     "_citus_stat_statements"
@@ -833,6 +842,45 @@ class DistributedSession:
             "table_name string, shardid long, shard_name string, "
             "citus_table_type string, colocation_id int, "
             "shard_rows long, shard_size long",
+        )
+
+    def citus_stat_activity(self) -> DataFrame:
+        """↔ the reference's citus_stat_activity view (live distributed
+        queries with their per-node activity): one row per ACTIVE
+        (job, stage) with task progress. Sourced from Spark's
+        StatusTracker — the scheduler's own live state, the same data
+        the web UI shows. A stage here plays the role of the
+        reference's per-shard task batch: numTasks is the partition
+        count, active/completed the in-flight split. Empty when the
+        session is idle (like the reference with no queries running).
+        """
+        st = self.spark.sparkContext.statusTracker()
+        rows = []
+        for jid in st.getActiveJobsIds():
+            info = st.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                si = st.getStageInfo(sid)
+                if si is None:
+                    continue
+                rows.append(
+                    (
+                        int(jid),
+                        str(info.status),
+                        int(sid),
+                        str(si.name)[:100],
+                        int(si.numTasks),
+                        int(si.numActiveTasks),
+                        int(si.numCompletedTasks),
+                        int(si.numFailedTasks),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "job_id long, status string, stage_id long, stage string, "
+            "num_tasks long, active_tasks long, completed_tasks long, "
+            "failed_tasks long",
         )
 
     def undistribute_table(self, name: str) -> DataFrame:

@@ -64,3 +64,50 @@ def test_sql_surface_view_and_reset(spark):
 
     sess.sql("SELECT citus_stat_statements_reset()")
     assert sess.citus_stat_statements().count() == 0
+
+
+def test_stat_activity_idle_and_during_job(spark):
+    """citus_stat_activity: empty at idle; while a deliberately slow
+    job runs in another thread it must report an active stage with a
+    real task count."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    assert sess.citus_stat_activity().count() == 0  # idle
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(0.15)
+        return x
+
+    done = threading.Event()
+
+    def run_job():
+        spark.table("orders").limit(256).repartition(16).select(
+            slow(F.col("o_orderkey"))
+        ).write.format("noop").mode("overwrite").save()
+        done.set()
+
+    t = threading.Thread(target=run_job)
+    t.start()
+    seen = None
+    deadline = time.time() + 20
+    while time.time() < deadline and not done.is_set():
+        rows = sess.citus_stat_activity().collect()
+        active = [r for r in rows if r.num_tasks > 0]
+        if active:
+            seen = active
+            break
+        time.sleep(0.05)
+    t.join()
+    assert seen, "no active stage observed while the slow job ran"
+    assert seen[0].status == "RUNNING"
+    # the SQL spelling resolves the same view (idle again by now)
+    via_sql = sess.sql("SELECT count(*) AS n FROM citus_stat_activity")
+    assert via_sql.collect()[0].n >= 0
