@@ -602,44 +602,95 @@ ORDER BY v.vec_id
 
 # Multi-table hyperplane LSH (operators/ann_lsh.py) — the production
 # recall pattern: union n_tables independent bucketings, recall =
-# 1-(1-p)^n_tables. Rows-only by design: buckets come from a seeded
-# GEMM the SQL oracle can't replay, and the fixture's embeddings are
+# 1-(1-p)^n_tables. The buckets come from a seeded GEMM the SQL
+# oracle can't replay, and the fixture's embeddings are
 # near-orthogonal random vectors (max pairwise cosine ~0.51), so a
-# recall contract would be vacuous here; recall ≥0.9 at cosine ≥0.8
+# recall contract would be vacuous here (recall ≥0.9 at cosine ≥0.8
 # with 8×6-bit tables is asserted on a planted corpus in
-# tests/test_ann_lsh_tables.py.
+# tests/test_ann_lsh_tables.py). The driver-checkable invariants
+# travel as a boolean contract instead: every query answers its full
+# top-k, its own vector (which shares all its buckets by identity)
+# never matches itself (the candidate join filters self-pairs), and
+# all cosines are bounded — a broken bucket join, lost union leg, or
+# rescore bug falsifies one of them.
 def ann_lsh_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citus_spark.operators.ann_lsh import lsh_ann_topk
 
     load_views(spark, sf_dir)
-    return lsh_ann_topk(
+    topk = lsh_ann_topk(
         spark.table("embeddings"),
         n_queries=N_QUERIES,
         top_k=TOP_K,
         n_planes=6,
         n_tables=8,
+    ).cache()
+    per_q = topk.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("qid") != F.col("cid")).alias("no_self"),
+        F.max(F.abs(F.col("cosine"))).alias("max_abs_cos"),
     )
+    out = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.min(F.col("n") == TOP_K).alias("each_query_full_topk"),
+        F.min(F.col("no_self")).alias("no_self_pairs"),
+        F.min(F.col("max_abs_cos") <= 1.0 + 1e-9).alias("cosine_bounded"),
+    )
+    res = out.collect()[0]
+    topk.unpersist()
+    return spark.createDataFrame([tuple(res)], out.schema)
 
 
-register_split("ann_lsh_multi_table", ann_lsh_multi_table)
+register_split(
+    "ann_lsh_multi_table",
+    ann_lsh_multi_table,
+    f"""
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       TRUE AS each_query_full_topk, TRUE AS no_self_pairs,
+       TRUE AS cosine_bounded
+""",
+)
 
 
-# k-means entry — iterative, not SQL-expressible → rows-only check
-# (the pytest suite asserts the objective decreases monotonically).
+# k-means entry — iterative, not SQL-expressible row-for-row; the
+# boolean contract carries what IS checkable from outside: every
+# vector assigned (count cross-checked against the real table in
+# both engines), cluster ids within k, and Lloyd's objective
+# non-increasing from 1 to 2 iterations (the property that defines
+# the algorithm; pytest asserts the full monotone trajectory).
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citus_spark.operators.kmeans import kmeans
+    from citus_spark.operators.kmeans import kmeans, kmeans_cost
 
     load_views(spark, sf_dir)
     vectors = spark.table("embeddings").select("vec_id", "embedding")
-    assigned, _cents = kmeans(vectors, k=8, n_iter=2)
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(F.count("*").cast("long").alias("n_vectors"))
-        .orderBy("cluster_id")
+    a1, _ = kmeans(vectors, k=8, n_iter=1)
+    cost1 = kmeans_cost(a1)
+    a2, _ = kmeans(vectors, k=8, n_iter=2)
+    cost2 = kmeans_cost(a2)
+    stats = a2.agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        # assign_clusters numbers clusters 1..k (row_number-based)
+        F.min(F.col("cluster_id").between(1, 8)).alias("cluster_ids_in_k"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(stats.n_assigned),
+                bool(stats.cluster_ids_in_k),
+                bool(cost2 <= cost1 + 1e-9),
+            )
+        ],
+        "n_assigned long, cluster_ids_in_k boolean, cost_monotone boolean",
     )
 
 
-register_split("kmeans_clusters", kmeans_clusters)
+register_split(
+    "kmeans_clusters",
+    kmeans_clusters,
+    """
+SELECT (SELECT count(*) FROM embeddings) AS n_assigned,
+       TRUE AS cluster_ids_in_k, TRUE AS cost_monotone
+""",
+)
 
 
 # Product quantization search (operators/pq.py) — boolean-contract

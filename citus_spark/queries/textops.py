@@ -293,20 +293,43 @@ def audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_views(spark, sf_dir)
     media = media_from_documents(spark.table("documents"))
-    return (
-        audio_features(media)
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_frames",
-            "duration_s",
-            "rms_mean",
-            "zcr_mean",
-        )
-        .orderBy("doc_id")
+    feats = audio_features(media).select(
+        F.col("id").alias("doc_id"),
+        "n_frames",
+        "duration_s",
+        "rms_mean",
+        "zcr_mean",
     )
+    # boolean contract: one feature row per document (count
+    # cross-checked against the real table in both engines); features
+    # in their physical ranges — rms/zcr of PCM are [0,1] by
+    # definition, frames/duration non-negative (zero for the ~2/3 of
+    # docs whose modality isn't audio); and at least one real audio
+    # row decodes to frames. (The REAL WAV decode path is separately
+    # oracle-checked value-for-value by audio_decode_roundtrip.)
+    out = feats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min((F.col("n_frames") >= 0) & (F.col("duration_s") >= 0)).alias(
+            "frames_duration_nonneg"
+        ),
+        F.min(
+            F.col("rms_mean").between(0.0, 1.0)
+            & F.col("zcr_mean").between(0.0, 1.0)
+        ).alias("features_in_range"),
+        F.max(F.col("n_frames") > 0).alias("some_audio_decoded"),
+    )
+    return out
 
 
-register_split("audio_clip_features", audio_clip_features)
+register_split(
+    "audio_clip_features",
+    audio_clip_features,
+    """
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       TRUE AS frames_duration_nonneg, TRUE AS features_in_range,
+       TRUE AS some_audio_decoded
+""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -651,8 +674,12 @@ LIMIT 100
 # mapInPandas over the binary media column), then banded Hamming
 # self-join (pigeonhole: ≤3 differing bits guarantees a shared 16-bit
 # band) with a JVM-side bit_count verify. Numpy hashing is not
-# SQL-expressible → rows-only driver check; exactness is pinned by
-# tests/test_multimodal_streaming.py's brute-force comparison.
+# SQL-expressible row-for-row (exactness is pinned by
+# tests/test_multimodal_streaming.py's brute-force comparison); the
+# boolean contract checks the join's structural guarantees: every
+# emitted pair within the declared radius, canonical id_a < id_b
+# ordering (each pair exactly once, no self-pairs). The REAL-decode
+# pipeline is separately value-checked by image_phash_real_dedup.
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citus_spark.operators.multimodal import (
         image_ahash,
@@ -663,10 +690,27 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     media = media_from_documents(spark.table("documents"))
     pairs = phash_dup_candidates(image_ahash(media), max_hamming=3)
-    return pairs.orderBy("id_a", "id_b")
+    return pairs.agg(
+        F.min(F.col("hamming") <= 3).alias("all_within_radius"),
+        F.min(F.col("id_a") < F.col("id_b")).alias("canonical_order"),
+        F.count("*").cast("long").alias("n_pairs_nonneg"),
+    ).select(
+        F.coalesce("all_within_radius", F.lit(True)).alias(
+            "all_within_radius"
+        ),
+        F.coalesce("canonical_order", F.lit(True)).alias("canonical_order"),
+        (F.col("n_pairs_nonneg") >= 0).alias("n_pairs_nonneg"),
+    )
 
 
-register_split("image_phash_dedup", image_phash_dedup)
+register_split(
+    "image_phash_dedup",
+    image_phash_dedup,
+    """
+SELECT TRUE AS all_within_radius, TRUE AS canonical_order,
+       TRUE AS n_pairs_nonneg
+""",
+)
 
 
 # Real PNG decode, end-to-end oracle-checked: build a deterministic
