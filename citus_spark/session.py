@@ -265,6 +265,10 @@ class DistributedSession:
             )
         if is_merge(query):
             return self._execute_merge(query)
+        from citus_spark.plans.dml_sql import is_dml
+
+        if is_dml(query):
+            return self._execute_dml(query)
         mgmt = self._execute_mgmt(query)
         if mgmt is not None:
             return mgmt
@@ -440,6 +444,85 @@ class DistributedSession:
         # row named after the function
         return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
 
+    # storage roots that writing statements must never rewrite — the
+    # driver's immutable source fixtures. Overridable per deployment.
+    protected_paths: tuple[str, ...] = ("/root/testdata",)
+
+    def _writable_entry(self, name: str, verb: str):
+        """Resolve a writing statement's target: a catalog table with
+        a storage path outside every protected root."""
+        entry = self.catalog.get(name)
+        if entry is None or not entry.path:
+            raise ValueError(
+                f"{verb} target {name!r} must be a catalog-registered "
+                "table with a storage path (create_distributed_table "
+                "over parquet, or a materialized write)"
+            )
+        norm = os.path.abspath(entry.path)
+        for root in self.protected_paths:
+            if norm.startswith(os.path.abspath(root) + os.sep):
+                raise ValueError(
+                    f"{verb} target {name!r} is backed by the read-only "
+                    f"fixture store {root!r}; materialize it to a "
+                    "writable location first (write_distributed / CTAS)"
+                )
+        return entry
+
+    def _execute_dml(self, query: str) -> DataFrame:
+        """Textual UPDATE / DELETE (plans/dml_sql.py ↔ reference
+        multi_router_planner.c DML routing): copy-on-write rewrite of
+        the target relation — the same mechanism the MERGE path uses.
+        The target must be a catalog table with a WRITABLE storage
+        path (never a read-only fixture); the temp view is refreshed
+        so subsequent queries see the new state. Returns the affected
+        row count, like the psql tag."""
+        from citus_spark.plans.dml_sql import parse_dml
+
+        stmt = parse_dml(query)
+        entry = self._writable_entry(stmt.table, "DML")
+        df = self.spark.read.parquet(entry.path)
+        # NULL predicate leaves a row unaffected (3-valued SQL DML)
+        pred = (
+            F.coalesce(F.expr(stmt.predicate), F.lit(False))
+            if stmt.predicate
+            else F.lit(True)
+        )
+        affected = df.filter(pred).count()
+        if stmt.kind == "delete":
+            result = df.filter(~pred)
+        else:
+            assigned = dict(stmt.assignments)
+            unknown = set(assigned) - set(df.columns)
+            if unknown:
+                raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
+            # one select over the ORIGINAL relation = simultaneous
+            # assignment semantics (every SET expr sees old values)
+            result = df.select(
+                *[
+                    F.when(pred, F.expr(assigned[c]).cast(df.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assigned
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        tmp = entry.path + ".dml_tmp"
+        result.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            entry.path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.catalog.refreshByPath(entry.path)
+        self.spark.read.parquet(entry.path).createOrReplaceTempView(
+            stmt.table
+        )
+        return self.spark.createDataFrame(
+            [(int(affected),)], f"{stmt.kind}d long"
+        )
+
     def _execute_merge(self, query: str) -> DataFrame:
         """Textual MERGE INTO → sources.ingest.merge_into. The target
         must be a catalog table with a storage path (the analog of the
@@ -450,13 +533,7 @@ class DistributedSession:
         from citus_spark.sources.ingest import merge_into
 
         stmt = parse_merge(query)
-        entry = self.catalog.get(stmt.target)
-        if entry is None or not entry.path:
-            raise ValueError(
-                f"MERGE target {stmt.target!r} must be a catalog-registered "
-                "table with a storage path (create_distributed_table over "
-                "parquet, or load_tables)"
-            )
+        entry = self._writable_entry(stmt.target, "MERGE")
         source = (
             self.spark.sql(stmt.source)
             if stmt.source_is_subquery
