@@ -138,7 +138,7 @@ class DistributedSession:
         name: str,
         df: DataFrame,
         dist_col: str,
-        buckets: int = DEFAULT_SHARD_COUNT,
+        buckets: int | None = None,
         colocate_with: str | None = None,
     ) -> DataFrame:
         """Register `df` as a hash-distributed table.
@@ -154,6 +154,8 @@ class DistributedSession:
         """
         if dist_col not in df.columns:
             raise ValueError(f"distribution column {dist_col!r} not in {df.columns}")
+        if buckets is None:
+            buckets = self.shard_count  # ↔ citus.shard_count GUC
         self.catalog.register(
             name, DIST_HASH, dist_col, buckets=buckets, colocate_with=colocate_with
         )
@@ -237,6 +239,50 @@ class DistributedSession:
     # GUC-style session settings (↔ reference shared_library_init.c)
     count_distinct_error_rate: float | None = None  # ↔ citus.count_distinct_error_rate
     pg_compat: bool = False  # rewrite `expr::type` casts
+    shard_count: int = DEFAULT_SHARD_COUNT  # ↔ citus.shard_count
+
+    # the SET/SHOW-able GUC registry: name → (attr, parser). Matches
+    # the reference's spellings so `SET citus.shard_count = 64;`
+    # scripts run unchanged (shared_library_init.c RegisterCitusConfigVariables)
+    _GUCS = {
+        "citus.shard_count": ("shard_count", int),
+        "citus.count_distinct_error_rate": (
+            "count_distinct_error_rate",
+            lambda v: None if float(v) == 0 else float(v),
+        ),
+        "citus.pg_compat": ("pg_compat", lambda v: str(v).lower() in ("on", "true", "1")),
+    }
+
+    def _execute_guc(self, query: str) -> DataFrame | None:
+        """`SET citus.<guc> = <value>` / `SHOW citus.<guc>` — session
+        variables, PostgreSQL spelling. Non-citus SET/SHOW fall through
+        to Spark's own (runtime-conf) handling."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*SET\s+(citus\.[\w.]+)\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
+            query,
+            _re.I,
+        )
+        if m:
+            name = m.group(1).lower()
+            if name not in self._GUCS:
+                raise ValueError(f"unknown GUC {name!r}")
+            attr, parse = self._GUCS[name]
+            raw = m.group(2).strip().strip("'\"")
+            setattr(self, attr, parse(raw))
+            return self.spark.sql("SELECT 'SET' AS status")
+        m = _re.match(r"^\s*SHOW\s+(citus\.[\w.]+)\s*;?\s*$", query, _re.I)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._GUCS:
+                raise ValueError(f"unknown GUC {name!r}")
+            attr, _ = self._GUCS[name]
+            val = getattr(self, attr)
+            return self.spark.createDataFrame(
+                [(str(val),)], f"`{name}` string"
+            )
+        return None
 
     def sql(self, query: str) -> DataFrame:
         """Run Spark SQL. Catalyst performs the worker/coordinator split
@@ -269,6 +315,9 @@ class DistributedSession:
 
         if is_dml(query):
             return self._execute_dml(query)
+        guc = self._execute_guc(query)
+        if guc is not None:
+            return guc
         mgmt = self._execute_mgmt(query)
         if mgmt is not None:
             return mgmt
@@ -372,7 +421,7 @@ class DistributedSession:
                 name,
                 self.spark.table(name),
                 dist_col,
-                buckets=int(kw.get("shard_count", DEFAULT_SHARD_COUNT)),
+                buckets=int(kw.get("shard_count", self.shard_count)),
                 colocate_with=(
                     None
                     if kw.get("colocate_with") in (None, "default", "none")

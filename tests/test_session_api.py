@@ -106,3 +106,33 @@ def test_citus_tables_metadata_view(spark):
     assert meta["lineitem"].shard_count == meta["orders"].shard_count
     assert meta["nation"].citus_table_type == "reference"
     assert meta["nation"].shard_count == 1
+
+
+def test_guc_set_show_roundtrip(spark):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    assert sess.sql("SHOW citus.shard_count").collect()[0][0] == "32"
+    sess.sql("SET citus.shard_count = 8")
+    assert sess.shard_count == 8
+    # the GUC becomes the default for subsequent DDL, like the reference
+    df = sess.spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    out = sess.create_distributed_table("nation_guc", df, "n_nationkey")
+    assert out.rdd.getNumPartitions() == 8
+    assert sess.catalog.get("nation_guc").buckets == 8
+
+    sess.sql("SET citus.count_distinct_error_rate TO 0.02")
+    assert sess.count_distinct_error_rate == 0.02
+    sess.sql("SET citus.count_distinct_error_rate = 0")  # 0 disables, per PG
+    assert sess.count_distinct_error_rate is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown GUC"):
+        sess.sql("SET citus.nonexistent = 1")
+    # non-citus SET still reaches Spark's own conf handling
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    sess.sql("SET spark.sql.shuffle.partitions = 24")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "24"
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
