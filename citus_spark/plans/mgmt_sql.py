@@ -26,6 +26,7 @@ _FNS = (
     "rebalance_table_shards",
     "get_rebalance_table_shards_plan",
     "alter_columnar_table_set",
+    "alter_table_set_access_method",
     "citus_stat_statements_reset",
     "create_time_partitions",
     "drop_old_time_partitions",

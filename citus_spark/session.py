@@ -463,6 +463,15 @@ class DistributedSession:
                     call.args[1] if len(call.args) > 1 else kw["older_than"]
                 ),
             )
+        elif call.fn == "alter_table_set_access_method":
+            self.alter_table_set_access_method(
+                str(call.args[0]),
+                access_method=str(
+                    call.args[1]
+                    if len(call.args) > 1
+                    else kw.get("access_method", "columnar")
+                ),
+            )
         elif call.fn == "alter_columnar_table_set":
             self.alter_columnar_table_set(
                 str(call.args[0]),
@@ -644,6 +653,39 @@ class DistributedSession:
         merged.update(options)
         entry.columnar = columnar_options(merged)  # validates
         return dict(entry.columnar)
+
+    def alter_table_set_access_method(
+        self, name: str, access_method: str = "columnar",
+        path: str | None = None,
+    ) -> str:
+        """Materialize a registered table into the columnar layout
+        under its configured storage options (↔ reference
+        alter_table_set_access_method(), commands/alter_table.c — the
+        heap↔columnar converter; it, too, rewrites the whole
+        relation). The relation's rows are unchanged; only the
+        physical layout moves. `access_method='heap'` is rejected:
+        Spark's native format IS columnar parquet, and a row-oriented
+        rewrite would fabricate a storage engine the platform doesn't
+        have. Returns the new storage path."""
+        from citus_spark.sources.columnar import write_columnar
+
+        if access_method != "columnar":
+            raise ValueError(
+                "only access_method='columnar' exists on this engine "
+                "(Spark's storage is columnar parquet; there is no heap)"
+            )
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if path is None:
+            path = os.path.join(
+                tempfile.gettempdir(), f"citus_spark_columnar_{name}"
+            )
+        df = self.spark.table(name)
+        write_columnar(df, path, entry.columnar)
+        entry.path = path
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        return path
 
     def get_rebalance_table_shards_plan(
         self, name: str, target_shard_rows: int = 100_000_000

@@ -97,3 +97,33 @@ def test_options_persist_with_catalog(spark, tmp_path):
     sess.catalog.save(p)
     loaded = DistCatalog.load(p)
     assert loaded.get("orders_pers").columnar["compression"] == "gzip"
+
+
+def test_alter_table_set_access_method_materializes_options(spark, tmp_path):
+    from citus_spark.session import DistributedSession
+    from citus_spark.sources.columnar import chunk_stats
+
+    sess = DistributedSession(spark)
+    sess.create_distributed_table(
+        "orders_am", _orders(spark), "o_orderkey", buckets=4
+    )
+    sess.alter_columnar_table_set("orders_am", compression="gzip")
+    n_before = spark.table("orders_am").count()
+
+    path = str(tmp_path / "orders_columnar")
+    # the reference's literal SQL spelling
+    sess.sql("SELECT alter_table_set_access_method('orders_am', 'columnar')")
+    got_path = sess.catalog.get("orders_am").path
+    # options reached the written files
+    stats = chunk_stats(spark, got_path, columns=["o_orderkey"]).collect()
+    assert stats and all(r.compression == "GZIP" for r in stats)
+    # relation unchanged, view now reads the materialized layout
+    assert spark.table("orders_am").count() == n_before
+    # the API form with an explicit path
+    p2 = sess.alter_table_set_access_method("orders_am", path=path)
+    assert p2 == path and sess.catalog.get("orders_am").path == path
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="heap"):
+        sess.alter_table_set_access_method("orders_am", "heap")
