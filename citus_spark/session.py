@@ -318,6 +318,10 @@ class DistributedSession:
         guc = self._execute_guc(query)
         if guc is not None:
             return guc
+        from citus_spark.plans.copy_sql import is_copy
+
+        if is_copy(query):
+            return self._execute_copy(query)
         mgmt = self._execute_mgmt(query)
         if mgmt is not None:
             return mgmt
@@ -525,6 +529,48 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _execute_copy(self, query: str) -> DataFrame:
+        """Textual COPY (plans/copy_sql.py ↔ reference multi_copy.c):
+        FROM = parallel parse of the file appended to the target's
+        storage under the TARGET'S schema (the reference, too,
+        requires the table to exist and coerces to its types); TO =
+        distributed write of the relation or query. Returns the
+        psql-style COPY count."""
+        from citus_spark.plans.copy_sql import parse_copy
+
+        stmt = parse_copy(query)
+        if stmt.direction == "from":
+            entry = self._writable_entry(stmt.table, "COPY FROM")
+            schema = self.spark.read.parquet(entry.path).schema
+            reader = self.spark.read.schema(schema)
+            if stmt.fmt == "csv":
+                df = reader.option(
+                    "header", str(stmt.header).lower()
+                ).csv(stmt.path)
+            else:
+                df = reader.json(stmt.path)
+            n = df.count()
+            df.write.mode("append").parquet(entry.path)
+            self.spark.catalog.refreshByPath(entry.path)
+            self.spark.read.parquet(entry.path).createOrReplaceTempView(
+                stmt.table
+            )
+        else:
+            df = (
+                self.spark.sql(stmt.query)
+                if stmt.query is not None
+                else self.spark.table(stmt.table)
+            )
+            n = df.count()
+            writer = df.write.mode("overwrite")
+            if stmt.fmt == "csv":
+                writer.option("header", str(stmt.header).lower()).csv(
+                    stmt.path
+                )
+            else:
+                writer.json(stmt.path)
+        return self.spark.createDataFrame([(int(n),)], "copied long")
 
     def _execute_dml(self, query: str) -> DataFrame:
         """Textual UPDATE / DELETE (plans/dml_sql.py ↔ reference
