@@ -322,6 +322,9 @@ class DistributedSession:
 
         if is_copy(query):
             return self._execute_copy(query)
+        util = self._execute_utility(query)
+        if util is not None:
+            return util
         mgmt = self._execute_mgmt(query)
         if mgmt is not None:
             return mgmt
@@ -529,6 +532,80 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _execute_utility(self, query: str) -> DataFrame | None:
+        """TRUNCATE / VACUUM / ANALYZE — the utility statements the
+        reference propagates to shards (commands/truncate.c,
+        vacuum.c; SURVEY §2.8/§2.10). TRUNCATE empties the relation
+        keeping its schema; VACUUM bin-packs small files
+        (sources/ingest.compact_table); ANALYZE returns per-column
+        statistics (count/ndv/nulls/min/max — the pg_statistic
+        analog, computed in one distributed pass)."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*(TRUNCATE)(?:\s+TABLE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$"
+            r"|^\s*(VACUUM|ANALYZE)\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            query,
+            _re.I,
+        )
+        if not m:
+            return None
+        verb = (m.group(1) or m.group(3)).upper()
+        name = m.group(2) or m.group(4)
+        if verb == "TRUNCATE":
+            entry = self._writable_entry(name, "TRUNCATE")
+            df = self.spark.read.parquet(entry.path)
+            empty = df.filter(F.lit(False))
+            tmp = entry.path + ".trunc_tmp"
+            empty.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                entry.path
+            )
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            self.spark.catalog.refreshByPath(entry.path)
+            self.spark.read.parquet(entry.path).createOrReplaceTempView(name)
+            return self.spark.sql("SELECT 'TRUNCATE' AS status")
+        if verb == "VACUUM":
+            from citus_spark.sources.ingest import compact_table
+
+            entry = self._writable_entry(name, "VACUUM")
+            n_files = compact_table(self.spark, entry.path)
+            self.spark.catalog.refreshByPath(entry.path)
+            self.spark.read.parquet(entry.path).createOrReplaceTempView(name)
+            return self.spark.createDataFrame(
+                [(int(n_files),)], "files long"
+            )
+        # ANALYZE: works on any registered relation (read-only)
+        df = self.spark.table(name)
+        aggs = [F.count("*").cast("long").alias("_n")]
+        for f in df.schema.fields:
+            c = f.name
+            aggs += [
+                F.approx_count_distinct(c).cast("long").alias(f"_ndv_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+                F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+                F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        stats = [
+            (
+                c.name,
+                int(row["_n"]),
+                int(row[f"_ndv_{c.name}"]),
+                int(row[f"_nulls_{c.name}"] or 0),
+                row[f"_min_{c.name}"],
+                row[f"_max_{c.name}"],
+            )
+            for c in df.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            stats,
+            "column string, n_rows long, approx_ndv long, n_nulls long, "
+            "min_value string, max_value string",
+        )
 
     def _execute_copy(self, query: str) -> DataFrame:
         """Textual COPY (plans/copy_sql.py ↔ reference multi_copy.c):
