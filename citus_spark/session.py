@@ -561,6 +561,16 @@ class DistributedSession:
             return None
         verb = (m.group(1) or m.group(3)).upper()
         name = m.group(2) or m.group(4)
+        if verb in ("TRUNCATE", "VACUUM") and self.catalog.get(name) is None:
+            # not one of ours: fall through to Spark's own handling
+            # (its catalog TRUNCATE TABLE, or its honest unsupported
+            # error) instead of claiming the statement
+            return None
+        if verb == "ANALYZE":
+            try:
+                self.spark.table(name)
+            except Exception:
+                return None
         if verb == "TRUNCATE":
             entry = self._writable_entry(name, "TRUNCATE")
             df = self.spark.read.parquet(entry.path)
