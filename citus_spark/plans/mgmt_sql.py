@@ -94,6 +94,20 @@ _CITUS_ACTIVITY = re.compile(
     r"\bcitus_stat_activity\s*\(\s*\)|\bcitus_stat_activity\b", re.I
 )
 
+_CITUS_TENANTS = re.compile(
+    r"\bcitus_stat_tenants\s*\(\s*\)|\bcitus_stat_tenants\b", re.I
+)
+
+
+def uses_citus_stat_tenants(sql: str) -> bool:
+    return bool(_CITUS_TENANTS.search(sql))
+
+
+def rewrite_citus_stat_tenants(sql: str, view_name: str) -> str:
+    """Replace the citus_stat_tenants relation reference with a
+    registered view name."""
+    return _CITUS_TENANTS.sub(view_name, sql)
+
 
 def uses_citus_stat_activity(sql: str) -> bool:
     return bool(_CITUS_ACTIVITY.search(sql))

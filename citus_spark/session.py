@@ -376,6 +376,13 @@ class DistributedSession:
             query, key, executor="router" if key is not None else "adaptive"
         )
 
+    def citus_stat_tenants(self) -> DataFrame:
+        """↔ the reference's citus_stat_tenants view (11.3+): query
+        counts per tenant (distribution-key value), derived from
+        router-statement partition keys — the per-tenant resource
+        accounting the partition_key column exists for."""
+        return self.stat_statements.tenants_df(self.spark)
+
     def citus_stat_statements(self) -> DataFrame:
         """↔ the reference's citus_stat_statements view (one row per
         executed statement shape with queryid, normalized text,
@@ -394,16 +401,25 @@ class DistributedSession:
             rewrite_citus_shards,
             rewrite_citus_stat_activity,
             rewrite_citus_stat_statements,
+            rewrite_citus_stat_tenants,
             rewrite_citus_tables,
             uses_citus_shards,
             uses_citus_stat_activity,
             uses_citus_stat_statements,
+            uses_citus_stat_tenants,
             uses_citus_tables,
         )
 
         call = parse_mgmt(query)
         if call is None:
             rewritten = query
+            if uses_citus_stat_tenants(rewritten):
+                self.citus_stat_tenants().createOrReplaceTempView(
+                    "_citus_stat_tenants"
+                )
+                rewritten = rewrite_citus_stat_tenants(
+                    rewritten, "_citus_stat_tenants"
+                )
             if uses_citus_stat_activity(rewritten):
                 self.citus_stat_activity().createOrReplaceTempView(
                     "_citus_stat_activity"

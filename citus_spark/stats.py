@@ -76,6 +76,11 @@ class StatStatements:
 
     def __init__(self) -> None:
         self._stats: dict[int, dict] = {}
+        # per-tenant accounting uses each CALL's own key (two calls of
+        # one statement shape with different keys are different
+        # tenants), so it accumulates separately from the shape table
+        self._tenant_calls: dict[str, int] = {}
+        self._tenant_shapes: dict[str, set[int]] = {}
 
     def record(
         self, sql: str, partition_key: str | None, executor: str
@@ -83,7 +88,8 @@ class StatStatements:
         norm = normalize_query(sql)
         qid = query_id(norm)
         row = self._stats.get(qid)
-        if row is None:
+        new_shape = row is None
+        if new_shape:
             self._stats[qid] = {
                 "query": norm,
                 "executor": executor,
@@ -92,10 +98,32 @@ class StatStatements:
             }
         else:
             row["calls"] += 1
+        if partition_key is not None:
+            self._tenant_calls[partition_key] = (
+                self._tenant_calls.get(partition_key, 0) + 1
+            )
+            self._tenant_shapes.setdefault(partition_key, set()).add(qid)
 
     def reset(self) -> None:
         """↔ citus_stat_statements_reset()"""
         self._stats.clear()
+        self._tenant_calls.clear()
+        self._tenant_shapes.clear()
+
+    def tenants_df(self, spark: SparkSession) -> DataFrame:
+        """↔ the reference's citus_stat_tenants view (11.3+): per-tenant
+        query counts, derived from the router partition keys — the
+        multi-tenant accounting citus_stat_statements exists to
+        enable. One row per distinct partition key seen in router
+        statements, with its total calls and distinct query shapes."""
+        rows = [
+            (k, int(self._tenant_calls[k]), len(self._tenant_shapes[k]))
+            for k in sorted(self._tenant_calls)
+        ]
+        return spark.createDataFrame(
+            rows, "tenant_attribute string, query_count long, "
+            "distinct_query_shapes long",
+        )
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         rows = [

@@ -111,3 +111,35 @@ def test_stat_activity_idle_and_during_job(spark):
     # the SQL spelling resolves the same view (idle again by now)
     via_sql = sess.sql("SELECT count(*) AS n FROM citus_stat_activity")
     assert via_sql.collect()[0].n >= 0
+
+
+def test_stat_tenants_counts_per_key_not_per_shape(spark):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    sess.stat_statements.reset()
+
+    # one statement SHAPE, three tenants; tenant 42 hit twice via two
+    # different shapes
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 42")
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 99")
+    sess.sql("SELECT * FROM orders WHERE o_orderkey = 7")
+    sess.sql("SELECT count(*) AS n FROM orders WHERE o_orderkey = 42")
+
+    tenants = {r.tenant_attribute: r for r in sess.citus_stat_tenants().collect()}
+    assert set(tenants) == {"42", "99", "7"}
+    assert tenants["42"].query_count == 2
+    assert tenants["42"].distinct_query_shapes == 2
+    assert tenants["99"].query_count == 1
+    assert tenants["99"].distinct_query_shapes == 1
+
+    # SQL spelling
+    top = sess.sql(
+        "SELECT tenant_attribute FROM citus_stat_tenants "
+        "ORDER BY query_count DESC LIMIT 1"
+    ).collect()
+    assert top[0].tenant_attribute == "42"
+
+    sess.sql("SELECT citus_stat_statements_reset()")
+    assert sess.citus_stat_tenants().count() == 0
