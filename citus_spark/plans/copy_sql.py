@@ -11,6 +11,8 @@ the relation/query. Grammar (PostgreSQL spelling):
     COPY <table> TO '<path>'   [WITH (...)]
     COPY (SELECT ...) TO '<path>' [WITH (...)]
 
+HEADER defaults OFF, matching PostgreSQL — scripts that never mention
+HEADER move headerless files, byte-compatible with psql's output.
 Returns the psql-style `COPY <n>` row count.
 """
 
@@ -43,7 +45,9 @@ def is_copy(sql: str) -> bool:
 
 
 def _parse_options(opts: str | None) -> tuple[str, bool]:
-    fmt, header = "csv", True
+    # PostgreSQL's COPY defaults: csv format option given, HEADER OFF —
+    # a headerless psql-produced file must round-trip losslessly
+    fmt, header = "csv", False
     for part in (opts or "").split(","):
         part = part.strip()
         if not part:

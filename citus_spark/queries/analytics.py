@@ -1979,7 +1979,7 @@ register_split(
     session_window_native,
     """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
@@ -1987,7 +1987,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )

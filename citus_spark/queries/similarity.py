@@ -658,13 +658,22 @@ SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
 # non-increasing from 1 to 2 iterations (the property that defines
 # the algorithm; pytest asserts the full monotone trajectory).
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citus_spark.operators.kmeans import kmeans, kmeans_cost
+    from citus_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans,
+        kmeans_cost,
+        update_centroids,
+    )
 
     load_views(spark, sf_dir)
     vectors = spark.table("embeddings").select("vec_id", "embedding")
+    # one k-means run; iteration 2 continues from iteration 1's
+    # centroids (running the algorithm twice from scratch would repeat
+    # all of iteration 1's distributed work just to read its cost)
     a1, _ = kmeans(vectors, k=8, n_iter=1)
     cost1 = kmeans_cost(a1)
-    a2, _ = kmeans(vectors, k=8, n_iter=2)
+    cents2 = update_centroids(a1).localCheckpoint(eager=True)
+    a2 = assign_clusters(vectors, cents2)
     cost2 = kmeans_cost(a2)
     stats = a2.agg(
         F.count("*").cast("long").alias("n_assigned"),

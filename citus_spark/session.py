@@ -319,10 +319,16 @@ class DistributedSession:
             )
         if is_merge(query):
             return self._execute_merge(query)
-        from citus_spark.plans.dml_sql import is_dml
+        from citus_spark.plans.dml_sql import is_dml, parse_dml
 
         if is_dml(query):
-            return self._execute_dml(query)
+            # claim the statement only for OUR catalog tables; DML on
+            # anything else falls through to Spark (which has native
+            # UPDATE/DELETE for v2 sources) — same fall-through rule
+            # as the utility statements
+            stmt = parse_dml(query)
+            if stmt is not None and self.catalog.get(stmt.table) is not None:
+                return self._execute_dml(query)
         guc = self._execute_guc(query)
         if guc is not None:
             return guc
@@ -620,8 +626,11 @@ class DistributedSession:
             aggs += [
                 F.approx_count_distinct(c).cast("long").alias(f"_ndv_{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
-                F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
-                F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+                # aggregate in the column's OWN type, stringify after —
+                # min/max on the string cast would be lexicographic
+                # (min of {9, 10} = '10')
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
             ]
         row = df.agg(*aggs).collect()[0]
         stats = [
@@ -670,7 +679,10 @@ class DistributedSession:
             )
         else:
             df = (
-                self.spark.sql(stmt.query)
+                # through the front door, not raw spark.sql — the
+                # subquery may reference citus_* views or use
+                # pg_compat spellings like any other statement
+                self.sql(stmt.query)
                 if stmt.query is not None
                 else self.spark.table(stmt.table)
             )
@@ -979,23 +991,32 @@ class DistributedSession:
         entry = self.catalog.get(name)
         if entry is None:
             raise KeyError(f"unknown table {name!r}")
-        if path is None:
-            # keep the previously-chosen layout path on re-invocation;
-            # otherwise a session-temp dir — NEVER beside entry.path
-            # (source fixtures may live on read-only storage)
-            if entry.time_partitioning:
-                path = entry.time_partitioning["path"]
-            else:
-                path = os.path.join(
-                    tempfile.gettempdir(), f"citus_spark_tp_{name}"
-                )
         tp = entry.time_partitioning
         if tp and tp["ts_col"] == ts_col and tp["granularity"] == granularity:
             # already partitioned this way: create-if-missing semantics
             # (the reference call is likewise idempotent over existing
             # partitions) — and never rewrite the layout from itself
             return list_partitions(tp["path"])
-        df = self.spark.table(name)
+        if path is None:
+            # granularity-keyed session-temp dir — distinct from any
+            # PREVIOUS layout (a re-partition reads the current view,
+            # so writing over the old layout would overwrite a path
+            # being read), and NEVER beside entry.path (source
+            # fixtures may live on read-only storage)
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"citus_spark_tp_{name}_{granularity}_{ts_col}",
+            )
+        if tp and os.path.abspath(path) == os.path.abspath(tp["path"]):
+            raise ValueError(
+                f"{name!r} is already time-partitioned at {path!r} with "
+                f"different options ({tp['granularity']!r} on "
+                f"{tp['ts_col']!r}); re-partitioning must target a new "
+                "path — the current layout is the read source"
+            )
+        # drop a stale period key left by a previous layout (no-op on
+        # a first-time conversion)
+        df = self.spark.table(name).drop("_period")
         if ts_col not in df.columns:
             raise ValueError(f"timestamp column {ts_col!r} not in {name!r}")
         write_time_partitioned(df, path, ts_col, granularity)
@@ -1023,7 +1044,12 @@ class DistributedSession:
             raise KeyError(f"{name!r} is not time-partitioned")
         tp = entry.time_partitioning
         fmt = {"day": 10, "month": 7, "hour": 13}[tp["granularity"]]
-        dropped = drop_old_partitions(tp["path"], str(older_than)[:fmt])
+        # partition keys spell hour as yyyy-MM-dd-HH; a timestamp-style
+        # cutoff ('2023-06-15 12:00') keeps its space separator, which
+        # sorts BELOW '-' and would retain every same-day hour —
+        # normalize the separator before the lexicographic compare
+        cutoff = str(older_than)[:fmt].replace(" ", "-")
+        dropped = drop_old_partitions(tp["path"], cutoff)
         self.spark.catalog.refreshByPath(tp["path"])
         read_time_partitioned(self.spark, tp["path"]).createOrReplaceTempView(
             name

@@ -76,6 +76,12 @@ def parse_debezium(
     parsed = df.select(
         F.from_json(F.col(envelope_col), schema).alias("_e")
     )
+    # malformed lines (truncated writes, stray log output) parse to a
+    # NULL struct / NULL op — drop them rather than fabricating an
+    # all-NULL-key upsert that would pollute the state table
+    parsed = parsed.filter(
+        F.col("_e").isNotNull() & F.col("_e.op").isNotNull()
+    )
     return parsed.select(
         F.when(F.col("_e.op") == "d", "delete")
         .otherwise("upsert")
@@ -106,29 +112,20 @@ def read_current(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def run_envelope_apply_to_table(
+def _drive_apply(
     spark: SparkSession,
-    feed_dir: str,
+    changes,
     state_path: str,
-    key_fields: str,
-    after_fields: str,
     keys: list[str],
-    queryName: str = "cdc_envelope_apply",
+    queryName: str,
 ) -> None:
-    """Tail a Debezium-envelope text feed (one JSON envelope per line
-    — the shape a Kafka-file bridge or the reference's cdc_decoder.c
-    consumer would drop) to completion: streaming from_json decode
-    (parse_debezium) → per-micro-batch latest-state apply. Same
-    idempotence/ordering contract as run_apply_to_table."""
+    """Shared micro-batch driver: latest-per-key delta → apply into
+    the state table via a tmp-dir two-step overwrite. Both feed
+    shapes (flat parquet rows, decoded envelopes) run through this
+    one swap protocol, so a fix to it fixes every feed."""
     from citus_spark.queries import _ship_package
 
     _ship_package(spark)
-    stream = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed_dir)
-    )
-    changes = parse_debezium(stream, "value", key_fields, after_fields)
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -157,6 +154,29 @@ def run_envelope_apply_to_table(
     q.awaitTermination()
 
 
+def run_envelope_apply_to_table(
+    spark: SparkSession,
+    feed_dir: str,
+    state_path: str,
+    key_fields: str,
+    after_fields: str,
+    keys: list[str],
+    queryName: str = "cdc_envelope_apply",
+) -> None:
+    """Tail a Debezium-envelope text feed (one JSON envelope per line
+    — the shape a Kafka-file bridge or the reference's cdc_decoder.c
+    consumer would drop) to completion: streaming from_json decode
+    (parse_debezium) → per-micro-batch latest-state apply. Same
+    idempotence/ordering contract as run_apply_to_table."""
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed_dir)
+    )
+    changes = parse_debezium(stream, "value", key_fields, after_fields)
+    _drive_apply(spark, changes, state_path, keys, queryName)
+
+
 def run_apply_to_table(
     spark: SparkSession,
     feed_dir: str,
@@ -168,40 +188,10 @@ def run_apply_to_table(
     to completion, maintaining `state_path` incrementally. Idempotent:
     replaying the same feed yields the identical state (per-key argmax
     is insensitive to duplication and order)."""
-    from citus_spark.queries import _ship_package
-
-    _ship_package(spark)
     schema = spark.read.parquet(feed_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed_dir)
     )
-
-    def upsert(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        delta = _latest_per_key(batch, keys)
-        old = (
-            spark.read.parquet(state_path)
-            if os.path.exists(state_path)
-            else None
-        )
-        new_state = apply_changes(old, delta, keys)
-        tmp = state_path + ".tmp"
-        new_state.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .queryName(queryName)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", state_path + ".ckpt." + queryName
-        )
-        .start()
-    )
-    q.awaitTermination()
+    _drive_apply(spark, stream, state_path, keys, queryName)

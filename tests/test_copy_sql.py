@@ -30,9 +30,22 @@ def test_copy_to_and_back(spark, sess_with_table, tmp_path):
     ).collect()
     assert exported[0].copied == n0
 
-    # round-trip: append the export back → table doubles
-    copied = s.sql(f"COPY nation_copy FROM '{out_csv}'").collect()
+    # round-trip: append the export back → table doubles (HEADER must
+    # be stated on both sides — the default is OFF, like PostgreSQL)
+    copied = s.sql(
+        f"COPY nation_copy FROM '{out_csv}' WITH (HEADER)"
+    ).collect()
     assert copied[0].copied == n0
+    assert spark.table("nation_copy").count() == 2 * n0
+
+
+def test_copy_headerless_default_roundtrip(spark, sess_with_table, tmp_path):
+    s = sess_with_table
+    n0 = spark.table("nation_copy").count()
+    out = str(tmp_path / "no_header")
+    # no HEADER mentioned anywhere: psql-style headerless files
+    assert s.sql(f"COPY nation_copy TO '{out}'").collect()[0].copied == n0
+    assert s.sql(f"COPY nation_copy FROM '{out}'").collect()[0].copied == n0
     assert spark.table("nation_copy").count() == 2 * n0
 
 

@@ -68,3 +68,23 @@ def test_sql_and_call_spellings(spark, tmp_path):
         for r in spark.table("events").select("_period").distinct().collect()
     )
     assert periods_after == [p for p in periods_before if p >= cutoff]
+
+
+def test_hour_granularity_drop_accepts_timestamp_cutoff(spark, tmp_path):
+    """Hour partition keys are yyyy-MM-dd-HH; a timestamp-style cutoff
+    keeps its space separator, which sorts below '-', so without
+    normalization no same-day hour would ever drop."""
+    sess = _sess(spark)
+    periods = sess.create_time_partitions(
+        "events", ts_col="ts", granularity="hour",
+        path=str(tmp_path / "events_h"),
+    )
+    # pick a mid-day cutoff on the first day present
+    first_day = periods[0][:10]
+    same_day = [p for p in periods if p.startswith(first_day)]
+    assert len(same_day) >= 3
+    cutoff_key = same_day[2]  # yyyy-MM-dd-HH
+    ts_style = f"{cutoff_key[:10]} {cutoff_key[11:]}:00:00"
+    dropped = sess.drop_old_time_partitions("events", older_than=ts_style)
+    assert dropped == [p for p in periods if p < cutoff_key]
+    assert same_day[0] in dropped and same_day[1] in dropped

@@ -74,3 +74,18 @@ def test_fixture_protected_from_truncate(spark):
     # ANALYZE is read-only: allowed on fixtures
     n_cols = len(s.spark.table("nation").columns)
     assert s.sql("ANALYZE nation").count() == n_cols
+
+
+def test_analyze_minmax_is_value_ordered_not_lexicographic(spark, tmp_path):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    # numeric min 9 / max 200: the string-cast ordering would report
+    # min '10' and max '9'
+    df = spark.createDataFrame([(9,), (10,), (200,)], "v long")
+    path = str(tmp_path / "mm")
+    df.write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("mm_t")
+    s.catalog.register("mm_t", "none", path=path)
+    row = {r.column: r for r in s.sql("ANALYZE mm_t").collect()}["v"]
+    assert (row.min_value, row.max_value) == ("9", "200")
