@@ -164,11 +164,17 @@ def pq_topk(
 
     def kernel(batches):
         for pdf in batches:
+            take = min(candidates, len(pdf))
+            if take == 0:
+                continue
             codes = np.array(pdf[code_col].tolist(), dtype=np.int64)
             # gather-sum: dist ≈ Σ_j lut[j, code_j]
             adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
-            take = min(candidates, len(adc))
-            idx = np.argpartition(adc, take - 1)[:take]
+            # lexsort (adc primary, id secondary): rows with identical
+            # PQ codes have identical adc, so an un-tiebroken cut would
+            # keep a partitioning-dependent subset at the boundary
+            ids = pdf[id_col].to_numpy()
+            idx = np.lexsort((ids, adc))[:take]
             out = {
                 id_col: pdf[id_col].to_numpy()[idx],
                 "adc_dist": adc[idx],
@@ -349,6 +355,9 @@ def ivfpq_topk(
 
     def kernel(batches):
         for pdf in batches:
+            take = min(candidates, len(pdf))
+            if take == 0:
+                continue
             codes = np.array(pdf[code_col].tolist(), dtype=np.int64)
             cellv = pdf[cell_col].to_numpy()
             adc = np.empty(len(codes), dtype=np.float64)
@@ -358,8 +367,8 @@ def ivfpq_topk(
                     adc[mask] = luts[c][
                         np.arange(m)[None, :], codes[mask]
                     ].sum(axis=1)
-            take = min(candidates, len(adc))
-            idx = np.argpartition(adc, take - 1)[:take]
+            # deterministic (adc, id) cut — same rationale as pq_topk
+            idx = np.lexsort((pdf[id_col].to_numpy(), adc))[:take]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[idx],

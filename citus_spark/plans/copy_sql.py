@@ -7,11 +7,12 @@ is a parallel file parse appended to the target's storage (the hash
 route is the target's bucketing); COPY TO is a distributed write of
 the relation/query. Grammar (PostgreSQL spelling):
 
-    COPY <table> FROM '<path>' [WITH (FORMAT csv|jsonl [, HEADER [bool]])]
+    COPY <table> FROM '<path>' [WITH (FORMAT csv|jsonl|binary [, HEADER [bool]])]
     COPY <table> TO '<path>'   [WITH (...)]
     COPY (SELECT ...) TO '<path>' [WITH (...)]
 
-HEADER defaults OFF, matching PostgreSQL — scripts that never mention
+FORMAT binary speaks the PG binary COPY wire format
+(plans/copy_binary.py). HEADER defaults OFF, matching PostgreSQL — scripts that never mention
 HEADER move headerless files, byte-compatible with psql's output.
 Returns the psql-style `COPY <n>` row count.
 """
@@ -28,7 +29,7 @@ class CopyStatement:
     table: str | None  # None when copying a query
     query: str | None  # the SELECT text for COPY (query) TO
     path: str
-    fmt: str  # "csv" | "jsonl"
+    fmt: str  # "csv" | "jsonl" | "binary"
     header: bool
 
 
@@ -56,9 +57,9 @@ def _parse_options(opts: str | None) -> tuple[str, bool]:
         key = toks[0].lower()
         val = toks[1].strip().strip("'\"").lower() if len(toks) > 1 else None
         if key == "format":
-            if val not in ("csv", "jsonl", "json"):
+            if val not in ("csv", "jsonl", "json", "binary"):
                 raise ValueError(f"COPY: unsupported FORMAT {val!r}")
-            fmt = "jsonl" if val in ("jsonl", "json") else "csv"
+            fmt = {"jsonl": "jsonl", "json": "jsonl"}.get(val, val)
         elif key == "header":
             header = val in (None, "true", "on", "1")
         else:

@@ -130,6 +130,238 @@ def extract_materialized_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
     return found, sql
 
 
+def pg_regex_ops(sql: str) -> str:
+    """Rewrite PostgreSQL regex/LIKE operators to Spark spellings
+    (↔ reference regress scripts use them freely; ILIKE itself needs
+    no rewrite — Spark SQL accepts it natively):
+
+      a ~ 'p'    → a RLIKE 'p'          a !~ 'p'   → a NOT RLIKE 'p'
+      a ~* 'p'   → a RLIKE '(?i)p'      a !~* 'p'  → a NOT RLIKE '(?i)p'
+      a ~~ 'p'   → a LIKE 'p'           a !~~ 'p'  → a NOT LIKE 'p'
+      a ~~* 'p'  → a ILIKE 'p'          a !~~* 'p' → a NOT ILIKE 'p'
+
+    Segment-aware and deliberately narrow: the operator must be the
+    last code token before a string literal (the overwhelmingly common
+    shape), so a bitwise NOT (`~x`) — which never directly precedes a
+    string literal after an operand — is left alone. The check that
+    the preceding token looks like an operand guards the rest."""
+    _OP = re.compile(r"(!?~~?\*?)\s*$")
+    _MAP = {
+        "~": ("RLIKE", False), "~*": ("RLIKE", True),
+        "!~": ("NOT RLIKE", False), "!~*": ("NOT RLIKE", True),
+        "~~": ("LIKE", False), "~~*": ("ILIKE", False),
+        "!~~": ("NOT LIKE", False), "!~~*": ("NOT ILIKE", False),
+    }
+    segs = _segments(sql)
+    out: list[str] = []
+    for i, (kind, text) in enumerate(segs):
+        if kind == "code":
+            nxt = segs[i + 1] if i + 1 < len(segs) else None
+            m = _OP.search(text)
+            if m and nxt and nxt[0] == "literal":
+                head = text[: m.start()].rstrip()
+                # operand guard: previous char must end an expression
+                if head and (head[-1].isalnum() or head[-1] in ")_'\""):
+                    op, ci = _MAP[m.group(1)]
+                    lit = nxt[1]
+                    if ci:
+                        lit = "'(?i)" + lit[1:]
+                    out.append(f"{head} {op} ")
+                    out.append(lit)
+                    segs[i + 1] = ("code", "")  # literal consumed
+                    continue
+        out.append(text)
+    return "".join(out)
+
+
+def _masked_spans(sql: str) -> list[tuple[int, int]]:
+    return [(m.start(), m.end()) for m in _SEGMENT.finditer(sql)]
+
+
+def _code_iter(sql: str, start: int, spans) -> "list[int]":
+    """Indices of code characters from `start` on (skipping literal
+    and comment spans)."""
+    idx = []
+    si = 0
+    for i in range(start, len(sql)):
+        while si < len(spans) and spans[si][1] <= i:
+            si += 1
+        if si < len(spans) and spans[si][0] <= i < spans[si][1]:
+            continue
+        idx.append(i)
+    return idx
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on top-level commas (paren-depth 0, outside literals)."""
+    spans = _masked_spans(text)
+    parts, depth, last = [], 0, 0
+    for i in _code_iter(text, 0, spans):
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_alias(item: str) -> str:
+    return re.sub(r"\s+AS\s+[A-Za-z_]\w*\s*$", "", item, flags=re.IGNORECASE)
+
+
+def _out_name(item: str) -> str:
+    """Output column name of a select-list item (alias, else the last
+    identifier path segment)."""
+    m = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+    if m:
+        return m.group(1)
+    m = re.search(r"([A-Za-z_]\w*)\s*$", item)
+    return m.group(1) if m else item.strip()
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """Rewrite PostgreSQL `SELECT DISTINCT ON (keys) list … ORDER BY …`
+    to the row_number() formulation Spark executes natively
+    (↔ reference src/test/regress/sql/multi_select_distinct.sql —
+    Citus pushes DISTINCT ON into worker queries when grouped by the
+    distribution column; here the window's PARTITION BY plays that
+    role, shuffling once on the keys):
+
+        SELECT * EXCEPT (__citus_rn) FROM (
+          SELECT <list>, row_number() OVER (
+            PARTITION BY <keys> ORDER BY <order-by>) AS __citus_rn
+          FROM <tail>) __citus_don
+        WHERE __citus_rn = 1 [ORDER BY <outer items>] [LIMIT …]
+
+    Ordinal keys/order items resolve against the select list (the
+    regress scripts' dominant spelling). Outer ordering keeps the
+    items that are ordinals or name select-list outputs; anything else
+    is dropped — those columns don't exist in the output relation.
+    Top-level statements only (a DISTINCT ON inside a subquery is
+    rewritten the same way because the scan is depth-aware and anchors
+    on the `SELECT DISTINCT ON` it finds first, recursing after)."""
+    pat = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((m for m in pat.finditer(sql) if in_code(m.start())), None)
+    if m is None:
+        return sql
+    # 1. keys: balanced-paren scan from the opening '('
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if in_code(i):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in DISTINCT ON")
+    keys_text = sql[m.end() : i]
+    # 2. select list: up to the top-level FROM
+    rest_start = i + 1
+    depth = 0
+    from_pos = None
+    kw_from = re.compile(r"\bFROM\b", re.IGNORECASE)
+    for j in _code_iter(sql, rest_start, spans):
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "Ff":
+            k = kw_from.match(sql, j)
+            if k:
+                from_pos = j
+                break
+    if from_pos is None:
+        raise ValueError("DISTINCT ON without FROM")
+    select_list = sql[rest_start:from_pos].strip()
+    # 3. tail: split out top-level ORDER BY and LIMIT/OFFSET
+    tail = sql[from_pos:]
+    tail_spans = _masked_spans(tail)
+    depth = 0
+    ob_pos = lim_pos = None
+    kw_ob = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+    kw_lim = re.compile(r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE)
+    for j in _code_iter(tail, 0, tail_spans):
+        c = tail[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if ob_pos is None and c in "Oo" and kw_ob.match(tail, j):
+                ob_pos = j
+            if lim_pos is None and c in "LlOoFf" and kw_lim.match(tail, j):
+                if ob_pos is None or j > ob_pos:
+                    lim_pos = j
+                    break
+    if ob_pos is not None:
+        from_part = tail[:ob_pos].rstrip()
+        ob_text = tail[ob_pos : lim_pos if lim_pos else len(tail)]
+        ob_text = re.sub(
+            r"^\s*ORDER\s+BY\s*", "", ob_text, flags=re.IGNORECASE
+        ).strip().rstrip(";")
+        limit_tail = tail[lim_pos:] if lim_pos else ""
+    else:
+        from_part = tail[: lim_pos if lim_pos else len(tail)].rstrip()
+        ob_text = ""
+        limit_tail = tail[lim_pos:] if lim_pos else ""
+    from_part = from_part.rstrip().rstrip(";")
+    limit_tail = limit_tail.rstrip().rstrip(";")
+
+    sl_items = _split_top_level(select_list)
+
+    def resolve(item: str) -> str:
+        body = re.sub(
+            r"\s+(ASC|DESC)\b.*$", "", item.strip(), flags=re.IGNORECASE
+        )
+        if re.fullmatch(r"\d+", body):
+            n = int(body)
+            if not (1 <= n <= len(sl_items)):
+                raise ValueError(f"ORDER BY position {n} out of range")
+            suffix = item.strip()[len(body):]
+            return _strip_alias(sl_items[n - 1]) + suffix
+        return item.strip()
+
+    keys = [resolve(k) for k in _split_top_level(keys_text)]
+    ob_items = [resolve(o) for o in _split_top_level(ob_text)] if ob_text else []
+    win_order = ob_items if ob_items else keys
+    out_names = {_out_name(s) for s in sl_items}
+    outer_ob = []
+    for raw in _split_top_level(ob_text) if ob_text else []:
+        body = re.sub(
+            r"\s+(ASC|DESC)\b.*$", "", raw.strip(), flags=re.IGNORECASE
+        )
+        if re.fullmatch(r"\d+", body) or body in out_names:
+            outer_ob.append(raw.strip())
+    inner = (
+        f"SELECT {select_list}, row_number() OVER ("
+        f"PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {', '.join(win_order)}) AS __citus_rn\n{from_part}"
+    )
+    rewritten = (
+        f"{sql[: m.start()]}SELECT * EXCEPT (__citus_rn) FROM (\n{inner}\n"
+        f") __citus_don WHERE __citus_rn = 1"
+    )
+    if outer_ob:
+        rewritten += f" ORDER BY {', '.join(outer_ob)}"
+    if limit_tail:
+        rewritten += f" {limit_tail}"
+    # recurse: a further DISTINCT ON (e.g. in a set-op branch)
+    return rewrite_distinct_on(rewritten)
+
+
 def pg_casts(sql: str) -> str:
     """Rewrite PostgreSQL ``expr::type`` casts to ANSI CAST."""
     segs = _segments(sql)

@@ -117,7 +117,18 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
     for t, path in paths.items():
-        df = spark.read.parquet(path)
+        # Single-file single-row-group fixtures give Spark exactly ONE
+        # input split — maxPartitionBytes can't split below row-group
+        # granularity — so every scan stage, including lineitem's 600k
+        # rows and the CPU-dense documents/embeddings kernels, runs as
+        # one task on one core. Materialize a fanned-out multi-file
+        # copy ONCE per fixture dir (hash-partitioned on the lead
+        # column, content-addressed temp cache shared across
+        # processes) and register the view over it: every query then
+        # gets `par` native splits with no per-query exchange. At real
+        # scale file count ≫ cores and the gate inside never fires.
+        read_path = _fanout_cache(spark, t, path, par) or path
+        df = spark.read.parquet(read_path)
         if t == "events":
             df = normalize_events_ts(df)
         # fixture generations differ in timestamp annotation (NANOS,
@@ -129,6 +140,66 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(t)
     spark._citus_views_dir = key
+
+
+# fan out only tables big enough for the scan stage to matter; below
+# this a single task is the cheapest plan (scheduling floor dominates)
+_FANOUT_MIN_BYTES = 512 << 10
+
+
+def _fanout_cache(spark: SparkSession, t: str, path: str, par: int) -> str | None:
+    """Return the path of a fanned-out (multi-file) copy of `path`,
+    building it on first use. Content-addressed by (path, size, mtime,
+    par) so fixture updates invalidate naturally; the build writes to
+    a pid-suffixed temp dir and renames into place, so concurrent
+    driver processes race benignly. Values are byte-identical to the
+    source (parquet roundtrip; events.ts pre-normalized to micros —
+    the same cast every reader applies). Row ORDER differs from the
+    source file, which every registered query must tolerate anyway
+    (the driver compare sorts; Spark guarantees no intra-file order)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    size = _tree_bytes(path)
+    if size < _FANOUT_MIN_BYTES or _leaf_file_count(path) >= par:
+        return None
+    sig = hashlib.sha1(
+        f"{os.path.abspath(path)}|{size}|{int(os.path.getmtime(path))}|{par}"
+        .encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(
+        tempfile.gettempdir(), "citus_spark_fanout", f"{t}_{sig}"
+    )
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    if os.path.isdir(dest):  # crashed half-build: clear before rebuild
+        import shutil as _sh
+
+        _sh.rmtree(dest, ignore_errors=True)
+    df = spark.read.parquet(path)
+    if t == "events":
+        df = normalize_events_ts(df)
+    tmp = f"{dest}.tmp{os.getpid()}"
+    (
+        df.repartition(par, df.columns[0])
+        .sortWithinPartitions(df.columns[0])
+        .write.mode("overwrite").parquet(tmp)
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:  # lost the race — the winner's copy is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def _leaf_file_count(path: str) -> int:
+    if os.path.isfile(path):
+        return 1
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n or 1
 
 
 def _tree_bytes(path: str) -> int:
@@ -295,6 +366,27 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "ch_q2", "ch_q3", "ch_q4", "ch_q5", "ch_q6", "ch_q7", "ch_q8",
     "ch_q9", "ch_q10", "ch_q11", "ch_q13", "ch_q15", "ch_q16",
     "ch_q17", "ch_q18", "ch_q19", "ch_q20", "ch_q21", "ch_q22",
+    # CORRECTNESS_r04.json (50/50 green, incl. re-verified
+    # scd2_purchase_history and window_rank)
+    "extract_date_parts", "cdc_apply_latest_state",
+    "scd2_purchase_history", "citus_shards_rollup", "txlog_merge_upsert",
+    "window_exclude_modes", "funnel_view_click_purchase",
+    "retention_cohorts", "unpivot_lineitem_metrics", "txlog_time_travel",
+    "session_window_native", "cdc_debezium_apply", "window_agg_filter",
+    "approx_count_distinct_parts", "percentile_approx_prices",
+    "tablesample_scan", "percentile_disc_priority", "hll_ndv_by_flag",
+    "sketch_quantiles_by_priority", "tdigest_rank_error_bounds",
+    "simhash_dup_candidates", "stratified_sample_by_source", "ivf_topk",
+    "ivf_topk_nprobe2", "embedding_neardup_pairs", "semantic_dedup_keep",
+    "ann_lsh_multi_table", "kmeans_clusters", "pq_search_contract",
+    "video_frame_sample", "audio_clip_features", "repetition_ratio",
+    "quality_gopher_rules", "pii_redact", "edit_distance_pairs",
+    "deterministic_sample", "bm25_topk", "chunk_documents_overlap",
+    "weighted_sample_by_length", "image_phash_dedup",
+    "image_decode_roundtrip", "image_phash_real_dedup",
+    "audio_decode_roundtrip", "video_decode_frame_stats",
+    "theta_ndv_by_source", "theta_intersection_sources", "sequence_pack",
+    "domain_mix_weights", "python_udtf_ngrams",
 })
 
 

@@ -2142,3 +2142,65 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
 ORDER BY o_orderkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Textual PG-surface entries (plans/rewrites.py): the reference regress
+# scripts' DISTINCT ON spelling (src/test/regress/sql/
+# multi_select_distinct.sql:109-140) and the ~/~* regex operator
+# family, run VERBATIM through DistributedSession.sql. DuckDB accepts
+# the same PG spellings natively, so the oracle is the identical text —
+# the strongest possible parity check (same statement, two engines).
+_PG_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderkey < 20000
+ORDER BY o_custkey, o_orderdate DESC, o_totalprice DESC
+"""
+
+
+def pg_distinct_on_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_DISTINCT_ON_SQL)
+
+
+register_split(
+    "pg_distinct_on_textual", pg_distinct_on_textual, _PG_DISTINCT_ON_SQL
+)
+
+
+# Spark side runs the verbatim PG operator spellings through the
+# front door; the oracle spells the same predicates in DuckDB's
+# dialect (DuckDB's own `~` is regexp_FULL_match — PG/Spark semantics
+# are partial match, so regexp_matches() is the equivalent there).
+_PG_REGEX_OPS_SQL = """
+SELECT
+  count(*) FILTER (WHERE text ~ 'data')        AS n_re,
+  count(*) FILTER (WHERE text ~* 'DATA')       AS n_re_ci,
+  count(*) FILTER (WHERE text !~ 'data')       AS n_not_re,
+  count(*) FILTER (WHERE source ~~ 'c%')       AS n_like,
+  count(*) FILTER (WHERE source ILIKE 'C%')    AS n_ilike
+FROM documents
+"""
+
+_PG_REGEX_OPS_ORACLE = """
+SELECT
+  count(*) FILTER (WHERE regexp_matches(text, 'data'))      AS n_re,
+  count(*) FILTER (WHERE regexp_matches(text, 'DATA', 'i')) AS n_re_ci,
+  count(*) FILTER (WHERE NOT regexp_matches(text, 'data'))  AS n_not_re,
+  count(*) FILTER (WHERE source LIKE 'c%')                  AS n_like,
+  count(*) FILTER (WHERE source ILIKE 'C%')                 AS n_ilike
+FROM documents
+"""
+
+
+def pg_regex_operators(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_REGEX_OPS_SQL)
+
+
+register_split(
+    "pg_regex_operators", pg_regex_operators, _PG_REGEX_OPS_ORACLE
+)

@@ -114,6 +114,26 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+def _interval_granularity(text: str | None) -> str | None:
+    """Map a PG interval spelling ('1 day', '1 mon', 'hourly', 'month')
+    to a partition granularity, or None if it doesn't look like one."""
+    if text is None:
+        return None
+    t = text.strip().lower()
+    import re as _re
+
+    m = _re.fullmatch(r"(?:1\s+)?(hour|day|week|month|mon)(?:s|ly)?", t)
+    if m is None:
+        return None
+    unit = {"mon": "month"}.get(m.group(1), m.group(1))
+    if unit not in ("hour", "day", "month"):
+        raise ValueError(
+            f"create_time_partitions: unsupported interval {text!r} "
+            "(supported: hour/day/month)"
+        )
+    return unit
+
+
 class DistributedSession:
     """SparkSession + distribution catalog.
 
@@ -344,6 +364,20 @@ class DistributedSession:
             return mgmt
         if self.pg_compat:
             query = pg_casts(query)
+        # unconditional PG-surface rewrites: neither spelling is valid
+        # Spark SQL, so rewriting can never change a working query
+        # (string literals are segment-protected). ILIKE needs no
+        # rewrite — Spark accepts it natively.
+        if "~" in query:
+            from citus_spark.plans.rewrites import pg_regex_ops
+
+            query = pg_regex_ops(query)
+        import re as _re
+
+        if _re.search(r"\bDISTINCT\s+ON\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import rewrite_distinct_on
+
+            query = rewrite_distinct_on(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached
@@ -362,20 +396,23 @@ class DistributedSession:
         the statement and extract the router partition key from the
         analyzed plan. Plan-string rendering costs ~ms at plan time;
         never touches data."""
-        from citus_spark.stats import extract_partition_key
+        from citus_spark.stats import extract_partition_key_scoped
 
-        dist_cols = {
-            t.dist_col
-            for t in self.catalog.tables().values()
+        dist = {
+            name: t.dist_col
+            for name, t in self.catalog.tables().items()
             if t.is_hash_distributed and t.dist_col
         }
         key = None
-        if dist_cols:
+        if dist:
             try:
-                # optimized plan: literals are constant-folded back to
-                # bare text (the analyzed plan wraps them in casts)
+                # analyzed plan: resolves which col#id attributes
+                # belong to each distributed relation; optimized plan:
+                # literals are constant-folded back to bare text (the
+                # analyzed plan wraps them in casts)
+                analyzed = str(df._jdf.queryExecution().analyzed())
                 plan = str(df._jdf.queryExecution().optimizedPlan())
-                key = extract_partition_key(plan, dist_cols)
+                key = extract_partition_key_scoped(analyzed, plan, dist)
             except Exception:
                 key = None
         self.stat_statements.record(
@@ -483,15 +520,42 @@ class DistributedSession:
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
         elif call.fn == "create_time_partitions":
-            # reference signature carries the interval; the partition
-            # column is explicit here (Spark has no PG partition key
-            # to read it from)
+            # reference positional signature is (table_name,
+            # partition_interval, end_at, start_from) — so a verbatim
+            # reference call puts the INTERVAL second. An
+            # interval-looking second arg binds as the interval
+            # (end_at/start_from are accepted and subsumed: partitions
+            # here exist by value coverage); the partition column has
+            # no PG partition key to be read from, so it comes from
+            # the ts_col keyword — or, for our API's older spelling, a
+            # non-interval positional second arg.
+            args2 = str(call.args[1]) if len(call.args) > 1 else None
+            gran = _interval_granularity(args2) if args2 else None
+            if gran is not None:
+                ts_col = kw.get("ts_col")
+                if ts_col is None:
+                    raise ValueError(
+                        "create_time_partitions: pass the timestamp "
+                        "column as ts_col => '<col>' (Spark tables "
+                        "carry no PG partition key to infer it from)"
+                    )
+            else:
+                ts_col = args2 if args2 is not None else kw.get("ts_col")
+                if ts_col is None:
+                    raise ValueError(
+                        "create_time_partitions: missing ts_col"
+                    )
+                gran = _interval_granularity(
+                    str(kw.get("partition_interval", "day"))
+                )
+                if gran is None:
+                    raise ValueError(
+                        "create_time_partitions: unsupported "
+                        f"partition_interval {kw.get('partition_interval')!r}"
+                        " (supported: hour/day/month spellings)"
+                    )
             self.create_time_partitions(
-                str(call.args[0]),
-                ts_col=str(
-                    call.args[1] if len(call.args) > 1 else kw["ts_col"]
-                ),
-                granularity=str(kw.get("partition_interval", "day")),
+                str(call.args[0]), ts_col=str(ts_col), granularity=gran
             )
         elif call.fn == "drop_old_time_partitions":
             self.drop_old_time_partitions(
@@ -544,16 +608,19 @@ class DistributedSession:
     protected_paths: tuple[str, ...] = ("/root/testdata",)
 
     def _writable_entry(self, name: str, verb: str):
-        """Resolve a writing statement's target: a catalog table with
-        a storage path outside every protected root."""
+        """Resolve a writing statement's target: a catalog table whose
+        LIVE storage (the time-partitioned layout when set — after
+        create_time_partitions the original entry.path is a stale
+        snapshot, not the relation) sits outside every protected
+        root."""
         entry = self.catalog.get(name)
-        if entry is None or not entry.path:
+        if entry is None or not self._live_path(entry):
             raise ValueError(
                 f"{verb} target {name!r} must be a catalog-registered "
                 "table with a storage path (create_distributed_table "
                 "over parquet, or a materialized write)"
             )
-        norm = os.path.abspath(entry.path)
+        norm = os.path.abspath(self._live_path(entry))
         for root in self.protected_paths:
             if norm.startswith(os.path.abspath(root) + os.sep):
                 raise ValueError(
@@ -562,6 +629,96 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    # -- live-storage helpers: every writing statement resolves the
+    # relation through these, so a time-partitioned table's DML/COPY/
+    # utility path reads and rewrites the PARTITIONED layout (the
+    # round-4 bug: they used entry.path, silently resurrecting dropped
+    # partitions and appending rows the view never saw)
+
+    @staticmethod
+    def _live_path(entry) -> str | None:
+        if entry.time_partitioning:
+            return entry.time_partitioning["path"]
+        return entry.path
+
+    def _live_read(self, entry) -> DataFrame:
+        """Current relation contents. For time-partitioned tables the
+        `_period` key column is included (the registered view exposes
+        it, so predicates may reference it)."""
+        if entry.time_partitioning:
+            from citus_spark.sources.partitions import read_time_partitioned
+
+            return read_time_partitioned(
+                self.spark, entry.time_partitioning["path"]
+            )
+        return self.spark.read.parquet(entry.path)
+
+    def _live_register(self, entry, name: str) -> None:
+        self.spark.catalog.refreshByPath(self._live_path(entry))
+        self._live_read(entry).createOrReplaceTempView(name)
+
+    def _live_rewrite(self, entry, df: DataFrame, name: str) -> None:
+        """Replace the relation's contents with `df` (full copy-on-
+        write, the UPDATE/DELETE/TRUNCATE mechanism). Time-partitioned
+        targets re-derive `_period` from the timestamp column (an
+        UPDATE may move a row across periods) and swap the layout via
+        rename — never overwriting the directory being read. A rewrite
+        to EMPTY drops the partition layout (no period keys can exist)
+        and re-homes the relation on a plain writable path."""
+        import shutil
+        import tempfile as _tf
+
+        from citus_spark.sources.partitions import (
+            PERIOD_COL,
+            write_time_partitioned,
+        )
+
+        if entry.time_partitioning:
+            tp = entry.time_partitioning
+            body = df.drop(PERIOD_COL)
+            if body.isEmpty():
+                new_path = os.path.join(
+                    _tf.gettempdir(), f"citus_spark_tbl_{name}_{os.getpid()}"
+                )
+                body.write.mode("overwrite").parquet(new_path)
+                shutil.rmtree(tp["path"], ignore_errors=True)
+                entry.time_partitioning = None
+                entry.path = new_path
+                self._live_register(entry, name)
+                return
+            tmp = tp["path"] + f".rw_tmp{os.getpid()}"
+            write_time_partitioned(
+                body, tmp, tp["ts_col"], tp["granularity"],
+                overwrite_touched_only=False,
+            )
+            shutil.rmtree(tp["path"])
+            os.rename(tmp, tp["path"])
+            self._live_register(entry, name)
+            return
+        tmp = entry.path + ".rw_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            entry.path
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._live_register(entry, name)
+
+    def _live_append(self, entry, df: DataFrame, name: str) -> None:
+        """Append rows (the COPY FROM path). Time-partitioned targets
+        route each row to its period directory."""
+        if entry.time_partitioning:
+            from citus_spark.sources.partitions import (
+                append_time_partitioned,
+            )
+
+            tp = entry.time_partitioning
+            append_time_partitioned(
+                df, tp["path"], tp["ts_col"], tp["granularity"]
+            )
+        else:
+            df.write.mode("append").parquet(entry.path)
+        self._live_register(entry, name)
 
     def _execute_utility(self, query: str) -> DataFrame | None:
         """TRUNCATE / VACUUM / ANALYZE — the utility statements the
@@ -595,26 +752,32 @@ class DistributedSession:
                 return None
         if verb == "TRUNCATE":
             entry = self._writable_entry(name, "TRUNCATE")
-            df = self.spark.read.parquet(entry.path)
-            empty = df.filter(F.lit(False))
-            tmp = entry.path + ".trunc_tmp"
-            empty.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                entry.path
-            )
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-            self.spark.catalog.refreshByPath(entry.path)
-            self.spark.read.parquet(entry.path).createOrReplaceTempView(name)
+            empty = self._live_read(entry).filter(F.lit(False))
+            self._live_rewrite(entry, empty, name)
             return self.spark.sql("SELECT 'TRUNCATE' AS status")
         if verb == "VACUUM":
             from citus_spark.sources.ingest import compact_table
 
             entry = self._writable_entry(name, "VACUUM")
-            n_files = compact_table(self.spark, entry.path)
-            self.spark.catalog.refreshByPath(entry.path)
-            self.spark.read.parquet(entry.path).createOrReplaceTempView(name)
+            if entry.time_partitioning:
+                # compact each period directory independently — the
+                # partition layout IS the table structure, so the
+                # bin-packing must not cross period boundaries
+                from citus_spark.sources.partitions import (
+                    PERIOD_COL,
+                    list_partitions,
+                )
+
+                tp = entry.time_partitioning
+                n_files = 0
+                for p in list_partitions(tp["path"]):
+                    n_files += compact_table(
+                        self.spark,
+                        os.path.join(tp["path"], f"{PERIOD_COL}={p}"),
+                    )
+            else:
+                n_files = compact_table(self.spark, entry.path)
+            self._live_register(entry, name)
             return self.spark.createDataFrame(
                 [(int(n_files),)], "files long"
             )
@@ -662,21 +825,38 @@ class DistributedSession:
         stmt = parse_copy(query)
         self.stat_statements.record(query, None, executor="copy")
         if stmt.direction == "from":
+            from pyspark.sql import types as T
+
             entry = self._writable_entry(stmt.table, "COPY FROM")
-            schema = self.spark.read.parquet(entry.path).schema
-            reader = self.spark.read.schema(schema)
-            if stmt.fmt == "csv":
-                df = reader.option(
-                    "header", str(stmt.header).lower()
-                ).csv(stmt.path)
+            schema = self._live_read(entry).schema
+            if entry.time_partitioning:
+                from citus_spark.sources.partitions import PERIOD_COL
+
+                schema = T.StructType(
+                    [f for f in schema.fields if f.name != PERIOD_COL]
+                )
+            if stmt.fmt == "binary":
+                from citus_spark.plans.copy_binary import (
+                    read_pgcopy_binary,
+                )
+
+                df = read_pgcopy_binary(self.spark, stmt.path, schema)
             else:
-                df = reader.json(stmt.path)
+                # FAILFAST: PostgreSQL's COPY (and the reference's
+                # multi_copy) reject malformed input outright;
+                # PERMISSIVE would silently load bad lines as
+                # all-NULL rows
+                reader = self.spark.read.schema(schema).option(
+                    "mode", "FAILFAST"
+                )
+                if stmt.fmt == "csv":
+                    df = reader.option(
+                        "header", str(stmt.header).lower()
+                    ).csv(stmt.path)
+                else:
+                    df = reader.json(stmt.path)
             n = df.count()
-            df.write.mode("append").parquet(entry.path)
-            self.spark.catalog.refreshByPath(entry.path)
-            self.spark.read.parquet(entry.path).createOrReplaceTempView(
-                stmt.table
-            )
+            self._live_append(entry, df, stmt.table)
         else:
             df = (
                 # through the front door, not raw spark.sql — the
@@ -686,6 +866,15 @@ class DistributedSession:
                 if stmt.query is not None
                 else self.spark.table(stmt.table)
             )
+            if stmt.fmt == "binary":
+                from citus_spark.plans.copy_binary import (
+                    write_pgcopy_binary,
+                )
+
+                n = write_pgcopy_binary(df, stmt.path)
+                return self.spark.createDataFrame(
+                    [(int(n),)], "copied long"
+                )
             n = df.count()
             writer = df.write.mode("overwrite")
             if stmt.fmt == "csv":
@@ -711,7 +900,7 @@ class DistributedSession:
         # DML statements land in citus_stat_statements too (the
         # reference records every statement its planner handles)
         self.stat_statements.record(query, None, executor="dml")
-        df = self.spark.read.parquet(entry.path)
+        df = self._live_read(entry)
         # NULL predicate leaves a row unaffected (3-valued SQL DML)
         pred = (
             F.coalesce(F.expr(stmt.predicate), F.lit(False))
@@ -738,18 +927,7 @@ class DistributedSession:
                     for c in df.columns
                 ]
             )
-        tmp = entry.path + ".dml_tmp"
-        result.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            entry.path
-        )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.spark.catalog.refreshByPath(entry.path)
-        self.spark.read.parquet(entry.path).createOrReplaceTempView(
-            stmt.table
-        )
+        self._live_rewrite(entry, result, stmt.table)
         return self.spark.createDataFrame(
             [(int(affected),)], f"{stmt.kind}d long"
         )
@@ -770,6 +948,39 @@ class DistributedSession:
             if stmt.source_is_subquery
             else self.spark.table(stmt.source)
         )
+        if entry.time_partitioning:
+            # stage the live partitioned relation on a plain path,
+            # merge there, then rewrite the layout (re-deriving
+            # periods — a matched UPDATE may move rows across them)
+            import shutil
+            import tempfile as _tf
+
+            from citus_spark.sources.partitions import PERIOD_COL
+
+            stage = os.path.join(
+                _tf.gettempdir(),
+                f"citus_spark_merge_{stmt.target}_{os.getpid()}",
+            )
+            self._live_read(entry).drop(PERIOD_COL).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            try:
+                merge_into(
+                    self.spark,
+                    stage,
+                    source,
+                    stmt.keys,
+                    when_matched=stmt.when_matched,
+                    insert_unmatched=stmt.insert_unmatched,
+                )
+                self._live_rewrite(
+                    entry, self.spark.read.parquet(stage), stmt.target
+                )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            out = self._live_read(entry)
+            out.createOrReplaceTempView(stmt.target)
+            return out
         merge_into(
             self.spark,
             entry.path,

@@ -48,6 +48,21 @@ def write_time_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def append_time_partitioned(
+    df: DataFrame, path: str, ts_col: str, granularity: str = "day"
+) -> None:
+    """Append rows to an existing layout, routing each row to its
+    period directory (the COPY-FROM/ingest idiom — existing periods
+    gain files, new periods appear; nothing is replaced)."""
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "hour": "yyyy-MM-dd-HH"}[
+        granularity
+    ]
+    (
+        df.withColumn(PERIOD_COL, F.date_format(F.col(ts_col), fmt))
+        .write.mode("append").partitionBy(PERIOD_COL).parquet(path)
+    )
+
+
 def list_partitions(path: str) -> list[str]:
     return sorted(
         d.split("=", 1)[1]

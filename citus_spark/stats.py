@@ -51,6 +51,41 @@ def query_id(normalized: str) -> int:
     return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
+def _dist_attr_ids(analyzed: str, table: str, col: str) -> set[str]:
+    """Attribute ids bound to `table.col` in an analyzed-plan string:
+    each `SubqueryAlias table` introduces the relation whose output
+    attributes carry the ids used by every downstream Filter."""
+    ids: set[str] = set()
+    for m in re.finditer(rf"SubqueryAlias {re.escape(table)}\b", analyzed):
+        seg = analyzed[m.end() : m.end() + 4000]
+        rel = re.search(rf"\b{re.escape(col)}#(\d+)", seg)
+        if rel:
+            ids.add(rel.group(1))
+    return ids
+
+
+def extract_partition_key_scoped(
+    analyzed: str, optimized: str, dist: dict[str, str]
+) -> str | None:
+    """Router detection scoped to attributes that actually belong to a
+    catalog-distributed relation: the analyzed plan resolves which
+    `col#id` attributes come from each distributed table (ids are
+    stable through optimization), and only an equality between ONE of
+    those and a literal classifies the statement as router — an
+    equals-literal on a same-named column of an unrelated table no
+    longer pollutes per-tenant accounting."""
+    lit_pat = r"(-?\d+(?:\.\d+)?|[A-Za-z][A-Za-z0-9_.]*)(?![\w#.])"
+    for table, col in dist.items():
+        for aid in _dist_attr_ids(analyzed, table, col):
+            attr = rf"\b{re.escape(col)}#{aid}(?!\d)[A-Za-z]*"
+            m = re.search(
+                rf"{attr}\s*=\s*{lit_pat}", optimized
+            ) or re.search(rf"\b{lit_pat}\s*=\s*{attr}", optimized)
+            if m:
+                return m.group(1)
+    return None
+
+
 def extract_partition_key(plan_str: str, dist_cols: set[str]) -> str | None:
     """Find a distribution-column-equals-literal predicate in an
     analyzed-plan string (attributes print as `name#123` with an

@@ -1,0 +1,99 @@
+"""PG-dialect surface through the SQL front door (↔ reference regress
+scripts: multi_select_distinct.sql uses DISTINCT ON heavily, and the
+regex/LIKE operator family (~, ~*, ~~, ILIKE) appears throughout).
+The semantics already existed as DataFrame forms; these tests pin the
+TEXTUAL acceptance added in plans/rewrites.py."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+def test_distinct_on_textual_matches_duckdb(spark, duck):
+    sql = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_totalprice DESC
+    """
+    got = sorted(tuple(r) for r in _sess(spark).sql(sql).collect())
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_distinct_on_ordinals_and_limit(spark, duck):
+    # the regress scripts' dominant spelling: ordinal keys + ORDER BY
+    sql = """
+    SELECT DISTINCT ON (l_orderkey) l_orderkey, l_partkey, l_suppkey
+    FROM lineitem WHERE l_orderkey < 35 ORDER BY 1, 2, 3
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = duck.execute(sql).fetchall()
+    assert got == [tuple(r) for r in want]
+    # result arrives already ordered by the keys
+    assert got == sorted(got)
+
+
+def test_distinct_on_expression_key(spark, duck):
+    sql = """
+    SELECT DISTINCT ON (l_orderkey % 5) l_orderkey, l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey % 5, l_extendedprice DESC, l_orderkey
+    """
+    got = sorted(tuple(r) for r in _sess(spark).sql(sql).collect())
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want
+
+
+def test_regex_operators(spark):
+    sess = _sess(spark)
+    n_tilde = sess.sql(
+        "SELECT count(*) AS n FROM documents WHERE text ~ 'data'"
+    ).collect()[0].n
+    n_ref = (
+        spark.table("documents")
+        .filter(F.col("text").rlike("data"))
+        .count()
+    )
+    assert n_tilde == n_ref and n_tilde > 0
+    # case-insensitive ~* ≡ rlike with (?i)
+    n_ci = sess.sql(
+        "SELECT count(*) AS n FROM documents WHERE text ~* 'DATA'"
+    ).collect()[0].n
+    assert n_ci == spark.table("documents").filter(
+        F.col("text").rlike("(?i)DATA")
+    ).count()
+    assert n_ci >= n_tilde
+    # negation and the LIKE-family spellings
+    n_not = sess.sql(
+        "SELECT count(*) AS n FROM documents WHERE text !~ 'data'"
+    ).collect()[0].n
+    assert n_not == spark.table("documents").count() - n_tilde
+    n_like = sess.sql(
+        "SELECT count(*) AS n FROM documents WHERE text ~~ '%data%'"
+    ).collect()[0].n
+    assert n_like == n_tilde  # fixed substring: regex ≡ LIKE
+
+
+def test_tilde_in_string_literal_untouched(spark):
+    sess = _sess(spark)
+    row = sess.sql("SELECT '~ not an operator' AS s").collect()[0]
+    assert row.s == "~ not an operator"
+
+
+def test_ilike_passthrough(spark):
+    sess = _sess(spark)
+    n = sess.sql(
+        "SELECT count(*) AS n FROM documents WHERE lang ILIKE 'E%'"
+    ).collect()[0].n
+    assert n == spark.table("documents").filter(
+        F.lower("lang").startswith("e")
+    ).count()
