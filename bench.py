@@ -48,6 +48,70 @@ HEADLINE = [
 ]
 
 
+def _build_10x_corpus(spark, sf_dir: str) -> str | None:
+    """Synthesize a ~10× corpus from `sf_dir` by unioning 10 key-offset
+    copies of the tables the upward-trend queries touch. SYNTHETIC
+    data (never a driver fixture): join keys offset per copy so each
+    copy joins within itself, and document text is salted with a
+    per-copy separator token so copies are NOT near-duplicates of each
+    other — the dedup workload grows linearly, like a real corpus.
+    Content-addressed temp cache; ~30 s one-time build."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tables = {
+        # table -> [(key column, per-copy offset)]
+        "lineitem": [("l_orderkey", 10_000_000)],
+        "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+        "customer": [("c_custkey", 1_000_000)],
+        "documents": [("doc_id", 1_000_000)],
+        "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
+    }
+    missing = [
+        t for t in tables if not os.path.exists(f"{sf_dir}/{t}.parquet")
+    ]
+    if missing:
+        return None
+    sig = hashlib.sha1(
+        "|".join(
+            f"{t}:{os.path.getmtime(f'{sf_dir}/{t}.parquet')}"
+            for t in sorted(tables)
+        ).encode()
+    ).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"citus_spark_10x_{sig}")
+    marker = os.path.join(dest, "_BUILD_OK")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    for t, offsets in tables.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        out = df.withColumn(
+            "_copy", F.explode(F.sequence(F.lit(0), F.lit(9)))
+        )
+        for col, off in offsets:
+            out = out.withColumn(col, F.col(col) + F.col("_copy") * off)
+        if t == "documents":
+            # per-copy token between every word → copies are mutually
+            # dissimilar at the shingle level, in-copy near-dups keep
+            # their similarity (same transform both sides)
+            out = out.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), r"\s+",
+                    F.concat(F.lit(" x"), F.col("_copy").cast("string"),
+                             F.lit(" ")),
+                ),
+            )
+        out.drop("_copy").write.mode("overwrite").parquet(
+            os.path.join(dest, f"{t}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -74,18 +138,30 @@ def main() -> None:
 
     run("tpch_q6")  # JVM/codegen warmup, untimed
 
-    # min of three runs: steady-state time (first run pays whole-stage
-    # codegen compilation; extra run shields against transient machine
-    # load, which we observed inflating single queries 5-10×)
+    # min of five runs with a short inter-run settle: steady-state
+    # time (first run pays whole-stage codegen compilation; the extra
+    # runs shield against transient machine load, observed inflating
+    # single queries 5-10× and totals by 70% between identical runs).
+    # The median travels alongside so a load spike is visible as
+    # median≫min instead of masquerading as a regression.
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     for name in HEADLINE:
-        times[name] = round(min(run(name) for _ in range(3)), 4)
+        samples = []
+        for _ in range(n_runs):
+            samples.append(run(name))
+            time.sleep(0.05)
+        samples.sort()
+        times[name] = round(samples[0], 4)
+        medians[name] = round(samples[len(samples) // 2], 4)
 
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": sf_val,
     }
 
@@ -102,9 +178,12 @@ def main() -> None:
         duck: dict[str, float] = {}
         for name in HEADLINE:
             if name in ORACLES:
-                t0 = time.time()
-                con.execute(ORACLES[name]).fetchall()
-                duck[name] = round(time.time() - t0, 4)
+                samples = []
+                for _ in range(3):  # same transient-load shield
+                    t0 = time.time()
+                    con.execute(ORACLES[name]).fetchall()
+                    samples.append(time.time() - t0)
+                duck[name] = round(min(samples), 4)
         out["duckdb_baseline"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 4)
 
@@ -138,6 +217,37 @@ def main() -> None:
                     "ratio_10x": round(times[name] / max(t_small, 1e-6), 2),
                 }
             out["scale_trend"] = trend
+
+        # scale trend UPWARD: a synthesized ~10× corpus (sf~1) built by
+        # unioning 10 key-offset copies of the bench tables — SYNTHETIC
+        # (documented as such; per-copy text salting keeps the dedup
+        # workload shape linear instead of manufacturing cross-copy
+        # duplicates). ratio_10x far below 10 = per-row cost still
+        # amortizing above the bench scale; near/above 10 = the plan
+        # has gone linear, which is the honest ceiling.
+        big_dir = _build_10x_corpus(spark, sf_dir)
+        if big_dir:
+            trend_up: dict[str, dict[str, float]] = {}
+            for name in (
+                "tpch_q1",
+                "tpch_q6",
+                "minhash_lsh_pairs",
+                "tpch_q3",
+                "sessionize_events",
+            ):
+                def run_big() -> float:
+                    df_big = q.QUERIES[name](spark, big_dir)
+                    t0 = time.time()
+                    df_big.write.format("noop").mode("overwrite").save()
+                    return time.time() - t0
+
+                t_big = min(run_big() for _ in range(2))
+                trend_up[name] = {
+                    "bench_sec": times[name],
+                    "sf10x_sec": round(t_big, 4),
+                    "ratio_10x": round(t_big / max(times[name], 1e-6), 2),
+                }
+            out["scale_trend_10x"] = trend_up
 
         # concurrent streams: the multi-tenant shape (Citus's core
         # deployment is many tenants querying at once). 4 threads each
