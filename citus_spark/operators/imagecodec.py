@@ -116,6 +116,21 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Container-sniffing decode: PNG (this module) or baseline JPEG
+    (operators/jpegcodec.py, vendored from the public T.81 spec).
+    Anything else raises with the supported formats named."""
+    if data[:8] == _SIG:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from citus_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError(
+        "unrecognized image container (PNG and baseline JPEG supported)"
+    )
+
+
 def to_gray(img: np.ndarray) -> np.ndarray:
     """(h, w, c) uint8 → (h, w) float64 luma (ITU-R 601)."""
     if img.shape[2] == 1:

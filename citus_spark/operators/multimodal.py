@@ -9,9 +9,11 @@ batches in/out, decode parallelism = scan parallelism.
 Codec status: every modality now has a REAL `fake=False` path via a
 vendored pure-Python codec — PNG for images (operators/imagecodec.py,
 stdlib zlib + numpy), WAV/RIFF-PCM for audio (operators/audiocodec.py)
-and Y4M/YUV4MPEG2 for video (operators/videocodec.py). COMPRESSED
-media (jpeg, mp3/flac, h264) would need Pillow/soundfile/pyav, which
-are genuinely absent from this container; feeding such payloads to
+and Y4M/YUV4MPEG2 for video (operators/videocodec.py). Baseline JPEG decode is
+vendored too (operators/jpegcodec.py, public ITU T.81 spec); the
+remaining COMPRESSED media (progressive jpeg, mp3/flac, h264) would
+need Pillow/soundfile/pyav, which are genuinely absent from this
+container; feeding such payloads to
 the real path raises ValueError from the codec's container sniffing —
 never a silent fall-through to the fake kernel. Every operator also
 accepts `fake=True` for a deterministic fake decode so the Spark-side
@@ -55,17 +57,17 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode → (id, width, height, channels). Real path decodes PNG
-    payloads with the vendored pure-Python codec
-    (operators/imagecodec.py — stdlib zlib + numpy, no Pillow
-    dependency); undecodable payloads yield NULL dimensions rather
+    """Decode → (id, width, height, channels). Real path decodes PNG or
+    baseline JPEG payloads with the vendored pure-Python codecs
+    (operators/imagecodec.py, operators/jpegcodec.py — stdlib + numpy,
+    no Pillow dependency); undecodable payloads yield NULL dimensions rather
     than failing the batch. Fake path derives deterministic dimensions
     from the payload bytes (so downstream operators are testable with
     arbitrary binary fixtures)."""
     out_schema = "id bigint, width int, height int, channels int, n_bytes bigint"
 
     if not fake:
-        from citus_spark.operators.imagecodec import decode_png
+        from citus_spark.operators.imagecodec import decode_image_bytes
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -75,7 +77,7 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
                     ids.append(i)
                     ns.append(len(b))
                     try:
-                        arr = decode_png(b)
+                        arr = decode_image_bytes(b)
                         hs.append(arr.shape[0])
                         ws.append(arr.shape[1])
                         cs.append(arr.shape[2])
@@ -155,7 +157,7 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> D
 
     if not fake:
         from citus_spark.operators.imagecodec import (
-            decode_png,
+            decode_image_bytes,
             encode_png,
             resize_nearest,
         )
@@ -164,7 +166,9 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = True) -> D
             def one(buf):
                 b = bytes(buf)
                 try:
-                    return encode_png(resize_nearest(decode_png(b), width, height))
+                    return encode_png(
+                        resize_nearest(decode_image_bytes(b), width, height)
+                    )
                 except Exception:  # corrupt/foreign payload → unchanged
                     return b
 
@@ -343,7 +347,7 @@ def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
     if not fake:
         from citus_spark.operators.imagecodec import (
             block_means_8x8,
-            decode_png,
+            decode_image_bytes,
             to_gray,
         )
 
@@ -355,7 +359,9 @@ def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
                 for i, buf in zip(pdf["id"], pdf["media"]):
                     ids.append(i)
                     try:
-                        means = block_means_8x8(to_gray(decode_png(bytes(buf))))
+                        means = block_means_8x8(
+                            to_gray(decode_image_bytes(bytes(buf)))
+                        )
                     except Exception:  # corrupt/foreign payload
                         hashes.append(0)
                         continue

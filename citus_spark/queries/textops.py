@@ -765,6 +765,67 @@ ORDER BY id
 )
 
 
+# Real baseline-JPEG decode, oracle-checked (vendored T.81 codec,
+# operators/jpegcodec.py): build a PER-BLOCK-UNIFORM grayscale image
+# per document (dims from text length — deliberately NOT multiples of
+# 8, so MCU padding and crop are exercised; block values from the
+# doc's bytes), encode at quality=100 (all-ones quant table → uniform
+# blocks are pure-DC and mathematically lossless), decode with the
+# vendored decoder, and compare pixels. DuckDB pins the dims from
+# length() and the bit_exact contract; any Huffman/marker/IDCT/
+# padding regression flips a value.
+def jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def kernel(it):
+        from citus_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+        for pdf in it:
+            rows = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w, h = len(data) % 30 + 9, len(data) % 22 + 9
+                bw, bh = -(-w // 8), -(-h // 8)
+                vals = np.resize(data if len(data) else np.zeros(1, np.uint8),
+                                 bh * bw).reshape(bh, bw)
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1)[:h, :w]
+                dec = decode_jpeg(encode_jpeg(img, quality=100))
+                rows.append((
+                    int(i), int(dec.shape[1]), int(dec.shape[0]),
+                    int(dec.shape[2]),
+                    bool(np.array_equal(dec[:, :, 0], img)),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "channels", "bit_exact"],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="id long, width int, height int, channels int, "
+        "bit_exact boolean",
+    ).orderBy("id")
+
+
+register_split(
+    "jpeg_decode_roundtrip",
+    jpeg_decode_roundtrip,
+    """
+SELECT doc_id AS id,
+       CAST(length(text) % 30 + 9 AS INT) AS width,
+       CAST(length(text) % 22 + 9 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       TRUE AS bit_exact
+FROM documents
+ORDER BY id
+""",
+)
+
+
 # The ENTIRE real image-dedup pipeline, oracle-checked: PNG encode →
 # real decode → luma aHash → banded Hamming self-join. Planted dups
 # are brightness-shifted copies (+25 clipped-free by construction),

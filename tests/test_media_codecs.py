@@ -164,3 +164,103 @@ def test_frame_sample_real_y4m(spark):
     for r in out:
         got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(6, 8)
         assert (got == frames[r["frame_no"]]).all()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (operators/jpegcodec.py, vendored from public ITU T.81)
+
+
+def test_jpeg_uniform_gray_bit_exact():
+    import numpy as np
+
+    from citus_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((24, 17, 1), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_block_uniform_gray_bit_exact_odd_dims():
+    """Per-block-uniform grayscale at q100 is mathematically lossless
+    (pure-DC blocks, all-ones quant table); dims off the 8-grid
+    exercise MCU edge padding + crop."""
+    import numpy as np
+
+    from citus_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, size=(4, 5)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:27, :38]
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (27, 38, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_rgb_roundtrip_tolerance():
+    import numpy as np
+
+    from citus_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(30, 41, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    # q100 4:4:4: only color-transform + DCT float rounding remains
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    lossy = decode_jpeg(encode_jpeg(img, quality=30))
+    assert lossy.shape == img.shape  # lossy but structurally sound
+
+
+def test_jpeg_420_subsampling_decodes():
+    import numpy as np
+
+    from citus_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((21, 19, 3), [200, 30, 90], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert out.shape == (21, 19, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest
+
+    from citus_spark.operators.jpegcodec import decode_jpeg
+
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_image_dispatch_sniffs_jpeg_and_png():
+    import numpy as np
+
+    from citus_spark.operators.imagecodec import (
+        decode_image_bytes,
+        encode_png,
+    )
+    from citus_spark.operators.jpegcodec import encode_jpeg
+
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    assert decode_image_bytes(encode_png(img)).shape == (16, 16, 3)
+    assert decode_image_bytes(encode_jpeg(img)).shape == (16, 16, 3)
+    import pytest
+
+    with pytest.raises(ValueError, match="container"):
+        decode_image_bytes(b"GIF89a....")
+
+
+def test_decode_image_real_path_handles_jpeg(spark):
+    """The production decode_image(fake=False) must dispatch JPEG
+    payloads, not NULL them."""
+    import numpy as np
+
+    from citus_spark.operators.jpegcodec import encode_jpeg
+    from citus_spark.operators.multimodal import decode_image
+
+    img = np.full((12, 20, 3), 64, dtype=np.uint8)
+    blob = encode_jpeg(img, quality=90)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, media binary")
+    row = decode_image(df, fake=False).collect()[0]
+    assert (row.width, row.height, row.channels) == (20, 12, 3)
