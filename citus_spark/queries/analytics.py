@@ -2204,3 +2204,82 @@ def pg_regex_operators(spark, sf_dir):
 register_split(
     "pg_regex_operators", pg_regex_operators, _PG_REGEX_OPS_ORACLE
 )
+
+
+# Multi-table atomic transaction (sources/txlog.MultiTableTxn — the
+# 2PC analog of reference transaction/remote_transaction.c): one
+# transaction merges price updates into an orders TxTable AND appends
+# matching audit rows to a second TxTable; the entry re-reads BOTH
+# tables after commit and returns their join — value-exact against
+# plain SQL that applies the same two changes. A torn commit (one
+# table moved, the other not) breaks the join row count or the sums.
+def txlog_two_table_atomic(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.sources.txlog import MultiTableTxn, TxTable
+
+    load_views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 2000")
+    )
+    audit_base = base.filter("o_orderkey % 5 = 0").select(
+        "o_orderkey", F.lit("seed").alias("reason")
+    )
+    upd = base.filter("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    audit_new = upd.select("o_orderkey", F.lit("repriced").alias("reason"))
+
+    root = "/tmp/citus_spark_txlog_2pc_entry"
+    shutil.rmtree(root, ignore_errors=True)
+    t_orders = TxTable.create(spark, f"{root}/orders", base)
+    t_audit = TxTable.create(spark, f"{root}/audit", audit_base)
+    txn = MultiTableTxn(f"{root}/coord")
+    txn.merge(t_orders, upd, keys=["o_orderkey"])
+    txn.append(t_audit, audit_new)
+    txn.commit()
+    return (
+        t_orders.read()
+        .join(t_audit.read(), "o_orderkey")
+        .groupBy("reason")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+        )
+        .orderBy("reason")
+    )
+
+
+register_split(
+    "txlog_two_table_atomic",
+    txlog_two_table_atomic,
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey < 2000
+), upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+  FROM base WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+), audit AS (
+  SELECT o_orderkey, 'seed' AS reason FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'repriced' AS reason FROM upd
+)
+SELECT reason, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM merged JOIN audit USING (o_orderkey)
+GROUP BY reason ORDER BY reason
+""",
+)

@@ -68,6 +68,10 @@ class Commit:
     read_version: int = -1
     schema_json: str = ""
     txn: tuple[str, int] | None = None  # (app_id, txn_id) idempotence key
+    # 2PC: absolute path of the coordinator's decision file. A commit
+    # carrying this is PREPARED — visible only once that file exists
+    # with decision=commit (see MultiTableTxn).
+    pending_txn: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -79,6 +83,7 @@ class Commit:
                 "read_version": self.read_version,
                 "schema": self.schema_json,
                 "txn": list(self.txn) if self.txn else None,
+                "pending_txn": self.pending_txn,
             }
         )
 
@@ -95,7 +100,28 @@ class Commit:
             read_version=d["read_version"],
             schema_json=d["schema"],
             txn=tuple(txn) if txn else None,
+            pending_txn=d.get("pending_txn"),
         )
+
+
+# decisions are immutable once written (single atomic link claim), so
+# commit/abort outcomes cache forever; undecided re-checks every time
+_DECISION_CACHE: dict[str, str] = {}
+
+
+def txn_decision(decision_path: str) -> str | None:
+    """→ 'commit' | 'abort' | None (undecided) for a 2PC decision
+    file."""
+    hit = _DECISION_CACHE.get(decision_path)
+    if hit is not None:
+        return hit
+    try:
+        with open(decision_path) as f:
+            d = json.load(f)["decision"]
+    except FileNotFoundError:
+        return None
+    _DECISION_CACHE[decision_path] = d
+    return d
 
 
 class TxTable:
@@ -154,7 +180,10 @@ class TxTable:
 
     def snapshot(self, version: int | None = None) -> tuple[int, list[str], str]:
         """→ (version, live data files, schema json) by replaying the
-        log up to `version` (latest when None)."""
+        log up to `version` (latest when None). Prepared 2PC commits
+        apply only once their coordinator decision says commit;
+        undecided or aborted ones are skipped — a reader always sees
+        either every table of a distributed transaction or none."""
         files: list[str] = []
         schema = ""
         seen = -1
@@ -162,6 +191,9 @@ class TxTable:
             if version is not None and c.version > version:
                 break
             seen = c.version
+            if c.pending_txn is not None:
+                if txn_decision(c.pending_txn) != "commit":
+                    continue  # undecided or aborted: invisible
             if c.schema_json:
                 schema = c.schema_json
             removed = set(c.remove)
@@ -170,6 +202,21 @@ class TxTable:
         if version is not None and seen < version:
             raise ValueError(f"version {version} does not exist (latest {seen})")
         return seen, files, schema
+
+    def _check_head_decided(self) -> None:
+        """Writers must not build past an in-doubt prepared commit:
+        its changes may yet become visible, and a commit stacked on an
+        undecided head would have read neither the pre- nor the
+        post-transaction table. Decided heads (commit OR abort) are
+        safe to build on."""
+        commits = self._commits()
+        if commits and commits[-1].pending_txn is not None:
+            if txn_decision(commits[-1].pending_txn) is None:
+                raise ConcurrentWriteError(
+                    f"table {self.path} has an in-doubt distributed "
+                    f"transaction at version {commits[-1].version}; "
+                    "resolve it first (MultiTableTxn.recover)"
+                )
 
     # ------------------------------------------------------------------
     # read
@@ -252,6 +299,7 @@ class TxTable:
             return self.latest_version()  # already applied — skip
         add = self._write_files(df)
         while True:
+            self._check_head_decided()
             v = self.latest_version() + 1
             # re-check under the new snapshot: a concurrent retry of
             # the same txn may have won the race while we wrote files
@@ -284,6 +332,7 @@ class TxTable:
                 "file(s) already vacuumed"
             )
         for _ in range(3):
+            self._check_head_decided()
             cur_version, cur_files, _s2 = self.snapshot()
             add = [
                 {"path": f, "rows": None, "bytes": None}
@@ -311,6 +360,7 @@ class TxTable:
         """Shared optimistic-retry loop for full-snapshot rewrites.
         `compute(read_df)` → DataFrame to become the new table body."""
         for _ in range(max_retries):
+            self._check_head_decided()
             read_version, old_files, _schema = self.snapshot()
             add = self._write_files(compute(self.read(read_version)))
             try:
@@ -411,3 +461,205 @@ class TxTable:
                 os.unlink(os.path.join(self.path, name))
                 removed.append(name)
         return removed
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transaction envelope — the 2PC analog.
+#
+# ↔ reference transaction/remote_transaction.c: Citus wraps multi-shard
+# writes in PREPARE TRANSACTION on every worker, then the coordinator's
+# own commit decides; workers' prepared transactions are then committed
+# (or, after a crash, resolved from pg_dist_transaction). Mapping onto
+# the commit-log substrate:
+#
+#   prepare  = claim each table's next version with a commit record
+#              carrying pending_txn = <decision file path>  (the
+#              worker-side PREPARE TRANSACTION)
+#   decide   = atomically link ONE decision file {"decision": commit}
+#              (the coordinator commit — the single commit point)
+#   resolve  = a crashed coordinator leaves prepared commits in-doubt;
+#              recover() links {"decision": abort} (presumed abort,
+#              exactly pg_dist_transaction resolution)
+#
+# Readers skip prepared commits until their decision says commit, so a
+# transaction is visible everywhere or nowhere; writers refuse to build
+# past an in-doubt head (TxTable._check_head_decided).
+
+
+class TransactionAborted(RuntimeError):
+    pass
+
+
+class MultiTableTxn:
+    """Atomic writes across several TxTables.
+
+        txn = MultiTableTxn(coordinator_dir)
+        txn.merge(t1, src1, keys=["k"])
+        txn.append(t2, delta)
+        txn.commit()     # all tables move, or none
+
+    Operations stage lazily; commit() runs prepare on every table,
+    then claims the decision file. Any prepare failure (or crash)
+    before the decision leaves every table at its old snapshot."""
+
+    def __init__(self, coordinator_dir: str):
+        os.makedirs(coordinator_dir, exist_ok=True)
+        self.gtx = uuid.uuid4().hex
+        self.decision_path = os.path.abspath(
+            os.path.join(coordinator_dir, f"{self.gtx}.decision.json")
+        )
+        self._ops: list[tuple[TxTable, str, tuple]] = []
+        self._done = False
+
+    # -- staged operations (same surface as TxTable's own writers)
+    def append(self, table: TxTable, df: DataFrame) -> None:
+        self._ops.append((table, "append", (df,)))
+
+    def overwrite(self, table: TxTable, df: DataFrame) -> None:
+        self._ops.append((table, "overwrite", (df,)))
+
+    def delete_where(self, table: TxTable, predicate: str) -> None:
+        self._ops.append((table, "delete", (predicate,)))
+
+    def merge(
+        self,
+        table: TxTable,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        insert_unmatched: bool = True,
+    ) -> None:
+        self._ops.append(
+            (table, "merge", (source, keys, when_matched, insert_unmatched))
+        )
+
+    # -- internals
+    def _compute(self, table: TxTable, kind: str, args: tuple,
+                 cur: DataFrame) -> DataFrame:
+        # (append never reaches here — it stages only its delta)
+        if kind == "overwrite":
+            return args[0]
+        if kind == "delete":
+            return cur.filter(f"NOT ({args[0]})")
+        if kind == "merge":
+            source, keys, when_matched, insert_unmatched = args
+            kept = cur.join(source.select(*keys), keys, "left_anti")
+            parts = [kept]
+            if when_matched == "update":
+                parts.append(source.join(cur.select(*keys), keys, "left_semi"))
+            elif when_matched == "ignore":
+                parts.append(cur.join(source.select(*keys), keys, "left_semi"))
+            elif when_matched != "delete":
+                raise ValueError(f"unknown when_matched: {when_matched!r}")
+            if insert_unmatched:
+                parts.append(source.join(cur.select(*keys), keys, "left_anti"))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        raise ValueError(kind)
+
+    def _prepare_one(self, table: TxTable, kind: str, args: tuple) -> int:
+        """Worker-side PREPARE: stage files and claim the table's next
+        version with a pending commit. The claim itself is atomic; a
+        lost race against an ordinary writer retries on the new head."""
+        for _ in range(3):
+            table._check_head_decided()
+            read_version, old_files, _schema = table.snapshot()
+            if kind == "append":
+                # append stages only the delta — no table rewrite
+                add, old_files = table._write_files(args[0]), []
+            else:
+                add = table._write_files(
+                    self._compute(table, kind, args, table.read(read_version))
+                )
+            try:
+                # claim read_version+1, NOT latest+1: if any writer
+                # slipped in after our snapshot, the claim must fail
+                # and we recompute — else our remove list would stack
+                # on a commit we never read (lost update)
+                return table._commit(
+                    Commit(
+                        version=read_version + 1,
+                        op=f"2pc-{kind}",
+                        add=add,
+                        remove=old_files,
+                        read_version=read_version,
+                        pending_txn=self.decision_path,
+                    )
+                )
+            except FileExistsError:
+                continue  # raced an ordinary writer; recompute
+        raise ConcurrentWriteError(
+            f"2PC prepare on {table.path} lost the commit race 3 times"
+        )
+
+    def _decide(self, decision: str) -> str:
+        tmp = self.decision_path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"decision": decision, "gtx": self.gtx,
+                 "tables": [t.path for t, _k, _a in self._ops]},
+                f,
+            )
+        try:
+            os.link(tmp, self.decision_path)
+        except FileExistsError:
+            pass  # someone (recover) decided first; theirs stands
+        finally:
+            os.unlink(tmp)
+        return txn_decision(self.decision_path)
+
+    # -- the commit point
+    def commit(self, _crash_after_prepares: int | None = None) -> str:
+        """Prepare every staged op, then claim the decision.
+        `_crash_after_prepares` is the crash-simulation hook for tests:
+        raises after N prepares, before any decision exists — the
+        state a real coordinator crash leaves behind."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        n = 0
+        for table, kind, args in self._ops:
+            if _crash_after_prepares is not None and n >= _crash_after_prepares:
+                raise RuntimeError("simulated coordinator crash")
+            self._prepare_one(table, kind, args)
+            n += 1
+        decided = self._decide("commit")
+        if decided != "commit":
+            raise TransactionAborted(
+                f"transaction {self.gtx} was aborted by recovery"
+            )
+        return decided
+
+    def abort(self) -> None:
+        self._done = True
+        self._decide("abort")
+
+    @staticmethod
+    def recover(coordinator_dir: str, tables: list[TxTable]) -> list[str]:
+        """Presumed-abort resolution (↔ pg_dist_transaction recovery):
+        for every in-doubt prepared commit at a table head whose
+        decision file does not exist yet, write decision=abort. A
+        transaction whose decision landed is left alone. Returns the
+        aborted decision paths."""
+        aborted = []
+        pending: set[str] = set()
+        for t in tables:
+            for c in t._commits():
+                if c.pending_txn is not None and (
+                    txn_decision(c.pending_txn) is None
+                ):
+                    pending.add(c.pending_txn)
+        for dpath in sorted(pending):
+            tmp = dpath + f".tmp{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"decision": "abort", "recovered": True}, f)
+            try:
+                os.link(tmp, dpath)
+                aborted.append(dpath)
+            except FileExistsError:
+                pass  # the coordinator's own decision won — keep it
+            finally:
+                os.unlink(tmp)
+        return aborted

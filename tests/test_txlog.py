@@ -232,3 +232,119 @@ def test_streaming_tx_sink_exactly_once(spark, tmp_path):
     # ids — all must be skipped by the txn markers
     run_stream_to_txtable(spark, src, table)
     assert t.read().count() == n
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transaction envelope (MultiTableTxn — the 2PC analog of
+# reference transaction/remote_transaction.c + pg_dist_transaction
+# recovery)
+
+
+def _two_tables(spark, tmp_path):
+    from citus_spark.sources.txlog import TxTable
+
+    a = TxTable.create(
+        spark, str(tmp_path / "ta"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    b = TxTable.create(
+        spark, str(tmp_path / "tb"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, n int"),
+    )
+    return a, b
+
+
+def test_two_table_commit_is_atomic(spark, tmp_path):
+    from citus_spark.sources.txlog import MultiTableTxn
+
+    a, b = _two_tables(spark, tmp_path)
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.merge(a, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+              keys=["k"])
+    txn.append(b, spark.createDataFrame([(3, 30)], "k int, n int"))
+    assert txn.commit() == "commit"
+    assert {(r.k, r.v) for r in a.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    assert {(r.k, r.n) for r in b.read().collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+
+
+def test_interrupted_commit_leaves_old_snapshots(spark, tmp_path):
+    """Coordinator crash after table A prepared but before the
+    decision: BOTH tables must still read their old snapshot, and
+    recovery must abort the in-doubt transaction so writes resume."""
+    import pytest
+
+    from citus_spark.sources.txlog import (
+        ConcurrentWriteError,
+        MultiTableTxn,
+        TransactionAborted,
+    )
+
+    a, b = _two_tables(spark, tmp_path)
+    before_a = {(r.k, r.v) for r in a.read().collect()}
+    before_b = {(r.k, r.n) for r in b.read().collect()}
+
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.merge(a, spark.createDataFrame([(1, "X")], "k int, v string"),
+              keys=["k"])
+    txn.append(b, spark.createDataFrame([(9, 90)], "k int, n int"))
+    with pytest.raises(RuntimeError, match="simulated coordinator crash"):
+        txn.commit(_crash_after_prepares=1)
+
+    # both tables still read the OLD snapshot (A's prepared commit is
+    # in-doubt and therefore invisible)
+    assert {(r.k, r.v) for r in a.read().collect()} == before_a
+    assert {(r.k, r.n) for r in b.read().collect()} == before_b
+
+    # a writer on the prepared table refuses to build on the in-doubt
+    # head until recovery resolves it
+    with pytest.raises(ConcurrentWriteError, match="in-doubt"):
+        a.append(spark.createDataFrame([(7, "z")], "k int, v string"))
+
+    from citus_spark.sources.txlog import MultiTableTxn as M
+
+    aborted = M.recover(str(tmp_path / "coord"), [a, b])
+    assert len(aborted) == 1
+    # after presumed-abort: old data, writes flow again
+    assert {(r.k, r.v) for r in a.read().collect()} == before_a
+    a.append(spark.createDataFrame([(7, "z")], "k int, v string"))
+    assert (7, "z") in {(r.k, r.v) for r in a.read().collect()}
+
+    # the crashed transaction itself can never commit afterwards
+    with pytest.raises(TransactionAborted):
+        txn2 = MultiTableTxn(str(tmp_path / "coord"))
+        txn2.decision_path = txn.decision_path  # same gtx resumes
+        txn2._ops = []
+        txn2.commit()
+
+
+def test_decision_file_is_single_commit_point(spark, tmp_path):
+    """Once the decision landed, recovery cannot abort the
+    transaction — the coordinator's commit stands."""
+    from citus_spark.sources.txlog import MultiTableTxn
+
+    a, b = _two_tables(spark, tmp_path)
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.overwrite(a, spark.createDataFrame([(5, "e")], "k int, v string"))
+    txn.append(b, spark.createDataFrame([(5, 50)], "k int, n int"))
+    txn.commit()
+    aborted = MultiTableTxn.recover(str(tmp_path / "coord"), [a, b])
+    assert aborted == []
+    assert {(r.k, r.v) for r in a.read().collect()} == {(5, "e")}
+
+
+def test_time_travel_spans_the_transaction(spark, tmp_path):
+    """The pre-transaction snapshot remains readable by version."""
+    from citus_spark.sources.txlog import MultiTableTxn
+
+    a, b = _two_tables(spark, tmp_path)
+    v_a = a.latest_version()
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.delete_where(a, "k = 1")
+    txn.append(b, spark.createDataFrame([(3, 30)], "k int, n int"))
+    txn.commit()
+    assert {r.k for r in a.read().collect()} == {2}
+    assert {r.k for r in a.read(version=v_a).collect()} == {1, 2}
