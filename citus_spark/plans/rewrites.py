@@ -174,6 +174,98 @@ def pg_regex_ops(sql: str) -> str:
     return "".join(out)
 
 
+_PG_UNIT_ABBREV = re.compile(
+    r"\b(mons?|hrs?|mins?|secs?)\b", re.IGNORECASE
+)
+_UNIT_MAP = {
+    "mon": "months", "mons": "months", "hr": "hours", "hrs": "hours",
+    "min": "minutes", "mins": "minutes", "sec": "seconds",
+    "secs": "seconds",
+}
+
+
+def pg_intervals(sql: str) -> str:
+    """Expand PostgreSQL interval-unit abbreviations Spark rejects:
+    INTERVAL '1 mon' → INTERVAL '1 months' (also hr/min/sec forms).
+    Only literals directly following the INTERVAL keyword are touched."""
+    segs = _segments(sql)
+    out: list[str] = []
+    prev_code_tail = ""
+    for kind, text in segs:
+        if (
+            kind == "literal"
+            and re.search(r"\bINTERVAL\s*$", prev_code_tail, re.IGNORECASE)
+            and _PG_UNIT_ABBREV.search(text)
+        ):
+            text = _PG_UNIT_ABBREV.sub(
+                lambda m: _UNIT_MAP[m.group(1).lower()], text
+            )
+        if kind == "code":
+            prev_code_tail = text
+        out.append(text)
+    return "".join(out)
+
+
+_GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+
+
+def pg_generate_series(sql: str) -> str:
+    """Rewrite FROM-position `generate_series(a, b[, step])` to
+    Spark's `(SELECT explode(sequence(a, b[, step])) AS
+    generate_series)` (both ends inclusive in both engines). PG also
+    allows the call in the select list (a set-returning function);
+    that position is left alone and fails loudly in Spark rather than
+    being rewritten wrong. An `AS alias(col)` column rename is
+    honored."""
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((m for m in _GEN_SERIES.finditer(sql) if in_code(m.start())), None)
+    if m is None:
+        return sql
+    # FROM position: previous code token must be FROM / , / JOIN
+    head = sql[: m.start()].rstrip()
+    if not re.search(r"(\bFROM|\bJOIN|,)\s*$", head, re.IGNORECASE):
+        return sql
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if in_code(i):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in generate_series")
+    args = sql[m.end() : i]
+    rest = sql[i + 1 :]
+    col = "generate_series"
+    alias = ""
+    am = re.match(
+        r"\s*(?:AS\s+)?([A-Za-z_]\w*)(?:\s*\(\s*([A-Za-z_]\w*)\s*\))?",
+        rest, re.IGNORECASE,
+    )
+    # don't swallow a following keyword as an alias
+    if am and am.group(1).upper() not in (
+        "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "CROSS",
+        "INNER", "LEFT", "RIGHT", "FULL", "UNION", "INTERSECT", "EXCEPT",
+        "HAVING", "AS",
+    ):
+        alias = f" {am.group(1)}"
+        if am.group(2):
+            col = am.group(2)
+        rest = rest[am.end() :]
+    rewritten = (
+        f"{sql[: m.start()]}(SELECT explode(sequence({args})) AS {col})"
+        f"{alias}{rest}"
+    )
+    return pg_generate_series(rewritten)
+
+
 def _masked_spans(sql: str) -> list[tuple[int, int]]:
     return [(m.start(), m.end()) for m in _SEGMENT.finditer(sql)]
 

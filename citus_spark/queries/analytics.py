@@ -2283,3 +2283,30 @@ FROM merged JOIN audit USING (o_orderkey)
 GROUP BY reason ORDER BY reason
 """,
 )
+
+
+# FROM-position generate_series through the front door (rewritten to
+# explode(sequence(...)) — plans/rewrites.pg_generate_series); DuckDB
+# runs the identical PG spelling natively, so the oracle is the same
+# text. The left join against a fixture table makes it a real bucket
+# fill, not a constant relation.
+_PG_GENERATE_SERIES_SQL = """
+SELECT g AS bucket, count(o_orderkey) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM generate_series(0, 9) AS t(g)
+LEFT JOIN orders ON o_orderkey % 10 = g
+GROUP BY g ORDER BY g
+"""
+
+
+def pg_generate_series_join(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_GENERATE_SERIES_SQL)
+
+
+register_split(
+    "pg_generate_series_join",
+    pg_generate_series_join,
+    _PG_GENERATE_SERIES_SQL,
+)

@@ -378,6 +378,14 @@ class DistributedSession:
             from citus_spark.plans.rewrites import rewrite_distinct_on
 
             query = rewrite_distinct_on(query)
+        if _re.search(r"\bINTERVAL\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_intervals
+
+            query = pg_intervals(query)
+        if _re.search(r"\bgenerate_series\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_generate_series
+
+            query = pg_generate_series(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached

@@ -97,3 +97,36 @@ def test_ilike_passthrough(spark):
     assert n == spark.table("documents").filter(
         F.lower("lang").startswith("e")
     ).count()
+
+
+def test_interval_abbreviations(spark):
+    sess = _sess(spark)
+    row = sess.sql(
+        "SELECT DATE'2024-01-31' + INTERVAL '1 mon' AS d, "
+        "TIMESTAMP'2024-01-01 00:00:00' + INTERVAL '2 hrs 5 mins' AS t"
+    ).collect()[0]
+    assert str(row.d) == "2024-02-29"
+    assert str(row.t) == "2024-01-01 02:05:00"
+    # literal content elsewhere untouched
+    row = sess.sql("SELECT '1 mon' AS s").collect()[0]
+    assert row.s == "1 mon"
+
+
+def test_generate_series_from_position(spark, duck):
+    sql = """
+    SELECT g AS bucket, count(o_orderkey) AS n
+    FROM generate_series(0, 9) AS t(g)
+    LEFT JOIN orders ON o_orderkey % 10 = g
+    GROUP BY g ORDER BY g
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want and len(got) == 10
+
+
+def test_generate_series_step_and_bare_alias(spark):
+    sess = _sess(spark)
+    rows = sess.sql(
+        "SELECT generate_series AS v FROM generate_series(2, 8, 2)"
+    ).collect()
+    assert [r.v for r in rows] == [2, 4, 6, 8]

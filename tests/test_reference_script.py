@@ -84,3 +84,49 @@ def test_citus_style_session_script(spark, tmp_path):
     # stat_statements saw the whole script
     stats = s.citus_stat_statements().collect()
     assert any("UPDATE orders_t" in r.query for r in stats)
+
+
+def test_regress_shaped_select_script(spark, duck):
+    """A multi_select_distinct.sql-shaped block (DISTINCT ON with
+    ordinals, regex operators, ILIKE, generate_series, interval
+    abbreviations) runs VERBATIM through session.sql; DuckDB executes
+    the same PG spellings as the oracle wherever it supports them."""
+    from citus_spark.session import DistributedSession
+    from tests.conftest import SF_SMALL
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+
+    shared = [
+        # ↔ reference src/test/regress/sql/multi_select_distinct.sql
+        """SELECT DISTINCT ON (l_orderkey) l_orderkey, l_partkey, l_suppkey
+           FROM lineitem WHERE l_orderkey < 35 ORDER BY 1, 2, 3""",
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate
+           FROM orders ORDER BY o_custkey, o_orderdate DESC""",
+        """SELECT g AS bucket, count(o_orderkey) AS n
+           FROM generate_series(0, 4) AS t(g)
+           LEFT JOIN orders ON o_orderkey % 5 = g
+           GROUP BY g ORDER BY g""",
+    ]
+    for stmt in shared:
+        got = sorted(map(repr, (tuple(r) for r in s.sql(stmt).collect())))
+        want = sorted(map(repr, (tuple(r) for r in duck.execute(stmt).fetchall())))
+        assert got == want, stmt
+
+    # spellings DuckDB diverges on (its ~ is a full match) — asserted
+    # against the Spark DataFrame equivalents instead
+    n = s.sql(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE text ~ 'model' AND lang ILIKE 'E%'"
+    ).collect()[0].n
+    exp = (
+        spark.table("documents")
+        .filter(F.col("text").rlike("model"))
+        .filter(F.lower("lang").startswith("e"))
+        .count()
+    )
+    assert n == exp
+    d = s.sql(
+        "SELECT DATE'2024-03-31' + INTERVAL '1 mon' AS d"
+    ).collect()[0].d
+    assert str(d) == "2024-04-30"
