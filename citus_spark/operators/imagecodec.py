@@ -117,17 +117,23 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image_bytes(data: bytes) -> np.ndarray:
-    """Container-sniffing decode: PNG (this module) or baseline JPEG
-    (operators/jpegcodec.py, vendored from the public T.81 spec).
-    Anything else raises with the supported formats named."""
+    """Container-sniffing decode: PNG (this module), baseline JPEG
+    (operators/jpegcodec.py, vendored from the public T.81 spec), or
+    GIF (operators/gifcodec.py, GIF89a spec). Anything else raises
+    with the supported formats named."""
     if data[:8] == _SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         from citus_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from citus_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(data)
     raise ValueError(
-        "unrecognized image container (PNG and baseline JPEG supported)"
+        "unrecognized image container (PNG, baseline JPEG, and GIF "
+        "supported)"
     )
 
 

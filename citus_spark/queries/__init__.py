@@ -116,6 +116,20 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     split = max(16 << 20, min(128 << 20, total // (2 * par) or 1))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
+    # Runtime re-planning (AQE) pays for itself when stages move real
+    # data; on sub-second queries its per-stage re-optimization rounds
+    # are pure wall-clock overhead (paired A/B at sf0.1: q9 0.94 →
+    # 0.58 s, sessionize 0.56 → 0.31, running-sum 0.41 → 0.29). This
+    # mirrors the reference's fast-path/adaptive planner split
+    # (fast_path_router_planner.c skips planning work for cheap
+    # statements): small corpora execute the static plan; at real
+    # scale AQE's partition coalescing and skew-join splitting matter
+    # and stay on. Runtime-settable, so per-corpus switching is safe.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        str(total >= _AQE_MIN_BYTES).lower(),
+    )
+
     for t, path in paths.items():
         # Single-file single-row-group fixtures give Spark exactly ONE
         # input split — maxPartitionBytes can't split below row-group
@@ -142,9 +156,18 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     spark._citus_views_dir = key
 
 
-# fan out only tables big enough for the scan stage to matter; below
-# this a single task is the cheapest plan (scheduling floor dominates)
-_FANOUT_MIN_BYTES = 512 << 10
+# corpus size above which AQE's runtime re-planning is worth its
+# per-stage overhead (see load_views)
+_AQE_MIN_BYTES = 256 << 20
+
+# Fan out only tables big enough that a SERIAL scan pass costs whole
+# seconds. Paired A/B at sf0.1 (≤11 MB tables) measured the fan-out
+# LOSING 0.05-0.2 s per query across the headline set — 32 extra
+# tasks' scheduling overhead exceeds what parallelizing a sub-0.3 s
+# stage can recover — so the floor sits above every sf0.1 fixture.
+# A 100 MB+ single-file table (sf1 fixture, or any real single-file
+# drop) still fans out: there the serial pass is the bottleneck.
+_FANOUT_MIN_BYTES = 32 << 20
 
 
 def _fanout_cache(spark: SparkSession, t: str, path: str, par: int) -> str | None:

@@ -1329,3 +1329,58 @@ FROM t, unnest(range(0, greatest(length(s) - 2, 0))) AS u(i)
 ORDER BY doc_id, pos
 """,
 )
+
+
+# Real GIF decode, oracle-checked (vendored GIF89a codec,
+# operators/gifcodec.py): a palette image per document (dims from
+# text length, palette and indices from the doc's bytes; every even
+# doc interlaced — both row orders covered), decoded and compared
+# pixel-for-pixel. GIF is lossless, so bit_exact is an equality, not
+# a tolerance.
+def gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def kernel(it):
+        from citus_spark.operators.gifcodec import decode_gif, encode_gif
+
+        for pdf in it:
+            rows = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if not len(data):
+                    data = np.zeros(1, np.uint8)
+                w, h = len(data) % 40 + 5, len(data) % 28 + 5
+                n_pal = len(data) % 200 + 17
+                pal = np.resize(data, n_pal * 3).reshape(n_pal, 3)
+                idx = (np.resize(data, h * w) % n_pal).reshape(h, w)
+                blob = encode_gif(idx, pal, interlace=bool(i % 2 == 0))
+                dec = decode_gif(blob)
+                rows.append((
+                    int(i), int(dec.shape[1]), int(dec.shape[0]),
+                    bool(np.array_equal(dec, pal[idx])),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "bit_exact"]
+            )
+
+    return docs.mapInPandas(
+        kernel, schema="id long, width int, height int, bit_exact boolean"
+    ).orderBy("id")
+
+
+register_split(
+    "gif_decode_roundtrip",
+    gif_decode_roundtrip,
+    """
+SELECT doc_id AS id,
+       CAST(length(text) % 40 + 5 AS INT) AS width,
+       CAST(length(text) % 28 + 5 AS INT) AS height,
+       TRUE AS bit_exact
+FROM documents
+ORDER BY id
+""",
+)

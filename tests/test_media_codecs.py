@@ -248,7 +248,7 @@ def test_image_dispatch_sniffs_jpeg_and_png():
     import pytest
 
     with pytest.raises(ValueError, match="container"):
-        decode_image_bytes(b"GIF89a....")
+        decode_image_bytes(b"BM......bitmap-not-supported")
 
 
 def test_decode_image_real_path_handles_jpeg(spark):
@@ -264,3 +264,78 @@ def test_decode_image_real_path_handles_jpeg(spark):
     df = spark.createDataFrame([(1, bytearray(blob))], "id long, media binary")
     row = decode_image(df, fake=False).collect()[0]
     assert (row.width, row.height, row.channels) == (20, 12, 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF (operators/gifcodec.py, vendored from the public GIF89a spec)
+
+
+def test_gif_roundtrip_all_width_regimes():
+    """Palette sizes and pixel counts chosen to push LZW code width
+    from 3 bits through 12 bits with dictionary resets."""
+    import numpy as np
+
+    from citus_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    for (h, w, n_pal) in [(5, 7, 4), (40, 60, 256), (64, 64, 2),
+                          (300, 300, 256)]:
+        pal = rng.integers(0, 256, size=(n_pal, 3)).astype(np.uint8)
+        idx = rng.integers(0, n_pal, size=(h, w)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(out, pal[idx]), (h, w, n_pal)
+
+
+def test_gif_interlaced_roundtrip():
+    import numpy as np
+
+    from citus_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 16, size=(37, 23)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    out = decode_gif(encode_gif(idx, pal, interlace=True))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_decodes_foreign_real_world_files():
+    """Conformance against files produced by OTHER encoders (shipped
+    with system packages) — catches LZW width-growth desync that a
+    same-codec roundtrip can hide."""
+    import glob
+    import os
+
+    import pytest
+
+    from citus_spark.operators.gifcodec import decode_gif
+
+    files = sorted(glob.glob("/usr/share/doc/*/html/*.gif"))[:6]
+    if not files:
+        pytest.skip("no system GIFs on this machine")
+    for f in files:
+        arr = decode_gif(open(f, "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] == 3 and arr.size > 0
+
+
+def test_gif_rejections():
+    import numpy as np
+    import pytest
+
+    from citus_spark.operators.gifcodec import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF89a")
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_gif(np.full((4, 4), 9, dtype=np.uint8), pal)
+
+
+def test_dispatch_sniffs_gif():
+    import numpy as np
+
+    from citus_spark.operators.gifcodec import encode_gif
+    from citus_spark.operators.imagecodec import decode_image_bytes
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.eye(8, dtype=np.uint8)
+    assert decode_image_bytes(encode_gif(idx, pal)).shape == (8, 8, 3)
