@@ -30,3 +30,33 @@ def test_generated_query_matches_duckdb(spark, duck, idx):
     _, s = df_to_rows(scols, srows)
     _, d = df_to_rows(dcols, drows)
     assert s == d, sql
+
+
+# DISTINCT ON differential fuzz: identical PG text through the
+# session front door (row_number rewrite) vs DuckDB's native
+# DISTINCT ON.
+from tools.query_gen import gen_distinct_on_suite
+
+DON_SUITE = gen_distinct_on_suite(seed=7, n=30)
+
+
+@pytest.mark.parametrize(
+    "idx", range(len(DON_SUITE)), ids=[f"don{i:02d}" for i in range(len(DON_SUITE))]
+)
+def test_distinct_on_fuzz_matches_duckdb(spark, duck, idx):
+    from citus_spark.session import DistributedSession
+    from tools.oracle_check import df_to_rows
+
+    sql = DON_SUITE[idx]
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    sdf = sess.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}\n{sql}"
+    assert sorted(sdf.columns) == sorted(dcols), sql
+    _, s = df_to_rows(sdf.columns, srows)
+    _, d = df_to_rows(dcols, drows)
+    assert s == d, sql

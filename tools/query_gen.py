@@ -436,3 +436,60 @@ def gen_suite(seed: int = 42, n: int = 60) -> list[str]:
 if __name__ == "__main__":
     for i, q in enumerate(gen_suite()):
         print(f"-- generated query {i}\n{q};\n")
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON fuzz head — exercises the front door's row_number
+# rewrite (plans/rewrites.rewrite_distinct_on) against DuckDB's
+# NATIVE DISTINCT ON on identical text (↔ reference
+# multi_select_distinct.sql's dominant spelling). Determinism: the
+# ORDER BY starts with the key (PG's rule) and ends with a unique
+# column set, so "first row per key" is total.
+
+_DON_TABLES = {
+    "orders": {
+        "keys": ["o_custkey", "o_orderpriority", "o_custkey % 7"],
+        "cols": ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+                 "o_orderstatus"],
+        "unique": ["o_orderkey"],
+    },
+    "lineitem": {
+        "keys": ["l_orderkey", "l_returnflag", "l_suppkey % 5"],
+        "cols": ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                 "l_extendedprice"],
+        "unique": ["l_orderkey", "l_linenumber"],
+    },
+    "customer": {
+        "keys": ["c_nationkey", "c_mktsegment"],
+        "cols": ["c_custkey", "c_nationkey", "c_acctbal"],
+        "unique": ["c_custkey"],
+    },
+}
+
+
+def gen_distinct_on_query(rng: random.Random) -> str:
+    t = rng.choice(list(_DON_TABLES))
+    spec = _DON_TABLES[t]
+    key = rng.choice(spec["keys"])
+    cols = rng.sample(spec["cols"], k=rng.randint(2, len(spec["cols"])))
+    for u in spec["unique"]:
+        if u not in cols:
+            cols.append(u)
+    tiebreak = [
+        f"{c} {'DESC' if rng.random() < 0.4 else 'ASC'}"
+        for c in cols
+        if c != key
+    ]
+    where = ""
+    if rng.random() < 0.5 and t in FILTERS:
+        where = "WHERE " + rng.choice(FILTERS[t])
+    return (
+        f"SELECT DISTINCT ON ({key}) {', '.join(cols)}\n"
+        f"FROM {t} {where}\n"
+        f"ORDER BY {key}, {', '.join(tiebreak)}"
+    )
+
+
+def gen_distinct_on_suite(seed: int = 7, n: int = 30) -> list[str]:
+    rng = random.Random(seed)
+    return [gen_distinct_on_query(rng) for _ in range(n)]
