@@ -206,6 +206,97 @@ def pg_intervals(sql: str) -> str:
     return "".join(out)
 
 
+def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
+    """Rewrite PostgreSQL json access operators to get_json_object:
+
+        props ->> 'a'            → get_json_object(props, '$.a')
+        props -> 'a' ->> 'b'     → get_json_object(props, '$.a.b')
+        props -> 'c' ->> 0       → get_json_object(props, '$.c[0]')
+
+    (↔ the jsonb operator surface Citus workloads lean on; the engine
+    models json as string columns, where `->` and `->>` both land on
+    get_json_object — Spark dequotes scalar leaves like PG's ->>.)
+
+    `->>` rewrites unconditionally (never valid Spark SQL). A LEADING
+    single `->` is only rewritten under pg_compat
+    (`allow_single_arrow`): Spark's lambda syntax also spells `x ->
+    expr`, and `x -> 'lit'` is syntactically indistinguishable from a
+    json access without type information. Inside an already-started
+    chain `->` is unambiguous and always accepted."""
+    op_head = r"->>?" if allow_single_arrow else r"->>"
+    head_pat = re.compile(
+        rf"([A-Za-z_][\w.]*)\s*({op_head})\s*$"
+    )
+    segs = _segments(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        kind, text = segs[i]
+        if kind != "code":
+            out.append(text)
+            i += 1
+            continue
+        m = head_pat.search(text)
+        lit_operand = None
+        if not (m and i + 1 < len(segs) and segs[i + 1][0] == "literal"):
+            # operand may itself be a string literal: previous segment
+            # is a literal and this code segment is just the arrow
+            # (e.g. '{"a":1}' ->> 'a')
+            lm = re.match(rf"\s*({op_head})\s*$", text)
+            if (
+                lm
+                and out
+                and i >= 1
+                and segs[i - 1][0] == "literal"
+                and i + 1 < len(segs)
+                and segs[i + 1][0] == "literal"
+            ):
+                lit_operand = out.pop()  # the operand literal, verbatim
+            else:
+                out.append(text)
+                i += 1
+                continue
+        operand = lit_operand if lit_operand is not None else m.group(1)
+        path: list = [segs[i + 1][1][1:-1].replace("''", "'")]
+        j = i + 2
+        while j < len(segs):
+            k2, t2 = segs[j]
+            if k2 != "code":
+                break
+            mm = re.match(r"\s*(->>?)\s*$", t2)
+            if mm and j + 1 < len(segs) and segs[j + 1][0] == "literal":
+                path.append(segs[j + 1][1][1:-1].replace("''", "'"))
+                j += 2
+                continue
+            mm2 = re.match(r"\s*(->>?)\s*(\d+)(?![\w.])", t2)
+            if mm2:
+                path.append(int(mm2.group(2)))
+                segs[j] = ("code", t2[mm2.end() :])
+                continue
+            break
+        if any(
+            not isinstance(k, int) and not re.fullmatch(r"\w+", k)
+            for k in path
+        ):
+            # non-identifier key: json-path quoting support differs per
+            # engine — leave the text untouched to fail loudly rather
+            # than rewrite into a corrupt path literal
+            if lit_operand is not None:
+                out.append(lit_operand)
+            out.append(text)
+            i += 1
+            continue
+        parts = [
+            f"[{k}]" if isinstance(k, int) else f".{k}" for k in path
+        ]
+        prefix = "" if lit_operand is not None else text[: m.start()]
+        out.append(
+            prefix + f"get_json_object({operand}, '${''.join(parts)}')"
+        )
+        i = j
+    return "".join(out)
+
+
 _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
 
 

@@ -2310,3 +2310,30 @@ register_split(
     pg_generate_series_join,
     _PG_GENERATE_SERIES_SQL,
 )
+
+
+# PG json operator surface through the front door (plans/rewrites.
+# pg_json_ops: props ->> 'k' → get_json_object). DuckDB executes the
+# identical PG spelling natively (its ->> works on varchar), so the
+# oracle is the same text — strongest-form parity.
+_PG_JSON_OPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+WHERE CAST(props ->> 'k' AS BIGINT) % 3 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def pg_json_operators(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_JSON_OPS_SQL)
+
+
+register_split(
+    "pg_json_operators", pg_json_operators, _PG_JSON_OPS_SQL
+)

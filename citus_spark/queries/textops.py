@@ -1384,3 +1384,135 @@ FROM documents
 ORDER BY id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring — the CCNet-style "score every
+# document under a corpus LM" pipeline stage, here with a bigram model
+# trained ON the corpus itself in the same query (two count
+# aggregations), then every document scored by its mean smoothed
+# transition probability. Plan shape at 100 TB: tokenize is a narrow
+# map; unigram/bigram counts are classic two-phase aggregations; the
+# scoring join shuffles on the bigram key. No driver-side state at
+# all — the model IS a distributed table.
+#
+# Cross-engine exactness: probabilities are single IEEE divisions
+# (identical in both engines — unlike log(), whose last-ulp behavior
+# is libm-specific). The oracle-checked score is therefore the mean
+# transition probability; a log-perplexity variant is the same plan
+# with sum(log(prob)) and lives outside the hash-exact contract.
+# Sums use the fixed-point DSUM idiom so partition order cannot move
+# the result.
+from citus_spark.queries import DSUM as _DSUM
+
+_NGRAM_SPARK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM toks
+  LATERAL VIEW explode(
+    transform(slice(t, 1, size(t) - 1),
+              (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))
+  ) e AS b
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT explode(t) AS w FROM toks) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2
+),
+p AS (
+  SELECT bg.doc_id,
+         CAST(c12 AS DOUBLE) / (CAST(c1 AS DOUBLE) + vsz) AS prob
+  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {_DSUM('prob', 'trans_score')}
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+_NGRAM_DUCK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[u.g] AS w1, t[u.g + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(g)
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2
+),
+p AS (
+  SELECT bg.doc_id,
+         CAST(c12 AS DOUBLE) / (CAST(c1 AS DOUBLE) + vsz) AS prob
+  FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {_DSUM('prob', 'trans_score')}
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_NGRAM_SPARK_SQL)
+
+
+register_split("ngram_lm_quality", ngram_lm_quality, _NGRAM_DUCK_SQL)
+
+
+# BPE tokenizer roundtrip (operators/bpe.py — train on the corpus,
+# encode every document, decode back). Training is iterative (outside
+# the SQL oracle's reach, like k-means); what IS value-exact is the
+# roundtrip: the decoded stream must equal the whitespace-normalized
+# source, whose length DuckDB computes independently. A wrong merge
+# application, lost end-of-word marker, or dropped token changes the
+# reconstruction.
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.bpe import bpe_encode, bpe_train
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=80)
+    enc = bpe_encode(docs, merges)
+    recon = F.expr(
+        "rtrim(replace(concat_ws('', bpe_tokens), '</w>', ' '))"
+    )
+    norm = F.expr(
+        "array_join(filter(split(text, '\\\\s+'), x -> x != ''), ' ')"
+    )
+    return (
+        docs.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            F.length(recon).cast("long").alias("reconstructed_len"),
+            (recon == norm).alias("roundtrip_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_split(
+    "bpe_roundtrip",
+    bpe_roundtrip,
+    r"""
+SELECT doc_id,
+       CAST(length(array_to_string(
+         list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+         ' ')) AS BIGINT) AS reconstructed_len,
+       TRUE AS roundtrip_exact
+FROM documents
+ORDER BY doc_id
+""",
+)

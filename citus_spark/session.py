@@ -386,6 +386,12 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_generate_series
 
             query = pg_generate_series(query)
+        if "->" in query:
+            from citus_spark.plans.rewrites import pg_json_ops
+
+            # single-arrow heads only under pg_compat: `x -> 'lit'`
+            # is also Spark lambda syntax (see pg_json_ops docstring)
+            query = pg_json_ops(query, allow_single_arrow=self.pg_compat)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached

@@ -130,3 +130,35 @@ def test_generate_series_step_and_bare_alias(spark):
         "SELECT generate_series AS v FROM generate_series(2, 8, 2)"
     ).collect()
     assert [r.v for r in rows] == [2, 4, 6, 8]
+
+
+def test_json_operators(spark, duck):
+    sql = """
+    SELECT event_id, props ->> 'k' AS k
+    FROM events WHERE CAST(props ->> 'k' AS BIGINT) > 90
+    ORDER BY event_id
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_json_arrow_chain_pg_compat(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("SET citus.pg_compat = on")
+    row = s.sql(
+        "SELECT '{\"a\": {\"b\": 7}, \"c\": [4, 5]}' -> 'a' ->> 'b' AS b, "
+        "'{\"c\": [4, 5]}' -> 'c' ->> 1 AS c1"
+    ).collect()[0]
+    assert (row.b, row.c1) == ("7", "5")
+
+
+def test_lambda_arrow_not_hijacked(spark):
+    sess = _sess(spark)
+    row = sess.sql(
+        "SELECT filter(array(1, 5, 9), x -> x > 3) AS f, "
+        "transform(array(1), x -> 'lit') AS t"
+    ).collect()[0]
+    assert row.f == [5, 9] and row.t == ["lit"]
