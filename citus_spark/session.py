@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from citus_spark.catalog import (
     DEFAULT_SHARD_COUNT,
     DIST_HASH,
+    DIST_RANGE,
     DIST_REFERENCE,
     DistCatalog,
 )
@@ -188,6 +189,49 @@ class DistributedSession:
             entry.columnar = prior.columnar
             entry.time_partitioning = prior.time_partitioning
         out = df.repartition(buckets, F.col(dist_col))
+        out.createOrReplaceTempView(name)
+        return out
+
+    def create_range_distributed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        dist_col: str,
+        buckets: int | None = None,
+        path: str | None = None,
+    ) -> DataFrame:
+        """Register `df` range-distributed on `dist_col`
+        (↔ create_distributed_table(..., distribution_type => 'range');
+        pg_dist_partition DISTRIBUTE_BY_RANGE 'r',
+        pg_dist_partition.h:54-57 — each shard owns a contiguous
+        value range).
+
+        Spark-first realization: `repartitionByRange` (range exchange
+        with sampled bounds) + `sortWithinPartitions`, so every
+        partition owns a disjoint, internally-sorted range. When
+        `path` is given the layout is MATERIALIZED: each parquet file
+        then carries tight min/max column statistics over a disjoint
+        range, and any range predicate prunes whole files/row groups
+        at scan time — exactly the reference's PruneShards on
+        shardminvalue/shardmaxvalue intervals, realized through
+        parquet statistics instead of a shard catalog. Range layouts
+        are also the fast path for ORDER BY / BETWEEN / merge-join
+        workloads (the reference's stated use of range distribution
+        for ordered data)."""
+        if dist_col not in df.columns:
+            raise ValueError(
+                f"distribution column {dist_col!r} not in {df.columns}"
+            )
+        if buckets is None:
+            buckets = self.shard_count
+        out = df.repartitionByRange(buckets, F.col(dist_col)) \
+            .sortWithinPartitions(dist_col)
+        if path is not None:
+            out.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+        self.catalog.register(
+            name, DIST_RANGE, dist_col, buckets=buckets, path=path
+        )
         out.createOrReplaceTempView(name)
         return out
 
@@ -505,6 +549,16 @@ class DistributedSession:
             name, dist_col = str(call.args[0]), str(
                 call.args[1] if len(call.args) > 1 else kw["distribution_column"]
             )
+            if str(kw.get("distribution_type", "hash")).lower() == "range":
+                self.create_range_distributed_table(
+                    name,
+                    self.spark.table(name),
+                    dist_col,
+                    buckets=int(kw.get("shard_count", self.shard_count)),
+                )
+                return self.spark.sql(
+                    f"SELECT CAST(NULL AS STRING) AS {call.fn}"
+                )
             self.create_distributed_table(
                 name,
                 self.spark.table(name),

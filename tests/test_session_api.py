@@ -136,3 +136,64 @@ def test_guc_set_show_roundtrip(spark):
     sess.sql("SET spark.sql.shuffle.partitions = 24")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "24"
     spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_create_range_distributed_table(spark, tmp_path):
+    """DISTRIBUTE_BY_RANGE 'r' (pg_dist_partition.h:54-57): the
+    materialized layout must give each file a DISJOINT contiguous
+    range of the distribution column — the property that makes
+    parquet min/max stats the PruneShards analog — and results must
+    be layout-independent."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from citus_spark.catalog import DIST_RANGE
+    from citus_spark.session import DistributedSession
+    from tests.conftest import SF_SMALL
+
+    s = DistributedSession(spark)
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / "orders_range")
+    s.create_range_distributed_table(
+        "orders_r", orders, "o_orderkey", buckets=8, path=path
+    )
+    entry = s.catalog.get("orders_r")
+    assert entry.method == DIST_RANGE and entry.dist_col == "o_orderkey"
+
+    # per-file min/max ranges are disjoint and ordered
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(c).name for c in range(len(md.schema))]
+        idx = names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint contiguous ranges
+
+    # results identical to the source under a range predicate
+    got = spark.table("orders_r").filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).count()
+    want = orders.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).count()
+    assert got == want > 0
+
+    # textual spelling routes to the range path
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet") \
+        .createOrReplaceTempView("orders_r2")
+    s.sql(
+        "SELECT create_distributed_table('orders_r2', 'o_orderkey', "
+        "distribution_type => 'range', shard_count => 4)"
+    )
+    assert s.catalog.get("orders_r2").method == DIST_RANGE
+    assert s.catalog.get("orders_r2").buckets == 4
