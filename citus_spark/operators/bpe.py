@@ -150,7 +150,9 @@ def bpe_encode(
             out = []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                for w in text.split():
+                # NULL text → empty token stream (consistent with the
+                # train path, where split/explode drop nulls)
+                for w in (text or "").split():
                     enc = memo.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)

@@ -124,8 +124,13 @@ def decode_stream(data: bytes, schema: T.StructType) -> list[tuple]:
     pos = len(SIGNATURE)
     flags, ext_len = struct.unpack_from("!ii", data, pos)
     pos += 8 + ext_len
-    if flags & ~(1 << 16):
+    # spec: bits 16-31 are critical (reject unknown), bits 0-15 are
+    # backwards-compatible and must be IGNORED; bit 16 = OIDs included
+    # (pre-PG12 dumps) — each tuple then leads with an extra OID field
+    # that is not a column
+    if flags & 0xFFFF0000 & ~(1 << 16):
         raise ValueError(f"COPY binary: unknown header flags {flags:#x}")
+    has_oids = bool(flags & (1 << 16))
     n_fields_expected = len(schema.fields)
     rows: list[tuple] = []
     while True:
@@ -133,6 +138,10 @@ def decode_stream(data: bytes, schema: T.StructType) -> list[tuple]:
         pos += 2
         if n_fields == -1:
             break  # trailer
+        if has_oids:
+            # a normal field, but NOT included in the field count
+            (oid_len,) = struct.unpack_from("!i", data, pos)
+            pos += 4 + max(0, oid_len)
         if n_fields != n_fields_expected:
             raise ValueError(
                 f"COPY binary: tuple has {n_fields} fields, "

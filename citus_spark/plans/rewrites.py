@@ -217,12 +217,15 @@ def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
     models json as string columns, where `->` and `->>` both land on
     get_json_object — Spark dequotes scalar leaves like PG's ->>.)
 
-    `->>` rewrites unconditionally (never valid Spark SQL). A LEADING
-    single `->` is only rewritten under pg_compat
-    (`allow_single_arrow`): Spark's lambda syntax also spells `x ->
+    A chain is rewritten from its HEAD: `->>` heads always (never
+    valid Spark SQL), single-`->` heads only under pg_compat
+    (`allow_single_arrow`) — Spark's lambda syntax also spells `x ->
     expr`, and `x -> 'lit'` is syntactically indistinguishable from a
-    json access without type information. Inside an already-started
-    chain `->` is unambiguous and always accepted."""
+    json access without type information. Inside an accepted chain
+    `->` links are unambiguous and always follow. A chain whose head
+    was skipped (leading `->`, pg_compat off) is left whole — its
+    `->>` tail is NOT rewritten in isolation, which would corrupt the
+    expression; it fails loudly in Spark instead."""
     op_head = r"->>?" if allow_single_arrow else r"->>"
     head_pat = re.compile(
         rf"([A-Za-z_][\w.]*)\s*({op_head})\s*$"
@@ -243,6 +246,15 @@ def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
             # is a literal and this code segment is just the arrow
             # (e.g. '{"a":1}' ->> 'a')
             lm = re.match(rf"\s*({op_head})\s*$", text)
+            # the candidate operand literal must not itself be the KEY
+            # of an unrewritten arrow to its left (possible when a
+            # leading single `->` was skipped without pg_compat):
+            # rewriting the tail of a half-chain would corrupt it
+            prev_code_ok = (
+                i < 2
+                or segs[i - 2][0] != "code"
+                or not re.search(r"->>?\s*$", segs[i - 2][1])
+            )
             if (
                 lm
                 and out
@@ -250,6 +262,7 @@ def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
                 and segs[i - 1][0] == "literal"
                 and i + 1 < len(segs)
                 and segs[i + 1][0] == "literal"
+                and prev_code_ok
             ):
                 lit_operand = out.pop()  # the operand literal, verbatim
             else:
@@ -300,26 +313,74 @@ def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
 _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
 
 
+def _in_from_clause(sql: str, spans, pos: int) -> bool:
+    """True when `pos` sits in the FROM clause of its OWN query scope:
+    a per-depth clause tracker survives subqueries, so a select-list
+    comma (`SELECT a, generate_series(...)`) is correctly rejected
+    while a FROM-list comma qualifies."""
+    kw = re.compile(
+        r"(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|JOIN)", re.IGNORECASE
+    )
+    depth = 0
+    last: dict[int, str | None] = {0: None}
+    j = 0
+    while j < pos:
+        if any(a <= j < b for a, b in spans):
+            j += 1
+            continue
+        c = sql[j]
+        if c == "(":
+            depth += 1
+            last[depth] = None
+            j += 1
+            continue
+        if c == ")":
+            last.pop(depth, None)
+            depth = max(0, depth - 1)
+            j += 1
+            continue
+        mkw = kw.match(sql, j)
+        if mkw and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+            nxt = mkw.end()
+            if nxt >= len(sql) or not (
+                sql[nxt].isalnum() or sql[nxt] == "_"
+            ):
+                word = mkw.group(1).upper()
+                last[depth] = "FROM" if word == "JOIN" else word
+            j = mkw.end()
+            continue
+        j += 1
+    return last.get(depth) == "FROM"
+
+
 def pg_generate_series(sql: str) -> str:
     """Rewrite FROM-position `generate_series(a, b[, step])` to
     Spark's `(SELECT explode(sequence(a, b[, step])) AS
-    generate_series)` (both ends inclusive in both engines). PG also
-    allows the call in the select list (a set-returning function);
-    that position is left alone and fails loudly in Spark rather than
-    being rewritten wrong. An `AS alias(col)` column rename is
-    honored."""
+    generate_series)` (both ends inclusive in both engines). After a
+    FROM-list comma or JOIN the subquery is wrapped in LATERAL so
+    correlated bounds (`FROM t, generate_series(1, t.n)`) stay legal.
+    PG also allows the call in the select list (a set-returning
+    function); that position is left alone and fails loudly in Spark
+    rather than being rewritten wrong. An `AS alias(col)` column
+    rename is honored. All FROM-position occurrences rewrite, not
+    just the first."""
     spans = _masked_spans(sql)
 
     def in_code(pos: int) -> bool:
         return not any(a <= pos < b for a, b in spans)
 
-    m = next((m for m in _GEN_SERIES.finditer(sql) if in_code(m.start())), None)
+    m = next(
+        (
+            m
+            for m in _GEN_SERIES.finditer(sql)
+            if in_code(m.start()) and _in_from_clause(sql, spans, m.start())
+        ),
+        None,
+    )
     if m is None:
         return sql
-    # FROM position: previous code token must be FROM / , / JOIN
     head = sql[: m.start()].rstrip()
-    if not re.search(r"(\bFROM|\bJOIN|,)\s*$", head, re.IGNORECASE):
-        return sql
+    lateral = not re.search(r"\bFROM\s*$", head, re.IGNORECASE)
     depth, i = 0, m.end() - 1
     while i < len(sql):
         if in_code(i):
@@ -350,8 +411,9 @@ def pg_generate_series(sql: str) -> str:
         if am.group(2):
             col = am.group(2)
         rest = rest[am.end() :]
+    lat = "LATERAL " if lateral else ""
     rewritten = (
-        f"{sql[: m.start()]}(SELECT explode(sequence({args})) AS {col})"
+        f"{sql[: m.start()]}{lat}(SELECT explode(sequence({args})) AS {col})"
         f"{alias}{rest}"
     )
     return pg_generate_series(rewritten)
@@ -421,12 +483,14 @@ def rewrite_distinct_on(sql: str) -> str:
         WHERE __citus_rn = 1 [ORDER BY <outer items>] [LIMIT …]
 
     Ordinal keys/order items resolve against the select list (the
-    regress scripts' dominant spelling). Outer ordering keeps the
-    items that are ordinals or name select-list outputs; anything else
-    is dropped — those columns don't exist in the output relation.
-    Top-level statements only (a DISTINCT ON inside a subquery is
-    rewritten the same way because the scan is depth-aware and anchors
-    on the `SELECT DISTINCT ON` it finds first, recursing after)."""
+    regress scripts' dominant spelling). Outer ordering is COMPLETE:
+    order-by expressions that are not select-list outputs are carried
+    through the subquery as hidden `__citus_obN` columns and excluded
+    from the final projection, so `ORDER BY key, ts DESC LIMIT n`
+    selects exactly PG's rows even when `ts` isn't projected. A
+    DISTINCT ON inside a CTE or subquery rewrites in place: the tail
+    scan stops when the enclosing scope closes (paren depth goes
+    negative) and the remainder of the statement is preserved."""
     pat = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
     spans = _masked_spans(sql)
 
@@ -469,11 +533,15 @@ def rewrite_distinct_on(sql: str) -> str:
     if from_pos is None:
         raise ValueError("DISTINCT ON without FROM")
     select_list = sql[rest_start:from_pos].strip()
-    # 3. tail: split out top-level ORDER BY and LIMIT/OFFSET
+    # 3. tail: split out top-level ORDER BY and LIMIT/OFFSET, stopping
+    # where the ENCLOSING scope closes (depth < 0 means this DISTINCT
+    # ON lives inside a CTE/subquery — everything after the close
+    # belongs to the outer statement and is carried through verbatim)
     tail = sql[from_pos:]
     tail_spans = _masked_spans(tail)
     depth = 0
     ob_pos = lim_pos = None
+    scope_end = len(tail)
     kw_ob = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
     kw_lim = re.compile(r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE)
     for j in _code_iter(tail, 0, tail_spans):
@@ -482,13 +550,17 @@ def rewrite_distinct_on(sql: str) -> str:
             depth += 1
         elif c == ")":
             depth -= 1
+            if depth < 0:
+                scope_end = j
+                break
         elif depth == 0:
             if ob_pos is None and c in "Oo" and kw_ob.match(tail, j):
                 ob_pos = j
             if lim_pos is None and c in "LlOoFf" and kw_lim.match(tail, j):
                 if ob_pos is None or j > ob_pos:
                     lim_pos = j
-                    break
+    scope_suffix = tail[scope_end:]
+    tail = tail[:scope_end]
     if ob_pos is not None:
         from_part = tail[:ob_pos].rstrip()
         ob_text = tail[ob_pos : lim_pos if lim_pos else len(tail)]
@@ -505,15 +577,20 @@ def rewrite_distinct_on(sql: str) -> str:
 
     sl_items = _split_top_level(select_list)
 
+    def split_dir(raw: str) -> tuple[str, str]:
+        """('expr', ' DESC NULLS LAST') — direction/nulls suffix off."""
+        raw = raw.strip()
+        dm = re.search(r"\s+(ASC|DESC|NULLS)\b.*$", raw, re.IGNORECASE)
+        if dm:
+            return raw[: dm.start()], raw[dm.start() :]
+        return raw, ""
+
     def resolve(item: str) -> str:
-        body = re.sub(
-            r"\s+(ASC|DESC)\b.*$", "", item.strip(), flags=re.IGNORECASE
-        )
+        body, suffix = split_dir(item)
         if re.fullmatch(r"\d+", body):
             n = int(body)
             if not (1 <= n <= len(sl_items)):
                 raise ValueError(f"ORDER BY position {n} out of range")
-            suffix = item.strip()[len(body):]
             return _strip_alias(sl_items[n - 1]) + suffix
         return item.strip()
 
@@ -521,26 +598,37 @@ def rewrite_distinct_on(sql: str) -> str:
     ob_items = [resolve(o) for o in _split_top_level(ob_text)] if ob_text else []
     win_order = ob_items if ob_items else keys
     out_names = {_out_name(s) for s in sl_items}
-    outer_ob = []
+    # outer ORDER BY must be COMPLETE or LIMIT selects different rows:
+    # items not visible among the outputs are carried through the
+    # subquery as hidden columns and excluded from the projection
+    outer_ob: list[str] = []
+    hidden: list[str] = []
     for raw in _split_top_level(ob_text) if ob_text else []:
-        body = re.sub(
-            r"\s+(ASC|DESC)\b.*$", "", raw.strip(), flags=re.IGNORECASE
-        )
+        body, suffix = split_dir(raw)
         if re.fullmatch(r"\d+", body) or body in out_names:
             outer_ob.append(raw.strip())
+        else:
+            alias = f"__citus_ob{len(hidden)}"
+            hidden.append(f"{resolve(body)} AS {alias}")
+            outer_ob.append(f"{alias}{suffix}")
+    hidden_sql = (", " + ", ".join(hidden)) if hidden else ""
+    except_cols = ", ".join(
+        ["__citus_rn"] + [h.split(" AS ")[-1] for h in hidden]
+    )
     inner = (
-        f"SELECT {select_list}, row_number() OVER ("
+        f"SELECT {select_list}{hidden_sql}, row_number() OVER ("
         f"PARTITION BY {', '.join(keys)} "
         f"ORDER BY {', '.join(win_order)}) AS __citus_rn\n{from_part}"
     )
     rewritten = (
-        f"{sql[: m.start()]}SELECT * EXCEPT (__citus_rn) FROM (\n{inner}\n"
+        f"{sql[: m.start()]}SELECT * EXCEPT ({except_cols}) FROM (\n{inner}\n"
         f") __citus_don WHERE __citus_rn = 1"
     )
     if outer_ob:
         rewritten += f" ORDER BY {', '.join(outer_ob)}"
     if limit_tail:
         rewritten += f" {limit_tail}"
+    rewritten += scope_suffix
     # recurse: a further DISTINCT ON (e.g. in a set-op branch)
     return rewrite_distinct_on(rewritten)
 

@@ -490,6 +490,11 @@ class TransactionAborted(RuntimeError):
     pass
 
 
+class _CoordinatorCrash(RuntimeError):
+    """Test-only crash simulation: propagates WITHOUT writing an
+    abort decision — exactly what a real coordinator death leaves."""
+
+
 class MultiTableTxn:
     """Atomic writes across several TxTables.
 
@@ -613,18 +618,44 @@ class MultiTableTxn:
     # -- the commit point
     def commit(self, _crash_after_prepares: int | None = None) -> str:
         """Prepare every staged op, then claim the decision.
-        `_crash_after_prepares` is the crash-simulation hook for tests:
-        raises after N prepares, before any decision exists — the
-        state a real coordinator crash leaves behind."""
+
+        A prepare FAILURE with the coordinator alive immediately
+        records decision=abort, releasing already-prepared tables —
+        presumed-abort recovery is only for actual coordinator
+        crashes (`_crash_after_prepares`, the test hook, simulates
+        one by propagating without deciding)."""
         if self._done:
             raise RuntimeError("transaction already finished")
+        # one prepared commit per table: a second op on the same
+        # table would find its own undecided prepare at the head and
+        # deadlock — stage combined ops (e.g. merge with the union)
+        seen = set()
+        for table, _k, _a in self._ops:
+            if table.path in seen:
+                raise ValueError(
+                    f"multiple operations staged on {table.path}; a "
+                    "table can appear once per transaction — combine "
+                    "the operations"
+                )
+            seen.add(table.path)
         self._done = True
         n = 0
-        for table, kind, args in self._ops:
-            if _crash_after_prepares is not None and n >= _crash_after_prepares:
-                raise RuntimeError("simulated coordinator crash")
-            self._prepare_one(table, kind, args)
-            n += 1
+        try:
+            for table, kind, args in self._ops:
+                if (
+                    _crash_after_prepares is not None
+                    and n >= _crash_after_prepares
+                ):
+                    raise _CoordinatorCrash("simulated coordinator crash")
+                self._prepare_one(table, kind, args)
+                n += 1
+        except _CoordinatorCrash:
+            raise
+        except BaseException:
+            # coordinator alive and the outcome is known: record the
+            # abort now so prepared tables unblock without recovery
+            self._decide("abort")
+            raise
         decided = self._decide("commit")
         if decided != "commit":
             raise TransactionAborted(

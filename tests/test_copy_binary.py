@@ -91,3 +91,34 @@ def test_malformed_rejected(spark, tmp_path):
     arr_schema = spark.sql("SELECT array(1,2) AS a").schema
     with pytest.raises(ValueError, match="unsupported column type"):
         encode_rows([([1, 2],)], arr_schema)
+
+
+def test_with_oids_stream_and_ignorable_flags(spark, tmp_path):
+    """Pre-PG12 WITH OIDS dumps carry a per-tuple OID field not
+    counted in the field count; bits 0-15 of the header flags are
+    backwards-compatible and must be ignored."""
+    import struct as st
+
+    from citus_spark.plans.copy_binary import (
+        SIGNATURE,
+        decode_stream,
+        encode_rows,
+    )
+
+    schema = spark.sql("SELECT 1 AS a, 'x' AS b").schema
+    body = encode_rows([(5, "hi"), (6, "yo")], schema, header=False,
+                       trailer=False)
+    # inject an OID field (len 4 + oid bytes) before each tuple's cols
+    out = bytearray(SIGNATURE + st.pack("!ii", (1 << 16) | 0x7, 0))
+    pos = 0
+    while pos < len(body):
+        (n_fields,) = st.unpack_from("!h", body, pos)
+        out += st.pack("!h", n_fields) + st.pack("!ii", 4, 12345)
+        pos += 2
+        for _ in range(n_fields):
+            (ln,) = st.unpack_from("!i", body, pos)
+            out += body[pos : pos + 4 + max(0, ln)]
+            pos += 4 + max(0, ln)
+    out += st.pack("!h", -1)
+    rows = decode_stream(bytes(out), schema)
+    assert rows == [(5, "hi"), (6, "yo")]

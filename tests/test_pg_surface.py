@@ -162,3 +162,82 @@ def test_lambda_arrow_not_hijacked(spark):
         "transform(array(1), x -> 'lit') AS t"
     ).collect()[0]
     assert row.f == [5, 9] and row.t == ["lit"]
+
+
+# -- review-fix regressions
+
+
+def test_distinct_on_inside_cte(spark, duck):
+    sql = """
+    WITH w AS (
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice
+      FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    )
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           AS DOUBLE) AS s
+    FROM w
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_distinct_on_limit_with_unprojected_order_col(spark, duck):
+    """ORDER BY columns outside the select list must still drive the
+    LIMIT row selection (carried through as hidden columns)."""
+    sql = """
+    SELECT DISTINCT ON (o_custkey) o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    LIMIT 7
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want and len(got) == 7
+
+
+def test_generate_series_select_list_untouched(spark):
+    from citus_spark.plans.rewrites import pg_generate_series
+
+    sql = "SELECT a, generate_series(1,3) FROM t"
+    assert pg_generate_series(sql) == sql
+
+
+def test_generate_series_second_occurrence_rewrites(spark, duck):
+    sql = "SELECT sum(g) AS s FROM generate_series(1, 4) AS t(g)"
+    # a red herring in a string literal plus the real FROM call
+    sql2 = "SELECT 'generate_series(9,9)' AS lit, g FROM generate_series(1,2) t(g) ORDER BY g"
+    got = [tuple(r) for r in _sess(spark).sql(sql2).collect()]
+    want = [tuple(r) for r in duck.execute(sql2).fetchall()]
+    assert got == want
+    assert _sess(spark).sql(sql).collect()[0].s == 10
+
+
+def test_generate_series_correlated_lateral(spark, duck):
+    """Correlated bounds work through the LATERAL wrapping (DuckDB's
+    own generate_series table function rejects lateral columns, so
+    the oracle uses its UNNEST(range()) equivalent)."""
+    sql = """
+    SELECT o_orderkey, count(*) AS n
+    FROM orders, generate_series(1, CAST(o_orderkey % 3 + 1 AS INT)) s(g)
+    WHERE o_orderkey < 20
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """
+    duck_sql = """
+    SELECT o_orderkey, count(*) AS n
+    FROM orders, UNNEST(range(1, CAST(o_orderkey % 3 + 2 AS INT))) s(g)
+    WHERE o_orderkey < 20
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """
+    got = [tuple(r) for r in _sess(spark).sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(duck_sql).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_json_halfchain_not_corrupted(spark):
+    """pg_compat OFF: a chain starting with a bare `->` must be left
+    WHOLE (failing loudly), never partially rewritten."""
+    from citus_spark.plans.rewrites import pg_json_ops
+
+    sql = "SELECT props -> 'a' ->> 'b' FROM e"
+    assert pg_json_ops(sql, allow_single_arrow=False) == sql

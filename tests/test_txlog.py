@@ -348,3 +348,44 @@ def test_time_travel_spans_the_transaction(spark, tmp_path):
     txn.commit()
     assert {r.k for r in a.read().collect()} == {2}
     assert {r.k for r in a.read(version=v_a).collect()} == {1, 2}
+
+
+def test_same_table_twice_rejected_upfront(spark, tmp_path):
+    """Two ops on one table would self-deadlock against the txn's own
+    prepared head — rejected before any prepare happens."""
+    import pytest
+
+    from citus_spark.sources.txlog import MultiTableTxn
+
+    a, b = _two_tables(spark, tmp_path)
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.append(a, spark.createDataFrame([(9, "z")], "k int, v string"))
+    txn.append(a, spark.createDataFrame([(8, "y")], "k int, v string"))
+    with pytest.raises(ValueError, match="once per transaction"):
+        txn.commit()
+    # nothing prepared: both tables still writable and unchanged
+    assert {r.k for r in a.read().collect()} == {1, 2}
+    a.append(spark.createDataFrame([(7, "w")], "k int, v string"))
+
+
+def test_prepare_failure_aborts_immediately(spark, tmp_path):
+    """A prepare failure with the coordinator ALIVE records abort at
+    once — already-prepared tables unblock without recovery."""
+    import pytest
+
+    from citus_spark.sources.txlog import MultiTableTxn
+
+    a, b = _two_tables(spark, tmp_path)
+    txn = MultiTableTxn(str(tmp_path / "coord"))
+    txn.append(a, spark.createDataFrame([(9, "z")], "k int, v string"))
+    # a bad op kind on table B fails during prepare
+    txn._ops.append((b, "delete", ("THIS IS NOT ( VALID SQL",)))
+    with pytest.raises(Exception):
+        txn.commit()
+    from citus_spark.sources.txlog import txn_decision
+
+    assert txn_decision(txn.decision_path) == "abort"
+    # table A's prepared commit resolved: invisible, and writes flow
+    assert {r.k for r in a.read().collect()} == {1, 2}
+    a.append(spark.createDataFrame([(7, "w")], "k int, v string"))
+    assert (7, "w") in {(r.k, r.v) for r in a.read().collect()}
