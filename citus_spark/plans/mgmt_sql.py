@@ -30,6 +30,9 @@ _FNS = (
     "citus_stat_statements_reset",
     "create_time_partitions",
     "drop_old_time_partitions",
+    "citus_table_size",
+    "citus_total_relation_size",
+    "citus_relation_size",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked

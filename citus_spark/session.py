@@ -587,6 +587,20 @@ class DistributedSession:
             self.undistribute_table(str(call.args[0]))
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
+        elif call.fn in (
+            "citus_table_size",
+            "citus_total_relation_size",
+            "citus_relation_size",
+        ):
+            # ↔ reference citus_table_size()/citus_relation_size()
+            # (sql/udfs/citus_*_size: sum of shard relation sizes).
+            # Here all three resolve to the live storage footprint —
+            # parquet carries no separate fsm/vm/index forks, so the
+            # three reference variants coincide by construction.
+            return self.spark.createDataFrame(
+                [(int(self._relation_size(str(call.args[0]))),)],
+                f"{call.fn} long",
+            )
         elif call.fn == "create_time_partitions":
             # reference positional signature is (table_name,
             # partition_interval, end_at, start_from) — so a verbatim
@@ -697,6 +711,24 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _relation_size(self, name: str) -> int:
+        """Bytes of the relation's LIVE storage (time-partitioned
+        layout when set). Errors for uncataloged or path-less
+        relations, like the reference on non-Citus tables."""
+        entry = self.catalog.get(name)
+        if entry is None or not self._live_path(entry):
+            raise ValueError(
+                f"citus_table_size: {name!r} is not a Citus table with "
+                "materialized storage"
+            )
+        root = self._live_path(entry)
+        if os.path.isfile(root):
+            return os.path.getsize(root)
+        total = 0
+        for r, _d, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(r, f)) for f in files)
+        return total
 
     # -- live-storage helpers: every writing statement resolves the
     # relation through these, so a time-partitioned table's DML/COPY/

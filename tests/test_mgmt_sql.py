@@ -100,3 +100,41 @@ def test_citus_shards_view_sql(sess, spark):
         "GROUP BY t.table_name ORDER BY t.table_name"
     ).collect()
     assert {r.table_name: r.n for r in joined}["orders_m"] == 8
+
+
+def test_citus_table_size_functions(spark, tmp_path):
+    """↔ reference citus_table_size()/citus_total_relation_size():
+    live storage bytes; all variants coincide on parquet (no separate
+    forks), and a time-partitioned table reports its LIVE layout."""
+    import os
+
+    import pytest
+
+    from citus_spark.session import DistributedSession
+    from tests.conftest import SF_SMALL
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    fixture = os.path.getsize(f"{SF_SMALL}/orders.parquet")
+    got = s.sql("SELECT citus_table_size('orders')").collect()[0][0]
+    assert got == fixture
+    assert (
+        s.sql("SELECT citus_total_relation_size('orders')").collect()[0][0]
+        == fixture
+    )
+    # time-partitioned: size follows the live layout, and shrinks
+    # when partitions drop
+    s.create_time_partitions(
+        "events", ts_col="ts", granularity="day",
+        path=str(tmp_path / "ev_tp"),
+    )
+    full = s.sql("SELECT citus_table_size('events')").collect()[0][0]
+    periods = sorted(
+        str(r._period)
+        for r in spark.table("events").select("_period").distinct().collect()
+    )
+    s.drop_old_time_partitions("events", older_than=periods[1])
+    after = s.sql("SELECT citus_table_size('events')").collect()[0][0]
+    assert 0 < after < full
+    with pytest.raises(Exception, match="not a Citus table"):
+        s.sql("SELECT citus_table_size('no_such_table')")
