@@ -200,3 +200,17 @@ def test_session_window_partial_aggregation_before_exchange(spark):
     # partial agg runs upstream of (deeper than) the hash exchange
     assert plan.index("partial_count") > plan.index("Exchange hashpartitioning")
     assert "Window" not in plan
+
+
+def test_ngram_lm_two_phase_aggregation_no_cartesian(spark):
+    """ngram_lm_quality's model training must plan as two-phase
+    aggregations (partial before each exchange) and its scoring join
+    must never be a CartesianProduct — the single-row vocabulary
+    scalar joins broadcast-side, everything else shuffles on its
+    key. This is the shape that keeps the LM scoring pipeline linear
+    at corpus scale."""
+    df = q.QUERIES["ngram_lm_quality"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert plan.count("HashAggregate") >= 6, plan  # 3 aggs × partial/final
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan
