@@ -138,23 +138,26 @@ def main() -> None:
 
     run("tpch_q6")  # JVM/codegen warmup, untimed
 
-    # min of five runs with a short inter-run settle: steady-state
-    # time (first run pays whole-stage codegen compilation; the extra
-    # runs shield against transient machine load, observed inflating
-    # single queries 5-10× and totals by 70% between identical runs).
-    # The median travels alongside so a load spike is visible as
-    # median≫min instead of masquerading as a regression.
+    # min over five ROUND-ROBIN passes of the whole query list, with a
+    # settle between passes: host-load spikes on this box last seconds
+    # — longer than five consecutive runs of one sub-second query — so
+    # back-to-back sampling lets a single spike poison every sample of
+    # one query. Interleaving spreads a spike across one PASS of many
+    # queries instead, and the per-query min over passes recovers the
+    # steady state. The median travels alongside so a spike is
+    # visible as median≫min instead of masquerading as a regression.
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            samples[name].append(run(name))
+        time.sleep(0.2)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
-    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     for name in HEADLINE:
-        samples = []
-        for _ in range(n_runs):
-            samples.append(run(name))
-            time.sleep(0.05)
-        samples.sort()
-        times[name] = round(samples[0], 4)
-        medians[name] = round(samples[len(samples) // 2], 4)
+        s = sorted(samples[name])
+        times[name] = round(s[0], 4)
+        medians[name] = round(s[len(s) // 2], 4)
 
     out = {
         "metric": "headline_query_wall_sec",
