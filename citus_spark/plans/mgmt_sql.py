@@ -33,6 +33,8 @@ _FNS = (
     "citus_table_size",
     "citus_total_relation_size",
     "citus_relation_size",
+    "citus_version",
+    "update_distributed_table_colocation",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked

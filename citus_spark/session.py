@@ -406,6 +406,9 @@ class DistributedSession:
         mgmt = self._execute_mgmt(query)
         if mgmt is not None:
             return mgmt
+        into = self._execute_select_into(query)
+        if into is not None:
+            return into
         if self.pg_compat:
             query = pg_casts(query)
         # unconditional PG-surface rewrites: neither spelling is valid
@@ -587,6 +590,47 @@ class DistributedSession:
             self.undistribute_table(str(call.args[0]))
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
+        elif call.fn == "citus_version":
+            # ↔ reference citus_version(): a version banner. Reports
+            # the engine identity + the surveyed reference version so
+            # version-gated scripts have something stable to parse.
+            return self.spark.createDataFrame(
+                [("citus_spark 5.0 (reference surface: Citus 15.0-1) "
+                  "on Apache Spark "
+                  + self.spark.version,)],
+                "citus_version string",
+            )
+        elif call.fn == "update_distributed_table_colocation":
+            # ↔ reference update_distributed_table_colocation(table,
+            # colocate_with => 'other' | 'none'): re-group without
+            # changing key or data. colocate_with 'none' breaks the
+            # group (fresh colocation id).
+            name = str(call.args[0])
+            mate = str(
+                call.args[1] if len(call.args) > 1 else kw["colocate_with"]
+            )
+            entry = self.catalog.get(name)
+            if entry is None:
+                raise KeyError(f"unknown table {name!r}")
+            if mate.lower() == "none":
+                self.catalog.register(
+                    name, entry.method, entry.dist_col,
+                    buckets=entry.buckets,
+                )
+            else:
+                other = self.catalog.get(mate)
+                if other is None:
+                    raise KeyError(f"unknown colocation target {mate!r}")
+                if other.buckets != entry.buckets:
+                    raise ValueError(
+                        "cannot colocate: shard counts differ "
+                        f"({entry.buckets} vs {other.buckets}); use "
+                        "alter_distributed_table(shard_count => ...)"
+                    )
+                self.catalog.register(
+                    name, entry.method, entry.dist_col,
+                    buckets=entry.buckets, colocate_with=mate,
+                )
         elif call.fn in (
             "citus_table_size",
             "citus_total_relation_size",
@@ -711,6 +755,63 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _execute_select_into(self, query: str):
+        """PostgreSQL `SELECT … INTO new_table FROM …` — the regress
+        suites' CTAS spelling (↔ the reference routes it through the
+        INSERT..SELECT machinery). The INTO clause is lifted out, the
+        remaining SELECT runs through the full front door, and the
+        result materializes as a catalog table on writable storage.
+        Returns the psql-style `SELECT n` count. None when the
+        statement isn't a top-level SELECT…INTO (INSERT INTO and
+        MERGE INTO never reach here — routed earlier)."""
+        import re as _re
+        import tempfile as _tf
+
+        head = query.lstrip()[:7].upper()
+        if not (head.startswith("SELECT") or head.startswith("WITH")):
+            return None
+        from citus_spark.plans.rewrites import _masked_spans
+
+        spans = _masked_spans(query)
+        depth = 0
+        j = 0
+        hit = None
+        while j < len(query):
+            if any(a <= j < b for a, b in spans):
+                j += 1
+                continue
+            c = query[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "Ii":
+                m = _re.match(
+                    r"INTO\s+([A-Za-z_][\w.]*)", query[j:], _re.IGNORECASE
+                )
+                if m and (
+                    j == 0
+                    or not (query[j - 1].isalnum() or query[j - 1] == "_")
+                ):
+                    hit = (j, j + m.end(), m.group(1))
+                    break
+            j += 1
+        if hit is None:
+            return None
+        start, end, name = hit
+        if self.catalog.get(name) is not None:
+            raise ValueError(f'relation "{name}" already exists')
+        df = self.sql(query[:start] + query[end:])
+        path = os.path.join(
+            tempfile.gettempdir(), f"citus_spark_tbl_{name}_{os.getpid()}"
+        )
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        self.catalog.register(name, "none", path=path)
+        n = out.count()
+        return self.spark.createDataFrame([(int(n),)], "selected long")
 
     def _relation_size(self, name: str) -> int:
         """Bytes of the relation's LIVE storage (time-partitioned

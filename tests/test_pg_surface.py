@@ -241,3 +241,29 @@ def test_json_halfchain_not_corrupted(spark):
 
     sql = "SELECT props -> 'a' ->> 'b' FROM e"
     assert pg_json_ops(sql, allow_single_arrow=False) == sql
+
+
+def test_select_into(spark):
+    """PG `SELECT … INTO t FROM …` materializes a catalog table; the
+    new relation is immediately queryable AND writable (DML routes to
+    its storage)."""
+    import pytest
+
+    sess = _sess(spark)
+    out = sess.sql(
+        "SELECT o_custkey, o_totalprice INTO top_orders "
+        "FROM orders WHERE o_totalprice > 100000"
+    ).collect()
+    n = spark.table("top_orders").count()
+    assert out[0].selected == n > 0
+    assert sess.catalog.get("top_orders") is not None
+    # duplicate target errors like PG
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("SELECT 1 AS x INTO top_orders FROM orders")
+    # the materialized relation takes DML
+    sess.sql("DELETE FROM top_orders WHERE o_custkey % 2 = 0")
+    assert spark.table("top_orders").filter("o_custkey % 2 = 0").count() == 0
+    # INSERT INTO must NOT be captured by the INTO route
+    assert (
+        sess.sql("SELECT count(*) AS n FROM orders").collect()[0].n > 0
+    )
