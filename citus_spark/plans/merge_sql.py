@@ -3,30 +3,33 @@
 ↔ reference MERGE (planner/merge_planner.c:115 CreateMergePlan): the
 reference exposes MERGE as a SQL statement and plans its data movement
 (pushdown / repartition / pull) underneath. Here the statement parses
-into a call to sources.ingest.merge_into, whose single join Catalyst
-plans with the same three outcomes (co-partitioned = no shuffle,
-else shuffle; broadcast when small).
+into a call to the merge executor (sources.ingest.merge_into for the
+whole-row form, sources.ingest.merge_apply for the general form),
+whose single join Catalyst plans with the same three outcomes
+(co-partitioned = no shuffle, else shuffle; broadcast when small).
 
-Supported grammar (the analytical whole-row subset):
+Supported grammar:
 
     MERGE INTO <target> [[AS] t]
     USING <source-table | (subquery) [[AS] s]>
     ON <t.k1 = s.k1 [AND t.k2 = s.k2 ...]>
-    [WHEN MATCHED THEN UPDATE SET *]
-    [WHEN MATCHED THEN DELETE]
-    [WHEN NOT MATCHED THEN INSERT *]
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
 
 The ON clause must be an equi-conjunction over same-named columns
 (the reference, too, requires the distribution key in the join — its
 repartition strategy exists precisely because arbitrary ON clauses
-don't route); anything else raises with a clear message rather than
-silently mis-merging.
+don't route). Assignment/condition/value expressions reference the
+two sides as `t.` and `s.` (or the declared aliases, normalized to
+t/s at parse time); anything unsupported raises with a clear message
+rather than silently mis-merging.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass
@@ -37,6 +40,19 @@ class MergeStatement:
     keys: list[str]
     when_matched: str  # "update" | "delete" | "ignore"
     insert_unmatched: bool
+    # general-form extensions (None/empty = whole-row semantics)
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+    matched_condition: str | None = None
+    insert_cols: list[str] = field(default_factory=list)
+    insert_values: list[str] = field(default_factory=list)
+
+    @property
+    def is_whole_row(self) -> bool:
+        return (
+            not self.assignments
+            and self.matched_condition is None
+            and not self.insert_cols
+        )
 
 
 _HEAD = re.compile(
@@ -50,9 +66,12 @@ _ON = re.compile(
     re.I | re.S,
 )
 _WHEN = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-    re.I,
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s*\*"
+    r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
+    r"(?=\s+WHEN\b|\s*;?\s*$)",
+    re.I | re.S,
 )
 
 
@@ -93,6 +112,41 @@ def _keys_from_on(cond: str) -> list[str]:
     return keys
 
 
+def _split_assignments(text: str) -> list[tuple[str, str]]:
+    """'c1 = expr1, c2 = expr2' → [(c1, expr1), ...] (top-level
+    commas only)."""
+    out = []
+    depth = 0
+    last = 0
+    parts = []
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    for p in parts:
+        m = re.match(
+            r"^\s*(?:t\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", p, re.S
+        )
+        if not m:
+            raise ValueError(f"MERGE: cannot parse assignment {p.strip()!r}")
+        out.append((m.group(1), m.group(2)))
+    return out
+
+
+def _normalize_aliases(text: str, talias: str | None, salias: str | None) -> str:
+    """Rewrite user-declared aliases to the canonical t./s. prefixes."""
+    if talias and talias.lower() not in ("t",):
+        text = re.sub(rf"\b{re.escape(talias)}\.", "t.", text)
+    if salias and salias.lower() not in ("s",):
+        text = re.sub(rf"\b{re.escape(salias)}\.", "s.", text)
+    return text
+
+
 def parse_merge(sql: str) -> MergeStatement:
     head = _HEAD.match(sql)
     if not head:
@@ -101,7 +155,9 @@ def parse_merge(sql: str) -> MergeStatement:
     on = _ON.match(rest)
     if not on:
         raise ValueError("MERGE: missing ON clause")
-    rest = on.group("rest")
+    rest = _normalize_aliases(
+        on.group("rest"), head.group("talias"), on.group("salias")
+    )
     first_when = re.search(r"\bWHEN\b", rest, re.I)
     if not first_when:
         raise ValueError("MERGE: needs at least one WHEN clause")
@@ -109,18 +165,68 @@ def parse_merge(sql: str) -> MergeStatement:
 
     when_matched = "ignore"
     insert_unmatched = False
+    assignments: list[tuple[str, str]] = []
+    matched_condition: str | None = None
+    insert_cols: list[str] = []
+    insert_values: list[str] = []
     for m in _WHEN.finditer(rest[first_when.start() :]):
-        action = re.sub(r"\s+", " ", m.group("action")).upper()
+        action = m.group("action").strip()
+        action_u = re.sub(r"\s+", " ", action).upper()
         if m.group("not"):
-            if action != "INSERT *":
+            if m.group("cond"):
                 raise NotImplementedError(
-                    f"MERGE: WHEN NOT MATCHED supports INSERT *; got {action}"
+                    "MERGE: WHEN NOT MATCHED AND <cond> is unsupported"
                 )
-            insert_unmatched = True
-        elif action == "UPDATE SET *":
-            when_matched = "update"
-        elif action == "DELETE":
-            when_matched = "delete"
+            if action_u == "INSERT *":
+                insert_unmatched = True
+            elif action_u.startswith("INSERT"):
+                im = re.match(
+                    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                    action, re.I | re.S,
+                )
+                if not im:
+                    raise NotImplementedError(
+                        f"MERGE: cannot parse NOT MATCHED action {action!r}"
+                    )
+                insert_unmatched = True
+                insert_cols = [
+                    c.strip() for c in im.group(1).split(",") if c.strip()
+                ]
+                # top-level comma split of the VALUES list
+                depth = 0
+                last = 0
+                insert_values = []
+                text = im.group(2)
+                for i, ch in enumerate(text):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        insert_values.append(text[last:i].strip())
+                        last = i + 1
+                insert_values.append(text[last:].strip())
+                if len(insert_cols) != len(insert_values):
+                    raise ValueError(
+                        "MERGE: INSERT column/value count mismatch"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"MERGE: WHEN NOT MATCHED supports INSERT; got {action_u}"
+                )
+        else:
+            if m.group("cond"):
+                matched_condition = m.group("cond").strip()
+            if action_u == "UPDATE SET *":
+                when_matched = "update"
+            elif action_u.startswith("UPDATE SET"):
+                when_matched = "update"
+                assignments = _split_assignments(
+                    re.sub(r"^UPDATE\s+SET\s+", "", action,
+                           flags=re.I | re.S)
+                )
+            elif action_u == "DELETE":
+                when_matched = "delete"
     return MergeStatement(
         target=head.group("target"),
         source=source,
@@ -128,6 +234,10 @@ def parse_merge(sql: str) -> MergeStatement:
         keys=keys,
         when_matched=when_matched,
         insert_unmatched=insert_unmatched,
+        assignments=assignments,
+        matched_condition=matched_condition,
+        insert_cols=insert_cols,
+        insert_values=insert_values,
     )
 
 

@@ -2337,3 +2337,91 @@ def pg_json_operators(spark, sf_dir):
 register_split(
     "pg_json_operators", pg_json_operators, _PG_JSON_OPS_SQL
 )
+
+
+# General-form textual MERGE (plans/merge_sql.py full WHEN grammar:
+# SET col = expr assignments, WHEN MATCHED AND guard, INSERT (cols)
+# VALUES (...)) — executed through the front door on a staged copy of
+# orders, then re-read; DuckDB derives the same final relation with
+# set logic. A wrong guard split, assignment scope, or NULL-fill
+# changes the aggregate fingerprint.
+def merge_general_form(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.session import DistributedSession
+
+    load_views(spark, sf_dir)
+    sess = DistributedSession(spark)
+    path = "/tmp/citus_spark_merge_general_entry"
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 4000")
+    )
+    base.write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("orders_mg")
+    sess.catalog.register("orders_mg", "hash", "o_orderkey", path=path)
+    spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey < 6000 AND o_orderkey % 3 = 0
+        """
+    ).createOrReplaceTempView("merge_src_mg")
+    sess.sql(
+        """
+        MERGE INTO orders_mg AS t
+        USING merge_src_mg AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 100000 THEN
+          UPDATE SET o_totalprice = s.o_totalprice + 10, o_custkey = 0
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_totalprice) VALUES (s.o_orderkey, 1.5)
+        """
+    )
+    return (
+        spark.table("orders_mg")
+        .groupBy((F.col("o_orderkey") % 5).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register_split(
+    "merge_general_form",
+    merge_general_form,
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey < 4000
+), s AS (
+  SELECT o_orderkey, o_totalprice AS s_price FROM orders
+  WHERE o_orderkey < 6000 AND o_orderkey % 3 = 0
+), merged AS (
+  SELECT b.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL AND b.o_totalprice > 100000
+              THEN 0 ELSE b.o_custkey END AS o_custkey,
+         CASE WHEN s.o_orderkey IS NOT NULL AND b.o_totalprice > 100000
+              THEN s.s_price + 10 ELSE b.o_totalprice END AS o_totalprice
+  FROM base b LEFT JOIN s ON b.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_orderkey, NULL AS o_custkey, 1.5 AS o_totalprice
+  FROM s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+)
+SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null
+FROM merged
+GROUP BY bucket ORDER BY bucket
+""",
+)

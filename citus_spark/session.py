@@ -1149,6 +1149,33 @@ class DistributedSession:
             if stmt.source_is_subquery
             else self.spark.table(stmt.source)
         )
+        if not stmt.is_whole_row:
+            # general form (SET col = expr / AND guards / INSERT
+            # (cols) VALUES): one joined computation over the LIVE
+            # relation, then a copy-on-write swap — works uniformly
+            # for plain and time-partitioned storage
+            from citus_spark.sources.ingest import merge_apply
+
+            from citus_spark.sources.partitions import PERIOD_COL
+
+            cur = self._live_read(entry)
+            if entry.time_partitioning:
+                cur = cur.drop(PERIOD_COL)
+            merged = merge_apply(
+                cur,
+                source,
+                stmt.keys,
+                when_matched=stmt.when_matched,
+                assignments=stmt.assignments,
+                matched_condition=stmt.matched_condition,
+                insert_unmatched=stmt.insert_unmatched,
+                insert_cols=stmt.insert_cols,
+                insert_values=stmt.insert_values,
+            )
+            self._live_rewrite(entry, merged, stmt.target)
+            out = self._live_read(entry)
+            out.createOrReplaceTempView(stmt.target)
+            return out
         if entry.time_partitioning:
             # stage the live partitioned relation on a plain path,
             # merge there, then rewrite the layout (re-deriving

@@ -149,6 +149,103 @@ def merge_into(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    assignments: list[tuple[str, str]] | None = None,
+    matched_condition: str | None = None,
+    insert_unmatched: bool = True,
+    insert_cols: list[str] | None = None,
+    insert_values: list[str] | None = None,
+) -> DataFrame:
+    """General-form MERGE semantics (↔ the full WHEN grammar of
+    reference merge_planner.c): explicit `SET col = expr` assignment
+    lists, `WHEN MATCHED AND <cond>` guards, and
+    `INSERT (cols) VALUES (exprs)`. Expressions reference the sides
+    as `t.` / `s.`. Returns the merged relation (caller persists).
+
+    Shape: ONE equi-join on the keys feeds every branch — matched
+    rows split by the guard (failing or NULL guard = untouched, SQL
+    3-valued logic), unmatched target rows pass through, unmatched
+    source rows project into the target schema (unnamed columns NULL).
+    Catalyst elides the shuffle when the sides are co-partitioned,
+    exactly like the whole-row path."""
+    from functools import reduce
+
+    t = target.alias("t")
+    s = source.alias("s")
+    t_cols = target.columns
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+    )
+    matched = t.join(s, join_cond, "inner")
+    if matched_condition:
+        guard = F.coalesce(F.expr(matched_condition), F.lit(False))
+        hit, miss = matched.filter(guard), matched.filter(~guard)
+    else:
+        hit, miss = matched, matched.filter(F.lit(False))
+
+    def as_target(df: DataFrame) -> DataFrame:
+        return df.select(*[F.col(f"t.{c}").alias(c) for c in t_cols])
+
+    parts: list[DataFrame] = [
+        target.join(source.select(*keys), keys, "left_anti"),
+        as_target(miss),
+    ]
+    if when_matched == "update":
+        asg = dict(assignments or [])
+        unknown = set(asg) - set(t_cols)
+        if unknown:
+            raise ValueError(f"MERGE: unknown column(s) {sorted(unknown)}")
+        if asg:
+            parts.append(
+                hit.select(*[
+                    F.expr(asg[c]).cast(target.schema[c].dataType).alias(c)
+                    if c in asg
+                    else F.col(f"t.{c}").alias(c)
+                    for c in t_cols
+                ])
+            )
+        else:  # whole-row replacement by the source row
+            parts.append(
+                hit.select(*[F.col(f"s.{c}").alias(c) for c in t_cols])
+            )
+    elif when_matched == "ignore":
+        parts.append(as_target(hit))
+    elif when_matched != "delete":
+        raise ValueError(f"unknown when_matched: {when_matched!r}")
+    if insert_unmatched:
+        unmatched_s = s.join(target.select(*keys), keys, "left_anti")
+        if insert_cols:
+            vals = dict(zip(insert_cols, insert_values or []))
+            unknown = set(vals) - set(t_cols)
+            if unknown:
+                raise ValueError(
+                    f"MERGE: INSERT into unknown column(s) {sorted(unknown)}"
+                )
+            parts.append(
+                unmatched_s.select(*[
+                    F.expr(vals[c]).cast(target.schema[c].dataType).alias(c)
+                    if c in vals
+                    else F.lit(None).cast(target.schema[c].dataType).alias(c)
+                    for c in t_cols
+                ])
+            )
+        else:
+            parts.append(
+                unmatched_s.select(
+                    *[F.col(f"s.{c}").alias(c) for c in t_cols]
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def plan_str(df: DataFrame) -> str:
     """Physical-plan string (for plan assertions in tests/benches)."""
     return df._jdf.queryExecution().executedPlan().toString()

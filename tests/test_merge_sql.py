@@ -109,3 +109,91 @@ def test_sql_merge_requires_catalog_path(spark):
             "MERGE INTO no_path_t USING no_path_t ON "
             "no_path_t.id = no_path_t.id WHEN MATCHED THEN DELETE"
         )
+
+
+# ---------------------------------------------------------------------------
+# general-form MERGE (assignments / guards / explicit INSERT) — closes
+# the grammar gaps previously rejected with NotImplementedError
+
+
+def test_merge_set_assignments_with_guard(sess, spark):
+    """SET col = expr over t./s. references, applied only where the
+    WHEN MATCHED AND guard passes; other matched rows untouched."""
+    before = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in spark.table("orders_t").collect()
+    }
+    src = (
+        spark.table("orders_t").orderBy("o_orderkey").limit(40)
+        .select("o_orderkey", (F.col("o_totalprice") + 5).alias("bump"))
+    )
+    src_keys = {r.o_orderkey for r in src.collect()}
+    src.createOrReplaceTempView("price_src")
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t
+        USING price_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 100000 THEN
+          UPDATE SET o_totalprice = s.bump, o_orderstatus = 'M'
+        """
+    )
+    after = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in spark.table("orders_t").collect()
+    }
+    assert len(after) == len(before)
+    touched = untouched = 0
+    for k, (price, status) in before.items():
+        if k in src_keys and price > 100000:
+            assert after[k] == (price + 5, "M"), k
+            touched += 1
+        else:
+            assert after[k] == (price, status), k
+            untouched += 1
+    assert touched > 0 and untouched > 0
+
+
+def test_merge_explicit_insert_values(sess, spark):
+    """INSERT (cols) VALUES (exprs): named columns take the source
+    expressions, the rest NULL-fill."""
+    n0 = spark.table("orders_t").count()
+    spark.createDataFrame(
+        [(90_000_001, 777.5), (90_000_002, 888.5)],
+        "new_key long, new_price double",
+    ).createOrReplaceTempView("fresh_src")
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t
+        USING (SELECT new_key AS o_orderkey, new_price FROM fresh_src) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_totalprice, o_orderstatus)
+          VALUES (s.o_orderkey, s.new_price * 2, 'N')
+        """
+    )
+    t = spark.table("orders_t")
+    assert t.count() == n0 + 2
+    row = t.filter("o_orderkey = 90000001").collect()[0]
+    assert row.o_totalprice == 1555.0 and row.o_orderstatus == "N"
+    assert row.o_custkey is None  # unnamed column NULL-fills
+
+
+def test_merge_guarded_delete(sess, spark):
+    n0 = spark.table("orders_t").count()
+    spark.table("orders_t").select("o_orderkey").filter(
+        "o_orderkey % 7 = 0"
+    ).createOrReplaceTempView("del_src")
+    n_match = spark.table("orders_t").filter("o_orderkey % 7 = 0").count()
+    n_guard = spark.table("orders_t").filter(
+        "o_orderkey % 7 = 0 AND o_totalprice < 50000"
+    ).count()
+    assert 0 < n_guard < n_match
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING del_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice < 50000 THEN DELETE
+        """
+    )
+    assert spark.table("orders_t").count() == n0 - n_guard
