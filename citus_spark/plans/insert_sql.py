@@ -1,0 +1,108 @@
+"""Textual INSERT — including the reference's real-time rollup idiom.
+
+↔ reference INSERT handling: multi-row INSERT routes rows to shards
+(RouterInsertTaskList, multi_router_planner.c:1789), INSERT..SELECT
+picks co-located/repartition strategies (insert_select_planner.c),
+and the documented real-time-analytics idiom is repeated
+`INSERT INTO rollup SELECT ... ON CONFLICT (keys) DO UPDATE`
+(distributed/README.md:1755-1767). Here:
+
+    INSERT INTO <table> [(cols)] VALUES (row), (row), ...
+    INSERT INTO <table> [(cols)] SELECT ...
+    ... [ON CONFLICT (keys) DO NOTHING
+         | ON CONFLICT (keys) DO UPDATE SET c = expr, ...]
+
+Plain INSERT appends through the live storage (period-routed for
+time-partitioned targets). ON CONFLICT maps onto the merge executor:
+DO NOTHING = when_matched ignore, DO UPDATE = assignment-form merge;
+`EXCLUDED.` references normalize to the source side (`s.`), the
+target table's name to `t.` — PostgreSQL's aliasing exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class InsertStatement:
+    table: str
+    cols: list[str]  # empty = positional full-row
+    source_sql: str  # a SELECT/VALUES query string (Spark-executable)
+    on_conflict: str | None  # None | "nothing" | "update"
+    conflict_keys: list[str] = field(default_factory=list)
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+
+
+_HEAD = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?",
+    re.I,
+)
+_CONFLICT = re.compile(
+    r"\bON\s+CONFLICT\s*\((?P<keys>[^)]*)\)\s*DO\s+"
+    r"(?P<action>NOTHING|UPDATE\s+SET\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def is_insert(sql: str) -> bool:
+    return bool(_HEAD.match(sql))
+
+
+def parse_insert(sql: str) -> InsertStatement | None:
+    head = _HEAD.match(sql)
+    if not head:
+        return None
+    rest = sql[head.end() :].strip().rstrip(";")
+    cols = [
+        c.strip()
+        for c in (head.group("cols") or "").split(",")
+        if c.strip()
+    ]
+    on_conflict = None
+    conflict_keys: list[str] = []
+    assignments: list[tuple[str, str]] = []
+    cm = _CONFLICT.search(rest)
+    if cm:
+        rest = rest[: cm.start()].strip()
+        conflict_keys = [
+            k.strip() for k in cm.group("keys").split(",") if k.strip()
+        ]
+        action = cm.group("action").strip()
+        if action.upper() == "NOTHING":
+            on_conflict = "nothing"
+        else:
+            on_conflict = "update"
+            from citus_spark.plans.merge_sql import _split_assignments
+
+            assignments = _split_assignments(
+                re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
+            )
+            # PG aliasing: EXCLUDED = the proposed source row; the
+            # target table name = the existing row
+            assignments = [
+                (
+                    c,
+                    re.sub(
+                        rf"\b{re.escape(head.group('table'))}\.",
+                        "t.",
+                        re.sub(r"\bEXCLUDED\.", "s.", e, flags=re.I),
+                        flags=re.I,
+                    ),
+                )
+                for c, e in assignments
+            ]
+    if not re.match(r"^(VALUES|SELECT|WITH)\b", rest, re.I):
+        raise ValueError(
+            f"INSERT: expected VALUES or SELECT, got {rest[:40]!r}"
+        )
+    return InsertStatement(
+        table=head.group("table"),
+        cols=cols,
+        source_sql=rest,
+        on_conflict=on_conflict,
+        conflict_keys=conflict_keys,
+        assignments=assignments,
+    )

@@ -2425,3 +2425,77 @@ FROM merged
 GROUP BY bucket ORDER BY bucket
 """,
 )
+
+
+# The reference's real-time rollup idiom, end to end (↔ distributed/
+# README.md:1755-1767: repeated INSERT INTO rollup SELECT ... ON
+# CONFLICT (key) DO UPDATE): seed a per-user rollup from the first
+# half of events, fold the second half in through the textual ON
+# CONFLICT route, and fingerprint the result. DuckDB derives the same
+# final rollup from one grouped pass — any double-count, lost
+# conflict, or missed insert shifts the sums.
+def insert_on_conflict_rollup(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.session import DistributedSession
+
+    load_views(spark, sf_dir)
+    sess = DistributedSession(spark)
+    path = "/tmp/citus_spark_rollup_entry"
+    shutil.rmtree(path, ignore_errors=True)
+    seed = (
+        spark.table("events").filter("event_id % 2 = 0")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("value_sum"),
+        )
+    )
+    seed.write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("user_rollup")
+    sess.catalog.register("user_rollup", "hash", "user_id", path=path)
+    sess.sql(
+        """
+        INSERT INTO user_rollup (user_id, n_events, value_sum)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS value_sum
+        FROM events WHERE event_id % 2 = 1
+        GROUP BY user_id
+        ON CONFLICT (user_id) DO UPDATE SET
+          n_events = t.n_events + EXCLUDED.n_events,
+          value_sum = CAST(CAST(t.value_sum AS DECIMAL(18,6))
+                           + CAST(EXCLUDED.value_sum AS DECIMAL(18,6))
+                           AS DOUBLE)
+        """
+    )
+    return (
+        spark.table("user_rollup")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.sum(F.col("value_sum").cast("decimal(18,6)"))
+            .cast("double").alias("grand_value"),
+        )
+    )
+
+
+register_split(
+    "insert_on_conflict_rollup",
+    insert_on_conflict_rollup,
+    """
+WITH rollup AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(sum(CAST(value_sum AS DECIMAL(18,6))) AS DOUBLE) AS grand_value
+FROM rollup
+""",
+)

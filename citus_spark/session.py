@@ -383,6 +383,13 @@ class DistributedSession:
             )
         if is_merge(query):
             return self._execute_merge(query)
+        from citus_spark.plans.insert_sql import is_insert
+
+        if is_insert(query):
+            ins = self._execute_insert(query)
+            if ins is not None:
+                return ins
+            # not one of ours → Spark's own INSERT INTO handling
         from citus_spark.plans.dml_sql import is_dml, parse_dml
 
         if is_dml(query):
@@ -755,6 +762,72 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _execute_insert(self, query: str):
+        """Textual INSERT (plans/insert_sql.py): VALUES / SELECT
+        sources appended through the live storage; ON CONFLICT maps
+        onto the merge executor (the reference's rollup idiom,
+        distributed/README.md:1755-1767). Returns the psql-style
+        count, or None to fall through to Spark for non-catalog
+        targets."""
+        from pyspark.sql import types as T
+
+        from citus_spark.plans.insert_sql import parse_insert
+
+        stmt = parse_insert(query)
+        if stmt is None or self.catalog.get(stmt.table) is None:
+            return None
+        entry = self._writable_entry(stmt.table, "INSERT")
+        self.stat_statements.record(query, None, executor="insert")
+        schema = self._live_read(entry).schema
+        if entry.time_partitioning:
+            from citus_spark.sources.partitions import PERIOD_COL
+
+            schema = T.StructType(
+                [f for f in schema.fields if f.name != PERIOD_COL]
+            )
+        t_cols = [f.name for f in schema.fields]
+        src = (
+            self.spark.sql(stmt.source_sql)
+            if stmt.source_sql.upper().startswith("VALUES")
+            else self.sql(stmt.source_sql)
+        )
+        names = stmt.cols or t_cols
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"INSERT: source has {len(src.columns)} columns, "
+                f"target list has {len(names)}"
+            )
+        src = src.toDF(*names)
+        aligned = src.select(*[
+            F.col(c).cast(schema[c].dataType).alias(c)
+            if c in src.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in t_cols
+        ])
+        n = aligned.count()
+        if stmt.on_conflict is None:
+            self._live_append(entry, aligned, stmt.table)
+        else:
+            from citus_spark.sources.ingest import merge_apply
+
+            cur = self._live_read(entry)
+            if entry.time_partitioning:
+                from citus_spark.sources.partitions import PERIOD_COL
+
+                cur = cur.drop(PERIOD_COL)
+            merged = merge_apply(
+                cur,
+                aligned,
+                stmt.conflict_keys,
+                when_matched=(
+                    "ignore" if stmt.on_conflict == "nothing" else "update"
+                ),
+                assignments=stmt.assignments,
+                insert_unmatched=True,
+            )
+            self._live_rewrite(entry, merged, stmt.table)
+        return self.spark.createDataFrame([(int(n),)], "inserted long")
 
     def _execute_select_into(self, query: str):
         """PostgreSQL `SELECT … INTO new_table FROM …` — the regress

@@ -1,0 +1,85 @@
+"""Textual INSERT through the front door (plans/insert_sql.py):
+multi-row VALUES, INSERT..SELECT, and the reference's rollup idiom
+INSERT..SELECT ON CONFLICT DO UPDATE (↔ distributed/README.md
+real-time analytics pattern)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from citus_spark.session import DistributedSession
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    path = str(tmp_path / "rollup_t")
+    spark.createDataFrame(
+        [(1, 10.0, 2), (2, 20.0, 1)],
+        "k int, total double, n int",
+    ).write.parquet(path)
+    s = DistributedSession(spark)
+    s.catalog.register("rollup_t", "hash", "k", path=path)
+    spark.read.parquet(path).createOrReplaceTempView("rollup_t")
+    return s
+
+
+def test_multirow_values_insert(sess, spark):
+    out = sess.sql(
+        "INSERT INTO rollup_t VALUES (3, 30.0, 5), (4, 40.5, 7)"
+    ).collect()
+    assert out[0].inserted == 2
+    got = {r.k: (r.total, r.n) for r in spark.table("rollup_t").collect()}
+    assert got[3] == (30.0, 5) and got[4] == (40.5, 7) and len(got) == 4
+
+
+def test_insert_column_subset_null_fills(sess, spark):
+    sess.sql("INSERT INTO rollup_t (k, total) VALUES (9, 90.0)")
+    row = spark.table("rollup_t").filter("k = 9").collect()[0]
+    assert row.total == 90.0 and row.n is None
+
+
+def test_insert_select_on_conflict_do_update(sess, spark):
+    """The rollup idiom: re-aggregating deltas into an existing
+    rollup row via EXCLUDED references."""
+    spark.createDataFrame(
+        [(1, 5.0, 1), (3, 7.0, 4)], "k int, total double, n int"
+    ).createOrReplaceTempView("delta_src")
+    out = sess.sql(
+        """
+        INSERT INTO rollup_t (k, total, n)
+        SELECT k, total, n FROM delta_src
+        ON CONFLICT (k) DO UPDATE SET
+          total = t.total + EXCLUDED.total,
+          n = t.n + EXCLUDED.n
+        """
+    ).collect()
+    assert out[0].inserted == 2
+    got = {r.k: (r.total, r.n) for r in spark.table("rollup_t").collect()}
+    assert got[1] == (15.0, 3)   # merged: 10+5, 2+1
+    assert got[2] == (20.0, 1)   # untouched
+    assert got[3] == (7.0, 4)    # fresh insert
+
+
+def test_insert_on_conflict_do_nothing(sess, spark):
+    sess.sql(
+        "INSERT INTO rollup_t VALUES (1, 999.0, 999), (8, 80.0, 8) "
+        "ON CONFLICT (k) DO NOTHING"
+    )
+    got = {r.k: (r.total, r.n) for r in spark.table("rollup_t").collect()}
+    assert got[1] == (10.0, 2)  # conflict kept the existing row
+    assert got[8] == (80.0, 8)  # new row landed
+
+
+def test_insert_noncatalog_falls_through(sess, spark):
+    """INSERT INTO a table we don't own must reach Spark's own
+    handling (its honest error for temp views), not ours."""
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "not_ours"
+    )
+    with pytest.raises(Exception):
+        sess.sql("INSERT INTO not_ours VALUES (2)")
+    # the fixture guard still protects read-only storage
+    sess2 = DistributedSession(spark)
+    sess2.load_tables(SF_SMALL)
+    with pytest.raises(ValueError, match="read-only"):
+        sess2.sql("INSERT INTO orders VALUES (1)")
