@@ -130,3 +130,54 @@ def test_regress_shaped_select_script(spark, duck):
         "SELECT DATE'2024-03-31' + INTERVAL '1 mon' AS d"
     ).collect()[0].d
     assert str(d) == "2024-04-30"
+
+
+def test_tutorial_rollup_session_script(spark, tmp_path):
+    """A second Citus-tutorial-shaped session exercising the round-5
+    statement surface verbatim: SELECT INTO staging, multi-row
+    INSERT, the ON CONFLICT rollup idiom, general-form MERGE,
+    citus_version/table-size introspection."""
+    from citus_spark.session import DistributedSession
+    from tests.conftest import SF_SMALL
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+
+    r = [
+        s.sql(stmt)
+        for stmt in [
+            "SELECT citus_version()",
+            # staging via SELECT INTO, then distribute it
+            """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               INTO user_stats FROM events GROUP BY user_id""",
+            "SELECT create_distributed_table('user_stats', 'user_id')",
+            "SELECT citus_table_size('user_stats')",
+            # fold a delta in via the rollup idiom
+            """INSERT INTO user_stats (user_id, n_events, v)
+               VALUES (999991, 3, 1.5), (999992, 2, 2.5)
+               ON CONFLICT (user_id) DO UPDATE SET
+                 n_events = t.n_events + EXCLUDED.n_events,
+                 v = t.v + EXCLUDED.v""",
+            # general-form MERGE with a guard
+            """MERGE INTO user_stats AS t
+               USING (SELECT 999991 AS user_id, 100 AS bump) AS s
+               ON t.user_id = s.user_id
+               WHEN MATCHED AND t.n_events >= 3 THEN
+                 UPDATE SET n_events = t.n_events + s.bump""",
+            "SELECT count(*) AS n FROM user_stats",
+        ]
+    ]
+    assert "citus_spark" in r[0].collect()[0][0]
+    size = r[3].collect()[0][0]
+    assert size > 0
+    stats = {
+        row.user_id: (row.n_events, row.v)
+        for row in spark.table("user_stats").filter(
+            "user_id >= 999991"
+        ).collect()
+    }
+    assert stats[999991] == (103, 1.5)  # inserted then merged (+100)
+    assert stats[999992] == (2, 2.5)
+    n_total = r[6].collect()[0].n
+    assert n_total == spark.table("user_stats").count() > 2
