@@ -310,6 +310,69 @@ def pg_json_ops(sql: str, allow_single_arrow: bool = False) -> str:
     return "".join(out)
 
 
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def pg_array_literals(sql: str) -> str:
+    """Rewrite PostgreSQL `ARRAY[a, b, ...]` constructor literals to
+    Spark's `array(a, b, ...)` (nested literals handled by
+    recursion). Plain bracket INDEXING (`a[1]`) is untouched — note
+    the 1-based-vs-0-based indexing difference is a semantic gap this
+    textual layer deliberately does not paper over."""
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((m for m in _ARRAY_LIT.finditer(sql) if in_code(m.start())), None)
+    if m is None:
+        return sql
+    depth = 0
+    i = m.end() - 1
+    while i < len(sql):
+        if in_code(i):
+            if sql[i] == "[":
+                depth += 1
+            elif sql[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced brackets in ARRAY literal")
+    inner = sql[m.end() : i]
+    rewritten = f"{sql[: m.start()]}array({inner}){sql[i + 1 :]}"
+    return pg_array_literals(rewritten)
+
+
+def pg_array_contains_ops(sql: str) -> str:
+    """Rewrite the PG array containment/overlap operators (none are
+    valid Spark SQL — `&&` included, Spark's parser has no such
+    token — so all three are unconditional):
+
+        a @> b   →  forall(b, x -> array_contains(a, x))
+        a <@ b   →  forall(a, x -> array_contains(b, x))
+        a && b   →  arrays_overlap(a, b)
+
+    Operands must be simple identifiers or call expressions with a
+    simple argument list (the regress shapes); anything fancier is
+    left to fail loudly."""
+    operand = r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*)"
+    pat = re.compile(
+        rf"(?P<l>{operand})\s*(?P<op>@>|<@|&&)\s*(?P<r>{operand})"
+    )
+
+    def repl(m: re.Match) -> str:
+        a, b = m.group("l"), m.group("r")
+        if m.group("op") == "&&":
+            return f"arrays_overlap({a}, {b})"
+        if m.group("op") == "<@":
+            a, b = b, a
+        return f"forall({b}, x -> array_contains({a}, x))"
+
+    return _map_code(sql, lambda s: pat.sub(repl, s))
+
+
 _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
 
 

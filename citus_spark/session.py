@@ -446,6 +446,14 @@ class DistributedSession:
             # single-arrow heads only under pg_compat: `x -> 'lit'`
             # is also Spark lambda syntax (see pg_json_ops docstring)
             query = pg_json_ops(query, allow_single_arrow=self.pg_compat)
+        if _re.search(r"\bARRAY\s*\[", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_array_literals
+
+            query = pg_array_literals(query)
+        if "@>" in query or "<@" in query or "&&" in query:
+            from citus_spark.plans.rewrites import pg_array_contains_ops
+
+            query = pg_array_contains_ops(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached

@@ -267,3 +267,27 @@ def test_select_into(spark):
     assert (
         sess.sql("SELECT count(*) AS n FROM orders").collect()[0].n > 0
     )
+
+
+def test_array_literals_and_containment(spark):
+    sess = _sess(spark)
+    row = sess.sql(
+        "SELECT ARRAY[1, 2, 3] AS a, ARRAY[ARRAY[1], ARRAY[2, 3]] AS nested"
+    ).collect()[0]
+    assert row.a == [1, 2, 3] and row.nested == [[1], [2, 3]]
+    row = sess.sql(
+        "SELECT ARRAY[1, 2, 3] @> ARRAY[2, 1] AS contains_yes, "
+        "ARRAY[1, 2] @> ARRAY[9] AS contains_no, "
+        "ARRAY[2] <@ ARRAY[1, 2, 3] AS within"
+    ).collect()[0]
+    assert (row.contains_yes, row.contains_no, row.within) == (
+        True, False, True,
+    )
+    # overlap operator + literal protection
+    row = sess.sql(
+        "SELECT 'ARRAY[9]' AS s, "
+        "ARRAY[1, 2] && ARRAY[2, 9] AS olap_yes, "
+        "ARRAY[1] && ARRAY[5] AS olap_no"
+    ).collect()[0]
+    assert row.s == "ARRAY[9]"
+    assert (row.olap_yes, row.olap_no) == (True, False)
