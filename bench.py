@@ -138,20 +138,25 @@ def main() -> None:
 
     run("tpch_q6")  # JVM/codegen warmup, untimed
 
-    # min over five ROUND-ROBIN passes of the whole query list, with a
-    # settle between passes: host-load spikes on this box last seconds
-    # — longer than five consecutive runs of one sub-second query — so
-    # back-to-back sampling lets a single spike poison every sample of
-    # one query. Interleaving spreads a spike across one PASS of many
-    # queries instead, and the per-query min over passes recovers the
-    # steady state. The median travels alongside so a spike is
-    # visible as median≫min instead of masquerading as a regression.
+    # Sampling protocol (measured, both ways, on this box):
+    # CONSECUTIVE runs of one query give the true steady state — the
+    # JVM's JIT and caches stay hot for that one plan, and minima land
+    # ~25% lower than interleaved sampling at 17-query scale. Their
+    # weakness: a host-load spike lasting seconds can poison every
+    # sample of one query (the r4 text_quality +228% artifact). So:
+    # five consecutive runs per query, THEN one extra round-robin
+    # sweep whose samples land minutes later — a spike can't cover
+    # both windows, and the per-query min over all six recovers the
+    # steady state. The median travels alongside so a surviving spike
+    # shows as median≫min instead of masquerading as a regression.
     n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
-        for name in HEADLINE:
+    for name in HEADLINE:
+        for _ in range(n_runs):
             samples[name].append(run(name))
-        time.sleep(0.2)
+        time.sleep(0.05)
+    for name in HEADLINE:  # the spike-guard sweep
+        samples[name].append(run(name))
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
