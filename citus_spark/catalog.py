@@ -115,6 +115,11 @@ class DistCatalog:
     def get(self, name: str) -> TableDist | None:
         return self._tables.get(name)
 
+    def unregister(self, name: str) -> None:
+        """Retire a table (↔ DROP TABLE on a Citus table removing its
+        pg_dist_partition row)."""
+        self._tables.pop(name, None)
+
     def __contains__(self, name: str) -> bool:
         return name in self._tables
 

@@ -1,0 +1,150 @@
+"""Textual DDL — the statements every reference tutorial opens with.
+
+↔ reference flow (its docs and regress schedules):
+
+    CREATE EXTENSION citus;
+    CREATE TABLE companies (id bigint, name text, ...);
+    SELECT create_distributed_table('companies', 'id');
+    COPY companies FROM ...;
+    CREATE INDEX ON companies (...);
+
+Spark mapping: CREATE TABLE parses the column list into a Spark
+schema (PG type names mapped below; constraints like PRIMARY KEY /
+NOT NULL / DEFAULT are accepted and recorded as advisory — Spark
+enforces none of them, same as the reference's shards ultimately
+trusting the coordinator), materializes an EMPTY parquet relation on
+writable storage, and registers it in the catalog so COPY / INSERT /
+create_distributed_table compose. DROP TABLE removes the view and
+catalog entry. CREATE EXTENSION citus, CREATE INDEX, and bare
+transaction-control statements (BEGIN/COMMIT/ROLLBACK/END) are
+accepted as no-ops with an informational result — indexes have no
+Spark analog (parquet stats + pruning play that role) and autocommit
+is the storage layer's semantics (txlog provides real transactions).
+"""
+
+from __future__ import annotations
+
+import re
+
+# PG type name → Spark DDL type. varchar(n)/char(n) lose their length
+# (Spark strings are unbounded — a superset, like the reference's
+# text). numeric defaults to a wide decimal when unparameterized.
+_TYPE_MAP = {
+    "smallint": "smallint", "int2": "smallint",
+    "integer": "int", "int": "int", "int4": "int",
+    "bigint": "bigint", "int8": "bigint", "bigserial": "bigint",
+    "serial": "int",
+    "real": "float", "float4": "float",
+    "double precision": "double", "float8": "double",
+    "text": "string", "varchar": "string", "char": "string",
+    "character varying": "string", "character": "string",
+    "name": "string", "uuid": "string",
+    "json": "string", "jsonb": "string",
+    "bytea": "binary",
+    "boolean": "boolean", "bool": "boolean",
+    "date": "date",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "numeric": "decimal(38,18)", "decimal": "decimal(38,18)",
+    "money": "decimal(19,4)",
+}
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+_NOOP = re.compile(
+    r"^\s*(CREATE\s+EXTENSION\b.*|CREATE\s+(?:UNIQUE\s+)?INDEX\b.*"
+    r"|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK)\s*;?\s*$",
+    re.I | re.S,
+)
+
+_TABLE_CONSTRAINT = re.compile(
+    r"^\s*(PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY|CONSTRAINT|EXCLUDE)\b",
+    re.I,
+)
+
+
+def parse_noop(sql: str) -> str | None:
+    """→ a short tag for accepted-as-no-op statements, else None."""
+    m = _NOOP.match(sql)
+    if not m:
+        return None
+    head = re.sub(r"\s+", " ", m.group(1).strip()).upper()
+    return head.split(" ")[1] if head.startswith("CREATE") else head
+
+
+def parse_drop_table(sql: str) -> tuple[str, bool] | None:
+    m = _DROP.match(sql)
+    if not m:
+        return None
+    return m.group("name"), bool(m.group("ine"))
+
+
+def _split_columns(body: str) -> list[str]:
+    parts = []
+    depth = 0
+    last = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+    parts.append(body[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _map_type(pg_type: str) -> str:
+    t = re.sub(r"\s+", " ", pg_type.strip().lower())
+    base = re.match(r"([a-z ]+?)\s*(?:\(([^)]*)\))?(\s*\[\s*\])?$", t)
+    if not base:
+        raise ValueError(f"CREATE TABLE: cannot parse type {pg_type!r}")
+    name = base.group(1).strip()
+    args, is_array = base.group(2), bool(base.group(3))
+    if name in ("numeric", "decimal") and args:
+        parts = [a.strip() for a in args.split(",")]
+        p = int(parts[0])
+        s = int(parts[1]) if len(parts) > 1 else 0
+        spark = f"decimal({p},{s})"
+    elif name in _TYPE_MAP:
+        spark = _TYPE_MAP[name]
+    else:
+        raise ValueError(
+            f"CREATE TABLE: unsupported PostgreSQL type {pg_type!r}"
+        )
+    return f"array<{spark}>" if is_array else spark
+
+
+def parse_create_table(sql: str) -> tuple[str, str, bool] | None:
+    """→ (table, spark-DDL schema string, if_not_exists), or None."""
+    m = _CREATE.match(sql)
+    if not m:
+        return None
+    cols = []
+    for item in _split_columns(m.group("body")):
+        if _TABLE_CONSTRAINT.match(item):
+            continue  # advisory in this engine (see module docstring)
+        cm = re.match(
+            r"^([A-Za-z_]\w*)\s+(.+?)"
+            r"(?:\s+(?:PRIMARY\s+KEY|NOT\s+NULL|NULL|UNIQUE|DEFAULT\s+.+"
+            r"|REFERENCES\s+.+|CHECK\s*\(.+\)|GENERATED\s+.+))*\s*$",
+            item,
+            re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(f"CREATE TABLE: cannot parse column {item!r}")
+        cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
+    if not cols:
+        raise ValueError("CREATE TABLE: no columns")
+    ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
+    return m.group("name"), ", ".join(cols), ine

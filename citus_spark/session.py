@@ -383,6 +383,9 @@ class DistributedSession:
             )
         if is_merge(query):
             return self._execute_merge(query)
+        ddl = self._execute_ddl(query)
+        if ddl is not None:
+            return ddl
         from citus_spark.plans.insert_sql import is_insert
 
         if is_insert(query):
@@ -770,6 +773,66 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _execute_ddl(self, query: str):
+        """Textual DDL (plans/ddl_sql.py): CREATE TABLE materializes
+        an empty writable relation with the PG column types mapped to
+        Spark's; DROP TABLE retires catalog tables; CREATE EXTENSION /
+        CREATE INDEX / BEGIN / COMMIT / ROLLBACK are accepted as
+        no-ops so reference tutorials run verbatim from their first
+        statement. None = not DDL (or a DROP of a non-catalog table —
+        Spark's own handling takes those)."""
+        from citus_spark.plans.ddl_sql import (
+            parse_create_table,
+            parse_drop_table,
+            parse_noop,
+        )
+
+        tag = parse_noop(query)
+        if tag is not None:
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [(f"{tag} accepted (no-op in this engine)",)],
+                "status string",
+            )
+        created = parse_create_table(query)
+        if created is not None:
+            name, ddl_schema, if_not_exists = created
+            if self.catalog.get(name) is not None:
+                if if_not_exists:
+                    return self.spark.createDataFrame(
+                        [("CREATE TABLE skipped: exists",)], "status string"
+                    )
+                raise ValueError(f'relation "{name}" already exists')
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"citus_spark_tbl_{name}_{os.getpid()}",
+            )
+            empty = self.spark.createDataFrame([], ddl_schema)
+            empty.write.mode("overwrite").parquet(path)
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+            self.catalog.register(name, "none", path=path)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("CREATE TABLE",)], "status string"
+            )
+        dropped = parse_drop_table(query)
+        if dropped is not None:
+            name, if_exists = dropped
+            entry = self.catalog.get(name)
+            if entry is None:
+                if if_exists:
+                    return self.spark.createDataFrame(
+                        [("DROP TABLE skipped: unknown",)], "status string"
+                    )
+                return None  # not ours — Spark's catalog may own it
+            self.catalog.unregister(name)
+            self.spark.catalog.dropTempView(name)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("DROP TABLE",)], "status string"
+            )
+        return None
 
     def _execute_insert(self, query: str):
         """Textual INSERT (plans/insert_sql.py): VALUES / SELECT
