@@ -125,6 +125,52 @@ def _map_type(pg_type: str) -> str:
     return f"array<{spark}>" if is_array else spark
 
 
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w.]*)\s+"
+    r"(?P<action>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def parse_alter_table(sql: str):
+    """→ (table, op, args) for the supported ALTER TABLE actions:
+    ('add', col, spark_type) / ('drop', col) / ('rename_col', a, b) /
+    ('rename_table', new). None when not ALTER TABLE; raises on
+    unsupported actions (fail loudly, never silently ignore a schema
+    change)."""
+    m = _ALTER.match(sql)
+    if not m:
+        return None
+    name, action = m.group("name"), m.group("action").strip()
+    am = re.match(
+        r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|DEFAULT\s+.+))?$",
+        action, re.I | re.S,
+    )
+    if am:
+        return name, ("add", am.group(1), _map_type(am.group(2)))
+    dm = re.match(
+        r"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"\s*(?:CASCADE|RESTRICT)?$",
+        action, re.I,
+    )
+    if dm:
+        return name, ("drop", dm.group(1))
+    rm = re.match(
+        r"RENAME\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
+        action, re.I,
+    )
+    if rm:
+        return name, ("rename_col", rm.group(1), rm.group(2))
+    rt = re.match(r"RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I)
+    if rt:
+        return name, ("rename_table", rt.group(1))
+    raise NotImplementedError(
+        f"ALTER TABLE: unsupported action {action[:60]!r} (supported: "
+        "ADD/DROP/RENAME COLUMN, RENAME TO)"
+    )
+
+
 def parse_create_table(sql: str) -> tuple[str, str, bool] | None:
     """→ (table, spark-DDL schema string, if_not_exists), or None."""
     m = _CREATE.match(sql)

@@ -816,6 +816,56 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [("CREATE TABLE",)], "status string"
             )
+        from citus_spark.plans.ddl_sql import parse_alter_table
+
+        altered = (
+            parse_alter_table(query)
+            if query.lstrip()[:11].upper().startswith("ALTER TABLE")
+            else None
+        )
+        if altered is not None:
+            name, op = altered
+            entry = self.catalog.get(name)
+            if entry is None:
+                return None  # not ours — Spark may own the relation
+            if op[0] != "rename_table":
+                # column changes rewrite storage — fixture guard applies
+                entry = self._writable_entry(name, "ALTER TABLE")
+            cur = self._live_read(entry)
+            if op[0] == "add":
+                if op[1] in cur.columns:
+                    raise ValueError(f'column "{op[1]}" already exists')
+                new = cur.withColumn(op[1], F.lit(None).cast(op[2]))
+            elif op[0] == "drop":
+                if op[1] not in cur.columns:
+                    raise ValueError(f'column "{op[1]}" does not exist')
+                new = cur.drop(op[1])
+            elif op[0] == "rename_col":
+                if op[1] not in cur.columns:
+                    raise ValueError(f'column "{op[1]}" does not exist')
+                new = cur.withColumnRenamed(op[1], op[2])
+            else:  # rename_table
+                new_name = op[1]
+                if self.catalog.get(new_name) is not None:
+                    raise ValueError(
+                        f'relation "{new_name}" already exists'
+                    )
+                cur.createOrReplaceTempView(new_name)
+                self.catalog._tables[new_name] = entry
+                entry.name = new_name
+                self.catalog.unregister(name)
+                self.spark.catalog.dropTempView(name)
+                self.stat_statements.record(
+                    query, None, executor="utility"
+                )
+                return self.spark.createDataFrame(
+                    [("ALTER TABLE",)], "status string"
+                )
+            self._live_rewrite(entry, new, name)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("ALTER TABLE",)], "status string"
+            )
         dropped = parse_drop_table(query)
         if dropped is not None:
             name, if_exists = dropped

@@ -82,3 +82,27 @@ def test_table_constraints_skipped(spark):
         "id": "bigint", "cust": "bigint", "total": "decimal(38,18)",
     }
     s.sql("DROP TABLE orders_ddl")
+
+
+def test_alter_table_column_lifecycle(spark):
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE alt_t (id bigint, v text)")
+    s.sql("INSERT INTO alt_t VALUES (1, 'a'), (2, 'b')")
+    s.sql("ALTER TABLE alt_t ADD COLUMN score double precision")
+    assert dict(spark.table("alt_t").dtypes)["score"] == "double"
+    assert spark.table("alt_t").filter("score IS NULL").count() == 2
+    s.sql("UPDATE alt_t SET score = id * 1.5")
+    s.sql("ALTER TABLE alt_t RENAME COLUMN v TO label")
+    got = {r.id: (r.label, r.score)
+           for r in spark.table("alt_t").collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", 3.0)}
+    s.sql("ALTER TABLE alt_t DROP COLUMN label")
+    assert "label" not in spark.table("alt_t").columns
+    s.sql("ALTER TABLE alt_t RENAME TO alt_renamed")
+    assert s.catalog.get("alt_t") is None
+    assert spark.table("alt_renamed").count() == 2
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="unsupported action"):
+        s.sql("ALTER TABLE alt_renamed SET LOGGED")
+    s.sql("DROP TABLE alt_renamed")
