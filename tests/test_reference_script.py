@@ -181,3 +181,61 @@ def test_tutorial_rollup_session_script(spark, tmp_path):
     assert stats[999992] == (2, 2.5)
     n_total = r[6].collect()[0].n
     assert n_total == spark.table("user_stats").count() > 2
+
+
+def test_multitenant_quickstart_verbatim(spark):
+    """The canonical multi-tenant quickstart, statement for statement:
+    CREATE EXTENSION, CREATE TABLEs, colocated distribution on the
+    tenant key, INSERTs, a tenant-scoped join (router shape), an
+    ON CONFLICT rollup, ALTER TABLE evolution, DROP. No staging
+    helpers — every statement goes through session.sql verbatim."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    script = [
+        "CREATE EXTENSION citus;",
+        """CREATE TABLE companies_q (
+             id bigint PRIMARY KEY, name text, created_at timestamptz);""",
+        """CREATE TABLE campaigns_q (
+             id bigint, company_id bigint, budget numeric(12,2),
+             state text, PRIMARY KEY (company_id, id));""",
+        "SET citus.shard_count = 8",
+        "SELECT create_distributed_table('companies_q', 'id');",
+        "SELECT create_distributed_table('campaigns_q', 'company_id', "
+        "colocate_with => 'companies_q');",
+        "INSERT INTO companies_q VALUES "
+        "(1, 'acme', TIMESTAMP'2024-01-01 00:00:00'), "
+        "(2, 'globex', TIMESTAMP'2024-02-01 00:00:00')",
+        "INSERT INTO campaigns_q VALUES "
+        "(1, 1, 100.00, 'running'), (2, 1, 50.50, 'paused'), "
+        "(3, 2, 77.25, 'running')",
+        # tenant-scoped join — the router-query shape
+        """SELECT c.name, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(g.budget) AS DOUBLE) AS total
+           FROM companies_q c JOIN campaigns_q g ON c.id = g.company_id
+           WHERE c.id = 1 GROUP BY c.name""",
+        # rollup upsert
+        "CREATE TABLE budget_rollup_q (company_id bigint, total numeric(12,2))",
+        """INSERT INTO budget_rollup_q
+           SELECT company_id, sum(budget) FROM campaigns_q
+           GROUP BY company_id
+           ON CONFLICT (company_id) DO UPDATE SET
+             total = t.total + EXCLUDED.total""",
+        "ALTER TABLE campaigns_q ADD COLUMN clicks bigint",
+        "UPDATE campaigns_q SET clicks = id * 10",
+        "SELECT count(*) AS n FROM campaigns_q WHERE clicks > 10",
+        "SELECT * FROM citus_tables",
+        "DROP TABLE budget_rollup_q;",
+    ]
+    # collect each statement's result at execution time — what a SQL
+    # client does; plain (non-txlog) tables are copy-on-write, so a
+    # lazy handle held across a later rewrite would read removed files
+    results = [s.sql(stmt).collect() for stmt in script]
+    join_row = results[8][0]
+    assert (join_row.name, join_row.n, join_row.total) == ("acme", 2, 150.5)
+    assert results[13][0].n == 2  # clicks 20, 30
+    tables = {r.table_name for r in results[14]}
+    assert {"companies_q", "campaigns_q"} <= tables
+    assert s.catalog.colocated("companies_q", "campaigns_q")
+    for t in ("companies_q", "campaigns_q"):
+        s.sql(f"DROP TABLE {t}")
