@@ -89,19 +89,9 @@ def parse_drop_table(sql: str) -> tuple[str, bool] | None:
 
 
 def _split_columns(body: str) -> list[str]:
-    parts = []
-    depth = 0
-    last = 0
-    for i, ch in enumerate(body):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(body[last:i])
-            last = i + 1
-    parts.append(body[last:])
-    return [p.strip() for p in parts if p.strip()]
+    from citus_spark.plans.rewrites import _split_top_level
+
+    return _split_top_level(body)
 
 
 def _map_type(pg_type: str) -> str:
@@ -144,11 +134,19 @@ def parse_alter_table(sql: str):
     name, action = m.group("name"), m.group("action").strip()
     am = re.match(
         r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([A-Za-z_]\w*)\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|DEFAULT\s+.+))?$",
+        r"([A-Za-z_]\w*)\s+(.+?)"
+        r"(?:\s+NOT\s+NULL|\s+NULL)?(?:\s+DEFAULT\s+(.+?))?"
+        r"(?:\s+NOT\s+NULL|\s+NULL)?$",
         action, re.I | re.S,
     )
     if am:
-        return name, ("add", am.group(1), _map_type(am.group(2)))
+        # the DEFAULT expression back-fills existing rows, matching
+        # PG's semantics (silently NULL-filling instead would diverge
+        # aggregates on tutorial scripts)
+        return name, (
+            "add", am.group(1), _map_type(am.group(2)),
+            am.group(3).strip() if am.group(3) else None,
+        )
     dm = re.match(
         r"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
         r"\s*(?:CASCADE|RESTRICT)?$",

@@ -95,9 +95,11 @@ def parse_insert(sql: str) -> InsertStatement | None:
                 for c, e in assignments
             ]
     if not re.match(r"^(VALUES|SELECT|WITH)\b", rest, re.I):
-        raise ValueError(
-            f"INSERT: expected VALUES or SELECT, got {rest[:40]!r}"
-        )
+        # Spark-valid forms we don't model (PARTITION specs, TABLE
+        # syntax, ...) — return None so non-catalog targets fall
+        # through to Spark's own INSERT handling; the session raises
+        # a clear error for CATALOG targets instead
+        return None
     return InsertStatement(
         table=head.group("table"),
         cols=cols,

@@ -70,7 +70,9 @@ _WHEN = re.compile(
     r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s*\*"
     r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
-    r"(?=\s+WHEN\b|\s*;?\s*$)",
+    # anchor on the next WHEN [NOT] MATCHED clause, NOT a bare WHEN —
+    # assignment expressions legitimately contain CASE WHEN ... THEN
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
     re.I | re.S,
 )
 
@@ -114,21 +116,11 @@ def _keys_from_on(cond: str) -> list[str]:
 
 def _split_assignments(text: str) -> list[tuple[str, str]]:
     """'c1 = expr1, c2 = expr2' → [(c1, expr1), ...] (top-level
-    commas only)."""
+    commas only, string-literal aware)."""
+    from citus_spark.plans.rewrites import _split_top_level
+
     out = []
-    depth = 0
-    last = 0
-    parts = []
-    for i, ch in enumerate(text):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(text[last:i])
-            last = i + 1
-    parts.append(text[last:])
-    for p in parts:
+    for p in _split_top_level(text):
         m = re.match(
             r"^\s*(?:t\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", p, re.S
         )
@@ -139,12 +131,21 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
 
 
 def _normalize_aliases(text: str, talias: str | None, salias: str | None) -> str:
-    """Rewrite user-declared aliases to the canonical t./s. prefixes."""
-    if talias and talias.lower() not in ("t",):
-        text = re.sub(rf"\b{re.escape(talias)}\.", "t.", text)
-    if salias and salias.lower() not in ("s",):
-        text = re.sub(rf"\b{re.escape(salias)}\.", "s.", text)
-    return text
+    """Rewrite user-declared aliases to the canonical t./s. prefixes —
+    in ONE simultaneous case-insensitive pass, so swapped aliases
+    (target AS s, source AS t) cannot cross-wire mid-rewrite."""
+    mapping = {}
+    if talias:
+        mapping[talias.lower()] = "t"
+    if salias:
+        mapping[salias.lower()] = "s"
+    if not mapping:
+        return text
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\.",
+        re.IGNORECASE,
+    )
+    return pat.sub(lambda m: mapping[m.group(1).lower()] + ".", text)
 
 
 def parse_merge(sql: str) -> MergeStatement:
@@ -192,20 +193,9 @@ def parse_merge(sql: str) -> MergeStatement:
                 insert_cols = [
                     c.strip() for c in im.group(1).split(",") if c.strip()
                 ]
-                # top-level comma split of the VALUES list
-                depth = 0
-                last = 0
-                insert_values = []
-                text = im.group(2)
-                for i, ch in enumerate(text):
-                    if ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                    elif ch == "," and depth == 0:
-                        insert_values.append(text[last:i].strip())
-                        last = i + 1
-                insert_values.append(text[last:].strip())
+                from citus_spark.plans.rewrites import _split_top_level
+
+                insert_values = _split_top_level(im.group(2))
                 if len(insert_cols) != len(insert_values):
                     raise ValueError(
                         "MERGE: INSERT column/value count mismatch"
@@ -215,6 +205,13 @@ def parse_merge(sql: str) -> MergeStatement:
                     f"MERGE: WHEN NOT MATCHED supports INSERT; got {action_u}"
                 )
         else:
+            if when_matched != "ignore":
+                # collapsing several WHEN MATCHED branches into one
+                # action/condition pair would execute the WRONG merge
+                # — reject rather than silently corrupt
+                raise NotImplementedError(
+                    "MERGE: only one WHEN MATCHED branch is supported"
+                )
             if m.group("cond"):
                 matched_condition = m.group("cond").strip()
             if action_u == "UPDATE SET *":

@@ -631,7 +631,7 @@ class DistributedSession:
             if entry is None:
                 raise KeyError(f"unknown table {name!r}")
             if mate.lower() == "none":
-                self.catalog.register(
+                new_entry = self.catalog.register(
                     name, entry.method, entry.dist_col,
                     buckets=entry.buckets,
                 )
@@ -645,10 +645,15 @@ class DistributedSession:
                         f"({entry.buckets} vs {other.buckets}); use "
                         "alter_distributed_table(shard_count => ...)"
                     )
-                self.catalog.register(
+                new_entry = self.catalog.register(
                     name, entry.method, entry.dist_col,
                     buckets=entry.buckets, colocate_with=mate,
                 )
+            # re-registration must keep the physical metadata (same
+            # rule as create_distributed_table on an existing entry)
+            new_entry.path = entry.path
+            new_entry.columnar = entry.columnar
+            new_entry.time_partitioning = entry.time_partitioning
         elif call.fn in (
             "citus_table_size",
             "citus_total_relation_size",
@@ -804,9 +809,11 @@ class DistributedSession:
                         [("CREATE TABLE skipped: exists",)], "status string"
                     )
                 raise ValueError(f'relation "{name}" already exists')
+            import uuid as _uuid
+
             path = os.path.join(
                 tempfile.gettempdir(),
-                f"citus_spark_tbl_{name}_{os.getpid()}",
+                f"citus_spark_tbl_{name}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
             )
             empty = self.spark.createDataFrame([], ddl_schema)
             empty.write.mode("overwrite").parquet(path)
@@ -835,7 +842,11 @@ class DistributedSession:
             if op[0] == "add":
                 if op[1] in cur.columns:
                     raise ValueError(f'column "{op[1]}" already exists')
-                new = cur.withColumn(op[1], F.lit(None).cast(op[2]))
+                # DEFAULT back-fills existing rows (PG semantics)
+                fill = (
+                    F.expr(op[3]) if op[3] is not None else F.lit(None)
+                )
+                new = cur.withColumn(op[1], fill.cast(op[2]))
             elif op[0] == "drop":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
@@ -896,7 +907,20 @@ class DistributedSession:
         from citus_spark.plans.insert_sql import parse_insert
 
         stmt = parse_insert(query)
-        if stmt is None or self.catalog.get(stmt.table) is None:
+        if stmt is None:
+            import re as _re
+
+            m = _re.match(
+                r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", query, _re.I
+            )
+            if m and self.catalog.get(m.group(1)) is not None:
+                raise ValueError(
+                    "INSERT on a catalog table supports VALUES / "
+                    "SELECT / WITH sources (PARTITION and TABLE "
+                    "clauses are not modeled)"
+                )
+            return None
+        if self.catalog.get(stmt.table) is None:
             return None
         entry = self._writable_entry(stmt.table, "INSERT")
         self.stat_statements.record(query, None, executor="insert")
@@ -965,6 +989,8 @@ class DistributedSession:
         head = query.lstrip()[:7].upper()
         if not (head.startswith("SELECT") or head.startswith("WITH")):
             return None
+        if not _re.search(r"\bINTO\b", query, _re.IGNORECASE):
+            return None  # cheap pre-gate: skip the char scan entirely
         from citus_spark.plans.rewrites import _masked_spans
 
         spans = _masked_spans(query)
@@ -997,8 +1023,11 @@ class DistributedSession:
         if self.catalog.get(name) is not None:
             raise ValueError(f'relation "{name}" already exists')
         df = self.sql(query[:start] + query[end:])
+        import uuid as _uuid
+
         path = os.path.join(
-            tempfile.gettempdir(), f"citus_spark_tbl_{name}_{os.getpid()}"
+            tempfile.gettempdir(),
+            f"citus_spark_tbl_{name}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
         )
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)

@@ -177,6 +177,19 @@ def merge_apply(
     t = target.alias("t")
     s = source.alias("s")
     t_cols = target.columns
+    # PostgreSQL raises "cannot affect row a second time" when two
+    # source rows hit one target row; an unchecked inner join would
+    # instead FAN OUT the target row — silent duplication. One cheap
+    # aggregation enforces the same contract.
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            "MERGE/ON CONFLICT: source has duplicate join keys — a "
+            "target row cannot be affected twice (aggregate the "
+            "source first)"
+        )
     join_cond = reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],

@@ -106,3 +106,31 @@ def test_alter_table_column_lifecycle(spark):
     with pytest.raises(NotImplementedError, match="unsupported action"):
         s.sql("ALTER TABLE alt_renamed SET LOGGED")
     s.sql("DROP TABLE alt_renamed")
+
+
+# -- second-review regressions
+
+
+def test_add_column_default_backfills(spark):
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE defat (id bigint)")
+    s.sql("INSERT INTO defat VALUES (1), (2)")
+    s.sql("ALTER TABLE defat ADD COLUMN clicks bigint DEFAULT 7")
+    assert [r.clicks for r in spark.table("defat").collect()] == [7, 7]
+    s.sql("ALTER TABLE defat ADD COLUMN note text DEFAULT 'n/a' NOT NULL")
+    assert {r.note for r in spark.table("defat").collect()} == {"n/a"}
+    s.sql("DROP TABLE defat")
+
+
+def test_create_table_name_reuse_after_rename(spark):
+    """Recreating a dropped/renamed name must NOT clobber the renamed
+    table's storage (paths are content-unique)."""
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE reuse_t (k int)")
+    s.sql("INSERT INTO reuse_t VALUES (1), (2)")
+    s.sql("ALTER TABLE reuse_t RENAME TO reuse_renamed")
+    s.sql("CREATE TABLE reuse_t (k int)")
+    assert spark.table("reuse_renamed").count() == 2  # data intact
+    assert spark.table("reuse_t").count() == 0
+    s.sql("DROP TABLE reuse_t")
+    s.sql("DROP TABLE reuse_renamed")

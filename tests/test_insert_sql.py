@@ -83,3 +83,26 @@ def test_insert_noncatalog_falls_through(sess, spark):
     sess2.load_tables(SF_SMALL)
     with pytest.raises(ValueError, match="read-only"):
         sess2.sql("INSERT INTO orders VALUES (1)")
+
+
+def test_insert_unmodeled_form_clear_error_and_fallthrough(sess, spark):
+    """PARTITION-spec inserts: catalog targets get a clear error;
+    non-catalog targets reach Spark's own handling."""
+    with pytest.raises(ValueError, match="not modeled"):
+        sess.sql("INSERT INTO rollup_t PARTITION (p=1) SELECT 1, 2.0, 3")
+    # non-catalog: falls through (Spark raises its own error for a
+    # temp view, not our 'not modeled' message)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("nc_t")
+    with pytest.raises(Exception) as ei:
+        sess.sql("INSERT INTO nc_t PARTITION (p=1) SELECT 1")
+    assert "not modeled" not in str(ei.value)
+
+
+def test_on_conflict_duplicate_proposed_rows_rejected(sess, spark):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="second time|duplicate"):
+        sess.sql(
+            "INSERT INTO rollup_t VALUES (1, 1.0, 1), (1, 2.0, 2) "
+            "ON CONFLICT (k) DO UPDATE SET total = EXCLUDED.total"
+        )

@@ -197,3 +197,71 @@ def test_merge_guarded_delete(sess, spark):
         """
     )
     assert spark.table("orders_t").count() == n0 - n_guard
+
+
+def test_merge_multiple_matched_branches_rejected(sess):
+    with pytest.raises(NotImplementedError, match="one WHEN MATCHED"):
+        parse_merge(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.del THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_merge_case_when_inside_assignment(sess, spark):
+    spark.table("orders_t").select("o_orderkey").filter(
+        "o_orderkey < 50"
+    ).createOrReplaceTempView("case_src")
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING case_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET
+          o_orderstatus = CASE WHEN t.o_totalprice > 100000
+                               THEN 'H' ELSE 'L' END
+        """
+    )
+    got = spark.table("orders_t").filter("o_orderkey < 50").collect()
+    assert got and all(r.o_orderstatus in ("H", "L") for r in got)
+    for r in got:
+        assert r.o_orderstatus == ("H" if r.o_totalprice > 100000 else "L")
+
+
+def test_merge_swapped_aliases(sess, spark):
+    """target AS s / source AS t must not cross-wire references."""
+    before = {
+        r.o_orderkey: r.o_totalprice
+        for r in spark.table("orders_t").filter("o_orderkey < 30").collect()
+    }
+    spark.createDataFrame(
+        [(k, 1000.0) for k in before], "o_orderkey long, newp double"
+    ).createOrReplaceTempView("swap_src")
+    sess.sql(
+        """
+        MERGE INTO orders_t AS s USING swap_src AS t
+        ON s.o_orderkey = t.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1
+        """
+    )
+    after = {
+        r.o_orderkey: r.o_totalprice
+        for r in spark.table("orders_t").filter("o_orderkey < 30").collect()
+    }
+    # s.o_totalprice referenced the TARGET's old value, not the source
+    for k, p in before.items():
+        assert after[k] == p + 1, k
+
+
+def test_merge_duplicate_source_keys_rejected(sess, spark):
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "o_orderkey long, x double"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(Exception, match="second time|duplicate"):
+        sess.sql(
+            """
+            MERGE INTO orders_t AS t USING dup_src AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.o_totalprice > 0 THEN UPDATE SET
+              o_totalprice = s.x
+            """
+        )

@@ -138,3 +138,32 @@ def test_citus_table_size_functions(spark, tmp_path):
     assert 0 < after < full
     with pytest.raises(Exception, match="not a Citus table"):
         s.sql("SELECT citus_table_size('no_such_table')")
+
+
+def test_update_colocation_preserves_physical_metadata(spark):
+    """Re-grouping must keep path/columnar/time-partitioning — losing
+    the storage path would break every subsequent DML and size call."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE coloc_a (k bigint, v text)")
+    s.sql("CREATE TABLE coloc_b (k bigint, w text)")
+    s.sql("INSERT INTO coloc_a VALUES (1, 'x')")
+    s.sql("SELECT create_distributed_table('coloc_a', 'k')")
+    s.sql("SELECT create_distributed_table('coloc_b', 'k')")
+    path_before = s.catalog.get("coloc_a").path
+    assert path_before
+    s.sql(
+        "SELECT update_distributed_table_colocation('coloc_a', "
+        "colocate_with => 'coloc_b')"
+    )
+    assert s.catalog.get("coloc_a").path == path_before
+    assert s.catalog.colocated("coloc_a", "coloc_b")
+    # storage still writable and sized after the re-grouping
+    s.sql("INSERT INTO coloc_a VALUES (2, 'y')")
+    assert s.sql("SELECT citus_table_size('coloc_a')").collect()[0][0] > 0
+    s.sql("SELECT update_distributed_table_colocation('coloc_a', "
+          "colocate_with => 'none')")
+    assert s.catalog.get("coloc_a").path == path_before
+    s.sql("DROP TABLE coloc_a")
+    s.sql("DROP TABLE coloc_b")
