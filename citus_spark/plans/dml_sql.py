@@ -12,12 +12,17 @@ overwrite); here it is a whole-relation rewrite, documented as such.
 
 Grammar (the analytical subset):
 
-    DELETE FROM <table> [WHERE <pred>]
+    DELETE FROM <table> [WHERE <pred>] [RETURNING exprs]
     UPDATE <table> SET col = expr [, col = expr ...] [WHERE <pred>]
+        [RETURNING exprs]
 
 SQL semantics preserved: all SET expressions are evaluated against
 the OLD row (simultaneous assignment), and rows whose predicate is
-NULL are not affected.
+NULL are not affected. RETURNING follows PostgreSQL: DELETE returns
+the old image of each removed row, UPDATE the new image of each
+updated row (↔ reference multi_router_planner.c, which ships the
+RETURNING projection back from each shard — here the projection is
+staged before the copy-on-write swap so it reads pre-swap state).
 """
 
 from __future__ import annotations
@@ -43,10 +48,57 @@ class DmlStatement:
     table: str
     predicate: str | None
     assignments: list[tuple[str, str]]  # UPDATE only
+    returning: str | None = None
+
+
+def split_returning(sql: str) -> tuple[str, str | None]:
+    """Strip a trailing top-level `RETURNING <exprs>` clause.
+
+    Returns (body, returning_list|None). The scan is paren- and
+    quote-aware so `'a RETURNING b'` literals and subquery text never
+    match; only the LAST depth-0 occurrence is the clause (PG's
+    grammar puts RETURNING at the very end of the statement).
+    """
+    depth = 0
+    quote = None
+    pos = None
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "Rr":
+            m = re.match(r"RETURNING\s", sql[i:], re.I)
+            # keyword boundary: previous char must not be part of an
+            # identifier (e.g. `col_returning` is not the clause)
+            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                pos = i
+                i += m.end()
+                continue
+        i += 1
+    if pos is None:
+        return sql, None
+    body = sql[:pos].rstrip()
+    ret = sql[pos:].strip().rstrip(";").strip()
+    ret = re.sub(r"^RETURNING\s+", "", ret, flags=re.I)
+    if not ret:
+        raise ValueError("RETURNING: empty expression list")
+    return body, ret
 
 
 def is_dml(sql: str) -> bool:
-    return bool(_DELETE.match(sql) or _UPDATE.match(sql))
+    body, _ = split_returning(sql)
+    return bool(_DELETE.match(body) or _UPDATE.match(body))
 
 
 def _split_assignments(sets: str) -> list[tuple[str, str]]:
@@ -88,20 +140,23 @@ def _split_assignments(sets: str) -> list[tuple[str, str]]:
 
 
 def parse_dml(sql: str) -> DmlStatement | None:
-    m = _UPDATE.match(sql)
+    body, returning = split_returning(sql)
+    m = _UPDATE.match(body)
     if m:
         return DmlStatement(
             kind="update",
             table=m.group("t"),
             predicate=m.group("pred"),
             assignments=_split_assignments(m.group("sets")),
+            returning=returning,
         )
-    m = _DELETE.match(sql)
+    m = _DELETE.match(body)
     if m:
         return DmlStatement(
             kind="delete",
             table=m.group("t"),
             predicate=m.group("pred"),
             assignments=[],
+            returning=returning,
         )
     return None

@@ -33,6 +33,7 @@ class InsertStatement:
     on_conflict: str | None  # None | "nothing" | "update"
     conflict_keys: list[str] = field(default_factory=list)
     assignments: list[tuple[str, str]] = field(default_factory=list)
+    returning: str | None = None
 
 
 _HEAD = re.compile(
@@ -55,7 +56,10 @@ def parse_insert(sql: str) -> InsertStatement | None:
     head = _HEAD.match(sql)
     if not head:
         return None
-    rest = sql[head.end() :].strip().rstrip(";")
+    from citus_spark.plans.dml_sql import split_returning
+
+    rest, returning = split_returning(sql[head.end() :])
+    rest = rest.strip().rstrip(";")
     cols = [
         c.strip()
         for c in (head.group("cols") or "").split(",")
@@ -107,4 +111,5 @@ def parse_insert(sql: str) -> InsertStatement | None:
         on_conflict=on_conflict,
         conflict_keys=conflict_keys,
         assignments=assignments,
+        returning=returning,
     )

@@ -625,3 +625,99 @@ GROUP BY source
 ORDER BY source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-passage detection — substring-level dedup.
+#
+# Document-level exact/near dedup misses the dominant real-world case:
+# distinct documents sharing long verbatim SPANS (boilerplate,
+# licenses, quoted text). The standard training-data treatment
+# ("Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022) finds all duplicated token windows of length >= k.
+# A suffix array is the single-node tool; the distributed re-expression
+# is the rolling k-gram fingerprint: explode every doc into its
+# len-k+1 windows, hash each window, one shuffle on the hash. At
+# 100 TB this is the same banded shape as MinHash — never all-pairs,
+# and the k-gram stream partial-aggregates map-side.
+#
+# md5 keeps the fingerprint engine-portable (DuckDB computes the
+# identical hash), so both entries below are value-exact oracles.
+PASSAGE_K = 5  # token window length (small corpus => small k)
+
+_GRAMS_SPARK = f"""
+toks AS (
+  SELECT doc_id, split(text, ' ') AS t
+  FROM documents
+  WHERE size(split(text, ' ')) >= {PASSAGE_K}
+),
+grams AS (
+  SELECT doc_id,
+         md5(array_join(slice(t, i + 1, {PASSAGE_K}), ' ')) AS g
+  FROM toks
+  LATERAL VIEW explode(sequence(0, size(t) - {PASSAGE_K})) e AS i
+)
+"""
+
+_GRAMS_DUCK = f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {PASSAGE_K}
+),
+grams AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i + 1 : i + {PASSAGE_K}], ' ')) AS g
+  FROM toks, UNNEST(generate_series(0, len(t) - {PASSAGE_K})) AS u(i)
+)
+"""
+
+_DUP_TOPK_BODY = """
+SELECT g AS passage_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY g
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, passage_hash
+LIMIT 20
+"""
+
+register_split(
+    "dup_passages_topk",
+    lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(f"WITH {_GRAMS_SPARK} {_DUP_TOPK_BODY}"),
+    )[1],
+    f"WITH {_GRAMS_DUCK} {_DUP_TOPK_BODY}",
+)
+
+# Per-document duplicated-content share — the filtering decision a
+# pipeline actually makes ("drop/trim docs whose duplicated-window
+# share exceeds X%"). Exact integer counts; ONE IEEE division per doc
+# keeps the share engine-portable.
+_DUP_SHARE_BODY = """
+, gstat AS (
+  SELECT g, count(DISTINCT doc_id) AS nd
+  FROM grams
+  GROUP BY g
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(CASE WHEN s.nd >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+       CAST(count(CASE WHEN s.nd >= 2 THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_share
+FROM grams d JOIN gstat s ON d.g = s.g
+GROUP BY d.doc_id
+ORDER BY dup_share DESC, d.doc_id
+LIMIT 20
+"""
+
+register_split(
+    "dup_passage_doc_share",
+    lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(f"WITH {_GRAMS_SPARK} {_DUP_SHARE_BODY}"),
+    )[1],
+    f"WITH {_GRAMS_DUCK} {_DUP_SHARE_BODY}",
+)

@@ -951,7 +951,14 @@ class DistributedSession:
             for c in t_cols
         ])
         n = aligned.count()
+        returned = None
         if stmt.on_conflict is None:
+            if stmt.returning:
+                # staged BEFORE the append: a self-referencing source
+                # (INSERT INTO t SELECT .. FROM t) must return the
+                # pre-append evaluation, and RETURNING exprs see the
+                # inserted image (PG: post-default, post-cast row)
+                returned = self._stage_returning(aligned, stmt.returning)
             self._live_append(entry, aligned, stmt.table)
         else:
             from citus_spark.sources.ingest import merge_apply
@@ -971,7 +978,24 @@ class DistributedSession:
                 assignments=stmt.assignments,
                 insert_unmatched=True,
             )
+            if stmt.returning:
+                # PG: DO UPDATE returns the post-image of every source
+                # row (inserted or updated); DO NOTHING returns only
+                # rows actually inserted (keys not already present)
+                keys = stmt.conflict_keys
+                touched = (
+                    aligned.select(*keys).distinct()
+                    if stmt.on_conflict == "update"
+                    else aligned.join(cur, keys, "left_anti")
+                    .select(*keys)
+                    .distinct()
+                )
+                returned = self._stage_returning(
+                    merged.join(touched, keys, "semi"), stmt.returning
+                )
             self._live_rewrite(entry, merged, stmt.table)
+        if returned is not None:
+            return returned
         return self.spark.createDataFrame([(int(n),)], "inserted long")
 
     def _execute_select_into(self, query: str):
@@ -1334,6 +1358,8 @@ class DistributedSession:
         affected = df.filter(pred).count()
         if stmt.kind == "delete":
             result = df.filter(~pred)
+            # RETURNING on DELETE ships the OLD image of removed rows
+            affected_rows = df.filter(pred)
         else:
             assigned = dict(stmt.assignments)
             unknown = set(assigned) - set(df.columns)
@@ -1341,7 +1367,7 @@ class DistributedSession:
                 raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
             # one select over the ORIGINAL relation = simultaneous
             # assignment semantics (every SET expr sees old values)
-            result = df.select(
+            new_image = df.select(
                 *[
                     F.when(pred, F.expr(assigned[c]).cast(df.schema[c].dataType))
                     .otherwise(F.col(c))
@@ -1349,12 +1375,51 @@ class DistributedSession:
                     if c in assigned
                     else F.col(c)
                     for c in df.columns
-                ]
+                ],
+                # the predicate must be judged against OLD values (the
+                # new image may no longer satisfy it, e.g. SET x=x+10
+                # WHERE x<5) — carried as a hidden flag per row
+                pred.alias("__citus_affected"),
             )
+            # RETURNING on UPDATE ships the NEW image of updated rows
+            affected_rows = new_image.filter("__citus_affected").drop(
+                "__citus_affected"
+            )
+            result = new_image.drop("__citus_affected")
+        returned = (
+            self._stage_returning(affected_rows, stmt.returning)
+            if stmt.returning
+            else None
+        )
         self._live_rewrite(entry, result, stmt.table)
+        if returned is not None:
+            return returned
         return self.spark.createDataFrame(
             [(int(affected),)], f"{stmt.kind}d long"
         )
+
+    def _stage_returning(self, rows: DataFrame, returning: str) -> DataFrame:
+        """Materialize a RETURNING projection BEFORE the copy-on-write
+        swap invalidates the files it reads. Staged as parquet (a
+        distributed write — never a driver collect, so an UPDATE that
+        touches millions of rows still returns them scalably) and read
+        back from the staged copy. ↔ reference RETURNING: each shard
+        streams its projection back through the executor
+        (multi_router_planner.c); the staged directory is this engine's
+        equivalent of that intermediate-result transfer."""
+        import tempfile as _tf
+
+        from citus_spark.plans.rewrites import _split_top_level
+
+        exprs = [e.strip() for e in _split_top_level(returning) if e.strip()]
+        proj = rows.selectExpr(*exprs)
+        self._returning_seq = getattr(self, "_returning_seq", 0) + 1
+        path = os.path.join(
+            _tf.gettempdir(),
+            f"citus_spark_returning_{os.getpid()}_{self._returning_seq}",
+        )
+        proj.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
 
     def _execute_merge(self, query: str) -> DataFrame:
         """Textual MERGE INTO → sources.ingest.merge_into. The target
