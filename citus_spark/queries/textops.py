@@ -1516,3 +1516,97 @@ FROM documents
 ORDER BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM decode, end-to-end oracle-checked — the COMPRESSED audio
+# path (WAVE format tag 0x11, operators/audiocodec.py). The Spark
+# side synthesizes a real one-block mono IMA-ADPCM WAV per document
+# (nibble i = (doc_id*7 + i*5 + 3) % 16, initial predictor/index 0)
+# and decodes it through the production decode_wav dispatch. The
+# oracle is a genuine INDEPENDENT re-derivation: a DuckDB recursive
+# CTE implements the published IMA step arithmetic (step table +
+# index table + int16 clamp) over the same nibble stream — so a
+# lossy-codec entry still gets a value-exact cross-engine check.
+# ↔ reference: no media codecs in citus (extension surface, SURVEY
+# §2 extension); conformance vs stdlib audioop in tests/test_adpcm.py.
+def adpcm_decode_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id").filter("doc_id < 40")
+
+    def decode_batch(it):
+        from citus_spark.operators.audiocodec import decode_wav
+
+        for pdf in it:
+            out_id, out_i, out_s = [], [], []
+            for did in pdf["doc_id"]:
+                nibs = [(int(did) * 7 + i * 5 + 3) % 16 for i in range(128)]
+                data = bytes(
+                    (nibs[j] & 0xF) | ((nibs[j + 1] & 0xF) << 4)
+                    for j in range(0, 128, 2)
+                )
+                block = _struct.pack("<hBB", 0, 0, 0) + data
+                fmt = _struct.pack(
+                    "<HHIIHHHH", 0x11, 1, 8000, 4000, len(block), 4, 2, 129
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + _struct.pack("<II", 4, 129)
+                    + b"data" + _struct.pack("<I", len(block)) + block
+                )
+                wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+                samples, rate = decode_wav(wav)
+                assert rate == 8000 and samples.shape == (129, 1)
+                for i, s in enumerate(samples[:, 0]):
+                    out_id.append(int(did))
+                    out_i.append(i)
+                    out_s.append(int(s))
+            yield pd.DataFrame({"id": out_id, "i": out_i, "sample": out_s})
+
+    return (
+        docs.mapInPandas(decode_batch, schema="id long, i int, sample int")
+        .orderBy("id", "i")
+    )
+
+
+def _adpcm_oracle() -> str:
+    from citus_spark.operators.audiocodec import _IMA_STEP_TABLE
+
+    steps = ",".join(f"({i},{int(v)})" for i, v in enumerate(_IMA_STEP_TABLE))
+    return f"""
+WITH RECURSIVE steps(si, sv) AS (VALUES {steps}),
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+dec(doc_id, i, pred, idx) AS (
+  SELECT doc_id, 0, 0, 0 FROM docs
+  UNION ALL
+  SELECT doc_id, i + 1,
+         greatest(-32768, least(32767,
+           pred + CASE WHEN (nb & 8) = 8 THEN -dmag ELSE dmag END)),
+         greatest(0, least(88, idx +
+           CASE (nb & 7) WHEN 4 THEN 2 WHEN 5 THEN 4
+                         WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))
+  FROM (
+    SELECT d.*, ((d.doc_id * 7 + d.i * 5 + 3) % 16) AS nb,
+           (s.sv >> 3)
+           + CASE WHEN (((d.doc_id * 7 + d.i * 5 + 3) % 16) & 1) = 1
+                  THEN (s.sv >> 2) ELSE 0 END
+           + CASE WHEN (((d.doc_id * 7 + d.i * 5 + 3) % 16) & 2) = 2
+                  THEN (s.sv >> 1) ELSE 0 END
+           + CASE WHEN (((d.doc_id * 7 + d.i * 5 + 3) % 16) & 4) = 4
+                  THEN s.sv ELSE 0 END AS dmag
+    FROM dec d JOIN steps s ON s.si = d.idx
+    WHERE d.i < 128
+  )
+)
+SELECT CAST(doc_id AS BIGINT) AS id, CAST(i AS INT) AS i,
+       CAST(pred AS INT) AS sample
+FROM dec ORDER BY id, i
+"""
+
+
+register_split("adpcm_decode_spec", adpcm_decode_spec, _adpcm_oracle())
