@@ -210,12 +210,12 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFra
     if not fake:
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from citus_spark.operators.videocodec import decode_y4m_frames
+            from citus_spark.operators.videocodec import decode_video_frames
 
             for pdf in it:
                 rows = []
                 for i, buf in zip(pdf["id"], pdf["media"]):
-                    for fn, plane in enumerate(decode_y4m_frames(bytes(buf))):
+                    for fn, plane in enumerate(decode_video_frames(bytes(buf))):
                         if fn % every_n == 0:
                             rows.append(
                                 {"id": i, "frame_no": fn, "frame": plane.tobytes()}

@@ -127,3 +127,33 @@ def encode_y4m(
         out += np.ascontiguousarray(frames[i]).tobytes()
         out += uv
     return bytes(out)
+
+
+def decode_video_frames(data: bytes) -> Iterator[np.ndarray]:
+    """Format-sniffing video decode: Y4M (uncompressed) or MJPEG AVI
+    (compressed, operators/avicodec.py) → (h, w) uint8 luma planes.
+    The dispatch mirrors imagecodec.decode_image_bytes' signature
+    sniffing, so frame operators stay format-agnostic."""
+    if data[:9] == b"YUV4MPEG2":
+        yield from decode_y4m_frames(data)
+        return
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from citus_spark.operators.avicodec import decode_avi_frames
+
+        yield from decode_avi_frames(data)
+        return
+    raise ValueError(
+        "unsupported video container (Y4M and MJPEG AVI only; other "
+        "formats need ffmpeg/pyav, absent in this container)"
+    )
+
+
+def probe_video(data: bytes) -> tuple[int, int, int, float]:
+    """Format-sniffing probe → (width, height, n_frames, fps)."""
+    if data[:9] == b"YUV4MPEG2":
+        return probe_y4m(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from citus_spark.operators.avicodec import probe_avi
+
+        return probe_avi(data)
+    raise ValueError("unsupported video container (Y4M and MJPEG AVI only)")

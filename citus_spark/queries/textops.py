@@ -1610,3 +1610,82 @@ FROM dec ORDER BY id, i
 
 
 register_split("adpcm_decode_spec", adpcm_decode_spec, _adpcm_oracle())
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI decode, end-to-end oracle-checked — the COMPRESSED video
+# path (operators/avicodec.py over operators/jpegcodec.py). Same
+# construction as video_decode_frame_stats, but the per-doc blob is a
+# RIFF/'AVI ' container whose frames are real baseline JPEGs: each
+# sampled frame goes through RIFF walk → movi chunk → huffman decode →
+# IDCT. Constant-luma 16x16 frames are BIT-exact under the q100
+# flat-1 quantizer (the jpegcodec oracle contract), so DuckDB
+# predicts every pixel count and mean from doc_id and length() alone.
+def mjpeg_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from citus_spark.operators.multimodal import frame_sample
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").filter("doc_id < 60")
+
+    def encode_batch(it):
+        from citus_spark.operators.avicodec import encode_avi_mjpeg
+
+        for pdf in it:
+            ids, blobs = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = len(text) % 5 + 2
+                lumas = (int(i) * 13 + np.arange(nf) * 11) % 256
+                frames = np.broadcast_to(
+                    lumas.astype(np.uint8)[:, None, None], (nf, 16, 16)
+                ).copy()
+                ids.append(i)
+                blobs.append(encode_avi_mjpeg(frames, fps=(30, 1)))
+            yield pd.DataFrame({"id": ids, "media": blobs})
+
+    media = docs.mapInPandas(encode_batch, schema="id long, media binary")
+    sampled = frame_sample(media, every_n=2, fake=False)
+
+    def stats_batch(it):
+        for pdf in it:
+            rows = []
+            for i, fn, frame in zip(pdf["id"], pdf["frame_no"], pdf["frame"]):
+                plane = np.frombuffer(bytes(frame), dtype=np.uint8)
+                rows.append(
+                    {
+                        "id": i,
+                        "frame_no": fn,
+                        "frame_pixels": len(plane),
+                        "luma_mean": float(plane.astype(np.float64).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_no", "frame_pixels", "luma_mean"]
+            )
+
+    return sampled.mapInPandas(
+        stats_batch,
+        schema="id long, frame_no int, frame_pixels int, luma_mean double",
+    ).orderBy("id", "frame_no")
+
+
+register_split(
+    "mjpeg_avi_frame_stats",
+    mjpeg_avi_frame_stats,
+    """
+WITH d AS (
+  SELECT doc_id, length(text) % 5 + 2 AS nf
+  FROM documents WHERE doc_id < 60
+),
+f AS (
+  SELECT doc_id, unnest(range(0, nf, 2)) AS frame_no FROM d
+)
+SELECT doc_id AS id, CAST(frame_no AS INT) AS frame_no,
+       CAST(256 AS INT) AS frame_pixels,
+       CAST((doc_id * 13 + frame_no * 11) % 256 AS DOUBLE) AS luma_mean
+FROM f
+ORDER BY id, frame_no
+""",
+)
