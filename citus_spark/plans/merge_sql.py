@@ -45,6 +45,7 @@ class MergeStatement:
     matched_condition: str | None = None
     insert_cols: list[str] = field(default_factory=list)
     insert_values: list[str] = field(default_factory=list)
+    returning: str | None = None  # PG 17 MERGE .. RETURNING
 
     @property
     def is_whole_row(self) -> bool:
@@ -149,6 +150,9 @@ def _normalize_aliases(text: str, talias: str | None, salias: str | None) -> str
 
 
 def parse_merge(sql: str) -> MergeStatement:
+    from citus_spark.plans.dml_sql import split_returning
+
+    sql, returning = split_returning(sql)
     head = _HEAD.match(sql)
     if not head:
         raise ValueError("not a MERGE INTO statement")
@@ -235,6 +239,7 @@ def parse_merge(sql: str) -> MergeStatement:
         matched_condition=matched_condition,
         insert_cols=insert_cols,
         insert_values=insert_values,
+        returning=returning,
     )
 
 

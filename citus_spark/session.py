@@ -1437,6 +1437,33 @@ class DistributedSession:
             if stmt.source_is_subquery
             else self.spark.table(stmt.source)
         )
+        returned = None
+        if stmt.returning:
+            # PG 17 MERGE .. RETURNING: one action-tagged pass over
+            # the PRE-merge state (same single equi-join shape),
+            # staged before any rewrite invalidates the files
+            from citus_spark.sources.ingest import merge_apply
+            from citus_spark.sources.partitions import PERIOD_COL
+
+            cur0 = self._live_read(entry)
+            if entry.time_partitioning:
+                cur0 = cur0.drop(PERIOD_COL)
+            affected = merge_apply(
+                cur0,
+                source,
+                stmt.keys,
+                when_matched=stmt.when_matched,
+                assignments=stmt.assignments,
+                matched_condition=stmt.matched_condition,
+                insert_unmatched=stmt.insert_unmatched,
+                insert_cols=stmt.insert_cols,
+                insert_values=stmt.insert_values,
+                with_actions=True,
+            )
+            returned = self._stage_returning(
+                affected,
+                _merge_returning_exprs(stmt.returning, cur0.columns),
+            )
         if not stmt.is_whole_row:
             # general form (SET col = expr / AND guards / INSERT
             # (cols) VALUES): one joined computation over the LIVE
@@ -1463,7 +1490,7 @@ class DistributedSession:
             self._live_rewrite(entry, merged, stmt.target)
             out = self._live_read(entry)
             out.createOrReplaceTempView(stmt.target)
-            return out
+            return returned if returned is not None else out
         if entry.time_partitioning:
             # stage the live partitioned relation on a plain path,
             # merge there, then rewrite the layout (re-deriving
@@ -1496,7 +1523,7 @@ class DistributedSession:
                 shutil.rmtree(stage, ignore_errors=True)
             out = self._live_read(entry)
             out.createOrReplaceTempView(stmt.target)
-            return out
+            return returned if returned is not None else out
         merge_into(
             self.spark,
             entry.path,
@@ -1507,7 +1534,7 @@ class DistributedSession:
         )
         out = self.spark.read.parquet(entry.path)
         out.createOrReplaceTempView(stmt.target)
-        return out
+        return returned if returned is not None else out
 
     # ------------------------------------------------------------------
     # Layout-maintenance API (↔ alter_distributed_table /
@@ -1979,3 +2006,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> DistributedSession:
     sess = DistributedSession(spark)
     sess.load_tables(sf_dir)
     return sess
+
+
+def _merge_returning_exprs(returning: str, t_cols: list[str]) -> str:
+    """Rewrite a MERGE RETURNING list for the action-tagged affected
+    frame: `merge_action()` → the hidden tag column (aliased
+    `merge_action` when bare, PG's output name), and a bare `*`
+    expands to the target columns only (never the tag)."""
+    import re as _re
+
+    from citus_spark.plans.rewrites import _split_top_level
+
+    out = []
+    for item in _split_top_level(returning):
+        item = item.strip()
+        if not item:
+            continue
+        if _re.fullmatch(r"merge_action\s*\(\s*\)", item, _re.I):
+            out.append("__citus_merge_action AS merge_action")
+            continue
+        if item == "*":
+            out.extend(t_cols)
+            continue
+        out.append(
+            _re.sub(
+                r"\bmerge_action\s*\(\s*\)",
+                "__citus_merge_action",
+                item,
+                flags=_re.I,
+            )
+        )
+    return ", ".join(out)

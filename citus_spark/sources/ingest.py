@@ -159,12 +159,19 @@ def merge_apply(
     insert_unmatched: bool = True,
     insert_cols: list[str] | None = None,
     insert_values: list[str] | None = None,
+    with_actions: bool = False,
 ) -> DataFrame:
     """General-form MERGE semantics (↔ the full WHEN grammar of
     reference merge_planner.c): explicit `SET col = expr` assignment
     lists, `WHEN MATCHED AND <cond>` guards, and
     `INSERT (cols) VALUES (exprs)`. Expressions reference the sides
     as `t.` / `s.`. Returns the merged relation (caller persists).
+
+    with_actions=True returns the RETURNING set instead: only the
+    rows an action touched, each with a `__citus_merge_action` column
+    ('UPDATE'/'DELETE'/'INSERT') — PG 17's MERGE RETURNING contract
+    (updated/inserted rows as their NEW image, deleted rows as the
+    OLD image). Same single equi-join shape either way.
 
     Shape: ONE equi-join on the keys feeds every branch — matched
     rows split by the guard (failing or NULL guard = untouched, SQL
@@ -204,31 +211,39 @@ def merge_apply(
     def as_target(df: DataFrame) -> DataFrame:
         return df.select(*[F.col(f"t.{c}").alias(c) for c in t_cols])
 
-    parts: list[DataFrame] = [
-        target.join(source.select(*keys), keys, "left_anti"),
-        as_target(miss),
-    ]
+    def tag(df: DataFrame, action: str) -> DataFrame:
+        return df.withColumn("__citus_merge_action", F.lit(action))
+
+    parts: list[DataFrame] = (
+        []
+        if with_actions
+        else [
+            target.join(source.select(*keys), keys, "left_anti"),
+            as_target(miss),
+        ]
+    )
     if when_matched == "update":
         asg = dict(assignments or [])
         unknown = set(asg) - set(t_cols)
         if unknown:
             raise ValueError(f"MERGE: unknown column(s) {sorted(unknown)}")
         if asg:
-            parts.append(
-                hit.select(*[
-                    F.expr(asg[c]).cast(target.schema[c].dataType).alias(c)
-                    if c in asg
-                    else F.col(f"t.{c}").alias(c)
-                    for c in t_cols
-                ])
-            )
+            upd = hit.select(*[
+                F.expr(asg[c]).cast(target.schema[c].dataType).alias(c)
+                if c in asg
+                else F.col(f"t.{c}").alias(c)
+                for c in t_cols
+            ])
         else:  # whole-row replacement by the source row
-            parts.append(
-                hit.select(*[F.col(f"s.{c}").alias(c) for c in t_cols])
-            )
+            upd = hit.select(*[F.col(f"s.{c}").alias(c) for c in t_cols])
+        parts.append(tag(upd, "UPDATE") if with_actions else upd)
     elif when_matched == "ignore":
-        parts.append(as_target(hit))
-    elif when_matched != "delete":
+        if not with_actions:
+            parts.append(as_target(hit))
+    elif when_matched == "delete":
+        if with_actions:  # deleted rows RETURN their old image
+            parts.append(tag(as_target(hit), "DELETE"))
+    else:
         raise ValueError(f"unknown when_matched: {when_matched!r}")
     if insert_unmatched:
         unmatched_s = s.join(target.select(*keys), keys, "left_anti")
@@ -239,20 +254,20 @@ def merge_apply(
                 raise ValueError(
                     f"MERGE: INSERT into unknown column(s) {sorted(unknown)}"
                 )
-            parts.append(
-                unmatched_s.select(*[
-                    F.expr(vals[c]).cast(target.schema[c].dataType).alias(c)
-                    if c in vals
-                    else F.lit(None).cast(target.schema[c].dataType).alias(c)
-                    for c in t_cols
-                ])
-            )
+            ins = unmatched_s.select(*[
+                F.expr(vals[c]).cast(target.schema[c].dataType).alias(c)
+                if c in vals
+                else F.lit(None).cast(target.schema[c].dataType).alias(c)
+                for c in t_cols
+            ])
         else:
-            parts.append(
-                unmatched_s.select(
-                    *[F.col(f"s.{c}").alias(c) for c in t_cols]
-                )
+            ins = unmatched_s.select(
+                *[F.col(f"s.{c}").alias(c) for c in t_cols]
             )
+        parts.append(tag(ins, "INSERT") if with_actions else ins)
+    if not parts:  # with_actions and no branch produced rows
+        empty = target.filter(F.lit(False))
+        return tag(empty, "NONE").filter(F.lit(False))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

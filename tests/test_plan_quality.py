@@ -214,3 +214,24 @@ def test_ngram_lm_two_phase_aggregation_no_cartesian(spark):
     assert plan.count("HashAggregate") >= 6, plan  # 3 aggs × partial/final
     assert "CartesianProduct" not in plan, plan
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_dup_passages_partial_agg_no_cartesian(spark):
+    """Duplicate-passage detection must stay the banded shape: the
+    exploded k-gram stream partial-aggregates map-side before the one
+    hash exchange on the fingerprint, the distinct-doc count plans as
+    two-phase, and nothing degenerates into a cartesian or a single-
+    task global sort. This is what keeps substring dedup linear at
+    100 TB — the shuffle carries (hash, partial counts), never
+    doc-pair candidates."""
+    import __spark_entry__ as e
+
+    for name in ("dup_passages_topk", "dup_passage_doc_share"):
+        df = e.queries()[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange hashpartitioning" in plan, name
+        assert "partial" in plan, name  # map-side combine before shuffle
+        # top-k entry must not globally sort the gram stream
+        if name == "dup_passages_topk":
+            assert "TakeOrderedAndProject" in plan

@@ -149,3 +149,50 @@ def test_returning_is_pre_swap_not_lazy(spark, sess):
     # a second action re-reads the staged copy, not the live table
     again = sorted(r.o_orderkey for r in out.collect())
     assert first == again and first and all(k % 2 == 0 for k in first)
+
+
+def test_merge_returning_actions(spark, sess):
+    # PG 17 MERGE .. RETURNING merge_action(): updates return the new
+    # image, inserts their row, with the action name alongside
+    spark.sql(
+        "SELECT 1 AS o_orderkey, 111.0 AS delta UNION ALL "
+        "SELECT 990030, 7.5"
+    ).createOrReplaceTempView("merge_src_ret")
+    before = (
+        spark.table("orders_ret").filter("o_orderkey = 1").collect()[0]
+    )
+    out = sess.sql(
+        "MERGE INTO orders_ret t USING merge_src_ret s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_totalprice = t.o_totalprice + s.delta "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) "
+        "VALUES (s.o_orderkey, s.delta) "
+        "RETURNING merge_action(), o_orderkey, o_totalprice"
+    ).collect()
+    got = {r.o_orderkey: (r.merge_action, r.o_totalprice) for r in out}
+    assert got[1] == ("UPDATE", pytest.approx(before.o_totalprice + 111.0))
+    assert got[990030] == ("INSERT", 7.5)
+    # the table itself reflects the merge
+    assert (
+        spark.table("orders_ret").filter("o_orderkey = 990030").count()
+        == 1
+    )
+
+
+def test_merge_returning_delete_old_image(spark, sess):
+    old = spark.table("orders_ret").filter("o_orderkey = 4").collect()[0]
+    spark.sql("SELECT 4 AS o_orderkey").createOrReplaceTempView(
+        "merge_del_ret"
+    )
+    out = sess.sql(
+        "MERGE INTO orders_ret t USING merge_del_ret s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN DELETE "
+        "RETURNING merge_action() AS act, *"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].act == "DELETE"
+    assert out[0].o_totalprice == old.o_totalprice
+    assert "__citus_merge_action" not in out[0].asDict()
+    assert spark.table("orders_ret").filter("o_orderkey = 4").count() == 0
