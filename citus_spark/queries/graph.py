@@ -1,0 +1,109 @@
+"""Graph analytics over event data (operators/pagerank.py +
+operators/components.py family).
+
+The graph: a bipartite user↔item walk from `events` — an edge
+between user_id and item node (1000 + props.k) whenever the user
+produced an event carrying that prop, both directions so the walk is
+ergodic. This is the standard entity-importance projection of an
+event log (users weighted by the items they touch and vice versa).
+
+The oracle is a full independent re-derivation: because pagerank()
+is exact integer fixed-point (see operators/pagerank.py), DuckDB
+unrolls the identical iterations as chained CTEs and matches the
+ranks BIT-FOR-BIT — an iterative distributed algorithm with a
+value-exact oracle, not a boolean contract.
+
+↔ reference: recursive/iterative query surface (SURVEY §2.3
+recursive CTEs; citus docs' graph-traversal examples over
+distributed tables).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citus_spark.queries import load_views, register_split
+
+_ITERS = 8
+_SCALE = 10**12
+
+_EDGES_SPARK = """
+SELECT DISTINCT user_id AS src,
+       1000 + CAST(get_json_object(props, '$.k') AS BIGINT) AS dst
+FROM events
+WHERE get_json_object(props, '$.k') IS NOT NULL
+"""
+
+_EDGES_DUCK = """
+SELECT DISTINCT user_id AS src,
+       1000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def pagerank_event_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.pagerank import pagerank
+
+    load_views(spark, sf_dir)
+    fwd = spark.sql(_EDGES_SPARK)
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=_ITERS)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", "rank")
+    )
+
+
+def _pagerank_oracle() -> str:
+    # unrolled iterations: aggregation is not allowed in a recursive
+    # CTE term (PG/DuckDB restriction), so the oracle chains pr0..prN
+    parts = [
+        f"""
+WITH fwd AS ({_EDGES_DUCK}),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+consts AS (
+  SELECT {_SCALE} // COUNT(*) AS init,
+         (15 * ({_SCALE} // COUNT(*))) // 100 AS base
+  FROM nodes
+),
+pr0 AS (SELECT node, (SELECT init FROM consts) AS rank FROM nodes)"""
+    ]
+    for i in range(_ITERS):
+        parts.append(f""",
+s{i} AS (
+  SELECT e.dst AS node, SUM(p.rank // d.outdeg) AS s
+  FROM edges e
+  JOIN pr{i} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr{i + 1} AS (
+  SELECT n.node,
+         COALESCE((SELECT base FROM consts) + (85 * s.s) // 100,
+                  (SELECT base FROM consts)) AS rank
+  FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
+)""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+FROM pr{_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+register_split(
+    "pagerank_event_entities", pagerank_event_entities, _pagerank_oracle()
+)
