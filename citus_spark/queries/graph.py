@@ -107,3 +107,50 @@ LIMIT 20
 register_split(
     "pagerank_event_entities", pagerank_event_entities, _pagerank_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop counts from a source node over the same bipartite walk
+# (operators/bfs.py). All-integer state → value-exact against a
+# DuckDB recursive CTE whose UNION dedup bounds the walk.
+_BFS_HOPS = 6
+
+
+def bfs_hops_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.bfs import bfs_hops
+
+    load_views(spark, sf_dir)
+    fwd = spark.sql(_EDGES_SPARK)
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        bfs_hops(edges, [0], max_hops=_BFS_HOPS)
+        .orderBy("hops", "node")
+        .select("node", "hops")
+    )
+
+
+register_split(
+    "bfs_hops_user0",
+    bfs_hops_user0,
+    f"""
+WITH RECURSIVE fwd AS ({_EDGES_DUCK}),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_BFS_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+FROM walk
+GROUP BY node
+ORDER BY hops, node
+""",
+)

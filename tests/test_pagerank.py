@@ -73,3 +73,27 @@ def test_mass_approximately_conserved(spark):
     total = sum(r.rank for r in out)
     # integer division only LOSES mass, boundedly
     assert 0 <= SCALE - total < 10**7
+
+
+def test_bfs_hops_exact_small_graph(spark):
+    from citus_spark.operators.bfs import bfs_hops
+
+    # path 1-2-3-4 plus a shortcut 1-4
+    rows = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    edges = spark.createDataFrame(
+        rows + [(b, a) for a, b in rows], "src long, dst long"
+    )
+    out = {r.node: r.hops for r in bfs_hops(edges, [1], 5).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_hop_bound_and_partitioning(spark):
+    from citus_spark.operators.bfs import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    edges1 = spark.createDataFrame(chain, "src long, dst long")
+    edges2 = edges1.repartition(7)
+    a = {r.node: r.hops for r in bfs_hops(edges1, [0], 4).collect()}
+    b = {r.node: r.hops for r in bfs_hops(edges2, [0], 4).collect()}
+    assert a == b
+    assert max(a.values()) == 4 and 5 not in a  # bound respected
