@@ -714,3 +714,111 @@ def pg_casts(sql: str) -> str:
         out.append(text)
         prev_kind = kind
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# ANSI OFFSET .. FETCH — the standard's LIMIT spelling (PG regress
+# uses it alongside LIMIT). Spark only parses `LIMIT n OFFSET m`, so:
+#   OFFSET n ROWS FETCH {FIRST|NEXT} m ROWS ONLY  →  LIMIT m OFFSET n
+#   FETCH FIRST [m] ROWS ONLY                     →  LIMIT m (1 if absent)
+#   OFFSET n ROWS (alone)                         →  OFFSET n
+# WITH TIES has no LIMIT equivalent (needs a rank() rewrite against
+# the ORDER BY) — rejected loudly rather than silently dropping ties.
+_FETCH_FIRST = re.compile(
+    r"(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<n>\d+\s+)?"
+    r"ROWS?\s+(?:(?P<only>ONLY)|(?P<ties>WITH\s+TIES))",
+    re.IGNORECASE,
+)
+_OFFSET_ROWS = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
+
+
+def pg_fetch_first(sql: str) -> str:
+    def fix(code: str) -> str:
+        def repl(m: re.Match) -> str:
+            if m.group("ties"):
+                raise ValueError(
+                    "FETCH .. WITH TIES is not supported — express it "
+                    "as rank() OVER (ORDER BY ...) <= n"
+                )
+            n = (m.group("n") or "1").strip()
+            off = m.group("off")
+            return f"LIMIT {n}" + (f" OFFSET {off}" if off else "")
+
+        code = _FETCH_FIRST.sub(repl, code)
+        return _OFFSET_ROWS.sub(r"OFFSET \1", code)
+
+    return _map_code(sql, fix)
+
+
+# PG TABLESAMPLE methods: SYSTEM/BERNOULLI (pct). Spark's sampler is
+# the same Bernoulli row sample spelled `(pct PERCENT)`; REPEATABLE
+# passes through unchanged (both grammars accept it).
+_PG_TABLESAMPLE = re.compile(
+    r"\bTABLESAMPLE\s+(?:SYSTEM|BERNOULLI)\s*\(\s*(\d+(?:\.\d+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def pg_tablesample(sql: str) -> str:
+    return _map_code(
+        sql, lambda c: _PG_TABLESAMPLE.sub(r"TABLESAMPLE (\1 PERCENT)", c)
+    )
+
+
+# SQL `SIMILAR TO` — the standard's regex-flavored LIKE (PG docs
+# §9.7.2): % → .*, _ → . and the remaining metacharacters ( ) | [ ]
+# * + ? { } are already POSIX regex, anchored at both ends. Only
+# literal patterns rewrite (a computed pattern would need the
+# translation at run time); the literal is the NEXT segment after the
+# operator, so this pass walks segments directly.
+_SIMILAR_TAIL = re.compile(r"(\bNOT\s+)?\bSIMILAR\s+TO\s*$", re.IGNORECASE)
+
+
+def _similar_pattern_to_regex(lit: str) -> str:
+    # Backslashes emitted below are DOUBLED because the output is a
+    # Spark SQL string literal and Spark's default literal parsing
+    # consumes one level of escaping ('\.' in a literal is just '.');
+    # the doubled form reaches the regex engine as the intended \x.
+    body = lit[1:-1]  # keep '' escapes — they stay valid in the output
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "\\" and i + 1 < len(body):
+            out.append("\\\\" + body[i + 1])  # SIMILAR TO escape → regex escape
+            i += 2
+            continue
+        elif ch == ".":
+            out.append("\\\\.")  # literal dot in SIMILAR TO, meta in regex
+        else:
+            out.append(ch)
+        i += 1
+    return "'^(?:" + "".join(out) + ")$'"
+
+
+def pg_similar_to(sql: str) -> str:
+    segs = _segments(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        kind, text = segs[i]
+        m = _SIMILAR_TAIL.search(text) if kind == "code" else None
+        if m and i + 1 < len(segs) and segs[i + 1][0] == "literal":
+            neg = "NOT " if m.group(1) else ""
+            out.append(text[: m.start()])
+            out.append(f" {neg}rlike ")
+            out.append(_similar_pattern_to_regex(segs[i + 1][1]))
+            i += 2
+            continue
+        if m:
+            raise ValueError(
+                "SIMILAR TO with a non-literal pattern is not supported"
+            )
+        out.append(text)
+        i += 1
+    return "".join(out)

@@ -2499,3 +2499,41 @@ SELECT count(*) AS n_users,
 FROM rollup
 """,
 )
+
+
+# ANSI OFFSET .. FETCH spelling (plans/rewrites.pg_fetch_first) and
+# SIMILAR TO (pg_similar_to), both run VERBATIM through session.sql.
+# DuckDB parses both natively → identical-text oracles.
+_PG_FETCH_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+OFFSET 10 ROWS FETCH NEXT 15 ROWS ONLY
+"""
+
+
+def pg_fetch_first_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_FETCH_SQL)
+
+
+register_split("pg_fetch_first_textual", pg_fetch_first_textual, _PG_FETCH_SQL)
+
+
+_PG_SIMILAR_SQL = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE o_orderpriority SIMILAR TO '[12]-(URGENT|HIGH)'
+  AND o_orderkey < 3000
+ORDER BY o_orderkey
+"""
+
+
+def pg_similar_to_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_SIMILAR_SQL)
+
+
+register_split("pg_similar_to_textual", pg_similar_to_textual, _PG_SIMILAR_SQL)

@@ -457,6 +457,18 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_array_contains_ops
 
             query = pg_array_contains_ops(query)
+        if _re.search(r"\bFETCH\b|\bOFFSET\s+\d+\s+ROWS?\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_fetch_first
+
+            query = pg_fetch_first(query)
+        if _re.search(r"\bTABLESAMPLE\s+(SYSTEM|BERNOULLI)\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_tablesample
+
+            query = pg_tablesample(query)
+        if _re.search(r"\bSIMILAR\s+TO\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_similar_to
+
+            query = pg_similar_to(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached
