@@ -2537,3 +2537,55 @@ def pg_similar_to_textual(spark, sf_dir):
 
 
 register_split("pg_similar_to_textual", pg_similar_to_textual, _PG_SIMILAR_SQL)
+
+
+# Prepared-statement + cursor surface (plans/prepared_sql.py ↔
+# reference multi_prepare_sql / cursor regress): Spark executes
+# through PREPARE/EXECUTE and DECLARE/FETCH verbatim; the oracle is
+# the equivalent parameter-inlined SELECT.
+def prepared_statement_exec(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        "PREPARE pq (int) AS "
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_custkey % 10 = $1 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    return sess.sql("EXECUTE pq (3)")
+
+
+register_split(
+    "prepared_statement_exec",
+    prepared_statement_exec,
+    """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_custkey % 10 = CAST(3 AS INT)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+
+
+def cursor_fetch_scan(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        "DECLARE oc CURSOR FOR "
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
+    )
+    first = sess.sql("FETCH 5 FROM oc")
+    rest = sess.sql("FETCH 20 FROM oc")
+    sess.sql("CLOSE oc")
+    return first.unionByName(rest)
+
+
+register_split(
+    "cursor_fetch_scan",
+    cursor_fetch_scan,
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 25
+""",
+)

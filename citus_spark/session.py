@@ -381,6 +381,10 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [(text,)], "explain_analyze string"
             )
+        from citus_spark.plans.prepared_sql import is_prepared_statement
+
+        if is_prepared_statement(query):
+            return self._execute_prepared(query)
         if is_merge(query):
             return self._execute_merge(query)
         ddl = self._execute_ddl(query)
@@ -1409,6 +1413,90 @@ class DistributedSession:
         return self.spark.createDataFrame(
             [(int(affected),)], f"{stmt.kind}d long"
         )
+
+    def _execute_prepared(self, query: str) -> DataFrame:
+        """PREPARE/EXECUTE/DEALLOCATE + DECLARE..CURSOR/FETCH/MOVE/
+        CLOSE (plans/prepared_sql.py ↔ reference multi_prepare_sql /
+        cursor regress suites). EXECUTE substitutes $n parameters
+        (typed PREPARE lists apply casts) and re-enters session.sql,
+        so ANY statement kind can be prepared. Cursors stream via
+        toLocalIterator — FETCH n never materializes the relation."""
+        import itertools
+
+        from citus_spark.plans import prepared_sql as P
+
+        parsed = P.parse(query)
+        if parsed is None:
+            head = query.strip().split(None, 1)[0].upper()
+            raise ValueError(f"cannot parse {head} statement: {query!r}")
+        kind, m = parsed
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, P.Prepared] = {}
+            self._cursors: dict[str, tuple] = {}
+
+        def tag(text: str) -> DataFrame:
+            return self.spark.createDataFrame([(text,)], "status string")
+
+        if kind == "prepare":
+            name = m.group("name").lower()
+            if name in self._prepared:
+                raise ValueError(
+                    f'prepared statement "{name}" already exists'
+                )
+            types = [
+                t.strip()
+                for t in (m.group("types") or "").split(",")
+                if t.strip()
+            ]
+            self._prepared[name] = P.Prepared(m.group("stmt"), types)
+            return tag("PREPARE")
+        if kind == "execute":
+            name = m.group("name").lower()
+            if name not in self._prepared:
+                raise ValueError(
+                    f'prepared statement "{name}" does not exist'
+                )
+            prep = self._prepared[name]
+            args = P.split_args(m.group("args") or "")
+            return self.sql(P.substitute_params(prep.sql, args, prep.types))
+        if kind == "deallocate":
+            name = m.group("name").lower()
+            if name == "all":
+                self._prepared.clear()
+            elif self._prepared.pop(name, None) is None:
+                raise ValueError(
+                    f'prepared statement "{name}" does not exist'
+                )
+            return tag("DEALLOCATE")
+        if kind == "declare":
+            name = m.group("name").lower()
+            if name in self._cursors:
+                raise ValueError(f'cursor "{name}" already exists')
+            df = self.sql(m.group("q"))
+            self._cursors[name] = (df.schema, df.toLocalIterator())
+            return tag("DECLARE CURSOR")
+        if kind == "fetch_move":
+            name = m.group("name").lower()
+            if name not in self._cursors:
+                raise ValueError(f'cursor "{name}" does not exist')
+            schema, it = self._cursors[name]
+            count = (m.group("count") or "NEXT").upper()
+            if count == "ALL":
+                rows = list(it)
+            else:
+                n = 1 if count == "NEXT" else int(count)
+                rows = list(itertools.islice(it, n))
+            if m.group("verb").upper() == "MOVE":
+                return tag(f"MOVE {len(rows)}")
+            return self.spark.createDataFrame(rows, schema)
+        if kind == "close":
+            name = m.group("name").lower()
+            if name == "all":
+                self._cursors.clear()
+            elif self._cursors.pop(name, None) is None:
+                raise ValueError(f'cursor "{name}" does not exist')
+            return tag("CLOSE CURSOR")
+        raise AssertionError(kind)
 
     def _stage_returning(self, rows: DataFrame, returning: str) -> DataFrame:
         """Materialize a RETURNING projection BEFORE the copy-on-write
