@@ -154,3 +154,66 @@ GROUP BY node
 ORDER BY hops, node
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the user co-occurrence projection: users are
+# adjacent when they share an item (props.k), restricted to pairs
+# sharing >= _COOC_MIN items (the thresholding that keeps a
+# co-occurrence projection from exploding at scale — the same guard a
+# 100 TB run needs, where the projection is built per item-bucket and
+# heavy items are capped). Triangles count via the oriented
+# edge-edge-edge join (src < dst everywhere), the standard
+# distributed formulation — three hash joins, no enumeration of
+# open wedges beyond the join, exact integers both engines.
+_COOC_MIN = 3
+
+_COOC_BODY = """
+pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM items a JOIN items b ON a.item = b.item AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= {m}
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_apex_users
+FROM tri
+"""
+
+_ITEMS_SPARK = """
+items AS (
+  SELECT DISTINCT user_id,
+         CAST(get_json_object(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE get_json_object(props, '$.k') IS NOT NULL
+)
+"""
+
+_ITEMS_DUCK = """
+items AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+"""
+
+
+def triangle_count_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "WITH " + _ITEMS_SPARK + "," + _COOC_BODY.format(m=_COOC_MIN)
+    )
+
+
+register_split(
+    "triangle_count_cooc",
+    triangle_count_cooc,
+    "WITH " + _ITEMS_DUCK + "," + _COOC_BODY.format(m=_COOC_MIN),
+)
