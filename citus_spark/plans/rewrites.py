@@ -717,13 +717,135 @@ def pg_casts(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# PG 13 `FETCH FIRST n ROWS WITH TIES` (↔ reference
+# src/test/regress/sql/pg13_with_ties.sql — Citus plans it by pushing
+# the windowed form to workers). No LIMIT spelling exists in Spark, so
+# the block rewrites to the rank() formulation the reference itself
+# uses for the distributed plan:
+#
+#   SELECT <list> ... ORDER BY <keys> FETCH FIRST n ROWS WITH TIES
+#     →
+#   SELECT * EXCEPT (__citus_rk) FROM (
+#     SELECT <list>, rank() OVER (ORDER BY <keys>) AS __citus_rk ...
+#   ) __citus_wt WHERE __citus_rk <= n ORDER BY __citus_rk
+#
+# rank() assigns equal values to ties, so every peer of the n-th row
+# survives — exactly WITH TIES. ORDER BY ordinals and select-list
+# aliases resolve to their expressions (a window spec can reference
+# neither). The single global window IS the semantic cost of WITH
+# TIES itself (a global order); Spark plans the n-filter with a
+# WindowGroupLimit pushdown, so no full materialization happens.
+_FETCH_TIES = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<n>\d+\s+)?ROWS?\s+WITH\s+TIES",
+    re.IGNORECASE,
+)
+
+
+def rewrite_fetch_with_ties(sql: str) -> str:
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((x for x in _FETCH_TIES.finditer(sql) if in_code(x.start())), None)
+    if m is None:
+        return sql
+    n = (m.group("n") or "1").strip()
+    # the enclosing block's SELECT and ORDER BY: last seen at the
+    # paren depth where the FETCH itself sits
+    depth = 0
+    sel: dict[int, int] = {}
+    ob: dict[int, int] = {}
+    kw_sel = re.compile(r"\bSELECT\b", re.IGNORECASE)
+    kw_ob = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+    for j in _code_iter(sql, 0, spans):
+        if j >= m.start():
+            break
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            sel.pop(depth, None)
+            ob.pop(depth, None)
+            depth -= 1
+        elif c in "Ss" and kw_sel.match(sql, j):
+            sel[depth] = j
+        elif c in "Oo" and kw_ob.match(sql, j):
+            ob[depth] = j
+    if depth not in sel:
+        raise ValueError("FETCH .. WITH TIES without an enclosing SELECT")
+    if depth not in ob:
+        # same restriction as PostgreSQL itself
+        raise ValueError("WITH TIES cannot be specified without ORDER BY")
+    sel_pos, ob_pos = sel[depth], ob[depth]
+    between = sql[ob_pos : m.start()]
+    if re.search(r"\bOFFSET\b|\bLIMIT\b", between, re.IGNORECASE):
+        raise ValueError("OFFSET/LIMIT combined with WITH TIES is not supported")
+    if re.match(r"SELECT\s+DISTINCT\b", sql[sel_pos:], re.IGNORECASE):
+        raise ValueError("SELECT DISTINCT with WITH TIES is not supported")
+    ob_text = re.sub(
+        r"^\s*ORDER\s+BY\s*", "", between, flags=re.IGNORECASE
+    ).strip().rstrip(";")
+    body = sql[sel_pos:ob_pos]
+    bspans = _masked_spans(body)
+    d2 = 0
+    from_pos = None
+    kw_from = re.compile(r"\bFROM\b", re.IGNORECASE)
+    for j in _code_iter(body, 0, bspans):
+        c = body[j]
+        if c == "(":
+            d2 += 1
+        elif c == ")":
+            d2 -= 1
+        elif d2 == 0 and c in "Ff" and kw_from.match(body, j):
+            from_pos = j
+            break
+    sl_end = from_pos if from_pos is not None else len(body)
+    sl_items = _split_top_level(body[len("SELECT") : sl_end])
+    alias_expr = {
+        _out_name(s): _strip_alias(s)
+        for s in sl_items
+        if s.strip() != "*" and not s.strip().endswith(".*")
+    }
+
+    def resolve(item: str) -> str:
+        raw = item.strip()
+        dm = re.search(r"\s+(ASC|DESC|NULLS)\b.*$", raw, re.IGNORECASE)
+        head, suffix = (
+            (raw[: dm.start()], raw[dm.start() :]) if dm else (raw, "")
+        )
+        head = head.strip()
+        if re.fullmatch(r"\d+", head):
+            k = int(head)
+            if not (1 <= k <= len(sl_items)):
+                raise ValueError(f"ORDER BY position {k} out of range")
+            return _strip_alias(sl_items[k - 1]) + suffix
+        if head in alias_expr:
+            return alias_expr[head] + suffix
+        return raw
+
+    ob_items = [resolve(o) for o in _split_top_level(ob_text)]
+    inner = (
+        body[:sl_end].rstrip()
+        + f", rank() OVER (ORDER BY {', '.join(ob_items)}) AS __citus_rk\n"
+        + (body[sl_end:] if from_pos is not None else "")
+    )
+    out = (
+        f"{sql[:sel_pos]}SELECT * EXCEPT (__citus_rk) FROM (\n{inner}\n"
+        f") __citus_wt WHERE __citus_rk <= {n} ORDER BY __citus_rk"
+        f"{sql[m.end():]}"
+    )
+    # recurse: a further WITH TIES in another block (e.g. a CTE)
+    return rewrite_fetch_with_ties(out)
+
+
 # ANSI OFFSET .. FETCH — the standard's LIMIT spelling (PG regress
 # uses it alongside LIMIT). Spark only parses `LIMIT n OFFSET m`, so:
 #   OFFSET n ROWS FETCH {FIRST|NEXT} m ROWS ONLY  →  LIMIT m OFFSET n
 #   FETCH FIRST [m] ROWS ONLY                     →  LIMIT m (1 if absent)
 #   OFFSET n ROWS (alone)                         →  OFFSET n
-# WITH TIES has no LIMIT equivalent (needs a rank() rewrite against
-# the ORDER BY) — rejected loudly rather than silently dropping ties.
+# WITH TIES rewrites above (rank() formulation) before this pass runs;
+# the raise below is a safety net for shapes the rewrite rejected.
 _FETCH_FIRST = re.compile(
     r"(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<n>\d+\s+)?"
@@ -734,6 +856,8 @@ _OFFSET_ROWS = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
 
 
 def pg_fetch_first(sql: str) -> str:
+    sql = rewrite_fetch_with_ties(sql)
+
     def fix(code: str) -> str:
         def repl(m: re.Match) -> str:
             if m.group("ties"):
@@ -822,3 +946,201 @@ def pg_similar_to(sql: str) -> str:
         out.append(text)
         i += 1
     return "".join(out)
+
+
+# PG row-locking clauses — `FOR {UPDATE|NO KEY UPDATE|SHARE|KEY SHARE}
+# [OF t, ...] [NOWAIT | SKIP LOCKED]` (↔ reference
+# src/test/regress/sql/multi_select_for_update.sql: Citus routes these
+# to single shards and takes real row locks). This engine executes
+# every statement against one immutable snapshot (copy-on-write DML),
+# so there is nothing to lock: the clause is accepted and stripped,
+# the SQL-standard behavior for a serializable read-only snapshot.
+# NOWAIT/SKIP LOCKED change which rows a *blocked* reader sees — with
+# no writers inside a snapshot, both degenerate to the full result.
+_FOR_LOCK = re.compile(
+    r"\bFOR\s+(?:NO\s+KEY\s+)?(?:UPDATE|SHARE)(?:\s+OF\s+"
+    r"[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)?"
+    r"(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?",
+    re.IGNORECASE,
+)
+
+
+def pg_row_locking(sql: str) -> str:
+    return _map_code(sql, lambda c: _FOR_LOCK.sub("", c))
+
+
+# PG array subscripting — `arr[i]` and slices `arr[lo:hi]`
+# (↔ reference src/test/regress/sql/subscripting_op.sql). PG is
+# 1-based; Spark's native bracket subscript is 0-BASED, so the same
+# spelling silently means a different element — which is why this
+# rewrite is pg_compat-GATED (the only rewrites allowed to fire
+# unconditionally are ones whose input is invalid Spark SQL).
+#   arr[i]      → element_at(arr, i)        (1-based, like PG)
+#   arr[lo:hi]  → slice(arr, lo, hi-lo+1)   (inclusive ends, like PG)
+# The base must be an identifier path or a closing paren/bracket
+# (function call or chained subscript); numeric literals never
+# rewrite (`a[1]` yes, `1[1]` no). Chains apply left-to-right.
+_SUBSCRIPT = re.compile(
+    r"(?P<base>[A-Za-z_][\w.]*|\))\s*\[\s*(?P<lo>[^\[\]:,]+?)"
+    r"(?:\s*:\s*(?P<hi>[^\[\]:,]+?))?\s*\]"
+)
+_KW_NO_SUB = {"array", "values", "in", "and", "or", "not", "then", "else"}
+
+
+def pg_subscripts(sql: str) -> str:
+    def fix(code: str) -> str:
+        changed = True
+        while changed:
+            changed = False
+            for m in _SUBSCRIPT.finditer(code):
+                base = m.group("base")
+                if base.lower() in _KW_NO_SUB:
+                    continue
+                if base == ")":
+                    # function-call base: balanced backscan from the
+                    # ')' to the matching '(' plus the callee name
+                    depth = 0
+                    j = m.start()
+                    while j >= 0:
+                        if code[j] == ")":
+                            depth += 1
+                        elif code[j] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        j -= 1
+                    if j < 0:
+                        raise ValueError(
+                            "array subscript base spans a string "
+                            "literal or segment boundary — rewrite it "
+                            "as element_at()/slice() directly"
+                        )
+                    k = j - 1
+                    while k >= 0 and (code[k].isalnum() or code[k] in "._"):
+                        k -= 1
+                    expr_start = k + 1
+                    expr = code[expr_start : m.start() + 1]
+                else:
+                    expr_start = m.start()
+                    expr = base
+                lo = m.group("lo").strip()
+                hi = m.group("hi")
+                if hi is None:
+                    new = f"element_at({expr}, {lo})"
+                else:
+                    hi = hi.strip()
+                    new = f"slice({expr}, {lo}, ({hi}) - ({lo}) + 1)"
+                code = code[:expr_start] + new + code[m.end() :]
+                changed = True
+                break
+        return code
+
+    return _map_code(sql, fix)
+
+
+# PG/SQL:2016 jsonpath functions (↔ reference pg15_jsonpath.sql /
+# pg17_json.sql regress). Spark's get_json_object speaks the same
+# `$.a.b[0]` path dialect for the member/element subset — the only
+# subset these rewrites accept (filters `?()`, wildcards and `**`
+# raise). Mapping:
+#   jsonb_path_exists(j, 'p')       → get_json_object(j, 'p') IS NOT NULL
+#   jsonb_path_query_first(j, 'p')  → get_json_object(j, 'p')
+#   jsonb_path_match(j, 'p')        → CAST(get_json_object(j, 'p') AS BOOLEAN)
+# (json_* spellings accepted too; @? / @@ operators rewrite to the
+# same forms.)
+_JSONPATH_FN = re.compile(
+    r"\b(?P<fn>jsonb?_path_(?:exists|match|query_first))\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _jsonpath_guard(path_lit: str) -> str:
+    body = path_lit[1:-1]
+    if any(tok in body for tok in ("?", "*", "@", " filter")):
+        raise ValueError(
+            f"jsonpath {path_lit} uses filter/wildcard syntax — only "
+            "member/element paths ($.a.b[0]) are supported"
+        )
+    return path_lit
+
+
+def pg_jsonpath(sql: str) -> str:
+    segs = _segments(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        kind, text = segs[i]
+        if kind != "code":
+            out.append(text)
+            i += 1
+            continue
+        m = _JSONPATH_FN.search(text)
+        if not m:
+            out.append(text)
+            i += 1
+            continue
+        # argument 1: code up to the comma; argument 2: the NEXT
+        # literal segment (the jsonpath), then the closing paren
+        head = text[: m.start()]
+        rest = text[m.end() :]
+        comma = rest.rfind(",")
+        if comma < 0 or i + 1 >= len(segs) or segs[i + 1][0] != "literal":
+            raise ValueError(
+                f"{m.group('fn')} requires (expr, 'literal jsonpath')"
+            )
+        arg1 = rest[:comma].strip()
+        path = _jsonpath_guard(segs[i + 1][1])
+        # the close paren lives in the code segment after the literal
+        j = i + 2
+        if j >= len(segs) or not segs[j][1].lstrip().startswith(")"):
+            raise ValueError(
+                f"{m.group('fn')}: trailing arguments are not supported"
+            )
+        close_rest = segs[j][1].lstrip()[1:]
+        fn = m.group("fn").lower()
+        if fn.endswith("exists"):
+            expr = f"(get_json_object({arg1}, {path}) IS NOT NULL)"
+        elif fn.endswith("match"):
+            expr = f"CAST(get_json_object({arg1}, {path}) AS BOOLEAN)"
+        else:
+            expr = f"get_json_object({arg1}, {path})"
+        segs = (
+            segs[:i]
+            + [("code", head + expr + close_rest)]
+            + segs[j + 1 :]
+        )
+        out = []
+        i = 0
+    return "".join(t for _, t in segs)
+
+
+# @? (path exists) and @@ (path match) operator spellings: the
+# jsonpath literal is the right operand.
+_JSONPATH_OP_TAIL = re.compile(r"@(\?|@)\s*$")
+
+
+def pg_jsonpath_ops(sql: str) -> str:
+    segs = _segments(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        kind, text = segs[i]
+        m = _JSONPATH_OP_TAIL.search(text) if kind == "code" else None
+        if m and i + 1 < len(segs) and segs[i + 1][0] == "literal":
+            # left operand: the trailing identifier path before the op
+            lhs_m = re.search(r"([A-Za-z_][\w.]*)\s*$", text[: m.start()])
+            if lhs_m is None:
+                raise ValueError("@?/@@ needs a simple column left operand")
+            path = _jsonpath_guard(segs[i + 1][1])
+            col = lhs_m.group(1)
+            if m.group(1) == "?":
+                expr = f"(get_json_object({col}, {path}) IS NOT NULL)"
+            else:
+                expr = f"CAST(get_json_object({col}, {path}) AS BOOLEAN)"
+            out.append(text[: lhs_m.start()])
+            out.append(expr)
+            i += 2
+            continue
+        out.append(text)
+        i += 1
+    return "".join(t for t in out)

@@ -2539,6 +2539,96 @@ def pg_similar_to_textual(spark, sf_dir):
 register_split("pg_similar_to_textual", pg_similar_to_textual, _PG_SIMILAR_SQL)
 
 
+# PG 13 FETCH FIRST .. WITH TIES (plans/rewrites.rewrite_fetch_with_ties
+# ↔ reference src/test/regress/sql/pg13_with_ties.sql). Ordering on a
+# low-cardinality key makes the tie group REAL: the first 20 rows by
+# o_orderdate cut mid-date, so WITH TIES must return every order of
+# the boundary date — the result SET is deterministic even though a
+# bare LIMIT 20's would not be. DuckDB has no WITH TIES; the oracle is
+# the rank() formulation the rewrite itself produces.
+_PG_TIES_SQL = """
+SELECT o_orderkey, o_orderdate
+FROM orders
+ORDER BY o_orderdate
+FETCH FIRST 20 ROWS WITH TIES
+"""
+
+
+def pg_with_ties_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_TIES_SQL)
+
+
+register_split(
+    "pg_with_ties_textual",
+    pg_with_ties_textual,
+    """
+SELECT o_orderkey, o_orderdate FROM (
+  SELECT o_orderkey, o_orderdate,
+         rank() OVER (ORDER BY o_orderdate) AS rk
+  FROM orders
+) t WHERE rk <= 20
+""",
+)
+
+
+# SQL:2016 jsonpath surface (plans/rewrites.pg_jsonpath /
+# pg_jsonpath_ops ↔ reference pg15_jsonpath.sql regress): the
+# member/element subset maps 1:1 onto get_json_object's path dialect.
+# FOR UPDATE strips as a snapshot no-op on the same statement
+# (↔ multi_select_for_update.sql). DuckDB parses neither spelling —
+# the oracle re-derives via json_extract_string.
+def pg_jsonpath_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT event_id, jsonb_path_query_first(props, '$.k') AS k_val
+FROM events
+WHERE jsonb_path_exists(props, '$.k') AND event_id < 500
+ORDER BY event_id
+FOR UPDATE
+"""
+    )
+
+
+register_split(
+    "pg_jsonpath_textual",
+    pg_jsonpath_textual,
+    """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL AND event_id < 500
+ORDER BY event_id
+""",
+)
+
+
+# PG 1-based array subscripts + inclusive slices under pg_compat
+# (plans/rewrites.pg_subscripts ↔ reference subscripting_op.sql).
+# DuckDB's native bracket subscripting IS PG's (1-based, inclusive
+# ends) → the oracle keeps the original spelling verbatim.
+_PG_SUBSCRIPT_SQL = """
+SELECT vec_id, embedding[1] AS first_dim,
+       embedding[2:4] AS dims_2_to_4
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+"""
+
+
+def pg_subscript_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.pg_compat = True
+    return sess.sql(_PG_SUBSCRIPT_SQL)
+
+
+register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
+
+
 # Prepared-statement + cursor surface (plans/prepared_sql.py ↔
 # reference multi_prepare_sql / cursor regress): Spark executes
 # through PREPARE/EXECUTE and DECLARE/FETCH verbatim; the oracle is

@@ -381,6 +381,29 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [(text,)], "explain_analyze string"
             )
+        # PG option-list EXPLAIN — `EXPLAIN (COSTS OFF) stmt`,
+        # `EXPLAIN (ANALYZE, TIMING OFF) stmt`, `EXPLAIN VERBOSE stmt`
+        # (regress scripts use these forms everywhere). ANALYZE in the
+        # option list executes (our metric tree); anything else is a
+        # plan-only render — the inner statement goes through the PG
+        # rewrites but is NEVER executed, like PG's EXPLAIN.
+        m = _re.match(
+            r"\s*EXPLAIN\s*(?:\(\s*(?P<opts>[^)]*)\)|\s(?P<kw>VERBOSE))\s*"
+            r"(?P<stmt>SELECT\b.+|WITH\b.+|VALUES\b.+|TABLE\b.+)$",
+            query,
+            _re.I | _re.S,
+        )
+        if m:
+            opts = (m.group("opts") or m.group("kw") or "").upper()
+            inner = m.group("stmt")
+            if "ANALYZE" in opts:
+                text = self.explain_analyze_text(inner)
+            else:
+                plan = self.spark.sql(
+                    "EXPLAIN " + self._apply_pg_rewrites(inner)
+                ).collect()[0][0]
+                text = plan
+            return self.spark.createDataFrame([(text,)], "plan string")
         from citus_spark.plans.prepared_sql import is_prepared_statement
 
         if is_prepared_statement(query):
@@ -423,56 +446,7 @@ class DistributedSession:
         into = self._execute_select_into(query)
         if into is not None:
             return into
-        if self.pg_compat:
-            query = pg_casts(query)
-        # unconditional PG-surface rewrites: neither spelling is valid
-        # Spark SQL, so rewriting can never change a working query
-        # (string literals are segment-protected). ILIKE needs no
-        # rewrite — Spark accepts it natively.
-        if "~" in query:
-            from citus_spark.plans.rewrites import pg_regex_ops
-
-            query = pg_regex_ops(query)
-        import re as _re
-
-        if _re.search(r"\bDISTINCT\s+ON\b", query, _re.IGNORECASE):
-            from citus_spark.plans.rewrites import rewrite_distinct_on
-
-            query = rewrite_distinct_on(query)
-        if _re.search(r"\bINTERVAL\b", query, _re.IGNORECASE):
-            from citus_spark.plans.rewrites import pg_intervals
-
-            query = pg_intervals(query)
-        if _re.search(r"\bgenerate_series\b", query, _re.IGNORECASE):
-            from citus_spark.plans.rewrites import pg_generate_series
-
-            query = pg_generate_series(query)
-        if "->" in query:
-            from citus_spark.plans.rewrites import pg_json_ops
-
-            # single-arrow heads only under pg_compat: `x -> 'lit'`
-            # is also Spark lambda syntax (see pg_json_ops docstring)
-            query = pg_json_ops(query, allow_single_arrow=self.pg_compat)
-        if _re.search(r"\bARRAY\s*\[", query, _re.IGNORECASE):
-            from citus_spark.plans.rewrites import pg_array_literals
-
-            query = pg_array_literals(query)
-        if "@>" in query or "<@" in query or "&&" in query:
-            from citus_spark.plans.rewrites import pg_array_contains_ops
-
-            query = pg_array_contains_ops(query)
-        if _re.search(r"\bFETCH\b|\bOFFSET\s+\d+\s+ROWS?\b", query, _re.I):
-            from citus_spark.plans.rewrites import pg_fetch_first
-
-            query = pg_fetch_first(query)
-        if _re.search(r"\bTABLESAMPLE\s+(SYSTEM|BERNOULLI)\b", query, _re.I):
-            from citus_spark.plans.rewrites import pg_tablesample
-
-            query = pg_tablesample(query)
-        if _re.search(r"\bSIMILAR\s+TO\b", query, _re.I):
-            from citus_spark.plans.rewrites import pg_similar_to
-
-            query = pg_similar_to(query)
+        query = self._apply_pg_rewrites(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached
@@ -1497,6 +1471,80 @@ class DistributedSession:
                 raise ValueError(f'cursor "{name}" does not exist')
             return tag("CLOSE CURSOR")
         raise AssertionError(kind)
+
+    def _apply_pg_rewrites(self, query: str) -> str:
+        """The unconditional PG-surface rewrite chain: none of these
+        spellings is valid Spark SQL, so rewriting can never change a
+        working query (string literals are segment-protected). ILIKE
+        needs no rewrite — Spark accepts it natively. Shared by sql()
+        and the plan-only EXPLAIN path."""
+        from citus_spark.plans.rewrites import pg_casts
+
+        import re as _re
+
+        if self.pg_compat:
+            query = pg_casts(query)
+        if "~" in query:
+            from citus_spark.plans.rewrites import pg_regex_ops
+
+            query = pg_regex_ops(query)
+        if _re.search(r"\bDISTINCT\s+ON\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import rewrite_distinct_on
+
+            query = rewrite_distinct_on(query)
+        if _re.search(r"\bINTERVAL\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_intervals
+
+            query = pg_intervals(query)
+        if _re.search(r"\bgenerate_series\b", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_generate_series
+
+            query = pg_generate_series(query)
+        if "->" in query:
+            from citus_spark.plans.rewrites import pg_json_ops
+
+            # single-arrow heads only under pg_compat: `x -> 'lit'`
+            # is also Spark lambda syntax (see pg_json_ops docstring)
+            query = pg_json_ops(query, allow_single_arrow=self.pg_compat)
+        if _re.search(r"\bARRAY\s*\[", query, _re.IGNORECASE):
+            from citus_spark.plans.rewrites import pg_array_literals
+
+            query = pg_array_literals(query)
+        if "@>" in query or "<@" in query or "&&" in query:
+            from citus_spark.plans.rewrites import pg_array_contains_ops
+
+            query = pg_array_contains_ops(query)
+        if _re.search(r"\bFETCH\b|\bOFFSET\s+\d+\s+ROWS?\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_fetch_first
+
+            query = pg_fetch_first(query)
+        if _re.search(r"\bTABLESAMPLE\s+(SYSTEM|BERNOULLI)\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_tablesample
+
+            query = pg_tablesample(query)
+        if _re.search(r"\bSIMILAR\s+TO\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_similar_to
+
+            query = pg_similar_to(query)
+        if _re.search(r"\bFOR\s+(NO\s+KEY\s+)?(UPDATE|SHARE)\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_row_locking
+
+            query = pg_row_locking(query)
+        if _re.search(r"\bjsonb?_path_", query, _re.I):
+            from citus_spark.plans.rewrites import pg_jsonpath
+
+            query = pg_jsonpath(query)
+        if "@?" in query or "@@" in query:
+            from citus_spark.plans.rewrites import pg_jsonpath_ops
+
+            query = pg_jsonpath_ops(query)
+        if self.pg_compat and "[" in query:
+            # gated: `a[1]` is ALSO valid Spark SQL (0-based) — only a
+            # session opted into PG semantics may have it re-based
+            from citus_spark.plans.rewrites import pg_subscripts
+
+            query = pg_subscripts(query)
+        return query
 
     def _stage_returning(self, rows: DataFrame, returning: str) -> DataFrame:
         """Materialize a RETURNING projection BEFORE the copy-on-write

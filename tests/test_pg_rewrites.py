@@ -33,11 +33,14 @@ def test_fetch_first_and_offset(spark, pg_sess):
         "FETCH FIRST ROW ONLY"
     ).collect()
     assert len(one) == 1
-    with pytest.raises(ValueError, match="WITH TIES"):
-        pg_sess.sql(
-            "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
-            "FETCH FIRST 3 ROWS WITH TIES"
-        )
+    # WITH TIES on a unique key degenerates to a plain LIMIT
+    ties = pg_sess.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+        "FETCH FIRST 3 ROWS WITH TIES"
+    ).collect()
+    assert [r.o_orderkey for r in ties] == sorted(
+        r.o_orderkey for r in ties
+    ) and len(ties) == 3
 
 
 def test_pg_tablesample_spelling(pg_sess):
@@ -66,3 +69,125 @@ def test_similar_to_semantics(pg_sess):
         "SELECT 'x SIMILAR TO y' AS s FROM orders LIMIT 1"
     ).collect()
     assert lit[0].s == "x SIMILAR TO y"
+
+
+def test_explain_option_list_plan_only(pg_sess):
+    # PG regress form: EXPLAIN (COSTS OFF) — renders a plan, executes
+    # nothing, and the inner statement passes through the PG rewrites
+    out = pg_sess.sql(
+        "EXPLAIN (COSTS OFF) SELECT DISTINCT ON (o_custkey) o_custkey "
+        "FROM orders ORDER BY o_custkey"
+    ).collect()
+    assert len(out) == 1 and "Physical Plan" in out[0].plan
+    verbose = pg_sess.sql(
+        "EXPLAIN VERBOSE SELECT count(*) FROM orders"
+    ).collect()
+    assert "Physical Plan" in verbose[0].plan
+
+
+def test_explain_analyze_option_executes(pg_sess):
+    out = pg_sess.sql(
+        "EXPLAIN (ANALYZE, COSTS OFF) SELECT count(*) AS c FROM orders"
+    ).collect()
+    assert len(out) == 1 and out[0].plan  # metric-annotated tree
+
+
+def test_with_ties_boundary_group(spark, pg_sess):
+    # first 2 rows by priority cut inside a tie group -> every peer of
+    # the 2nd row's priority must come back
+    rows = pg_sess.sql(
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "ORDER BY o_orderpriority FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    first_pri = spark.sql(
+        "SELECT min(o_orderpriority) AS p FROM orders"
+    ).collect()[0].p
+    n_first = spark.sql(
+        f"SELECT count(*) AS n FROM orders WHERE o_orderpriority = '{first_pri}'"
+    ).collect()[0].n
+    assert len(rows) == n_first
+    assert {r.o_orderpriority for r in rows} == {first_pri}
+
+
+def test_with_ties_alias_and_aggregate(pg_sess):
+    # ORDER BY a select-list alias of an aggregate: the rewrite must
+    # substitute the expression (a window spec can't see the alias)
+    rows = pg_sess.sql(
+        "SELECT o_orderpriority, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority "
+        "FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0].cnt >= rows[1].cnt
+
+
+def test_with_ties_in_cte(pg_sess):
+    n = pg_sess.sql(
+        "WITH t AS (SELECT o_custkey FROM orders ORDER BY o_custkey "
+        "FETCH FIRST 1 ROWS WITH TIES) SELECT count(*) AS n FROM t"
+    ).collect()[0].n
+    assert n >= 1
+
+
+def test_with_ties_requires_order_by(pg_sess):
+    with pytest.raises(Exception, match="ORDER BY"):
+        pg_sess.sql(
+            "SELECT o_orderkey FROM orders FETCH FIRST 2 ROWS WITH TIES"
+        )
+
+
+def test_for_update_strips_as_noop(spark, pg_sess):
+    rows = pg_sess.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 100 "
+        "ORDER BY o_orderkey FOR UPDATE SKIP LOCKED"
+    ).collect()
+    plain = spark.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 100 "
+        "ORDER BY o_orderkey"
+    ).collect()
+    assert [r.o_orderkey for r in rows] == [r.o_orderkey for r in plain]
+    share = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders FOR NO KEY UPDATE OF orders NOWAIT"
+    ).collect()
+    assert share[0].c > 0
+
+
+def test_pg_subscripts_one_based(pg_sess):
+    pg_sess.pg_compat = True
+    r = pg_sess.sql(
+        "SELECT array(10, 20, 30, 40)[2] AS el, "
+        "array(10, 20, 30, 40)[2:3] AS sl FROM orders LIMIT 1"
+    ).collect()[0]
+    # PG semantics: [2] is the SECOND element, [2:3] inclusive ends
+    assert r.el == 20 and r.sl == [20, 30]
+    # a literal containing brackets is never touched
+    lit = pg_sess.sql("SELECT 'a[1]' AS s FROM orders LIMIT 1").collect()
+    assert lit[0].s == "a[1]"
+
+
+def test_pg_subscripts_gated_off_by_default(pg_sess):
+    # without pg_compat, Spark's native 0-based subscript rules
+    r = pg_sess.sql(
+        "SELECT array(10, 20, 30)[1] AS el FROM orders LIMIT 1"
+    ).collect()[0]
+    assert r.el == 20  # Spark 0-based: index 1 = second element
+
+
+def test_jsonpath_functions(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT jsonb_path_query_first(props, '$.k') AS k FROM events "
+        "WHERE jsonb_path_exists(props, '$.k') LIMIT 5"
+    ).collect()
+    assert rows and all(r.k is not None for r in rows)
+    # @? operator spelling
+    n = pg_sess.sql(
+        "SELECT count(*) AS n FROM events WHERE props @? '$.k'"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_jsonpath_filter_syntax_rejected(pg_sess):
+    with pytest.raises(ValueError, match="filter/wildcard"):
+        pg_sess.sql(
+            "SELECT jsonb_path_exists(props, '$.k ? (@ > 1)') FROM events"
+        )
