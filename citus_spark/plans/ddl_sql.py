@@ -192,3 +192,58 @@ def parse_create_table(sql: str) -> tuple[str, str, bool] | None:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
     return m.group("name"), ", ".join(cols), ine
+
+
+# ---------------------------------------------------------------------------
+# Views (↔ reference src/test/regress/sql/multi_view.sql /
+# materialized_view.sql — Citus treats a view over distributed tables
+# as a macro expanded at plan time, and a materialized view as a
+# LOCAL table populated by its defining query; the analogs here are a
+# late-bound temp view re-registered per statement, and a parquet
+# materialization refreshed on command).
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<mat>MATERIALIZED\s+)?"
+    r"VIEW\s+(?P<name>[A-Za-z_][\w.]*)\s+AS\s+(?P<body>.+?)\s*"
+    r"(?:WITH\s+(?:NO\s+)?DATA\s*)?;?\s*$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+(?P<mat>MATERIALIZED\s+)?VIEW\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+_REFRESH_MATVIEW = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*;?\s*$",
+    re.I,
+)
+
+
+def parse_create_view(sql: str):
+    """(name, or_replace, materialized, body, with_no_data) or None."""
+    m = _CREATE_VIEW.match(sql)
+    if m is None:
+        return None
+    no_data = bool(
+        re.search(r"WITH\s+NO\s+DATA\s*;?\s*$", sql, re.I)
+    )
+    return (
+        m.group("name"),
+        bool(m.group("replace")),
+        bool(m.group("mat")),
+        m.group("body").strip(),
+        no_data,
+    )
+
+
+def parse_drop_view(sql: str):
+    """(name, if_exists, materialized) or None."""
+    m = _DROP_VIEW.match(sql)
+    if m is None:
+        return None
+    return m.group("name"), bool(m.group("ine")), bool(m.group("mat"))
+
+
+def parse_refresh_matview(sql: str) -> str | None:
+    m = _REFRESH_MATVIEW.match(sql)
+    return m.group("name") if m else None

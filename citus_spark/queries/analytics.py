@@ -2629,6 +2629,50 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# Textual views + materialized views (session._execute_view_ddl
+# ↔ reference multi_view.sql / materialized_view.sql): a late-bound
+# view feeds a matview, whose parquet snapshot the final SELECT
+# reads. The oracle re-derives the same numbers from the base table
+# directly — value-exact because the defining queries are pure.
+def view_matview_lifecycle(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE VIEW __vml_big AS "
+        "SELECT o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000"
+    )
+    sess.sql("DROP MATERIALIZED VIEW IF EXISTS __vml_totals")
+    sess.sql(
+        "CREATE MATERIALIZED VIEW __vml_totals AS "
+        "SELECT o_custkey, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM __vml_big GROUP BY o_custkey"
+    )
+    return sess.sql(
+        "SELECT count(*) AS n_custs, CAST(sum(n) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS grand_total "
+        "FROM __vml_totals"
+    )
+
+
+register_split(
+    "view_matview_lifecycle",
+    view_matview_lifecycle,
+    """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey
+)
+SELECT count(*) AS n_custs, CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS grand_total
+FROM per_cust
+""",
+)
+
+
 # Prepared-statement + cursor surface (plans/prepared_sql.py ↔
 # reference multi_prepare_sql / cursor regress): Spark executes
 # through PREPARE/EXECUTE and DECLARE/FETCH verbatim; the oracle is

@@ -150,6 +150,12 @@ class DistributedSession:
         self.spark = spark or get_spark()
         self.catalog = DistCatalog()
         self.stat_statements = StatStatements()
+        # textual CREATE [MATERIALIZED] VIEW state: name → defining
+        # SQL (views re-bind per statement — PG late binding), and
+        # name → (sql, parquet path) for matviews (refresh-only)
+        self._views: dict[str, str] = {}
+        self._matviews: dict[str, tuple[str, str]] = {}
+        self._in_view_refresh = False
 
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
@@ -371,6 +377,12 @@ class DistributedSession:
         )
 
         import re as _re
+
+        # late-bound textual views (PG semantics): a view's defining
+        # query re-resolves against CURRENT storage at each statement,
+        # so DML/DDL between statements is always visible through it
+        if self._views and not self._in_view_refresh:
+            self._refresh_textual_views()
 
         # EXPLAIN ANALYZE <stmt> — not in Spark's grammar; ours returns
         # the metric-annotated tree as a one-column relation, the same
@@ -769,6 +781,98 @@ class DistributedSession:
                 )
         return entry
 
+    def _refresh_textual_views(self) -> None:
+        """Re-register every textual CREATE VIEW in creation order
+        (views over views resolve because dicts preserve insertion
+        order). Registration is analysis-only — no job runs until a
+        statement actually reads the view."""
+        self._in_view_refresh = True
+        try:
+            for name, body in self._views.items():
+                self.sql(body).createOrReplaceTempView(name)
+        finally:
+            self._in_view_refresh = False
+
+    def _execute_view_ddl(self, query: str):
+        """Textual view DDL (↔ reference multi_view.sql /
+        materialized_view.sql). CREATE VIEW stores the defining SQL
+        and registers a late-bound temp view; CREATE MATERIALIZED
+        VIEW runs the query ONCE into parquet (WITH NO DATA defers
+        the run — the view errors until REFRESH, like PG's
+        unpopulated state); REFRESH re-runs into a fresh path and
+        swaps (copy-on-write — concurrent readers of the old snapshot
+        are unaffected, the CONCURRENTLY analog)."""
+        from citus_spark.plans.ddl_sql import (
+            parse_create_view,
+            parse_drop_view,
+            parse_refresh_matview,
+        )
+
+        cv = parse_create_view(query)
+        if cv is not None:
+            name, or_replace, mat, body, no_data = cv
+            exists = name in self._views or name in self._matviews
+            if exists and not or_replace:
+                raise ValueError(f'relation "{name}" already exists')
+            if self.catalog.get(name) is not None:
+                raise ValueError(
+                    f'"{name}" is a table — cannot create a view over it'
+                )
+            if mat:
+                path = os.path.join(
+                    tempfile.gettempdir(),
+                    f"citus_spark_mv_{name}_{os.getpid()}",
+                )
+                self._matviews[name] = (body, path)
+                if no_data:
+                    # unpopulated: reading must fail until REFRESH
+                    self.spark.catalog.dropTempView(name)
+                else:
+                    self._refresh_matview(name)
+                tag = "CREATE MATERIALIZED VIEW"
+            else:
+                self._views[name] = body
+                self.sql(body).createOrReplaceTempView(name)
+                tag = "CREATE VIEW"
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame([(tag,)], "status string")
+        rm = parse_refresh_matview(query)
+        if rm is not None:
+            if rm not in self._matviews:
+                raise ValueError(f'"{rm}" is not a materialized view')
+            self._refresh_matview(rm)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("REFRESH MATERIALIZED VIEW",)], "status string"
+            )
+        dv = parse_drop_view(query)
+        if dv is not None:
+            name, if_exists, mat = dv
+            store = self._matviews if mat else self._views
+            if name not in store:
+                if if_exists:
+                    return self.spark.createDataFrame(
+                        [("DROP VIEW skipped: unknown",)], "status string"
+                    )
+                kind = "materialized view" if mat else "view"
+                raise ValueError(f'{kind} "{name}" does not exist')
+            store.pop(name)
+            self.spark.catalog.dropTempView(name)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("DROP VIEW",)], "status string"
+            )
+        return None
+
+    def _refresh_matview(self, name: str) -> None:
+        import uuid as _uuid
+
+        body, base = self._matviews[name]
+        path = f"{base}_{_uuid.uuid4().hex[:8]}"
+        self.sql(body).write.mode("overwrite").parquet(path)
+        self._matviews[name] = (body, base)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
     def _execute_ddl(self, query: str):
         """Textual DDL (plans/ddl_sql.py): CREATE TABLE materializes
         an empty writable relation with the PG column types mapped to
@@ -777,6 +881,9 @@ class DistributedSession:
         no-ops so reference tutorials run verbatim from their first
         statement. None = not DDL (or a DROP of a non-catalog table —
         Spark's own handling takes those)."""
+        view = self._execute_view_ddl(query)
+        if view is not None:
+            return view
         from citus_spark.plans.ddl_sql import (
             parse_create_table,
             parse_drop_table,
