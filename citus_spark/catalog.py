@@ -52,6 +52,10 @@ class TableDist:
     # partition bookkeeping) — set via create_time_partitions:
     # {"path", "ts_col", "granularity"}
     time_partitioning: dict | None = None
+    # auto-sequence columns (serial / IDENTITY / DEFAULT nextval):
+    # {column: sequence_name} — INSERTs that omit the column draw a
+    # block from the named session sequence
+    identity: dict | None = None
 
     @property
     def is_reference(self) -> bool:

@@ -169,15 +169,22 @@ def parse_alter_table(sql: str):
     )
 
 
-def parse_create_table(sql: str) -> tuple[str, str, bool] | None:
-    """→ (table, spark-DDL schema string, if_not_exists), or None."""
+def parse_create_table(sql: str):
+    """→ (table, spark-DDL schema string, if_not_exists,
+    [(identity_col, explicit_seq|None), ...]), or None."""
+    from citus_spark.plans.sequence_sql import identity_of
+
     m = _CREATE.match(sql)
     if not m:
         return None
     cols = []
+    identities: list[tuple[str, str | None]] = []
     for item in _split_columns(m.group("body")):
         if _TABLE_CONSTRAINT.match(item):
             continue  # advisory in this engine (see module docstring)
+        ident = identity_of(item)
+        if ident is not None:
+            identities.append(ident)
         cm = re.match(
             r"^([A-Za-z_]\w*)\s+(.+?)"
             r"(?:\s+(?:PRIMARY\s+KEY|NOT\s+NULL|NULL|UNIQUE|DEFAULT\s+.+"
@@ -191,7 +198,7 @@ def parse_create_table(sql: str) -> tuple[str, str, bool] | None:
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
-    return m.group("name"), ", ".join(cols), ine
+    return m.group("name"), ", ".join(cols), ine, identities
 
 
 # ---------------------------------------------------------------------------

@@ -2629,6 +2629,39 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# Sequences + identity columns (plans/sequence_sql.py,
+# operators/sequence.py ↔ reference sequences.sql /
+# multi_sequence_default.sql / generated_identity.sql): an INSERT
+# omitting the identity column draws a contiguous block via the
+# two-phase prefix sum. WHICH row gets WHICH id follows partition
+# order (the reference likewise guarantees only uniqueness), so the
+# oracle checks the id SET: sorted ids == 1..N exactly.
+def sequence_identity_ids(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql("DROP TABLE IF EXISTS __seq_orders")
+    sess.sql(
+        "CREATE TABLE __seq_orders (id bigint GENERATED ALWAYS AS IDENTITY, "
+        "okey bigint)"
+    )
+    sess.sql(
+        "INSERT INTO __seq_orders (okey) "
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 1000"
+    )
+    return sess.sql("SELECT id FROM __seq_orders ORDER BY id")
+
+
+register_split(
+    "sequence_identity_ids",
+    sequence_identity_ids,
+    """
+SELECT CAST(row_number() OVER () AS BIGINT) AS id
+FROM orders WHERE o_orderkey < 1000 ORDER BY id
+""",
+)
+
+
 # Textual views + materialized views (session._execute_view_ddl
 # ↔ reference multi_view.sql / materialized_view.sql): a late-bound
 # view feeds a matview, whose parquet snapshot the final SELECT

@@ -156,6 +156,9 @@ class DistributedSession:
         self._views: dict[str, str] = {}
         self._matviews: dict[str, tuple[str, str]] = {}
         self._in_view_refresh = False
+        # sequence state (↔ the coordinator's sequence relations):
+        # name → {"next": int, "inc": int, "last": int|None}
+        self._sequences: dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
@@ -383,6 +386,15 @@ class DistributedSession:
         # so DML/DDL between statements is always visible through it
         if self._views and not self._in_view_refresh:
             self._refresh_textual_views()
+
+        # sequence calls: coordinator evaluation (literal draws), then
+        # the distributed per-row path for nextval over a FROM query
+        if _re.search(r"\b(nextval|currval|setval)\s*\(\s*'", query, _re.I):
+            query = self._eval_sequence_calls(query)
+            if _re.search(r"\bnextval\s*\(", query, _re.I) and _re.match(
+                r"\s*(SELECT|WITH)\b", query, _re.I
+            ):
+                return self._execute_nextval_select(query)
 
         # EXPLAIN ANALYZE <stmt> — not in Spark's grammar; ours returns
         # the metric-annotated tree as a one-column relation, the same
@@ -793,6 +805,231 @@ class DistributedSession:
         finally:
             self._in_view_refresh = False
 
+    # -- sequences (plans/sequence_sql.py ↔ reference sequences.sql /
+    # multi_sequence_default.sql regress) ------------------------------
+    def _seq_alloc(self, name: str, n: int = 1) -> int:
+        """Reserve n values; returns the first. The block-allocation
+        analog of the reference's coordinator handing workers disjoint
+        sequence ranges."""
+        st = self._sequences.get(name)
+        if st is None:
+            raise ValueError(f'sequence "{name}" does not exist')
+        base = st["next"]
+        if n <= 0:
+            return base  # empty draw: state unchanged
+        st["next"] = base + n * st["inc"]
+        st["last"] = base + (n - 1) * st["inc"]
+        return base
+
+    def _execute_sequence_ddl(self, query: str):
+        from citus_spark.plans.sequence_sql import (
+            parse_alter_sequence,
+            parse_create_sequence,
+            parse_drop_sequence,
+        )
+
+        cs = parse_create_sequence(query)
+        if cs is not None:
+            name, start, inc, ine = cs
+            if name in self._sequences:
+                if ine:
+                    return self.spark.createDataFrame(
+                        [("CREATE SEQUENCE skipped: exists",)],
+                        "status string",
+                    )
+                raise ValueError(f'sequence "{name}" already exists')
+            self._sequences[name] = {"next": start, "inc": inc, "last": None}
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("CREATE SEQUENCE",)], "status string"
+            )
+        ds = parse_drop_sequence(query)
+        if ds is not None:
+            name, ine = ds
+            if name not in self._sequences:
+                if ine:
+                    return self.spark.createDataFrame(
+                        [("DROP SEQUENCE skipped: unknown",)], "status string"
+                    )
+                raise ValueError(f'sequence "{name}" does not exist')
+            self._sequences.pop(name)
+            return self.spark.createDataFrame(
+                [("DROP SEQUENCE",)], "status string"
+            )
+        al = parse_alter_sequence(query)
+        if al is not None:
+            name, arg = al
+            if arg == "owned_by":
+                return self.spark.createDataFrame(
+                    [("ALTER SEQUENCE accepted (OWNED BY is advisory)",)],
+                    "status string",
+                )
+            st = self._sequences.get(name)
+            if st is None:
+                raise ValueError(f'sequence "{name}" does not exist')
+            st["next"] = arg if arg is not None else (
+                1 if st["inc"] > 0 else -1
+            )
+            st["last"] = None
+            return self.spark.createDataFrame(
+                [("ALTER SEQUENCE",)], "status string"
+            )
+        return None
+
+    def _eval_sequence_calls(self, query: str) -> str:
+        """Coordinator evaluation of nextval/currval/setval with
+        literal sequence names (↔ reference
+        multi_function_evaluation.c — volatile functions evaluate on
+        the coordinator before distribution). Each textual occurrence
+        draws independently, so multi-row VALUES lists get distinct
+        values. nextval in a FROM query is per-ROW semantics — that
+        path allocates a distributed block instead (see
+        _select_list_nextval) and is left untouched here."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _masked_spans
+        from citus_spark.plans.sequence_sql import CURRVAL, NEXTVAL, SETVAL
+
+        def sub_outside_literals(pattern, repl_fn, sql: str) -> str:
+            """Like pattern.sub, but a match only fires when it STARTS
+            in code (the sequence-name literal it consumes is part of
+            the call — that's the point); matches that begin inside a
+            string literal or comment are left alone."""
+            spans = _masked_spans(sql)
+            out, last = [], 0
+            for m in pattern.finditer(sql):
+                if any(a <= m.start() < b for a, b in spans):
+                    continue
+                out.append(sql[last : m.start()])
+                out.append(repl_fn(m))
+                last = m.end()
+            out.append(sql[last:])
+            return "".join(out)
+
+        def do_setval(m: _re.Match) -> str:
+            seq, n = m.group("seq"), int(m.group("n"))
+            st = self._sequences.get(seq)
+            if st is None:
+                raise ValueError(f'sequence "{seq}" does not exist')
+            called = (m.group("called") or "true").lower() == "true"
+            st["next"] = n + st["inc"] if called else n
+            st["last"] = n if called else None
+            return str(n)
+
+        def do_currval(m: _re.Match) -> str:
+            st = self._sequences.get(m.group("seq"))
+            if st is None:
+                raise ValueError(
+                    f'sequence "{m.group("seq")}" does not exist'
+                )
+            if st["last"] is None:
+                raise ValueError(
+                    f'currval of sequence "{m.group("seq")}" is not '
+                    "yet defined in this session"
+                )
+            return str(st["last"])
+
+        query = sub_outside_literals(SETVAL, do_setval, query)
+        query = sub_outside_literals(CURRVAL, do_currval, query)
+        # nextval only when the statement has no FROM clause
+        # (VALUES rows / constant SELECT): per-occurrence draws
+        if not _re.search(r"\bFROM\b", query, _re.I):
+            query = sub_outside_literals(
+                NEXTVAL,
+                lambda m: str(self._seq_alloc(m.group("seq"))),
+                query,
+            )
+        return query
+
+    def _select_list_nextval(self, df_sql: str):
+        """Split `nextval('s')` out of a top-level select list:
+        → (sql_without_item, seq, alias, position) or None. Only a
+        STANDALONE select-list item is claimed (nested uses would need
+        per-row coordinator round-trips — rejected by the caller)."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import (
+            _code_iter,
+            _masked_spans,
+            _split_top_level,
+        )
+        from citus_spark.plans.sequence_sql import NEXTVAL
+
+        spans = _masked_spans(df_sql)
+
+        def in_code(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in spans)
+
+        m_sel = _re.match(r"\s*SELECT\s+", df_sql, _re.I)
+        if m_sel is None:
+            return None
+        depth = 0
+        from_pos = len(df_sql)
+        kw_from = _re.compile(r"\bFROM\b", _re.I)
+        for j in _code_iter(df_sql, m_sel.end(), spans):
+            c = df_sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "Ff" and kw_from.match(df_sql, j):
+                from_pos = j
+                break
+        items = _split_top_level(df_sql[m_sel.end() : from_pos])
+        for i, item in enumerate(items):
+            m = _re.match(
+                NEXTVAL.pattern + r"(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
+                item,
+                _re.I,
+            )
+            if m:
+                alias = m.group(m.re.groups) or "nextval"
+                rest = items[:i] + items[i + 1 :]
+                sql2 = (
+                    df_sql[: m_sel.end()]
+                    + (", ".join(rest) if rest else "1 AS __citus_seq_dummy")
+                    + " "
+                    + df_sql[from_pos:]
+                )
+                return sql2, m.group("seq"), alias, i
+        return None
+
+    def _execute_nextval_select(self, query: str) -> DataFrame:
+        """SELECT with nextval('s') over a FROM clause: per-row
+        semantics via distributed block allocation — one reservation
+        driver-side, offsets from the two-phase prefix sum (never a
+        global-sort window)."""
+        split = self._select_list_nextval(query)
+        if split is None:
+            raise ValueError(
+                "nextval over a FROM query is supported only as a "
+                "standalone top-level select-list item"
+            )
+        sql2, seq, alias, pos = split
+        st = self._sequences.get(seq)
+        if st is None:
+            raise ValueError(f'sequence "{seq}" does not exist')
+        from citus_spark.operators.prefix_sum import with_global_offset
+
+        df = self.sql(sql2)
+        keyed = df.withColumn("_seq_mid", F.monotonically_increasing_id())
+        off = with_global_offset(keyed, "_seq_mid", F.lit(1), "_seq_off")
+        n = off.count()  # cheap: with_global_offset persisted the base
+        base = self._seq_alloc(seq, n)
+        out = (
+            off.withColumn(
+                alias,
+                (F.lit(base) + F.col("_seq_off") * F.lit(st["inc"]))
+                .cast("long"),
+            )
+            .drop("_seq_mid", "_seq_off")
+        )
+        if "__citus_seq_dummy" in out.columns:
+            out = out.drop("__citus_seq_dummy")
+        cols = [c for c in out.columns if c != alias]
+        cols.insert(pos, alias)
+        return out.select(*cols)
+
     def _execute_view_ddl(self, query: str):
         """Textual view DDL (↔ reference multi_view.sql /
         materialized_view.sql). CREATE VIEW stores the defining SQL
@@ -884,6 +1121,9 @@ class DistributedSession:
         view = self._execute_view_ddl(query)
         if view is not None:
             return view
+        seq = self._execute_sequence_ddl(query)
+        if seq is not None:
+            return seq
         from citus_spark.plans.ddl_sql import (
             parse_create_table,
             parse_drop_table,
@@ -899,7 +1139,7 @@ class DistributedSession:
             )
         created = parse_create_table(query)
         if created is not None:
-            name, ddl_schema, if_not_exists = created
+            name, ddl_schema, if_not_exists, identities = created
             if self.catalog.get(name) is not None:
                 if if_not_exists:
                     return self.spark.createDataFrame(
@@ -915,7 +1155,19 @@ class DistributedSession:
             empty = self.spark.createDataFrame([], ddl_schema)
             empty.write.mode("overwrite").parquet(path)
             self.spark.read.parquet(path).createOrReplaceTempView(name)
-            self.catalog.register(name, "none", path=path)
+            entry = self.catalog.register(name, "none", path=path)
+            if identities:
+                # serial / IDENTITY / DEFAULT nextval: bind each column
+                # to its (implicit) session sequence, PG-style
+                ident_map: dict[str, str] = {}
+                for col, seqname in identities:
+                    seqname = seqname or f"{name}_{col}_seq"
+                    if seqname not in self._sequences:
+                        self._sequences[seqname] = {
+                            "next": 1, "inc": 1, "last": None,
+                        }
+                    ident_map[col] = seqname
+                entry.identity = ident_map
             self.stat_statements.record(query, None, executor="utility")
             return self.spark.createDataFrame(
                 [("CREATE TABLE",)], "status string"
@@ -1047,6 +1299,30 @@ class DistributedSession:
             else F.lit(None).cast(schema[c].dataType).alias(c)
             for c in t_cols
         ])
+        # identity/serial columns omitted from the target list draw a
+        # sequence block (↔ reference multi_sequence_default.sql)
+        omitted_ident = [
+            (c, s)
+            for c, s in (entry.identity or {}).items()
+            if c not in names and c in t_cols
+        ]
+        if omitted_ident:
+            from citus_spark.operators.sequence import with_sequence_values
+
+            n_new = aligned.count()
+            for col, seqname in omitted_ident:
+                st = self._sequences.get(seqname)
+                if st is None:
+                    raise ValueError(
+                        f'sequence "{seqname}" does not exist'
+                    )
+                base = self._seq_alloc(seqname, n_new)
+                aligned = with_sequence_values(
+                    aligned.drop(col), base, st["inc"], col
+                ).select(*[
+                    F.col(c).cast(schema[c].dataType).alias(c)
+                    for c in t_cols
+                ])
         n = aligned.count()
         returned = None
         if stmt.on_conflict is None:

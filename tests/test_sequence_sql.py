@@ -1,0 +1,93 @@
+"""Sequences + serial/IDENTITY columns (plans/sequence_sql.py,
+operators/sequence.py ↔ reference sequences.sql /
+multi_sequence_default.sql / generated_identity.sql regress).
+Statement-level block allocation: ids are unique and contiguous per
+statement; row→value pairing follows partition order (the reference
+guarantees uniqueness only)."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+def test_create_nextval_currval_setval(sess):
+    sess.sql("CREATE SEQUENCE s1")
+    assert sess.sql("SELECT nextval('s1') AS v").collect()[0].v == 1
+    assert sess.sql("SELECT nextval('s1') AS v").collect()[0].v == 2
+    assert sess.sql("SELECT currval('s1') AS v").collect()[0].v == 2
+    assert sess.sql("SELECT setval('s1', 100) AS v").collect()[0].v == 100
+    assert sess.sql("SELECT nextval('s1') AS v").collect()[0].v == 101
+    sess.sql("DROP SEQUENCE s1")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("SELECT nextval('s1') AS v")
+
+
+def test_sequence_start_increment_restart(sess):
+    sess.sql("CREATE SEQUENCE s2 START WITH 10 INCREMENT BY 5")
+    vals = [sess.sql("SELECT nextval('s2') AS v").collect()[0].v
+            for _ in range(3)]
+    assert vals == [10, 15, 20]
+    sess.sql("ALTER SEQUENCE s2 RESTART WITH 2")
+    assert sess.sql("SELECT nextval('s2') AS v").collect()[0].v == 2
+
+
+def test_currval_before_nextval_errors(sess):
+    sess.sql("CREATE SEQUENCE s3")
+    with pytest.raises(ValueError, match="not yet defined"):
+        sess.sql("SELECT currval('s3') AS v")
+
+
+def test_multirow_values_draw_distinct(sess):
+    sess.sql("CREATE SEQUENCE s4")
+    sess.sql("CREATE TABLE seq_t (id bigint, v text)")
+    sess.sql(
+        "INSERT INTO seq_t VALUES (nextval('s4'), 'a'), "
+        "(nextval('s4'), 'b'), (nextval('s4'), 'c')"
+    )
+    ids = sorted(r.id for r in sess.sql("SELECT id FROM seq_t").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_nextval_over_from_block_allocation(sess):
+    sess.sql("CREATE SEQUENCE s5 START WITH 100")
+    rows = sess.sql(
+        "SELECT nextval('s5') AS id, o_orderkey FROM orders "
+        "WHERE o_orderkey < 200"
+    ).collect()
+    n = len(rows)
+    assert n > 1
+    assert sorted(r.id for r in rows) == list(range(100, 100 + n))
+    # the sequence advanced by exactly n
+    assert sess.sql("SELECT nextval('s5') AS v").collect()[0].v == 100 + n
+
+
+def test_identity_column_fill(sess):
+    sess.sql(
+        "CREATE TABLE ident_t (id bigint GENERATED ALWAYS AS IDENTITY, "
+        "name text)"
+    )
+    sess.sql("INSERT INTO ident_t (name) VALUES ('x'), ('y'), ('z')")
+    sess.sql("INSERT INTO ident_t (name) VALUES ('w')")
+    rows = sess.sql("SELECT id, name FROM ident_t").collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4]
+    assert {r.name for r in rows} == {"x", "y", "z", "w"}
+
+
+def test_serial_column_fill_from_select(sess):
+    sess.sql("CREATE TABLE ser_t (id serial, ok bigint)")
+    sess.sql(
+        "INSERT INTO ser_t (ok) SELECT o_orderkey FROM orders "
+        "WHERE o_orderkey < 100"
+    )
+    rows = sess.sql("SELECT id, ok FROM ser_t").collect()
+    assert sorted(r.id for r in rows) == list(range(1, len(rows) + 1))
+    assert len({r.ok for r in rows}) == len(rows)
