@@ -2629,6 +2629,51 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# Full-text search (plans/textsearch_sql.py ↔ reference
+# text_search.sql regress): 'simple'-config semantics — lowercase,
+# split on non-alphanumerics, no stemming — so the oracle re-derives
+# tokenization from DuckDB string primitives, value-exact. ts_rank is
+# the documented simplified frequency rank (sum of term occurrences /
+# token count): both engines compute the identical IEEE division on
+# exact integer counts.
+def text_search_rank(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT doc_id,
+       ts_rank(to_tsvector('english', text),
+               to_tsquery('hash & join')) AS rank
+FROM documents
+WHERE to_tsvector('english', text) @@ to_tsquery('hash & join')
+ORDER BY rank DESC, doc_id
+LIMIT 50
+"""
+    )
+
+
+register_split(
+    "text_search_rank",
+    text_search_rank,
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(v, x -> x = 'hash'))
+            + len(list_filter(v, x -> x = 'join')) AS DOUBLE)
+       / CAST(greatest(len(v), 1) AS DOUBLE) AS rank
+FROM toks
+WHERE list_contains(v, 'hash') AND list_contains(v, 'join')
+ORDER BY rank DESC, doc_id
+LIMIT 50
+""",
+)
+
+
 # Sequences + identity columns (plans/sequence_sql.py,
 # operators/sequence.py ↔ reference sequences.sql /
 # multi_sequence_default.sql / generated_identity.sql): an INSERT

@@ -1913,6 +1913,19 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_row_locking
 
             query = pg_row_locking(query)
+        if _re.search(r"\bto_tsvector\s*\(|\bts_rank\s*\(|::\s*tsquery",
+                      query, _re.I):
+            from citus_spark.plans.textsearch_sql import (
+                pg_text_search,
+                register_ts_functions,
+            )
+
+            if not getattr(self, "_ts_registered", False):
+                register_ts_functions(self.spark)
+                self._ts_registered = True
+            # must run BEFORE the jsonpath @@ pass: `tsv @@ 'q'::tsquery`
+            # also has a literal right operand
+            query = pg_text_search(query)
         if _re.search(r"\bjsonb?_path_", query, _re.I):
             from citus_spark.plans.rewrites import pg_jsonpath
 
