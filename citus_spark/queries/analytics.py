@@ -2629,6 +2629,51 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# Data-modifying CTE (session._execute_modifying_cte ↔ reference
+# with_modifying.sql): the classic archive idiom — DELETE ...
+# RETURNING feeds an INSERT in one statement. The oracle re-derives
+# both sides of the partition from the base table.
+def modifying_cte_archive(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql("DROP TABLE IF EXISTS __mca_live")
+    sess.sql("DROP TABLE IF EXISTS __mca_archive")
+    sess.sql("CREATE TABLE __mca_live (okey bigint, price double precision)")
+    sess.sql("CREATE TABLE __mca_archive (okey bigint, price double precision)")
+    sess.sql(
+        "INSERT INTO __mca_live SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
+    sess.sql(
+        "WITH archived AS (DELETE FROM __mca_live "
+        "WHERE price > 150000 RETURNING okey, price) "
+        "INSERT INTO __mca_archive SELECT okey, price FROM archived"
+    )
+    return sess.sql(
+        """
+SELECT (SELECT count(*) FROM __mca_live) AS n_live,
+       (SELECT count(*) FROM __mca_archive) AS n_archived,
+       (SELECT CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        FROM __mca_archive) AS archived_total
+"""
+    )
+
+
+register_split(
+    "modifying_cte_archive",
+    modifying_cte_archive,
+    """
+SELECT count(*) FILTER (WHERE o_totalprice <= 150000) AS n_live,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_archived,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_totalprice > 150000) AS DOUBLE)
+         AS archived_total
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+
+
 # Full-text search (plans/textsearch_sql.py ↔ reference
 # text_search.sql regress): 'simple'-config semantics — lowercase,
 # split on non-alphanumerics, no stemming — so the oracle re-derives

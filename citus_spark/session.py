@@ -432,6 +432,9 @@ class DistributedSession:
 
         if is_prepared_statement(query):
             return self._execute_prepared(query)
+        mod_cte = self._execute_modifying_cte(query)
+        if mod_cte is not None:
+            return mod_cte
         if is_merge(query):
             return self._execute_merge(query)
         ddl = self._execute_ddl(query)
@@ -993,6 +996,79 @@ class DistributedSession:
                 )
                 return sql2, m.group("seq"), alias, i
         return None
+
+    def _execute_modifying_cte(self, query: str):
+        """Data-modifying CTEs — `WITH x AS (INSERT/UPDATE/DELETE ...
+        RETURNING ...) <statement>` (↔ reference with_modifying.sql /
+        with_dml.sql regress; Citus plans each modifying CTE as its
+        own distributed modify). Each modifying CTE executes through
+        the session's DML executors (RETURNING rows are staged to
+        parquet BEFORE the copy-on-write swap) and registers as a
+        temp view; non-modifying CTEs stay in the remaining text.
+        DIVERGENCE (documented): PG runs all sub-statements against
+        one snapshot — here they execute in declaration order, so a
+        later CTE reading a table an earlier one modified sees the
+        modification. Returns None when no CTE is modifying."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _masked_spans
+
+        if not _re.match(r"\s*WITH\b", query, _re.I):
+            return None
+        if not _re.search(r"\b(INSERT|UPDATE|DELETE)\b", query, _re.I):
+            return None
+        spans = _masked_spans(query)
+
+        def in_code(p: int) -> bool:
+            return not any(a <= p < b for a, b in spans)
+
+        head = _re.match(r"\s*WITH\s+", query, _re.I)
+        pos = head.end()
+        ctes: list[tuple[str, str, bool]] = []  # (name, body, modifying)
+        while True:
+            nm = _re.match(
+                r"([A-Za-z_]\w*)\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                query[pos:],
+                _re.I,
+            )
+            if nm is None:
+                return None  # column-alias lists etc. — not ours
+            body_open = pos + nm.end() - 1
+            depth, i = 0, body_open
+            while i < len(query):
+                if in_code(i):
+                    if query[i] == "(":
+                        depth += 1
+                    elif query[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i += 1
+            if depth != 0:
+                raise ValueError("unbalanced parentheses in WITH list")
+            body = query[body_open + 1 : i]
+            modifying = bool(
+                _re.match(r"\s*(INSERT|UPDATE|DELETE)\b", body, _re.I)
+            )
+            ctes.append((nm.group(1), body, modifying))
+            after = _re.match(r"\s*,\s*", query[i + 1 :])
+            if after:
+                pos = i + 1 + after.end()
+                continue
+            rest = query[i + 1 :]
+            break
+        if not any(mod for _, _, mod in ctes):
+            return None
+        kept: list[str] = []
+        for name, body, modifying in ctes:
+            if not modifying:
+                kept.append(f"{name} AS ({body})")
+                continue
+            res = self.sql(body)
+            if _re.search(r"\bRETURNING\b", body, _re.I):
+                res.createOrReplaceTempView(name)
+        final = (f"WITH {', '.join(kept)}\n{rest}") if kept else rest
+        return self.sql(final)
 
     def _execute_nextval_select(self, query: str) -> DataFrame:
         """SELECT with nextval('s') over a FROM clause: per-row
