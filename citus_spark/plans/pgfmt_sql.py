@@ -1,0 +1,245 @@
+"""PG formatting / row / set-returning spellings:
+
+- ``to_char(ts, 'fmt')`` / ``to_date(s, 'fmt')`` / ``to_timestamp(s,
+  'fmt')`` with a LITERAL template: PG's format patterns translate to
+  Spark's (JDK) datetime patterns and the call becomes date_format /
+  to_date / to_timestamp. Numeric to_char templates ('999.99') are
+  rejected loudly. PG blank-pads Day/Month to 9 chars unless FM is
+  given; this engine always behaves like FM mode (documented
+  divergence — FM prefixes are accepted and stripped).
+- FROM-position ``unnest(arr) [WITH ORDINALITY]`` → LATERAL
+  explode / posexplode subquery (ordinality is 1-based and appended
+  last, like PG). Multi-argument unnest (PG zips) is not supported.
+- ``ROW(a, b, ...)`` → ``struct(a, b, ...)`` — composite values;
+  Spark's struct ordering/equality matches PG row comparison
+  (element-wise, left to right).
+
+↔ reference regress: multi_behavioral_analytics_basics.sql (to_char
+rollups), row_types.sql, subquery_and_cte.sql (unnest fixtures).
+"""
+
+from __future__ import annotations
+
+import re
+
+from citus_spark.plans.rewrites import (
+    _code_iter,
+    _in_from_clause,
+    _masked_spans,
+    _split_top_level,
+)
+
+# PG template patterns → Spark datetime patterns, longest-first.
+# Case-sensitive where PG is (Mon vs MON vs mon all mean abbreviated
+# month in PG; textual case is PG output case — Spark always titles,
+# so upper/lower variants map to the same pattern: divergence noted).
+_PAT = [
+    ("HH24", "HH"), ("HH12", "hh"),
+    ("YYYY", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
+    ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
+    ("DAY", "EEEE"), ("Day", "EEEE"), ("day", "EEEE"),
+    ("DY", "EEE"), ("Dy", "EEE"), ("dy", "EEE"),
+    ("DDD", "DDD"), ("DD", "dd"), ("ID", "u"),
+    ("MI", "mm"), ("MM", "MM"), ("MS", "SSS"),
+    ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("HH", "hh"),
+    ("TZ", "zzz"), ("OF", "x"), ("Q", "Q"), ("WW", "ww"), ("W", "W"),
+    ("J", None), ("IYYY", None), ("IW", None),  # no Spark analog
+]
+
+
+def translate_datetime_format(fmt: str) -> str:
+    """PG to_char template → Spark datetime pattern. Raises on
+    numeric templates and untranslatable fields."""
+    if re.search(r"[90]", fmt):
+        raise ValueError(
+            f"to_char numeric template {fmt!r} is not supported — "
+            "use format_number()/printf()"
+        )
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt.startswith("FM", i) or fmt.startswith("fm", i):
+            i += 2  # fill mode: our output is always FM-like
+            continue
+        if fmt[i] == '"':  # quoted literal text in PG templates
+            j = fmt.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quote in template {fmt!r}")
+            out.append("'" + fmt[i + 1 : j].replace("'", "''") + "'")
+            i = j + 1
+            continue
+        for pg, spark in _PAT:
+            if fmt.startswith(pg, i):
+                if spark is None:
+                    raise ValueError(
+                        f"to_char field {pg!r} has no Spark pattern"
+                    )
+                out.append(spark)
+                i += len(pg)
+                break
+        else:
+            c = fmt[i]
+            if c.isalpha():
+                raise ValueError(
+                    f"unrecognized to_char field at {fmt[i:]!r}"
+                )
+            # separators pass through; quote alphanumerics never reach
+            # here so no escaping needed
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_TO_FMT = re.compile(r"\b(to_char|to_date|to_timestamp)\s*\(", re.I)
+_FN_MAP = {
+    "to_char": "date_format",
+    "to_date": "to_date",
+    "to_timestamp": "to_timestamp",
+}
+
+
+def pg_to_char(sql: str) -> str:
+    """Rewrite the two-argument literal-template forms. One-argument
+    to_timestamp(epoch) / to_date(str) pass through (Spark-native)."""
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _TO_FMT.finditer(sql, start)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in {m.group(1)}")
+        args = _split_top_level(sql[m.end() : i])
+        if len(args) != 2 or not re.fullmatch(
+            r"'(?:[^']|'')*'", args[1].strip()
+        ):
+            # 1-arg or computed-format form: Spark-native — skip past
+            start = m.end()
+            continue
+        fmt = args[1].strip()[1:-1].replace("''", "'")
+        spark_fmt = translate_datetime_format(fmt)
+        fn = _FN_MAP[m.group(1).lower()]
+        repl = f"{fn}({args[0]}, '{spark_fmt}')"
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)
+
+
+_UNNEST = re.compile(r"\bunnest\s*\(", re.I)
+_KW_STOP = (
+    "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "CROSS",
+    "INNER", "LEFT", "RIGHT", "FULL", "UNION", "INTERSECT", "EXCEPT",
+    "HAVING", "AS", "WITH",
+)
+
+
+def pg_unnest(sql: str) -> str:
+    """FROM-position unnest → LATERAL explode/posexplode subquery.
+    Default output column name is `unnest` (PG); WITH ORDINALITY
+    appends a 1-based bigint ordinal as the LAST column."""
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next(
+        (
+            x
+            for x in _UNNEST.finditer(sql)
+            if in_code(x.start()) and _in_from_clause(sql, spans, x.start())
+        ),
+        None,
+    )
+    if m is None:
+        return sql
+    head = sql[: m.start()].rstrip()
+    lateral = not re.search(r"\bFROM\s*$", head, re.I)
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if in_code(i):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in unnest")
+    args = sql[m.end() : i]
+    if len(_split_top_level(args)) != 1:
+        raise ValueError(
+            "multi-argument unnest (PG zip semantics) is not supported — "
+            "use arrays_zip + explode"
+        )
+    rest = sql[i + 1 :]
+    om = re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.I)
+    ordinality = om is not None
+    if ordinality:
+        rest = rest[om.end() :]
+    col, ordcol, alias = "unnest", "ordinality", ""
+    am = re.match(
+        r"\s*(?:AS\s+)?([A-Za-z_]\w*)"
+        r"(?:\s*\(\s*([A-Za-z_]\w*)(?:\s*,\s*([A-Za-z_]\w*))?\s*\))?",
+        rest,
+        re.I,
+    )
+    if am and am.group(1).upper() not in _KW_STOP:
+        alias = f" {am.group(1)}"
+        if am.group(2):
+            col = am.group(2)
+        else:
+            # PG: a bare alias on a scalar-returning function names
+            # the COLUMN too (`FROM unnest(a) AS w` → column w)
+            col = am.group(1)
+        if am.group(3):
+            ordcol = am.group(3)
+        rest = rest[am.end() :]
+    lat = "LATERAL " if lateral else ""
+    if ordinality:
+        sub = (
+            f"(SELECT c AS {col}, CAST(p + 1 AS BIGINT) AS {ordcol} "
+            f"FROM (SELECT posexplode({args}) AS (p, c)))"
+        )
+    else:
+        sub = f"(SELECT explode({args}) AS {col})"
+    return pg_unnest(f"{sql[: m.start()]}{lat}{sub}{alias}{rest}")
+
+
+_ROW_CTOR = re.compile(r"\bROW\s*\(", re.I)
+
+
+def pg_row_constructor(sql: str) -> str:
+    """ROW(a, b) → struct(a, b) — PG composite-value constructor.
+    struct comparison in Spark is element-wise left-to-right, the
+    same order PG defines for row comparison."""
+    spans = _masked_spans(sql)
+    out, last = [], 0
+    for m in _ROW_CTOR.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(sql[last : m.start()])
+        out.append("struct(")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

@@ -2629,6 +2629,58 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# to_char template translation + FROM-position unnest
+# (plans/pgfmt_sql.py ↔ reference multi_behavioral_analytics_basics
+# to_char rollups). DuckDB spells them strftime / native unnest.
+def pg_to_char_rollup(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        "SELECT to_char(o_orderdate, 'YYYY-MM') AS month, "
+        "count(*) AS n FROM orders GROUP BY month ORDER BY month"
+    )
+
+
+register_split(
+    "pg_to_char_rollup",
+    pg_to_char_rollup,
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+FROM orders GROUP BY month ORDER BY month
+""",
+)
+
+
+def pg_unnest_tokens(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT w AS token, count(*) AS n
+FROM documents, unnest(split(lower(text), '[^a-z]+')) AS w
+WHERE w <> ''
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT 20
+"""
+    )
+
+
+register_split(
+    "pg_unnest_tokens",
+    pg_unnest_tokens,
+    """
+SELECT w AS token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents) t
+WHERE w <> ''
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT 20
+""",
+)
+
+
 # Data-modifying CTE (session._execute_modifying_cte ↔ reference
 # with_modifying.sql): the classic archive idiom — DELETE ...
 # RETURNING feeds an INSERT in one statement. The oracle re-derives

@@ -2010,6 +2010,18 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_jsonpath_ops
 
             query = pg_jsonpath_ops(query)
+        if _re.search(r"\bto_(char|date|timestamp)\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_to_char
+
+            query = pg_to_char(query)
+        if _re.search(r"\bunnest\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_unnest
+
+            query = pg_unnest(query)
+        if _re.search(r"\bROW\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_row_constructor
+
+            query = pg_row_constructor(query)
         if self.pg_compat and "[" in query:
             # gated: `a[1]` is ALSO valid Spark SQL (0-based) — only a
             # session opted into PG semantics may have it re-based

@@ -1,0 +1,74 @@
+"""to_char/to_date template translation, FROM-position unnest, and
+ROW() constructors (plans/pgfmt_sql.py ↔ reference regress:
+multi_behavioral_analytics_basics.sql, row_types.sql)."""
+
+import pytest
+
+from citus_spark.plans.pgfmt_sql import translate_datetime_format
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+def test_template_translation():
+    assert translate_datetime_format("YYYY-MM-DD") == "yyyy-MM-dd"
+    assert translate_datetime_format("HH24:MI:SS.MS") == "HH:mm:ss.SSS"
+    assert translate_datetime_format("FMMonth DD, YYYY") == "MMMM dd, yyyy"
+    assert translate_datetime_format('"at" HH12 AM') == "'at' hh a"
+    with pytest.raises(ValueError, match="numeric template"):
+        translate_datetime_format("999.99")
+    with pytest.raises(ValueError, match="no Spark pattern"):
+        translate_datetime_format("J")
+
+
+def test_to_char_end_to_end(sess, spark):
+    rows = sess.sql(
+        "SELECT to_char(o_orderdate, 'YYYY-MM') AS m, count(*) AS n "
+        "FROM orders GROUP BY m ORDER BY m LIMIT 3"
+    ).collect()
+    import re
+
+    assert rows and all(re.fullmatch(r"\d{4}-\d{2}", r.m) for r in rows)
+    d = sess.sql(
+        "SELECT to_date('02/01/2020', 'DD/MM/YYYY') AS d"
+    ).collect()[0].d
+    assert str(d) == "2020-01-02"
+
+
+def test_unnest_from_position(sess):
+    rows = sess.sql(
+        "SELECT u FROM unnest(array(3, 1, 2)) AS t(u) ORDER BY u"
+    ).collect()
+    assert [r.u for r in rows] == [1, 2, 3]
+    # bare alias names the column (PG scalar-function rule)
+    rows = sess.sql(
+        "SELECT w, count(*) AS n FROM documents, "
+        "unnest(split(lower(text), '[^a-z]+')) AS w "
+        "WHERE w IN ('hash', 'join') GROUP BY w ORDER BY w"
+    ).collect()
+    assert [r.w for r in rows] == ["hash", "join"] and all(
+        r.n > 100 for r in rows
+    )
+
+
+def test_unnest_with_ordinality(sess):
+    rows = sess.sql(
+        "SELECT v, n FROM unnest(array('a','b','c')) "
+        "WITH ORDINALITY AS t(v, n) ORDER BY n"
+    ).collect()
+    assert [(r.v, r.n) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_row_constructor_comparison(sess):
+    r = sess.sql(
+        "SELECT ROW(1, 2) < ROW(1, 3) AS lt, "
+        "ROW(2, 0) > ROW(1, 9) AS gt, ROW(1, 2) = ROW(1, 2) AS eq"
+    ).collect()[0]
+    assert r.lt and r.gt and r.eq
