@@ -1,0 +1,126 @@
+"""CREATE FUNCTION .. LANGUAGE sql → Spark SQL UDFs.
+
+↔ reference src/test/regress/sql/multi_sql_function.sql /
+distributed_functions.sql (Citus propagates function DDL to every
+worker so queries can call them anywhere — create_distributed_function).
+The Spark analog IS the session-registered SQL UDF: CREATE TEMPORARY
+FUNCTION ... RETURN <expr> ships with the plan to every executor and
+stays inside whole-stage codegen, so distribution is free —
+create_distributed_function() is accepted as a no-op for exactly that
+reason.
+
+Supported: scalar functions with named, typed parameters and a
+single-statement SQL body (a bare SELECT of one expression, or a full
+query that becomes a scalar subquery — correlated references to the
+parameters work). Rejected loudly: LANGUAGE plpgsql, SETOF/TABLE
+returns, OUT/DEFAULT parameters, $1-style positional references.
+"""
+
+from __future__ import annotations
+
+import re
+
+from citus_spark.plans.ddl_sql import _map_type
+
+_HEAD = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<params>[^)]*)\)\s*"
+    r"RETURNS\s+(?P<ret>SETOF\s+\w+|TABLE\s*\([^)]*\)|"
+    r"[A-Za-z_][\w ]*?(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+"
+    r"(?P<tail>(?:AS|LANGUAGE|IMMUTABLE|STABLE|VOLATILE|STRICT|COST|"
+    r"PARALLEL|CALLED|SECURITY)\b.*)$",
+    re.I | re.S,
+)
+_DROP_FN = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:\([^)]*\))?\s*"
+    r"(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+
+
+def _extract_body(tail: str) -> tuple[str, str]:
+    """(body, language) from the AS/LANGUAGE tail — dollar-quoted
+    ($$..$$ / $tag$..$tag$) or single-quoted bodies, either keyword
+    order."""
+    lm = re.search(r"\bLANGUAGE\s+(\w+)", tail, re.I)
+    language = lm.group(1).lower() if lm else "sql"
+    dm = re.search(r"\$(?P<tag>[A-Za-z_]*)\$", tail)
+    if dm:
+        close = tail.find(dm.group(0), dm.end())
+        if close < 0:
+            raise ValueError("unterminated dollar-quoted function body")
+        return tail[dm.end() : close].strip(), language
+    qm = re.search(r"\bAS\s+'((?:[^']|'')*)'", tail, re.I | re.S)
+    if qm:
+        return qm.group(1).replace("''", "'").strip(), language
+    raise ValueError("CREATE FUNCTION: no AS body found")
+
+
+def parse_create_function(sql: str):
+    """→ (spark_ddl, name, or_replace) or None (not CREATE FUNCTION)."""
+    if not re.match(
+        r"\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b", sql, re.I
+    ):
+        return None
+    m = _HEAD.match(sql)
+    if m is None:
+        raise ValueError("CREATE FUNCTION: cannot parse header")
+    ret = m.group("ret").strip()
+    if re.match(r"SETOF\b|TABLE\b", ret, re.I):
+        raise NotImplementedError(
+            "CREATE FUNCTION: set-returning functions (SETOF/TABLE) are "
+            "not supported — use a view or LATERAL subquery"
+        )
+    body, language = _extract_body(m.group("tail"))
+    if language not in ("sql",):
+        raise NotImplementedError(
+            f"CREATE FUNCTION: LANGUAGE {language} is not supported "
+            "(sql only — plpgsql has no Spark analog)"
+        )
+    if re.search(r"\$\d", body):
+        raise NotImplementedError(
+            "CREATE FUNCTION: positional parameters ($1) are not "
+            "supported — name the parameters"
+        )
+    params = []
+    raw = m.group("params").strip()
+    if raw:
+        for item in raw.split(","):
+            pm = re.match(
+                r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$", item, re.I
+            )
+            if pm is None or pm.group(1).upper() in ("OUT", "INOUT"):
+                raise NotImplementedError(
+                    f"CREATE FUNCTION: cannot parse parameter {item!r} "
+                    "(named IN parameters only)"
+                )
+            if re.search(r"\bDEFAULT\b|=", pm.group(2), re.I):
+                raise NotImplementedError(
+                    "CREATE FUNCTION: parameter DEFAULTs are not supported"
+                )
+            params.append(f"{pm.group(1)} {_map_type(pm.group(2))}")
+    body = body.rstrip().rstrip(";")
+    sm = re.match(r"\s*SELECT\s+(.+)$", body, re.I | re.S)
+    if sm is None:
+        raise NotImplementedError(
+            "CREATE FUNCTION: body must be a single SELECT"
+        )
+    # bare expression select → RETURN expr; anything with FROM/WHERE →
+    # scalar subquery (correlated parameter references resolve)
+    if re.search(r"\bFROM\b|\bWHERE\b", body, re.I):
+        ret_clause = f"RETURN ({body})"
+    else:
+        ret_clause = f"RETURN {sm.group(1)}"
+    ddl = (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {m.group('name')}"
+        f"({', '.join(params)}) RETURNS {_map_type(ret)} {ret_clause}"
+    )
+    return ddl, m.group("name"), bool(m.group("replace"))
+
+
+def parse_drop_function(sql: str):
+    m = _DROP_FN.match(sql)
+    if m is None:
+        return None
+    return m.group("name"), bool(m.group("ine"))

@@ -35,6 +35,7 @@ _FNS = (
     "citus_relation_size",
     "citus_version",
     "update_distributed_table_colocation",
+    "create_distributed_function",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked

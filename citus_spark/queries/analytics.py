@@ -2629,6 +2629,46 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# SQL function through the textual front door (plans/function_sql.py
+# ↔ reference multi_sql_function.sql): the function body participates
+# in codegen like any expression — the oracle inlines the same
+# arithmetic.
+def sql_function_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION disc_price("
+        "p double precision, d double precision) "
+        "RETURNS double precision AS $$ SELECT p * (1 - d) $$ "
+        "LANGUAGE sql IMMUTABLE"
+    )
+    return sess.sql(
+        """
+SELECT l_returnflag,
+       CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    )
+
+
+register_split(
+    "sql_function_textual",
+    sql_function_textual,
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+
 # to_char template translation + FROM-position unnest
 # (plans/pgfmt_sql.py ↔ reference multi_behavioral_analytics_basics
 # to_char rollups). DuckDB spells them strftime / native unnest.

@@ -625,6 +625,16 @@ class DistributedSession:
             self.undistribute_table(str(call.args[0]))
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
+        elif call.fn == "create_distributed_function":
+            # ↔ reference create_distributed_function(regprocedure):
+            # Citus propagates the function DDL to workers. A Spark
+            # SQL UDF already ships with every plan, so distribution
+            # is inherent — the call validates and records only.
+            return self.spark.createDataFrame(
+                [(f"function {call.args[0]} is distributed "
+                  "(SQL UDFs ship with every Spark plan)",)],
+                "create_distributed_function string",
+            )
         elif call.fn == "citus_version":
             # ↔ reference citus_version(): a version banner. Reports
             # the engine identity + the surveyed reference version so
@@ -1200,6 +1210,28 @@ class DistributedSession:
         seq = self._execute_sequence_ddl(query)
         if seq is not None:
             return seq
+        from citus_spark.plans.function_sql import (
+            parse_create_function,
+            parse_drop_function,
+        )
+
+        fn = parse_create_function(query)
+        if fn is not None:
+            ddl, name, _ = fn
+            self.spark.sql(ddl)
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("CREATE FUNCTION",)], "status string"
+            )
+        dfn = parse_drop_function(query)
+        if dfn is not None:
+            name, ine = dfn
+            self.spark.sql(
+                f"DROP TEMPORARY FUNCTION {'IF EXISTS ' if ine else ''}{name}"
+            )
+            return self.spark.createDataFrame(
+                [("DROP FUNCTION",)], "status string"
+            )
         from citus_spark.plans.ddl_sql import (
             parse_create_table,
             parse_drop_table,

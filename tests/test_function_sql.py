@@ -1,0 +1,89 @@
+"""CREATE FUNCTION .. LANGUAGE sql → Spark SQL UDFs
+(plans/function_sql.py ↔ reference multi_sql_function.sql /
+distributed_functions.sql)."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+def test_scalar_expression_function(sess):
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION tax(amount double precision) "
+        "RETURNS double precision AS $$ SELECT amount * 0.08 $$ "
+        "LANGUAGE sql IMMUTABLE"
+    )
+    r = sess.sql("SELECT tax(100.0) AS t").collect()[0]
+    assert abs(r.t - 8.0) < 1e-12
+    # usable inside a real query over data
+    n = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE tax(o_totalprice) > 10000"
+    ).collect()[0].n
+    assert n > 0
+    sess.sql("DROP FUNCTION tax(double precision)")
+
+
+def test_query_body_becomes_scalar_subquery(sess):
+    sess.sql(
+        "CREATE FUNCTION orders_below(k bigint) RETURNS bigint "
+        "LANGUAGE sql AS $$ SELECT count(*) FROM orders "
+        "WHERE o_orderkey < k $$"
+    )
+    got = sess.sql("SELECT orders_below(100) AS n").collect()[0].n
+    want = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey < 100"
+    ).collect()[0].n
+    assert got == want
+    sess.sql("DROP FUNCTION IF EXISTS orders_below")
+
+
+def test_single_quoted_body_and_dollar_tag(sess):
+    sess.sql(
+        "CREATE FUNCTION double_it(x int) RETURNS int AS "
+        "'SELECT x * 2' LANGUAGE sql"
+    )
+    assert sess.sql("SELECT double_it(21) AS v").collect()[0].v == 42
+    sess.sql(
+        "CREATE FUNCTION halve_it(x int) RETURNS int AS "
+        "$fn$ SELECT CAST(x / 2 AS INT) $fn$ LANGUAGE sql"
+    )
+    assert sess.sql("SELECT halve_it(10) AS v").collect()[0].v == 5
+
+
+def test_create_distributed_function_noop(sess):
+    sess.sql(
+        "CREATE FUNCTION sq(x int) RETURNS int AS $$ SELECT x*x $$ "
+        "LANGUAGE sql"
+    )
+    out = sess.sql(
+        "SELECT create_distributed_function('sq(int)')"
+    ).collect()[0][0]
+    assert "distributed" in out
+    assert sess.sql("SELECT sq(7) AS v").collect()[0].v == 49
+
+
+def test_rejections(sess):
+    with pytest.raises(NotImplementedError, match="plpgsql"):
+        sess.sql(
+            "CREATE FUNCTION f1() RETURNS int AS $$ BEGIN RETURN 1; "
+            "END $$ LANGUAGE plpgsql"
+        )
+    with pytest.raises(NotImplementedError, match="SETOF"):
+        sess.sql(
+            "CREATE FUNCTION f2() RETURNS SETOF int AS "
+            "$$ SELECT 1 $$ LANGUAGE sql"
+        )
+    with pytest.raises(NotImplementedError, match="positional"):
+        sess.sql(
+            "CREATE FUNCTION f3(int) RETURNS int AS $$ SELECT $1 $$ "
+            "LANGUAGE sql"
+        )
