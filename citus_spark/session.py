@@ -464,6 +464,25 @@ class DistributedSession:
 
         if is_copy(query):
             return self._execute_copy(query)
+        # COPY .. TO STDOUT (psql streaming surface): the front-door
+        # analog is returning the relation itself — the caller is the
+        # stream. STDIN has no input channel here; reject with the
+        # file-path form the engine does support.
+        m = _re.match(
+            r"\s*COPY\s+(?:\(\s*(?P<q>.+?)\s*\)|(?P<t>[A-Za-z_][\w.]*))"
+            r"\s+TO\s+STDOUT\b.*$",
+            query,
+            _re.I | _re.S,
+        )
+        if m:
+            return self.sql(
+                m.group("q") or f"SELECT * FROM {m.group('t')}"
+            )
+        if _re.match(r"\s*COPY\s+.+\s+FROM\s+STDIN\b", query, _re.I | _re.S):
+            raise NotImplementedError(
+                "COPY .. FROM STDIN has no input channel in this engine — "
+                "use COPY <table> FROM '<path>' (csv/jsonl/binary)"
+            )
         util = self._execute_utility(query)
         if util is not None:
             return util

@@ -87,3 +87,13 @@ def test_rejections(sess):
             "CREATE FUNCTION f3(int) RETURNS int AS $$ SELECT $1 $$ "
             "LANGUAGE sql"
         )
+
+
+def test_copy_to_stdout_returns_relation(sess):
+    rows = sess.sql(
+        "COPY (SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority) TO STDOUT"
+    ).collect()
+    assert len(rows) == 5
+    with pytest.raises(NotImplementedError, match="STDIN"):
+        sess.sql("COPY orders FROM STDIN WITH (FORMAT csv)")
