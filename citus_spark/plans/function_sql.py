@@ -67,11 +67,6 @@ def parse_create_function(sql: str):
     if m is None:
         raise ValueError("CREATE FUNCTION: cannot parse header")
     ret = m.group("ret").strip()
-    if re.match(r"SETOF\b|TABLE\b", ret, re.I):
-        raise NotImplementedError(
-            "CREATE FUNCTION: set-returning functions (SETOF/TABLE) are "
-            "not supported — use a view or LATERAL subquery"
-        )
     body, language = _extract_body(m.group("tail"))
     if language not in ("sql",):
         raise NotImplementedError(
@@ -106,6 +101,30 @@ def parse_create_function(sql: str):
         raise NotImplementedError(
             "CREATE FUNCTION: body must be a single SELECT"
         )
+    # set-returning forms → Spark SQL TABLE functions (called in FROM
+    # position, `SELECT * FROM fn(args)` — same as PG). SETOF <type>
+    # names its one column after the function, PG's rule.
+    tm = re.match(r"TABLE\s*\((.*)\)\s*$", ret, re.I | re.S)
+    setof = re.match(r"SETOF\s+(\w+)\s*$", ret, re.I)
+    if tm or setof:
+        if tm:
+            cols = []
+            for item in tm.group(1).split(","):
+                cm = re.match(r"\s*([A-Za-z_]\w*)\s+(.+?)\s*$", item)
+                if cm is None:
+                    raise ValueError(
+                        f"RETURNS TABLE: cannot parse column {item!r}"
+                    )
+                cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
+            ret_sig = f"TABLE({', '.join(cols)})"
+        else:
+            base = m.group("name").rsplit(".", 1)[-1]
+            ret_sig = f"TABLE({base} {_map_type(setof.group(1))})"
+        ddl = (
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {m.group('name')}"
+            f"({', '.join(params)}) RETURNS {ret_sig} RETURN {body}"
+        )
+        return ddl, m.group("name"), bool(m.group("replace"))
     # bare expression select → RETURN expr; anything with FROM/WHERE →
     # scalar subquery (correlated parameter references resolve)
     if re.search(r"\bFROM\b|\bWHERE\b", body, re.I):

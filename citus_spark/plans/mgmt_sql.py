@@ -74,7 +74,11 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
     args: list[str | int] = []
     kwargs: dict[str, str | int] = {}
     if body:
-        for part in body.split(","):
+        # top-level comma split: commas inside a quoted argument
+        # (e.g. create_distributed_function('f(int,int)')) don't split
+        from citus_spark.plans.rewrites import _split_top_level
+
+        for part in _split_top_level(body):
             if "=>" in part:
                 name, val = part.split("=>", 1)
                 kwargs[name.strip().lower()] = _parse_value(val)

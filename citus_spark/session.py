@@ -389,7 +389,14 @@ class DistributedSession:
 
         # sequence calls: coordinator evaluation (literal draws), then
         # the distributed per-row path for nextval over a FROM query
-        if _re.search(r"\b(nextval|currval|setval)\s*\(\s*'", query, _re.I):
+        # DDL keeps the calls textual (a CREATE TABLE .. DEFAULT
+        # nextval('s') binds the column to the sequence — it must not
+        # draw a value at definition time)
+        if _re.search(
+            r"\b(nextval|currval|setval)\s*\(\s*'", query, _re.I
+        ) and _re.match(
+            r"\s*(INSERT|SELECT|WITH|VALUES|UPDATE|DELETE)\b", query, _re.I
+        ):
             query = self._eval_sequence_calls(query)
             if _re.search(r"\bnextval\s*\(", query, _re.I) and _re.match(
                 r"\s*(SELECT|WITH)\b", query, _re.I

@@ -77,11 +77,6 @@ def test_rejections(sess):
             "CREATE FUNCTION f1() RETURNS int AS $$ BEGIN RETURN 1; "
             "END $$ LANGUAGE plpgsql"
         )
-    with pytest.raises(NotImplementedError, match="SETOF"):
-        sess.sql(
-            "CREATE FUNCTION f2() RETURNS SETOF int AS "
-            "$$ SELECT 1 $$ LANGUAGE sql"
-        )
     with pytest.raises(NotImplementedError, match="positional"):
         sess.sql(
             "CREATE FUNCTION f3(int) RETURNS int AS $$ SELECT $1 $$ "
@@ -97,3 +92,29 @@ def test_copy_to_stdout_returns_relation(sess):
     assert len(rows) == 5
     with pytest.raises(NotImplementedError, match="STDIN"):
         sess.sql("COPY orders FROM STDIN WITH (FORMAT csv)")
+
+
+def test_table_function_and_setof(sess):
+    sess.sql(
+        "CREATE FUNCTION top_orders(k bigint) RETURNS TABLE("
+        "okey bigint, price double precision) AS $$ "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey < k $$ LANGUAGE sql"
+    )
+    rows = sess.sql(
+        "SELECT count(*) AS n FROM top_orders(100)"
+    ).collect()
+    want = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey < 100"
+    ).collect()[0].n
+    assert rows[0].n == want
+    # SETOF names its single column after the function (PG rule)
+    sess.sql(
+        "CREATE FUNCTION small_keys() RETURNS SETOF bigint AS $$ "
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 40 $$ "
+        "LANGUAGE sql"
+    )
+    rows = sess.sql(
+        "SELECT small_keys FROM small_keys() ORDER BY small_keys"
+    ).collect()
+    assert rows and all(r.small_keys < 40 for r in rows)

@@ -239,3 +239,74 @@ def test_multitenant_quickstart_verbatim(spark):
     assert s.catalog.colocated("companies_q", "campaigns_q")
     for t in ("companies_q", "campaigns_q"):
         s.sql(f"DROP TABLE {t}")
+
+
+def test_pg_surface_session_script(spark):
+    """Round-5 continuation surface as ONE verbatim PG-style session:
+    sequences, views, matviews, SQL functions, WITH TIES, text
+    search, unnest, to_char, modifying CTEs — the statements a PG/
+    Citus user would paste unchanged."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+
+    script = [
+        "BEGIN",
+        "CREATE SEQUENCE audit_seq START WITH 1000",
+        "CREATE TABLE audit_log (id bigint DEFAULT nextval('audit_seq'), "
+        "note text)",
+        "INSERT INTO audit_log (note) VALUES ('loaded'), ('checked')",
+        "CREATE VIEW urgent AS SELECT DISTINCT ON (o_custkey) "
+        "o_custkey, o_orderdate FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "ORDER BY o_custkey, o_orderdate DESC",
+        "CREATE MATERIALIZED VIEW urgent_counts AS "
+        "SELECT count(*) AS n FROM urgent",
+        "CREATE FUNCTION pct(x double precision, y double precision) "
+        "RETURNS double precision AS $$ SELECT x / nullif(y, 0) $$ "
+        "LANGUAGE sql",
+        "SELECT create_distributed_function('pct(float8,float8)')",
+        "COMMIT",
+    ]
+    for stmt in script:
+        s.sql(stmt)
+
+    ids = sorted(
+        r.id for r in s.sql("SELECT id FROM audit_log").collect()
+    )
+    assert ids == [1000, 1001]
+    assert s.sql("SELECT n FROM urgent_counts").collect()[0].n > 0
+
+    ties = s.sql(
+        "SELECT o_orderdate FROM orders ORDER BY o_orderdate "
+        "FETCH FIRST 5 ROWS WITH TIES"
+    ).collect()
+    assert len({r.o_orderdate for r in ties}) == 1 or len(ties) >= 5
+
+    matched = s.sql(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector('english', text) @@ plainto_tsquery('hash join')"
+    ).collect()[0].n
+    assert matched > 0
+
+    monthly = s.sql(
+        "SELECT to_char(o_orderdate, 'YYYY-MM') AS m, "
+        "pct(CAST(count(*) AS DOUBLE), 1000.0) AS share "
+        "FROM orders GROUP BY m ORDER BY m LIMIT 2"
+    ).collect()
+    assert len(monthly) == 2 and monthly[0].share > 0
+
+    toks = s.sql(
+        "SELECT v, n FROM unnest(array('x','y')) WITH ORDINALITY "
+        "AS t(v, n) ORDER BY n"
+    ).collect()
+    assert [(r.v, r.n) for r in toks] == [("x", 1), ("y", 2)]
+
+    s.sql(
+        "WITH trimmed AS (DELETE FROM audit_log WHERE id = 1001 "
+        "RETURNING id) INSERT INTO audit_log (note) "
+        "SELECT 'removed ' || id FROM trimmed"
+    )
+    notes = {r.note for r in s.sql("SELECT note FROM audit_log").collect()}
+    assert "removed 1001" in notes and "checked" not in notes
