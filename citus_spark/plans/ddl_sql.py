@@ -171,14 +171,14 @@ def parse_alter_table(sql: str):
 
 def parse_create_table(sql: str):
     """→ (table, spark-DDL schema string, if_not_exists,
-    [(identity_col, explicit_seq|None), ...]), or None."""
+    [(identity_col, explicit_seq|None, start, inc), ...]), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
     m = _CREATE.match(sql)
     if not m:
         return None
     cols = []
-    identities: list[tuple[str, str | None]] = []
+    identities: list[tuple[str, str | None, int, int]] = []
     for item in _split_columns(m.group("body")):
         if _TABLE_CONSTRAINT.match(item):
             continue  # advisory in this engine (see module docstring)

@@ -138,9 +138,23 @@ def pg_to_char(sql: str) -> str:
             start = m.end()
             continue
         fmt = args[1].strip()[1:-1].replace("''", "'")
+        fn_name = m.group(1).lower()
+        # to_date/to_timestamp are VALID Spark functions: a format
+        # already in Spark's dialect must pass through untouched (the
+        # 'rewrites never change a working query' invariant). Only a
+        # template carrying a PG-exclusive field is claimed. to_char
+        # does not exist in Spark — always translated.
+        if fn_name != "to_char" and not re.search(
+            r"YYYY|HH24|HH12|MI|MON|DAY|\bDY\b|FM|AM|PM", fmt
+        ):
+            start = m.end()
+            continue
         spark_fmt = translate_datetime_format(fmt)
-        fn = _FN_MAP[m.group(1).lower()]
-        repl = f"{fn}({args[0]}, '{spark_fmt}')"
+        fn = _FN_MAP[fn_name]
+        # escape for embedding in a SQL string literal (quoted
+        # template text becomes 'xx' in the Java pattern)
+        lit = spark_fmt.replace("'", "''")
+        repl = f"{fn}({args[0]}, '{lit}')"
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)
 

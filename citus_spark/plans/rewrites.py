@@ -981,8 +981,8 @@ def pg_row_locking(sql: str) -> str:
 # (function call or chained subscript); numeric literals never
 # rewrite (`a[1]` yes, `1[1]` no). Chains apply left-to-right.
 _SUBSCRIPT = re.compile(
-    r"(?P<base>[A-Za-z_][\w.]*|\))\s*\[\s*(?P<lo>[^\[\]:,]+?)"
-    r"(?:\s*:\s*(?P<hi>[^\[\]:,]+?))?\s*\]"
+    r"(?P<base>[A-Za-z_][\w.]*|\))\s*\[\s*(?P<lo>[^\[\]:]+?)"
+    r"(?:\s*:\s*(?P<hi>[^\[\]:]+?))?\s*\]"
 )
 _KW_NO_SUB = {"array", "values", "in", "and", "or", "not", "then", "else"}
 
@@ -1065,38 +1065,46 @@ def _jsonpath_guard(path_lit: str) -> str:
 
 
 def pg_jsonpath(sql: str) -> str:
-    segs = _segments(sql)
-    out: list[str] = []
-    i = 0
-    while i < len(segs):
-        kind, text = segs[i]
-        if kind != "code":
-            out.append(text)
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _JSONPATH_FN.finditer(sql, start)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        # balanced forward scan to the call's closing paren (literal
+        # spans — including literals INSIDE the first argument — skip
+        # wholesale), then a top-level-comma split of the arguments
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
             i += 1
-            continue
-        m = _JSONPATH_FN.search(text)
-        if not m:
-            out.append(text)
-            i += 1
-            continue
-        # argument 1: code up to the comma; argument 2: the NEXT
-        # literal segment (the jsonpath), then the closing paren
-        head = text[: m.start()]
-        rest = text[m.end() :]
-        comma = rest.rfind(",")
-        if comma < 0 or i + 1 >= len(segs) or segs[i + 1][0] != "literal":
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in {m.group('fn')}")
+        args = _split_top_level(sql[m.end() : i])
+        if len(args) != 2 or not re.fullmatch(
+            r"'(?:[^']|'')*'", args[1].strip()
+        ):
             raise ValueError(
                 f"{m.group('fn')} requires (expr, 'literal jsonpath')"
             )
-        arg1 = rest[:comma].strip()
-        path = _jsonpath_guard(segs[i + 1][1])
-        # the close paren lives in the code segment after the literal
-        j = i + 2
-        if j >= len(segs) or not segs[j][1].lstrip().startswith(")"):
-            raise ValueError(
-                f"{m.group('fn')}: trailing arguments are not supported"
-            )
-        close_rest = segs[j][1].lstrip()[1:]
+        arg1 = args[0].strip()
+        path = _jsonpath_guard(args[1].strip())
         fn = m.group("fn").lower()
         if fn.endswith("exists"):
             expr = f"(get_json_object({arg1}, {path}) IS NOT NULL)"
@@ -1104,14 +1112,8 @@ def pg_jsonpath(sql: str) -> str:
             expr = f"CAST(get_json_object({arg1}, {path}) AS BOOLEAN)"
         else:
             expr = f"get_json_object({arg1}, {path})"
-        segs = (
-            segs[:i]
-            + [("code", head + expr + close_rest)]
-            + segs[j + 1 :]
-        )
-        out = []
-        i = 0
-    return "".join(t for _, t in segs)
+        sql = sql[: m.start()] + expr + sql[i + 1 :]
+        start = m.start() + len(expr)
 
 
 # @? (path exists) and @@ (path match) operator spellings: the

@@ -100,7 +100,7 @@ _SERIAL_COL = re.compile(
 )
 _IDENTITY_COL = re.compile(
     r"^([A-Za-z_]\w*)\s+.+?\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+"
-    r"IDENTITY\b",
+    r"IDENTITY\b(?:\s*\(([^)]*)\))?",
     re.I | re.S,
 )
 _DEFAULT_NEXTVAL = re.compile(
@@ -109,17 +109,24 @@ _DEFAULT_NEXTVAL = re.compile(
 )
 
 
-def identity_of(column_item: str) -> tuple[str, str | None] | None:
+def identity_of(column_item: str):
     """If a CREATE TABLE column item declares an auto-sequence
-    (serial/bigserial, GENERATED .. AS IDENTITY, DEFAULT nextval),
-    return (column, explicit_seq_name_or_None)."""
+    (serial/bigserial, GENERATED .. AS IDENTITY [(opts)], DEFAULT
+    nextval), return (column, explicit_seq_name_or_None, start, inc).
+    An explicit name (DEFAULT nextval) means the sequence is NOT
+    owned by the table — it survives DROP TABLE, like PG."""
     m = _SERIAL_COL.match(column_item)
     if m:
-        return m.group(1), None
+        return m.group(1), None, 1, 1
     m = _IDENTITY_COL.match(column_item)
     if m:
-        return m.group(1), None
+        opts = m.group(2) or ""
+        sm = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.I)
+        im = re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", opts, re.I)
+        inc = int(im.group(1)) if im else 1
+        start = int(sm.group(1)) if sm else (1 if inc > 0 else -1)
+        return m.group(1), None, start, inc
     m = _DEFAULT_NEXTVAL.match(column_item)
     if m:
-        return m.group(1), m.group(2)
+        return m.group(1), m.group(2), 1, 1
     return None

@@ -157,8 +157,11 @@ class DistributedSession:
         self._matviews: dict[str, tuple[str, str]] = {}
         self._in_view_refresh = False
         # sequence state (↔ the coordinator's sequence relations):
-        # name → {"next": int, "inc": int, "last": int|None}
+        # name → {"next": int, "inc": int, "last": int|None}.
+        # _owned_seqs: implicit serial/IDENTITY sequences — dropped
+        # with their table (PG ownership), unlike DEFAULT nextval refs
         self._sequences: dict[str, dict] = {}
+        self._owned_seqs: set[str] = set()
 
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
@@ -397,6 +400,16 @@ class DistributedSession:
         ) and _re.match(
             r"\s*(INSERT|SELECT|WITH|VALUES|UPDATE|DELETE)\b", query, _re.I
         ):
+            if _re.match(r"\s*(UPDATE|DELETE)\b", query, _re.I) and _re.search(
+                r"\bnextval\s*\(\s*'", query, _re.I
+            ):
+                # PG draws per ROW here; a textual substitution would
+                # silently hand every affected row the same value
+                raise NotImplementedError(
+                    "nextval() inside UPDATE/DELETE is not supported — "
+                    "PG assigns a distinct value per affected row; use "
+                    "an INSERT..SELECT rewrite or an identity column"
+                )
             query = self._eval_sequence_calls(query)
             if _re.search(r"\bnextval\s*\(", query, _re.I) and _re.match(
                 r"\s*(SELECT|WITH)\b", query, _re.I
@@ -840,7 +853,13 @@ class DistributedSession:
         self._in_view_refresh = True
         try:
             for name, body in self._views.items():
-                self.sql(body).createOrReplaceTempView(name)
+                try:
+                    self.sql(body).createOrReplaceTempView(name)
+                except Exception:
+                    # a base relation was dropped out from under the
+                    # view: reading THE VIEW must fail loudly, but the
+                    # session (including DROP VIEW itself) stays usable
+                    self.spark.catalog.dropTempView(name)
         finally:
             self._in_view_refresh = False
 
@@ -1095,16 +1114,28 @@ class DistributedSession:
             break
         if not any(mod for _, _, mod in ctes):
             return None
-        kept: list[str] = []
-        for name, body, modifying in ctes:
-            if not modifying:
-                kept.append(f"{name} AS ({body})")
-                continue
-            res = self.sql(body)
-            if _re.search(r"\bRETURNING\b", body, _re.I):
-                res.createOrReplaceTempView(name)
-        final = (f"WITH {', '.join(kept)}\n{rest}") if kept else rest
-        return self.sql(final)
+        registered: list[str] = []
+        try:
+            for name, body, modifying in ctes:
+                if not modifying:
+                    # register plain CTEs too: a LATER modifying body
+                    # may reference them (WITH src AS (SELECT..),
+                    # moved AS (INSERT .. SELECT FROM src ..))
+                    self.sql(body).createOrReplaceTempView(name)
+                    registered.append(name)
+                    continue
+                res = self.sql(body)
+                if _re.search(r"\bRETURNING\b", body, _re.I):
+                    res.createOrReplaceTempView(name)
+                    registered.append(name)
+            out = self.sql(rest)
+        finally:
+            # the CTE names are statement-scoped — drop them so they
+            # don't shadow relations in later statements (the returned
+            # DataFrame's plan is already resolved)
+            for name in registered:
+                self.spark.catalog.dropTempView(name)
+        return out
 
     def _execute_nextval_select(self, query: str) -> DataFrame:
         """SELECT with nextval('s') over a FROM clause: per-row
@@ -1121,20 +1152,13 @@ class DistributedSession:
         st = self._sequences.get(seq)
         if st is None:
             raise ValueError(f'sequence "{seq}" does not exist')
-        from citus_spark.operators.prefix_sum import with_global_offset
+        from citus_spark.operators.sequence import with_sequence_values
 
-        df = self.sql(sql2)
-        keyed = df.withColumn("_seq_mid", F.monotonically_increasing_id())
-        off = with_global_offset(keyed, "_seq_mid", F.lit(1), "_seq_off")
-        n = off.count()  # cheap: with_global_offset persisted the base
-        base = self._seq_alloc(seq, n)
-        out = (
-            off.withColumn(
-                alias,
-                (F.lit(base) + F.col("_seq_off") * F.lit(st["inc"]))
-                .cast("long"),
-            )
-            .drop("_seq_mid", "_seq_off")
+        out = with_sequence_values(
+            self.sql(sql2),
+            lambda n: self._seq_alloc(seq, n),
+            st["inc"],
+            alias,
         )
         if "__citus_seq_dummy" in out.columns:
             out = out.drop("__citus_seq_dummy")
@@ -1292,14 +1316,22 @@ class DistributedSession:
             entry = self.catalog.register(name, "none", path=path)
             if identities:
                 # serial / IDENTITY / DEFAULT nextval: bind each column
-                # to its (implicit) session sequence, PG-style
+                # to its session sequence, PG-style. Implicit sequences
+                # (serial/IDENTITY) are OWNED — dropped with the table
+                # and honoring START WITH / INCREMENT BY; an explicit
+                # DEFAULT nextval('s') sequence is independent.
                 ident_map: dict[str, str] = {}
-                for col, seqname in identities:
-                    seqname = seqname or f"{name}_{col}_seq"
-                    if seqname not in self._sequences:
+                for col, seqname, start, inc in identities:
+                    if seqname is None:
+                        seqname = f"{name}_{col}_seq"
                         self._sequences[seqname] = {
-                            "next": 1, "inc": 1, "last": None,
+                            "next": start, "inc": inc, "last": None,
                         }
+                        self._owned_seqs.add(seqname)
+                    elif seqname not in self._sequences:
+                        raise ValueError(
+                            f'sequence "{seqname}" does not exist'
+                        )
                     ident_map[col] = seqname
                 entry.identity = ident_map
             self.stat_statements.record(query, None, executor="utility")
@@ -1370,6 +1402,12 @@ class DistributedSession:
                         [("DROP TABLE skipped: unknown",)], "status string"
                     )
                 return None  # not ours — Spark's catalog may own it
+            # owned (serial/IDENTITY) sequences drop with the table —
+            # a re-created table restarts its numbering (PG ownership)
+            for seq in (entry.identity or {}).values():
+                if seq in self._owned_seqs:
+                    self._sequences.pop(seq, None)
+                    self._owned_seqs.discard(seq)
             self.catalog.unregister(name)
             self.spark.catalog.dropTempView(name)
             self.stat_statements.record(query, None, executor="utility")
@@ -1443,16 +1481,17 @@ class DistributedSession:
         if omitted_ident:
             from citus_spark.operators.sequence import with_sequence_values
 
-            n_new = aligned.count()
             for col, seqname in omitted_ident:
                 st = self._sequences.get(seqname)
                 if st is None:
                     raise ValueError(
                         f'sequence "{seqname}" does not exist'
                     )
-                base = self._seq_alloc(seqname, n_new)
                 aligned = with_sequence_values(
-                    aligned.drop(col), base, st["inc"], col
+                    aligned.drop(col),
+                    lambda n, s=seqname: self._seq_alloc(s, n),
+                    st["inc"],
+                    col,
                 ).select(*[
                     F.col(c).cast(schema[c].dataType).alias(c)
                     for c in t_cols
@@ -1999,6 +2038,19 @@ class DistributedSession:
 
         import re as _re
 
+        # text search FIRST: `tsv @@ 'q'::tsquery` must be claimed
+        # before pg_casts turns the ::tsquery into CAST(.. AS tsquery)
+        if _re.search(r"\bto_tsvector\s*\(|\bts_rank\s*\(|::\s*tsquery",
+                      query, _re.I):
+            from citus_spark.plans.textsearch_sql import (
+                pg_text_search,
+                register_ts_functions,
+            )
+
+            if not getattr(self, "_ts_registered", False):
+                register_ts_functions(self.spark)
+                self._ts_registered = True
+            query = pg_text_search(query)
         if self.pg_compat:
             query = pg_casts(query)
         if "~" in query:
@@ -2047,19 +2099,6 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_row_locking
 
             query = pg_row_locking(query)
-        if _re.search(r"\bto_tsvector\s*\(|\bts_rank\s*\(|::\s*tsquery",
-                      query, _re.I):
-            from citus_spark.plans.textsearch_sql import (
-                pg_text_search,
-                register_ts_functions,
-            )
-
-            if not getattr(self, "_ts_registered", False):
-                register_ts_functions(self.spark)
-                self._ts_registered = True
-            # must run BEFORE the jsonpath @@ pass: `tsv @@ 'q'::tsquery`
-            # also has a literal right operand
-            query = pg_text_search(query)
         if _re.search(r"\bjsonb?_path_", query, _re.I):
             from citus_spark.plans.rewrites import pg_jsonpath
 

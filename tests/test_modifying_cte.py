@@ -73,3 +73,20 @@ def test_plain_with_untouched(sess):
         "WITH t AS (SELECT 'update' AS w) SELECT w FROM t"
     ).collect()
     assert out[0].w == "update"
+
+
+def test_modifying_cte_sees_earlier_plain_cte(sess):
+    sess.sql("CREATE TABLE mc5 (k int)")
+    sess.sql("CREATE TABLE mc5_arch (k int)")
+    sess.sql("INSERT INTO mc5 VALUES (1), (5), (9)")
+    sess.sql(
+        "WITH src AS (SELECT k FROM mc5 WHERE k > 4), "
+        "moved AS (INSERT INTO mc5_arch SELECT k FROM src RETURNING k) "
+        "SELECT count(*) AS n FROM moved"
+    )
+    got = sorted(r.k for r in sess.sql("SELECT k FROM mc5_arch").collect())
+    assert got == [5, 9]
+    # CTE names are statement-scoped: no temp-view leak
+    import pytest as _pt
+    with _pt.raises(Exception):
+        sess.spark.sql("SELECT * FROM moved").collect()

@@ -191,3 +191,20 @@ def test_jsonpath_filter_syntax_rejected(pg_sess):
         pg_sess.sql(
             "SELECT jsonb_path_exists(props, '$.k ? (@ > 1)') FROM events"
         )
+
+
+def test_jsonpath_literal_in_first_arg(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT jsonb_path_query_first(coalesce(props, '{}'), '$.k') AS k "
+        "FROM events WHERE event_id < 100"
+    ).collect()
+    assert rows  # parses and runs; NULL k where absent is fine
+
+
+def test_tsquery_cast_under_pg_compat(pg_sess):
+    pg_sess.pg_compat = True
+    n = pg_sess.sql(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ 'hash'::tsquery"
+    ).collect()[0].n
+    assert n > 0

@@ -72,3 +72,31 @@ def test_row_constructor_comparison(sess):
         "ROW(2, 0) > ROW(1, 9) AS gt, ROW(1, 2) = ROW(1, 2) AS eq"
     ).collect()[0]
     assert r.lt and r.gt and r.eq
+
+
+def test_spark_native_formats_untouched(sess):
+    # review finding: a format already in Spark's dialect must pass
+    # through — the rewrite claims PG-exclusive fields only
+    d = sess.sql("SELECT to_date('2020-01-02', 'yyyy-MM-dd') AS d").collect()
+    assert str(d[0].d) == "2020-01-02"
+    # ambiguous 'HH' alone stays Spark (24-hour), not translated
+    t = sess.sql(
+        "SELECT to_timestamp('2020-01-01 13', 'yyyy-MM-dd HH') AS t"
+    ).collect()[0].t
+    assert t.hour == 13
+
+
+def test_to_char_quoted_text_escaping(sess):
+    s = sess.sql(
+        "SELECT to_char(o_orderdate, '\"at\" YYYY') AS s "
+        "FROM orders LIMIT 1"
+    ).collect()[0].s
+    assert s.startswith("at 19") or s.startswith("at 20")
+
+
+def test_subscript_with_function_index(sess):
+    sess.pg_compat = True
+    r = sess.sql(
+        "SELECT array(10, 20, 30)[greatest(2, 1)] AS el FROM orders LIMIT 1"
+    ).collect()[0]
+    assert r.el == 20  # 1-based even with a comma-bearing index expr

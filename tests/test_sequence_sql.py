@@ -91,3 +91,31 @@ def test_serial_column_fill_from_select(sess):
     rows = sess.sql("SELECT id, ok FROM ser_t").collect()
     assert sorted(r.id for r in rows) == list(range(1, len(rows) + 1))
     assert len({r.ok for r in rows}) == len(rows)
+
+
+def test_nextval_in_update_rejected(sess):
+    sess.sql("CREATE SEQUENCE s9")
+    sess.sql("CREATE TABLE up_t (k int)")
+    sess.sql("INSERT INTO up_t VALUES (1), (2)")
+    with pytest.raises(NotImplementedError, match="per affected row"):
+        sess.sql("UPDATE up_t SET k = nextval('s9')")
+
+
+def test_owned_sequence_drops_with_table(sess):
+    sess.sql("CREATE TABLE own_t (id serial, v text)")
+    sess.sql("INSERT INTO own_t (v) VALUES ('a'), ('b')")
+    sess.sql("DROP TABLE own_t")
+    sess.sql("CREATE TABLE own_t (id serial, v text)")
+    sess.sql("INSERT INTO own_t (v) VALUES ('c')")
+    ids = [r.id for r in sess.sql("SELECT id FROM own_t").collect()]
+    assert ids == [1]  # numbering restarted (PG ownership semantics)
+
+
+def test_identity_start_with_increment(sess):
+    sess.sql(
+        "CREATE TABLE idopt_t (id bigint GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY 10), v text)"
+    )
+    sess.sql("INSERT INTO idopt_t (v) VALUES ('x'), ('y'), ('z')")
+    ids = sorted(r.id for r in sess.sql("SELECT id FROM idopt_t").collect())
+    assert ids == [100, 110, 120]

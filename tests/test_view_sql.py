@@ -93,3 +93,15 @@ def test_view_with_pg_spellings_in_body(sess):
         "FROM latest_per_cust"
     ).collect()[0]
     assert rows.n == rows.d > 0
+
+
+def test_dropped_base_table_does_not_brick_session(sess):
+    sess.sql("CREATE TABLE vb (k int)")
+    sess.sql("INSERT INTO vb VALUES (1)")
+    sess.sql("CREATE VIEW vb_view AS SELECT k FROM vb")
+    sess.sql("DROP TABLE vb")
+    # session stays usable; the view itself reads fail loudly
+    assert sess.sql("SELECT 1 AS x").collect()[0].x == 1
+    with pytest.raises(Exception):
+        sess.sql("SELECT * FROM vb_view").collect()
+    sess.sql("DROP VIEW vb_view")
