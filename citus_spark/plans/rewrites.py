@@ -1146,3 +1146,148 @@ def pg_jsonpath_ops(sql: str) -> str:
         out.append(text)
         i += 1
     return "".join(t for t in out)
+
+
+# PG ordered-set aggregation — `array_agg(expr ORDER BY key [DESC])`
+# and `string_agg(expr, delim ORDER BY key [DESC])` (↔ reference
+# regress uses them everywhere, e.g.
+# multi_behavioral_analytics_basics.sql funnel queries). Spark's
+# aggregate functions take no ORDER BY; the standard distributed
+# formulation collects (key, value) structs and sorts INSIDE the
+# aggregated array — one aggregation, the sort is per-group local:
+#   array_agg(e ORDER BY k)        → transform(array_sort(
+#       array_agg(struct(k, e)), cmp), s -> s.col2-ish)
+#   string_agg(e, d ORDER BY k)    → array_join(<same>, d)
+# Multiple ORDER BY keys, DISTINCT, and NULLS FIRST/LAST are rejected
+# loudly. NULL elements: Spark's array_agg drops NULL inputs while
+# PG keeps them (pre-existing engine divergence, documented).
+_ORDERED_AGG = re.compile(r"\b(array_agg|string_agg)\s*\(", re.I)
+
+
+def pg_ordered_agg(sql: str) -> str:
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _ORDERED_AGG.finditer(sql, start)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in {m.group(1)}")
+        inner = sql[m.end() : i]
+        om = re.search(r"\bORDER\s+BY\b", inner, re.I)
+        if om is None or any(
+            a <= m.end() + om.start() < b for a, b in spans
+        ):
+            start = i + 1
+            continue  # unordered form: Spark-native
+        head, tail = inner[: om.start()], inner[om.end() :]
+        if re.match(r"\s*DISTINCT\b", head, re.I):
+            raise ValueError(
+                f"{m.group(1)} DISTINCT with ORDER BY is not supported"
+            )
+        keys = _split_top_level(tail)
+        if len(keys) != 1:
+            raise ValueError(
+                f"{m.group(1)} ORDER BY supports one sort key "
+                f"(got {len(keys)})"
+            )
+        key = keys[0].strip().rstrip(";")
+        if re.search(r"\bNULLS\s+(FIRST|LAST)\b", key, re.I):
+            raise ValueError(
+                f"{m.group(1)} ORDER BY NULLS FIRST/LAST is not supported"
+            )
+        desc = bool(re.search(r"\s+DESC\s*$", key, re.I))
+        key = re.sub(r"\s+(ASC|DESC)\s*$", "", key, flags=re.I)
+        args = _split_top_level(head)
+        fn = m.group(1).lower()
+        if fn == "string_agg":
+            if len(args) != 2:
+                raise ValueError("string_agg takes (expr, delimiter)")
+            expr, delim = args[0].strip(), args[1].strip()
+        else:
+            if len(args) != 1:
+                raise ValueError("array_agg takes one expression")
+            expr, delim = args[0].strip(), None
+        cmp = (
+            ", (l, r) -> CASE WHEN l.k > r.k THEN -1 "
+            "WHEN l.k < r.k THEN 1 ELSE 0 END"
+            if desc
+            else ""
+        )
+        sorted_vals = (
+            f"transform(array_sort(array_agg(struct({key} AS k, "
+            f"{expr} AS v)){cmp}), s -> s.v)"
+        )
+        repl = (
+            f"array_join({sorted_vals}, {delim})"
+            if delim is not None
+            else sorted_vals
+        )
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)
+
+
+# PG array_length(arr, dim) — Spark spells it size(); only
+# one-dimensional arrays exist here (dim must be the literal 1).
+_ARRAY_LENGTH = re.compile(r"\barray_length\s*\(", re.I)
+
+
+def pg_array_length(sql: str) -> str:
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _ARRAY_LENGTH.finditer(sql, start)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parens in array_length")
+        args = _split_top_level(sql[m.end() : i])
+        if len(args) != 2:
+            raise ValueError("array_length takes (array, dimension)")
+        if args[1].strip() != "1":
+            raise ValueError(
+                "array_length: only dimension 1 exists in this engine"
+            )
+        repl = f"size({args[0].strip()})"
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)

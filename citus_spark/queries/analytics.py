@@ -2629,6 +2629,58 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# The reference's vanilla funnel shape — VERBATIM spelling from
+# multi_behavioral_analytics_basics.sql:5-19 (array_agg(event ORDER BY
+# time) per user, array_length(.., 1) of the event chain), retargeted
+# at the fixture's events table. Ordered aggregation rewrites to the
+# struct-sort formulation (plans/rewrites.pg_ordered_agg) — one
+# aggregation, per-group local sort, never a global window. DuckDB
+# runs ordered array_agg natively → value-exact oracle.
+def behavioral_funnel_chain(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT user_id, CAST(array_length(events_table, 1) AS BIGINT) AS chain_len,
+       element_at(events_table, 1) AS first_event
+FROM (
+  SELECT user_id, array_agg(event ORDER BY time) AS events_table
+  FROM (
+    SELECT e.user_id, e.event_type AS event, e.ts AS time
+    FROM events AS e
+    WHERE e.user_id >= 1
+      AND e.user_id <= 50
+      AND e.event_type IN ('view', 'click')
+  ) t
+  GROUP BY user_id
+) q
+ORDER BY user_id
+"""
+    )
+
+
+register_split(
+    "behavioral_funnel_chain",
+    behavioral_funnel_chain,
+    """
+SELECT user_id, CAST(array_length(events_table, 1) AS BIGINT) AS chain_len,
+       events_table[1] AS first_event
+FROM (
+  SELECT user_id,
+         array_agg(event ORDER BY time, event) AS events_table
+  FROM (
+    SELECT e.user_id, e.event_type AS event, e.ts AS time
+    FROM events AS e
+    WHERE e.user_id >= 1 AND e.user_id <= 50
+      AND e.event_type IN ('view', 'click')
+  ) t
+  GROUP BY user_id
+) q
+ORDER BY user_id
+""",
+)
+
+
 # SQL function through the textual front door (plans/function_sql.py
 # ↔ reference multi_sql_function.sql): the function body participates
 # in codegen like any expression — the oracle inlines the same

@@ -2107,6 +2107,14 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_jsonpath_ops
 
             query = pg_jsonpath_ops(query)
+        if _re.search(r"\b(array_agg|string_agg)\s*\(", query, _re.I):
+            from citus_spark.plans.rewrites import pg_ordered_agg
+
+            query = pg_ordered_agg(query)
+        if _re.search(r"\barray_length\s*\(", query, _re.I):
+            from citus_spark.plans.rewrites import pg_array_length
+
+            query = pg_array_length(query)
         if _re.search(r"\bto_(char|date|timestamp)\s*\(", query, _re.I):
             from citus_spark.plans.pgfmt_sql import pg_to_char
 

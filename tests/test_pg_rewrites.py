@@ -208,3 +208,44 @@ def test_tsquery_cast_under_pg_compat(pg_sess):
         "WHERE to_tsvector(text) @@ 'hash'::tsquery"
     ).collect()[0].n
     assert n > 0
+
+
+def test_ordered_agg_asc_desc(pg_sess):
+    asc = pg_sess.sql(
+        "SELECT string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)"
+        " AS s FROM (SELECT DISTINCT o_orderpriority FROM orders) t"
+    ).collect()[0].s
+    parts = asc.split(",")
+    assert parts == sorted(parts) and len(parts) == 5
+    desc = pg_sess.sql(
+        "SELECT string_agg(o_orderpriority, ',' ORDER BY o_orderpriority "
+        "DESC) AS s FROM (SELECT DISTINCT o_orderpriority FROM orders) t"
+    ).collect()[0].s
+    assert desc.split(",") == list(reversed(parts))
+    arr = pg_sess.sql(
+        "SELECT array_agg(o_orderkey ORDER BY o_orderkey) AS a "
+        "FROM orders WHERE o_orderkey < 40"
+    ).collect()[0].a
+    assert arr == sorted(arr)
+
+
+def test_ordered_agg_rejections(pg_sess):
+    with pytest.raises(ValueError, match="one sort key"):
+        pg_sess.sql(
+            "SELECT array_agg(o_orderkey ORDER BY o_custkey, o_orderkey) "
+            "FROM orders"
+        )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        pg_sess.sql(
+            "SELECT array_agg(DISTINCT o_orderkey ORDER BY o_orderkey) "
+            "FROM orders"
+        )
+
+
+def test_array_length_rewrite(pg_sess):
+    n = pg_sess.sql(
+        "SELECT array_length(array(1, 2, 3), 1) AS n FROM orders LIMIT 1"
+    ).collect()[0].n
+    assert n == 3
+    with pytest.raises(ValueError, match="dimension 1"):
+        pg_sess.sql("SELECT array_length(arr, 2) FROM orders")
