@@ -25,6 +25,7 @@ import re
 from citus_spark.plans.rewrites import (
     _code_iter,
     _in_from_clause,
+    _map_code,
     _masked_spans,
     _split_top_level,
 )
@@ -257,3 +258,106 @@ def pg_row_constructor(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     return "".join(out)
+
+
+# PG 14 date_bin(stride, source, origin) — arbitrary-stride time
+# bucketing (↔ the reference's timeseries rollup idiom; PG docs
+# §9.9.3). Spark has no date_bin; with a LITERAL interval stride the
+# call compiles to pure timestamp arithmetic (unix_seconds is
+# codegen'd): origin + floor((ts - origin) / stride) * stride.
+# Sub-second strides and month/year strides (variable length — PG
+# rejects those too) raise.
+_DATE_BIN = re.compile(r"\bdate_bin\s*\(", re.I)
+_STRIDE_UNITS = {
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+    "hour": 3600, "hours": 3600, "hr": 3600, "hrs": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _stride_seconds(text: str) -> int:
+    total = 0
+    for num, unit in re.findall(r"(\d+)\s*([A-Za-z]+)", text):
+        if unit.lower() not in _STRIDE_UNITS:
+            raise ValueError(
+                f"date_bin: stride unit {unit!r} is not supported "
+                "(fixed-length units up to weeks; months/years vary)"
+            )
+        total += int(num) * _STRIDE_UNITS[unit.lower()]
+    if total <= 0:
+        raise ValueError(f"date_bin: cannot parse stride {text!r}")
+    return total
+
+
+def pg_date_bin(sql: str) -> str:
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _DATE_BIN.finditer(sql, start)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parens in date_bin")
+        args = _split_top_level(sql[m.end() : i])
+        if len(args) != 3:
+            raise ValueError("date_bin takes (stride, source, origin)")
+        sm = re.match(
+            r"\s*INTERVAL\s+'([^']+)'\s*$", args[0], re.I
+        )
+        if sm is None:
+            raise ValueError(
+                "date_bin: the stride must be a literal INTERVAL"
+            )
+        s = _stride_seconds(sm.group(1))
+        src, origin = args[1].strip(), args[2].strip()
+        repl = (
+            f"timestampadd(SECOND, CAST(floor((unix_seconds({src}) - "
+            f"unix_seconds({origin})) / {s}) * {s} AS BIGINT), {origin})"
+        )
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)
+
+
+# SQL-standard BETWEEN SYMMETRIC — bounds in either order
+# (↔ reference multi_complex_expressions.sql). Spark only has plain
+# BETWEEN; least/greatest normalize the bounds.
+_BETWEEN_SYM = re.compile(
+    r"\bBETWEEN\s+SYMMETRIC\s+(?P<lo>[^\s]+(?:\s*[-+*/]\s*[^\s]+)*)\s+"
+    r"AND\s+(?P<hi>[^\s]+(?:\s*[-+*/]\s*[^\s]+)*)",
+    re.I,
+)
+
+
+def pg_between_symmetric(sql: str) -> str:
+    def fix(code: str) -> str:
+        return _BETWEEN_SYM.sub(
+            lambda m: (
+                f"BETWEEN least({m.group('lo')}, {m.group('hi')}) "
+                f"AND greatest({m.group('lo')}, {m.group('hi')})"
+            ),
+            code,
+        )
+
+    return _map_code(sql, fix)

@@ -2629,6 +2629,39 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# PG 14 date_bin — arbitrary-stride time bucketing, the reference's
+# timeseries-rollup idiom (plans/pgfmt_sql.pg_date_bin → pure
+# timestamp arithmetic). DuckDB spells it time_bucket; both engines
+# bucket on exact integer second arithmetic → value-exact.
+def pg_date_bin_rollup(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT date_bin(INTERVAL '6 hours', ts, TIMESTAMP '2024-01-01') AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+    )
+
+
+register_split(
+    "pg_date_bin_rollup",
+    pg_date_bin_rollup,
+    """
+SELECT time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '2024-01-01') AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+
+
 # The reference's vanilla funnel shape — VERBATIM spelling from
 # multi_behavioral_analytics_basics.sql:5-19 (array_agg(event ORDER BY
 # time) per user, array_length(.., 1) of the event chain), retargeted

@@ -2123,6 +2123,14 @@ class DistributedSession:
             from citus_spark.plans.pgfmt_sql import pg_unnest
 
             query = pg_unnest(query)
+        if _re.search(r"\bdate_bin\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_date_bin
+
+            query = pg_date_bin(query)
+        if _re.search(r"\bBETWEEN\s+SYMMETRIC\b", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_between_symmetric
+
+            query = pg_between_symmetric(query)
         if _re.search(r"\bROW\s*\(", query, _re.I):
             from citus_spark.plans.pgfmt_sql import pg_row_constructor
 

@@ -100,3 +100,35 @@ def test_subscript_with_function_index(sess):
         "SELECT array(10, 20, 30)[greatest(2, 1)] AS el FROM orders LIMIT 1"
     ).collect()[0]
     assert r.el == 20  # 1-based even with a comma-bearing index expr
+
+
+def test_date_bin_semantics(sess):
+    b = sess.sql(
+        "SELECT date_bin(INTERVAL '15 minutes', "
+        "TIMESTAMP '2020-01-01 10:23:45', TIMESTAMP '2020-01-01') AS b"
+    ).collect()[0].b
+    assert str(b) == "2020-01-01 10:15:00"
+    # offset origin shifts the grid (the whole point of date_bin)
+    b2 = sess.sql(
+        "SELECT date_bin(INTERVAL '15 minutes', "
+        "TIMESTAMP '2020-01-01 10:23:45', "
+        "TIMESTAMP '2020-01-01 00:05:00') AS b"
+    ).collect()[0].b
+    assert str(b2) == "2020-01-01 10:20:00"
+    with pytest.raises(ValueError, match="month"):
+        sess.sql(
+            "SELECT date_bin(INTERVAL '1 month', ts, "
+            "TIMESTAMP '2020-01-01') FROM events"
+        )
+
+
+def test_between_symmetric(sess):
+    n1 = sess.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey BETWEEN SYMMETRIC 200 AND 100"
+    ).collect()[0].n
+    n2 = sess.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey BETWEEN 100 AND 200"
+    ).collect()[0].n
+    assert n1 == n2 > 0
