@@ -618,6 +618,7 @@ class DistributedSession:
             if uses_citus_shards(rewritten):
                 self.citus_shards().createOrReplaceTempView("_citus_shards")
                 rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
+            rewritten = self._rewrite_pg_catalog_views(rewritten)
             if rewritten is not query:
                 return self.spark.sql(rewritten)
             return None
@@ -844,6 +845,72 @@ class DistributedSession:
                     "writable location first (write_distributed / CTAS)"
                 )
         return entry
+
+    def _rewrite_pg_catalog_views(self, query: str) -> str:
+        """pg_catalog compatibility views — `pg_tables`, `pg_views`,
+        `pg_matviews` (the introspection surface psql-era tooling
+        queries; ↔ PostgreSQL system views, which the reference
+        inherits). Populated from the session catalog on reference;
+        the pg_catalog./public. qualifiers are accepted."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _map_code
+
+        if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
+            return query
+
+        if _re.search(r"\bpg_tables\b", query, _re.I):
+            rows = [
+                (t.name, "citus", t.method)
+                for t in self.catalog.tables().values()
+            ]
+            self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "tablename string, tableowner string, "
+                "citus_table_type string",
+            ).filter(F.col("tablename") != "").withColumn(
+                "schemaname", F.lit("public")
+            ).createOrReplaceTempView("_pg_tables")
+        if _re.search(r"\bpg_views\b", query, _re.I):
+            rows = [(n, "citus", b) for n, b in self._views.items()]
+            self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "viewname string, viewowner string, definition string",
+            ).filter(F.col("viewname") != "").withColumn(
+                "schemaname", F.lit("public")
+            ).createOrReplaceTempView("_pg_views")
+        if _re.search(r"\bpg_matviews\b", query, _re.I):
+            populated = {
+                n for n in self._matviews
+                if self.spark.catalog.tableExists(n)
+            }
+            rows = [
+                (n, "citus", n in populated, b)
+                for n, (b, _) in self._matviews.items()
+            ]
+            self.spark.createDataFrame(
+                rows or [("", "", False, "")],
+                "matviewname string, matviewowner string, "
+                "ispopulated boolean, definition string",
+            ).filter(F.col("matviewname") != "").withColumn(
+                "schemaname", F.lit("public")
+            ).createOrReplaceTempView("_pg_matviews")
+
+        def fix(code: str) -> str:
+            code = _re.sub(
+                r"\b(?:pg_catalog\.|public\.)?pg_matviews\b",
+                "_pg_matviews", code, flags=_re.I,
+            )
+            code = _re.sub(
+                r"\b(?:pg_catalog\.|public\.)?pg_views\b",
+                "_pg_views", code, flags=_re.I,
+            )
+            return _re.sub(
+                r"\b(?:pg_catalog\.|public\.)?pg_tables\b",
+                "_pg_tables", code, flags=_re.I,
+            )
+
+        return _map_code(query, fix)
 
     def _refresh_textual_views(self) -> None:
         """Re-register every textual CREATE VIEW in creation order

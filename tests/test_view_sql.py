@@ -105,3 +105,31 @@ def test_dropped_base_table_does_not_brick_session(sess):
     with pytest.raises(Exception):
         sess.sql("SELECT * FROM vb_view").collect()
     sess.sql("DROP VIEW vb_view")
+
+
+def test_pg_catalog_views(sess):
+    sess.sql("CREATE TABLE cat_t (k int)")
+    sess.sql("CREATE VIEW cat_v AS SELECT k FROM cat_t")
+    sess.sql(
+        "CREATE MATERIALIZED VIEW cat_mv AS SELECT count(*) AS n "
+        "FROM cat_t WITH NO DATA"
+    )
+    tabs = {r.tablename for r in sess.sql(
+        "SELECT tablename FROM pg_tables"
+    ).collect()}
+    assert "cat_t" in tabs
+    views = sess.sql(
+        "SELECT viewname, definition FROM pg_views "
+        "WHERE viewname = 'cat_v'"
+    ).collect()
+    assert len(views) == 1 and "cat_t" in views[0].definition
+    mv = sess.sql(
+        "SELECT matviewname, ispopulated FROM pg_catalog.pg_matviews"
+    ).collect()
+    byname = {r.matviewname: r.ispopulated for r in mv}
+    assert byname.get("cat_mv") is False  # WITH NO DATA → unpopulated
+    sess.sql("REFRESH MATERIALIZED VIEW cat_mv")
+    mv2 = {r.matviewname: r.ispopulated for r in sess.sql(
+        "SELECT matviewname, ispopulated FROM pg_matviews"
+    ).collect()}
+    assert mv2.get("cat_mv") is True
