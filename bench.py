@@ -67,6 +67,7 @@ def _build_10x_corpus(spark, sf_dir: str) -> str | None:
         "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
         "customer": [("c_custkey", 1_000_000)],
         "documents": [("doc_id", 1_000_000)],
+        "embeddings": [("vec_id", 1_000_000)],
         "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
     }
     missing = [
@@ -75,10 +76,10 @@ def _build_10x_corpus(spark, sf_dir: str) -> str | None:
     if missing:
         return None
     sig = hashlib.sha1(
-        "|".join(
+        ("v3|" + "|".join(
             f"{t}:{os.path.getmtime(f'{sf_dir}/{t}.parquet')}"
             for t in sorted(tables)
-        ).encode()
+        )).encode()
     ).hexdigest()[:12]
     dest = os.path.join(tempfile.gettempdir(), f"citus_spark_10x_{sig}")
     marker = os.path.join(dest, "_BUILD_OK")
@@ -93,15 +94,27 @@ def _build_10x_corpus(spark, sf_dir: str) -> str | None:
         for col, off in offsets:
             out = out.withColumn(col, F.col(col) + F.col("_copy") * off)
         if t == "documents":
-            # per-copy token between every word → copies are mutually
-            # dissimilar at the shingle level, in-copy near-dups keep
-            # their similarity (same transform both sides)
+            # tag ~half the WORDS (content-hash selected, so the
+            # same word tags identically in both members of an
+            # in-copy near-dup pair — a position-based tag would
+            # de-duplicate shifted insertions and collapse the
+            # minhash workload; an inserted token would double the
+            # tokenization workload and skew the text_quality trend).
+            # ~88% of word 3-grams contain a tagged word, so copies
+            # share almost no shingles (cross-copy Jaccard ~7%, far
+            # below the near-dup threshold).
             out = out.withColumn(
                 "text",
-                F.regexp_replace(
-                    F.col("text"), r"\s+",
-                    F.concat(F.lit(" x"), F.col("_copy").cast("string"),
-                             F.lit(" ")),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.when(
+                            F.crc32(w) % 2 == 0,
+                            F.concat(w, F.lit("x"),
+                                     F.col("_copy").cast("string")),
+                        ).otherwise(w),
+                    ),
+                    " ",
                 ),
             )
         out.drop("_copy").write.mode("overwrite").parquet(
@@ -209,6 +222,11 @@ def main() -> None:
                 "minhash_lsh_pairs",
                 "tpch_q3",
                 "sessionize_events",
+                # the two CPU-dense single-file families (the r4 bench
+                # regression): trend evidence that the parallelism fix
+                # holds when the corpus grows 10x
+                "text_quality",
+                "ann_cosine_topk",
             ):
                 def run_small() -> float:
                     df_small = q.QUERIES[name](spark, small_dir)
@@ -242,6 +260,11 @@ def main() -> None:
                 "minhash_lsh_pairs",
                 "tpch_q3",
                 "sessionize_events",
+                # the two CPU-dense single-file families (the r4 bench
+                # regression): trend evidence that the parallelism fix
+                # holds when the corpus grows 10x
+                "text_quality",
+                "ann_cosine_topk",
             ):
                 def run_big() -> float:
                     df_big = q.QUERIES[name](spark, big_dir)
