@@ -48,6 +48,10 @@ _TYPE_MAP = {
     "timestamp with time zone": "timestamp",
     "numeric": "decimal(38,18)", "decimal": "decimal(38,18)",
     "money": "decimal(19,4)",
+    # Spark-native spellings pass through: a PREPARE/CREATE may carry
+    # either dialect's names (double/string/long are not PG types)
+    "double": "double", "string": "string", "long": "bigint",
+    "short": "smallint", "tinyint": "tinyint", "binary": "binary",
 }
 
 _CREATE = re.compile(

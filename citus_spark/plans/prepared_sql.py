@@ -111,8 +111,13 @@ def substitute_params(stmt: str, args: list[str], types: list[str]) -> str:
             f"EXECUTE: {len(args)} argument(s) for {len(types)} "
             "declared parameter type(s)"
         )
+    # PG type names (text, int4, float8 ...) map to Spark's before
+    # they reach the emitted CAST — `CAST(NULL AS text)` is a Spark
+    # parse error (↔ reference null_parameters.sql regress)
+    from citus_spark.plans.ddl_sql import _map_type
+
     rendered = [
-        f"CAST({a} AS {t})" if types else f"({a})"
+        f"CAST({a} AS {_map_type(t)})" if types else f"({a})"
         for a, t in zip(args, types or [""] * len(args))
     ]
 

@@ -249,3 +249,17 @@ def test_array_length_rewrite(pg_sess):
     assert n == 3
     with pytest.raises(ValueError, match="dimension 1"):
         pg_sess.sql("SELECT array_length(arr, 2) FROM orders")
+
+
+def test_prepared_null_parameter(pg_sess):
+    # ↔ reference null_parameters.sql: typed NULL arguments must cast
+    # through the PG→Spark type map (CAST(NULL AS text) is invalid)
+    pg_sess.sql(
+        "PREPARE np (text) AS SELECT count(*) AS n FROM orders "
+        "WHERE o_orderpriority = $1 OR $1 IS NULL"
+    )
+    total = pg_sess.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    assert pg_sess.sql("EXECUTE np (NULL)").collect()[0].n == total
+    some = pg_sess.sql("EXECUTE np ('1-URGENT')").collect()[0].n
+    assert 0 < some < total
+    pg_sess.sql("DEALLOCATE np")
