@@ -48,6 +48,8 @@ _TYPE_MAP = {
     "timestamp with time zone": "timestamp",
     "numeric": "decimal(38,18)", "decimal": "decimal(38,18)",
     "money": "decimal(19,4)",
+    # PG float (= float8) and interval (a valid Spark cast target)
+    "float": "double", "interval": "interval",
     # Spark-native spellings pass through: a PREPARE/CREATE may carry
     # either dialect's names (double/string/long are not PG types)
     "double": "double", "string": "string", "long": "bigint",
@@ -100,7 +102,8 @@ def _split_columns(body: str) -> list[str]:
 
 def _map_type(pg_type: str) -> str:
     t = re.sub(r"\s+", " ", pg_type.strip().lower())
-    base = re.match(r"([a-z ]+?)\s*(?:\(([^)]*)\))?(\s*\[\s*\])?$", t)
+    # digit-bearing names (int4, float8) are real PG type names
+    base = re.match(r"([a-z][a-z0-9 ]*?)\s*(?:\(([^)]*)\))?(\s*\[\s*\])?$", t)
     if not base:
         raise ValueError(f"CREATE TABLE: cannot parse type {pg_type!r}")
     name = base.group(1).strip()

@@ -103,34 +103,13 @@ _FN_MAP = {
 def pg_to_char(sql: str) -> str:
     """Rewrite the two-argument literal-template forms. One-argument
     to_timestamp(epoch) / to_date(str) pass through (Spark-native)."""
+    from citus_spark.plans.rewrites import _next_call
+
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        m = next(
-            (
-                x
-                for x in _TO_FMT.finditer(sql, start)
-                if not any(a <= x.start() < b for a, b in spans)
-            ),
-            None,
-        )
+        m, i, _ = _next_call(sql, _TO_FMT, start)
         if m is None:
             return sql
-        depth, i = 0, m.end() - 1
-        while i < len(sql):
-            sp = next((s for s in spans if s[0] <= i < s[1]), None)
-            if sp:
-                i = sp[1]
-                continue
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if depth != 0:
-            raise ValueError(f"unbalanced parens in {m.group(1)}")
         args = _split_top_level(sql[m.end() : i])
         if len(args) != 2 or not re.fullmatch(
             r"'(?:[^']|'')*'", args[1].strip()
@@ -278,6 +257,16 @@ _STRIDE_UNITS = {
 
 
 def _stride_seconds(text: str) -> int:
+    """STRICT parse: the whole stride must be `<int> <unit>` pairs —
+    fractional ('1.5 hours'), signed ('-1 hour'), or trailing junk
+    raises instead of silently mis-bucketing."""
+    if not re.fullmatch(
+        r"\s*(?:\d+\s*[A-Za-z]+\s*)+", text
+    ):
+        raise ValueError(
+            f"date_bin: cannot parse stride {text!r} — whole positive "
+            "'<n> <unit>' terms only (no fractions or signs)"
+        )
     total = 0
     for num, unit in re.findall(r"(\d+)\s*([A-Za-z]+)", text):
         if unit.lower() not in _STRIDE_UNITS:
@@ -292,34 +281,13 @@ def _stride_seconds(text: str) -> int:
 
 
 def pg_date_bin(sql: str) -> str:
+    from citus_spark.plans.rewrites import _next_call
+
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        m = next(
-            (
-                x
-                for x in _DATE_BIN.finditer(sql, start)
-                if not any(a <= x.start() < b for a, b in spans)
-            ),
-            None,
-        )
+        m, i, _ = _next_call(sql, _DATE_BIN, start)
         if m is None:
             return sql
-        depth, i = 0, m.end() - 1
-        while i < len(sql):
-            sp = next((s for s in spans if s[0] <= i < s[1]), None)
-            if sp:
-                i = sp[1]
-                continue
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if depth != 0:
-            raise ValueError("unbalanced parens in date_bin")
         args = _split_top_level(sql[m.end() : i])
         if len(args) != 3:
             raise ValueError("date_bin takes (stride, source, origin)")
@@ -342,22 +310,78 @@ def pg_date_bin(sql: str) -> str:
 
 # SQL-standard BETWEEN SYMMETRIC — bounds in either order
 # (↔ reference multi_complex_expressions.sql). Spark only has plain
-# BETWEEN; least/greatest normalize the bounds.
-_BETWEEN_SYM = re.compile(
-    r"\bBETWEEN\s+SYMMETRIC\s+(?P<lo>[^\s]+(?:\s*[-+*/]\s*[^\s]+)*)\s+"
-    r"AND\s+(?P<hi>[^\s]+(?:\s*[-+*/]\s*[^\s]+)*)",
+# BETWEEN; least/greatest normalize the bounds. Operands are scanned
+# structurally (NOT a token regex): the low bound ends at the first
+# top-level AND, the high bound at the next top-level boolean
+# connective / clause keyword / scope close — so multi-token bounds
+# like `DATE '1995-01-01'` or `f(a, b) + 1` rewrite correctly.
+_BETWEEN_SYM = re.compile(r"\bBETWEEN\s+SYMMETRIC\s+", re.I)
+_HI_END = re.compile(
+    r"\b(AND|OR|ORDER|GROUP|HAVING|LIMIT|WINDOW|UNION|INTERSECT|"
+    r"EXCEPT|FETCH|OFFSET|THEN|ELSE|END|WHEN)\b",
     re.I,
 )
+_KW_AND = re.compile(r"\bAND\b", re.I)
 
 
 def pg_between_symmetric(sql: str) -> str:
-    def fix(code: str) -> str:
-        return _BETWEEN_SYM.sub(
-            lambda m: (
-                f"BETWEEN least({m.group('lo')}, {m.group('hi')}) "
-                f"AND greatest({m.group('lo')}, {m.group('hi')})"
-            ),
-            code,
-        )
+    from citus_spark.plans.rewrites import _masked_spans as _spans_of
 
-    return _map_code(sql, fix)
+    while True:
+        spans = _spans_of(sql)
+        m = next(
+            (
+                x
+                for x in _BETWEEN_SYM.finditer(sql)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+
+        def scan(start: int, stop_pat) -> tuple[int, "re.Match | None"]:
+            """Index of the first depth-0 unmasked stop keyword (and
+            its match) from `start`; (len(sql), None) if none."""
+            depth, j = 0, start
+            while j < len(sql):
+                sp = next((s for s in spans if s[0] <= j < s[1]), None)
+                if sp:
+                    j = sp[1]
+                    continue
+                c = sql[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        return j, None
+                    depth -= 1
+                elif c == ",":
+                    if depth == 0:
+                        return j, None
+                elif depth == 0 and c.isalpha():
+                    km = stop_pat.match(sql, j)
+                    if km:
+                        return j, km
+                    # skip the rest of this word
+                    while j < len(sql) and (
+                        sql[j].isalnum() or sql[j] == "_"
+                    ):
+                        j += 1
+                    continue
+                j += 1
+            return len(sql), None
+
+        lo_end, am = scan(m.end(), _KW_AND)
+        if am is None:
+            raise ValueError("BETWEEN SYMMETRIC without AND")
+        hi_start = am.end()
+        hi_end, _ = scan(hi_start, _HI_END)
+        lo = sql[m.end() : lo_end].strip()
+        hi = sql[hi_start:hi_end].strip().rstrip(";")
+        if not lo or not hi:
+            raise ValueError("BETWEEN SYMMETRIC: empty bound")
+        repl = (
+            f"BETWEEN least({lo}, {hi}) AND greatest({lo}, {hi})"
+        )
+        sql = sql[: m.start()] + repl + " " + sql[hi_end:]

@@ -1164,40 +1164,59 @@ def pg_jsonpath_ops(sql: str) -> str:
 _ORDERED_AGG = re.compile(r"\b(array_agg|string_agg)\s*\(", re.I)
 
 
+def _next_call(sql: str, pattern, start: int):
+    """Find the next unmasked `pattern` match (its regex must end at
+    the call's opening paren) and the index of its matching close
+    paren. → (match, close_idx, spans) or (None, -1, spans). The ONE
+    implementation of the find-call + balanced-scan idiom the
+    function rewrites share."""
+    spans = _masked_spans(sql)
+    m = next(
+        (
+            x
+            for x in pattern.finditer(sql, start)
+            if not any(a <= x.start() < b for a, b in spans)
+        ),
+        None,
+    )
+    if m is None:
+        return None, -1, spans
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        sp = next((s for s in spans if s[0] <= i < s[1]), None)
+        if sp:
+            i = sp[1]
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return m, i, spans
+        i += 1
+    raise ValueError(f"unbalanced parens in {m.group(0)}")
+
+
 def pg_ordered_agg(sql: str) -> str:
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        m = next(
+        m, i, spans = _next_call(sql, _ORDERED_AGG, start)
+        if m is None:
+            return sql
+        inner = sql[m.end() : i]
+        # first UNMASKED ORDER BY inside the call (a delimiter literal
+        # may itself contain the words 'order by')
+        om = next(
             (
                 x
-                for x in _ORDERED_AGG.finditer(sql, start)
-                if not any(a <= x.start() < b for a, b in spans)
+                for x in re.finditer(r"\bORDER\s+BY\b", inner, re.I)
+                if not any(
+                    a <= m.end() + x.start() < b for a, b in spans
+                )
             ),
             None,
         )
-        if m is None:
-            return sql
-        depth, i = 0, m.end() - 1
-        while i < len(sql):
-            sp = next((s for s in spans if s[0] <= i < s[1]), None)
-            if sp:
-                i = sp[1]
-                continue
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if depth != 0:
-            raise ValueError(f"unbalanced parens in {m.group(1)}")
-        inner = sql[m.end() : i]
-        om = re.search(r"\bORDER\s+BY\b", inner, re.I)
-        if om is None or any(
-            a <= m.end() + om.start() < b for a, b in spans
-        ):
+        if om is None:
             start = i + 1
             continue  # unordered form: Spark-native
         head, tail = inner[: om.start()], inner[om.end() :]
@@ -1228,8 +1247,16 @@ def pg_ordered_agg(sql: str) -> str:
             if len(args) != 1:
                 raise ValueError("array_agg takes one expression")
             expr, delim = args[0].strip(), None
+        # DESC comparator: NULL keys sort FIRST (PG's default for
+        # DESC); the plain CASE would return NULL (≡ 0, arbitrary
+        # placement) for them. ASC keeps array_sort's natural struct
+        # order — NULL-key placement there follows Spark, and ties
+        # break by the value field (both documented).
         cmp = (
-            ", (l, r) -> CASE WHEN l.k > r.k THEN -1 "
+            ", (l, r) -> CASE "
+            "WHEN l.k IS NULL AND r.k IS NULL THEN 0 "
+            "WHEN l.k IS NULL THEN -1 WHEN r.k IS NULL THEN 1 "
+            "WHEN l.k > r.k THEN -1 "
             "WHEN l.k < r.k THEN 1 ELSE 0 END"
             if desc
             else ""
@@ -1247,7 +1274,9 @@ def pg_ordered_agg(sql: str) -> str:
         start = m.start() + len(repl)
 
 
-# PG array_length(arr, dim) — Spark spells it size(); only
+# PG array_length(arr, dim) — Spark spells it size(), except that PG
+# returns NULL for an EMPTY array (no dimension 1) where size()
+# returns 0: nullif preserves the PG branch behavior. Only
 # one-dimensional arrays exist here (dim must be the literal 1).
 _ARRAY_LENGTH = re.compile(r"\barray_length\s*\(", re.I)
 
@@ -1255,32 +1284,9 @@ _ARRAY_LENGTH = re.compile(r"\barray_length\s*\(", re.I)
 def pg_array_length(sql: str) -> str:
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        m = next(
-            (
-                x
-                for x in _ARRAY_LENGTH.finditer(sql, start)
-                if not any(a <= x.start() < b for a, b in spans)
-            ),
-            None,
-        )
+        m, i, _ = _next_call(sql, _ARRAY_LENGTH, start)
         if m is None:
             return sql
-        depth, i = 0, m.end() - 1
-        while i < len(sql):
-            sp = next((s for s in spans if s[0] <= i < s[1]), None)
-            if sp:
-                i = sp[1]
-                continue
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if depth != 0:
-            raise ValueError("unbalanced parens in array_length")
         args = _split_top_level(sql[m.end() : i])
         if len(args) != 2:
             raise ValueError("array_length takes (array, dimension)")
@@ -1288,6 +1294,6 @@ def pg_array_length(sql: str) -> str:
             raise ValueError(
                 "array_length: only dimension 1 exists in this engine"
             )
-        repl = f"size({args[0].strip()})"
+        repl = f"nullif(size({args[0].strip()}), 0)"
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)

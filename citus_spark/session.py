@@ -619,8 +619,11 @@ class DistributedSession:
                 self.citus_shards().createOrReplaceTempView("_citus_shards")
                 rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
             rewritten = self._rewrite_pg_catalog_views(rewritten)
-            if rewritten is not query:
-                return self.spark.sql(rewritten)
+            if rewritten != query:
+                # re-enter the front door: the rewritten text (view
+                # names now _citus_*/_pg_* — no pattern re-fires) must
+                # still get the PG rewrites and statement recording
+                return self.sql(rewritten)
             return None
         kw = call.kwargs
         if call.fn == "create_distributed_table":

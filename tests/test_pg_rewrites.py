@@ -263,3 +263,30 @@ def test_prepared_null_parameter(pg_sess):
     some = pg_sess.sql("EXECUTE np ('1-URGENT')").collect()[0].n
     assert 0 < some < total
     pg_sess.sql("DEALLOCATE np")
+
+
+def test_prepared_digit_types_and_float(pg_sess):
+    pg_sess.sql(
+        "PREPARE dt (int4, float) AS SELECT count(*) AS n FROM orders "
+        "WHERE o_custkey % 10 = $1 AND o_totalprice > $2"
+    )
+    assert pg_sess.sql("EXECUTE dt (3, 1000.0)").collect()[0].n > 0
+    pg_sess.sql("DEALLOCATE dt")
+
+
+def test_ordered_agg_delimiter_containing_order_by(pg_sess):
+    s = pg_sess.sql(
+        "SELECT string_agg(o_orderpriority, ' order by ' "
+        "ORDER BY o_orderpriority) AS s "
+        "FROM (SELECT DISTINCT o_orderpriority FROM orders) t"
+    ).collect()[0].s
+    parts = s.split(" order by ")
+    assert parts == sorted(parts) and len(parts) == 5
+
+
+def test_array_length_empty_is_null(pg_sess):
+    r = pg_sess.sql(
+        "SELECT array_length(filter(array(1), x -> x > 5), 1) AS n "
+        "FROM orders LIMIT 1"
+    ).collect()[0]
+    assert r.n is None  # PG: empty array has no dimension 1

@@ -132,3 +132,40 @@ def test_between_symmetric(sess):
         "WHERE o_orderkey BETWEEN 100 AND 200"
     ).collect()[0].n
     assert n1 == n2 > 0
+
+
+def test_date_bin_strict_strides(sess):
+    for bad in ("1.5 hours", "-1 hour", "0.5 seconds", "1 hour 30"):
+        with pytest.raises(ValueError):
+            sess.sql(
+                f"SELECT date_bin(INTERVAL '{bad}', ts, "
+                "TIMESTAMP '2020-01-01') FROM events"
+            )
+    ok = sess.sql(
+        "SELECT date_bin(INTERVAL '1 hour 30 minutes', "
+        "TIMESTAMP '2020-01-01 02:20:00', TIMESTAMP '2020-01-01') AS b"
+    ).collect()[0].b
+    assert str(ok) == "2020-01-01 01:30:00"
+
+
+def test_between_symmetric_multi_token_bounds(sess):
+    n1 = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate "
+        "BETWEEN SYMMETRIC DATE '1995-01-01' AND DATE '1992-01-01'"
+    ).collect()[0].n
+    n2 = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate "
+        "BETWEEN DATE '1992-01-01' AND DATE '1995-01-01'"
+    ).collect()[0].n
+    assert n1 == n2 > 0
+    # function-call bound with internal commas
+    n3 = sess.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey "
+        "BETWEEN SYMMETRIC greatest(200, 100) AND least(100, 50) "
+        "AND o_orderkey > 0"
+    ).collect()[0].n
+    n4 = sess.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey BETWEEN 50 AND 200"
+    ).collect()[0].n
+    assert n3 == n4

@@ -133,3 +133,22 @@ def test_pg_catalog_views(sess):
         "SELECT matviewname, ispopulated FROM pg_matviews"
     ).collect()}
     assert mv2.get("cat_mv") is True
+
+
+def test_pg_tables_mention_in_literal_no_bypass(sess):
+    # a literal mentioning pg_tables must not reroute the statement
+    # around the PG rewrite chain (review finding)
+    n = sess.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey BETWEEN SYMMETRIC 200 AND 100 "
+        "AND o_orderpriority NOT LIKE '%pg_tables%'"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_pg_catalog_views_get_pg_rewrites(sess):
+    sess.sql("CREATE TABLE pvt (k int)")
+    rows = sess.sql(
+        "SELECT tablename FROM pg_tables WHERE tablename SIMILAR TO 'pv_'"
+    ).collect()
+    assert [r.tablename for r in rows] == ["pvt"]
