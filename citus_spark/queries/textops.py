@@ -1689,3 +1689,198 @@ FROM f
 ORDER BY id, frame_no
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/cms.py) — mergeable frequency-estimate
+# states; the "how often did ANY key occur" question TopN's bounded
+# list cannot answer. Seeded portable hashes → the DuckDB oracle
+# re-derives the sparse counter state bit-for-bit, so the estimates
+# AND the state checksum are value-exact. est >= exact (CMS is
+# one-sided) travels as data the oracle reproduces.
+_CMS_D, _CMS_W = 4, 256
+
+
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.cms import cms_estimate, cms_sketch
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select("user_id")
+    sk = cms_sketch(ev, [], "user_id", depth=_CMS_D, width=_CMS_W)
+    q = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "user_id long"
+    )
+    est = q.crossJoin(sk).select(
+        "user_id",
+        cms_estimate(
+            F.col("sketch"), F.col("user_id"),
+            depth=_CMS_D, width=_CMS_W,
+        ).alias("est"),
+        F.size("sketch").cast("long").alias("state_entries"),
+        F.aggregate(
+            F.col("sketch"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s.pos * s.cnt,
+        ).alias("state_checksum"),
+    )
+    exact = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "est",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0)))
+            .alias("est_is_upper_bound"),
+            "state_entries",
+            "state_checksum",
+        )
+        .orderBy("user_id")
+    )
+
+
+_CMS_HASH = hash64_duck("i || ':' || CAST(user_id AS VARCHAR)")
+
+register_split(
+    "cms_user_frequency",
+    cms_user_frequency,
+    f"""
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+pos AS (
+  SELECT e.user_id, s.i,
+         s.i * {_CMS_W} + {_CMS_HASH} % {_CMS_W} AS pos
+  FROM events e, seeds s
+),
+counters AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY pos
+),
+state AS (
+  SELECT CAST(count(*) AS BIGINT) AS state_entries,
+         CAST(sum(pos * cnt) AS BIGINT) AS state_checksum
+  FROM counters
+),
+q AS (SELECT unnest([1, 2, 3, 4, 5]) AS user_id),
+qpos AS (
+  SELECT q.user_id, s.i,
+         s.i * {_CMS_W} + {_CMS_HASH} % {_CMS_W} AS pos
+  FROM q, seeds s
+),
+est AS (
+  SELECT user_id,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM qpos LEFT JOIN counters c USING (pos)
+  GROUP BY user_id
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.est,
+       CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+       e.est >= coalesce(x.exact, 0) AS est_is_upper_bound,
+       state.state_entries, state.state_checksum
+FROM est e LEFT JOIN exact x USING (user_id), state
+ORDER BY e.user_id
+""",
+)
+
+
+# Bloom filter columns (operators/bloom.py) — mergeable membership
+# states (the data-side counterpart of the planner's runtime
+# bloom-filter injection): a per-group bloom of its key set answers
+# "definitely not present" from a rollup. No false negatives by
+# construction — n_maybe >= n_true per group, both value-exact (the
+# oracle re-derives the set bits from the same seeded hashes).
+_BLOOM_BITS, _BLOOM_K = 2048, 4
+
+
+def bloom_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.bloom import bloom_build, bloom_maybe_contains
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select("event_type", "user_id")
+    blooms = bloom_build(
+        ev, ["event_type"], "user_id",
+        bits=_BLOOM_BITS, hashes=_BLOOM_K,
+    )
+    users = ev.select("user_id").distinct()
+    maybe = (
+        users.crossJoin(blooms)
+        .filter(bloom_maybe_contains(
+            F.col("bloom"), F.col("user_id"),
+            bits=_BLOOM_BITS, hashes=_BLOOM_K,
+        ))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_maybe"))
+    )
+    true_members = ev.distinct().groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    state = blooms.select(
+        "event_type",
+        F.size("bloom").cast("long").alias("bits_set"),
+        F.aggregate(
+            F.col("bloom"), F.lit(0).cast("long"), lambda a, p: a + p
+        ).alias("bits_checksum"),
+    )
+    return (
+        maybe.join(true_members, "event_type")
+        .join(state, "event_type")
+        .select(
+            "event_type", "n_maybe", "n_true",
+            (F.col("n_maybe") >= F.col("n_true")).alias("no_false_negatives"),
+            "bits_set", "bits_checksum",
+        )
+        .orderBy("event_type")
+    )
+
+
+_BLOOM_HASH = hash64_duck("i || ':' || CAST(user_id AS VARCHAR)")
+
+register_split(
+    "bloom_users_by_type",
+    bloom_users_by_type,
+    f"""
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+bits AS (
+  SELECT DISTINCT e.event_type,
+         {_BLOOM_HASH} % {_BLOOM_BITS} AS p
+  FROM events e, seeds
+),
+users AS (SELECT DISTINCT user_id FROM events),
+upos AS (
+  SELECT u.user_id, seeds.i,
+         {_BLOOM_HASH} % {_BLOOM_BITS} AS p
+  FROM users u, seeds
+),
+maybe AS (
+  SELECT b.event_type, u.user_id
+  FROM upos u JOIN bits b USING (p)
+  GROUP BY b.event_type, u.user_id
+  HAVING count(DISTINCT u.i) = {_BLOOM_K}
+),
+n_maybe AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_maybe
+  FROM maybe GROUP BY event_type
+),
+n_true AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+),
+state AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS bits_set,
+         CAST(sum(p) AS BIGINT) AS bits_checksum
+  FROM bits GROUP BY event_type
+)
+SELECT t.event_type, m.n_maybe, t.n_true,
+       m.n_maybe >= t.n_true AS no_false_negatives,
+       s.bits_set, s.bits_checksum
+FROM n_true t JOIN n_maybe m USING (event_type)
+JOIN state s USING (event_type)
+ORDER BY t.event_type
+""",
+)
