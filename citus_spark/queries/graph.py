@@ -217,3 +217,58 @@ register_split(
     triangle_count_cooc,
     "WITH " + _ITEMS_DUCK + "," + _COOC_BODY.format(m=_COOC_MIN),
 )
+
+
+# Local clustering coefficient over the same thresholded projection:
+# c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the standard triad-closure
+# measure. tri(v) counts each oriented triangle at all three corners
+# (union of the three corner projections), deg from the undirected
+# edge list; one IEEE division on exact integers → value-exact.
+_CLUSTER_BODY = """
+pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM items a JOIN items b ON a.item = b.item AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= {m}
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) e GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_at AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) x GROUP BY node
+)
+SELECT d.node, d.d AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       CAST(2.0 * coalesce(t.t, 0) AS DOUBLE)
+         / CAST(d.d * (d.d - 1) AS DOUBLE) AS clustering_coef
+FROM deg d LEFT JOIN tri_at t ON t.node = d.node
+WHERE d.d >= 2
+ORDER BY clustering_coef DESC, degree DESC, d.node
+LIMIT 40
+"""
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        "WITH " + _ITEMS_SPARK + "," + _CLUSTER_BODY.format(m=_COOC_MIN)
+    )
+
+
+register_split(
+    "clustering_coefficient",
+    clustering_coefficient,
+    "WITH " + _ITEMS_DUCK + "," + _CLUSTER_BODY.format(m=_COOC_MIN),
+)
