@@ -159,29 +159,40 @@ ORDER BY hops, node
 # ---------------------------------------------------------------------------
 # Triangle counting over the user co-occurrence projection: users are
 # adjacent when they share an item (props.k), restricted to pairs
-# sharing >= _COOC_MIN items (the thresholding that keeps a
-# co-occurrence projection from exploding at scale — the same guard a
-# 100 TB run needs, where the projection is built per item-bucket and
-# heavy items are capped). Triangles count via the oriented
-# edge-edge-edge join (src < dst everywhere), the standard
-# distributed formulation — three hash joins, no enumeration of
-# open wedges beyond the join, exact integers both engines.
+# sharing >= _COOC_MIN items, then DOULION edge sampling (Tsourakakis
+# et al., KDD 2009): each edge survives with probability 1/q via the
+# portable hash — DETERMINISTIC, so both engines sample the identical
+# subgraph and the oracle is value-exact. The sampled triangle count
+# scaled by q^3 is the published unbiased estimator; sampling is what
+# keeps the 3-way self-join bounded when the projection densifies
+# (the fixture's 100-item space yields a near-complete graph at
+# sf0.1 — 1.1M edges — exactly the hazard a 100 TB run hits).
+# Triangles count via the oriented edge-edge-edge join (src < dst
+# everywhere), the standard distributed formulation.
 _COOC_MIN = 3
+_EDGE_Q = 16  # keep 1/16 of edges; triangles scale by ~1/q^3
 
 _COOC_BODY = """
-pairs AS (
+pairs0 AS (
   SELECT a.user_id AS u, b.user_id AS v
   FROM items a JOIN items b ON a.item = b.item AND a.user_id < b.user_id
   GROUP BY a.user_id, b.user_id
   HAVING count(*) >= {m}
 ),
+pairs AS (
+  SELECT u, v FROM pairs0 WHERE {edge_hash} % {q} = 0
+)
+"""
+
+_TRI_BODY = """,
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM pairs e1
   JOIN pairs e2 ON e2.u = e1.v
   JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
 )
-SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled,
+       CAST(count(*) * {q} * {q} * {q} AS BIGINT) AS doulion_estimate,
        CAST(count(DISTINCT a) AS BIGINT) AS n_apex_users
 FROM tri
 """
@@ -204,43 +215,54 @@ items AS (
 )
 """
 
+_EDGE_HASH_SPARK = (
+    "CAST(conv(substr(md5(CAST(u AS STRING) || ':' || "
+    "CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+_EDGE_HASH_DUCK = (
+    "CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || "
+    "CAST(v AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+
+def _cooc_sql(items: str, body: str, edge_hash: str) -> str:
+    return (
+        "WITH "
+        + items
+        + ","
+        + _COOC_BODY.format(m=_COOC_MIN, q=_EDGE_Q, edge_hash=edge_hash)
+        + body.format(q=_EDGE_Q)
+    )
+
 
 def triangle_count_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
-    return spark.sql(
-        "WITH " + _ITEMS_SPARK + "," + _COOC_BODY.format(m=_COOC_MIN)
-    )
+    return spark.sql(_cooc_sql(_ITEMS_SPARK, _TRI_BODY, _EDGE_HASH_SPARK))
 
 
 register_split(
     "triangle_count_cooc",
     triangle_count_cooc,
-    "WITH " + _ITEMS_DUCK + "," + _COOC_BODY.format(m=_COOC_MIN),
+    _cooc_sql(_ITEMS_DUCK, _TRI_BODY, _EDGE_HASH_DUCK),
 )
 
 
-# Local clustering coefficient over the same thresholded projection:
-# c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the standard triad-closure
-# measure. tri(v) counts each oriented triangle at all three corners
-# (union of the three corner projections), deg from the undirected
-# edge list; one IEEE division on exact integers → value-exact.
-_CLUSTER_BODY = """
-pairs AS (
-  SELECT a.user_id AS u, b.user_id AS v
-  FROM items a JOIN items b ON a.item = b.item AND a.user_id < b.user_id
-  GROUP BY a.user_id, b.user_id
-  HAVING count(*) >= {m}
-),
-deg AS (
-  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
-  ) e GROUP BY node
-),
+# Local clustering coefficient over the SAMPLED projection (same
+# deterministic subgraph both engines): c(v) = 2·tri(v) /
+# (deg(v)·(deg(v)−1)) — the triad-closure measure of the sampled
+# graph. tri(v) counts each oriented triangle at all three corners;
+# one IEEE division on exact integers → value-exact.
+_CLUSTER_BODY = """,
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM pairs e1
   JOIN pairs e2 ON e2.u = e1.v
   JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) e GROUP BY node
 ),
 tri_at AS (
   SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
@@ -263,12 +285,12 @@ LIMIT 40
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     return spark.sql(
-        "WITH " + _ITEMS_SPARK + "," + _CLUSTER_BODY.format(m=_COOC_MIN)
+        _cooc_sql(_ITEMS_SPARK, _CLUSTER_BODY, _EDGE_HASH_SPARK)
     )
 
 
 register_split(
     "clustering_coefficient",
     clustering_coefficient,
-    "WITH " + _ITEMS_DUCK + "," + _CLUSTER_BODY.format(m=_COOC_MIN),
+    _cooc_sql(_ITEMS_DUCK, _CLUSTER_BODY, _EDGE_HASH_DUCK),
 )
