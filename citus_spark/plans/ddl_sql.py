@@ -68,7 +68,12 @@ _DROP = re.compile(
 )
 _NOOP = re.compile(
     r"^\s*(CREATE\s+EXTENSION\b.*|CREATE\s+(?:UNIQUE\s+)?INDEX\b.*"
-    r"|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK)\s*;?\s*$",
+    r"|BEGIN|START\s+TRANSACTION|COMMIT|END|ROLLBACK"
+    # access control is out of the engine's scope (no auth model —
+    # storage-layer permissions govern); reference tutorials and
+    # regress scripts GRANT/REVOKE freely, so accept-and-report
+    r"|GRANT\b.*|REVOKE\b.*|CREATE\s+ROLE\b.*|CREATE\s+USER\b.*"
+    r"|ALTER\s+ROLE\b.*|COMMENT\s+ON\b.*)\s*;?\s*$",
     re.I | re.S,
 )
 

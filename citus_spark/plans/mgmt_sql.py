@@ -36,6 +36,8 @@ _FNS = (
     "citus_version",
     "update_distributed_table_colocation",
     "create_distributed_function",
+    "citus_schema_distribute",
+    "citus_schema_undistribute",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked

@@ -2629,6 +2629,57 @@ def pg_subscript_textual(spark, sf_dir):
 register_split("pg_subscript_textual", pg_subscript_textual, _PG_SUBSCRIPT_SQL)
 
 
+# Schema-based sharding (↔ Citus 12 tenant-per-schema,
+# schema_based_sharding.sql regress): two tenant schemas hold
+# same-named tables loaded from disjoint fixture slices; the tenant
+# rollup unions across schemas. Oracle re-derives both slices from
+# the base table.
+def schema_sharded_tenants(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql("SET citus.enable_schema_based_sharding TO ON")
+    for t, lo, hi in (("t_alpha", 0, 1000), ("t_beta", 1000, 2000)):
+        sess.sql(f"DROP SCHEMA IF EXISTS {t} CASCADE")
+        sess.sql(f"CREATE SCHEMA {t}")
+        sess.sql(f"CREATE TABLE {t}.orders (okey bigint, price double precision)")
+        sess.sql(
+            f"INSERT INTO {t}.orders SELECT o_orderkey, o_totalprice "
+            f"FROM public.orders WHERE o_orderkey >= {lo} "
+            f"AND o_orderkey < {hi}"
+        )
+    return sess.sql(
+        """
+SELECT tenant, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT 'alpha' AS tenant, okey, price FROM t_alpha.orders
+  UNION ALL
+  SELECT 'beta' AS tenant, okey, price FROM t_beta.orders
+) t
+GROUP BY tenant
+ORDER BY tenant
+"""
+    )
+
+
+register_split(
+    "schema_sharded_tenants",
+    schema_sharded_tenants,
+    """
+SELECT tenant, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT CASE WHEN o_orderkey < 1000 THEN 'alpha' ELSE 'beta' END AS tenant,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey < 2000
+) t
+GROUP BY tenant
+ORDER BY tenant
+""",
+)
+
+
 # PG 14 date_bin — arbitrary-stride time bucketing, the reference's
 # timeseries-rollup idiom (plans/pgfmt_sql.pg_date_bin → pure
 # timestamp arithmetic). DuckDB spells it time_bucket; both engines

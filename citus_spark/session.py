@@ -162,6 +162,12 @@ class DistributedSession:
         # with their table (PG ownership), unlike DEFAULT nextval refs
         self._sequences: dict[str, dict] = {}
         self._owned_seqs: set[str] = set()
+        # schemas (↔ Citus 12 schema-based sharding): name →
+        # {"distributed": bool, "colocation_id": int}. Qualified names
+        # sch.tbl mangle to sch__tbl views — Spark temp-view names
+        # cannot carry dots
+        self._schemas: dict[str, dict] = {}
+        self._next_schema_colocation = 100001
 
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
@@ -335,7 +341,12 @@ class DistributedSession:
             lambda v: None if float(v) == 0 else float(v),
         ),
         "citus.pg_compat": ("pg_compat", lambda v: str(v).lower() in ("on", "true", "1")),
+        "citus.enable_schema_based_sharding": (
+            "enable_schema_based_sharding",
+            lambda v: str(v).lower() in ("on", "true", "1"),
+        ),
     }
+    enable_schema_based_sharding: bool = False
 
     def _execute_guc(self, query: str) -> DataFrame | None:
         """`SET citus.<guc> = <value>` / `SHOW citus.<guc>` — session
@@ -389,6 +400,11 @@ class DistributedSession:
         # so DML/DDL between statements is always visible through it
         if self._views and not self._in_view_refresh:
             self._refresh_textual_views()
+
+        # schema-qualified names mangle to their view spelling before
+        # any executor parses the text
+        if self._schemas and ("." in query or "SCHEMA" in query.upper()):
+            query = self._mangle_schema_names(query)
 
         # sequence calls: coordinator evaluation (literal draws), then
         # the distributed per-row path for nextval over a FROM query
@@ -668,6 +684,26 @@ class DistributedSession:
             self.undistribute_table(str(call.args[0]))
         elif call.fn == "citus_stat_statements_reset":
             self.stat_statements.reset()
+        elif call.fn in ("citus_schema_distribute",
+                         "citus_schema_undistribute"):
+            # ↔ Citus 12 tenant-schema conversion: flips the schema's
+            # distributed flag (its own colocation group). Placement
+            # itself is the scheduler's job on Spark — metadata only.
+            sname = str(call.args[0])
+            st = self._schemas.get(sname)
+            if st is None:
+                raise ValueError(f'schema "{sname}" does not exist')
+            if call.fn == "citus_schema_distribute":
+                if not st["distributed"]:
+                    st["distributed"] = True
+                    st["colocation_id"] = self._next_schema_colocation
+                    self._next_schema_colocation += 1
+            else:
+                st["distributed"] = False
+                st["colocation_id"] = 0
+            return self.spark.createDataFrame(
+                [(None,)], f"`{call.fn}` string"
+            )
         elif call.fn == "create_distributed_function":
             # ↔ reference create_distributed_function(regprocedure):
             # Citus propagates the function DDL to workers. A Spark
@@ -849,6 +885,107 @@ class DistributedSession:
                 )
         return entry
 
+    # -- schemas (↔ reference schema_based_sharding.sql regress /
+    # Citus 12 tenant-per-schema model) ---------------------------------
+    def _execute_schema_ddl(self, query: str):
+        import re as _re
+
+        m = _re.match(
+            r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>[A-Za-z_]\w*)\s*(?:AUTHORIZATION\s+\w+)?\s*;?\s*$",
+            query,
+            _re.I,
+        )
+        if m:
+            name = m.group("name")
+            if name not in self._schemas:
+                # under schema-based sharding every schema is its own
+                # colocation group (the Citus 12 tenant model) — the
+                # Spark analog is metadata-only (task placement is the
+                # scheduler's), surfaced through citus_schemas
+                self._schemas[name] = {
+                    "distributed": self.enable_schema_based_sharding,
+                    "colocation_id": (
+                        self._next_schema_colocation
+                        if self.enable_schema_based_sharding
+                        else 0
+                    ),
+                }
+                if self.enable_schema_based_sharding:
+                    self._next_schema_colocation += 1
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [("CREATE SCHEMA",)], "status string"
+            )
+        m = _re.match(
+            r"^\s*DROP\s+SCHEMA\s+(?P<ine>IF\s+EXISTS\s+)?"
+            r"(?P<name>[A-Za-z_]\w*)\s*(?P<cascade>CASCADE)?\s*"
+            r"(?:RESTRICT)?\s*;?\s*$",
+            query,
+            _re.I,
+        )
+        if m:
+            name = m.group("name")
+            if name not in self._schemas:
+                if m.group("ine"):
+                    return self.spark.createDataFrame(
+                        [("DROP SCHEMA skipped: unknown",)], "status string"
+                    )
+                raise ValueError(f'schema "{name}" does not exist')
+            members = [
+                t for t in self.catalog.tables() if t.startswith(f"{name}__")
+            ]
+            if members and not m.group("cascade"):
+                raise ValueError(
+                    f'schema "{name}" is not empty — use DROP SCHEMA '
+                    f"{name} CASCADE ({len(members)} table(s))"
+                )
+            for t in members:
+                self.sql(f"DROP TABLE {t}")
+            self._schemas.pop(name)
+            return self.spark.createDataFrame(
+                [("DROP SCHEMA",)], "status string"
+            )
+        return None
+
+    def _mangle_schema_names(self, query: str) -> str:
+        """sch.tbl → sch__tbl for registered schemas (Spark temp-view
+        names cannot carry dots); public.tbl → tbl (the default
+        namespace IS the unqualified catalog). Segment-aware."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _map_code
+
+        names = [n for n in self._schemas if n != "public"]
+        pats = []
+        if names:
+            alt = "|".join(_re.escape(n) for n in names)
+            pats.append((
+                _re.compile(rf"\b({alt})\.([A-Za-z_]\w*)", _re.I),
+                r"\1__\2",
+            ))
+        pats.append((_re.compile(r"\bpublic\.([A-Za-z_]\w*)", _re.I), r"\1"))
+
+        def fix(code: str) -> str:
+            for pat, repl in pats:
+                code = pat.sub(repl, code)
+            return code
+
+        return _map_code(query, fix)
+
+    def citus_schemas(self) -> DataFrame:
+        """↔ the reference's citus_schemas view (Citus 12): one row
+        per distributed schema with its colocation group."""
+        rows = [
+            (n, s["colocation_id"])
+            for n, s in self._schemas.items()
+            if s["distributed"]
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", 0)],
+            "schema_name string, colocation_id int",
+        ).filter(F.col("schema_name") != "")
+
     def _rewrite_pg_catalog_views(self, query: str) -> str:
         """pg_catalog compatibility views — `pg_tables`, `pg_views`,
         `pg_matviews` (the introspection surface psql-era tooling
@@ -859,6 +996,14 @@ class DistributedSession:
 
         from citus_spark.plans.rewrites import _map_code
 
+        if _re.search(r"\bcitus_schemas\b", query, _re.I):
+            self.citus_schemas().createOrReplaceTempView("_citus_schemas")
+            query = _map_code(
+                query,
+                lambda c: _re.sub(
+                    r"\bcitus_schemas\b", "_citus_schemas", c, flags=_re.I
+                ),
+            )
         if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
             return query
 
@@ -1324,6 +1469,9 @@ class DistributedSession:
         no-ops so reference tutorials run verbatim from their first
         statement. None = not DDL (or a DROP of a non-catalog table —
         Spark's own handling takes those)."""
+        schema = self._execute_schema_ddl(query)
+        if schema is not None:
+            return schema
         view = self._execute_view_ddl(query)
         if view is not None:
             return view
