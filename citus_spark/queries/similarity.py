@@ -837,3 +837,216 @@ SELECT CAST(50 AS BIGINT) AS n_checked, TRUE AS top1_is_query,
        TRUE AS dist_sorted, TRUE AS recall_ge_85
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantized search — the memory-bandwidth scale lever
+# every production vector store pulls (FAISS SQ8, Lucene/pgvector
+# scalar quantization; ↔ reference's vector-index work): store 1 byte
+# per dimension instead of 4, rank candidates with INTEGER dot
+# products, then exact-rescore the survivors from the float column.
+# Quantization here is per-vector symmetric: scale = max|x|/127,
+# code_i = floor(x_i·127/max|x| + 0.5). Every step is deterministic
+# scalar IEEE/integer arithmetic spelled identically in both engines,
+# so codes, integer dots, the candidate cut, and the final exact
+# cosines are all value-exact across engines AND partitionings —
+# bigint sums are order-free, so even the reduction order cannot
+# matter. Scale posture: the candidate stage reads only codes (4×
+# less traffic than floats), queries broadcast, one pass over the
+# big side, and only k+slack survivors per query shuffle for the
+# rescore — the same two-stage shape as ann_cosine_topk.
+INT8_SLACK = 5
+
+
+def _idot_sql(a: str, b: str) -> str:
+    """Spark SQL: exact bigint dot product of two code arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _idot_duck(a: str, b: str) -> str:
+    """DuckDB: the same bigint dot product (index-zip formulation)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+_INT8_CODE_SPARK = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / "
+    "greatest(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+    "1e-30) + 0.5) AS BIGINT))"
+)
+_INT8_CODE_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / "
+    "greatest(CAST(list_max(list_transform(embedding, "
+    "y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30) + 0.5) AS BIGINT))"
+)
+
+
+def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_INT8_CODE_SPARK} AS code FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, code AS qc
+  FROM coded WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT qid, c.vec_id AS cid, qv, c.embedding AS cv,
+         CAST({_idot_sql('qc', 'c.code')} AS DOUBLE)
+           / sqrt(CAST({_idot_sql('qc', 'qc')}
+                       * {_idot_sql('c.code', 'c.code')} AS DOUBLE))
+           AS qcos
+  FROM q JOIN coded c ON qid <> c.vec_id
+), cand AS (
+  SELECT qid, cid, qv, cv,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid)
+           AS crk
+  FROM approx
+), rescored AS (
+  SELECT qid, cid,
+         {dot_fold_sql('qv', 'cv')}
+           / (sqrt({dot_fold_sql('qv', 'qv')})
+              * sqrt({dot_fold_sql('cv', 'cv')})) AS cosine
+  FROM cand WHERE crk <= {TOP_K + INT8_SLACK}
+)
+, ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM rescored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""")
+
+
+register_split(
+    "int8_quant_topk",
+    int8_quant_topk,
+    f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_INT8_CODE_DUCK} AS code FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, code AS qc
+  FROM coded WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT qid, c.vec_id AS cid, qv, c.embedding AS cv,
+         CAST({_idot_duck('qc', 'c.code')} AS DOUBLE)
+           / sqrt(CAST({_idot_duck('qc', 'qc')}
+                       * {_idot_duck('c.code', 'c.code')} AS DOUBLE))
+           AS qcos
+  FROM q JOIN coded c ON qid <> c.vec_id
+), cand AS (
+  SELECT qid, cid, qv, cv,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid)
+           AS crk
+  FROM approx
+), rescored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv')}
+           / (sqrt({dot_fold_duck('qv', 'qv')})
+              * sqrt({dot_fold_duck('cv', 'cv')})) AS cosine
+  FROM cand WHERE crk <= {TOP_K + INT8_SLACK}
+), ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM rescored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) search: MRL-trained embeddings
+# carry most of their signal in a prefix of the dimensions, so the
+# candidate pass scores only the first MRL_DIM dims (4× fewer flops
+# and bytes) and the full-dimension exact rescore runs on the k+slack
+# survivors. Deterministic end-to-end: both engines slice the same
+# prefix and fold in the same order, so the candidate cut and final
+# top-k agree value-for-value under any partitioning.
+MRL_DIM = 16
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH sliced AS (
+  SELECT vec_id, embedding, slice(embedding, 1, {MRL_DIM}) AS pre
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, pre AS qp
+  FROM sliced WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT qid, c.vec_id AS cid, qv, c.embedding AS cv,
+         {dot_fold_sql('qp', 'c.pre')}
+           / (sqrt({dot_fold_sql('qp', 'qp')})
+              * sqrt({dot_fold_sql('c.pre', 'c.pre')})) AS pcos
+  FROM q JOIN sliced c ON qid <> c.vec_id
+), cand AS (
+  SELECT qid, cid, qv, cv,
+         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cid)
+           AS crk
+  FROM approx
+), rescored AS (
+  SELECT qid, cid,
+         {dot_fold_sql('qv', 'cv')}
+           / (sqrt({dot_fold_sql('qv', 'qv')})
+              * sqrt({dot_fold_sql('cv', 'cv')})) AS cosine
+  FROM cand WHERE crk <= {TOP_K + INT8_SLACK}
+)
+, ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM rescored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""")
+
+
+register_split(
+    "matryoshka_topk",
+    matryoshka_topk,
+    f"""
+WITH sliced AS (
+  SELECT vec_id, embedding, embedding[1:{MRL_DIM}] AS pre
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, pre AS qp
+  FROM sliced WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT qid, c.vec_id AS cid, qv, c.embedding AS cv,
+         {dot_fold_duck('qp', 'c.pre')}
+           / (sqrt({dot_fold_duck('qp', 'qp')})
+              * sqrt({dot_fold_duck('c.pre', 'c.pre')})) AS pcos
+  FROM q JOIN sliced c ON qid <> c.vec_id
+), cand AS (
+  SELECT qid, cid, qv, cv,
+         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cid)
+           AS crk
+  FROM approx
+), rescored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv')}
+           / (sqrt({dot_fold_duck('qv', 'qv')})
+              * sqrt({dot_fold_duck('cv', 'cv')})) AS cosine
+  FROM cand WHERE crk <= {TOP_K + INT8_SLACK}
+), ranked AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM rescored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+""",
+)
