@@ -1884,3 +1884,165 @@ JOIN state s USING (event_type)
 ORDER BY t.event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter — the FineWeb/C4-style keep/drop decision a
+# pre-training pipeline applies per document, expressed as a rule DAG
+# whose every term is exact integer arithmetic (counts and count
+# ratios), so keep flags are bit-identical across engines and
+# partitionings. Real pipelines tune thresholds per corpus; these are
+# set to discriminate on the fixture (each rule passes most but not
+# all documents). One scan, no shuffle (the final ORDER BY is the
+# driver-compare convention, not part of the operator).
+_QF_MIN_WORDS = 30
+_QF_MAX_MEAN_WL = 4.6          # mean word length ceiling
+_QF_MIN_STOPWORD = 0.04       # 'a'/'the' share floor (prose-likeness)
+_QF_MAX_DUP_BIGRAM = 0.05     # repetition ceiling
+
+
+def composite_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / nd
+    )
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double") / nd
+    )
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    dup = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(bg)).cast("double") / F.size(bg).cast("double")
+    )
+    d = spark.table("documents").select(
+        "doc_id",
+        (n >= _QF_MIN_WORDS).alias("len_ok"),
+        (mean_wl <= _QF_MAX_MEAN_WL).alias("word_len_ok"),
+        (stop >= _QF_MIN_STOPWORD).alias("stopword_ok"),
+        (dup <= _QF_MAX_DUP_BIGRAM).alias("repetition_ok"),
+    )
+    return d.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("word_len_ok") & F.col("stopword_ok")
+        & F.col("repetition_ok"),
+    ).orderBy("doc_id")
+
+
+register_split(
+    "composite_quality_filter",
+    composite_quality_filter,
+    f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_wl,
+         CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(
+                     range(len(toks) - 1),
+                     i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [text] END AS bg
+  FROM t
+)
+SELECT doc_id,
+       n >= {_QF_MIN_WORDS} AS len_ok,
+       mean_wl <= {_QF_MAX_MEAN_WL} AS word_len_ok,
+       stop_ratio >= {_QF_MIN_STOPWORD} AS stopword_ok,
+       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+         <= {_QF_MAX_DUP_BIGRAM} AS repetition_ok,
+       (n >= {_QF_MIN_WORDS})
+         AND (mean_wl <= {_QF_MAX_MEAN_WL})
+         AND (stop_ratio >= {_QF_MIN_STOPWORD})
+         AND (1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                / CAST(len(bg) AS DOUBLE) <= {_QF_MAX_DUP_BIGRAM}) AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage — the tokenizer-construction primitive: rank
+# corpus token types by frequency and report each top-N type's
+# cumulative share of all token occurrences (the curve that decides
+# vocab size). Two-phase distributable: per-partition partial counts
+# combine in one hash shuffle; only the top-N survivors (tiny) sort
+# for the running share. Counts are exact integers; the single double
+# division per row is identical scalar IEEE in both engines.
+_VOCAB_TOP_N = 50
+
+
+def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    load_views(spark, sf_dir)
+    tok = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    # top-N FIRST via orderBy+limit (Spark plans TakeOrdered — a
+    # distributed per-partition heap, never a global sort of the full
+    # vocabulary); the running sum then windows over only N rows, and
+    # it is self-contained because every higher-ranked row is inside
+    # the top-N by construction.
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_N)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_n",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("n").cast("long").alias("n"),
+            (F.col("cum_n").cast("double") / F.col("t").cast("double"))
+            .alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+register_split(
+    "vocab_coverage_topn",
+    vocab_coverage_topn,
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank,
+         sum(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, token, CAST(n AS BIGINT) AS n,
+       CAST(cum_n AS DOUBLE)
+         / CAST((SELECT sum(n) FROM counts) AS DOUBLE) AS cum_share
+FROM ranked WHERE rank <= {_VOCAB_TOP_N}
+ORDER BY rank
+""",
+)
