@@ -3074,3 +3074,175 @@ SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_orderkey LIMIT 25
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (the TimescaleDB `time_weight` analog; a core
+# sensor/metrics rollup the plain AVG gets wrong when samples are
+# irregular): LOCF step-function integral per user divided by the
+# observation span. Durations are integer epoch seconds (rule: Spark
+# unix_timestamp truncates, DuckDB epoch() is fractional — both sides
+# floor, so weights are identical bigints); value·duration products
+# are identical scalar IEEE ops, and the per-user sum is DSUM-exact
+# (order-free), so results hash identically under any partitioning.
+# Scale: one partitioned window (lead) + one hash aggregate on the
+# same key — a single shuffle on user_id.
+def _twa_sql(epoch_expr: str) -> str:
+    e = epoch_expr
+    return f"""
+WITH stepped AS (
+  SELECT user_id, value,
+         {e} AS t,
+         lead({e}) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS t_next
+  FROM events
+), seg AS (
+  SELECT user_id,
+         value * CAST(t_next - t AS DOUBLE) AS weighted,
+         t_next - t AS dur
+  FROM stepped WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       {DSUM("weighted", "weighted_sum")},
+       CAST(sum(dur) AS BIGINT) AS span_seconds,
+       ({DSUM("weighted", "_ws").rsplit(" AS ", 1)[0]})
+         / CAST(sum(dur) AS DOUBLE) AS twa
+FROM seg
+GROUP BY user_id
+HAVING sum(dur) > 0
+ORDER BY user_id
+"""
+
+
+def time_weighted_avg(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(_twa_sql("unix_timestamp(ts)"))
+
+
+register_split(
+    "time_weighted_avg",
+    time_weighted_avg,
+    _twa_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+)
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars — first/last/extreme values per hourly bucket
+# (the financial/metrics downsampling idiom; ↔ TimescaleDB `ohlc`).
+# Open/close use explicit row_number tie-breaks (ts, event_id), not
+# engine-specific arg_min/arg_max, so the whole statement is one
+# shared ANSI string both engines run verbatim. Scale: the two window
+# functions share ONE partitioning (bucket) — a single sort-shuffle —
+# and the final aggregate reuses the same key, so AQE plans one
+# exchange; high/low/volume are plain distributable aggregates.
+register_shared_sql(
+    "ohlc_hourly",
+    f"""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS volume,
+       max(CASE WHEN rn_open = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_close = 1 THEN value END) AS close
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation — the `interpolate()` companion
+# to gapfill_locf: silent hours take the line between the neighboring
+# observed buckets; hours before the first / after the last
+# observation stay NULL (PG/Timescale interpolate semantics). The
+# bucket values are DSUM-exact and the interpolation weight is a
+# ratio of bigint epoch differences, so the arithmetic
+# prev + (next-prev)·w is the same scalar IEEE expression in both
+# engines. Only the IGNORE NULLS spelling differs (hence split).
+def _interp_sql(spine: str, ignore_nulls: callable, epoch_expr: str) -> str:
+    prev_v = ignore_nulls("last_value", "v",
+                          "ORDER BY hour_ts ROWS BETWEEN UNBOUNDED "
+                          "PRECEDING AND CURRENT ROW")
+    prev_t = ignore_nulls("last_value", "obs_t",
+                          "ORDER BY hour_ts ROWS BETWEEN UNBOUNDED "
+                          "PRECEDING AND CURRENT ROW")
+    next_v = ignore_nulls("first_value", "v",
+                          "ORDER BY hour_ts ROWS BETWEEN CURRENT ROW "
+                          "AND UNBOUNDED FOLLOWING")
+    next_t = ignore_nulls("first_value", "obs_t",
+                          "ORDER BY hour_ts ROWS BETWEEN CURRENT ROW "
+                          "AND UNBOUNDED FOLLOWING")
+    return f"""
+WITH hours AS (
+  {spine}
+),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h,
+         {DSUM("value", "v")}
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY date_trunc('hour', ts)
+),
+joined AS (
+  SELECT hour_ts, v,
+         CASE WHEN v IS NOT NULL THEN {epoch_expr} END AS obs_t,
+         {epoch_expr} AS t
+  FROM hours LEFT JOIN agg ON hour_ts = h
+),
+bounded AS (
+  SELECT hour_ts, v, t,
+         {prev_v} AS pv, {prev_t} AS pt,
+         {next_v} AS nv, {next_t} AS nt
+  FROM joined
+)
+SELECT hour_ts,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                / CAST(nt - pt AS DOUBLE))
+       END AS v_interp,
+       v IS NOT NULL AS observed
+FROM bounded
+ORDER BY hour_ts
+"""
+
+
+def gapfill_interpolate(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    spine = """SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+                          TIMESTAMP '2024-01-02 23:00:00',
+                          INTERVAL 1 HOUR)) AS hour_ts"""
+    return spark.sql(_interp_sql(
+        spine,
+        lambda fn, col, frame: f"{fn}({col}) IGNORE NULLS OVER ({frame})",
+        "unix_timestamp(hour_ts)",
+    ))
+
+
+register_split(
+    "gapfill_interpolate",
+    gapfill_interpolate,
+    _interp_sql(
+        """SELECT ts AS hour_ts
+  FROM range(TIMESTAMP '2024-01-01 00:00:00',
+             TIMESTAMP '2024-01-03 00:00:00', INTERVAL 1 HOUR) t(ts)""",
+        lambda fn, col, frame: f"{fn}({col} IGNORE NULLS) OVER ({frame})",
+        "CAST(floor(epoch(hour_ts)) AS BIGINT)",
+    ),
+)
