@@ -385,3 +385,101 @@ def pg_between_symmetric(sql: str) -> str:
             f"BETWEEN least({lo}, {hi}) AND greatest({lo}, {hi})"
         )
         sql = sql[: m.start()] + repl + " " + sql[hi_end:]
+
+
+# ---------------------------------------------------------------------------
+# PG split-to-rows SRFs: regexp_split_to_table / string_to_table
+# (↔ PG string functions; the reference's regress suites use them for
+# token fixtures). Neither name exists in Spark, so the rewrite is
+# unconditional. Both positions PG allows are handled:
+#
+# - select list: the call becomes `explode(split(...))` inline
+#   (Spark's generator-in-projection form);
+# - FROM position: a LATERAL `(SELECT explode(split(...)) AS col)`
+#   subquery, with PG's bare-alias-names-the-column rule, same as
+#   pg_unnest.
+#
+# string_to_table splits on a LITERAL separator: its regex metachars
+# are escaped at rewrite time (emitted backslashes doubled — Spark's
+# literal parser consumes one level). A non-literal separator has no
+# faithful Spark spelling (split() is regex-based) and is rejected
+# loudly rather than silently mis-splitting.
+_SPLIT_SRF = re.compile(
+    r"\b(regexp_split_to_table|string_to_table)\s*\(", re.I
+)
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _literal_to_regex(lit: str) -> str:
+    """'sep' literal → Spark regex literal matching it verbatim."""
+    body = lit.strip()[1:-1].replace("''", "'")
+    out = []
+    for ch in body:
+        if ch in _REGEX_META:
+            out.append("\\\\" + ch)
+        else:
+            out.append(ch)
+    return "'" + "".join(out).replace("'", "''") + "'"
+
+
+def pg_split_to_table(sql: str) -> str:
+    spans = _masked_spans(sql)
+
+    def in_code(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    m = next((x for x in _SPLIT_SRF.finditer(sql) if in_code(x.start())),
+             None)
+    if m is None:
+        return sql
+    fn = m.group(1).lower()
+    depth, i = 0, m.end() - 1
+    while i < len(sql):
+        if in_code(i):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in {fn}")
+    args = _split_top_level(sql[m.end() : i])
+    if len(args) != 2:
+        raise ValueError(
+            f"{fn} expects 2 arguments here (the 3-argument null-string "
+            f"form is not supported)"
+        )
+    src, sep = args[0].strip(), args[1].strip()
+    if fn == "string_to_table":
+        if not re.fullmatch(r"'(?:[^']|'')*'", sep):
+            raise ValueError(
+                "string_to_table requires a literal separator (Spark "
+                "split() is regex-based; a runtime separator cannot be "
+                "escaped safely) — use regexp_split_to_table"
+            )
+        sep = _literal_to_regex(sep)
+    arr = f"split({src}, {sep}, -1)"
+    rest = sql[i + 1 :]
+    if _in_from_clause(sql, spans, m.start()):
+        head = sql[: m.start()].rstrip()
+        lateral = not re.search(r"\bFROM\s*$", head, re.I)
+        col, alias = fn, ""
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)(?:\s*\(\s*([A-Za-z_]\w*)\s*\))?",
+            rest, re.I,
+        )
+        if am and am.group(1).upper() not in _KW_STOP:
+            alias = f" {am.group(1)}"
+            col = am.group(2) if am.group(2) else am.group(1)
+            rest = rest[am.end() :]
+        lat = "LATERAL " if lateral else ""
+        out = (
+            f"{sql[: m.start()]}{lat}(SELECT explode({arr}) AS {col})"
+            f"{alias}{rest}"
+        )
+    else:
+        out = f"{sql[: m.start()]}explode({arr}){rest}"
+    return pg_split_to_table(out)

@@ -3246,3 +3246,91 @@ register_split(
         "CAST(floor(epoch(hour_ts)) AS BIGINT)",
     ),
 )
+
+
+# PG split-to-rows SRFs through the front door
+# (plans/pgfmt_sql.pg_split_to_table): regexp_split_to_table in the
+# select list AND string_to_table in FROM position (regex metachars in
+# the literal separator escaped at rewrite time) in one statement.
+# DuckDB spells both via string_split / string_split_regex + unnest.
+def pg_split_to_table_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT t.tok AS token, s.piece AS piece, count(*) AS n
+FROM documents,
+     string_to_table(text, ' ') AS t(tok),
+     LATERAL (SELECT regexp_split_to_table(t.tok, '[aeiou]+') AS piece) s
+WHERE t.tok <> '' AND s.piece <> ''
+GROUP BY t.tok, s.piece
+ORDER BY n DESC, token, piece
+LIMIT 25
+"""
+    )
+
+
+register_split(
+    "pg_split_to_table_textual",
+    pg_split_to_table_textual,
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), pieces AS (
+  SELECT tok, unnest(string_split_regex(tok, '[aeiou]+')) AS piece
+  FROM toks WHERE tok <> ''
+)
+SELECT tok AS token, piece, count(*) AS n
+FROM pieces WHERE piece <> ''
+GROUP BY tok, piece
+ORDER BY n DESC, token, piece
+LIMIT 25
+""",
+)
+
+
+# Crosstab / pivot — the PG `tablefunc` crosstab() workload, expressed
+# with Spark's native PIVOT operator (one hash aggregate; the pivot
+# columns are a fixed list, exactly like crosstab's category list —
+# both engines' planners turn this into count-FILTER columns, no extra
+# shuffle vs a plain GROUP BY). The DuckDB oracle is the ANSI FILTER
+# spelling, which is also what PG itself runs under the crosstab hood.
+def crosstab_pivot(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT user_id,
+       CAST(coalesce(view_n, 0) AS BIGINT) AS view_n,
+       CAST(coalesce(click_n, 0) AS BIGINT) AS click_n,
+       CAST(coalesce(purchase_n, 0) AS BIGINT) AS purchase_n
+FROM (
+  SELECT user_id, event_type FROM events
+)
+PIVOT (
+  count(*)
+  FOR event_type IN ('view' AS view_n, 'click' AS click_n,
+                     'purchase' AS purchase_n)
+)
+ORDER BY user_id
+"""
+    )
+
+
+register_split(
+    "crosstab_pivot",
+    crosstab_pivot,
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS view_n,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click_n,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase_n
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)

@@ -2341,6 +2341,12 @@ class DistributedSession:
             from citus_spark.plans.pgfmt_sql import pg_unnest
 
             query = pg_unnest(query)
+        if _re.search(
+            r"\b(regexp_split_to_table|string_to_table)\s*\(", query, _re.I
+        ):
+            from citus_spark.plans.pgfmt_sql import pg_split_to_table
+
+            query = pg_split_to_table(query)
         if _re.search(r"\bdate_bin\s*\(", query, _re.I):
             from citus_spark.plans.pgfmt_sql import pg_date_bin
 

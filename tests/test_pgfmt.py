@@ -169,3 +169,50 @@ def test_between_symmetric_multi_token_bounds(sess):
         "WHERE o_orderkey BETWEEN 50 AND 200"
     ).collect()[0].n
     assert n3 == n4
+
+
+# --- pg_split_to_table ------------------------------------------------------
+
+def test_regexp_split_to_table_select_list(sess):
+    rows = sess.sql(
+        "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS p"
+    ).collect()
+    assert [r.p for r in rows] == ["a", "b", "c"]
+
+
+def test_string_to_table_from_position_bare_alias(sess):
+    # PG: bare alias on a scalar SRF names the column too
+    rows = sess.sql(
+        "SELECT w FROM string_to_table('x y z', ' ') AS w ORDER BY w"
+    ).collect()
+    assert [r.w for r in rows] == ["x", "y", "z"]
+
+
+def test_string_to_table_escapes_regex_metachars(sess):
+    rows = sess.sql(
+        "SELECT p FROM string_to_table('a.b.c', '.') AS t(p) ORDER BY p"
+    ).collect()
+    assert [r.p for r in rows] == ["a", "b", "c"]
+    rows = sess.sql(
+        "SELECT p FROM string_to_table('a|b||c', '|') AS t(p) ORDER BY p"
+    ).collect()
+    # empty piece between the doubled separator is preserved (PG keeps it)
+    assert [r.p for r in rows] == ["", "a", "b", "c"]
+
+
+def test_string_to_table_rejects_runtime_separator(sess):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="literal separator"):
+        sess.sql(
+            "SELECT p FROM documents, "
+            "string_to_table(text, lang) AS t(p) LIMIT 1"
+        )
+
+
+def test_regexp_split_correlated_from_table(sess):
+    rows = sess.sql(
+        "SELECT count(*) AS n FROM documents, "
+        "regexp_split_to_table(text, ' +') AS t(tok) WHERE tok <> ''"
+    ).collect()
+    assert rows[0].n > 0
