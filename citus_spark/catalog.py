@@ -56,6 +56,11 @@ class TableDist:
     # {column: sequence_name} — INSERTs that omit the column draw a
     # block from the named session sequence
     identity: dict | None = None
+    # isolated tenants (↔ reference isolate_tenant_to_new_shard,
+    # operations/shard_split.c): {str(tenant_value): shard_id}. The
+    # physical layout gives each isolated tenant its own storage
+    # partition; single-tenant queries route to it (partition pruning)
+    isolated: dict | None = None
 
     @property
     def is_reference(self) -> bool:

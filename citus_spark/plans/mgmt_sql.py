@@ -25,6 +25,7 @@ _FNS = (
     "undistribute_table",
     "rebalance_table_shards",
     "get_rebalance_table_shards_plan",
+    "isolate_tenant_to_new_shard",
     "alter_columnar_table_set",
     "alter_table_set_access_method",
     "citus_stat_statements_reset",

@@ -3334,3 +3334,72 @@ GROUP BY user_id
 ORDER BY user_id
 """,
 )
+
+
+# Tenant shard isolation end-to-end (session.isolate_tenant_to_new_shard
+# ↔ reference operations/shard_split.c + the router planner): copy
+# events to a writable table, isolate tenant user_id=7, then run the
+# SINGLE-TENANT rollup through the SQL front door — the router rewrites
+# it to scan only the isolated shard's directory (partition pruning;
+# plan-gated in tests/test_isolate_tenant.py) — and attach the
+# isolated shard's row count from citus_shards. Every output value is
+# re-derivable by the oracle from the base table, so the entry is
+# value-exact: a routing bug that loses or duplicates rows, or a
+# mis-partitioned layout, changes the numbers.
+def tenant_isolation_shard(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.session import DistributedSession
+
+    load_views(spark, sf_dir)
+    path = "/tmp/citus_spark_isolate_entry"
+    shutil.rmtree(path, ignore_errors=True)
+    spark.table("events").write.parquet(path)
+    sess = DistributedSession(spark)
+    sess.create_distributed_table(
+        "iso_entry_events", spark.read.parquet(path), "user_id", buckets=8
+    )
+    sess.catalog.get("iso_entry_events").path = path
+    sid = sess.isolate_tenant_to_new_shard("iso_entry_events", 7)
+    shard_rows = next(
+        r.shard_rows
+        for r in sess.citus_shards().collect()
+        if r.shardid == sid
+    )
+    out = sess.sql(
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+FROM iso_entry_events
+WHERE user_id = 7
+GROUP BY event_type
+"""
+    )
+    # restore the fixture view name space for later entries
+    spark.catalog.dropTempView("iso_entry_events")
+    spark.catalog.dropTempView("__iso_entry_events_shards")
+    return (
+        out.withColumn("isolated_shard_rows", F.lit(int(shard_rows)))
+        .orderBy("event_type")
+    )
+
+
+register_split(
+    "tenant_isolation_shard",
+    tenant_isolation_shard,
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
+       (SELECT count(*) FROM events WHERE user_id = 7)
+         AS isolated_shard_rows
+FROM events
+WHERE user_id = 7
+GROUP BY event_type
+ORDER BY event_type
+""",
+)

@@ -529,6 +529,7 @@ class DistributedSession:
         if into is not None:
             return into
         query = self._apply_pg_rewrites(query)
+        query = self._route_isolated_tenants(query)
         if self.count_distinct_error_rate:
             query = rewrite_count_distinct(query, self.count_distinct_error_rate)
         # WITH x AS MATERIALIZED (...) — evaluate once into a cached
@@ -853,6 +854,19 @@ class DistributedSession:
                 target_shard_rows=int(
                     kw.get("target_shard_rows", 100_000_000)
                 ),
+            )
+        elif call.fn == "isolate_tenant_to_new_shard":
+            sid = self.isolate_tenant_to_new_shard(
+                str(call.args[0]),
+                call.args[1] if len(call.args) > 1 else kw["tenant_id"],
+                cascade_option=(
+                    str(call.args[2])
+                    if len(call.args) > 2
+                    else kw.get("cascade_option")
+                ),
+            )
+            return self.spark.createDataFrame(
+                [(sid,)], "isolate_tenant_to_new_shard long"
             )
         # mirror the reference: the call returns a single NULL-valued
         # row named after the function
@@ -2690,6 +2704,179 @@ class DistributedSession:
             "total_rows long",
         )
 
+    def isolate_tenant_to_new_shard(
+        self,
+        name: str,
+        tenant_value,
+        cascade_option: str | None = None,
+        path: str | None = None,
+    ) -> int:
+        """Give one tenant its own shard (↔ reference
+        isolate_tenant_to_new_shard(), operations/shard_split.c: the
+        shard containing the tenant's hash is split three ways so the
+        tenant occupies a dedicated shard; with cascade_option =>
+        'CASCADE' the split applies to the whole colocation group,
+        without it the call refuses when colocated tables exist).
+
+        Spark analog: the member tables' storage is rewritten
+        partitioned by a derived shard label — ``s<shardid>`` for the
+        isolated tenant, ``b<bucket>`` (the same pmod(hash) placement
+        as before) for everyone else — so the tenant's rows live in
+        their own directory. Single-tenant statements
+        (`WHERE <dist_col> = <tenant>`) are then routed by the front
+        door to ONLY that directory via partition pruning
+        (_route_isolated_tenants — the router-planner analog); every
+        other query reads the union, values unchanged. Returns the
+        new shard id for `name`, like the reference."""
+        import tempfile as _tf
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if not entry.is_hash_distributed:
+            raise ValueError(
+                f"cannot isolate tenant because {name!r} is not "
+                "hash-distributed"
+            )
+        group = [
+            t
+            for t in self.catalog.tables().values()
+            if t.is_hash_distributed
+            and t.colocation_id == entry.colocation_id
+        ]
+        if len(group) > 1 and str(cascade_option or "").upper() != "CASCADE":
+            raise ValueError(
+                f"cannot isolate tenant because {name!r} has colocated "
+                "tables; use cascade_option => 'CASCADE'"
+            )
+        val = str(tenant_value)
+        new_id = None
+        for t in group:
+            if t.isolated and val in t.isolated:
+                # idempotent: a re-run returns the existing shard id
+                if t.name == name:
+                    new_id = t.isolated[val]
+                continue
+            self._isolated_shard_seq = getattr(
+                self, "_isolated_shard_seq", 104000
+            ) + 1
+            sid = self._isolated_shard_seq
+            df = self.spark.table(t.name)
+            cols = df.columns
+            label = F.concat(
+                F.lit("b"),
+                F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets))
+                .cast("string"),
+            )
+            iso = dict(t.isolated or {})
+            iso[val] = sid
+            for v, s in iso.items():
+                label = F.when(
+                    F.col(t.dist_col).cast("string") == v, F.lit(f"s{s}")
+                ).otherwise(label)
+            dest = path or os.path.join(
+                _tf.gettempdir(),
+                f"citus_spark_isolated_{os.getpid()}_{sid}_{t.name}",
+            )
+            (
+                df.withColumn("__citus_shard", label)
+                .repartition("__citus_shard")
+                .write.partitionBy("__citus_shard")
+                .mode("overwrite")
+                .parquet(dest)
+            )
+            raw = self.spark.read.parquet(dest)
+            raw.createOrReplaceTempView(f"__{t.name}_shards")
+            raw.select(*cols).createOrReplaceTempView(t.name)
+            t.path = dest
+            t.isolated = iso
+            if t.name == name:
+                new_id = sid
+        self.stat_statements.record(
+            f"SELECT isolate_tenant_to_new_shard('{name}', ...)", None,
+            executor="utility",
+        )
+        return int(new_id)
+
+    def _route_isolated_tenants(self, query: str) -> str:
+        """Router-planner analog for isolated tenants (↔ reference
+        multi_router_planner.c): a statement whose restriction pins an
+        isolated table to its isolated tenant value is rewritten to
+        scan ONLY that tenant's storage partition (Catalyst partition
+        pruning does the rest). Deliberately conservative — it routes
+        only when the table occurs once, the equality literal is
+        top-level code (not inside a string), and the statement has no
+        OR (a disjunction may reach other shards); anything else runs
+        the normal full-relation plan, which is always correct."""
+        import re as _re
+
+        tables = [
+            t
+            for t in self.catalog.tables().values()
+            if getattr(t, "isolated", None)
+        ]
+        if not tables:
+            return query
+        from citus_spark.plans.rewrites import _masked_spans
+
+        spans = _masked_spans(query)
+
+        def in_code(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in spans)
+
+        if any(
+            in_code(m.start())
+            for m in _re.finditer(r"\bOR\b", query, _re.I)
+        ):
+            return query
+        out = query
+        for t in tables:
+            refs = [
+                m
+                for m in _re.finditer(
+                    rf"\b(FROM|JOIN)\s+({t.name})\b", out, _re.I
+                )
+                if in_code(m.start())
+            ]
+            if len(refs) != 1:
+                continue
+            for v, sid in t.isolated.items():
+                alts = [rf"'{_re.escape(v)}'"]
+                if _re.fullmatch(r"-?\d+", v):
+                    alts.append(_re.escape(v))
+                pred = rf"\b{t.dist_col}\s*=\s*(?:{'|'.join(alts)})(?!\w)"
+                if not any(
+                    in_code(m.start())
+                    for m in _re.finditer(pred, out, _re.I)
+                ):
+                    continue
+                cols = ", ".join(self.spark.table(t.name).columns)
+                sub = (
+                    f"(SELECT {cols} FROM __{t.name}_shards "
+                    f"WHERE __citus_shard = 's{sid}')"
+                )
+                m = refs[0]
+                tail = out[m.end():]
+                am = _re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail)
+                kw_after = (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
+                    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION",
+                    "INTERSECT", "EXCEPT", "HAVING", "AS", "USING",
+                )
+                alias = (
+                    am.group(1)
+                    if am and am.group(1).upper() not in kw_after
+                    else None
+                )
+                out = (
+                    out[: m.start()]
+                    + f"{m.group(1)} {sub}"
+                    + ("" if alias else f" {t.name}")
+                    + tail
+                )
+                break
+        return out
+
     def create_time_partitions(
         self,
         name: str,
@@ -2875,18 +3062,29 @@ class DistributedSession:
                 if all(os.path.exists(p) for p in paths):
                     nbytes = sum(os.path.getsize(p) for p in paths)
             if t.is_hash_distributed:
-                counts = dict(
-                    df.groupBy(
+                # isolated tenants (isolate_tenant_to_new_shard) carry
+                # their own label and recorded shard id; everyone else
+                # stays in the pmod(hash) buckets
+                iso = getattr(t, "isolated", None) or {}
+                label = (
+                    F.concat(
+                        F.lit("b"),
                         F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets))
-                        .alias("b")
+                        .cast("string"),
                     )
-                    .count()
-                    .collect()
+                )
+                for v, s in iso.items():
+                    label = F.when(
+                        F.col(t.dist_col).cast("string") == v,
+                        F.lit(f"s{s}"),
+                    ).otherwise(label)
+                counts = dict(
+                    df.groupBy(label.alias("b")).count().collect()
                 )
                 total = sum(counts.values())
-                for b in range(t.buckets):
-                    shard_id = next_shard_id + b
-                    n = int(counts.get(b, 0))
+
+                def _row(shard_id: int, key: str):
+                    n = int(counts.get(key, 0))
                     rows.append(
                         (
                             t.name,
@@ -2900,6 +3098,11 @@ class DistributedSession:
                             else None,
                         )
                     )
+
+                for b in range(t.buckets):
+                    _row(next_shard_id + b, f"b{b}")
+                for v, s in sorted(iso.items(), key=lambda kv: kv[1]):
+                    _row(int(s), f"s{s}")
                 next_shard_id += t.buckets
             else:
                 n = df.count()

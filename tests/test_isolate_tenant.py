@@ -1,0 +1,123 @@
+"""isolate_tenant_to_new_shard (↔ reference shard_split.c): the
+isolated tenant must get its own storage partition, single-tenant
+statements must route to it (partition pruning in the physical plan),
+every other query must see unchanged values, and the colocation-group
+CASCADE contract must hold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    from citus_spark.queries import normalize_events_ts
+
+    df = normalize_events_ts(df)
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    s.create_distributed_table(
+        "iso_events", spark.read.parquet(path), "user_id", buckets=8
+    )
+    s.catalog.get("iso_events").path = path
+    return s
+
+
+def test_isolation_layout_and_routing(sess):
+    before = sess.sql(
+        "SELECT count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS s FROM iso_events"
+    ).collect()[0]
+    tenant_rows = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7"
+    ).collect()[0].n
+    assert tenant_rows > 0
+
+    sid = sess.isolate_tenant_to_new_shard("iso_events", 7)
+    assert sid >= 104000
+
+    # values unchanged for non-routed queries
+    after = sess.sql(
+        "SELECT count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS s FROM iso_events"
+    ).collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+
+    # single-tenant statement routes: partition filter reaches the scan
+    routed = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7"
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "__citus_shard" in pf
+    assert routed.collect()[0].n == tenant_rows
+
+    # citus_shards reports the isolated shard with the tenant's rows
+    shard_row = [
+        r for r in sess.citus_shards().collect() if r.shardid == sid
+    ]
+    assert len(shard_row) == 1
+    assert shard_row[0].shard_rows == tenant_rows
+
+    # idempotent re-run keeps the same id
+    assert sess.isolate_tenant_to_new_shard("iso_events", 7) == sid
+
+
+def test_routing_is_conservative(sess):
+    sess.isolate_tenant_to_new_shard("iso_events", 7)
+    # a disjunction may reach other shards — must NOT route
+    n_or = sess.sql(
+        "SELECT count(*) AS n FROM iso_events "
+        "WHERE user_id = 7 OR user_id = 8"
+    ).collect()[0].n
+    n_both = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id IN (7, 8)"
+    ).collect()[0].n
+    assert n_or == n_both
+    # a string literal mentioning the predicate must not trigger routing
+    n_lit = sess.sql(
+        "SELECT count(*) AS n FROM iso_events "
+        "WHERE event_type <> 'user_id = 7'"
+    ).collect()[0].n
+    assert n_lit == sess.sql(
+        "SELECT count(*) AS n FROM iso_events"
+    ).collect()[0].n
+
+
+def test_cascade_contract(sess, spark, tmp_path):
+    # colocate a second table with iso_events
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    p2 = str(tmp_path / "ev2")
+    df.write.parquet(p2)
+    sess.create_distributed_table(
+        "iso_events2",
+        spark.read.parquet(p2),
+        "user_id",
+        buckets=8,
+        colocate_with="iso_events",
+    )
+    sess.catalog.get("iso_events2").path = p2
+    with pytest.raises(ValueError, match="colocated"):
+        sess.isolate_tenant_to_new_shard("iso_events", 7)
+    sid = sess.isolate_tenant_to_new_shard(
+        "iso_events", 7, cascade_option="CASCADE"
+    )
+    assert sid >= 104000
+    # the colocated member is isolated too (its own shard id)
+    iso2 = sess.catalog.get("iso_events2").isolated
+    assert "7" in iso2 and iso2["7"] != sid
+
+
+def test_sql_spelling(sess):
+    out = sess.sql(
+        "SELECT isolate_tenant_to_new_shard('iso_events', 7)"
+    ).collect()
+    assert out[0][0] >= 104000
