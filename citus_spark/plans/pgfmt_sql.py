@@ -412,40 +412,49 @@ _REGEX_META = set(".^$*+?()[]{}|\\")
 
 
 def _literal_to_regex(lit: str) -> str:
-    """'sep' literal → Spark regex literal matching it verbatim."""
+    """'sep' literal → Spark regex literal matching it verbatim.
+    Each emitted level of escaping doubles: the regex needs ``\\<ch>``,
+    and Spark's literal parser consumes one backslash level, so a
+    metachar emits two backslashes — and a literal backslash SEPARATOR
+    needs four (``\\\\`` in the statement text → ``\\`` after literal
+    parsing → a backslash-matching regex)."""
     body = lit.strip()[1:-1].replace("''", "'")
+    # cook C-style escapes exactly the way Spark's literal parser will
+    # read the statement's data literals ('\\\\' is ONE backslash to
+    # Spark) so separator and data agree on what a backslash is
+    cooked, k = [], 0
+    while k < len(body):
+        if body[k] == "\\" and k + 1 < len(body):
+            nxt = body[k + 1]
+            cooked.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+            k += 2
+        else:
+            cooked.append(body[k])
+            k += 1
     out = []
-    for ch in body:
-        if ch in _REGEX_META:
+    for ch in cooked:
+        if ch == "\\":
+            out.append("\\\\\\\\")
+        elif ch in _REGEX_META:
             out.append("\\\\" + ch)
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
         else:
             out.append(ch)
     return "'" + "".join(out).replace("'", "''") + "'"
 
 
 def pg_split_to_table(sql: str) -> str:
-    spans = _masked_spans(sql)
+    from citus_spark.plans.rewrites import _next_call
 
-    def in_code(pos: int) -> bool:
-        return not any(a <= pos < b for a, b in spans)
-
-    m = next((x for x in _SPLIT_SRF.finditer(sql) if in_code(x.start())),
-             None)
+    m, i, spans = _next_call(sql, _SPLIT_SRF, 0)
     if m is None:
         return sql
     fn = m.group(1).lower()
-    depth, i = 0, m.end() - 1
-    while i < len(sql):
-        if in_code(i):
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        i += 1
-    if depth != 0:
-        raise ValueError(f"unbalanced parentheses in {fn}")
     args = _split_top_level(sql[m.end() : i])
     if len(args) != 2:
         raise ValueError(

@@ -16,7 +16,7 @@ deterministic total orders; window frames order on (ts, event_id) /
 unique keys so every engine sees the same frame contents.
 """
 
-from citus_spark.queries import DSUM, register_shared_sql, register_split
+from citus_spark.queries import DAVG, DSUM, register_shared_sql, register_split
 
 # ---------------------------------------------------------------------------
 # Window functions (↔ reference window_functions.sql;
@@ -3106,8 +3106,7 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_segments,
        {DSUM("weighted", "weighted_sum")},
        CAST(sum(dur) AS BIGINT) AS span_seconds,
-       ({DSUM("weighted", "_ws").rsplit(" AS ", 1)[0]})
-         / CAST(sum(dur) AS DOUBLE) AS twa
+       {DAVG("weighted", "CAST(sum(dur) AS DOUBLE)", "twa")}
 FROM seg
 GROUP BY user_id
 HAVING sum(dur) > 0
@@ -3355,15 +3354,22 @@ def tenant_isolation_shard(spark, sf_dir):
     from citus_spark.session import DistributedSession
 
     load_views(spark, sf_dir)
-    path = "/tmp/citus_spark_isolate_entry"
+    import os as _os
+
+    # pid-suffixed so concurrent driver/pytest processes never rmtree
+    # each other's live copy; same-process reruns self-clean
+    path = f"/tmp/citus_spark_isolate_entry_{_os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_shards", ignore_errors=True)
     spark.table("events").write.parquet(path)
     sess = DistributedSession(spark)
     sess.create_distributed_table(
         "iso_entry_events", spark.read.parquet(path), "user_id", buckets=8
     )
     sess.catalog.get("iso_entry_events").path = path
-    sid = sess.isolate_tenant_to_new_shard("iso_entry_events", 7)
+    sid = sess.isolate_tenant_to_new_shard(
+        "iso_entry_events", 7, path=path + "_shards"
+    )
     shard_rows = next(
         r.shard_rows
         for r in sess.citus_shards().collect()

@@ -135,6 +135,24 @@ def _interval_granularity(text: str | None) -> str | None:
     return unit
 
 
+def _shard_label(dist_col: str, buckets: int, isolated: dict):
+    """Storage-partition label for a hash-distributed row:
+    ``s<shardid>`` for an isolated tenant value, else ``b<bucket>``
+    from the same pmod(hash) placement the colocation machinery uses.
+    The ONE implementation shared by the isolation writer and the
+    citus_shards accountant — they must agree bit-for-bit or shard
+    row counts drift from the physical layout."""
+    label = F.concat(
+        F.lit("b"),
+        F.pmod(F.hash(F.col(dist_col)), F.lit(buckets)).cast("string"),
+    )
+    for v, s in (isolated or {}).items():
+        label = F.when(
+            F.col(dist_col).cast("string") == v, F.lit(f"s{s}")
+        ).otherwise(label)
+    return label
+
+
 class DistributedSession:
     """SparkSession + distribution catalog.
 
@@ -2763,21 +2781,21 @@ class DistributedSession:
             sid = self._isolated_shard_seq
             df = self.spark.table(t.name)
             cols = df.columns
-            label = F.concat(
-                F.lit("b"),
-                F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets))
-                .cast("string"),
-            )
             iso = dict(t.isolated or {})
             iso[val] = sid
-            for v, s in iso.items():
-                label = F.when(
-                    F.col(t.dist_col).cast("string") == v, F.lit(f"s{s}")
-                ).otherwise(label)
-            dest = path or os.path.join(
-                _tf.gettempdir(),
-                f"citus_spark_isolated_{os.getpid()}_{sid}_{t.name}",
-            )
+            label = _shard_label(t.dist_col, t.buckets, iso)
+            if path:
+                # a CASCADE group must not share one directory — each
+                # member gets its own subdir (mode=overwrite would
+                # otherwise clobber the previous member's data)
+                dest = (
+                    os.path.join(path, t.name) if len(group) > 1 else path
+                )
+            else:
+                dest = os.path.join(
+                    _tf.gettempdir(),
+                    f"citus_spark_isolated_{os.getpid()}_{sid}_{t.name}",
+                )
             (
                 df.withColumn("__citus_shard", label)
                 .repartition("__citus_shard")
@@ -2803,11 +2821,25 @@ class DistributedSession:
         multi_router_planner.c): a statement whose restriction pins an
         isolated table to its isolated tenant value is rewritten to
         scan ONLY that tenant's storage partition (Catalyst partition
-        pruning does the rest). Deliberately conservative — it routes
-        only when the table occurs once, the equality literal is
-        top-level code (not inside a string), and the statement has no
-        OR (a disjunction may reach other shards); anything else runs
-        the normal full-relation plan, which is always correct."""
+        pruning does the rest).
+
+        Without the reference's restriction-equivalence analysis a
+        textual router must prove predicate OWNERSHIP and POLARITY
+        before narrowing a scan, so routing fires only for the shape
+        it can prove single-shard:
+
+        - the statement reads exactly ONE relation (one SELECT, one
+          FROM, no JOIN/comma list — an unqualified dist-col equality
+          then necessarily restricts that relation),
+        - the equality is a depth-0 conjunct of the WHERE clause
+          (never inside a subquery, CASE, or function argument),
+        - the WHERE clause contains no OR / NOT / CASE (any of which
+          could widen the restriction back past one shard),
+        - the literal is a full token (`= 7` must not match `= 7.5`).
+
+        Anything else runs the normal full-relation plan, which is
+        always correct — exactly the reference's fallback from the
+        router to the adaptive executor."""
         import re as _re
 
         tables = [
@@ -2824,17 +2856,74 @@ class DistributedSession:
         def in_code(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
 
-        if any(
-            in_code(m.start())
-            for m in _re.finditer(r"\bOR\b", query, _re.I)
+        def code_count(pat: str) -> int:
+            return sum(
+                1 for m in _re.finditer(pat, query, _re.I)
+                if in_code(m.start())
+            )
+
+        # single-relation statements only (ownership proof)
+        if (
+            code_count(r"\bSELECT\b") != 1
+            or code_count(r"\bFROM\b") != 1
+            or code_count(r"\bJOIN\b") != 0
         ):
             return query
+
+        # the WHERE clause region at paren depth 0
+        depth = 0
+        where_at = -1
+        where_end = len(query)
+        clause_kw = _re.compile(
+            r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+            _re.I,
+        )
+        i = 0
+        while i < len(query):
+            if not in_code(i):
+                i += 1
+                continue
+            c = query[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                m = clause_kw.match(query, i)
+                if m and (i == 0 or not (query[i - 1].isalnum()
+                                         or query[i - 1] == "_")):
+                    if m.group(1).upper() == "WHERE":
+                        where_at = i
+                    elif where_at >= 0:
+                        where_end = i
+                        break
+                    i = m.end()
+                    continue
+            i += 1
+        if where_at < 0:
+            return query
+        where_region = query[where_at:where_end]
+        if _re.search(r"\b(OR|NOT|CASE)\b", where_region, _re.I):
+            return query
+
+        def depth0_in_where(pos: int) -> bool:
+            if not (where_at <= pos < where_end):
+                return False
+            d = 0
+            for j in range(where_at, pos):
+                if in_code(j):
+                    if query[j] == "(":
+                        d += 1
+                    elif query[j] == ")":
+                        d -= 1
+            return d == 0
+
         out = query
         for t in tables:
             refs = [
                 m
                 for m in _re.finditer(
-                    rf"\b(FROM|JOIN)\s+({t.name})\b", out, _re.I
+                    rf"\b(FROM)\s+({t.name})\b", out, _re.I
                 )
                 if in_code(m.start())
             ]
@@ -2844,9 +2933,14 @@ class DistributedSession:
                 alts = [rf"'{_re.escape(v)}'"]
                 if _re.fullmatch(r"-?\d+", v):
                     alts.append(_re.escape(v))
-                pred = rf"\b{t.dist_col}\s*=\s*(?:{'|'.join(alts)})(?!\w)"
+                # (?<![\w.]) rejects qualified columns of OTHER
+                # relations only when qualified at all — on a proven
+                # single-relation statement a qualifier can only be
+                # this table/alias, so unqualified-or-any-qualifier is
+                # safe; (?![\w.]) keeps `= 7` from matching `= 7.5`
+                pred = rf"\b{t.dist_col}\s*=\s*(?:{'|'.join(alts)})(?![\w.])"
                 if not any(
-                    in_code(m.start())
+                    in_code(m.start()) and depth0_in_where(m.start())
                     for m in _re.finditer(pred, out, _re.I)
                 ):
                     continue
@@ -2874,7 +2968,7 @@ class DistributedSession:
                     + ("" if alias else f" {t.name}")
                     + tail
                 )
-                break
+                return out
         return out
 
     def create_time_partitions(
@@ -3064,22 +3158,16 @@ class DistributedSession:
             if t.is_hash_distributed:
                 # isolated tenants (isolate_tenant_to_new_shard) carry
                 # their own label and recorded shard id; everyone else
-                # stays in the pmod(hash) buckets
+                # stays in the pmod(hash) buckets. The label MUST be
+                # the same expression the isolation write partitioned
+                # by — _shard_label is the one implementation.
                 iso = getattr(t, "isolated", None) or {}
-                label = (
-                    F.concat(
-                        F.lit("b"),
-                        F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets))
-                        .cast("string"),
-                    )
-                )
-                for v, s in iso.items():
-                    label = F.when(
-                        F.col(t.dist_col).cast("string") == v,
-                        F.lit(f"s{s}"),
-                    ).otherwise(label)
                 counts = dict(
-                    df.groupBy(label.alias("b")).count().collect()
+                    df.groupBy(
+                        _shard_label(t.dist_col, t.buckets, iso).alias("b")
+                    )
+                    .count()
+                    .collect()
                 )
                 total = sum(counts.values())
 

@@ -121,3 +121,88 @@ def test_sql_spelling(sess):
         "SELECT isolate_tenant_to_new_shard('iso_events', 7)"
     ).collect()
     assert out[0][0] >= 104000
+
+
+def test_routing_requires_predicate_ownership(sess, spark, tmp_path):
+    """A dist-col equality that restricts a DIFFERENT relation (join
+    side, subquery) must not narrow the isolated table's scan."""
+    sess.isolate_tenant_to_new_shard("iso_events", 7)
+    other = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    other.createOrReplaceTempView("iso_other")
+    total = sess.sql("SELECT count(*) AS n FROM iso_events").collect()[0].n
+    # join: the other side's predicate names user_id = 7
+    n_join = sess.sql(
+        "SELECT count(*) AS n FROM iso_events e "
+        "JOIN iso_other o ON e.event_id = o.event_id "
+        "WHERE o.user_id = 7"
+    ).collect()[0].n
+    want_join = spark.sql(
+        "SELECT count(*) AS n FROM iso_events e "
+        "JOIN iso_other o ON e.event_id = o.event_id "
+        "WHERE o.user_id = 7"
+    ).collect()[0].n
+    assert n_join == want_join
+    # subquery restricting the other table
+    n_sub = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE event_id IN "
+        "(SELECT event_id FROM iso_other WHERE user_id = 7)"
+    ).collect()[0].n
+    assert 0 < n_sub <= total
+    want_sub = spark.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE event_id IN "
+        "(SELECT event_id FROM iso_other WHERE user_id = 7)"
+    ).collect()[0].n
+    assert n_sub == want_sub
+
+
+def test_routing_respects_polarity_and_literal_boundary(sess):
+    sess.isolate_tenant_to_new_shard("iso_events", 7)
+    total = sess.sql("SELECT count(*) AS n FROM iso_events").collect()[0].n
+    t7 = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7"
+    ).collect()[0].n
+    # negation must NOT route
+    n_not = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE NOT user_id = 7"
+    ).collect()[0].n
+    assert n_not == total - t7
+    # CASE over the predicate must NOT route
+    row = sess.sql(
+        "SELECT count(*) AS n, "
+        "sum(CASE WHEN user_id = 7 THEN 1 ELSE 0 END) AS t "
+        "FROM iso_events"
+    ).collect()[0]
+    assert row.n == total and row.t == t7
+    # `= 7` must not swallow `= 7.5` (no user has 7.5 → count 0,
+    # not the tenant's rows)
+    n_frac = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7.5"
+    ).collect()[0].n
+    assert n_frac == 0
+
+
+def test_cascade_with_explicit_path_uses_subdirs(sess, spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    p2 = str(tmp_path / "ev2")
+    df.write.parquet(p2)
+    sess.create_distributed_table(
+        "iso_events2", spark.read.parquet(p2), "user_id",
+        buckets=8, colocate_with="iso_events",
+    )
+    sess.catalog.get("iso_events2").path = p2
+    dest = str(tmp_path / "iso_dest")
+    sess.isolate_tenant_to_new_shard(
+        "iso_events", 7, cascade_option="CASCADE", path=dest
+    )
+    # both members keep their own (different-schema) data
+    c1 = sess.sql("SELECT * FROM iso_events LIMIT 1").columns
+    c2 = sess.sql("SELECT * FROM iso_events2 LIMIT 1").columns
+    assert "event_type" in c1 and c2 == ["user_id", "event_id"]
+    import os
+
+    assert os.path.isdir(os.path.join(dest, "iso_events"))
+    assert os.path.isdir(os.path.join(dest, "iso_events2"))

@@ -216,3 +216,16 @@ def test_regexp_split_correlated_from_table(sess):
         "regexp_split_to_table(text, ' +') AS t(tok) WHERE tok <> ''"
     ).collect()
     assert rows[0].n > 0
+
+
+def test_string_to_table_backslash_separator(sess):
+    rows = sess.sql(
+        r"SELECT p FROM string_to_table('a\\b\\c', '\\') AS t(p) ORDER BY p"
+    ).collect()
+    assert [r.p for r in rows] == ["a", "b", "c"]
+    # backslash-dot separator must not become match-any-char
+    rows = sess.sql(
+        r"SELECT p FROM string_to_table('a\\.b xyb', '\\.') AS t(p) "
+        "ORDER BY p"
+    ).collect()
+    assert [r.p for r in rows] == ["a", "b xyb"]
