@@ -272,6 +272,11 @@ def main() -> None:
                     df_big.write.format("noop").mode("overwrite").save()
                     return time.time() - t0
 
+                # one discarded warmup: the first execution against a
+                # freshly built corpus pays page-cache faults + codegen
+                # for the new plan — measured 24x vs 6x on sessionize
+                # cold-vs-warm, pure measurement noise
+                run_big()
                 t_big = min(run_big() for _ in range(2))
                 trend_up[name] = {
                     "bench_sec": times[name],

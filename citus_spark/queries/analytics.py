@@ -3134,9 +3134,10 @@ register_split(
 # Open/close use explicit row_number tie-breaks (ts, event_id), not
 # engine-specific arg_min/arg_max, so the whole statement is one
 # shared ANSI string both engines run verbatim. Scale: the two window
-# functions share ONE partitioning (bucket) — a single sort-shuffle —
-# and the final aggregate reuses the same key, so AQE plans one
-# exchange; high/low/volume are plain distributable aggregates.
+# functions stack on ONE sort-shuffle (same partition key, opposite
+# sort orders), and the aggregate splits partial/final — its exchange
+# carries only per-partition partials (distinct buckets × partitions),
+# not rows. high/low/volume are plain distributable aggregates.
 register_shared_sql(
     "ohlc_hourly",
     f"""
