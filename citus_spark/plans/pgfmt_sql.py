@@ -426,6 +426,15 @@ def _literal_to_regex(lit: str) -> str:
     while k < len(body):
         if body[k] == "\\" and k + 1 < len(body):
             nxt = body[k + 1]
+            if nxt not in "\\ntr":
+                # Spark's literal parser has more escapes (\b, \Z,
+                # octal, \uXXXX, \%/\_) with semantics this table
+                # doesn't replicate — reject loudly rather than split
+                # on the wrong character
+                raise ValueError(
+                    f"string_to_table: unsupported escape \\{nxt} in "
+                    "separator — use regexp_split_to_table"
+                )
             cooked.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
             k += 2
         else:

@@ -2785,12 +2785,11 @@ class DistributedSession:
             iso[val] = sid
             label = _shard_label(t.dist_col, t.buckets, iso)
             if path:
-                # a CASCADE group must not share one directory — each
-                # member gets its own subdir (mode=overwrite would
-                # otherwise clobber the previous member's data)
-                dest = (
-                    os.path.join(path, t.name) if len(group) > 1 else path
-                )
+                # per-(table, shard-id) subdir: a CASCADE group must
+                # not share one directory, and a SECOND isolation on
+                # the same path must not overwrite the directory the
+                # table's registered view is lazily reading
+                dest = os.path.join(path, f"{t.name}_{sid}")
             else:
                 dest = os.path.join(
                     _tf.gettempdir(),
@@ -2829,13 +2828,18 @@ class DistributedSession:
         it can prove single-shard:
 
         - the statement reads exactly ONE relation (one SELECT, one
-          FROM, no JOIN/comma list — an unqualified dist-col equality
-          then necessarily restricts that relation),
+          FROM, no JOIN keyword, no depth-0 comma in the FROM clause
+          — a dist-col equality then necessarily restricts that
+          relation),
         - the equality is a depth-0 conjunct of the WHERE clause
           (never inside a subquery, CASE, or function argument),
-        - the WHERE clause contains no OR / NOT / CASE (any of which
-          could widen the restriction back past one shard),
-        - the literal is a full token (`= 7` must not match `= 7.5`).
+        - the WHERE clause contains no OR / NOT / CASE / IS / `!`
+          (any of which could invert or widen the restriction),
+        - the column is unqualified or qualified by exactly the table
+          name or its alias (a struct-field access like
+          `profile.user_id` never matches),
+        - the literal is a full token (`= 7` must not match `= 7.5`)
+          and is not itself compared onward (`user_id = 7 = flag`).
 
         Anything else runs the normal full-relation plan, which is
         always correct — exactly the reference's fallback from the
@@ -2903,7 +2907,10 @@ class DistributedSession:
         if where_at < 0:
             return query
         where_region = query[where_at:where_end]
-        if _re.search(r"\b(OR|NOT|CASE)\b", where_region, _re.I):
+        if (
+            _re.search(r"\b(OR|NOT|CASE|IS)\b", where_region, _re.I)
+            or "!" in where_region
+        ):
             return query
 
         def depth0_in_where(pos: int) -> bool:
@@ -2929,38 +2936,63 @@ class DistributedSession:
             ]
             if len(refs) != 1:
                 continue
+            m = refs[0]
+            tail = out[m.end():]
+            am = _re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail)
+            kw_after = (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
+                "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION",
+                "INTERSECT", "EXCEPT", "HAVING", "AS", "USING",
+            )
+            alias = (
+                am.group(1)
+                if am and am.group(1).upper() not in kw_after
+                else None
+            )
+            # a depth-0 comma between the relation and WHERE is a
+            # comma-list join — a second relation this gate must treat
+            # like a JOIN keyword
+            from_tail_start = m.end() + (am.end() if alias else 0)
+            d = 0
+            comma_join = False
+            for j in range(from_tail_start, where_at):
+                if not in_code(j):
+                    continue
+                if query[j] == "(":
+                    d += 1
+                elif query[j] == ")":
+                    d -= 1
+                elif query[j] == "," and d == 0:
+                    comma_join = True
+                    break
+            if comma_join:
+                continue
+            # qualifier may only be the table name or its alias —
+            # `other.user_id` (impossible here) and struct-field paths
+            # like `profile.user_id` must never match
+            quals = [t.name] + ([alias] if alias else [])
+            qual_alt = "|".join(_re.escape(x) for x in quals)
             for v, sid in t.isolated.items():
                 alts = [rf"'{_re.escape(v)}'"]
                 if _re.fullmatch(r"-?\d+", v):
                     alts.append(_re.escape(v))
-                # (?<![\w.]) rejects qualified columns of OTHER
-                # relations only when qualified at all — on a proven
-                # single-relation statement a qualifier can only be
-                # this table/alias, so unqualified-or-any-qualifier is
-                # safe; (?![\w.]) keeps `= 7` from matching `= 7.5`
-                pred = rf"\b{t.dist_col}\s*=\s*(?:{'|'.join(alts)})(?![\w.])"
+                # (?<![\w.$]) anchors the (optionally qualified) column
+                # start; (?![\w.]) keeps `= 7` from matching `= 7.5`;
+                # (?!\s*=) rejects chained comparison `= 7 = flag`
+                pred = (
+                    rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
+                    rf"{t.dist_col}\s*=\s*(?:{'|'.join(alts)})"
+                    rf"(?![\w.])(?!\s*=)"
+                )
                 if not any(
-                    in_code(m.start()) and depth0_in_where(m.start())
-                    for m in _re.finditer(pred, out, _re.I)
+                    in_code(x.start()) and depth0_in_where(x.start())
+                    for x in _re.finditer(pred, out, _re.I)
                 ):
                     continue
                 cols = ", ".join(self.spark.table(t.name).columns)
                 sub = (
                     f"(SELECT {cols} FROM __{t.name}_shards "
                     f"WHERE __citus_shard = 's{sid}')"
-                )
-                m = refs[0]
-                tail = out[m.end():]
-                am = _re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail)
-                kw_after = (
-                    "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
-                    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION",
-                    "INTERSECT", "EXCEPT", "HAVING", "AS", "USING",
-                )
-                alias = (
-                    am.group(1)
-                    if am and am.group(1).upper() not in kw_after
-                    else None
                 )
                 out = (
                     out[: m.start()]

@@ -202,7 +202,90 @@ def test_cascade_with_explicit_path_uses_subdirs(sess, spark, tmp_path):
     c1 = sess.sql("SELECT * FROM iso_events LIMIT 1").columns
     c2 = sess.sql("SELECT * FROM iso_events2 LIMIT 1").columns
     assert "event_type" in c1 and c2 == ["user_id", "event_id"]
+    import glob
     import os
 
-    assert os.path.isdir(os.path.join(dest, "iso_events"))
-    assert os.path.isdir(os.path.join(dest, "iso_events2"))
+    assert glob.glob(os.path.join(dest, "iso_events_*"))
+    assert glob.glob(os.path.join(dest, "iso_events2_*"))
+    # a SECOND isolation with the same explicit path must not
+    # overwrite the directory the first registration reads
+    sess.isolate_tenant_to_new_shard(
+        "iso_events", 9, cascade_option="CASCADE", path=dest
+    )
+    n7 = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7"
+    ).collect()[0].n
+    assert n7 > 0
+
+
+def test_routing_rejects_comma_join_and_operator_forms(sess, spark):
+    sess.isolate_tenant_to_new_shard("iso_events", 7)
+    other = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        F.col("event_id").alias("oid"), F.col("user_id").alias("ouid")
+    )
+    other.createOrReplaceTempView("iso_other2")
+    total = sess.sql("SELECT count(*) AS n FROM iso_events").collect()[0].n
+    t7 = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE user_id = 7"
+    ).collect()[0].n
+    # comma-list join: other side's predicate must not narrow the scan
+    n_comma = sess.sql(
+        "SELECT count(*) AS n FROM iso_events e, iso_other2 o "
+        "WHERE e.event_id = o.oid AND o.ouid = 7"
+    ).collect()[0].n
+    want = spark.sql(
+        "SELECT count(*) AS n FROM iso_events e JOIN iso_other2 o "
+        "ON e.event_id = o.oid WHERE o.ouid = 7"
+    ).collect()[0].n
+    assert n_comma == want
+    # ! prefix and IS FALSE invert the equality — must not route
+    n_bang = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE ! (user_id = 7)"
+    ).collect()[0].n
+    assert n_bang == total - t7
+    n_isf = sess.sql(
+        "SELECT count(*) AS n FROM iso_events WHERE (user_id = 7) IS FALSE"
+    ).collect()[0].n
+    assert n_isf == total - t7
+
+
+def test_routing_rejects_struct_qualifier(sess, spark, tmp_path):
+    # a table whose dist col name also appears as a struct FIELD:
+    # profile.user_id = 7 must not be taken as the dist-col equality
+    df = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.struct((F.col("user_id") + 1).alias("user_id")).alias(
+                "profile"
+            ),
+        )
+    )
+    p = str(tmp_path / "evs")
+    df.write.parquet(p)
+    sess.create_distributed_table(
+        "iso_struct", spark.read.parquet(p), "user_id", buckets=8
+    )
+    sess.catalog.get("iso_struct").path = p
+    sess.isolate_tenant_to_new_shard("iso_struct", 7)
+    n = sess.sql(
+        "SELECT count(*) AS n FROM iso_struct WHERE profile.user_id = 7"
+    ).collect()[0].n
+    want = spark.sql(
+        "SELECT count(*) AS n FROM iso_struct WHERE profile.user_id = 7"
+    ).collect()[0].n
+    assert n == want  # rows with top-level user_id = 6, NOT tenant 7
+    # the table-qualified spelling still routes
+    routed = sess.sql(
+        "SELECT count(*) AS n FROM iso_struct WHERE iso_struct.user_id = 7"
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "__citus_shard" in plan
+
+
+def test_string_to_table_rejects_exotic_escapes(sess):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="unsupported escape"):
+        sess.sql(r"SELECT p FROM string_to_table('axb', '\b') AS t(p)")
