@@ -392,8 +392,43 @@ GROUP BY metric
 ORDER BY metric"""
 
 
+
+
+# FILTER-pivot head — the crosstab shape (one row per key, one
+# aggregate column per category predicate) both engines run as plain
+# FILTER aggregates; exercises the partial/final split with multiple
+# conditional aggregates over one scan.
+_PIVOT_KEYS = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+}
+
+
+def _pivot_filter_query(rng: random.Random) -> str:
+    t = rng.choice(list(_PIVOT_KEYS))
+    key = rng.choice(_PIVOT_KEYS[t])
+    preds = rng.sample(FILTERS[t], k=rng.randint(2, min(3, len(FILTERS[t]))))
+    cols = [
+        f"CAST(count(*) FILTER (WHERE {p}) AS BIGINT) AS f{i}"
+        for i, p in enumerate(preds)
+    ]
+    where = ""
+    if rng.random() < 0.4:
+        leftover = [p for p in FILTERS[t] if p not in preds]
+        if leftover:
+            where = "WHERE " + rng.choice(leftover)
+    return (
+        f"SELECT {key}, CAST(count(*) AS BIGINT) AS n, {', '.join(cols)}\n"
+        f"FROM {t} {where}\n"
+        f"GROUP BY {key} ORDER BY {key}"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
+    if shape < 0.04:
+        return _pivot_filter_query(rng)
     if shape < 0.07:
         return _window_query(rng)
     if shape < 0.12:
