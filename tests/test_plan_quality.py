@@ -235,3 +235,43 @@ def test_dup_passages_partial_agg_no_cartesian(spark):
         # top-k entry must not globally sort the gram stream
         if name == "dup_passages_topk":
             assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_cuts_before_window(spark):
+    """vocab_coverage_topn must plan a distributed TakeOrdered cut of
+    the vocabulary BEFORE the cumulative-share window — a global sort
+    of all token types in one partition is the scale-killer shape."""
+    df = q.QUERIES["vocab_coverage_topn"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window must consume the take-ordered output, not the raw
+    # aggregate: the plan tree lists children below parents, so the
+    # TakeOrdered node must appear BELOW (after) the Window node
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_crosstab_pivot_single_aggregate_no_join(spark):
+    """The PIVOT must compile to conditional aggregates over ONE scan
+    (partial/final split) — never a self-join per category."""
+    df = q.QUERIES["crosstab_pivot"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_time_weighted_avg_single_user_shuffle(spark):
+    """twa's lead() window and final aggregate both key on user_id:
+    one hash exchange total (plus the presentation sort)."""
+    df = q.QUERIES["time_weighted_avg"](spark, SF_SMALL)
+    plan = plan_str(df)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 1, plan
+
+
+def test_composite_quality_filter_no_shuffle(spark):
+    """The rule DAG is a pure per-row map — no exchange except the
+    presentation sort."""
+    df = q.QUERIES["composite_quality_filter"](spark, SF_SMALL)
+    plan = plan_str(df)
+    assert "Exchange hashpartitioning" not in plan, plan

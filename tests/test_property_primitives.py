@@ -75,3 +75,33 @@ def test_prefix_sum_any_values_any_partitioning(spark, ns, nparts):
         want[i] = acc
         acc += n
     assert got == want
+
+
+# separator escaping property: string_to_table must split exactly like
+# Python's literal str.split for ANY separator built from printable
+# characters (incl. every regex metachar and the quote), because
+# _literal_to_regex promises verbatim-separator semantics.
+_SEP_ALPHABET = "ab.|*+?^$()[]{}\\'"
+_TEXT_ALPHABET = "abcxyz.|*'"
+
+
+def _sql_quote(s: str) -> str:
+    # PG-style literal with Spark C-escapes: double quotes, double
+    # backslashes (Spark's parser will consume one level)
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=12),
+    st.text(alphabet=_SEP_ALPHABET, min_size=1, max_size=3),
+)
+def test_string_to_table_splits_verbatim(spark, text, sep):
+    from citus_spark.session import DistributedSession
+
+    sess = DistributedSession(spark)
+    rows = sess.sql(
+        f"SELECT p FROM string_to_table({_sql_quote(text)}, "
+        f"{_sql_quote(sep)}) AS t(p)"
+    ).collect()
+    assert [r.p for r in rows] == text.split(sep)
