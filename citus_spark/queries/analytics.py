@@ -3410,3 +3410,122 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 )
+
+
+# width_bucket histogram — PG's equi-width bucketing function (Spark
+# ships width_bucket natively; DuckDB 1.0 does not, so the oracle
+# re-derives the PG rule from first principles: bucket i covers
+# [lo + (i-1)*w, lo + i*w), underflow → 0, overflow → n+1). One
+# partial/final hash aggregate over the scan — the classic
+# distributed histogram.
+_WB_LO, _WB_HI, _WB_N = 0.0, 500.0, 10
+
+
+def width_bucket_histogram(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(f"""
+SELECT CAST(width_bucket(value, {_WB_LO}, {_WB_HI}, {_WB_N}) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+""")
+
+
+register_split(
+    "width_bucket_histogram",
+    width_bucket_histogram,
+    f"""
+SELECT CAST(CASE WHEN value < {_WB_LO} THEN 0
+            WHEN value >= {_WB_HI} THEN {_WB_N} + 1
+            ELSE CAST(floor({_WB_N} * (value - {_WB_LO})
+                 / ({_WB_HI} - {_WB_LO})) AS BIGINT) + 1
+       END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+
+
+# Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 — the
+# standard visual-fidelity timeseries decimator; TimescaleDB ships it
+# as lttb()). This is the PARALLEL variant: each bucket's candidate
+# triangle uses the neighboring buckets' AVERAGE points instead of the
+# previously SELECTED point, removing the sequential chain so every
+# bucket elects its representative independently — one join + one
+# window pass, no iteration. First/last buckets keep their first/last
+# point (the anchor rule). All arithmetic is identical scalar IEEE on
+# both engines (bigint epoch x, double y, one area expression), and
+# every ordering ends in the unique event_id, so the selected set is
+# value-exact under any partitioning.
+_LTTB_NB = 24
+
+
+def _lttb_sql(epoch: str) -> str:
+    area = (
+        "abs((pax - nax) * (y - pay) - (pax - CAST(x AS DOUBLE)) "
+        "* (pay - nay))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, value AS y, {epoch} AS x
+  FROM events WHERE event_type = 'purchase'
+), ext AS (
+  SELECT min(x) AS xmin, max(x) + 1 AS xhi FROM pts
+), bp AS (
+  SELECT event_id, y, x,
+         CAST(floor(CAST(x - xmin AS DOUBLE) * {_LTTB_NB}
+              / CAST(xhi - xmin AS DOUBLE)) AS BIGINT) AS bucket
+  FROM pts CROSS JOIN ext
+), bstats AS (
+  SELECT bucket,
+         CAST(sum(x) AS DOUBLE) / count(*) AS ax,
+         {DAVG("y", "count(*)", "ay")}
+  FROM bp GROUP BY bucket
+), nb AS (
+  SELECT bucket,
+         lag(ax)  OVER (ORDER BY bucket) AS pax,
+         lag(ay)  OVER (ORDER BY bucket) AS pay,
+         lead(ax) OVER (ORDER BY bucket) AS nax,
+         lead(ay) OVER (ORDER BY bucket) AS nay
+  FROM bstats
+), lim AS (
+  SELECT min(bucket) AS bmin, max(bucket) AS bmax FROM bstats
+), scored AS (
+  SELECT bp.bucket, bp.event_id, bp.x, bp.y, bmin, bmax,
+         row_number() OVER (PARTITION BY bp.bucket
+                            ORDER BY {area} DESC, bp.event_id) AS rk_mid,
+         row_number() OVER (PARTITION BY bp.bucket
+                            ORDER BY bp.x, bp.event_id) AS rk_first,
+         row_number() OVER (PARTITION BY bp.bucket
+                            ORDER BY bp.x DESC, bp.event_id DESC) AS rk_last
+  FROM bp JOIN nb ON bp.bucket = nb.bucket CROSS JOIN lim
+)
+SELECT bucket, event_id, CAST(x AS BIGINT) AS x, y
+FROM scored
+WHERE CASE WHEN bucket = bmin THEN rk_first = 1
+           WHEN bucket = bmax THEN rk_last = 1
+           ELSE rk_mid = 1 END
+ORDER BY bucket
+"""
+
+
+def lttb_downsample(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(_lttb_sql("unix_timestamp(ts)"))
+
+
+register_split(
+    "lttb_downsample",
+    lttb_downsample,
+    _lttb_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+)

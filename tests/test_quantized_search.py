@@ -76,3 +76,19 @@ def test_planted_duplicate_ranks_first(spark, tmp_path):
                 assert top1[i].cosine > 1.0 - 1e-9
     finally:
         spark._citus_views_dir = None
+
+
+def test_lttb_anchors_and_coverage(spark):
+    """LTTB must return exactly one representative per non-empty
+    bucket, anchored on the series' first and last points."""
+    from citus_spark.queries.analytics import _LTTB_NB, lttb_downsample
+
+    out = lttb_downsample(spark, SF).collect()
+    assert len({r.bucket for r in out}) == len(out) <= _LTTB_NB
+    xs = [r.x for r in out]
+    assert xs == sorted(xs)
+    base = spark.sql(
+        "SELECT min(unix_timestamp(ts)) AS lo, max(unix_timestamp(ts)) "
+        "AS hi FROM events WHERE event_type = 'purchase'"
+    ).collect()[0]
+    assert out[0].x == base.lo and out[-1].x == base.hi
