@@ -39,6 +39,18 @@ _FNS = (
     "create_distributed_function",
     "citus_schema_distribute",
     "citus_schema_undistribute",
+    # node management (↔ multi_cluster_management.sql regress; legacy
+    # master_* aliases) — metadata-level on Spark: executors are the
+    # workers and the scheduler owns placement, but scripts that
+    # register nodes must run unchanged and the node table must be
+    # queryable
+    "citus_add_node",
+    "master_add_node",
+    "citus_remove_node",
+    "master_remove_node",
+    "citus_activate_node",
+    "citus_set_coordinator_host",
+    "master_create_distributed_table",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked
@@ -160,3 +172,17 @@ def rewrite_citus_shards(sql: str, view_name: str) -> str:
     """Replace the citus_shards()/citus_shards relation reference with
     a registered view name."""
     return _CITUS_SHARDS.sub(view_name, sql)
+
+
+_ACTIVE_WORKERS = re.compile(
+    r"\b(?:citus|master)_get_active_worker_nodes\s*\(\s*\)", re.I
+)
+
+
+def uses_active_worker_nodes(sql: str) -> bool:
+    return bool(_ACTIVE_WORKERS.search(sql))
+
+
+def rewrite_active_worker_nodes(sql: str, view_name: str) -> str:
+    """Replace citus/master_get_active_worker_nodes() with a view."""
+    return _ACTIVE_WORKERS.sub(view_name, sql)

@@ -611,11 +611,13 @@ class DistributedSession:
         None when `query` is not a management call."""
         from citus_spark.plans.mgmt_sql import (
             parse_mgmt,
+            rewrite_active_worker_nodes,
             rewrite_citus_shards,
             rewrite_citus_stat_activity,
             rewrite_citus_stat_statements,
             rewrite_citus_stat_tenants,
             rewrite_citus_tables,
+            uses_active_worker_nodes,
             uses_citus_shards,
             uses_citus_stat_activity,
             uses_citus_stat_statements,
@@ -653,6 +655,13 @@ class DistributedSession:
             if uses_citus_shards(rewritten):
                 self.citus_shards().createOrReplaceTempView("_citus_shards")
                 rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
+            if uses_active_worker_nodes(rewritten):
+                self.citus_get_active_worker_nodes().createOrReplaceTempView(
+                    "_citus_worker_nodes"
+                )
+                rewritten = rewrite_active_worker_nodes(
+                    rewritten, "_citus_worker_nodes"
+                )
             rewritten = self._rewrite_pg_catalog_views(rewritten)
             if rewritten != query:
                 # re-enter the front door: the rewritten text (view
@@ -872,6 +881,48 @@ class DistributedSession:
                 target_shard_rows=int(
                     kw.get("target_shard_rows", 100_000_000)
                 ),
+            )
+        elif call.fn in ("citus_add_node", "master_add_node"):
+            nid = self.citus_add_node(
+                str(call.args[0] if call.args else kw["nodename"]),
+                int(
+                    call.args[1]
+                    if len(call.args) > 1
+                    else kw.get("nodeport", 5432)
+                ),
+                groupid=int(kw.get("groupid", -1)),
+            )
+            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
+        elif call.fn in ("citus_remove_node", "master_remove_node"):
+            self.citus_remove_node(
+                str(call.args[0]), int(call.args[1])
+            )
+        elif call.fn == "citus_activate_node":
+            nid = self.citus_activate_node(
+                str(call.args[0]), int(call.args[1])
+            )
+            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
+        elif call.fn == "citus_set_coordinator_host":
+            self.citus_set_coordinator_host(
+                str(call.args[0]),
+                int(call.args[1]) if len(call.args) > 1 else 5432,
+            )
+        elif call.fn == "master_create_distributed_table":
+            # legacy 3-argument spelling: (table, column, method)
+            method = str(
+                call.args[2] if len(call.args) > 2 else "hash"
+            ).lower()
+            if method != "hash":
+                raise ValueError(
+                    f"master_create_distributed_table: method {method!r} "
+                    "is the legacy append/range API — use "
+                    "create_distributed_table / "
+                    "create_range_distributed_table"
+                )
+            self.create_distributed_table(
+                str(call.args[0]),
+                self.spark.table(str(call.args[0])),
+                str(call.args[1]),
             )
         elif call.fn == "isolate_tenant_to_new_shard":
             sid = self.isolate_tenant_to_new_shard(
@@ -2720,6 +2771,78 @@ class DistributedSession:
             ],
             "table_name string, old_shard_count int, new_shard_count int, "
             "total_rows long",
+        )
+
+    # -- node management (↔ multi_cluster_management.sql regress;
+    # node_metadata.c). On Spark the executors ARE the workers and the
+    # scheduler owns placement, so this is the metadata half only: a
+    # pg_dist_node analog that reference scripts can populate and
+    # query unchanged. Shard/bucket accounting (citus_shards) is
+    # node-agnostic by design — a static placement map would be a
+    # fabrication here (see citus_shards docstring). --------------------
+    def citus_add_node(
+        self, nodename: str, nodeport: int, groupid: int = -1
+    ) -> int:
+        """Register a worker node; returns its nodeid (idempotent for
+        a (host, port) already present, like the reference)."""
+        nodes = getattr(self, "_nodes", None)
+        if nodes is None:
+            nodes = self._nodes = []
+        for n in nodes:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                return n["nodeid"]
+        nid = len(nodes) + 1
+        nodes.append(
+            {
+                "nodeid": nid,
+                "groupid": nid if groupid < 0 else groupid,
+                "nodename": nodename,
+                "nodeport": int(nodeport),
+                "isactive": True,
+                "noderole": "primary",
+            }
+        )
+        self.stat_statements.record(
+            f"SELECT citus_add_node('{nodename}', {nodeport})", None,
+            executor="utility",
+        )
+        return nid
+
+    def citus_remove_node(self, nodename: str, nodeport: int) -> None:
+        nodes = getattr(self, "_nodes", []) or []
+        keep = [
+            n
+            for n in nodes
+            if not (n["nodename"] == nodename and n["nodeport"] == nodeport)
+        ]
+        if len(keep) == len(nodes):
+            raise ValueError(
+                f"node {nodename}:{nodeport} does not exist"
+            )
+        self._nodes = keep
+
+    def citus_activate_node(self, nodename: str, nodeport: int) -> int:
+        for n in getattr(self, "_nodes", []) or []:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                n["isactive"] = True
+                return n["nodeid"]
+        raise ValueError(f"node {nodename}:{nodeport} does not exist")
+
+    def citus_set_coordinator_host(
+        self, nodename: str, nodeport: int = 5432
+    ) -> None:
+        self._coordinator = (nodename, int(nodeport))
+
+    def citus_get_active_worker_nodes(self) -> DataFrame:
+        """(node_name, node_port) for active registered workers —
+        the reference's citus_get_active_worker_nodes() relation."""
+        rows = [
+            (n["nodename"], n["nodeport"])
+            for n in (getattr(self, "_nodes", []) or [])
+            if n["isactive"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "node_name string, node_port int"
         )
 
     def isolate_tenant_to_new_shard(

@@ -167,3 +167,56 @@ def test_update_colocation_preserves_physical_metadata(spark):
     assert s.catalog.get("coloc_a").path == path_before
     s.sql("DROP TABLE coloc_a")
     s.sql("DROP TABLE coloc_b")
+
+
+# --- node management (↔ multi_cluster_management.sql) ----------------------
+
+def test_node_management_script_runs_verbatim(sess):
+    # the regress idiom: SELECT 1 FROM citus_add_node(...)
+    r = sess.sql("SELECT citus_set_coordinator_host('localhost')")
+    assert r is not None
+    n1 = sess.sql("SELECT citus_add_node('localhost', 9701)").collect()
+    n2 = sess.sql("SELECT master_add_node('localhost', 9702)").collect()
+    assert n1[0][0] == 1 and n2[0][0] == 2
+    # idempotent re-add returns the same id
+    again = sess.sql("SELECT citus_add_node('localhost', 9701)").collect()
+    assert again[0][0] == 1
+    workers = sess.sql(
+        "SELECT * FROM citus_get_active_worker_nodes() ORDER BY node_port"
+    ).collect()
+    assert [(w.node_name, w.node_port) for w in workers] == [
+        ("localhost", 9701),
+        ("localhost", 9702),
+    ]
+    assert (
+        sess.sql("SELECT citus_activate_node('localhost', 9702)")
+        .collect()[0][0]
+        == 2
+    )
+    sess.sql("SELECT citus_remove_node('localhost', 9702)")
+    left = sess.sql(
+        "SELECT count(*) AS n FROM master_get_active_worker_nodes()"
+    ).collect()[0].n
+    assert left == 1
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="does not exist"):
+        sess.sql("SELECT citus_remove_node('localhost', 9999)")
+
+
+def test_master_create_distributed_table_legacy_spelling(sess, spark):
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .createOrReplaceTempView("legacy_orders")
+    sess.sql(
+        "SELECT master_create_distributed_table("
+        "'legacy_orders', 'o_custkey', 'hash')"
+    )
+    entry = sess.catalog.get("legacy_orders")
+    assert entry is not None and entry.dist_col == "o_custkey"
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="legacy append"):
+        sess.sql(
+            "SELECT master_create_distributed_table("
+            "'legacy_orders', 'o_custkey', 'append')"
+        )
