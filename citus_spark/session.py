@@ -1087,6 +1087,9 @@ class DistributedSession:
                     r"\bcitus_schemas\b", "_citus_schemas", c, flags=_re.I
                 ),
             )
+        if _re.search(r"\bpg_dist_(partition|shard|colocation|node)\b",
+                      query, _re.I):
+            query = self._register_pg_dist_views(query)
         if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
             return query
 
@@ -1139,6 +1142,112 @@ class DistributedSession:
             return _re.sub(
                 r"\b(?:pg_catalog\.|public\.)?pg_tables\b",
                 "_pg_tables", code, flags=_re.I,
+            )
+
+        return _map_code(query, fix)
+
+    def _register_pg_dist_views(self, query: str) -> str:
+        """The reference's own catalog tables, queryable verbatim
+        (↔ pg_dist_partition.h / pg_dist_shard / pg_dist_colocation /
+        pg_dist_node). partkey is the distribution column NAME (the
+        reference stores a serialized Var node — the name is the
+        useful projection of it); shard hash ranges are the uniform
+        int32 split the reference computes in shardinterval_utils.c,
+        which is also exactly how this engine's buckets hash."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _map_code
+
+        method_char = {"hash": "h", "range": "r"}
+        tabs = list(self.catalog.tables().values())
+        if _re.search(r"\bpg_dist_partition\b", query, _re.I):
+            rows = [
+                (
+                    t.name,
+                    method_char.get(t.method, "n"),
+                    t.dist_col,
+                    int(t.colocation_id),
+                    "t" if t.is_reference else "s",
+                )
+                for t in tabs
+            ]
+            self.spark.createDataFrame(
+                rows or [("", "", None, 0, "")],
+                "logicalrelid string, partmethod string, partkey string, "
+                "colocationid int, repmodel string",
+            ).filter(F.col("logicalrelid") != "").createOrReplaceTempView(
+                "_pg_dist_partition"
+            )
+        if _re.search(r"\bpg_dist_shard\b", query, _re.I):
+            rows = []
+            next_shard_id = 102008
+            for t in tabs:
+                if t.is_hash_distributed:
+                    # uniform int32 hash ranges, the reference's split
+                    span = 1 << 32
+                    for b in range(t.buckets):
+                        lo = -(1 << 31) + b * span // t.buckets
+                        hi = -(1 << 31) + (b + 1) * span // t.buckets - 1
+                        rows.append(
+                            (t.name, next_shard_id + b, "t", str(lo), str(hi))
+                        )
+                    next_shard_id += t.buckets
+                elif t.is_reference:
+                    rows.append((t.name, next_shard_id, "t", None, None))
+                    next_shard_id += 1
+            self.spark.createDataFrame(
+                rows or [("", 0, "", None, None)],
+                "logicalrelid string, shardid long, shardstorage string, "
+                "shardminvalue string, shardmaxvalue string",
+            ).filter(F.col("logicalrelid") != "").createOrReplaceTempView(
+                "_pg_dist_shard"
+            )
+        if _re.search(r"\bpg_dist_colocation\b", query, _re.I):
+            seen: dict[int, tuple] = {}
+            for t in tabs:
+                if t.is_hash_distributed and t.colocation_id not in seen:
+                    seen[t.colocation_id] = (
+                        int(t.colocation_id),
+                        int(t.buckets),
+                        1,
+                        str(dict(self.spark.table(t.name).dtypes).get(
+                            t.dist_col
+                        )),
+                    )
+            self.spark.createDataFrame(
+                list(seen.values()) or [(0, 0, 0, "")],
+                "colocationid int, shardcount int, replicationfactor int, "
+                "distributioncolumntype string",
+            ).filter(F.col("colocationid") != 0).createOrReplaceTempView(
+                "_pg_dist_colocation"
+            )
+        if _re.search(r"\bpg_dist_node\b", query, _re.I):
+            rows = [
+                (
+                    n["nodeid"],
+                    n["groupid"],
+                    n["nodename"],
+                    n["nodeport"],
+                    n["noderole"],
+                    n["isactive"],
+                )
+                for n in (getattr(self, "_nodes", []) or [])
+            ]
+            self.spark.createDataFrame(
+                rows or [(0, 0, "", 0, "", False)],
+                "nodeid int, groupid int, nodename string, nodeport int, "
+                "noderole string, isactive boolean",
+            ).filter(F.col("nodeid") != 0).createOrReplaceTempView(
+                "_pg_dist_node"
+            )
+
+        def fix(code: str) -> str:
+            return _re.sub(
+                r"\b(?:pg_catalog\.)?pg_dist_(partition|shard|colocation"
+                r"|node)\b",
+                lambda m: f"_pg_dist_{m.group(1).lower()}",
+                code,
+                flags=_re.I,
             )
 
         return _map_code(query, fix)

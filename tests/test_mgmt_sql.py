@@ -220,3 +220,64 @@ def test_master_create_distributed_table_legacy_spelling(sess, spark):
             "SELECT master_create_distributed_table("
             "'legacy_orders', 'o_custkey', 'append')"
         )
+
+
+# --- pg_dist_* catalog tables (↔ pg_dist_partition.h etc.) -----------------
+
+def test_pg_dist_catalog_tables_queryable(sess, spark):
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet") \
+        .createOrReplaceTempView("pgd_orders")
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .createOrReplaceTempView("pgd_lineitem")
+    spark.read.parquet(f"{SF_SMALL}/nation.parquet") \
+        .createOrReplaceTempView("pgd_nation")
+    sess.sql(
+        "SELECT create_distributed_table('pgd_orders', 'o_custkey', "
+        "shard_count => 4)"
+    )
+    sess.sql(
+        "SELECT create_distributed_table('pgd_lineitem', 'l_orderkey', "
+        "shard_count => 4, colocate_with => 'pgd_orders')"
+    )
+    sess.sql("SELECT create_reference_table('pgd_nation')")
+
+    part = {
+        r.logicalrelid: r
+        for r in sess.sql(
+            "SELECT * FROM pg_dist_partition"
+        ).collect()
+    }
+    assert part["pgd_orders"].partmethod == "h"
+    assert part["pgd_orders"].partkey == "o_custkey"
+    assert part["pgd_nation"].partmethod == "n"
+    assert part["pgd_nation"].repmodel == "t"
+    assert (
+        part["pgd_orders"].colocationid == part["pgd_lineitem"].colocationid
+    )
+
+    # the regress join idiom: shards per relation with hash ranges
+    shards = sess.sql(
+        "SELECT s.logicalrelid, count(*) AS n, "
+        "min(CAST(shardminvalue AS BIGINT)) AS lo, "
+        "max(CAST(shardmaxvalue AS BIGINT)) AS hi "
+        "FROM pg_dist_shard s JOIN pg_dist_partition p "
+        "ON s.logicalrelid = p.logicalrelid "
+        "WHERE p.partmethod = 'h' GROUP BY s.logicalrelid"
+    ).collect()
+    assert {r.logicalrelid: r.n for r in shards} == {
+        "pgd_orders": 4,
+        "pgd_lineitem": 4,
+    }
+    for r in shards:
+        assert r.lo == -(1 << 31) and r.hi == (1 << 31) - 1
+
+    colo = sess.sql(
+        "SELECT * FROM pg_dist_colocation ORDER BY colocationid"
+    ).collect()
+    assert any(c.shardcount == 4 for c in colo)
+
+    sess.sql("SELECT citus_add_node('localhost', 9701)")
+    nodes = sess.sql("SELECT * FROM pg_dist_node").collect()
+    assert [(n.nodename, n.nodeport, n.isactive) for n in nodes] == [
+        ("localhost", 9701, True)
+    ]
