@@ -3145,17 +3145,21 @@ class DistributedSession:
         ):
             return query
 
+        # prefix depth table over the WHERE region: one linear pass,
+        # O(1) per later lookup (review finding: the per-match rescans
+        # were quadratic once any table was isolated)
+        depth_at: dict[int, int] = {}
+        d0 = 0
+        for j in range(where_at, where_end):
+            depth_at[j] = d0
+            if in_code(j):
+                if query[j] == "(":
+                    d0 += 1
+                elif query[j] == ")":
+                    d0 -= 1
+
         def depth0_in_where(pos: int) -> bool:
-            if not (where_at <= pos < where_end):
-                return False
-            d = 0
-            for j in range(where_at, pos):
-                if in_code(j):
-                    if query[j] == "(":
-                        d += 1
-                    elif query[j] == ")":
-                        d -= 1
-            return d == 0
+            return where_at <= pos < where_end and depth_at.get(pos) == 0
 
         out = query
         for t in tables:
