@@ -2551,6 +2551,42 @@ class DistributedSession:
             from citus_spark.plans.pgfmt_sql import pg_row_constructor
 
             query = pg_row_constructor(query)
+        if _re.search(r"\bpg_size_pretty\s*\(", query, _re.I):
+            # PG dbsize.c algorithm verbatim (shift-9 then shift-10
+            # steps, limit2 = 20479, half-rounding) as a Spark SQL
+            # UDF — JVM codegen, registered once per session
+            if not getattr(self, "_size_pretty_registered", False):
+                self.spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION pg_size_pretty(sz BIGINT)
+RETURNS STRING RETURN
+CASE
+  WHEN abs(sz) < 10240 THEN concat(CAST(sz AS STRING), ' bytes')
+  WHEN abs(sz DIV 512) < 20479
+    THEN concat(CAST(((sz DIV 512) + 1) DIV 2 AS STRING), ' kB')
+  WHEN abs(sz DIV 524288) < 20479
+    THEN concat(CAST(((sz DIV 524288) + 1) DIV 2 AS STRING), ' MB')
+  WHEN abs(sz DIV 536870912) < 20479
+    THEN concat(CAST(((sz DIV 536870912) + 1) DIV 2 AS STRING), ' GB')
+  WHEN abs(sz DIV 549755813888) < 20479
+    THEN concat(CAST(((sz DIV 549755813888) + 1) DIV 2 AS STRING), ' TB')
+  ELSE concat(CAST(((sz DIV 562949953421312) + 1) DIV 2 AS STRING), ' PB')
+END
+""")
+                self._size_pretty_registered = True
+        if _re.search(
+            r"\bpg_(?:relation|table|total_relation)_size\s*\(", query,
+            _re.I,
+        ):
+            # literal-name PG size functions fold to the live storage
+            # footprint (all forks coincide on parquet — see the
+            # citus_table_size dispatch); non-literal args fail loudly
+            # in Spark rather than being guessed at
+            query = _re.sub(
+                r"\bpg_(?:relation|table|total_relation)_size\s*\(\s*"
+                r"'([A-Za-z_]\w*)'\s*\)",
+                lambda m: str(int(self._relation_size(m.group(1)))),
+                query,
+            )
         if self.pg_compat and "[" in query:
             # gated: `a[1]` is ALSO valid Spark SQL (0-based) — only a
             # session opted into PG semantics may have it re-based

@@ -281,3 +281,57 @@ def test_pg_dist_catalog_tables_queryable(sess, spark):
     assert [(n.nodename, n.nodeport, n.isactive) for n in nodes] == [
         ("localhost", 9701, True)
     ]
+
+
+# --- pg_size_pretty / pg_relation_size (↔ PG dbsize.c; used by
+# reference regress as pg_size_pretty(pg_relation_size('t'))) ---------------
+
+def _pg_size_pretty_ref(sz: int) -> str:
+    # dbsize.c verbatim: shift 9 once, then 10 per unit; limit2=20479;
+    # half-rounding away from zero
+    def half(x):
+        return (x + (1 if x >= 0 else -1)) // 2 if x >= 0 else -((-x + 1) // 2)
+
+    if abs(sz) < 10 * 1024:
+        return f"{sz} bytes"
+    size = sz >> 9
+    for unit in ("kB", "MB", "GB", "TB"):
+        if abs(size) < 20479:
+            return f"{half(size)} {unit}"
+        size >>= 10
+    return f"{half(size)} PB"
+
+
+def test_pg_size_pretty_matches_postgres_algorithm(sess):
+    vals = [0, 1, 10239, 10240, 10752, 1048576, 1536000, 10 ** 9,
+            5 * 10 ** 12, 7 * 10 ** 15]
+    got = sess.sql(
+        "SELECT " + ", ".join(
+            f"pg_size_pretty(CAST({v} AS BIGINT)) AS c{i}"
+            for i, v in enumerate(vals)
+        )
+    ).collect()[0]
+    for i, v in enumerate(vals):
+        assert got[i] == _pg_size_pretty_ref(v), (v, got[i])
+
+
+def test_pg_relation_size_folds_to_storage_bytes(sess, spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    p = str(tmp_path / "nat")
+    df.write.parquet(p)
+    sess.create_distributed_table(
+        "szn", spark.read.parquet(p), "n_nationkey", buckets=2
+    )
+    sess.catalog.get("szn").path = p
+    import os
+
+    want = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p) for f in fs
+    )
+    row = sess.sql(
+        "SELECT pg_relation_size('szn') AS b, "
+        "pg_size_pretty(pg_total_relation_size('szn')) AS pretty"
+    ).collect()[0]
+    assert row.b == want
+    assert row.pretty == _pg_size_pretty_ref(want)
