@@ -60,6 +60,16 @@ _CALL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# regress idiom: `SELECT 1 FROM citus_add_node(...)` — a scalar
+# management function in FROM position (PG treats it as a one-row
+# relation). The select list must be trivial (`1`, `*`, or the
+# function name) — anything else is not a management statement.
+_FROM_CALL = re.compile(
+    rf"^\s*SELECT\s+(1|\*|[A-Za-z_]\w*)\s+FROM\s+"
+    rf"({'|'.join(_FNS)})\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _CITUS_TABLES = re.compile(r"\bcitus_tables\s*\(\s*\)|\bcitus_tables\b", re.I)
 
 
@@ -68,6 +78,9 @@ class MgmtCall:
     fn: str
     args: list[str | int]
     kwargs: dict[str, str | int]
+    # set for the `SELECT 1 FROM fn(...)` idiom: the trivial select
+    # item ("1", "*", or the function name)
+    select_item: str | None = None
 
 
 def _parse_value(text: str) -> str | int:
@@ -83,9 +96,18 @@ def _parse_value(text: str) -> str | int:
 def parse_mgmt(sql: str) -> MgmtCall | None:
     """Return the management call, or None if `sql` is not one."""
     m = _CALL.match(sql)
+    select_item = None
     if not m:
-        return None
-    fn, body = m.group(1).lower(), m.group(2).strip()
+        fm = _FROM_CALL.match(sql)
+        if fm and fm.group(1).lower() in ("1", "*", fm.group(2).lower()):
+            select_item = fm.group(1)
+            m = fm
+        else:
+            return None
+    if select_item is None:
+        fn, body = m.group(1).lower(), m.group(2).strip()
+    else:
+        fn, body = m.group(2).lower(), m.group(3).strip()
     args: list[str | int] = []
     kwargs: dict[str, str | int] = {}
     if body:
@@ -103,7 +125,9 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
                         "management call: positional argument after named"
                     )
                 args.append(_parse_value(part))
-    return MgmtCall(fn=fn, args=args, kwargs=kwargs)
+    call = MgmtCall(fn=fn, args=args, kwargs=kwargs)
+    call.select_item = select_item
+    return call
 
 
 _CITUS_SHARDS = re.compile(r"\bcitus_shards\s*\(\s*\)|\bcitus_shards\b", re.I)

@@ -603,6 +603,18 @@ class DistributedSession:
         return self.stat_statements.to_df(self.spark)
 
     def _execute_mgmt(self, query: str) -> DataFrame | None:
+        out = self._execute_mgmt_inner(query)
+        if out is not None:
+            from citus_spark.plans.mgmt_sql import parse_mgmt
+
+            call = parse_mgmt(query)
+            if call is not None and call.select_item == "1":
+                # `SELECT 1 FROM fn(...)`: the call ran for effect;
+                # the relation is the literal row, like PG
+                return self.spark.range(1).selectExpr("1")
+        return out
+
+    def _execute_mgmt_inner(self, query: str) -> DataFrame | None:
         """Route the reference's literal SQL management-UDF spellings
         (SELECT create_distributed_table('t', 'col', colocate_with =>
         'u'), create_reference_table, alter_distributed_table,
@@ -2583,6 +2595,20 @@ END
             # in Spark rather than being guessed at
             query = _re.sub(
                 r"\bpg_(?:relation|table|total_relation)_size\s*\(\s*"
+                r"'([A-Za-z_]\w*)'\s*\)",
+                lambda m: str(int(self._relation_size(m.group(1)))),
+                query,
+            )
+        if _re.search(
+            r"\bcitus_(?:relation|table|total_relation)_size\s*\(", query,
+            _re.I,
+        ):
+            # the bare-statement form routes through the mgmt
+            # dispatcher first (sql() order), so only composite
+            # expressions like pg_size_pretty(citus_table_size('t'))
+            # reach this fold
+            query = _re.sub(
+                r"\bcitus_(?:relation|table|total_relation)_size\s*\(\s*"
                 r"'([A-Za-z_]\w*)'\s*\)",
                 lambda m: str(int(self._relation_size(m.group(1)))),
                 query,

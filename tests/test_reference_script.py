@@ -310,3 +310,55 @@ def test_pg_surface_session_script(spark):
     )
     notes = {r.note for r in s.sql("SELECT note FROM audit_log").collect()}
     assert "removed 1001" in notes and "checked" not in notes
+
+
+def test_cluster_management_script_verbatim(spark, tmp_path):
+    """The multi_cluster_management.sql shape end-to-end: register
+    nodes, distribute + colocate tables, inspect pg_dist_* metadata,
+    size relations, then isolate a tenant — every statement in the
+    reference's own spelling through one session."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("SELECT citus_set_coordinator_host('localhost')")
+    s.sql("SELECT 1 FROM citus_add_node('localhost', 9701)")
+    s.sql("SELECT 1 FROM citus_add_node('localhost', 9702)")
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    p = str(tmp_path / "ev")
+    ev.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("cm_events")
+    s.sql(
+        "SELECT create_distributed_table('cm_events', 'user_id', "
+        "shard_count => 8)"
+    )
+    s.catalog.get("cm_events").path = p
+
+    meta = s.sql(
+        "SELECT p.partmethod, count(sh.shardid) AS shards, "
+        "max(n.active_nodes) AS nodes "
+        "FROM pg_dist_partition p "
+        "JOIN pg_dist_shard sh ON p.logicalrelid = sh.logicalrelid "
+        "CROSS JOIN (SELECT count(*) AS active_nodes FROM pg_dist_node "
+        "            WHERE isactive) n "
+        "WHERE p.logicalrelid = 'cm_events' "
+        "GROUP BY p.partmethod"
+    ).collect()[0]
+    assert (meta.partmethod, meta.shards, meta.nodes) == ("h", 8, 2)
+
+    pretty = s.sql(
+        "SELECT pg_size_pretty(citus_table_size('cm_events'))"
+    ).collect()[0][0]
+    assert pretty.endswith((" bytes", " kB", " MB"))
+
+    sid = s.sql(
+        "SELECT isolate_tenant_to_new_shard('cm_events', 7)"
+    ).collect()[0][0]
+    shard_rows = {
+        r.shardid: r.shard_rows
+        for r in s.sql("SELECT * FROM citus_shards").collect()
+    }
+    tenant_n = s.sql(
+        "SELECT count(*) AS n FROM cm_events WHERE user_id = 7"
+    ).collect()[0].n
+    assert shard_rows[sid] == tenant_n > 0
