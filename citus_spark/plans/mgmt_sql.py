@@ -93,6 +93,35 @@ def _parse_value(text: str) -> str | int:
     raise ValueError(f"management call: cannot parse argument {text!r}")
 
 
+def _balanced(body: str) -> bool:
+    """True when `body` is a plausible single argument list: balanced
+    parens outside quotes, never dipping below depth 0. A statement
+    like `SELECT citus_table_size('t') + citus_table_size('u')`
+    matches the greedy call regex with an unbalanced body — that is
+    an EXPRESSION, not a management call, and must fall through."""
+    depth = 0
+    in_q = False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_q:
+            if c == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = False
+        elif c == "'":
+            in_q = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0 and not in_q
+
+
 def parse_mgmt(sql: str) -> MgmtCall | None:
     """Return the management call, or None if `sql` is not one."""
     m = _CALL.match(sql)
@@ -108,6 +137,8 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
         fn, body = m.group(1).lower(), m.group(2).strip()
     else:
         fn, body = m.group(2).lower(), m.group(3).strip()
+    if not _balanced(body):
+        return None
     args: list[str | int] = []
     kwargs: dict[str, str | int] = {}
     if body:
@@ -125,9 +156,9 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
                         "management call: positional argument after named"
                     )
                 args.append(_parse_value(part))
-    call = MgmtCall(fn=fn, args=args, kwargs=kwargs)
-    call.select_item = select_item
-    return call
+    return MgmtCall(
+        fn=fn, args=args, kwargs=kwargs, select_item=select_item
+    )
 
 
 _CITUS_SHARDS = re.compile(r"\bcitus_shards\s*\(\s*\)|\bcitus_shards\b", re.I)

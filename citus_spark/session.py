@@ -603,15 +603,13 @@ class DistributedSession:
         return self.stat_statements.to_df(self.spark)
 
     def _execute_mgmt(self, query: str) -> DataFrame | None:
+        self._last_mgmt_call = None
         out = self._execute_mgmt_inner(query)
-        if out is not None:
-            from citus_spark.plans.mgmt_sql import parse_mgmt
-
-            call = parse_mgmt(query)
-            if call is not None and call.select_item == "1":
-                # `SELECT 1 FROM fn(...)`: the call ran for effect;
-                # the relation is the literal row, like PG
-                return self.spark.range(1).selectExpr("1")
+        call = self._last_mgmt_call
+        if out is not None and call is not None and call.select_item == "1":
+            # `SELECT 1 FROM fn(...)`: the call ran for effect; the
+            # relation is the literal row, like PG
+            return self.spark.range(1).selectExpr("1")
         return out
 
     def _execute_mgmt_inner(self, query: str) -> DataFrame | None:
@@ -638,6 +636,7 @@ class DistributedSession:
         )
 
         call = parse_mgmt(query)
+        self._last_mgmt_call = call
         if call is None:
             rewritten = query
             if uses_citus_stat_tenants(rewritten):
@@ -2035,7 +2034,7 @@ class DistributedSession:
         entry = self.catalog.get(name)
         if entry is None or not self._live_path(entry):
             raise ValueError(
-                f"citus_table_size: {name!r} is not a Citus table with "
+                f"relation size: {name!r} is not a Citus table with "
                 "materialized storage"
             )
         root = self._live_path(entry)
@@ -2573,45 +2572,45 @@ CREATE OR REPLACE TEMPORARY FUNCTION pg_size_pretty(sz BIGINT)
 RETURNS STRING RETURN
 CASE
   WHEN abs(sz) < 10240 THEN concat(CAST(sz AS STRING), ' bytes')
-  WHEN abs(sz DIV 512) < 20479
-    THEN concat(CAST(((sz DIV 512) + 1) DIV 2 AS STRING), ' kB')
-  WHEN abs(sz DIV 524288) < 20479
-    THEN concat(CAST(((sz DIV 524288) + 1) DIV 2 AS STRING), ' MB')
-  WHEN abs(sz DIV 536870912) < 20479
-    THEN concat(CAST(((sz DIV 536870912) + 1) DIV 2 AS STRING), ' GB')
-  WHEN abs(sz DIV 549755813888) < 20479
-    THEN concat(CAST(((sz DIV 549755813888) + 1) DIV 2 AS STRING), ' TB')
-  ELSE concat(CAST(((sz DIV 562949953421312) + 1) DIV 2 AS STRING), ' PB')
+  WHEN abs(shiftright(sz, 9)) < 20479
+    THEN concat(CAST((shiftright(sz, 9)
+         + (CASE WHEN shiftright(sz, 9) < 0 THEN -1 ELSE 1 END)) DIV 2
+         AS STRING), ' kB')
+  WHEN abs(shiftright(sz, 19)) < 20479
+    THEN concat(CAST((shiftright(sz, 19)
+         + (CASE WHEN shiftright(sz, 19) < 0 THEN -1 ELSE 1 END)) DIV 2
+         AS STRING), ' MB')
+  WHEN abs(shiftright(sz, 29)) < 20479
+    THEN concat(CAST((shiftright(sz, 29)
+         + (CASE WHEN shiftright(sz, 29) < 0 THEN -1 ELSE 1 END)) DIV 2
+         AS STRING), ' GB')
+  WHEN abs(shiftright(sz, 39)) < 20479
+    THEN concat(CAST((shiftright(sz, 39)
+         + (CASE WHEN shiftright(sz, 39) < 0 THEN -1 ELSE 1 END)) DIV 2
+         AS STRING), ' TB')
+  ELSE concat(CAST((shiftright(sz, 49)
+         + (CASE WHEN shiftright(sz, 49) < 0 THEN -1 ELSE 1 END)) DIV 2
+         AS STRING), ' PB')
 END
 """)
                 self._size_pretty_registered = True
         if _re.search(
-            r"\bpg_(?:relation|table|total_relation)_size\s*\(", query,
-            _re.I,
+            r"\b(?:pg|citus)_(?:relation|table|total_relation)_size\s*\(",
+            query, _re.I,
         ):
-            # literal-name PG size functions fold to the live storage
+            # literal-name size functions fold to the live storage
             # footprint (all forks coincide on parquet — see the
-            # citus_table_size dispatch); non-literal args fail loudly
-            # in Spark rather than being guessed at
+            # citus_table_size dispatch). The bare-statement citus_*
+            # form routes through the mgmt dispatcher first (sql()
+            # order), so only composite expressions reach this fold;
+            # non-literal args fail loudly in Spark rather than being
+            # guessed at.
             query = _re.sub(
-                r"\bpg_(?:relation|table|total_relation)_size\s*\(\s*"
-                r"'([A-Za-z_]\w*)'\s*\)",
+                r"\b(?:pg|citus)_(?:relation|table|total_relation)_size"
+                r"\s*\(\s*'([A-Za-z_]\w*)'\s*\)",
                 lambda m: str(int(self._relation_size(m.group(1)))),
                 query,
-            )
-        if _re.search(
-            r"\bcitus_(?:relation|table|total_relation)_size\s*\(", query,
-            _re.I,
-        ):
-            # the bare-statement form routes through the mgmt
-            # dispatcher first (sql() order), so only composite
-            # expressions like pg_size_pretty(citus_table_size('t'))
-            # reach this fold
-            query = _re.sub(
-                r"\bcitus_(?:relation|table|total_relation)_size\s*\(\s*"
-                r"'([A-Za-z_]\w*)'\s*\)",
-                lambda m: str(int(self._relation_size(m.group(1)))),
-                query,
+                flags=_re.I,
             )
         if self.pg_compat and "[" in query:
             # gated: `a[1]` is ALSO valid Spark SQL (0-based) — only a

@@ -335,3 +335,64 @@ def test_pg_relation_size_folds_to_storage_bytes(sess, spark, tmp_path):
     ).collect()[0]
     assert row.b == want
     assert row.pretty == _pg_size_pretty_ref(want)
+
+
+def test_pg_size_pretty_negative_values(sess):
+    # size deltas are routine: dbsize.c floors via arithmetic shift
+    # and half-rounds away from zero — the Spark UDF must match
+    vals = [-1, -10239, -10241, -1536000, -(10 ** 9), -(5 * 10 ** 12)]
+    got = sess.sql(
+        "SELECT " + ", ".join(
+            f"pg_size_pretty(CAST({v} AS BIGINT)) AS c{i}"
+            for i, v in enumerate(vals)
+        )
+    ).collect()[0]
+    import ctypes
+
+    def ref(sz):
+        def half(x):
+            return (x + (-1 if x < 0 else 1)) // 2 if x >= 0 or (x % 2 == 0) \
+                else -((-x + 1) // 2)
+        # exact C semantics: arithmetic shift + trunc-toward-zero div
+        if abs(sz) < 10 * 1024:
+            return f"{sz} bytes"
+        size = sz >> 9
+        for unit in ("kB", "MB", "GB", "TB"):
+            if abs(size) < 20479:
+                h = size + (-1 if size < 0 else 1)
+                q = int(h / 2) if h >= 0 else -((-h) // 2)
+                return f"{q} {unit}"
+            size >>= 10
+        h = size + (-1 if size < 0 else 1)
+        q = int(h / 2) if h >= 0 else -((-h) // 2)
+        return f"{q} PB"
+
+    for i, v in enumerate(vals):
+        assert got[i] == ref(v), (v, got[i])
+    # the review's concrete repro: PostgreSQL returns '-11 kB'
+    assert got[2] == "-11 kB"
+
+
+def test_size_fns_case_insensitive_and_in_expressions(sess, spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    p = str(tmp_path / "reg")
+    df.write.parquet(p)
+    sess.create_distributed_table(
+        "szr", spark.read.parquet(p), "r_regionkey", buckets=2
+    )
+    sess.catalog.get("szr").path = p
+    import os
+
+    want = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p) for f in fs
+    )
+    # upper-case spelling folds too (PG identifiers are case-insensitive)
+    row = sess.sql("SELECT PG_RELATION_SIZE('szr') AS b").collect()[0]
+    assert row.b == want
+    # an EXPRESSION leading with the citus_* spelling must not be
+    # hijacked by the mgmt dispatcher — it folds and evaluates
+    row = sess.sql(
+        "SELECT citus_table_size('szr') + citus_table_size('szr') AS b2"
+    ).collect()[0]
+    assert row.b2 == 2 * want
