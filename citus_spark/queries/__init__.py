@@ -424,6 +424,26 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "audio_decode_roundtrip", "video_decode_frame_stats",
     "theta_ndv_by_source", "theta_intersection_sources", "sequence_pack",
     "domain_mix_weights", "python_udtf_ngrams",
+    # CORRECTNESS_r05.json (50/50 green)
+    "pg_distinct_on_textual", "pg_regex_operators",
+    "txlog_two_table_atomic", "pg_generate_series_join",
+    "pg_json_operators", "merge_general_form", "insert_on_conflict_rollup",
+    "pg_fetch_first_textual", "pg_similar_to_textual",
+    "pg_with_ties_textual", "pg_jsonpath_textual", "pg_subscript_textual",
+    "schema_sharded_tenants", "pg_date_bin_rollup",
+    "behavioral_funnel_chain", "sql_function_textual", "pg_to_char_rollup",
+    "pg_unnest_tokens", "modifying_cte_archive", "text_search_rank",
+    "sequence_identity_ids", "view_matview_lifecycle",
+    "prepared_statement_exec", "cursor_fetch_scan", "time_weighted_avg",
+    "ohlc_hourly", "gapfill_interpolate", "pg_split_to_table_textual",
+    "crosstab_pivot", "tenant_isolation_shard", "width_bucket_histogram",
+    "lttb_downsample", "dup_passages_topk", "dup_passage_doc_share",
+    "pagerank_event_entities", "bfs_hops_user0", "triangle_count_cooc",
+    "clustering_coefficient", "int8_quant_topk", "matryoshka_topk",
+    "jpeg_decode_roundtrip", "gif_decode_roundtrip", "ngram_lm_quality",
+    "bpe_roundtrip", "adpcm_decode_spec", "mjpeg_avi_frame_stats",
+    "cms_user_frequency", "bloom_users_by_type",
+    "composite_quality_filter", "vocab_coverage_topn",
 })
 
 
