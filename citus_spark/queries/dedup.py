@@ -721,3 +721,216 @@ register_split(
     )[1],
     f"WITH {_GRAMS_DUCK} {_DUP_SHARE_BODY}",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup detection, driven in batch form. The documents
+# arrive as two waves (doc_id parity); each wave runs the EXACT
+# micro-batch step streaming/neardup_stream.apply_neardup_batch
+# executes under foreachBatch against a fresh on-disk MinHash-LSH
+# index (batch≡stream equivalence under arbitrary chopping is
+# pytest-checked in tests/test_neardup_stream.py). portable_hash=True
+# switches the shingle hash to the md5-based hash64 so the oracle
+# re-derives every signature, band bucket, and agreement decision
+# bit-for-bit. is_neardup(doc) = doc near-duplicates an
+# earlier-arrived or smaller-id-same-wave document at >= 50%
+# signature agreement. Extension surface (the reference has no
+# streaming near-dup; SURVEY.md §2.9).
+_ND_PERMS, _ND_BANDS, _ND_TAU = 16, 4, 0.5
+
+
+def neardup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from citus_spark.streaming.neardup_stream import apply_neardup_batch
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="citus_spark_neardup_entry_")
+    try:
+        waves = [
+            apply_neardup_batch(
+                spark,
+                docs.filter(F.col("doc_id") % 2 == w),
+                idx,
+                n_perms=_ND_PERMS,
+                n_bands=_ND_BANDS,
+                tau=_ND_TAU,
+                portable_hash=True,
+            )
+            for w in (0, 1)
+        ]
+        # each wave is eagerly localCheckpoint'ed inside the step, so
+        # the index directory is free to go before the caller collects
+        return (
+            waves[0]
+            .unionByName(waves[1])
+            .select("doc_id", "is_neardup")
+            .orderBy("doc_id")
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _neardup_stream_oracle() -> str:
+    from citus_spark.operators.minhash import _P31, _perm_params
+
+    r = _ND_PERMS // _ND_BANDS
+    min_agree = int(_ND_TAU * _ND_PERMS)  # count/16.0 >= 0.5 <=> count >= 8
+    sig_items = ",\n      ".join(
+        f"list_min(list_transform(h31, x -> ({a} * x + {b}) % {_P31}))"
+        for a, b in _perm_params(_ND_PERMS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, doc_id % 2 AS wave FROM documents
+), sh AS (
+  SELECT doc_id, wave, {_SHINGLES_DUCK} AS shingles FROM d
+), h AS (
+  SELECT doc_id, wave,
+         list_transform(shingles, s -> {hash64_duck('s')} % {_P31}) AS h31
+  FROM sh
+), sig AS (
+  SELECT doc_id, wave,
+    [{sig_items}] AS sig
+  FROM h
+), bands AS (
+  SELECT doc_id, wave, b.band AS band,
+         md5(array_to_string(list_transform(
+           sig[b.band * {r} + 1 : b.band * {r} + {r}],
+           v -> CAST(v AS VARCHAR)), ',')) AS bucket
+  FROM sig, (SELECT unnest(range({_ND_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.bucket = o.bucket
+   AND (o.wave < n.wave OR (o.wave = n.wave AND o.doc_id < n.doc_id))
+), ver AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.new_id
+  JOIN sig so ON so.doc_id = c.old_id
+  WHERE len(list_filter(range(1, {_ND_PERMS} + 1),
+                        i -> sn.sig[i] = so.sig[i])) >= {min_agree}
+)
+SELECT d.doc_id, (v.new_id IS NOT NULL) AS is_neardup
+FROM d LEFT JOIN ver v ON d.doc_id = v.new_id
+ORDER BY doc_id
+"""
+
+
+register_split(
+    "neardup_stream_batch", neardup_stream_batch, _neardup_stream_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (record linkage) over customers with planted
+# duplicates: blocking (name suffix + segment|nation) -> weighted
+# levenshtein scoring -> transitive clustering
+# (operators/entity_resolution.py — the Fellegi–Sunter three-stage
+# shape Splink/dedupe implement). Planted dup = every 37th customer
+# re-appears under a new id with the '#' dropped from its name; the
+# fixture's digit-dense synthetic names also make single-digit
+# neighbors in the same (segment, nation) block legitimate matches, so
+# the transitive closure does real multi-hop work. Oracle: DuckDB
+# re-derives the blocks, the identical similarity arithmetic
+# (levenshtein scales match), and the closure via recursive CTE.
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.entity_resolution import resolve_entities
+
+    load_views(spark, sf_dir)
+    base = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("cid"),
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    dups = base.filter(F.col("cid") % 37 == 0).select(
+        (F.col("cid") + 1000000).alias("cid"),
+        F.concat(
+            F.substring("c_name", 1, 8), F.substring("c_name", 10, 64)
+        ).alias("c_name"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    recs = base.unionByName(dups)
+    out = resolve_entities(
+        recs,
+        "cid",
+        blocking=[
+            F.expr("right(c_name, 6)"),
+            F.concat_ws(
+                "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+            ),
+        ],
+        fields={"c_name": 2.0, "c_mktsegment": 1.0},
+        threshold=0.95,
+    )
+    return out.orderBy("id")
+
+
+# weights exactly as score_pairs computes them (w / total in Python
+# doubles, pasted verbatim so both engines multiply the same constant)
+_ER_W_NAME = repr(2.0 / 3.0)
+_ER_W_SEG = repr(1.0 / 3.0)
+
+register_split(
+    "entity_resolution_customers",
+    entity_resolution_customers,
+    f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cid, c_name, c_mktsegment, c_nationkey
+  FROM customer
+), dups AS (
+  SELECT cid + 1000000 AS cid,
+         substr(c_name, 1, 8) || substr(c_name, 10) AS c_name,
+         c_mktsegment, c_nationkey
+  FROM base WHERE cid % 37 = 0
+), recs AS (
+  SELECT * FROM base UNION ALL SELECT * FROM dups
+), pairs AS (
+  SELECT a.cid AS id_a, b.cid AS id_b
+  FROM recs a JOIN recs b
+    ON right(a.c_name, 6) = right(b.c_name, 6) AND a.cid < b.cid
+  UNION
+  SELECT a.cid, b.cid
+  FROM recs a JOIN recs b
+    ON a.c_mktsegment || '|' || CAST(a.c_nationkey AS VARCHAR)
+       = b.c_mktsegment || '|' || CAST(b.c_nationkey AS VARCHAR)
+   AND a.cid < b.cid
+), edges0 AS (
+  SELECT id_a, id_b
+  FROM pairs p
+  JOIN recs ra ON ra.cid = p.id_a
+  JOIN recs rb ON rb.cid = p.id_b
+  WHERE (1.0 - CAST(levenshtein(ra.c_name, rb.c_name) AS DOUBLE)
+             / CAST(greatest(length(ra.c_name), length(rb.c_name), 1)
+                    AS DOUBLE)) * {_ER_W_NAME}
+      + (1.0 - CAST(levenshtein(ra.c_mktsegment, rb.c_mktsegment) AS DOUBLE)
+             / CAST(greatest(length(ra.c_mktsegment),
+                             length(rb.c_mktsegment), 1)
+                    AS DOUBLE)) * {_ER_W_SEG}
+      >= 0.95
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM edges0
+  UNION
+  SELECT id_b, id_a FROM edges0
+), nodes AS (
+  SELECT DISTINCT u AS n FROM edges
+), reach AS (
+  SELECT n AS doc, n AS r FROM nodes
+  UNION
+  SELECT e.v AS doc, reach.r
+  FROM reach JOIN edges e ON e.u = reach.doc
+), comp AS (
+  SELECT doc, min(r) AS component FROM reach GROUP BY doc
+)
+SELECT r.cid AS id,
+       CAST(coalesce(c.component, r.cid) AS BIGINT) AS cluster_id,
+       (CAST(coalesce(c.component, r.cid) AS BIGINT) = r.cid) AS is_canonical
+FROM recs r LEFT JOIN comp c ON r.cid = c.doc
+ORDER BY id
+""",
+)

@@ -45,20 +45,29 @@ SHINGLE_K = 3
 TAU = 0.5  # signature-agreement threshold
 
 
-def _sig_frame(docs: DataFrame) -> DataFrame:
+def _sig_frame(
+    docs: DataFrame,
+    n_perms: int = N_PERMS,
+    shingle_k: int = SHINGLE_K,
+    portable_hash: bool = False,
+) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("_id"),
-        minhash_signature(F.col("text"), N_PERMS, SHINGLE_K).alias("_sig"),
+        minhash_signature(
+            F.col("text"), n_perms, shingle_k, portable_hash
+        ).alias("_sig"),
     )
 
 
-def _band_frame(sig: DataFrame) -> DataFrame:
-    r = N_PERMS // N_BANDS
+def _band_frame(
+    sig: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    r = n_perms // n_bands
     return sig.select(
         "_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
@@ -70,7 +79,7 @@ def _band_frame(sig: DataFrame) -> DataFrame:
     ).select("_id", "bb.band", "bb.bucket")
 
 
-def _sig_agreement(a: str, b: str):
+def _sig_agreement(a: str, b: str, n_perms: int = N_PERMS):
     """Fraction of agreeing minhash slots — the unbiased Jaccard
     estimator for two signatures."""
     return (
@@ -80,7 +89,7 @@ def _sig_agreement(a: str, b: str):
                 lambda eq: eq,
             )
         ).cast("double")
-        / F.lit(float(N_PERMS))
+        / F.lit(float(n_perms))
     )
 
 
@@ -88,15 +97,30 @@ def apply_neardup_batch(
     spark: SparkSession,
     batch: DataFrame,
     index_dir: str,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    shingle_k: int = SHINGLE_K,
+    tau: float = TAU,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """One micro-batch step: flag near-dups against the index and
     same-batch smaller ids, then append the batch to the index.
-    Returns the flagged batch (doc_id, is_neardup)."""
+    Returns the flagged batch (doc_id, is_neardup).
+
+    The parameters default to the module's streaming constants;
+    `portable_hash=True` switches the shingle hash to the md5-based
+    `citus_spark.functions.hash64` so an independent engine can
+    re-derive every signature bit-for-bit (the oracle entry uses it —
+    xxhash64 stays the production default, ~5× cheaper)."""
+    if n_perms % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_perms={n_perms}")
     bands_path = os.path.join(index_dir, "bands")
     sigs_path = os.path.join(index_dir, "sigs")
 
-    sig = _sig_frame(batch).localCheckpoint(eager=True)
-    bands = _band_frame(sig).localCheckpoint(eager=True)
+    sig = _sig_frame(batch, n_perms, shingle_k, portable_hash).localCheckpoint(
+        eager=True
+    )
+    bands = _band_frame(sig, n_perms, n_bands).localCheckpoint(eager=True)
 
     have_index = os.path.exists(os.path.join(bands_path, "_SUCCESS"))
     if have_index:
@@ -149,7 +173,7 @@ def apply_neardup_batch(
         cand.join(
             sig.select(F.col("_id").alias("new_id"), "_sig"), "new_id"
         )
-        .filter(_sig_agreement("_sig", "old_sig") >= TAU)
+        .filter(_sig_agreement("_sig", "old_sig", n_perms) >= tau)
         .select("new_id")
         .distinct()
     )
