@@ -411,7 +411,7 @@ _SPLIT_SRF = re.compile(
 _REGEX_META = set(".^$*+?()[]{}|\\")
 
 
-def _literal_to_regex(lit: str) -> str:
+def _literal_to_regex(lit: str, fn: str = "string_to_table") -> str:
     """'sep' literal → Spark regex literal matching it verbatim.
     Each emitted level of escaping doubles: the regex needs ``\\<ch>``,
     and Spark's literal parser consumes one backslash level, so a
@@ -432,7 +432,7 @@ def _literal_to_regex(lit: str) -> str:
                 # doesn't replicate — reject loudly rather than split
                 # on the wrong character
                 raise ValueError(
-                    f"string_to_table: unsupported escape \\{nxt} in "
+                    f"{fn}: unsupported escape \\{nxt} in "
                     "separator — use regexp_split_to_table"
                 )
             cooked.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
@@ -501,3 +501,46 @@ def pg_split_to_table(sql: str) -> str:
     else:
         out = f"{sql[: m.start()]}explode({arr}){rest}"
     return pg_split_to_table(out)
+
+
+# ---------------------------------------------------------------------------
+# string_to_array(s, 'sep') — the array-returning sibling of
+# string_to_table (↔ reference regress multi_real_time_transaction.sql
+# :323 uses it inside row-level-security policies). Spark's split() is
+# regex-based, so the literal separator is escaped exactly as
+# string_to_table's is (shared cooking); split(.., -1) keeps trailing
+# empty fields like PG. PG's one divergent corner — the empty input
+# string yields an EMPTY array, not [''] — is preserved with a CASE.
+# Runtime separators and the 3-argument null-string form reject
+# loudly.
+_STRING_TO_ARRAY = re.compile(r"\bstring_to_array\s*\(", re.I)
+
+
+def pg_string_to_array(sql: str) -> str:
+    from citus_spark.plans.rewrites import _next_call
+
+    start = 0
+    while True:
+        m, i, _ = _next_call(sql, _STRING_TO_ARRAY, start)
+        if m is None:
+            return sql
+        args = _split_top_level(sql[m.end() : i])
+        if len(args) != 2:
+            raise ValueError(
+                "string_to_array expects 2 arguments here (the "
+                "3-argument null-string form is not supported)"
+            )
+        src, sep = args[0].strip(), args[1].strip()
+        if not re.fullmatch(r"'(?:[^']|'')*'", sep):
+            raise ValueError(
+                "string_to_array requires a literal separator (Spark "
+                "split() is regex-based; a runtime separator cannot be "
+                "escaped safely)"
+            )
+        sep = _literal_to_regex(sep, "string_to_array")
+        repl = (
+            f"(CASE WHEN ({src}) = '' THEN array() "
+            f"ELSE split({src}, {sep}, -1) END)"
+        )
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)

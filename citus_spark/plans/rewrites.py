@@ -1220,10 +1220,10 @@ def pg_ordered_agg(sql: str) -> str:
             start = i + 1
             continue  # unordered form: Spark-native
         head, tail = inner[: om.start()], inner[om.end() :]
-        if re.match(r"\s*DISTINCT\b", head, re.I):
-            raise ValueError(
-                f"{m.group(1)} DISTINCT with ORDER BY is not supported"
-            )
+        dm = re.match(r"\s*DISTINCT\b", head, re.I)
+        distinct = bool(dm)
+        if distinct:
+            head = head[dm.end() :]
         keys = _split_top_level(tail)
         if len(keys) != 1:
             raise ValueError(
@@ -1247,24 +1247,58 @@ def pg_ordered_agg(sql: str) -> str:
             if len(args) != 1:
                 raise ValueError("array_agg takes one expression")
             expr, delim = args[0].strip(), None
-        # DESC comparator: NULL keys sort FIRST (PG's default for
-        # DESC); the plain CASE would return NULL (≡ 0, arbitrary
-        # placement) for them. ASC keeps array_sort's natural struct
-        # order — NULL-key placement there follows Spark, and ties
-        # break by the value field (both documented).
-        cmp = (
-            ", (l, r) -> CASE "
-            "WHEN l.k IS NULL AND r.k IS NULL THEN 0 "
-            "WHEN l.k IS NULL THEN -1 WHEN r.k IS NULL THEN 1 "
-            "WHEN l.k > r.k THEN -1 "
-            "WHEN l.k < r.k THEN 1 ELSE 0 END"
-            if desc
-            else ""
-        )
-        sorted_vals = (
-            f"transform(array_sort(array_agg(struct({key} AS k, "
-            f"{expr} AS v)){cmp}), s -> s.v)"
-        )
+        if distinct:
+            # PG only allows DISTINCT with ORDER BY when the sort key
+            # IS the aggregated expression ("in this case the ORDER BY
+            # expression must match the DISTINCT argument") — enforce
+            # the same rule, then aggregate struct-wrapped values
+            # (array_agg drops bare NULLs; PG's keeps them) and sort
+            # with explicit NULL placement (PG: ASC → NULLS LAST,
+            # DESC → NULLS FIRST).
+            if re.sub(r"\s+", "", key).lower() != re.sub(
+                r"\s+", "", expr
+            ).lower():
+                raise ValueError(
+                    f"{m.group(1)} DISTINCT requires the ORDER BY "
+                    f"expression to match the aggregated expression "
+                    f"(PG's own rule)"
+                )
+            cmp = (
+                ", (l, r) -> CASE "
+                "WHEN l.v IS NULL AND r.v IS NULL THEN 0 "
+                + (
+                    "WHEN l.v IS NULL THEN -1 WHEN r.v IS NULL THEN 1 "
+                    "WHEN l.v > r.v THEN -1 "
+                    "WHEN l.v < r.v THEN 1 ELSE 0 END"
+                    if desc
+                    else "WHEN l.v IS NULL THEN 1 WHEN r.v IS NULL THEN -1 "
+                    "WHEN l.v < r.v THEN -1 "
+                    "WHEN l.v > r.v THEN 1 ELSE 0 END"
+                )
+            )
+            sorted_vals = (
+                f"transform(array_sort(array_agg(DISTINCT "
+                f"struct({expr} AS v)){cmp}), s -> s.v)"
+            )
+        else:
+            # DESC comparator: NULL keys sort FIRST (PG's default for
+            # DESC); the plain CASE would return NULL (≡ 0, arbitrary
+            # placement) for them. ASC keeps array_sort's natural struct
+            # order — NULL-key placement there follows Spark, and ties
+            # break by the value field (both documented).
+            cmp = (
+                ", (l, r) -> CASE "
+                "WHEN l.k IS NULL AND r.k IS NULL THEN 0 "
+                "WHEN l.k IS NULL THEN -1 WHEN r.k IS NULL THEN 1 "
+                "WHEN l.k > r.k THEN -1 "
+                "WHEN l.k < r.k THEN 1 ELSE 0 END"
+                if desc
+                else ""
+            )
+            sorted_vals = (
+                f"transform(array_sort(array_agg(struct({key} AS k, "
+                f"{expr} AS v)){cmp}), s -> s.v)"
+            )
         repl = (
             f"array_join({sorted_vals}, {delim})"
             if delim is not None
@@ -1295,5 +1329,251 @@ def pg_array_length(sql: str) -> str:
                 "array_length: only dimension 1 exists in this engine"
             )
         repl = f"nullif(size({args[0].strip()}), 0)"
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)
+
+
+# ---------------------------------------------------------------------------
+# Quantified comparisons: <expr> <op> ANY/SOME/ALL (...) — PostgreSQL
+# accepts subqueries AND arrays as the quantifier argument; Spark has
+# neither spelling (↔ reference regress multi_hash_pruning.sql:107
+# `l_orderkey = ANY ('{1,2,3}')`, multi_real_time_transaction.sql:323
+# `id = ANY(string_to_array(...))`).
+#
+#   = ANY (SELECT ...)      → IN (SELECT ...)
+#   <> ALL (SELECT ...)     → NOT IN (SELECT ...)
+#   x op ANY (array-expr)   → exists(array-expr, e -> x op e)
+#   x op ALL (array-expr)   → forall(array-expr, e -> x op e)
+#   x op ANY ('{a,b}')      → exists(array('a','b'), e -> x op e)
+#   x op ANY (NULL)         → exists(CAST(NULL AS ARRAY<STRING>), ...)
+#
+# Spark's exists/forall use SQL three-valued logic (probed: a NULL
+# element with no match yields NULL, matching PG exactly).
+#
+# Deliberately NOT claimed: ANY/SOME whose argument is a bare
+# identifier — `true = any(flag_col)` is ALSO valid Spark SQL (the
+# any() boolean aggregate), and without type information the rewrite
+# cannot prove ownership; the text is left for Spark to resolve.
+# ALL has no Spark homonym and is always claimed. Non-equality ops
+# over subqueries (x > ANY (SELECT ...)) reject loudly.
+_QUANTIFIED = re.compile(
+    r"(<=|>=|<>|!=|=|<|>)\s*\b(ANY|SOME|ALL)\b\s*\(", re.I
+)
+
+_LEFT_KEYWORDS = {
+    "and", "or", "not", "where", "when", "then", "else", "on", "select",
+    "having", "by", "set", "case", "in", "like", "between", "is",
+}
+
+
+def _left_operand(sql: str, spans, end: int) -> int:
+    """Start index of the expression ending (exclusive) at `end`:
+    a string literal, a balanced (...) group with an optional attached
+    call name, or an identifier/number chain. Raises when ownership of
+    a well-formed operand cannot be proven (a textual rewrite must
+    never guess)."""
+    j = end
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        raise ValueError("quantified comparison: missing left operand")
+    sp = next((s for s in spans if s[0] <= j - 1 < s[1]), None)
+    if sp:  # string literal operand — include a typed-literal keyword
+        # prefix (TIMESTAMP '...', DATE '...', ...) when present
+        tm = re.search(
+            r"\b(TIMESTAMP(?:_NTZ|_LTZ)?|DATE|TIME|INTERVAL|BINARY|X)"
+            r"\s*$",
+            sql[: sp[0]],
+            re.I,
+        )
+        return tm.start() if tm else sp[0]
+    if sql[j - 1] == ")":
+        depth, i = 0, j - 1
+        while i >= 0:
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[0] - 1
+                continue
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if depth != 0:
+            raise ValueError("unbalanced parens before quantifier")
+        m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:i])
+        if m and m.group(0).strip().lower() not in _LEFT_KEYWORDS:
+            return m.start()
+        return i
+    m = re.search(r"[\w.$]+$", sql[:j])
+    if not m or m.group(0).lower() in _LEFT_KEYWORDS:
+        raise ValueError(
+            f"cannot determine the left operand of the quantified "
+            f"comparison near: ...{sql[max(0, j - 30):j]!r}"
+        )
+    return m.start()
+
+
+def _pg_array_literal_to_spark(lit: str, cast_type: str | None) -> str:
+    """'{a,b,c}' (PG array input syntax, simple elements only) →
+    array('a','b','c') with optional per-element CAST."""
+    body = lit.strip()[1:-1].replace("''", "'").strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        raise ValueError(f"not a PG array literal: {lit}")
+    inner = body[1:-1].strip()
+    if not inner:
+        return "array()"
+    if '"' in inner or "{" in inner or "\\" in inner:
+        raise ValueError(
+            "PG array literals with quoted or nested elements are not "
+            "supported — use ARRAY[...] syntax"
+        )
+    els = []
+    for el in inner.split(","):
+        e = "'" + el.strip().replace("'", "''") + "'"
+        els.append(f"CAST({e} AS {cast_type})" if cast_type else e)
+    return f"array({', '.join(els)})"
+
+
+def pg_quantified(sql: str) -> str:
+    start = 0
+    while True:
+        m, i, spans = _next_call(sql, _QUANTIFIED, start)
+        if m is None:
+            return sql
+        op, quant = m.group(1), m.group(2).upper()
+        inner = sql[m.end() : i].strip()
+        first_tok = re.match(r"[A-Za-z]+", inner)
+        if first_tok and first_tok.group(0).upper() in (
+            "SELECT", "WITH", "VALUES", "TABLE",
+        ):
+            if quant in ("ANY", "SOME") and op == "=":
+                repl = f"IN ({inner})"
+            elif quant == "ALL" and op in ("<>", "!="):
+                repl = f"NOT IN ({inner})"
+            else:
+                raise ValueError(
+                    f"{op} {quant} (subquery) has no Spark equivalent "
+                    f"— only = ANY and <> ALL subqueries are supported"
+                )
+            sql = sql[: m.start()] + repl + sql[i + 1 :]
+            start = m.start() + len(repl)
+            continue
+        # array-typed argument
+        if inner.upper() == "NULL":
+            arr = "CAST(NULL AS ARRAY<STRING>)"
+        elif quant in ("ANY", "SOME") and re.fullmatch(
+            r"[A-Za-z_][\w.]*", inner
+        ):
+            # bare identifier: could be Spark's any()/some() boolean
+            # aggregate — ownership unprovable, leave it alone
+            start = i + 1
+            continue
+        else:
+            lit = re.fullmatch(r"('(?:[^']|'')*')\s*(?:::\s*(\w+)\s*\[\])?",
+                               inner)
+            if lit:
+                arr = _pg_array_literal_to_spark(lit.group(1), lit.group(2))
+            else:
+                arr = inner
+        left = _left_operand(sql, spans, m.start())
+        x = sql[left : m.start()].strip()
+        fn = "forall" if quant == "ALL" else "exists"
+        repl = f"{fn}({arr}, __citus_q -> ({x}) {op} __citus_q)"
+        sql = sql[:left] + repl + sql[i + 1 :]
+        start = left + len(repl)
+
+
+# ---------------------------------------------------------------------------
+# AT TIME ZONE — PG's zone-conversion operator; Spark spells the two
+# directions as functions. This engine's timestamps are naive
+# (timestamp-without-tz, UTC session zone), which fixes the PG
+# semantics: naive AT TIME ZONE z interprets the wall-clock in z and
+# yields the UTC instant (to_utc_timestamp); applying AT TIME ZONE to
+# a result that is already an instant (a chained second application)
+# converts back to a wall-clock in the new zone (from_utc_timestamp) —
+# the chain alternates exactly as PG's timestamp/timestamptz types do.
+_AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.I)
+
+
+def pg_at_time_zone(sql: str) -> str:
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                x
+                for x in _AT_TIME_ZONE.finditer(sql)
+                if not any(a <= x.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        j = m.end()
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        sp = next((s for s in spans if s[0] == j), None)
+        if sp is None:
+            raise ValueError(
+                "AT TIME ZONE requires a literal zone name here"
+            )
+        zone = sql[sp[0] : sp[1]]
+        left = _left_operand(sql, spans, m.start())
+        x = sql[left : m.start()].strip()
+        fn = (
+            "from_utc_timestamp"
+            if re.match(r"to_utc_timestamp\s*\(", x, re.I)
+            else "to_utc_timestamp"
+        )
+        repl = f"{fn}({x}, {zone})"
+        sql = sql[:left] + repl + sql[sp[1] :]
+
+
+# ---------------------------------------------------------------------------
+# extract(epoch FROM x) — Spark's EXTRACT has no epoch field. PG
+# returns seconds-since-epoch as numeric WITH the fractional part;
+# Spark's cast timestamp → double is exactly that value (unlike
+# unix_timestamp, which truncates). DATE operands cast through
+# TIMESTAMP first (identity for timestamps).
+_EXTRACT = re.compile(r"\bextract\s*\(", re.I)
+
+
+def pg_extract_epoch(sql: str) -> str:
+    start = 0
+    while True:
+        m, i, _ = _next_call(sql, _EXTRACT, start)
+        if m is None:
+            return sql
+        em = re.match(r"\s*epoch\s+from\s+(.+)$", sql[m.end() : i],
+                      re.I | re.S)
+        if em is None:
+            start = i + 1  # some other field: Spark-native
+            continue
+        repl = f"CAST(CAST({em.group(1).strip()} AS TIMESTAMP) AS DOUBLE)"
+        sql = sql[: m.start()] + repl + sql[i + 1 :]
+        start = m.start() + len(repl)
+
+
+# ---------------------------------------------------------------------------
+# num_nonnulls / num_nulls — PG variadic null counters.
+_NUM_NULLS = re.compile(r"\bnum_(non)?nulls\s*\(", re.I)
+
+
+def pg_num_nulls(sql: str) -> str:
+    start = 0
+    while True:
+        m, i, _ = _next_call(sql, _NUM_NULLS, start)
+        if m is None:
+            return sql
+        args = [a.strip() for a in _split_top_level(sql[m.end() : i])]
+        if not args or args == [""]:
+            raise ValueError(f"{m.group(0)}...) requires arguments")
+        test = "IS NOT NULL" if m.group(1) else "IS NULL"
+        terms = " + ".join(
+            f"(CASE WHEN {a} {test} THEN 1 ELSE 0 END)" for a in args
+        )
+        repl = f"({terms})"
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)

@@ -3529,3 +3529,161 @@ register_split(
     lttb_downsample,
     _lttb_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 PG-surface wave: quantified comparisons, AT TIME ZONE,
+# extract(epoch), string_to_array + num_nonnulls, and the
+# DISTINCT + ORDER BY aggregate form — each the verbatim PG spelling
+# through the front door (plans/rewrites.py pg_quantified /
+# pg_at_time_zone / pg_extract_epoch / pg_num_nulls,
+# pgfmt_sql.pg_string_to_array, extended pg_ordered_agg).
+
+# Quantified comparisons ↔ reference regress multi_hash_pruning.sql
+# :107 (`= ANY ('{1,2,3}')`) and standard subquery quantifiers. The
+# oracle spells DuckDB equivalents (IN list, expanded ALL conjunction,
+# native quantified subqueries).
+_PG_QUANTIFIED_SQL = """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_orderkey = ANY ('{1,2,3}'))                        AS n_any_lit,
+  (SELECT count(*) FROM orders
+   WHERE o_totalprice > ALL (array(1000.0, 5000.0)))          AS n_all_arr,
+  (SELECT count(*) FROM orders WHERE o_custkey = ANY
+   (SELECT c_custkey FROM customer WHERE c_nationkey = 5))    AS n_any_sub,
+  (SELECT count(*) FROM orders WHERE o_custkey <> ALL
+   (SELECT c_custkey FROM customer WHERE c_nationkey = 5))    AS n_all_sub
+"""
+
+_PG_QUANTIFIED_ORACLE = """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_orderkey IN (1, 2, 3))                             AS n_any_lit,
+  (SELECT count(*) FROM orders
+   WHERE o_totalprice > 1000.0 AND o_totalprice > 5000.0)     AS n_all_arr,
+  (SELECT count(*) FROM orders WHERE o_custkey IN
+   (SELECT c_custkey FROM customer WHERE c_nationkey = 5))    AS n_any_sub,
+  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+   (SELECT c_custkey FROM customer WHERE c_nationkey = 5))    AS n_all_sub
+"""
+
+
+def pg_quantified_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_QUANTIFIED_SQL)
+
+
+register_split(
+    "pg_quantified_textual", pg_quantified_textual, _PG_QUANTIFIED_ORACLE
+)
+
+
+# AT TIME ZONE over a fixed-offset zone (no tz-database dependency in
+# the oracle: wall-clock in +05:30 → UTC instant is a 330-minute
+# shift) + extract(epoch) day bucketing in the same rollup.
+_PG_TZ_EPOCH_SQL = """
+SELECT user_id,
+       date_trunc('hour', ts AT TIME ZONE '+05:30')            AS hr_utc,
+       CAST(floor(extract(epoch FROM ts) / 86400) AS BIGINT)   AS day_bucket,
+       CAST(count(*) AS BIGINT)                                AS n
+FROM events
+GROUP BY user_id, hr_utc, day_bucket
+ORDER BY user_id, hr_utc, day_bucket
+"""
+
+_PG_TZ_EPOCH_ORACLE = """
+SELECT user_id,
+       date_trunc('hour', ts - INTERVAL 330 MINUTE)            AS hr_utc,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT)                AS day_bucket,
+       CAST(count(*) AS BIGINT)                                AS n
+FROM events
+GROUP BY user_id, hr_utc, day_bucket
+ORDER BY user_id, hr_utc, day_bucket
+"""
+
+
+def pg_at_time_zone_rollup(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_TZ_EPOCH_SQL)
+
+
+register_split(
+    "pg_at_time_zone_rollup", pg_at_time_zone_rollup, _PG_TZ_EPOCH_ORACLE
+)
+
+
+# string_to_array (↔ reference multi_real_time_transaction.sql:323
+# uses it in row-security policies) + num_nonnulls, with PG's
+# empty-string → empty-array corner preserved (array_length of an
+# empty array is NULL in PG — the rewrite chain composes:
+# string_to_array → array_length → nullif(size ..)).
+_PG_STR2ARR_SQL = """
+SELECT doc_id,
+       CAST(array_length(string_to_array(text, ' '), 1) AS BIGINT)
+         AS n_toks,
+       CAST(num_nonnulls(lang, source) AS BIGINT) AS n_meta
+FROM documents
+ORDER BY doc_id
+"""
+
+_PG_STR2ARR_ORACLE = """
+SELECT doc_id,
+       CAST(nullif(CASE WHEN text = '' THEN 0
+                        ELSE len(string_split(text, ' ')) END, 0) AS BIGINT)
+         AS n_toks,
+       CAST((CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_meta
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def pg_string_to_array_tokens(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_STR2ARR_SQL)
+
+
+register_split(
+    "pg_string_to_array_tokens",
+    pg_string_to_array_tokens,
+    _PG_STR2ARR_ORACLE,
+)
+
+
+# array_agg(DISTINCT x ORDER BY x) — PG allows DISTINCT with ORDER BY
+# only when the sort key is the aggregated expression; DuckDB supports
+# the same spelling natively, so the oracle is near-verbatim.
+_PG_AGG_DISTINCT_SQL = """
+SELECT source,
+       array_agg(DISTINCT lang ORDER BY lang)      AS langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS lang_csv
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+_PG_AGG_DISTINCT_ORACLE = """
+SELECT source,
+       array_agg(DISTINCT lang ORDER BY lang)       AS langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS lang_csv
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def pg_agg_distinct_ordered(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_AGG_DISTINCT_SQL)
+
+
+register_split(
+    "pg_agg_distinct_ordered",
+    pg_agg_distinct_ordered,
+    _PG_AGG_DISTINCT_ORACLE,
+)

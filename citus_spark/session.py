@@ -2536,6 +2536,29 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_array_length
 
             query = pg_array_length(query)
+        if _re.search(r"\bstring_to_array\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_string_to_array
+
+            query = pg_string_to_array(query)
+        if _re.search(
+            r"(?:<=|>=|<>|!=|=|<|>)\s*\b(?:ANY|SOME|ALL)\b\s*\(",
+            query, _re.I,
+        ):
+            from citus_spark.plans.rewrites import pg_quantified
+
+            query = pg_quantified(query)
+        if _re.search(r"\bAT\s+TIME\s+ZONE\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_at_time_zone
+
+            query = pg_at_time_zone(query)
+        if _re.search(r"\bextract\s*\(\s*epoch\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_extract_epoch
+
+            query = pg_extract_epoch(query)
+        if _re.search(r"\bnum_(non)?nulls\s*\(", query, _re.I):
+            from citus_spark.plans.rewrites import pg_num_nulls
+
+            query = pg_num_nulls(query)
         if _re.search(r"\bto_(char|date|timestamp)\s*\(", query, _re.I):
             from citus_spark.plans.pgfmt_sql import pg_to_char
 

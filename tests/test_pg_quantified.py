@@ -1,0 +1,227 @@
+"""PG surface wave (round 6): quantified comparisons (ANY/SOME/ALL
+over arrays and subqueries), AT TIME ZONE, extract(epoch FROM ..),
+num_nonnulls/num_nulls, string_to_array, and the DISTINCT + ORDER BY
+aggregate form. Each spelling is invalid Spark SQL (probed), so the
+rewrites are unconditional — except ANY/SOME over a bare identifier,
+which Spark may own (the any()/some() boolean aggregates) and which
+is therefore deliberately left alone."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def pg_sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    return s
+
+
+# ---------------------------------------------------------------- ANY / ALL
+def test_eq_any_pg_array_literal(pg_sess):
+    # ↔ reference regress multi_hash_pruning.sql:107
+    rows = pg_sess.sql(
+        "SELECT DISTINCT o_orderkey FROM orders "
+        "WHERE o_orderkey = ANY ('{1,2,3}') ORDER BY o_orderkey"
+    ).collect()
+    assert [r.o_orderkey for r in rows] == [1, 2, 3]
+
+
+def test_eq_any_cast_array_literal(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT DISTINCT o_orderkey FROM orders "
+        "WHERE o_orderkey = ANY ('{4,5}'::int[]) ORDER BY o_orderkey"
+    ).collect()
+    assert [r.o_orderkey for r in rows] == [4, 5]
+
+
+def test_any_null_is_null(pg_sess):
+    # ↔ multi_hash_pruning.sql:117 `WHERE l_orderkey = ANY (NULL)`
+    rows = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_orderkey = ANY (NULL)"
+    ).collect()
+    assert rows[0].c == 0  # NULL predicate keeps nothing
+    val = pg_sess.sql("SELECT (1 = ANY (NULL)) AS v").collect()[0].v
+    assert val is None  # and the bare expression IS NULL, like PG
+
+
+def test_gt_any_and_all_array_expr(pg_sess):
+    r = pg_sess.sql(
+        "SELECT (5 > ANY (array(1, 9))) AS a, "
+        "(5 > ALL (array(1, 9))) AS b, "
+        "(5 > ALL (array(1, 2))) AS c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (True, False, True)
+
+
+def test_any_three_valued_logic(pg_sess):
+    # PG: no match + NULL element => NULL; match beats NULL
+    r = pg_sess.sql(
+        "SELECT (2 = ANY (array(1, CAST(NULL AS INT)))) AS a, "
+        "(1 = ANY (array(1, CAST(NULL AS INT)))) AS b, "
+        "(0 < ALL (array(1, CAST(NULL AS INT)))) AS c"
+    ).collect()[0]
+    assert r.a is None and r.b is True and r.c is None
+
+
+def test_eq_any_subquery_becomes_in(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey = ANY "
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()
+    plain = pg_sess.spark.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()
+    assert rows[0].c == plain[0].c > 0
+
+
+def test_neq_all_subquery_becomes_not_in(pg_sess):
+    got = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey <> ALL "
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()[0].c
+    plain = pg_sess.spark.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()[0].c
+    assert got == plain > 0
+
+
+def test_gt_any_subquery_rejected(pg_sess):
+    with pytest.raises(ValueError, match="ANY"):
+        pg_sess.sql(
+            "SELECT * FROM orders WHERE o_custkey > ANY "
+            "(SELECT c_custkey FROM customer)"
+        )
+
+
+def test_bare_identifier_any_left_for_spark(pg_sess):
+    # `= any(col)` over a boolean column is Spark's any() aggregate —
+    # ownership is unprovable, so the text must reach Spark untouched
+    got = pg_sess.sql(
+        "SELECT (true = any(flag)) AS v FROM "
+        "(SELECT o_orderkey > 2 AS flag FROM orders)"
+    ).collect()[0].v
+    assert got is True
+
+
+def test_left_operand_call_and_paren(pg_sess):
+    r = pg_sess.sql(
+        "SELECT (abs(-2) = ANY ('{1,2}')) AS a, "
+        "((1 + 1) = ANY ('{2}')) AS b"
+    ).collect()[0]
+    assert r.a is True and r.b is True
+
+
+# ------------------------------------------------------------ AT TIME ZONE
+def test_at_time_zone_naive_to_instant(pg_sess):
+    # naive wall-clock in Denver (UTC-7 in January) -> UTC instant
+    r = pg_sess.sql(
+        "SELECT TIMESTAMP '2024-01-15 10:00:00' "
+        "AT TIME ZONE 'America/Denver' AS v"
+    ).collect()[0]
+    assert str(r.v) == "2024-01-15 17:00:00"
+
+
+def test_at_time_zone_chained_roundtrip(pg_sess):
+    # naive -> instant -> wall-clock in another zone (PG chain
+    # semantics: the second application inverts direction)
+    r = pg_sess.sql(
+        "SELECT TIMESTAMP '2024-01-15 10:00:00' "
+        "AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS v"
+    ).collect()[0]
+    assert str(r.v) == "2024-01-15 05:00:00"
+
+
+def test_at_time_zone_requires_literal_zone(pg_sess):
+    with pytest.raises(ValueError, match="literal zone"):
+        pg_sess.sql(
+            "SELECT ts AT TIME ZONE some_col FROM events LIMIT 1"
+        )
+
+
+# --------------------------------------------------------- extract(epoch)
+def test_extract_epoch_timestamp_and_date(pg_sess):
+    r = pg_sess.sql(
+        "SELECT extract(epoch FROM TIMESTAMP '1970-01-02 00:00:00.5') "
+        "AS a, extract(epoch FROM DATE '1970-01-03') AS b"
+    ).collect()[0]
+    assert r.a == 86400.5  # fractional seconds preserved, like PG
+    assert r.b == 172800.0
+
+
+def test_extract_other_fields_untouched(pg_sess):
+    r = pg_sess.sql(
+        "SELECT extract(YEAR FROM DATE '2024-03-01') AS y"
+    ).collect()[0]
+    assert r.y == 2024
+
+
+# ----------------------------------------------------- num_nonnulls/nulls
+def test_num_nonnulls_and_nulls(pg_sess):
+    r = pg_sess.sql(
+        "SELECT num_nonnulls(1, NULL, 'x', NULL) AS a, "
+        "num_nulls(1, NULL, 'x', NULL) AS b"
+    ).collect()[0]
+    assert (r.a, r.b) == (2, 2)
+
+
+# --------------------------------------------------------- string_to_array
+def test_string_to_array_semantics(pg_sess):
+    r = pg_sess.sql(
+        "SELECT string_to_array('a,b,,c', ',') AS a, "
+        "string_to_array('', ',') AS b, "
+        "string_to_array('x.y', '.') AS c"
+    ).collect()[0]
+    assert r.a == ["a", "b", "", "c"]  # empty fields kept, like PG
+    assert r.b == []  # PG: empty input -> empty array
+    assert r.c == ["x", "y"]  # '.' escaped, not regex-any
+
+
+def test_string_to_array_inside_any(pg_sess):
+    # ↔ reference multi_real_time_transaction.sql:323 idiom
+    rows = pg_sess.sql(
+        "SELECT DISTINCT o_orderkey FROM orders WHERE "
+        "CAST(o_orderkey AS STRING) = ANY (string_to_array('7,8', ',')) "
+        "ORDER BY o_orderkey"
+    ).collect()
+    assert [r.o_orderkey for r in rows] == [7, 8]
+
+
+def test_string_to_array_runtime_sep_rejected(pg_sess):
+    with pytest.raises(ValueError, match="literal separator"):
+        pg_sess.sql(
+            "SELECT string_to_array(o_comment, o_orderpriority) "
+            "FROM orders"
+        )
+
+
+# ------------------------------------------- DISTINCT + ORDER BY aggregates
+def test_array_agg_distinct_order_asc_desc(pg_sess):
+    r = pg_sess.sql(
+        "SELECT array_agg(DISTINCT v ORDER BY v) AS a, "
+        "array_agg(DISTINCT v ORDER BY v DESC) AS d "
+        "FROM VALUES (3), (1), (3), (NULL), (2) AS t(v)"
+    ).collect()[0]
+    assert r.a == [1, 2, 3, None]  # PG ASC: NULLS LAST, nulls kept
+    assert r.d == [None, 3, 2, 1]  # PG DESC: NULLS FIRST
+
+
+def test_string_agg_distinct_order(pg_sess):
+    r = pg_sess.sql(
+        "SELECT string_agg(DISTINCT s, ',' ORDER BY s) AS v "
+        "FROM VALUES ('b'), ('a'), ('b') AS t(s)"
+    ).collect()[0]
+    assert r.v == "a,b"
+
+
+def test_array_agg_distinct_key_mismatch_rejected(pg_sess):
+    with pytest.raises(ValueError, match="DISTINCT"):
+        pg_sess.sql(
+            "SELECT array_agg(DISTINCT a ORDER BY b) "
+            "FROM VALUES (1, 2) AS t(a, b)"
+        )

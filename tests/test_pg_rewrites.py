@@ -235,9 +235,17 @@ def test_ordered_agg_rejections(pg_sess):
             "SELECT array_agg(o_orderkey ORDER BY o_custkey, o_orderkey) "
             "FROM orders"
         )
+    # DISTINCT with a matching sort key is now supported (round 6);
+    # a key that is NOT the aggregated expression still rejects (PG's
+    # own rule)
+    got = pg_sess.sql(
+        "SELECT array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus) "
+        "AS v FROM orders"
+    ).collect()[0].v
+    assert got == sorted(set(got))
     with pytest.raises(ValueError, match="DISTINCT"):
         pg_sess.sql(
-            "SELECT array_agg(DISTINCT o_orderkey ORDER BY o_orderkey) "
+            "SELECT array_agg(DISTINCT o_orderkey ORDER BY o_custkey) "
             "FROM orders"
         )
 
