@@ -472,14 +472,13 @@ def pg_split_to_table(sql: str) -> str:
         )
     src, sep = args[0].strip(), args[1].strip()
     if fn == "string_to_table":
-        if not re.fullmatch(r"'(?:[^']|'')*'", sep):
-            raise ValueError(
-                "string_to_table requires a literal separator (Spark "
-                "split() is regex-based; a runtime separator cannot be "
-                "escaped safely) — use regexp_split_to_table"
-            )
-        sep = _literal_to_regex(sep)
-    arr = f"split({src}, {sep}, -1)"
+        sep = _require_literal_sep("string_to_table", sep)
+    if fn == "string_to_table" and sep == "''":
+        # PG: an empty-string delimiter yields the whole input as ONE
+        # field (Spark's split on an empty regex explodes per char)
+        arr = f"array({src})"
+    else:
+        arr = f"split({src}, {sep}, -1)"
     rest = sql[i + 1 :]
     if _in_from_clause(sql, spans, m.start()):
         head = sql[: m.start()].rstrip()
@@ -516,6 +515,24 @@ def pg_split_to_table(sql: str) -> str:
 _STRING_TO_ARRAY = re.compile(r"\bstring_to_array\s*\(", re.I)
 
 
+def _require_literal_sep(fn: str, sep: str) -> str:
+    """Shared separator validation + regex cooking for the
+    string_to_table / string_to_array siblings. Returns the escaped
+    Spark regex literal; raises on runtime separators (un-escapable)."""
+    if not re.fullmatch(r"'(?:[^']|'')*'", sep):
+        hint = (
+            " — use regexp_split_to_table"
+            if fn == "string_to_table"
+            else ""
+        )
+        raise ValueError(
+            f"{fn} requires a literal separator (Spark split() is "
+            f"regex-based; a runtime separator cannot be escaped "
+            f"safely){hint}"
+        )
+    return _literal_to_regex(sep, fn)
+
+
 def pg_string_to_array(sql: str) -> str:
     from citus_spark.plans.rewrites import _next_call
 
@@ -531,16 +548,19 @@ def pg_string_to_array(sql: str) -> str:
                 "3-argument null-string form is not supported)"
             )
         src, sep = args[0].strip(), args[1].strip()
-        if not re.fullmatch(r"'(?:[^']|'')*'", sep):
-            raise ValueError(
-                "string_to_array requires a literal separator (Spark "
-                "split() is regex-based; a runtime separator cannot be "
-                "escaped safely)"
+        sep = _require_literal_sep("string_to_array", sep)
+        if sep == "''":
+            # PG: an empty-string delimiter treats the whole input as
+            # ONE field (Spark's split on an empty regex would explode
+            # per character — silently wrong)
+            repl = (
+                f"(CASE WHEN ({src}) = '' THEN array() "
+                f"ELSE array({src}) END)"
             )
-        sep = _literal_to_regex(sep, "string_to_array")
-        repl = (
-            f"(CASE WHEN ({src}) = '' THEN array() "
-            f"ELSE split({src}, {sep}, -1) END)"
-        )
+        else:
+            repl = (
+                f"(CASE WHEN ({src}) = '' THEN array() "
+                f"ELSE split({src}, {sep}, -1) END)"
+            )
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)

@@ -1362,7 +1362,22 @@ _QUANTIFIED = re.compile(
 
 _LEFT_KEYWORDS = {
     "and", "or", "not", "where", "when", "then", "else", "on", "select",
-    "having", "by", "set", "case", "in", "like", "between", "is",
+    "having", "by", "set", "case", "in", "like", "between", "is", "end",
+}
+
+# PG element-type names → Spark types for '{...}'::type[] literals;
+# unmapped names reject loudly at rewrite time instead of failing
+# deep inside Spark analysis with an unsupported-datatype error.
+_PG_ELEM_TYPES = {
+    "text": "STRING", "varchar": "STRING", "bpchar": "STRING",
+    "char": "STRING", "name": "STRING", "string": "STRING",
+    "int2": "SMALLINT", "smallint": "SMALLINT",
+    "int4": "INT", "int": "INT", "integer": "INT",
+    "int8": "BIGINT", "bigint": "BIGINT",
+    "float4": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE", "double": "DOUBLE",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP",
 }
 
 
@@ -1416,6 +1431,28 @@ def _left_operand(sql: str, spans, end: int) -> int:
     return m.start()
 
 
+def _left_operand_chain(sql: str, spans, end: int) -> int:
+    """Like _left_operand, but keeps consuming `<atom> <binary-op>`
+    pairs leftward — comparison binds looser than arithmetic and
+    concatenation in PG, so `a || b = ANY (...)` compares the WHOLE
+    concatenation. A leading +/- with no atom before it is kept as a
+    unary sign."""
+    start = _left_operand(sql, spans, end)
+    while True:
+        j = start
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        om = re.search(r"(\|\||[+*/%^-])$", sql[:j])
+        if not om:
+            return start
+        try:
+            start = _left_operand(sql, spans, om.start())
+        except ValueError:
+            if om.group(1) in ("+", "-"):
+                return om.start()  # unary sign
+            raise
+
+
 def _pg_array_literal_to_spark(lit: str, cast_type: str | None) -> str:
     """'{a,b,c}' (PG array input syntax, simple elements only) →
     array('a','b','c') with optional per-element CAST."""
@@ -1430,11 +1467,38 @@ def _pg_array_literal_to_spark(lit: str, cast_type: str | None) -> str:
             "PG array literals with quoted or nested elements are not "
             "supported — use ARRAY[...] syntax"
         )
+    spark_type = None
+    if cast_type:
+        spark_type = _PG_ELEM_TYPES.get(cast_type.lower())
+        if spark_type is None:
+            raise ValueError(
+                f"unsupported array element type {cast_type}[] — "
+                f"supported: {', '.join(sorted(_PG_ELEM_TYPES))}"
+            )
     els = []
     for el in inner.split(","):
-        e = "'" + el.strip().replace("'", "''") + "'"
-        els.append(f"CAST({e} AS {cast_type})" if cast_type else e)
+        el = el.strip()
+        # an unquoted NULL element is the SQL NULL value in PG's
+        # array-input syntax (only "NULL" in double quotes is the word)
+        e = "NULL" if el.upper() == "NULL" else (
+            "'" + el.replace("'", "''") + "'"
+        )
+        els.append(f"CAST({e} AS {spark_type})" if spark_type else e)
     return f"array({', '.join(els)})"
+
+
+def _looks_boolean(expr: str) -> bool:
+    """True when the text has comparison or boolean syntax outside
+    string literals — the shape of an argument to Spark's any()/some()
+    boolean aggregates, never of a PG array expression."""
+    code = "".join(t for k, t in _segments(expr) if k == "code")
+    return bool(
+        re.search(
+            r"[<>=]|\bAND\b|\bOR\b|\bNOT\b|\bIS\b|\bLIKE\b|\bBETWEEN\b",
+            code,
+            re.I,
+        )
+    )
 
 
 def pg_quantified(sql: str) -> str:
@@ -1459,16 +1523,22 @@ def pg_quantified(sql: str) -> str:
                     f"— only = ANY and <> ALL subqueries are supported"
                 )
             sql = sql[: m.start()] + repl + sql[i + 1 :]
-            start = m.start() + len(repl)
+            # resume INSIDE the inserted subquery text — it may itself
+            # contain quantified comparisons that still need rewriting
+            start = m.start() + repl.index("(") + 1
             continue
         # array-typed argument
         if inner.upper() == "NULL":
             arr = "CAST(NULL AS ARRAY<STRING>)"
-        elif quant in ("ANY", "SOME") and re.fullmatch(
-            r"[A-Za-z_][\w.]*", inner
+        elif quant in ("ANY", "SOME") and (
+            re.fullmatch(r"[A-Za-z_][\w.]*", inner)
+            or _looks_boolean(inner)
         ):
-            # bare identifier: could be Spark's any()/some() boolean
-            # aggregate — ownership unprovable, leave it alone
+            # Spark owns any()/some() as boolean aggregates: a bare
+            # identifier could be a boolean column, and an argument
+            # with top-level comparison/boolean syntax IS a boolean
+            # expression (PG arrays are never built that way) —
+            # ownership unprovable or clearly Spark's, leave it alone
             start = i + 1
             continue
         else:
@@ -1478,12 +1548,14 @@ def pg_quantified(sql: str) -> str:
                 arr = _pg_array_literal_to_spark(lit.group(1), lit.group(2))
             else:
                 arr = inner
-        left = _left_operand(sql, spans, m.start())
+        left = _left_operand_chain(sql, spans, m.start())
         x = sql[left : m.start()].strip()
         fn = "forall" if quant == "ALL" else "exists"
         repl = f"{fn}({arr}, __citus_q -> ({x}) {op} __citus_q)"
         sql = sql[:left] + repl + sql[i + 1 :]
-        start = left + len(repl)
+        # resume after the function name so quantifiers nested inside
+        # the array argument or the operand are still rewritten
+        start = left + len(fn) + 1
 
 
 # ---------------------------------------------------------------------------
@@ -1499,12 +1571,13 @@ _AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.I)
 
 
 def pg_at_time_zone(sql: str) -> str:
+    start = 0
     while True:
         spans = _masked_spans(sql)
         m = next(
             (
                 x
-                for x in _AT_TIME_ZONE.finditer(sql)
+                for x in _AT_TIME_ZONE.finditer(sql, start)
                 if not any(a <= x.start() < b for a, b in spans)
             ),
             None,
@@ -1522,13 +1595,33 @@ def pg_at_time_zone(sql: str) -> str:
         zone = sql[sp[0] : sp[1]]
         left = _left_operand(sql, spans, m.start())
         x = sql[left : m.start()].strip()
+        # direction test must see through wrapping parens: a chained
+        # `(ts AT TIME ZONE 'a') AT TIME ZONE 'b'` presents the inner
+        # conversion as '(to_utc_timestamp(...))'
+        core = x
+        while core.startswith("(") and core.endswith(")"):
+            depth = 0
+            for k, ch in enumerate(core):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            if k != len(core) - 1:
+                break  # not one wrapping pair
+            core = core[1:-1].strip()
         fn = (
             "from_utc_timestamp"
-            if re.match(r"to_utc_timestamp\s*\(", x, re.I)
+            if re.match(r"to_utc_timestamp\s*\(", core, re.I)
             else "to_utc_timestamp"
         )
         repl = f"{fn}({x}, {zone})"
         sql = sql[:left] + repl + sql[sp[1] :]
+        # resume at the replacement start: a following chained
+        # AT TIME ZONE sits after it, and the emitted text cannot
+        # itself match the pattern
+        start = left
 
 
 # ---------------------------------------------------------------------------

@@ -2536,10 +2536,10 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_array_length
 
             query = pg_array_length(query)
-        if _re.search(r"\bstring_to_array\s*\(", query, _re.I):
-            from citus_spark.plans.pgfmt_sql import pg_string_to_array
-
-            query = pg_string_to_array(query)
+        # quantified comparisons BEFORE string_to_array: the latter
+        # emits a CASE (whose '=' would trip the boolean-argument
+        # carve-out); claiming `= ANY (string_to_array(...))` first
+        # leaves the call text intact inside exists() for the next pass
         if _re.search(
             r"(?:<=|>=|<>|!=|=|<|>)\s*\b(?:ANY|SOME|ALL)\b\s*\(",
             query, _re.I,
@@ -2547,6 +2547,10 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_quantified
 
             query = pg_quantified(query)
+        if _re.search(r"\bstring_to_array\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_string_to_array
+
+            query = pg_string_to_array(query)
         if _re.search(r"\bAT\s+TIME\s+ZONE\b", query, _re.I):
             from citus_spark.plans.rewrites import pg_at_time_zone
 

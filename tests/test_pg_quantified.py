@@ -225,3 +225,87 @@ def test_array_agg_distinct_key_mismatch_rejected(pg_sess):
             "SELECT array_agg(DISTINCT a ORDER BY b) "
             "FROM VALUES (1, 2) AS t(a, b)"
         )
+
+
+# --------------------------------------------- review-pass regressions (r6)
+def test_compound_left_operand_chain(pg_sess):
+    # comparison binds looser than || and arithmetic: the WHOLE
+    # concatenation/sum is the left operand
+    r = pg_sess.sql(
+        "SELECT (('a' || 'b') = ANY ('{ab,cd}')) AS a, "
+        "('a' || 'b' = ANY ('{ab,cd}')) AS b, "
+        "(1 + 1 = ANY ('{2}'::int[])) AS c, "
+        "(-1 = ANY ('{-1}'::int[])) AS d"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (True, True, True, True)
+
+
+def test_parenthesized_chain_direction(pg_sess):
+    # the wrapped inner conversion must still flip direction
+    r = pg_sess.sql(
+        "SELECT (TIMESTAMP '2024-01-15 10:00:00' AT TIME ZONE 'UTC') "
+        "AT TIME ZONE 'America/New_York' AS v"
+    ).collect()[0]
+    assert str(r.v) == "2024-01-15 05:00:00"
+
+
+def test_nested_quantifier_in_subquery(pg_sess):
+    n = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey = ANY "
+        "(SELECT c_custkey FROM customer "
+        " WHERE c_nationkey = ANY ('{1,2}'::int[]))"
+    ).collect()[0].c
+    plain = pg_sess.spark.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 2))"
+    ).collect()[0].c
+    assert n == plain > 0
+
+
+def test_spark_any_aggregate_over_expression(pg_sess):
+    # `= any(<boolean expr>)` is Spark's aggregate — must stay untouched
+    got = pg_sess.sql(
+        "SELECT (true = any(o_orderkey > 2)) AS v FROM orders"
+    ).collect()[0].v
+    assert got is True
+
+
+def test_array_literal_null_element(pg_sess):
+    # unquoted NULL in PG array-input syntax is the SQL NULL value:
+    # the string 'NULL' must NOT match, and non-matches propagate NULL
+    r = pg_sess.sql(
+        "SELECT ('NULL' = ANY ('{foo,NULL}'::text[])) AS a, "
+        "('foo' = ANY ('{foo,NULL}'::text[])) AS b"
+    ).collect()[0]
+    assert r.a is None and r.b is True
+
+
+def test_array_literal_unknown_type_rejected(pg_sess):
+    with pytest.raises(ValueError, match="element type"):
+        pg_sess.sql("SELECT 1 = ANY ('{1}'::oid[])")
+
+
+def test_string_to_array_empty_separator(pg_sess):
+    # PG: empty delimiter -> the whole string is one field
+    r = pg_sess.sql(
+        "SELECT string_to_array('abc', '') AS a, "
+        "string_to_array('', '') AS b"
+    ).collect()[0]
+    assert r.a == ["abc"] and r.b == []
+
+
+def test_string_to_table_empty_separator(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT * FROM string_to_table('abc', '') AS t(v)"
+    ).collect()
+    assert [r.v for r in rows] == ["abc"]
+
+
+def test_case_operand_rejected_loudly(pg_sess):
+    # a CASE expression as the quantified left operand cannot be
+    # claimed textually — must raise, never silently truncate
+    with pytest.raises(ValueError, match="left operand"):
+        pg_sess.sql(
+            "SELECT CASE WHEN o_orderkey > 2 THEN 1 ELSE 0 END "
+            "= ANY ('{1}'::int[]) FROM orders"
+        )
