@@ -476,9 +476,18 @@ def pg_split_to_table(sql: str) -> str:
     if fn == "string_to_table" and sep == "''":
         # PG: an empty-string delimiter yields the whole input as ONE
         # field (Spark's split on an empty regex explodes per char)
-        arr = f"array({src})"
+        body = f"array({src})"
     else:
-        arr = f"split({src}, {sep}, -1)"
+        body = f"split({src}, {sep}, -1)"
+    if fn == "string_to_table":
+        # PG: the empty input string yields ZERO rows (mirroring
+        # string_to_array('', sep) = {}); Spark's split('') is ['']
+        # which would explode to one empty row. The duplicated src is
+        # merged by Spark's subexpression elimination (deterministic
+        # exprs in one projection).
+        arr = f"(CASE WHEN ({src}) = '' THEN array() ELSE {body} END)"
+    else:
+        arr = body
     rest = sql[i + 1 :]
     if _in_from_clause(sql, spans, m.start()):
         head = sql[: m.start()].rstrip()
@@ -558,9 +567,38 @@ def pg_string_to_array(sql: str) -> str:
                 f"ELSE array({src}) END)"
             )
         else:
+            # the duplicated src is merged by Spark's subexpression
+            # elimination (deterministic exprs in one projection)
             repl = (
                 f"(CASE WHEN ({src}) = '' THEN array() "
                 f"ELSE split({src}, {sep}, -1) END)"
             )
         sql = sql[: m.start()] + repl + sql[i + 1 :]
-        start = m.start() + len(repl)
+        # resume AT the replacement: src is copied into both CASE
+        # branches and may itself contain string_to_array calls that
+        # still need rewriting (the emitted text cannot re-match)
+        start = m.start()
+
+
+# ---------------------------------------------------------------------------
+# array_to_string(arr, sep[, null_string]) — PG's name for Spark's
+# array_join, argument-for-argument (both skip NULL elements in the
+# 2-arg form; both substitute the third argument when given). A pure
+# name alias: no argument surgery needed.
+_ARRAY_TO_STRING = re.compile(r"\barray_to_string\s*\(", re.I)
+
+
+def pg_array_to_string(sql: str) -> str:
+    from citus_spark.plans.rewrites import _masked_spans
+
+    out = []
+    last = 0
+    spans = _masked_spans(sql)
+    for m in _ARRAY_TO_STRING.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(sql[last : m.start()])
+        out.append("array_join(")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

@@ -1255,9 +1255,15 @@ def pg_ordered_agg(sql: str) -> str:
             # (array_agg drops bare NULLs; PG's keeps them) and sort
             # with explicit NULL placement (PG: ASC → NULLS LAST,
             # DESC → NULLS FIRST).
-            if re.sub(r"\s+", "", key).lower() != re.sub(
-                r"\s+", "", expr
-            ).lower():
+            def _norm(e: str) -> str:
+                # case-fold and strip whitespace in CODE only — string
+                # literals are values and must compare verbatim
+                return "".join(
+                    re.sub(r"\s+", "", t).lower() if k2 == "code" else t
+                    for k2, t in _segments(e)
+                )
+
+            if _norm(key) != _norm(expr):
                 raise ValueError(
                     f"{m.group(1)} DISTINCT requires the ORDER BY "
                     f"expression to match the aggregated expression "
@@ -1488,10 +1494,24 @@ def _pg_array_literal_to_spark(lit: str, cast_type: str | None) -> str:
 
 
 def _looks_boolean(expr: str) -> bool:
-    """True when the text has comparison or boolean syntax outside
-    string literals — the shape of an argument to Spark's any()/some()
-    boolean aggregates, never of a PG array expression."""
-    code = "".join(t for k, t in _segments(expr) if k == "code")
+    """True when the text has comparison or boolean syntax at the TOP
+    level (paren depth 0, outside string literals) — the shape of an
+    argument to Spark's any()/some() boolean aggregates. Comparisons
+    nested inside calls (`array_remove(a, CASE WHEN x > 0 ...)`) are
+    array-building detail and must not trip the carve-out."""
+    top: list[str] = []
+    depth = 0
+    for kind, text in _segments(expr):
+        if kind != "code":
+            continue
+        for ch in text:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                top.append(ch)
+    code = "".join(top)
     return bool(
         re.search(
             r"[<>=]|\bAND\b|\bOR\b|\bNOT\b|\bIS\b|\bLIKE\b|\bBETWEEN\b",
@@ -1513,10 +1533,12 @@ def pg_quantified(sql: str) -> str:
         if first_tok and first_tok.group(0).upper() in (
             "SELECT", "WITH", "VALUES", "TABLE",
         ):
+            # leading space: `k=ANY(...)` (no space before the
+            # operator) must not glue into `kIN (...)`
             if quant in ("ANY", "SOME") and op == "=":
-                repl = f"IN ({inner})"
+                repl = f" IN ({inner})"
             elif quant == "ALL" and op in ("<>", "!="):
-                repl = f"NOT IN ({inner})"
+                repl = f" NOT IN ({inner})"
             else:
                 raise ValueError(
                     f"{op} {quant} (subquery) has no Spark equivalent "
@@ -1595,27 +1617,25 @@ def pg_at_time_zone(sql: str) -> str:
         zone = sql[sp[0] : sp[1]]
         left = _left_operand(sql, spans, m.start())
         x = sql[left : m.start()].strip()
-        # direction test must see through wrapping parens: a chained
-        # `(ts AT TIME ZONE 'a') AT TIME ZONE 'b'` presents the inner
-        # conversion as '(to_utc_timestamp(...))'
-        core = x
-        while core.startswith("(") and core.endswith(")"):
-            depth = 0
-            for k, ch in enumerate(core):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            if k != len(core) - 1:
-                break  # not one wrapping pair
-            core = core[1:-1].strip()
-        fn = (
-            "from_utc_timestamp"
-            if re.match(r"to_utc_timestamp\s*\(", core, re.I)
-            else "to_utc_timestamp"
+        # Direction: in this naive-timestamp engine an operand is an
+        # "instant" (PG timestamptz) exactly when it derives from an
+        # earlier to-UTC conversion — wrapping functions (parens,
+        # date_trunc, greatest, ...) preserve that. A contains-scan
+        # over the operand's unmasked code decides; an operand mixing
+        # BOTH directions is genuinely ambiguous textually and rejects
+        # loudly rather than guessing.
+        xcode = "".join(t for k2, t in _segments(x) if k2 == "code")
+        has_to = bool(re.search(r"\bto_utc_timestamp\s*\(", xcode, re.I))
+        has_from = bool(
+            re.search(r"\bfrom_utc_timestamp\s*\(", xcode, re.I)
         )
+        if has_to and has_from:
+            raise ValueError(
+                "AT TIME ZONE: cannot infer the operand's zone state "
+                "(it mixes to_utc_timestamp and from_utc_timestamp) — "
+                "spell the conversion directly"
+            )
+        fn = "from_utc_timestamp" if has_to else "to_utc_timestamp"
         repl = f"{fn}({x}, {zone})"
         sql = sql[:left] + repl + sql[sp[1] :]
         # resume at the replacement start: a following chained
@@ -1633,6 +1653,29 @@ def pg_at_time_zone(sql: str) -> str:
 _EXTRACT = re.compile(r"\bextract\s*\(", re.I)
 
 
+def _top_level_minus(expr: str) -> int:
+    """Index of the single top-level binary minus in `expr`, or -1
+    (none, several, or a unary sign)."""
+    hits: list[int] = []
+    depth = 0
+    pos = 0
+    for kind, text in _segments(expr):
+        if kind != "code":
+            pos += len(text)
+            continue
+        for k, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "-" and depth == 0:
+                prev = expr[: pos + k].rstrip()
+                if prev and (prev[-1].isalnum() or prev[-1] in ")_'\""):
+                    hits.append(pos + k)
+        pos += len(text)
+    return hits[0] if len(hits) == 1 else -1
+
+
 def pg_extract_epoch(sql: str) -> str:
     start = 0
     while True:
@@ -1642,9 +1685,29 @@ def pg_extract_epoch(sql: str) -> str:
         em = re.match(r"\s*epoch\s+from\s+(.+)$", sql[m.end() : i],
                       re.I | re.S)
         if em is None:
-            start = i + 1  # some other field: Spark-native
+            # some other field: Spark-native — but scan INSIDE its
+            # argument, which may nest an epoch extract
+            start = m.end()
             continue
-        repl = f"CAST(CAST({em.group(1).strip()} AS TIMESTAMP) AS DOUBLE)"
+        arg = em.group(1).strip()
+        # PG's dominant duration idiom `extract(epoch FROM ts2 - ts1)`
+        # yields an INTERVAL, which the cast-to-timestamp form cannot
+        # express; epoch is additive, so split the subtraction —
+        # unless an INTERVAL literal is involved (ts - INTERVAL '..'
+        # is still a timestamp and the whole-operand form is right).
+        minus = _top_level_minus(arg)
+        if minus >= 0 and not re.search(
+            r"\bINTERVAL\b",
+            "".join(t for k2, t in _segments(arg) if k2 == "code"),
+            re.I,
+        ):
+            a, b = arg[:minus].strip(), arg[minus + 1 :].strip()
+            repl = (
+                f"(CAST(CAST({a} AS TIMESTAMP) AS DOUBLE) - "
+                f"CAST(CAST({b} AS TIMESTAMP) AS DOUBLE))"
+            )
+        else:
+            repl = f"CAST(CAST({arg} AS TIMESTAMP) AS DOUBLE)"
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)
 

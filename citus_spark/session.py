@@ -2472,6 +2472,17 @@ class DistributedSession:
                 register_ts_functions(self.spark)
                 self._ts_registered = True
             query = pg_text_search(query)
+        # quantified comparisons BEFORE pg_casts: the quantifier's
+        # '{...}'::type[] array literals are claimed (with their cast
+        # suffix) by pg_quantified; pg_casts's scalar ::type rewrite
+        # would otherwise strand the trailing [] under pg_compat
+        if _re.search(
+            r"(?:<=|>=|<>|!=|=|<|>)\s*\b(?:ANY|SOME|ALL)\b\s*\(",
+            query, _re.I,
+        ):
+            from citus_spark.plans.rewrites import pg_quantified
+
+            query = pg_quantified(query)
         if self.pg_compat:
             query = pg_casts(query)
         if "~" in query:
@@ -2536,21 +2547,17 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_array_length
 
             query = pg_array_length(query)
-        # quantified comparisons BEFORE string_to_array: the latter
-        # emits a CASE (whose '=' would trip the boolean-argument
-        # carve-out); claiming `= ANY (string_to_array(...))` first
-        # leaves the call text intact inside exists() for the next pass
-        if _re.search(
-            r"(?:<=|>=|<>|!=|=|<|>)\s*\b(?:ANY|SOME|ALL)\b\s*\(",
-            query, _re.I,
-        ):
-            from citus_spark.plans.rewrites import pg_quantified
-
-            query = pg_quantified(query)
+        # (pg_quantified already ran, before pg_casts — and before
+        # this: string_to_array emits a CASE whose '=' would trip the
+        # quantifier's boolean-argument carve-out)
         if _re.search(r"\bstring_to_array\s*\(", query, _re.I):
             from citus_spark.plans.pgfmt_sql import pg_string_to_array
 
             query = pg_string_to_array(query)
+        if _re.search(r"\barray_to_string\s*\(", query, _re.I):
+            from citus_spark.plans.pgfmt_sql import pg_array_to_string
+
+            query = pg_array_to_string(query)
         if _re.search(r"\bAT\s+TIME\s+ZONE\b", query, _re.I):
             from citus_spark.plans.rewrites import pg_at_time_zone
 

@@ -309,3 +309,117 @@ def test_case_operand_rejected_loudly(pg_sess):
             "SELECT CASE WHEN o_orderkey > 2 THEN 1 ELSE 0 END "
             "= ANY ('{1}'::int[]) FROM orders"
         )
+
+
+# ------------------------------------------ second review-pass regressions
+def test_no_space_before_operator_subquery(pg_sess):
+    n = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey=ANY"
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()[0].c
+    m = pg_sess.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_custkey<>ALL"
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 10)"
+    ).collect()[0].c
+    total = pg_sess.sql("SELECT count(*) AS c FROM orders").collect()[0].c
+    assert n > 0 and m > 0 and n + m == total
+
+
+def test_wrapped_chain_direction(pg_sess):
+    # a function wrapped around the inner conversion preserves the
+    # instant; the outer AT TIME ZONE must convert back (from-UTC)
+    r = pg_sess.sql(
+        "SELECT date_trunc('hour', TIMESTAMP '2024-01-15 10:30:00' "
+        "AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS v"
+    ).collect()[0]
+    assert str(r.v) == "2024-01-15 05:00:00"
+
+
+def test_mixed_direction_operand_rejected(pg_sess):
+    with pytest.raises(ValueError, match="zone state"):
+        pg_sess.sql(
+            "SELECT greatest(to_utc_timestamp(ts, 'UTC'), "
+            "from_utc_timestamp(ts, 'UTC')) AT TIME ZONE 'UTC' "
+            "FROM events"
+        )
+
+
+def test_pg_compat_any_array_cast(spark):
+    # under pg_compat (the ported-PG-queries mode) the '{..}'::int[]
+    # idiom must survive — pg_quantified claims it before pg_casts
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    s.sql("SET citus.pg_compat = on")
+    try:
+        rows = s.sql(
+            "SELECT DISTINCT o_orderkey FROM orders "
+            "WHERE o_orderkey = ANY ('{4,5}'::int[]) ORDER BY o_orderkey"
+        ).collect()
+        assert [r.o_orderkey for r in rows] == [4, 5]
+    finally:
+        s.sql("SET citus.pg_compat = off")
+
+
+def test_nested_comparison_in_array_arg_claimed(pg_sess):
+    # a comparison at depth > 0 is array-building detail, not a
+    # boolean argument — the quantifier must still be claimed
+    r = pg_sess.sql(
+        "SELECT (5 > ANY (array_remove(array(1, 9), "
+        "CASE WHEN 1 > 0 THEN 9 END))) AS v"
+    ).collect()[0]
+    assert r.v is True
+
+
+def test_string_to_table_empty_input_zero_rows(pg_sess):
+    rows = pg_sess.sql(
+        "SELECT * FROM string_to_table('', ',') AS t(v)"
+    ).collect()
+    assert rows == []
+    rows2 = pg_sess.sql(
+        "SELECT * FROM string_to_table('', '') AS t(v)"
+    ).collect()
+    assert rows2 == []
+
+
+def test_extract_epoch_nested_in_other_extract(pg_sess):
+    r = pg_sess.sql(
+        "SELECT extract(YEAR FROM to_timestamp(extract(epoch FROM "
+        "TIMESTAMP '2024-03-01 00:00:00'))) AS y"
+    ).collect()[0]
+    assert r.y == 2024
+
+
+def test_extract_epoch_timestamp_difference(pg_sess):
+    # PG's duration idiom: epoch of a timestamp subtraction
+    r = pg_sess.sql(
+        "SELECT extract(epoch FROM TIMESTAMP '2024-01-02 00:00:30' "
+        "- TIMESTAMP '2024-01-01 00:00:00') AS v"
+    ).collect()[0]
+    assert r.v == 86430.0
+
+
+def test_extract_epoch_minus_interval_still_timestamp(pg_sess):
+    r = pg_sess.sql(
+        "SELECT extract(epoch FROM TIMESTAMP '1970-01-02 00:00:00' "
+        "- INTERVAL 1 HOUR) AS v"
+    ).collect()[0]
+    assert r.v == 82800.0
+
+
+def test_nested_string_to_array_in_src(pg_sess):
+    r = pg_sess.sql(
+        "SELECT string_to_array(array_to_string("
+        "string_to_array('a,b', ','), ' '), ' ') AS v"
+    ).collect()[0]
+    assert r.v == ["a", "b"]
+
+
+def test_distinct_key_literal_case_sensitive(pg_sess):
+    # 'A'||x vs 'a'||x are DIFFERENT expressions (literals are values)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        pg_sess.sql(
+            "SELECT array_agg(DISTINCT 'A' || s ORDER BY 'a' || s) "
+            "FROM VALUES ('x') AS t(s)"
+        )
