@@ -1050,3 +1050,158 @@ SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY qid, rk
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix X^T X over int-quantized embeddings — the
+# covariance/whitening prep of an embedding pipeline (PCA/ZCA runs on
+# this d×d summary driver-side; the DATA pass is the distributed
+# part). Two-phase: an Arrow kernel computes one int64 GEMM partial
+# (d×d) per batch; partials sum by (i, j). Integer addition is
+# order-free, so the result is bit-exact under ANY partitioning (the
+# int8_quant_topk trick at matrix scale), and the shuffle carries
+# d(d+1)/2 longs per partition, independent of row count — the right
+# 100 TB shape. Quantization floor(x·2^20 + 0.5) is IEEE-exact and
+# identical in both engines (float32 → double casts are exact).
+# Capacity: |x| ≤ 1 → |q| ≤ 2^20, products ≤ 2^40, safe to ~2^23 rows
+# per sum; beyond that, split the sum into per-range partials.
+_GRAM_SCALE = 1 << 20
+_GRAM_DIV = float(1 << 40)
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+
+    def gram_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q = np.floor(m * float(_GRAM_SCALE) + 0.5).astype(np.int64)
+            g = q.T @ q  # (d × d) int64 GEMM — exact
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "partial": g[iu, ju],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_kernel, schema="i long, j long, partial long"
+    )
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
+        .select(
+            "i",
+            "j",
+            "gram",
+            (F.col("gram") / F.lit(_GRAM_DIV)).alias("gram_real"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_GRAM_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE}.0 + 0.5)
+                     AS BIGINT)) AS qv
+  FROM embeddings
+), pairs AS (
+  SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS gram
+  FROM q,
+       (SELECT unnest(range(1, 65)) AS i) ti,
+       (SELECT unnest(range(1, 65)) AS j) tj
+  WHERE ti.i <= tj.j
+  GROUP BY ti.i, tj.j
+)
+SELECT i, j, gram, gram / {_GRAM_DIV!r} AS gram_real
+FROM pairs
+ORDER BY i, j
+"""
+
+register_split("embedding_gram_matrix", embedding_gram_matrix, _GRAM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (RRF, k=60 — the
+# standard Cormack/Clarke/Buettcher fusion a RAG pipeline runs):
+# lexical arm = distinct-token overlap with the query document,
+# vector arm = exact cosine against the query embedding, each arm
+# keeps its top-50 (TakeOrdered — no global sort materializes), then
+# a full outer join fuses ranks: rrf = Σ 1/(60 + rank), absent arm
+# contributes 0. Every score is portable: integer overlap counts,
+# sequential-fold cosine (bit-identical both engines), integer ranks,
+# and the same two-term IEEE sum.
+def _rrf_sql(
+    split_fn: str, distinct_fn: str, intersect_fn: str, size_fn: str,
+    dot: "callable",
+) -> str:
+    cos = (
+        f"{dot('embedding', 'qv')} / "
+        f"(sqrt({dot('embedding', 'embedding')}) * sqrt({dot('qv', 'qv')}))"
+    )
+    return f"""
+WITH qdoc AS (
+  SELECT {distinct_fn}({split_fn}(text, ' ')) AS qtoks
+  FROM documents WHERE doc_id = 0
+), qvec AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), lex AS (
+  SELECT doc_id,
+         {size_fn}({intersect_fn}({distinct_fn}({split_fn}(text, ' ')),
+                                  qtoks)) AS overlap
+  FROM documents, qdoc
+  WHERE doc_id <> 0
+), lex_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY overlap DESC, doc_id) AS INT)
+           AS lex_rank
+  FROM lex ORDER BY overlap DESC, doc_id LIMIT 50
+), vec AS (
+  SELECT vec_id AS doc_id, {cos} AS cosine
+  FROM embeddings, qvec
+  WHERE vec_id <> 0
+), vec_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+           AS vec_rank
+  FROM vec ORDER BY cosine DESC, doc_id LIMIT 50
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank),
+                  CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank),
+                      CAST(0 AS DOUBLE)) AS rrf
+  FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        _rrf_sql("split", "array_distinct", "array_intersect", "size",
+                 dot_fold_sql)
+    )
+
+
+register_split(
+    "hybrid_rrf_retrieval",
+    hybrid_rrf_retrieval,
+    _rrf_sql("string_split", "list_distinct", "list_intersect", "len",
+             dot_fold_duck),
+)

@@ -92,3 +92,34 @@ def test_lttb_anchors_and_coverage(spark):
         "AS hi FROM events WHERE event_type = 'purchase'"
     ).collect()[0]
     assert out[0].x == base.lo and out[-1].x == base.hi
+
+
+def test_gram_matrix_exact_and_partition_proof(spark):
+    """The int-quantized Gram matrix must equal a single-threaded numpy
+    computation bit-for-bit (integer sums are order-free, so any
+    partitioning gives the same matrix)."""
+    import numpy as np
+
+    from citus_spark.queries.similarity import (
+        _GRAM_SCALE,
+        embedding_gram_matrix,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = embedding_gram_matrix(spark, SF_SMALL).collect()
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.table("embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * float(_GRAM_SCALE) + 0.5).astype(np.int64)
+    g = q.T @ q
+    assert len(rows) == 64 * 65 // 2  # upper triangle incl. diagonal
+    for r in rows:
+        assert r.gram == g[r.i - 1, r.j - 1]
+    diag = {r.i: r.gram for r in rows if r.i == r.j}
+    assert all(v > 0 for v in diag.values())
