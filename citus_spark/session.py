@@ -948,6 +948,219 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [(sid,)], "isolate_tenant_to_new_shard long"
             )
+        elif call.fn == "create_distributed_table_concurrently":
+            # no lock manager here — the concurrent spelling IS the
+            # plain one (↔ create_distributed_table_concurrently.c)
+            self.create_distributed_table(
+                str(call.args[0]),
+                self.spark.table(str(call.args[0])),
+                str(call.args[1] if len(call.args) > 1
+                    else kw["distribution_column"]),
+                buckets=int(kw.get("shard_count", self.shard_count)),
+                colocate_with=(
+                    None
+                    if kw.get("colocate_with") in (None, "default", "none")
+                    else str(kw["colocate_with"])
+                ),
+            )
+        elif call.fn == "get_shard_id_for_distribution_column":
+            from citus_spark import cluster
+
+            sid = cluster.get_shard_id_for_distribution_column(
+                self, str(call.args[0]), call.args[1]
+            )
+            return self.spark.createDataFrame([(sid,)], f"{call.fn} long")
+        elif call.fn in (
+            "citus_move_shard_placement", "master_move_shard_placement",
+            "citus_copy_shard_placement", "master_copy_shard_placement",
+        ):
+            from citus_spark import cluster
+
+            op = (
+                cluster.citus_move_shard_placement
+                if "move" in call.fn
+                else cluster.citus_copy_shard_placement
+            )
+            op(
+                self, int(call.args[0]), str(call.args[1]),
+                int(call.args[2]), str(call.args[3]), int(call.args[4]),
+            )
+        elif call.fn in ("citus_drain_node", "master_drain_node"):
+            from citus_spark import cluster
+
+            cluster.citus_drain_node(
+                self, str(call.args[0]), int(call.args[1])
+            )
+        elif call.fn == "citus_set_node_property":
+            from citus_spark import cluster
+
+            cluster.citus_set_node_property(
+                self, str(call.args[0]), int(call.args[1]),
+                str(call.args[2]),
+                str(call.args[3]).lower() in ("true", "t", "1"),
+            )
+        elif call.fn == "citus_rebalance_start":
+            from citus_spark import cluster
+
+            jid = cluster.citus_rebalance_start(self)
+            return self.spark.createDataFrame([(jid,)], f"{call.fn} long")
+        elif call.fn == "citus_rebalance_status":
+            from citus_spark import cluster
+
+            return cluster.citus_rebalance_status(self)
+        elif call.fn == "citus_rebalance_stop":
+            from citus_spark import cluster
+
+            cluster.citus_rebalance_stop(self)
+        elif call.fn == "citus_rebalance_wait":
+            from citus_spark import cluster  # noqa: F401  (synchronous)
+        elif call.fn == "citus_job_list":
+            from citus_spark import cluster
+
+            return cluster.citus_job_list(self)
+        elif call.fn == "citus_job_status":
+            from citus_spark import cluster
+
+            j = cluster.citus_job_status(self, int(call.args[0]))
+            return self.spark.createDataFrame(
+                [(j["job_id"], j["state"], j["job_type"],
+                  j["description"])],
+                "job_id long, state string, job_type string, "
+                "description string",
+            )
+        elif call.fn == "citus_job_wait":
+            from citus_spark import cluster
+
+            cluster.citus_job_wait(
+                self, int(call.args[0]),
+                str(kw["desired_status"]) if "desired_status" in kw
+                else (str(call.args[1]) if len(call.args) > 1 else None),
+            )
+        elif call.fn == "citus_job_cancel":
+            from citus_spark import cluster
+
+            cluster.citus_job_cancel(self, int(call.args[0]))
+        elif call.fn == "run_command_on_workers":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_workers(self, str(call.args[0]))
+        elif call.fn == "run_command_on_all_nodes":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_all_nodes(self, str(call.args[0]))
+        elif call.fn == "run_command_on_coordinator":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_coordinator(
+                self, str(call.args[0])
+            )
+        elif call.fn == "run_command_on_shards":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_shards(
+                self, str(call.args[0]), str(call.args[1])
+            )
+        elif call.fn == "citus_is_coordinator":
+            return self.spark.createDataFrame(
+                [(True,)], f"{call.fn} boolean"
+            )
+        elif call.fn == "citus_backend_gpid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_backend_gpid(self),)], f"{call.fn} long"
+            )
+        elif call.fn == "citus_calculate_gpid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_calculate_gpid(
+                    self, int(call.args[0]), int(call.args[1])
+                ),)],
+                f"{call.fn} long",
+            )
+        elif call.fn == "citus_coordinator_nodeid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_coordinator_nodeid(self),)], f"{call.fn} int"
+            )
+        elif call.fn in (
+            "citus_nodename_for_nodeid", "citus_nodeport_for_nodeid",
+        ):
+            from citus_spark import cluster
+
+            fn = getattr(cluster, call.fn)
+            v = fn(self, int(call.args[0]))
+            typ = "string" if "nodename" in call.fn else "int"
+            return self.spark.createDataFrame(
+                [(v,)], f"{call.fn} {typ}"
+            )
+        elif call.fn == "citus_server_id":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_server_id(self),)], f"{call.fn} string"
+            )
+        elif call.fn == "citus_shard_sizes":
+            return self.citus_shards().selectExpr(
+                "shardid AS shard_id", "shard_size AS size"
+            )
+        elif call.fn == "master_get_table_ddl_events":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(s,) for s in cluster.master_get_table_ddl_events(
+                    self, str(call.args[0])
+                )],
+                f"{call.fn} string",
+            )
+        elif call.fn == "citus_check_cluster_node_health":
+            from citus_spark import cluster
+
+            return cluster.citus_check_cluster_node_health(self)
+        elif call.fn == "citus_check_connection_to_node":
+            from citus_spark import cluster
+
+            cluster._node_by_addr(
+                self, str(call.args[0]),
+                int(call.args[1]) if len(call.args) > 1 else 5432,
+            )
+            return self.spark.createDataFrame(
+                [(True,)], f"{call.fn} boolean"
+            )
+        elif call.fn == "citus_add_local_table_to_metadata":
+            from citus_spark.catalog import DIST_NONE
+
+            name = str(call.args[0])
+            self.spark.table(name)  # must exist
+            if self.catalog.get(name) is None:
+                self.catalog.register(name, DIST_NONE)
+        elif call.fn == "truncate_local_data_after_distributing_table":
+            # the distributing write already materialized the one copy
+            # (there is no separate coordinator-local heap here) —
+            # validate the target and succeed (↔ create_distributed_
+            # table.c's post-distribution truncate of the local data)
+            name = str(call.args[0])
+            if self.catalog.get(name) is None:
+                raise ValueError(
+                    f"{call.fn}: {name!r} is not a distributed table"
+                )
+        elif call.fn == "citus_update_shard_statistics":
+            sid = int(call.args[0])
+            row = [
+                r for r in self.citus_shards().collect()
+                if r.shardid == sid
+            ]
+            if not row:
+                raise ValueError(f"shard {sid} does not exist")
+            return self.spark.createDataFrame(
+                [(row[0].shard_size,)], f"{call.fn} long"
+            )
+        elif call.fn == "citus_update_table_statistics":
+            name = str(call.args[0])
+            if self.catalog.get(name) is None:
+                raise ValueError(f"{name!r} is not a distributed table")
         # mirror the reference: the call returns a single NULL-valued
         # row named after the function
         return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
@@ -1098,8 +1311,10 @@ class DistributedSession:
                     r"\bcitus_schemas\b", "_citus_schemas", c, flags=_re.I
                 ),
             )
-        if _re.search(r"\bpg_dist_(partition|shard|colocation|node)\b",
-                      query, _re.I):
+        if _re.search(
+            r"\bpg_dist_(partition|shard|colocation|node|placement)\b",
+            query, _re.I,
+        ):
             query = self._register_pg_dist_views(query)
         if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
             return query
@@ -1232,6 +1447,12 @@ class DistributedSession:
             ).filter(F.col("colocationid") != 0).createOrReplaceTempView(
                 "_pg_dist_colocation"
             )
+        if _re.search(r"\bpg_dist_placement\b", query, _re.I):
+            from citus_spark import cluster
+
+            cluster.pg_dist_placement_df(self).createOrReplaceTempView(
+                "_pg_dist_placement"
+            )
         if _re.search(r"\bpg_dist_node\b", query, _re.I):
             rows = [
                 (
@@ -1255,7 +1476,7 @@ class DistributedSession:
         def fix(code: str) -> str:
             return _re.sub(
                 r"\b(?:pg_catalog\.)?pg_dist_(partition|shard|colocation"
-                r"|node)\b",
+                r"|node|placement)\b",
                 lambda m: f"_pg_dist_{m.group(1).lower()}",
                 code,
                 flags=_re.I,

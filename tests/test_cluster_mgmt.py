@@ -1,0 +1,254 @@
+"""Cluster-management surface (round 6, citus_spark/cluster.py):
+shard-id computation, placement metadata + moves/drain, the
+background-rebalance job registry, per-shard/per-node command
+fan-out, introspection scalars, and DDL reconstruction — all through
+the literal SQL spellings the reference regress scripts use."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables(SF_SMALL)
+    s.sql("SELECT create_distributed_table('orders', 'o_custkey')")
+    return s
+
+
+@pytest.fixture()
+def cluster_sess(sess):
+    sess.sql("SELECT citus_set_coordinator_host('coord', 5432)")
+    sess.sql("SELECT citus_add_node('w1', 5432)")
+    sess.sql("SELECT citus_add_node('w2', 5432)")
+    return sess
+
+
+def test_get_shard_id_matches_placement_hash(sess):
+    from citus_spark import cluster
+
+    base = cluster.shard_base_ids(sess)["orders"]
+    t = sess.catalog.get("orders")
+    for v in (1, 7, 123, 999):
+        sid = sess.sql(
+            f"SELECT get_shard_id_for_distribution_column('orders', {v})"
+        ).collect()[0][0]
+        b = sess.spark.sql(
+            f"SELECT pmod(hash(CAST({v} AS bigint)), {t.buckets}) AS b"
+        ).collect()[0].b
+        assert sid == base + b
+        assert base <= sid < base + t.buckets
+
+
+def test_get_shard_id_rejects_non_distributed(sess):
+    with pytest.raises(ValueError, match="hash-distributed"):
+        sess.sql(
+            "SELECT get_shard_id_for_distribution_column('customer', 1)"
+        )
+
+
+def test_run_command_on_shards_counts_sum(sess):
+    rows = sess.sql(
+        "SELECT run_command_on_shards('orders', 'SELECT count(*) FROM %s')"
+    ).collect()
+    t = sess.catalog.get("orders")
+    assert len(rows) == t.buckets
+    assert all(r.success for r in rows)
+    total = sum(int(r.result) for r in rows)
+    assert total == sess.spark.table("orders").count()
+
+
+def test_run_command_on_shards_requires_placeholder(sess):
+    with pytest.raises(ValueError, match="%s"):
+        sess.sql("SELECT run_command_on_shards('orders', 'SELECT 1')")
+
+
+def test_placements_round_robin_and_move(cluster_sess):
+    s = cluster_sess
+    rows = s.sql(
+        "SELECT groupid, count(*) AS n FROM pg_dist_placement "
+        "WHERE shardid >= 102008 GROUP BY groupid ORDER BY groupid"
+    ).collect()
+    groups = {r.groupid: r.n for r in rows}
+    assert len(groups) == 2  # two workers share the shards
+    assert max(groups.values()) - min(groups.values()) <= 1  # balanced
+
+    sid = s.sql(
+        "SELECT get_shard_id_for_distribution_column('orders', 1)"
+    ).collect()[0][0]
+    before = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].groupid
+    src = "w1" if before == 1 else "w2"
+    dst = "w2" if src == "w1" else "w1"
+    s.sql(
+        f"SELECT citus_move_shard_placement({sid}, '{src}', 5432, "
+        f"'{dst}', 5432)"
+    )
+    after = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].groupid
+    assert after != before
+
+    # moving from a node that does not hold the shard rejects
+    with pytest.raises(ValueError, match="no placement"):
+        s.sql(
+            f"SELECT citus_move_shard_placement({sid}, '{src}', 5432, "
+            f"'{dst}', 5432)"
+        )
+
+
+def test_copy_shard_placement_adds_replica(cluster_sess):
+    s = cluster_sess
+    sid = 102008
+    holder = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].groupid
+    src = "w1" if holder == 1 else "w2"
+    dst = "w2" if src == "w1" else "w1"
+    s.sql(
+        f"SELECT citus_copy_shard_placement({sid}, '{src}', 5432, "
+        f"'{dst}', 5432)"
+    )
+    n = s.sql(
+        f"SELECT count(*) AS n FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].n
+    assert n == 2
+    with pytest.raises(ValueError, match="already has a placement"):
+        s.sql(
+            f"SELECT citus_copy_shard_placement({sid}, '{src}', 5432, "
+            f"'{dst}', 5432)"
+        )
+
+
+def test_drain_node_empties_it(cluster_sess):
+    s = cluster_sess
+    s.sql("SELECT citus_drain_node('w1', 5432)")
+    left = s.sql(
+        "SELECT count(*) AS n FROM pg_dist_placement WHERE groupid = 1"
+    ).collect()[0].n
+    assert left == 0
+    # drained node refuses new shards: a rebalance keeps it empty
+    s.sql("SELECT citus_rebalance_start()")
+    left2 = s.sql(
+        "SELECT count(*) AS n FROM pg_dist_placement WHERE groupid = 1"
+    ).collect()[0].n
+    assert left2 == 0
+    # until shouldhaveshards is flipped back
+    s.sql("SELECT citus_set_node_property('w1', 5432, "
+          "'shouldhaveshards', true)")
+    s.sql("SELECT citus_rebalance_start()")
+    back = s.sql(
+        "SELECT count(*) AS n FROM pg_dist_placement WHERE groupid = 1"
+    ).collect()[0].n
+    assert back > 0
+
+
+def test_rebalance_job_registry(cluster_sess):
+    s = cluster_sess
+    jid = s.sql("SELECT citus_rebalance_start()").collect()[0][0]
+    st = s.sql("SELECT citus_rebalance_status()").collect()
+    assert any(r.job_id == jid and r.state == "finished" for r in st)
+    s.sql(f"SELECT citus_job_wait({jid})")  # finished -> returns
+    with pytest.raises(ValueError, match="terminal state"):
+        s.sql(f"SELECT citus_job_wait({jid}, desired_status => 'running')")
+    with pytest.raises(ValueError, match="already finished"):
+        s.sql(f"SELECT citus_job_cancel({jid})")
+    with pytest.raises(ValueError, match="no ongoing rebalance"):
+        s.sql("SELECT citus_rebalance_stop()")
+
+
+def test_run_command_on_workers_and_nodes(cluster_sess):
+    s = cluster_sess
+    rows = s.sql(
+        "SELECT run_command_on_workers('SELECT count(*) FROM orders')"
+    ).collect()
+    assert {r.nodename for r in rows} == {"w1", "w2"}
+    n = s.spark.table("orders").count()
+    assert all(r.success and int(r.result) == n for r in rows)
+    allrows = s.sql(
+        "SELECT run_command_on_all_nodes('SELECT 1')"
+    ).collect()
+    assert {r.nodename for r in allrows} == {"coord", "w1", "w2"}
+    bad = s.sql(
+        "SELECT run_command_on_coordinator('SELECT no_such_col FROM "
+        "orders')"
+    ).collect()
+    assert len(bad) == 1 and not bad[0].success
+
+
+def test_introspection_scalars(cluster_sess):
+    import os
+
+    s = cluster_sess
+    assert s.sql("SELECT citus_is_coordinator()").collect()[0][0] is True
+    gpid = s.sql("SELECT citus_backend_gpid()").collect()[0][0]
+    assert gpid == os.getpid()  # coordinator group 0
+    nid = s.sql(
+        "SELECT nodeid FROM pg_dist_node WHERE nodename = 'w1'"
+    ).collect()[0].nodeid
+    name = s.sql(
+        f"SELECT citus_nodename_for_nodeid({nid})"
+    ).collect()[0][0]
+    assert name == "w1"
+    g = s.sql(
+        f"SELECT citus_calculate_gpid({nid}, 7)"
+    ).collect()[0][0]
+    assert g % 10_000_000_000 == 7
+    sid1 = s.sql("SELECT citus_server_id()").collect()[0][0]
+    sid2 = s.sql("SELECT citus_server_id()").collect()[0][0]
+    assert sid1 == sid2 and len(sid1) == 36
+    health = s.sql("SELECT citus_check_cluster_node_health()").collect()
+    assert len(health) == 9 and all(r.result for r in health)
+
+
+def test_ddl_events_and_local_table(sess):
+    rows = sess.sql(
+        "SELECT master_get_table_ddl_events('orders')"
+    ).collect()
+    ddl = [r[0] for r in rows]
+    assert ddl[0].startswith("CREATE TABLE orders (")
+    assert "o_orderkey bigint" in ddl[0]
+    assert "create_distributed_table('orders', 'o_custkey'" in ddl[1]
+
+    sess.spark.sql(
+        "SELECT 1 AS id, 'x' AS v"
+    ).createOrReplaceTempView("localtab")
+    sess.sql("SELECT citus_add_local_table_to_metadata('localtab')")
+    tabs = sess.sql(
+        "SELECT * FROM citus_tables WHERE table_name = 'localtab'"
+    ).collect()
+    assert len(tabs) == 1 and tabs[0].citus_table_type == "none"
+
+    sess.sql("SELECT truncate_local_data_after_distributing_table"
+             "('orders')")
+    with pytest.raises(ValueError, match="not a distributed table"):
+        sess.sql("SELECT truncate_local_data_after_distributing_table"
+                 "('no_such_table')")
+
+
+def test_shard_sizes_and_update_statistics(sess):
+    sizes = sess.sql("SELECT citus_shard_sizes()").collect()
+    t = sess.catalog.get("orders")
+    assert len(sizes) >= t.buckets
+    sid = sizes[0].shard_id
+    v = sess.sql(
+        f"SELECT citus_update_shard_statistics({sid})"
+    ).collect()[0][0]
+    assert v == sizes[0].size
+    sess.sql("SELECT citus_update_table_statistics('orders')")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("SELECT citus_update_shard_statistics(999999)")
+
+
+def test_create_distributed_table_concurrently(sess):
+    sess.sql(
+        "SELECT create_distributed_table_concurrently('customer', "
+        "'c_custkey')"
+    )
+    t = sess.catalog.get("customer")
+    assert t is not None and t.is_hash_distributed
+    assert t.dist_col == "c_custkey"
