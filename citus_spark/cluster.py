@@ -111,27 +111,67 @@ def _node_by_addr(sess, name: str, port: int) -> dict:
     raise ValueError(f"node {name}:{port} is not in pg_dist_node")
 
 
+def _explicit_placements(sess) -> dict:
+    """Moves/copies/drains persist here, keyed by the STABLE identity
+    (table name, shard label) — never by the derived shard id, which
+    re-keys when an earlier catalog entry is dropped/undistributed.
+    Labels are 'b<k>' for hash buckets, 's<id>' for isolated tenants,
+    'r' for a reference table's single shard."""
+    if getattr(sess, "_placements", None) is None:
+        sess._placements = {}
+    return sess._placements
+
+
+def _shard_labels(t) -> list[tuple[str, int]]:
+    """(label, offset-in-id-allocation) pairs for a catalog entry."""
+    if t.is_hash_distributed:
+        out = [(f"b{b}", b) for b in range(t.buckets)]
+        out += [
+            (f"s{int(s)}", int(s))
+            for s in (getattr(t, "isolated", None) or {}).values()
+        ]
+        return out
+    if t.is_reference:
+        return [("r", 0)]
+    return []
+
+
+def _shard_key(sess, shardid: int) -> tuple[str, str]:
+    """(table, label) identity of a shard id under the CURRENT
+    allocation — resolved once at call time; the stored key stays
+    valid across later catalog changes."""
+    base = shard_base_ids(sess)
+    for t in sess.catalog.tables().values():
+        if t.name not in base:
+            continue
+        if t.is_hash_distributed:
+            if base[t.name] <= int(shardid) < base[t.name] + t.buckets:
+                return (t.name, f"b{int(shardid) - base[t.name]}")
+            iso = getattr(t, "isolated", None) or {}
+            if int(shardid) in {int(s) for s in iso.values()}:
+                return (t.name, f"s{int(shardid)}")
+        elif t.is_reference and int(shardid) == base[t.name]:
+            return (t.name, "r")
+    raise ValueError(f"shard {shardid} does not exist")
+
+
 def _placement_map(sess) -> dict[int, list[int]]:
     """shardid → [groupid, ...]. Explicit entries (moves/copies) win;
     every other shard gets the deterministic round-robin default over
-    shouldhaveshards workers (groupid 0 = coordinator-only cluster)."""
-    explicit = getattr(sess, "_placements", None)
-    if explicit is None:
-        explicit = sess._placements = {}
+    shouldhaveshards workers (groupid 0 = coordinator-only cluster).
+    Explicit entries whose table left the catalog are ignored."""
+    explicit = _explicit_placements(sess)
     workers = _worker_nodes(sess)
     out: dict[int, list[int]] = {}
     base = shard_base_ids(sess)
     for t in sess.catalog.tables().values():
-        if t.is_hash_distributed:
-            ids = [base[t.name] + b for b in range(t.buckets)]
-            ids += [int(s) for s in (getattr(t, "isolated", None) or {}).values()]
-        elif t.is_reference:
-            ids = [base[t.name]]
-        else:
+        if t.name not in base:
             continue
-        for k, sid in enumerate(ids):
-            if sid in explicit:
-                out[sid] = list(explicit[sid])
+        for k, (label, off) in enumerate(_shard_labels(t)):
+            sid = int(off) if label.startswith("s") else base[t.name] + off
+            key = (t.name, label)
+            if key in explicit:
+                out[sid] = list(explicit[key])
             elif t.is_reference and workers:
                 # reference tables are replicated to every node
                 out[sid] = [n["groupid"] for n in workers]
@@ -161,16 +201,21 @@ def citus_move_shard_placement(
 ) -> None:
     src = _node_by_addr(sess, sname, sport)
     dst = _node_by_addr(sess, dname, dport)
-    cur = _placement_map(sess).get(int(shardid))
-    if cur is None:
-        raise ValueError(f"shard {shardid} does not exist")
+    key = _shard_key(sess, shardid)
+    cur = _placement_map(sess)[int(shardid)]
     if src["groupid"] not in cur:
         raise ValueError(
             f"shard {shardid} has no placement on {sname}:{sport}"
         )
-    new = [g for g in cur if g != src["groupid"]] + [dst["groupid"]]
-    # a move never duplicates a placement
-    sess._placements[int(shardid)] = list(dict.fromkeys(new))
+    if dst["groupid"] in cur:
+        # mirrors the reference's error — a silent dedup would drop a
+        # replica (and a same-node move must not no-op quietly)
+        raise ValueError(
+            f"shard {shardid} already exists on {dname}:{dport}"
+        )
+    _explicit_placements(sess)[key] = [
+        g for g in cur if g != src["groupid"]
+    ] + [dst["groupid"]]
 
 
 def citus_copy_shard_placement(
@@ -178,25 +223,32 @@ def citus_copy_shard_placement(
 ) -> None:
     _node_by_addr(sess, sname, sport)  # source must exist
     dst = _node_by_addr(sess, dname, dport)
-    cur = _placement_map(sess).get(int(shardid))
-    if cur is None:
-        raise ValueError(f"shard {shardid} does not exist")
+    key = _shard_key(sess, shardid)
+    cur = _placement_map(sess)[int(shardid)]
     if dst["groupid"] in cur:
         raise ValueError(
             f"shard {shardid} already has a placement on {dname}:{dport}"
         )
-    sess._placements[int(shardid)] = cur + [dst["groupid"]]
+    _explicit_placements(sess)[key] = cur + [dst["groupid"]]
 
 
 def citus_drain_node(sess, name: str, port: int) -> None:
+    """Move every placement OFF the node and mark it
+    shouldhaveshards=false. Shards not on the drained node keep their
+    exact pre-drain placement (snapshotted as explicit entries before
+    the flag flips — otherwise the default round-robin would silently
+    re-deal unrelated shards, and re-enabling the property alone would
+    undo the drain without a rebalance)."""
     node = _node_by_addr(sess, name, port)
+    snapshot = _placement_map(sess)  # BEFORE the flag flips
     node["shouldhaveshards"] = False
     targets = [
         n for n in _worker_nodes(sess) if n["groupid"] != node["groupid"]
     ]
-    placements = _placement_map(sess)
+    explicit = _explicit_placements(sess)
     k = 0
-    for sid, groups in sorted(placements.items()):
+    for sid, groups in sorted(snapshot.items()):
+        key = _shard_key(sess, sid)
         if node["groupid"] in groups:
             rest = [g for g in groups if g != node["groupid"]]
             if targets:
@@ -204,7 +256,9 @@ def citus_drain_node(sess, name: str, port: int) -> None:
                 k += 1
                 if cand not in rest:
                     rest.append(cand)
-            sess._placements[sid] = rest or [0]
+            explicit[key] = rest or [0]
+        else:
+            explicit[key] = list(groups)
 
 
 def citus_set_node_property(
@@ -327,13 +381,20 @@ def run_command_on_workers(sess, command: str) -> DataFrame:
     ).filter("nodename != ''")
 
 
-def run_command_on_all_nodes(sess, command: str) -> DataFrame:
-    coord = [getattr(sess, "_coordinator", None) or ("localhost", 5432)]
+def _coordinator_addr(sess) -> tuple[str, int]:
+    """The one coordinator resolution all fan-out surfaces share:
+    an explicit groupid-0 node wins, then citus_set_coordinator_host,
+    then the local default."""
     for n in getattr(sess, "_nodes", []) or []:
         if n.get("groupid") == 0:
-            coord = [(n["nodename"], int(n["nodeport"]))]
+            return (n["nodename"], int(n["nodeport"]))
+    coord = getattr(sess, "_coordinator", None)
+    return (coord[0], int(coord[1])) if coord else ("localhost", 5432)
+
+
+def run_command_on_all_nodes(sess, command: str) -> DataFrame:
     rows = []
-    targets = coord + [
+    targets = [_coordinator_addr(sess)] + [
         (n["nodename"], int(n["nodeport"]))
         for n in _worker_nodes(sess, only_should_have=False)
     ]
@@ -348,10 +409,11 @@ def run_command_on_all_nodes(sess, command: str) -> DataFrame:
 
 
 def run_command_on_coordinator(sess, command: str) -> DataFrame:
+    cname, cport = _coordinator_addr(sess)
     try:
-        rows = [("localhost", 5432, True, _first_cell(sess.sql(command)))]
+        rows = [(cname, cport, True, _first_cell(sess.sql(command)))]
     except Exception as exc:
-        rows = [("localhost", 5432, False, str(exc)[:200])]
+        rows = [(cname, cport, False, str(exc)[:200])]
     return sess.spark.createDataFrame(
         rows, "nodename string, nodeport int, success boolean, result string"
     )
@@ -388,8 +450,12 @@ def run_command_on_shards(sess, table: str, command: str) -> DataFrame:
             "__citus_shard"
         ).createOrReplaceTempView(view)
         try:
+            # literal token replacement (the reference substitutes the
+            # shard relation name the same way) — Python %-formatting
+            # would choke on any other % in the command
             rows.append(
-                (int(sid), True, _first_cell(sess.sql(command % view)))
+                (int(sid), True,
+                 _first_cell(sess.sql(command.replace("%s", view))))
             )
         except Exception as exc:
             rows.append((int(sid), False, str(exc)[:200]))
@@ -459,7 +525,7 @@ def master_get_table_ddl_events(sess, table: str) -> list[str]:
 
 
 def citus_check_cluster_node_health(sess) -> DataFrame:
-    nodes = [("localhost", 5432)] + [
+    nodes = [_coordinator_addr(sess)] + [
         (n["nodename"], int(n["nodeport"]))
         for n in _worker_nodes(sess, only_should_have=False)
     ]

@@ -126,9 +126,11 @@ class MgmtCall:
 
 def _parse_value(text: str) -> str | int | bool:
     text = text.strip()
-    m = re.match(r"^'([^']*)'$", text)
+    # doubled quotes are SQL escapes — load-bearing for the
+    # run_command_* functions, whose argument is arbitrary SQL text
+    m = re.match(r"^'((?:[^']|'')*)'$", text)
     if m:
-        return m.group(1)
+        return m.group(1).replace("''", "'")
     if re.match(r"^-?\d+$", text):
         return int(text)
     if text.lower() in ("true", "false"):

@@ -3726,39 +3726,49 @@ FROM orders
 # routing contract is value-exact even though the hash is not — EVERY
 # row carrying the value must live in the computed shard, so
 # n_in_shard == n_total, and the oracle knows n_total independently.
+# The check scopes rows with the _shard_label the physical layout
+# actually uses (the table's REAL dist_col — a re-hash of some other
+# column would be a tautology, hashing the same literal on both sides).
 def shard_routing_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from citus_spark import cluster
-    from citus_spark.session import register_views
+    from citus_spark.session import _shard_label, register_views
 
     s = register_views(spark, sf_dir)
     t = s.catalog.get("orders")
+    assert t.dist_col is not None
     base = cluster.shard_base_ids(s)["orders"]
-    df = s.spark.table("orders")
+    df = s.spark.table("orders").withColumn(
+        "__shard",
+        _shard_label(t.dist_col, t.buckets, getattr(t, "isolated", None)
+                     or {}),
+    )
     rows = []
     for v in (1, 5, 42, 100, 777):
         sid = cluster.get_shard_id_for_distribution_column(s, "orders", v)
         b = sid - base
         in_shard = df.filter(
-            (F.pmod(F.hash(F.col("o_custkey")), F.lit(t.buckets)) == b)
-            & (F.col("o_custkey") == v)
+            (F.col("__shard") == f"b{b}") & (F.col(t.dist_col) == v)
         ).count()
-        total = df.filter(F.col("o_custkey") == v).count()
+        total = df.filter(F.col(t.dist_col) == v).count()
         rows.append((v, int(in_shard), int(total)))
     return spark.createDataFrame(
-        rows, "custkey long, n_in_shard long, n_total long"
-    ).orderBy("custkey")
+        rows, "keyval long, n_in_shard long, n_total long"
+    ).orderBy("keyval")
+
+
+def _shard_routing_oracle() -> str:
+    # register_views distributes orders on o_orderkey
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({v} AS BIGINT) AS keyval, "
+        f"(SELECT count(*) FROM orders WHERE o_orderkey = {v}) "
+        f"AS n_in_shard, "
+        f"(SELECT count(*) FROM orders WHERE o_orderkey = {v}) AS n_total"
+        for v in (1, 5, 42, 100, 777)
+    ) + "\nORDER BY keyval"
 
 
 register_split(
-    "shard_routing_counts",
-    shard_routing_counts,
-    "\nUNION ALL\n".join(
-        f"SELECT CAST({v} AS BIGINT) AS custkey, "
-        f"(SELECT count(*) FROM orders WHERE o_custkey = {v}) AS n_in_shard, "
-        f"(SELECT count(*) FROM orders WHERE o_custkey = {v}) AS n_total"
-        for v in (1, 5, 42, 100, 777)
-    )
-    + "\nORDER BY custkey",
+    "shard_routing_counts", shard_routing_counts, _shard_routing_oracle()
 )

@@ -607,9 +607,11 @@ class DistributedSession:
         out = self._execute_mgmt_inner(query)
         call = self._last_mgmt_call
         if out is not None and call is not None and call.select_item == "1":
-            # `SELECT 1 FROM fn(...)`: the call ran for effect; the
-            # relation is the literal row, like PG
-            return self.spark.range(1).selectExpr("1")
+            # `SELECT 1 FROM fn(...)`: the call ran for effect; PG
+            # returns one literal row PER result row (scalar functions
+            # give one, set-returning ones — run_command_on_*,
+            # citus_rebalance_status, citus_job_list — give many)
+            return out.selectExpr("1")
         return out
 
     def _execute_mgmt_inner(self, query: str) -> DataFrame | None:
@@ -681,7 +683,12 @@ class DistributedSession:
                 return self.sql(rewritten)
             return None
         kw = call.kwargs
-        if call.fn == "create_distributed_table":
+        if call.fn in (
+            "create_distributed_table",
+            # no lock manager here — the concurrent spelling IS the
+            # plain one (↔ create_distributed_table_concurrently.c)
+            "create_distributed_table_concurrently",
+        ):
             name, dist_col = str(call.args[0]), str(
                 call.args[1] if len(call.args) > 1 else kw["distribution_column"]
             )
@@ -948,21 +955,6 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [(sid,)], "isolate_tenant_to_new_shard long"
             )
-        elif call.fn == "create_distributed_table_concurrently":
-            # no lock manager here — the concurrent spelling IS the
-            # plain one (↔ create_distributed_table_concurrently.c)
-            self.create_distributed_table(
-                str(call.args[0]),
-                self.spark.table(str(call.args[0])),
-                str(call.args[1] if len(call.args) > 1
-                    else kw["distribution_column"]),
-                buckets=int(kw.get("shard_count", self.shard_count)),
-                colocate_with=(
-                    None
-                    if kw.get("colocate_with") in (None, "default", "none")
-                    else str(kw["colocate_with"])
-                ),
-            )
         elif call.fn == "get_shard_id_for_distribution_column":
             from citus_spark import cluster
 
@@ -1147,9 +1139,15 @@ class DistributedSession:
                     f"{call.fn}: {name!r} is not a distributed table"
                 )
         elif call.fn == "citus_update_shard_statistics":
+            from citus_spark import cluster
+
             sid = int(call.args[0])
+            # resolve the owning table first — recomputing every
+            # table's shard stats to look up one shard would run one
+            # distributed count per catalog table
+            tbl, _label = cluster._shard_key(self, sid)
             row = [
-                r for r in self.citus_shards().collect()
+                r for r in self.citus_shards(only_table=tbl).collect()
                 if r.shardid == sid
             ]
             if not row:
@@ -3710,7 +3708,7 @@ END
             "distribution_column string, colocation_id int, shard_count int",
         )
 
-    def citus_shards(self) -> DataFrame:
+    def citus_shards(self, only_table: str | None = None) -> DataFrame:
         """↔ the reference's `citus_shards` view (a join over
         pg_dist_shard/pg_dist_placement with shard sizes): one row per
         shard. A hash-distributed table's shards here are its hash
@@ -3731,6 +3729,11 @@ END
         next_shard_id = 102008
         for t in self.catalog.tables().values():
             if not (t.is_hash_distributed or t.is_reference):
+                continue
+            if only_table is not None and t.name != only_table:
+                # id allocation must still walk the full catalog or the
+                # filtered view's shard ids would shift
+                next_shard_id += t.buckets if t.is_hash_distributed else 1
                 continue
             df = self.spark.table(t.name)
             nbytes = None

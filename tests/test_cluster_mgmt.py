@@ -252,3 +252,104 @@ def test_create_distributed_table_concurrently(sess):
     t = sess.catalog.get("customer")
     assert t is not None and t.is_hash_distributed
     assert t.dist_col == "c_custkey"
+
+
+# ------------------------------------------------ review-pass regressions
+def test_move_to_holder_rejected_and_no_silent_dedup(cluster_sess):
+    s = cluster_sess
+    sid = 102008
+    holder = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].groupid
+    src = "w1" if holder == 1 else "w2"
+    # moving onto the node that already holds it errors (reference
+    # semantics) — it must NOT silently drop a replica or no-op
+    with pytest.raises(ValueError, match="already exists"):
+        s.sql(
+            f"SELECT citus_move_shard_placement({sid}, '{src}', 5432, "
+            f"'{src}', 5432)"
+        )
+
+
+def test_run_command_on_shards_literal_percent(sess):
+    rows = sess.sql(
+        "SELECT run_command_on_shards('orders', "
+        "'SELECT count(*) FROM %s WHERE o_orderpriority LIKE ''1%''')"
+    ).collect()
+    assert all(r.success for r in rows)
+    total = sum(int(r.result) for r in rows)
+    expect = sess.spark.sql(
+        "SELECT count(*) AS c FROM orders WHERE o_orderpriority LIKE '1%'"
+    ).collect()[0].c
+    assert total == expect
+
+
+def test_run_command_quoted_literal_argument(cluster_sess):
+    rows = cluster_sess.sql(
+        "SELECT run_command_on_workers('SELECT ''x''')"
+    ).collect()
+    assert all(r.success and r.result == "x" for r in rows)
+
+
+def test_select_one_from_set_returning_fn(cluster_sess):
+    rows = cluster_sess.sql(
+        "SELECT 1 FROM run_command_on_workers('SELECT 1')"
+    ).collect()
+    assert len(rows) == 2  # one literal row PER worker, like PG
+
+
+def test_drain_moves_only_drained_shards(cluster_sess):
+    s = cluster_sess
+    before = {
+        r.shardid: r.groupid
+        for r in s.sql("SELECT * FROM pg_dist_placement").collect()
+    }
+    drained_group = 1
+    s.sql("SELECT citus_drain_node('w1', 5432)")
+    after = {
+        r.shardid: r.groupid
+        for r in s.sql("SELECT * FROM pg_dist_placement").collect()
+    }
+    for sid, g in before.items():
+        if g != drained_group:
+            assert after[sid] == g  # untouched
+        else:
+            assert after[sid] != drained_group
+    # re-enabling the property ALONE must not bring shards back —
+    # only a rebalance does (reference semantics)
+    s.sql("SELECT citus_set_node_property('w1', 5432, "
+          "'shouldhaveshards', true)")
+    still = s.sql(
+        "SELECT count(*) AS n FROM pg_dist_placement WHERE groupid = 1"
+    ).collect()[0].n
+    assert still == 0
+
+
+def test_placements_survive_catalog_mutation(cluster_sess):
+    s = cluster_sess
+    # distribute a second table AFTER orders so its ids come later
+    s.sql("SELECT create_distributed_table('customer', 'c_custkey')")
+    sid = s.sql(
+        "SELECT get_shard_id_for_distribution_column('customer', 1)"
+    ).collect()[0][0]
+    holder = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid}"
+    ).collect()[0].groupid
+    src = "w1" if holder == 1 else "w2"
+    dst = "w2" if src == "w1" else "w1"
+    s.sql(
+        f"SELECT citus_move_shard_placement({sid}, '{src}', 5432, "
+        f"'{dst}', 5432)"
+    )
+    want = 2 if dst == "w2" else 1
+    # undistributing an EARLIER catalog entry re-keys the derived
+    # shard ids; the explicit placement must follow its table
+    s.sql("SELECT undistribute_table('orders')")
+    sid2 = s.sql(
+        "SELECT get_shard_id_for_distribution_column('customer', 1)"
+    ).collect()[0][0]
+    assert sid2 != sid  # ids DID shift
+    g = s.sql(
+        f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid2}"
+    ).collect()[0].groupid
+    assert g == want  # the move followed the shard, not the stale id
