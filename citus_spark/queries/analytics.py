@@ -3772,3 +3772,99 @@ def _shard_routing_oracle() -> str:
 register_split(
     "shard_routing_counts", shard_routing_counts, _shard_routing_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-N rollup, batch-driven (↔ the reference's topn-JSONB
+# rollup pattern; streaming/topn_rollup.py runs the same step under
+# foreachBatch — batch≡stream equivalence is pytest-checked). Two
+# event_id-parity waves merge into a stored sketch-state table; the
+# finalized extraction is EXACT because event_type cardinality stays
+# within the sketch's slack*k capacity, so DuckDB re-derives the
+# heavy hitters value-for-value.
+def topn_stream_rollup(spark, sf_dir):
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.streaming.topn_rollup import (
+        apply_topn_batch,
+        read_topn_rollup,
+    )
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    d = tempfile.mkdtemp(prefix="citus_spark_topn_entry_")
+    state = _os.path.join(d, "state")
+    try:
+        for w in (0, 1):
+            apply_topn_batch(
+                spark, ev.filter(F.col("event_id") % 2 == w), state
+            )
+        return (
+            read_topn_rollup(spark, state)
+            .orderBy("window_start", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+register_split(
+    "topn_stream_rollup",
+    topn_stream_rollup,
+    """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type AS item,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, item, cnt,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY cnt DESC, item) AS INT) AS rank
+  FROM counts
+)
+SELECT window_start, item, cnt, rank
+FROM ranked WHERE rank <= 3
+ORDER BY window_start, rank
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average as a 16-tap FIR filter with
+# α = 1/2 — the smoothing pass a metrics/feature pipeline runs per
+# key. Exactness: every weight is a power of two, so each product is
+# an exponent shift (NO IEEE rounding), and the 16-term sum is written
+# in one fixed left-to-right order — bit-identical across engines
+# under any partitioning. The window is ROWS-bounded (16 lags in ONE
+# Window node), so the plan shuffles once on user_id and never builds
+# an unbounded frame. Total order (ts, event_id) — event_id is unique.
+_EWMA_TERMS = "\n     + ".join(
+    f"coalesce(lag(value, {k}) OVER w, CAST(0 AS DOUBLE)) * {0.5 ** k!r}"
+    for k in range(16)
+)
+
+_EWMA_SQL = f"""
+SELECT user_id, event_id,
+       {_EWMA_TERMS} AS ewma
+FROM events
+WHERE user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+register_split(
+    "ewma_fir_user_values",
+    lambda spark, sf_dir: (
+        __import__("citus_spark.queries", fromlist=["load_views"])
+        .load_views(spark, sf_dir),
+        spark.sql(_EWMA_SQL),
+    )[1],
+    _EWMA_SQL,
+)
