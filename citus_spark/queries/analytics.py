@@ -3868,3 +3868,46 @@ register_split(
     )[1],
     _EWMA_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise z-score outlier detection — the anomaly/normalization
+# pass a metrics or feature pipeline runs per key. Moments come from
+# the exact order-free fixed-point sums (DSUM), so mean/std are
+# bit-identical across engines and partitionings; the z expression and
+# sqrt are single correctly-rounded IEEE ops. Top outliers by |z| with
+# a total-order tie-break.
+def _zscore_sql() -> str:
+    from citus_spark.queries import DSUM
+
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {DSUM("value", "sv")},
+         {DSUM("value * value", "svv")}
+  FROM events
+  GROUP BY event_type
+), st AS (
+  SELECT event_type, n,
+         sv / n AS mean,
+         sqrt((svv - sv * sv / n) / (n - 1)) AS std
+  FROM s
+)
+SELECT e.event_id, e.event_type,
+       (e.value - st.mean) / st.std AS z
+FROM events e JOIN st USING (event_type)
+ORDER BY abs((e.value - st.mean) / st.std) DESC, e.event_id
+LIMIT 25
+"""
+
+
+register_split(
+    "zscore_outliers",
+    lambda spark, sf_dir: (
+        __import__("citus_spark.queries", fromlist=["load_views"])
+        .load_views(spark, sf_dir),
+        spark.sql(_zscore_sql()),
+    )[1],
+    _zscore_sql(),
+)

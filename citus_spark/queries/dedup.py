@@ -934,3 +934,55 @@ FROM recs r LEFT JOIN comp c ON r.cid = c.doc
 ORDER BY id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware duplicate-cluster canonical selection: the keep-best
+# policy a training pipeline actually runs (SemDeDup keeps ONE doc per
+# near-dup cluster; production keeps the HIGHEST-QUALITY member, not
+# the smallest id). Clusters = connected components over the LSH
+# candidate pairs; winner = max n_chars, doc_id tie-break. Oracle:
+# recursive-CTE transitive closure + the same deterministic
+# row_number. Singleton docs are trivially their own keep — the entry
+# returns multi-member clusters (the rows where the policy decides).
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from citus_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs)  # (doc_id, component)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    members = comps.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            "doc_id",
+            "n_chars",
+            (F.col("rk") == 1).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    closure = _components_oracle_sql().rsplit("SELECT doc AS doc_id", 1)[0]
+    return f"""{closure.rstrip()}, comp AS (
+  SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc
+)
+SELECT c.cluster_id, c.doc_id, d.n_chars,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id) = 1) AS keep
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.cluster_id, c.doc_id
+"""
+
+
+register_split(
+    "dedup_keep_best_quality", dedup_keep_best_quality, _keep_best_oracle()
+)
