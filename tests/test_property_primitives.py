@@ -104,4 +104,7 @@ def test_string_to_table_splits_verbatim(spark, text, sep):
         f"SELECT p FROM string_to_table({_sql_quote(text)}, "
         f"{_sql_quote(sep)}) AS t(p)"
     ).collect()
-    assert [r.p for r in rows] == text.split(sep)
+    # PG corner: the empty input string yields ZERO rows (mirroring
+    # string_to_array('') = {}); otherwise literal str.split semantics
+    want = [] if text == "" else text.split(sep)
+    assert [r.p for r in rows] == want

@@ -60,3 +60,31 @@ def test_distinct_on_fuzz_matches_duckdb(spark, duck, idx):
     _, s = df_to_rows(sdf.columns, srows)
     _, d = df_to_rows(dcols, drows)
     assert s == d, sql
+
+
+# Quantified-comparison differential fuzz: PG ANY/SOME/ALL spellings
+# through the front door vs DuckDB-dialect equivalents.
+from tools.query_gen import gen_quantified_suite
+
+QUANT_SUITE = gen_quantified_suite(seed=13, n=30)
+
+
+@pytest.mark.parametrize(
+    "idx",
+    range(len(QUANT_SUITE)),
+    ids=[f"quant{i:02d}" for i in range(len(QUANT_SUITE))],
+)
+def test_quantified_fuzz_matches_duckdb(spark, duck, idx):
+    from citus_spark.session import DistributedSession
+    from tools.oracle_check import df_to_rows
+
+    pg_sql, duck_sql = QUANT_SUITE[idx]
+    sess = DistributedSession(spark)
+    sess.load_tables(SF_SMALL)
+    sdf = sess.sql(pg_sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(duck_sql)
+    drows = res.fetchall()
+    _, s = df_to_rows(sdf.columns, srows)
+    _, d = df_to_rows([d0[0] for d0 in res.description], drows)
+    assert s == d, f"{pg_sql}\n-- vs --\n{duck_sql}"

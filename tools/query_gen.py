@@ -528,3 +528,67 @@ def gen_distinct_on_query(rng: random.Random) -> str:
 def gen_distinct_on_suite(seed: int = 7, n: int = 30) -> list[str]:
     rng = random.Random(seed)
     return [gen_distinct_on_query(rng) for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Quantified-comparison differential fuzz (round 6): PG spellings of
+# ANY/SOME/ALL over array literals and subqueries through the session
+# front door, vs a DuckDB-dialect translation (DuckDB takes quantified
+# subqueries verbatim but not PG '{...}' array-input literals — value
+# lists translate to IN / least-greatest bounds).
+_QUANT_OPS = ["=", "<>", "<", ">", "<=", ">="]
+
+
+def gen_quantified_query(rng: random.Random) -> tuple[str, str]:
+    col = rng.choice(["o_orderkey", "o_custkey"])
+    if rng.random() < 0.5:
+        # array-literal form
+        vals = sorted(rng.sample(range(0, 1500), k=rng.randint(2, 5)))
+        op = rng.choice(_QUANT_OPS)
+        quant = rng.choice(["ANY", "ALL"]) if op not in ("=", "<>") else (
+            "ANY" if op == "=" else "ALL"
+        )
+        lit = "{" + ",".join(str(v) for v in vals) + "}"
+        cast = "::int[]" if rng.random() < 0.5 else ""
+        pg_pred = f"{col} {op} {quant} ('{lit}'{cast})"
+        vs = ", ".join(str(v) for v in vals)
+        if op == "=":
+            duck_pred = f"{col} IN ({vs})"
+        elif op == "<>":
+            duck_pred = f"{col} NOT IN ({vs})"
+        else:
+            lo, hi = min(vals), max(vals)
+            bound = {
+                (">", "ANY"): f"{col} > {lo}",
+                (">=", "ANY"): f"{col} >= {lo}",
+                ("<", "ANY"): f"{col} < {hi}",
+                ("<=", "ANY"): f"{col} <= {hi}",
+                (">", "ALL"): f"{col} > {hi}",
+                (">=", "ALL"): f"{col} >= {hi}",
+                ("<", "ALL"): f"{col} < {lo}",
+                ("<=", "ALL"): f"{col} <= {lo}",
+            }
+            duck_pred = bound[(op, quant)]
+    else:
+        # subquery form — identical text both engines
+        bound = rng.randint(5, 60)
+        sub = (
+            f"SELECT c_custkey FROM customer WHERE c_custkey < {bound}"
+        )
+        if rng.random() < 0.5:
+            pg_pred = duck_pred = f"o_custkey = ANY ({sub})"
+        else:
+            pg_pred = duck_pred = f"o_custkey <> ALL ({sub})"
+    body = (
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "min(o_orderkey) AS mn, max(o_orderkey) AS mx "
+        "FROM orders WHERE "
+    )
+    return body + pg_pred, body + duck_pred
+
+
+def gen_quantified_suite(
+    seed: int = 13, n: int = 30
+) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    return [gen_quantified_query(rng) for _ in range(n)]
