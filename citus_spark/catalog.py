@@ -56,6 +56,11 @@ class TableDist:
     # {column: sequence_name} — INSERTs that omit the column draw a
     # block from the named session sequence
     identity: dict | None = None
+    # table constraints (↔ pg_constraint rows the reference leaves to
+    # PostgreSQL + the distribution rules in foreign_constraint.c):
+    # {conname: {"kind": "f"|"u"|"p"|"c", "cols", "reftable",
+    #            "refcols", "expr", "valid"}} — see plans/constraints.py
+    constraints: dict | None = None
     # isolated tenants (↔ reference isolate_tenant_to_new_shard,
     # operations/shard_split.c): {str(tenant_value): shard_id}. The
     # physical layout gives each isolated tenant its own storage

@@ -1,0 +1,510 @@
+"""Table constraints: FK / UNIQUE / PRIMARY KEY / CHECK.
+
+↔ reference src/backend/distributed/commands/foreign_constraint.c
+(ErrorIfUnsupportedForeignConstraintExists) and the
+multi_alter_table_statements / multi_foreign_key regress suites.
+
+The reference delegates row-level enforcement to PostgreSQL and adds
+one layer of its own: DISTRIBUTION rules — which constraint shapes are
+expressible on sharded tables at all. We reproduce both layers:
+
+- distribution rules fire at ADD CONSTRAINT time with the reference's
+  error shapes (unique keys must cover the distribution column;
+  foreign keys are legal only between colocated distributed tables on
+  the distribution column at the same ordinal, or from a distributed
+  table to a reference table — never FROM a reference/local table TO
+  a distributed one);
+- data validation runs as distributed Spark jobs (anti-join for FK,
+  two-phase groupBy for UNIQUE, a filter count for CHECK) — never a
+  driver-side scan, so the same statements hold at cluster scale;
+- write-path enforcement re-checks new rows on INSERT, the new image
+  on UPDATE, and inbound foreign keys on DELETE/UPDATE-of-key, with
+  PG's runtime error messages (distinct from the ALTER-time ones).
+
+Constraint state lives on the catalog entry (TableDist.constraints):
+    {name: {"kind": "f"|"u"|"p"|"c", "cols": [...], "reftable": str,
+            "refcols": [...], "expr": str, "valid": bool}}
+NOT VALID constraints skip existing-row validation (valid=False) but
+are still enforced for new writes, exactly like PostgreSQL; VALIDATE
+CONSTRAINT runs the deferred scan and flips the flag.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FK_DETAIL = (
+    "Foreign keys are supported in two cases, either in between two "
+    "colocated tables including partition column in the same ordinal "
+    "in the both tables or from distributed to reference tables"
+)
+
+
+def _store(entry) -> dict:
+    if entry.constraints is None:
+        entry.constraints = {}
+    return entry.constraints
+
+
+def _null_safe_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """FK MATCH SIMPLE: rows with ANY NULL key column always pass."""
+    out = df
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
+def _fk_violations(
+    child: DataFrame,
+    cols: list[str],
+    parent: DataFrame,
+    refcols: list[str],
+    broadcast_parent: bool,
+) -> int:
+    keys = parent.select(
+        *[F.col(rc).alias(c) for c, rc in zip(cols, refcols)]
+    ).dropDuplicates()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    return (
+        _null_safe_rows(child, cols)
+        .select(*cols)
+        .join(keys, on=cols, how="left_anti")
+        .limit(1)
+        .count()
+    )
+
+
+def _unique_violations(df: DataFrame, cols: list[str]) -> int:
+    # NULLs never conflict under UNIQUE (PG default NULLS DISTINCT)
+    return (
+        _null_safe_rows(df, cols)
+        .groupBy(*cols)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+
+
+def _check_violations(df: DataFrame, expr: str) -> int:
+    # a NULL check result passes (violation == expr IS FALSE)
+    return (
+        df.filter(F.expr(f"NOT coalesce(({expr}), true)"))
+        .limit(1)
+        .count()
+    )
+
+
+def _distribution_rules_unique(session, table: str, cols: list[str]):
+    entry = session.catalog.get(table)
+    if entry is not None and entry.is_hash_distributed:
+        if entry.dist_col not in cols:
+            raise ValueError(
+                f'cannot create constraint on "{table}"\n'
+                "DETAIL: Distributed relations cannot have UNIQUE, "
+                "EXCLUDE, or PRIMARY KEY constraints that do not "
+                "include the partition column (with an equality "
+                "operator if EXCLUDE)."
+            )
+
+
+def _distribution_rules_fk(
+    session, table: str, cols: list[str], reftable: str, refcols: list[str]
+):
+    child = session.catalog.get(table)
+    parent = session.catalog.get(reftable)
+    child_hash = child is not None and child.is_hash_distributed
+    parent_hash = parent is not None and parent.is_hash_distributed
+    if parent_hash and not child_hash:
+        raise ValueError(
+            "cannot create foreign key constraint since foreign keys "
+            "from reference tables and local tables to distributed "
+            "tables are not supported"
+        )
+    if child_hash and not parent_hash and not (
+        parent is not None and parent.is_reference
+    ):
+        raise ValueError(
+            "cannot create foreign key constraint since foreign keys "
+            "from distributed tables to local tables are not supported"
+        )
+    if child_hash and parent_hash:
+        colocated = session.catalog.colocated(table, reftable)
+        try:
+            same_ordinal = cols.index(child.dist_col) == refcols.index(
+                parent.dist_col
+            )
+        except ValueError:
+            same_ordinal = False
+        if not (colocated and same_ordinal):
+            raise ValueError(
+                f"cannot create foreign key constraint\nDETAIL: {_FK_DETAIL}"
+            )
+    if child_hash and parent is not None and parent.is_reference:
+        pass  # distributed → reference: always legal
+
+
+def _resolve_refcols(session, reftable: str, refcols: list[str] | None):
+    """Omitted column list → the referenced table's PRIMARY KEY;
+    explicit lists must match a recorded UNIQUE/PK (PG's rule)."""
+    pentry = session.catalog.get(reftable)
+    if pentry is None:
+        raise ValueError(f'relation "{reftable}" does not exist')
+    cons = pentry.constraints or {}
+    if refcols is None:
+        pks = [c for c in cons.values() if c["kind"] == "p"]
+        if not pks:
+            raise ValueError(
+                f'there is no unique constraint matching given keys '
+                f'for referenced table "{reftable}"'
+            )
+        return pentry, list(pks[0]["cols"])
+    if not any(
+        c["kind"] in ("p", "u") and sorted(c["cols"]) == sorted(refcols)
+        for c in cons.values()
+    ):
+        raise ValueError(
+            f'there is no unique constraint matching given keys '
+            f'for referenced table "{reftable}"'
+        )
+    return pentry, refcols
+
+
+def apply_alter(
+    session, entry, table: str, op: tuple, assume_empty: bool = False
+) -> str | None:
+    """Execute one parsed constraint action; returns a status tag or
+    None when `op` is not a constraint action. assume_empty skips the
+    existing-row scans (CREATE TABLE inline constraints — the relation
+    was just materialized empty); metadata rules still apply."""
+    kind = op[0]
+    if kind == "add_fk":
+        _, conname, cols, reftable, refcols, not_valid = op
+        if conname in _store(entry):
+            raise ValueError(
+                f'constraint "{conname}" for relation "{table}" '
+                "already exists"
+            )
+        pentry, refcols = _resolve_refcols(session, reftable, refcols)
+        if len(cols) != len(refcols):
+            raise ValueError(
+                "number of referencing and referenced columns for "
+                "foreign key disagree"
+            )
+        _distribution_rules_fk(session, table, cols, reftable, refcols)
+        spec = {
+            "kind": "f",
+            "cols": cols,
+            "reftable": reftable,
+            "refcols": refcols,
+            "valid": not not_valid,
+        }
+        if not not_valid and not assume_empty:
+            n = _fk_violations(
+                session._live_read(entry),
+                cols,
+                session._live_read(pentry),
+                refcols,
+                broadcast_parent=pentry.is_reference,
+            )
+            if n:
+                raise ValueError(
+                    f'insert or update on table "{table}" violates '
+                    f'foreign key constraint "{conname}"'
+                )
+        _store(entry)[conname] = spec
+        return "ALTER TABLE"
+    if kind == "add_unique":
+        _, conname, ckind, cols = op
+        if conname in _store(entry):
+            raise ValueError(
+                f'constraint "{conname}" for relation "{table}" '
+                "already exists"
+            )
+        _distribution_rules_unique(session, table, cols)
+        cur = session._live_read(entry)
+        missing = [c for c in cols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f'column "{missing[0]}" named in key does not exist'
+            )
+        if not assume_empty:
+            if ckind == "p":
+                nullable = cur
+                for c in cols:
+                    nullable = nullable.filter(F.col(c).isNotNull())
+                # PG: PK implies NOT NULL on every key column
+                if cur.count() != nullable.count():
+                    raise ValueError(
+                        f'column "{cols[0]}" of relation "{table}" '
+                        "contains null values"
+                    )
+            if _unique_violations(cur, cols):
+                raise ValueError(
+                    f'could not create unique index "{conname}"'
+                )
+        _store(entry)[conname] = {"kind": ckind, "cols": cols, "valid": True}
+        return "ALTER TABLE"
+    if kind == "add_check":
+        _, conname, expr, not_valid = op
+        if conname in _store(entry):
+            raise ValueError(
+                f'constraint "{conname}" for relation "{table}" '
+                "already exists"
+            )
+        if not not_valid and not assume_empty:
+            if _check_violations(session._live_read(entry), expr):
+                raise ValueError(
+                    f'check constraint "{conname}" of relation '
+                    f'"{table}" is violated by some row'
+                )
+        _store(entry)[conname] = {
+            "kind": "c",
+            "expr": expr,
+            "valid": not not_valid,
+        }
+        return "ALTER TABLE"
+    if kind == "drop_constraint":
+        _, conname, if_exists = op
+        if conname not in (entry.constraints or {}):
+            if if_exists:
+                return "ALTER TABLE (constraint did not exist, skipping)"
+            raise ValueError(
+                f'constraint "{conname}" of relation "{table}" '
+                "does not exist"
+            )
+        # a UNIQUE/PK another table's FK points at cannot be dropped
+        spec = entry.constraints[conname]
+        if spec["kind"] in ("p", "u"):
+            for other, oentry in session.catalog.tables().items():
+                for oc, ospec in (oentry.constraints or {}).items():
+                    if (
+                        ospec["kind"] == "f"
+                        and ospec["reftable"] == table
+                        and sorted(ospec["refcols"]) == sorted(spec["cols"])
+                    ):
+                        raise ValueError(
+                            f'cannot drop constraint {conname} on table '
+                            f'{table} because constraint {oc} on table '
+                            f"{other} depends on it"
+                        )
+        del entry.constraints[conname]
+        return "ALTER TABLE"
+    if kind == "validate_constraint":
+        _, conname = op
+        spec = (entry.constraints or {}).get(conname)
+        if spec is None:
+            raise ValueError(
+                f'constraint "{conname}" of relation "{table}" '
+                "does not exist"
+            )
+        if not spec["valid"]:
+            if spec["kind"] == "f":
+                pentry = session.catalog.get(spec["reftable"])
+                n = _fk_violations(
+                    session._live_read(entry),
+                    spec["cols"],
+                    session._live_read(pentry),
+                    spec["refcols"],
+                    broadcast_parent=pentry.is_reference,
+                )
+                if n:
+                    raise ValueError(
+                        f'insert or update on table "{table}" violates '
+                        f'foreign key constraint "{conname}"'
+                    )
+            elif spec["kind"] == "c":
+                if _check_violations(
+                    session._live_read(entry), spec["expr"]
+                ):
+                    raise ValueError(
+                        f'check constraint "{conname}" of relation '
+                        f'"{table}" is violated by some row'
+                    )
+            spec["valid"] = True
+        return "ALTER TABLE"
+    return None
+
+
+# --- write-path enforcement -------------------------------------------------
+
+
+def enforce_insert(
+    session, entry, table: str, new_rows: DataFrame, skip_unique=False
+) -> None:
+    """Re-check every constraint against rows about to be appended.
+    CHECK/FK look at the new rows only; UNIQUE needs new-vs-existing
+    plus new-vs-new (skipped under ON CONFLICT, whose action resolves
+    key collisions itself). NOT VALID constraints still apply (PG
+    enforces them for new writes — only the existing scan deferred)."""
+    for conname, spec in (entry.constraints or {}).items():
+        if skip_unique and spec["kind"] in ("p", "u"):
+            continue
+        if spec["kind"] == "c":
+            if _check_violations(new_rows, spec["expr"]):
+                raise ValueError(
+                    f'new row for relation "{table}" violates check '
+                    f'constraint "{conname}"'
+                )
+        elif spec["kind"] == "f":
+            pentry = session.catalog.get(spec["reftable"])
+            if pentry is None:
+                continue
+            if _fk_violations(
+                new_rows,
+                spec["cols"],
+                session._live_read(pentry),
+                spec["refcols"],
+                broadcast_parent=pentry.is_reference,
+            ):
+                raise ValueError(
+                    f'insert or update on table "{table}" violates '
+                    f'foreign key constraint "{conname}"'
+                )
+        elif spec["kind"] in ("p", "u"):
+            cols = spec["cols"]
+            if spec["kind"] == "p":
+                nn = _null_safe_rows(new_rows, cols)
+                if new_rows.count() != nn.count():
+                    raise ValueError(
+                        f'null value in column "{cols[0]}" of relation '
+                        f'"{table}" violates not-null constraint'
+                    )
+            combined = session._live_read(entry).select(*cols).unionByName(
+                new_rows.select(*cols)
+            )
+            if _unique_violations(combined, cols):
+                raise ValueError(
+                    f"duplicate key value violates unique constraint "
+                    f'"{conname}"'
+                )
+
+
+def enforce_update(
+    session, entry, table: str, new_image: DataFrame, assigned: list[str]
+) -> None:
+    """CHECK constraints re-judge the updated image; FK re-checks only
+    when an FK column was assigned; UNIQUE/PK re-check when a key
+    column was assigned (over the FULL post-update image — an update
+    can collide two previously distinct keys)."""
+    touched = set(assigned)
+    for conname, spec in (entry.constraints or {}).items():
+        if spec["kind"] == "c":
+            if _check_violations(new_image, spec["expr"]):
+                raise ValueError(
+                    f'new row for relation "{table}" violates check '
+                    f'constraint "{conname}"'
+                )
+        elif spec["kind"] == "f" and touched & set(spec["cols"]):
+            pentry = session.catalog.get(spec["reftable"])
+            if pentry is None:
+                continue
+            if _fk_violations(
+                new_image,
+                spec["cols"],
+                session._live_read(pentry),
+                spec["refcols"],
+                broadcast_parent=pentry.is_reference,
+            ):
+                raise ValueError(
+                    f'insert or update on table "{table}" violates '
+                    f'foreign key constraint "{conname}"'
+                )
+
+
+def enforce_unique_post_update(
+    session, entry, table: str, full_result: DataFrame, assigned: list[str]
+) -> None:
+    touched = set(assigned)
+    for conname, spec in (entry.constraints or {}).items():
+        if spec["kind"] in ("p", "u") and touched & set(spec["cols"]):
+            if _unique_violations(full_result, spec["cols"]):
+                raise ValueError(
+                    f"duplicate key value violates unique constraint "
+                    f'"{conname}"'
+                )
+
+
+def _inbound_fks(session, table: str):
+    for other, oentry in session.catalog.tables().items():
+        for oc, ospec in (oentry.constraints or {}).items():
+            if ospec["kind"] == "f" and ospec["reftable"] == table:
+                yield other, oentry, oc, ospec
+
+
+def enforce_delete(
+    session, entry, table: str, remaining: DataFrame
+) -> None:
+    """RESTRICT / NO ACTION semantics for inbound foreign keys: after
+    the delete (or a key-column update), every child row must still
+    find its parent among the REMAINING rows. The parser already
+    rejects CASCADE / SET NULL actions, so this is the only behavior."""
+    for other, oentry, oc, ospec in _inbound_fks(session, table):
+        if _fk_violations(
+            session._live_read(oentry),
+            ospec["cols"],
+            remaining,
+            ospec["refcols"],
+            broadcast_parent=entry.is_reference,
+        ):
+            raise ValueError(
+                f'update or delete on table "{table}" violates foreign '
+                f'key constraint "{oc}" on table "{other}"'
+            )
+
+
+def has_inbound_fks(session, table: str) -> list[str]:
+    return [
+        f"constraint {oc} on table {other}"
+        for other, _e, oc, _s in _inbound_fks(session, table)
+    ]
+
+
+def guard_parent_column_change(session, table: str, col: str, renamed_to=None):
+    """A column other tables' foreign keys reference cannot be
+    dropped; a rename propagates into their stored refcols."""
+    for other, _oentry, oc, ospec in _inbound_fks(session, table):
+        if col in ospec["refcols"]:
+            if renamed_to is None:
+                raise ValueError(
+                    f'cannot drop column "{col}" of relation "{table}" '
+                    f'because constraint "{oc}" on table "{other}" '
+                    "depends on it"
+                )
+            ospec["refcols"] = [
+                renamed_to if c == col else c for c in ospec["refcols"]
+            ]
+
+
+def guard_column_change(entry, table: str, col: str, renamed_to=None):
+    """DROP COLUMN under a dependent constraint errors (PG needs
+    CASCADE, which we don't model); RENAME COLUMN propagates into
+    stored column lists but cannot safely rewrite a textual CHECK
+    expression — reject when the column name appears there."""
+    for conname, spec in (entry.constraints or {}).items():
+        in_cols = col in spec.get("cols", ())
+        in_check = spec["kind"] == "c" and re.search(
+            rf"\b{re.escape(col)}\b", spec["expr"]
+        )
+        if renamed_to is None:
+            if in_cols or in_check:
+                raise ValueError(
+                    f'cannot drop column "{col}" of relation "{table}" '
+                    f'because constraint "{conname}" depends on it'
+                )
+        else:
+            if in_check:
+                raise ValueError(
+                    f'cannot rename column "{col}" of relation '
+                    f'"{table}": check constraint "{conname}" '
+                    "references it textually — drop and re-add the "
+                    "constraint"
+                )
+            if in_cols:
+                spec["cols"] = [
+                    renamed_to if c == col else c for c in spec["cols"]
+                ]

@@ -9,10 +9,13 @@
     CREATE INDEX ON companies (...);
 
 Spark mapping: CREATE TABLE parses the column list into a Spark
-schema (PG type names mapped below; constraints like PRIMARY KEY /
-NOT NULL / DEFAULT are accepted and recorded as advisory — Spark
-enforces none of them, same as the reference's shards ultimately
-trusting the coordinator), materializes an EMPTY parquet relation on
+schema (PG type names mapped below). PRIMARY KEY / UNIQUE /
+REFERENCES / CHECK — inline or table-level — parse into the same op
+tuples ALTER TABLE ADD CONSTRAINT produces and register as REAL
+constraints (plans/constraints.py: distribution rules, distributed
+validation, write-path enforcement); NOT NULL / DEFAULT remain
+advisory on existing relations. CREATE TABLE materializes an EMPTY
+parquet relation on
 writable storage, and registers it in the catalog so COPY / INSERT /
 create_distributed_table compose. DROP TABLE removes the view and
 catalog entry. CREATE EXTENSION citus, CREATE INDEX, and bare
@@ -144,6 +147,11 @@ def parse_alter_table(sql: str):
     if not m:
         return None
     name, action = m.group("name"), m.group("action").strip()
+    # constraint actions first — the ADD-COLUMN regex would otherwise
+    # read "ADD CONSTRAINT pos CHECK (..)" as a column named CONSTRAINT
+    con = _parse_constraint_action(action)
+    if con is not None:
+        return name, con
     am = re.match(
         r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
         r"([A-Za-z_]\w*)\s+(.+?)"
@@ -177,23 +185,169 @@ def parse_alter_table(sql: str):
         return name, ("rename_table", rt.group(1))
     raise NotImplementedError(
         f"ALTER TABLE: unsupported action {action[:60]!r} (supported: "
-        "ADD/DROP/RENAME COLUMN, RENAME TO)"
+        "ADD/DROP/RENAME COLUMN, RENAME TO, ADD/DROP/VALIDATE CONSTRAINT)"
     )
+
+
+def _cols(text: str) -> list[str]:
+    return [c.strip() for c in text.split(",")]
+
+
+def _parse_constraint_action(action: str):
+    """Constraint actions (↔ reference foreign_constraint.c /
+    relation DDL propagation). Referential actions other than
+    NO ACTION / RESTRICT are rejected loudly (no row-cascade engine
+    here — silently accepting ON DELETE CASCADE would diverge)."""
+    fk = re.match(
+        r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+FOREIGN\s+KEY\s*"
+        r"\(([^)]+)\)\s*REFERENCES\s+([A-Za-z_][\w.]*)\s*"
+        r"(?:\(([^)]+)\))?\s*(?P<act>(?:ON\s+(?:DELETE|UPDATE)\s+"
+        r"(?:NO\s+ACTION|RESTRICT|CASCADE|SET\s+NULL|SET\s+DEFAULT)\s*)*)"
+        r"(?P<nv>NOT\s+VALID)?$",
+        action, re.I,
+    )
+    if fk:
+        acts = fk.group("act") or ""
+        if re.search(r"CASCADE|SET\s+NULL|SET\s+DEFAULT", acts, re.I):
+            raise NotImplementedError(
+                "FOREIGN KEY referential actions CASCADE/SET NULL/SET "
+                "DEFAULT are not supported (no row-cascade engine) — "
+                "use NO ACTION/RESTRICT"
+            )
+        return (
+            "add_fk",
+            fk.group(1),
+            _cols(fk.group(2)),
+            fk.group(3),
+            _cols(fk.group(4)) if fk.group(4) else None,
+            bool(fk.group("nv")),
+        )
+    uq = re.match(
+        r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+"
+        r"(UNIQUE|PRIMARY\s+KEY)\s*\(([^)]+)\)$",
+        action, re.I,
+    )
+    if uq:
+        kind = "p" if uq.group(2).upper().startswith("PRIMARY") else "u"
+        return ("add_unique", uq.group(1), kind, _cols(uq.group(3)))
+    ck = re.match(
+        r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)\s*"
+        r"(?P<nv>NOT\s+VALID)?$",
+        action, re.I | re.S,
+    )
+    if ck:
+        expr = ck.group("expr").strip()
+        if expr.count("(") != expr.count(")"):
+            # the greedy group swallowed the trailing NOT VALID paren
+            # mismatch — reparse is not worth it; reject loudly
+            raise ValueError(f"CHECK expression unbalanced: {expr!r}")
+        return ("add_check", ck.group(1), expr, bool(ck.group("nv")))
+    dc = re.match(
+        r"DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"\s*(?:CASCADE|RESTRICT)?$",
+        action, re.I,
+    )
+    if dc:
+        return ("drop_constraint", dc.group(2), bool(dc.group(1)))
+    vc = re.match(r"VALIDATE\s+CONSTRAINT\s+([A-Za-z_]\w*)$", action, re.I)
+    if vc:
+        return ("validate_constraint", vc.group(1))
+    return None
+
+
+def _default_conname(table: str, op: tuple) -> str:
+    """PG's auto-generated constraint names."""
+    if op[0] == "add_unique":
+        if op[2] == "p":
+            return f"{table}_pkey"
+        return f"{table}_{'_'.join(op[3])}_key"
+    if op[0] == "add_fk":
+        return f"{table}_{op[2][0]}_fkey"
+    return f"{table}_check"
+
+
+def _table_constraint_op(table: str, item: str):
+    """A table-level constraint item from a CREATE TABLE column list →
+    the same op tuple ALTER TABLE ADD CONSTRAINT produces."""
+    item = item.strip().rstrip(",")
+    cn = re.match(r"CONSTRAINT\s+([A-Za-z_]\w*)\s+(.+)$", item, re.I | re.S)
+    name, rest = (cn.group(1), cn.group(2)) if cn else (None, item)
+    if re.match(r"EXCLUDE\b", rest, re.I):
+        raise NotImplementedError("EXCLUDE constraints are not supported")
+    op = _parse_constraint_action(
+        f"ADD CONSTRAINT {name or '__tmp__'} {rest.strip()}"
+    )
+    if op is None:
+        raise ValueError(
+            f"CREATE TABLE: cannot parse table constraint {item!r}"
+        )
+    if name is None:
+        op = (op[0], _default_conname(table, op)) + op[2:]
+    return op
+
+
+def _balanced_paren_body(text: str, open_idx: int) -> str:
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i]
+    raise ValueError(f"unbalanced parentheses in {text!r}")
+
+
+def _column_constraint_ops(table: str, col: str, item: str) -> list[tuple]:
+    """Column-level PRIMARY KEY / UNIQUE / REFERENCES / CHECK
+    attributes → op tuples. NOT NULL stays advisory (PG models it
+    outside pg_constraint too)."""
+    ops: list[tuple] = []
+    if re.search(
+        r"ON\s+(?:DELETE|UPDATE)\s+(?:CASCADE|SET\s+(?:NULL|DEFAULT))",
+        item, re.I,
+    ):
+        raise NotImplementedError(
+            "FOREIGN KEY referential actions CASCADE/SET NULL/SET "
+            "DEFAULT are not supported (no row-cascade engine) — "
+            "use NO ACTION/RESTRICT"
+        )
+    if re.search(r"\bPRIMARY\s+KEY\b", item, re.I):
+        ops.append(("add_unique", f"{table}_pkey", "p", [col]))
+    elif re.search(r"\bUNIQUE\b", item, re.I):
+        ops.append(("add_unique", f"{table}_{col}_key", "u", [col]))
+    fk = re.search(
+        r"\bREFERENCES\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]+)\))?", item, re.I
+    )
+    if fk:
+        ops.append((
+            "add_fk", f"{table}_{col}_fkey", [col], fk.group(1),
+            _cols(fk.group(2)) if fk.group(2) else None, False,
+        ))
+    ck = re.search(r"\bCHECK\s*\(", item, re.I)
+    if ck:
+        expr = _balanced_paren_body(item, item.index("(", ck.start()))
+        ops.append(("add_check", f"{table}_{col}_check", expr.strip(), False))
+    return ops
 
 
 def parse_create_table(sql: str):
     """→ (table, spark-DDL schema string, if_not_exists,
-    [(identity_col, explicit_seq|None, start, inc), ...]), or None."""
+    [(identity_col, explicit_seq|None, start, inc), ...],
+    [constraint op tuples]), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
     m = _CREATE.match(sql)
     if not m:
         return None
+    table = m.group("name")
     cols = []
     identities: list[tuple[str, str | None, int, int]] = []
+    con_ops: list[tuple] = []
     for item in _split_columns(m.group("body")):
         if _TABLE_CONSTRAINT.match(item):
-            continue  # advisory in this engine (see module docstring)
+            con_ops.append(_table_constraint_op(table, item))
+            continue
         ident = identity_of(item)
         if ident is not None:
             identities.append(ident)
@@ -207,10 +361,11 @@ def parse_create_table(sql: str):
         if not cm:
             raise ValueError(f"CREATE TABLE: cannot parse column {item!r}")
         cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
+        con_ops.extend(_column_constraint_ops(table, cm.group(1), item))
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
-    return m.group("name"), ", ".join(cols), ine, identities
+    return table, ", ".join(cols), ine, identities, con_ops
 
 
 # ---------------------------------------------------------------------------

@@ -424,12 +424,15 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "audio_decode_roundtrip", "video_decode_frame_stats",
     "theta_ndv_by_source", "theta_intersection_sources", "sequence_pack",
     "domain_mix_weights", "python_udtf_ngrams",
-    # CORRECTNESS_r05.json (50/50 green)
+    # CORRECTNESS_r05.json (49/50 green; pg_subscript_textual ERRORED
+    # in the driver's hasher — its old form returned an array<float>
+    # column the pandas factorize path can't hash. Scalar-ized in
+    # analytics.py and re-queued into the verify window.)
     "pg_distinct_on_textual", "pg_regex_operators",
     "txlog_two_table_atomic", "pg_generate_series_join",
     "pg_json_operators", "merge_general_form", "insert_on_conflict_rollup",
     "pg_fetch_first_textual", "pg_similar_to_textual",
-    "pg_with_ties_textual", "pg_jsonpath_textual", "pg_subscript_textual",
+    "pg_with_ties_textual", "pg_jsonpath_textual",
     "schema_sharded_tenants", "pg_date_bin_rollup",
     "behavioral_funnel_chain", "sql_function_textual", "pg_to_char_rollup",
     "pg_unnest_tokens", "modifying_cte_archive", "text_search_rank",

@@ -2608,10 +2608,15 @@ ORDER BY event_id
 # PG 1-based array subscripts + inclusive slices under pg_compat
 # (plans/rewrites.pg_subscripts ↔ reference subscripting_op.sql).
 # DuckDB's native bracket subscripting IS PG's (1-based, inclusive
-# ends) → the oracle keeps the original spelling verbatim.
+# ends) → the oracle keeps the original spelling verbatim. The
+# chained form slice[k] pins BOTH slice bounds positionally
+# (slice_mid == embedding[3], slice_last == embedding[4]) while
+# keeping every output column scalar — the driver's value hasher
+# cannot hash array columns (r5: `unhashable type: 'list'`).
 _PG_SUBSCRIPT_SQL = """
 SELECT vec_id, embedding[1] AS first_dim,
-       embedding[2:4] AS dims_2_to_4
+       embedding[2:4][2] AS slice_mid,
+       embedding[2:4][3] AS slice_last
 FROM embeddings
 WHERE vec_id < 50
 ORDER BY vec_id
@@ -3656,11 +3661,16 @@ register_split(
 
 # array_agg(DISTINCT x ORDER BY x) — PG allows DISTINCT with ORDER BY
 # only when the sort key is the aggregated expression; DuckDB supports
-# the same spelling natively, so the oracle is near-verbatim.
+# the same spelling natively, so the oracle is near-verbatim. The
+# array_agg result is folded through array_to_string so every output
+# column stays scalar (the driver's value hasher cannot hash array
+# cells — r5's pg_subscript_textual lesson); element order inside the
+# string still pins the ORDER BY semantics.
 _PG_AGG_DISTINCT_SQL = """
 SELECT source,
-       array_agg(DISTINCT lang ORDER BY lang)      AS langs,
-       string_agg(DISTINCT lang, ',' ORDER BY lang) AS lang_csv
+       array_to_string(
+         array_agg(DISTINCT lang ORDER BY lang), '|') AS langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang)   AS lang_csv
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -3668,8 +3678,9 @@ ORDER BY source
 
 _PG_AGG_DISTINCT_ORACLE = """
 SELECT source,
-       array_agg(DISTINCT lang ORDER BY lang)       AS langs,
-       string_agg(DISTINCT lang, ',' ORDER BY lang) AS lang_csv
+       array_to_string(
+         array_agg(DISTINCT lang ORDER BY lang), '|') AS langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang)   AS lang_csv
 FROM documents
 GROUP BY source
 ORDER BY source

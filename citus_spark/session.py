@@ -224,6 +224,36 @@ class DistributedSession:
             entry.path = prior.path
             entry.columnar = prior.columnar
             entry.time_partitioning = prior.time_partitioning
+            entry.identity = prior.identity
+            entry.constraints = prior.constraints
+        # distribution rules re-judge every constraint now that the
+        # table is hash-distributed (↔ create_distributed_table.c
+        # erroring on non-dist-col unique keys / unsupported FKs);
+        # the catalog reverts on failure so a rejected distribute
+        # leaves the local table intact
+        try:
+            from citus_spark.plans import constraints as _cons
+
+            for cn, spec in (entry.constraints or {}).items():
+                if spec["kind"] in ("p", "u"):
+                    _cons._distribution_rules_unique(
+                        self, name, spec["cols"]
+                    )
+                elif spec["kind"] == "f":
+                    _cons._distribution_rules_fk(
+                        self, name, spec["cols"], spec["reftable"],
+                        spec["refcols"],
+                    )
+            for _t, _e, _c, ospec in _cons._inbound_fks(self, name):
+                _cons._distribution_rules_fk(
+                    self, _t, ospec["cols"], name, ospec["refcols"]
+                )
+        except Exception:
+            if prior is not None:
+                self.catalog._tables[name] = prior
+            else:
+                self.catalog.unregister(name)
+            raise
         out = df.repartition(buckets, F.col(dist_col))
         out.createOrReplaceTempView(name)
         return out
@@ -285,7 +315,15 @@ class DistributedSession:
         however large. (Catalyst ignores the hint where broadcasting
         is illegal, e.g. the preserved side of an outer join — the
         same cases where the reference, too, must fall back.)"""
-        self.catalog.register(name, DIST_REFERENCE)
+        prior = self.catalog.get(name)
+        entry = self.catalog.register(name, DIST_REFERENCE)
+        if prior is not None:
+            # converting an existing relation keeps its physical and
+            # constraint metadata (same as the distribute path)
+            entry.path = prior.path
+            entry.columnar = prior.columnar
+            entry.identity = prior.identity
+            entry.constraints = prior.constraints
         df.hint("broadcast").createOrReplaceTempView(name)
         return df
 
@@ -1937,7 +1975,7 @@ class DistributedSession:
             )
         created = parse_create_table(query)
         if created is not None:
-            name, ddl_schema, if_not_exists, identities = created
+            name, ddl_schema, if_not_exists, identities, con_ops = created
             if self.catalog.get(name) is not None:
                 if if_not_exists:
                     return self.spark.createDataFrame(
@@ -1974,6 +2012,16 @@ class DistributedSession:
                         )
                     ident_map[col] = seqname
                 entry.identity = ident_map
+            if con_ops:
+                # inline PK/UNIQUE/FK/CHECK register through the same
+                # executor ALTER TABLE ADD CONSTRAINT uses (validation
+                # over the empty relation is trivially green)
+                from citus_spark.plans import constraints as _cons
+
+                for op in con_ops:
+                    _cons.apply_alter(
+                        self, entry, name, op, assume_empty=True
+                    )
             self.stat_statements.record(query, None, executor="utility")
             return self.spark.createDataFrame(
                 [("CREATE TABLE",)], "status string"
@@ -1990,6 +2038,16 @@ class DistributedSession:
             entry = self.catalog.get(name)
             if entry is None:
                 return None  # not ours — Spark may own the relation
+            from citus_spark.plans import constraints as _cons
+
+            con_tag = _cons.apply_alter(self, entry, name, op)
+            if con_tag is not None:
+                # constraint actions validate distributedly but never
+                # rewrite storage — no writable-fixture guard needed
+                self.stat_statements.record(query, None, executor="utility")
+                return self.spark.createDataFrame(
+                    [(con_tag,)], "status string"
+                )
             if op[0] != "rename_table":
                 # column changes rewrite storage — fixture guard applies
                 entry = self._writable_entry(name, "ALTER TABLE")
@@ -2005,10 +2063,14 @@ class DistributedSession:
             elif op[0] == "drop":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
+                _cons.guard_column_change(entry, name, op[1])
+                _cons.guard_parent_column_change(self, name, op[1])
                 new = cur.drop(op[1])
             elif op[0] == "rename_col":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
+                _cons.guard_column_change(entry, name, op[1], op[2])
+                _cons.guard_parent_column_change(self, name, op[1], op[2])
                 new = cur.withColumnRenamed(op[1], op[2])
             else:  # rename_table
                 new_name = op[1]
@@ -2042,6 +2104,14 @@ class DistributedSession:
                         [("DROP TABLE skipped: unknown",)], "status string"
                     )
                 return None  # not ours — Spark's catalog may own it
+            from citus_spark.plans import constraints as _cons2
+
+            deps = _cons2.has_inbound_fks(self, name)
+            if deps:
+                raise ValueError(
+                    f"cannot drop table {name} because other objects "
+                    f"depend on it\nDETAIL: {'; '.join(deps)}"
+                )
             # owned (serial/IDENTITY) sequences drop with the table —
             # a re-created table restarts its numbering (PG ownership)
             for seq in (entry.identity or {}).values():
@@ -2136,6 +2206,15 @@ class DistributedSession:
                     F.col(c).cast(schema[c].dataType).alias(c)
                     for c in t_cols
                 ])
+        if entry.constraints:
+            from citus_spark.plans import constraints as _cons
+
+            # under ON CONFLICT the conflict action resolves key
+            # collisions itself; CHECK and outbound FK still apply
+            _cons.enforce_insert(
+                self, entry, stmt.table, aligned,
+                skip_unique=stmt.on_conflict is not None,
+            )
         n = aligned.count()
         returned = None
         if stmt.on_conflict is None:
@@ -2572,6 +2651,34 @@ class DistributedSession:
                 "__citus_affected"
             )
             result = new_image.drop("__citus_affected")
+        if entry.constraints or any(
+            e.constraints for e in self.catalog.tables().values()
+        ):
+            from citus_spark.plans import constraints as _cons
+
+            if stmt.kind == "delete":
+                # inbound FKs: every child row must still find its
+                # parent among the surviving rows (RESTRICT/NO ACTION)
+                _cons.enforce_delete(self, entry, stmt.table, result)
+            else:
+                assigned_cols = [c for c, _ in stmt.assignments]
+                _cons.enforce_update(
+                    self, entry, stmt.table, affected_rows, assigned_cols
+                )
+                _cons.enforce_unique_post_update(
+                    self, entry, stmt.table, result, assigned_cols
+                )
+                # updating a column other tables reference re-checks
+                # those children against the post-update key set
+                inbound_refcols = {
+                    c
+                    for _t, _e, _c, ospec in _cons._inbound_fks(
+                        self, stmt.table
+                    )
+                    for c in ospec["refcols"]
+                }
+                if inbound_refcols & set(assigned_cols):
+                    _cons.enforce_delete(self, entry, stmt.table, result)
         returned = (
             self._stage_returning(affected_rows, stmt.returning)
             if stmt.returning

@@ -64,13 +64,17 @@ def test_create_table_rejects_unknown_type(spark):
         s.sql("CREATE TABLE bad (g geometry)")
 
 
-def test_table_constraints_skipped(spark):
+def test_table_constraints_registered(spark):
+    # inline constraints are REAL since round 6 (plans/constraints.py):
+    # they register in the catalog and a column-level REFERENCES to a
+    # missing relation errors like PG
     s = DistributedSession(spark)
+    s.sql("CREATE TABLE companies_ddl (id bigint PRIMARY KEY, name text)")
     s.sql(
         """
         CREATE TABLE orders_ddl (
           id bigint,
-          cust bigint REFERENCES companies (id),
+          cust bigint REFERENCES companies_ddl (id),
           total numeric,
           PRIMARY KEY (id),
           UNIQUE (cust, id),
@@ -81,7 +85,18 @@ def test_table_constraints_skipped(spark):
     assert dict(spark.table("orders_ddl").dtypes) == {
         "id": "bigint", "cust": "bigint", "total": "decimal(38,18)",
     }
+    cons = s.catalog.get("orders_ddl").constraints
+    kinds = sorted(c["kind"] for c in cons.values())
+    assert kinds == ["c", "f", "p", "u"]
     s.sql("DROP TABLE orders_ddl")
+    s.sql("DROP TABLE companies_ddl")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        s.sql(
+            "CREATE TABLE orphan_ddl "
+            "(id bigint REFERENCES no_such_table (id))"
+        )
 
 
 def test_alter_table_column_lifecycle(spark):

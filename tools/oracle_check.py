@@ -111,6 +111,23 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        # The DRIVER's hasher (pandas factorize path) cannot hash
+        # list/dict cells — r5's pg_subscript_textual erred with
+        # `unhashable type: 'list'` despite passing here (canon()
+        # tuple-izes lists). Reject non-scalar cells up front so the
+        # local gate is at least as strict as the driver.
+        probe = srows[0] if srows else ()
+        bad_cols = [
+            scols[i]
+            for i, v in enumerate(probe)
+            if isinstance(v, (list, dict, tuple))
+        ]
+        if bad_cols:
+            ok = False
+            msgs.append(
+                f"non-scalar result columns {bad_cols} — the driver's "
+                "value hasher cannot hash these; scalar-ize the query"
+            )
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
