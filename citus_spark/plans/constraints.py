@@ -189,6 +189,14 @@ def apply_alter(
                 f'constraint "{conname}" for relation "{table}" '
                 "already exists"
             )
+        missing = [
+            c for c in cols if c not in session._live_read(entry).columns
+        ]
+        if missing:
+            raise ValueError(
+                f'column "{missing[0]}" referenced in foreign key '
+                "constraint does not exist"
+            )
         pentry, refcols = _resolve_refcols(session, reftable, refcols)
         if len(cols) != len(refcols):
             raise ValueError(
@@ -256,6 +264,18 @@ def apply_alter(
                 f'constraint "{conname}" for relation "{table}" '
                 "already exists"
             )
+        # analyze the expression against the relation even when the
+        # scan is skipped — a typo'd column must fail HERE with a
+        # clear message, not inside the next INSERT's enforcement
+        try:
+            session._live_read(entry).filter(
+                F.expr(f"NOT coalesce(({expr}), true)")
+            )
+        except Exception as e:
+            raise ValueError(
+                f"CHECK expression {expr!r} does not resolve against "
+                f'"{table}": {e}'
+            ) from e
         if not not_valid and not assume_empty:
             if _check_violations(session._live_read(entry), expr):
                 raise ValueError(
@@ -334,16 +354,22 @@ def apply_alter(
 
 
 def enforce_insert(
-    session, entry, table: str, new_rows: DataFrame, skip_unique=False
+    session, entry, table: str, new_rows: DataFrame,
+    arbiter_cols: list[str] | None = None,
 ) -> None:
     """Re-check every constraint against rows about to be appended.
     CHECK/FK look at the new rows only; UNIQUE needs new-vs-existing
-    plus new-vs-new (skipped under ON CONFLICT, whose action resolves
-    key collisions itself). NOT VALID constraints still apply (PG
-    enforces them for new writes — only the existing scan deferred)."""
+    plus new-vs-new. Under ON CONFLICT (arbiter_cols set) only CHECK
+    and PK-not-null run here — PG evaluates those on every candidate
+    tuple BEFORE arbiter detection, while FK and unique judgments
+    belong to the post-merge state (conflicting rows merge instead of
+    inserting), which enforce_full_image on the merged image covers.
+    A self-referential FK sees existing ∪ new parents (PG checks at
+    end of statement, so a row may reference a sibling from the same
+    INSERT). NOT VALID constraints still apply (PG enforces them for
+    new writes — only the existing-row scan was deferred)."""
+    on_conflict = arbiter_cols is not None
     for conname, spec in (entry.constraints or {}).items():
-        if skip_unique and spec["kind"] in ("p", "u"):
-            continue
         if spec["kind"] == "c":
             if _check_violations(new_rows, spec["expr"]):
                 raise ValueError(
@@ -351,13 +377,20 @@ def enforce_insert(
                     f'constraint "{conname}"'
                 )
         elif spec["kind"] == "f":
+            if on_conflict:
+                continue  # post-merge image judged by the caller
             pentry = session.catalog.get(spec["reftable"])
             if pentry is None:
                 continue
+            parent = session._live_read(pentry)
+            if spec["reftable"] == table:
+                parent = parent.select(*new_rows.columns).unionByName(
+                    new_rows
+                )
             if _fk_violations(
                 new_rows,
                 spec["cols"],
-                session._live_read(pentry),
+                parent,
                 spec["refcols"],
                 broadcast_parent=pentry.is_reference,
             ):
@@ -374,6 +407,8 @@ def enforce_insert(
                         f'null value in column "{cols[0]}" of relation '
                         f'"{table}" violates not-null constraint'
                     )
+            if on_conflict:
+                continue  # post-merge image judged by the caller
             combined = session._live_read(entry).select(*cols).unionByName(
                 new_rows.select(*cols)
             )
@@ -385,12 +420,13 @@ def enforce_insert(
 
 
 def enforce_update(
-    session, entry, table: str, new_image: DataFrame, assigned: list[str]
+    session, entry, table: str, new_image: DataFrame, assigned: list[str],
+    post_image: DataFrame | None = None,
 ) -> None:
     """CHECK constraints re-judge the updated image; FK re-checks only
-    when an FK column was assigned; UNIQUE/PK re-check when a key
-    column was assigned (over the FULL post-update image — an update
-    can collide two previously distinct keys)."""
+    when an FK column was assigned (a self-referential FK judges
+    against the FULL post-update image — PG checks end-of-statement
+    state); PK key columns may not become NULL."""
     touched = set(assigned)
     for conname, spec in (entry.constraints or {}).items():
         if spec["kind"] == "c":
@@ -403,16 +439,28 @@ def enforce_update(
             pentry = session.catalog.get(spec["reftable"])
             if pentry is None:
                 continue
+            parent = (
+                post_image
+                if spec["reftable"] == table and post_image is not None
+                else session._live_read(pentry)
+            )
             if _fk_violations(
                 new_image,
                 spec["cols"],
-                session._live_read(pentry),
+                parent,
                 spec["refcols"],
                 broadcast_parent=pentry.is_reference,
             ):
                 raise ValueError(
                     f'insert or update on table "{table}" violates '
                     f'foreign key constraint "{conname}"'
+                )
+        elif spec["kind"] == "p" and touched & set(spec["cols"]):
+            nn = _null_safe_rows(new_image, spec["cols"])
+            if new_image.count() != nn.count():
+                raise ValueError(
+                    f'null value in column "{spec["cols"][0]}" of '
+                    f'relation "{table}" violates not-null constraint'
                 )
 
 
@@ -429,8 +477,10 @@ def enforce_unique_post_update(
                 )
 
 
-def _inbound_fks(session, table: str):
+def _inbound_fks(session, table: str, include_self: bool = True):
     for other, oentry in session.catalog.tables().items():
+        if not include_self and other == table:
+            continue
         for oc, ospec in (oentry.constraints or {}).items():
             if ospec["kind"] == "f" and ospec["reftable"] == table:
                 yield other, oentry, oc, ospec
@@ -441,11 +491,17 @@ def enforce_delete(
 ) -> None:
     """RESTRICT / NO ACTION semantics for inbound foreign keys: after
     the delete (or a key-column update), every child row must still
-    find its parent among the REMAINING rows. The parser already
-    rejects CASCADE / SET NULL actions, so this is the only behavior."""
+    find its parent among the REMAINING rows. A self-referential FK's
+    child side is ALSO the post-statement image (PG checks
+    end-of-statement state — the pre-delete table would veto deleting
+    a parent and its children together). The parser already rejects
+    CASCADE / SET NULL actions, so this is the only behavior."""
     for other, oentry, oc, ospec in _inbound_fks(session, table):
+        child = (
+            remaining if other == table else session._live_read(oentry)
+        )
         if _fk_violations(
-            session._live_read(oentry),
+            child,
             ospec["cols"],
             remaining,
             ospec["refcols"],
@@ -458,10 +514,68 @@ def enforce_delete(
 
 
 def has_inbound_fks(session, table: str) -> list[str]:
+    """Dependencies that block DROP TABLE — a table's own
+    self-referential FK drops with it, so it does not count."""
     return [
         f"constraint {oc} on table {other}"
-        for other, _e, oc, _s in _inbound_fks(session, table)
+        for other, _e, oc, _s in _inbound_fks(
+            session, table, include_self=False
+        )
     ]
+
+
+def enforce_full_image(
+    session, entry, table: str, image: DataFrame
+) -> None:
+    """Judge the complete would-be relation — the bulk-write analog of
+    the per-row checks (COPY FROM appends and MERGE rewrites must not
+    bypass constraints; PG enforces them on those paths too). A
+    self-referential FK's parent side is the image itself."""
+    for conname, spec in (entry.constraints or {}).items():
+        if spec["kind"] == "c":
+            if _check_violations(image, spec["expr"]):
+                raise ValueError(
+                    f'new row for relation "{table}" violates check '
+                    f'constraint "{conname}"'
+                )
+        elif spec["kind"] == "f":
+            pentry = session.catalog.get(spec["reftable"])
+            if pentry is None:
+                continue
+            parent = (
+                image
+                if spec["reftable"] == table
+                else session._live_read(pentry)
+            )
+            if _fk_violations(
+                image, spec["cols"], parent, spec["refcols"],
+                broadcast_parent=pentry.is_reference,
+            ):
+                raise ValueError(
+                    f'insert or update on table "{table}" violates '
+                    f'foreign key constraint "{conname}"'
+                )
+        elif spec["kind"] in ("p", "u"):
+            if spec["kind"] == "p":
+                nn = _null_safe_rows(image, spec["cols"])
+                if image.count() != nn.count():
+                    raise ValueError(
+                        f'null value in column "{spec["cols"][0]}" of '
+                        f'relation "{table}" violates not-null '
+                        "constraint"
+                    )
+            if _unique_violations(image, spec["cols"]):
+                raise ValueError(
+                    f"duplicate key value violates unique constraint "
+                    f'"{conname}"'
+                )
+
+
+def rename_reftable(session, old: str, new: str) -> None:
+    """ALTER TABLE .. RENAME TO keeps inbound FKs attached (PG renames
+    never detach constraints) — rewrite every stored reftable."""
+    for _other, _oentry, _oc, ospec in list(_inbound_fks(session, old)):
+        ospec["reftable"] = new
 
 
 def guard_parent_column_change(session, table: str, col: str, renamed_to=None):

@@ -322,6 +322,7 @@ class DistributedSession:
             # constraint metadata (same as the distribute path)
             entry.path = prior.path
             entry.columnar = prior.columnar
+            entry.time_partitioning = prior.time_partitioning
             entry.identity = prior.identity
             entry.constraints = prior.constraints
         df.hint("broadcast").createOrReplaceTempView(name)
@@ -2015,13 +2016,28 @@ class DistributedSession:
             if con_ops:
                 # inline PK/UNIQUE/FK/CHECK register through the same
                 # executor ALTER TABLE ADD CONSTRAINT uses (validation
-                # over the empty relation is trivially green)
+                # over the empty relation is trivially green). A
+                # failing constraint rolls the whole CREATE back (PG
+                # is atomic here — a half-created table would block
+                # the corrected retry with "already exists")
                 from citus_spark.plans import constraints as _cons
 
-                for op in con_ops:
-                    _cons.apply_alter(
-                        self, entry, name, op, assume_empty=True
-                    )
+                try:
+                    for op in con_ops:
+                        _cons.apply_alter(
+                            self, entry, name, op, assume_empty=True
+                        )
+                except Exception:
+                    for seq in (entry.identity or {}).values():
+                        if seq in self._owned_seqs:
+                            self._sequences.pop(seq, None)
+                            self._owned_seqs.discard(seq)
+                    self.catalog.unregister(name)
+                    self.spark.catalog.dropTempView(name)
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+                    raise
             self.stat_statements.record(query, None, executor="utility")
             return self.spark.createDataFrame(
                 [("CREATE TABLE",)], "status string"
@@ -2083,6 +2099,8 @@ class DistributedSession:
                 entry.name = new_name
                 self.catalog.unregister(name)
                 self.spark.catalog.dropTempView(name)
+                # inbound FKs stay attached across a rename (PG)
+                _cons.rename_reftable(self, name, new_name)
                 self.stat_statements.record(
                     query, None, executor="utility"
                 )
@@ -2209,11 +2227,14 @@ class DistributedSession:
         if entry.constraints:
             from citus_spark.plans import constraints as _cons
 
-            # under ON CONFLICT the conflict action resolves key
-            # collisions itself; CHECK and outbound FK still apply
+            # under ON CONFLICT only the ARBITER key (the conflict
+            # target) is resolved by the action; CHECK, FK, and every
+            # OTHER unique constraint still raise, like PG
             _cons.enforce_insert(
                 self, entry, stmt.table, aligned,
-                skip_unique=stmt.on_conflict is not None,
+                arbiter_cols=(
+                    stmt.conflict_keys if stmt.on_conflict else None
+                ),
             )
         n = aligned.count()
         returned = None
@@ -2258,6 +2279,12 @@ class DistributedSession:
                 returned = self._stage_returning(
                     merged.join(touched, keys, "semi"), stmt.returning
                 )
+            if entry.constraints:
+                # DO UPDATE assignments can break CHECK/FK/other
+                # uniques even when the arbiter key resolves cleanly
+                from citus_spark.plans import constraints as _cons
+
+                _cons.enforce_full_image(self, entry, stmt.table, merged)
             self._live_rewrite(entry, merged, stmt.table)
         if returned is not None:
             return returned
@@ -2569,6 +2596,10 @@ class DistributedSession:
                 else:
                     df = reader.json(stmt.path)
             n = df.count()
+            if entry.constraints:
+                from citus_spark.plans import constraints as _cons
+
+                _cons.enforce_insert(self, entry, stmt.table, df)
             self._live_append(entry, df, stmt.table)
         else:
             df = (
@@ -2663,7 +2694,8 @@ class DistributedSession:
             else:
                 assigned_cols = [c for c, _ in stmt.assignments]
                 _cons.enforce_update(
-                    self, entry, stmt.table, affected_rows, assigned_cols
+                    self, entry, stmt.table, affected_rows, assigned_cols,
+                    post_image=result,
                 )
                 _cons.enforce_unique_post_update(
                     self, entry, stmt.table, result, assigned_cols
@@ -3069,10 +3101,33 @@ END
                 insert_cols=stmt.insert_cols,
                 insert_values=stmt.insert_values,
             )
+            if entry.constraints:
+                from citus_spark.plans import constraints as _cons
+
+                _cons.enforce_full_image(self, entry, stmt.target, merged)
             self._live_rewrite(entry, merged, stmt.target)
             out = self._live_read(entry)
             out.createOrReplaceTempView(stmt.target)
             return returned if returned is not None else out
+        if entry.constraints:
+            # whole-row merge writes into storage in place — the
+            # would-be image must be judged BEFORE anything touches
+            # the files (no rollback afterwards)
+            from citus_spark.plans import constraints as _cons
+            from citus_spark.sources.ingest import merge_apply as _ma
+            from citus_spark.sources.partitions import PERIOD_COL as _PC
+
+            _cur = self._live_read(entry)
+            if entry.time_partitioning:
+                _cur = _cur.drop(_PC)
+            _cons.enforce_full_image(
+                self, entry, stmt.target,
+                _ma(
+                    _cur, source, stmt.keys,
+                    when_matched=stmt.when_matched,
+                    insert_unmatched=stmt.insert_unmatched,
+                ),
+            )
         if entry.time_partitioning:
             # stage the live partitioned relation on a plain path,
             # merge there, then rewrite the layout (re-deriving

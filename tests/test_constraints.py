@@ -249,6 +249,123 @@ def test_column_change_guards(sess):
     sess.sql("ALTER TABLE ck_t RENAME COLUMN price TO cost")
 
 
+def test_rename_table_keeps_inbound_fks(sess, spark):
+    sess.sql("CREATE TABLE fk_parent (pid int PRIMARY KEY)")
+    sess.sql("CREATE TABLE fk_child (cid int, "
+             "pid int REFERENCES fk_parent (pid))")
+    sess.sql("INSERT INTO fk_parent VALUES (1)")
+    sess.sql("INSERT INTO fk_child VALUES (10, 1)")
+    sess.sql("ALTER TABLE fk_parent RENAME TO fk_parent2")
+    # the FK followed the rename: orphan insert still rejected,
+    # referenced delete still RESTRICTed, drop still blocked
+    with pytest.raises(ValueError, match="violates foreign key"):
+        sess.sql("INSERT INTO fk_child VALUES (11, 99)")
+    with pytest.raises(ValueError, match='on table "fk_child"'):
+        sess.sql("DELETE FROM fk_parent2 WHERE pid = 1")
+    with pytest.raises(ValueError, match="depend on it"):
+        sess.sql("DROP TABLE fk_parent2")
+    sess.sql("ALTER TABLE fk_child DROP CONSTRAINT fk_child_pid_fkey")
+    sess.sql("DROP TABLE fk_parent2")
+
+
+def test_self_referential_fk(sess, spark):
+    sess.sql(
+        "CREATE TABLE ck_t (id int PRIMARY KEY, "
+        "parent_id int REFERENCES ck_t (id))"
+    )
+    # a row may reference a sibling inserted by the SAME statement
+    # (PG checks end-of-statement state)
+    sess.sql("INSERT INTO ck_t VALUES (1, NULL), (2, 1)")
+    with pytest.raises(ValueError, match="violates foreign key"):
+        sess.sql("INSERT INTO ck_t VALUES (3, 42)")
+    # deleting a referenced parent alone is RESTRICTed...
+    with pytest.raises(ValueError, match='on table "ck_t"'):
+        sess.sql("DELETE FROM ck_t WHERE id = 1")
+    # ...but parent and child may leave together (end-of-statement)
+    sess.sql("DELETE FROM ck_t WHERE id IN (1, 2)")
+    assert spark.table("ck_t").count() == 0
+    # a self-referencing table drops without ceremony (PG does too)
+    sess.sql("DROP TABLE ck_t")
+
+
+def test_on_conflict_enforces_other_constraints(sess, spark):
+    sess.sql("CREATE TABLE uq_t (id int PRIMARY KEY, sku text UNIQUE, "
+             "qty int CHECK (qty >= 0))")
+    sess.sql("INSERT INTO uq_t VALUES (1, 'a', 5)")
+    # arbiter = (id): resolved by DO NOTHING
+    sess.sql("INSERT INTO uq_t VALUES (1, 'zz', 7) "
+             "ON CONFLICT (id) DO NOTHING")
+    # but a NON-arbiter unique key still raises (PG arbitrates only
+    # on the conflict target)
+    with pytest.raises(ValueError, match="duplicate key value"):
+        sess.sql("INSERT INTO uq_t VALUES (9, 'a', 1) "
+                 "ON CONFLICT (id) DO NOTHING")
+    # and a DO UPDATE assignment that breaks CHECK is rejected
+    with pytest.raises(ValueError, match="violates check constraint"):
+        sess.sql(
+            "INSERT INTO uq_t VALUES (1, 'a', 1) ON CONFLICT (id) "
+            "DO UPDATE SET qty = uq_t.qty - 100"
+        )
+    assert spark.table("uq_t").count() == 1
+
+
+def test_update_pk_to_null_rejected(sess):
+    sess.sql("CREATE TABLE uq_t (id int PRIMARY KEY, v int)")
+    sess.sql("INSERT INTO uq_t VALUES (1, 10), (2, 20)")
+    with pytest.raises(ValueError, match="not-null constraint"):
+        sess.sql("UPDATE uq_t SET id = NULL WHERE v = 10")
+
+
+def test_create_table_rollback_on_bad_constraint(sess, spark):
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("CREATE TABLE ck_t (id bigint REFERENCES nowhere (id))")
+    # nothing half-created: the corrected retry succeeds
+    assert sess.catalog.get("ck_t") is None
+    sess.sql("CREATE TABLE ck_t (id bigint PRIMARY KEY)")
+    assert "ck_t_pkey" in sess.catalog.get("ck_t").constraints
+
+
+def test_fk_unknown_child_column_errors_at_add(sess):
+    sess.sql("CREATE TABLE fk_parent (pid int PRIMARY KEY)")
+    sess.sql("CREATE TABLE fk_child (cid int, pid int)")
+    with pytest.raises(ValueError, match='column "typo_col" referenced'):
+        sess.sql(
+            "ALTER TABLE fk_child ADD CONSTRAINT bad FOREIGN KEY "
+            "(typo_col) REFERENCES fk_parent (pid)"
+        )
+    with pytest.raises(ValueError, match="does not resolve"):
+        sess.sql(
+            "ALTER TABLE fk_child ADD CONSTRAINT bad2 "
+            "CHECK (no_such_col > 0) NOT VALID"
+        )
+
+
+def test_copy_and_merge_enforce_constraints(sess, spark, tmp_path):
+    sess.sql("CREATE TABLE ck_t (id int PRIMARY KEY, qty int "
+             "CHECK (qty >= 0))")
+    sess.sql("INSERT INTO ck_t VALUES (1, 5)")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,qty\n2,7\n3,-4\n")
+    with pytest.raises(ValueError, match="violates check constraint"):
+        sess.sql(f"COPY ck_t FROM '{bad}' WITH (FORMAT csv, HEADER true)")
+    dup = tmp_path / "dup.csv"
+    dup.write_text("id,qty\n1,7\n")
+    with pytest.raises(ValueError, match="duplicate key value"):
+        sess.sql(f"COPY ck_t FROM '{dup}' WITH (FORMAT csv, HEADER true)")
+    good = tmp_path / "good.csv"
+    good.write_text("id,qty\n2,7\n")
+    sess.sql(f"COPY ck_t FROM '{good}' WITH (FORMAT csv, HEADER true)")
+    assert spark.table("ck_t").count() == 2
+    # MERGE general form: a matched UPDATE that breaks CHECK raises
+    sess.sql("CREATE TABLE loc_t (id int, delta int)")
+    sess.sql("INSERT INTO loc_t VALUES (1, -100)")
+    with pytest.raises(ValueError, match="violates check constraint"):
+        sess.sql(
+            "MERGE INTO ck_t AS t USING loc_t AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.delta"
+        )
+
+
 def test_referential_action_rejected(sess):
     sess.sql("CREATE TABLE fk_parent (pid int PRIMARY KEY)")
     sess.sql("CREATE TABLE fk_child (cid int, pid int)")

@@ -116,12 +116,12 @@ def main() -> int:
         # `unhashable type: 'list'` despite passing here (canon()
         # tuple-izes lists). Reject non-scalar cells up front so the
         # local gate is at least as strict as the driver.
-        probe = srows[0] if srows else ()
-        bad_cols = [
+        bad_cols = sorted({
             scols[i]
-            for i, v in enumerate(probe)
+            for r in srows
+            for i, v in enumerate(r)
             if isinstance(v, (list, dict, tuple))
-        ]
+        })
         if bad_cols:
             ok = False
             msgs.append(
