@@ -30,16 +30,48 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_DELETE = re.compile(
+_DELETE_HEAD = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<t>[A-Za-z_][\w.]*)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    r"(?:\s+(?:AS\s+)?(?P<a>(?!USING\b|WHERE\b)[A-Za-z_]\w*))?"
+    r"(?P<rest>(?:\s+.*)?)\s*;?\s*$",
     re.I | re.S,
 )
-_UPDATE = re.compile(
-    r"^\s*UPDATE\s+(?P<t>[A-Za-z_][\w.]*)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+_UPDATE_HEAD = re.compile(
+    r"^\s*UPDATE\s+(?P<t>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<a>(?!SET\b)[A-Za-z_]\w*))?"
+    r"\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.I | re.S,
 )
+
+
+def _find_top_kw(text: str, kw: str) -> int | None:
+    """Index of the first depth-0, unquoted occurrence of keyword
+    `kw` — a FROM/WHERE inside a subquery or string literal never
+    splits the statement."""
+    depth = 0
+    quote = None
+    n = len(text)
+    klen = len(kw)
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + klen].upper() == kw:
+            before_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            after = text[i + klen : i + klen + 1]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                return i
+    return None
 
 
 @dataclass
@@ -49,6 +81,10 @@ class DmlStatement:
     predicate: str | None
     assignments: list[tuple[str, str]]  # UPDATE only
     returning: str | None = None
+    # UPDATE .. FROM / DELETE .. USING (PG join-DML): the extra
+    # relations, verbatim, plus the target's effective alias
+    from_clause: str | None = None
+    alias: str | None = None
 
 
 def split_returning(sql: str) -> tuple[str, str | None]:
@@ -98,7 +134,7 @@ def split_returning(sql: str) -> tuple[str, str | None]:
 
 def is_dml(sql: str) -> bool:
     body, _ = split_returning(sql)
-    return bool(_DELETE.match(body) or _UPDATE.match(body))
+    return bool(_DELETE_HEAD.match(body) or _UPDATE_HEAD.match(body))
 
 
 def _split_assignments(sets: str) -> list[tuple[str, str]]:
@@ -141,22 +177,65 @@ def _split_assignments(sets: str) -> list[tuple[str, str]]:
 
 def parse_dml(sql: str) -> DmlStatement | None:
     body, returning = split_returning(sql)
-    m = _UPDATE.match(body)
+    m = _UPDATE_HEAD.match(body)
     if m:
+        # split SET-list / FROM / WHERE on depth-0 keywords — a
+        # scalar subquery in a SET expression keeps its own FROM and
+        # WHERE behind parens, so they never match here
+        rest = m.group("rest")
+        fpos = _find_top_kw(rest, "FROM")
+        wpos = _find_top_kw(rest, "WHERE")
+        from_clause = pred = None
+        if fpos is not None and (wpos is None or fpos < wpos):
+            sets = rest[:fpos]
+            tail = rest[fpos + 4 :]
+            twpos = _find_top_kw(tail, "WHERE")
+            if twpos is not None:
+                from_clause = tail[:twpos].strip()
+                pred = tail[twpos + 5 :].strip()
+            else:
+                from_clause = tail.strip()
+        elif wpos is not None:
+            sets = rest[:wpos]
+            pred = rest[wpos + 5 :].strip()
+        else:
+            sets = rest
         return DmlStatement(
             kind="update",
             table=m.group("t"),
-            predicate=m.group("pred"),
-            assignments=_split_assignments(m.group("sets")),
+            predicate=pred,
+            assignments=_split_assignments(sets),
             returning=returning,
+            from_clause=from_clause,
+            alias=m.group("a"),
         )
-    m = _DELETE.match(body)
+    m = _DELETE_HEAD.match(body)
     if m:
+        rest = m.group("rest") or ""
+        upos = _find_top_kw(rest, "USING")
+        wpos = _find_top_kw(rest, "WHERE")
+        using = pred = None
+        if upos is not None and (wpos is None or upos < wpos):
+            tail = rest[upos + 5 :]
+            twpos = _find_top_kw(tail, "WHERE")
+            if twpos is not None:
+                using = tail[:twpos].strip()
+                pred = tail[twpos + 5 :].strip()
+            else:
+                using = tail.strip()
+        elif wpos is not None:
+            pred = rest[wpos + 5 :].strip()
+        elif rest.strip():
+            raise ValueError(
+                f"DELETE: cannot parse trailing clause {rest.strip()[:40]!r}"
+            )
         return DmlStatement(
             kind="delete",
             table=m.group("t"),
-            predicate=m.group("pred"),
+            predicate=pred,
             assignments=[],
             returning=returning,
+            from_clause=using,
+            alias=m.group("a"),
         )
     return None

@@ -2645,6 +2645,13 @@ class DistributedSession:
         # reference records every statement its planner handles)
         self.stat_statements.record(query, None, executor="dml")
         df = self._live_read(entry)
+        if stmt.from_clause is not None:
+            result, affected_rows, affected = self._dml_with_from(
+                entry, df, stmt
+            )
+            return self._dml_finish(
+                entry, stmt, result, affected_rows, affected
+            )
         # NULL predicate leaves a row unaffected (3-valued SQL DML)
         pred = (
             F.coalesce(F.expr(stmt.predicate), F.lit(False))
@@ -2682,6 +2689,11 @@ class DistributedSession:
                 "__citus_affected"
             )
             result = new_image.drop("__citus_affected")
+        return self._dml_finish(entry, stmt, result, affected_rows, affected)
+
+    def _dml_finish(self, entry, stmt, result, affected_rows, affected):
+        """Shared DML tail: constraint enforcement over the would-be
+        state, RETURNING staging, copy-on-write swap, psql-style tag."""
         if entry.constraints or any(
             e.constraints for e in self.catalog.tables().values()
         ):
@@ -2722,6 +2734,93 @@ class DistributedSession:
         return self.spark.createDataFrame(
             [(int(affected),)], f"{stmt.kind}d long"
         )
+
+    def _dml_with_from(self, entry, df, stmt):
+        """UPDATE .. FROM / DELETE .. USING (PG join-DML; ↔ reference
+        modify planner routing UPDATE/DELETE with joins). The target
+        gets a synthetic row id, joins the extra relations through one
+        Spark SQL query (so the join plans like any other — broadcast
+        for small sources, shuffle otherwise), and the copy-on-write
+        image is reassembled by row id:
+
+          UPDATE t SET c = s.v FROM s WHERE t.k = s.k
+          DELETE FROM t USING s WHERE t.k = s.k
+
+        PG leaves the row value unspecified when several source rows
+        match one target row; here the winner is the deterministic
+        min over the computed values (stable across runs/partitions).
+        RETURNING sees the target image only (source columns in
+        RETURNING are not modeled — they raise unresolved, loudly)."""
+        from pyspark.sql import Window
+
+        rid = "__citus_rid"
+        eff = stmt.alias or stmt.table
+        tgt = df.withColumn(rid, F.monotonically_increasing_id())
+        tgt = tgt.localCheckpoint(eager=False)  # pin the nondeterministic ids
+        tmp = f"__citus_dml_target_{os.getpid()}"
+        tgt.createOrReplaceTempView(tmp)
+        try:
+            where = f" WHERE {stmt.predicate}" if stmt.predicate else ""
+            if stmt.kind == "delete":
+                matched = self.spark.sql(
+                    f"SELECT {eff}.{rid} AS {rid} FROM {tmp} AS {eff}, "
+                    f"{stmt.from_clause}{where}"
+                ).distinct()
+                affected = matched.count()
+                result = (
+                    tgt.join(matched, rid, "left_anti").drop(rid)
+                )
+                affected_rows = tgt.join(matched, rid, "semi").drop(rid)
+                return result, affected_rows, affected
+            assigned = dict(stmt.assignments)
+            unknown = set(assigned) - set(df.columns)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE: unknown column(s) {sorted(unknown)}"
+                )
+            vals = ", ".join(
+                f"({expr}) AS __v{i}"
+                for i, (_c, expr) in enumerate(stmt.assignments)
+            )
+            joined = self.spark.sql(
+                f"SELECT {eff}.{rid} AS {rid}, {vals} "
+                f"FROM {tmp} AS {eff}, {stmt.from_clause}{where}"
+            )
+            w = Window.partitionBy(rid).orderBy(
+                *[f"__v{i}" for i in range(len(stmt.assignments))]
+            )
+            picked = (
+                joined.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+                .withColumn("__citus_matched", F.lit(True))
+            )
+            affected = picked.count()
+            full = tgt.join(picked, rid, "left")
+            matched_flag = F.coalesce(
+                F.col("__citus_matched"), F.lit(False)
+            )
+            new_image = full.select(
+                *[
+                    F.when(
+                        matched_flag,
+                        F.col(f"__v{list(assigned).index(c)}").cast(
+                            df.schema[c].dataType
+                        ),
+                    ).otherwise(F.col(c)).alias(c)
+                    if c in assigned
+                    else F.col(c)
+                    for c in df.columns
+                ],
+                matched_flag.alias("__citus_matched2"),
+            )
+            affected_rows = new_image.filter("__citus_matched2").drop(
+                "__citus_matched2"
+            )
+            result = new_image.drop("__citus_matched2")
+            return result, affected_rows, affected
+        finally:
+            self.spark.catalog.dropTempView(tmp)
 
     def _execute_prepared(self, query: str) -> DataFrame:
         """PREPARE/EXECUTE/DEALLOCATE + DECLARE..CURSOR/FETCH/MOVE/

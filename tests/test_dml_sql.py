@@ -109,3 +109,61 @@ def test_parser_rejects_garbage():
     assert stmt.assignments == [("a", "f(x, y)"), ("b", "'lit,eral'")]
     with pytest.raises(ValueError, match="assignment"):
         parse_dml("UPDATE t SET nonsense WHERE c > 0")
+
+
+def test_update_from_and_delete_using(spark):
+    """PG join-DML (↔ reference modify planner UPDATE/DELETE with
+    joins): UPDATE .. FROM applies joined assignments to matched rows
+    only; DELETE .. USING removes rows with >=1 match."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE acc_dml (id int, balance int, seg text)")
+    s.sql(
+        "INSERT INTO acc_dml VALUES (1, 100, 'a'), (2, 200, 'b'), "
+        "(3, 300, 'c')"
+    )
+    s.sql("CREATE TABLE adj_dml (id int, delta int)")
+    s.sql("INSERT INTO adj_dml VALUES (1, 10), (3, -50)")
+    r = s.sql(
+        "UPDATE acc_dml SET balance = acc_dml.balance + adj_dml.delta "
+        "FROM adj_dml WHERE acc_dml.id = adj_dml.id"
+    )
+    assert r.collect()[0][0] == 2
+    got = {x.id: x.balance for x in spark.table("acc_dml").collect()}
+    assert got == {1: 110, 2: 200, 3: 250}
+    # alias form, extra source predicate, RETURNING the new image
+    r = s.sql(
+        "UPDATE acc_dml AS a SET seg = 'x' FROM adj_dml d "
+        "WHERE a.id = d.id AND d.delta > 0 RETURNING id, seg"
+    )
+    assert [(x.id, x.seg) for x in r.collect()] == [(1, "x")]
+    # several source matches: the applied value is deterministic
+    # (min over computed values — PG leaves it unspecified)
+    s.sql("INSERT INTO adj_dml VALUES (2, 7), (2, 3)")
+    s.sql(
+        "UPDATE acc_dml SET balance = adj_dml.delta FROM adj_dml "
+        "WHERE acc_dml.id = adj_dml.id AND acc_dml.id = 2"
+    )
+    assert (
+        spark.table("acc_dml").filter("id = 2").collect()[0].balance == 3
+    )
+    r = s.sql(
+        "DELETE FROM acc_dml USING adj_dml "
+        "WHERE acc_dml.id = adj_dml.id AND adj_dml.delta < 0"
+    )
+    assert r.collect()[0][0] == 1
+    assert sorted(
+        x.id for x in spark.table("acc_dml").collect()
+    ) == [1, 2]
+    # a FROM inside a scalar-subquery SET expression does NOT split
+    # the statement (depth-0 keyword scan)
+    s.sql(
+        "UPDATE acc_dml SET balance = "
+        "(SELECT max(delta) FROM adj_dml WHERE delta > 0) WHERE id = 1"
+    )
+    assert (
+        spark.table("acc_dml").filter("id = 1").collect()[0].balance == 10
+    )
+    s.sql("DROP TABLE acc_dml")
+    s.sql("DROP TABLE adj_dml")
