@@ -1353,6 +1353,44 @@ class DistributedSession:
             query, _re.I,
         ):
             query = self._register_pg_dist_views(query)
+        if _re.search(r"\bpg_constraint\b", query, _re.I):
+            # ↔ PostgreSQL pg_constraint, the regress suites' way of
+            # asserting constraint state. conrelid/confrelid carry the
+            # TABLE NAME (we have no oids); the '::regclass' fold
+            # below makes `conrelid = 'tbl'::regclass` and
+            # `conrelid::regclass` print/compare names, like PG.
+            # conkey holds the column list as a comma string (the
+            # driver/oracle comparators cannot hash array cells).
+            crows = []
+            for t in self.catalog.tables().values():
+                for cn, spec in (t.constraints or {}).items():
+                    crows.append((
+                        cn,
+                        spec["kind"],
+                        t.name,
+                        spec.get("reftable") or "",
+                        bool(spec.get("valid", True)),
+                        ",".join(spec.get("cols") or []),
+                        ",".join(spec.get("refcols") or []),
+                        spec.get("expr") or "",
+                    ))
+            self.spark.createDataFrame(
+                crows or [("", "", "", "", True, "", "", "")],
+                "conname string, contype string, conrelid string, "
+                "confrelid string, convalidated boolean, conkey string, "
+                "confkey string, consrc string",
+            ).filter(F.col("conname") != "").createOrReplaceTempView(
+                "_pg_constraint"
+            )
+            query = _map_code(
+                query,
+                lambda c: _re.sub(
+                    r"\b(?:pg_catalog\.)?pg_constraint\b",
+                    "_pg_constraint",
+                    _re.sub(r"::\s*regclass\b", "", c, flags=_re.I),
+                    flags=_re.I,
+                ),
+            )
         if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
             return query
 
