@@ -61,6 +61,11 @@ class TableDist:
     # {conname: {"kind": "f"|"u"|"p"|"c", "cols", "reftable",
     #            "refcols", "expr", "valid"}} — see plans/constraints.py
     constraints: dict | None = None
+    # column DEFAULT expressions recorded at CREATE TABLE / ADD COLUMN
+    # time: {column: sql_expr}. Consumed by FK ON DELETE/UPDATE
+    # SET DEFAULT (plans/constraints.py); unset columns default to
+    # NULL, PG's default-of-defaults.
+    defaults: dict | None = None
     # isolated tenants (↔ reference isolate_tenant_to_new_shard,
     # operations/shard_split.c): {str(tenant_value): shard_id}. The
     # physical layout gives each isolated tenant its own storage

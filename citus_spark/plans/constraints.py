@@ -174,6 +174,37 @@ def _resolve_refcols(session, reftable: str, refcols: list[str] | None):
     return pentry, refcols
 
 
+def _distribution_rules_fk_actions(
+    session, table: str, cols: list[str], on_delete: str, on_update: str
+):
+    """↔ reference foreign_constraint.c
+    ErrorIfUnsupportedForeignConstraintExists: referential actions
+    that would rewrite the distribution key of a sharded child are
+    rejected — SET NULL / SET DEFAULT on delete, and CASCADE /
+    SET NULL / SET DEFAULT on update, when the distribution column is
+    in the foreign key column list (the rewritten row would belong on
+    a different shard)."""
+    child = session.catalog.get(table)
+    if child is None or not child.is_hash_distributed:
+        return
+    if child.dist_col not in cols:
+        return
+    if on_delete in ("n", "d"):
+        raise ValueError(
+            "cannot create foreign key constraint\n"
+            "DETAIL: SET NULL or SET DEFAULT is not supported in ON "
+            "DELETE operation when distribution key is included in "
+            "the foreign key column list"
+        )
+    if on_update in ("c", "n", "d"):
+        raise ValueError(
+            "cannot create foreign key constraint\n"
+            "DETAIL: CASCADE, SET NULL or SET DEFAULT is not supported "
+            "in ON UPDATE operation when distribution key is included "
+            "in the foreign key column list"
+        )
+
+
 def apply_alter(
     session, entry, table: str, op: tuple, assume_empty: bool = False
 ) -> str | None:
@@ -183,7 +214,8 @@ def apply_alter(
     was just materialized empty); metadata rules still apply."""
     kind = op[0]
     if kind == "add_fk":
-        _, conname, cols, reftable, refcols, not_valid = op
+        _, conname, cols, reftable, refcols, not_valid = op[:6]
+        on_delete, on_update = (op[6], op[7]) if len(op) > 6 else ("a", "a")
         if conname in _store(entry):
             raise ValueError(
                 f'constraint "{conname}" for relation "{table}" '
@@ -204,12 +236,19 @@ def apply_alter(
                 "foreign key disagree"
             )
         _distribution_rules_fk(session, table, cols, reftable, refcols)
+        _distribution_rules_fk_actions(
+            session, table, cols, on_delete, on_update
+        )
         spec = {
             "kind": "f",
             "cols": cols,
             "reftable": reftable,
             "refcols": refcols,
             "valid": not not_valid,
+            # PG confdeltype/confupdtype codes: a=NO ACTION,
+            # r=RESTRICT, c=CASCADE, n=SET NULL, d=SET DEFAULT
+            "on_delete": on_delete,
+            "on_update": on_update,
         }
         if not not_valid and not assume_empty:
             n = _fk_violations(
@@ -513,6 +552,268 @@ def enforce_delete(
             )
 
 
+# --- referential actions: ON DELETE / ON UPDATE cascades ---------------------
+#
+# ↔ reference src/backend/distributed/commands/foreign_constraint.c —
+# the reference inherits row-level CASCADE / SET NULL / SET DEFAULT
+# execution from PostgreSQL and only layers distribution rules on top.
+# Here the actions execute as ordered dependent copy-on-write rewrites:
+# a statement that shrinks (DELETE) or re-keys (UPDATE) a parent tells
+# every dependent child to delete / null / default its orphaned rows,
+# recursively through the constraint graph (semi-naive: each wave only
+# propagates keys that actually changed, so self-referential CASCADE
+# chains converge like the reference's recursive triggers). All
+# violation checks and cascade images are computed as distributed
+# Spark jobs BEFORE any table is rewritten — validation failures leave
+# every table untouched.
+
+
+def _gone_keys(p_old: DataFrame, p_new: DataFrame, refcols: list[str]):
+    """Referenced keys present before the statement but not after."""
+    return (
+        _null_safe_rows(p_old, refcols).select(*refcols).dropDuplicates()
+        .subtract(
+            _null_safe_rows(p_new, refcols).select(*refcols).dropDuplicates()
+        )
+    )
+
+
+def _fk_fills(centry, child_df: DataFrame, cols: list[str], act: str):
+    """SET NULL → typed NULLs; SET DEFAULT → the column DEFAULT
+    (recorded at CREATE TABLE / ADD COLUMN time; PG's default-of-
+    defaults is NULL)."""
+    fills = {}
+    defaults = getattr(centry, "defaults", None) or {}
+    for c in cols:
+        dtype = child_df.schema[c].dataType
+        if act == "d" and defaults.get(c) is not None:
+            fills[c] = F.expr(defaults[c]).cast(dtype)
+        else:
+            fills[c] = F.lit(None).cast(dtype)
+    return fills
+
+
+_MARK = "__citus_ref_hit"
+
+
+def propagate_referential_actions(
+    session, root: str, root_old: DataFrame, root_new: DataFrame,
+    root_pairs: DataFrame | None,
+):
+    """Compute the final image of every table changed by referential
+    actions when `root` goes from root_old to root_new.
+
+    root_pairs is None for a DELETE-shaped change (rows vanished); for
+    an UPDATE-shaped change it is a DataFrame of the affected rows
+    with old__<col> / new__<col> for every column (the key remap).
+
+    Returns {table: final_image}. Raises (before anything is written)
+    when a NO ACTION / RESTRICT foreign key, a CHECK constraint, a PK
+    not-null, or a UNIQUE key is violated by the end-of-statement
+    state — PG judges NO ACTION and cascade side effects against the
+    final state too."""
+    images: dict[str, DataFrame] = {root: root_new}
+    fill_touched: dict[str, set] = {}
+    queue: list[tuple] = [(root, root_old, root_new, root_pairs)]
+    waves = 0
+    while queue:
+        waves += 1
+        if waves > 200:
+            raise ValueError(
+                "foreign key cascade did not converge after 200 waves — "
+                "referential action cycle?"
+            )
+        parent, p_old, p_new, pairs = queue.pop(0)
+        for child, centry, conname, spec in list(_inbound_fks(session, parent)):
+            C, R = spec["cols"], spec["refcols"]
+            act = (
+                spec.get("on_delete", "a")
+                if pairs is None
+                else spec.get("on_update", "a")
+            )
+            if act in ("a", "r"):
+                continue  # judged at end-of-statement below
+            child_img = images.get(child)
+            if child_img is None:
+                child_img = session._live_read(centry)
+            if pairs is None:
+                gone_c = _gone_keys(p_old, p_new, R).select(
+                    *[F.col(r).alias(c) for c, r in zip(C, R)]
+                )
+                hit = (
+                    _null_safe_rows(child_img, C)
+                    .select(*C)
+                    .join(gone_c, on=C, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if not hit:
+                    continue
+                if act == "c":
+                    new_child = child_img.join(gone_c, on=C, how="left_anti")
+                    images[child] = new_child
+                    queue.append((child, child_img, new_child, None))
+                else:  # n / d — null or default the FK columns
+                    fills = _fk_fills(centry, child_img, C, act)
+                    j = child_img.join(
+                        gone_c.withColumn(_MARK, F.lit(1)), on=C, how="left"
+                    )
+                    orphan = F.col(_MARK).isNotNull()
+                    new_child = j.select(
+                        *[
+                            F.when(orphan, fills[c]).otherwise(F.col(c))
+                            .alias(c)
+                            if c in fills
+                            else F.col(c)
+                            for c in child_img.columns
+                        ]
+                    )
+                    pairs_child = j.filter(orphan).select(
+                        *[
+                            F.col(c).alias(f"old__{c}")
+                            for c in child_img.columns
+                        ],
+                        *[
+                            (fills[c] if c in fills else F.col(c)).alias(
+                                f"new__{c}"
+                            )
+                            for c in child_img.columns
+                        ],
+                    )
+                    images[child] = new_child
+                    fill_touched.setdefault(child, set()).update(C)
+                    queue.append((child, child_img, new_child, pairs_child))
+            else:
+                # UPDATE-shaped: referenced keys that actually changed
+                import functools
+                import operator
+
+                neq = functools.reduce(
+                    operator.or_,
+                    [
+                        ~F.col(f"old__{r}").eqNullSafe(F.col(f"new__{r}"))
+                        for r in R
+                    ],
+                )
+                remap = pairs.filter(neq)
+                for r in R:
+                    remap = remap.filter(F.col(f"old__{r}").isNotNull())
+                remap_c = remap.select(
+                    *[F.col(f"old__{r}").alias(c) for c, r in zip(C, R)],
+                    *[
+                        F.col(f"new__{r}").alias(f"__citus_new_{c}")
+                        for c, r in zip(C, R)
+                    ],
+                ).dropDuplicates(C).withColumn(_MARK, F.lit(1))
+                hit = (
+                    _null_safe_rows(child_img, C)
+                    .select(*C)
+                    .join(remap_c.select(*C), on=C, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if not hit:
+                    continue
+                if act == "c":
+                    newval = {c: F.col(f"__citus_new_{c}") for c in C}
+                else:
+                    newval = _fk_fills(centry, child_img, C, act)
+                j = child_img.join(remap_c, on=C, how="left")
+                hit_col = F.col(_MARK).isNotNull()
+                new_child = j.select(
+                    *[
+                        F.when(hit_col, newval[c]).otherwise(F.col(c))
+                        .alias(c)
+                        if c in newval
+                        else F.col(c)
+                        for c in child_img.columns
+                    ]
+                )
+                pairs_child = j.filter(hit_col).select(
+                    *[F.col(c).alias(f"old__{c}") for c in child_img.columns],
+                    *[
+                        (newval[c] if c in newval else F.col(c)).alias(
+                            f"new__{c}"
+                        )
+                        for c in child_img.columns
+                    ],
+                )
+                images[child] = new_child
+                fill_touched.setdefault(child, set()).update(C)
+                queue.append((child, child_img, new_child, pairs_child))
+    _final_state_checks(session, images, fill_touched)
+    return images
+
+
+def _final_state_checks(session, images: dict, fill_touched: dict) -> None:
+    """End-of-statement validation over the final images: every FK
+    touching a changed table (NO ACTION / RESTRICT, and cascaded
+    writes too — a SET DEFAULT must point at an existing parent), plus
+    the row constraints of tables whose columns were rewritten."""
+    for child, centry in session.catalog.tables().items():
+        for conname, spec in (centry.constraints or {}).items():
+            if spec["kind"] != "f":
+                continue
+            parent_t = spec["reftable"]
+            if child not in images and parent_t not in images:
+                continue
+            pentry = session.catalog.get(parent_t)
+            if pentry is None:
+                continue
+            child_df = images.get(child)
+            if child_df is None:
+                child_df = session._live_read(centry)
+            parent_df = images.get(parent_t)
+            if parent_df is None:
+                parent_df = session._live_read(pentry)
+            if _fk_violations(
+                child_df, spec["cols"], parent_df, spec["refcols"],
+                broadcast_parent=pentry.is_reference,
+            ):
+                raise ValueError(
+                    f'update or delete on table "{parent_t}" violates '
+                    f'foreign key constraint "{conname}" on table '
+                    f'"{child}"'
+                )
+    for t, changed_cols in fill_touched.items():
+        entry_t = session.catalog.get(t)
+        img = images[t]
+        for conname, spec in (entry_t.constraints or {}).items():
+            if spec["kind"] == "c":
+                if _check_violations(img, spec["expr"]):
+                    raise ValueError(
+                        f'new row for relation "{t}" violates check '
+                        f'constraint "{conname}"'
+                    )
+            elif spec["kind"] in ("p", "u") and changed_cols & set(
+                spec["cols"]
+            ):
+                if spec["kind"] == "p":
+                    nn = _null_safe_rows(img, spec["cols"])
+                    if img.count() != nn.count():
+                        raise ValueError(
+                            f'null value in column "{spec["cols"][0]}" '
+                            f'of relation "{t}" violates not-null '
+                            "constraint"
+                        )
+                if _unique_violations(img, spec["cols"]):
+                    raise ValueError(
+                        f"duplicate key value violates unique "
+                        f'constraint "{conname}"'
+                    )
+
+
+def cascading_actions_exist(session, table: str, shape: str) -> bool:
+    """True when any inbound FK of `table` (transitively irrelevant —
+    one level decides) carries a CASCADE / SET NULL / SET DEFAULT for
+    the given shape ('delete' or 'update')."""
+    key = "on_delete" if shape == "delete" else "on_update"
+    return any(
+        ospec.get(key, "a") in ("c", "n", "d")
+        for _t, _e, _c, ospec in _inbound_fks(session, table)
+    )
+
+
 def has_inbound_fks(session, table: str) -> list[str]:
     """Dependencies that block DROP TABLE — a table's own
     self-referential FK drops with it, so it does not count."""
@@ -579,9 +880,14 @@ def rename_reftable(session, old: str, new: str) -> None:
 
 
 def guard_parent_column_change(session, table: str, col: str, renamed_to=None):
-    """A column other tables' foreign keys reference cannot be
-    dropped; a rename propagates into their stored refcols."""
-    for other, _oentry, oc, ospec in _inbound_fks(session, table):
+    """A column OTHER tables' foreign keys reference cannot be dropped
+    (external dependents need CASCADE in PG too); a rename propagates
+    into their stored refcols. A self-referential FK is same-table —
+    it auto-drops with the column (guard_column_change), so it never
+    blocks here."""
+    for other, _oentry, oc, ospec in _inbound_fks(
+        session, table, include_self=(renamed_to is not None)
+    ):
         if col in ospec["refcols"]:
             if renamed_to is None:
                 raise ValueError(
@@ -595,30 +901,40 @@ def guard_parent_column_change(session, table: str, col: str, renamed_to=None):
 
 
 def guard_column_change(entry, table: str, col: str, renamed_to=None):
-    """DROP COLUMN under a dependent constraint errors (PG needs
-    CASCADE, which we don't model); RENAME COLUMN propagates into
-    stored column lists but cannot safely rewrite a textual CHECK
-    expression — reject when the column name appears there."""
+    """DROP COLUMN silently drops same-table dependent constraints —
+    PG's behavior: CASCADE is only needed for EXTERNAL dependents
+    (inbound FKs, handled by guard_parent_column_change). Same-table
+    PK/UNIQUE/CHECK/outbound-FK constraints covering the column are
+    removed with it. RENAME COLUMN propagates into stored column lists
+    but cannot safely rewrite a textual CHECK expression — reject when
+    the column name appears there."""
+    if renamed_to is None:
+        doomed = [
+            conname
+            for conname, spec in (entry.constraints or {}).items()
+            if col in spec.get("cols", ())
+            or col in spec.get("refcols", ())
+            or (
+                spec["kind"] == "c"
+                and re.search(rf"\b{re.escape(col)}\b", spec["expr"])
+            )
+        ]
+        for conname in doomed:
+            del entry.constraints[conname]
+        return
     for conname, spec in (entry.constraints or {}).items():
         in_cols = col in spec.get("cols", ())
         in_check = spec["kind"] == "c" and re.search(
             rf"\b{re.escape(col)}\b", spec["expr"]
         )
-        if renamed_to is None:
-            if in_cols or in_check:
-                raise ValueError(
-                    f'cannot drop column "{col}" of relation "{table}" '
-                    f'because constraint "{conname}" depends on it'
-                )
-        else:
-            if in_check:
-                raise ValueError(
-                    f'cannot rename column "{col}" of relation '
-                    f'"{table}": check constraint "{conname}" '
-                    "references it textually — drop and re-add the "
-                    "constraint"
-                )
-            if in_cols:
-                spec["cols"] = [
-                    renamed_to if c == col else c for c in spec["cols"]
-                ]
+        if in_check:
+            raise ValueError(
+                f'cannot rename column "{col}" of relation '
+                f'"{table}": check constraint "{conname}" '
+                "references it textually — drop and re-add the "
+                "constraint"
+            )
+        if in_cols:
+            spec["cols"] = [
+                renamed_to if c == col else c for c in spec["cols"]
+            ]

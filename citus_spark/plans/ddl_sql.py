@@ -183,9 +183,23 @@ def parse_alter_table(sql: str):
     rt = re.match(r"RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I)
     if rt:
         return name, ("rename_table", rt.group(1))
+    at = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?"
+        r"TYPE\s+(.+?)(?:\s+USING\s+(.+))?$",
+        action, re.I | re.S,
+    )
+    if at:
+        # ↔ reference commands/alter_table.c (type changes propagate
+        # through the DDL machinery); executed here as a
+        # rewrite-with-cast through the copy-on-write path
+        return name, (
+            "alter_type", at.group(1), _map_type(at.group(2)),
+            at.group(3).strip() if at.group(3) else None,
+        )
     raise NotImplementedError(
         f"ALTER TABLE: unsupported action {action[:60]!r} (supported: "
-        "ADD/DROP/RENAME COLUMN, RENAME TO, ADD/DROP/VALIDATE CONSTRAINT)"
+        "ADD/DROP/RENAME COLUMN, ALTER COLUMN TYPE [USING], RENAME TO, "
+        "ADD/DROP/VALIDATE CONSTRAINT)"
     )
 
 
@@ -193,11 +207,46 @@ def _cols(text: str) -> list[str]:
     return [c.strip() for c in text.split(",")]
 
 
+def _mask_literals(text: str) -> str:
+    """Same-length copy with string literals and comments blanked, so
+    keyword regexes never match inside a DEFAULT like 'REFERENCES x'
+    and paren counting ignores a CHECK (status <> ':-)')."""
+    from citus_spark.plans.rewrites import _segments
+
+    return "".join(
+        t if k == "code" else " " * len(t) for k, t in _segments(text)
+    )
+
+
+# PG pg_constraint confdeltype/confupdtype codes
+_REF_ACTIONS = {
+    "NO ACTION": "a", "RESTRICT": "r", "CASCADE": "c",
+    "SET NULL": "n", "SET DEFAULT": "d",
+}
+
+
+def _parse_ref_actions(acts: str) -> tuple[str, str]:
+    """'ON DELETE CASCADE ON UPDATE SET NULL' → (confdeltype,
+    confupdtype) codes; unspecified → 'a' (NO ACTION), PG's default."""
+    on_delete = on_update = "a"
+    for m in re.finditer(
+        r"ON\s+(DELETE|UPDATE)\s+"
+        r"(NO\s+ACTION|RESTRICT|CASCADE|SET\s+NULL|SET\s+DEFAULT)",
+        acts or "", re.I,
+    ):
+        code = _REF_ACTIONS[re.sub(r"\s+", " ", m.group(2).upper())]
+        if m.group(1).upper() == "DELETE":
+            on_delete = code
+        else:
+            on_update = code
+    return on_delete, on_update
+
+
 def _parse_constraint_action(action: str):
     """Constraint actions (↔ reference foreign_constraint.c /
-    relation DDL propagation). Referential actions other than
-    NO ACTION / RESTRICT are rejected loudly (no row-cascade engine
-    here — silently accepting ON DELETE CASCADE would diverge)."""
+    relation DDL propagation). Referential actions CASCADE /
+    SET NULL / SET DEFAULT parse into PG's confdeltype codes and are
+    executed by the cascade engine in plans/constraints.py."""
     fk = re.match(
         r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+FOREIGN\s+KEY\s*"
         r"\(([^)]+)\)\s*REFERENCES\s+([A-Za-z_][\w.]*)\s*"
@@ -207,13 +256,7 @@ def _parse_constraint_action(action: str):
         action, re.I,
     )
     if fk:
-        acts = fk.group("act") or ""
-        if re.search(r"CASCADE|SET\s+NULL|SET\s+DEFAULT", acts, re.I):
-            raise NotImplementedError(
-                "FOREIGN KEY referential actions CASCADE/SET NULL/SET "
-                "DEFAULT are not supported (no row-cascade engine) — "
-                "use NO ACTION/RESTRICT"
-            )
+        on_delete, on_update = _parse_ref_actions(fk.group("act"))
         return (
             "add_fk",
             fk.group(1),
@@ -221,6 +264,8 @@ def _parse_constraint_action(action: str):
             fk.group(3),
             _cols(fk.group(4)) if fk.group(4) else None,
             bool(fk.group("nv")),
+            on_delete,
+            on_update,
         )
     uq = re.match(
         r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+"
@@ -237,9 +282,12 @@ def _parse_constraint_action(action: str):
     )
     if ck:
         expr = ck.group("expr").strip()
-        if expr.count("(") != expr.count(")"):
+        masked = _mask_literals(expr)
+        if masked.count("(") != masked.count(")"):
             # the greedy group swallowed the trailing NOT VALID paren
             # mismatch — reparse is not worth it; reject loudly
+            # (parens inside string literals are masked out first, so
+            # CHECK (status <> ':-)') balances correctly)
             raise ValueError(f"CHECK expression unbalanced: {expr!r}")
         return ("add_check", ck.group(1), expr, bool(ck.group("nv")))
     dc = re.match(
@@ -255,18 +303,27 @@ def _parse_constraint_action(action: str):
     return None
 
 
-def _default_conname(table: str, op: tuple) -> str:
-    """PG's auto-generated constraint names."""
+def _default_conname(table: str, op: tuple, taken=()) -> str:
+    """PG's auto-generated constraint names; a taken name gets a
+    numeric suffix the way PG names a second unnamed CHECK
+    '{table}_check1'."""
     if op[0] == "add_unique":
-        if op[2] == "p":
-            return f"{table}_pkey"
-        return f"{table}_{'_'.join(op[3])}_key"
-    if op[0] == "add_fk":
-        return f"{table}_{op[2][0]}_fkey"
-    return f"{table}_check"
+        base = (
+            f"{table}_pkey" if op[2] == "p"
+            else f"{table}_{'_'.join(op[3])}_key"
+        )
+    elif op[0] == "add_fk":
+        base = f"{table}_{op[2][0]}_fkey"
+    else:
+        base = f"{table}_check"
+    name, i = base, 0
+    while name in taken:
+        i += 1
+        name = f"{base}{i}"
+    return name
 
 
-def _table_constraint_op(table: str, item: str):
+def _table_constraint_op(table: str, item: str, taken=()):
     """A table-level constraint item from a CREATE TABLE column list →
     the same op tuple ALTER TABLE ADD CONSTRAINT produces."""
     item = item.strip().rstrip(",")
@@ -282,7 +339,7 @@ def _table_constraint_op(table: str, item: str):
             f"CREATE TABLE: cannot parse table constraint {item!r}"
         )
     if name is None:
-        op = (op[0], _default_conname(table, op)) + op[2:]
+        op = (op[0], _default_conname(table, op, taken)) + op[2:]
     return op
 
 
@@ -298,43 +355,110 @@ def _balanced_paren_body(text: str, open_idx: int) -> str:
     raise ValueError(f"unbalanced parentheses in {text!r}")
 
 
-def _column_constraint_ops(table: str, col: str, item: str) -> list[tuple]:
+def _column_constraint_ops(
+    table: str, col: str, item: str, taken=()
+) -> list[tuple]:
     """Column-level PRIMARY KEY / UNIQUE / REFERENCES / CHECK
     attributes → op tuples. NOT NULL stays advisory (PG models it
-    outside pg_constraint too)."""
+    outside pg_constraint too). Keyword regexes run over a
+    literal-masked copy so a DEFAULT like 'see REFERENCES t(x)' never
+    fabricates a phantom constraint."""
     ops: list[tuple] = []
-    if re.search(
-        r"ON\s+(?:DELETE|UPDATE)\s+(?:CASCADE|SET\s+(?:NULL|DEFAULT))",
-        item, re.I,
-    ):
-        raise NotImplementedError(
-            "FOREIGN KEY referential actions CASCADE/SET NULL/SET "
-            "DEFAULT are not supported (no row-cascade engine) — "
-            "use NO ACTION/RESTRICT"
-        )
-    if re.search(r"\bPRIMARY\s+KEY\b", item, re.I):
+    masked = _mask_literals(item)
+    if re.search(r"\bPRIMARY\s+KEY\b", masked, re.I):
         ops.append(("add_unique", f"{table}_pkey", "p", [col]))
-    elif re.search(r"\bUNIQUE\b", item, re.I):
-        ops.append(("add_unique", f"{table}_{col}_key", "u", [col]))
+    elif re.search(r"\bUNIQUE\b", masked, re.I):
+        ops.append((
+            "add_unique",
+            _default_conname(table, ("add_unique", None, "u", [col]), taken),
+            "u", [col],
+        ))
     fk = re.search(
-        r"\bREFERENCES\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]+)\))?", item, re.I
+        r"\bREFERENCES\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]+)\))?"
+        r"(?P<act>(?:\s*ON\s+(?:DELETE|UPDATE)\s+"
+        r"(?:NO\s+ACTION|RESTRICT|CASCADE|SET\s+NULL|SET\s+DEFAULT))*)",
+        masked, re.I,
     )
     if fk:
+        on_delete, on_update = _parse_ref_actions(fk.group("act"))
         ops.append((
-            "add_fk", f"{table}_{col}_fkey", [col], fk.group(1),
+            "add_fk",
+            _default_conname(
+                table, ("add_fk", None, [col]), taken
+            ),
+            [col], fk.group(1),
             _cols(fk.group(2)) if fk.group(2) else None, False,
+            on_delete, on_update,
         ))
-    ck = re.search(r"\bCHECK\s*\(", item, re.I)
+    ck = re.search(r"\bCHECK\s*\(", masked, re.I)
     if ck:
-        expr = _balanced_paren_body(item, item.index("(", ck.start()))
-        ops.append(("add_check", f"{table}_{col}_check", expr.strip(), False))
+        # depth-count on the masked copy (literal parens are blanked),
+        # slice the expression from the original text
+        open_idx = masked.index("(", ck.start())
+        depth = 0
+        close_idx = -1
+        for i in range(open_idx, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_idx = i
+                    break
+        if close_idx < 0:
+            raise ValueError(f"unbalanced parentheses in {item!r}")
+        expr = item[open_idx + 1 : close_idx]
+        base = f"{table}_{col}_check"
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}{i}"
+        ops.append(("add_check", name, expr.strip(), False))
     return ops
+
+
+def _column_default(item: str) -> str | None:
+    """The DEFAULT expression of one column item, or None. Found over
+    a literal-masked copy (a text default containing the word DEFAULT
+    never confuses it); the expression ends at the next constraint
+    keyword outside literals/parens."""
+    masked = _mask_literals(item)
+    m = re.search(r"\bDEFAULT\b", masked, re.I)
+    if not m:
+        return None
+    # skip whitespace in the ORIGINAL text — a masked literal is all
+    # blanks, so \s+ over `masked` would swallow the value itself
+    start = m.end()
+    while start < len(item) and item[start].isspace():
+        start += 1
+    stop = re.compile(
+        r"\b(NOT\s+NULL|NULL|UNIQUE|PRIMARY\s+KEY|REFERENCES|CHECK"
+        r"|GENERATED|CONSTRAINT)\b",
+        re.I,
+    )
+    depth = 0
+    i = start
+    end = len(item)
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            sm = stop.match(masked, i)
+            if sm:
+                end = i
+                break
+        i += 1
+    expr = item[start:end].strip()
+    return expr or None
 
 
 def parse_create_table(sql: str):
     """→ (table, spark-DDL schema string, if_not_exists,
     [(identity_col, explicit_seq|None, start, inc), ...],
-    [constraint op tuples]), or None."""
+    [constraint op tuples], {col: default_expr}), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
     m = _CREATE.match(sql)
@@ -344,9 +468,13 @@ def parse_create_table(sql: str):
     cols = []
     identities: list[tuple[str, str | None, int, int]] = []
     con_ops: list[tuple] = []
+    taken: set[str] = set()
+    defaults: dict[str, str] = {}
     for item in _split_columns(m.group("body")):
         if _TABLE_CONSTRAINT.match(item):
-            con_ops.append(_table_constraint_op(table, item))
+            op = _table_constraint_op(table, item, taken)
+            taken.add(op[1])
+            con_ops.append(op)
             continue
         ident = identity_of(item)
         if ident is not None:
@@ -361,11 +489,16 @@ def parse_create_table(sql: str):
         if not cm:
             raise ValueError(f"CREATE TABLE: cannot parse column {item!r}")
         cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
-        con_ops.extend(_column_constraint_ops(table, cm.group(1), item))
+        dflt = _column_default(item)
+        if dflt is not None and ident is None:
+            defaults[cm.group(1)] = dflt
+        for op in _column_constraint_ops(table, cm.group(1), item, taken):
+            taken.add(op[1])
+            con_ops.append(op)
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
-    return table, ", ".join(cols), ine, identities, con_ops
+    return table, ", ".join(cols), ine, identities, con_ops, defaults
 
 
 # ---------------------------------------------------------------------------

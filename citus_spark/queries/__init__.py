@@ -447,6 +447,18 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "bpe_roundtrip", "adpcm_decode_spec", "mjpeg_avi_frame_stats",
     "cms_user_frequency", "bloom_users_by_type",
     "composite_quality_filter", "vocab_coverage_topn",
+    # CORRECTNESS_r06.json (49/50 green; embedding_gram_matrix's red
+    # row was a dtype-only divergence — DuckDB sum(BIGINT)→HUGEINT→
+    # float64 vs Spark int64; values bit-identical per the judge. The
+    # oracle now CASTs to BIGINT; deliberately NOT listed so it
+    # re-enters the r7 verify window.)
+    "pg_subscript_textual", "pg_quantified_textual",
+    "pg_at_time_zone_rollup", "pg_string_to_array_tokens",
+    "pg_agg_distinct_ordered", "shard_fanout_counts",
+    "shard_routing_counts", "topn_stream_rollup", "ewma_fir_user_values",
+    "zscore_outliers", "neardup_stream_batch",
+    "entity_resolution_customers", "dedup_keep_best_quality",
+    "hybrid_rrf_retrieval",
 })
 
 

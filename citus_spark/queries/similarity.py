@@ -1116,7 +1116,11 @@ WITH q AS (
                      AS BIGINT)) AS qv
   FROM embeddings
 ), pairs AS (
-  SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS gram
+  -- CAST: DuckDB types sum(BIGINT) as HUGEINT, which pandas
+  -- materializes as float64 while Spark emits int64 — the driver's
+  -- hasher is dtype-sensitive, so pin the oracle to BIGINT.
+  SELECT ti.i AS i, tj.j AS j,
+         CAST(sum(qv[ti.i] * qv[tj.j]) AS BIGINT) AS gram
   FROM q,
        (SELECT unnest(range(1, 65)) AS i) ti,
        (SELECT unnest(range(1, 65)) AS j) tj

@@ -2014,7 +2014,9 @@ class DistributedSession:
             )
         created = parse_create_table(query)
         if created is not None:
-            name, ddl_schema, if_not_exists, identities, con_ops = created
+            name, ddl_schema, if_not_exists, identities, con_ops, defaults = (
+                created
+            )
             if self.catalog.get(name) is not None:
                 if if_not_exists:
                     return self.spark.createDataFrame(
@@ -2031,6 +2033,8 @@ class DistributedSession:
             empty.write.mode("overwrite").parquet(path)
             self.spark.read.parquet(path).createOrReplaceTempView(name)
             entry = self.catalog.register(name, "none", path=path)
+            if defaults:
+                entry.defaults = defaults
             if identities:
                 # serial / IDENTITY / DEFAULT nextval: bind each column
                 # to its session sequence, PG-style. Implicit sequences
@@ -2114,18 +2118,101 @@ class DistributedSession:
                     F.expr(op[3]) if op[3] is not None else F.lit(None)
                 )
                 new = cur.withColumn(op[1], fill.cast(op[2]))
+                if op[3] is not None:
+                    entry.defaults = {**(entry.defaults or {}), op[1]: op[3]}
             elif op[0] == "drop":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
-                _cons.guard_column_change(entry, name, op[1])
+                # external dependents veto FIRST (guard_column_change
+                # then auto-drops same-table constraints, PG-style)
                 _cons.guard_parent_column_change(self, name, op[1])
+                _cons.guard_column_change(entry, name, op[1])
+                if entry.defaults:
+                    entry.defaults.pop(op[1], None)
                 new = cur.drop(op[1])
             elif op[0] == "rename_col":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
                 _cons.guard_column_change(entry, name, op[1], op[2])
                 _cons.guard_parent_column_change(self, name, op[1], op[2])
+                if entry.defaults and op[1] in entry.defaults:
+                    entry.defaults[op[2]] = entry.defaults.pop(op[1])
                 new = cur.withColumnRenamed(op[1], op[2])
+            elif op[0] == "alter_type":
+                # ALTER COLUMN .. TYPE [USING expr] — ↔ reference
+                # commands/alter_table.c; a rewrite-with-cast through
+                # the same copy-on-write path DML uses, with constraint
+                # re-validation over the new image (a narrowing cast
+                # can break a CHECK; PG re-verifies too)
+                _, colname, new_type, using = op
+                if colname not in cur.columns:
+                    raise ValueError(f'column "{colname}" does not exist')
+                if using is not None:
+                    # USING evaluates the user's expression; an ANSI
+                    # cast failure inside it errors like PG's would
+                    expr = F.expr(using).cast(new_type)
+                else:
+                    # plain type change: try_cast + loss check, so a
+                    # non-convertible value gets PG's "specify a
+                    # USING expression" hint instead of a raw error
+                    expr = F.expr(f"try_cast({colname} AS {new_type})")
+                new = cur.select(
+                    *[
+                        expr.alias(c) if c == colname else F.col(c)
+                        for c in cur.columns
+                    ]
+                )
+                if using is None:
+                    lost = new.filter(
+                        F.col(colname).isNull()
+                    ).count() - cur.filter(F.col(colname).isNull()).count()
+                    if lost > 0:
+                        raise ValueError(
+                            f'column "{colname}" cannot be cast '
+                            f"automatically to type {new_type} ({lost} "
+                            "value(s) do not convert) — specify a USING "
+                            "expression"
+                        )
+                for conname, spec in (entry.constraints or {}).items():
+                    if spec["kind"] == "c" and _cons._check_violations(
+                        new, spec["expr"]
+                    ):
+                        raise ValueError(
+                            f'check constraint "{conname}" of relation '
+                            f'"{name}" is violated by some row'
+                        )
+                    if spec["kind"] in ("p", "u") and colname in spec[
+                        "cols"
+                    ] and _cons._unique_violations(new, spec["cols"]):
+                        raise ValueError(
+                            f'could not create unique index "{conname}"'
+                        )
+                    if spec["kind"] == "f" and colname in spec["cols"]:
+                        pentry = self.catalog.get(spec["reftable"])
+                        if pentry is not None and _cons._fk_violations(
+                            new, spec["cols"],
+                            self._live_read(pentry), spec["refcols"],
+                            broadcast_parent=pentry.is_reference,
+                        ):
+                            raise ValueError(
+                                f'insert or update on table "{name}" '
+                                "violates foreign key constraint "
+                                f'"{conname}"'
+                            )
+                # inbound FKs re-validate against the re-typed parent
+                for other, oentry, oc, ospec in _cons._inbound_fks(
+                    self, name, include_self=False
+                ):
+                    if colname in ospec["refcols"] and _cons._fk_violations(
+                        self._live_read(oentry), ospec["cols"],
+                        new, ospec["refcols"],
+                        broadcast_parent=entry.is_reference,
+                    ):
+                        raise ValueError(
+                            f'foreign key constraint "{oc}" on table '
+                            f'"{other}" is violated by the type change '
+                            f'of "{name}.{colname}"'
+                        )
             else:  # rename_table
                 new_name = op[1]
                 if self.catalog.get(new_name) is not None:
@@ -2509,15 +2596,17 @@ class DistributedSession:
         import re as _re
 
         m = _re.match(
-            r"^\s*(TRUNCATE)(?:\s+TABLE)?\s+([A-Za-z_][\w.]*)\s*;?\s*$"
+            r"^\s*(TRUNCATE)(?:\s+TABLE)?\s+([A-Za-z_][\w.]*)"
+            r"(?:\s+(CASCADE|RESTRICT))?\s*;?\s*$"
             r"|^\s*(VACUUM|ANALYZE)\s+([A-Za-z_][\w.]*)\s*;?\s*$",
             query,
             _re.I,
         )
         if not m:
             return None
-        verb = (m.group(1) or m.group(3)).upper()
-        name = m.group(2) or m.group(4)
+        verb = (m.group(1) or m.group(4)).upper()
+        name = m.group(2) or m.group(5)
+        truncate_cascade = bool(m.group(3)) and m.group(3).upper() == "CASCADE"
         if verb in ("TRUNCATE", "VACUUM") and self.catalog.get(name) is None:
             # not one of ours: fall through to Spark's own handling
             # (its catalog TRUNCATE TABLE, or its honest unsupported
@@ -2529,9 +2618,36 @@ class DistributedSession:
             except Exception:
                 return None
         if verb == "TRUNCATE":
+            from citus_spark.plans import constraints as _cons
+
             entry = self._writable_entry(name, "TRUNCATE")
-            empty = self._live_read(entry).filter(F.lit(False))
-            self._live_rewrite(entry, empty, name)
+            # PG: a table other tables reference cannot be truncated
+            # without CASCADE, which then truncates the referencing
+            # tables transitively (commands/truncate.c propagates the
+            # same statement shape to shards)
+            targets = [name]
+            frontier = [name]
+            while frontier:
+                t = frontier.pop()
+                for other, _oe, _oc, _os in _cons._inbound_fks(
+                    self, t, include_self=False
+                ):
+                    if other not in targets:
+                        targets.append(other)
+                        frontier.append(other)
+            if len(targets) > 1 and not truncate_cascade:
+                raise ValueError(
+                    f'cannot truncate a table referenced in a foreign '
+                    f'key constraint\nDETAIL: Table "{targets[1]}" '
+                    f'references "{name}".\nHINT: Truncate table '
+                    f'"{targets[1]}" at the same time, or use TRUNCATE '
+                    "... CASCADE."
+                )
+            for t in targets:
+                e_t = self._writable_entry(t, "TRUNCATE")
+                self._live_rewrite(
+                    e_t, self._live_read(e_t).filter(F.lit(False)), t
+                )
             return self.spark.sql("SELECT 'TRUNCATE' AS status")
         if verb == "VACUUM":
             from citus_spark.sources.ingest import compact_table
@@ -2727,20 +2843,53 @@ class DistributedSession:
                 "__citus_affected"
             )
             result = new_image.drop("__citus_affected")
+            # old__/new__ remap of the affected rows — feeds ON UPDATE
+            # referential actions (derived from the SAME old image +
+            # assignments, so the pairing needs no row ids)
+            update_pairs = df.filter(pred).select(
+                *[F.col(c).alias(f"old__{c}") for c in df.columns],
+                *[
+                    (
+                        F.expr(assigned[c]).cast(df.schema[c].dataType)
+                        if c in assigned
+                        else F.col(c)
+                    ).alias(f"new__{c}")
+                    for c in df.columns
+                ],
+            )
+            return self._dml_finish(
+                entry, stmt, result, affected_rows, affected,
+                update_pairs=update_pairs,
+            )
         return self._dml_finish(entry, stmt, result, affected_rows, affected)
 
-    def _dml_finish(self, entry, stmt, result, affected_rows, affected):
+    def _dml_finish(
+        self, entry, stmt, result, affected_rows, affected,
+        update_pairs=None,
+    ):
         """Shared DML tail: constraint enforcement over the would-be
-        state, RETURNING staging, copy-on-write swap, psql-style tag."""
+        state, referential-action cascades (ON DELETE/UPDATE CASCADE /
+        SET NULL / SET DEFAULT propagate through the constraint graph
+        as dependent copy-on-write rewrites), RETURNING staging,
+        copy-on-write swap, psql-style tag. `update_pairs` is the
+        old__/new__ column remap of the affected rows (plain UPDATE
+        only — the FROM form cannot re-derive it)."""
+        images = None
         if entry.constraints or any(
             e.constraints for e in self.catalog.tables().values()
         ):
             from citus_spark.plans import constraints as _cons
 
             if stmt.kind == "delete":
-                # inbound FKs: every child row must still find its
-                # parent among the surviving rows (RESTRICT/NO ACTION)
-                _cons.enforce_delete(self, entry, stmt.table, result)
+                if _cons.cascading_actions_exist(self, stmt.table, "delete"):
+                    images = _cons.propagate_referential_actions(
+                        self, stmt.table, self._live_read(entry), result,
+                        None,
+                    )
+                else:
+                    # inbound FKs: every child row must still find its
+                    # parent among the surviving rows (NO ACTION)
+                    _cons.enforce_delete(self, entry, stmt.table, result)
             else:
                 assigned_cols = [c for c, _ in stmt.assignments]
                 _cons.enforce_update(
@@ -2760,18 +2909,85 @@ class DistributedSession:
                     for c in ospec["refcols"]
                 }
                 if inbound_refcols & set(assigned_cols):
-                    _cons.enforce_delete(self, entry, stmt.table, result)
+                    if _cons.cascading_actions_exist(
+                        self, stmt.table, "update"
+                    ):
+                        if update_pairs is None:
+                            raise NotImplementedError(
+                                "ON UPDATE referential actions through "
+                                "UPDATE .. FROM are not supported — "
+                                "use a plain UPDATE"
+                            )
+                        images = _cons.propagate_referential_actions(
+                            self, stmt.table, self._live_read(entry),
+                            result, update_pairs,
+                        )
+                    else:
+                        _cons.enforce_delete(
+                            self, entry, stmt.table, result
+                        )
         returned = (
             self._stage_returning(affected_rows, stmt.returning)
             if stmt.returning
             else None
         )
-        self._live_rewrite(entry, result, stmt.table)
+        if images is not None:
+            # a self-referential cascade changes the ROOT image too —
+            # always write the propagated images, never the raw result
+            self._live_rewrite_many(
+                [
+                    (self.catalog.get(t), img, t)
+                    for t, img in images.items()
+                ]
+            )
+        else:
+            self._live_rewrite(entry, result, stmt.table)
         if returned is not None:
             return returned
         return self.spark.createDataFrame(
             [(int(affected),)], f"{stmt.kind}d long"
         )
+
+    def _live_rewrite_many(self, items) -> None:
+        """Rewrite several relations as ONE statement (FK cascades).
+        Every new image is STAGED to a temp location first — each
+        image's plan reads the other tables' pre-statement parquet, so
+        no destination may be overwritten before every image has been
+        fully materialized — then all destinations swap."""
+        if len(items) == 1:
+            self._live_rewrite(*items[0])
+            return
+        import shutil
+
+        from citus_spark.sources.partitions import (
+            PERIOD_COL,
+            write_time_partitioned,
+        )
+
+        staged = []
+        for entry, df, name in items:
+            if entry.time_partitioning:
+                tp = entry.time_partitioning
+                tmp = tp["path"] + f".rw_tmp{os.getpid()}"
+                write_time_partitioned(
+                    df.drop(PERIOD_COL), tmp, tp["ts_col"],
+                    tp["granularity"], overwrite_touched_only=False,
+                )
+                staged.append(("tp", entry, name, tmp))
+            else:
+                tmp = entry.path + ".rw_tmp"
+                df.write.mode("overwrite").parquet(tmp)
+                staged.append(("plain", entry, name, tmp))
+        for kind, entry, name, tmp in staged:
+            if kind == "tp":
+                shutil.rmtree(entry.time_partitioning["path"])
+                os.rename(tmp, entry.time_partitioning["path"])
+            else:
+                self.spark.read.parquet(tmp).write.mode(
+                    "overwrite"
+                ).parquet(entry.path)
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._live_register(entry, name)
 
     def _dml_with_from(self, entry, df, stmt):
         """UPDATE .. FROM / DELETE .. USING (PG join-DML; ↔ reference

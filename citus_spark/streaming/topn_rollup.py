@@ -49,7 +49,11 @@ def apply_topn_batch(
     window: str = "1 hour",
 ) -> None:
     """One micro-batch step: merge the batch's states into the stored
-    state table (the foreachBatch body, callable in batch form)."""
+    state table (the foreachBatch body, callable in batch form). The
+    new state materializes fully into a side directory, then swaps in
+    via os.rename — a crash mid-step leaves the previous state intact
+    (a second parquet overwrite would be delete-then-write, with a
+    window where the state table is partially written)."""
     states = _batch_states(batch, window)
     if os.path.exists(state_path):
         states = topn_union(
@@ -58,9 +62,17 @@ def apply_topn_batch(
             K,
             slack=SLACK,
         )
+    import shutil
+
     tmp = state_path + ".tmp"
+    old = state_path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     states.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_topn_rollup_to_table(

@@ -233,10 +233,18 @@ def test_create_table_inline_constraints(sess, spark):
 def test_column_change_guards(sess):
     sess.sql("CREATE TABLE ck_t (id int PRIMARY KEY, price int)")
     sess.sql("ALTER TABLE ck_t ADD CONSTRAINT pos CHECK (price > 0)")
-    with pytest.raises(ValueError, match="depends on it"):
-        sess.sql("ALTER TABLE ck_t DROP COLUMN id")
-    with pytest.raises(ValueError, match="depends on it"):
-        sess.sql("ALTER TABLE ck_t DROP COLUMN price")
+    # PG: DROP COLUMN silently drops SAME-TABLE dependent constraints
+    # (CASCADE is only needed for external dependents) — the CHECK
+    # goes with its column, the PK goes with its column
+    sess.sql("ALTER TABLE ck_t DROP COLUMN price")
+    assert "pos" not in sess.catalog.get("ck_t").constraints
+    assert "ck_t_pkey" in sess.catalog.get("ck_t").constraints
+    sess.sql("ALTER TABLE ck_t ADD COLUMN price int")
+    sess.sql("ALTER TABLE ck_t ADD CONSTRAINT pos CHECK (price > 0)")
+    sess.sql("ALTER TABLE ck_t DROP COLUMN id")
+    assert "ck_t_pkey" not in sess.catalog.get("ck_t").constraints
+    sess.sql("ALTER TABLE ck_t ADD COLUMN id int")
+    sess.sql("ALTER TABLE ck_t ADD CONSTRAINT ck_t_pkey PRIMARY KEY (id)")
     # renaming a key column propagates into the stored column list
     sess.sql("ALTER TABLE ck_t RENAME COLUMN id TO item_id")
     assert sess.catalog.get("ck_t").constraints["ck_t_pkey"]["cols"] == [
@@ -247,6 +255,12 @@ def test_column_change_guards(sess):
         sess.sql("ALTER TABLE ck_t RENAME COLUMN price TO cost")
     sess.sql("ALTER TABLE ck_t DROP CONSTRAINT pos")
     sess.sql("ALTER TABLE ck_t RENAME COLUMN price TO cost")
+    # a column an INBOUND (other-table) FK references still refuses
+    sess.sql("CREATE TABLE ck_child (x int REFERENCES ck_t (item_id))")
+    with pytest.raises(ValueError, match="depends on it"):
+        sess.sql("ALTER TABLE ck_t DROP COLUMN item_id")
+    sess.sql("ALTER TABLE ck_child DROP CONSTRAINT ck_child_x_fkey")
+    sess.sql("DROP TABLE ck_child")
 
 
 def test_rename_table_keeps_inbound_fks(sess, spark):
@@ -366,17 +380,188 @@ def test_copy_and_merge_enforce_constraints(sess, spark, tmp_path):
         )
 
 
-def test_referential_action_rejected(sess):
+def test_referential_action_codes_stored(sess):
     sess.sql("CREATE TABLE fk_parent (pid int PRIMARY KEY)")
     sess.sql("CREATE TABLE fk_child (cid int, pid int)")
-    with pytest.raises(NotImplementedError, match="CASCADE"):
-        sess.sql(
-            "ALTER TABLE fk_child ADD CONSTRAINT c_fk FOREIGN KEY (pid) "
-            "REFERENCES fk_parent (pid) ON DELETE CASCADE"
-        )
-    # NO ACTION / RESTRICT spellings are accepted
+    sess.sql(
+        "ALTER TABLE fk_child ADD CONSTRAINT c_fk FOREIGN KEY (pid) "
+        "REFERENCES fk_parent (pid) ON DELETE CASCADE ON UPDATE SET NULL"
+    )
+    spec = sess.catalog.get("fk_child").constraints["c_fk"]
+    assert (spec["on_delete"], spec["on_update"]) == ("c", "n")
+    sess.sql("ALTER TABLE fk_child DROP CONSTRAINT c_fk")
+    # NO ACTION / RESTRICT spellings record PG's a / r codes
     sess.sql(
         "ALTER TABLE fk_child ADD CONSTRAINT c_fk FOREIGN KEY (pid) "
         "REFERENCES fk_parent (pid) ON DELETE RESTRICT ON UPDATE NO ACTION"
     )
+    spec = sess.catalog.get("fk_child").constraints["c_fk"]
+    assert (spec["on_delete"], spec["on_update"]) == ("r", "a")
     sess.sql("ALTER TABLE fk_child DROP CONSTRAINT c_fk")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_on_delete_cascade(sess):
+    sess.sql("CREATE TABLE ca_p (pid int PRIMARY KEY, tag text)")
+    sess.sql(
+        "CREATE TABLE ca_c (cid int, pid int "
+        "REFERENCES ca_p (pid) ON DELETE CASCADE)"
+    )
+    sess.sql("INSERT INTO ca_p VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sess.sql(
+        "INSERT INTO ca_c VALUES (10, 1), (11, 1), (20, 2), (90, NULL)"
+    )
+    out = sess.sql("DELETE FROM ca_p WHERE pid = 1")
+    assert out.collect()[0][0] == 1  # tag counts the TARGET's rows only
+    assert _rows(sess.spark.table("ca_p"), "pid") == [(2,), (3,)]
+    # children of pid=1 cascaded away; the NULL-key row survives
+    assert _rows(sess.spark.table("ca_c"), "cid") == [(20,), (90,)]
+
+
+def test_on_delete_cascade_multilevel(sess):
+    sess.sql("CREATE TABLE lv1 (a int PRIMARY KEY)")
+    sess.sql(
+        "CREATE TABLE lv2 (b int PRIMARY KEY, "
+        "a int REFERENCES lv1 (a) ON DELETE CASCADE)"
+    )
+    sess.sql(
+        "CREATE TABLE lv3 (c int, b int "
+        "REFERENCES lv2 (b) ON DELETE CASCADE)"
+    )
+    sess.sql("INSERT INTO lv1 VALUES (1), (2)")
+    sess.sql("INSERT INTO lv2 VALUES (10, 1), (20, 2)")
+    sess.sql("INSERT INTO lv3 VALUES (100, 10), (200, 20)")
+    sess.sql("DELETE FROM lv1 WHERE a = 1")
+    assert _rows(sess.spark.table("lv2"), "b") == [(20,)]
+    assert _rows(sess.spark.table("lv3"), "c") == [(200,)]
+
+
+def test_on_delete_set_null_and_default(sess):
+    sess.sql("CREATE TABLE sn_p (pid int PRIMARY KEY)")
+    sess.sql(
+        "CREATE TABLE sn_c (cid int, pid int "
+        "REFERENCES sn_p (pid) ON DELETE SET NULL)"
+    )
+    sess.sql("INSERT INTO sn_p VALUES (1), (2)")
+    sess.sql("INSERT INTO sn_c VALUES (10, 1), (20, 2)")
+    sess.sql("DELETE FROM sn_p WHERE pid = 1")
+    assert _rows(sess.spark.table("sn_c"), "cid", "pid") == [
+        (10, None), (20, 2),
+    ]
+    # SET DEFAULT uses the recorded column DEFAULT — and the default
+    # value itself must point at a surviving parent
+    sess.sql("CREATE TABLE sd_p (pid int PRIMARY KEY)")
+    sess.sql(
+        "CREATE TABLE sd_c (cid int, pid int DEFAULT 2 "
+        "REFERENCES sd_p (pid) ON DELETE SET DEFAULT)"
+    )
+    sess.sql("INSERT INTO sd_p VALUES (1), (2)")
+    sess.sql("INSERT INTO sd_c VALUES (10, 1)")
+    sess.sql("DELETE FROM sd_p WHERE pid = 1")
+    assert _rows(sess.spark.table("sd_c"), "cid", "pid") == [(10, 2)]
+    # deleting the default's own parent row: the cascaded default
+    # write violates the FK against the final state → whole statement
+    # fails, nothing is written
+    with pytest.raises(ValueError, match="violates foreign key"):
+        sess.sql("DELETE FROM sd_p WHERE pid = 2")
+    assert _rows(sess.spark.table("sd_c"), "cid", "pid") == [(10, 2)]
+    assert _rows(sess.spark.table("sd_p"), "pid") == [(2,)]
+
+
+def test_self_referential_cascade_fixpoint(sess):
+    # org chart: deleting the root cascades through the whole chain —
+    # the semi-naive wave loop must converge, not cycle
+    sess.sql("CREATE TABLE org (eid int PRIMARY KEY, mgr int)")
+    sess.sql(
+        "ALTER TABLE org ADD CONSTRAINT org_mgr_fkey FOREIGN KEY (mgr) "
+        "REFERENCES org (eid) ON DELETE CASCADE"
+    )
+    sess.sql(
+        "INSERT INTO org VALUES (1, NULL), (2, 1), (3, 2), (4, 3), (5, NULL)"
+    )
+    sess.sql("DELETE FROM org WHERE eid = 1")
+    assert _rows(sess.spark.table("org"), "eid") == [(5,)]
+
+
+def test_on_update_cascade_and_set_null(sess):
+    sess.sql("CREATE TABLE up_p (pid int PRIMARY KEY, tag text)")
+    sess.sql(
+        "CREATE TABLE up_c (cid int, pid int "
+        "REFERENCES up_p (pid) ON UPDATE CASCADE)"
+    )
+    sess.sql("INSERT INTO up_p VALUES (1, 'a'), (2, 'b')")
+    sess.sql("INSERT INTO up_c VALUES (10, 1), (20, 2)")
+    sess.sql("UPDATE up_p SET pid = 100 WHERE pid = 1")
+    assert _rows(sess.spark.table("up_c"), "cid", "pid") == [
+        (10, 100), (20, 2),
+    ]
+    sess.sql("CREATE TABLE un_p (pid int PRIMARY KEY)")
+    sess.sql(
+        "CREATE TABLE un_c (cid int, pid int "
+        "REFERENCES un_p (pid) ON UPDATE SET NULL)"
+    )
+    sess.sql("INSERT INTO un_p VALUES (1), (2)")
+    sess.sql("INSERT INTO un_c VALUES (10, 1), (20, 2)")
+    sess.sql("UPDATE un_p SET pid = 99 WHERE pid = 1")
+    assert _rows(sess.spark.table("un_c"), "cid", "pid") == [
+        (10, None), (20, 2),
+    ]
+
+
+def test_cascade_write_blocked_by_child_constraints(sess):
+    # SET NULL into a PK column of the child → not-null violation,
+    # judged BEFORE anything is written
+    sess.sql("CREATE TABLE nn_p (pid int PRIMARY KEY)")
+    sess.sql(
+        "CREATE TABLE nn_c (pid int PRIMARY KEY "
+        "REFERENCES nn_p (pid) ON DELETE SET NULL)"
+    )
+    sess.sql("INSERT INTO nn_p VALUES (1)")
+    sess.sql("INSERT INTO nn_c VALUES (1)")
+    with pytest.raises(ValueError, match="not-null"):
+        sess.sql("DELETE FROM nn_p WHERE pid = 1")
+    assert _rows(sess.spark.table("nn_p"), "pid") == [(1,)]
+    assert _rows(sess.spark.table("nn_c"), "pid") == [(1,)]
+
+
+def test_distribution_rules_for_actions(sess):
+    # ↔ reference foreign_constraint.c: rewriting the distribution key
+    # of a sharded child is rejected at ADD CONSTRAINT time
+    sess.sql("CREATE TABLE dr_p (pid int PRIMARY KEY)")
+    sess.sql("CREATE TABLE dr_c (cid int, pid int)")
+    sess.sql("SELECT create_distributed_table('dr_p', 'pid')")
+    sess.sql(
+        "SELECT create_distributed_table('dr_c', 'pid', "
+        "colocate_with => 'dr_p')"
+    )
+    with pytest.raises(ValueError, match="SET NULL or SET DEFAULT"):
+        sess.sql(
+            "ALTER TABLE dr_c ADD CONSTRAINT dr_fk FOREIGN KEY (pid) "
+            "REFERENCES dr_p (pid) ON DELETE SET NULL"
+        )
+    with pytest.raises(ValueError, match="ON UPDATE"):
+        sess.sql(
+            "ALTER TABLE dr_c ADD CONSTRAINT dr_fk FOREIGN KEY (pid) "
+            "REFERENCES dr_p (pid) ON UPDATE CASCADE"
+        )
+    # ON DELETE CASCADE on the distribution key is fine (rows leave,
+    # none move shards)
+    sess.sql(
+        "ALTER TABLE dr_c ADD CONSTRAINT dr_fk FOREIGN KEY (pid) "
+        "REFERENCES dr_p (pid) ON DELETE CASCADE"
+    )
+
+
+def test_truncate_fk_cascade(sess):
+    sess.sql("CREATE TABLE tr_p (pid int PRIMARY KEY)")
+    sess.sql("CREATE TABLE tr_c (cid int, pid int REFERENCES tr_p (pid))")
+    sess.sql("INSERT INTO tr_p VALUES (1)")
+    sess.sql("INSERT INTO tr_c VALUES (10, 1)")
+    with pytest.raises(ValueError, match="TRUNCATE ... CASCADE"):
+        sess.sql("TRUNCATE tr_p")
+    sess.sql("TRUNCATE tr_p CASCADE")
+    assert sess.spark.table("tr_p").count() == 0
+    assert sess.spark.table("tr_c").count() == 0

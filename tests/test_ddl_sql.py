@@ -149,3 +149,78 @@ def test_create_table_name_reuse_after_rename(spark):
     assert spark.table("reuse_t").count() == 0
     s.sql("DROP TABLE reuse_t")
     s.sql("DROP TABLE reuse_renamed")
+
+
+# -- round-7: ALTER COLUMN TYPE + literal-masked constraint parsing
+
+
+def test_alter_column_type(spark):
+    import pytest
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE att (id int, amount text, label text)")
+    s.sql("INSERT INTO att VALUES (1, '10', 'a'), (2, '20', 'b')")
+    s.sql("ALTER TABLE att ALTER COLUMN amount TYPE bigint")
+    assert dict(spark.table("att").dtypes)["amount"] == "bigint"
+    assert sorted(r.amount for r in spark.table("att").collect()) == [10, 20]
+    # widening int -> double via SET DATA TYPE spelling
+    s.sql("ALTER TABLE att ALTER COLUMN amount SET DATA TYPE double precision")
+    assert dict(spark.table("att").dtypes)["amount"] == "double"
+    # a non-convertible cast fails loudly, nothing rewritten
+    with pytest.raises(ValueError, match="USING"):
+        s.sql("ALTER TABLE att ALTER COLUMN label TYPE integer")
+    assert dict(spark.table("att").dtypes)["label"] == "string"
+    # ...unless a USING expression says how
+    s.sql(
+        "ALTER TABLE att ALTER COLUMN label TYPE integer "
+        "USING length(label)"
+    )
+    assert sorted(r.label for r in spark.table("att").collect()) == [1, 1]
+    s.sql("DROP TABLE att")
+
+
+def test_alter_column_type_revalidates_constraints(spark):
+    import pytest
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE attc (id int PRIMARY KEY, v text CHECK (v > '0'))")
+    s.sql("INSERT INTO attc VALUES (1, '5'), (2, '7')")
+    # cast keeps CHECK satisfied (string '5' -> 5 > implicit '0'... the
+    # CHECK re-judges against the NEW values)
+    s.sql("ALTER TABLE attc ALTER COLUMN v TYPE int")
+    # narrowing id would keep uniqueness here; a cast that collides
+    # must fail: make two ids collide modulo the USING expression
+    with pytest.raises(ValueError, match="unique"):
+        s.sql("ALTER TABLE attc ALTER COLUMN id TYPE int USING 1")
+    assert sorted(r.id for r in spark.table("attc").collect()) == [1, 2]
+    s.sql("DROP TABLE attc")
+
+
+def test_constraint_keywords_inside_literals_ignored(spark):
+    s = DistributedSession(spark)
+    # a DEFAULT string containing constraint keywords must not
+    # fabricate phantom constraints (regex runs over masked text)
+    s.sql(
+        "CREATE TABLE litmask (id int PRIMARY KEY, "
+        "note text DEFAULT 'UNIQUE REFERENCES ghost(x) CHECK(', "
+        "status text CHECK (status <> ':-)'))"
+    )
+    cons = s.catalog.get("litmask").constraints
+    assert set(cons) == {"litmask_pkey", "litmask_status_check"}
+    assert s.catalog.get("litmask").defaults["note"].startswith("'UNIQUE")
+    s.sql("INSERT INTO litmask VALUES (1, 'n', 'ok')")
+    import pytest
+
+    with pytest.raises(ValueError, match="check"):
+        s.sql("INSERT INTO litmask VALUES (2, 'n', ':-)')")
+    s.sql("DROP TABLE litmask")
+
+
+def test_two_unnamed_checks_get_distinct_names(spark):
+    s = DistributedSession(spark)
+    s.sql(
+        "CREATE TABLE twock (a int, b int, CHECK (a > 0), CHECK (b > 0))"
+    )
+    cons = s.catalog.get("twock").constraints
+    assert "twock_check" in cons and "twock_check1" in cons
+    s.sql("DROP TABLE twock")

@@ -54,6 +54,77 @@ def canon(v):
     return v
 
 
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER",
+}
+# HUGEINT/UBIGINT/DECIMAL all materialize as float64 in pandas —
+# the exact class that silently diverged from Spark int64 in r6's
+# embedding_gram_matrix (and r5's pg_subscript_textual before it).
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+def duck_kind(type_name: str) -> str:
+    """pandas-dtype class DuckDB's .df() gives this declared type."""
+    t = type_name.upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "datetime"
+    return "other"
+
+
+def spark_kind(simple: str) -> str:
+    """pandas-dtype class Spark's toPandas() gives this column type.
+
+    Spark decimal becomes a pandas *object* column of Decimal — never
+    equal to DuckDB's float64 under a dtype-sensitive hasher — so it
+    gets its own class and always FAILs (cast to double in the query).
+    """
+    s = simple
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s in ("date", "timestamp", "timestamp_ntz"):
+        return "datetime"
+    return "other"
+
+
+def dtype_mismatches(spark_schema, con, oracle_sql):
+    """Per-column dtype-class diffs between Spark and the oracle.
+
+    The driver hashes pandas frames per column (factorize), so a
+    value-identical result still FAILS there when one engine types a
+    column int64 and the other float64. Compare the *declared* types
+    (Spark schema vs DuckDB DESCRIBE) mapped to their pandas classes.
+    """
+    skinds = {f.name: spark_kind(f.dataType.simpleString())
+              for f in spark_schema.fields}
+    desc = con.execute(
+        "DESCRIBE " + oracle_sql.rstrip().rstrip(";")
+    ).fetchall()
+    dkinds = {r[0]: duck_kind(r[1]) for r in desc}
+    bad = []
+    for col in sorted(set(skinds) & set(dkinds)):
+        sk, dk = skinds[col], dkinds[col]
+        if sk == dk:
+            continue
+        # numeric/bool class drift is exactly what the driver's
+        # hasher sees; datetime-vs-other etc. already fails on values
+        if {sk, dk} & {"int", "float", "bool", "decimal"}:
+            bad.append(f"{col}: spark={sk} duckdb={dk}")
+    return bad
+
+
 def df_to_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon(r[i]) for i in order) for r in rows]
@@ -134,6 +205,17 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if ok:
+            try:
+                bad_dtypes = dtype_mismatches(sdf.schema, con, oracles[name])
+            except Exception as e:
+                bad_dtypes = [f"(DESCRIBE failed: {e})"]
+            if bad_dtypes:
+                ok = False
+                msgs.append(
+                    "dtype drift (driver hasher is dtype-sensitive): "
+                    + "; ".join(bad_dtypes)
+                )
         if ok:
             _, s = df_to_rows(scols, srows)
             _, d = df_to_rows(dcols, drows)
