@@ -533,8 +533,10 @@ def enforce_delete(
     find its parent among the REMAINING rows. A self-referential FK's
     child side is ALSO the post-statement image (PG checks
     end-of-statement state — the pre-delete table would veto deleting
-    a parent and its children together). The parser already rejects
-    CASCADE / SET NULL actions, so this is the only behavior."""
+    a parent and its children together). This is the fast path for
+    statements with no cascading actions; when any inbound FK carries
+    CASCADE / SET NULL / SET DEFAULT, _dml_finish routes through
+    propagate_referential_actions instead."""
     for other, oentry, oc, ospec in _inbound_fks(session, table):
         child = (
             remaining if other == table else session._live_read(oentry)
@@ -615,13 +617,18 @@ def propagate_referential_actions(
     images: dict[str, DataFrame] = {root: root_new}
     fill_touched: dict[str, set] = {}
     queue: list[tuple] = [(root, root_old, root_new, root_pairs)]
-    waves = 0
+    # pop-count backstop, far above any real schema: each pop is one
+    # (parent-version) step, so even a 1000-level self-referential
+    # CASCADE chain stays under it; a genuine non-converging cycle
+    # (possible only through a bug — cascade deletes strictly shrink)
+    # hits it instead of looping forever
+    pops = 0
     while queue:
-        waves += 1
-        if waves > 200:
+        pops += 1
+        if pops > 10_000:
             raise ValueError(
-                "foreign key cascade did not converge after 200 waves — "
-                "referential action cycle?"
+                "foreign key cascade did not converge after 10000 "
+                "propagation steps — referential action cycle?"
             )
         parent, p_old, p_new, pairs = queue.pop(0)
         for child, centry, conname, spec in list(_inbound_fks(session, parent)):
@@ -913,7 +920,12 @@ def guard_column_change(entry, table: str, col: str, renamed_to=None):
             conname
             for conname, spec in (entry.constraints or {}).items()
             if col in spec.get("cols", ())
-            or col in spec.get("refcols", ())
+            # refcols name the PARENT's columns — they only refer to
+            # THIS table's columns when the FK is self-referential
+            or (
+                spec.get("reftable") == table
+                and col in spec.get("refcols", ())
+            )
             or (
                 spec["kind"] == "c"
                 and re.search(rf"\b{re.escape(col)}\b", spec["expr"])

@@ -303,6 +303,15 @@ def _parse_constraint_action(action: str):
     return None
 
 
+def _suffix_name(base: str, taken) -> str:
+    """PG's collision rule for generated names: base, base1, base2…"""
+    name, i = base, 0
+    while name in taken:
+        i += 1
+        name = f"{base}{i}"
+    return name
+
+
 def _default_conname(table: str, op: tuple, taken=()) -> str:
     """PG's auto-generated constraint names; a taken name gets a
     numeric suffix the way PG names a second unnamed CHECK
@@ -316,11 +325,7 @@ def _default_conname(table: str, op: tuple, taken=()) -> str:
         base = f"{table}_{op[2][0]}_fkey"
     else:
         base = f"{table}_check"
-    name, i = base, 0
-    while name in taken:
-        i += 1
-        name = f"{base}{i}"
-    return name
+    return _suffix_name(base, taken)
 
 
 def _table_constraint_op(table: str, item: str, taken=()):
@@ -393,27 +398,15 @@ def _column_constraint_ops(
     ck = re.search(r"\bCHECK\s*\(", masked, re.I)
     if ck:
         # depth-count on the masked copy (literal parens are blanked),
-        # slice the expression from the original text
+        # slice the expression span from the original text
         open_idx = masked.index("(", ck.start())
-        depth = 0
-        close_idx = -1
-        for i in range(open_idx, len(masked)):
-            if masked[i] == "(":
-                depth += 1
-            elif masked[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    close_idx = i
-                    break
-        if close_idx < 0:
-            raise ValueError(f"unbalanced parentheses in {item!r}")
-        expr = item[open_idx + 1 : close_idx]
-        base = f"{table}_{col}_check"
-        name, i = base, 0
-        while name in taken:
-            i += 1
-            name = f"{base}{i}"
-        ops.append(("add_check", name, expr.strip(), False))
+        body = _balanced_paren_body(masked, open_idx)
+        expr = item[open_idx + 1 : open_idx + 1 + len(body)]
+        ops.append((
+            "add_check",
+            _suffix_name(f"{table}_{col}_check", taken),
+            expr.strip(), False,
+        ))
     return ops
 
 

@@ -226,6 +226,7 @@ class DistributedSession:
             entry.time_partitioning = prior.time_partitioning
             entry.identity = prior.identity
             entry.constraints = prior.constraints
+            entry.defaults = prior.defaults
         # distribution rules re-judge every constraint now that the
         # table is hash-distributed (↔ create_distributed_table.c
         # erroring on non-dist-col unique keys / unsupported FKs);
@@ -244,9 +245,19 @@ class DistributedSession:
                         self, name, spec["cols"], spec["reftable"],
                         spec["refcols"],
                     )
+                    _cons._distribution_rules_fk_actions(
+                        self, name, spec["cols"],
+                        spec.get("on_delete", "a"),
+                        spec.get("on_update", "a"),
+                    )
             for _t, _e, _c, ospec in _cons._inbound_fks(self, name):
                 _cons._distribution_rules_fk(
                     self, _t, ospec["cols"], name, ospec["refcols"]
+                )
+                _cons._distribution_rules_fk_actions(
+                    self, _t, ospec["cols"],
+                    ospec.get("on_delete", "a"),
+                    ospec.get("on_update", "a"),
                 )
         except Exception:
             if prior is not None:
@@ -325,6 +336,7 @@ class DistributedSession:
             entry.time_partitioning = prior.time_partitioning
             entry.identity = prior.identity
             entry.constraints = prior.constraints
+            entry.defaults = prior.defaults
         df.hint("broadcast").createOrReplaceTempView(name)
         return df
 
@@ -2147,6 +2159,15 @@ class DistributedSession:
                 _, colname, new_type, using = op
                 if colname not in cur.columns:
                     raise ValueError(f'column "{colname}" does not exist')
+                if entry.is_hash_distributed and colname == entry.dist_col:
+                    # ↔ reference alter_table.c: the hash layout was
+                    # built from the old type (hashing is
+                    # type-sensitive) — re-typing the partition column
+                    # would silently break colocation
+                    raise ValueError(
+                        "cannot execute ALTER TABLE command involving "
+                        "partition column"
+                    )
                 if using is not None:
                     # USING evaluates the user's expression; an ANSI
                     # cast failure inside it errors like PG's would
@@ -2643,8 +2664,11 @@ class DistributedSession:
                     f'"{targets[1]}" at the same time, or use TRUNCATE '
                     "... CASCADE."
                 )
-            for t in targets:
-                e_t = self._writable_entry(t, "TRUNCATE")
+            # judge writability of EVERY target before emptying the
+            # first — a read-only child must veto the whole statement,
+            # not leave it half-applied
+            entries = [self._writable_entry(t, "TRUNCATE") for t in targets]
+            for t, e_t in zip(targets, entries):
                 self._live_rewrite(
                     e_t, self._live_read(e_t).filter(F.lit(False)), t
                 )
@@ -2933,10 +2957,12 @@ class DistributedSession:
         )
         if images is not None:
             # a self-referential cascade changes the ROOT image too —
-            # always write the propagated images, never the raw result
+            # always write the propagated images, never the raw result.
+            # Every cascaded child must be writable BEFORE the first
+            # swap (a fixture-backed child vetoes the whole statement)
             self._live_rewrite_many(
                 [
-                    (self.catalog.get(t), img, t)
+                    (self._writable_entry(t, "DML cascade"), img, t)
                     for t, img in images.items()
                 ]
             )
@@ -2983,10 +3009,13 @@ class DistributedSession:
                 shutil.rmtree(entry.time_partitioning["path"])
                 os.rename(tmp, entry.time_partitioning["path"])
             else:
-                self.spark.read.parquet(tmp).write.mode(
-                    "overwrite"
-                ).parquet(entry.path)
-                shutil.rmtree(tmp, ignore_errors=True)
+                # rename swap: no second materialization, and the
+                # destination is never in a partially-written state
+                old = entry.path + ".rw_old"
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(entry.path, old)
+                os.rename(tmp, entry.path)
+                shutil.rmtree(old, ignore_errors=True)
             self._live_register(entry, name)
 
     def _dml_with_from(self, entry, df, stmt):

@@ -54,6 +54,17 @@ def apply_topn_batch(
     via os.rename — a crash mid-step leaves the previous state intact
     (a second parquet overwrite would be delete-then-write, with a
     window where the state table is partially written)."""
+    import shutil
+
+    tmp = state_path + ".tmp"
+    old = state_path + ".old"
+    # crash recovery: dying between the two renames below leaves the
+    # only state copy in `.old` — restore it before reading, and only
+    # then discard leftovers
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     states = _batch_states(batch, window)
     if os.path.exists(state_path):
         states = topn_union(
@@ -62,12 +73,6 @@ def apply_topn_batch(
             K,
             slack=SLACK,
         )
-    import shutil
-
-    tmp = state_path + ".tmp"
-    old = state_path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     states.write.mode("overwrite").parquet(tmp)
     if os.path.exists(state_path):
         os.rename(state_path, old)
@@ -99,4 +104,9 @@ def run_topn_rollup_to_table(
 
 def read_topn_rollup(spark: SparkSession, state_path: str) -> DataFrame:
     """Finalize stored states → (window_start, item, cnt, rank)."""
+    old = state_path + ".old"
+    if not os.path.exists(state_path) and os.path.exists(old):
+        # a crash between the writer's two renames parked the state
+        # in `.old`; read it (the writer restores it on its next step)
+        state_path = old
     return topn_extract(spark.read.parquet(state_path), ROLLUP_KEYS, K)

@@ -565,3 +565,52 @@ def test_truncate_fk_cascade(sess):
     sess.sql("TRUNCATE tr_p CASCADE")
     assert sess.spark.table("tr_p").count() == 0
     assert sess.spark.table("tr_c").count() == 0
+
+
+# -- round-7 review regressions
+
+
+def test_drop_column_name_collision_keeps_fk(sess):
+    # c.x merely shares a NAME with p's referenced column — dropping
+    # it must NOT detach the FK (refcols name the PARENT's columns)
+    sess.sql("CREATE TABLE nc_p (x int PRIMARY KEY)")
+    sess.sql("CREATE TABLE nc_c (a int REFERENCES nc_p (x), x int)")
+    sess.sql("ALTER TABLE nc_c DROP COLUMN x")
+    assert "nc_c_a_fkey" in sess.catalog.get("nc_c").constraints
+    sess.sql("INSERT INTO nc_p VALUES (1)")
+    with pytest.raises(ValueError, match="violates foreign key"):
+        sess.sql("INSERT INTO nc_c VALUES (99)")
+    # self-referential FK: dropping the referenced column drops it
+    sess.sql("CREATE TABLE nc_s (id int PRIMARY KEY, par int)")
+    sess.sql(
+        "ALTER TABLE nc_s ADD CONSTRAINT s_fk FOREIGN KEY (par) "
+        "REFERENCES nc_s (id)"
+    )
+    sess.sql("ALTER TABLE nc_s DROP COLUMN par")
+    assert "s_fk" not in sess.catalog.get("nc_s").constraints
+
+
+def test_distribute_rejudges_referential_actions(sess):
+    # child → reference-table FK passes the shape rules, so the ACTION
+    # rule is what must veto distributing the child on the FK column
+    sess.sql("CREATE TABLE rj_p (pid int PRIMARY KEY)")
+    sess.sql("SELECT create_reference_table('rj_p')")
+    sess.sql(
+        "CREATE TABLE rj_c (cid int, pid int "
+        "REFERENCES rj_p (pid) ON DELETE SET NULL)"
+    )
+    # distributing the child on the FK column must hit the same
+    # rule ADD CONSTRAINT enforces post-distribution
+    with pytest.raises(ValueError, match="SET NULL or SET DEFAULT"):
+        sess.sql("SELECT create_distributed_table('rj_c', 'pid')")
+    # distributing on a different column is fine
+    sess.sql("SELECT create_distributed_table('rj_c', 'cid')")
+
+
+def test_alter_type_rejects_distribution_column(sess):
+    sess.sql("CREATE TABLE adc_t (k int, v int)")
+    sess.sql("SELECT create_distributed_table('adc_t', 'k')")
+    with pytest.raises(ValueError, match="partition column"):
+        sess.sql("ALTER TABLE adc_t ALTER COLUMN k TYPE bigint")
+    sess.sql("ALTER TABLE adc_t ALTER COLUMN v TYPE bigint")
+    assert dict(sess.spark.table("adc_t").dtypes)["v"] == "bigint"
