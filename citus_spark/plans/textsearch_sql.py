@@ -44,6 +44,23 @@ _TS_FUNCS = [
     "RETURN CAST(aggregate(q, 0, (acc, t) -> "
     "acc + size(filter(v, x -> x = t))) AS DOUBLE) "
     "/ CAST(greatest(size(v), 1) AS DOUBLE)",
+    # prefix operator term:* — any token starting with the lexeme
+    "CREATE OR REPLACE TEMPORARY FUNCTION ts_match_prefix("
+    "v ARRAY<STRING>, p STRING) RETURNS BOOLEAN "
+    "RETURN exists(v, x -> startswith(x, p))",
+    # phrase operator a <-> b / a <N> b: q holds the lexemes, offs the
+    # cumulative position offsets (a <-> b → offs [0,1]; a <2> b →
+    # [0,2]), pfx marks prefix lexemes. The tsvector keeps tokens in
+    # document order, so positions ARE array indices; CASE guards the
+    # empty/short vector (sequence() would run descending otherwise)
+    "CREATE OR REPLACE TEMPORARY FUNCTION ts_match_phrase("
+    "v ARRAY<STRING>, q ARRAY<STRING>, offs ARRAY<INT>, "
+    "pfx ARRAY<BOOLEAN>) RETURNS BOOLEAN "
+    "RETURN CASE WHEN size(v) > element_at(offs, -1) THEN "
+    "exists(sequence(0, size(v) - 1 - element_at(offs, -1)), "
+    "i -> forall(sequence(1, size(q)), "
+    "j -> IF(pfx[j-1], startswith(v[i + offs[j-1]], q[j-1]), "
+    "v[i + offs[j-1]] = q[j-1]))) ELSE false END",
 ]
 
 
@@ -53,14 +70,12 @@ def register_ts_functions(spark) -> None:
 
 
 # -- tsquery literal parser (simple-config lexing: terms lowercase) --
+# PG precedence, tightest first: ! , <-> (phrase), & , |
 def _parse_tsquery(body: str):
-    """'a & (b | !c)' → ('and', [('term','a'), ('or', [...])])."""
-    if "<" in body or ":" in body:
-        raise ValueError(
-            f"tsquery {body!r}: phrase (<->) and prefix/weight (:*) "
-            "operators are not supported"
-        )
-    toks = re.findall(r"[()&|!]|[^\s()&|!]+", body)
+    """'a & (b | !c)' → ('and', [('term','a'), ('or', [...])]).
+    Phrase: 'a <-> b' / 'a <2> b' → ('phrase', [(node, off), ...])
+    with cumulative position offsets; prefix: 'a:*' → ('prefix','a')."""
+    toks = re.findall(r"<->|<\d+>|[()&|!]|[^\s()&|!<>]+", body)
     pos = 0
 
     def peek():
@@ -83,12 +98,30 @@ def _parse_tsquery(body: str):
         return parts[0] if len(parts) == 1 else ("or", parts)
 
     def and_expr():
-        left = unary()
+        left = phrase_expr()
         parts = [left]
         while peek() == "&":
             take()
-            parts.append(unary())
+            parts.append(phrase_expr())
         return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def phrase_expr():
+        left = unary()
+        chain = [(left, 0)]
+        while peek() is not None and peek().startswith("<"):
+            op = take()
+            dist = 1 if op == "<->" else int(op[1:-1])
+            chain.append((unary(), chain[-1][1] + dist))
+        if len(chain) == 1:
+            return left
+        for node, _off in chain:
+            if node[0] not in ("term", "prefix"):
+                raise ValueError(
+                    f"tsquery {body!r}: phrase members must be lexemes "
+                    "or prefix lexemes (nested boolean sub-phrases are "
+                    "not supported)"
+                )
+        return ("phrase", chain)
 
     def unary():
         t = peek()
@@ -101,13 +134,15 @@ def _parse_tsquery(body: str):
             if take() != ")":
                 raise ValueError(f"tsquery {body!r}: unbalanced parens")
             return e
-        if t is None or t in "&|)":
+        if t is None or t in "&|)" or t.startswith("<"):
             raise ValueError(f"tsquery {body!r}: unexpected token {t!r}")
         take()
-        if "<" in t or ":" in t:
+        if t.endswith(":*"):
+            return ("prefix", t[:-2].lower())
+        if ":" in t:
             raise ValueError(
-                f"tsquery {body!r}: phrase (<->) and prefix/weight (:*) "
-                "operators are not supported"
+                f"tsquery {body!r}: weight labels (:A..:D) are not "
+                "supported (simple config has no weights)"
             )
         return ("term", t.lower())
 
@@ -144,6 +179,18 @@ def emit_match(vec_sql: str, tree) -> str:
     def rec(t) -> str:
         if t[0] == "term":
             return f"array_contains({vec_sql}, '{t[1]}')"
+        if t[0] == "prefix":
+            return f"ts_match_prefix({vec_sql}, '{t[1]}')"
+        if t[0] == "phrase":
+            lexemes = ", ".join(f"'{n[1]}'" for n, _o in t[1])
+            offs = ", ".join(str(o) for _n, o in t[1])
+            pfx = ", ".join(
+                "true" if n[0] == "prefix" else "false" for n, _o in t[1]
+            )
+            return (
+                f"ts_match_phrase({vec_sql}, array({lexemes}), "
+                f"array({offs}), array({pfx}))"
+            )
         if t[0] == "not":
             return f"(NOT {rec(t[1])})"
         joiner = " AND " if t[0] == "and" else " OR "

@@ -2952,6 +2952,63 @@ LIMIT 50
 )
 
 
+# tsquery phrase (<-> / <N>) + prefix (:*) operators
+# (plans/textsearch_sql.py ↔ PG tsquery semantics the reference
+# inherits; text_search.sql regress uses both). The 'simple'-config
+# tsvector keeps tokens in document order, so phrase positions ARE
+# array indices — the DuckDB oracle re-derives every adjacency and
+# prefix decision from list primitives, value-exact.
+def text_search_phrase_prefix(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT doc_id,
+       CAST(to_tsvector(text) @@ to_tsquery('hash <-> join') AS INT)
+         AS m_phrase,
+       CAST(to_tsvector(text) @@ to_tsquery('quer:*') AS INT)
+         AS m_prefix,
+       CAST(to_tsvector(text) @@ to_tsquery('value <2> table & !vector')
+            AS INT) AS m_mix
+FROM documents
+WHERE to_tsvector(text) @@ to_tsquery('hash <-> join | quer:*')
+ORDER BY doc_id
+LIMIT 200
+"""
+    )
+
+
+register_split(
+    "text_search_phrase_prefix",
+    text_search_phrase_prefix,
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS v
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(v)),
+             i -> v[i] = 'hash' AND v[i+1] = 'join')) > 0 AS phrase_hj,
+         len(list_filter(v, x -> starts_with(x, 'quer'))) > 0 AS pfx_quer,
+         (len(list_filter(range(1, len(v)),
+              i -> v[i] = 'value' AND v[i+2] = 'table')) > 0
+          AND NOT list_contains(v, 'vector')) AS mix_vt
+  FROM toks
+)
+SELECT doc_id,
+       CAST(phrase_hj AS INT) AS m_phrase,
+       CAST(pfx_quer AS INT) AS m_prefix,
+       CAST(mix_vt AS INT) AS m_mix
+FROM flags
+WHERE phrase_hj OR pfx_quer
+ORDER BY doc_id
+LIMIT 200
+""",
+)
+
+
 # Sequences + identity columns (plans/sequence_sql.py,
 # operators/sequence.py ↔ reference sequences.sql /
 # multi_sequence_default.sql / generated_identity.sql): an INSERT

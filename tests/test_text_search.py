@@ -28,8 +28,6 @@ def test_tsquery_parser():
     )
     t = _parse_tsquery("a & (b | !c)")
     assert t[0] == "and" and t[1][1][0] == "or"
-    with pytest.raises(ValueError, match="phrase"):
-        _parse_tsquery("a <-> b")
     with pytest.raises(ValueError, match="unbalanced|unexpected"):
         _parse_tsquery("a & (b")
 
@@ -94,3 +92,46 @@ def test_plainto_and_standalone_tsvector(sess):
         "WHERE to_tsvector(text) @@ to_tsquery('hash & join')"
     ).collect()[0].n
     assert n == n_and  # plainto == implicit AND
+
+
+def test_phrase_and_prefix_parser():
+    t = _parse_tsquery("quick <-> brown")
+    assert t[0] == "phrase" and [o for _n, o in t[1]] == [0, 1]
+    t = _parse_tsquery("a <3> b <-> c")
+    assert [o for _n, o in t[1]] == [0, 3, 4]
+    assert _parse_tsquery("fox:*") == ("prefix", "fox")
+    # phrase binds tighter than & (PG precedence)
+    t = _parse_tsquery("a <-> b & c")
+    assert t[0] == "and" and t[1][0][0] == "phrase"
+    with pytest.raises(ValueError, match="weight labels"):
+        _parse_tsquery("fox:A")
+    with pytest.raises(ValueError, match="phrase members"):
+        _parse_tsquery("(a & b) <-> c")
+
+
+def test_phrase_prefix_end_to_end(sess, spark):
+    spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick red fox jumps"),
+         (3, "brown quick fox"), (4, "foxtrot quickstep")],
+        "id int, body string",
+    ).createOrReplaceTempView("ts_docs")
+
+    def ids(q):
+        return [
+            r.id
+            for r in sess.sql(
+                "SELECT id FROM ts_docs WHERE to_tsvector(body) "
+                f"@@ to_tsquery('{q}') ORDER BY id"
+            ).collect()
+        ]
+
+    assert ids("quick <-> brown") == [1]
+    assert ids("quick <2> fox") == [1, 2]
+    assert ids("fox:*") == [1, 2, 3, 4]
+    assert ids("quick:* <-> fox & brown") == [3]
+    assert ids("!quick & fox:*") == [4]
+    # empty-ish vector never matches a phrase (the CASE guard)
+    spark.createDataFrame(
+        [(9, "")], "id int, body string"
+    ).createOrReplaceTempView("ts_docs")
+    assert ids("a <-> b") == []
