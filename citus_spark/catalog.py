@@ -71,6 +71,12 @@ class TableDist:
     # physical layout gives each isolated tenant its own storage
     # partition; single-tenant queries route to it (partition pruning)
     isolated: dict | None = None
+    # range-split buckets (↔ reference citus_split_shard_by_split_
+    # points, operations/citus_split_shard_by_split_points.c):
+    # {bucket: [(child_shard_id, hash_lo, hash_hi), ...]} — the
+    # bucket's uniform int32 hash range subdivided at explicit split
+    # points; rows route to the child whose range holds their hash
+    splits: dict | None = None
 
     @property
     def is_reference(self) -> bool:

@@ -84,11 +84,17 @@ def get_shard_id_for_distribution_column(sess, table: str, value) -> int:
     if str(value) in iso:
         return int(iso[str(value)])
     coltype = dict(sess.spark.table(table).dtypes)[t.dist_col]
-    b = sess.spark.sql(
-        f"SELECT pmod(hash(CAST({_sql_lit(value)} AS {coltype})), "
+    row = sess.spark.sql(
+        f"SELECT hash(CAST({_sql_lit(value)} AS {coltype})) AS h, "
+        f"pmod(hash(CAST({_sql_lit(value)} AS {coltype})), "
         f"{t.buckets}) AS b"
-    ).collect()[0].b
-    return shard_base_ids(sess)[table] + int(b)
+    ).collect()[0]
+    splits = getattr(t, "splits", None) or {}
+    if int(row.b) in splits:
+        for sid, lo, hi in splits[int(row.b)]:
+            if int(lo) <= int(row.h) <= int(hi):
+                return int(sid)
+    return shard_base_ids(sess)[table] + int(row.b)
 
 
 # -------------------------------------------------------------- placements
@@ -123,9 +129,18 @@ def _explicit_placements(sess) -> dict:
 
 
 def _shard_labels(t) -> list[tuple[str, int]]:
-    """(label, offset-in-id-allocation) pairs for a catalog entry."""
+    """(label, offset-in-id-allocation) pairs for a catalog entry.
+    A range-split bucket is REPLACED by its children (the reference
+    drops the parent shard row after a split); child and isolated
+    shard ids are absolute, flagged by the 's' prefix."""
     if t.is_hash_distributed:
-        out = [(f"b{b}", b) for b in range(t.buckets)]
+        splits = getattr(t, "splits", None) or {}
+        out: list[tuple[str, int]] = []
+        for b in range(t.buckets):
+            if b in splits:
+                out += [(f"s{sid}", int(sid)) for sid, _lo, _hi in splits[b]]
+            else:
+                out.append((f"b{b}", b))
         out += [
             (f"s{int(s)}", int(s))
             for s in (getattr(t, "isolated", None) or {}).values()
@@ -145,11 +160,20 @@ def _shard_key(sess, shardid: int) -> tuple[str, str]:
         if t.name not in base:
             continue
         if t.is_hash_distributed:
+            splits = getattr(t, "splits", None) or {}
             if base[t.name] <= int(shardid) < base[t.name] + t.buckets:
-                return (t.name, f"b{int(shardid) - base[t.name]}")
+                b = int(shardid) - base[t.name]
+                if b in splits:
+                    # the parent shard id of a split bucket is gone —
+                    # the reference drops it when the children land
+                    raise ValueError(f"shard {shardid} does not exist")
+                return (t.name, f"b{b}")
             iso = getattr(t, "isolated", None) or {}
             if int(shardid) in {int(s) for s in iso.values()}:
                 return (t.name, f"s{int(shardid)}")
+            for children in splits.values():
+                if int(shardid) in {int(s) for s, _lo, _hi in children}:
+                    return (t.name, f"s{int(shardid)}")
         elif t.is_reference and int(shardid) == base[t.name]:
             return (t.name, "r")
     raise ValueError(f"shard {shardid} does not exist")
@@ -438,10 +462,13 @@ def run_command_on_shards(sess, table: str, command: str) -> DataFrame:
     base = shard_base_ids(sess)[table]
     iso = getattr(t, "isolated", None) or {}
     df = sess.spark.table(table)
-    label = _shard_label(t.dist_col, t.buckets, iso)
+    label = _shard_label(
+        t.dist_col, t.buckets, iso, getattr(t, "splits", None)
+    )
     labeled = df.withColumn("__citus_shard", label)
-    shard_keys = [(base + b, f"b{b}") for b in range(t.buckets)] + [
-        (int(s), f"s{s}") for s in sorted(iso.values())
+    shard_keys = [
+        (int(lb[1:]) if lb.startswith("s") else base + off, lb)
+        for lb, off in _shard_labels(t)
     ]
     rows = []
     for sid, key in shard_keys:
@@ -537,3 +564,146 @@ def citus_check_cluster_node_health(sess) -> DataFrame:
         "from_nodename string, from_nodeport int, to_nodename string, "
         "to_nodeport int, result boolean",
     )
+
+
+# ------------------------------------------------------------ shard split
+def citus_split_shard_by_split_points(
+    sess,
+    shard_id: int,
+    split_points,
+    node_ids=None,
+    shard_transfer_mode: str | None = None,
+) -> list[int]:
+    """↔ reference citus_split_shard_by_split_points
+    (operations/citus_split_shard_by_split_points.c:31 →
+    shard_split.c SplitShard): split one shard's hash range at
+    explicit split points into len(points)+1 children, cascading over
+    the WHOLE colocation group (the reference splits
+    sourceColocatedShardIntervalList together so colocated joins stay
+    shard-local).
+
+    Spark analog: each member table's storage is rewritten
+    partitioned by the generalized shard label — rows of the split
+    bucket land in the child directory whose sub-range holds their
+    int32 hash; every other bucket keeps its ``b<k>`` directory. The
+    parent shard id stops existing (citus_shards / pg_dist_shard show
+    the children with their sub-ranges), and
+    get_shard_id_for_distribution_column resolves to the child. With
+    `node_ids`, each child's placement is pinned to that node's group
+    (placement metadata — Spark's scheduler owns physical task
+    placement, same caveat as citus_move_shard_placement). Returns
+    the new shard ids for the shard's own table.
+
+    DOCUMENTED DIVERGENCE from the reference's range model: this
+    engine places rows by pmod(hash, buckets), so one bucket's rows
+    span the ENTIRE int32 hash domain — not the contiguous interval
+    the reference's range-placement gives a shard. Split points are
+    therefore judged over the full int32 domain (the child ranges
+    published in pg_dist_shard are the REAL routing bounds), and a
+    point anywhere in int32 is valid. A script carrying points from a
+    reference cluster still partitions correctly — the decision rule
+    (hash ≤ point → earlier child) is the reference's — but the row
+    balance across children differs because the underlying placement
+    function does.
+
+    shard_transfer_mode is accepted for signature parity; both
+    reference modes end in the same rewritten layout here.
+    """
+    table, label = _shard_key(sess, int(shard_id))
+    if not label.startswith("b"):
+        raise ValueError(
+            f"cannot split shard {shard_id}: only hash-range bucket "
+            "shards are splittable (isolated-tenant and already-split "
+            "child shards are not)"
+        )
+    t = sess.catalog.get(table)
+    b = int(label[1:])
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    try:
+        points = sorted(int(p) for p in split_points)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"invalid split points {split_points!r}: must be integers"
+        ) from exc
+    if not points:
+        raise ValueError("citus_split_shard_by_split_points: no split points")
+    if len(set(points)) != len(points):
+        raise ValueError(f"duplicate split points in {points!r}")
+    for p in points:
+        if not (lo <= p < hi):
+            raise ValueError(
+                f"split point {p} is outside the int32 hash range "
+                f"[{lo}, {hi})"
+            )
+    if node_ids is not None and len(node_ids) != len(points) + 1:
+        raise ValueError(
+            f"{len(points) + 1} node ids are required for "
+            f"{len(points)} split points, got {len(node_ids)}"
+        )
+    bounds = [lo] + [p + 1 for p in points] + [hi + 1]
+    group = [
+        g
+        for g in sess.catalog.tables().values()
+        if g.is_hash_distributed and g.colocation_id == t.colocation_id
+    ]
+    out_ids: list[int] = []
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.session import _shard_label
+
+    for g in group:
+        if b in (getattr(g, "splits", None) or {}):
+            raise ValueError(
+                f"shard of bucket {b} on colocated table {g.name!r} is "
+                "already split"
+            )
+    for g in group:
+        sess._isolated_shard_seq = getattr(
+            sess, "_isolated_shard_seq", 104000
+        ) + len(bounds) - 1
+        first = sess._isolated_shard_seq - (len(bounds) - 2)
+        children = [
+            (first + i, bounds[i], bounds[i + 1] - 1)
+            for i in range(len(bounds) - 1)
+        ]
+        splits = dict(getattr(g, "splits", None) or {})
+        splits[b] = children
+        df = sess.spark.table(g.name)
+        cols = df.columns
+        lab = _shard_label(
+            g.dist_col, g.buckets, getattr(g, "isolated", None) or {},
+            splits,
+        )
+        dest = os.path.join(
+            _tf.gettempdir(),
+            f"citus_spark_split_{os.getpid()}_{children[0][0]}_{g.name}",
+        )
+        (
+            df.withColumn("__citus_shard", lab)
+            .repartition("__citus_shard")
+            .write.partitionBy("__citus_shard")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+        raw = sess.spark.read.parquet(dest)
+        raw.createOrReplaceTempView(f"__{g.name}_shards")
+        raw.select(*cols).createOrReplaceTempView(g.name)
+        g.path = dest
+        g.splits = splits
+        if node_ids is not None and (getattr(sess, "_nodes", []) or []):
+            byid = {int(n["nodeid"]): n for n in sess._nodes}
+            placements = _explicit_placements(sess)
+            for (sid, _l, _h), nid in zip(children, node_ids):
+                node = byid.get(int(nid))
+                if node is None:
+                    raise ValueError(f"node {nid} is not in pg_dist_node")
+                placements[(g.name, f"s{sid}")] = [int(node["groupid"])]
+        if g.name == table:
+            out_ids = [sid for sid, _l, _h in children]
+    sess.stat_statements.record(
+        f"SELECT citus_split_shard_by_split_points({shard_id}, ...)",
+        None, executor="utility",
+    )
+    return out_ids

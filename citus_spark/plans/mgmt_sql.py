@@ -57,6 +57,7 @@ _FNS = (
     # must come first or the regex stops at the prefix and the
     # trailing text breaks the match.
     "get_shard_id_for_distribution_column",
+    "citus_split_shard_by_split_points",
     "citus_move_shard_placement",
     "master_move_shard_placement",
     "citus_copy_shard_placement",
@@ -124,7 +125,7 @@ class MgmtCall:
     select_item: str | None = None
 
 
-def _parse_value(text: str) -> str | int | bool:
+def _parse_value(text: str):
     text = text.strip()
     # doubled quotes are SQL escapes — load-bearing for the
     # run_command_* functions, whose argument is arbitrary SQL text
@@ -135,6 +136,16 @@ def _parse_value(text: str) -> str | int | bool:
         return int(text)
     if text.lower() in ("true", "false"):
         return text.lower() == "true"
+    # ARRAY['0','5'] / ARRAY[1,2] literals (split-points, node ids)
+    am = re.match(r"^ARRAY\s*\[(.*)\]$", text, re.I | re.S)
+    if am:
+        from citus_spark.plans.rewrites import _split_top_level
+
+        return [_parse_value(p) for p in _split_top_level(am.group(1))]
+    # 'mode'::citus.shard_transfer_mode — drop the enum cast
+    cm = re.match(r"^'([^']*)'\s*::\s*citus\.\w+$", text, re.I)
+    if cm:
+        return cm.group(1)
     raise ValueError(f"management call: cannot parse argument {text!r}")
 
 

@@ -501,14 +501,16 @@ def _code_iter(sql: str, start: int, spans) -> "list[int]":
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on top-level commas (paren-depth 0, outside literals)."""
+    """Split on top-level commas (paren- AND bracket-depth 0, outside
+    literals — a comma inside ARRAY[...] is part of the literal, not a
+    separator)."""
     spans = _masked_spans(text)
     parts, depth, last = [], 0, 0
     for i in _code_iter(text, 0, spans):
         c = text[i]
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == "," and depth == 0:
             parts.append(text[last:i])

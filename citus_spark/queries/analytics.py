@@ -3810,7 +3810,7 @@ def shard_routing_counts(spark, sf_dir):
     df = s.spark.table("orders").withColumn(
         "__shard",
         _shard_label(t.dist_col, t.buckets, getattr(t, "isolated", None)
-                     or {}),
+                     or {}, getattr(t, "splits", None)),
     )
     rows = []
     for v in (1, 5, 42, 100, 777):
@@ -3839,6 +3839,81 @@ def _shard_routing_oracle() -> str:
 
 register_split(
     "shard_routing_counts", shard_routing_counts, _shard_routing_oracle()
+)
+
+
+# citus_split_shard_by_split_points (citus_spark/cluster.py ↔
+# reference operations/citus_split_shard_by_split_points.c:31): a
+# scratch distributed copy of orders' keys gets the bucket of each
+# probe value split at hash 0; the invariant the oracle re-derives is
+# the reference's routing contract — EVERY row of the value lands in
+# the shard get_shard_id_for_distribution_column computes, and the
+# split loses no rows (children partition the bucket exactly).
+def shard_split_routing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from citus_spark import cluster
+    from citus_spark.session import _shard_label, register_views
+
+    s = register_views(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __split_orders")
+    s.sql("CREATE TABLE __split_orders (okey bigint, price double)")
+    s.sql(
+        "INSERT INTO __split_orders SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 4000"
+    )
+    s.sql("SELECT create_distributed_table('__split_orders', 'okey')")
+    total_before = s.spark.table("__split_orders").count()
+    rows = []
+    for v in (1, 33, 1057):
+        sid = cluster.get_shard_id_for_distribution_column(
+            s, "__split_orders", v
+        )
+        try:
+            s.sql(
+                f"SELECT citus_split_shard_by_split_points({sid}, "
+                "ARRAY['0'])"
+            )
+        except ValueError:
+            pass  # two probe values in one bucket: already split
+        child = cluster.get_shard_id_for_distribution_column(
+            s, "__split_orders", v
+        )
+        t = s.catalog.get("__split_orders")
+        df = s.spark.table("__split_orders").withColumn(
+            "__s",
+            _shard_label(t.dist_col, t.buckets, t.isolated or {}, t.splits),
+        )
+        in_child = df.filter(
+            (F.col("okey") == v) & (F.col("__s") == f"s{child}")
+        ).count()
+        n_total = df.filter(F.col("okey") == v).count()
+        rows.append((v, int(in_child), int(n_total)))
+    total_after = s.spark.table("__split_orders").count()
+    rows.append((-1, int(total_after), int(total_before)))
+    return spark.createDataFrame(
+        rows, "keyval long, n_in_shard long, n_total long"
+    ).orderBy("keyval")
+
+
+register_split(
+    "shard_split_routing",
+    shard_split_routing,
+    "\nUNION ALL\n".join(
+        f"SELECT CAST({v} AS BIGINT) AS keyval, "
+        f"(SELECT count(*) FROM orders WHERE o_orderkey = {v} "
+        f"AND o_orderkey < 4000) AS n_in_shard, "
+        f"(SELECT count(*) FROM orders WHERE o_orderkey = {v} "
+        f"AND o_orderkey < 4000) AS n_total"
+        for v in (1, 33, 1057)
+    )
+    + """
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS keyval,
+       (SELECT count(*) FROM orders WHERE o_orderkey < 4000) AS n_in_shard,
+       (SELECT count(*) FROM orders WHERE o_orderkey < 4000) AS n_total
+ORDER BY keyval
+""",
 )
 
 

@@ -135,17 +135,25 @@ def _interval_granularity(text: str | None) -> str | None:
     return unit
 
 
-def _shard_label(dist_col: str, buckets: int, isolated: dict):
+def _shard_label(dist_col: str, buckets: int, isolated: dict, splits=None):
     """Storage-partition label for a hash-distributed row:
-    ``s<shardid>`` for an isolated tenant value, else ``b<bucket>``
-    from the same pmod(hash) placement the colocation machinery uses.
-    The ONE implementation shared by the isolation writer and the
-    citus_shards accountant — they must agree bit-for-bit or shard
-    row counts drift from the physical layout."""
-    label = F.concat(
-        F.lit("b"),
-        F.pmod(F.hash(F.col(dist_col)), F.lit(buckets)).cast("string"),
-    )
+    ``s<shardid>`` for an isolated tenant value or a range-split child
+    (the row's int32 hash falls inside the child's sub-range), else
+    ``b<bucket>`` from the same pmod(hash) placement the colocation
+    machinery uses. The ONE implementation shared by the isolation/
+    split writers and the citus_shards accountant — they must agree
+    bit-for-bit or shard row counts drift from the physical layout."""
+    h = F.hash(F.col(dist_col))
+    bucket_of = F.pmod(h, F.lit(buckets))
+    label = F.concat(F.lit("b"), bucket_of.cast("string"))
+    for b, children in (splits or {}).items():
+        for sid, lo, hi in children:
+            label = F.when(
+                (bucket_of == int(b)) & h.between(int(lo), int(hi)),
+                F.lit(f"s{sid}"),
+            ).otherwise(label)
+    # isolation wins over a split label: an isolated tenant keeps its
+    # dedicated shard even when its original bucket is later split
     for v, s in (isolated or {}).items():
         label = F.when(
             F.col(dist_col).cast("string") == v, F.lit(f"s{s}")
@@ -993,6 +1001,28 @@ class DistributedSession:
                 self.spark.table(str(call.args[0])),
                 str(call.args[1]),
             )
+        elif call.fn == "citus_split_shard_by_split_points":
+            from citus_spark import cluster
+
+            new_ids = cluster.citus_split_shard_by_split_points(
+                self,
+                int(call.args[0]),
+                call.args[1] if len(call.args) > 1 else kw["split_points"],
+                node_ids=(
+                    call.args[2] if len(call.args) > 2
+                    else kw.get("node_ids")
+                ),
+                shard_transfer_mode=(
+                    str(call.args[3]) if len(call.args) > 3
+                    else kw.get("shard_transfer_mode")
+                ),
+            )
+            # the reference returns void; surfacing the child ids is
+            # strictly more useful and harmless to void-style callers
+            return self.spark.createDataFrame(
+                [(int(s),) for s in new_ids],
+                "citus_split_shard_by_split_points long",
+            )
         elif call.fn == "isolate_tenant_to_new_shard":
             sid = self.isolate_tenant_to_new_shard(
                 str(call.args[0]),
@@ -1496,9 +1526,19 @@ class DistributedSession:
             next_shard_id = 102008
             for t in tabs:
                 if t.is_hash_distributed:
-                    # uniform int32 hash ranges, the reference's split
+                    # uniform int32 hash ranges, the reference's split;
+                    # a range-split bucket shows its CHILDREN with
+                    # their sub-ranges (the parent row is dropped,
+                    # like the reference after SplitShard)
+                    splits = getattr(t, "splits", None) or {}
                     span = 1 << 32
                     for b in range(t.buckets):
+                        if b in splits:
+                            for sid, lo, hi in splits[b]:
+                                rows.append(
+                                    (t.name, int(sid), "t", str(lo), str(hi))
+                                )
+                            continue
                         lo = -(1 << 31) + b * span // t.buckets
                         hi = -(1 << 31) + (b + 1) * span // t.buckets - 1
                         rows.append(
@@ -3873,7 +3913,9 @@ END
             cols = df.columns
             iso = dict(t.isolated or {})
             iso[val] = sid
-            label = _shard_label(t.dist_col, t.buckets, iso)
+            label = _shard_label(
+                t.dist_col, t.buckets, iso, getattr(t, "splits", None)
+            )
             if path:
                 # per-(table, shard-id) subdir: a CASCADE group must
                 # not share one directory, and a SECOND isolation on
@@ -4293,9 +4335,12 @@ END
                 # the same expression the isolation write partitioned
                 # by — _shard_label is the one implementation.
                 iso = getattr(t, "isolated", None) or {}
+                splits = getattr(t, "splits", None) or {}
                 counts = dict(
                     df.groupBy(
-                        _shard_label(t.dist_col, t.buckets, iso).alias("b")
+                        _shard_label(
+                            t.dist_col, t.buckets, iso, splits
+                        ).alias("b")
                     )
                     .count()
                     .collect()
@@ -4319,7 +4364,11 @@ END
                     )
 
                 for b in range(t.buckets):
-                    _row(next_shard_id + b, f"b{b}")
+                    if b in splits:
+                        for sid, _lo, _hi in splits[b]:
+                            _row(int(sid), f"s{sid}")
+                    else:
+                        _row(next_shard_id + b, f"b{b}")
                 for v, s in sorted(iso.items(), key=lambda kv: kv[1]):
                     _row(int(s), f"s{s}")
                 next_shard_id += t.buckets

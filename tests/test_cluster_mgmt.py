@@ -353,3 +353,82 @@ def test_placements_survive_catalog_mutation(cluster_sess):
         f"SELECT groupid FROM pg_dist_placement WHERE shardid = {sid2}"
     ).collect()[0].groupid
     assert g == want  # the move followed the shard, not the stale id
+
+
+# -- round-7: citus_split_shard_by_split_points
+
+
+def test_split_shard_by_split_points(spark):
+    from citus_spark import cluster
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE spl_t (k int, v int)")
+    s.sql("CREATE TABLE spl_u (k int, w int)")
+    s.sql("SELECT create_distributed_table('spl_t', 'k')")
+    s.sql(
+        "SELECT create_distributed_table('spl_u', 'k', "
+        "colocate_with => 'spl_t')"
+    )
+    s.sql("INSERT INTO spl_t SELECT id, id*10 FROM range(0, 500)")
+    s.sql("INSERT INTO spl_u SELECT id, id*7 FROM range(0, 500)")
+    sid = cluster.get_shard_id_for_distribution_column(s, "spl_t", 42)
+    new_ids = [
+        r[0]
+        for r in s.sql(
+            f"SELECT citus_split_shard_by_split_points({sid}, ARRAY['0'])"
+        ).collect()
+    ]
+    assert len(new_ids) == 2
+    # routing resolves to a child; the parent id stops existing
+    sid2 = cluster.get_shard_id_for_distribution_column(s, "spl_t", 42)
+    assert sid2 in new_ids
+    with pytest.raises(ValueError, match="does not exist"):
+        cluster._shard_key(s, sid)
+    # colocation-group cascade: the colocated member split too
+    assert s.catalog.get("spl_u").splits is not None
+    # citus_shards accounts every row exactly once (children included)
+    sh = s.citus_shards(only_table="spl_t").collect()
+    assert sum(r[5] for r in sh if r[5] is not None) == 500
+    child_counts = {r[1]: r[5] for r in sh if r[1] in new_ids}
+    assert set(child_counts) == set(new_ids)
+    assert sum(child_counts.values()) > 0
+    # values unchanged by the physical rewrite
+    assert (
+        s.spark.table("spl_t").groupBy().sum("v").collect()[0][0]
+        == sum(i * 10 for i in range(500))
+    )
+    # pg_dist_shard publishes the children with their REAL bounds
+    pd = s.sql(
+        "SELECT shardid FROM pg_dist_shard WHERE logicalrelid = 'spl_t'"
+    ).collect()
+    ids = {r.shardid for r in pd}
+    assert set(new_ids) <= ids and sid not in ids
+    # an already-split child cannot be split again (honest rejection)
+    with pytest.raises(ValueError, match="splittable"):
+        s.sql(
+            f"SELECT citus_split_shard_by_split_points({new_ids[0]}, "
+            "ARRAY['100'])"
+        )
+    for t in ("spl_u", "spl_t"):
+        s.sql(f"DROP TABLE {t}")
+
+
+def test_split_shard_validation(spark):
+    from citus_spark import cluster
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("CREATE TABLE spl_v (k int)")
+    s.sql("SELECT create_distributed_table('spl_v', 'k')")
+    s.sql("INSERT INTO spl_v SELECT id FROM range(0, 50)")
+    sid = cluster.get_shard_id_for_distribution_column(s, "spl_v", 1)
+    with pytest.raises(ValueError, match="no split points"):
+        cluster.citus_split_shard_by_split_points(s, sid, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        cluster.citus_split_shard_by_split_points(s, sid, [5, 5])
+    with pytest.raises(ValueError, match="node ids"):
+        cluster.citus_split_shard_by_split_points(s, sid, [5], node_ids=[1])
+    with pytest.raises(ValueError, match="must be integers"):
+        cluster.citus_split_shard_by_split_points(s, sid, ["x"])
+    s.sql("DROP TABLE spl_v")
