@@ -58,6 +58,7 @@ _FNS = (
     # trailing text breaks the match.
     "get_shard_id_for_distribution_column",
     "citus_split_shard_by_split_points",
+    "citus_create_restore_point",
     "citus_move_shard_placement",
     "master_move_shard_placement",
     "citus_copy_shard_placement",

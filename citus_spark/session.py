@@ -195,6 +195,24 @@ class DistributedSession:
         self._schemas: dict[str, dict] = {}
         self._next_schema_colocation = 100001
 
+    @property
+    def tx_cluster(self):
+        """Session-level TxTable registry + named restore points
+        (↔ reference operations/citus_create_restore_point.c). Lazy:
+        sessions that never touch transactional tables pay nothing."""
+        if getattr(self, "_tx_cluster", None) is None:
+            import tempfile as _tf
+
+            from citus_spark.sources.txlog import TxCluster
+
+            self._tx_cluster = TxCluster(
+                os.path.join(
+                    _tf.gettempdir(),
+                    f"citus_spark_txcluster_{os.getpid()}_{id(self)}",
+                )
+            )
+        return self._tx_cluster
+
     # ------------------------------------------------------------------
     # Management API (↔ reference SQL-callable management UDFs)
     # ------------------------------------------------------------------
@@ -1000,6 +1018,17 @@ class DistributedSession:
                 str(call.args[0]),
                 self.spark.table(str(call.args[0])),
                 str(call.args[1]),
+            )
+        elif call.fn == "citus_create_restore_point":
+            manifest = self.tx_cluster.create_restore_point(
+                str(call.args[0])
+            )
+            # the reference returns the restore point's pg_lsn; the
+            # analog of "where to recover to" here is the recorded
+            # (table → version) vector, surfaced as its name
+            return self.spark.createDataFrame(
+                [(manifest["name"], len(manifest["tables"]))],
+                "citus_create_restore_point string, n_tables int",
             )
         elif call.fn == "citus_split_shard_by_split_points":
             from citus_spark import cluster

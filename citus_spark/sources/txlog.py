@@ -538,6 +538,12 @@ class MultiTableTxn:
             (table, "merge", (source, keys, when_matched, insert_unmatched))
         )
 
+    def restore(self, table: TxTable, version: int) -> None:
+        """Stage a metadata-only reset to snapshot `version` (the
+        multi-table form of TxTable.restore — restore points use it so
+        the whole vector lands atomically)."""
+        self._ops.append((table, "restore", (int(version),)))
+
     # -- internals
     def _compute(self, table: TxTable, kind: str, args: tuple,
                  cur: DataFrame) -> DataFrame:
@@ -574,6 +580,27 @@ class MultiTableTxn:
             if kind == "append":
                 # append stages only the delta — no table rewrite
                 add, old_files = table._write_files(args[0]), []
+            elif kind == "restore":
+                # metadata-only: re-reference the target snapshot's
+                # files (mirrors TxTable.restore inside the 2PC)
+                _v, want_files, _s = table.snapshot(args[0])
+                missing = [
+                    f for f in want_files
+                    if not os.path.exists(os.path.join(table.path, f))
+                ]
+                if missing:
+                    raise ValueError(
+                        f"cannot restore to version {args[0]}: "
+                        f"{len(missing)} data file(s) already vacuumed"
+                    )
+                add = [
+                    {"path": f, "rows": None, "bytes": None}
+                    for f in want_files
+                    if f not in set(old_files)
+                ]
+                old_files = [
+                    f for f in old_files if f not in set(want_files)
+                ]
             else:
                 add = table._write_files(
                     self._compute(table, kind, args, table.read(read_version))
@@ -694,3 +721,100 @@ class MultiTableTxn:
             finally:
                 os.unlink(tmp)
         return aborted
+
+
+# ---------------------------------------------------------------------------
+# Named cluster-wide restore points
+# ---------------------------------------------------------------------------
+
+
+class TxCluster:
+    """Registry of TxTables + named restore points.
+
+    ↔ reference operations/citus_create_restore_point.c:
+    citus_create_restore_point('name') blocks concurrent 2PCs, then
+    creates the named restore point on the coordinator and every
+    worker inside ONE snapshot, so recovering all nodes to that name
+    yields a transactionally consistent cluster state. The analog
+    here: capture every registered table's version as one vector,
+    valid only if NO table's head moved (or sat in-doubt) during the
+    capture — the double-scan detects a straddling commit and
+    retries, which is the same consistency contract the reference
+    gets by blocking 2PCs.
+
+    restore_to_point replays the vector through ONE MultiTableTxn
+    (2PC), so a crash mid-restore leaves every table at its pre-
+    restore snapshot — never half the cluster at the point and half
+    after it.
+    """
+
+    def __init__(self, coordinator_dir: str):
+        os.makedirs(coordinator_dir, exist_ok=True)
+        self.dir = coordinator_dir
+        self.tables: dict[str, TxTable] = {}
+
+    def register(self, alias: str, table: TxTable) -> None:
+        self.tables[alias] = table
+
+    def _point_path(self, name: str) -> str:
+        safe = name.replace("/", "_")
+        return os.path.join(self.dir, f"{safe}.restore.json")
+
+    def create_restore_point(self, name: str) -> dict:
+        """→ the recorded manifest {name, tables: {alias: version}}."""
+        if len(name.encode()) > 63:
+            # PG's MAXFNAMELEN rule, which the reference inherits
+            raise ValueError("restore point name is too long")
+        if os.path.exists(self._point_path(name)):
+            raise ValueError(f'restore point "{name}" already exists')
+        for _ in range(5):
+            for t in self.tables.values():
+                t._check_head_decided()
+            first = {a: t.latest_version() for a, t in self.tables.items()}
+            second = {a: t.latest_version() for a, t in self.tables.items()}
+            if first == second:
+                break
+        else:
+            raise ConcurrentWriteError(
+                "could not capture a consistent restore point: tables "
+                "kept moving during 5 capture attempts"
+            )
+        manifest = {"name": name, "tables": first}
+        tmp = self._point_path(name) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, self._point_path(name))
+        except FileExistsError:
+            raise ValueError(f'restore point "{name}" already exists')
+        finally:
+            os.unlink(tmp)
+        return manifest
+
+    def list_restore_points(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.endswith(".restore.json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def restore_to_point(self, name: str) -> dict:
+        """Reset every table in the manifest to its recorded version,
+        atomically (one 2PC). Returns {alias: restored_to_version}."""
+        path = self._point_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f'restore point "{name}" does not exist')
+        with open(path) as f:
+            manifest = json.load(f)
+        missing = [a for a in manifest["tables"] if a not in self.tables]
+        if missing:
+            raise ValueError(
+                f"restore point {name!r} names unregistered tables: "
+                f"{missing}"
+            )
+        txn = MultiTableTxn(self.dir)
+        for alias, version in manifest["tables"].items():
+            txn.restore(self.tables[alias], int(version))
+        txn.commit()
+        return dict(manifest["tables"])
