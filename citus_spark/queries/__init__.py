@@ -335,6 +335,7 @@ def _import_all() -> None:
         approx,
         chbench,
         dedup,
+        dmlops,
         graph,
         jsonagg,
         similarity,

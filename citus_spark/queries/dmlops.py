@@ -1,0 +1,436 @@
+"""DDL/DML surface oracle entries — referential-action cascades,
+join-DML (UPDATE..FROM / DELETE..USING), ALTER COLUMN TYPE, TRUNCATE
+CASCADE, restore points, shard placements.
+
+↔ reference:
+- commands/foreign_constraint.c (referential actions — executed by PG
+  in the reference, by plans/constraints.py's cascade engine here)
+- the modify planner's join-DML routing (UPDATE .. FROM / DELETE ..
+  USING, plans/dml_sql.py)
+- commands/alter_table.c (ALTER COLUMN TYPE)
+- commands/truncate.c (TRUNCATE ... CASCADE propagation)
+- operations/citus_create_restore_point.c (named restore points,
+  sources/txlog.py TxCluster)
+- shard placements / rebalancer metadata (citus_spark/cluster.py)
+
+Every entry builds scratch tables from the fixture data, runs the
+statement surface, and returns a final state DuckDB re-derives
+value-exactly from the same fixture — the ORACLE runs none of the
+DDL/DML, it computes what the end state must equal.
+"""
+
+from __future__ import annotations
+
+from citus_spark.queries import register_split
+
+
+def _sess(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir)
+
+
+# --- ON DELETE CASCADE: the archive-cascade idiom ---------------------------
+# Parent/child built from orders/lineitem; deleting low-priority
+# parents cascades their items away. The oracle re-derives the
+# surviving child aggregate from the join — every cascaded row
+# accounted for, value-exact.
+def fk_cascade_archive(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__fkc_items", "__fkc_orders"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE __fkc_orders (okey bigint PRIMARY KEY, prio text)")
+    s.sql(
+        "CREATE TABLE __fkc_items (okey bigint REFERENCES __fkc_orders "
+        "(okey) ON DELETE CASCADE, qty double)"
+    )
+    s.sql(
+        "INSERT INTO __fkc_orders SELECT o_orderkey, o_orderpriority "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
+    s.sql(
+        "INSERT INTO __fkc_items SELECT l_orderkey, l_quantity "
+        "FROM lineitem WHERE l_orderkey < 2000"
+    )
+    s.sql("DELETE FROM __fkc_orders WHERE prio = '5-LOW'")
+    return s.sql(
+        """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       (SELECT count(*) FROM __fkc_orders) AS n_orders
+FROM __fkc_items
+"""
+    )
+
+
+register_split(
+    "fk_cascade_archive",
+    fk_cascade_archive,
+    """
+SELECT (SELECT count(*) FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey < 2000 AND o.o_orderpriority <> '5-LOW')
+       AS n_items,
+       (SELECT CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey < 2000 AND o.o_orderpriority <> '5-LOW')
+       AS total_qty,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey < 2000 AND o_orderpriority <> '5-LOW')
+       AS n_orders
+""",
+)
+
+
+# --- ON DELETE SET NULL: orphaned keys nulled, rows kept ---------------------
+def fk_set_null_orphans(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__fkn_child", "__fkn_parent"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE __fkn_parent (ckey bigint PRIMARY KEY)")
+    s.sql(
+        "CREATE TABLE __fkn_child (okey bigint, ckey bigint REFERENCES "
+        "__fkn_parent (ckey) ON DELETE SET NULL)"
+    )
+    s.sql(
+        "INSERT INTO __fkn_parent SELECT DISTINCT c_custkey "
+        "FROM customer WHERE c_custkey < 400"
+    )
+    s.sql(
+        "INSERT INTO __fkn_child SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey < 400 AND o_orderkey < 6000"
+    )
+    s.sql("DELETE FROM __fkn_parent WHERE ckey % 3 = 0")
+    return s.sql(
+        """
+SELECT count(*) AS n_rows,
+       count(ckey) AS n_keyed,
+       sum(CASE WHEN ckey IS NULL THEN 1 ELSE 0 END) AS n_nulled
+FROM __fkn_child
+"""
+    )
+
+
+register_split(
+    "fk_set_null_orphans",
+    fk_set_null_orphans,
+    """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey % 3 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keyed,
+       CAST(sum(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nulled
+FROM orders WHERE o_custkey < 400 AND o_orderkey < 6000
+""",
+)
+
+
+# --- ON UPDATE CASCADE: parent re-key propagates to children -----------------
+def fk_update_cascade_rekey(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__fku_child", "__fku_parent"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE __fku_parent (nkey bigint PRIMARY KEY, nname text)")
+    s.sql(
+        "CREATE TABLE __fku_child (skey bigint, nkey bigint REFERENCES "
+        "__fku_parent (nkey) ON UPDATE CASCADE)"
+    )
+    s.sql("INSERT INTO __fku_parent SELECT n_nationkey, n_name FROM nation")
+    s.sql(
+        "INSERT INTO __fku_child SELECT s_suppkey, s_nationkey FROM supplier"
+    )
+    # re-key every nation by +100: children must follow
+    s.sql("UPDATE __fku_parent SET nkey = nkey + 100")
+    return s.sql(
+        """
+SELECT nkey, count(*) AS n_suppliers
+FROM __fku_child GROUP BY nkey ORDER BY nkey
+"""
+    )
+
+
+register_split(
+    "fk_update_cascade_rekey",
+    fk_update_cascade_rekey,
+    """
+SELECT s_nationkey + 100 AS nkey, count(*) AS n_suppliers
+FROM supplier GROUP BY 1 ORDER BY nkey
+""",
+)
+
+
+# --- UPDATE .. FROM (join-DML; r6 pytest-only, now value-exact) --------------
+def update_from_enrich(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __uf_orders")
+    s.sql(
+        "CREATE TABLE __uf_orders (okey bigint, ckey bigint, price double, "
+        "segment text)"
+    )
+    s.sql(
+        "INSERT INTO __uf_orders SELECT o_orderkey, o_custkey, "
+        "o_totalprice, 'unknown' FROM orders WHERE o_orderkey < 4000"
+    )
+    s.sql(
+        "UPDATE __uf_orders SET segment = c.c_mktsegment "
+        "FROM customer c WHERE __uf_orders.ckey = c.c_custkey"
+    )
+    return s.sql(
+        """
+SELECT segment, count(*) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __uf_orders GROUP BY segment ORDER BY segment
+"""
+    )
+
+
+register_split(
+    "update_from_enrich",
+    update_from_enrich,
+    """
+SELECT coalesce(c.c_mktsegment, 'unknown') AS segment, count(*) AS n,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey < 4000
+GROUP BY 1 ORDER BY segment
+""",
+)
+
+
+# --- DELETE .. USING (join-DML) ----------------------------------------------
+def delete_using_filter(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __du_items")
+    s.sql(
+        "CREATE TABLE __du_items (okey bigint, qty double, flag text)"
+    )
+    s.sql(
+        "INSERT INTO __du_items SELECT l_orderkey, l_quantity, "
+        "l_returnflag FROM lineitem WHERE l_orderkey < 3000"
+    )
+    # drop every item belonging to a 1-URGENT order
+    s.sql(
+        "DELETE FROM __du_items USING orders o "
+        "WHERE __du_items.okey = o.o_orderkey "
+        "AND o.o_orderpriority = '1-URGENT'"
+    )
+    return s.sql(
+        """
+SELECT flag, count(*) AS n,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM __du_items GROUP BY flag ORDER BY flag
+"""
+    )
+
+
+register_split(
+    "delete_using_filter",
+    delete_using_filter,
+    """
+SELECT l.l_returnflag AS flag, count(*) AS n,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey < 3000 AND o.o_orderpriority <> '1-URGENT'
+GROUP BY 1 ORDER BY flag
+""",
+)
+
+
+# --- ALTER COLUMN TYPE (rewrite-with-cast through copy-on-write) -------------
+def alter_column_type_rollup(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __act_t")
+    s.sql("CREATE TABLE __act_t (okey bigint, price_txt text, d date)")
+    s.sql(
+        "INSERT INTO __act_t SELECT o_orderkey, CAST(o_totalprice AS "
+        "STRING), o_orderdate FROM orders WHERE o_orderkey < 4000"
+    )
+    s.sql("ALTER TABLE __act_t ALTER COLUMN price_txt TYPE double precision")
+    # USING form: derive an integer bucket during the type change
+    s.sql(
+        "ALTER TABLE __act_t ALTER COLUMN okey TYPE integer "
+        "USING CAST(okey % 1000 AS INT)"
+    )
+    return s.sql(
+        """
+SELECT okey % 7 AS g, count(*) AS n,
+       CAST(sum(CAST(price_txt AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __act_t GROUP BY okey % 7 ORDER BY g
+"""
+    )
+
+
+register_split(
+    "alter_column_type_rollup",
+    alter_column_type_rollup,
+    """
+SELECT CAST((o_orderkey % 1000) % 7 AS INT) AS g, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey < 4000
+GROUP BY 1 ORDER BY g
+""",
+)
+
+
+# --- TRUNCATE ... CASCADE ----------------------------------------------------
+def truncate_cascade_state(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__tc_child", "__tc_parent"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE __tc_parent (k bigint PRIMARY KEY)")
+    s.sql(
+        "CREATE TABLE __tc_child (k bigint REFERENCES __tc_parent (k), "
+        "v bigint)"
+    )
+    s.sql(
+        "INSERT INTO __tc_parent SELECT DISTINCT o_orderkey FROM orders "
+        "WHERE o_orderkey < 500"
+    )
+    s.sql(
+        "INSERT INTO __tc_child SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_orderkey < 500"
+    )
+    before_p = s.spark.table("__tc_parent").count()
+    before_c = s.spark.table("__tc_child").count()
+    refused = 0
+    try:
+        s.sql("TRUNCATE __tc_parent")
+    except ValueError:
+        refused = 1  # PG refuses without CASCADE — part of the contract
+    s.sql("TRUNCATE __tc_parent CASCADE")
+    return spark.createDataFrame(
+        [(
+            int(before_p),
+            int(before_c),
+            int(refused),
+            int(s.spark.table("__tc_parent").count()),
+            int(s.spark.table("__tc_child").count()),
+        )],
+        "before_parent long, before_child long, refused_plain long, "
+        "after_parent long, after_child long",
+    )
+
+
+register_split(
+    "truncate_cascade_state",
+    truncate_cascade_state,
+    """
+SELECT (SELECT count(DISTINCT o_orderkey) FROM orders
+        WHERE o_orderkey < 500) AS before_parent,
+       (SELECT count(*) FROM orders WHERE o_orderkey < 500)
+         AS before_child,
+       CAST(1 AS BIGINT) AS refused_plain,
+       CAST(0 AS BIGINT) AS after_parent,
+       CAST(0 AS BIGINT) AS after_child
+""",
+)
+
+
+# --- named restore point over the transaction log ---------------------------
+# The oracle re-derives BOTH states the statement sequence must have
+# produced: the post-append head and the restored point. Versions are
+# deterministic (create=0, append=1, 2pc-restore=2).
+def restore_point_time_travel(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from citus_spark.session import register_views
+    from citus_spark.sources.txlog import TxCluster, TxTable
+
+    s = register_views(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="citus_spark_rp_entry_")
+    try:
+        base = s.spark.sql(
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey < 1000"
+        )
+        t = TxTable.create(spark, os.path.join(d, "t"), base)
+        cl = TxCluster(os.path.join(d, "coord"))
+        cl.register("t", t)
+        cl.create_restore_point("p0")
+        t.append(
+            s.spark.sql(
+                "SELECT o_orderkey, o_totalprice FROM orders "
+                "WHERE o_orderkey >= 1000 AND o_orderkey < 2000"
+            )
+        )
+        head_n = t.read().count()
+        cl.restore_to_point("p0")
+        restored = t.read()
+        n_restored = restored.count()
+        from pyspark.sql import functions as F
+
+        total = restored.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        ).collect()[0].x
+        ver = t.latest_version()
+        return spark.createDataFrame(
+            [(int(head_n), int(n_restored), float(total), int(ver))],
+            "head_rows long, restored_rows long, restored_total double, "
+            "final_version long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+register_split(
+    "restore_point_time_travel",
+    restore_point_time_travel,
+    """
+SELECT (SELECT count(*) FROM orders WHERE o_orderkey < 2000) AS head_rows,
+       (SELECT count(*) FROM orders WHERE o_orderkey < 1000)
+         AS restored_rows,
+       (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey < 1000) AS restored_total,
+       CAST(2 AS BIGINT) AS final_version
+""",
+)
+
+
+# --- shard placements: round-robin metadata is re-derivable ------------------
+# Three workers registered; pg_dist_placement assigns hash buckets
+# round-robin over their group ids (the reference's default
+# rebalancer target). The oracle recomputes groupid = groups[i mod 3]
+# over the shard index — pure arithmetic, value-exact.
+def placement_round_robin(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __plc_t")
+    s.sql("CREATE TABLE __plc_t (k bigint)")
+    s.sql("SELECT create_distributed_table('__plc_t', 'k')")
+    for i in (1, 2, 3):
+        s.sql(f"SELECT citus_add_node('worker{i}', {5432 + i})")
+    from citus_spark import cluster
+
+    base = cluster.shard_base_ids(s)["__plc_t"]
+    df = cluster.pg_dist_placement_df(s)
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(
+            (F.col("shardid") >= base)
+            & (F.col("shardid") < base + 32)
+        )
+        .select(
+            (F.col("shardid") - base).alias("shard_index"),
+            "groupid",
+        )
+        .orderBy("shard_index")
+    )
+
+
+def _placement_oracle() -> str:
+    # groups are allocated 1,2,3 in citus_add_node order
+    return """
+SELECT CAST(i AS BIGINT) AS shard_index,
+       CAST(1 + (i % 3) AS INT) AS groupid
+FROM range(32) t(i) ORDER BY shard_index
+"""
+
+
+register_split(
+    "placement_round_robin", placement_round_robin, _placement_oracle()
+)
