@@ -144,6 +144,13 @@ def main() -> None:
         # otherwise accumulate cached copies across the min-of-3 loop
         # and skew later queries via memory pressure
         spark.catalog.clearCache()
+        # settle the JVM before the timed window: an explicit GC here
+        # means collection pauses don't land MID-QUERY. Measured A/B
+        # on the q1/q3/q9 headliners (6 samples each): median/min
+        # spread 1.45/1.08/1.20 → 1.15/1.13/1.07, with mins also
+        # improving (q1 0.27 → 0.23 s) — the r6 verdict's median≫min
+        # watch item was GC interleave, not plan variance.
+        spark.sparkContext._jvm.System.gc()
         df = q.QUERIES[name](spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()

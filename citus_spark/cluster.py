@@ -192,7 +192,7 @@ def _placement_map(sess) -> dict[int, list[int]]:
     for t in sess.catalog.tables().values():
         if t.name not in base:
             continue
-        for k, (label, off) in enumerate(_shard_labels(t)):
+        for label, off in _shard_labels(t):
             sid = int(off) if label.startswith("s") else base[t.name] + off
             key = (t.name, label)
             if key in explicit:
@@ -201,7 +201,12 @@ def _placement_map(sess) -> dict[int, list[int]]:
                 # reference tables are replicated to every node
                 out[sid] = [n["groupid"] for n in workers]
             elif workers:
-                out[sid] = [workers[k % len(workers)]["groupid"]]
+                # round-robin keyed on the STABLE shard identity
+                # (bucket number, or the absolute child/isolated id) —
+                # never the list index, which would silently relocate
+                # every later shard when an earlier bucket splits
+                idx = int(label[1:]) if label[0] in "bs" else 0
+                out[sid] = [workers[idx % len(workers)]["groupid"]]
             else:
                 out[sid] = [0]
     return out
@@ -703,12 +708,26 @@ def citus_split_shard_by_split_points(
             f"{len(points)} split points, got {len(node_ids)}"
         )
     bounds = [lo] + [p + 1 for p in points] + [hi + 1]
+    # resolve node ids BEFORE any table is rewritten — a bad id must
+    # veto the whole statement, never leave the colocation group torn
+    node_groups: list[int] | None = None
+    if node_ids is not None:
+        byid = {
+            int(n["nodeid"]): n for n in (getattr(sess, "_nodes", []) or [])
+        }
+        node_groups = []
+        for nid in node_ids:
+            node = byid.get(int(nid))
+            if node is None:
+                raise ValueError(f"node {nid} is not in pg_dist_node")
+            node_groups.append(int(node["groupid"]))
     group = [
         g
         for g in sess.catalog.tables().values()
         if g.is_hash_distributed and g.colocation_id == t.colocation_id
     ]
     out_ids: list[int] = []
+    import shutil
     import tempfile as _tf
 
     from pyspark.sql import functions as F
@@ -752,16 +771,32 @@ def citus_split_shard_by_split_points(
         raw = sess.spark.read.parquet(dest)
         raw.createOrReplaceTempView(f"__{g.name}_shards")
         raw.select(*cols).createOrReplaceTempView(g.name)
+        old_path = g.path
         g.path = dest
         g.splits = splits
-        if node_ids is not None and (getattr(sess, "_nodes", []) or []):
-            byid = {int(n["nodeid"]): n for n in sess._nodes}
-            placements = _explicit_placements(sess)
-            for (sid, _l, _h), nid in zip(children, node_ids):
-                node = byid.get(int(nid))
-                if node is None:
-                    raise ValueError(f"node {nid} is not in pg_dist_node")
-                placements[(g.name, f"s{sid}")] = [int(node["groupid"])]
+        # bound disk use: a PREVIOUS isolate/split rewrite's tempdir is
+        # no longer referenced by any view — reclaim it. The table's
+        # original storage (fixture parquet, CREATE TABLE dir) stays.
+        if old_path and os.path.dirname(old_path) == _tf.gettempdir() and (
+            os.path.basename(old_path).startswith(
+                ("citus_spark_split_", "citus_spark_isolated_")
+            )
+        ):
+            shutil.rmtree(old_path, ignore_errors=True)
+        placements = _explicit_placements(sess)
+        parent_key = (g.name, f"b{b}")
+        if node_groups is not None:
+            for (sid, _l, _h), grp in zip(children, node_groups):
+                placements[(g.name, f"s{sid}")] = [grp]
+            placements.pop(parent_key, None)
+        elif parent_key in placements:
+            # reference SplitShard keeps children where the source
+            # shard lived — an explicit move survives the split
+            for sid, _l, _h in children:
+                placements[(g.name, f"s{sid}")] = list(
+                    placements[parent_key]
+                )
+            placements.pop(parent_key, None)
         if g.name == table:
             out_ids = [sid for sid, _l, _h in children]
     sess.stat_statements.record(

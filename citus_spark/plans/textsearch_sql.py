@@ -75,6 +75,10 @@ def _parse_tsquery(body: str):
     """'a & (b | !c)' → ('and', [('term','a'), ('or', [...])]).
     Phrase: 'a <-> b' / 'a <2> b' → ('phrase', [(node, off), ...])
     with cumulative position offsets; prefix: 'a:*' → ('prefix','a')."""
+    if re.search(r"[<>]", re.sub(r"<->|<\d+>", "", body)):
+        # a stray '<' or '>' (e.g. the typo 'a <') must be a syntax
+        # error, not a silently-dropped token matching everything
+        raise ValueError(f"tsquery {body!r}: syntax error near '<'/'>'")
     toks = re.findall(r"<->|<\d+>|[()&|!]|[^\s()&|!<>]+", body)
     pos = 0
 

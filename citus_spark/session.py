@@ -202,13 +202,18 @@ class DistributedSession:
         sessions that never touch transactional tables pay nothing."""
         if getattr(self, "_tx_cluster", None) is None:
             import tempfile as _tf
+            import uuid as _uuid
 
             from citus_spark.sources.txlog import TxCluster
 
+            # uuid, never id(self): CPython reuses addresses, and an
+            # address-keyed dir would hand a new session a dead
+            # session's restore points
             self._tx_cluster = TxCluster(
                 os.path.join(
                     _tf.gettempdir(),
-                    f"citus_spark_txcluster_{os.getpid()}_{id(self)}",
+                    f"citus_spark_txcluster_{os.getpid()}_"
+                    f"{_uuid.uuid4().hex[:10]}",
                 )
             )
         return self._tx_cluster
