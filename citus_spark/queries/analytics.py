@@ -4054,3 +4054,41 @@ register_split(
     )[1],
     _zscore_sql(),
 )
+
+
+# Named WINDOW clause (PG + standard SQL; Spark 4 and DuckDB both
+# execute the identical text — probed in r5 NOTES: no rewrite needed,
+# so the entry proves the shared surface rather than a translation).
+register_shared_sql(
+    "window_named_clause",
+    """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS running_total
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rnk
+""",
+)
+
+
+# GROUPING() flags under ROLLUP (↔ PG/reference grouping-sets
+# machinery; grouping() disambiguates "NULL because rolled up" from
+# "NULL in the data" — both engines implement the standard bit).
+register_shared_sql(
+    "grouping_id_rollup",
+    """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+""",
+)

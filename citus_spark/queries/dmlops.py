@@ -434,3 +434,52 @@ FROM range(32) t(i) ORDER BY shard_index
 register_split(
     "placement_round_robin", placement_round_robin, _placement_oracle()
 )
+
+
+# --- MERGE WHEN MATCHED [AND cond] THEN DELETE -------------------------------
+# ↔ reference merge_planner.c routing the full action surface; the
+# delete action is the retention idiom (purge matched-and-stale rows,
+# insert the new arrivals) regress exercises.
+def merge_matched_delete(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __mmd_t")
+    s.sql("CREATE TABLE __mmd_t (okey bigint, price double, status text)")
+    s.sql(
+        "INSERT INTO __mmd_t SELECT o_orderkey, o_totalprice, "
+        "o_orderstatus FROM orders WHERE o_orderkey < 3000"
+    )
+    # source: every order under 4000 — matched 'F' rows get purged,
+    # unmatched source rows insert as fresh 'NEW' rows
+    s.sql(
+        "MERGE INTO __mmd_t AS t USING "
+        "(SELECT o_orderkey AS okey, o_totalprice AS price FROM orders "
+        "WHERE o_orderkey < 4000) AS src ON t.okey = src.okey "
+        "WHEN MATCHED AND t.status = 'F' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (okey, price, status) "
+        "VALUES (src.okey, src.price, 'NEW')"
+    )
+    return s.sql(
+        """
+SELECT status, count(*) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __mmd_t GROUP BY status ORDER BY status
+"""
+    )
+
+
+register_split(
+    "merge_matched_delete",
+    merge_matched_delete,
+    """
+WITH survivors AS (
+  SELECT o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'
+  UNION ALL
+  SELECT 'NEW' AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 4000
+)
+SELECT status, count(*) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM survivors GROUP BY status ORDER BY status
+""",
+)

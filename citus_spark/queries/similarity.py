@@ -1209,3 +1209,145 @@ register_split(
     _rrf_sql("string_split", "list_distinct", "list_intersect", "len",
              dot_fold_duck),
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (Carbonell & Goldstein 1998) — the
+# re-ranking step a RAG pipeline runs so the k contexts it keeps are
+# relevant AND mutually diverse: greedily pick
+#   argmax_d  λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
+# Embeddings quantize to int64 (floor(x·1024 + 0.5)) so every
+# similarity is an exact integer dot product, and λ=0.7 becomes the
+# integer score 7·rel − 3·maxsim — bit-identical in any engine, no
+# IEEE accumulation anywhere. The distributed part is the candidate
+# generation (top-N relevance, a TakeOrdered — at 100 TB this is the
+# ANN index's job); the greedy loop touches only the N=12 candidate
+# vectors (bounded driver data, like the reference's re-rank step).
+_MMR_SCALE = 1024
+_MMR_N, _MMR_K = 12, 5
+
+
+def _mmr_quantize(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT vec_id,
+       transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_MMR_SCALE}.0 + 0.5)
+                           AS BIGINT)) AS qv
+FROM embeddings
+"""
+    )
+
+
+def mmr_diversified_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    qv = _mmr_quantize(spark, sf_dir)
+    query = qv.filter("vec_id = 0").select(F.col("qv").alias("query_qv"))
+    rel = (
+        qv.filter("vec_id != 0")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "qv",
+            F.expr(
+                "aggregate(zip_with(qv, query_qv, (a, b) -> a * b), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_N)
+    )
+    cands = rel.collect()  # N=12 rows — bounded re-rank working set
+    sims = {
+        (a["vec_id"], b["vec_id"]): sum(
+            x * y for x, y in zip(a["qv"], b["qv"])
+        )
+        for a in cands
+        for b in cands
+        if a["vec_id"] != b["vec_id"]
+    }
+    selected: list[tuple[int, int, int]] = []
+    remaining = {c["vec_id"]: c["rel"] for c in cands}
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, r in remaining.items():
+            maxsim = max(
+                (sims[(vid, s)] for s, _r, _sc in selected), default=0
+            )
+            score = 7 * r - 3 * maxsim
+            if best is None or score > best[2] or (
+                score == best[2] and vid < best[0]
+            ):
+                best = (vid, r, score)
+        selected.append(best)
+        del remaining[best[0]]
+    return spark.createDataFrame(
+        [
+            (rank + 1, vid, int(score))
+            for rank, (vid, _r, score) in enumerate(selected)
+        ],
+        "rank int, vec_id long, mmr_score long",
+    )
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy re-derivation: s1..s5 each pick the argmax
+    of 7·rel − 3·max-sim-to-already-picked, ties to the lower id —
+    the exact integer recurrence the Spark side runs."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_MMR_SCALE}.0 + 0.5)
+                     AS BIGINT)) AS qv
+  FROM embeddings
+), qry AS (
+  SELECT qv AS query_qv FROM q WHERE vec_id = 0
+), rel AS (
+  SELECT q.vec_id, q.qv,
+         (SELECT CAST(sum(q.qv[i] * qry.query_qv[i]) AS BIGINT)
+          FROM range(1, 65) t(i)) AS rel
+  FROM q, qry WHERE q.vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_N}
+), pair AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         (SELECT CAST(sum(a.qv[i] * b.qv[i]) AS BIGINT)
+          FROM range(1, 65) t(i)) AS sim
+  FROM rel a, rel b WHERE a.vec_id <> b.vec_id
+)"""
+    parts = [head]
+    for k in range(1, _MMR_K + 1):
+        if k == 1:
+            parts.append(
+                ", s1 AS (SELECT vec_id, CAST(7 * rel AS BIGINT) AS score"
+                " FROM rel ORDER BY rel DESC, vec_id LIMIT 1)"
+            )
+            continue
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k)
+        )
+        parts.append(
+            f", p{k} AS ({picked})"
+            f", s{k} AS ("
+            f"SELECT c.vec_id, CAST(7 * c.rel - 3 * ("
+            f"SELECT max(p.sim) FROM pair p WHERE p.ai = c.vec_id "
+            f"AND p.bi IN (SELECT vec_id FROM p{k})) AS BIGINT) AS score "
+            f"FROM rel c WHERE c.vec_id NOT IN (SELECT vec_id FROM p{k}) "
+            f"ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS rank, vec_id, score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f" SELECT CAST(rank AS INT) AS rank, vec_id, "
+        f"score AS mmr_score FROM ({union}) ORDER BY rank"
+    )
+    return "".join(parts)
+
+
+register_split("mmr_diversified_topk", mmr_diversified_topk, _mmr_oracle())

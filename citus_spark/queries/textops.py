@@ -2046,3 +2046,168 @@ FROM ranked WHERE rank <= {_VOCAB_TOP_N}
 ORDER BY rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token-frequency distribution — the standard
+# corpus-health diagnostic a pretraining pipeline tracks (a healthy
+# natural-language corpus sits near slope -1; template/boilerplate
+# corpora flatten). slope = covar_pop(log rank, log freq) /
+# var_pop(log rank) over the top-100 terms; ranking is made
+# deterministic by (freq DESC, token ASC), per-row log() is the same
+# IEEE double in both engines, and the 100-term sums use the DSUM
+# fixed-point idiom so accumulation order cannot move the hash.
+def zipf_slope_tokens(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_ZIPF_SQL)
+
+
+_ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT explode(split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE))
+           AS lr,
+         ln(CAST(n AS DOUBLE)) AS lf
+  FROM counts
+  ORDER BY n DESC, token
+  LIMIT 100
+), sums AS (
+  SELECT count(*) AS k,
+         {_DSUM('lr', 's_lr')},
+         {_DSUM('lf', 's_lf')},
+         {_DSUM('lr * lf', 's_lrlf')},
+         {_DSUM('lr * lr', 's_lrlr')}
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       CAST(floor((s_lrlf - s_lr * s_lf / k)
+                  / (s_lrlr - s_lr * s_lr / k) * 10000.0 + 0.5) AS BIGINT)
+         AS slope_e4
+FROM sums
+"""
+
+_ZIPF_ORACLE = _ZIPF_SQL.replace(
+    "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+)
+
+register_split("zipf_slope_tokens", zipf_slope_tokens, _ZIPF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — boundaries from a rolling token hash
+# (the FastCDC/rsync idea at token granularity: a boundary wherever
+# the hash of the current token ≡ 0 mod 2^B). Unlike fixed-width
+# chunking, insertions only shift boundaries locally, so chunk-level
+# dedup survives edits. The hash is an explicit 31-polynomial over
+# codepoints — bit-identical in Spark and DuckDB, no engine hash()
+# involved. Output: per-doc chunk count + mean chunk length (exact
+# integer arithmetic).
+_CDC_MOD = 16
+
+
+def content_defined_chunks(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH tok AS (
+  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), hashed AS (
+  SELECT doc_id, size(toks) AS n_toks,
+         size(filter(transform(toks,
+              t -> aggregate(split(t, ''),
+                             0L, (acc, c) -> (acc * 31 + ascii(c))
+                                             % 1000000007L)),
+              h -> h % {_CDC_MOD} = 0)) AS n_bounds
+  FROM tok
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_bounds + 1 AS BIGINT) AS n_chunks,
+       CAST(n_toks DIV (n_bounds + 1) AS BIGINT) AS mean_chunk_len
+FROM hashed ORDER BY doc_id LIMIT 300
+"""
+    )
+
+
+register_split(
+    "content_defined_chunks",
+    content_defined_chunks,
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), hashed AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         len(list_filter(list_transform(toks,
+              t -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split_regex(t, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007)),
+              h -> h % {_CDC_MOD} = 0)) AS n_bounds
+  FROM tok
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_bounds + 1 AS BIGINT) AS n_chunks,
+       CAST(n_toks // (n_bounds + 1) AS BIGINT) AS mean_chunk_len
+FROM hashed ORDER BY doc_id LIMIT 300
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats — the per-document shape features a
+# quality filter consumes (sentence count, mean sentence length,
+# longest run). Split on [.!?]+, tokens on whitespace; everything is
+# exact integer arithmetic over the same regex semantics.
+def sentence_stats(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH sent AS (
+  SELECT doc_id,
+         filter(transform(split(text, '[.!?]+'), s -> trim(s)),
+                s -> s <> '') AS sentences
+  FROM documents
+), stats AS (
+  SELECT doc_id, size(sentences) AS n_sentences,
+         transform(sentences,
+                   s -> size(filter(split(s, ' '), w -> w <> '')))
+           AS lens
+  FROM sent
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(aggregate(lens, 0, (a, x) -> a + x) AS BIGINT) AS n_words,
+       CAST(coalesce(array_max(lens), 0) AS BIGINT) AS max_sentence_len
+FROM stats ORDER BY doc_id LIMIT 300
+"""
+    )
+
+
+register_split(
+    "sentence_stats",
+    sentence_stats,
+    """
+WITH sent AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS sentences
+  FROM documents
+), stats AS (
+  SELECT doc_id, len(sentences) AS n_sentences,
+         list_transform(sentences,
+             s -> len(list_filter(string_split(s, ' '), w -> w <> '')))
+           AS lens
+  FROM sent
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(list_sum(lens) AS BIGINT) AS n_words,
+       CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_sentence_len
+FROM stats ORDER BY doc_id LIMIT 300
+""",
+)
