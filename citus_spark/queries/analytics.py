@@ -4092,3 +4092,55 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
 """,
 )
+
+
+# FROM-position unnest(...) WITH ORDINALITY (plans/pgfmt_sql.py
+# pg_unnest → LATERAL posexplode; PG surface the reference gets from
+# the executor). The ordinal is load-bearing: the query keeps each
+# document's first 3 tokens BY POSITION, which no order-insensitive
+# rewrite could fake.
+def unnest_with_ordinality(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT doc_id, t.ord, t.tok
+FROM documents,
+     unnest(string_to_array(text, ' ')) WITH ORDINALITY AS t(tok, ord)
+WHERE doc_id < 40 AND t.ord <= 3
+ORDER BY doc_id, t.ord
+"""
+    )
+
+
+register_split(
+    "unnest_with_ordinality",
+    unnest_with_ordinality,
+    # DuckDB has no WITH ORDINALITY; parallel unnests zip instead
+    """
+SELECT doc_id, ord, tok FROM (
+  SELECT doc_id,
+         unnest(range(1, len(toks) + 1)) AS ord,
+         unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 40)
+)
+WHERE ord <= 3
+ORDER BY doc_id, ord
+""",
+)
+
+
+# Explicit NULLS FIRST / NULLS LAST placement (PG defaults differ
+# from Spark's — DESC NULLS FIRST is PG's default, Spark's is NULLS
+# LAST, so the explicit spelling is what makes ports deterministic).
+register_shared_sql(
+    "order_nulls_placement",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE o_totalprice END AS p
+FROM orders WHERE o_orderkey < 300
+ORDER BY p DESC NULLS FIRST, o_orderkey
+""",
+)

@@ -483,3 +483,31 @@ SELECT status, count(*) AS n,
 FROM survivors GROUP BY status ORDER BY status
 """,
 )
+
+
+# --- UPDATE ... RETURNING: the statement's own output is the result ---------
+def update_returning_values(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __ur_t")
+    s.sql("CREATE TABLE __ur_t (okey bigint, price double)")
+    s.sql(
+        "INSERT INTO __ur_t SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey < 800"
+    )
+    out = s.sql(
+        "UPDATE __ur_t SET price = price * 1.1 WHERE okey % 5 = 0 "
+        "RETURNING okey, price AS new_price"
+    )
+    return out.orderBy("okey")
+
+
+register_split(
+    "update_returning_values",
+    update_returning_values,
+    """
+SELECT o_orderkey AS okey,
+       o_totalprice * 1.1 AS new_price
+FROM orders WHERE o_orderkey < 800 AND o_orderkey % 5 = 0
+ORDER BY okey
+""",
+)

@@ -2211,3 +2211,64 @@ SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
 FROM stats ORDER BY doc_id LIMIT 300
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity — type-token ratio per document plus the corpus
+# hapax share (tokens occurring exactly once), the standard
+# boilerplate/synthetic-text detectors. All-integer output (TTR in
+# basis points via integer division) so the comparison is exact.
+def lexical_diversity_stats(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tok AS (
+  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         size(toks) AS n_tokens,
+         size(array_distinct(toks)) AS n_types
+  FROM tok
+), corpus AS (
+  SELECT count(*) AS n_hapax FROM (
+    SELECT token FROM (
+      SELECT explode(toks) AS token FROM tok
+    ) GROUP BY token HAVING count(*) = 1
+  )
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_types * 10000 DIV n_tokens AS BIGINT) AS ttr_bp,
+       (SELECT CAST(n_hapax AS BIGINT) FROM corpus) AS corpus_hapax
+FROM per_doc ORDER BY doc_id LIMIT 300
+"""
+    )
+
+
+register_split(
+    "lexical_diversity_stats",
+    lexical_diversity_stats,
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types
+  FROM tok
+), corpus AS (
+  SELECT count(*) AS n_hapax FROM (
+    SELECT token FROM (
+      SELECT unnest(toks) AS token FROM tok
+    ) GROUP BY token HAVING count(*) = 1
+  )
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+       (SELECT CAST(n_hapax AS BIGINT) FROM corpus) AS corpus_hapax
+FROM per_doc ORDER BY doc_id LIMIT 300
+""",
+)
