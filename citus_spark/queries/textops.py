@@ -2272,3 +2272,134 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM per_doc ORDER BY doc_id LIMIT 300
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic retrieval weighting,
+# distributed as two hash aggregations (term counts, document
+# frequencies) and one window. Every score is ONE IEEE multiply of
+# cross-engine-identical factors (integer tf × ln(N/df)), so ranking
+# with a term tiebreak is exact.
+def tfidf_topk_terms(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tok AS (
+  SELECT doc_id, explode(filter(split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE)
+                                    / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rk <= 3 AND doc_id < 200
+ORDER BY doc_id, rk
+"""
+    )
+
+
+register_split(
+    "tfidf_topk_terms",
+    tfidf_topk_terms,
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE)
+                                    / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term,
+       CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+FROM ranked WHERE rk <= 3 AND doc_id < 200
+ORDER BY doc_id, rk
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty — the share of a document's distinct 3-grams that
+# appear in NO other document: the per-doc originality signal a
+# dedup/quality pass uses to separate boilerplate from fresh content.
+# One shuffle on the trigram, exact integer output.
+def trigram_novelty_rate(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tok AS (
+  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+  FROM tok
+  LATERAL VIEW explode(sequence(0, size(toks) - 3)) t AS i
+  WHERE size(toks) >= 3
+), owners AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs FROM tri GROUP BY g
+)
+SELECT tri.doc_id,
+       count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN owners.n_docs = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM tri JOIN owners ON tri.g = owners.g
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+LIMIT 300
+"""
+    )
+
+
+register_split(
+    "trigram_novelty_rate",
+    trigram_novelty_rate,
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3]) AS g
+  FROM tok, (SELECT unnest(range(0, 4096)) AS i) i
+  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3
+), owners AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs FROM tri GROUP BY g
+)
+SELECT tri.doc_id,
+       count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN owners.n_docs = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM tri JOIN owners ON tri.g = owners.g
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+LIMIT 300
+""",
+)
