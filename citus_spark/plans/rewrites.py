@@ -1735,3 +1735,85 @@ def pg_num_nulls(sql: str) -> str:
         repl = f"({terms})"
         sql = sql[: m.start()] + repl + sql[i + 1 :]
         start = m.start() + len(repl)
+
+
+_SUBSTR_CALL = re.compile(r"\bsubstring\s*\(", re.I)
+
+
+def pg_substring_regex(sql: str) -> str:
+    """PG's POSIX-regex substring — ``substring(string FROM 'pat')``
+    (↔ the PG string function surface the reference inherits) →
+
+        CASE WHEN (string) RLIKE 'pat'
+             THEN regexp_extract(string, 'pat', G) END
+
+    with G = 1 when the pattern has a capturing group (PG returns the
+    first group then), else 0 (the whole match). The CASE gives PG's
+    NULL on no match — regexp_extract alone returns '' there.
+    Positional ``substring(x FROM n [FOR m])`` is Spark-native and
+    passes through; the rewrite claims a call ONLY when the operand
+    after FROM is a string literal. Patterns pass through as written
+    (POSIX and Java agree on the common subset; a construct they
+    disagree on fails loudly in Spark's regex compiler, never
+    silently)."""
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        target = None
+        for m in _SUBSTR_CALL.finditer(sql, start):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            target = m
+            break
+        if target is None:
+            return sql
+        open_idx = sql.index("(", target.end() - 1)
+        depth = 0
+        close_idx = -1
+        i = open_idx
+        while i < len(sql):
+            if not any(a <= i < b for a, b in spans):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_idx = i
+                        break
+            i += 1
+        if close_idx < 0:
+            raise ValueError("unbalanced parentheses in substring()")
+        body = sql[open_idx + 1 : close_idx]
+        bspans = _masked_spans(body)
+        fm = None
+        depth = 0
+        for j in _code_iter(body, 0, bspans):
+            c = body[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and body[j : j + 4].upper() == "FROM" and (
+                j == 0 or body[j - 1].isspace()
+            ) and (
+                j + 4 < len(body) and body[j + 4].isspace()
+            ):
+                fm = j
+                break
+        pat = body[fm + 4 :].strip() if fm is not None else ""
+        if fm is None or not re.fullmatch(r"'(?:[^']|'')*'", pat):
+            # positional form or computed pattern: not ours
+            start = close_idx + 1
+            continue
+        expr = body[:fm].strip()
+        raw = pat[1:-1].replace("''", "'")
+        try:
+            g = 1 if re.compile(raw).groups >= 1 else 0
+        except re.error:
+            g = 1 if re.search(r"(?<!\\)\((?!\?)", raw) else 0
+        repl = (
+            f"(CASE WHEN ({expr}) RLIKE {pat} "
+            f"THEN regexp_extract({expr}, {pat}, {g}) END)"
+        )
+        sql = sql[: target.start()] + repl + sql[close_idx + 1 :]
+        start = target.start() + len(repl)

@@ -4144,3 +4144,78 @@ FROM orders WHERE o_orderkey < 300
 ORDER BY p DESC NULLS FIRST, o_orderkey
 """,
 )
+
+
+# SQL-standard string forms (substring FROM/FOR, position IN,
+# trim BOTH/LEADING FROM, overlay PLACING) — the spellings PG scripts
+# carry. Spark executes all four natively; DuckDB lacks OVERLAY, so
+# the oracle spells that one with substr+concat (same semantics).
+def sql_standard_string_forms(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT o_orderkey,
+       substring(o_orderpriority FROM 3 FOR 6) AS prio_word,
+       CAST(position('-' IN o_orderpriority) AS INT) AS dash_at,
+       trim(BOTH '0' FROM CAST(o_orderkey AS STRING)) AS key_trimmed,
+       overlay(o_orderstatus PLACING '*' FROM 1) AS starred
+FROM orders WHERE o_orderkey < 400
+ORDER BY o_orderkey
+"""
+    )
+
+
+register_split(
+    "sql_standard_string_forms",
+    sql_standard_string_forms,
+    """
+SELECT o_orderkey,
+       substring(o_orderpriority FROM 3 FOR 6) AS prio_word,
+       CAST(position('-' IN o_orderpriority) AS INT) AS dash_at,
+       trim(BOTH '0' FROM CAST(o_orderkey AS VARCHAR)) AS key_trimmed,
+       '*' || substr(o_orderstatus, 2) AS starred
+FROM orders WHERE o_orderkey < 400
+ORDER BY o_orderkey
+""",
+)
+
+
+# PG regex substring — substring(string FROM 'posix-pattern')
+# (plans/rewrites.py pg_substring_regex): group-1 when the pattern
+# captures, whole match otherwise, NULL on no match.
+def pg_substring_regex_extract(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT o_orderkey,
+       substring(concat('C#00', CAST(o_custkey AS STRING)) FROM '[1-9][0-9]*') AS clerk_num,
+       substring(o_orderpriority FROM '^([0-9])-') AS prio_digit,
+       substring(o_orderstatus FROM 'Z+') AS never_matches
+FROM orders WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+    )
+
+
+register_split(
+    "pg_substring_regex_extract",
+    pg_substring_regex_extract,
+    """
+SELECT o_orderkey,
+       CASE WHEN regexp_matches('C#00' || CAST(o_custkey AS VARCHAR),
+                           '[1-9][0-9]*')
+            THEN regexp_extract('C#00' || CAST(o_custkey AS VARCHAR),
+                                '[1-9][0-9]*', 0) END
+         AS clerk_num,
+       CASE WHEN regexp_matches(o_orderpriority, '^([0-9])-')
+            THEN regexp_extract(o_orderpriority, '^([0-9])-', 1) END
+         AS prio_digit,
+       CASE WHEN regexp_matches(o_orderstatus, 'Z+')
+            THEN regexp_extract(o_orderstatus, 'Z+', 0) END
+         AS never_matches
+FROM orders WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)

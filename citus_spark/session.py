@@ -3341,6 +3341,10 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_similar_to
 
             query = pg_similar_to(query)
+        if _re.search(r"\bsubstring\s*\(", query, _re.I):
+            from citus_spark.plans.rewrites import pg_substring_regex
+
+            query = pg_substring_regex(query)
         if _re.search(r"\bFOR\s+(NO\s+KEY\s+)?(UPDATE|SHARE)\b", query, _re.I):
             from citus_spark.plans.rewrites import pg_row_locking
 
