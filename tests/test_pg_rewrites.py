@@ -298,3 +298,25 @@ def test_array_length_empty_is_null(pg_sess):
         "FROM orders LIMIT 1"
     ).collect()[0]
     assert r.n is None  # PG: empty array has no dimension 1
+
+
+def test_pg_substring_regex_rewrite():
+    from citus_spark.plans.rewrites import pg_substring_regex as f
+
+    # positional forms pass through untouched
+    assert f("SELECT substring(x FROM 3 FOR 5) FROM t") == \
+        "SELECT substring(x FROM 3 FOR 5) FROM t"
+    assert f("SELECT substring(x, 2) FROM t") == \
+        "SELECT substring(x, 2) FROM t"
+    # whole-match (no capture) → group 0
+    out = f("SELECT substring(name FROM '[0-9]+') FROM t")
+    assert "regexp_extract(name, '[0-9]+', 0)" in out and "RLIKE" in out
+    # capturing pattern → group 1
+    out = f("SELECT substring(name FROM 'id=([0-9]+)') FROM t")
+    assert "regexp_extract(name, 'id=([0-9]+)', 1)" in out
+    # a literal containing ' FROM ' never confuses the split
+    out = f("SELECT substring(a || ' FROM b' FROM 'x(y)') FROM t")
+    assert out.count("a || ' FROM b'") == 2
+    # two calls in one statement both rewrite
+    out = f("SELECT substring(a FROM 'x'), substring(b FROM 'y') FROM t")
+    assert out.count("regexp_extract") == 2
