@@ -4219,3 +4219,42 @@ FROM orders WHERE o_orderkey < 500
 ORDER BY o_orderkey
 """,
 )
+
+
+# Markov transition counts over per-user event sequences — the
+# behavioral-analytics matrix (and the bigram counting shape a
+# sequence model's data pipeline runs). One window (lag over a
+# deterministic per-user order), one hash aggregation.
+register_shared_sql(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+""",
+)
+
+
+# Equi-depth histogram boundaries via NTILE — the bucket borders a
+# cost model / data-profiler records. Deterministic under the unique
+# (price, key) order, so both engines produce identical borders.
+register_shared_sql(
+    "equi_depth_histogram",
+    """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)

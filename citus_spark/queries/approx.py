@@ -617,3 +617,61 @@ SELECT CAST(count(k) AS BIGINT) AS n_with_k,
 FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
 """,
 )
+
+
+# Weighted discrete percentile — cumulative-weight selection (the
+# sampling-theory form: smallest value whose cumulative weight share
+# reaches p). Pure integer/window arithmetic on unique keys, so the
+# selected rows match exactly.
+def weighted_percentile_disc(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_WPD_SQL)
+
+
+_WPD_SQL = """
+WITH w AS (
+  SELECT o_totalprice AS v, o_orderkey AS k,
+         CAST(o_orderkey % 7 + 1 AS BIGINT) AS wt
+  FROM orders WHERE o_orderkey < 8000
+), c AS (
+  SELECT v, k, wt,
+         sum(wt) OVER (ORDER BY v, k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(wt) OVER () AS total
+  FROM w
+)
+SELECT p, min(v) AS value_at_p FROM (
+  SELECT v, cum, total, p
+  FROM c CROSS JOIN (SELECT explode(array(25, 50, 90)) AS p)
+  WHERE cum * 100 >= p * total
+)
+GROUP BY p ORDER BY p
+"""
+
+register_split(
+    "weighted_percentile_disc",
+    weighted_percentile_disc,
+    _WPD_SQL.replace(
+        "CROSS JOIN (SELECT explode(array(25, 50, 90)) AS p)",
+        "CROSS JOIN (SELECT unnest([25, 50, 90]) AS p)",
+    ),
+)
+
+
+# Interpolated (continuous) percentile — percentile_cont semantics:
+# both engines compute the same (1-f)*lo + f*hi on the same two
+# neighbors, one IEEE expression, value-exact.
+register_shared_sql(
+    "percentile_cont_interpolated",
+    """
+SELECT o_orderstatus,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+         AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+         AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
