@@ -4258,3 +4258,72 @@ SELECT bucket, count(*) AS n,
 FROM b GROUP BY bucket ORDER BY bucket
 """,
 )
+
+
+# generate_series over timestamps with an interval step
+# (plans/rewrites.py pg_generate_series) joined back to real data —
+# the calendar-spine idiom every reporting query starts from.
+def generate_series_timestamps(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT g.h AS hour_start, count(e.event_id) AS n_events
+FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                     TIMESTAMP '2024-01-03 23:00:00',
+                     INTERVAL '1 hour') AS g(h)
+LEFT JOIN events e
+  ON e.ts >= g.h AND e.ts < g.h + INTERVAL '1 hour'
+GROUP BY g.h ORDER BY g.h
+"""
+    )
+
+
+register_split(
+    "generate_series_timestamps",
+    generate_series_timestamps,
+    """
+SELECT g.h AS hour_start, count(e.event_id) AS n_events
+FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                     TIMESTAMP '2024-01-03 23:00:00',
+                     INTERVAL '1 hour') AS g(h)
+LEFT JOIN events e
+  ON e.ts >= g.h AND e.ts < g.h + INTERVAL '1 hour'
+GROUP BY g.h ORDER BY g.h
+""",
+)
+
+
+# Moving distinct count — Spark windows cannot COUNT(DISTINCT) over a
+# frame, so the engine expresses it as size(collect_set() OVER w),
+# while the oracle uses DuckDB's native windowed count(DISTINCT):
+# same semantics, independently derived.
+def moving_distinct_types(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT user_id, event_id,
+       CAST(size(collect_set(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS BIGINT)
+         AS ndv_5
+FROM events WHERE user_id < 40
+ORDER BY user_id, event_id
+"""
+    )
+
+
+register_split(
+    "moving_distinct_types",
+    moving_distinct_types,
+    """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS ndv_5
+FROM events WHERE user_id < 40
+ORDER BY user_id, event_id
+""",
+)

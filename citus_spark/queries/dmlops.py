@@ -511,3 +511,122 @@ FROM orders WHERE o_orderkey < 800 AND o_orderkey % 5 = 0
 ORDER BY okey
 """,
 )
+
+
+# --- INSERT ... ON CONFLICT DO NOTHING ---------------------------------------
+def insert_conflict_do_nothing(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __icn_t")
+    s.sql("CREATE TABLE __icn_t (okey bigint PRIMARY KEY, price double)")
+    s.sql(
+        "INSERT INTO __icn_t SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey < 1500"
+    )
+    # overlapping batch: existing keys skipped, fresh keys inserted,
+    # and the skipped rows' DIFFERENT price must NOT overwrite
+    s.sql(
+        "INSERT INTO __icn_t SELECT o_orderkey, 0.0 FROM orders "
+        "WHERE o_orderkey < 2500 ON CONFLICT (okey) DO NOTHING"
+    )
+    return s.sql(
+        """
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN price = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __icn_t
+"""
+    )
+
+
+register_split(
+    "insert_conflict_do_nothing",
+    insert_conflict_do_nothing,
+    """
+SELECT (SELECT count(*) FROM orders WHERE o_orderkey < 2500) AS n,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey >= 1500 AND o_orderkey < 2500) AS n_zero,
+       (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey < 1500) AS total
+""",
+)
+
+
+# --- COPY TO / COPY FROM roundtrip -------------------------------------------
+# ↔ reference commands/multi_copy.c (COPY is its bulk path). The
+# statement surface writes csv out and ingests it back; the oracle is
+# the source aggregate — a lossy roundtrip would show immediately.
+def copy_csv_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    s = _sess(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="citus_spark_copy_rt_")
+    try:
+        for t in ("__cp_out", "__cp_in"):
+            s.sql(f"DROP TABLE IF EXISTS {t}")
+        s.sql("CREATE TABLE __cp_out (okey bigint, status text, price double)")
+        s.sql(
+            "INSERT INTO __cp_out SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice FROM orders WHERE o_orderkey < 2000"
+        )
+        s.sql(f"COPY __cp_out TO '{d}/out.csv' WITH (FORMAT csv, HEADER)")
+        s.sql("CREATE TABLE __cp_in (okey bigint, status text, price double)")
+        s.sql(f"COPY __cp_in FROM '{d}/out.csv' WITH (FORMAT csv, HEADER)")
+        return s.sql(
+            """
+SELECT status, count(*) AS n,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __cp_in GROUP BY status ORDER BY status
+"""
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+register_split(
+    "copy_csv_roundtrip",
+    copy_csv_roundtrip,
+    """
+SELECT o_orderstatus AS status, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey < 2000
+GROUP BY 1 ORDER BY status
+""",
+)
+
+
+# --- undistribute → redistribute roundtrip -----------------------------------
+# ↔ reference undistribute_table / create_distributed_table cycle
+# (alter_table.c): the physical layout changes twice, values never.
+def redistribute_roundtrip(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __rd_t")
+    s.sql("CREATE TABLE __rd_t (k bigint, v double)")
+    s.sql(
+        "INSERT INTO __rd_t SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey < 3000"
+    )
+    s.sql("SELECT create_distributed_table('__rd_t', 'k')")
+    s.sql("SELECT undistribute_table('__rd_t')")
+    s.sql("SELECT create_distributed_table('__rd_t', 'k')")
+    assert s.catalog.get("__rd_t").is_hash_distributed
+    return s.sql(
+        """
+SELECT CAST(k % 8 AS BIGINT) AS g, count(*) AS n,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __rd_t GROUP BY k % 8 ORDER BY g
+"""
+    )
+
+
+register_split(
+    "redistribute_roundtrip",
+    redistribute_roundtrip,
+    """
+SELECT CAST(o_orderkey % 8 AS BIGINT) AS g, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey < 3000
+GROUP BY 1 ORDER BY g
+""",
+)

@@ -1351,3 +1351,59 @@ WITH q AS (
 
 
 register_split("mmr_diversified_topk", mmr_diversified_topk, _mmr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2-norm profile — the degenerate-vector screen an
+# embedding pipeline runs before indexing (near-zero or exploding
+# norms signal encoder failures). Quantized int64 squared norms are
+# order-free sums — partition-proof, value-exact.
+def embedding_norm_stats(spark, sf_dir):
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH q AS (
+  SELECT vec_id, label,
+         aggregate(transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_MMR_SCALE}.0 + 0.5)
+                       AS BIGINT)),
+           0L, (acc, v) -> acc + v * v) AS sq_norm
+  FROM embeddings
+), stats AS (
+  SELECT CAST(sum(sq_norm) DIV count(*) AS BIGINT) AS mean_sq FROM q
+)
+SELECT q.label, count(*) AS n,
+       CAST(min(sq_norm) AS BIGINT) AS min_sq,
+       CAST(max(sq_norm) AS BIGINT) AS max_sq,
+       CAST(sum(CASE WHEN sq_norm > 2 * (SELECT mean_sq FROM stats)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM q GROUP BY q.label ORDER BY q.label
+"""
+    )
+
+
+register_split(
+    "embedding_norm_stats",
+    embedding_norm_stats,
+    f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_MMR_SCALE}.0 + 0.5)
+                         AS BIGINT))),
+           (acc, v) -> acc + v * v) AS sq_norm
+  FROM embeddings
+), stats AS (
+  SELECT CAST(sum(sq_norm) // count(*) AS BIGINT) AS mean_sq FROM q
+)
+SELECT q.label, count(*) AS n,
+       CAST(min(sq_norm) AS BIGINT) AS min_sq,
+       CAST(max(sq_norm) AS BIGINT) AS max_sq,
+       CAST(sum(CASE WHEN sq_norm > 2 * (SELECT mean_sq FROM stats)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM q GROUP BY q.label ORDER BY q.label
+""",
+)

@@ -2403,3 +2403,148 @@ ORDER BY tri.doc_id
 LIMIT 300
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# algorithm): per document, hash every 5-gram, then keep the MINIMUM
+# hash of each sliding window of 4 grams. Guarantees any match of
+# length >= w+k-1 shares a fingerprint while storing ~2/(w+1) of the
+# grams — the local-fingerprint dedup the reference's users run via
+# extensions. Hashes are explicit 31-polynomials over token
+# polynomials (mod 1e9+7) so both engines produce identical values;
+# the whole kernel is JVM-side higher-order functions (no Python).
+def winnowing_fingerprints(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tok AS (
+  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         transform(toks,
+           t -> aggregate(split(t, ''), 0L,
+                          (acc, c) -> (acc * 31 + ascii(c))
+                                      % 1000000007L)) AS ph
+  FROM tok WHERE size(toks) >= 8
+), g AS (
+  SELECT doc_id,
+         transform(sequence(0, size(ph) - 5),
+           i -> aggregate(slice(ph, i + 1, 5), 0L,
+                          (acc, x) -> (acc * 31 + x) % 1000000007L))
+           AS grams
+  FROM p
+), fp AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(0, size(grams) - 4),
+             i -> array_min(slice(grams, i + 1, 4)))) AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(size(fps) AS BIGINT) AS n_fingerprints,
+       CAST(aggregate(fps, 0L, (a, x) -> (a + x) % 1000000007L)
+            AS BIGINT) AS fp_checksum
+FROM fp ORDER BY doc_id LIMIT 300
+"""
+    )
+
+
+register_split(
+    "winnowing_fingerprints",
+    winnowing_fingerprints,
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(t, ''),
+                                   c -> CAST(ord(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS ph
+  FROM tok WHERE len(toks) >= 8
+), g AS (
+  SELECT doc_id,
+         list_transform(range(0, len(ph) - 4),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), ph[i+1:i+5]),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)) AS grams
+  FROM p
+), fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(grams) - 3),
+             i -> list_min(grams[i+1:i+4]))) AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                        (a, x) -> (a + x) % 1000000007) AS BIGINT)
+         AS fp_checksum
+FROM fp ORDER BY doc_id LIMIT 300
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# K-gram coverage curve — cumulative NEW distinct 5-grams as the
+# corpus grows in doc_id order: the diminishing-returns curve a data
+# curator reads before buying more of a source. Each gram is charged
+# to its FIRST document (one groupBy-min), then a running sum over
+# doc buckets — no quadratic rescanning.
+def kgram_coverage_curve(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tok AS (
+  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, concat_ws(' ', slice(toks, i + 1, 5)) AS g
+  FROM tok LATERAL VIEW explode(sequence(0, size(toks) - 5)) t AS i
+  WHERE size(toks) >= 5
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), per_bucket AS (
+  SELECT CAST(first_doc DIV 50 AS BIGINT) AS bucket,
+         count(*) AS new_grams
+  FROM firsts GROUP BY first_doc DIV 50
+)
+SELECT bucket, new_grams,
+       CAST(sum(new_grams) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_grams
+FROM per_bucket ORDER BY bucket
+"""
+    )
+
+
+register_split(
+    "kgram_coverage_curve",
+    kgram_coverage_curve,
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3],
+                           toks[i.i+4], toks[i.i+5]) AS g
+  FROM tok, (SELECT unnest(range(0, 4096)) AS i) i
+  WHERE len(toks) >= 5 AND i.i <= len(toks) - 5
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), per_bucket AS (
+  SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+         count(*) AS new_grams
+  FROM firsts GROUP BY first_doc // 50
+)
+SELECT bucket, new_grams,
+       CAST(sum(new_grams) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_grams
+FROM per_bucket ORDER BY bucket
+""",
+)
