@@ -1817,3 +1817,66 @@ def pg_substring_regex(sql: str) -> str:
         )
         sql = sql[: target.start()] + repl + sql[close_idx + 1 :]
         start = target.start() + len(repl)
+
+
+_REGEXP_REPLACE = re.compile(r"\bregexp_replace\s*\(", re.I)
+
+
+def pg_regexp_replace_flags(sql: str) -> str:
+    """PG's 4-argument ``regexp_replace(src, pat, repl, 'g')`` →
+    Spark's 3-argument form with the replacement literal converted
+    from PG backrefs to Java's (``\\N`` → ``$N``, literal ``$``
+    escaped). Spark's own signatures (3 args, or an integer position)
+    pass through untouched. Only the 'g' flag is translatable —
+    Spark's regexp_replace is always-global, exactly PG-with-'g';
+    other flag strings ('i', 'n', ...) are rejected loudly rather
+    than silently changing match semantics."""
+    start = 0
+    while True:
+        spans = _masked_spans(sql)
+        target = None
+        for m in _REGEXP_REPLACE.finditer(sql, start):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            target = m
+            break
+        if target is None:
+            return sql
+        open_idx = sql.index("(", target.end() - 1)
+        depth = 0
+        close_idx = -1
+        i = open_idx
+        while i < len(sql):
+            if not any(a <= i < b for a, b in spans):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_idx = i
+                        break
+            i += 1
+        if close_idx < 0:
+            raise ValueError("unbalanced parentheses in regexp_replace()")
+        body = sql[open_idx + 1 : close_idx]
+        args = _split_top_level(body)
+        if len(args) != 4 or not re.fullmatch(
+            r"'(?:[^']|'')*'", args[3].strip()
+        ):
+            start = close_idx + 1
+            continue  # Spark-native signature: not ours
+        flags = args[3].strip()[1:-1]
+        if flags != "g":
+            raise ValueError(
+                f"regexp_replace flags {flags!r} are not supported — "
+                "only 'g' translates (Spark's replace is always-global)"
+            )
+        repl = args[2].strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", repl):
+            inner = repl[1:-1]
+            inner = inner.replace("$", r"\$")
+            inner = re.sub(r"\\(\d)", r"$\1", inner)
+            repl = f"'{inner}'"
+        new_call = f"regexp_replace({args[0]}, {args[1]}, {repl})"
+        sql = sql[: target.start()] + new_call + sql[close_idx + 1 :]
+        start = target.start() + len(new_call)

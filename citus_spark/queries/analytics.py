@@ -4327,3 +4327,73 @@ FROM events WHERE user_id < 40
 ORDER BY user_id, event_id
 """,
 )
+
+
+# IS [NOT] DISTINCT FROM — the null-safe comparison PG scripts use in
+# change detection; native in both engines (shared SQL).
+register_shared_sql(
+    "null_safe_comparison",
+    """
+WITH pairs AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderstatus END AS a,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_orderstatus END AS b
+  FROM orders WHERE o_orderkey < 1000
+)
+SELECT CAST(sum(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_distinct_pairs,
+       CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_pairs,
+       count(*) AS n
+FROM pairs
+""",
+)
+
+
+# ORDER BY / LIMIT inside parenthesized set-operation branches — each
+# arm keeps its own top-k before the union (both engines execute the
+# standard form natively).
+register_shared_sql(
+    "setop_branch_limits",
+    """
+(SELECT o_orderkey, o_totalprice FROM orders
+ ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+UNION ALL
+(SELECT o_orderkey, o_totalprice FROM orders
+ ORDER BY o_totalprice ASC, o_orderkey LIMIT 5)
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+
+
+# PG 4-arg regexp_replace with the 'g' flag and \N backrefs
+# (plans/rewrites.py pg_regexp_replace_flags).
+def regexp_replace_backrefs(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        r"""
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, '([0-9])-([A-Z])',
+                      '\2\1', 'g') AS swapped,
+       regexp_replace(o_orderstatus, '(.)', '<\1>', 'g') AS wrapped
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+    )
+
+
+register_split(
+    "regexp_replace_backrefs",
+    regexp_replace_backrefs,
+    r"""
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, '([0-9])-([A-Z])',
+                      '\2\1', 'g') AS swapped,
+       regexp_replace(o_orderstatus, '(.)', '<\1>', 'g') AS wrapped
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+""",
+)

@@ -986,3 +986,39 @@ ORDER BY c.cluster_id, c.doc_id
 register_split(
     "dedup_keep_best_quality", dedup_keep_best_quality, _keep_best_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the distribution a dedup run is
+# judged by (how many pairs/triples/larger families the corpus holds,
+# and how many rows deduplication would remove). Built on the same
+# LSH → connected-components pipeline; singleton docs (no near-dup)
+# are excluded, exactly like the reference-world reporting query.
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .count()
+        .groupBy(F.col("count").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn(
+            "rows_removable",
+            (F.col("cluster_size") - F.lit(1)) * F.col("n_clusters"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+register_split(
+    "dup_cluster_size_histogram",
+    dup_cluster_size_histogram,
+    f"""
+WITH comp AS ({_components_oracle_sql().replace("ORDER BY doc_id", "")}),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       (cluster_size - 1) * count(*) AS rows_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+""",
+)

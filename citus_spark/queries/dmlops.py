@@ -630,3 +630,65 @@ FROM orders WHERE o_orderkey < 3000
 GROUP BY 1 ORDER BY g
 """,
 )
+
+
+# --- placements stay stable across a shard split -----------------------------
+# ↔ the r7 review finding: splitting one bucket must NOT relocate any
+# other shard. Two workers registered; the stable-identity rule makes
+# every placement pure arithmetic — groupid = groups[key mod 2] where
+# key is the bucket number for unsplit buckets and the absolute child
+# id for split children (fresh-session child ids are 104001/104002).
+# The oracle re-derives the whole placement census without knowing
+# WHICH bucket split (that depends on the engine hash): 31 unsplit
+# buckets all stable, 2 children all stable.
+def split_placement_stability(spark, sf_dir):
+    from citus_spark import cluster
+
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __sps_t")
+    s.sql("CREATE TABLE __sps_t (k bigint)")
+    s.sql("SELECT create_distributed_table('__sps_t', 'k')")
+    s.sql("INSERT INTO __sps_t SELECT id FROM range(0, 300)")
+    for i in (1, 2):
+        s.sql(f"SELECT citus_add_node('w{i}', {6000 + i})")
+    sid = cluster.get_shard_id_for_distribution_column(s, "__sps_t", 1)
+    split_bucket = sid - cluster.shard_base_ids(s)["__sps_t"]
+    children = cluster.citus_split_shard_by_split_points(s, sid, [0])
+    base = cluster.shard_base_ids(s)["__sps_t"]
+    pm = cluster._placement_map(s)
+    groups = [1, 2]  # nodeid order
+
+    def stable(key, sid_):
+        return pm[sid_] == [groups[key % 2]]
+
+    n_buckets = n_buckets_stable = 0
+    for b in range(32):
+        if b == split_bucket:
+            continue
+        n_buckets += 1
+        n_buckets_stable += int(stable(b, base + b))
+    n_children = len(children)
+    n_children_stable = sum(int(stable(c, c)) for c in children)
+    child_ids = sorted(int(c) for c in children)
+    return spark.createDataFrame(
+        [
+            ("bucket", int(n_buckets), int(n_buckets_stable), None),
+            ("child", int(n_children), int(n_children_stable),
+             int(child_ids[0])),
+        ],
+        "kind string, n long, n_stable long, first_child long",
+    ).orderBy("kind")
+
+
+register_split(
+    "split_placement_stability",
+    split_placement_stability,
+    """
+SELECT 'bucket' AS kind, CAST(31 AS BIGINT) AS n,
+       CAST(31 AS BIGINT) AS n_stable, CAST(NULL AS BIGINT) AS first_child
+UNION ALL
+SELECT 'child' AS kind, CAST(2 AS BIGINT) AS n,
+       CAST(2 AS BIGINT) AS n_stable, CAST(104001 AS BIGINT) AS first_child
+ORDER BY kind
+""",
+)

@@ -3345,6 +3345,10 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_substring_regex
 
             query = pg_substring_regex(query)
+        if _re.search(r"\bregexp_replace\s*\(", query, _re.I):
+            from citus_spark.plans.rewrites import pg_regexp_replace_flags
+
+            query = pg_regexp_replace_flags(query)
         if _re.search(r"\bFOR\s+(NO\s+KEY\s+)?(UPDATE|SHARE)\b", query, _re.I):
             from citus_spark.plans.rewrites import pg_row_locking
 
