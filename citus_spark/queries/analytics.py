@@ -4397,3 +4397,130 @@ FROM orders WHERE o_orderkey < 300
 ORDER BY o_orderkey
 """,
 )
+
+
+# IGNORE NULLS window fill — the LOCF spelling (Spark puts IGNORE
+# NULLS after the call, DuckDB inside the argument list; semantics
+# identical).
+def window_ignore_nulls(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT user_id, event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END)
+         IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events WHERE user_id < 30
+ORDER BY user_id, event_id
+"""
+    )
+
+
+register_split(
+    "window_ignore_nulls",
+    window_ignore_nulls,
+    """
+SELECT user_id, event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events WHERE user_id < 30
+ORDER BY user_id, event_id
+""",
+)
+
+
+# TRY_CAST tolerant ingest — malformed values become NULL instead of
+# failing the batch (the ingest-hardening idiom; ANSI Spark and
+# DuckDB agree on the TRY_CAST surface).
+register_shared_sql(
+    "try_cast_ingest",
+    """
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'oops'
+              ELSE CAST(o_orderkey AS STRING) END AS v
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT count(*) AS n,
+       count(TRY_CAST(v AS BIGINT)) AS n_parsed,
+       CAST(sum(TRY_CAST(v AS BIGINT)) AS BIGINT) AS total
+FROM raw
+""",
+)
+
+
+# greatest/least skip NULL arguments in BOTH engines (PG semantics —
+# unlike the SQL-standard row-wise NULL propagation).
+register_shared_sql(
+    "greatest_least_null_skip",
+    """
+SELECT o_orderkey,
+       greatest(o_totalprice,
+                CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                     ELSE 150000.0 END) AS g,
+       least(o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE 150000.0 END) AS l
+FROM orders WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)
+
+
+# NOT IN with a NULL-bearing list — the classic three-valued-logic
+# trap (one NULL in the subquery empties NOT IN): both engines must
+# agree row for row.
+register_shared_sql(
+    "not_in_null_semantics",
+    """
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT
+  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM keys))
+    AS n_in,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in_nullable,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+    AS n_not_in_clean
+""",
+)
+
+
+# Latest value per user via max_by over a composite order key — the
+# aggregate spelling of DISTINCT ON (deterministic: (ts, event_id) is
+# unique). DuckDB lacks struct-keyed max_by, so the oracle derives
+# the same row with a window.
+def latest_value_per_user(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT user_id,
+       max_by(value, struct(ts, event_id)) AS latest_value,
+       max_by(event_type, struct(ts, event_id)) AS latest_type
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+    )
+
+
+register_split(
+    "latest_value_per_user",
+    latest_value_per_user,
+    """
+SELECT user_id, value AS latest_value, event_type AS latest_type FROM (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+)

@@ -2548,3 +2548,45 @@ SELECT bucket, new_grams,
 FROM per_bucket ORDER BY bucket
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B split over USERS with per-arm metrics — the
+# experiment-assignment idiom: the unit of randomization is the user
+# (hash-based, re-run-stable), every event inherits its user's arm.
+def ab_split_events(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH arms AS (
+  SELECT user_id,
+         CASE WHEN {hash64_sql("CAST(user_id AS STRING)")} % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT a.arm, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN arms a ON e.user_id = a.user_id
+GROUP BY a.arm ORDER BY a.arm
+"""
+    )
+
+
+register_split(
+    "ab_split_events",
+    ab_split_events,
+    f"""
+WITH arms AS (
+  SELECT user_id,
+         CASE WHEN {hash64_duck("CAST(user_id AS VARCHAR)")} % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT a.arm, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN arms a ON e.user_id = a.user_id
+GROUP BY a.arm ORDER BY a.arm
+""",
+)
