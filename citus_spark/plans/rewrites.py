@@ -1737,6 +1737,47 @@ def pg_num_nulls(sql: str) -> str:
         start = m.start() + len(repl)
 
 
+def _find_call_span(sql: str, call_re, start: int = 0):
+    """First unmasked match of `call_re` from `start` with its
+    balanced argument span → (match, open_idx, close_idx), or None.
+    Shared by the regex-function rewrites below (one masking + paren
+    scan instead of a per-function copy)."""
+    spans = _masked_spans(sql)
+    target = None
+    for m in call_re.finditer(sql, start):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        target = m
+        break
+    if target is None:
+        return None
+    open_idx = sql.index("(", target.end() - 1)
+    depth = 0
+    for i in _code_iter(sql, open_idx, spans):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return target, open_idx, i
+    raise ValueError(f"unbalanced parentheses after {target.group(0)!r}")
+
+
+def _respark_literal(raw: str) -> str:
+    """Embed raw characters as a Spark string literal. Spark parses
+    backslash escapes inside \'...\' (PG standard literals do not), so
+    every backslash must double or the regex engine sees a mangled
+    pattern — the r7 review's silent-wrong-data finding."""
+    return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _pg_literal_chars(lit: str) -> str:
+    """Characters of a PG standard string literal as written
+    (\'...\'; doubled quotes are the only escape)."""
+    return lit[1:-1].replace("''", "'")
+
+
 _SUBSTR_CALL = re.compile(r"\bsubstring\s*\(", re.I)
 
 
@@ -1749,40 +1790,20 @@ def pg_substring_regex(sql: str) -> str:
 
     with G = 1 when the pattern has a capturing group (PG returns the
     first group then), else 0 (the whole match). The CASE gives PG's
-    NULL on no match — regexp_extract alone returns '' there.
+    NULL on no match — regexp_extract alone returns \'\' there.
     Positional ``substring(x FROM n [FOR m])`` is Spark-native and
     passes through; the rewrite claims a call ONLY when the operand
-    after FROM is a string literal. Patterns pass through as written
-    (POSIX and Java agree on the common subset; a construct they
-    disagree on fails loudly in Spark's regex compiler, never
-    silently)."""
+    after FROM is a string literal. The pattern's characters reach
+    the Java regex engine exactly as PG read them (backslashes are
+    re-escaped for Spark's literal parser); a construct POSIX and
+    Java disagree on fails loudly in Spark's regex compiler, never
+    silently."""
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        target = None
-        for m in _SUBSTR_CALL.finditer(sql, start):
-            if any(a <= m.start() < b for a, b in spans):
-                continue
-            target = m
-            break
-        if target is None:
+        found = _find_call_span(sql, _SUBSTR_CALL, start)
+        if found is None:
             return sql
-        open_idx = sql.index("(", target.end() - 1)
-        depth = 0
-        close_idx = -1
-        i = open_idx
-        while i < len(sql):
-            if not any(a <= i < b for a, b in spans):
-                if sql[i] == "(":
-                    depth += 1
-                elif sql[i] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        close_idx = i
-                        break
-            i += 1
-        if close_idx < 0:
-            raise ValueError("unbalanced parentheses in substring()")
+        target, open_idx, close_idx = found
         body = sql[open_idx + 1 : close_idx]
         bspans = _masked_spans(body)
         fm = None
@@ -1802,81 +1823,108 @@ def pg_substring_regex(sql: str) -> str:
                 break
         pat = body[fm + 4 :].strip() if fm is not None else ""
         if fm is None or not re.fullmatch(r"'(?:[^']|'')*'", pat):
-            # positional form or computed pattern: not ours
-            start = close_idx + 1
+            # positional form or computed pattern: not ours. Resume
+            # just past the call head so a regex-substring NESTED in
+            # this call\'s operand still gets rewritten.
+            start = target.start() + 1
             continue
         expr = body[:fm].strip()
-        raw = pat[1:-1].replace("''", "'")
+        raw = _pg_literal_chars(pat)
         try:
             g = 1 if re.compile(raw).groups >= 1 else 0
         except re.error:
             g = 1 if re.search(r"(?<!\\)\((?!\?)", raw) else 0
+        lit = _respark_literal(raw)
         repl = (
-            f"(CASE WHEN ({expr}) RLIKE {pat} "
-            f"THEN regexp_extract({expr}, {pat}, {g}) END)"
+            f"(CASE WHEN ({expr}) RLIKE {lit} "
+            f"THEN regexp_extract({expr}, {lit}, {g}) END)"
         )
         sql = sql[: target.start()] + repl + sql[close_idx + 1 :]
-        start = target.start() + len(repl)
+        # re-scan from the call site: `expr` was copied into the
+        # replacement and may itself contain a regex substring
+        start = target.start() + 1
 
 
 _REGEXP_REPLACE = re.compile(r"\bregexp_replace\s*\(", re.I)
 
 
+def _pg_replacement_to_java(raw: str) -> str:
+    """PG regexp_replace replacement language → Java replaceAll:
+    \\N → $N, \\& → $0, \\\\ → literal backslash, backslash-other →
+    that character, literal $ escaped. Output is the JAVA-level
+    string (embed with _respark_literal)."""
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            n = raw[i + 1]
+            if n.isdigit():
+                out.append(f"${n}")
+            elif n == "&":
+                out.append("$0")
+            elif n == "\\":
+                out.append("\\\\")  # Java literal backslash
+            elif n in "$":
+                out.append("\\$")
+            else:
+                out.append(n)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")  # Java: literal dollar
+        elif c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def pg_regexp_replace_flags(sql: str) -> str:
     """PG's 4-argument ``regexp_replace(src, pat, repl, 'g')`` →
-    Spark's 3-argument form with the replacement literal converted
-    from PG backrefs to Java's (``\\N`` → ``$N``, literal ``$``
-    escaped). Spark's own signatures (3 args, or an integer position)
-    pass through untouched. Only the 'g' flag is translatable —
-    Spark's regexp_replace is always-global, exactly PG-with-'g';
-    other flag strings ('i', 'n', ...) are rejected loudly rather
-    than silently changing match semantics."""
+    Spark's 3-argument form. The pattern literal is re-escaped for
+    Spark's literal parser; the replacement literal is translated
+    from PG's replacement language (\\N backrefs, \\& whole-match,
+    \\\\ literal backslash) to Java's ($N, $0, escaped $). Spark's
+    own signatures (3 args, or an integer position) pass through
+    untouched. Only the 'g' flag is translatable — Spark's
+    regexp_replace is always-global, exactly PG-with-'g'; other flag
+    strings and non-literal replacements (whose backrefs cannot be
+    translated statically) are rejected loudly rather than silently
+    changing semantics."""
     start = 0
     while True:
-        spans = _masked_spans(sql)
-        target = None
-        for m in _REGEXP_REPLACE.finditer(sql, start):
-            if any(a <= m.start() < b for a, b in spans):
-                continue
-            target = m
-            break
-        if target is None:
+        found = _find_call_span(sql, _REGEXP_REPLACE, start)
+        if found is None:
             return sql
-        open_idx = sql.index("(", target.end() - 1)
-        depth = 0
-        close_idx = -1
-        i = open_idx
-        while i < len(sql):
-            if not any(a <= i < b for a, b in spans):
-                if sql[i] == "(":
-                    depth += 1
-                elif sql[i] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        close_idx = i
-                        break
-            i += 1
-        if close_idx < 0:
-            raise ValueError("unbalanced parentheses in regexp_replace()")
+        target, open_idx, close_idx = found
         body = sql[open_idx + 1 : close_idx]
         args = _split_top_level(body)
         if len(args) != 4 or not re.fullmatch(
             r"'(?:[^']|'')*'", args[3].strip()
         ):
-            start = close_idx + 1
+            start = target.start() + 1
             continue  # Spark-native signature: not ours
-        flags = args[3].strip()[1:-1]
+        flags = _pg_literal_chars(args[3].strip())
         if flags != "g":
             raise ValueError(
                 f"regexp_replace flags {flags!r} are not supported — "
                 "only 'g' translates (Spark's replace is always-global)"
             )
+        pat = args[1].strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", pat):
+            pat = _respark_literal(_pg_literal_chars(pat))
         repl = args[2].strip()
         if re.fullmatch(r"'(?:[^']|'')*'", repl):
-            inner = repl[1:-1]
-            inner = inner.replace("$", r"\$")
-            inner = re.sub(r"\\(\d)", r"$\1", inner)
-            repl = f"'{inner}'"
-        new_call = f"regexp_replace({args[0]}, {args[1]}, {repl})"
+            java = _pg_replacement_to_java(_pg_literal_chars(repl))
+            repl = _respark_literal(java)
+        else:
+            raise ValueError(
+                "regexp_replace with the 'g' flag needs a LITERAL "
+                "replacement — a computed replacement\'s PG backrefs "
+                "(\\N) cannot be translated to Java\'s ($N) statically"
+            )
+        new_call = f"regexp_replace({args[0]}, {pat}, {repl})"
         sql = sql[: target.start()] + new_call + sql[close_idx + 1 :]
-        start = target.start() + len(new_call)
+        start = target.start() + 1

@@ -2206,7 +2206,7 @@ WITH sent AS (
   FROM sent
 )
 SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
-       CAST(list_sum(lens) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS n_words,
        CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_sentence_len
 FROM stats ORDER BY doc_id LIMIT 300
 """,
@@ -2388,7 +2388,7 @@ WITH tok AS (
 ), tri AS (
   SELECT DISTINCT doc_id,
          concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3]) AS g
-  FROM tok, (SELECT unnest(range(0, 4096)) AS i) i
+  FROM tok, (SELECT unnest(range(0, (SELECT CAST(max(len(toks)) AS BIGINT) FROM tok))) AS i) i
   WHERE len(toks) >= 3 AND i.i <= len(toks) - 3
 ), owners AS (
   SELECT g, count(DISTINCT doc_id) AS n_docs FROM tri GROUP BY g
@@ -2532,7 +2532,7 @@ WITH tok AS (
 ), grams AS (
   SELECT doc_id, concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3],
                            toks[i.i+4], toks[i.i+5]) AS g
-  FROM tok, (SELECT unnest(range(0, 4096)) AS i) i
+  FROM tok, (SELECT unnest(range(0, (SELECT CAST(max(len(toks)) AS BIGINT) FROM tok))) AS i) i
   WHERE len(toks) >= 5 AND i.i <= len(toks) - 5
 ), firsts AS (
   SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g

@@ -320,3 +320,50 @@ def test_pg_substring_regex_rewrite():
     # two calls in one statement both rewrite
     out = f("SELECT substring(a FROM 'x'), substring(b FROM 'y') FROM t")
     assert out.count("regexp_extract") == 2
+
+
+def test_regexp_rewrites_backslash_literals(spark):
+    """r7 review repros: Spark's literal parser eats backslashes, so
+    re-emitted pattern/replacement literals must re-escape — silent
+    wrong results otherwise."""
+    from citus_spark.plans.rewrites import (
+        pg_regexp_replace_flags,
+        pg_substring_regex,
+    )
+
+    def run(sql):
+        return spark.sql(
+            pg_regexp_replace_flags(pg_substring_regex(sql))
+        ).collect()[0][0]
+
+    assert run(r"SELECT substring('abc123' FROM '\d+')") == "123"
+    assert run(r"SELECT substring('42x' FROM '\(([0-9]+)\)')") is None
+    assert run(r"SELECT substring('(42)x' FROM '\(([0-9]+)\)')") == "42"
+    assert run(
+        r"SELECT regexp_replace('a1b2', '(\d)', '[\1]', 'g')"
+    ) == "a[1]b[2]"
+    # literal dollar in the replacement (Java would read $5 as a group)
+    assert run(
+        r"SELECT regexp_replace('price 5', '5', 'costs $5', 'g')"
+    ) == "price costs $5"
+    # PG \\1 = literal backslash-1, \& = whole match
+    assert run(r"SELECT regexp_replace('aa', '(a)', '\\1', 'g')") == \
+        "\\1\\1"
+    assert run(r"SELECT regexp_replace('abc', 'b+', '[\&]', 'g')") == \
+        "a[b]c"
+    # nested regex substring: both levels rewrite (expr duplicates)
+    from citus_spark.plans.rewrites import pg_substring_regex as f
+
+    out = f("SELECT substring(substring(x FROM '[a-z]+') FROM '[0-9]+')")
+    assert out.count("regexp_extract") == 3
+    # non-literal replacement with 'g' is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="LITERAL replacement"):
+        pg_regexp_replace_flags(
+            "SELECT regexp_replace(s, '(a)', col || 'x', 'g') FROM t"
+        )
+    with pytest.raises(ValueError, match="not supported"):
+        pg_regexp_replace_flags(
+            "SELECT regexp_replace(s, 'a', 'b', 'i') FROM t"
+        )
