@@ -804,3 +804,122 @@ def citus_split_shard_by_split_points(
         None, executor="utility",
     )
     return out_ids
+
+
+# ---------------------------------------------------- rebalance strategies
+# ↔ reference pg_dist_rebalance_strategy + citus_add_rebalance_strategy
+# (operations/shard_rebalancer.c): named strategies with cost/capacity
+# functions and thresholds. The two built-ins translate directly —
+# by_shard_count balances row counts, by_disk_size balances bytes.
+# CUSTOM strategies (SQL cost functions evaluated per shard) are
+# REGISTERED and listed faithfully but rejected loudly at rebalance
+# time: evaluating arbitrary per-shard cost SQL is PG-procedural
+# machinery this engine does not fake.
+_BUILTIN_STRATEGIES = (
+    {
+        "name": "by_shard_count",
+        "default_strategy": True,
+        "shard_cost_function": "citus_shard_cost_1",
+        "node_capacity_function": "citus_node_capacity_1",
+        "shard_allowed_on_node_function": "citus_shard_allowed_on_node_true",
+        "default_threshold": 0.0,
+        "minimum_threshold": 0.0,
+    },
+    {
+        "name": "by_disk_size",
+        "default_strategy": False,
+        "shard_cost_function": "citus_shard_cost_by_disk_size",
+        "node_capacity_function": "citus_node_capacity_1",
+        "shard_allowed_on_node_function": "citus_shard_allowed_on_node_true",
+        "default_threshold": 0.1,
+        "minimum_threshold": 0.01,
+    },
+)
+
+
+def _strategies(sess) -> list[dict]:
+    if getattr(sess, "_rebalance_strategies", None) is None:
+        sess._rebalance_strategies = [dict(s) for s in _BUILTIN_STRATEGIES]
+    return sess._rebalance_strategies
+
+
+def citus_add_rebalance_strategy(
+    sess,
+    name: str,
+    shard_cost_function: str,
+    node_capacity_function: str,
+    shard_allowed_on_node_function: str,
+    default_threshold: float,
+    minimum_threshold: float = 0.0,
+) -> None:
+    strategies = _strategies(sess)
+    if any(s["name"] == name for s in strategies):
+        raise ValueError(f'rebalance strategy "{name}" already exists')
+    if float(minimum_threshold) > float(default_threshold):
+        # the reference's trigger enforces the same invariant
+        raise ValueError(
+            "default_threshold cannot be smaller than minimum_threshold"
+        )
+    strategies.append(
+        {
+            "name": name,
+            "default_strategy": False,
+            "shard_cost_function": shard_cost_function,
+            "node_capacity_function": node_capacity_function,
+            "shard_allowed_on_node_function": shard_allowed_on_node_function,
+            "default_threshold": float(default_threshold),
+            "minimum_threshold": float(minimum_threshold),
+        }
+    )
+
+
+def citus_set_default_rebalance_strategy(sess, name: str) -> None:
+    strategies = _strategies(sess)
+    if not any(s["name"] == name for s in strategies):
+        raise ValueError(f'rebalance strategy "{name}" does not exist')
+    for s in strategies:
+        s["default_strategy"] = s["name"] == name
+
+
+def default_rebalance_strategy(sess) -> str:
+    return next(
+        s["name"] for s in _strategies(sess) if s["default_strategy"]
+    )
+
+
+def resolve_rebalance_strategy(sess, name: str | None) -> str:
+    """→ the strategy to run with; custom strategies reject loudly."""
+    strategies = _strategies(sess)
+    chosen = name or default_rebalance_strategy(sess)
+    match = next((s for s in strategies if s["name"] == chosen), None)
+    if match is None:
+        raise ValueError(f'rebalance strategy "{chosen}" does not exist')
+    if chosen not in ("by_shard_count", "by_disk_size"):
+        raise NotImplementedError(
+            f"custom rebalance strategy {chosen!r} is registered but "
+            "not executable — its shard-cost SQL would need PG's "
+            "procedural evaluation; use by_shard_count or by_disk_size"
+        )
+    return chosen
+
+
+def pg_dist_rebalance_strategy_df(sess) -> DataFrame:
+    rows = [
+        (
+            s["name"],
+            bool(s["default_strategy"]),
+            s["shard_cost_function"],
+            s["node_capacity_function"],
+            s["shard_allowed_on_node_function"],
+            float(s["default_threshold"]),
+            float(s["minimum_threshold"]),
+        )
+        for s in _strategies(sess)
+    ]
+    return sess.spark.createDataFrame(
+        rows,
+        "name string, default_strategy boolean, "
+        "shard_cost_function string, node_capacity_function string, "
+        "shard_allowed_on_node_function string, "
+        "default_threshold double, minimum_threshold double",
+    )

@@ -59,6 +59,8 @@ _FNS = (
     "get_shard_id_for_distribution_column",
     "citus_split_shard_by_split_points",
     "citus_create_restore_point",
+    "citus_add_rebalance_strategy",
+    "citus_set_default_rebalance_strategy",
     "citus_move_shard_placement",
     "master_move_shard_placement",
     "citus_copy_shard_placement",
@@ -135,6 +137,8 @@ def _parse_value(text: str):
         return m.group(1).replace("''", "'")
     if re.match(r"^-?\d+$", text):
         return int(text)
+    if re.match(r"^-?\d+\.\d+$", text):
+        return float(text)  # thresholds (rebalance strategies)
     if text.lower() in ("true", "false"):
         return text.lower() == "true"
     # ARRAY['0','5'] / ARRAY[1,2] literals (split-points, node ids)

@@ -981,6 +981,32 @@ class DistributedSession:
                 target_shard_rows=int(
                     kw.get("target_shard_rows", 100_000_000)
                 ),
+                rebalance_strategy=(
+                    str(kw["rebalance_strategy"])
+                    if "rebalance_strategy" in kw
+                    else None
+                ),
+            )
+        elif call.fn == "citus_add_rebalance_strategy":
+            from citus_spark import cluster
+
+            cluster.citus_add_rebalance_strategy(
+                self,
+                str(call.args[0]), str(call.args[1]), str(call.args[2]),
+                str(call.args[3]), float(call.args[4]),
+                float(call.args[5]) if len(call.args) > 5 else 0.0,
+            )
+            return self.spark.createDataFrame(
+                [(str(call.args[0]),)], "citus_add_rebalance_strategy string"
+            )
+        elif call.fn == "citus_set_default_rebalance_strategy":
+            from citus_spark import cluster
+
+            cluster.citus_set_default_rebalance_strategy(
+                self, str(call.args[0])
+            )
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_set_default_rebalance_strategy string"
             )
         elif call.fn in ("citus_add_node", "master_add_node"):
             nid = self.citus_add_node(
@@ -1425,7 +1451,8 @@ class DistributedSession:
                 ),
             )
         if _re.search(
-            r"\bpg_dist_(partition|shard|colocation|node|placement)\b",
+            r"\bpg_dist_(partition|shard|colocation|node|placement"
+            r"|rebalance_strategy)\b",
             query, _re.I,
         ):
             query = self._register_pg_dist_views(query)
@@ -1614,6 +1641,12 @@ class DistributedSession:
             cluster.pg_dist_placement_df(self).createOrReplaceTempView(
                 "_pg_dist_placement"
             )
+        if _re.search(r"\bpg_dist_rebalance_strategy\b", query, _re.I):
+            from citus_spark import cluster
+
+            cluster.pg_dist_rebalance_strategy_df(
+                self
+            ).createOrReplaceTempView("_pg_dist_rebalance_strategy")
         if _re.search(r"\bpg_dist_node\b", query, _re.I):
             rows = [
                 (
@@ -1637,7 +1670,7 @@ class DistributedSession:
         def fix(code: str) -> str:
             return _re.sub(
                 r"\b(?:pg_catalog\.)?pg_dist_(partition|shard|colocation"
-                r"|node|placement)\b",
+                r"|node|placement|rebalance_strategy)\b",
                 lambda m: f"_pg_dist_{m.group(1).lower()}",
                 code,
                 flags=_re.I,
@@ -3716,7 +3749,9 @@ END
         return path
 
     def get_rebalance_table_shards_plan(
-        self, name: str, target_shard_rows: int = 100_000_000
+        self, name: str, target_shard_rows: int = 100_000_000,
+        rebalance_strategy: str | None = None,
+        target_shard_bytes: int = 1 << 30,
     ) -> DataFrame:
         """Dry-run of `rebalance_table_shards` (↔ reference
         get_rebalance_table_shards_plan(),
@@ -3762,8 +3797,30 @@ END
                 .collect()[0]
             )
             counts[t.name] = (int(per_bucket.total or 0), int(per_bucket.mx or 0))
-        largest = max(total for total, _ in counts.values())
-        proposed = max(1, -(-largest // target_shard_rows))
+        from citus_spark import cluster as _cluster
+
+        strategy = _cluster.resolve_rebalance_strategy(
+            self, rebalance_strategy
+        )
+        if strategy == "by_disk_size":
+            # ↔ pg_dist_rebalance_strategy 'by_disk_size': balance
+            # BYTES, not rows — size each member from its live files
+            import os as _os
+            from urllib.parse import urlparse as _urlparse
+
+            largest_bytes = 0
+            for t in group:
+                files = self.spark.table(t.name).inputFiles()
+                paths = [_urlparse(f).path for f in files]
+                if paths and all(_os.path.exists(p) for p in paths):
+                    largest_bytes = max(
+                        largest_bytes,
+                        sum(_os.path.getsize(p) for p in paths),
+                    )
+            proposed = max(1, -(-largest_bytes // target_shard_bytes))
+        else:
+            largest = max(total for total, _ in counts.values())
+            proposed = max(1, -(-largest // target_shard_rows))
         rows = [
             (
                 t.name,
@@ -3786,6 +3843,7 @@ END
         name: str,
         shard_count: int | None = None,
         target_shard_rows: int = 100_000_000,
+        rebalance_strategy: str | None = None,
     ) -> DataFrame:
         """Re-balance `name`'s colocation group to a new bucket count
         (↔ reference rebalance_table_shards(),
@@ -3797,7 +3855,8 @@ END
         registered views are replaced — so joins between members stay
         exchange-free afterwards. Returns the executed plan."""
         plan = self.get_rebalance_table_shards_plan(
-            name, target_shard_rows=target_shard_rows
+            name, target_shard_rows=target_shard_rows,
+            rebalance_strategy=rebalance_strategy,
         )
         rows = plan.collect()
         new_buckets = (

@@ -474,3 +474,63 @@ def test_run_command_on_shards_agg_fast_path(spark):
     ).collect()
     assert len(out) == 32 and all(r.success for r in out)
     s.sql("DROP TABLE rcs_t")
+
+
+# -- round-7: rebalance strategies (pg_dist_rebalance_strategy)
+
+
+def test_rebalance_strategies(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    rows = {
+        r["name"]: r
+        for r in s.sql("SELECT * FROM pg_dist_rebalance_strategy").collect()
+    }
+    assert rows["by_shard_count"]["default_strategy"] is True
+    assert rows["by_disk_size"]["default_strategy"] is False
+    # add a custom strategy, flip the default, view reflects it
+    s.sql(
+        "SELECT citus_add_rebalance_strategy('my_cost', 'cost_fn', "
+        "'cap_fn', 'allowed_fn', 0.2, 0.1)"
+    )
+    s.sql("SELECT citus_set_default_rebalance_strategy('by_disk_size')")
+    rows = {
+        r["name"]: r
+        for r in s.sql("SELECT * FROM pg_dist_rebalance_strategy").collect()
+    }
+    assert set(rows) == {"by_shard_count", "by_disk_size", "my_cost"}
+    assert rows["by_disk_size"]["default_strategy"] is True
+    assert rows["by_shard_count"]["default_strategy"] is False
+    # invariants and loud rejections
+    with pytest.raises(ValueError, match="already exists"):
+        s.sql(
+            "SELECT citus_add_rebalance_strategy('my_cost', 'x', 'y', "
+            "'z', 0.2, 0.1)"
+        )
+    with pytest.raises(ValueError, match="minimum_threshold"):
+        s.sql(
+            "SELECT citus_add_rebalance_strategy('bad', 'x', 'y', 'z', "
+            "0.1, 0.5)"
+        )
+    s.sql("CREATE TABLE rbs_t (k bigint)")
+    s.sql("SELECT create_distributed_table('rbs_t', 'k')")
+    s.sql("INSERT INTO rbs_t SELECT id FROM range(0, 1000)")
+    # custom strategy is registered metadata but not executable
+    with pytest.raises(NotImplementedError, match="my_cost"):
+        s.sql(
+            "SELECT rebalance_table_shards('rbs_t', "
+            "rebalance_strategy => 'my_cost')"
+        )
+    # by_disk_size runs (bytes-based proposal) — small table → 1 bucket
+    plan = s.get_rebalance_table_shards_plan(
+        "rbs_t", rebalance_strategy="by_disk_size"
+    ).collect()
+    assert plan[0]["proposed_shard_count"] == 1
+    out = s.sql(
+        "SELECT rebalance_table_shards('rbs_t', "
+        "rebalance_strategy => 'by_disk_size')"
+    ).collect()
+    assert out[0]["new_shard_count"] == 1
+    assert s.spark.table("rbs_t").count() == 1000
+    s.sql("DROP TABLE rbs_t")
