@@ -25,15 +25,9 @@ per batch).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 
 SCALE = 1 << 20  # fixed-point gradient quantum
-
-
-def _quantize(x: float) -> int:
-    return math.floor(x * SCALE + 0.5)
 
 
 def train_logreg(
@@ -107,12 +101,13 @@ def score_logreg(
     expression (dot product via aggregate over zip), no Python."""
     from pyspark.sql import functions as F
 
+    from citus_spark.functions import dot_fold_sql
+
     d = len(weights) - 1
-    dot = F.expr(
-        f"aggregate(zip_with({feature_col}, "
-        f"array({', '.join(str(float(v)) for v in weights[:d])}), "
-        "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, v) -> acc + v)"
-    )
+    w_lit = "array(" + ", ".join(
+        str(float(v)) for v in weights[:d]
+    ) + ")"
+    dot = F.expr(dot_fold_sql(feature_col, w_lit))
     z = dot + F.lit(float(weights[-1]))
     return features_df.withColumn(
         "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -139,14 +134,12 @@ def train_logreg_reference(
     for _ in range(n_iter):
         z = Xb @ w
         p = 1.0 / (1.0 + np.exp(-z))
-        # per-ROW quantization exactly as the distributed kernel does
-        # per BATCH: quantizing a batch's GEMV partial equals
-        # quantizing each row's contribution only when batches align,
-        # so the kernel must quantize the same unit the reference
-        # does — see test_batch_quantization_invariance.
+        # per-ROW quantization, the same unit the distributed kernel
+        # uses — quantizing any coarser unit (a batch's GEMV partial)
+        # would make the result depend on how rows batch/partition
         g_int = np.zeros(d + 1, dtype=np.int64)
         for i in range(n):
             contrib = Xb[i] * (p[i] - y[i])
-            g_int += np.floor(contrib * (1 << 20) + 0.5).astype(np.int64)
-        w = w - lr * (g_int.astype(np.float64) / (1 << 20)) / n
+            g_int += np.floor(contrib * SCALE + 0.5).astype(np.int64)
+        w = w - lr * (g_int.astype(np.float64) / SCALE) / n
     return [float(v) for v in w]

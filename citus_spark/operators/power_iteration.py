@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-GRAM_SCALE = 1 << 10  # per-coordinate quantum before the outer product
+# per-coordinate quantum before the outer product — the SAME quantum
+# queries/similarity.embedding_gram_matrix uses (its overflow-capacity
+# analysis applies: unit-scale coords quantize to ~2^21, squares to
+# ~2^42, leaving 2^21 rows of headroom per partial before int64 risk)
+from citus_spark.queries.similarity import _GRAM_SCALE as GRAM_SCALE
 
 
 def distributed_gram(df: DataFrame, vec_col: str):
@@ -90,11 +94,10 @@ def remove_top_direction(
     all-but-the-top step), JVM-side: x' = x - (x·u) u."""
     from pyspark.sql import functions as F
 
+    from citus_spark.functions import dot_fold_sql
+
     u = ", ".join(str(float(x)) for x in direction)
-    proj = F.expr(
-        f"aggregate(zip_with({vec_col}, array({u}), "
-        "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)"
-    )
+    proj = F.expr(dot_fold_sql(vec_col, f"array({u})"))
     return df.withColumn("__proj", proj).withColumn(
         "debiased",
         F.expr(

@@ -137,8 +137,9 @@ def _parse_value(text: str):
         return m.group(1).replace("''", "'")
     if re.match(r"^-?\d+$", text):
         return int(text)
-    if re.match(r"^-?\d+\.\d+$", text):
-        return float(text)  # thresholds (rebalance strategies)
+    # PG numeric spellings: .5, 5., 1.25, 1e-3 (strategy thresholds)
+    if re.match(r"^-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?$", text):
+        return float(text)
     if text.lower() in ("true", "false"):
         return text.lower() == "true"
     # ARRAY['0','5'] / ARRAY[1,2] literals (split-points, node ids)

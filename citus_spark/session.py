@@ -965,11 +965,22 @@ class DistributedSession:
                 },
             )
         elif call.fn == "get_rebalance_table_shards_plan":
-            # plan functions return their report relation directly
+            # plan functions return their report relation directly;
+            # the dry run must honor the SAME strategy the execute
+            # path would (silently planning by_shard_count for a
+            # by_disk_size request would lie about the outcome)
             return self.get_rebalance_table_shards_plan(
                 str(call.args[0]),
                 target_shard_rows=int(
                     kw.get("target_shard_rows", 100_000_000)
+                ),
+                rebalance_strategy=(
+                    str(kw["rebalance_strategy"])
+                    if "rebalance_strategy" in kw
+                    else None
+                ),
+                target_shard_bytes=int(
+                    kw.get("target_shard_bytes", 1 << 30)
                 ),
             )
         elif call.fn == "rebalance_table_shards":
@@ -3804,19 +3815,12 @@ END
         )
         if strategy == "by_disk_size":
             # ↔ pg_dist_rebalance_strategy 'by_disk_size': balance
-            # BYTES, not rows — size each member from its live files
-            import os as _os
-            from urllib.parse import urlparse as _urlparse
-
-            largest_bytes = 0
-            for t in group:
-                files = self.spark.table(t.name).inputFiles()
-                paths = [_urlparse(f).path for f in files]
-                if paths and all(_os.path.exists(p) for p in paths):
-                    largest_bytes = max(
-                        largest_bytes,
-                        sum(_os.path.getsize(p) for p in paths),
-                    )
+            # BYTES, not rows — sized through _relation_size, which
+            # ERRORS for path-less relations (a silent zero would
+            # collapse the whole colocation group to one bucket)
+            largest_bytes = max(
+                self._relation_size(t.name) for t in group
+            )
             proposed = max(1, -(-largest_bytes // target_shard_bytes))
         else:
             largest = max(total for total, _ in counts.values())

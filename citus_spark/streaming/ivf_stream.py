@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 from citus_spark.functions import dot_fold_sql
 
-N_CENTROIDS = 8
+# the SAME coarse quantizer the batch entries use — imported, not
+# re-declared, so the stream==batch contract cannot silently drift
+from citus_spark.queries.similarity import N_CENTROIDS
 
 
 def fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,9 +138,12 @@ def run_ivf_stream_to_index(
     centroids: DataFrame,
     index_path: str,
     queryName: str = "ivf_stream_index",
+    checkpoint: str | None = None,
 ) -> None:
     """Structured-Streaming driver: stream embedding parquet drops
-    into the live index."""
+    into the live index. The checkpoint (default: a sibling of the
+    index) is what makes re-invocation INCREMENTAL — without it every
+    run would re-ingest the whole source and append duplicate rows."""
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
@@ -148,6 +153,9 @@ def run_ivf_stream_to_index(
     q = (
         stream.writeStream.outputMode("append")
         .foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint or index_path + ".ckpt"
+        )
         .queryName(queryName)
         .trigger(availableNow=True)
         .start()

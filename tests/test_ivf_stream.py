@@ -110,3 +110,28 @@ def test_streaming_driver_runs(spark, emb, tmp_path):
     idx = str(tmp_path / "idx")
     run_ivf_stream_to_index(spark, src, cents, idx)
     assert read_index(spark, idx).count() == emb.count()
+
+
+def test_stream_assignment_matches_batch_ivf_entry(spark, emb, tmp_path):
+    """Cross-module contract: the streamed index's per-cell counts
+    equal the batch ivf_assign oracle entry's — the two paths share
+    the fold, the tiebreak, and (by import) the centroid count."""
+    from citus_spark.queries.similarity import ivf_assign
+    from citus_spark.streaming.ivf_stream import (
+        apply_ivf_batch,
+        read_index,
+    )
+
+    cents = _cents(spark)
+    path = str(tmp_path / "idx")
+    apply_ivf_batch(spark, emb, cents, path)
+    stream_counts = {
+        r.centroid_id: r["count"]
+        for r in read_index(spark, path).groupBy("centroid_id").count()
+        .collect()
+    }
+    batch_counts = {
+        r.centroid_id: r.n_vectors
+        for r in ivf_assign(spark, SF_SMALL).collect()
+    }
+    assert stream_counts == batch_counts
