@@ -1487,12 +1487,19 @@ class DistributedSession:
                         ",".join(spec.get("cols") or []),
                         ",".join(spec.get("refcols") or []),
                         spec.get("expr") or "",
+                        # PG confdeltype/confupdtype codes (a/r/c/n/d);
+                        # space for non-FK constraints, like PG
+                        spec.get("on_delete", " " if spec["kind"] != "f"
+                                 else "a"),
+                        spec.get("on_update", " " if spec["kind"] != "f"
+                                 else "a"),
                     ))
             self.spark.createDataFrame(
-                crows or [("", "", "", "", True, "", "", "")],
+                crows or [("", "", "", "", True, "", "", "", "", "")],
                 "conname string, contype string, conrelid string, "
                 "confrelid string, convalidated boolean, conkey string, "
-                "confkey string, consrc string",
+                "confkey string, consrc string, confdeltype string, "
+                "confupdtype string",
             ).filter(F.col("conname") != "").createOrReplaceTempView(
                 "_pg_constraint"
             )
