@@ -3104,7 +3104,16 @@ class DistributedSession:
         Every new image is STAGED to a temp location first — each
         image's plan reads the other tables' pre-statement parquet, so
         no destination may be overwritten before every image has been
-        fully materialized — then all destinations swap."""
+        fully materialized — then all destinations swap.
+
+        ATOMICITY CAVEAT (honest scope): the swaps are per-table
+        renames, so a process crash BETWEEN swaps leaves the statement
+        partially applied — each table individually consistent, but
+        some cascaded children at the new state while others kept the
+        old one. PG's cascades are fully atomic; on this storage
+        layout full multi-table atomicity is the transaction log's
+        job (sources/txlog.MultiTableTxn gives it via 2PC for tables
+        that opt into the TxTable format)."""
         if len(items) == 1:
             self._live_rewrite(*items[0])
             return
