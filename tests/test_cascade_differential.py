@@ -162,3 +162,139 @@ def test_random_cascade_graphs(spark, seed):
             sess.sql(f"DROP TABLE {n}")
         except ValueError:
             pass  # inbound FK ordering; reversed() handles chains
+
+
+# --- UPDATE-shaped cascades ---------------------------------------------------
+def simulate_update(tables, fks, root, pred, newkey):
+    """Root UPDATE pk -> newkey(pk) for rows matching pred; ON UPDATE
+    actions ripple to children (cascade rewrites refs, set-null nulls
+    them, no-action judged at the end)."""
+    state = {t: [dict(r) for r in rows] for t, rows in tables.items()}
+    remap = {}
+    for r in state[root]:
+        if pred(r):
+            old = r["pk"]
+            r["pk"] = newkey(old)
+            remap[old] = r["pk"]
+    changed = True
+    guard = 0
+    while changed:
+        changed = False
+        guard += 1
+        assert guard < 100
+        for child, ccol, parent, pcol, act in fks:
+            keys = {r[pcol] for r in state[parent] if r[pcol] is not None}
+            orphans = [
+                r
+                for r in state[child]
+                if r[ccol] is not None and r[ccol] not in keys
+            ]
+            if not orphans:
+                continue
+            if act == "c":
+                for r in orphans:
+                    # follow the remap when the old key was rewritten;
+                    # a genuinely vanished key would be a delete-shape
+                    if r[ccol] in remap:
+                        r[ccol] = remap[r[ccol]]
+                changed = True
+            elif act == "n":
+                for r in orphans:
+                    r[ccol] = None
+                changed = True
+    for child, ccol, parent, pcol, act in fks:
+        if act != "a":
+            continue
+        keys = {r[pcol] for r in state[parent] if r[pcol] is not None}
+        for r in state[child]:
+            if r[ccol] is not None and r[ccol] not in keys:
+                raise ValueError("violates foreign key")
+    return state
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_update_cascade_graphs(spark, seed):
+    rng = random.Random(7000 + seed)
+    sess = DistributedSession(spark)
+    suffix = f"cu{seed}"
+    parent = f"p{suffix}"
+    children = [f"c{suffix}_{i}" for i in range(rng.randint(1, 2))]
+    for n in children + [parent]:
+        sess.sql(f"DROP TABLE IF EXISTS {n}")
+    sess.sql(f"CREATE TABLE {parent} (pk int PRIMARY KEY, payload int)")
+    fks = []
+    for c in children:
+        act = rng.choice(["a", "c", "n"])
+        act_sql = {"a": "NO ACTION", "c": "CASCADE", "n": "SET NULL"}[act]
+        sess.sql(
+            f"CREATE TABLE {c} (pk int PRIMARY KEY, ref int "
+            f"REFERENCES {parent} (pk) ON UPDATE {act_sql}, payload int)"
+        )
+        fks.append((c, "ref", parent, "pk", act))
+    tables = {}
+    pks = rng.sample(range(1, 25), rng.randint(4, 8))
+    tables[parent] = [{"pk": p, "payload": p * 3} for p in pks]
+    sess.sql(
+        f"INSERT INTO {parent} VALUES "
+        + ", ".join(f"({p}, {p * 3})" for p in pks)
+    )
+    for c in children:
+        cpks = rng.sample(range(1, 40), rng.randint(3, 7))
+        rows = [
+            {
+                "pk": cp,
+                "ref": rng.choice(pks) if rng.random() < 0.8 else None,
+                "payload": cp,
+            }
+            for cp in cpks
+        ]
+        tables[c] = rows
+        sess.sql(
+            f"INSERT INTO {c} VALUES "
+            + ", ".join(
+                f"({r['pk']}, "
+                f"{r['ref'] if r['ref'] is not None else 'NULL'}, "
+                f"{r['payload']})"
+                for r in rows
+            )
+        )
+    mod = rng.randint(2, 3)
+    pred_sql = f"pk % {mod} = 0"
+
+    def pred(r):
+        return r["pk"] % mod == 0
+
+    try:
+        expected = simulate_update(
+            tables, fks, parent, pred, lambda pk: pk + 100
+        )
+        sim_error = None
+    except ValueError:
+        expected, sim_error = None, True
+
+    if sim_error:
+        with pytest.raises(ValueError, match="foreign key"):
+            sess.sql(
+                f"UPDATE {parent} SET pk = pk + 100 WHERE {pred_sql}"
+            )
+        for n in [parent] + children:
+            cols = ("pk", "payload") if n == parent else (
+                "pk", "ref", "payload"
+            )
+            assert _rows(sess, n, cols) == sorted(
+                tuple(r[c] for c in cols) for r in tables[n]
+            ), (seed, n)
+    else:
+        sess.sql(f"UPDATE {parent} SET pk = pk + 100 WHERE {pred_sql}")
+        for n in [parent] + children:
+            cols = ("pk", "payload") if n == parent else (
+                "pk", "ref", "payload"
+            )
+            assert _rows(sess, n, cols) == _sim_rows(
+                expected, n, cols
+            ), (seed, n, fks)
+    for n in children + [parent]:
+        try:
+            sess.sql(f"DROP TABLE {n}")
+        except ValueError:
+            pass
