@@ -26,26 +26,31 @@ ZLIB_LEVEL = 6  # fixed: the level is part of the determinism contract
 def compression_stats(
     docs: DataFrame, text_col: str, id_col: str = "doc_id"
 ) -> DataFrame:
-    """→ (id, raw_bytes, compressed_bytes) per document."""
+    """→ (id, raw_bytes, compressed_bytes) per document. NULL text
+    counts as zero bytes (policy: null is absent content, not the
+    string 'None'); the id column keeps its own type."""
     import pandas as pd
     import zlib
 
+    id_type = dict(docs.dtypes)[id_col]
+
     def kernel(batches):
         for pdf in batches:
-            texts = pdf[text_col].astype(str)
-            raw = texts.str.encode("utf-8")
+            raw = pdf[text_col].fillna("").astype(str).str.encode("utf-8")
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "raw_bytes": raw.str.len().astype("int64"),
                     "compressed_bytes": [
-                        len(zlib.compress(b, ZLIB_LEVEL)) for b in raw
+                        len(zlib.compress(b, ZLIB_LEVEL)) if b else 0
+                        for b in raw
                     ],
                 }
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        kernel, schema="id long, raw_bytes long, compressed_bytes long"
+        kernel,
+        schema=f"id {id_type}, raw_bytes long, compressed_bytes long",
     )
 
 
@@ -60,9 +65,13 @@ def compression_quality_filter(
     band — the screening step, as one join back to the corpus."""
     from pyspark.sql import functions as F
 
-    stats = compression_stats(docs, text_col, id_col)
+    stats = compression_stats(docs, text_col, id_col).withColumn(
+        "ratio", F.col("compressed_bytes") / F.col("raw_bytes")
+    )
+    # EXPLICIT policy: empty/null documents (raw_bytes = 0, ratio
+    # NULL) never pass a content-quality filter
     keep = stats.filter(
-        (F.col("compressed_bytes") / F.col("raw_bytes") >= min_ratio)
-        & (F.col("compressed_bytes") / F.col("raw_bytes") <= max_ratio)
+        (F.col("raw_bytes") > 0)
+        & F.col("ratio").between(min_ratio, max_ratio)
     ).select(F.col("id").alias(id_col))
     return docs.join(keep, on=id_col, how="left_semi")

@@ -194,10 +194,12 @@ def simulate_update(tables, fks, root, pred, newkey):
             if act == "c":
                 for r in orphans:
                     # follow the remap when the old key was rewritten;
-                    # a genuinely vanished key would be a delete-shape
+                    # a genuinely vanished key would be a delete-shape.
+                    # Only an ACTUAL rewrite counts as progress — a
+                    # non-remappable orphan must not spin the fixpoint
                     if r[ccol] in remap:
                         r[ccol] = remap[r[ccol]]
-                changed = True
+                        changed = True
             elif act == "n":
                 for r in orphans:
                     r[ccol] = None

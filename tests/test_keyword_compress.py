@@ -46,7 +46,7 @@ def test_keyword_doc_frequencies(spark, docs):
         tag_keywords,
     )
 
-    kws = ["hash", "join", "zzz_never"]
+    kws = ["hash", "join", "zzznever"]
     freqs = {
         r.keyword: r.n_docs
         for r in keyword_doc_frequencies(docs, "text", kws).collect()
@@ -58,7 +58,7 @@ def test_keyword_doc_frequencies(spark, docs):
         .count()
     )
     assert freqs.get("hash") == direct > 0
-    assert "zzz_never" not in freqs  # dead terms simply absent
+    assert "zzznever" not in freqs  # dead terms simply absent
 
 
 def test_compression_stats_deterministic(spark, docs):
@@ -107,3 +107,52 @@ def test_compression_quality_filter(spark):
     )
     kept = compression_quality_filter(df, "text").collect()
     assert [r.doc_id for r in kept] == [2]
+
+
+def test_tag_keywords_rejects_unmatchable_terms(spark):
+    from citus_spark.operators.keyword_tag import tag_keywords
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot ever match"):
+        tag_keywords(df, "text", ["machine learning"])
+    with _pytest.raises(ValueError, match="cannot ever match"):
+        tag_keywords(df, "text", ["état"])
+    with _pytest.raises(ValueError, match="inline-constant limit"):
+        tag_keywords(df, "text", [f"k{i}" for i in range(20001)])
+    # quotes/backslashes in terms are unmatchable too, never injected
+    with _pytest.raises(ValueError, match="cannot ever match"):
+        tag_keywords(df, "text", ["a'); DROP TABLE x; --"])
+
+
+def test_compression_null_and_empty_text(spark):
+    from citus_spark.operators.compress_ratio import (
+        compression_quality_filter,
+        compression_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""),
+         (3, " ".join(f"{(i * 2654435761) % 0xFFFFFF:06x}"
+                       for i in range(150)))],
+        "doc_id int, text string",
+    )
+    out = {
+        r.id: (r.raw_bytes, r.compressed_bytes)
+        for r in compression_stats(df, "text").collect()
+    }
+    assert out[1] == (0, 0) and out[2] == (0, 0)  # null == absent
+    kept = [r.doc_id for r in compression_quality_filter(df, "text").collect()]
+    assert kept == [3]  # empty/null never pass a content filter
+
+
+def test_compression_string_id_column(spark):
+    from citus_spark.operators.compress_ratio import compression_stats
+
+    df = spark.createDataFrame(
+        [("u1", "some words"), ("u2", "other words here")],
+        "url string, text string",
+    )
+    out = compression_stats(df, "text", id_col="url").collect()
+    assert {r.id for r in out} == {"u1", "u2"}
