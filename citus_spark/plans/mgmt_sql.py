@@ -49,6 +49,8 @@ _FNS = (
     "citus_remove_node",
     "master_remove_node",
     "citus_activate_node",
+    "citus_disable_node",
+    "citus_update_node",
     "citus_set_coordinator_host",
     "master_create_distributed_table",
     # shard placement / rebalancer jobs / fan-out / introspection

@@ -1039,6 +1039,18 @@ class DistributedSession:
                 str(call.args[0]), int(call.args[1])
             )
             return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
+        elif call.fn == "citus_disable_node":
+            self.citus_disable_node(str(call.args[0]), int(call.args[1]))
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_disable_node string"
+            )
+        elif call.fn == "citus_update_node":
+            self.citus_update_node(
+                int(call.args[0]), str(call.args[1]), int(call.args[2])
+            )
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_update_node string"
+            )
         elif call.fn == "citus_set_coordinator_host":
             self.citus_set_coordinator_host(
                 str(call.args[0]),
@@ -3955,6 +3967,29 @@ END
                 n["isactive"] = True
                 return n["nodeid"]
         raise ValueError(f"node {nodename}:{nodeport} does not exist")
+
+    def citus_disable_node(self, nodename: str, nodeport: int) -> None:
+        """↔ reference citus_disable_node (node_metadata.c): marks the
+        node inactive — it stops receiving default placements (the
+        round-robin map skips inactive nodes) but stays registered."""
+        for n in getattr(self, "_nodes", []) or []:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                n["isactive"] = False
+                return
+        raise ValueError(f"node {nodename}:{nodeport} does not exist")
+
+    def citus_update_node(
+        self, node_id: int, new_name: str, new_port: int
+    ) -> None:
+        """↔ reference citus_update_node (node_metadata.c): re-address
+        a registered node in place — placements keyed by group id are
+        untouched, exactly the reference's failover re-point flow."""
+        for n in getattr(self, "_nodes", []) or []:
+            if int(n["nodeid"]) == int(node_id):
+                n["nodename"] = str(new_name)
+                n["nodeport"] = int(new_port)
+                return
+        raise ValueError(f"node {node_id} does not exist")
 
     def citus_set_coordinator_host(
         self, nodename: str, nodeport: int = 5432

@@ -534,3 +534,32 @@ def test_rebalance_strategies(spark):
     assert out[0]["new_shard_count"] == 1
     assert s.spark.table("rbs_t").count() == 1000
     s.sql("DROP TABLE rbs_t")
+
+
+def test_disable_and_update_node(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    nid = s.sql("SELECT citus_add_node('w1', 7001)").collect()[0][0]
+    s.sql("SELECT citus_add_node('w2', 7002)")
+    # disable: node stays registered, stops being an active worker
+    s.sql("SELECT citus_disable_node('w1', 7001)")
+    active = {
+        r.node_name for r in s.citus_get_active_worker_nodes().collect()
+    }
+    assert active == {"w2"}
+    nodes = {r.nodename: r for r in s.sql(
+        "SELECT nodename, isactive FROM pg_dist_node").collect()}
+    assert nodes["w1"]["isactive"] is False
+    s.sql("SELECT citus_activate_node('w1', 7001)")
+    # update: re-address in place, same node id
+    s.sql(f"SELECT citus_update_node({nid}, 'w1b', 7009)")
+    names = {r.nodename for r in s.sql(
+        "SELECT nodename FROM pg_dist_node").collect()}
+    assert "w1b" in names and "w1" not in names
+    import pytest as _p
+
+    with _p.raises(ValueError, match="does not exist"):
+        s.sql("SELECT citus_disable_node('ghost', 1)")
+    with _p.raises(ValueError, match="does not exist"):
+        s.sql("SELECT citus_update_node(999, 'x', 1)")
