@@ -362,3 +362,60 @@ def test_cluster_management_script_verbatim(spark, tmp_path):
         "SELECT count(*) AS n FROM cm_events WHERE user_id = 7"
     ).collect()[0].n
     assert shard_rows[sid] == tenant_n > 0
+
+
+def test_citus_schema_migration_script_r7(spark):
+    """A PG/Citus schema-migration script of the round-7 surface —
+    referential actions, ALTER COLUMN TYPE, TRUNCATE CASCADE, shard
+    split, restore-strategy metadata — pasted statement by statement,
+    the way a user's migration file runs."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    script = [
+        # schema with real constraints and actions
+        "CREATE TABLE accounts (aid bigint PRIMARY KEY, name text, "
+        "plan text DEFAULT 'free' CHECK (plan <> ''))",
+        "CREATE TABLE projects (pid bigint PRIMARY KEY, "
+        "aid bigint REFERENCES accounts (aid) ON DELETE CASCADE, "
+        "budget text)",
+        "CREATE TABLE tasks (tid bigint, "
+        "pid bigint REFERENCES projects (pid) ON DELETE CASCADE "
+        "ON UPDATE CASCADE, hours int)",
+        # data
+        "INSERT INTO accounts (aid, name) VALUES "
+        "(1, 'acme'), (2, 'globex'), (3, 'initech')",
+        "INSERT INTO projects VALUES (10, 1, '100.5'), (11, 1, '7'), "
+        "(20, 2, '55'), (30, 3, '9')",
+        "INSERT INTO tasks VALUES (100, 10, 5), (101, 10, 3), "
+        "(110, 11, 2), (200, 20, 8), (300, 30, 1)",
+        # the migration: budget was mistyped text → make it numeric
+        "ALTER TABLE projects ALTER COLUMN budget TYPE double precision",
+        # re-key a project: the task follows (ON UPDATE CASCADE)
+        "UPDATE projects SET pid = 21 WHERE pid = 20",
+        # drop a customer: projects AND tasks cascade away
+        "DELETE FROM accounts WHERE aid = 1",
+    ]
+    for stmt in script:
+        s.sql(stmt)
+    assert {r.aid for r in spark.table("accounts").collect()} == {2, 3}
+    assert {r.pid for r in spark.table("projects").collect()} == {21, 30}
+    assert {(r.tid, r.pid) for r in spark.table("tasks").collect()} == {
+        (200, 21), (300, 30),
+    }
+    assert dict(spark.table("projects").dtypes)["budget"] == "double"
+    # reset the small tenant tables for the next phase
+    s.sql("TRUNCATE accounts CASCADE")
+    assert spark.table("tasks").count() == 0
+    # constraint metadata survived the whole migration
+    rows = {
+        r.conname: r
+        for r in s.sql(
+            "SELECT conname, confdeltype, confupdtype FROM pg_constraint "
+            "WHERE conrelid = 'tasks'"
+        ).collect()
+    }
+    fk = rows["tasks_pid_fkey"]
+    assert (fk.confdeltype, fk.confupdtype) == ("c", "c")
+    for t in ("tasks", "projects", "accounts"):
+        s.sql(f"DROP TABLE {t}")
