@@ -300,3 +300,126 @@ def test_random_update_cascade_graphs(spark, seed):
             sess.sql(f"DROP TABLE {n}")
         except ValueError:
             pass
+
+
+# --- SET DEFAULT actions ------------------------------------------------------
+def simulate_delete_with_default(tables, fks, defaults, root, pred):
+    """Like simulate_delete with act 'd': orphans take the column
+    DEFAULT; the END check judges EVERY fk (a default pointing at a
+    deleted parent must veto, exactly PG)."""
+    state = {t: [dict(r) for r in rows] for t, rows in tables.items()}
+    state[root] = [r for r in state[root] if not pred(r)]
+    changed = True
+    guard = 0
+    while changed:
+        changed = False
+        guard += 1
+        assert guard < 100
+        for child, ccol, parent, pcol, act in fks:
+            keys = {r[pcol] for r in state[parent] if r[pcol] is not None}
+            orphans = [
+                r
+                for r in state[child]
+                if r[ccol] is not None and r[ccol] not in keys
+            ]
+            if not orphans:
+                continue
+            if act == "c":
+                ids = {id(r) for r in orphans}
+                state[child] = [
+                    r for r in state[child] if id(r) not in ids
+                ]
+                changed = True
+            elif act == "n":
+                for r in orphans:
+                    r[ccol] = None
+                changed = True
+            elif act == "d":
+                dflt = defaults[(child, ccol)]
+                progressed = False
+                for r in orphans:
+                    if r[ccol] != dflt:
+                        r[ccol] = dflt
+                        progressed = True
+                if not progressed:
+                    break  # default itself is orphaned: end check vetoes
+                changed = True
+    for child, ccol, parent, pcol, act in fks:
+        keys = {r[pcol] for r in state[parent] if r[pcol] is not None}
+        for r in state[child]:
+            if r[ccol] is not None and r[ccol] not in keys:
+                raise ValueError("violates foreign key")
+    return state
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_set_default_graphs(spark, seed):
+    rng = random.Random(4000 + seed)
+    sess = DistributedSession(spark)
+    parent = f"sdp{seed}"
+    child = f"sdc{seed}"
+    for n in (child, parent):
+        sess.sql(f"DROP TABLE IF EXISTS {n}")
+    pks = sorted(rng.sample(range(1, 20), rng.randint(5, 9)))
+    default_pk = rng.choice(pks)
+    sess.sql(f"CREATE TABLE {parent} (pk int PRIMARY KEY)")
+    sess.sql(
+        f"CREATE TABLE {child} (cid int, ref int DEFAULT {default_pk} "
+        f"REFERENCES {parent} (pk) ON DELETE SET DEFAULT)"
+    )
+    sess.sql(
+        f"INSERT INTO {parent} VALUES "
+        + ", ".join(f"({p})" for p in pks)
+    )
+    crows = [
+        {"cid": 100 + i, "ref": rng.choice(pks)}
+        for i in range(rng.randint(4, 8))
+    ]
+    sess.sql(
+        f"INSERT INTO {child} VALUES "
+        + ", ".join(f"({r['cid']}, {r['ref']})" for r in crows)
+    )
+    mod = rng.randint(2, 3)
+
+    def pred(r):
+        return r["pk"] % mod == 0
+
+    tables = {
+        parent: [{"pk": p} for p in pks],
+        child: [dict(r) for r in crows],
+    }
+    fks = [(child, "ref", parent, "pk", "d")]
+    defaults = {(child, "ref"): default_pk}
+    try:
+        expected = simulate_delete_with_default(
+            tables, fks, defaults, parent, pred
+        )
+        sim_error = None
+    except ValueError:
+        expected, sim_error = None, True
+
+    stmt = f"DELETE FROM {parent} WHERE pk % {mod} = 0"
+    if sim_error:
+        # the default's own parent row was deleted: whole statement
+        # vetoes, nothing written
+        with pytest.raises(ValueError, match="foreign key"):
+            sess.sql(stmt)
+        assert _rows(sess, parent, ("pk",)) == sorted(
+            (p,) for p in pks
+        ), seed
+        assert _rows(sess, child, ("cid", "ref")) == sorted(
+            (r["cid"], r["ref"]) for r in crows
+        ), seed
+    else:
+        sess.sql(stmt)
+        assert _rows(sess, parent, ("pk",)) == _sim_rows(
+            expected, parent, ("pk",)
+        ), seed
+        assert _rows(sess, child, ("cid", "ref")) == _sim_rows(
+            expected, child, ("cid", "ref")
+        ), (seed, default_pk)
+    for n in (child, parent):
+        try:
+            sess.sql(f"DROP TABLE {n}")
+        except ValueError:
+            pass
