@@ -4137,7 +4137,7 @@ END
         tables = [
             t
             for t in self.catalog.tables().values()
-            if getattr(t, "isolated", None)
+            if getattr(t, "isolated", None) or getattr(t, "splits", None)
         ]
         if not tables:
             return query
@@ -4264,7 +4264,8 @@ END
             # like `profile.user_id` must never match
             quals = [t.name] + ([alias] if alias else [])
             qual_alt = "|".join(_re.escape(x) for x in quals)
-            for v, sid in t.isolated.items():
+            label = None
+            for v, sid in (t.isolated or {}).items():
                 alts = [rf"'{_re.escape(v)}'"]
                 if _re.fullmatch(r"-?\d+", v):
                     alts.append(_re.escape(v))
@@ -4276,23 +4277,52 @@ END
                     rf"{t.dist_col}\s*=\s*(?:{'|'.join(alts)})"
                     rf"(?![\w.])(?!\s*=)"
                 )
-                if not any(
+                if any(
                     in_code(x.start()) and depth0_in_where(x.start())
                     for x in _re.finditer(pred, out, _re.I)
                 ):
-                    continue
-                cols = ", ".join(self.spark.table(t.name).columns)
-                sub = (
-                    f"(SELECT {cols} FROM __{t.name}_shards "
-                    f"WHERE __citus_shard = 's{sid}')"
+                    label = f"s{sid}"
+                    break
+            if label is None and getattr(t, "splits", None):
+                # a SPLIT table's storage is partitioned by the shard
+                # label for EVERY bucket, so any dist-col equality
+                # routes to one directory (the reference's router
+                # prunes to one shard the same way). The same
+                # ownership/polarity proofs above apply verbatim.
+                generic = (
+                    rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
+                    rf"{t.dist_col}\s*=\s*('(?:[^']|'')*'|-?\d+)"
+                    rf"(?![\w.])(?!\s*=)"
                 )
-                out = (
-                    out[: m.start()]
-                    + f"{m.group(1)} {sub}"
-                    + ("" if alias else f" {t.name}")
-                    + tail
-                )
-                return out
+                for x in _re.finditer(generic, out, _re.I):
+                    if in_code(x.start()) and depth0_in_where(x.start()):
+                        lit = x.group(1)
+                        val = (
+                            lit[1:-1].replace("''", "'")
+                            if lit.startswith("'")
+                            else int(lit)
+                        )
+                        from citus_spark import cluster
+
+                        sid = cluster.get_shard_id_for_distribution_column(
+                            self, t.name, val
+                        )
+                        _tn, label = cluster._shard_key(self, sid)
+                        break
+            if label is None:
+                continue
+            cols = ", ".join(self.spark.table(t.name).columns)
+            sub = (
+                f"(SELECT {cols} FROM __{t.name}_shards "
+                f"WHERE __citus_shard = '{label}')"
+            )
+            out = (
+                out[: m.start()]
+                + f"{m.group(1)} {sub}"
+                + ("" if alias else f" {t.name}")
+                + tail
+            )
+            return out
         return out
 
     def create_time_partitions(

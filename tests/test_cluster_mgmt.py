@@ -563,3 +563,33 @@ def test_disable_and_update_node(spark):
         s.sql("SELECT citus_disable_node('ghost', 1)")
     with _p.raises(ValueError, match="does not exist"):
         s.sql("SELECT citus_update_node(999, 'x', 1)")
+
+
+def test_split_table_single_shard_routing(spark):
+    """After a split, a dist-col equality routes to ONE shard
+    directory (plan-gated PartitionFilters) — any bucket, not just
+    the split one — with values identical to the full scan."""
+    from citus_spark import cluster
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS rt_route")
+    s.sql("CREATE TABLE rt_route (k int, v int)")
+    s.sql("SELECT create_distributed_table('rt_route', 'k')")
+    s.sql("INSERT INTO rt_route SELECT id, id * 10 FROM range(0, 400)")
+    sid = cluster.get_shard_id_for_distribution_column(s, "rt_route", 42)
+    s.sql(f"SELECT citus_split_shard_by_split_points({sid}, ARRAY['0'])")
+    for key in (42, 7):  # a split-bucket key and an untouched-bucket key
+        df = s.sql(f"SELECT v FROM rt_route WHERE k = {key}")
+        assert [r.v for r in df.collect()] == [key * 10]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "__citus_shard" in plan.split("PartitionFilters", 1)[1][:200]
+    # joins / inequalities / OR never route (full plan, correct values)
+    assert s.sql(
+        "SELECT count(*) AS n FROM rt_route WHERE k < 50"
+    ).collect()[0].n == 50
+    assert s.sql(
+        "SELECT count(*) AS n FROM rt_route WHERE k = 1 OR k = 2"
+    ).collect()[0].n == 2
+    s.sql("DROP TABLE rt_route")
