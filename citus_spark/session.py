@@ -4264,19 +4264,23 @@ END
             # like `profile.user_id` must never match
             quals = [t.name] + ([alias] if alias else [])
             qual_alt = "|".join(_re.escape(x) for x in quals)
+            # ONE shared anchor + ONE shared tail guard for both the
+            # isolated and the split-route patterns (they must stay in
+            # lockstep). The tail guard requires the literal to END
+            # its conjunct: any trailing operator (`= 7 + 1`,
+            # `= 'a' || x`, chained `=`) widens the value Spark
+            # actually compares, so those shapes never route.
+            lhs = (
+                rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
+                rf"{t.dist_col}\s*=\s*"
+            )
+            tail_guard = r"(?![\w.])(?!\s*[=+\-*/%|&^<>])"
             label = None
             for v, sid in (t.isolated or {}).items():
                 alts = [rf"'{_re.escape(v)}'"]
                 if _re.fullmatch(r"-?\d+", v):
                     alts.append(_re.escape(v))
-                # (?<![\w.$]) anchors the (optionally qualified) column
-                # start; (?![\w.]) keeps `= 7` from matching `= 7.5`;
-                # (?!\s*=) rejects chained comparison `= 7 = flag`
-                pred = (
-                    rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
-                    rf"{t.dist_col}\s*=\s*(?:{'|'.join(alts)})"
-                    rf"(?![\w.])(?!\s*=)"
-                )
+                pred = lhs + rf"(?:{'|'.join(alts)})" + tail_guard
                 if any(
                     in_code(x.start()) and depth0_in_where(x.start())
                     for x in _re.finditer(pred, out, _re.I)
@@ -4285,30 +4289,49 @@ END
                     break
             if label is None and getattr(t, "splits", None):
                 # a SPLIT table's storage is partitioned by the shard
-                # label for EVERY bucket, so any dist-col equality
-                # routes to one directory (the reference's router
-                # prunes to one shard the same way). The same
-                # ownership/polarity proofs above apply verbatim.
-                generic = (
-                    rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
-                    rf"{t.dist_col}\s*=\s*('(?:[^']|'')*'|-?\d+)"
-                    rf"(?![\w.])(?!\s*=)"
-                )
+                # label for EVERY bucket, so a dist-col equality can
+                # route to one directory (the reference's router
+                # prunes to one shard the same way) — but ONLY when
+                # the literal's type matches the column exactly:
+                # Spark's string↔numeric comparison COERCES (the full
+                # plan would match '07' = 7), while the hash routes on
+                # the literal text, so a cross-type equality must run
+                # the full plan. Integer literals must also fit the
+                # column type (an overflowing literal is a valid
+                # always-false comparison, never a routing error), and
+                # backslash-bearing string literals are skipped (the
+                # simple lexer cannot prove their extent under Spark's
+                # escape rules).
+                dtype = dict(self.spark.table(t.name).dtypes)[t.dist_col]
+                int_ranges = {
+                    "tinyint": 7, "smallint": 15, "int": 31,
+                    "bigint": 63,
+                }
+                generic = lhs + r"('(?:[^'\\]|'')*'|-?\d+)" + tail_guard
                 for x in _re.finditer(generic, out, _re.I):
-                    if in_code(x.start()) and depth0_in_where(x.start()):
-                        lit = x.group(1)
-                        val = (
-                            lit[1:-1].replace("''", "'")
-                            if lit.startswith("'")
-                            else int(lit)
-                        )
-                        from citus_spark import cluster
+                    if not (
+                        in_code(x.start()) and depth0_in_where(x.start())
+                    ):
+                        continue
+                    lit = x.group(1)
+                    if lit.startswith("'"):
+                        if dtype != "string":
+                            continue  # cross-type: full plan
+                        val = lit[1:-1].replace("''", "'")
+                    else:
+                        if dtype not in int_ranges:
+                            continue  # cross-type: full plan
+                        val = int(lit)
+                        bits = int_ranges[dtype]
+                        if not (-(1 << bits) <= val < (1 << bits)):
+                            continue  # overflow: valid, never routed
+                    from citus_spark import cluster
 
-                        sid = cluster.get_shard_id_for_distribution_column(
-                            self, t.name, val
-                        )
-                        _tn, label = cluster._shard_key(self, sid)
-                        break
+                    sid = cluster.get_shard_id_for_distribution_column(
+                        self, t.name, val
+                    )
+                    _tn, label = cluster._shard_key(self, sid)
+                    break
             if label is None:
                 continue
             cols = ", ".join(self.spark.table(t.name).columns)

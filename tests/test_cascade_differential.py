@@ -336,14 +336,14 @@ def simulate_delete_with_default(tables, fks, defaults, root, pred):
                 changed = True
             elif act == "d":
                 dflt = defaults[(child, ccol)]
-                progressed = False
                 for r in orphans:
                     if r[ccol] != dflt:
                         r[ccol] = dflt
-                        progressed = True
-                if not progressed:
-                    break  # default itself is orphaned: end check vetoes
-                changed = True
+                        changed = True
+                # a stalled SET DEFAULT (default itself orphaned) just
+                # stops progressing on THIS fk — other fks in the same
+                # pass must still run; the end check vetoes if the
+                # violation survives
     for child, ccol, parent, pcol, act in fks:
         keys = {r[pcol] for r in state[parent] if r[pcol] is not None}
         for r in state[child]:

@@ -593,3 +593,44 @@ def test_split_table_single_shard_routing(spark):
         "SELECT count(*) AS n FROM rt_route WHERE k = 1 OR k = 2"
     ).collect()[0].n == 2
     s.sql("DROP TABLE rt_route")
+
+
+def test_split_routing_soundness_guards(spark):
+    """The r7 review's routing repros: arithmetic tails, cross-type
+    coercion, and overflow literals must all run the FULL plan (or a
+    correctly-empty one), never a mis-routed scan."""
+    from citus_spark import cluster
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS rg_t")
+    s.sql("CREATE TABLE rg_t (k int, v int)")
+    s.sql("SELECT create_distributed_table('rg_t', 'k')")
+    s.sql("INSERT INTO rg_t SELECT id, id * 10 FROM range(0, 300)")
+    sid = cluster.get_shard_id_for_distribution_column(s, "rg_t", 7)
+    s.sql(f"SELECT citus_split_shard_by_split_points({sid}, ARRAY['0'])")
+    # arithmetic after the literal: Spark compares k = 8 — routing on
+    # 7 would silently return empty
+    assert [
+        r.v for r in s.sql("SELECT v FROM rg_t WHERE k = 7 + 1").collect()
+    ] == [80]
+    # overflowing literal: valid always-false comparison, never an error
+    assert s.sql(
+        "SELECT count(*) AS n FROM rg_t WHERE k = 99999999999"
+    ).collect()[0].n == 0
+    # string dist col: unquoted numeral COERCES in Spark ('07' = 7 is
+    # true) — the router must leave it to the full plan
+    s.sql("DROP TABLE IF EXISTS rg_s")
+    s.sql("CREATE TABLE rg_s (k string, v int)")
+    s.sql("SELECT create_distributed_table('rg_s', 'k')")
+    s.sql("INSERT INTO rg_s VALUES ('7', 1), ('07', 2)")
+    sid2 = cluster.get_shard_id_for_distribution_column(s, "rg_s", "7")
+    s.sql(f"SELECT citus_split_shard_by_split_points({sid2}, ARRAY['0'])")
+    assert sorted(
+        r.v for r in s.sql("SELECT v FROM rg_s WHERE k = 7").collect()
+    ) == [1, 2]
+    assert sorted(
+        r.v for r in s.sql("SELECT v FROM rg_s WHERE k = '7'").collect()
+    ) == [1]
+    for t in ("rg_s", "rg_t"):
+        s.sql(f"DROP TABLE {t}")
