@@ -13,9 +13,18 @@ Supported grammar:
     MERGE INTO <target> [[AS] t]
     USING <source-table | (subquery) [[AS] s]>
     ON <t.k1 = s.k1 [AND t.k2 = s.k2 ...]>
-    [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...]
-    [WHEN MATCHED [AND <cond>] THEN DELETE]
-    [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+    [WHEN MATCHED [AND <cond>] THEN
+        UPDATE SET * | UPDATE SET c = expr, ... | DELETE | DO NOTHING]...
+    [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+        INSERT * | INSERT (cols) VALUES (exprs) | DO NOTHING]...
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+        UPDATE SET c = expr, ... | DELETE | DO NOTHING]...
+
+Branches repeat and evaluate in statement order, first-true-wins —
+the full PG grammar incl. PG 17's WHEN NOT MATCHED BY SOURCE (the
+"sync two tables" idiom: upsert matches, delete leftovers). A branch
+after an unconditional branch of the same kind is rejected as
+unreachable, matching PG.
 
 The ON clause must be an equi-conjunction over same-named columns
 (the reference, too, requires the distribution key in the join — its
@@ -46,6 +55,34 @@ class MergeStatement:
     insert_cols: list[str] = field(default_factory=list)
     insert_values: list[str] = field(default_factory=list)
     returning: str | None = None  # PG 17 MERGE .. RETURNING
+    # full branch lists (statement order, first-true-wins — the
+    # complete PG WHEN grammar; the legacy fields above mirror the
+    # single-branch statements for the whole-row fast path)
+    #   matched:   (cond|None, "update"|"delete"|"nothing", assignments)
+    #   not_matched (BY TARGET): (cond|None, cols, values)
+    #       cols == []   → INSERT *
+    #       cols is None → DO NOTHING
+    #   by_source (PG 17): (cond|None, "update"|"delete"|"nothing",
+    #                       assignments)
+    matched_branches: list = field(default_factory=list)
+    not_matched_branches: list = field(default_factory=list)
+    by_source_branches: list = field(default_factory=list)
+
+    @property
+    def is_multi(self) -> bool:
+        """True when the statement needs the multi-branch executor:
+        several branches, guards on NOT MATCHED, DO NOTHING, or any
+        BY SOURCE branch."""
+        return bool(
+            len(self.matched_branches) > 1
+            or len(self.not_matched_branches) > 1
+            or self.by_source_branches
+            or any(a == "nothing" for _c, a, _g in self.matched_branches)
+            or any(
+                c is not None or cols is None
+                for c, cols, _v in self.not_matched_branches
+            )
+        )
 
     @property
     def is_whole_row(self) -> bool:
@@ -53,6 +90,7 @@ class MergeStatement:
             not self.assignments
             and self.matched_condition is None
             and not self.insert_cols
+            and not self.is_multi
         )
 
 
@@ -68,8 +106,9 @@ _ON = re.compile(
 )
 _WHEN = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
     r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s*\*"
+    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|DO\s+NOTHING|INSERT\s*\*"
     r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
     # anchor on the next WHEN [NOT] MATCHED clause, NOT a bare WHEN —
     # assignment expressions legitimately contain CASE WHEN ... THEN
@@ -168,22 +207,63 @@ def parse_merge(sql: str) -> MergeStatement:
         raise ValueError("MERGE: needs at least one WHEN clause")
     keys = _keys_from_on(rest[: first_when.start()])
 
-    when_matched = "ignore"
-    insert_unmatched = False
-    assignments: list[tuple[str, str]] = []
-    matched_condition: str | None = None
-    insert_cols: list[str] = []
-    insert_values: list[str] = []
+    matched_branches: list = []
+    not_matched_branches: list = []
+    by_source_branches: list = []
+
+    def parse_update_or_delete(action: str, action_u: str):
+        if action_u == "UPDATE SET *":
+            return ("update", [])
+        if action_u.startswith("UPDATE SET"):
+            return (
+                "update",
+                _split_assignments(
+                    re.sub(r"^UPDATE\s+SET\s+", "", action,
+                           flags=re.I | re.S)
+                ),
+            )
+        if action_u == "DELETE":
+            return ("delete", [])
+        if action_u == "DO NOTHING":
+            return ("nothing", [])
+        return None
+
+    def check_reachable(branches, kind: str):
+        # PG rejects a branch that follows an unconditional branch of
+        # the same kind — first-true-wins makes it dead code, and a
+        # silently dead MERGE action is worse than an error
+        if branches and branches[-1][0] is None:
+            raise ValueError(
+                f"MERGE: unreachable {kind} clause — an unconditional "
+                "branch of the same kind precedes it"
+            )
+
     for m in _WHEN.finditer(rest[first_when.start() :]):
         action = m.group("action").strip()
         action_u = re.sub(r"\s+", " ", action).upper()
-        if m.group("not"):
-            if m.group("cond"):
+        cond = m.group("cond").strip() if m.group("cond") else None
+        by = (m.group("by") or "").upper()
+        if by and not m.group("not"):
+            raise ValueError(
+                "MERGE: BY SOURCE/BY TARGET applies to WHEN NOT MATCHED"
+            )
+        if m.group("not") and by == "SOURCE":
+            # PG 17: target rows with no source match
+            check_reachable(by_source_branches, "WHEN NOT MATCHED BY SOURCE")
+            br = parse_update_or_delete(action, action_u)
+            if br is None or (br[0] == "update" and not br[1]):
                 raise NotImplementedError(
-                    "MERGE: WHEN NOT MATCHED AND <cond> is unsupported"
+                    "MERGE: WHEN NOT MATCHED BY SOURCE supports UPDATE "
+                    "SET col = expr / DELETE / DO NOTHING; got "
+                    f"{action_u[:40]!r}"
                 )
-            if action_u == "INSERT *":
-                insert_unmatched = True
+            by_source_branches.append((cond, *br))
+        elif m.group("not"):
+            check_reachable(not_matched_branches, "WHEN NOT MATCHED")
+            if action_u == "DO NOTHING":
+                not_matched_branches.append((cond, None, []))
+            elif action_u == "INSERT *":
+                not_matched_branches.append((cond, [], []))
             elif action_u.startswith("INSERT"):
                 im = re.match(
                     r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
@@ -193,41 +273,51 @@ def parse_merge(sql: str) -> MergeStatement:
                     raise NotImplementedError(
                         f"MERGE: cannot parse NOT MATCHED action {action!r}"
                     )
-                insert_unmatched = True
-                insert_cols = [
+                cols = [
                     c.strip() for c in im.group(1).split(",") if c.strip()
                 ]
                 from citus_spark.plans.rewrites import _split_top_level
 
-                insert_values = _split_top_level(im.group(2))
-                if len(insert_cols) != len(insert_values):
+                values = _split_top_level(im.group(2))
+                if len(cols) != len(values):
                     raise ValueError(
                         "MERGE: INSERT column/value count mismatch"
                     )
+                not_matched_branches.append((cond, cols, values))
             else:
                 raise NotImplementedError(
-                    f"MERGE: WHEN NOT MATCHED supports INSERT; got {action_u}"
+                    "MERGE: WHEN NOT MATCHED supports INSERT / DO "
+                    f"NOTHING; got {action_u[:40]!r}"
                 )
         else:
-            if when_matched != "ignore":
-                # collapsing several WHEN MATCHED branches into one
-                # action/condition pair would execute the WRONG merge
-                # — reject rather than silently corrupt
+            check_reachable(matched_branches, "WHEN MATCHED")
+            br = parse_update_or_delete(action, action_u)
+            if br is None:
                 raise NotImplementedError(
-                    "MERGE: only one WHEN MATCHED branch is supported"
+                    f"MERGE: cannot parse MATCHED action {action_u[:40]!r}"
                 )
-            if m.group("cond"):
-                matched_condition = m.group("cond").strip()
-            if action_u == "UPDATE SET *":
-                when_matched = "update"
-            elif action_u.startswith("UPDATE SET"):
-                when_matched = "update"
-                assignments = _split_assignments(
-                    re.sub(r"^UPDATE\s+SET\s+", "", action,
-                           flags=re.I | re.S)
-                )
-            elif action_u == "DELETE":
-                when_matched = "delete"
+            matched_branches.append((cond, *br))
+
+    # legacy single-branch mirror (drives the whole-row fast path and
+    # the pre-existing single-branch executor)
+    when_matched = "ignore"
+    assignments: list[tuple[str, str]] = []
+    matched_condition: str | None = None
+    if len(matched_branches) == 1 and matched_branches[0][1] in (
+        "update",
+        "delete",
+    ):
+        matched_condition, when_matched, assignments = matched_branches[0]
+    insert_unmatched = False
+    insert_cols: list[str] = []
+    insert_values: list[str] = []
+    if (
+        len(not_matched_branches) == 1
+        and not_matched_branches[0][0] is None
+        and not_matched_branches[0][1] is not None
+    ):
+        insert_unmatched = True
+        _, insert_cols, insert_values = not_matched_branches[0]
     return MergeStatement(
         target=head.group("target"),
         source=source,
@@ -240,6 +330,9 @@ def parse_merge(sql: str) -> MergeStatement:
         insert_cols=insert_cols,
         insert_values=insert_values,
         returning=returning,
+        matched_branches=matched_branches,
+        not_matched_branches=not_matched_branches,
+        by_source_branches=by_source_branches,
     )
 
 

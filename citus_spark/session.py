@@ -3593,23 +3593,35 @@ END
             # the PRE-merge state (same single equi-join shape),
             # staged before any rewrite invalidates the files
             from citus_spark.sources.ingest import merge_apply
+            from citus_spark.sources.ingest import merge_apply_multi
             from citus_spark.sources.partitions import PERIOD_COL
 
             cur0 = self._live_read(entry)
             if entry.time_partitioning:
                 cur0 = cur0.drop(PERIOD_COL)
-            affected = merge_apply(
-                cur0,
-                source,
-                stmt.keys,
-                when_matched=stmt.when_matched,
-                assignments=stmt.assignments,
-                matched_condition=stmt.matched_condition,
-                insert_unmatched=stmt.insert_unmatched,
-                insert_cols=stmt.insert_cols,
-                insert_values=stmt.insert_values,
-                with_actions=True,
-            )
+            if stmt.is_multi:
+                affected = merge_apply_multi(
+                    cur0,
+                    source,
+                    stmt.keys,
+                    matched_branches=stmt.matched_branches,
+                    not_matched_branches=stmt.not_matched_branches,
+                    by_source_branches=stmt.by_source_branches,
+                    with_actions=True,
+                )
+            else:
+                affected = merge_apply(
+                    cur0,
+                    source,
+                    stmt.keys,
+                    when_matched=stmt.when_matched,
+                    assignments=stmt.assignments,
+                    matched_condition=stmt.matched_condition,
+                    insert_unmatched=stmt.insert_unmatched,
+                    insert_cols=stmt.insert_cols,
+                    insert_values=stmt.insert_values,
+                    with_actions=True,
+                )
             returned = self._stage_returning(
                 affected,
                 _merge_returning_exprs(stmt.returning, cur0.columns),
@@ -3620,23 +3632,34 @@ END
             # relation, then a copy-on-write swap — works uniformly
             # for plain and time-partitioned storage
             from citus_spark.sources.ingest import merge_apply
+            from citus_spark.sources.ingest import merge_apply_multi
 
             from citus_spark.sources.partitions import PERIOD_COL
 
             cur = self._live_read(entry)
             if entry.time_partitioning:
                 cur = cur.drop(PERIOD_COL)
-            merged = merge_apply(
-                cur,
-                source,
-                stmt.keys,
-                when_matched=stmt.when_matched,
-                assignments=stmt.assignments,
-                matched_condition=stmt.matched_condition,
-                insert_unmatched=stmt.insert_unmatched,
-                insert_cols=stmt.insert_cols,
-                insert_values=stmt.insert_values,
-            )
+            if stmt.is_multi:
+                merged = merge_apply_multi(
+                    cur,
+                    source,
+                    stmt.keys,
+                    matched_branches=stmt.matched_branches,
+                    not_matched_branches=stmt.not_matched_branches,
+                    by_source_branches=stmt.by_source_branches,
+                )
+            else:
+                merged = merge_apply(
+                    cur,
+                    source,
+                    stmt.keys,
+                    when_matched=stmt.when_matched,
+                    assignments=stmt.assignments,
+                    matched_condition=stmt.matched_condition,
+                    insert_unmatched=stmt.insert_unmatched,
+                    insert_cols=stmt.insert_cols,
+                    insert_values=stmt.insert_values,
+                )
             if entry.constraints:
                 from citus_spark.plans import constraints as _cons
 

@@ -274,6 +274,274 @@ def merge_apply(
     return out
 
 
+def merge_apply_multi(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_branches: list[tuple[str | None, str, list[tuple[str, str]]]] = (),
+    not_matched_branches: list[tuple[str | None, list[str], list[str]]] = (),
+    by_source_branches: list[tuple[str | None, str, list[tuple[str, str]]]] = (),
+    with_actions: bool = False,
+) -> DataFrame:
+    """Full PG MERGE branch semantics (↔ reference merge_planner.c —
+    Citus inherits PostgreSQL's complete WHEN grammar):
+
+    - ``matched_branches``: ordered ``(cond, action, assignments)``
+      where ``action`` ∈ {"update", "delete", "nothing"}; empty
+      assignments with "update" = whole-row replacement by the source
+      row. Conditions reference both sides as ``t.`` / ``s.``.
+    - ``not_matched_branches`` (BY TARGET): ordered
+      ``(cond, insert_cols, insert_values)``; empty cols = INSERT *;
+      ``insert_cols is None`` marks DO NOTHING. Conditions reference
+      ``s.`` only.
+    - ``by_source_branches`` (PG 17 WHEN NOT MATCHED BY SOURCE):
+      ordered ``(cond, action, assignments)`` with action
+      "update"/"delete"/"nothing" over target rows that have no
+      source match. Expressions reference ``t.`` only.
+
+    Branches evaluate in statement order; the FIRST branch whose
+    condition is true (NULL = not true, SQL 3-valued logic) wins —
+    encoded as one ``CASE WHEN`` chain per row class, so each class
+    is ONE join + ONE projection regardless of branch count (no
+    per-branch re-scan of the join). Rows matching no branch pass
+    through untouched (or, for unmatched source rows, are simply not
+    inserted).
+
+    with_actions=True returns the PG 17 MERGE RETURNING set instead:
+    only rows an UPDATE/DELETE/INSERT branch touched, tagged in
+    ``__citus_merge_action`` (DELETE rows as their OLD image,
+    UPDATE/INSERT as the NEW image). DO NOTHING rows are not
+    returned, matching PG.
+    """
+    from functools import reduce
+
+    matched_branches = list(matched_branches or [])
+    not_matched_branches = list(not_matched_branches or [])
+    by_source_branches = list(by_source_branches or [])
+    t_cols = target.columns
+    t = target.alias("t")
+    s = source.alias("s")
+
+    # PG's "cannot affect row a second time" contract (see merge_apply)
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "MERGE/ON CONFLICT: source has duplicate join keys — a "
+            "target row cannot be affected twice (aggregate the "
+            "source first)"
+        )
+
+    for _cond, action, asg in list(matched_branches) + list(
+        by_source_branches
+    ):
+        if action not in ("update", "delete", "nothing"):
+            raise ValueError(f"MERGE: unknown branch action {action!r}")
+        unknown = {c for c, _ in asg or []} - set(t_cols)
+        if unknown:
+            raise ValueError(f"MERGE: unknown column(s) {sorted(unknown)}")
+    for _cond, cols, vals in not_matched_branches:
+        if cols is None:
+            continue
+        unknown = set(cols) - set(t_cols)
+        if unknown:
+            raise ValueError(
+                f"MERGE: INSERT into unknown column(s) {sorted(unknown)}"
+            )
+        if len(cols) != len(vals):
+            raise ValueError("MERGE: INSERT column/value count mismatch")
+
+    def branch_idx(branches, cond_of) -> F.Column:
+        """First-true-wins branch index (-1 = no branch)."""
+        chain = None
+        for i, br in enumerate(branches):
+            cond = cond_of(br)
+            c = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(F.expr(cond), F.lit(False))
+            )
+            chain = F.when(c, F.lit(i)) if chain is None else chain.when(
+                c, F.lit(i)
+            )
+        return chain.otherwise(F.lit(-1)) if chain is not None else F.lit(-1)
+
+    IDX = "__citus_mb"
+
+    def project_updates(df, branches, side_default: str):
+        """One per-column CASE chain: winning update branch's value,
+        else the untouched target value."""
+
+        def col_expr(c):
+            chain = None
+            for i, (_cond, action, asg) in enumerate(branches):
+                if action != "update":
+                    continue
+                a = dict(asg or [])
+                if asg and c not in a:
+                    continue  # branch leaves this column untouched
+                val = (
+                    F.expr(a[c]).cast(target.schema[c].dataType)
+                    if asg
+                    else F.col(f"{side_default}.{c}")
+                )
+                hit = F.col(IDX) == i
+                chain = (
+                    F.when(hit, val)
+                    if chain is None
+                    else chain.when(hit, val)
+                )
+            base = F.col(f"t.{c}")
+            return (chain.otherwise(base) if chain is not None else base)
+
+        return df.select(
+            *[col_expr(c).alias(c) for c in t_cols], F.col(IDX)
+        )
+
+    def action_tag(df, branches):
+        chain = None
+        for i, (_cond, action, _asg) in enumerate(branches):
+            label = {"update": "UPDATE", "delete": "DELETE"}.get(action)
+            if label is None:
+                continue
+            hit = F.col(IDX) == i
+            chain = (
+                F.when(hit, F.lit(label))
+                if chain is None
+                else chain.when(hit, F.lit(label))
+            )
+        return chain if chain is not None else F.lit(None).cast("string")
+
+    parts: list[DataFrame] = []
+
+    # ── matched rows: one inner equi-join ────────────────────────────
+    if matched_branches:
+        join_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+        )
+        m = t.join(s, join_cond, "inner").withColumn(
+            IDX, branch_idx(matched_branches, lambda br: br[0])
+        )
+        del_idx = [
+            i
+            for i, (_c, a, _g) in enumerate(matched_branches)
+            if a == "delete"
+        ]
+        if with_actions:
+            proj = project_updates(m, matched_branches, "s")
+            tagc = action_tag(proj, matched_branches)
+            parts.append(
+                proj.withColumn("__citus_merge_action", tagc)
+                .filter(F.col("__citus_merge_action").isNotNull())
+                .drop(IDX)
+            )
+        else:
+            survivors = m
+            if del_idx:
+                survivors = m.filter(~F.col(IDX).isin(del_idx))
+            parts.append(
+                project_updates(survivors, matched_branches, "s").drop(IDX)
+            )
+    elif not with_actions:
+        # no matched branch: matched target rows pass through untouched
+        parts.append(
+            t.join(source.select(*keys), keys, "left_semi").select(
+                *[F.col(f"t.{c}").alias(c) for c in t_cols]
+            )
+        )
+
+    # ── target rows with no source match: BY SOURCE branches ────────
+    if not with_actions or by_source_branches:
+        kept = t.join(source.select(*keys), keys, "left_anti")
+        if by_source_branches:
+            kept = kept.withColumn(
+                IDX, branch_idx(by_source_branches, lambda br: br[0])
+            )
+            del_idx = [
+                i
+                for i, (_c, a, _g) in enumerate(by_source_branches)
+                if a == "delete"
+            ]
+            if with_actions:
+                proj = project_updates(kept, by_source_branches, "t")
+                tagc = action_tag(proj, by_source_branches)
+                parts.append(
+                    proj.withColumn("__citus_merge_action", tagc)
+                    .filter(F.col("__citus_merge_action").isNotNull())
+                    .drop(IDX)
+                )
+            else:
+                survivors = kept
+                if del_idx:
+                    survivors = kept.filter(~F.col(IDX).isin(del_idx))
+                parts.append(
+                    project_updates(
+                        survivors, by_source_branches, "t"
+                    ).drop(IDX)
+                )
+        elif not with_actions:
+            parts.append(
+                kept.select(*[F.col(f"t.{c}").alias(c) for c in t_cols])
+            )
+
+    # ── source rows with no target match: guarded inserts ───────────
+    if not_matched_branches:
+        unmatched = s.join(target.select(*keys), keys, "left_anti")
+        unmatched = unmatched.withColumn(
+            IDX, branch_idx(not_matched_branches, lambda br: br[0])
+        )
+
+        def ins_expr(c):
+            chain = None
+            for i, (_cond, cols, vals) in enumerate(not_matched_branches):
+                if cols is None:  # DO NOTHING branch inserts nothing
+                    continue
+                if cols:
+                    vmap = dict(zip(cols, vals))
+                    val = (
+                        F.expr(vmap[c]).cast(target.schema[c].dataType)
+                        if c in vmap
+                        else F.lit(None).cast(target.schema[c].dataType)
+                    )
+                else:  # INSERT * — whole source row
+                    val = F.col(f"s.{c}")
+                hit = F.col(IDX) == i
+                chain = (
+                    F.when(hit, val)
+                    if chain is None
+                    else chain.when(hit, val)
+                )
+            return (
+                chain
+                if chain is not None
+                else F.lit(None).cast(target.schema[c].dataType)
+            )
+
+        ins_idx = [
+            i
+            for i, (_c, cols, _v) in enumerate(not_matched_branches)
+            if cols is not None
+        ]
+        ins = unmatched.filter(F.col(IDX).isin(ins_idx)).select(
+            *[ins_expr(c).alias(c) for c in t_cols]
+        )
+        if with_actions:
+            ins = ins.withColumn("__citus_merge_action", F.lit("INSERT"))
+        parts.append(ins)
+
+    if not parts:
+        empty = target.filter(F.lit(False))
+        if with_actions:
+            empty = empty.withColumn(
+                "__citus_merge_action", F.lit(None).cast("string")
+            )
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def plan_str(df: DataFrame) -> str:
     """Physical-plan string (for plan assertions in tests/benches)."""
     return df._jdf.queryExecution().executedPlan().toString()

@@ -199,13 +199,211 @@ def test_merge_guarded_delete(sess, spark):
     assert spark.table("orders_t").count() == n0 - n_guard
 
 
-def test_merge_multiple_matched_branches_rejected(sess):
-    with pytest.raises(NotImplementedError, match="one WHEN MATCHED"):
+def test_parse_merge_multiple_matched_branches():
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND s.del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert stmt.is_multi and not stmt.is_whole_row
+    assert stmt.matched_branches == [
+        ("s.del", "delete", []),
+        (None, "update", []),
+    ]
+
+
+def test_parse_merge_by_source_and_do_nothing():
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND t.v = s.v THEN DO NOTHING "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.v > 0 THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert stmt.is_multi
+    assert stmt.matched_branches[0] == ("t.v = s.v", "nothing", [])
+    assert stmt.matched_branches[1] == (None, "update", [("v", "s.v")])
+    assert stmt.not_matched_branches == [("s.v > 0", [], [])]
+    assert stmt.by_source_branches == [(None, "delete", [])]
+
+
+def test_parse_merge_unreachable_branch_rejected():
+    with pytest.raises(ValueError, match="unreachable"):
         parse_merge(
             "MERGE INTO t USING s ON t.k = s.k "
-            "WHEN MATCHED AND s.del THEN DELETE "
-            "WHEN MATCHED THEN UPDATE SET *"
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.del THEN DELETE"
         )
+
+
+def test_parse_merge_by_source_insert_rejected():
+    with pytest.raises(NotImplementedError, match="BY SOURCE"):
+        parse_merge(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+        )
+
+
+def test_merge_first_match_wins_ordering(sess, spark):
+    """Two guarded UPDATE branches: the FIRST true guard wins, per
+    PG's in-order branch evaluation."""
+    spark.table("orders_t").select("o_orderkey").filter(
+        "o_orderkey <= 100"
+    ).createOrReplaceTempView("fm_src")
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING fm_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 100000 THEN
+          UPDATE SET o_orderpriority = 'big'
+        WHEN MATCHED AND t.o_totalprice > 0 THEN
+          UPDATE SET o_orderpriority = 'small'
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    got = spark.table("orders_t").filter("o_orderkey <= 100").collect()
+    assert got
+    for r in got:
+        want = "big" if r.o_totalprice > 100000 else "small"
+        assert r.o_orderpriority == want, (r.o_orderkey, r.o_totalprice)
+
+
+def test_merge_sync_by_source_delete(sess, spark):
+    """The PG 17 two-table-sync idiom: upsert matched rows, delete
+    target rows missing from the source."""
+    n_keep = 40
+    spark.table("orders_t").filter(f"o_orderkey <= {n_keep}").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("newprice")
+    ).createOrReplaceTempView("sync_src")
+    kept_keys = {
+        r.o_orderkey
+        for r in spark.table("orders_t")
+        .filter(f"o_orderkey <= {n_keep}")
+        .select("o_orderkey")
+        .collect()
+    }
+    old_prices = {
+        r.o_orderkey: r.o_totalprice
+        for r in spark.table("orders_t")
+        .filter(f"o_orderkey <= {n_keep}")
+        .collect()
+    }
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING sync_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.newprice
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    rows = spark.table("orders_t").collect()
+    assert {r.o_orderkey for r in rows} == kept_keys
+    for r in rows:
+        assert abs(float(r.o_totalprice) - 2 * float(old_prices[r.o_orderkey])) < 1e-6
+
+
+def test_merge_by_source_guarded_update(sess, spark):
+    """BY SOURCE UPDATE touches only unmatched target rows passing the
+    guard; matched rows and guard-failing rows stay untouched."""
+    spark.table("orders_t").select("o_orderkey").filter(
+        "o_orderkey % 2 = 0"
+    ).createOrReplaceTempView("bs_src")
+    n0 = spark.table("orders_t").count()
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING bs_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000 THEN
+          UPDATE SET o_orderstatus = 'X'
+        """
+    )
+    rows = spark.table("orders_t").collect()
+    assert len(rows) == n0
+    for r in rows:
+        if r.o_orderkey % 2 == 1 and r.o_totalprice < 50000:
+            assert r.o_orderstatus == "X"
+        else:
+            assert r.o_orderstatus != "X"
+
+
+def test_merge_guarded_insert(sess, spark):
+    """WHEN NOT MATCHED AND <guard>: only guard-passing source rows
+    insert; the rest are silently skipped (PG semantics)."""
+    top = spark.table("orders_t").agg(F.max("o_orderkey")).collect()[0][0]
+    spark.range(1, 11).select(
+        (F.col("id") + top).alias("o_orderkey")
+    ).createOrReplaceTempView("gi_src")
+    n0 = spark.table("orders_t").count()
+    sess.sql(
+        f"""
+        MERGE INTO orders_t AS t USING gi_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN NOT MATCHED AND s.o_orderkey <= {top} + 4 THEN
+          INSERT (o_orderkey, o_orderstatus) VALUES (s.o_orderkey, 'N')
+        """
+    )
+    rows = spark.table("orders_t").filter(f"o_orderkey > {top}").collect()
+    assert len(rows) == 4
+    assert spark.table("orders_t").count() == n0 + 4
+    assert all(r.o_orderstatus == "N" and r.o_totalprice is None for r in rows)
+
+
+def test_merge_matched_do_nothing_blocks_later_branch(sess, spark):
+    """A winning DO NOTHING branch shields the row from later
+    branches — it is NOT a fall-through."""
+    spark.table("orders_t").select("o_orderkey").filter(
+        "o_orderkey <= 60"
+    ).createOrReplaceTempView("dn_src")
+    before = {
+        r.o_orderkey: r.o_orderstatus
+        for r in spark.table("orders_t").filter("o_orderkey <= 60").collect()
+    }
+    sess.sql(
+        """
+        MERGE INTO orders_t AS t USING dn_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 100000 THEN DO NOTHING
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'Z'
+        """
+    )
+    got = spark.table("orders_t").filter("o_orderkey <= 60").collect()
+    assert got
+    for r in got:
+        if r.o_totalprice > 100000:
+            assert r.o_orderstatus == before[r.o_orderkey]
+        else:
+            assert r.o_orderstatus == "Z"
+
+
+def test_merge_multi_returning_action_tags(sess, spark):
+    """MERGE RETURNING over a multi-branch statement: each touched row
+    carries its branch's action tag; untouched rows absent."""
+    top = spark.table("orders_t").agg(F.max("o_orderkey")).collect()[0][0]
+    src = spark.table("orders_t").filter("o_orderkey <= 20").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    ).unionByName(
+        spark.range(1, 4).select(
+            (F.col("id") + top).alias("o_orderkey"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    src.createOrReplaceTempView("ret_src")
+    out = sess.sql(
+        """
+        MERGE INTO orders_t AS t USING ret_src AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 100000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'R'
+        WHEN NOT MATCHED THEN INSERT (o_orderkey) VALUES (s.o_orderkey)
+        RETURNING merge_action(), o_orderkey, o_orderstatus
+        """
+    )
+    rows = out.collect()
+    acts = {r.o_orderkey: r["merge_action"] for r in rows}
+    assert sum(1 for a in acts.values() if a == "INSERT") == 3
+    assert all(a in ("UPDATE", "DELETE", "INSERT") for a in acts.values())
+    upd = [r for r in rows if r["merge_action"] == "UPDATE"]
+    assert upd and all(r.o_orderstatus == "R" for r in upd)
 
 
 def test_merge_case_when_inside_assignment(sess, spark):
