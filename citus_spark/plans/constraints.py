@@ -1,4 +1,4 @@
-"""Table constraints: FK / UNIQUE / PRIMARY KEY / CHECK.
+"""Table constraints: FK / UNIQUE / PRIMARY KEY / CHECK / EXCLUDE.
 
 ↔ reference src/backend/distributed/commands/foreign_constraint.c
 (ErrorIfUnsupportedForeignConstraintExists) and the
@@ -22,8 +22,13 @@ expressible on sharded tables at all. We reproduce both layers:
   PG's runtime error messages (distinct from the ALTER-time ones).
 
 Constraint state lives on the catalog entry (TableDist.constraints):
-    {name: {"kind": "f"|"u"|"p"|"c", "cols": [...], "reftable": str,
-            "refcols": [...], "expr": str, "valid": bool}}
+    {name: {"kind": "f"|"u"|"p"|"c"|"x", "cols": [...], "reftable": str,
+            "refcols": [...], "expr": str, "ops": [...], "valid": bool}}
+EXCLUDE (kind "x", ↔ reference commands/table.c:3430 distribution
+rule) stores parallel cols/ops lists; supported element operators are
+'=' and '&&' (array overlap), validated by a pair-counting self-join
+keyed on the '=' elements (co-located when they include the
+distribution column, which the rule mandates on hash tables).
 NOT VALID constraints skip existing-row validation (valid=False) but
 are still enforced for new writes, exactly like PostgreSQL; VALIDATE
 CONSTRAINT runs the deferred scan and flips the flag.
@@ -88,6 +93,67 @@ def _unique_violations(df: DataFrame, cols: list[str]) -> int:
         .limit(1)
         .count()
     )
+
+
+def _exclude_violations(
+    df: DataFrame, cols: list[str], ops: list[str]
+) -> int:
+    """EXCLUDE (c1 WITH op1, c2 WITH op2, ...): no two distinct rows
+    may satisfy EVERY element's operator pairwise. Supported ops:
+    '=' (equality) and '&&' (array overlap).
+
+    Scale shape: rows that cannot conflict with anything (a NULL in
+    an '=' element, or an '&&' array with no non-null member — the
+    operator returns NULL/false against every row, SQL 3-valued
+    logic, same as PG) are filtered first; the rest self-join with
+    the '=' elements as the equi-key (the distribution rule below
+    guarantees the distribution column is one of them on hash tables,
+    so the join is co-located) and '&&' as a post-join predicate.
+    Every surviving row pairs with itself, so a violation exists iff
+    pair_count > row_count — no row-id needed, order-free, and exact
+    under any partitioning."""
+    work = df
+    for c, op in zip(cols, ops):
+        if op == "=":
+            work = work.filter(F.col(c).isNotNull())
+        else:
+            work = work.filter(F.expr(f"arrays_overlap({c}, {c})"))
+    proj = work.select(*cols)
+    n = proj.count()
+    if n == 0:
+        return 0
+    left = proj.alias("__xl")
+    right = proj.alias("__xr")
+    cond = None
+    for c, op in zip(cols, ops):
+        if op == "=":
+            pc = F.col(f"__xl.{c}") == F.col(f"__xr.{c}")
+        else:
+            pc = F.expr(f"arrays_overlap(__xl.{c}, __xr.{c})")
+        cond = pc if cond is None else cond & pc
+    pairs = left.join(right, cond, "inner").count()
+    return 1 if pairs > n else 0
+
+
+def _distribution_rules_exclude(
+    session, table: str, cols: list[str], ops: list[str]
+):
+    """↔ reference commands/table.c:3430
+    (ErrorIfUnsupportedConstraint): a distributed table's EXCLUDE
+    constraint must contain the partition column with an equality
+    operator — overlapping shards cannot enforce exclusion across
+    placements otherwise."""
+    entry = session.catalog.get(table)
+    if entry is not None and entry.is_hash_distributed:
+        eq_cols = [c for c, op in zip(cols, ops) if op == "="]
+        if entry.dist_col not in eq_cols:
+            raise ValueError(
+                f'cannot create constraint on "{table}"\n'
+                "DETAIL: Distributed relations cannot have UNIQUE, "
+                "EXCLUDE, or PRIMARY KEY constraints that do not "
+                "include the partition column (with an equality "
+                "operator if EXCLUDE)."
+            )
 
 
 def _check_violations(df: DataFrame, expr: str) -> int:
@@ -296,6 +362,44 @@ def apply_alter(
                 )
         _store(entry)[conname] = {"kind": ckind, "cols": cols, "valid": True}
         return "ALTER TABLE"
+    if kind == "add_exclude":
+        _, conname, method, elems, not_valid = op
+        if conname in _store(entry):
+            raise ValueError(
+                f'constraint "{conname}" for relation "{table}" '
+                "already exists"
+            )
+        cols = [c for c, _o in elems]
+        ops = [o for _c, o in elems]
+        cur = session._live_read(entry)
+        missing = [c for c in cols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f'column "{missing[0]}" named in key does not exist'
+            )
+        for c, o in elems:
+            if o == "&&" and not str(cur.schema[c].dataType).startswith(
+                "ArrayType"
+            ):
+                raise ValueError(
+                    f'EXCLUDE element "{c} WITH &&" requires an array '
+                    f"column; {c} is {cur.schema[c].dataType.simpleString()}"
+                )
+        _distribution_rules_exclude(session, table, cols, ops)
+        if not not_valid and not assume_empty:
+            if _exclude_violations(cur, cols, ops):
+                raise ValueError(
+                    f'could not create exclusion constraint "{conname}"\n'
+                    f'DETAIL: Key conflicts exist in relation "{table}"'
+                )
+        _store(entry)[conname] = {
+            "kind": "x",
+            "cols": cols,
+            "ops": ops,
+            "method": method,
+            "valid": not not_valid,
+        }
+        return "ALTER TABLE"
     if kind == "add_check":
         _, conname, expr, not_valid = op
         if conname in _store(entry):
@@ -384,6 +488,15 @@ def apply_alter(
                         f'check constraint "{conname}" of relation '
                         f'"{table}" is violated by some row'
                     )
+            elif spec["kind"] == "x":
+                if _exclude_violations(
+                    session._live_read(entry), spec["cols"], spec["ops"]
+                ):
+                    raise ValueError(
+                        f'could not validate exclusion constraint '
+                        f'"{conname}"\nDETAIL: Key conflicts exist in '
+                        f'relation "{table}"'
+                    )
             spec["valid"] = True
         return "ALTER TABLE"
     return None
@@ -456,6 +569,18 @@ def enforce_insert(
                     f"duplicate key value violates unique constraint "
                     f'"{conname}"'
                 )
+        elif spec["kind"] == "x":
+            if on_conflict:
+                continue  # post-merge image judged by the caller
+            cols = spec["cols"]
+            combined = session._live_read(entry).select(*cols).unionByName(
+                new_rows.select(*cols)
+            )
+            if _exclude_violations(combined, cols, spec["ops"]):
+                raise ValueError(
+                    "conflicting key value violates exclusion "
+                    f'constraint "{conname}"'
+                )
 
 
 def enforce_update(
@@ -513,6 +638,12 @@ def enforce_unique_post_update(
                 raise ValueError(
                     f"duplicate key value violates unique constraint "
                     f'"{conname}"'
+                )
+        elif spec["kind"] == "x" and touched & set(spec["cols"]):
+            if _exclude_violations(full_result, spec["cols"], spec["ops"]):
+                raise ValueError(
+                    "conflicting key value violates exclusion "
+                    f'constraint "{conname}"'
                 )
 
 
@@ -808,6 +939,12 @@ def _final_state_checks(session, images: dict, fill_touched: dict) -> None:
                         f"duplicate key value violates unique "
                         f'constraint "{conname}"'
                     )
+            elif spec["kind"] == "x" and changed_cols & set(spec["cols"]):
+                if _exclude_violations(img, spec["cols"], spec["ops"]):
+                    raise ValueError(
+                        "conflicting key value violates exclusion "
+                        f'constraint "{conname}"'
+                    )
 
 
 def cascading_actions_exist(session, table: str, shape: str) -> bool:
@@ -876,6 +1013,12 @@ def enforce_full_image(
                 raise ValueError(
                     f"duplicate key value violates unique constraint "
                     f'"{conname}"'
+                )
+        elif spec["kind"] == "x":
+            if _exclude_violations(image, spec["cols"], spec["ops"]):
+                raise ValueError(
+                    "conflicting key value violates exclusion "
+                    f'constraint "{conname}"'
                 )
 
 

@@ -267,6 +267,33 @@ def _parse_constraint_action(action: str):
             on_delete,
             on_update,
         )
+    ex = re.match(
+        r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+EXCLUDE\s*"
+        r"(?:USING\s+([A-Za-z_]\w*)\s*)?"
+        r"\((?P<body>.+)\)\s*(?P<nv>NOT\s+VALID)?$",
+        action, re.I | re.S,
+    )
+    if ex:
+        elems = []
+        for part in ex.group("body").split(","):
+            em = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+WITH\s+(=|&&)\s*$", part, re.I
+            )
+            if not em:
+                raise NotImplementedError(
+                    "EXCLUDE elements must be '<column> WITH =' or "
+                    f"'<column> WITH &&'; got {part.strip()!r}"
+                )
+            elems.append((em.group(1), em.group(2)))
+        if not elems:
+            raise ValueError("EXCLUDE constraint needs at least one element")
+        return (
+            "add_exclude",
+            ex.group(1),
+            (ex.group(2) or "btree").lower(),
+            elems,
+            bool(ex.group("nv")),
+        )
     uq = re.match(
         r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+"
         r"(UNIQUE|PRIMARY\s+KEY)\s*\(([^)]+)\)$",
@@ -323,6 +350,9 @@ def _default_conname(table: str, op: tuple, taken=()) -> str:
         )
     elif op[0] == "add_fk":
         base = f"{table}_{op[2][0]}_fkey"
+    elif op[0] == "add_exclude":
+        # PG names exclusion constraints {table}_{firstcol}_excl
+        base = f"{table}_{op[3][0][0]}_excl"
     else:
         base = f"{table}_check"
     return _suffix_name(base, taken)
@@ -334,8 +364,6 @@ def _table_constraint_op(table: str, item: str, taken=()):
     item = item.strip().rstrip(",")
     cn = re.match(r"CONSTRAINT\s+([A-Za-z_]\w*)\s+(.+)$", item, re.I | re.S)
     name, rest = (cn.group(1), cn.group(2)) if cn else (None, item)
-    if re.match(r"EXCLUDE\b", rest, re.I):
-        raise NotImplementedError("EXCLUDE constraints are not supported")
     op = _parse_constraint_action(
         f"ADD CONSTRAINT {name or '__tmp__'} {rest.strip()}"
     )

@@ -14,7 +14,7 @@ def sess(spark):
     yield s
     for t in (
         "fk_child", "fk_parent", "fk_ref", "uq_t", "ck_t", "loc_t",
-        "pk_items", "pk_orders",
+        "pk_items", "pk_orders", "ex_book", "ex_dist", "ex_uniq",
     ):
         try:
             s.sql(f"DROP TABLE IF EXISTS {t}")
@@ -614,3 +614,136 @@ def test_alter_type_rejects_distribution_column(sess):
         sess.sql("ALTER TABLE adc_t ALTER COLUMN k TYPE bigint")
     sess.sql("ALTER TABLE adc_t ALTER COLUMN v TYPE bigint")
     assert dict(sess.spark.table("adc_t").dtypes)["v"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# EXCLUDE constraints (↔ reference commands/table.c:3430 distribution
+# rule; PG exclusion semantics: no two rows satisfy every element's
+# operator pairwise — the booking/no-overlap idiom)
+
+
+def test_exclude_lifecycle_overlap(sess, spark):
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    sess.sql(
+        "INSERT INTO ex_book VALUES (1, array(1, 2)), (1, array(3, 4)), "
+        "(2, array(1, 2))"
+    )
+    sess.sql(
+        "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE USING gist (room WITH =, slots WITH &&)"
+    )
+    # same room, overlapping slots → conflict
+    with pytest.raises(ValueError, match='exclusion constraint "no_dbl"'):
+        sess.sql("INSERT INTO ex_book VALUES (1, array(2, 9))")
+    # same room, disjoint slots → fine; other room, same slots → fine
+    sess.sql("INSERT INTO ex_book VALUES (1, array(5)), (2, array(3, 4))")
+    assert spark.table("ex_book").count() == 5
+
+
+def test_exclude_existing_violation_and_not_valid(sess, spark):
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    sess.sql(
+        "INSERT INTO ex_book VALUES (1, array(1, 2)), (1, array(2, 3))"
+    )
+    with pytest.raises(ValueError, match="could not create exclusion"):
+        sess.sql(
+            "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+            "EXCLUDE (room WITH =, slots WITH &&)"
+        )
+    sess.sql(
+        "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE (room WITH =, slots WITH &&) NOT VALID"
+    )
+    # enforced for NEW writes even while NOT VALID
+    with pytest.raises(ValueError, match='exclusion constraint "no_dbl"'):
+        sess.sql("INSERT INTO ex_book VALUES (1, array(3, 8))")
+    with pytest.raises(ValueError, match="could not validate"):
+        sess.sql("ALTER TABLE ex_book VALIDATE CONSTRAINT no_dbl")
+    sess.sql("DELETE FROM ex_book WHERE slots = array(2, 3)")
+    sess.sql("ALTER TABLE ex_book VALIDATE CONSTRAINT no_dbl")
+
+
+def test_exclude_distribution_rule(sess, spark):
+    sess.sql("CREATE TABLE ex_dist (room int, slots int[])")
+    sess.sql("SELECT create_distributed_table('ex_dist', 'room')")
+    # dist col absent from the equality elements → rejected
+    with pytest.raises(ValueError, match="partition column"):
+        sess.sql(
+            "ALTER TABLE ex_dist ADD CONSTRAINT bad "
+            "EXCLUDE (slots WITH &&)"
+        )
+    sess.sql(
+        "ALTER TABLE ex_dist ADD CONSTRAINT ok "
+        "EXCLUDE (room WITH =, slots WITH &&)"
+    )
+    with pytest.raises(ValueError, match='exclusion constraint "ok"'):
+        sess.sql(
+            "INSERT INTO ex_dist VALUES (5, array(1)), (5, array(1, 7))"
+        )
+
+
+def test_exclude_update_path_and_nulls(sess, spark):
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    sess.sql(
+        "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE (room WITH =, slots WITH &&)"
+    )
+    sess.sql(
+        "INSERT INTO ex_book VALUES (1, array(1)), (1, array(2)), "
+        "(2, array(1))"
+    )
+    # UPDATE that creates an overlap is rejected
+    with pytest.raises(ValueError, match='exclusion constraint "no_dbl"'):
+        sess.sql("UPDATE ex_book SET slots = array(1, 5) WHERE room = 1 "
+                 "AND slots = array(2)")
+    # NULL room and empty/NULL arrays are inert (never conflict)
+    sess.sql(
+        "INSERT INTO ex_book VALUES (NULL, array(1)), (NULL, array(1)), "
+        "(3, array()), (3, array()), (4, NULL), (4, NULL)"
+    )
+    assert spark.table("ex_book").count() == 9
+
+
+def test_exclude_equality_only_and_inline(sess, spark):
+    # '='-only EXCLUDE ≡ UNIQUE (PG docs say exactly this); inline
+    # table-level spelling in CREATE TABLE parses into the same op
+    sess.sql(
+        "CREATE TABLE ex_uniq (id int, v int, "
+        "CONSTRAINT one_per_id EXCLUDE (id WITH =))"
+    )
+    sess.sql("INSERT INTO ex_uniq VALUES (1, 10), (2, 20)")
+    with pytest.raises(ValueError, match='exclusion constraint "one_per_id"'):
+        sess.sql("INSERT INTO ex_uniq VALUES (1, 99)")
+    # pg_constraint reflects contype 'x'
+    row = sess.sql(
+        "SELECT contype, conkey FROM pg_constraint "
+        "WHERE conname = 'one_per_id'"
+    ).collect()[0]
+    assert row.contype == "x" and row.conkey == "id"
+
+
+def test_exclude_bad_shapes_rejected(sess, spark):
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    # && on a non-array column
+    with pytest.raises(ValueError, match="requires an array column"):
+        sess.sql(
+            "ALTER TABLE ex_book ADD CONSTRAINT bad "
+            "EXCLUDE (room WITH &&)"
+        )
+    # unsupported operator
+    with pytest.raises(NotImplementedError, match="EXCLUDE elements"):
+        sess.sql(
+            "ALTER TABLE ex_book ADD CONSTRAINT bad "
+            "EXCLUDE (room WITH <>)"
+        )
+
+
+def test_exclude_dropped_with_column(sess, spark):
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    sess.sql(
+        "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE (room WITH =, slots WITH &&)"
+    )
+    sess.sql("ALTER TABLE ex_book DROP COLUMN slots")
+    # constraint auto-dropped with its column (PG same-table rule)
+    assert "no_dbl" not in (sess.catalog.get("ex_book").constraints or {})
