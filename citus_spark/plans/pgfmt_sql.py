@@ -181,16 +181,63 @@ def pg_unnest(sql: str) -> str:
     if depth != 0:
         raise ValueError("unbalanced parentheses in unnest")
     args = sql[m.end() : i]
-    if len(_split_top_level(args)) != 1:
-        raise ValueError(
-            "multi-argument unnest (PG zip semantics) is not supported — "
-            "use arrays_zip + explode"
-        )
+    arg_list = _split_top_level(args)
     rest = sql[i + 1 :]
     om = re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.I)
     ordinality = om is not None
     if ordinality:
         rest = rest[om.end() :]
+    lat = "LATERAL " if lateral else ""
+    if len(arg_list) > 1:
+        # multi-argument unnest — PG zip semantics: arrays walk in
+        # lock-step, shorter ones NULL-pad (arrays_zip does exactly
+        # this). Expressions are aliased in an inner subquery so the
+        # zipped struct's fields carry known names. PG names every
+        # output column `unnest` (unusable duplicates in Spark), so
+        # the defaults are unnest, unnest_1, ... — real statements
+        # alias them anyway: AS t(c1, c2[, ord]).
+        n = len(arg_list)
+        cols = ["unnest"] + [f"unnest_{j}" for j in range(1, n)]
+        ordcol, alias = "ordinality", ""
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)"
+            r"(?:\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?",
+            rest,
+            re.I,
+        )
+        if am and am.group(1).upper() not in _KW_STOP:
+            alias = f" {am.group(1)}"
+            if am.group(2):
+                names = [
+                    c.strip() for c in am.group(2).split(",") if c.strip()
+                ]
+                if ordinality and len(names) == n + 1:
+                    cols, ordcol = names[:n], names[n]
+                elif len(names) == n:
+                    cols = names
+                else:
+                    raise ValueError(
+                        f"unnest alias names {len(names)} columns; the "
+                        f"function returns {n + (1 if ordinality else 0)}"
+                    )
+            rest = rest[am.end() :]
+        us = [f"__u{j}" for j in range(n)]
+        inner = ", ".join(f"({a.strip()}) AS {u}" for a, u in zip(arg_list, us))
+        zipped = ", ".join(us)
+        outer = ", ".join(f"z.{u} AS {c}" for u, c in zip(us, cols))
+        if ordinality:
+            sub = (
+                f"(SELECT {outer}, CAST(p + 1 AS BIGINT) AS {ordcol} "
+                f"FROM (SELECT posexplode(arrays_zip({zipped})) AS (p, z) "
+                f"FROM (SELECT {inner})))"
+            )
+        else:
+            sub = (
+                f"(SELECT {outer} "
+                f"FROM (SELECT explode(arrays_zip({zipped})) AS z "
+                f"FROM (SELECT {inner})))"
+            )
+        return pg_unnest(f"{sql[: m.start()]}{lat}{sub}{alias}{rest}")
     col, ordcol, alias = "unnest", "ordinality", ""
     am = re.match(
         r"\s*(?:AS\s+)?([A-Za-z_]\w*)"
@@ -209,7 +256,6 @@ def pg_unnest(sql: str) -> str:
         if am.group(3):
             ordcol = am.group(3)
         rest = rest[am.end() :]
-    lat = "LATERAL " if lateral else ""
     if ordinality:
         sub = (
             f"(SELECT c AS {col}, CAST(p + 1 AS BIGINT) AS {ordcol} "

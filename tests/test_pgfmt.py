@@ -66,6 +66,47 @@ def test_unnest_with_ordinality(sess):
     assert [(r.v, r.n) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
 
 
+def test_unnest_multi_argument_zip(sess):
+    """PG zip semantics: arrays walk in lock-step, the shorter
+    NULL-pads (PG docs: multi-array unnest is FROM-only)."""
+    rows = sess.sql(
+        "SELECT a, b FROM unnest(array(1, 2, 3), array('x', 'y')) "
+        "AS t(a, b) ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, None)]
+
+
+def test_unnest_multi_argument_with_ordinality(sess):
+    rows = sess.sql(
+        "SELECT a, b, n FROM unnest(array(10, 20), array('p', 'q', 'r')) "
+        "WITH ORDINALITY AS t(a, b, n) ORDER BY n"
+    ).collect()
+    assert [(r.a, r.b, r.n) for r in rows] == [
+        (10, "p", 1), (20, "q", 2), (None, "r", 3),
+    ]
+
+
+def test_unnest_multi_argument_lateral_correlated(sess):
+    """Correlated multi-arg unnest over table columns (the real
+    usage: zip two parallel array columns per row)."""
+    sess.spark.sql(
+        "SELECT 1 AS k, array(1, 2) AS xs, array('a') AS ys"
+    ).createOrReplaceTempView("zsrc")
+    rows = sess.sql(
+        "SELECT k, x, y FROM zsrc, unnest(xs, ys) AS t(x, y) ORDER BY x"
+    ).collect()
+    assert [(r.k, r.x, r.y) for r in rows] == [(1, 1, "a"), (1, 2, None)]
+
+
+def test_unnest_multi_argument_bad_alias_count(sess):
+    import pytest
+
+    with pytest.raises(ValueError, match="alias names"):
+        sess.sql(
+            "SELECT * FROM unnest(array(1), array(2)) AS t(a, b, c)"
+        )
+
+
 def test_row_constructor_comparison(sess):
     r = sess.sql(
         "SELECT ROW(1, 2) < ROW(1, 3) AS lt, "
