@@ -9,11 +9,12 @@ stays inside whole-stage codegen, so distribution is free —
 create_distributed_function() is accepted as a no-op for exactly that
 reason.
 
-Supported: scalar functions with named, typed parameters and a
-single-statement SQL body (a bare SELECT of one expression, or a full
-query that becomes a scalar subquery — correlated references to the
-parameters work). Rejected loudly: LANGUAGE plpgsql, SETOF/TABLE
-returns, OUT/DEFAULT parameters, $1-style positional references.
+Supported: scalar functions with named or unnamed typed parameters
+($1-style positional references resolve to the declared parameters)
+and a single-statement SQL body (a bare SELECT of one expression, or
+a full query that becomes a scalar subquery — correlated references
+to the parameters work). Rejected loudly: LANGUAGE plpgsql,
+OUT/DEFAULT parameters.
 """
 
 from __future__ import annotations
@@ -73,28 +74,57 @@ def parse_create_function(sql: str):
             f"CREATE FUNCTION: LANGUAGE {language} is not supported "
             "(sql only — plpgsql has no Spark analog)"
         )
-    if re.search(r"\$\d", body):
-        raise NotImplementedError(
-            "CREATE FUNCTION: positional parameters ($1) are not "
-            "supported — name the parameters"
-        )
     params = []
+    pnames = []
     raw = m.group("params").strip()
     if raw:
-        for item in raw.split(","):
-            pm = re.match(
-                r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$", item, re.I
-            )
-            if pm is None or pm.group(1).upper() in ("OUT", "INOUT"):
-                raise NotImplementedError(
-                    f"CREATE FUNCTION: cannot parse parameter {item!r} "
-                    "(named IN parameters only)"
+        for idx, item in enumerate(raw.split(","), start=1):
+            # PG allows fully unnamed parameters (`f(int, text)`) —
+            # referenced in the body as $1, $2. A bare type parses as
+            # an unnamed parameter with a synthesized name.
+            try:
+                t = _map_type(item.strip())
+                pname = f"__p{idx}"
+            except ValueError:
+                pm = re.match(
+                    r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$", item, re.I
                 )
-            if re.search(r"\bDEFAULT\b|=", pm.group(2), re.I):
-                raise NotImplementedError(
-                    "CREATE FUNCTION: parameter DEFAULTs are not supported"
+                if pm is None or pm.group(1).upper() in ("OUT", "INOUT"):
+                    raise NotImplementedError(
+                        f"CREATE FUNCTION: cannot parse parameter {item!r} "
+                        "(named IN parameters only)"
+                    )
+                if re.search(r"\bDEFAULT\b|=", pm.group(2), re.I):
+                    raise NotImplementedError(
+                        "CREATE FUNCTION: parameter DEFAULTs are not "
+                        "supported"
+                    )
+                pname, t = pm.group(1), _map_type(pm.group(2))
+            pnames.append(pname)
+            params.append(f"{pname} {t}")
+
+    def sub_positional(text: str) -> str:
+        """$N → the Nth parameter's name (PG positional references).
+        $N inside a string literal is data, not a reference — PG
+        substitutes parameters only in code positions."""
+        from citus_spark.plans.rewrites import _masked_spans
+
+        spans = _masked_spans(text)
+
+        def repl(pm2):
+            if any(a <= pm2.start() < b for a, b in spans):
+                return pm2.group(0)
+            n = int(pm2.group(1))
+            if not 1 <= n <= len(pnames):
+                raise ValueError(
+                    f"CREATE FUNCTION: ${n} references parameter {n} "
+                    f"but only {len(pnames)} are declared"
                 )
-            params.append(f"{pm.group(1)} {_map_type(pm.group(2))}")
+            return pnames[n - 1]
+
+        return re.sub(r"\$(\d+)", repl, text)
+
+    body = sub_positional(body)
     body = body.rstrip().rstrip(";")
     sm = re.match(r"\s*SELECT\s+(.+)$", body, re.I | re.S)
     if sm is None:

@@ -77,10 +77,12 @@ def test_rejections(sess):
             "CREATE FUNCTION f1() RETURNS int AS $$ BEGIN RETURN 1; "
             "END $$ LANGUAGE plpgsql"
         )
-    with pytest.raises(NotImplementedError, match="positional"):
+    # unnamed-parameter positional form now works (see below);
+    # OUT params stay rejected
+    with pytest.raises(NotImplementedError, match="parameter"):
         sess.sql(
-            "CREATE FUNCTION f3(int) RETURNS int AS $$ SELECT $1 $$ "
-            "LANGUAGE sql"
+            "CREATE FUNCTION f3(OUT r int) RETURNS int AS "
+            "$$ SELECT 1 $$ LANGUAGE sql"
         )
 
 
@@ -118,3 +120,45 @@ def test_table_function_and_setof(sess):
         "SELECT small_keys FROM small_keys() ORDER BY small_keys"
     ).collect()
     assert rows and all(r.small_keys < 40 for r in rows)
+
+
+def test_positional_parameters_named(sess):
+    """$N references resolve to the declared parameters (PG style)."""
+    sess.sql(
+        "CREATE FUNCTION addmul(a double precision, b double precision) "
+        "RETURNS double precision AS $$ SELECT $1 * 10 + $2 $$ "
+        "LANGUAGE sql"
+    )
+    r = sess.sql("SELECT addmul(3.0, 4.0) AS v").collect()[0]
+    assert r.v == 34.0
+    sess.sql("DROP FUNCTION addmul")
+
+
+def test_positional_parameters_unnamed(sess):
+    """Fully unnamed parameters (`f(int, text)`) — the only way to
+    reference them is $N."""
+    sess.sql(
+        "CREATE FUNCTION rep(text, int) RETURNS text "
+        "AS $$ SELECT repeat($1, $2) $$ LANGUAGE sql"
+    )
+    r = sess.sql("SELECT rep('ab', 3) AS v").collect()[0]
+    assert r.v == "ababab"
+    sess.sql("DROP FUNCTION rep")
+
+
+def test_positional_out_of_range_rejected(sess):
+    with pytest.raises(ValueError, match="references parameter"):
+        sess.sql(
+            "CREATE FUNCTION bad(a int) RETURNS int "
+            "AS $$ SELECT $2 $$ LANGUAGE sql"
+        )
+
+
+def test_positional_inside_literal_untouched(sess):
+    """'$1' inside a string literal is data, not a parameter ref."""
+    sess.sql(
+        "CREATE FUNCTION lit1(a text) RETURNS text "
+        "AS $$ SELECT concat(a, '$1') $$ LANGUAGE sql"
+    )
+    assert sess.sql("SELECT lit1('x') AS v").collect()[0].v == "x$1"
+    sess.sql("DROP FUNCTION lit1")
