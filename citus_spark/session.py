@@ -516,17 +516,22 @@ class DistributedSession:
         ) and _re.match(
             r"\s*(INSERT|SELECT|WITH|VALUES|UPDATE|DELETE)\b", query, _re.I
         ):
-            if _re.match(r"\s*(UPDATE|DELETE)\b", query, _re.I) and _re.search(
+            if _re.match(r"\s*DELETE\b", query, _re.I) and _re.search(
                 r"\bnextval\s*\(\s*'", query, _re.I
             ):
-                # PG draws per ROW here; a textual substitution would
-                # silently hand every affected row the same value
+                # advancing a sequence from a DELETE predicate has no
+                # sane per-row contract — reject rather than guess
                 raise NotImplementedError(
-                    "nextval() inside UPDATE/DELETE is not supported — "
-                    "PG assigns a distinct value per affected row; use "
-                    "an INSERT..SELECT rewrite or an identity column"
+                    "nextval() inside DELETE is not supported"
                 )
-            query = self._eval_sequence_calls(query)
+            # UPDATE keeps nextval textual: PG draws per affected ROW
+            # there, so _execute_dml allocates a distributed block
+            # instead of a single coordinator substitution (currval/
+            # setval still coordinator-evaluate)
+            query = self._eval_sequence_calls(
+                query,
+                skip_nextval=bool(_re.match(r"\s*UPDATE\b", query, _re.I)),
+            )
             if _re.search(r"\bnextval\s*\(", query, _re.I) and _re.match(
                 r"\s*(SELECT|WITH)\b", query, _re.I
             ):
@@ -1797,7 +1802,9 @@ class DistributedSession:
             )
         return None
 
-    def _eval_sequence_calls(self, query: str) -> str:
+    def _eval_sequence_calls(
+        self, query: str, skip_nextval: bool = False
+    ) -> str:
         """Coordinator evaluation of nextval/currval/setval with
         literal sequence names (↔ reference
         multi_function_evaluation.c — volatile functions evaluate on
@@ -1854,7 +1861,7 @@ class DistributedSession:
         query = sub_outside_literals(CURRVAL, do_currval, query)
         # nextval only when the statement has no FROM clause
         # (VALUES rows / constant SELECT): per-occurrence draws
-        if not _re.search(r"\bFROM\b", query, _re.I):
+        if not skip_nextval and not _re.search(r"\bFROM\b", query, _re.I):
             query = sub_outside_literals(
                 NEXTVAL,
                 lambda m: str(self._seq_alloc(m.group("seq"))),
@@ -2028,6 +2035,88 @@ class DistributedSession:
         cols = [c for c in out.columns if c != alias]
         cols.insert(pos, alias)
         return out.select(*cols)
+
+    def _nextval_occurrences(self, expr: str):
+        """nextval('s') matches that start in code (a match inside a
+        string literal is data) → [(start, end, seq), ...]."""
+        from citus_spark.plans.rewrites import _masked_spans
+        from citus_spark.plans.sequence_sql import NEXTVAL
+
+        spans = _masked_spans(expr)
+        return [
+            (m.start(), m.end(), m.group("seq"))
+            for m in NEXTVAL.finditer(expr)
+            if not any(a <= m.start() < b for a, b in spans)
+        ]
+
+    def _dml_update_with_sequences(
+        self, entry, df, stmt, pred, affected, assigned
+    ):
+        """UPDATE .. SET col = ..nextval('s').. — per-affected-row
+        draws (↔ reference multi_function_evaluation.c: volatile
+        nextval cannot be coordinator-folded in UPDATE; PG assigns a
+        distinct value to every affected row). Each textual occurrence
+        reserves one block of exactly `affected` values; rows take
+        base + k·inc via the two-phase prefix sum (never a global-sort
+        window), and the occurrence is replaced by its helper column
+        inside the assignment expression, so arithmetic around the
+        call (nextval('s') + 100) works. Two occurrences of the same
+        sequence draw independent blocks — uniqueness is guaranteed,
+        the exact interleaving (like PG's) is not."""
+        from citus_spark.operators.sequence import with_sequence_values
+
+        work = df.filter(pred)
+        helpers: list[str] = []
+        new_assigned: dict[str, str] = {}
+        k = 0
+        for c, expr in assigned.items():
+            occ = self._nextval_occurrences(expr)
+            out, last = [], 0
+            for a, b, seq in occ:
+                st = self._sequences.get(seq)
+                if st is None:
+                    raise ValueError(f'sequence "{seq}" does not exist')
+                hcol = f"__citus_seq{k}"
+                k += 1
+                work = with_sequence_values(
+                    work,
+                    lambda n, s=seq: self._seq_alloc(s, n),
+                    st["inc"],
+                    hcol,
+                )
+                helpers.append(hcol)
+                out.append(expr[last:a])
+                out.append(hcol)
+                last = b
+            out.append(expr[last:])
+            new_assigned[c] = "".join(out)
+        updated = work.select(
+            *[
+                F.expr(new_assigned[c]).cast(df.schema[c].dataType).alias(c)
+                if c in new_assigned
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        untouched = df.filter(~pred)
+        result = untouched.unionByName(updated)
+        # old__/new__ remap feeds ON UPDATE referential actions — the
+        # helper columns carry the drawn values alongside old columns
+        update_pairs = work.select(
+            *[F.col(c).alias(f"old__{c}") for c in df.columns],
+            *[
+                (
+                    F.expr(new_assigned[c]).cast(df.schema[c].dataType)
+                    if c in new_assigned
+                    else F.col(c)
+                ).alias(f"new__{c}")
+                for c in df.columns
+            ],
+        )
+        return self._dml_finish(
+            entry, stmt, result, updated, affected,
+            update_pairs=update_pairs,
+        )
 
     def _execute_view_ddl(self, query: str):
         """Textual view DDL (↔ reference multi_view.sql /
@@ -2983,6 +3072,15 @@ class DistributedSession:
             unknown = set(assigned) - set(df.columns)
             if unknown:
                 raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
+            if any(
+                self._nextval_occurrences(expr) for expr in assigned.values()
+            ):
+                # SET col = nextval('s'): PG draws a DISTINCT value per
+                # affected row — distributed block allocation, never a
+                # single coordinator substitution
+                return self._dml_update_with_sequences(
+                    entry, df, stmt, pred, affected, assigned
+                )
             # one select over the ORIGINAL relation = simultaneous
             # assignment semantics (every SET expr sees old values)
             new_image = df.select(

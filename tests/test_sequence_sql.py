@@ -93,12 +93,43 @@ def test_serial_column_fill_from_select(sess):
     assert len({r.ok for r in rows}) == len(rows)
 
 
-def test_nextval_in_update_rejected(sess):
+def test_nextval_in_update_per_row(sess):
+    """PG assigns a DISTINCT value per affected row — distributed
+    block allocation, one reservation for the whole statement."""
     sess.sql("CREATE SEQUENCE s9")
-    sess.sql("CREATE TABLE up_t (k int)")
-    sess.sql("INSERT INTO up_t VALUES (1), (2)")
-    with pytest.raises(NotImplementedError, match="per affected row"):
-        sess.sql("UPDATE up_t SET k = nextval('s9')")
+    sess.sql("CREATE TABLE up_t (k int, tag text)")
+    sess.sql(
+        "INSERT INTO up_t VALUES (0, 'a'), (0, 'b'), (0, 'c'), (0, 'd')"
+    )
+    sess.sql("UPDATE up_t SET k = nextval('s9') WHERE tag <> 'd'")
+    rows = sess.sql("SELECT k, tag FROM up_t").collect()
+    drawn = sorted(r.k for r in rows if r.tag != "d")
+    assert drawn == [1, 2, 3]          # distinct, exactly 3 reserved
+    assert [r.k for r in rows if r.tag == "d"] == [0]  # untouched
+    # the sequence advanced by exactly the affected count
+    assert sess.sql("SELECT nextval('s9') AS v").collect()[0].v == 4
+
+
+def test_nextval_in_update_arithmetic_and_simultaneous(sess):
+    """Arithmetic around the call works, and other assignments keep
+    simultaneous semantics over OLD values."""
+    sess.sql("CREATE SEQUENCE s10 START WITH 5")
+    sess.sql("CREATE TABLE up2_t (k bigint, v bigint)")
+    sess.sql("INSERT INTO up2_t VALUES (0, 10), (0, 20)")
+    sess.sql("UPDATE up2_t SET k = nextval('s10') * 100 + v, v = v + 1")
+    rows = sess.sql("SELECT k, v FROM up2_t ORDER BY v").collect()
+    assert sorted(r.v for r in rows) == [11, 21]
+    # k was computed from OLD v (simultaneous assignment)
+    ks = sorted(r.k for r in rows)
+    assert ks in ([510, 620], [520, 610])
+
+
+def test_nextval_in_delete_rejected(sess):
+    sess.sql("CREATE SEQUENCE s11")
+    sess.sql("CREATE TABLE del_t (k int)")
+    sess.sql("INSERT INTO del_t VALUES (1)")
+    with pytest.raises(NotImplementedError, match="DELETE"):
+        sess.sql("DELETE FROM del_t WHERE k = nextval('s11')")
 
 
 def test_owned_sequence_drops_with_table(sess):
