@@ -96,34 +96,47 @@ def _unique_violations(df: DataFrame, cols: list[str]) -> int:
 
 
 def _exclude_violations(
-    df: DataFrame, cols: list[str], ops: list[str]
+    df: DataFrame,
+    cols: list[str],
+    ops: list[str],
+    delta: DataFrame | None = None,
 ) -> int:
     """EXCLUDE (c1 WITH op1, c2 WITH op2, ...): no two distinct rows
     may satisfy EVERY element's operator pairwise. Supported ops:
     '=' (equality) and '&&' (array overlap).
 
+    With `delta` (a subset of df — the rows this statement added or
+    changed), only pairs INVOLVING a delta row count: PG's index-based
+    enforcement likewise checks each written row against the table,
+    so pre-existing conflicts under a NOT VALID constraint never
+    block unrelated writes — and the join is |delta| × |df| instead
+    of |df|², the write-path cost PG pays too.
+
     Scale shape: rows that cannot conflict with anything (a NULL in
     an '=' element, or an '&&' array with no non-null member — the
     operator returns NULL/false against every row, SQL 3-valued
-    logic, same as PG) are filtered first; the rest self-join with
-    the '=' elements as the equi-key (the distribution rule below
+    logic, same as PG) are filtered first; the rest join with the
+    '=' elements as the equi-key (the distribution rule below
     guarantees the distribution column is one of them on hash tables,
     so the join is co-located) and '&&' as a post-join predicate.
-    Every surviving row pairs with itself, so a violation exists iff
-    pair_count > row_count — no row-id needed, order-free, and exact
-    under any partitioning."""
-    work = df
-    for c, op in zip(cols, ops):
-        if op == "=":
-            work = work.filter(F.col(c).isNotNull())
-        else:
-            work = work.filter(F.expr(f"arrays_overlap({c}, {c})"))
-    proj = work.select(*cols)
-    n = proj.count()
+    Every surviving left row pairs with itself on the right, so a
+    violation exists iff pair_count > left_count — no row-id needed,
+    order-free, and exact under any partitioning."""
+
+    def live(d: DataFrame) -> DataFrame:
+        for c, op in zip(cols, ops):
+            if op == "=":
+                d = d.filter(F.col(c).isNotNull())
+            else:
+                d = d.filter(F.expr(f"arrays_overlap({c}, {c})"))
+        return d.select(*cols)
+
+    lhs = live(delta if delta is not None else df)
+    n = lhs.count()
     if n == 0:
         return 0
-    left = proj.alias("__xl")
-    right = proj.alias("__xr")
+    left = lhs.alias("__xl")
+    right = live(df).alias("__xr")
     cond = None
     for c, op in zip(cols, ops):
         if op == "=":
@@ -576,7 +589,12 @@ def enforce_insert(
             combined = session._live_read(entry).select(*cols).unionByName(
                 new_rows.select(*cols)
             )
-            if _exclude_violations(combined, cols, spec["ops"]):
+            # delta = the inserted rows: only pairs involving them
+            # count (pre-existing NOT VALID conflicts never block an
+            # unrelated insert, and the join is |new| × |table|)
+            if _exclude_violations(
+                combined, cols, spec["ops"], delta=new_rows.select(*cols)
+            ):
                 raise ValueError(
                     "conflicting key value violates exclusion "
                     f'constraint "{conname}"'
@@ -629,8 +647,14 @@ def enforce_update(
 
 
 def enforce_unique_post_update(
-    session, entry, table: str, full_result: DataFrame, assigned: list[str]
+    session, entry, table: str, full_result: DataFrame, assigned: list[str],
+    changed: DataFrame | None = None,
 ) -> None:
+    """`changed` = the post-update image of the affected rows (a
+    subset of full_result); when given, exclusion checks judge only
+    pairs involving a changed row — PG's per-written-row enforcement,
+    which keeps pre-existing NOT VALID conflicts from blocking
+    unrelated updates."""
     touched = set(assigned)
     for conname, spec in (entry.constraints or {}).items():
         if spec["kind"] in ("p", "u") and touched & set(spec["cols"]):
@@ -640,7 +664,12 @@ def enforce_unique_post_update(
                     f'"{conname}"'
                 )
         elif spec["kind"] == "x" and touched & set(spec["cols"]):
-            if _exclude_violations(full_result, spec["cols"], spec["ops"]):
+            if _exclude_violations(
+                full_result, spec["cols"], spec["ops"],
+                delta=changed.select(*spec["cols"])
+                if changed is not None
+                else None,
+            ):
                 raise ValueError(
                     "conflicting key value violates exclusion "
                     f'constraint "{conname}"'

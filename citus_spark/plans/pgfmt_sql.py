@@ -222,7 +222,13 @@ def pg_unnest(sql: str) -> str:
                     )
             rest = rest[am.end() :]
         us = [f"__u{j}" for j in range(n)]
-        inner = ", ".join(f"({a.strip()}) AS {u}" for a, u in zip(arg_list, us))
+        # PG treats a NULL array as empty here (the other arguments
+        # still emit, NULL-padded); Spark's arrays_zip(NULL, ..) is
+        # NULL and would silently drop the row — coalesce restores PG
+        inner = ", ".join(
+            f"coalesce(({a.strip()}), array()) AS {u}"
+            for a, u in zip(arg_list, us)
+        )
         zipped = ", ".join(us)
         outer = ", ".join(f"z.{u} AS {c}" for u, c in zip(us, cols))
         if ordinality:

@@ -271,6 +271,10 @@ class DistributedSession:
                     _cons._distribution_rules_unique(
                         self, name, spec["cols"]
                     )
+                elif spec["kind"] == "x":
+                    _cons._distribution_rules_exclude(
+                        self, name, spec["cols"], spec["ops"]
+                    )
                 elif spec["kind"] == "f":
                     _cons._distribution_rules_fk(
                         self, name, spec["cols"], spec["reftable"],
@@ -2066,7 +2070,6 @@ class DistributedSession:
         from citus_spark.operators.sequence import with_sequence_values
 
         work = df.filter(pred)
-        helpers: list[str] = []
         new_assigned: dict[str, str] = {}
         k = 0
         for c, expr in assigned.items():
@@ -2084,7 +2087,6 @@ class DistributedSession:
                     st["inc"],
                     hcol,
                 )
-                helpers.append(hcol)
                 out.append(expr[last:a])
                 out.append(hcol)
                 last = b
@@ -2433,6 +2435,16 @@ class DistributedSession:
                     ] and _cons._unique_violations(new, spec["cols"]):
                         raise ValueError(
                             f'could not create unique index "{conname}"'
+                        )
+                    if spec["kind"] == "x" and colname in spec[
+                        "cols"
+                    ] and _cons._exclude_violations(
+                        new, spec["cols"], spec["ops"]
+                    ):
+                        raise ValueError(
+                            "conflicting key value violates exclusion "
+                            f'constraint "{conname}" after the type '
+                            "change"
                         )
                     if spec["kind"] == "f" and colname in spec["cols"]:
                         pentry = self.catalog.get(spec["reftable"])
@@ -3045,6 +3057,23 @@ class DistributedSession:
 
         stmt = parse_dml(query)
         entry = self._writable_entry(stmt.table, "DML")
+        # nextval is supported only in UPDATE SET expressions (the
+        # per-row block path below); in a predicate or through
+        # UPDATE..FROM it would reach Spark as an unresolved function
+        # — reject with a real message instead
+        if stmt.predicate and self._nextval_occurrences(stmt.predicate):
+            raise NotImplementedError(
+                "nextval() in a WHERE clause is not supported — PG "
+                "would advance the sequence per evaluated row; filter "
+                "on a materialized draw instead"
+            )
+        if stmt.from_clause is not None and self._nextval_occurrences(
+            query
+        ):
+            raise NotImplementedError(
+                "nextval() in UPDATE .. FROM is not supported — use a "
+                "plain UPDATE (per-row draws are supported there)"
+            )
         # DML statements land in citus_stat_statements too (the
         # reference records every statement its planner handles)
         self.stat_statements.record(query, None, executor="dml")
@@ -3156,7 +3185,8 @@ class DistributedSession:
                     post_image=result,
                 )
                 _cons.enforce_unique_post_update(
-                    self, entry, stmt.table, result, assigned_cols
+                    self, entry, stmt.table, result, assigned_cols,
+                    changed=affected_rows,
                 )
                 # updating a column other tables reference re-checks
                 # those children against the post-update key set
@@ -3690,36 +3720,21 @@ END
             # PG 17 MERGE .. RETURNING: one action-tagged pass over
             # the PRE-merge state (same single equi-join shape),
             # staged before any rewrite invalidates the files
-            from citus_spark.sources.ingest import merge_apply
             from citus_spark.sources.ingest import merge_apply_multi
             from citus_spark.sources.partitions import PERIOD_COL
 
             cur0 = self._live_read(entry)
             if entry.time_partitioning:
                 cur0 = cur0.drop(PERIOD_COL)
-            if stmt.is_multi:
-                affected = merge_apply_multi(
-                    cur0,
-                    source,
-                    stmt.keys,
-                    matched_branches=stmt.matched_branches,
-                    not_matched_branches=stmt.not_matched_branches,
-                    by_source_branches=stmt.by_source_branches,
-                    with_actions=True,
-                )
-            else:
-                affected = merge_apply(
-                    cur0,
-                    source,
-                    stmt.keys,
-                    when_matched=stmt.when_matched,
-                    assignments=stmt.assignments,
-                    matched_condition=stmt.matched_condition,
-                    insert_unmatched=stmt.insert_unmatched,
-                    insert_cols=stmt.insert_cols,
-                    insert_values=stmt.insert_values,
-                    with_actions=True,
-                )
+            affected = merge_apply_multi(
+                cur0,
+                source,
+                stmt.keys,
+                matched_branches=stmt.matched_branches,
+                not_matched_branches=stmt.not_matched_branches,
+                by_source_branches=stmt.by_source_branches,
+                with_actions=True,
+            )
             returned = self._stage_returning(
                 affected,
                 _merge_returning_exprs(stmt.returning, cur0.columns),
@@ -3729,7 +3744,6 @@ END
             # (cols) VALUES): one joined computation over the LIVE
             # relation, then a copy-on-write swap — works uniformly
             # for plain and time-partitioned storage
-            from citus_spark.sources.ingest import merge_apply
             from citus_spark.sources.ingest import merge_apply_multi
 
             from citus_spark.sources.partitions import PERIOD_COL
@@ -3737,27 +3751,14 @@ END
             cur = self._live_read(entry)
             if entry.time_partitioning:
                 cur = cur.drop(PERIOD_COL)
-            if stmt.is_multi:
-                merged = merge_apply_multi(
-                    cur,
-                    source,
-                    stmt.keys,
-                    matched_branches=stmt.matched_branches,
-                    not_matched_branches=stmt.not_matched_branches,
-                    by_source_branches=stmt.by_source_branches,
-                )
-            else:
-                merged = merge_apply(
-                    cur,
-                    source,
-                    stmt.keys,
-                    when_matched=stmt.when_matched,
-                    assignments=stmt.assignments,
-                    matched_condition=stmt.matched_condition,
-                    insert_unmatched=stmt.insert_unmatched,
-                    insert_cols=stmt.insert_cols,
-                    insert_values=stmt.insert_values,
-                )
+            merged = merge_apply_multi(
+                cur,
+                source,
+                stmt.keys,
+                matched_branches=stmt.matched_branches,
+                not_matched_branches=stmt.not_matched_branches,
+                by_source_branches=stmt.by_source_branches,
+            )
             if entry.constraints:
                 from citus_spark.plans import constraints as _cons
 

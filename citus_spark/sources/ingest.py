@@ -161,117 +161,32 @@ def merge_apply(
     insert_values: list[str] | None = None,
     with_actions: bool = False,
 ) -> DataFrame:
-    """General-form MERGE semantics (↔ the full WHEN grammar of
-    reference merge_planner.c): explicit `SET col = expr` assignment
-    lists, `WHEN MATCHED AND <cond>` guards, and
-    `INSERT (cols) VALUES (exprs)`. Expressions reference the sides
-    as `t.` / `s.`. Returns the merged relation (caller persists).
-
-    with_actions=True returns the RETURNING set instead: only the
-    rows an action touched, each with a `__citus_merge_action` column
-    ('UPDATE'/'DELETE'/'INSERT') — PG 17's MERGE RETURNING contract
-    (updated/inserted rows as their NEW image, deleted rows as the
-    OLD image). Same single equi-join shape either way.
-
-    Shape: ONE equi-join on the keys feeds every branch — matched
-    rows split by the guard (failing or NULL guard = untouched, SQL
-    3-valued logic), unmatched target rows pass through, unmatched
-    source rows project into the target schema (unnamed columns NULL).
-    Catalyst elides the shuffle when the sides are co-partitioned,
-    exactly like the whole-row path."""
-    from functools import reduce
-
-    t = target.alias("t")
-    s = source.alias("s")
-    t_cols = target.columns
-    # PostgreSQL raises "cannot affect row a second time" when two
-    # source rows hit one target row; an unchecked inner join would
-    # instead FAN OUT the target row — silent duplication. One cheap
-    # aggregation enforces the same contract.
-    dup = (
-        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-    )
-    if dup.count() > 0:
-        raise ValueError(
-            "MERGE/ON CONFLICT: source has duplicate join keys — a "
-            "target row cannot be affected twice (aggregate the "
-            "source first)"
-        )
-    join_cond = reduce(
-        lambda a, b: a & b,
-        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
-    )
-    matched = t.join(s, join_cond, "inner")
-    if matched_condition:
-        guard = F.coalesce(F.expr(matched_condition), F.lit(False))
-        hit, miss = matched.filter(guard), matched.filter(~guard)
-    else:
-        hit, miss = matched, matched.filter(F.lit(False))
-
-    def as_target(df: DataFrame) -> DataFrame:
-        return df.select(*[F.col(f"t.{c}").alias(c) for c in t_cols])
-
-    def tag(df: DataFrame, action: str) -> DataFrame:
-        return df.withColumn("__citus_merge_action", F.lit(action))
-
-    parts: list[DataFrame] = (
-        []
-        if with_actions
-        else [
-            target.join(source.select(*keys), keys, "left_anti"),
-            as_target(miss),
-        ]
-    )
-    if when_matched == "update":
-        asg = dict(assignments or [])
-        unknown = set(asg) - set(t_cols)
-        if unknown:
-            raise ValueError(f"MERGE: unknown column(s) {sorted(unknown)}")
-        if asg:
-            upd = hit.select(*[
-                F.expr(asg[c]).cast(target.schema[c].dataType).alias(c)
-                if c in asg
-                else F.col(f"t.{c}").alias(c)
-                for c in t_cols
-            ])
-        else:  # whole-row replacement by the source row
-            upd = hit.select(*[F.col(f"s.{c}").alias(c) for c in t_cols])
-        parts.append(tag(upd, "UPDATE") if with_actions else upd)
+    """Single-branch MERGE convenience form: one WHEN MATCHED action
+    (`SET col = expr` lists, an optional AND guard, whole-row `SET *`
+    when assignments are empty) plus an optional unguarded INSERT.
+    Delegates to :func:`merge_apply_multi` — the single-branch
+    statement IS the one-element branch list, so the semantics,
+    validation, and RETURNING contract live in exactly one executor."""
+    if when_matched in ("update", "delete"):
+        matched = [(matched_condition, when_matched, list(assignments or []))]
     elif when_matched == "ignore":
-        if not with_actions:
-            parts.append(as_target(hit))
-    elif when_matched == "delete":
-        if with_actions:  # deleted rows RETURN their old image
-            parts.append(tag(as_target(hit), "DELETE"))
+        # matched rows pass through untouched (a guard is irrelevant)
+        matched = []
     else:
         raise ValueError(f"unknown when_matched: {when_matched!r}")
-    if insert_unmatched:
-        unmatched_s = s.join(target.select(*keys), keys, "left_anti")
-        if insert_cols:
-            vals = dict(zip(insert_cols, insert_values or []))
-            unknown = set(vals) - set(t_cols)
-            if unknown:
-                raise ValueError(
-                    f"MERGE: INSERT into unknown column(s) {sorted(unknown)}"
-                )
-            ins = unmatched_s.select(*[
-                F.expr(vals[c]).cast(target.schema[c].dataType).alias(c)
-                if c in vals
-                else F.lit(None).cast(target.schema[c].dataType).alias(c)
-                for c in t_cols
-            ])
-        else:
-            ins = unmatched_s.select(
-                *[F.col(f"s.{c}").alias(c) for c in t_cols]
-            )
-        parts.append(tag(ins, "INSERT") if with_actions else ins)
-    if not parts:  # with_actions and no branch produced rows
-        empty = target.filter(F.lit(False))
-        return tag(empty, "NONE").filter(F.lit(False))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    not_matched = (
+        [(None, list(insert_cols or []), list(insert_values or []))]
+        if insert_unmatched
+        else []
+    )
+    return merge_apply_multi(
+        target,
+        source,
+        keys,
+        matched_branches=matched,
+        not_matched_branches=not_matched,
+        with_actions=with_actions,
+    )
 
 
 def merge_apply_multi(

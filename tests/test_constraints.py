@@ -747,3 +747,57 @@ def test_exclude_dropped_with_column(sess, spark):
     sess.sql("ALTER TABLE ex_book DROP COLUMN slots")
     # constraint auto-dropped with its column (PG same-table rule)
     assert "no_dbl" not in (sess.catalog.get("ex_book").constraints or {})
+
+
+def test_exclude_not_valid_allows_unrelated_writes(sess, spark):
+    """Review finding: pre-existing conflicts under NOT VALID must not
+    block writes that conflict with nothing (PG checks each written
+    row against the table, not the whole table against itself)."""
+    sess.sql("CREATE TABLE ex_book (room int, slots int[])")
+    sess.sql(
+        "INSERT INTO ex_book VALUES (1, array(1, 2)), (1, array(2, 3))"
+    )
+    sess.sql(
+        "ALTER TABLE ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE (room WITH =, slots WITH &&) NOT VALID"
+    )
+    # conflicts with nothing → accepted despite the old bad pair
+    sess.sql("INSERT INTO ex_book VALUES (99, array(50))")
+    assert spark.table("ex_book").count() == 3
+    # conflicts with an existing row → still rejected
+    with pytest.raises(ValueError, match='exclusion constraint "no_dbl"'):
+        sess.sql("INSERT INTO ex_book VALUES (1, array(3, 8))")
+    # UPDATE of an unrelated row also passes
+    sess.sql("UPDATE ex_book SET slots = array(60) WHERE room = 99")
+
+
+def test_exclude_rejudged_at_distribute_time(sess, spark):
+    """Review finding: distributing a table re-judges EXCLUDE like
+    PK/UNIQUE — an EXCLUDE without dist-col equality must veto
+    create_distributed_table (reference table.c:3430)."""
+    sess.sql("CREATE TABLE ex_dist (room int, slots int[])")
+    sess.sql(
+        "ALTER TABLE ex_dist ADD CONSTRAINT ov EXCLUDE (slots WITH &&)"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        sess.sql("SELECT create_distributed_table('ex_dist', 'room')")
+    # the failed distribute left the local table + constraint intact
+    assert "ov" in (sess.catalog.get("ex_dist").constraints or {})
+    with pytest.raises(ValueError, match='exclusion constraint "ov"'):
+        sess.sql(
+            "INSERT INTO ex_dist VALUES (1, array(5)), (2, array(5, 6))"
+        )
+
+
+def test_exclude_revalidated_on_alter_column_type(sess, spark):
+    """Review finding: a narrowing type change can merge distinct
+    keys into a conflict — ALTER COLUMN TYPE must re-judge EXCLUDE."""
+    sess.sql("CREATE TABLE ex_uniq (id double precision, v int)")
+    sess.sql("INSERT INTO ex_uniq VALUES (1.2, 1), (1.4, 2)")
+    sess.sql(
+        "ALTER TABLE ex_uniq ADD CONSTRAINT one EXCLUDE (id WITH =)"
+    )
+    with pytest.raises(ValueError, match='exclusion constraint "one"'):
+        sess.sql("ALTER TABLE ex_uniq ALTER COLUMN id TYPE int")
+    # the failed ALTER left the data untouched
+    assert dict(sess.spark.table("ex_uniq").dtypes)["id"] == "double"

@@ -270,3 +270,25 @@ def test_string_to_table_backslash_separator(sess):
         "ORDER BY p"
     ).collect()
     assert [r.p for r in rows] == ["a", "b xyb"]
+
+
+def test_unnest_multi_argument_null_array_pads(sess):
+    """Review finding: PG treats a NULL array as empty here — the
+    other arguments still emit, NULL-padded; arrays_zip(NULL, ..)
+    would silently drop the row."""
+    sess.spark.sql(
+        "SELECT 1 AS k, CAST(NULL AS array<int>) AS xs, "
+        "array('p', 'q') AS ys"
+    ).createOrReplaceTempView("znull")
+    rows = sess.sql(
+        "SELECT k, x, y FROM znull, unnest(xs, ys) AS t(x, y) ORDER BY y"
+    ).collect()
+    assert [(r.k, r.x, r.y) for r in rows] == [(1, None, "p"), (1, None, "q")]
+    # both NULL → zero rows (PG)
+    sess.spark.sql(
+        "SELECT CAST(NULL AS array<int>) AS xs, "
+        "CAST(NULL AS array<int>) AS ys"
+    ).createOrReplaceTempView("zboth")
+    assert sess.sql(
+        "SELECT * FROM zboth, unnest(xs, ys) AS t(x, y)"
+    ).count() == 0

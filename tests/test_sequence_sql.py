@@ -150,3 +150,20 @@ def test_identity_start_with_increment(sess):
     sess.sql("INSERT INTO idopt_t (v) VALUES ('x'), ('y'), ('z')")
     ids = sorted(r.id for r in sess.sql("SELECT id FROM idopt_t").collect())
     assert ids == [100, 110, 120]
+
+
+def test_nextval_in_where_and_from_rejected(sess):
+    """Review finding: nextval outside SET expressions must reject
+    with a real message, not an unresolved-function crash."""
+    sess.sql("CREATE SEQUENCE s12")
+    sess.sql("CREATE TABLE uw_t (k int, v int)")
+    sess.sql("INSERT INTO uw_t VALUES (1, 1)")
+    with pytest.raises(NotImplementedError, match="WHERE clause"):
+        sess.sql("UPDATE uw_t SET v = 1 WHERE k = nextval('s12')")
+    sess.sql("CREATE TABLE uw_src (k int)")
+    sess.sql("INSERT INTO uw_src VALUES (1)")
+    with pytest.raises(NotImplementedError, match="UPDATE .. FROM"):
+        sess.sql(
+            "UPDATE uw_t SET v = nextval('s12') FROM uw_src "
+            "WHERE uw_t.k = uw_src.k"
+        )
