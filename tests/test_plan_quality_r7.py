@@ -58,3 +58,65 @@ def test_r7_entry_plan_quality(spark, name):
     # Arrow-batched kernels show as ArrowEvalPython / MapInPandas;
     # BatchEvalPython is the row-at-a-time path nothing may use
     assert "BatchEvalPython" not in plan, name
+
+
+def test_merge_multi_branch_plan_quality(spark):
+    """The multi-branch MERGE executor: one equi-join per row class
+    (never per branch), no cartesian, no row-at-a-time Python. With a
+    derived small source the joins broadcast and the statement runs
+    with ZERO shuffle exchanges."""
+    from pyspark.sql import functions as F
+
+    from citus_spark.sources.ingest import (
+        merge_apply_multi,
+        n_exchanges,
+        plan_str,
+    )
+
+    t = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    s = t.filter("o_orderkey % 3 = 0").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("np")
+    )
+    out = merge_apply_multi(
+        t,
+        s,
+        ["o_orderkey"],
+        matched_branches=[
+            ("t.o_totalprice > 100000", "update", [("o_totalprice", "s.np")]),
+            (None, "delete", []),
+        ],
+        by_source_branches=[(None, "nothing", [])],
+    )
+    p = plan_str(out)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # 2 branches x 3 row classes must NOT multiply joins: one join for
+    # matched rows, one anti for the BY SOURCE class
+    assert p.count("Join") <= 3
+    assert n_exchanges(out) == 0  # broadcast both sides
+
+
+def test_exclude_validation_plan_quality(spark, tmp_path):
+    from pyspark.sql import functions as F
+    """Exclusion validation joins on the '=' elements (equi-key) with
+    '&&' as a post-join predicate — a hash join, never a cartesian."""
+    from citus_spark.plans.constraints import _exclude_violations
+
+    df = spark.createDataFrame(
+        # i and i+350 share a room AND a slot value → real conflicts
+        [(i % 50, [i % 7, i % 7 + 1]) for i in range(1000)],
+        "room int, slots array<int>",
+    )
+    # capture the join plan by running the check (hash join on room)
+    assert _exclude_violations(df, ["room", "slots"], ["=", "&&"]) == 1
+    joined = (
+        df.select("room", "slots").alias("__xl").join(
+            df.select("room", "slots").alias("__xr"),
+            (F.col("__xl.room") == F.col("__xr.room"))
+            & F.expr("arrays_overlap(__xl.slots, __xr.slots)"),
+            "inner",
+        )
+    )
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
