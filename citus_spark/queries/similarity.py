@@ -1407,3 +1407,131 @@ SELECT q.label, count(*) AS n,
 FROM q GROUP BY q.label ORDER BY q.label
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data step: for each
+# anchor, the highest-cosine candidates BELOW the near-duplicate
+# threshold are the hard negatives (near-dups would be false
+# negatives; low-cosine candidates are easy and uninformative).
+#
+# Same two-stage shape as ann_cosine_topk: a per-Arrow-batch GEMM
+# selection (candidates at/above the duplicate threshold are masked
+# with a tiny +1e-12 guard so clear dups never consume top-k slack;
+# boundary candidates survive to the exact pass), then the
+# sequential-fold exact rescore applies the threshold and the global
+# rank. At 100 TB stage 1 is scan-parallel with no shuffle; only
+# |Q|·k survivors shuffle for ranking.
+#
+# NOT yet registered — r8 oracle candidate (the r7 verify window is
+# full); tests/test_hard_negatives.py proves DuckDB parity directly.
+DUP_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+    n_take = TOP_K + 6  # +slack for GEMM/fold boundary disagreement
+
+    def select_kernel(batches):
+        for pdf in batches:
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cnorm[cnorm == 0.0] = 1.0
+            sims = (cmat / cnorm[:, None]) @ qn.T
+            sims[cids[:, None] == qids[None, :]] = -np.inf
+            # clear near-dups out of the candidate pool (guarded so a
+            # true negative on the boundary survives to exact rescore)
+            sims[sims >= DUP_THRESHOLD + 1e-12] = -np.inf
+            k = min(n_take, len(cids))
+            idx = np.argpartition(-sims, k - 1, axis=0)[:k]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, k),
+                    "cid": cids[idx.T.ravel()],
+                    "cv": [cmat[i].tolist() for i in idx.T.ravel()],
+                }
+            )
+
+    survivors = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(select_kernel, schema="qid long, cid long, cv array<double>")
+        .filter(F.col("qid") != F.col("cid"))
+    )
+
+    def _fold_norm(vec):
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        return math.sqrt(acc)
+
+    keys = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in q_rows])
+    qv_map = F.map_from_arrays(
+        keys,
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in r.embedding]) for r in q_rows
+        ]),
+    )
+    qn_map = F.map_from_arrays(
+        keys,
+        F.array(*[
+            F.lit(_fold_norm([float(x) for x in r.embedding]))
+            for r in q_rows
+        ]),
+    )
+    dot = F.expr(dot_fold_sql("qv", "cv"))
+    cnorm_e = F.sqrt(F.expr(dot_fold_sql("cv", "cv")))
+    scored = (
+        survivors.withColumn("qv", qv_map[F.col("qid")])
+        .withColumn("qn", qn_map[F.col("qid")])
+        .select(
+            "qid", "cid", (dot / (F.col("qn") * cnorm_e)).alias("cosine")
+        )
+        .filter(F.col("cosine") < DUP_THRESHOLD)  # exact threshold
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid", "cid", "cosine", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+HARD_NEGATIVE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         {dot_fold_duck('qv', 'cv')}
+           / (sqrt({dot_fold_duck('qv', 'qv')})
+              * sqrt({dot_fold_duck('cv', 'cv')})) AS cosine
+  FROM q JOIN c ON qid <> cid
+), negs AS (
+  SELECT qid, cid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS INT) AS rk
+  FROM scored WHERE cosine < {DUP_THRESHOLD}
+)
+SELECT qid, cid, cosine, rk FROM negs WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""

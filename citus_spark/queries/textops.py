@@ -2590,3 +2590,97 @@ FROM events e JOIN arms a ON e.user_id = a.user_id
 GROUP BY a.arm ORDER BY a.arm
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling — the domain-reweighting step of
+# a training-data pipeline (sample each domain ∝ share^alpha so
+# low-resource domains are up-weighted; alpha=1 keeps the natural mix,
+# alpha=0 is uniform). Deterministic: docs rank within their domain by
+# md5(doc_id) — a reproducible shuffle both engines compute
+# identically — and each domain takes its quota head.
+#
+# Scale shape: one groupBy for counts, quotas broadcast back, one
+# window partitioned BY DOMAIN for the rank (each domain sorts
+# independently — wide, not a global sort), one broadcast semi-join.
+# alpha is fixed to 0.5 (sqrt) in the registered form: sqrt is
+# correctly-rounded IEEE so both engines agree bit-for-bit, while
+# pow(x, a) is libm-dependent (README §Correctness).
+#
+# NOT yet registered — r8 oracle candidate (the r7 verify window is
+# full); tests/test_mixture_sample.py proves DuckDB parity directly.
+
+def temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str, total: int = 200
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    z = per.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z")
+    )
+    quota = per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.col("n_docs"),
+            F.round(
+                F.lit(float(total))
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("z")
+            ).cast("long"),
+        ).alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    sampled = (
+        docs.select("source", "doc_id")
+        .withColumn("rk", rk)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("quota").alias("quota"),
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("docid_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), z AS (
+  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM per
+), quota AS (
+  SELECT source, n_docs,
+         least(n_docs, CAST(round(200.0 * sqrt(CAST(n_docs AS DOUBLE)) / z.z)
+                            AS BIGINT)) AS quota
+  FROM per, z
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT q.source, q.n_docs, q.quota,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(r.doc_id) AS BIGINT) AS docid_sum
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rk <= q.quota
+GROUP BY q.source, q.n_docs, q.quota
+ORDER BY q.source
+"""

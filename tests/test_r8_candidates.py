@@ -1,0 +1,68 @@
+"""Round-8 oracle candidates (the r7 verify window is full — these
+register next round): temperature-scaled mixture sampling and
+hard-negative mining. Each test drives the Spark form and the DuckDB
+oracle SQL side-by-side, the same comparison the driver's
+CORRECTNESS gate runs."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _match(spark_df, duck_df):
+    got = spark_df.toPandas()
+    assert list(got.columns) == list(duck_df.columns)
+    assert len(got) == len(duck_df)
+    for c in got.columns:
+        a, b = got[c].tolist(), duck_df[c].tolist()
+        if got[c].dtype.kind == "f":
+            assert a == pytest.approx(b, abs=0.0), c  # bit-exact
+        else:
+            assert a == b, c
+
+
+def test_temperature_mixture_sample_matches_oracle(spark):
+    from citus_spark.queries.textops import (
+        TEMPERATURE_MIX_ORACLE,
+        temperature_mixture_sample,
+    )
+
+    out = temperature_mixture_sample(spark, SF_SMALL)
+    _match(out, _duck(SF_SMALL, TEMPERATURE_MIX_ORACLE))
+    # quotas up-weight small domains: sampled share of the smallest
+    # domain exceeds its natural share (the point of temperature)
+    rows = out.collect()
+    tot_docs = sum(r.n_docs for r in rows)
+    tot_samp = sum(r.n_sampled for r in rows)
+    small = min(rows, key=lambda r: r.n_docs)
+    if small.n_docs < tot_docs / len(rows):  # genuinely small domain
+        assert small.n_sampled / tot_samp > small.n_docs / tot_docs
+
+
+def test_hard_negative_mining_matches_oracle(spark):
+    from citus_spark.queries.similarity import (
+        DUP_THRESHOLD,
+        HARD_NEGATIVE_ORACLE,
+        hard_negative_mining,
+    )
+
+    out = hard_negative_mining(spark, SF_SMALL)
+    _match(out, _duck(SF_SMALL, HARD_NEGATIVE_ORACLE))
+    rows = out.collect()
+    assert rows
+    # every mined negative sits strictly below the duplicate band
+    assert all(r.cosine < DUP_THRESHOLD for r in rows)
+    # no anchor returned itself
+    assert all(r.qid != r.cid for r in rows)
