@@ -4524,3 +4524,106 @@ SELECT user_id, value AS latest_value, event_type AS latest_type FROM (
 ) WHERE rn = 1 ORDER BY user_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# r8 oracle candidate (NOT registered — the r7 verify window is full;
+# tests/test_r8_candidates.py proves DuckDB parity directly): the PG 17
+# two-table sync idiom through the multi-branch MERGE executor —
+# ordered guarded MATCHED branches (first-true-wins), a guarded
+# INSERT, and WHEN NOT MATCHED BY SOURCE DELETE.
+
+def merge_sync_by_source(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+    from citus_spark.session import DistributedSession
+
+    load_views(spark, sf_dir)
+    sess = DistributedSession(spark)
+    path = "/tmp/citus_spark_merge_sync_entry"
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter("o_orderkey < 4000")
+    )
+    base.write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("orders_ms")
+    sess.catalog.register("orders_ms", "hash", "o_orderkey", path=path)
+    spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey < 6000 AND o_orderkey % 2 = 0
+        """
+    ).createOrReplaceTempView("merge_src_ms")
+    sess.sql(
+        """
+        MERGE INTO orders_ms AS t
+        USING merge_src_ms AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 150000 THEN DELETE
+        WHEN MATCHED AND t.o_totalprice > 50000 THEN
+          UPDATE SET o_totalprice = s.o_totalprice + 1, o_custkey = 7
+        WHEN MATCHED THEN DO NOTHING
+        WHEN NOT MATCHED AND s.o_orderkey % 4 = 0 THEN
+          INSERT (o_orderkey, o_totalprice) VALUES (s.o_orderkey, 2.5)
+        WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 3 = 0 THEN DELETE
+        """
+    )
+    return (
+        spark.table("orders_ms")
+        .groupBy((F.col("o_orderkey") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+            F.sum((F.col("o_custkey") == 7).cast("long")).alias("n_rekeyed"),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("bucket")
+    )
+
+
+MERGE_SYNC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey < 4000
+), s AS (
+  SELECT o_orderkey, o_totalprice AS s_price FROM orders
+  WHERE o_orderkey < 6000 AND o_orderkey % 2 = 0
+), merged AS (
+  -- matched rows, branch order: DELETE if >150000; else UPDATE if
+  -- >50000; else DO NOTHING
+  SELECT b.o_orderkey,
+         CASE WHEN b.o_totalprice > 50000 THEN 7
+              ELSE b.o_custkey END AS o_custkey,
+         CASE WHEN b.o_totalprice > 50000 THEN s.s_price + 1
+              ELSE b.o_totalprice END AS o_totalprice
+  FROM base b JOIN s ON b.o_orderkey = s.o_orderkey
+  WHERE NOT (b.o_totalprice > 150000)
+  UNION ALL
+  -- target rows with no source match: BY SOURCE DELETE when
+  -- custkey % 3 = 0 (NULL custkey = guard not true = survives)
+  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+  FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    AND NOT coalesce(b.o_custkey % 3 = 0, FALSE)
+  UNION ALL
+  -- unmatched source rows: guarded INSERT
+  SELECT s.o_orderkey, NULL AS o_custkey, 2.5 AS o_totalprice
+  FROM s
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    AND s.o_orderkey % 4 = 0
+)
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       CAST(sum(CASE WHEN o_custkey = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rekeyed,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null
+FROM merged GROUP BY bucket ORDER BY bucket
+"""

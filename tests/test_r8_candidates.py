@@ -66,3 +66,23 @@ def test_hard_negative_mining_matches_oracle(spark):
     assert all(r.cosine < DUP_THRESHOLD for r in rows)
     # no anchor returned itself
     assert all(r.qid != r.cid for r in rows)
+
+
+def test_merge_sync_by_source_matches_oracle(spark):
+    """The PG 17 two-table sync statement (guarded multi-branch
+    MATCHED + BY SOURCE DELETE + guarded INSERT) against a DuckDB
+    re-derivation of every branch decision."""
+    from citus_spark.queries.analytics import (
+        MERGE_SYNC_ORACLE,
+        merge_sync_by_source,
+    )
+
+    out = merge_sync_by_source(spark, SF_SMALL)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet')"
+    )
+    want = con.execute(MERGE_SYNC_ORACLE).df()
+    _match(out, want)
+    assert out.count() > 0
