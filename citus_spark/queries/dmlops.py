@@ -692,3 +692,126 @@ SELECT 'child' AS kind, CAST(2 AS BIGINT) AS n,
 ORDER BY kind
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# r8 oracle candidates (NOT registered — the r7 verify window is full;
+# tests/test_r8_candidates.py proves DuckDB parity directly).
+
+
+# EXCLUDE constraint lifecycle: the booking/no-overlap idiom. Rows
+# whose slot set overlaps an already-accepted row in the same room are
+# rejected statement-by-statement; the oracle re-derives every
+# acceptance decision from the same fixture-driven insert order.
+def exclude_constraint_bookings(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __ex_book")
+    s.sql("CREATE TABLE __ex_book (room int, day int, tag text)")
+    s.sql(
+        "ALTER TABLE __ex_book ADD CONSTRAINT no_dbl "
+        "EXCLUDE (room WITH =, day WITH =)"
+    )
+    # statement 1: distinct (room, day) pairs from orders — accepted
+    s.sql(
+        "INSERT INTO __ex_book SELECT room, day, 'first' FROM ("
+        "SELECT CAST(o_orderkey % 7 AS INT) AS room, "
+        "CAST(o_custkey % 5 AS INT) AS day, "
+        "row_number() OVER (PARTITION BY o_orderkey % 7, o_custkey % 5 "
+        "ORDER BY o_orderkey) AS rn "
+        "FROM orders WHERE o_orderkey < 200) WHERE rn = 1"
+    )
+    # statement 2: collides with statement 1 on every row — rejected
+    # as a whole (statement-level atomicity), table unchanged
+    try:
+        s.sql(
+            "INSERT INTO __ex_book SELECT CAST(o_orderkey % 7 AS INT), "
+            "CAST(o_custkey % 5 AS INT), 'dup' FROM orders "
+            "WHERE o_orderkey < 50 LIMIT 1"
+        )
+        raise AssertionError("exclusion violation not raised")
+    except ValueError:
+        pass
+    # statement 3: rooms 100+ cannot collide — accepted
+    s.sql(
+        "INSERT INTO __ex_book VALUES (100, 1, 'late'), (101, 1, 'late')"
+    )
+    return s.sql(
+        """
+SELECT tag, count(*) AS n, CAST(sum(room) AS BIGINT) AS room_sum,
+       CAST(sum(day) AS BIGINT) AS day_sum
+FROM __ex_book GROUP BY tag ORDER BY tag
+"""
+    )
+
+
+EXCLUDE_BOOKINGS_ORACLE = """
+WITH firsts AS (
+  SELECT CAST(o_orderkey % 7 AS INT) AS room,
+         CAST(o_custkey % 5 AS INT) AS day,
+         row_number() OVER (PARTITION BY o_orderkey % 7, o_custkey % 5
+                            ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey < 200
+), accepted AS (
+  SELECT room, day, 'first' AS tag FROM firsts WHERE rn = 1
+  UNION ALL
+  SELECT 100, 1, 'late' UNION ALL SELECT 101, 1, 'late'
+)
+SELECT tag, count(*) AS n, CAST(sum(room) AS BIGINT) AS room_sum,
+       CAST(sum(day) AS BIGINT) AS day_sum
+FROM accepted GROUP BY tag ORDER BY tag
+"""
+
+
+# nextval in UPDATE: per-affected-row draws. The row→value pairing
+# follows partition order (the engine guarantees uniqueness, like the
+# reference), so the entry returns PAIRING-INVARIANT aggregates of
+# the drawn block: count, min, max, sum are fully determined by the
+# block [start, start + n·inc).
+def update_nextval_block(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __seq_upd")
+    s.sql("DROP SEQUENCE IF EXISTS __upd_seq")
+    s.sql("CREATE SEQUENCE __upd_seq START WITH 1000")
+    s.sql("CREATE TABLE __seq_upd (okey bigint, batch_id bigint, prio text)")
+    s.sql(
+        "INSERT INTO __seq_upd SELECT o_orderkey, CAST(0 AS BIGINT), "
+        "o_orderpriority FROM orders WHERE o_orderkey < 3000"
+    )
+    s.sql(
+        "UPDATE __seq_upd SET batch_id = nextval('__upd_seq') "
+        "WHERE prio = '1-URGENT'"
+    )
+    return s.sql(
+        """
+SELECT prio, count(*) AS n,
+       CAST(min(batch_id) AS BIGINT) AS min_id,
+       CAST(max(batch_id) AS BIGINT) AS max_id,
+       CAST(sum(batch_id) AS BIGINT) AS id_sum,
+       count(DISTINCT batch_id) AS n_distinct
+FROM __seq_upd GROUP BY prio ORDER BY prio
+"""
+    )
+
+
+UPDATE_NEXTVAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio FROM orders
+  WHERE o_orderkey < 3000
+), cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_urgent FROM base
+  WHERE prio = '1-URGENT'
+)
+SELECT prio, count(*) AS n,
+       CAST(CASE WHEN prio = '1-URGENT' THEN 1000 ELSE 0 END AS BIGINT)
+         AS min_id,
+       CAST(CASE WHEN prio = '1-URGENT'
+                 THEN 999 + (SELECT n_urgent FROM cnt)
+                 ELSE 0 END AS BIGINT) AS max_id,
+       CAST(CASE WHEN prio = '1-URGENT'
+                 THEN (999 + 1000 + (SELECT n_urgent FROM cnt))
+                      * (SELECT n_urgent FROM cnt) / 2
+                 ELSE 0 END AS BIGINT) AS id_sum,
+       CAST(CASE WHEN prio = '1-URGENT' THEN (SELECT n_urgent FROM cnt)
+                 ELSE 1 END AS BIGINT) AS n_distinct
+FROM base GROUP BY prio ORDER BY prio
+"""

@@ -86,3 +86,36 @@ def test_merge_sync_by_source_matches_oracle(spark):
     want = con.execute(MERGE_SYNC_ORACLE).df()
     _match(out, want)
     assert out.count() > 0
+
+
+def _duck_orders(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def test_exclude_constraint_bookings_matches_oracle(spark):
+    from citus_spark.queries.dmlops import (
+        EXCLUDE_BOOKINGS_ORACLE,
+        exclude_constraint_bookings,
+    )
+
+    out = exclude_constraint_bookings(spark, SF_SMALL)
+    _match(out, _duck_orders(EXCLUDE_BOOKINGS_ORACLE))
+
+
+def test_update_nextval_block_matches_oracle(spark):
+    from citus_spark.queries.dmlops import (
+        UPDATE_NEXTVAL_ORACLE,
+        update_nextval_block,
+    )
+
+    out = update_nextval_block(spark, SF_SMALL)
+    _match(out, _duck_orders(UPDATE_NEXTVAL_ORACLE))
+    # re-running in the same session: DROP SEQUENCE IF EXISTS resets
+    # the block, so the entry is idempotent (the driver re-runs it)
+    again = update_nextval_block(spark, SF_SMALL)
+    _match(again, _duck_orders(UPDATE_NEXTVAL_ORACLE))
