@@ -13,8 +13,9 @@ Supported: scalar functions with named or unnamed typed parameters
 ($1-style positional references resolve to the declared parameters)
 and a single-statement SQL body (a bare SELECT of one expression, or
 a full query that becomes a scalar subquery — correlated references
-to the parameters work). Rejected loudly: LANGUAGE plpgsql,
-OUT/DEFAULT parameters.
+to the parameters work); parameter DEFAULTs pass through (Spark SQL
+UDFs take DEFAULT natively). Rejected loudly: LANGUAGE plpgsql,
+OUT/INOUT parameters.
 """
 
 from __future__ import annotations
@@ -84,24 +85,33 @@ def parse_create_function(sql: str):
             # an unnamed parameter with a synthesized name.
             try:
                 t = _map_type(item.strip())
-                pname = f"__p{idx}"
+                pname, default = f"__p{idx}", None
             except ValueError:
                 pm = re.match(
-                    r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$", item, re.I
+                    r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$",
+                    item, re.I | re.S,
                 )
                 if pm is None or pm.group(1).upper() in ("OUT", "INOUT"):
                     raise NotImplementedError(
                         f"CREATE FUNCTION: cannot parse parameter {item!r} "
                         "(named IN parameters only)"
                     )
-                if re.search(r"\bDEFAULT\b|=", pm.group(2), re.I):
-                    raise NotImplementedError(
-                        "CREATE FUNCTION: parameter DEFAULTs are not "
-                        "supported"
-                    )
-                pname, t = pm.group(1), _map_type(pm.group(2))
+                pname, rest = pm.group(1), pm.group(2)
+                # PG DEFAULT syntax: `x int DEFAULT expr` or `x int =
+                # expr` — Spark SQL UDFs take DEFAULT natively, so the
+                # clause passes through
+                dm = re.search(r"\s+DEFAULT\s+", rest, re.I)
+                if dm is None:
+                    dm = re.search(r"\s*=\s*", rest)
+                if dm is not None:
+                    rest, default = rest[: dm.start()], rest[dm.end() :]
+                else:
+                    default = None
+                t = _map_type(rest)
             pnames.append(pname)
-            params.append(f"{pname} {t}")
+            params.append(
+                f"{pname} {t} DEFAULT {default}" if default else f"{pname} {t}"
+            )
 
     def sub_positional(text: str) -> str:
         """$N → the Nth parameter's name (PG positional references).

@@ -52,19 +52,72 @@ SETVAL = re.compile(
 )
 
 
+_SEQ_OPT = re.compile(
+    r"(?:AS\s+(?:small|big)?int(?:eger)?"  # AS <type>: advisory
+    r"|START\s+(?:WITH\s+)?(?P<start>-?\d+)"
+    r"|INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+)"
+    r"|MINVALUE\s+(?P<min>-?\d+)|(?P<nomin>NO\s+MINVALUE)"
+    r"|MAXVALUE\s+(?P<max>-?\d+)|(?P<nomax>NO\s+MAXVALUE)"
+    r"|CACHE\s+\d+"  # advisory: block allocation IS the cache
+    r"|(?P<nocycle>NO\s+CYCLE)|(?P<cycle>CYCLE)"
+    r"|(?P<restart>RESTART)(?:\s+WITH\s+(?P<restart_n>-?\d+))?"
+    r"|OWNED\s+BY\s+(?:NONE|[A-Za-z_][\w.]*)"  # advisory
+    r")\s*",
+    re.I,
+)
+
+
+def parse_seq_options(opts: str) -> dict:
+    """PG sequence option list → {start, inc, min, max, cycle,
+    restart}. Unset keys are absent; NO MINVALUE/MAXVALUE appear as
+    None values. Any unrecognized token raises — a sequence change
+    must never be silently ignored."""
+    out: dict = {}
+    pos, s = 0, opts.strip()
+    while pos < len(s):
+        m = _SEQ_OPT.match(s, pos)
+        if m is None:
+            raise NotImplementedError(
+                f"ALTER/CREATE SEQUENCE: unsupported option near "
+                f"{s[pos:pos + 40]!r}"
+            )
+        if m.group("start") is not None:
+            out["start"] = int(m.group("start"))
+        if m.group("inc") is not None:
+            out["inc"] = int(m.group("inc"))
+            if out["inc"] == 0:
+                raise ValueError("INCREMENT must not be zero")
+        if m.group("min") is not None:
+            out["min"] = int(m.group("min"))
+        if m.group("nomin"):
+            out["min"] = None
+        if m.group("max") is not None:
+            out["max"] = int(m.group("max"))
+        if m.group("nomax"):
+            out["max"] = None
+        if m.group("cycle"):
+            out["cycle"] = True
+        if m.group("nocycle"):
+            out["cycle"] = False
+        if m.group("restart"):
+            out["restart"] = (
+                int(m.group("restart_n"))
+                if m.group("restart_n") is not None
+                else "start"
+            )
+        pos = m.end()
+    return out
+
+
 def parse_create_sequence(sql: str):
-    """→ (name, start, increment, if_not_exists) or None."""
+    """→ (name, options-dict, if_not_exists) or None."""
     m = _CREATE_SEQ.match(sql)
     if m is None:
         return None
-    opts = m.group("opts") or ""
-    sm = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.I)
-    im = re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", opts, re.I)
-    inc = int(im.group(1)) if im else 1
-    if inc == 0:
-        raise ValueError("INCREMENT must not be zero")
-    start = int(sm.group(1)) if sm else (1 if inc > 0 else -1)
-    return m.group("name"), start, inc, bool(m.group("ine"))
+    opts = parse_seq_options(m.group("opts") or "")
+    if "restart" in opts:
+        raise ValueError("RESTART is an ALTER SEQUENCE action")
+    return m.group("name"), opts, bool(m.group("ine"))
 
 
 def parse_drop_sequence(sql: str):
@@ -75,23 +128,46 @@ def parse_drop_sequence(sql: str):
 
 
 def parse_alter_sequence(sql: str):
-    """→ (name, new_start|None) for RESTART [WITH n]; other actions
-    raise (never silently ignore a sequence change)."""
+    """→ (name, options-dict) — RESTART [WITH n], INCREMENT BY,
+    MIN/MAXVALUE, CYCLE/NO CYCLE, START WITH (changes the remembered
+    start without moving the counter, PG semantics), advisory
+    CACHE/OWNED BY/AS."""
     m = _ALTER_SEQ.match(sql)
     if m is None:
         return None
-    rm = re.match(
-        r"RESTART(?:\s+WITH\s+(-?\d+))?\s*$", m.group("opts").strip(), re.I
-    )
-    if rm:
-        return m.group("name"), (int(rm.group(1)) if rm.group(1) else None)
-    om = re.match(r"OWNED\s+BY\b", m.group("opts").strip(), re.I)
-    if om:
-        return m.group("name"), "owned_by"  # advisory no-op
-    raise NotImplementedError(
-        f"ALTER SEQUENCE: unsupported action {m.group('opts')[:60]!r} "
-        "(supported: RESTART [WITH n], OWNED BY)"
-    )
+    return m.group("name"), parse_seq_options(m.group("opts"))
+
+
+PG_SEQ_MAX = 2**63 - 1
+PG_SEQ_MIN = -(2**63 - 1)
+
+
+def seq_defaults(opts: dict) -> dict:
+    """Resolve a CREATE SEQUENCE option dict into full state with PG
+    defaults: ascending sequences run [1, 2^63-1] starting at min;
+    descending run [-(2^63-1), -1] starting at max."""
+    inc = opts.get("inc", 1)
+    mn = opts.get("min")
+    mx = opts.get("max")
+    if mn is None:
+        mn = 1 if inc > 0 else PG_SEQ_MIN
+    if mx is None:
+        mx = PG_SEQ_MAX if inc > 0 else -1
+    start = opts.get("start", mn if inc > 0 else mx)
+    if not mn <= start <= mx:
+        raise ValueError(
+            f"START value ({start}) cannot be outside "
+            f"[{mn}, {mx}]"
+        )
+    return {
+        "next": start,
+        "inc": inc,
+        "last": None,
+        "start": start,
+        "min": mn,
+        "max": mx,
+        "cycle": bool(opts.get("cycle", False)),
+    }
 
 
 # serial / identity column sugar in CREATE TABLE items

@@ -1741,14 +1741,51 @@ class DistributedSession:
         """Reserve n values; returns the first. The block-allocation
         analog of the reference's coordinator handing workers disjoint
         sequence ranges."""
+        from citus_spark.plans.sequence_sql import PG_SEQ_MAX, PG_SEQ_MIN
+
         st = self._sequences.get(name)
         if st is None:
             raise ValueError(f'sequence "{name}" does not exist')
         base = st["next"]
         if n <= 0:
             return base  # empty draw: state unchanged
-        st["next"] = base + n * st["inc"]
-        st["last"] = base + (n - 1) * st["inc"]
+        inc = st["inc"]
+        mn = st.get("min", PG_SEQ_MIN)
+        mx = st.get("max", PG_SEQ_MAX)
+        # single draws cycle like PG (exhausted → restart at min/max);
+        # a multi-value BLOCK that would cross the boundary cannot be
+        # handed out as one closed-form range — reject rather than
+        # fabricate values (PG would error mid-statement without
+        # CYCLE; with CYCLE the block form has no contiguous answer)
+        if inc > 0 and base > mx:
+            if not st.get("cycle"):
+                raise ValueError(
+                    f'nextval: reached maximum value of sequence '
+                    f'"{name}" ({mx})'
+                )
+            base = mn
+        elif inc < 0 and base < mn:
+            if not st.get("cycle"):
+                raise ValueError(
+                    f'nextval: reached minimum value of sequence '
+                    f'"{name}" ({mn})'
+                )
+            base = mx
+        last = base + (n - 1) * inc
+        if (inc > 0 and last > mx) or (inc < 0 and last < mn):
+            if st.get("cycle"):
+                raise NotImplementedError(
+                    f'sequence "{name}": a {n}-value statement block '
+                    "crosses the CYCLE boundary — block allocation "
+                    "cannot wrap mid-statement"
+                )
+            raise ValueError(
+                f'nextval: reached {"maximum" if inc > 0 else "minimum"} '
+                f'value of sequence "{name}" '
+                f'({mx if inc > 0 else mn})'
+            )
+        st["next"] = base + n * inc
+        st["last"] = last
         return base
 
     def _execute_sequence_ddl(self, query: str):
@@ -1758,9 +1795,11 @@ class DistributedSession:
             parse_drop_sequence,
         )
 
+        from citus_spark.plans.sequence_sql import seq_defaults
+
         cs = parse_create_sequence(query)
         if cs is not None:
-            name, start, inc, ine = cs
+            name, opts, ine = cs
             if name in self._sequences:
                 if ine:
                     return self.spark.createDataFrame(
@@ -1768,7 +1807,7 @@ class DistributedSession:
                         "status string",
                     )
                 raise ValueError(f'sequence "{name}" already exists')
-            self._sequences[name] = {"next": start, "inc": inc, "last": None}
+            self._sequences[name] = seq_defaults(opts)
             self.stat_statements.record(query, None, executor="utility")
             return self.spark.createDataFrame(
                 [("CREATE SEQUENCE",)], "status string"
@@ -1788,19 +1827,50 @@ class DistributedSession:
             )
         al = parse_alter_sequence(query)
         if al is not None:
-            name, arg = al
-            if arg == "owned_by":
-                return self.spark.createDataFrame(
-                    [("ALTER SEQUENCE accepted (OWNED BY is advisory)",)],
-                    "status string",
-                )
+            name, opts = al
             st = self._sequences.get(name)
             if st is None:
                 raise ValueError(f'sequence "{name}" does not exist')
-            st["next"] = arg if arg is not None else (
-                1 if st["inc"] > 0 else -1
+            from citus_spark.plans.sequence_sql import (
+                PG_SEQ_MAX,
+                PG_SEQ_MIN,
             )
-            st["last"] = None
+
+            if "inc" in opts:
+                st["inc"] = opts["inc"]
+            if "min" in opts:
+                st["min"] = (
+                    opts["min"]
+                    if opts["min"] is not None
+                    else (1 if st["inc"] > 0 else PG_SEQ_MIN)
+                )
+            if "max" in opts:
+                st["max"] = (
+                    opts["max"]
+                    if opts["max"] is not None
+                    else (PG_SEQ_MAX if st["inc"] > 0 else -1)
+                )
+            if "cycle" in opts:
+                st["cycle"] = opts["cycle"]
+            if "start" in opts:
+                # PG: START WITH in ALTER changes the REMEMBERED start
+                # (what a bare RESTART returns to) without moving the
+                # live counter
+                st["start"] = opts["start"]
+            if "restart" in opts:
+                st["next"] = (
+                    st.get("start", 1 if st["inc"] > 0 else -1)
+                    if opts["restart"] == "start"
+                    else opts["restart"]
+                )
+                st["last"] = None
+            mn = st.get("min", PG_SEQ_MIN)
+            mx = st.get("max", PG_SEQ_MAX)
+            if mn > mx:
+                raise ValueError(
+                    f"MINVALUE ({mn}) must be no greater than "
+                    f"MAXVALUE ({mx})"
+                )
             return self.spark.createDataFrame(
                 [("ALTER SEQUENCE",)], "status string"
             )
@@ -1839,10 +1909,22 @@ class DistributedSession:
             return "".join(out)
 
         def do_setval(m: _re.Match) -> str:
+            from citus_spark.plans.sequence_sql import (
+                PG_SEQ_MAX,
+                PG_SEQ_MIN,
+            )
+
             seq, n = m.group("seq"), int(m.group("n"))
             st = self._sequences.get(seq)
             if st is None:
                 raise ValueError(f'sequence "{seq}" does not exist')
+            mn = st.get("min", PG_SEQ_MIN)
+            mx = st.get("max", PG_SEQ_MAX)
+            if not mn <= n <= mx:
+                raise ValueError(
+                    f'setval: value {n} is out of bounds for sequence '
+                    f'"{seq}" ({mn}..{mx})'
+                )
             called = (m.group("called") or "true").lower() == "true"
             st["next"] = n + st["inc"] if called else n
             st["last"] = n if called else None

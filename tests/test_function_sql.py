@@ -162,3 +162,21 @@ def test_positional_inside_literal_untouched(sess):
     )
     assert sess.sql("SELECT lit1('x') AS v").collect()[0].v == "x$1"
     sess.sql("DROP FUNCTION lit1")
+
+
+def test_parameter_defaults(sess):
+    """PG DEFAULT parameters — both spellings — pass through to the
+    Spark SQL UDF's native DEFAULT."""
+    sess.sql(
+        "CREATE FUNCTION padded(x int, pad int DEFAULT 10) RETURNS int "
+        "AS $$ SELECT x + pad $$ LANGUAGE sql"
+    )
+    assert sess.sql("SELECT padded(1) AS v").collect()[0].v == 11
+    assert sess.sql("SELECT padded(1, 2) AS v").collect()[0].v == 3
+    sess.sql(
+        "CREATE FUNCTION scaled(x double precision, k double precision = 2.0) "
+        "RETURNS double precision AS $$ SELECT x * k $$ LANGUAGE sql"
+    )
+    assert sess.sql("SELECT scaled(3.0) AS v").collect()[0].v == 6.0
+    sess.sql("DROP FUNCTION padded")
+    sess.sql("DROP FUNCTION scaled")

@@ -167,3 +167,67 @@ def test_nextval_in_where_and_from_rejected(sess):
             "UPDATE uw_t SET v = nextval('s12') FROM uw_src "
             "WHERE uw_t.k = uw_src.k"
         )
+
+
+def test_sequence_full_options(sess):
+    """INCREMENT BY / MINVALUE / MAXVALUE / CYCLE / CACHE — the full
+    PG option grammar (previously only START/INCREMENT parsed)."""
+    sess.sql(
+        "CREATE SEQUENCE opt_s INCREMENT BY 2 MINVALUE 10 MAXVALUE 16 "
+        "START WITH 10 CACHE 20 NO CYCLE"
+    )
+    vals = [
+        sess.sql("SELECT nextval('opt_s') AS v").collect()[0].v
+        for _ in range(4)
+    ]
+    assert vals == [10, 12, 14, 16]
+    with pytest.raises(ValueError, match="maximum value"):
+        sess.sql("SELECT nextval('opt_s')")
+    # CYCLE restarts at MINVALUE
+    sess.sql("ALTER SEQUENCE opt_s CYCLE")
+    assert sess.sql("SELECT nextval('opt_s') AS v").collect()[0].v == 10
+    sess.sql("DROP SEQUENCE opt_s")
+
+
+def test_sequence_descending_and_restart(sess):
+    # descending default MAXVALUE is -1, so START 3 needs an explicit
+    # bound (PG rejects it otherwise — probed)
+    sess.sql(
+        "CREATE SEQUENCE down_s INCREMENT BY -1 MAXVALUE 3 START WITH 3"
+    )
+    vals = [
+        sess.sql("SELECT nextval('down_s') AS v").collect()[0].v
+        for _ in range(4)
+    ]
+    assert vals == [3, 2, 1, 0]
+    # descending default MINVALUE is huge-negative; tighten and exhaust
+    sess.sql("ALTER SEQUENCE down_s MINVALUE -1")
+    assert sess.sql("SELECT nextval('down_s') AS v").collect()[0].v == -1
+    with pytest.raises(ValueError, match="minimum value"):
+        sess.sql("SELECT nextval('down_s')")
+    # ALTER START WITH changes what a bare RESTART returns to,
+    # without moving the live counter (PG semantics)
+    sess.sql("ALTER SEQUENCE down_s START WITH 2 RESTART")
+    assert sess.sql("SELECT nextval('down_s') AS v").collect()[0].v == 2
+    sess.sql("DROP SEQUENCE down_s")
+
+
+def test_sequence_setval_bounds_and_block_guard(sess):
+    sess.sql("CREATE SEQUENCE b_s MAXVALUE 5")
+    with pytest.raises(ValueError, match="out of bounds"):
+        sess.sql("SELECT setval('b_s', 99)")
+    # a multi-row statement whose block would cross MAXVALUE fails
+    # whole-statement (never fabricates values past the bound)
+    sess.sql("CREATE TABLE bs_t (k bigint)")
+    with pytest.raises(ValueError, match="maximum value"):
+        sess.sql(
+            "INSERT INTO bs_t SELECT nextval('b_s') FROM "
+            "(SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3 "
+            "UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6)"
+        )
+    sess.sql("DROP SEQUENCE b_s")
+
+
+def test_sequence_unknown_option_rejected(sess):
+    with pytest.raises(NotImplementedError, match="unsupported option"):
+        sess.sql("CREATE SEQUENCE bad_s FROBNICATE 7")
