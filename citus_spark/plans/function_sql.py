@@ -79,36 +79,46 @@ def parse_create_function(sql: str):
     pnames = []
     raw = m.group("params").strip()
     if raw:
-        for idx, item in enumerate(raw.split(","), start=1):
-            # PG allows fully unnamed parameters (`f(int, text)`) —
-            # referenced in the body as $1, $2. A bare type parses as
-            # an unnamed parameter with a synthesized name.
+        from citus_spark.plans.rewrites import _split_top_level
+
+        def split_default(text: str):
+            """`... DEFAULT expr` / `... = expr` → (head, expr|None).
+            The expr may contain commas/parens — the item was split
+            paren- and literal-aware above, so only the FIRST
+            separator matters here."""
+            dm = re.search(r"\s+DEFAULT\s+|^DEFAULT\s+", text, re.I)
+            if dm is None:
+                dm = re.search(r"\s*=\s*", text)
+            if dm is None:
+                return text, None
+            return text[: dm.start()], text[dm.end() :].strip()
+
+        # top-level split: a DEFAULT like greatest(1, 2) keeps its
+        # commas (paren/literal-aware, same splitter the rewrites use)
+        for idx, item in enumerate(_split_top_level(raw), start=1):
+            # PG allows fully unnamed parameters (`f(int, text)`,
+            # `f(int DEFAULT 5)`) — referenced in the body as $1, $2.
+            # A bare type parses as an unnamed parameter with a
+            # synthesized name.
+            item = item.strip()
+            head, default = split_default(item)
             try:
-                t = _map_type(item.strip())
-                pname, default = f"__p{idx}", None
+                t = _map_type(head.strip())
+                pname = f"__p{idx}"
             except ValueError:
                 pm = re.match(
                     r"\s*(?:IN\s+)?([A-Za-z_]\w*)\s+(.+?)\s*$",
-                    item, re.I | re.S,
+                    head, re.I | re.S,
                 )
                 if pm is None or pm.group(1).upper() in ("OUT", "INOUT"):
                     raise NotImplementedError(
                         f"CREATE FUNCTION: cannot parse parameter {item!r} "
                         "(named IN parameters only)"
                     )
-                pname, rest = pm.group(1), pm.group(2)
-                # PG DEFAULT syntax: `x int DEFAULT expr` or `x int =
-                # expr` — Spark SQL UDFs take DEFAULT natively, so the
-                # clause passes through
-                dm = re.search(r"\s+DEFAULT\s+", rest, re.I)
-                if dm is None:
-                    dm = re.search(r"\s*=\s*", rest)
-                if dm is not None:
-                    rest, default = rest[: dm.start()], rest[dm.end() :]
-                else:
-                    default = None
-                t = _map_type(rest)
+                pname, t = pm.group(1), _map_type(pm.group(2))
             pnames.append(pname)
+            # PG DEFAULT (`DEFAULT expr` or `= expr`) passes through —
+            # Spark SQL UDFs take DEFAULT natively
             params.append(
                 f"{pname} {t} DEFAULT {default}" if default else f"{pname} {t}"
             )

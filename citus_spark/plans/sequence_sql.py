@@ -53,18 +53,30 @@ SETVAL = re.compile(
 
 
 _SEQ_OPT = re.compile(
-    r"(?:AS\s+(?:small|big)?int(?:eger)?"  # AS <type>: advisory
+    r"(?:AS\s+(?P<astype>smallint|int(?:eger)?|bigint)"
     r"|START\s+(?:WITH\s+)?(?P<start>-?\d+)"
     r"|INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+)"
     r"|MINVALUE\s+(?P<min>-?\d+)|(?P<nomin>NO\s+MINVALUE)"
     r"|MAXVALUE\s+(?P<max>-?\d+)|(?P<nomax>NO\s+MAXVALUE)"
     r"|CACHE\s+\d+"  # advisory: block allocation IS the cache
     r"|(?P<nocycle>NO\s+CYCLE)|(?P<cycle>CYCLE)"
-    r"|(?P<restart>RESTART)(?:\s+WITH\s+(?P<restart_n>-?\d+))?"
+    # PG grammar: RESTART [ [ WITH ] restart ] — WITH is optional
+    r"|(?P<restart>RESTART)(?:\s+(?:WITH\s+)?(?P<restart_n>-?\d+))?"
     r"|OWNED\s+BY\s+(?:NONE|[A-Za-z_][\w.]*)"  # advisory
     r")\s*",
     re.I,
 )
+
+PG_SEQ_MAX = 2**63 - 1
+PG_SEQ_MIN = -(2**63 - 1)
+
+# PG: the sequence's data type bounds its value range
+_TYPE_BOUNDS = {
+    "smallint": (-(2**15), 2**15 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "integer": (-(2**31), 2**31 - 1),
+    "bigint": (PG_SEQ_MIN, PG_SEQ_MAX),
+}
 
 
 def parse_seq_options(opts: str) -> dict:
@@ -81,6 +93,8 @@ def parse_seq_options(opts: str) -> dict:
                 f"ALTER/CREATE SEQUENCE: unsupported option near "
                 f"{s[pos:pos + 40]!r}"
             )
+        if m.group("astype") is not None:
+            out["astype"] = m.group("astype").lower()
         if m.group("start") is not None:
             out["start"] = int(m.group("start"))
         if m.group("inc") is not None:
@@ -138,21 +152,25 @@ def parse_alter_sequence(sql: str):
     return m.group("name"), parse_seq_options(m.group("opts"))
 
 
-PG_SEQ_MAX = 2**63 - 1
-PG_SEQ_MIN = -(2**63 - 1)
-
-
 def seq_defaults(opts: dict) -> dict:
     """Resolve a CREATE SEQUENCE option dict into full state with PG
-    defaults: ascending sequences run [1, 2^63-1] starting at min;
-    descending run [-(2^63-1), -1] starting at max."""
+    defaults: ascending sequences run [1, type-max] starting at min;
+    descending run [type-min, -1] starting at max. AS <type> (PG: the
+    sequence's data type) supplies the bounds when MIN/MAXVALUE are
+    not explicit."""
     inc = opts.get("inc", 1)
+    tmin, tmax = _TYPE_BOUNDS[opts.get("astype", "bigint")]
     mn = opts.get("min")
     mx = opts.get("max")
     if mn is None:
-        mn = 1 if inc > 0 else PG_SEQ_MIN
+        mn = 1 if inc > 0 else tmin
     if mx is None:
-        mx = PG_SEQ_MAX if inc > 0 else -1
+        mx = tmax if inc > 0 else -1
+    if not (tmin <= mn and mx <= tmax):
+        raise ValueError(
+            f"MINVALUE/MAXVALUE ({mn}, {mx}) out of range for "
+            f"sequence type {opts.get('astype', 'bigint')}"
+        )
     start = opts.get("start", mn if inc > 0 else mx)
     if not mn <= start <= mx:
         raise ValueError(
@@ -167,6 +185,7 @@ def seq_defaults(opts: dict) -> dict:
         "min": mn,
         "max": mx,
         "cycle": bool(opts.get("cycle", False)),
+        "astype": opts.get("astype", "bigint"),
     }
 
 
@@ -188,21 +207,23 @@ _DEFAULT_NEXTVAL = re.compile(
 def identity_of(column_item: str):
     """If a CREATE TABLE column item declares an auto-sequence
     (serial/bigserial, GENERATED .. AS IDENTITY [(opts)], DEFAULT
-    nextval), return (column, explicit_seq_name_or_None, start, inc).
-    An explicit name (DEFAULT nextval) means the sequence is NOT
-    owned by the table — it survives DROP TABLE, like PG."""
+    nextval), return (column, explicit_seq_name_or_None, opts_dict)
+    where opts_dict feeds :func:`seq_defaults`. IDENTITY options go
+    through the full parse_seq_options grammar — MIN/MAXVALUE/CYCLE
+    inside the parens are honored, never silently dropped. An explicit
+    name (DEFAULT nextval) means the sequence is NOT owned by the
+    table — it survives DROP TABLE, like PG."""
     m = _SERIAL_COL.match(column_item)
     if m:
-        return m.group(1), None, 1, 1
+        # PG: smallserial/serial/bigserial take the type's bounds
+        astype = {
+            "small": "smallint", "big": "bigint", None: "int"
+        }[m.group(2).lower() if m.group(2) else None]
+        return m.group(1), None, {"astype": astype}
     m = _IDENTITY_COL.match(column_item)
     if m:
-        opts = m.group(2) or ""
-        sm = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.I)
-        im = re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", opts, re.I)
-        inc = int(im.group(1)) if im else 1
-        start = int(sm.group(1)) if sm else (1 if inc > 0 else -1)
-        return m.group(1), None, start, inc
+        return m.group(1), None, parse_seq_options(m.group(2) or "")
     m = _DEFAULT_NEXTVAL.match(column_item)
     if m:
-        return m.group(1), m.group(2), 1, 1
+        return m.group(1), m.group(2), {}
     return None

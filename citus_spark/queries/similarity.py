@@ -1424,7 +1424,7 @@ FROM q GROUP BY q.label ORDER BY q.label
 # |Q|·k survivors shuffle for ranking.
 #
 # NOT yet registered — r8 oracle candidate (the r7 verify window is
-# full); tests/test_hard_negatives.py proves DuckDB parity directly.
+# full); tests/test_r8_candidates.py proves DuckDB parity directly.
 DUP_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal
 
 

@@ -2608,7 +2608,7 @@ GROUP BY a.arm ORDER BY a.arm
 # pow(x, a) is libm-dependent (README §Correctness).
 #
 # NOT yet registered — r8 oracle candidate (the r7 verify window is
-# full); tests/test_mixture_sample.py proves DuckDB parity directly.
+# full); tests/test_r8_candidates.py proves DuckDB parity directly.
 
 def temperature_mixture_sample(
     spark: SparkSession, sf_dir: str, total: int = 200

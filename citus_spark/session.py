@@ -1832,45 +1832,81 @@ class DistributedSession:
             if st is None:
                 raise ValueError(f'sequence "{name}" does not exist')
             from citus_spark.plans.sequence_sql import (
+                _TYPE_BOUNDS,
                 PG_SEQ_MAX,
                 PG_SEQ_MIN,
             )
 
+            # apply to a COPY, validate, then swap — a rejected ALTER
+            # must leave the sequence untouched (PG atomicity)
+            nw = dict(st)
+            if "astype" in opts:
+                # PG: AS <type> re-derives MIN/MAXVALUE iff the old
+                # values sat at the old type's defaults
+                old_tmin, old_tmax = _TYPE_BOUNDS[
+                    nw.get("astype", "bigint")
+                ]
+                tmin, tmax = _TYPE_BOUNDS[opts["astype"]]
+                asc = nw["inc"] > 0
+                if nw.get("max") == (old_tmax if asc else -1):
+                    nw["max"] = tmax if asc else -1
+                if nw.get("min") == (1 if asc else old_tmin):
+                    nw["min"] = 1 if asc else tmin
+                nw["astype"] = opts["astype"]
             if "inc" in opts:
-                st["inc"] = opts["inc"]
+                nw["inc"] = opts["inc"]
             if "min" in opts:
-                st["min"] = (
+                nw["min"] = (
                     opts["min"]
                     if opts["min"] is not None
-                    else (1 if st["inc"] > 0 else PG_SEQ_MIN)
+                    else (1 if nw["inc"] > 0 else PG_SEQ_MIN)
                 )
             if "max" in opts:
-                st["max"] = (
+                nw["max"] = (
                     opts["max"]
                     if opts["max"] is not None
-                    else (PG_SEQ_MAX if st["inc"] > 0 else -1)
+                    else (PG_SEQ_MAX if nw["inc"] > 0 else -1)
                 )
             if "cycle" in opts:
-                st["cycle"] = opts["cycle"]
+                nw["cycle"] = opts["cycle"]
             if "start" in opts:
                 # PG: START WITH in ALTER changes the REMEMBERED start
                 # (what a bare RESTART returns to) without moving the
                 # live counter
-                st["start"] = opts["start"]
-            if "restart" in opts:
-                st["next"] = (
-                    st.get("start", 1 if st["inc"] > 0 else -1)
-                    if opts["restart"] == "start"
-                    else opts["restart"]
-                )
-                st["last"] = None
-            mn = st.get("min", PG_SEQ_MIN)
-            mx = st.get("max", PG_SEQ_MAX)
+                nw["start"] = opts["start"]
+            mn = nw.get("min", PG_SEQ_MIN)
+            mx = nw.get("max", PG_SEQ_MAX)
             if mn > mx:
                 raise ValueError(
                     f"MINVALUE ({mn}) must be no greater than "
                     f"MAXVALUE ({mx})"
                 )
+            tmin, tmax = _TYPE_BOUNDS[nw.get("astype", "bigint")]
+            if not (tmin <= mn and mx <= tmax):
+                raise ValueError(
+                    f"MINVALUE/MAXVALUE ({mn}, {mx}) out of range for "
+                    f"sequence type {nw.get('astype', 'bigint')}"
+                )
+            if "restart" in opts:
+                target = (
+                    nw.get("start", 1 if nw["inc"] > 0 else -1)
+                    if opts["restart"] == "start"
+                    else opts["restart"]
+                )
+                if target > mx:
+                    raise ValueError(
+                        f"RESTART value ({target}) cannot be greater "
+                        f"than MAXVALUE ({mx})"
+                    )
+                if target < mn:
+                    raise ValueError(
+                        f"RESTART value ({target}) cannot be less "
+                        f"than MINVALUE ({mn})"
+                    )
+                nw["next"] = target
+                nw["last"] = None
+            st.clear()
+            st.update(nw)
             return self.spark.createDataFrame(
                 [("ALTER SEQUENCE",)], "status string"
             )
@@ -2363,13 +2399,15 @@ class DistributedSession:
                 # (serial/IDENTITY) are OWNED — dropped with the table
                 # and honoring START WITH / INCREMENT BY; an explicit
                 # DEFAULT nextval('s') sequence is independent.
+                from citus_spark.plans.sequence_sql import (
+                    seq_defaults as _seq_defaults,
+                )
+
                 ident_map: dict[str, str] = {}
-                for col, seqname, start, inc in identities:
+                for col, seqname, seq_opts in identities:
                     if seqname is None:
                         seqname = f"{name}_{col}_seq"
-                        self._sequences[seqname] = {
-                            "next": start, "inc": inc, "last": None,
-                        }
+                        self._sequences[seqname] = _seq_defaults(seq_opts)
                         self._owned_seqs.add(seqname)
                     elif seqname not in self._sequences:
                         raise ValueError(

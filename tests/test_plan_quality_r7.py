@@ -96,10 +96,11 @@ def test_merge_multi_branch_plan_quality(spark):
     assert n_exchanges(out) == 0  # broadcast both sides
 
 
-def test_exclude_validation_plan_quality(spark, tmp_path):
-    from pyspark.sql import functions as F
+def test_exclude_validation_plan_quality(spark):
     """Exclusion validation joins on the '=' elements (equi-key) with
     '&&' as a post-join predicate — a hash join, never a cartesian."""
+    from pyspark.sql import functions as F
+
     from citus_spark.plans.constraints import _exclude_violations
 
     df = spark.createDataFrame(

@@ -231,3 +231,56 @@ def test_sequence_setval_bounds_and_block_guard(sess):
 def test_sequence_unknown_option_rejected(sess):
     with pytest.raises(NotImplementedError, match="unsupported option"):
         sess.sql("CREATE SEQUENCE bad_s FROBNICATE 7")
+
+
+def test_alter_sequence_atomic_and_restart_bounds(sess):
+    """Review findings: a rejected ALTER leaves the sequence untouched
+    (PG atomicity), and RESTART WITH is bounds-checked at ALTER time."""
+    sess.sql("CREATE SEQUENCE at_s START WITH 100")
+    with pytest.raises(ValueError, match="MINVALUE"):
+        sess.sql("ALTER SEQUENCE at_s MINVALUE 10 MAXVALUE 5")
+    # the failed ALTER wrote nothing — nextval still runs from 100
+    assert sess.sql("SELECT nextval('at_s') AS v").collect()[0].v == 100
+    sess.sql("ALTER SEQUENCE at_s MAXVALUE 200 CYCLE")
+    with pytest.raises(ValueError, match="RESTART value"):
+        sess.sql("ALTER SEQUENCE at_s RESTART WITH 999")
+    # RESTART without WITH (PG grammar: WITH is optional)
+    sess.sql("ALTER SEQUENCE at_s RESTART 150")
+    assert sess.sql("SELECT nextval('at_s') AS v").collect()[0].v == 150
+    sess.sql("DROP SEQUENCE at_s")
+
+
+def test_sequence_as_type_bounds(sess):
+    """AS smallint sets the value range from the type (PG: the
+    sequence data type bounds MIN/MAXVALUE)."""
+    sess.sql("CREATE SEQUENCE sm_s AS smallint")
+    with pytest.raises(ValueError, match="out of bounds"):
+        sess.sql("SELECT setval('sm_s', 40000)")
+    sess.sql("SELECT setval('sm_s', 32766)")
+    assert sess.sql("SELECT nextval('sm_s') AS v").collect()[0].v == 32767
+    with pytest.raises(ValueError, match="maximum value"):
+        sess.sql("SELECT nextval('sm_s')")
+    sess.sql("DROP SEQUENCE sm_s")
+
+
+def test_identity_options_honored(sess):
+    """Review finding: MIN/MAXVALUE/CYCLE inside GENERATED .. AS
+    IDENTITY (...) were silently dropped; owned sequences now build
+    through the same option grammar as CREATE SEQUENCE."""
+    sess.sql(
+        "CREATE TABLE idopt_t (id int GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 5 MAXVALUE 7), v text)"
+    )
+    sess.sql("INSERT INTO idopt_t (v) VALUES ('a'), ('b'), ('c')")
+    ids = sorted(
+        r.id for r in sess.sql("SELECT id FROM idopt_t").collect()
+    )
+    assert ids == [5, 6, 7]
+    with pytest.raises(ValueError, match="maximum value"):
+        sess.sql("INSERT INTO idopt_t (v) VALUES ('d')")
+    # serial columns carry their type's bounds (bigserial != serial)
+    sess.sql("CREATE TABLE ser_b (id serial, v int)")
+    st = sess._sequences["ser_b_id_seq"]
+    assert st["max"] == 2**31 - 1 and st["min"] == 1
+    sess.sql("DROP TABLE idopt_t")
+    sess.sql("DROP TABLE ser_b")
