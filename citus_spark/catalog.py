@@ -66,6 +66,10 @@ class TableDist:
     # SET DEFAULT (plans/constraints.py); unset columns default to
     # NULL, PG's default-of-defaults.
     defaults: dict | None = None
+    # stored generated columns (PG GENERATED ALWAYS AS (expr) STORED):
+    # {column: sql_expr}. Recomputed from the row's base columns on
+    # every write path; never directly insertable/updatable.
+    generated: dict | None = None
     # isolated tenants (↔ reference isolate_tenant_to_new_shard,
     # operations/shard_split.c): {str(tenant_value): shard_id}. The
     # physical layout gives each isolated tenant its own storage

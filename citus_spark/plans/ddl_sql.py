@@ -476,10 +476,36 @@ def _column_default(item: str) -> str | None:
     return expr or None
 
 
+_GENERATED_EXPR = re.compile(
+    r"\bGENERATED\s+ALWAYS\s+AS\s*\(", re.I
+)
+
+
+def _generated_of(item: str) -> str | None:
+    """`col type GENERATED ALWAYS AS (expr) STORED` → expr (balanced,
+    literal-masked). PG requires STORED; anything else after the
+    closing paren rejects loudly (a silently NULL-filled generated
+    column is wrong data). Distinct from GENERATED .. AS IDENTITY —
+    that form has no parenthesized expression after AS."""
+    masked = _mask_literals(item)
+    m = _GENERATED_EXPR.search(masked)
+    if m is None:
+        return None
+    body = _balanced_paren_body(item, m.end() - 1)
+    tail = masked[m.end() - 1 + len(body) + 2 :].strip()
+    if not re.match(r"STORED\b", tail, re.I):
+        raise NotImplementedError(
+            "GENERATED ALWAYS AS (expr) requires STORED (virtual "
+            "generated columns are not supported)"
+        )
+    return body.strip()
+
+
 def parse_create_table(sql: str):
     """→ (table, spark-DDL schema string, if_not_exists,
-    [(identity_col, explicit_seq|None, start, inc), ...],
-    [constraint op tuples], {col: default_expr}), or None."""
+    [(identity_col, explicit_seq|None, opts_dict), ...],
+    [constraint op tuples], {col: default_expr},
+    {col: generated_expr}), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
     m = _CREATE.match(sql)
@@ -487,17 +513,19 @@ def parse_create_table(sql: str):
         return None
     table = m.group("name")
     cols = []
-    identities: list[tuple[str, str | None, int, int]] = []
+    identities: list[tuple] = []
     con_ops: list[tuple] = []
     taken: set[str] = set()
     defaults: dict[str, str] = {}
+    generated: dict[str, str] = {}
     for item in _split_columns(m.group("body")):
         if _TABLE_CONSTRAINT.match(item):
             op = _table_constraint_op(table, item, taken)
             taken.add(op[1])
             con_ops.append(op)
             continue
-        ident = identity_of(item)
+        gen = _generated_of(item)
+        ident = identity_of(item) if gen is None else None
         if ident is not None:
             identities.append(ident)
         cm = re.match(
@@ -510,16 +538,31 @@ def parse_create_table(sql: str):
         if not cm:
             raise ValueError(f"CREATE TABLE: cannot parse column {item!r}")
         cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
+        if gen is not None:
+            generated[cm.group(1)] = gen
         dflt = _column_default(item)
-        if dflt is not None and ident is None:
+        if dflt is not None and ident is None and gen is None:
             defaults[cm.group(1)] = dflt
         for op in _column_constraint_ops(table, cm.group(1), item, taken):
             taken.add(op[1])
             con_ops.append(op)
+    # PG: a generated column cannot reference another generated column
+    for c, expr in generated.items():
+        for other in generated:
+            if other != c and re.search(
+                rf"\b{re.escape(other)}\b", _mask_literals(expr)
+            ):
+                raise ValueError(
+                    f'generated column "{c}" cannot reference another '
+                    f'generated column "{other}"'
+                )
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
-    return table, ", ".join(cols), ine, identities, con_ops, defaults
+    return (
+        table, ", ".join(cols), ine, identities, con_ops, defaults,
+        generated,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -258,6 +258,7 @@ class DistributedSession:
             entry.identity = prior.identity
             entry.constraints = prior.constraints
             entry.defaults = prior.defaults
+            entry.generated = prior.generated
         # distribution rules re-judge every constraint now that the
         # table is hash-distributed (↔ create_distributed_table.c
         # erroring on non-dist-col unique keys / unsupported FKs);
@@ -372,6 +373,7 @@ class DistributedSession:
             entry.identity = prior.identity
             entry.constraints = prior.constraints
             entry.defaults = prior.defaults
+            entry.generated = prior.generated
         df.hint("broadcast").createOrReplaceTempView(name)
         return df
 
@@ -2372,9 +2374,10 @@ class DistributedSession:
             )
         created = parse_create_table(query)
         if created is not None:
-            name, ddl_schema, if_not_exists, identities, con_ops, defaults = (
-                created
-            )
+            (
+                name, ddl_schema, if_not_exists, identities, con_ops,
+                defaults, generated,
+            ) = created
             if self.catalog.get(name) is not None:
                 if if_not_exists:
                     return self.spark.createDataFrame(
@@ -2393,6 +2396,18 @@ class DistributedSession:
             entry = self.catalog.register(name, "none", path=path)
             if defaults:
                 entry.defaults = defaults
+            if generated:
+                # analyze each expression against the empty relation —
+                # a typo'd base column must fail at CREATE time
+                for c, gexpr in generated.items():
+                    try:
+                        empty.select(F.expr(gexpr))
+                    except Exception as e:
+                        raise ValueError(
+                            f"generated column {c!r} expression "
+                            f"{gexpr!r} does not resolve: {e}"
+                        ) from e
+                entry.generated = generated
             if identities:
                 # serial / IDENTITY / DEFAULT nextval: bind each column
                 # to its session sequence, PG-style. Implicit sequences
@@ -2487,16 +2502,24 @@ class DistributedSession:
                 # then auto-drops same-table constraints, PG-style)
                 _cons.guard_parent_column_change(self, name, op[1])
                 _cons.guard_column_change(entry, name, op[1])
+                self._guard_generated_change(entry, name, op[1])
                 if entry.defaults:
                     entry.defaults.pop(op[1], None)
+                if entry.generated:
+                    entry.generated.pop(op[1], None)
                 new = cur.drop(op[1])
             elif op[0] == "rename_col":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
                 _cons.guard_column_change(entry, name, op[1], op[2])
                 _cons.guard_parent_column_change(self, name, op[1], op[2])
+                self._guard_generated_change(
+                    entry, name, op[1], renamed_to=op[2]
+                )
                 if entry.defaults and op[1] in entry.defaults:
                     entry.defaults[op[2]] = entry.defaults.pop(op[1])
+                if entry.generated and op[1] in entry.generated:
+                    entry.generated[op[2]] = entry.generated.pop(op[1])
                 new = cur.withColumnRenamed(op[1], op[2])
             elif op[0] == "alter_type":
                 # ALTER COLUMN .. TYPE [USING expr] — ↔ reference
@@ -2648,6 +2671,71 @@ class DistributedSession:
             )
         return None
 
+    def _guard_generated_change(
+        self, entry, table: str, col: str, renamed_to: str | None = None
+    ) -> None:
+        """A base column a generated expression references cannot be
+        dropped without CASCADE (PG), and a rename cannot safely
+        rewrite the stored expression text — both reject loudly.
+        Dropping/renaming the generated column itself is fine (the
+        caller moves its dict entry)."""
+        import re as _re
+
+        for gcol, gexpr in (entry.generated or {}).items():
+            if gcol == col:
+                continue
+            if _re.search(rf"\b{_re.escape(col)}\b", gexpr):
+                verb = "rename" if renamed_to else "drop"
+                raise ValueError(
+                    f'cannot {verb} column "{col}" of relation '
+                    f'"{table}": generated column "{gcol}" references '
+                    "it — drop the generated column first"
+                )
+
+    def _values_substitute_defaults(
+        self, values_sql: str, names: list[str], entry
+    ) -> str:
+        """`VALUES (1, DEFAULT), ...` — each standalone DEFAULT token
+        takes its column's DEFAULT expression (NULL when none
+        declared, PG's default-of-defaults). Positional: the token's
+        index within its row names the column. A DEFAULT aimed at a
+        generated column becomes NULL — the recompute pass overwrites
+        it anyway."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _split_top_level
+
+        if not _re.search(r"\bDEFAULT\b", values_sql, _re.I):
+            return values_sql
+        m = _re.match(r"\s*VALUES\s*(?P<rows>.+)$", values_sql,
+                      _re.I | _re.S)
+        if m is None:
+            return values_sql
+        dflts = entry.defaults or {}
+        rows_out = []
+        for row in _split_top_level(m.group("rows")):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                raise ValueError(
+                    f"INSERT: cannot parse VALUES row {row[:40]!r}"
+                )
+            items = _split_top_level(row[1:-1])
+            out = []
+            for i, item in enumerate(items):
+                if _re.fullmatch(r"\s*DEFAULT\s*", item, _re.I):
+                    if i >= len(names):
+                        raise ValueError(
+                            "INSERT: VALUES row wider than target list"
+                        )
+                    col = names[i]
+                    out.append(
+                        f"({dflts[col]})" if col in dflts else "NULL"
+                    )
+                else:
+                    out.append(item)
+            rows_out.append("(" + ", ".join(out) + ")")
+        return "VALUES " + ", ".join(rows_out)
+
     def _execute_insert(self, query: str):
         """Textual INSERT (plans/insert_sql.py): VALUES / SELECT
         sources appended through the live storage; ON CONFLICT maps
@@ -2685,24 +2773,54 @@ class DistributedSession:
                 [f for f in schema.fields if f.name != PERIOD_COL]
             )
         t_cols = [f.name for f in schema.fields]
-        src = (
-            self.spark.sql(stmt.source_sql)
-            if stmt.source_sql.upper().startswith("VALUES")
-            else self.sql(stmt.source_sql)
-        )
         names = stmt.cols or t_cols
+        gen = entry.generated or {}
+        listed_gen = [c for c in names if c in gen]
+        if listed_gen and stmt.cols:
+            raise ValueError(
+                f'cannot insert a non-DEFAULT value into column '
+                f'"{listed_gen[0]}"\nDETAIL: Column "{listed_gen[0]}" '
+                "is a generated column."
+            )
+        if gen and not stmt.cols:
+            # PG: a bare INSERT (no column list) targets only the
+            # non-generated columns
+            names = [c for c in t_cols if c not in gen]
+        is_values = stmt.source_sql.upper().startswith("VALUES")
+        source_sql = stmt.source_sql
+        if is_values:
+            # standalone DEFAULT tokens in VALUES rows take the
+            # column's default (PG) — substituted BEFORE Spark parses
+            # the text (Spark's VALUES has no DEFAULT token)
+            source_sql = self._values_substitute_defaults(
+                source_sql, names, entry
+            )
+        src = (
+            self.spark.sql(source_sql)
+            if is_values
+            else self.sql(source_sql)
+        )
         if len(src.columns) != len(names):
             raise ValueError(
                 f"INSERT: source has {len(src.columns)} columns, "
                 f"target list has {len(names)}"
             )
         src = src.toDF(*names)
+        # omitted columns take their DEFAULT (PG), NULL otherwise;
+        # generated columns always recompute from the row
+        dflts = entry.defaults or {}
         aligned = src.select(*[
             F.col(c).cast(schema[c].dataType).alias(c)
             if c in src.columns
-            else F.lit(None).cast(schema[c].dataType).alias(c)
+            else (
+                F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
+                if c in dflts
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+            )
             for c in t_cols
         ])
+        if gen:
+            aligned = self._recompute_generated(entry, aligned)
         # identity/serial columns omitted from the target list draw a
         # sequence block (↔ reference multi_sequence_default.sql)
         omitted_ident = [
@@ -2902,6 +3020,20 @@ class DistributedSession:
         self.spark.catalog.refreshByPath(self._live_path(entry))
         self._live_read(entry).createOrReplaceTempView(name)
 
+    def _recompute_generated(self, entry, df: DataFrame) -> DataFrame:
+        """Stored generated columns recompute from the row's base
+        columns on EVERY write (PG GENERATED ALWAYS AS .. STORED).
+        Idempotent — expressions reference only non-generated columns
+        (enforced at CREATE) — so funnel paths may re-apply it."""
+        if not entry.generated:
+            return df
+        return df.select(*[
+            F.expr(entry.generated[c]).cast(df.schema[c].dataType).alias(c)
+            if c in entry.generated
+            else F.col(c)
+            for c in df.columns
+        ])
+
     def _live_rewrite(self, entry, df: DataFrame, name: str) -> None:
         """Replace the relation's contents with `df` (full copy-on-
         write, the UPDATE/DELETE/TRUNCATE mechanism). Time-partitioned
@@ -2909,9 +3041,13 @@ class DistributedSession:
         UPDATE may move a row across periods) and swap the layout via
         rename — never overwriting the directory being read. A rewrite
         to EMPTY drops the partition layout (no period keys can exist)
-        and re-homes the relation on a plain writable path."""
+        and re-homes the relation on a plain writable path.
+        Stored generated columns recompute here — the universal
+        write funnel."""
         import shutil
         import tempfile as _tf
+
+        df = self._recompute_generated(entry, df)
 
         from citus_spark.sources.partitions import (
             PERIOD_COL,
@@ -2950,7 +3086,9 @@ class DistributedSession:
 
     def _live_append(self, entry, df: DataFrame, name: str) -> None:
         """Append rows (the COPY FROM path). Time-partitioned targets
-        route each row to its period directory."""
+        route each row to its period directory. Stored generated
+        columns recompute here — the universal append funnel."""
+        df = self._recompute_generated(entry, df)
         if entry.time_partitioning:
             from citus_spark.sources.partitions import (
                 append_time_partitioned,
@@ -3221,6 +3359,28 @@ class DistributedSession:
             unknown = set(assigned) - set(df.columns)
             if unknown:
                 raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
+            gen = entry.generated or {}
+            for c in list(assigned):
+                if assigned[c].strip().upper() == "DEFAULT":
+                    if c in gen:
+                        # SET gcol = DEFAULT is legal (PG) — the
+                        # recompute pass provides the value
+                        assigned.pop(c)
+                    else:
+                        # SET col = DEFAULT takes the declared
+                        # default, NULL when none (PG)
+                        assigned[c] = (entry.defaults or {}).get(
+                            c, "NULL"
+                        )
+                elif c in gen:
+                    raise ValueError(
+                        f'column "{c}" can only be updated to DEFAULT'
+                        f'\nDETAIL: Column "{c}" is a generated column.'
+                    )
+            if not assigned:
+                # every assignment was a generated-column DEFAULT —
+                # the rewrite-with-recompute still runs below
+                assigned = {}
             if any(
                 self._nextval_occurrences(expr) for expr in assigned.values()
             ):
@@ -3282,6 +3442,12 @@ class DistributedSession:
         copy-on-write swap, psql-style tag. `update_pairs` is the
         old__/new__ column remap of the affected rows (plain UPDATE
         only — the FROM form cannot re-derive it)."""
+        if entry.generated and stmt.kind != "delete":
+            # stored generated columns recompute from the NEW image
+            # BEFORE constraints judge it (a CHECK over a generated
+            # column must see the recomputed value)
+            result = self._recompute_generated(entry, result)
+            affected_rows = self._recompute_generated(entry, affected_rows)
         images = None
         if entry.constraints or any(
             e.constraints for e in self.catalog.tables().values()

@@ -1,0 +1,134 @@
+"""Stored generated columns + column DEFAULT semantics
+(↔ PG GENERATED ALWAYS AS (expr) STORED — used by the reference
+regress, e.g. local_shard_execution.sql; DEFAULT fill on INSERT was
+previously NULL-filled, silent wrong data)."""
+
+import pytest
+
+from citus_spark.session import DistributedSession
+
+
+@pytest.fixture()
+def sess(spark):
+    s = DistributedSession(spark)
+    yield s
+    for t in ("gen_t", "gd_t", "gtp_t"):
+        try:
+            s.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass
+
+
+def test_insert_fills_column_defaults(sess, spark):
+    sess.sql(
+        "CREATE TABLE gd_t (a int, b int DEFAULT 5, c text DEFAULT 'x')"
+    )
+    sess.sql("INSERT INTO gd_t (a) VALUES (1)")
+    r = spark.table("gd_t").collect()[0]
+    assert (r.a, r.b, r.c) == (1, 5, "x")
+    # explicit DEFAULT token in VALUES, mixed with real values
+    sess.sql("INSERT INTO gd_t (a, b, c) VALUES (2, DEFAULT, 'y'), "
+             "(3, 30, DEFAULT)")
+    rows = {r.a: (r.b, r.c) for r in spark.table("gd_t").collect()}
+    assert rows[2] == (5, "y") and rows[3] == (30, "x")
+    # DEFAULT token on every defaulted column
+    sess.sql("INSERT INTO gd_t (a, b, c) VALUES (4, DEFAULT, DEFAULT)")
+    rows = {r.a: (r.b, r.c) for r in spark.table("gd_t").collect()}
+    assert rows[4] == (5, "x")
+    # a column with NO declared default: DEFAULT → NULL (PG)
+    sess.sql("DROP TABLE gd_t")
+    sess.sql("CREATE TABLE gd_t (a int, b int)")
+    sess.sql("INSERT INTO gd_t (a, b) VALUES (9, DEFAULT)")
+    assert spark.table("gd_t").collect()[0].b is None
+
+
+def test_generated_column_lifecycle(sess, spark):
+    sess.sql(
+        "CREATE TABLE gen_t (a int, b int GENERATED ALWAYS AS (a * 2) "
+        "STORED, note text)"
+    )
+    sess.sql("INSERT INTO gen_t (a, note) VALUES (3, 'x'), (5, 'y')")
+    rows = {r.a: r.b for r in spark.table("gen_t").collect()}
+    assert rows == {3: 6, 5: 10}
+    # bare INSERT targets only non-generated columns
+    sess.sql("INSERT INTO gen_t VALUES (7, 'z')")
+    assert {
+        r.a: r.b for r in spark.table("gen_t").collect()
+    } == {3: 6, 5: 10, 7: 14}
+    # explicit insert into the generated column rejects (PG error)
+    with pytest.raises(ValueError, match="generated column"):
+        sess.sql("INSERT INTO gen_t (a, b) VALUES (1, 99)")
+    # UPDATE of a base column recomputes the generated one
+    sess.sql("UPDATE gen_t SET a = a + 1 WHERE note = 'x'")
+    assert {
+        r.note: (r.a, r.b) for r in spark.table("gen_t").collect()
+    }["x"] == (4, 8)
+    # direct assignment rejected; SET b = DEFAULT allowed
+    with pytest.raises(ValueError, match="only be updated to DEFAULT"):
+        sess.sql("UPDATE gen_t SET b = 1")
+    sess.sql("UPDATE gen_t SET b = DEFAULT WHERE note = 'y'")
+    assert {
+        r.note: r.b for r in spark.table("gen_t").collect()
+    }["y"] == 10
+
+
+def test_generated_column_merge_and_alter(sess, spark):
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int, "
+        "dbl int GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 10), (2, 20)")
+    spark.sql("SELECT 1 AS k, 100 AS nv UNION ALL SELECT 9, 900") \
+        .createOrReplaceTempView("gen_src")
+    sess.sql(
+        """
+        MERGE INTO gen_t AS t USING gen_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+        """
+    )
+    rows = {r.k: (r.v, r.dbl) for r in spark.table("gen_t").collect()}
+    assert rows == {1: (100, 200), 2: (20, 40), 9: (900, 1800)}
+    # dropping a referenced base column rejects; dropping the
+    # generated column succeeds
+    with pytest.raises(ValueError, match='generated column "dbl"'):
+        sess.sql("ALTER TABLE gen_t DROP COLUMN v")
+    sess.sql("ALTER TABLE gen_t DROP COLUMN dbl")
+    sess.sql("ALTER TABLE gen_t DROP COLUMN v")  # now free
+
+
+def test_generated_rejects_bad_shapes(sess):
+    # VIRTUAL (or missing STORED) rejected
+    with pytest.raises(NotImplementedError, match="STORED"):
+        sess.sql(
+            "CREATE TABLE gen_t (a int, b int GENERATED ALWAYS AS (a))"
+        )
+    # generated referencing generated rejected (PG rule)
+    with pytest.raises(ValueError, match="another generated column"):
+        sess.sql(
+            "CREATE TABLE gen_t (a int, "
+            "b int GENERATED ALWAYS AS (a * 2) STORED, "
+            "c int GENERATED ALWAYS AS (b + 1) STORED)"
+        )
+    # unresolvable expression fails at CREATE time
+    with pytest.raises(ValueError, match="does not resolve"):
+        sess.sql(
+            "CREATE TABLE gen_t (a int, "
+            "b int GENERATED ALWAYS AS (nope + 1) STORED)"
+        )
+
+
+def test_generated_survives_distribute_and_copy(sess, spark, tmp_path):
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int, "
+        "tri int GENERATED ALWAYS AS (v * 3) STORED)"
+    )
+    sess.sql("SELECT create_distributed_table('gen_t', 'k')")
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 7)")
+    assert spark.table("gen_t").collect()[0].tri == 21
+    # COPY FROM recomputes through the append funnel
+    p = tmp_path / "gen.csv"
+    p.write_text("2,8,999\n")  # the 999 is overwritten by recompute
+    sess.sql(f"COPY gen_t FROM '{p}' WITH (FORMAT csv)")
+    rows = {r.k: r.tri for r in spark.table("gen_t").collect()}
+    assert rows == {1: 21, 2: 24}
