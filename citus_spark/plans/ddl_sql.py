@@ -491,8 +491,13 @@ def _generated_of(item: str) -> str | None:
     m = _GENERATED_EXPR.search(masked)
     if m is None:
         return None
-    body = _balanced_paren_body(item, m.end() - 1)
-    tail = masked[m.end() - 1 + len(body) + 2 :].strip()
+    # depth-count over the MASKED copy (a paren inside a string
+    # literal must not move the scan), then slice the ORIGINAL —
+    # masking is length-preserving, so the indices line up
+    masked_body = _balanced_paren_body(masked, m.end() - 1)
+    open_idx = m.end() - 1
+    body = item[open_idx + 1 : open_idx + 1 + len(masked_body)]
+    tail = masked[open_idx + 1 + len(masked_body) + 1 :].strip()
     if not re.match(r"STORED\b", tail, re.I):
         raise NotImplementedError(
             "GENERATED ALWAYS AS (expr) requires STORED (virtual "
@@ -546,15 +551,21 @@ def parse_create_table(sql: str):
         for op in _column_constraint_ops(table, cm.group(1), item, taken):
             taken.add(op[1])
             con_ops.append(op)
-    # PG: a generated column cannot reference another generated column
+    # PG: a generated column cannot reference a generated column —
+    # including ITSELF (a self-reference would compute NULL forever
+    # and break the recompute pass's idempotency invariant)
     for c, expr in generated.items():
         for other in generated:
-            if other != c and re.search(
+            if re.search(
                 rf"\b{re.escape(other)}\b", _mask_literals(expr)
             ):
                 raise ValueError(
-                    f'generated column "{c}" cannot reference another '
-                    f'generated column "{other}"'
+                    f'generated column "{c}" cannot reference '
+                    + (
+                        "itself"
+                        if other == c
+                        else f'another generated column "{other}"'
+                    )
                 )
     if not cols:
         raise ValueError("CREATE TABLE: no columns")

@@ -2391,14 +2391,11 @@ class DistributedSession:
                 f"citus_spark_tbl_{name}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
             )
             empty = self.spark.createDataFrame([], ddl_schema)
-            empty.write.mode("overwrite").parquet(path)
-            self.spark.read.parquet(path).createOrReplaceTempView(name)
-            entry = self.catalog.register(name, "none", path=path)
-            if defaults:
-                entry.defaults = defaults
             if generated:
                 # analyze each expression against the empty relation —
-                # a typo'd base column must fail at CREATE time
+                # a typo'd base column must fail HERE, before anything
+                # is registered or written (CREATE is atomic in PG; a
+                # phantom half-created table would block the retry)
                 for c, gexpr in generated.items():
                     try:
                         empty.select(F.expr(gexpr))
@@ -2407,6 +2404,12 @@ class DistributedSession:
                             f"generated column {c!r} expression "
                             f"{gexpr!r} does not resolve: {e}"
                         ) from e
+            empty.write.mode("overwrite").parquet(path)
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+            entry = self.catalog.register(name, "none", path=path)
+            if defaults:
+                entry.defaults = defaults
+            if generated:
                 entry.generated = generated
             if identities:
                 # serial / IDENTITY / DEFAULT nextval: bind each column
@@ -2681,10 +2684,12 @@ class DistributedSession:
         caller moves its dict entry)."""
         import re as _re
 
+        from citus_spark.plans.ddl_sql import _mask_literals
+
         for gcol, gexpr in (entry.generated or {}).items():
             if gcol == col:
                 continue
-            if _re.search(rf"\b{_re.escape(col)}\b", gexpr):
+            if _re.search(rf"\b{_re.escape(col)}\b", _mask_literals(gexpr)):
                 verb = "rename" if renamed_to else "drop"
                 raise ValueError(
                     f'cannot {verb} column "{col}" of relation '
@@ -2698,9 +2703,11 @@ class DistributedSession:
         """`VALUES (1, DEFAULT), ...` — each standalone DEFAULT token
         takes its column's DEFAULT expression (NULL when none
         declared, PG's default-of-defaults). Positional: the token's
-        index within its row names the column. A DEFAULT aimed at a
-        generated column becomes NULL — the recompute pass overwrites
-        it anyway."""
+        index within its row names the column. A DEFAULT aimed at an
+        identity/serial column draws one sequence value per token
+        (each textual occurrence draws independently, the VALUES
+        rule); aimed at a generated column it becomes NULL — the
+        recompute pass overwrites it anyway."""
         import re as _re
 
         from citus_spark.plans.rewrites import _split_top_level
@@ -2712,6 +2719,8 @@ class DistributedSession:
         if m is None:
             return values_sql
         dflts = entry.defaults or {}
+        ident = entry.identity or {}
+        gen = entry.generated or {}
         rows_out = []
         for row in _split_top_level(m.group("rows")):
             row = row.strip()
@@ -2728,13 +2737,44 @@ class DistributedSession:
                             "INSERT: VALUES row wider than target list"
                         )
                     col = names[i]
-                    out.append(
-                        f"({dflts[col]})" if col in dflts else "NULL"
-                    )
+                    if col in ident:
+                        out.append(str(self._seq_alloc(ident[col], 1)))
+                    elif col in gen:
+                        out.append("NULL")
+                    elif col in dflts:
+                        out.append(f"({dflts[col]})")
+                    else:
+                        out.append("NULL")
                 else:
                     out.append(item)
             rows_out.append("(" + ", ".join(out) + ")")
         return "VALUES " + ", ".join(rows_out)
+
+    def _values_non_default_positions(
+        self, values_sql: str
+    ) -> list[set]:
+        """Per-row sets of 0-based positions whose entry is NOT the
+        standalone DEFAULT token (for the PG rule that a generated
+        column may appear in the target list only with DEFAULT)."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _split_top_level
+
+        m = _re.match(r"\s*VALUES\s*(?P<rows>.+)$", values_sql,
+                      _re.I | _re.S)
+        if m is None:
+            return []
+        out = []
+        for row in _split_top_level(m.group("rows")):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                return []
+            out.append({
+                i
+                for i, item in enumerate(_split_top_level(row[1:-1]))
+                if not _re.fullmatch(r"\s*DEFAULT\s*", item, _re.I)
+            })
+        return out
 
     def _execute_insert(self, query: str):
         """Textual INSERT (plans/insert_sql.py): VALUES / SELECT
@@ -2776,18 +2816,26 @@ class DistributedSession:
         names = stmt.cols or t_cols
         gen = entry.generated or {}
         listed_gen = [c for c in names if c in gen]
+        is_values = stmt.source_sql.upper().startswith("VALUES")
+        source_sql = stmt.source_sql
         if listed_gen and stmt.cols:
-            raise ValueError(
-                f'cannot insert a non-DEFAULT value into column '
-                f'"{listed_gen[0]}"\nDETAIL: Column "{listed_gen[0]}" '
-                "is a generated column."
-            )
+            # PG allows a generated column in the target list ONLY
+            # when every row supplies the DEFAULT keyword for it
+            bad = True
+            if is_values:
+                nd = self._values_non_default_positions(source_sql)
+                gen_pos = {names.index(c) for c in listed_gen}
+                bad = not nd or any(r & gen_pos for r in nd)
+            if bad:
+                raise ValueError(
+                    f'cannot insert a non-DEFAULT value into column '
+                    f'"{listed_gen[0]}"\nDETAIL: Column '
+                    f'"{listed_gen[0]}" is a generated column.'
+                )
         if gen and not stmt.cols:
             # PG: a bare INSERT (no column list) targets only the
             # non-generated columns
             names = [c for c in t_cols if c not in gen]
-        is_values = stmt.source_sql.upper().startswith("VALUES")
-        source_sql = stmt.source_sql
         if is_values:
             # standalone DEFAULT tokens in VALUES rows take the
             # column's default (PG) — substituted BEFORE Spark parses
@@ -2871,6 +2919,12 @@ class DistributedSession:
         else:
             from citus_spark.sources.ingest import merge_apply
 
+            for c, _e in stmt.assignments or []:
+                if c in gen:
+                    raise ValueError(
+                        f'column "{c}" can only be updated to DEFAULT'
+                        f'\nDETAIL: Column "{c}" is a generated column.'
+                    )
             cur = self._live_read(entry)
             if entry.time_partitioning:
                 from citus_spark.sources.partitions import PERIOD_COL
@@ -2886,6 +2940,10 @@ class DistributedSession:
                 assignments=stmt.assignments,
                 insert_unmatched=True,
             )
+            # generated columns recompute BEFORE RETURNING staging and
+            # constraint checks see the image (the funnel recompute
+            # alone would let a violating row pass judgment)
+            merged = self._recompute_generated(entry, merged)
             if stmt.returning:
                 # PG: DO UPDATE returns the post-image of every source
                 # row (inserted or updated); DO NOTHING returns only
@@ -3377,10 +3435,9 @@ class DistributedSession:
                         f'column "{c}" can only be updated to DEFAULT'
                         f'\nDETAIL: Column "{c}" is a generated column.'
                     )
-            if not assigned:
-                # every assignment was a generated-column DEFAULT —
-                # the rewrite-with-recompute still runs below
-                assigned = {}
+            # (when every assignment was a generated-column DEFAULT,
+            # assigned is empty and the rewrite below is a pure
+            # recompute pass — exactly what SET gcol = DEFAULT means)
             if any(
                 self._nextval_occurrences(expr) for expr in assigned.values()
             ):
@@ -3445,9 +3502,28 @@ class DistributedSession:
         if entry.generated and stmt.kind != "delete":
             # stored generated columns recompute from the NEW image
             # BEFORE constraints judge it (a CHECK over a generated
-            # column must see the recomputed value)
+            # column must see the recomputed value); update_pairs'
+            # new__ side recomputes too, so ON UPDATE cascades keyed
+            # on a generated column remap with the fresh values
             result = self._recompute_generated(entry, result)
             affected_rows = self._recompute_generated(entry, affected_rows)
+            if update_pairs is not None:
+                # expose the new__ side under bare names so the stored
+                # expressions resolve, recompute, then re-prefix —
+                # no textual rewriting of the expressions
+                bare = update_pairs.select(*[
+                    F.col(c).alias(c[len("new__"):])
+                    if c.startswith("new__")
+                    else F.col(c)
+                    for c in update_pairs.columns
+                ])
+                bare = self._recompute_generated(entry, bare)
+                update_pairs = bare.select(*[
+                    F.col(c[len("new__"):]).alias(c)
+                    if c.startswith("new__")
+                    else F.col(c)
+                    for c in update_pairs.columns
+                ])
         images = None
         if entry.constraints or any(
             e.constraints for e in self.catalog.tables().values()
@@ -3466,6 +3542,14 @@ class DistributedSession:
                     _cons.enforce_delete(self, entry, stmt.table, result)
             else:
                 assigned_cols = [c for c, _ in stmt.assignments]
+                if entry.generated:
+                    # a base-column update ripples into the generated
+                    # columns — UNIQUE/EXCLUDE/FK constraints over
+                    # them must re-judge too
+                    assigned_cols = assigned_cols + [
+                        g for g in entry.generated
+                        if g not in assigned_cols
+                    ]
                 _cons.enforce_update(
                     self, entry, stmt.table, affected_rows, assigned_cols,
                     post_image=result,
@@ -3996,6 +4080,30 @@ END
 
         stmt = parse_merge(query)
         entry = self._writable_entry(stmt.target, "MERGE")
+        gen = entry.generated or {}
+        if gen:
+            # PG: MERGE may not SET or INSERT a generated column —
+            # silently discarding what the statement asked to write
+            # (funnel recompute would overwrite it) is worse than the
+            # error PG raises
+            for _c, _a, asg in list(stmt.matched_branches) + list(
+                stmt.by_source_branches
+            ):
+                for col, _e in asg or []:
+                    if col in gen:
+                        raise ValueError(
+                            f'column "{col}" can only be updated to '
+                            f'DEFAULT\nDETAIL: Column "{col}" is a '
+                            "generated column."
+                        )
+            for _c, cols, _v in stmt.not_matched_branches:
+                for col in cols or []:
+                    if col in gen:
+                        raise ValueError(
+                            f'cannot insert a non-DEFAULT value into '
+                            f'column "{col}"\nDETAIL: Column "{col}" '
+                            "is a generated column."
+                        )
         source = (
             self.spark.sql(stmt.source)
             if stmt.source_is_subquery
@@ -4021,15 +4129,21 @@ END
                 by_source_branches=stmt.by_source_branches,
                 with_actions=True,
             )
+            # RETURNING ships the recomputed image, not stale generated
+            # values (the action tag is not a generated column, so the
+            # recompute projection passes it through untouched)
+            affected = self._recompute_generated(entry, affected)
             returned = self._stage_returning(
                 affected,
                 _merge_returning_exprs(stmt.returning, cur0.columns),
             )
-        if not stmt.is_whole_row:
+        if not stmt.is_whole_row or gen:
             # general form (SET col = expr / AND guards / INSERT
             # (cols) VALUES): one joined computation over the LIVE
             # relation, then a copy-on-write swap — works uniformly
-            # for plain and time-partitioned storage
+            # for plain and time-partitioned storage. Tables with
+            # generated columns ALWAYS take this path so the
+            # recompute happens before constraints judge the image.
             from citus_spark.sources.ingest import merge_apply_multi
 
             from citus_spark.sources.partitions import PERIOD_COL
@@ -4045,6 +4159,7 @@ END
                 not_matched_branches=stmt.not_matched_branches,
                 by_source_branches=stmt.by_source_branches,
             )
+            merged = self._recompute_generated(entry, merged)
             if entry.constraints:
                 from citus_spark.plans import constraints as _cons
 

@@ -132,3 +132,136 @@ def test_generated_survives_distribute_and_copy(sess, spark, tmp_path):
     sess.sql(f"COPY gen_t FROM '{p}' WITH (FORMAT csv)")
     rows = {r.k: r.tri for r in spark.table("gen_t").collect()}
     assert rows == {1: 21, 2: 24}
+
+
+# --- review-finding regressions ---------------------------------------------
+
+
+def test_on_conflict_recomputes_before_constraints(sess, spark):
+    """ON CONFLICT DO UPDATE must judge constraints against the
+    RECOMPUTED image (a stale generated value let a violating row
+    into storage)."""
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int, "
+        "dbl int GENERATED ALWAYS AS (v * 2) STORED, CHECK (dbl < 100))"
+    )
+    sess.sql("ALTER TABLE gen_t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 10)")
+    with pytest.raises(ValueError, match="check constraint"):
+        sess.sql(
+            "INSERT INTO gen_t (k, v) VALUES (1, 60) "
+            "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+        )
+    # the rejected upsert wrote nothing
+    assert spark.table("gen_t").collect()[0].dbl == 20
+    # and a legal upsert recomputes
+    sess.sql(
+        "INSERT INTO gen_t (k, v) VALUES (1, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+    assert spark.table("gen_t").collect()[0].dbl == 60
+    # DO UPDATE targeting the generated column rejects
+    with pytest.raises(ValueError, match="only be updated to DEFAULT"):
+        sess.sql(
+            "INSERT INTO gen_t (k, v) VALUES (1, 5) "
+            "ON CONFLICT (k) DO UPDATE SET dbl = 9"
+        )
+
+
+def test_unique_on_generated_column_rechecked(sess, spark):
+    """UPDATE of a base column ripples into the generated one — a
+    UNIQUE constraint over it must re-judge."""
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int, "
+        "dbl int GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    sess.sql("ALTER TABLE gen_t ADD CONSTRAINT uq UNIQUE (dbl)")
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 10), (2, 15)")
+    with pytest.raises(ValueError, match="duplicate key"):
+        sess.sql("UPDATE gen_t SET v = 15 WHERE k = 1")
+
+
+def test_merge_rejects_generated_targets(sess, spark):
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int, "
+        "dbl int GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 10)")
+    spark.sql("SELECT 1 AS k, 9 AS nv").createOrReplaceTempView("gmr_src")
+    with pytest.raises(ValueError, match="only be updated to DEFAULT"):
+        sess.sql(
+            "MERGE INTO gen_t t USING gmr_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET dbl = 999"
+        )
+    with pytest.raises(ValueError, match="non-DEFAULT value"):
+        sess.sql(
+            "MERGE INTO gen_t t USING gmr_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v, dbl) "
+            "VALUES (s.k, s.nv, 7)"
+        )
+
+
+def test_insert_generated_with_default_token_allowed(sess, spark):
+    """PG allows a generated column in the target list when its value
+    is the DEFAULT keyword."""
+    sess.sql(
+        "CREATE TABLE gen_t (a int, b int GENERATED ALWAYS AS (a * 2) "
+        "STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (a, b) VALUES (4, DEFAULT)")
+    assert spark.table("gen_t").collect()[0].b == 8
+    with pytest.raises(ValueError, match="non-DEFAULT value"):
+        sess.sql("INSERT INTO gen_t (a, b) VALUES (5, DEFAULT), (6, 12)")
+
+
+def test_default_token_on_identity_draws(sess, spark):
+    """DEFAULT aimed at an identity/serial column draws from its
+    sequence (was silently NULL)."""
+    sess.sql("CREATE TABLE gd_t (id serial, v int)")
+    sess.sql("INSERT INTO gd_t (id, v) VALUES (DEFAULT, 1), (DEFAULT, 2)")
+    ids = sorted(r.id for r in spark.table("gd_t").collect())
+    assert ids == [1, 2]
+
+
+def test_create_failure_leaves_no_phantom_table(sess, spark):
+    with pytest.raises(ValueError, match="does not resolve"):
+        sess.sql(
+            "CREATE TABLE gen_t (a int, "
+            "b int GENERATED ALWAYS AS (nope + 1) STORED)"
+        )
+    # the corrected retry works — nothing was registered
+    sess.sql(
+        "CREATE TABLE gen_t (a int, "
+        "b int GENERATED ALWAYS AS (a + 1) STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (a) VALUES (1)")
+    assert spark.table("gen_t").collect()[0].b == 2
+
+
+def test_generated_expr_with_literal_parens_and_self_ref(sess):
+    # a paren inside a string literal must not break the scan
+    sess.sql(
+        "CREATE TABLE gen_t (a text, b text GENERATED ALWAYS AS "
+        "(concat(a, ')')) STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (a) VALUES ('x')")
+    assert sess.spark.table("gen_t").collect()[0].b == "x)"
+    sess.sql("DROP TABLE gen_t")
+    # self-reference rejected (PG 42P17)
+    with pytest.raises(ValueError, match="reference itself"):
+        sess.sql(
+            "CREATE TABLE gen_t (a int, "
+            "b int GENERATED ALWAYS AS (b + 1) STORED)"
+        )
+
+
+def test_drop_unrelated_column_with_name_inside_literal(sess):
+    """A column name inside a string literal of a generated expression
+    must not block DROP of that column."""
+    sess.sql(
+        "CREATE TABLE gen_t (status text, note text, flag int "
+        "GENERATED ALWAYS AS (CASE WHEN status = 'note' THEN 1 "
+        "ELSE 0 END) STORED)"
+    )
+    sess.sql("ALTER TABLE gen_t DROP COLUMN note")  # must succeed
+    assert "note" not in sess.spark.table("gen_t").columns
