@@ -815,3 +815,78 @@ SELECT prio, count(*) AS n,
                  ELSE 1 END AS BIGINT) AS n_distinct
 FROM base GROUP BY prio ORDER BY prio
 """
+
+
+# Stored generated columns + column DEFAULTs across the write surface:
+# INSERT (omitted column takes DEFAULT; DEFAULT token in VALUES),
+# UPDATE of a base column recomputing the generated one, and MERGE
+# upsert recomputing on both branches. The oracle re-derives every
+# value from the same fixture rows.
+def generated_column_writes(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __gen_w")
+    s.sql(
+        "CREATE TABLE __gen_w (okey bigint, price double precision, "
+        "cents bigint GENERATED ALWAYS AS "
+        "(CAST(round(price * 100) AS BIGINT)) STORED, "
+        "src text DEFAULT 'seed')"
+    )
+    s.sql(
+        "INSERT INTO __gen_w (okey, price) SELECT o_orderkey, "
+        "o_totalprice FROM orders WHERE o_orderkey < 2000"
+    )
+    s.sql(
+        "INSERT INTO __gen_w (okey, price, src) "
+        "VALUES (9000001, 1.25, DEFAULT), (9000002, 2.75, 'manual')"
+    )
+    s.sql("UPDATE __gen_w SET price = price * 2 WHERE okey % 5 = 0")
+    s.sql(
+        "MERGE INTO __gen_w AS t USING "
+        "(SELECT o_orderkey AS okey, o_totalprice FROM orders "
+        "WHERE o_orderkey >= 2000 AND o_orderkey < 2500) AS s "
+        "ON t.okey = s.okey "
+        "WHEN MATCHED THEN UPDATE SET price = s.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT (okey, price) "
+        "VALUES (s.okey, s.o_totalprice + 0.5)"
+    )
+    return s.sql(
+        """
+SELECT src, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(min(cents) AS BIGINT) AS cents_min
+FROM __gen_w GROUP BY src ORDER BY src
+"""
+    )
+
+
+GENERATED_WRITES_ORACLE = """
+WITH seeded AS (
+  SELECT o_orderkey AS okey, o_totalprice AS price, 'seed' AS src
+  FROM orders WHERE o_orderkey < 2000
+  UNION ALL SELECT 9000001, 1.25, 'seed'
+  UNION ALL SELECT 9000002, 2.75, 'manual'
+), updated AS (
+  SELECT okey,
+         CASE WHEN okey % 5 = 0 THEN price * 2 ELSE price END AS price,
+         src
+  FROM seeded
+), merged AS (
+  SELECT u.okey,
+         coalesce(o.o_totalprice, u.price) AS price,
+         u.src
+  FROM updated u LEFT JOIN orders o
+    ON u.okey = o.o_orderkey AND o.o_orderkey >= 2000
+   AND o.o_orderkey < 2500
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 0.5, 'seed'
+  FROM orders
+  WHERE o_orderkey >= 2000 AND o_orderkey < 2500
+    AND o_orderkey NOT IN (SELECT okey FROM updated)
+)
+SELECT src, count(*) AS n,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(min(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+         AS cents_min
+FROM merged GROUP BY src ORDER BY src
+"""

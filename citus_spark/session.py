@@ -4128,6 +4128,7 @@ END
                 not_matched_branches=stmt.not_matched_branches,
                 by_source_branches=stmt.by_source_branches,
                 with_actions=True,
+                column_defaults=entry.defaults,
             )
             # RETURNING ships the recomputed image, not stale generated
             # values (the action tag is not a generated column, so the
@@ -4158,6 +4159,7 @@ END
                 matched_branches=stmt.matched_branches,
                 not_matched_branches=stmt.not_matched_branches,
                 by_source_branches=stmt.by_source_branches,
+                column_defaults=entry.defaults,
             )
             merged = self._recompute_generated(entry, merged)
             if entry.constraints:

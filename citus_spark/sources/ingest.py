@@ -160,6 +160,7 @@ def merge_apply(
     insert_cols: list[str] | None = None,
     insert_values: list[str] | None = None,
     with_actions: bool = False,
+    column_defaults: dict[str, str] | None = None,
 ) -> DataFrame:
     """Single-branch MERGE convenience form: one WHEN MATCHED action
     (`SET col = expr` lists, an optional AND guard, whole-row `SET *`
@@ -186,6 +187,7 @@ def merge_apply(
         matched_branches=matched,
         not_matched_branches=not_matched,
         with_actions=with_actions,
+        column_defaults=column_defaults,
     )
 
 
@@ -197,6 +199,7 @@ def merge_apply_multi(
     not_matched_branches: list[tuple[str | None, list[str], list[str]]] = (),
     by_source_branches: list[tuple[str | None, str, list[tuple[str, str]]]] = (),
     with_actions: bool = False,
+    column_defaults: dict[str, str] | None = None,
 ) -> DataFrame:
     """Full PG MERGE branch semantics (↔ reference merge_planner.c —
     Citus inherits PostgreSQL's complete WHEN grammar):
@@ -406,6 +409,8 @@ def merge_apply_multi(
             IDX, branch_idx(not_matched_branches, lambda br: br[0])
         )
 
+        dflts = column_defaults or {}
+
         def ins_expr(c):
             chain = None
             for i, (_cond, cols, vals) in enumerate(not_matched_branches):
@@ -413,11 +418,19 @@ def merge_apply_multi(
                     continue
                 if cols:
                     vmap = dict(zip(cols, vals))
-                    val = (
-                        F.expr(vmap[c]).cast(target.schema[c].dataType)
-                        if c in vmap
-                        else F.lit(None).cast(target.schema[c].dataType)
-                    )
+                    if c in vmap:
+                        val = F.expr(vmap[c]).cast(
+                            target.schema[c].dataType
+                        )
+                    elif c in dflts:
+                        # unlisted columns take their DEFAULT (PG) —
+                        # the caller passes the table's declared
+                        # column defaults
+                        val = F.expr(dflts[c]).cast(
+                            target.schema[c].dataType
+                        )
+                    else:
+                        val = F.lit(None).cast(target.schema[c].dataType)
                 else:  # INSERT * — whole source row
                     val = F.col(f"s.{c}")
                 hit = F.col(IDX) == i

@@ -119,3 +119,15 @@ def test_update_nextval_block_matches_oracle(spark):
     # the block, so the entry is idempotent (the driver re-runs it)
     again = update_nextval_block(spark, SF_SMALL)
     _match(again, _duck_orders(UPDATE_NEXTVAL_ORACLE))
+
+
+def test_generated_column_writes_matches_oracle(spark):
+    """Generated-column recompute across INSERT/UPDATE/MERGE against a
+    DuckDB re-derivation of every cents value."""
+    from citus_spark.queries.dmlops import (
+        GENERATED_WRITES_ORACLE,
+        generated_column_writes,
+    )
+
+    out = generated_column_writes(spark, SF_SMALL)
+    _match(out, _duck_orders(GENERATED_WRITES_ORACLE))
