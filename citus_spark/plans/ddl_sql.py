@@ -152,6 +152,25 @@ def parse_alter_table(sql: str):
     con = _parse_constraint_action(action)
     if con is not None:
         return name, con
+    gm = re.match(
+        r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s+(.+)$",
+        action, re.I | re.S,
+    )
+    if gm and _GENERATED_EXPR.search(_mask_literals(gm.group(2))):
+        # ADD COLUMN .. GENERATED ALWAYS AS (expr) STORED — existing
+        # rows compute immediately (PG back-fills stored generated
+        # columns on ADD)
+        gexpr = _generated_of(f"{gm.group(1)} {gm.group(2)}")
+        tm = re.search(
+            r"\bGENERATED\b", _mask_literals(gm.group(2)), re.I
+        )
+        return name, (
+            "add_generated",
+            gm.group(1),
+            _map_type(gm.group(2)[: tm.start()].strip()),
+            gexpr,
+        )
     am = re.match(
         r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
         r"([A-Za-z_]\w*)\s+(.+?)"

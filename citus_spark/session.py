@@ -2498,6 +2498,34 @@ class DistributedSession:
                 new = cur.withColumn(op[1], fill.cast(op[2]))
                 if op[3] is not None:
                     entry.defaults = {**(entry.defaults or {}), op[1]: op[3]}
+            elif op[0] == "add_generated":
+                import re as _re
+
+                if op[1] in cur.columns:
+                    raise ValueError(f'column "{op[1]}" already exists')
+                from citus_spark.plans.ddl_sql import _mask_literals
+
+                for gcol in entry.generated or {}:
+                    if _re.search(
+                        rf"\b{_re.escape(gcol)}\b",
+                        _mask_literals(op[3]),
+                    ):
+                        raise ValueError(
+                            f'generated column "{op[1]}" cannot '
+                            f'reference another generated column '
+                            f'"{gcol}"'
+                        )
+                try:
+                    fill = F.expr(op[3]).cast(op[2])
+                    new = cur.withColumn(op[1], fill)
+                except Exception as e:
+                    raise ValueError(
+                        f"generated column {op[1]!r} expression "
+                        f"{op[3]!r} does not resolve: {e}"
+                    ) from e
+                entry.generated = {
+                    **(entry.generated or {}), op[1]: op[3],
+                }
             elif op[0] == "drop":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')

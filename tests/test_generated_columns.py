@@ -265,3 +265,34 @@ def test_drop_unrelated_column_with_name_inside_literal(sess):
     )
     sess.sql("ALTER TABLE gen_t DROP COLUMN note")  # must succeed
     assert "note" not in sess.spark.table("gen_t").columns
+
+
+def test_add_column_generated_backfills(sess, spark):
+    """ALTER TABLE ADD COLUMN .. GENERATED ALWAYS AS (..) STORED
+    computes for existing rows immediately (PG back-fill)."""
+    sess.sql("CREATE TABLE gen_t (a int, b int)")
+    sess.sql("INSERT INTO gen_t VALUES (1, 10), (2, 20)")
+    sess.sql(
+        "ALTER TABLE gen_t ADD COLUMN s int "
+        "GENERATED ALWAYS AS (a + b) STORED"
+    )
+    rows = {r.a: r.s for r in spark.table("gen_t").collect()}
+    assert rows == {1: 11, 2: 22}
+    # later writes keep recomputing
+    sess.sql("UPDATE gen_t SET b = 100 WHERE a = 1")
+    assert {
+        r.a: r.s for r in spark.table("gen_t").collect()
+    } == {1: 101, 2: 22}
+    # referencing an existing generated column rejects
+    with pytest.raises(ValueError, match="another generated column"):
+        sess.sql(
+            "ALTER TABLE gen_t ADD COLUMN s2 int "
+            "GENERATED ALWAYS AS (s * 2) STORED"
+        )
+    # unresolvable expression rejects without a half-added column
+    with pytest.raises(ValueError, match="does not resolve"):
+        sess.sql(
+            "ALTER TABLE gen_t ADD COLUMN s3 int "
+            "GENERATED ALWAYS AS (nope) STORED"
+        )
+    assert "s3" not in spark.table("gen_t").columns
