@@ -3423,11 +3423,12 @@ class DistributedSession:
         self.stat_statements.record(query, None, executor="dml")
         df = self._live_read(entry)
         if stmt.from_clause is not None:
-            result, affected_rows, affected = self._dml_with_from(
-                entry, df, stmt
+            result, affected_rows, affected, update_pairs = (
+                self._dml_with_from(entry, df, stmt)
             )
             return self._dml_finish(
-                entry, stmt, result, affected_rows, affected
+                entry, stmt, result, affected_rows, affected,
+                update_pairs=update_pairs,
             )
         # NULL predicate leaves a row unaffected (3-valued SQL DML)
         pred = (
@@ -3601,9 +3602,9 @@ class DistributedSession:
                     ):
                         if update_pairs is None:
                             raise NotImplementedError(
-                                "ON UPDATE referential actions through "
-                                "UPDATE .. FROM are not supported — "
-                                "use a plain UPDATE"
+                                "ON UPDATE referential actions need "
+                                "the old/new row remap — this UPDATE "
+                                "form does not derive one"
                             )
                         images = _cons.propagate_referential_actions(
                             self, stmt.table, self._live_read(entry),
@@ -3726,7 +3727,7 @@ class DistributedSession:
                     tgt.join(matched, rid, "left_anti").drop(rid)
                 )
                 affected_rows = tgt.join(matched, rid, "semi").drop(rid)
-                return result, affected_rows, affected
+                return result, affected_rows, affected, None
             assigned = dict(stmt.assignments)
             unknown = set(assigned) - set(df.columns)
             if unknown:
@@ -3773,7 +3774,24 @@ class DistributedSession:
                 "__citus_matched2"
             )
             result = new_image.drop("__citus_matched2")
-            return result, affected_rows, affected
+            # old__/new__ remap of the matched rows — `full` carries
+            # the OLD columns and the picked __vN values side by side,
+            # so ON UPDATE referential actions work through the FROM
+            # form exactly like plain UPDATE
+            update_pairs = full.filter(matched_flag).select(
+                *[F.col(c).alias(f"old__{c}") for c in df.columns],
+                *[
+                    (
+                        F.col(f"__v{list(assigned).index(c)}").cast(
+                            df.schema[c].dataType
+                        )
+                        if c in assigned
+                        else F.col(c)
+                    ).alias(f"new__{c}")
+                    for c in df.columns
+                ],
+            )
+            return result, affected_rows, affected, update_pairs
         finally:
             self.spark.catalog.dropTempView(tmp)
 

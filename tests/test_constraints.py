@@ -801,3 +801,32 @@ def test_exclude_revalidated_on_alter_column_type(sess, spark):
         sess.sql("ALTER TABLE ex_uniq ALTER COLUMN id TYPE int")
     # the failed ALTER left the data untouched
     assert dict(sess.spark.table("ex_uniq").dtypes)["id"] == "double"
+
+
+def test_update_from_with_on_update_cascade(sess, spark):
+    """UPDATE .. FROM rekeying a parent ripples ON UPDATE CASCADE into
+    children (previously rejected — the FROM form now derives the
+    old/new remap)."""
+    for t in ("ufc_child", "ufc_parent", "ufc_map"):
+        sess.sql(f"DROP TABLE IF EXISTS {t}")
+    sess.sql("CREATE TABLE ufc_parent (pk int PRIMARY KEY, tag text)")
+    sess.sql(
+        "CREATE TABLE ufc_child (pk int REFERENCES ufc_parent (pk) "
+        "ON UPDATE CASCADE, v int)"
+    )
+    sess.sql("CREATE TABLE ufc_map (old_k int, new_k int)")
+    sess.sql("INSERT INTO ufc_parent VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sess.sql("INSERT INTO ufc_child VALUES (1, 10), (1, 11), (2, 20)")
+    sess.sql("INSERT INTO ufc_map VALUES (1, 100), (2, 200)")
+    sess.sql(
+        "UPDATE ufc_parent SET pk = ufc_map.new_k FROM ufc_map "
+        "WHERE ufc_parent.pk = ufc_map.old_k"
+    )
+    parents = sorted(r.pk for r in spark.table("ufc_parent").collect())
+    assert parents == [3, 100, 200]
+    kids = sorted(
+        (r.pk, r.v) for r in spark.table("ufc_child").collect()
+    )
+    assert kids == [(100, 10), (100, 11), (200, 20)]
+    for t in ("ufc_child", "ufc_parent", "ufc_map"):
+        sess.sql(f"DROP TABLE IF EXISTS {t}")
