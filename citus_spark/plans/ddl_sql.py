@@ -152,6 +152,30 @@ def parse_alter_table(sql: str):
     con = _parse_constraint_action(action)
     if con is not None:
         return name, con
+    sd = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+SET\s+DEFAULT\s+(.+)$",
+        action, re.I | re.S,
+    )
+    if sd:
+        return name, ("set_default", sd.group(1), sd.group(2).strip())
+    dd = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+DROP\s+DEFAULT$",
+        action, re.I,
+    )
+    if dd:
+        return name, ("drop_default", dd.group(1))
+    snn = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+SET\s+NOT\s+NULL$",
+        action, re.I,
+    )
+    if snn:
+        return name, ("set_not_null", snn.group(1))
+    dnn = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+DROP\s+NOT\s+NULL$",
+        action, re.I,
+    )
+    if dnn:
+        return name, ("drop_not_null", dnn.group(1))
     gm = re.match(
         r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
         r"([A-Za-z_]\w*)\s+(.+)$",

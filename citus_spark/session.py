@@ -2484,10 +2484,20 @@ class DistributedSession:
                 return self.spark.createDataFrame(
                     [(con_tag,)], "status string"
                 )
-            if op[0] != "rename_table":
+            if op[0] not in (
+                "rename_table", "set_default", "drop_default",
+                "set_not_null", "drop_not_null",
+            ):
                 # column changes rewrite storage — fixture guard applies
                 entry = self._writable_entry(name, "ALTER TABLE")
             cur = self._live_read(entry)
+            if op[0] in (
+                "set_default", "drop_default", "set_not_null",
+                "drop_not_null",
+            ):
+                return self._alter_column_metadata(
+                    entry, name, op, cur, query
+                )
             if op[0] == "add":
                 if op[1] in cur.columns:
                     raise ValueError(f'column "{op[1]}" already exists')
@@ -2701,6 +2711,55 @@ class DistributedSession:
                 [("DROP TABLE",)], "status string"
             )
         return None
+
+    def _alter_column_metadata(self, entry, name, op, cur, query):
+        """ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL —
+        metadata-only actions (SET DEFAULT affects FUTURE writes only,
+        PG; SET NOT NULL validates existing rows in one distributed
+        scan and records an enforcing constraint)."""
+        kind, col = op[0], op[1]
+        if col not in cur.columns:
+            raise ValueError(f'column "{col}" does not exist')
+        if kind == "set_default":
+            if col in (entry.generated or {}):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is a '
+                    "generated column"
+                )
+            entry.defaults = {**(entry.defaults or {}), col: op[2]}
+        elif kind == "drop_default":
+            if entry.defaults:
+                entry.defaults.pop(col, None)
+        elif kind == "set_not_null":
+            # enforced through the CHECK machinery (every write path
+            # already re-judges CHECKs); PG 17 auto-names the
+            # constraint {table}_{col}_not_null
+            conname = f"{name}_{col}_not_null"
+            if conname not in (entry.constraints or {}):
+                if cur.filter(F.col(col).isNull()).limit(1).count():
+                    raise ValueError(
+                        f'column "{col}" of relation "{name}" '
+                        "contains null values"
+                    )
+                from citus_spark.plans import constraints as _cons
+
+                _cons._store(entry)[conname] = {
+                    "kind": "c",
+                    "expr": f"{col} IS NOT NULL",
+                    "valid": True,
+                }
+        elif kind == "drop_not_null":
+            for cn, spec in (entry.constraints or {}).items():
+                if spec["kind"] == "p" and col in spec["cols"]:
+                    raise ValueError(
+                        f'column "{col}" is in a primary key'
+                    )
+            if entry.constraints:
+                entry.constraints.pop(f"{name}_{col}_not_null", None)
+        self.stat_statements.record(query, None, executor="utility")
+        return self.spark.createDataFrame(
+            [("ALTER TABLE",)], "status string"
+        )
 
     def _guard_generated_change(
         self, entry, table: str, col: str, renamed_to: str | None = None

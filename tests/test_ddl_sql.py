@@ -224,3 +224,42 @@ def test_two_unnamed_checks_get_distinct_names(spark):
     cons = s.catalog.get("twock").constraints
     assert "twock_check" in cons and "twock_check1" in cons
     s.sql("DROP TABLE twock")
+
+
+def test_alter_column_set_drop_default(spark):
+    sess = DistributedSession(spark)
+    sess.sql("CREATE TABLE acd_t (a int, b int)")
+    sess.sql("INSERT INTO acd_t (a) VALUES (1)")
+    sess.sql("ALTER TABLE acd_t ALTER COLUMN b SET DEFAULT 42")
+    # existing rows untouched (PG: SET DEFAULT affects future writes)
+    assert spark.table("acd_t").collect()[0].b is None
+    sess.sql("INSERT INTO acd_t (a) VALUES (2)")
+    rows = {r.a: r.b for r in spark.table("acd_t").collect()}
+    assert rows == {1: None, 2: 42}
+    sess.sql("ALTER TABLE acd_t ALTER COLUMN b DROP DEFAULT")
+    sess.sql("INSERT INTO acd_t (a) VALUES (3)")
+    rows = {r.a: r.b for r in spark.table("acd_t").collect()}
+    assert rows[3] is None
+    sess.sql("DROP TABLE acd_t")
+
+
+def test_alter_column_not_null_lifecycle(spark):
+    sess = DistributedSession(spark)
+    sess.sql("CREATE TABLE ann_t (a int, b int)")
+    sess.sql("INSERT INTO ann_t VALUES (1, NULL)")
+    # existing NULL blocks SET NOT NULL (validated distributedly)
+    with pytest.raises(ValueError, match="contains null values"):
+        sess.sql("ALTER TABLE ann_t ALTER COLUMN b SET NOT NULL")
+    sess.sql("UPDATE ann_t SET b = 0 WHERE b IS NULL")
+    sess.sql("ALTER TABLE ann_t ALTER COLUMN b SET NOT NULL")
+    # enforced on later writes
+    with pytest.raises(ValueError, match="check constraint"):
+        sess.sql("INSERT INTO ann_t VALUES (2, NULL)")
+    sess.sql("ALTER TABLE ann_t ALTER COLUMN b DROP NOT NULL")
+    sess.sql("INSERT INTO ann_t VALUES (2, NULL)")
+    assert spark.table("ann_t").count() == 2
+    # a PK column's not-null cannot be dropped (PG)
+    sess.sql("ALTER TABLE ann_t ADD CONSTRAINT pk PRIMARY KEY (a)")
+    with pytest.raises(ValueError, match="in a primary key"):
+        sess.sql("ALTER TABLE ann_t ALTER COLUMN a DROP NOT NULL")
+    sess.sql("DROP TABLE ann_t")
