@@ -189,10 +189,21 @@ def parse_alter_table(sql: str):
         tm = re.search(
             r"\bGENERATED\b", _mask_literals(gm.group(2)), re.I
         )
+        # column constraints may sit between the type and GENERATED
+        # (PG accepts any order) — strip them from the type slice
+        type_txt = gm.group(2)[: tm.start()].strip()
+        while True:
+            stripped = re.sub(
+                r"\s+(NOT\s+NULL|NULL|UNIQUE|PRIMARY\s+KEY)\s*$",
+                "", type_txt, flags=re.I,
+            )
+            if stripped == type_txt:
+                break
+            type_txt = stripped
         return name, (
             "add_generated",
             gm.group(1),
-            _map_type(gm.group(2)[: tm.start()].strip()),
+            _map_type(type_txt),
             gexpr,
         )
     am = re.match(
@@ -241,7 +252,9 @@ def parse_alter_table(sql: str):
         )
     raise NotImplementedError(
         f"ALTER TABLE: unsupported action {action[:60]!r} (supported: "
-        "ADD/DROP/RENAME COLUMN, ALTER COLUMN TYPE [USING], RENAME TO, "
+        "ADD/DROP/RENAME COLUMN, ADD COLUMN .. GENERATED .. STORED, "
+        "ALTER COLUMN TYPE [USING], ALTER COLUMN SET/DROP DEFAULT, "
+        "ALTER COLUMN SET/DROP NOT NULL, RENAME TO, "
         "ADD/DROP/VALIDATE CONSTRAINT)"
     )
 
@@ -549,6 +562,23 @@ def _generated_of(item: str) -> str | None:
     return body.strip()
 
 
+def check_generated_refs(generated: dict, col: str, expr: str) -> None:
+    """PG rule shared by CREATE TABLE and ADD COLUMN: a generated
+    expression may not reference a generated column — itself
+    included (masked-literal word-boundary scan)."""
+    masked = _mask_literals(expr)
+    for other in generated:
+        if re.search(rf"\b{re.escape(other)}\b", masked):
+            raise ValueError(
+                f'generated column "{col}" cannot reference '
+                + (
+                    "itself"
+                    if other == col
+                    else f'another generated column "{other}"'
+                )
+            )
+
+
 def parse_create_table(sql: str):
     """→ (table, spark-DDL schema string, if_not_exists,
     [(identity_col, explicit_seq|None, opts_dict), ...],
@@ -598,18 +628,7 @@ def parse_create_table(sql: str):
     # including ITSELF (a self-reference would compute NULL forever
     # and break the recompute pass's idempotency invariant)
     for c, expr in generated.items():
-        for other in generated:
-            if re.search(
-                rf"\b{re.escape(other)}\b", _mask_literals(expr)
-            ):
-                raise ValueError(
-                    f'generated column "{c}" cannot reference '
-                    + (
-                        "itself"
-                        if other == c
-                        else f'another generated column "{other}"'
-                    )
-                )
+        check_generated_refs(generated, c, expr)
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))

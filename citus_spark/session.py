@@ -2509,22 +2509,17 @@ class DistributedSession:
                 if op[3] is not None:
                     entry.defaults = {**(entry.defaults or {}), op[1]: op[3]}
             elif op[0] == "add_generated":
-                import re as _re
-
                 if op[1] in cur.columns:
                     raise ValueError(f'column "{op[1]}" already exists')
-                from citus_spark.plans.ddl_sql import _mask_literals
+                from citus_spark.plans.ddl_sql import (
+                    check_generated_refs,
+                )
 
-                for gcol in entry.generated or {}:
-                    if _re.search(
-                        rf"\b{_re.escape(gcol)}\b",
-                        _mask_literals(op[3]),
-                    ):
-                        raise ValueError(
-                            f'generated column "{op[1]}" cannot '
-                            f'reference another generated column '
-                            f'"{gcol}"'
-                        )
+                check_generated_refs(
+                    {**(entry.generated or {}), op[1]: op[3]},
+                    op[1],
+                    op[3],
+                )
                 try:
                     fill = F.expr(op[3]).cast(op[2])
                     new = cur.withColumn(op[1], fill)
@@ -2712,6 +2707,50 @@ class DistributedSession:
             )
         return None
 
+    @staticmethod
+    def _find_not_null(entry, col: str) -> str | None:
+        """The NOT NULL enforcing constraint for `col` — matched by
+        its expression shape, so table/constraint renames don't
+        detach it."""
+        import re as _re
+
+        for cn, spec in (entry.constraints or {}).items():
+            if spec["kind"] == "c" and _re.fullmatch(
+                rf"\s*{_re.escape(col)}\s+IS\s+NOT\s+NULL\s*",
+                spec.get("expr", ""),
+                _re.I,
+            ):
+                return cn
+        return None
+
+    def _normalize_update_assignments(
+        self, entry, assigned: dict, columns
+    ) -> dict:
+        """Shared UPDATE assignment rules (plain and FROM forms):
+        unknown columns reject; SET col = DEFAULT resolves to the
+        declared default (NULL when none); SET gcol = DEFAULT on a
+        generated column drops the assignment (the recompute pass
+        provides the value); any other write to a generated column
+        rejects with PG's error."""
+        unknown = set(assigned) - set(columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE: unknown column(s) {sorted(unknown)}"
+            )
+        gen = entry.generated or {}
+        for c in list(assigned):
+            if assigned[c].strip().upper() == "DEFAULT":
+                if c in gen:
+                    assigned.pop(c)
+                else:
+                    assigned[c] = (entry.defaults or {}).get(c, "NULL")
+            elif c in gen:
+                raise ValueError(
+                    f'column "{c}" can only be updated to DEFAULT'
+                    f'\nDETAIL: Column "{c}" is a generated column.'
+                )
+        return assigned
+
     def _alter_column_metadata(self, entry, name, op, cur, query):
         """ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL —
         metadata-only actions (SET DEFAULT affects FUTURE writes only,
@@ -2726,6 +2765,20 @@ class DistributedSession:
                     f'column "{col}" of relation "{name}" is a '
                     "generated column"
                 )
+            if col in (entry.identity or {}):
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is an '
+                    "identity column"
+                )
+            # the expression must resolve NOW (PG validates at ALTER
+            # time, not at the next INSERT)
+            try:
+                cur.select(F.expr(op[2]))
+            except Exception as e:
+                raise ValueError(
+                    f"DEFAULT expression {op[2]!r} does not resolve: "
+                    f"{e}"
+                ) from e
             entry.defaults = {**(entry.defaults or {}), col: op[2]}
         elif kind == "drop_default":
             if entry.defaults:
@@ -2733,16 +2786,21 @@ class DistributedSession:
         elif kind == "set_not_null":
             # enforced through the CHECK machinery (every write path
             # already re-judges CHECKs); PG 17 auto-names the
-            # constraint {table}_{col}_not_null
-            conname = f"{name}_{col}_not_null"
-            if conname not in (entry.constraints or {}):
+            # constraint {table}_{col}_not_null. Lookup is by the
+            # EXPRESSION, not the name — a renamed table keeps its
+            # constraint under the old name
+            if self._find_not_null(entry, col) is None:
                 if cur.filter(F.col(col).isNull()).limit(1).count():
                     raise ValueError(
                         f'column "{col}" of relation "{name}" '
                         "contains null values"
                     )
                 from citus_spark.plans import constraints as _cons
+                from citus_spark.plans.ddl_sql import _suffix_name
 
+                conname = _suffix_name(
+                    f"{name}_{col}_not_null", entry.constraints or {}
+                )
                 _cons._store(entry)[conname] = {
                     "kind": "c",
                     "expr": f"{col} IS NOT NULL",
@@ -2754,8 +2812,9 @@ class DistributedSession:
                     raise ValueError(
                         f'column "{col}" is in a primary key'
                     )
-            if entry.constraints:
-                entry.constraints.pop(f"{name}_{col}_not_null", None)
+            found = self._find_not_null(entry, col)
+            if found is not None:
+                entry.constraints.pop(found)
         self.stat_statements.record(query, None, executor="utility")
         return self.spark.createDataFrame(
             [("ALTER TABLE",)], "status string"
@@ -3501,28 +3560,9 @@ class DistributedSession:
             # RETURNING on DELETE ships the OLD image of removed rows
             affected_rows = df.filter(pred)
         else:
-            assigned = dict(stmt.assignments)
-            unknown = set(assigned) - set(df.columns)
-            if unknown:
-                raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
-            gen = entry.generated or {}
-            for c in list(assigned):
-                if assigned[c].strip().upper() == "DEFAULT":
-                    if c in gen:
-                        # SET gcol = DEFAULT is legal (PG) — the
-                        # recompute pass provides the value
-                        assigned.pop(c)
-                    else:
-                        # SET col = DEFAULT takes the declared
-                        # default, NULL when none (PG)
-                        assigned[c] = (entry.defaults or {}).get(
-                            c, "NULL"
-                        )
-                elif c in gen:
-                    raise ValueError(
-                        f'column "{c}" can only be updated to DEFAULT'
-                        f'\nDETAIL: Column "{c}" is a generated column.'
-                    )
+            assigned = self._normalize_update_assignments(
+                entry, dict(stmt.assignments), df.columns
+            )
             # (when every assignment was a generated-column DEFAULT,
             # assigned is empty and the rewrite below is a pure
             # recompute pass — exactly what SET gcol = DEFAULT means)
@@ -3585,8 +3625,8 @@ class DistributedSession:
         SET NULL / SET DEFAULT propagate through the constraint graph
         as dependent copy-on-write rewrites), RETURNING staging,
         copy-on-write swap, psql-style tag. `update_pairs` is the
-        old__/new__ column remap of the affected rows (plain UPDATE
-        only — the FROM form cannot re-derive it)."""
+        old__/new__ column remap of the affected rows (derived by the
+        plain, sequence-draw, and FROM update forms alike)."""
         if entry.generated and stmt.kind != "delete":
             # stored generated columns recompute from the NEW image
             # BEFORE constraints judge it (a CHECK over a generated
@@ -3787,22 +3827,28 @@ class DistributedSession:
                 )
                 affected_rows = tgt.join(matched, rid, "semi").drop(rid)
                 return result, affected_rows, affected, None
-            assigned = dict(stmt.assignments)
-            unknown = set(assigned) - set(df.columns)
-            if unknown:
-                raise ValueError(
-                    f"UPDATE: unknown column(s) {sorted(unknown)}"
-                )
+            assigned = self._normalize_update_assignments(
+                entry, dict(stmt.assignments), df.columns
+            )
+            if not assigned:
+                # every assignment was a generated-column DEFAULT —
+                # the matched rows rewrite unchanged (recompute runs
+                # in the shared DML tail)
+                assigned = {
+                    c: c
+                    for c, _e in stmt.assignments
+                    if c in df.columns
+                }
             vals = ", ".join(
                 f"({expr}) AS __v{i}"
-                for i, (_c, expr) in enumerate(stmt.assignments)
+                for i, (_c, expr) in enumerate(assigned.items())
             )
             joined = self.spark.sql(
                 f"SELECT {eff}.{rid} AS {rid}, {vals} "
                 f"FROM {tmp} AS {eff}, {stmt.from_clause}{where}"
             )
             w = Window.partitionBy(rid).orderBy(
-                *[f"__v{i}" for i in range(len(stmt.assignments))]
+                *[f"__v{i}" for i in range(len(assigned))]
             )
             picked = (
                 joined.withColumn("__rn", F.row_number().over(w))
@@ -4187,23 +4233,28 @@ END
         entry = self._writable_entry(stmt.target, "MERGE")
         gen = entry.generated or {}
         if gen:
-            # PG: MERGE may not SET or INSERT a generated column —
-            # silently discarding what the statement asked to write
-            # (funnel recompute would overwrite it) is worse than the
-            # error PG raises
+            # PG: MERGE may not SET or INSERT a generated column
+            # except with the DEFAULT keyword — silently discarding
+            # what the statement asked to write (funnel recompute
+            # would overwrite it) is worse than the error PG raises
+            import re as _re2
+
+            def _is_default(text: str) -> bool:
+                return bool(_re2.fullmatch(r"\s*DEFAULT\s*", text, _re2.I))
+
             for _c, _a, asg in list(stmt.matched_branches) + list(
                 stmt.by_source_branches
             ):
-                for col, _e in asg or []:
-                    if col in gen:
+                for col, e in asg or []:
+                    if col in gen and not _is_default(e):
                         raise ValueError(
                             f'column "{col}" can only be updated to '
                             f'DEFAULT\nDETAIL: Column "{col}" is a '
                             "generated column."
                         )
-            for _c, cols, _v in stmt.not_matched_branches:
-                for col in cols or []:
-                    if col in gen:
+            for _c, cols, vals in stmt.not_matched_branches:
+                for col, v in zip(cols or [], vals or []):
+                    if col in gen and not _is_default(v):
                         raise ValueError(
                             f'cannot insert a non-DEFAULT value into '
                             f'column "{col}"\nDETAIL: Column "{col}" '

@@ -268,6 +268,17 @@ def merge_apply_multi(
         if len(cols) != len(vals):
             raise ValueError("MERGE: INSERT column/value count mismatch")
 
+    import re as _re
+
+    dflts = column_defaults or {}
+
+    def _value_expr(c, text: str) -> F.Column:
+        """An assignment/insert value; the standalone DEFAULT keyword
+        takes the column's declared default, NULL when none (PG)."""
+        if _re.fullmatch(r"\s*DEFAULT\s*", text, _re.I):
+            text = dflts.get(c, "NULL")
+        return F.expr(text).cast(target.schema[c].dataType)
+
     def branch_idx(branches, cond_of) -> F.Column:
         """First-true-wins branch index (-1 = no branch)."""
         chain = None
@@ -298,7 +309,7 @@ def merge_apply_multi(
                 if asg and c not in a:
                     continue  # branch leaves this column untouched
                 val = (
-                    F.expr(a[c]).cast(target.schema[c].dataType)
+                    _value_expr(c, a[c])
                     if asg
                     else F.col(f"{side_default}.{c}")
                 )
@@ -409,8 +420,6 @@ def merge_apply_multi(
             IDX, branch_idx(not_matched_branches, lambda br: br[0])
         )
 
-        dflts = column_defaults or {}
-
         def ins_expr(c):
             chain = None
             for i, (_cond, cols, vals) in enumerate(not_matched_branches):
@@ -419,9 +428,9 @@ def merge_apply_multi(
                 if cols:
                     vmap = dict(zip(cols, vals))
                     if c in vmap:
-                        val = F.expr(vmap[c]).cast(
-                            target.schema[c].dataType
-                        )
+                        # explicit value — the DEFAULT keyword resolves
+                        # to the declared default inside _value_expr
+                        val = _value_expr(c, vmap[c])
                     elif c in dflts:
                         # unlisted columns take their DEFAULT (PG) —
                         # the caller passes the table's declared

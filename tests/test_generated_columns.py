@@ -296,3 +296,74 @@ def test_add_column_generated_backfills(sess, spark):
             "GENERATED ALWAYS AS (nope) STORED"
         )
     assert "s3" not in spark.table("gen_t").columns
+
+
+def test_merge_default_token_and_update_from(sess, spark):
+    """Review findings: the DEFAULT keyword works in MERGE INSERT
+    VALUES and UPDATE SET (incl. generated columns), and UPDATE..FROM
+    enforces the generated-column rules like plain UPDATE."""
+    sess.sql(
+        "CREATE TABLE gen_t (k int, v int DEFAULT 5, "
+        "dbl int GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    sess.sql("INSERT INTO gen_t (k, v) VALUES (1, 10)")
+    spark.sql("SELECT 2 AS k UNION ALL SELECT 1").createOrReplaceTempView(
+        "gdt_src"
+    )
+    sess.sql(
+        "MERGE INTO gen_t t USING gdt_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = DEFAULT, dbl = DEFAULT "
+        "WHEN NOT MATCHED THEN INSERT (k, v, dbl) "
+        "VALUES (s.k, DEFAULT, DEFAULT)"
+    )
+    rows = {r.k: (r.v, r.dbl) for r in spark.table("gen_t").collect()}
+    assert rows == {1: (5, 10), 2: (5, 10)}
+    # UPDATE..FROM: SET col = DEFAULT resolves; generated writes reject
+    spark.sql("SELECT 1 AS k, 99 AS nv").createOrReplaceTempView("uf_src")
+    sess.sql(
+        "UPDATE gen_t SET v = DEFAULT FROM uf_src "
+        "WHERE gen_t.k = uf_src.k"
+    )
+    assert {
+        r.k: r.v for r in spark.table("gen_t").collect()
+    }[1] == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="only be updated to DEFAULT"):
+        sess.sql(
+            "UPDATE gen_t SET dbl = uf_src.nv FROM uf_src "
+            "WHERE gen_t.k = uf_src.k"
+        )
+
+
+def test_not_null_survives_table_rename(sess, spark):
+    for t in ("nnr_t", "nnr_t2"):
+        sess.sql(f"DROP TABLE IF EXISTS {t}")
+    sess.sql("CREATE TABLE nnr_t (x int)")
+    sess.sql("ALTER TABLE nnr_t ALTER COLUMN x SET NOT NULL")
+    sess.sql("ALTER TABLE nnr_t RENAME TO nnr_t2")
+    # DROP NOT NULL finds the constraint by expression, not name
+    sess.sql("ALTER TABLE nnr_t2 ALTER COLUMN x DROP NOT NULL")
+    sess.sql("INSERT INTO nnr_t2 VALUES (NULL)")
+    assert spark.table("nnr_t2").count() == 1
+    sess.sql("DROP TABLE nnr_t2")
+
+
+def test_set_default_validation_and_identity(sess):
+    sess.sql("CREATE TABLE sdv_t (id serial, v int)")
+    with pytest.raises(ValueError, match="does not resolve"):
+        sess.sql("ALTER TABLE sdv_t ALTER COLUMN v SET DEFAULT 5 ) bogus")
+    with pytest.raises(ValueError, match="identity column"):
+        sess.sql("ALTER TABLE sdv_t ALTER COLUMN id SET DEFAULT 7")
+    sess.sql("DROP TABLE sdv_t")
+
+
+def test_add_generated_with_not_null_between(sess, spark):
+    sess.sql("CREATE TABLE agn_t (a int, b int)")
+    sess.sql("INSERT INTO agn_t VALUES (1, 2)")
+    sess.sql(
+        "ALTER TABLE agn_t ADD COLUMN s int NOT NULL "
+        "GENERATED ALWAYS AS (a + b) STORED"
+    )
+    assert spark.table("agn_t").collect()[0].s == 3
+    sess.sql("DROP TABLE agn_t")
