@@ -4627,3 +4627,50 @@ SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
          AS n_null
 FROM merged GROUP BY bucket ORDER BY bucket
 """
+
+
+# r8 oracle candidate (NOT registered — window full): multi-argument
+# unnest zip semantics. DuckDB lacks the PG multi-array form; the
+# oracle zips via index-joined parallel unnests, NULL-padding with a
+# LEFT JOIN from the position spine.
+def unnest_multi_zip(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(
+        """
+SELECT doc_id, t.tok, t.pos, t.n
+FROM documents,
+     unnest(string_to_array(text, ' '),
+            sequence(1, 5)) WITH ORDINALITY AS t(tok, pos, n)
+WHERE doc_id < 30 AND t.n <= 7
+ORDER BY doc_id, t.n
+"""
+    )
+
+
+UNNEST_MULTI_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         [1, 2, 3, 4, 5] AS poss
+  FROM documents WHERE doc_id < 30
+), spine AS (
+  SELECT doc_id, unnest(range(1,
+         greatest(len(toks), len(poss)) + 1)) AS n
+  FROM base
+), toks AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS i
+  FROM base
+), poss AS (
+  SELECT doc_id, unnest(poss) AS pos,
+         unnest(range(1, len(poss) + 1)) AS i
+  FROM base
+)
+SELECT s.doc_id, t.tok, CAST(p.pos AS INT) AS pos,
+       CAST(s.n AS BIGINT) AS n
+FROM spine s
+LEFT JOIN toks t ON s.doc_id = t.doc_id AND s.n = t.i
+LEFT JOIN poss p ON s.doc_id = p.doc_id AND s.n = p.i
+WHERE s.n <= 7
+ORDER BY s.doc_id, s.n
+"""

@@ -890,3 +890,101 @@ SELECT src, count(*) AS n,
          AS cents_min
 FROM merged GROUP BY src ORDER BY src
 """
+
+
+# UPDATE..FROM rekey rippling through ON UPDATE CASCADE — join-DML
+# driving the referential-action engine (previously rejected; the
+# FROM form now derives the old/new remap).
+def update_from_cascade_rekey(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__ufc_items", "__ufc_orders", "__ufc_map"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE __ufc_orders (okey bigint PRIMARY KEY, prio text)")
+    s.sql(
+        "CREATE TABLE __ufc_items (okey bigint REFERENCES __ufc_orders "
+        "(okey) ON UPDATE CASCADE, qty double precision)"
+    )
+    s.sql("CREATE TABLE __ufc_map (old_k bigint, new_k bigint)")
+    s.sql(
+        "INSERT INTO __ufc_orders SELECT o_orderkey, o_orderpriority "
+        "FROM orders WHERE o_orderkey < 1500"
+    )
+    s.sql(
+        "INSERT INTO __ufc_items SELECT l_orderkey, l_quantity "
+        "FROM lineitem WHERE l_orderkey < 1500"
+    )
+    s.sql(
+        "INSERT INTO __ufc_map SELECT o_orderkey, o_orderkey + 1000000 "
+        "FROM orders WHERE o_orderkey < 1500 AND o_orderkey % 3 = 0"
+    )
+    s.sql(
+        "UPDATE __ufc_orders SET okey = __ufc_map.new_k FROM __ufc_map "
+        "WHERE __ufc_orders.okey = __ufc_map.old_k"
+    )
+    return s.sql(
+        """
+SELECT CAST(okey >= 1000000 AS INT) AS rekeyed,
+       count(*) AS n_items,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       CAST(min(okey) AS BIGINT) AS min_key
+FROM __ufc_items GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+UPDATE_FROM_CASCADE_ORACLE = """
+WITH items AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0
+              THEN l_orderkey + 1000000 ELSE l_orderkey END AS okey,
+         l_quantity AS qty
+  FROM lineitem WHERE l_orderkey < 1500
+)
+SELECT CAST(okey >= 1000000 AS INT) AS rekeyed,
+       count(*) AS n_items,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       CAST(min(okey) AS BIGINT) AS min_key
+FROM items GROUP BY 1 ORDER BY 1
+"""
+
+
+# Sequence bounds + CYCLE through the textual surface: a bounded
+# ascending sequence exhausts, errors, cycles after ALTER; the drawn
+# ids are deterministic so the oracle re-derives them exactly.
+def sequence_bounds_cycle(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __seq_b")
+    s.sql("DROP SEQUENCE IF EXISTS __b_seq")
+    s.sql(
+        "CREATE SEQUENCE __b_seq INCREMENT BY 3 MINVALUE 10 "
+        "MAXVALUE 30 START WITH 10"
+    )
+    s.sql("CREATE TABLE __seq_b (tag text, v bigint)")
+    # 7 draws fit ([10..28]); the 8th would pass 30 → error; after
+    # ALTER CYCLE the next draw restarts at MINVALUE
+    for i in range(7):
+        s.sql(f"INSERT INTO __seq_b VALUES ('fit', nextval('__b_seq'))")
+    try:
+        s.sql("INSERT INTO __seq_b VALUES ('over', nextval('__b_seq'))")
+        raise AssertionError("bound not enforced")
+    except ValueError:
+        pass
+    s.sql("ALTER SEQUENCE __b_seq CYCLE")
+    s.sql("INSERT INTO __seq_b VALUES ('wrapped', nextval('__b_seq'))")
+    return s.sql(
+        """
+SELECT tag, count(*) AS n, CAST(min(v) AS BIGINT) AS v_min,
+       CAST(max(v) AS BIGINT) AS v_max, CAST(sum(v) AS BIGINT) AS v_sum
+FROM __seq_b GROUP BY tag ORDER BY tag
+"""
+    )
+
+
+SEQUENCE_BOUNDS_ORACLE = """
+WITH draws AS (
+  SELECT 'fit' AS tag, unnest([10, 13, 16, 19, 22, 25, 28]) AS v
+  UNION ALL SELECT 'wrapped', 10
+)
+SELECT tag, count(*) AS n, CAST(min(v) AS BIGINT) AS v_min,
+       CAST(max(v) AS BIGINT) AS v_max, CAST(sum(v) AS BIGINT) AS v_sum
+FROM draws GROUP BY tag ORDER BY tag
+"""

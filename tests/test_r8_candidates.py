@@ -28,7 +28,8 @@ def _match(spark_df, duck_df):
     for c in got.columns:
         a, b = got[c].tolist(), duck_df[c].tolist()
         if got[c].dtype.kind == "f":
-            assert a == pytest.approx(b, abs=0.0), c  # bit-exact
+            # bit-exact incl. NULLs (approx rejects NaN == NaN)
+            assert a == pytest.approx(b, abs=0.0, nan_ok=True), c
         else:
             assert a == b, c
 
@@ -131,3 +132,53 @@ def test_generated_column_writes_matches_oracle(spark):
 
     out = generated_column_writes(spark, SF_SMALL)
     _match(out, _duck_orders(GENERATED_WRITES_ORACLE))
+
+
+def test_unnest_multi_zip_matches_oracle(spark):
+    from citus_spark.queries.analytics import (
+        UNNEST_MULTI_ORACLE,
+        unnest_multi_zip,
+    )
+
+    out = unnest_multi_zip(spark, SF_SMALL)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(UNNEST_MULTI_ORACLE).df()
+    _match(out, want)
+    assert out.count() > 0
+
+
+def _duck_tpch(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def test_update_from_cascade_rekey_matches_oracle(spark):
+    from citus_spark.queries.dmlops import (
+        UPDATE_FROM_CASCADE_ORACLE,
+        update_from_cascade_rekey,
+    )
+
+    out = update_from_cascade_rekey(spark, SF_SMALL)
+    _match(out, _duck_tpch(UPDATE_FROM_CASCADE_ORACLE))
+
+
+def test_sequence_bounds_cycle_matches_oracle(spark):
+    from citus_spark.queries.dmlops import (
+        SEQUENCE_BOUNDS_ORACLE,
+        sequence_bounds_cycle,
+    )
+
+    out = sequence_bounds_cycle(spark, SF_SMALL)
+    _match(out, _duck_tpch(SEQUENCE_BOUNDS_ORACLE))
+    # idempotent for driver re-runs
+    again = sequence_bounds_cycle(spark, SF_SMALL)
+    _match(again, _duck_tpch(SEQUENCE_BOUNDS_ORACLE))
