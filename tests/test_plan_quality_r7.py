@@ -121,3 +121,17 @@ def test_exclude_validation_plan_quality(spark):
     p = joined._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_r8_candidate_plan_quality(spark):
+    """The unregistered r8 candidates that return plain DataFrames:
+    no cartesian, no row-at-a-time Python (same gates the registered
+    entries carry)."""
+    from citus_spark.queries.similarity import hard_negative_mining
+    from citus_spark.queries.textops import temperature_mixture_sample
+
+    for fn in (hard_negative_mining, temperature_mixture_sample):
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
