@@ -98,7 +98,17 @@ def parse_insert(sql: str) -> InsertStatement | None:
                 )
                 for c, e in assignments
             ]
-    if not re.match(r"^(VALUES|SELECT|WITH)\b", rest, re.I):
+    if re.fullmatch(r"DEFAULT\s+VALUES", rest, re.I):
+        # INSERT INTO t DEFAULT VALUES — one all-defaults row. The
+        # session substitutes per-column defaults (and identity
+        # draws) exactly like an all-DEFAULT VALUES row, which is
+        # what PG defines this as.
+        if cols:
+            raise ValueError(
+                "INSERT: DEFAULT VALUES takes no column list"
+            )
+        rest = "__DEFAULT_VALUES__"
+    elif not re.match(r"^(VALUES|SELECT|WITH)\b", rest, re.I):
         # Spark-valid forms we don't model (PARTITION specs, TABLE
         # syntax, ...) — return None so non-catalog targets fall
         # through to Spark's own INSERT handling; the session raises

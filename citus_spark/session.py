@@ -2961,6 +2961,15 @@ class DistributedSession:
         t_cols = [f.name for f in schema.fields]
         names = stmt.cols or t_cols
         gen = entry.generated or {}
+        if stmt.source_sql == "__DEFAULT_VALUES__":
+            # INSERT .. DEFAULT VALUES ≡ one VALUES row of DEFAULT
+            # tokens over the non-generated columns (PG definition) —
+            # the substitution below resolves each token (declared
+            # default / identity draw / NULL)
+            names = [c for c in t_cols if c not in gen]
+            stmt.source_sql = (
+                "VALUES (" + ", ".join(["DEFAULT"] * len(names)) + ")"
+            )
         listed_gen = [c for c in names if c in gen]
         is_values = stmt.source_sql.upper().startswith("VALUES")
         source_sql = stmt.source_sql

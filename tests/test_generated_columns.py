@@ -367,3 +367,23 @@ def test_add_generated_with_not_null_between(sess, spark):
     )
     assert spark.table("agn_t").collect()[0].s == 3
     sess.sql("DROP TABLE agn_t")
+
+
+def test_insert_default_values(sess, spark):
+    """INSERT INTO t DEFAULT VALUES — one all-defaults row (identity
+    draws, declared defaults, NULLs, generated recompute)."""
+    sess.sql("DROP TABLE IF EXISTS idv_t")
+    sess.sql(
+        "CREATE TABLE idv_t (id serial, v int DEFAULT 7, note text, "
+        "d2 int GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    sess.sql("INSERT INTO idv_t DEFAULT VALUES")
+    sess.sql("INSERT INTO idv_t DEFAULT VALUES")
+    rows = sorted(
+        (r.id, r.v, r.note, r.d2)
+        for r in spark.table("idv_t").collect()
+    )
+    assert rows == [(1, 7, None, 14), (2, 7, None, 14)]
+    with pytest.raises(ValueError, match="no column list"):
+        sess.sql("INSERT INTO idv_t (v) DEFAULT VALUES")
+    sess.sql("DROP TABLE idv_t")
