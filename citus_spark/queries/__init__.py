@@ -86,15 +86,18 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
 
-    # Registration is idempotent per (session, dir): re-registering the
-    # same ten views costs ~0.8 s per call (parquet footer reads +
-    # plan-construction JVM round trips), which the correctness gate
-    # pays 170× and the bench 3×/query without this guard. The fixture
-    # dirs are immutable driver artifacts, so dir identity is a safe key.
+    # Corpus-sized session confs are applied on EVERY call (not just
+    # first registration): Spark reads these confs at execution time,
+    # so a session alternating between two corpora would otherwise
+    # execute corpus-B queries under corpus-A's AQE/reducer settings
+    # (r7 verdict finding #3). Re-applying is 4 runtime-settable
+    # conf.set calls (~1 ms); the expensive work (tree walk, parquet
+    # footer reads, view registration) stays behind the idempotent
+    # guard below. The contract this gives: a query built via
+    # load_views(dir) and executed before the next load_views call —
+    # the pattern every registry wrapper and the driver follow — runs
+    # under its own corpus's confs.
     key = os.path.abspath(sf_dir)
-    if getattr(spark, "_citus_views_dir", None) == key:
-        return
-
     paths = {
         t: os.path.join(sf_dir, f"{t}.parquet")
         for t in ALL_TABLES
@@ -110,8 +113,13 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     # Spark default 128 MiB (the right number when files outnumber
     # cores, i.e. at real scale). The middle expression matters only
     # between ~1 GiB and ~8 TiB of input on 32 cores, where splitting
-    # to ~2 waves per core beats fixed sizes.
-    total = sum(_tree_bytes(p) for p in paths.values())
+    # to ~2 waves per core beats fixed sizes. (Sizes are cached per
+    # dir — fixture dirs are immutable driver artifacts.)
+    if key in _CORPUS_BYTES:
+        total = _CORPUS_BYTES[key]
+    else:
+        total = sum(_tree_bytes(p) for p in paths.values())
+        _CORPUS_BYTES[key] = total
     par = spark.sparkContext.defaultParallelism or 8
     split = max(16 << 20, min(128 << 20, total // (2 * par) or 1))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
@@ -138,6 +146,14 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     # runs with AQE coalescing downward from it.
     shuffle_n = max(8, min(2 * par, total // (32 << 20)))
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_n))
+
+    # View registration is idempotent per (session, dir):
+    # re-registering the same ten views costs ~0.8 s per call (parquet
+    # footer reads + plan-construction JVM round trips), which the
+    # correctness gate pays 170× and the bench 3×/query without this
+    # guard.
+    if getattr(spark, "_citus_views_dir", None) == key:
+        return
 
     for t, path in paths.items():
         # Single-file single-row-group fixtures give Spark exactly ONE
@@ -168,6 +184,10 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 # corpus size above which AQE's runtime re-planning is worth its
 # per-stage overhead (see load_views)
 _AQE_MIN_BYTES = 256 << 20
+
+# per-dir corpus byte totals (fixture dirs are immutable), so the
+# every-call conf re-application above never re-walks the tree
+_CORPUS_BYTES: dict[str, int] = {}
 
 # Fan out only tables big enough that a SERIAL scan pass costs whole
 # seconds. Paired A/B at sf0.1 (≤11 MB tables) measured the fan-out
@@ -460,6 +480,31 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "zscore_outliers", "neardup_stream_batch",
     "entity_resolution_customers", "dedup_keep_best_quality",
     "hybrid_rrf_retrieval",
+    # CORRECTNESS_r07.json (50/50 green)
+    "text_search_phrase_prefix", "shard_split_routing",
+    "window_named_clause", "grouping_id_rollup", "unnest_with_ordinality",
+    "order_nulls_placement", "sql_standard_string_forms",
+    "pg_substring_regex_extract", "event_transition_matrix",
+    "equi_depth_histogram", "generate_series_timestamps",
+    "moving_distinct_types", "null_safe_comparison",
+    "setop_branch_limits", "regexp_replace_backrefs",
+    "window_ignore_nulls", "try_cast_ingest", "greatest_least_null_skip",
+    "not_in_null_semantics", "latest_value_per_user",
+    "weighted_percentile_disc", "percentile_cont_interpolated",
+    "dup_cluster_size_histogram", "fk_cascade_archive",
+    "fk_set_null_orphans", "fk_update_cascade_rekey",
+    "update_from_enrich", "delete_using_filter",
+    "alter_column_type_rollup", "truncate_cascade_state",
+    "restore_point_time_travel", "placement_round_robin",
+    "merge_matched_delete", "update_returning_values",
+    "insert_conflict_do_nothing", "copy_csv_roundtrip",
+    "redistribute_roundtrip", "split_placement_stability",
+    "embedding_gram_matrix", "mmr_diversified_topk",
+    "embedding_norm_stats", "zipf_slope_tokens",
+    "content_defined_chunks", "sentence_stats",
+    "lexical_diversity_stats", "tfidf_topk_terms",
+    "trigram_novelty_rate", "winnowing_fingerprints",
+    "kgram_coverage_curve", "ab_split_events",
 })
 
 
