@@ -4527,8 +4527,8 @@ SELECT user_id, value AS latest_value, event_type AS latest_type FROM (
 
 
 # ---------------------------------------------------------------------------
-# r8 oracle candidate (NOT registered — the r7 verify window is full;
-# tests/test_r8_candidates.py proves DuckDB parity directly): the PG 17
+# Registered r8 (tests/test_r8_candidates.py also proves DuckDB
+# parity directly): the PG 17
 # two-table sync idiom through the multi-branch MERGE executor —
 # ordered guarded MATCHED branches (first-true-wins), a guarded
 # INSERT, and WHEN NOT MATCHED BY SOURCE DELETE.
@@ -4629,7 +4629,7 @@ FROM merged GROUP BY bucket ORDER BY bucket
 """
 
 
-# r8 oracle candidate (NOT registered — window full): multi-argument
+# Registered r8: multi-argument
 # unnest zip semantics. DuckDB lacks the PG multi-array form; the
 # oracle zips via index-joined parallel unnests, NULL-padding with a
 # LEFT JOIN from the position spine.
@@ -4674,3 +4674,6 @@ LEFT JOIN poss p ON s.doc_id = p.doc_id AND s.n = p.i
 WHERE s.n <= 7
 ORDER BY s.doc_id, s.n
 """
+
+register_split("merge_sync_by_source", merge_sync_by_source, MERGE_SYNC_ORACLE)
+register_split("unnest_multi_zip", unnest_multi_zip, UNNEST_MULTI_ORACLE)

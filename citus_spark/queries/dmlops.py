@@ -695,8 +695,8 @@ ORDER BY kind
 
 
 # ---------------------------------------------------------------------------
-# r8 oracle candidates (NOT registered — the r7 verify window is full;
-# tests/test_r8_candidates.py proves DuckDB parity directly).
+# Registered r8 (tests/test_r8_candidates.py also proves DuckDB
+# parity directly at 3 SFs).
 
 
 # EXCLUDE constraint lifecycle: the booking/no-overlap idiom. Rows
@@ -988,3 +988,23 @@ SELECT tag, count(*) AS n, CAST(min(v) AS BIGINT) AS v_min,
        CAST(max(v) AS BIGINT) AS v_max, CAST(sum(v) AS BIGINT) AS v_sum
 FROM draws GROUP BY tag ORDER BY tag
 """
+
+register_split(
+    "exclude_constraint_bookings",
+    exclude_constraint_bookings,
+    EXCLUDE_BOOKINGS_ORACLE,
+)
+register_split(
+    "update_nextval_block", update_nextval_block, UPDATE_NEXTVAL_ORACLE
+)
+register_split(
+    "generated_column_writes", generated_column_writes, GENERATED_WRITES_ORACLE
+)
+register_split(
+    "update_from_cascade_rekey",
+    update_from_cascade_rekey,
+    UPDATE_FROM_CASCADE_ORACLE,
+)
+register_split(
+    "sequence_bounds_cycle", sequence_bounds_cycle, SEQUENCE_BOUNDS_ORACLE
+)

@@ -1423,8 +1423,8 @@ FROM q GROUP BY q.label ORDER BY q.label
 # rank. At 100 TB stage 1 is scan-parallel with no shuffle; only
 # |Q|·k survivors shuffle for ranking.
 #
-# NOT yet registered — r8 oracle candidate (the r7 verify window is
-# full); tests/test_r8_candidates.py proves DuckDB parity directly.
+# Registered r8; tests/test_r8_candidates.py also proves DuckDB
+# parity directly at 3 SFs.
 DUP_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal
 
 
@@ -1535,3 +1535,7 @@ WITH q AS (
 SELECT qid, cid, cosine, rk FROM negs WHERE rk <= {TOP_K}
 ORDER BY qid, rk
 """
+
+register_split(
+    "hard_negative_mining", hard_negative_mining, HARD_NEGATIVE_ORACLE
+)

@@ -2607,8 +2607,8 @@ GROUP BY a.arm ORDER BY a.arm
 # correctly-rounded IEEE so both engines agree bit-for-bit, while
 # pow(x, a) is libm-dependent (README §Correctness).
 #
-# NOT yet registered — r8 oracle candidate (the r7 verify window is
-# full); tests/test_r8_candidates.py proves DuckDB parity directly.
+# Registered r8; tests/test_r8_candidates.py also proves DuckDB
+# parity directly at 3 SFs.
 
 def temperature_mixture_sample(
     spark: SparkSession, sf_dir: str, total: int = 200
@@ -2684,3 +2684,9 @@ WHERE r.rk <= q.quota
 GROUP BY q.source, q.n_docs, q.quota
 ORDER BY q.source
 """
+
+register_split(
+    "temperature_mixture_sample",
+    temperature_mixture_sample,
+    TEMPERATURE_MIX_ORACLE,
+)
