@@ -358,6 +358,7 @@ def _import_all() -> None:
         dmlops,
         graph,
         jsonagg,
+        mlops,
         similarity,
         textops,
         tpch,
