@@ -1881,18 +1881,72 @@ def _pg_replacement_to_java(raw: str) -> str:
     return "".join(out)
 
 
+def _shift_java_group_refs(java: str, by: int) -> str:
+    """Renumber $N group references in a Java replacement string
+    (output of _pg_replacement_to_java — refs are single-digit $N or
+    $0; \\$ is an escaped literal dollar). Shifted refs may go
+    two-digit ($9 → $11): safe, because PG already validated that the
+    pattern HAS group N, so after wrapping group N+by exists and
+    Java's greedy longest-valid-group parse resolves it correctly."""
+    out = []
+    i = 0
+    while i < len(java):
+        if java[i] == "\\" and i + 1 < len(java):
+            out.append(java[i : i + 2])  # escaped char (incl. \$)
+            i += 2
+            continue
+        if java[i] == "$" and i + 1 < len(java) and java[i + 1].isdigit():
+            out.append(f"${int(java[i + 1]) + by}")
+            i += 2
+            continue
+        out.append(java[i])
+        i += 1
+    return "".join(out)
+
+
+def _shift_pattern_backrefs(raw: str, by: int) -> str:
+    """Renumber \\N backrefs INSIDE a regex pattern by `by` (escaped
+    backslashes tracked, so \\\\1 stays a literal-backslash + '1')."""
+    out = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "\\" and i + 1 < len(raw):
+            n = raw[i + 1]
+            if n.isdigit() and n != "0":
+                out.append(f"\\{int(n) + by}")
+            else:
+                out.append(raw[i : i + 2])
+            i += 2
+            continue
+        out.append(raw[i])
+        i += 1
+    return "".join(out)
+
+
 def pg_regexp_replace_flags(sql: str) -> str:
-    """PG's 4-argument ``regexp_replace(src, pat, repl, 'g')`` →
-    Spark's 3-argument form. The pattern literal is re-escaped for
-    Spark's literal parser; the replacement literal is translated
-    from PG's replacement language (\\N backrefs, \\& whole-match,
-    \\\\ literal backslash) to Java's ($N, $0, escaped $). Spark's
-    own signatures (3 args, or an integer position) pass through
-    untouched. Only the 'g' flag is translatable — Spark's
-    regexp_replace is always-global, exactly PG-with-'g'; other flag
-    strings and non-literal replacements (whose backrefs cannot be
-    translated statically) are rejected loudly rather than silently
-    changing semantics."""
+    """PG's 4-argument ``regexp_replace(src, pat, repl, flags)`` →
+    Spark's 3-argument form, for flags drawn from {g, i} (plus ''):
+
+    - 'g'  — global replace: Spark's regexp_replace is always-global,
+      so this is a direct translation.
+    - 'gi'/'ig' — global case-insensitive: ``(?i)`` pattern prefix.
+    - 'i' / '' — PG replaces only the FIRST match. Emulated with a
+      lazy-prefix wrap: pattern ``(\\A(?s:.*?))((?i)pat)`` and
+      replacement ``$1`` + the translated replacement with group
+      refs shifted by 2 (prefix group = 1, whole-pat wrapper = 2 —
+      which is also what $0/\\& now means). ``\\A`` anchors only at
+      string start, so a global engine can fire at most once.
+
+    The pattern literal is re-escaped for Spark's literal parser; the
+    replacement literal is translated from PG's replacement language
+    (\\N backrefs, \\& whole-match, \\\\ literal backslash) to
+    Java's ($N, $0, escaped $). Spark's own signatures (3 args, or an
+    integer position) pass through untouched. Other flag characters
+    (m/n/p/s/w/q/x…) and non-literal patterns/replacements (whose
+    backrefs cannot be translated statically) are rejected loudly
+    rather than silently changing semantics.
+    Reference behavior: PG regexp_replace flag semantics as exercised
+    by shard-local SQL in the reference's regress suites."""
     start = 0
     while True:
         found = _find_call_span(sql, _REGEXP_REPLACE, start)
@@ -1907,24 +1961,42 @@ def pg_regexp_replace_flags(sql: str) -> str:
             start = target.start() + 1
             continue  # Spark-native signature: not ours
         flags = _pg_literal_chars(args[3].strip())
-        if flags != "g":
+        if not set(flags) <= {"g", "i"}:
             raise ValueError(
                 f"regexp_replace flags {flags!r} are not supported — "
-                "only 'g' translates (Spark's replace is always-global)"
+                "only 'g', 'i', 'gi' and '' translate"
             )
+        ci = "i" in flags
         pat = args[1].strip()
-        if re.fullmatch(r"'(?:[^']|'')*'", pat):
-            pat = _respark_literal(_pg_literal_chars(pat))
-        repl = args[2].strip()
-        if re.fullmatch(r"'(?:[^']|'')*'", repl):
-            java = _pg_replacement_to_java(_pg_literal_chars(repl))
-            repl = _respark_literal(java)
-        else:
+        if not re.fullmatch(r"'(?:[^']|'')*'", pat):
             raise ValueError(
-                "regexp_replace with the 'g' flag needs a LITERAL "
-                "replacement — a computed replacement\'s PG backrefs "
-                "(\\N) cannot be translated to Java\'s ($N) statically"
+                "regexp_replace with a flags argument needs a LITERAL "
+                "pattern — flag translation rewrites the pattern text"
             )
-        new_call = f"regexp_replace({args[0]}, {pat}, {repl})"
+        raw_pat = _pg_literal_chars(pat)
+        repl = args[2].strip()
+        if not re.fullmatch(r"'(?:[^']|'')*'", repl):
+            raise ValueError(
+                "regexp_replace with a flags argument needs a LITERAL "
+                "replacement — a computed replacement's PG backrefs "
+                "(\\N) cannot be translated to Java's ($N) statically"
+            )
+        java = _pg_replacement_to_java(_pg_literal_chars(repl))
+        if "g" in flags:
+            jpat = ("(?i)" if ci else "") + raw_pat
+            jrepl = java
+        else:
+            # first-match-only wrap (see docstring)
+            jpat = (
+                r"(\A(?s:.*?))("
+                + ("(?i)" if ci else "")
+                + _shift_pattern_backrefs(raw_pat, 2)
+                + ")"
+            )
+            jrepl = "$1" + _shift_java_group_refs(java, 2)
+        new_call = (
+            f"regexp_replace({args[0]}, "
+            f"{_respark_literal(jpat)}, {_respark_literal(jrepl)})"
+        )
         sql = sql[: target.start()] + new_call + sql[close_idx + 1 :]
         start = target.start() + 1

@@ -4399,6 +4399,31 @@ ORDER BY o_orderkey
 )
 
 
+# PG regexp_replace 'i'/'gi'/'' flag semantics (r8: plans/rewrites.py
+# pg_regexp_replace_flags): 'gi' is global case-insensitive; 'i' and
+# '' replace only the FIRST match (emulated on Spark's always-global
+# engine with a \A-anchored lazy-prefix wrap). DuckDB's native 4-arg
+# form has exactly PG's flag semantics, so the oracle is the same
+# statement.
+def regexp_replace_ci(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_REGEXP_CI_SQL)
+
+
+_REGEXP_CI_SQL = r"""
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, 'urgent', 'hot', 'gi') AS gi_all,
+       regexp_replace(o_orderpriority, '([a-z])', '[\1]', 'i') AS ci_first,
+       regexp_replace(o_orderpriority, '([A-Z])([A-Z])', '\2\1', '')
+         AS cs_first_swap
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+register_split("regexp_replace_ci", regexp_replace_ci, _REGEXP_CI_SQL)
+
+
 # IGNORE NULLS window fill — the LOCF spelling (Spark puts IGNORE
 # NULLS after the call, DuckDB inside the argument list; semantics
 # identical).

@@ -365,5 +365,57 @@ def test_regexp_rewrites_backslash_literals(spark):
         )
     with pytest.raises(ValueError, match="not supported"):
         pg_regexp_replace_flags(
-            "SELECT regexp_replace(s, 'a', 'b', 'i') FROM t"
+            "SELECT regexp_replace(s, 'a', 'b', 'x') FROM t"
+        )
+
+
+def test_regexp_replace_i_and_gi_flags(spark):
+    """PG flag semantics: 'i' (and '') replace only the FIRST match;
+    'gi' is global case-insensitive (r7 verdict missing-item #3)."""
+    from citus_spark.plans.rewrites import pg_regexp_replace_flags
+
+    def run(sql):
+        return spark.sql(pg_regexp_replace_flags(sql)).collect()[0][0]
+
+    # global case-insensitive
+    assert run(
+        "SELECT regexp_replace('Hello hello HELLO', 'hello', 'X', 'gi')"
+    ) == "X X X"
+    assert run(
+        "SELECT regexp_replace('Hello hello HELLO', 'hello', 'X', 'ig')"
+    ) == "X X X"
+    # 'i': case-insensitive, FIRST match only
+    assert run(
+        "SELECT regexp_replace('Hello hello HELLO', 'hello', 'X', 'i')"
+    ) == "X hello HELLO"
+    # '': case-sensitive, first match only (PG's 4-arg default)
+    assert run(
+        "SELECT regexp_replace('aa bb aa', 'aa', 'X', '')"
+    ) == "X bb aa"
+    # backrefs shift correctly under the first-only wrap
+    assert run(
+        r"SELECT regexp_replace('a1b2', '([a-z])(\d)', '\2\1', 'i')"
+    ) == "1ab2"
+    # whole-match ref under the wrap
+    assert run(
+        r"SELECT regexp_replace('abc ABC', 'b', '[\&]', 'i')"
+    ) == "a[b]c ABC"
+    # pattern-internal backref renumbers under the wrap
+    assert run(
+        r"SELECT regexp_replace('xaax', '([a])\1', 'Y', 'i')"
+    ) == "xYx"
+    # no match: unchanged
+    assert run(
+        "SELECT regexp_replace('abc', 'zz', 'X', 'i')"
+    ) == "abc"
+    # 3-arg Spark-native signature passes through untouched
+    assert run(
+        "SELECT regexp_replace('aa', 'a', 'b')"
+    ) == "bb"
+    # unknown flags still reject loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="flags"):
+        pg_regexp_replace_flags(
+            "SELECT regexp_replace('a', 'a', 'b', 'x')"
         )
