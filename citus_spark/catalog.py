@@ -81,6 +81,14 @@ class TableDist:
     # bucket's uniform int32 hash range subdivided at explicit split
     # points; rows route to the child whose range holds their hash
     splits: dict | None = None
+    # PG declarative partitioning (↔ reference multi_partitioning.sql;
+    # plans/partition_ddl.py). On a partitioned parent:
+    # partition_by = {"method": "range"|"list"|"hash", "col": name}
+    # and partitions = {child_table: bound_dict}. On a child:
+    # partition_parent = parent table name.
+    partition_by: dict | None = None
+    partitions: dict | None = None
+    partition_parent: str | None = None
 
     @property
     def is_reference(self) -> bool:

@@ -64,6 +64,16 @@ _CREATE = re.compile(
     r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*)\)\s*;?\s*$",
     re.I | re.S,
 )
+# the PARTITION BY suffix form is tried FIRST (a mandatory suffix
+# forces the greedy body to backtrack to the right closing paren; an
+# optional suffix would let the body swallow the partition clause)
+_CREATE_PARTITIONED = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*)\)\s*"
+    r"PARTITION\s+BY\s+(?P<pmethod>RANGE|LIST|HASH)\s*"
+    r"\(\s*(?P<pcol>[A-Za-z_]\w*)\s*\)\s*;?\s*$",
+    re.I | re.S,
+)
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
@@ -586,7 +596,7 @@ def parse_create_table(sql: str):
     {col: generated_expr}), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
-    m = _CREATE.match(sql)
+    m = _CREATE_PARTITIONED.match(sql) or _CREATE.match(sql)
     if not m:
         return None
     table = m.group("name")
@@ -632,10 +642,140 @@ def parse_create_table(sql: str):
     if not cols:
         raise ValueError("CREATE TABLE: no columns")
     ine = bool(re.search(r"IF\s+NOT\s+EXISTS", sql, re.I))
+    partition_by = None
+    if m.re is _CREATE_PARTITIONED:
+        pcol = m.group("pcol")
+        if not any(
+            c.split(" ", 1)[0].lower() == pcol.lower() for c in cols
+        ):
+            raise ValueError(
+                f'PARTITION BY column "{pcol}" is not a column of '
+                f'"{table}" (expression partition keys are not '
+                "supported — partition on a stored column)"
+            )
+        partition_by = {
+            "method": m.group("pmethod").lower(),
+            "col": pcol,
+        }
     return (
         table, ", ".join(cols), ine, identities, con_ops, defaults,
-        generated,
+        generated, partition_by,
     )
+
+
+# ---------------------------------------------------------------------------
+# PG declarative partitioning DDL (↔ reference
+# src/test/regress/sql/multi_partitioning.sql:16-40,116,292-311 and
+# src/backend/distributed/operations/partitioning support): a
+# partitioned parent stores no rows; children carry bounds; writes to
+# the parent route by bound. Spark-first mapping in session.py — the
+# parent relation is the union of its children's parquet layouts.
+
+_PARTITION_OF = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<child>[A-Za-z_][\w.]*)\s+PARTITION\s+OF\s+"
+    r"(?P<parent>[A-Za-z_][\w.]*)\s+"
+    r"(?:DEFAULT|FOR\s+VALUES\s+(?P<bound>.+?))\s*;?\s*$",
+    re.I | re.S,
+)
+_ATTACH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<parent>[A-Za-z_][\w.]*)\s+"
+    r"ATTACH\s+PARTITION\s+(?P<child>[A-Za-z_][\w.]*)\s+"
+    r"(?:DEFAULT|FOR\s+VALUES\s+(?P<bound>.+?))\s*;?\s*$",
+    re.I | re.S,
+)
+_DETACH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<parent>[A-Za-z_][\w.]*)\s+"
+    r"DETACH\s+PARTITION\s+(?P<child>[A-Za-z_][\w.]*)"
+    r"(?:\s+CONCURRENTLY|\s+FINALIZE)?\s*;?\s*$",
+    re.I,
+)
+_BOUND_RANGE = re.compile(
+    r"^FROM\s*\((?P<lo>.+?)\)\s*TO\s*\((?P<hi>.+?)\)$", re.I | re.S
+)
+_BOUND_LIST = re.compile(r"^IN\s*\((?P<vals>.+)\)$", re.I | re.S)
+_BOUND_HASH = re.compile(
+    r"^WITH\s*\(\s*MODULUS\s+(?P<m>\d+)\s*,\s*"
+    r"REMAINDER\s+(?P<r>\d+)\s*\)$",
+    re.I,
+)
+
+
+def parse_partition_bound(text: str | None) -> dict:
+    """FOR VALUES clause text → bound dict:
+    {"kind": "range", "lo": lit|None, "hi": lit|None} (None =
+    MINVALUE/MAXVALUE), {"kind": "list", "in": [lits],
+    "has_null": bool}, {"kind": "hash", "modulus": m, "remainder": r},
+    or {"kind": "default"} when the clause is the DEFAULT keyword
+    (text None). Multi-column range bounds are rejected loudly."""
+    if text is None:
+        return {"kind": "default"}
+    text = text.strip()
+    m = _BOUND_RANGE.match(text)
+    if m:
+        lo, hi = m.group("lo").strip(), m.group("hi").strip()
+        if "," in lo or "," in hi:
+            raise ValueError(
+                "multi-column range partition bounds are not "
+                "supported — partition on a single column"
+            )
+        return {
+            "kind": "range",
+            "lo": None if lo.upper() == "MINVALUE" else lo,
+            "hi": None if hi.upper() == "MAXVALUE" else hi,
+        }
+    m = _BOUND_LIST.match(text)
+    if m:
+        vals = [v.strip() for v in _split_columns(m.group("vals"))]
+        has_null = any(v.upper() == "NULL" for v in vals)
+        return {
+            "kind": "list",
+            "in": [v for v in vals if v.upper() != "NULL"],
+            "has_null": has_null,
+        }
+    m = _BOUND_HASH.match(text)
+    if m:
+        mod, rem = int(m.group("m")), int(m.group("r"))
+        if mod <= 0 or not 0 <= rem < mod:
+            raise ValueError(
+                f"hash partition bound MODULUS {mod} REMAINDER {rem} "
+                "is invalid (need 0 <= remainder < modulus)"
+            )
+        return {"kind": "hash", "modulus": mod, "remainder": rem}
+    raise ValueError(f"cannot parse partition bound {text!r}")
+
+
+def parse_create_partition_of(sql: str):
+    """→ (child, parent, bound_dict, if_not_exists) or None."""
+    m = _PARTITION_OF.match(sql)
+    if m is None:
+        return None
+    return (
+        m.group("child"),
+        m.group("parent"),
+        parse_partition_bound(m.group("bound")),
+        bool(m.group("ine")),
+    )
+
+
+def parse_attach_partition(sql: str):
+    """→ (parent, child, bound_dict) or None."""
+    m = _ATTACH.match(sql)
+    if m is None:
+        return None
+    return (
+        m.group("parent"),
+        m.group("child"),
+        parse_partition_bound(m.group("bound")),
+    )
+
+
+def parse_detach_partition(sql: str):
+    """→ (parent, child) or None."""
+    m = _DETACH.match(sql)
+    if m is None:
+        return None
+    return m.group("parent"), m.group("child")
 
 
 # ---------------------------------------------------------------------------

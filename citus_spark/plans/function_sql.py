@@ -14,8 +14,10 @@ Supported: scalar functions with named or unnamed typed parameters
 and a single-statement SQL body (a bare SELECT of one expression, or
 a full query that becomes a scalar subquery — correlated references
 to the parameters work); parameter DEFAULTs pass through (Spark SQL
-UDFs take DEFAULT natively). Rejected loudly: LANGUAGE plpgsql,
-OUT/INOUT parameters.
+UDFs take DEFAULT natively). LANGUAGE plpgsql translates through the
+tutorial subset in plans/plpgsql_sql.py (DECLARE / assignment /
+SELECT INTO / IF-RETURN / RETURN / RETURN QUERY). Rejected loudly:
+other languages, OUT/INOUT parameters, plpgsql beyond the subset.
 """
 
 from __future__ import annotations
@@ -70,10 +72,18 @@ def parse_create_function(sql: str):
         raise ValueError("CREATE FUNCTION: cannot parse header")
     ret = m.group("ret").strip()
     body, language = _extract_body(m.group("tail"))
-    if language not in ("sql",):
+    if language == "plpgsql":
+        # tutorial-subset translation (plans/plpgsql_sql.py): the
+        # body becomes one SQL statement and registers through the
+        # same SQL-UDF path below; unsupported constructs reject
+        # loudly inside the translator
+        from citus_spark.plans.plpgsql_sql import plpgsql_body_to_sql
+
+        body = plpgsql_body_to_sql(body)
+    elif language not in ("sql",):
         raise NotImplementedError(
             f"CREATE FUNCTION: LANGUAGE {language} is not supported "
-            "(sql only — plpgsql has no Spark analog)"
+            "(sql and the plpgsql tutorial subset only)"
         )
     params = []
     pnames = []

@@ -2810,6 +2810,57 @@ ORDER BY l_returnflag
 )
 
 
+# LANGUAGE plpgsql tutorial subset (r8; plans/plpgsql_sql.py):
+# DECLARE + assignment + IF/ELSIF/ELSE RETURN branches translate to
+# one SQL expression and register as a codegen SQL UDF. The oracle
+# re-derives the classification inline.
+def plpgsql_function_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        """CREATE OR REPLACE FUNCTION price_band(p double precision)
+        RETURNS text AS $$
+        DECLARE
+            thresh double precision := 100000.0;  -- premium cut
+        BEGIN
+            IF p >= thresh * 2 THEN
+                RETURN 'top';
+            ELSIF p >= thresh THEN
+                RETURN 'premium';
+            ELSE
+                RETURN 'standard';
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    return sess.sql(
+        """
+SELECT price_band(o_totalprice) AS band, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum
+FROM orders
+GROUP BY 1 ORDER BY band
+"""
+    )
+
+
+register_split(
+    "plpgsql_function_textual",
+    plpgsql_function_textual,
+    """
+SELECT CASE WHEN o_totalprice >= 200000.0 THEN 'top'
+            WHEN o_totalprice >= 100000.0 THEN 'premium'
+            ELSE 'standard' END AS band,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum
+FROM orders
+GROUP BY 1 ORDER BY band
+""",
+)
+
+
 # to_char template translation + FROM-position unnest
 # (plans/pgfmt_sql.py ↔ reference multi_behavioral_analytics_basics
 # to_char rollups). DuckDB spells them strftime / native unnest.

@@ -1008,3 +1008,148 @@ register_split(
 register_split(
     "sequence_bounds_cycle", sequence_bounds_cycle, SEQUENCE_BOUNDS_ORACLE
 )
+
+
+# --- PG declarative partitioning DDL (r8) -----------------------------------
+# ↔ reference src/test/regress/sql/multi_partitioning.sql:16-40 (the
+# CREATE .. PARTITION BY / PARTITION OF / DETACH flow) over fixture
+# orders. The oracle re-derives every routing decision: range bounds
+# replay as CASE predicates; the detached partition keeps its rows
+# but leaves the parent.
+def time_partition_ddl(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __tp_orders")
+    s.sql("DROP TABLE IF EXISTS __tp_1995")  # in case of a prior detach
+    s.sql(
+        "CREATE TABLE __tp_orders (okey bigint, odate timestamp, "
+        "price double precision) PARTITION BY RANGE (odate)"
+    )
+    s.sql(
+        "CREATE TABLE __tp_1995 PARTITION OF __tp_orders "
+        "FOR VALUES FROM ('1995-01-01') TO ('1996-01-01')"
+    )
+    s.sql(
+        "CREATE TABLE __tp_1996 PARTITION OF __tp_orders "
+        "FOR VALUES FROM ('1996-01-01') TO ('1997-01-01')"
+    )
+    s.sql("CREATE TABLE __tp_rest PARTITION OF __tp_orders DEFAULT")
+    s.sql(
+        "INSERT INTO __tp_orders SELECT o_orderkey, o_orderdate, "
+        "o_totalprice FROM orders WHERE o_orderkey < 4000"
+    )
+    # retention: last year's partition leaves the parent in O(1) —
+    # no row-level DELETE (the create_time_partitions story as DDL)
+    s.sql("ALTER TABLE __tp_orders DETACH PARTITION __tp_1995")
+    return s.sql(
+        """
+SELECT part, n, price_sum FROM (
+  SELECT 'parent' AS part, count(*) AS n,
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+  FROM __tp_orders
+  UNION ALL
+  SELECT '1996', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __tp_1996
+  UNION ALL
+  SELECT 'detached_1995', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __tp_1995
+  UNION ALL
+  SELECT 'default', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __tp_rest
+) ORDER BY part
+"""
+    )
+
+
+TIME_PARTITION_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS okey, o_orderdate AS odate,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey < 4000
+), routed AS (
+  SELECT *,
+         CASE WHEN odate >= '1995-01-01' AND odate < '1996-01-01'
+              THEN '1995'
+              WHEN odate >= '1996-01-01' AND odate < '1997-01-01'
+              THEN '1996'
+              ELSE 'default' END AS part
+  FROM src
+), agg AS (
+  SELECT part, count(*) AS n,
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+  FROM routed GROUP BY part
+)
+SELECT CASE WHEN part = '1995' THEN 'detached_1995' ELSE part END AS part,
+       n, price_sum
+FROM agg
+UNION ALL
+SELECT 'parent',
+       CAST(sum(CASE WHEN part <> '1995' THEN n ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN part <> '1995'
+                     THEN CAST(price_sum AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+FROM agg
+ORDER BY part
+"""
+
+register_split("time_partition_ddl", time_partition_ddl, TIME_PARTITION_ORACLE)
+
+
+# Hash partitioning — routing uses the engine's portable hash64
+# (md5-based), so the oracle replays the exact per-child layout.
+def hash_partition_ddl(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __hp_orders")
+    s.sql(
+        "CREATE TABLE __hp_orders (okey bigint, prio text) "
+        "PARTITION BY HASH (okey)"
+    )
+    for r in range(4):
+        s.sql(
+            f"CREATE TABLE __hp_orders_{r} PARTITION OF __hp_orders "
+            f"FOR VALUES WITH (MODULUS 4, REMAINDER {r})"
+        )
+    s.sql(
+        "INSERT INTO __hp_orders SELECT o_orderkey, o_orderpriority "
+        "FROM orders WHERE o_orderkey < 3000"
+    )
+    return s.sql(
+        """
+SELECT part, n, okey_sum FROM (
+  SELECT '0' AS part, count(*) AS n, CAST(sum(okey) AS BIGINT) AS okey_sum
+  FROM __hp_orders_0
+  UNION ALL SELECT '1', count(*), CAST(sum(okey) AS BIGINT) FROM __hp_orders_1
+  UNION ALL SELECT '2', count(*), CAST(sum(okey) AS BIGINT) FROM __hp_orders_2
+  UNION ALL SELECT '3', count(*), CAST(sum(okey) AS BIGINT) FROM __hp_orders_3
+  UNION ALL SELECT 'parent', count(*), CAST(sum(okey) AS BIGINT)
+  FROM __hp_orders
+) ORDER BY part
+"""
+    )
+
+
+def _hash_partition_oracle() -> str:
+    from citus_spark.functions import hash64_duck
+
+    h = hash64_duck("coalesce(CAST(o_orderkey AS VARCHAR), '')")
+    return f"""
+WITH src AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey < 3000
+), routed AS (
+  SELECT o_orderkey,
+         CAST((({h}) % 4 + 4) % 4 AS VARCHAR) AS part
+  FROM src
+)
+SELECT part, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS okey_sum
+FROM routed GROUP BY part
+UNION ALL
+SELECT 'parent', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM src
+ORDER BY part
+"""
+
+
+register_split(
+    "hash_partition_ddl", hash_partition_ddl, _hash_partition_oracle()
+)

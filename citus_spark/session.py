@@ -512,6 +512,24 @@ class DistributedSession:
         if self._schemas and ("." in query or "SCHEMA" in query.upper()):
             query = self._mangle_schema_names(query)
 
+        # FROM ONLY <partitioned parent> (PG: the parent's own rows,
+        # which a declaratively partitioned parent never has) → the
+        # registered empty-base view (↔ multi_partitioning.sql:49-51)
+        if _re.search(r"\bONLY\b", query, _re.I):
+            def _only_sub(m: "_re.Match") -> str:
+                t = m.group(2)
+                e = self.catalog.get(t)
+                if e is not None and getattr(e, "partition_by", None):
+                    return f"{m.group(1)} {t}__only"
+                return m.group(0)
+
+            query = _re.sub(
+                r"\b(FROM|JOIN)\s+ONLY\s+([A-Za-z_]\w*)",
+                _only_sub,
+                query,
+                flags=_re.I,
+            )
+
         # sequence calls: coordinator evaluation (literal draws), then
         # the distributed per-row path for nextval over a FROM query
         # DDL keeps the calls textual (a CREATE TABLE .. DEFAULT
@@ -2372,11 +2390,26 @@ class DistributedSession:
                 [(f"{tag} accepted (no-op in this engine)",)],
                 "status string",
             )
+        from citus_spark.plans.ddl_sql import (
+            parse_attach_partition,
+            parse_create_partition_of,
+            parse_detach_partition,
+        )
+
+        pof = parse_create_partition_of(query)
+        if pof is not None:
+            return self._create_partition_of(query, *pof)
+        att = parse_attach_partition(query)
+        if att is not None:
+            return self._attach_partition(query, *att)
+        det = parse_detach_partition(query)
+        if det is not None:
+            return self._detach_partition(query, *det)
         created = parse_create_table(query)
         if created is not None:
             (
                 name, ddl_schema, if_not_exists, identities, con_ops,
-                defaults, generated,
+                defaults, generated, partition_by,
             ) = created
             if self.catalog.get(name) is not None:
                 if if_not_exists:
@@ -2407,6 +2440,14 @@ class DistributedSession:
             empty.write.mode("overwrite").parquet(path)
             self.spark.read.parquet(path).createOrReplaceTempView(name)
             entry = self.catalog.register(name, "none", path=path)
+            if partition_by is not None:
+                entry.partition_by = partition_by
+                entry.partitions = {}
+                # the FROM ONLY surface (parent's own, always-empty
+                # relation) registers alongside
+                self.spark.read.parquet(path).createOrReplaceTempView(
+                    f"{name}__only"
+                )
             if defaults:
                 entry.defaults = defaults
             if generated:
@@ -2699,6 +2740,21 @@ class DistributedSession:
                 if seq in self._owned_seqs:
                     self._sequences.pop(seq, None)
                     self._owned_seqs.discard(seq)
+            if getattr(entry, "partition_by", None) is not None:
+                # PG drops a partitioned table together with all its
+                # partitions (they are dependent objects)
+                for child in list(entry.partitions or {}):
+                    self.catalog.unregister(child)
+                    self.spark.catalog.dropTempView(child)
+                self.spark.catalog.dropTempView(f"{name}__only")
+            if getattr(entry, "partition_parent", None):
+                # dropping a partition detaches it from the parent
+                pe = self.catalog.get(entry.partition_parent)
+                if pe is not None and pe.partitions:
+                    parts = dict(pe.partitions)
+                    parts.pop(name, None)
+                    pe.partitions = parts
+                    self._register_partitioned_parent(pe)
             self.catalog.unregister(name)
             self.spark.catalog.dropTempView(name)
             self.stat_statements.record(query, None, executor="utility")
@@ -3220,7 +3276,16 @@ class DistributedSession:
     def _live_read(self, entry) -> DataFrame:
         """Current relation contents. For time-partitioned tables the
         `_period` key column is included (the registered view exposes
-        it, so predicates may reference it)."""
+        it, so predicates may reference it). A declaratively
+        partitioned parent is the UNION of its children (the parent's
+        own storage stays empty — PG stores no rows in the parent)."""
+        if getattr(entry, "partition_by", None) is not None:
+            df = self.spark.read.parquet(entry.path)
+            for child in entry.partitions or {}:
+                ce = self.catalog.get(child)
+                if ce is not None:
+                    df = df.unionByName(self._live_read(ce))
+            return df
         if entry.time_partitioning:
             from citus_spark.sources.partitions import read_time_partitioned
 
@@ -3230,8 +3295,290 @@ class DistributedSession:
         return self.spark.read.parquet(entry.path)
 
     def _live_register(self, entry, name: str) -> None:
+        if getattr(entry, "partition_by", None) is not None:
+            self._register_partitioned_parent(entry)
+            return
         self.spark.catalog.refreshByPath(self._live_path(entry))
         self._live_read(entry).createOrReplaceTempView(name)
+        # a child write changes what the parent union shows — refresh
+        # the parent view alongside
+        if getattr(entry, "partition_parent", None):
+            pe = self.catalog.get(entry.partition_parent)
+            if pe is not None:
+                self._register_partitioned_parent(pe)
+
+    def _register_partitioned_parent(self, entry) -> None:
+        """(Re-)register a partitioned parent's views: the parent name
+        = union of children; `<name>__only` = the parent's own empty
+        base relation (the FROM ONLY surface)."""
+        self.spark.catalog.refreshByPath(entry.path)
+        for child in entry.partitions or {}:
+            ce = self.catalog.get(child)
+            if ce is not None and ce.path:
+                self.spark.catalog.refreshByPath(ce.path)
+        self._live_read(entry).createOrReplaceTempView(entry.name)
+        self.spark.read.parquet(entry.path).createOrReplaceTempView(
+            f"{entry.name}__only"
+        )
+
+    def _partition_routes(self, entry):
+        """[(child_name, child_entry, bound_predicate_sql)] for a
+        partitioned parent."""
+        from citus_spark.plans.partition_ddl import bound_predicate_sql
+
+        col = entry.partition_by["col"]
+        bounds = entry.partitions or {}
+        sib = list(bounds.values())
+        return [
+            (child, self.catalog.get(child), bound_predicate_sql(col, b, sib))
+            for child, b in bounds.items()
+        ]
+
+    def _enforce_child_bound(self, entry, df: DataFrame) -> None:
+        """A direct write to a partition must satisfy its bound (PG's
+        partition constraint)."""
+        pe = self.catalog.get(entry.partition_parent)
+        if pe is None or pe.partition_by is None:
+            return
+        bound = (pe.partitions or {}).get(entry.name)
+        if bound is None:
+            return
+        from citus_spark.plans.partition_ddl import bound_predicate_sql
+
+        pred = bound_predicate_sql(
+            pe.partition_by["col"], bound, list(pe.partitions.values())
+        )
+        bad = (
+            df.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f'new row for relation "{entry.name}" violates '
+                f"partition constraint\nDETAIL: Failing row: "
+                f"{tuple(bad[0])}."
+            )
+
+    def _partition_route(self, entry, df: DataFrame, name: str, mode: str):
+        """Route rows of `df` to the parent's children by bound and
+        append/rewrite each child. One staging materialization (the
+        source computes once; each child reads its column-pruned,
+        predicate-filtered slice of the staged parquet). Rows no
+        partition accepts error like PG. `mode='rewrite'` rewrites
+        EVERY child with its slice (the UPDATE/DELETE/TRUNCATE path —
+        this is also what makes cross-partition row movement work);
+        `mode='append'` appends only non-empty slices."""
+        import shutil
+        import uuid as _uuid
+
+        routes = self._partition_routes(entry)
+        if not routes:
+            raise ValueError(
+                f'no partitions defined for partitioned table "{name}"'
+            )
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            f"citus_spark_route_{_uuid.uuid4().hex[:8]}",
+        )
+        df.write.mode("overwrite").parquet(stage)
+        try:
+            staged = self.spark.read.parquet(stage)
+            matched = " OR ".join(f"({p})" for _c, _e, p in routes)
+            bad = (
+                staged.filter(~F.coalesce(F.expr(matched), F.lit(False)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f'no partition of relation "{name}" found for row'
+                    f"\nDETAIL: Failing row: {tuple(bad[0])}."
+                )
+            for child, ce, pred in routes:
+                part = staged.filter(
+                    F.coalesce(F.expr(pred), F.lit(False))
+                )
+                if mode == "rewrite":
+                    self._live_rewrite(
+                        ce, part, child, _bound_checked=True
+                    )
+                elif not part.isEmpty():
+                    self._live_append(
+                        ce, part, child, _bound_checked=True
+                    )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        self._register_partitioned_parent(entry)
+
+    def _require_partitioned(self, parent: str):
+        pe = self.catalog.get(parent)
+        if pe is None or getattr(pe, "partition_by", None) is None:
+            raise ValueError(
+                f'"{parent}" is not a partitioned table'
+            )
+        return pe
+
+    def _check_default_conflict(self, pe, bound: dict) -> None:
+        """A new non-default bound must not claim rows already in the
+        DEFAULT partition (PG: 'updated partition constraint for
+        default partition would be violated')."""
+        if bound["kind"] == "default":
+            return
+        default_child = next(
+            (
+                c
+                for c, b in (pe.partitions or {}).items()
+                if b["kind"] == "default"
+            ),
+            None,
+        )
+        if default_child is None:
+            return
+        from citus_spark.plans.partition_ddl import bound_predicate_sql
+
+        pred = bound_predicate_sql(pe.partition_by["col"], bound)
+        ce = self.catalog.get(default_child)
+        hit = (
+            self._live_read(ce)
+            .filter(F.coalesce(F.expr(pred), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            raise ValueError(
+                "updated partition constraint for default partition "
+                f'"{default_child}" would be violated by some row'
+            )
+
+    def _create_partition_of(
+        self, query: str, child: str, parent: str, bound: dict, ine: bool
+    ) -> DataFrame:
+        """CREATE TABLE <child> PARTITION OF <parent> FOR VALUES .. /
+        DEFAULT (↔ reference multi_partitioning.sql:21-25,292)."""
+        from citus_spark.plans.partition_ddl import validate_new_bound
+
+        pe = self._require_partitioned(parent)
+        if self.catalog.get(child) is not None:
+            if ine:
+                return self.spark.createDataFrame(
+                    [("CREATE TABLE skipped: exists",)], "status string"
+                )
+            raise ValueError(f'relation "{child}" already exists')
+        validate_new_bound(self.spark, pe, bound)
+        self._check_default_conflict(pe, bound)
+        import uuid as _uuid
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"citus_spark_tbl_{child}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+        )
+        schema = self.spark.read.parquet(pe.path).schema
+        self.spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(child)
+        centry = self.catalog.register(child, "none", path=path)
+        centry.partition_parent = parent
+        # children inherit the parent's write-funnel metadata (PG:
+        # defaults, generated columns, identity draws)
+        centry.defaults = pe.defaults
+        centry.generated = pe.generated
+        centry.identity = pe.identity
+        pe.partitions = {**(pe.partitions or {}), child: bound}
+        self._register_partitioned_parent(pe)
+        self.stat_statements.record(query, None, executor="utility")
+        return self.spark.createDataFrame(
+            [("CREATE TABLE",)], "status string"
+        )
+
+    def _attach_partition(
+        self, query: str, parent: str, child: str, bound: dict
+    ) -> DataFrame:
+        """ALTER TABLE .. ATTACH PARTITION (↔ reference
+        multi_partitioning.sql:116,144,311) — validates schema match,
+        bound compatibility, and that every existing child row
+        satisfies the bound (PG scans on attach)."""
+        from citus_spark.plans.partition_ddl import (
+            bound_predicate_sql,
+            validate_new_bound,
+        )
+
+        pe = self._require_partitioned(parent)
+        ce = self.catalog.get(child)
+        if ce is None:
+            raise ValueError(f'relation "{child}" does not exist')
+        if getattr(ce, "partition_parent", None):
+            raise ValueError(
+                f'"{child}" is already a partition of '
+                f'"{ce.partition_parent}"'
+            )
+        if getattr(ce, "partition_by", None) is not None:
+            raise ValueError(
+                "attaching a partitioned table as a partition "
+                "(sub-partitioning) is not supported"
+            )
+        parent_schema = {
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.read.parquet(pe.path).schema.fields
+        }
+        child_schema = {
+            (f.name, f.dataType.simpleString())
+            for f in self._live_read(ce).schema.fields
+        }
+        if parent_schema != child_schema:
+            raise ValueError(
+                f'table "{child}" contains a column set that does not '
+                f'match parent "{parent}" '
+                f"(child {sorted(child_schema)}, "
+                f"parent {sorted(parent_schema)})"
+            )
+        validate_new_bound(self.spark, pe, bound)
+        self._check_default_conflict(pe, bound)
+        sib = list((pe.partitions or {}).values()) + [bound]
+        pred = bound_predicate_sql(pe.partition_by["col"], bound, sib)
+        bad = (
+            self._live_read(ce)
+            .filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f'partition constraint of relation "{child}" is '
+                f"violated by some row\nDETAIL: Failing row: "
+                f"{tuple(bad[0])}."
+            )
+        ce.partition_parent = parent
+        pe.partitions = {**(pe.partitions or {}), child: bound}
+        self._register_partitioned_parent(pe)
+        self.stat_statements.record(query, None, executor="utility")
+        return self.spark.createDataFrame(
+            [("ALTER TABLE",)], "status string"
+        )
+
+    def _detach_partition(
+        self, query: str, parent: str, child: str
+    ) -> DataFrame:
+        """ALTER TABLE .. DETACH PARTITION — the child becomes a
+        standalone table keeping its rows (↔ reference
+        multi_partitioning.sql:307,442)."""
+        pe = self._require_partitioned(parent)
+        if child not in (pe.partitions or {}):
+            raise ValueError(
+                f'"{child}" is not a partition of "{parent}"'
+            )
+        ce = self.catalog.get(child)
+        parts = dict(pe.partitions)
+        parts.pop(child)
+        pe.partitions = parts
+        if ce is not None:
+            ce.partition_parent = None
+        self._register_partitioned_parent(pe)
+        self.stat_statements.record(query, None, executor="utility")
+        return self.spark.createDataFrame(
+            [("ALTER TABLE",)], "status string"
+        )
 
     def _recompute_generated(self, entry, df: DataFrame) -> DataFrame:
         """Stored generated columns recompute from the row's base
@@ -3247,7 +3594,9 @@ class DistributedSession:
             for c in df.columns
         ])
 
-    def _live_rewrite(self, entry, df: DataFrame, name: str) -> None:
+    def _live_rewrite(
+        self, entry, df: DataFrame, name: str, _bound_checked: bool = False
+    ) -> None:
         """Replace the relation's contents with `df` (full copy-on-
         write, the UPDATE/DELETE/TRUNCATE mechanism). Time-partitioned
         targets re-derive `_period` from the timestamp column (an
@@ -3256,11 +3605,19 @@ class DistributedSession:
         to EMPTY drops the partition layout (no period keys can exist)
         and re-homes the relation on a plain writable path.
         Stored generated columns recompute here — the universal
-        write funnel."""
+        write funnel. A declaratively partitioned parent re-routes the
+        full image to its children (cross-partition row movement, PG
+        11 semantics); a partition child validates its bound unless
+        the router already did."""
         import shutil
         import tempfile as _tf
 
         df = self._recompute_generated(entry, df)
+        if getattr(entry, "partition_by", None) is not None:
+            self._partition_route(entry, df, name, mode="rewrite")
+            return
+        if getattr(entry, "partition_parent", None) and not _bound_checked:
+            self._enforce_child_bound(entry, df)
 
         from citus_spark.sources.partitions import (
             PERIOD_COL,
@@ -3297,11 +3654,21 @@ class DistributedSession:
         shutil.rmtree(tmp, ignore_errors=True)
         self._live_register(entry, name)
 
-    def _live_append(self, entry, df: DataFrame, name: str) -> None:
+    def _live_append(
+        self, entry, df: DataFrame, name: str, _bound_checked: bool = False
+    ) -> None:
         """Append rows (the COPY FROM path). Time-partitioned targets
         route each row to its period directory. Stored generated
-        columns recompute here — the universal append funnel."""
+        columns recompute here — the universal append funnel.
+        A declaratively partitioned parent routes rows to children by
+        bound; a partition child validates its bound unless the
+        router already did."""
         df = self._recompute_generated(entry, df)
+        if getattr(entry, "partition_by", None) is not None:
+            self._partition_route(entry, df, name, mode="append")
+            return
+        if getattr(entry, "partition_parent", None) and not _bound_checked:
+            self._enforce_child_bound(entry, df)
         if entry.time_partitioning:
             from citus_spark.sources.partitions import (
                 append_time_partitioned,

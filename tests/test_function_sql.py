@@ -72,11 +72,14 @@ def test_create_distributed_function_noop(sess):
 
 
 def test_rejections(sess):
-    with pytest.raises(NotImplementedError, match="plpgsql"):
-        sess.sql(
-            "CREATE FUNCTION f1() RETURNS int AS $$ BEGIN RETURN 1; "
-            "END $$ LANGUAGE plpgsql"
-        )
+    # the plpgsql tutorial subset now translates (r8) — constructs
+    # beyond it keep the loud reject (see
+    # test_plpgsql_rejects_beyond_subset)
+    sess.sql(
+        "CREATE OR REPLACE FUNCTION f1() RETURNS int AS $$ BEGIN "
+        "RETURN 1; END $$ LANGUAGE plpgsql"
+    )
+    assert sess.sql("SELECT f1()").collect()[0][0] == 1
     # unnamed-parameter positional form now works (see below);
     # OUT params stay rejected
     with pytest.raises(NotImplementedError, match="parameter"):
@@ -180,3 +183,127 @@ def test_parameter_defaults(sess):
     assert sess.sql("SELECT scaled(3.0) AS v").collect()[0].v == 6.0
     sess.sql("DROP FUNCTION padded")
     sess.sql("DROP FUNCTION scaled")
+
+
+def test_plpgsql_tutorial_subset(sess):
+    """LANGUAGE plpgsql tutorial functions (r8; plans/plpgsql_sql.py)
+    — the PG docs ch. 43 shapes pasted verbatim."""
+    s = spark = sess
+    s.sql(
+        "CREATE OR REPLACE FUNCTION pl_increment(i integer) "
+        "RETURNS integer AS $$\nBEGIN\n  RETURN i + 1;\nEND;\n$$ "
+        "LANGUAGE plpgsql;"
+    )
+    assert spark.sql("SELECT pl_increment(41)").collect()[0][0] == 42
+
+    s.sql(
+        "CREATE OR REPLACE FUNCTION pl_sales_tax(subtotal real) "
+        "RETURNS real AS $$\nBEGIN\n    RETURN subtotal * 0.06;\nEND;\n"
+        "$$ LANGUAGE plpgsql;"
+    )
+    assert spark.sql("SELECT pl_sales_tax(100.0)").collect()[0][
+        0
+    ] == pytest.approx(6.0)
+
+    # DECLARE with initializer + assignment + comment
+    s.sql(
+        """CREATE OR REPLACE FUNCTION pl_area(w double precision,
+        h double precision) RETURNS double precision AS $$
+        DECLARE
+            scale double precision := 2.0;  -- doubled
+            a double precision;
+        BEGIN
+            a := w * h;
+            RETURN a * scale;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    assert spark.sql("SELECT pl_area(3.0, 4.0)").collect()[0][0] == 24.0
+
+    # IF / ELSIF / ELSE with RETURN branches
+    s.sql(
+        """CREATE OR REPLACE FUNCTION pl_grade(score int)
+        RETURNS text AS $$
+        BEGIN
+            IF score >= 90 THEN
+                RETURN 'A';
+            ELSIF score >= 80 THEN
+                RETURN 'B';
+            ELSE
+                RETURN 'C';
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    rows = spark.sql(
+        "SELECT pl_grade(95), pl_grade(85), pl_grade(42)"
+    ).collect()[0]
+    assert tuple(rows) == ("A", "B", "C")
+
+    # IF without ELSE falls through to the following RETURN
+    s.sql(
+        """CREATE OR REPLACE FUNCTION pl_clamp(x int) RETURNS int AS $$
+        BEGIN
+            IF x > 100 THEN
+                RETURN 100;
+            END IF;
+            RETURN x;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    got = spark.sql("SELECT pl_clamp(150), pl_clamp(7)").collect()[0]
+    assert tuple(got) == (100, 7)
+
+    # SELECT INTO over a relation (correlated scalar subquery)
+    s.sql(
+        """CREATE OR REPLACE FUNCTION pl_order_total(key bigint)
+        RETURNS double precision AS $$
+        DECLARE
+            total double precision;
+        BEGIN
+            SELECT max(o_totalprice) INTO total
+            FROM orders WHERE o_orderkey = key;
+            RETURN total;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    expected = spark.sql(
+        "SELECT max(o_totalprice) FROM orders WHERE o_orderkey = 1"
+    ).collect()[0][0]
+    assert spark.sql("SELECT pl_order_total(1)").collect()[0][
+        0
+    ] == expected
+
+    # RETURN QUERY → table function
+    s.sql(
+        """CREATE OR REPLACE FUNCTION pl_top_orders(lim int)
+        RETURNS TABLE(okey bigint, price double precision) AS $$
+        BEGIN
+            RETURN QUERY SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3;
+        END;
+        $$ LANGUAGE plpgsql;"""
+    )
+    assert len(spark.sql("SELECT * FROM pl_top_orders(3)").collect()) == 3
+
+
+def test_plpgsql_rejects_beyond_subset(spark):
+    from citus_spark.plans.function_sql import parse_create_function
+
+    with pytest.raises(NotImplementedError, match="unsupported statement"):
+        parse_create_function(
+            "CREATE FUNCTION f(i int) RETURNS int AS $$ BEGIN "
+            "FOR j IN 1..10 LOOP RETURN j; END LOOP; END; $$ "
+            "LANGUAGE plpgsql;"
+        )
+    with pytest.raises(NotImplementedError, match="volatile"):
+        parse_create_function(
+            "CREATE FUNCTION f() RETURNS int AS $$ DECLARE "
+            "v int := nextval('s'); BEGIN RETURN v; END; $$ "
+            "LANGUAGE plpgsql;"
+        )
+    with pytest.raises(NotImplementedError, match="not supported"):
+        parse_create_function(
+            "CREATE FUNCTION f() RETURNS int AS $$ return 1 $$ "
+            "LANGUAGE plpython3u;"
+        )
