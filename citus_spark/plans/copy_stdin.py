@@ -1,0 +1,135 @@
+"""COPY .. FROM STDIN — the psql-dump replay surface.
+
+↔ reference commands/multi_copy.c (the stdin path: psql sends the
+COPY command, then streams data lines, then `\\.`). This engine's
+front door is a statement string, so the statement IS the stream: a
+here-doc-shaped statement carries its data lines inline after the
+COPY head, terminated by a `\\.` line (exactly what `pg_dump` emits
+and what replaying a dump through session.sql produces). The API
+twin (DistributedSession.copy_from_stdin) takes any iterable of
+lines / file handle / str.
+
+Formats: PG's default TEXT format (tab-delimited, `\\N` null,
+backslash escapes) and FORMAT csv. Data decodes on the coordinator —
+the payload is bounded by statement size, like each chunk of a psql
+stream; bulk loads at scale use the file-path COPY (parallel parse).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+
+_HEAD = re.compile(
+    r"^\s*COPY\s+(?P<table>[A-Za-z_][\w.]*)\s*"
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*FROM\s+STDIN"
+    r"(?:\s+WITH\s*\(\s*(?P<opts>[^)]*)\))?\s*(?:;|$)",
+    re.I,
+)
+
+
+def parse_copy_stdin(sql: str):
+    """→ (table, cols|None, fmt, payload_lines|None) or None.
+    payload is None when the statement carries no inline data (the
+    API form supplies it separately)."""
+    m = _HEAD.match(sql)
+    if m is None:
+        return None
+    fmt = "text"
+    for part in (m.group("opts") or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        toks = part.split(None, 1)
+        key = toks[0].lower()
+        val = (
+            toks[1].strip().strip("'\"").lower() if len(toks) > 1 else None
+        )
+        if key == "format":
+            if val not in ("text", "csv"):
+                raise ValueError(
+                    f"COPY FROM STDIN: unsupported FORMAT {val!r} "
+                    "(text/csv; use file-path COPY for jsonl/binary)"
+                )
+            fmt = val
+        elif key == "header":
+            raise ValueError(
+                "COPY FROM STDIN: HEADER is not supported on the "
+                "inline form (drop the header line from the payload)"
+            )
+        else:
+            raise ValueError(f"COPY FROM STDIN: unknown option {key!r}")
+    cols = None
+    if m.group("cols"):
+        cols = [c.strip() for c in m.group("cols").split(",")]
+    rest = sql[m.end():]
+    payload = None
+    if rest.strip():
+        lines = rest.split("\n")
+        if lines and lines[0].strip() == "":
+            lines = lines[1:]
+        payload = []
+        terminated = False
+        for ln in lines:
+            if ln.strip() == r"\.":
+                terminated = True
+                break
+            payload.append(ln)
+        if not terminated and payload and payload[-1].strip() == "":
+            payload = payload[:-1]
+    return m.group("table"), cols, fmt, payload
+
+
+_UNESCAPE = {
+    "\\": "\\",
+    "t": "\t",
+    "n": "\n",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    "v": "\v",
+}
+
+
+def _unescape_text_field(field: str) -> str | None:
+    if field == r"\N":
+        return None
+    out = []
+    i = 0
+    while i < len(field):
+        c = field[i]
+        if c == "\\" and i + 1 < len(field):
+            out.append(_UNESCAPE.get(field[i + 1], field[i + 1]))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def decode_payload(
+    lines: list[str], fmt: str, n_cols: int
+) -> list[list[str | None]]:
+    """Data lines → rows of string-or-None fields, validated against
+    the expected column count (PG rejects ragged rows outright)."""
+    rows: list[list[str | None]] = []
+    if fmt == "csv":
+        for rec in _csv.reader(io.StringIO("\n".join(lines))):
+            if not rec:
+                continue
+            rows.append([None if f == "" else f for f in rec])
+    else:
+        for ln in lines:
+            if ln == "":
+                continue
+            rows.append([
+                _unescape_text_field(f) for f in ln.split("\t")
+            ])
+    for r in rows:
+        if len(r) != n_cols:
+            raise ValueError(
+                f"COPY FROM STDIN: row has {len(r)} fields, "
+                f"expected {n_cols}: {r!r}"
+            )
+    return rows

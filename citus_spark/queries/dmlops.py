@@ -1153,3 +1153,58 @@ ORDER BY part
 register_split(
     "hash_partition_ddl", hash_partition_ddl, _hash_partition_oracle()
 )
+
+
+# --- COPY FROM STDIN (r8) ----------------------------------------------------
+# ↔ reference commands/multi_copy.c stdin path: a psql-dump-shaped
+# here-doc statement (tab-delimited, \N nulls, backslash escapes,
+# \. terminator) loads through the same funnel as file COPY, then
+# joins fixture orders. The oracle re-derives the literal payload as
+# VALUES (the payload is part of the statement, i.e. spec, not data).
+def copy_stdin_replay(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __stdin_t")
+    s.sql(
+        "CREATE TABLE __stdin_t (okey bigint, tag text, "
+        "weight double precision)"
+    )
+    s.sql(
+        "COPY __stdin_t (okey, tag, weight) FROM stdin;\n"
+        "1\talpha\t1.5\n"
+        "2\t\\N\t2.5\n"
+        "3\twith\\ttab\t\\N\n"
+        "32\tbeta\t0.25\n"
+        "\\.\n"
+    )
+    return s.sql(
+        """
+SELECT t.tag, count(*) AS n,
+       CAST(sum(CAST(coalesce(t.weight, 0.0) AS DECIMAL(18,6)))
+            AS DOUBLE) AS weight_sum,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum
+FROM __stdin_t t JOIN orders o ON t.okey = o.o_orderkey
+GROUP BY t.tag
+ORDER BY t.tag NULLS FIRST
+"""
+    )
+
+
+COPY_STDIN_ORACLE = """
+WITH loaded(okey, tag, weight) AS (
+  VALUES (1, 'alpha', 1.5),
+         (2, NULL, 2.5),
+         (3, 'with' || chr(9) || 'tab', NULL),
+         (32, 'beta', 0.25)
+)
+SELECT t.tag, count(*) AS n,
+       CAST(sum(CAST(coalesce(t.weight, 0.0) AS DECIMAL(18,6)))
+            AS DOUBLE) AS weight_sum,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum
+FROM loaded t JOIN orders o ON t.okey = o.o_orderkey
+GROUP BY t.tag
+ORDER BY t.tag NULLS FIRST
+"""
+
+register_split("copy_stdin_replay", copy_stdin_replay, COPY_STDIN_ORACLE)

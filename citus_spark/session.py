@@ -643,10 +643,27 @@ class DistributedSession:
             return self.sql(
                 m.group("q") or f"SELECT * FROM {m.group('t')}"
             )
-        if _re.match(r"\s*COPY\s+.+\s+FROM\s+STDIN\b", query, _re.I | _re.S):
-            raise NotImplementedError(
-                "COPY .. FROM STDIN has no input channel in this engine — "
-                "use COPY <table> FROM '<path>' (csv/jsonl/binary)"
+        if _re.match(r"\s*COPY\s+.+?\bFROM\s+STDIN\b", query, _re.I | _re.S):
+            # psql-dump replay: the statement carries its data lines
+            # inline, terminated by a `\.` line (plans/copy_stdin.py);
+            # the API twin is DistributedSession.copy_from_stdin
+            from citus_spark.plans.copy_stdin import parse_copy_stdin
+
+            st = parse_copy_stdin(query)
+            if st is None:
+                raise ValueError(
+                    "COPY .. FROM STDIN: cannot parse the COPY head"
+                )
+            table, cols, fmt, payload = st
+            if payload is None:
+                raise ValueError(
+                    "COPY .. FROM STDIN needs inline data lines after "
+                    "the statement, terminated by a \\. line (psql-"
+                    "dump shape) — or call copy_from_stdin(table, "
+                    "source), or use COPY <table> FROM '<path>'"
+                )
+            return self._copy_from_stdin(
+                table, payload, fmt=fmt, cols=cols, query_text=query
             )
         util = self._execute_utility(query)
         if util is not None:
@@ -3881,6 +3898,143 @@ class DistributedSession:
                 )
             else:
                 writer.json(stmt.path)
+        return self.spark.createDataFrame([(int(n),)], "copied long")
+
+    def copy_from_stdin(
+        self,
+        table: str,
+        source,
+        fmt: str = "text",
+        cols: list[str] | None = None,
+    ) -> DataFrame:
+        """COPY <table> FROM STDIN with `source` as the stream — a
+        str payload, a file-like handle, or any iterable of lines
+        (↔ reference multi_copy.c stdin path). A trailing `\\.`
+        terminator line is accepted and ignored."""
+        if isinstance(source, str):
+            lines = source.split("\n")
+        elif hasattr(source, "read"):
+            lines = source.read().split("\n")
+        else:
+            lines = [ln.rstrip("\n") for ln in source]
+        out = []
+        for ln in lines:
+            if ln.strip() == r"\.":
+                break
+            out.append(ln)
+        return self._copy_from_stdin(table, out, fmt=fmt, cols=cols)
+
+    def _copy_from_stdin(
+        self,
+        table: str,
+        lines: list[str],
+        fmt: str,
+        cols: list[str] | None,
+        query_text: str | None = None,
+    ) -> DataFrame:
+        """Decode PG text/csv data lines on the coordinator, coerce to
+        the target schema (a failed coercion errors like PG, never
+        loads NULL silently), apply column defaults and identity draws
+        for omitted columns, then append through the universal funnel
+        (constraints, generated columns, partition routing)."""
+        from pyspark.sql import types as T
+
+        from citus_spark.plans.copy_stdin import decode_payload
+
+        entry = self._writable_entry(table, "COPY FROM")
+        self.stat_statements.record(
+            query_text or f"COPY {table} FROM STDIN", None, executor="copy"
+        )
+        schema = self._live_read(entry).schema
+        if entry.time_partitioning:
+            from citus_spark.sources.partitions import PERIOD_COL
+
+            schema = T.StructType(
+                [f for f in schema.fields if f.name != PERIOD_COL]
+            )
+        t_cols = [f.name for f in schema.fields]
+        gen = entry.generated or {}
+        names = cols or [c for c in t_cols if c not in gen]
+        for c in names:
+            if c not in t_cols:
+                raise ValueError(
+                    f'COPY: column "{c}" of relation "{table}" '
+                    "does not exist"
+                )
+            if c in gen:
+                raise ValueError(
+                    f'column "{c}" is a generated column — COPY '
+                    "cannot load it"
+                )
+        rows = decode_payload(lines, fmt, len(names))
+        src = self.spark.createDataFrame(
+            [tuple(r) for r in rows],
+            T.StructType(
+                [T.StructField(c, T.StringType(), True) for c in names]
+            ),
+        )
+        dflts = entry.defaults or {}
+        aligned = src.select(*[
+            F.col(c).cast(schema[c].dataType).alias(c)
+            if c in names
+            else (
+                F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
+                if c in dflts
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+            )
+            for c in t_cols
+        ])
+        # PG's COPY errors on malformed input; Spark's cast would load
+        # NULL silently — check every supplied field survived coercion
+        checked = [
+            c
+            for c in names
+            if not isinstance(schema[c].dataType, T.StringType)
+        ]
+        if checked:
+            # try_cast: under ANSI mode a plain cast would itself
+            # throw inside the probe job
+            bad = src.select(*[
+                (
+                    F.col(c).isNotNull()
+                    & F.col(c).try_cast(schema[c].dataType).isNull()
+                ).alias(c)
+                for c in checked
+            ]).filter(" OR ".join(f"`{c}`" for c in checked)).limit(1)
+            if bad.collect():
+                raise ValueError(
+                    f"COPY {table}: invalid input for the target "
+                    "column types (a field failed to coerce)"
+                )
+        omitted_ident = [
+            (c, s)
+            for c, s in (entry.identity or {}).items()
+            if c not in names and c in t_cols
+        ]
+        if omitted_ident:
+            from citus_spark.operators.sequence import with_sequence_values
+
+            for col, seqname in omitted_ident:
+                st = self._sequences.get(seqname)
+                if st is None:
+                    raise ValueError(f'sequence "{seqname}" does not exist')
+                aligned = with_sequence_values(
+                    aligned.drop(col),
+                    lambda n, s=seqname: self._seq_alloc(s, n),
+                    st["inc"],
+                    col,
+                ).select(*[
+                    F.col(c).cast(schema[c].dataType).alias(c)
+                    for c in t_cols
+                ])
+        if gen:
+            aligned = self._recompute_generated(entry, aligned)
+        if entry.constraints:
+            from citus_spark.plans import constraints as _cons
+
+            _cons.enforce_insert(self, entry, table, aligned)
+        n = aligned.count()
+        self._live_append(entry, aligned, table)
         return self.spark.createDataFrame([(int(n),)], "copied long")
 
     def _execute_dml(self, query: str) -> DataFrame:

@@ -95,7 +95,10 @@ def test_copy_to_stdout_returns_relation(sess):
         "GROUP BY o_orderpriority ORDER BY o_orderpriority) TO STDOUT"
     ).collect()
     assert len(rows) == 5
-    with pytest.raises(NotImplementedError, match="STDIN"):
+    # STDIN without inline data still rejects, pointing at the
+    # supported forms (the inline/here-doc form works — r8,
+    # tests/test_copy_stdin.py)
+    with pytest.raises(ValueError, match="inline data"):
         sess.sql("COPY orders FROM STDIN WITH (FORMAT csv)")
 
 
