@@ -189,14 +189,20 @@ _AQE_MIN_BYTES = 256 << 20
 # every-call conf re-application above never re-walks the tree
 _CORPUS_BYTES: dict[str, int] = {}
 
-# Fan out only tables big enough that a SERIAL scan pass costs whole
-# seconds. Paired A/B at sf0.1 (≤11 MB tables) measured the fan-out
-# LOSING 0.05-0.2 s per query across the headline set — 32 extra
-# tasks' scheduling overhead exceeds what parallelizing a sub-0.3 s
-# stage can recover — so the floor sits above every sf0.1 fixture.
-# A 100 MB+ single-file table (sf1 fixture, or any real single-file
-# drop) still fans out: there the serial pass is the bottleneck.
-_FANOUT_MIN_BYTES = 32 << 20
+# Fan out only tables big enough that a SERIAL scan pass is the
+# stage's bottleneck, and size the width to the DATA, not the core
+# count. The r7 A/B that fanned every table 32-ways lost 0.05-0.2 s
+# per query (32 near-empty tasks per dim-table scan, paid again in
+# every broadcast build); the r8 re-measure fanning ONLY ≥4 MiB
+# tables at ~1 file/MiB won it back and more (headline total 6.2 →
+# 5.0-5.2 s: q1 0.41→0.32, q3 0.51→0.36, q9 0.67→0.54 — lineitem is
+# the only sf0.1 table above the floor). Dropping the floor to 2 MiB
+# (orders/events fan too) regressed to 6.3 s: a 2 MiB scan is already
+# cheaper than the extra tasks it would split into. A 100 MB+
+# single-file table (sf1 fixture, or any real single-file drop) fans
+# to the full core count via the same 1-file/MiB rule, capped at par.
+_FANOUT_MIN_BYTES = 4 << 20
+_FANOUT_FILE_BYTES = 1 << 20
 
 
 def _fanout_cache(spark: SparkSession, t: str, path: str, par: int) -> str | None:
@@ -216,6 +222,8 @@ def _fanout_cache(spark: SparkSession, t: str, path: str, par: int) -> str | Non
     size = _tree_bytes(path)
     if size < _FANOUT_MIN_BYTES or _leaf_file_count(path) >= par:
         return None
+    # data-proportional width (see _FANOUT_FILE_BYTES note above)
+    par = min(par, max(4, size // _FANOUT_FILE_BYTES))
     sig = hashlib.sha1(
         f"{os.path.abspath(path)}|{size}|{int(os.path.getmtime(path))}|{par}"
         .encode()

