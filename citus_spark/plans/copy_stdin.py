@@ -17,14 +17,16 @@ stream; bulk loads at scale use the file-path COPY (parallel parse).
 
 from __future__ import annotations
 
-import csv as _csv
-import io
 import re
 
+# head terminator: ';' (psql's send trigger), a bare newline before
+# the first data line (PG accepts the head without a semicolon), or
+# end-of-statement. [ \t]* instead of \s* so the newline that starts
+# the payload is matched, not swallowed.
 _HEAD = re.compile(
     r"^\s*COPY\s+(?P<table>[A-Za-z_][\w.]*)\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*FROM\s+STDIN"
-    r"(?:\s+WITH\s*\(\s*(?P<opts>[^)]*)\))?\s*(?:;|$)",
+    r"(?:\s+WITH\s*\(\s*(?P<opts>[^)]*)\))?[ \t]*(?:;|\n|$)",
     re.I,
 )
 
@@ -67,7 +69,15 @@ def parse_copy_stdin(sql: str):
     payload = None
     if rest.strip():
         lines = rest.split("\n")
-        if lines and lines[0].strip() == "":
+        # drop the line-break artifact after a ';'-terminated head —
+        # but when the head regex consumed the newline itself, the
+        # first element is a REAL (possibly empty) data line
+        head_text = sql[: m.end()]
+        if (
+            not head_text.endswith("\n")
+            and lines
+            and lines[0].strip() == ""
+        ):
             lines = lines[1:]
         payload = []
         terminated = False
@@ -108,21 +118,61 @@ def _unescape_text_field(field: str) -> str | None:
     return "".join(out)
 
 
+def _split_csv_line(line: str) -> list[str | None]:
+    """PG CSV field split: unquoted empty → NULL, quoted empty ("")
+    → the empty string, doubled quote escapes inside quotes. Python's
+    csv.reader collapses the quoted/unquoted distinction, which IS
+    the NULL marker in PG's dialect, so split by hand."""
+    fields: list[str | None] = []
+    buf: list[str] = []
+    quoted = False  # current field ever entered quotes
+    in_q = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < len(line) and line[i + 1] == '"':
+                    buf.append('"')
+                    i += 2
+                    continue
+                in_q = False
+            else:
+                buf.append(c)
+        elif c == '"':
+            in_q = True
+            quoted = True
+        elif c == ",":
+            fields.append(
+                "".join(buf) if (buf or quoted) else None
+            )
+            buf = []
+            quoted = False
+        else:
+            buf.append(c)
+        i += 1
+    if in_q:
+        raise ValueError(
+            f"COPY FROM STDIN: unterminated quoted CSV field: {line!r}"
+        )
+    fields.append("".join(buf) if (buf or quoted) else None)
+    return fields
+
+
 def decode_payload(
     lines: list[str], fmt: str, n_cols: int
 ) -> list[list[str | None]]:
     """Data lines → rows of string-or-None fields, validated against
-    the expected column count (PG rejects ragged rows outright)."""
+    the expected column count (PG rejects ragged rows outright).
+    An empty line is ONE empty-string field — a legal row for a
+    single-column table, a 'missing data for column' error otherwise
+    (PG never silently skips lines)."""
     rows: list[list[str | None]] = []
     if fmt == "csv":
-        for rec in _csv.reader(io.StringIO("\n".join(lines))):
-            if not rec:
-                continue
-            rows.append([None if f == "" else f for f in rec])
+        for ln in lines:
+            rows.append(_split_csv_line(ln))
     else:
         for ln in lines:
-            if ln == "":
-                continue
             rows.append([
                 _unescape_text_field(f) for f in ln.split("\t")
             ])
@@ -130,6 +180,8 @@ def decode_payload(
         if len(r) != n_cols:
             raise ValueError(
                 f"COPY FROM STDIN: row has {len(r)} fields, "
-                f"expected {n_cols}: {r!r}"
+                f"expected {n_cols} "
+                "(PG: missing/extra data for column)"
+                f": {r!r}"
             )
     return rows

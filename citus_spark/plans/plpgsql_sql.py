@@ -168,6 +168,14 @@ def _translate_stmts(text: str, env: dict[str, str]) -> str:
         _check_volatile(m.group("e"), "assignment")
         env = {**env, m.group("v").lower(): _subst(m.group("e"), env)}
         return _translate_stmts(m.group("rest"), env)
+    if re.match(r"^\s*RETURN\s+QUERY\b", text, re.I):
+        # would otherwise fall into _STMT_RETURN and emit garbage SQL
+        # ("SELECT QUERY SELECT ..") that only errors later at
+        # registration — reject at the contract boundary instead
+        raise NotImplementedError(
+            "plpgsql: RETURN QUERY is only supported as the body's "
+            "single statement (after declarations)"
+        )
     m = _STMT_RETURN.match(text)
     if m is not None:
         if m.group("rest").strip():

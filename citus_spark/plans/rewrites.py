@@ -1967,13 +1967,6 @@ def pg_regexp_replace_flags(sql: str) -> str:
                 "only 'g', 'i', 'gi' and '' translate"
             )
         ci = "i" in flags
-        pat = args[1].strip()
-        if not re.fullmatch(r"'(?:[^']|'')*'", pat):
-            raise ValueError(
-                "regexp_replace with a flags argument needs a LITERAL "
-                "pattern — flag translation rewrites the pattern text"
-            )
-        raw_pat = _pg_literal_chars(pat)
         repl = args[2].strip()
         if not re.fullmatch(r"'(?:[^']|'')*'", repl):
             raise ValueError(
@@ -1982,6 +1975,31 @@ def pg_regexp_replace_flags(sql: str) -> str:
                 "(\\N) cannot be translated to Java's ($N) statically"
             )
         java = _pg_replacement_to_java(_pg_literal_chars(repl))
+        if "g" in flags and not ci:
+            # plain 'g' is exactly Spark's 3-arg semantics — no
+            # pattern rewriting. A LITERAL pattern still re-escapes
+            # for Spark's backslash-eating literal parser; a computed
+            # pattern passes through untouched (its runtime value
+            # never goes through that parser).
+            p = args[1].strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", p):
+                p = _respark_literal(_pg_literal_chars(p))
+            sql = (
+                sql[: target.start()]
+                + f"regexp_replace({args[0]}, {p}, "
+                + f"{_respark_literal(java)})"
+                + sql[close_idx + 1 :]
+            )
+            start = target.start() + 1
+            continue
+        pat = args[1].strip()
+        if not re.fullmatch(r"'(?:[^']|'')*'", pat):
+            raise ValueError(
+                "regexp_replace with 'i' or first-match flags needs a "
+                "LITERAL pattern — the translation rewrites the "
+                "pattern text"
+            )
+        raw_pat = _pg_literal_chars(pat)
         if "g" in flags:
             jpat = ("(?i)" if ci else "") + raw_pat
             jrepl = java

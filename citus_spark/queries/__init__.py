@@ -220,10 +220,15 @@ def _fanout_cache(spark: SparkSession, t: str, path: str, par: int) -> str | Non
     import tempfile
 
     size = _tree_bytes(path)
-    if size < _FANOUT_MIN_BYTES or _leaf_file_count(path) >= par:
+    if size < _FANOUT_MIN_BYTES:
         return None
-    # data-proportional width (see _FANOUT_FILE_BYTES note above)
+    # data-proportional width (see _FANOUT_FILE_BYTES note above);
+    # gate on the WIDTH, not the core count — a source already split
+    # at least this wide must pass through untouched (repartitioning
+    # 12 files down to 8 would pay the build to LOSE scan splits)
     par = min(par, max(4, size // _FANOUT_FILE_BYTES))
+    if _leaf_file_count(path) >= par:
+        return None
     sig = hashlib.sha1(
         f"{os.path.abspath(path)}|{size}|{int(os.path.getmtime(path))}|{par}"
         .encode()

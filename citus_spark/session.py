@@ -531,8 +531,18 @@ class DistributedSession:
         # FROM ONLY <partitioned parent> (PG: the parent's own rows,
         # which a declaratively partitioned parent never has) → the
         # registered empty-base view (↔ multi_partitioning.sql:49-51)
-        if _re.search(r"\bONLY\b", query, _re.I):
+        if _re.search(r"\bONLY\b", query, _re.I) and not _re.match(
+            r"\s*COPY\b", query, _re.I  # COPY payload lines are DATA
+        ):
+            from citus_spark.plans.rewrites import _masked_spans
+
+            spans = _masked_spans(query)
+
             def _only_sub(m: "_re.Match") -> str:
+                # never rewrite inside string literals / comments /
+                # COPY payload text — 'FROM ONLY pt' may be DATA
+                if any(a <= m.start() < b for a, b in spans):
+                    return m.group(0)
                 t = m.group(2)
                 e = self.catalog.get(t)
                 if e is not None and getattr(e, "partition_by", None):
@@ -3334,8 +3344,13 @@ class DistributedSession:
         self.spark.catalog.refreshByPath(self._live_path(entry))
         self._live_read(entry).createOrReplaceTempView(name)
         # a child write changes what the parent union shows — refresh
-        # the parent view alongside
-        if getattr(entry, "partition_parent", None):
+        # the parent view alongside. Suppressed while _partition_route
+        # iterates the children: it re-registers the parent ONCE at
+        # the end, and N child writes each rebuilding the N-way union
+        # view would make one parent write O(N²) in footer refreshes.
+        if getattr(entry, "partition_parent", None) and not getattr(
+            self, "_in_partition_route", False
+        ):
             pe = self.catalog.get(entry.partition_parent)
             if pe is not None:
                 self._register_partitioned_parent(pe)
@@ -3428,18 +3443,22 @@ class DistributedSession:
                     f'no partition of relation "{name}" found for row'
                     f"\nDETAIL: Failing row: {tuple(bad[0])}."
                 )
-            for child, ce, pred in routes:
-                part = staged.filter(
-                    F.coalesce(F.expr(pred), F.lit(False))
-                )
-                if mode == "rewrite":
-                    self._live_rewrite(
-                        ce, part, child, _bound_checked=True
+            self._in_partition_route = True
+            try:
+                for child, ce, pred in routes:
+                    part = staged.filter(
+                        F.coalesce(F.expr(pred), F.lit(False))
                     )
-                elif not part.isEmpty():
-                    self._live_append(
-                        ce, part, child, _bound_checked=True
-                    )
+                    if mode == "rewrite":
+                        self._live_rewrite(
+                            ce, part, child, _bound_checked=True
+                        )
+                    elif not part.isEmpty():
+                        self._live_append(
+                            ce, part, child, _bound_checked=True
+                        )
+            finally:
+                self._in_partition_route = False
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         self._register_partitioned_parent(entry)
@@ -3933,6 +3952,14 @@ class DistributedSession:
             lines = source.read().split("\n")
         else:
             lines = [ln.rstrip("\n") for ln in source]
+        # a final newline is a line TERMINATOR, not an empty last row
+        # (an intentional empty row shows as a doubled newline and
+        # keeps one element here); empty lines are data now — a text
+        # row with one empty-string field — so only this one artifact
+        # may be dropped
+        if isinstance(source, str) or hasattr(source, "read"):
+            if lines and lines[-1] == "":
+                lines.pop()
         out = []
         for ln in lines:
             if ln.strip() == r"\.":

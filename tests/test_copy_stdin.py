@@ -117,3 +117,72 @@ def test_malformed_input_rejects(sess):
     # bare COPY targets the non-generated columns; generated recompute
     sess.sql("COPY st_t FROM stdin;\n21\n\\.\n")
     assert sess.sql("SELECT dbl FROM st_t").collect()[0][0] == 42
+
+
+def test_empty_line_is_a_row_not_skipped(sess):
+    """PG text format: an empty data line is one empty-string field —
+    a legal row for a single-column table (review fix: these were
+    silently dropped)."""
+    sess.sql("CREATE TABLE st_t (name text)")
+    out = sess.sql(
+        "COPY st_t (name) FROM STDIN;\n"
+        "alpha\n"
+        "\n"
+        "beta\n"
+        "\\.\n"
+    )
+    assert out.collect()[0][0] == 3
+    rows = sorted(
+        (r[0] or "") for r in sess.sql("SELECT * FROM st_t").collect()
+    )
+    assert rows == ["", "alpha", "beta"]
+
+
+def test_empty_line_multi_column_errors(sess):
+    """PG: 'missing data for column' on a blank line in a multi-column
+    table — never a silent skip."""
+    sess.sql("CREATE TABLE st_t (id bigint, name text)")
+    with pytest.raises(Exception, match="missing|expected 2"):
+        sess.sql(
+            "COPY st_t (id, name) FROM STDIN;\n1\talpha\n\n\\.\n"
+        )
+
+
+def test_csv_quoted_empty_vs_unquoted(sess):
+    """PG CSV: unquoted empty field is NULL, quoted empty ("") is the
+    empty string (review fix: both decoded as NULL before)."""
+    sess.sql("CREATE TABLE st_csv (id bigint, tag text)")
+    out = sess.sql(
+        'COPY st_csv (id, tag) FROM STDIN WITH (FORMAT csv);\n'
+        '1,""\n'
+        "2,\n"
+        '3,"a,""b"\n'
+        "\\.\n"
+    )
+    assert out.collect()[0][0] == 3
+    rows = sorted(
+        tuple(r) for r in sess.sql("SELECT * FROM st_csv").collect()
+    )
+    assert rows == [(1, ""), (2, None), (3, 'a,"b')]
+
+
+def test_head_without_semicolon(sess):
+    """PG accepts the COPY head terminated by a newline — the
+    semicolon is only psql's send trigger (review fix)."""
+    sess.sql("CREATE TABLE st_t (id bigint, name text)")
+    out = sess.sql(
+        "COPY st_t (id, name) FROM STDIN\n1\talpha\n2\tbeta\n\\.\n"
+    )
+    assert out.collect()[0][0] == 2
+
+
+def test_api_trailing_newline_not_a_row(sess):
+    """A str payload ending in a newline has a line TERMINATOR, not a
+    trailing empty row; a doubled newline IS an empty row."""
+    sess.sql("CREATE TABLE st_t (name text)")
+    n = sess.copy_from_stdin("st_t", "a\nb\n", cols=["name"])
+    assert n.collect()[0][0] == 2
+    sess.sql("DROP TABLE st_t")
+    sess.sql("CREATE TABLE st_t (name text)")
+    n = sess.copy_from_stdin("st_t", "a\n\n", cols=["name"])
+    assert n.collect()[0][0] == 2  # 'a' and one empty-string row

@@ -219,3 +219,32 @@ def test_truncate_and_copy_route_through_partitions(sess):
     assert s.sql("SELECT count(*) FROM pt_2009").collect()[0][0] == 0
     assert s.sql("SELECT count(*) FROM pt_def").collect()[0][0] == 0
     s.sql("DROP TABLE pt")
+
+
+def test_from_only_not_rewritten_inside_literals(sess):
+    """'FROM ONLY <parent>' inside a string literal is DATA even when
+    the named table IS a partitioned parent — the rewrite must not
+    mangle it (review fix)."""
+    sess.sql("CREATE TABLE pt(id int, time date) PARTITION BY RANGE (time)")
+    sess.sql("CREATE TABLE pd_log (msg text)")
+    try:
+        sess.sql(
+            "INSERT INTO pd_log VALUES "
+            "('rows FROM ONLY pt were archived')"
+        )
+        got = sess.sql("SELECT msg FROM pd_log").collect()[0][0]
+        assert got == "rows FROM ONLY pt were archived"
+    finally:
+        sess.sql("DROP TABLE IF EXISTS pd_log")
+
+
+def test_fanout_gate_respects_existing_width(monkeypatch):
+    """A source already split at least as wide as the
+    data-proportional width passes through untouched — never
+    repartitioned DOWN (review fix)."""
+    import citus_spark.queries as q
+
+    monkeypatch.setattr(q, "_tree_bytes", lambda p: 8 << 20)
+    monkeypatch.setattr(q, "_leaf_file_count", lambda p: 12)
+    # width = min(32, max(4, 8 MiB // 1 MiB)) = 8; 12 existing >= 8
+    assert q._fanout_cache(None, "t", "/nonexistent", 32) is None

@@ -419,3 +419,38 @@ def test_regexp_replace_i_and_gi_flags(spark):
         pg_regexp_replace_flags(
             "SELECT regexp_replace('a', 'a', 'b', 'x')"
         )
+
+
+def test_regexp_replace_g_flag_computed_pattern(spark):
+    """Plain 'g' is exactly Spark's 3-arg semantics — a pattern from a
+    column/expression passes through untouched (review fix: the flag
+    work had started rejecting it)."""
+    from citus_spark.plans.rewrites import pg_regexp_replace_flags
+
+    sql = pg_regexp_replace_flags(
+        "SELECT regexp_replace('aXbXc', p, '-', 'g') AS r "
+        "FROM (SELECT 'X' AS p)"
+    )
+    assert "'g'" not in sql
+    assert spark.sql(sql).collect()[0][0] == "a-b-c"
+    # 'i'/first-match still need a literal pattern (they rewrite it)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LITERAL pattern"):
+        pg_regexp_replace_flags(
+            "SELECT regexp_replace('aXb', p, '-', 'gi') FROM t"
+        )
+
+
+def test_plpgsql_return_query_non_leading_rejects():
+    """RETURN QUERY anywhere but as the single body statement must
+    reject loudly, not emit 'SELECT QUERY SELECT ..' (review fix)."""
+    import pytest as _pytest
+
+    from citus_spark.plans.plpgsql_sql import plpgsql_body_to_sql
+
+    with _pytest.raises(NotImplementedError, match="RETURN QUERY"):
+        plpgsql_body_to_sql(
+            "DECLARE lim int := 3; BEGIN lim := lim + 1; "
+            "RETURN QUERY SELECT 1 LIMIT lim; END"
+        )
