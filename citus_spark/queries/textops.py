@@ -2690,3 +2690,222 @@ register_split(
     temperature_mixture_sample,
     TEMPERATURE_MIX_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution drift vs the whole corpus — the mix
+# QA a pretraining pipeline runs before changing source weights. Two
+# distances over the top-500 corpus vocabulary plus a residual bucket
+# (the production shape: the vocab bound keeps the grid |sources|×V,
+# never |sources|×|vocab|): total variation from EXACT integer
+# arithmetic (|n·N − nc·ns| summed as DECIMAL(38,0) — order-free and
+# bit-portable), and Hellinger² from per-row sqrt (correctly-rounded
+# IEEE in both engines; sums via the DSUM fixed-point idiom).
+def source_divergence_drift(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_DRIFT_SQL)
+
+
+from citus_spark.queries import DSUM as _DSUM2
+
+_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT source, explode(split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS n FROM tok WHERE token <> ''
+  GROUP BY source, token
+), src_tot AS (
+  SELECT source, sum(n) AS ns FROM counts GROUP BY source
+), corpus AS (
+  SELECT token, sum(n) AS nc FROM counts GROUP BY token
+), corpus_tot AS (
+  SELECT sum(nc) AS big_n FROM corpus
+), top AS (
+  SELECT token, nc FROM corpus ORDER BY nc DESC, token LIMIT 500
+), grid AS (
+  SELECT s.source, s.ns, ct.big_n, t.nc, coalesce(c.n, 0) AS n
+  FROM src_tot s CROSS JOIN corpus_tot ct CROSS JOIN top t
+  LEFT JOIN counts c ON c.source = s.source AND c.token = t.token
+), per AS (
+  SELECT source, ns, big_n,
+         sum(abs(CAST(n AS DECIMAL(38,0)) * big_n
+                 - CAST(nc AS DECIMAL(38,0)) * ns)) AS tv_num_top,
+         {_DSUM2(
+             "sqrt((CAST(n AS DOUBLE) / CAST(ns AS DOUBLE))"
+             " * (CAST(nc AS DOUBLE) / CAST(big_n AS DOUBLE)))"
+             " * 1000000.0",
+             "bc_top_e6",
+         )},
+         sum(n) AS head_n, sum(nc) AS head_nc
+  FROM grid GROUP BY source, ns, big_n
+)
+SELECT source, CAST(ns AS BIGINT) AS ns,
+       CAST(floor(
+         CAST(tv_num_top
+              + abs(CAST(ns - head_n AS DECIMAL(38,0)) * big_n
+                    - CAST(big_n - head_nc AS DECIMAL(38,0)) * ns)
+              AS DOUBLE)
+         / (CAST(ns AS DOUBLE) * CAST(big_n AS DOUBLE)) * 500000.0
+         + 0.5) AS BIGINT) AS tv_e6,
+       CAST(floor(
+         (1.0 - least(1.0,
+            bc_top_e6 / 1000000.0
+            + sqrt((CAST(ns - head_n AS DOUBLE) / CAST(ns AS DOUBLE))
+                   * (CAST(big_n - head_nc AS DOUBLE)
+                      / CAST(big_n AS DOUBLE)))))
+         * 1000000.0 + 0.5) AS BIGINT) AS hellinger2_e6
+FROM per
+ORDER BY source
+"""
+
+register_split(
+    "source_divergence_drift",
+    source_divergence_drift,
+    _DRIFT_SQL.replace(
+        "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Tail mass outside the top-K vocabulary, per language — the vocab-
+# sizing diagnostic (how much of the token stream would map to <unk>
+# with a K-term vocab). Pure integer arithmetic end to end: the ratio
+# is scaled integer division, so the result is exact and portable at
+# any corpus size (BIGINT ceiling permitting; the e6 scale keeps
+# ns·10⁶ within range to ~9·10¹² tokens per language).
+def rare_token_tail_mass(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_TAIL_MASS_SQL)
+
+
+_TAIL_MASS_SQL = """
+WITH tok AS (
+  SELECT lang, explode(split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM tok WHERE token <> ''
+  GROUP BY lang, token
+), lang_tot AS (
+  SELECT lang, sum(n) AS ns FROM counts GROUP BY lang
+), corpus AS (
+  SELECT token, sum(n) AS nc FROM counts GROUP BY token
+), top AS (
+  SELECT token FROM corpus ORDER BY nc DESC, token LIMIT 500
+), head AS (
+  SELECT c.lang, sum(c.n) AS head_n
+  FROM counts c JOIN top t ON c.token = t.token
+  GROUP BY c.lang
+)
+SELECT l.lang, CAST(l.ns AS BIGINT) AS ns,
+       CAST(coalesce(h.head_n, 0) AS BIGINT) AS head_n,
+       CAST(((l.ns - coalesce(h.head_n, 0)) * 1000000) DIV l.ns
+            AS BIGINT) AS tail_e6
+FROM lang_tot l LEFT JOIN head h ON l.lang = h.lang
+ORDER BY l.lang
+"""
+
+register_split(
+    "rare_token_tail_mass",
+    rare_token_tail_mass,
+    _TAIL_MASS_SQL.replace(
+        "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+    ).replace(" DIV ", " // "),
+)
+
+
+# ---------------------------------------------------------------------------
+# Within-document sentence dedup — boilerplate stripping (repeated
+# headers/footers/CTA lines inside one document), the intra-doc
+# counterpart of the corpus-level passage dedup. Keeps each sentence's
+# FIRST occurrence in document order and fingerprints the cleaned
+# text; one shuffle on doc_id, no cross-document traffic — a pure
+# per-partition map at scale when documents are the partition unit.
+def sentence_dedup_within_doc(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_SENT_DEDUP_SQL)
+
+
+_SENT_DEDUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id, posexplode(split(text, '\\. ')) AS (pos, sent)
+  FROM documents
+), first_pos AS (
+  SELECT doc_id, sent, min(pos) AS fp
+  FROM s WHERE sent <> '' GROUP BY doc_id, sent
+), stats AS (
+  SELECT doc_id, count(*) AS n_sent
+  FROM s WHERE sent <> '' GROUP BY doc_id
+), clean AS (
+  SELECT doc_id, count(*) AS n_unique,
+         md5(array_join(
+           transform(array_sort(collect_list(struct(fp, sent))),
+                     x -> x.sent),
+           '. ')) AS clean_md5
+  FROM first_pos GROUP BY doc_id
+)
+SELECT st.doc_id, CAST(st.n_sent AS BIGINT) AS n_sent,
+       CAST(c.n_unique AS BIGINT) AS n_unique,
+       CAST(st.n_sent - c.n_unique AS BIGINT) AS n_dups,
+       c.clean_md5
+FROM stats st JOIN clean c ON st.doc_id = c.doc_id
+ORDER BY st.doc_id
+"""
+
+_SENT_DEDUP_ORACLE = """
+WITH s AS (
+  SELECT doc_id, unnest(range(1, len(sents) + 1)) AS pos,
+         unnest(sents) AS sent
+  FROM (SELECT doc_id, string_split(text, '. ') AS sents
+        FROM documents)
+), first_pos AS (
+  SELECT doc_id, sent, min(pos) AS fp
+  FROM s WHERE sent <> '' GROUP BY doc_id, sent
+), stats AS (
+  SELECT doc_id, count(*) AS n_sent
+  FROM s WHERE sent <> '' GROUP BY doc_id
+), clean AS (
+  SELECT doc_id, count(*) AS n_unique,
+         md5(string_agg(sent, '. ' ORDER BY fp)) AS clean_md5
+  FROM first_pos GROUP BY doc_id
+)
+SELECT st.doc_id, CAST(st.n_sent AS BIGINT) AS n_sent,
+       CAST(c.n_unique AS BIGINT) AS n_unique,
+       CAST(st.n_sent - c.n_unique AS BIGINT) AS n_dups,
+       c.clean_md5
+FROM stats st JOIN clean c ON st.doc_id = c.doc_id
+ORDER BY st.doc_id
+"""
+
+register_split(
+    "sentence_dedup_within_doc",
+    sentence_dedup_within_doc,
+    _SENT_DEDUP_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum length buckets — quartile the corpus by document length
+# within each language (curriculum schedules feed short-to-long), with
+# per-bucket extents and character share. ntile over (n_chars, doc_id)
+# is a total order, so bucket assignment is deterministic in both
+# engines; the window partitions by lang, so at scale it is one
+# shuffle on a low-cardinality key with per-partition sorts — no
+# global sort.
+register_shared_sql(
+    "curriculum_length_buckets",
+    """
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         ntile(4) OVER (PARTITION BY lang
+                        ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM b GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+)
