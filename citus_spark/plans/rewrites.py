@@ -2018,3 +2018,272 @@ def pg_regexp_replace_flags(sql: str) -> str:
         )
         sql = sql[: target.start()] + new_call + sql[close_idx + 1 :]
         start = target.start() + 1
+
+
+# ---------------------------------------------------------------------------
+# PG `^` is exponentiation; Spark's `^` is bitwise XOR — the same
+# spelling with silently different answers (2 ^ 10 = 1024 vs 8), the
+# worst kind of port bug. Under pg_compat the PG meaning wins (PG
+# spells XOR `#`). Left-associative like PG: the repeated pass folds
+# `a ^ b ^ c` into power(power(a, b), c) because a completed
+# power(..) call matches the call-operand shape on the next pass.
+# the call-shaped alternative must not swallow `KEYWORD (expr)` —
+# `SELECT (1+1) ^ 2` is a paren operand after a keyword, not a call
+_CARET_KW = (
+    r"(?!(?i:SELECT|WHERE|AND|OR|NOT|THEN|ELSE|WHEN|CASE|END|FROM|ON"
+    r"|IN|BETWEEN|LIKE|ILIKE|IS|BY|AS|JOIN|HAVING|GROUP|ORDER|UNION"
+    r"|ALL|ANY|SOME|DISTINCT|SET|VALUES|RETURNING|EXISTS|INTERVAL"
+    r"|OVER|FILTER|LIMIT|OFFSET|USING|CROSS|INNER|LEFT|RIGHT|FULL"
+    r"|RETURN|IF|ELSIF)\s*\()"
+)
+_CARET_OPERAND = (
+    rf"(?:(?<![\w.]){_CARET_KW}[A-Za-z_][\w.]*\s*\([^()]*\)"
+    r"|(?<![\w.])[A-Za-z_][\w.]*"
+    r"|(?<![\w.])-?[0-9]+(?:\.[0-9]+)?|\([^()]+\))"
+)
+_CARET = re.compile(
+    rf"(?P<l>{_CARET_OPERAND})\s*\^\s*(?P<r>-?\s*{_CARET_OPERAND})"
+)
+
+
+def pg_power_caret(sql: str) -> str:
+    """Rewrite binary `a ^ b` to power(a, b) (PG semantics)."""
+
+    def one_pass(seg: str) -> str:
+        return _CARET.sub(
+            lambda m: f"power({m.group('l')}, {m.group('r')})", seg
+        )
+
+    while True:
+        new = _map_code(sql, one_pass)
+        if new == sql:
+            return sql
+        sql = new
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard (S1, E1) OVERLAPS (S2, E2) — Spark has no such
+# operator. PG semantics: endpoints normalize (least/greatest), two
+# intervals overlap when they share a point with at least one
+# half-open side — equivalently: equal starts always overlap (even
+# zero-length), otherwise the later start must fall strictly inside
+# the earlier interval. Operand expressions substitute textually (a
+# volatile operand would evaluate more than once; none of the
+# supported deterministic expressions care).
+_OVERLAPS_KW = re.compile(r"\bOVERLAPS\b", re.I)
+
+
+def pg_overlaps(sql: str) -> str:
+    while True:
+        spans = _masked_spans(sql)
+
+        def masked(p: int) -> bool:
+            return any(a <= p < b for a, b in spans)
+
+        m = next(
+            (c for c in _OVERLAPS_KW.finditer(sql) if not masked(c.start())),
+            None,
+        )
+        if m is None:
+            return sql
+        i = m.start() - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0 or sql[i] != ")":
+            raise ValueError(
+                "OVERLAPS needs parenthesized (start, end) row values "
+                "on both sides"
+            )
+        depth, j = 0, i
+        while j >= 0:
+            if not masked(j):
+                if sql[j] == ")":
+                    depth += 1
+                elif sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j -= 1
+        k = m.end()
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if j < 0 or k >= len(sql) or sql[k] != "(":
+            raise ValueError(
+                "OVERLAPS needs parenthesized (start, end) row values "
+                "on both sides"
+            )
+        depth, e = 0, k
+        while e < len(sql):
+            if not masked(e):
+                if sql[e] == "(":
+                    depth += 1
+                elif sql[e] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            e += 1
+        la = _split_top_level(sql[j + 1 : i])
+        ra = _split_top_level(sql[k + 1 : e])
+        if len(la) != 2 or len(ra) != 2:
+            raise ValueError(
+                "OVERLAPS takes exactly two values per side: "
+                "(start, end) OVERLAPS (start, end)"
+            )
+        l1 = f"least({la[0].strip()}, {la[1].strip()})"
+        g1 = f"greatest({la[0].strip()}, {la[1].strip()})"
+        l2 = f"least({ra[0].strip()}, {ra[1].strip()})"
+        g2 = f"greatest({ra[0].strip()}, {ra[1].strip()})"
+        expr = (
+            f"(({l1} = {l2}) OR ({l1} < {l2} AND {l2} < {g1})"
+            f" OR ({l2} < {l1} AND {l1} < {g2}))"
+        )
+        sql = sql[:j] + expr + sql[e + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# PG UPDATE row-form assignment: SET (a, b) = (e1, e2) — the
+# multi-column spelling every hand-written migration uses. Expands
+# textually to the pairwise form the UPDATE parser already handles;
+# the sub-SELECT row form rejects loudly (its single evaluation
+# semantics cannot be faked by pairwise scalar subqueries when the
+# subquery is volatile or expensive).
+_ROW_SET = re.compile(
+    r"\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)\s*=\s*\(",
+)
+
+
+def _set_list_bounds(sql: str) -> tuple[int, int]:
+    """[start, end) of the UPDATE statement's SET list: after the
+    first depth-0 SET, up to the first depth-0 FROM/WHERE/RETURNING —
+    a row-VALUE comparison `(a, b) = (1, 2)` in the WHERE clause must
+    stay untouched."""
+    spans = _masked_spans(sql)
+    depth = 0
+    start = end = -1
+    for m in re.finditer(r"[()]|\b(SET|FROM|WHERE|RETURNING)\b", sql, re.I):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if tok.upper() == "SET" and start < 0:
+                start = m.end()
+            elif start >= 0:
+                end = m.start()
+                break
+    if start < 0:
+        return 0, 0
+    return start, end if end >= 0 else len(sql)
+
+
+def pg_update_row_set(sql: str) -> str:
+    while True:
+        lo, hi = _set_list_bounds(sql)
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                c
+                for c in _ROW_SET.finditer(sql, lo, hi)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, e = 1, m.end()
+        while e < len(sql) and depth:
+            if not any(a <= e < b for a, b in spans):
+                if sql[e] == "(":
+                    depth += 1
+                elif sql[e] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            e += 1
+        if depth:
+            raise ValueError("SET (..) = (..): unbalanced parentheses")
+        rhs = sql[m.end() : e]
+        if re.match(r"\s*SELECT\b", rhs, re.I):
+            raise NotImplementedError(
+                "UPDATE SET (a, b) = (SELECT ..) is not supported — "
+                "spell the assignments with scalar subqueries per "
+                "column, or stage the subquery with UPDATE .. FROM"
+            )
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        exprs = [x.strip() for x in _split_top_level(rhs)]
+        if len(cols) != len(exprs):
+            raise ValueError(
+                f"SET row form: {len(cols)} columns but "
+                f"{len(exprs)} expressions"
+            )
+        pairwise = ", ".join(
+            f"{c} = {x}" for c, x in zip(cols, exprs)
+        )
+        sql = sql[: m.start()] + pairwise + sql[e + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# PG row-value comparison: (a, b) = (c, d) / (a, b) <> (c, d).
+# Spark compiles both sides to named_struct and then refuses the
+# comparison because the FIELD NAMES differ (col names vs col1/col2)
+# — a loud error on a spelling PG migrations use freely. PG defines
+# row = as pairwise AND and row <> as pairwise OR, and three-valued
+# logic matches exactly ((true AND NULL) = NULL, (false AND NULL) =
+# false — same rows PG returns), so the textual expansion is
+# semantics-preserving. Ordering comparisons (< >) stay untouched:
+# their lexicographic semantics are not a simple AND/OR.
+# LHS items are paren-free expressions (columns, literals, simple
+# arithmetic — no calls: a call's own argument list would be
+# indistinguishable textually). A comma inside a string literal can
+# miscount items; the mismatch path leaves the text to Spark rather
+# than erroring, so that corner keeps its native behavior.
+_ROW_CMP = re.compile(
+    r"(?<![\w.)\]])\(\s*(?P<cols>[^(),]+"
+    r"(?:\s*,\s*[^(),]+)+)\s*\)\s*(?P<op>=|<>|!=)\s*\(",
+)
+
+
+def pg_row_comparison(sql: str) -> str:
+    while True:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                c
+                for c in _ROW_CMP.finditer(sql)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, e = 1, m.end()
+        while e < len(sql) and depth:
+            if not any(a <= e < b for a, b in spans):
+                if sql[e] == "(":
+                    depth += 1
+                elif sql[e] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            e += 1
+        if depth:
+            return sql  # unbalanced tail — leave for the parser
+        rhs = sql[m.end() : e]
+        if re.match(r"\s*(SELECT|WITH|VALUES)\b", rhs, re.I):
+            return sql  # row-subquery compare: not this rewrite's job
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        exprs = [x.strip() for x in _split_top_level(rhs)]
+        if len(cols) != len(exprs):
+            return sql  # miscounted (literal commas?) — leave native
+        if m.group("op") == "=":
+            body = " AND ".join(
+                f"({c}) = ({x})" for c, x in zip(cols, exprs)
+            )
+        else:
+            body = " OR ".join(
+                f"({c}) <> ({x})" for c, x in zip(cols, exprs)
+            )
+        sql = f"{sql[: m.start()]}({body}){sql[e + 1 :]}"

@@ -4753,3 +4753,111 @@ ORDER BY s.doc_id, s.n
 
 register_split("merge_sync_by_source", merge_sync_by_source, MERGE_SYNC_ORACLE)
 register_split("unnest_multi_zip", unnest_multi_zip, UNNEST_MULTI_ORACLE)
+
+
+# SQL-standard OVERLAPS (PG spells interval overlap with it
+# constantly; Spark has no such operator — plans/rewrites.py
+# pg_overlaps expands to the normalized least/greatest form with PG's
+# equal-starts-always-overlap rule). The oracle spells the expansion
+# directly, so the entry proves the REWRITE, not DuckDB's operator.
+_PG_OVERLAPS_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE (o_orderdate, o_orderdate + INTERVAL '90 days')
+      OVERLAPS (DATE '1996-01-01', DATE '1996-04-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def pg_overlaps_textual(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_PG_OVERLAPS_SQL)
+
+
+register_split(
+    "pg_overlaps_textual",
+    pg_overlaps_textual,
+    """
+WITH b AS (
+  SELECT o_orderpriority,
+         least(o_orderdate, o_orderdate + INTERVAL 90 DAY) AS l1,
+         greatest(o_orderdate, o_orderdate + INTERVAL 90 DAY) AS g1,
+         least(TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01') AS l2,
+         greatest(TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01') AS g2
+  FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM b
+WHERE (l1 = l2) OR (l1 < l2 AND l2 < g1) OR (l2 < l1 AND l1 < g2)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+# PG `^` is exponentiation — Spark's is XOR, the classic silent port
+# bug (2 ^ 10: 1024 vs 8). Under citus.pg_compat the PG meaning wins
+# (plans/rewrites.py pg_power_caret, left-associative like PG).
+# DuckDB's ^ is natively power, so the oracle uses the spelling
+# verbatim. Operands stay small integers: the results are exactly
+# representable, so libm pow differences cannot move the hash.
+_PG_POWER_SQL = """
+SELECT l_linenumber AS ln,
+       CAST(l_linenumber ^ 2 AS BIGINT) AS sq,
+       CAST(2 ^ l_linenumber AS BIGINT) AS pow2,
+       CAST(l_linenumber ^ 2 ^ 2 AS BIGINT) AS left_assoc,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+"""
+
+
+def pg_power_operator(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.pg_compat = True
+    return sess.sql(_PG_POWER_SQL)
+
+
+register_split("pg_power_operator", pg_power_operator, _PG_POWER_SQL)
+
+
+# PG row-value comparison (a, b) = / <> (c, d) — Spark's struct
+# equality refuses mismatched field names; plans/rewrites.py
+# pg_row_comparison expands to pairwise AND/OR, which matches PG's
+# three-valued semantics exactly. Oracle spells the pairwise form.
+_ROW_CMP_SQL = """
+SELECT
+  CAST(sum(CASE WHEN (l_returnflag, l_linestatus) = ('A', 'F')
+                THEN 1 ELSE 0 END) AS BIGINT) AS af,
+  CAST(sum(CASE WHEN (l_returnflag, l_linestatus) <> ('N', 'O')
+                THEN 1 ELSE 0 END) AS BIGINT) AS not_no,
+  CAST(count(*) AS BIGINT) AS total
+FROM lineitem
+"""
+
+
+def row_value_compare(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    return register_views(spark, sf_dir).sql(_ROW_CMP_SQL)
+
+
+register_split(
+    "row_value_compare",
+    row_value_compare,
+    """
+SELECT
+  CAST(sum(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F'
+                THEN 1 ELSE 0 END) AS BIGINT) AS af,
+  CAST(sum(CASE WHEN l_returnflag <> 'N' OR l_linestatus <> 'O'
+                THEN 1 ELSE 0 END) AS BIGINT) AS not_no,
+  CAST(count(*) AS BIGINT) AS total
+FROM lineitem
+""",
+)

@@ -1208,3 +1208,55 @@ ORDER BY t.tag NULLS FIRST
 """
 
 register_split("copy_stdin_replay", copy_stdin_replay, COPY_STDIN_ORACLE)
+
+
+# --- UPDATE row-form assignment: SET (a, b) = (e1, e2) ----------------------
+# The multi-column spelling hand-written migrations use; expanded to
+# pairwise assignments by plans/rewrites.py pg_update_row_set (PG
+# evaluates all RHS against the OLD row — the pairwise executor
+# already guarantees that). The oracle re-derives the end state
+# without running any DML.
+def update_set_row_form(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __rs_items")
+    s.sql(
+        "CREATE TABLE __rs_items (okey bigint, qty double, tag text)"
+    )
+    s.sql(
+        "INSERT INTO __rs_items SELECT l_orderkey, l_quantity, "
+        "l_returnflag FROM lineitem WHERE l_orderkey < 3000"
+    )
+    # swap-flavored row form: qty doubles while tag absorbs the OLD
+    # qty — proves right-hand sides see the pre-update row
+    s.sql(
+        "UPDATE __rs_items SET (qty, tag) = "
+        "(qty * 2, tag || '-' || CAST(CAST(qty AS BIGINT) AS STRING)) "
+        "WHERE okey < 1500"
+    )
+    return s.sql(
+        """
+SELECT tag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM __rs_items GROUP BY tag ORDER BY tag
+"""
+    )
+
+
+register_split(
+    "update_set_row_form",
+    update_set_row_form,
+    """
+WITH state AS (
+  SELECT CASE WHEN l_orderkey < 1500
+              THEN l_returnflag || '-' ||
+                   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+              ELSE l_returnflag END AS tag,
+         CASE WHEN l_orderkey < 1500 THEN l_quantity * 2
+              ELSE l_quantity END AS qty
+  FROM lineitem WHERE l_orderkey < 3000
+)
+SELECT tag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM state GROUP BY tag ORDER BY tag
+""",
+)

@@ -640,6 +640,22 @@ class DistributedSession:
             # not one of ours → Spark's own INSERT INTO handling
         from citus_spark.plans.dml_sql import is_dml, parse_dml
 
+        if _re.match(r"\s*UPDATE\b", query, _re.I) and _re.search(
+            r"\(\s*[A-Za-z_]\w*\s*,", query
+        ):
+            # PG row-form assignment SET (a, b) = (e1, e2) → pairwise
+            from citus_spark.plans.rewrites import pg_update_row_set
+
+            query = pg_update_row_set(query)
+        if _re.match(r"\s*(UPDATE|DELETE)\b", query, _re.I) and _re.search(
+            r"\)\s*(=|<>|!=)\s*\(", query
+        ):
+            # row-value comparison in a DML WHERE: the DML executor
+            # builds its filter from the raw text (no
+            # _apply_pg_rewrites pass), so expand here
+            from citus_spark.plans.rewrites import pg_row_comparison
+
+            query = pg_row_comparison(query)
         if is_dml(query):
             # claim the statement only for OUR catalog tables; DML on
             # anything else falls through to Spark (which has native
@@ -4623,6 +4639,21 @@ class DistributedSession:
             from citus_spark.plans.rewrites import pg_array_contains_ops
 
             query = pg_array_contains_ops(query)
+        if _re.search(r"\bOVERLAPS\b", query, _re.I):
+            from citus_spark.plans.rewrites import pg_overlaps
+
+            query = pg_overlaps(query)
+        if _re.search(r"\)\s*(=|<>|!=)\s*\(", query):
+            from citus_spark.plans.rewrites import pg_row_comparison
+
+            query = pg_row_comparison(query)
+        if "^" in query and self.pg_compat:
+            # PG ^ is power; Spark ^ is XOR — same spelling, silently
+            # different answers, so the PG meaning only wins under
+            # pg_compat (PG spells XOR `#`)
+            from citus_spark.plans.rewrites import pg_power_caret
+
+            query = pg_power_caret(query)
         if _re.search(r"\bFETCH\b|\bOFFSET\s+\d+\s+ROWS?\b", query, _re.I):
             from citus_spark.plans.rewrites import pg_fetch_first
 

@@ -454,3 +454,72 @@ def test_plpgsql_return_query_non_leading_rejects():
             "DECLARE lim int := 3; BEGIN lim := lim + 1; "
             "RETURN QUERY SELECT 1 LIMIT lim; END"
         )
+
+
+def test_pg_overlaps_semantics():
+    """PG OVERLAPS: swapped endpoints normalize; equal starts always
+    overlap (even zero-length); touching intervals do not."""
+    from citus_spark.plans.rewrites import pg_overlaps
+
+    out = pg_overlaps("SELECT (a, b) OVERLAPS (c, d)")
+    assert "least(a, b)" in out and "greatest(c, d)" in out
+    # literal containing the keyword is left alone
+    assert pg_overlaps("SELECT 'x OVERLAPS y'") == "SELECT 'x OVERLAPS y'"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parenthesized"):
+        pg_overlaps("SELECT a OVERLAPS b")
+
+
+def test_pg_power_caret_shapes():
+    from citus_spark.plans.rewrites import pg_power_caret
+
+    assert pg_power_caret("SELECT 2 ^ 10") == "SELECT power(2, 10)"
+    # left-associative like PG
+    assert (
+        pg_power_caret("SELECT a ^ b ^ c")
+        == "SELECT power(power(a, b), c)"
+    )
+    assert pg_power_caret("SELECT (1+1) ^ f(x)") == (
+        "SELECT power((1+1), f(x))"
+    )
+    # regex literals with ^ are masked
+    assert pg_power_caret("SELECT '^ab'") == "SELECT '^ab'"
+
+
+def test_pg_update_row_set_scoping():
+    """Row-form SET expands pairwise; a row-VALUE comparison in the
+    WHERE clause of the same statement stays untouched."""
+    from citus_spark.plans.rewrites import pg_update_row_set
+
+    out = pg_update_row_set(
+        "UPDATE t SET (a, b) = (1, 'x') WHERE (c, d) = (2, 'y')"
+    )
+    assert "a = 1" in out and "b = 'x'" in out
+    assert "(c, d) = (2, 'y')" in out
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="SELECT"):
+        pg_update_row_set("UPDATE t SET (a, b) = (SELECT 1, 2)")
+
+
+def test_pg_row_comparison_semantics(spark):
+    from citus_spark.plans.rewrites import pg_row_comparison
+
+    out = pg_row_comparison("SELECT (a, b) = (1, 'x')")
+    assert "AND" in out and "=" in out
+    # three-valued logic matches PG: NULL member -> NULL, unless
+    # another member already decides false
+    r = spark.sql(
+        pg_row_comparison(
+            "SELECT (1, NULL) = (1, 2) AS nullish, "
+            "(1, NULL) = (2, 2) AS falsy, "
+            "(1, 2) <> (1, 2) AS ne"
+        )
+    ).collect()[0]
+    assert r.nullish is None and r.falsy is False and r.ne is False
+    # lambda parameter tuples and IN lists never match
+    lam = "SELECT aggregate(a, 0, (acc, x) -> acc + x)"
+    assert pg_row_comparison(lam) == lam
+    inq = "SELECT 1 WHERE (a, b) IN ((1, 2), (3, 4))"
+    assert pg_row_comparison(inq) == inq
