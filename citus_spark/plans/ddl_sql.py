@@ -457,13 +457,31 @@ def _balanced_paren_body(text: str, open_idx: int) -> str:
 def _column_constraint_ops(
     table: str, col: str, item: str, taken=()
 ) -> list[tuple]:
-    """Column-level PRIMARY KEY / UNIQUE / REFERENCES / CHECK
-    attributes → op tuples. NOT NULL stays advisory (PG models it
-    outside pg_constraint too). Keyword regexes run over a
-    literal-masked copy so a DEFAULT like 'see REFERENCES t(x)' never
-    fabricates a phantom constraint."""
+    """Column-level PRIMARY KEY / UNIQUE / REFERENCES / CHECK /
+    NOT NULL attributes → op tuples. Inline NOT NULL records the same
+    enforcing {table}_{col}_not_null CHECK that ALTER COLUMN SET NOT
+    NULL creates (PG enforces it from declaration, and PG 17 exposes
+    it in pg_constraint under exactly that name) — every write path
+    re-judges CHECKs, so a NULL insert rejects like PG instead of
+    loading silently. Keyword regexes run over a literal-masked copy
+    so a DEFAULT like 'see REFERENCES t(x)' never fabricates a
+    phantom constraint."""
     ops: list[tuple] = []
     masked = _mask_literals(item)
+    # search a paren-blanked copy: `CHECK (x IS NOT NULL OR ..)` must
+    # not fabricate a column NOT NULL
+    unparen = []
+    depth = 0
+    for ch in masked:
+        depth += ch == "("
+        unparen.append(ch if depth == 0 else " ")
+        depth -= ch == ")"
+    if re.search(r"\bNOT\s+NULL\b", "".join(unparen), re.I):
+        ops.append((
+            "add_check",
+            _suffix_name(f"{table}_{col}_not_null", taken),
+            f"{col} IS NOT NULL", False,
+        ))
     if re.search(r"\bPRIMARY\s+KEY\b", masked, re.I):
         ops.append(("add_unique", f"{table}_pkey", "p", [col]))
     elif re.search(r"\bUNIQUE\b", masked, re.I):

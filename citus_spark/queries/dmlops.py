@@ -1260,3 +1260,46 @@ SELECT tag, CAST(count(*) AS BIGINT) AS n,
 FROM state GROUP BY tag ORDER BY tag
 """,
 )
+
+
+# --- information_schema introspection ----------------------------------------
+# The SQL-standard tooling surface (ORMs/BI tools discover schemas
+# through it before running a single query). The entry declares a
+# scratch table — NOT NULL, numeric precision, defaults — and reads
+# back what information_schema.columns reports; the oracle is the
+# literal expectation, so any drift in type spelling, ordering, or
+# nullability detection fails the hash.
+def information_schema_columns(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __is_probe")
+    s.sql(
+        "CREATE TABLE __is_probe (id bigint NOT NULL, name text, "
+        "score double precision, amt numeric(10,2), flag boolean, "
+        "ts timestamp)"
+    )
+    return s.sql(
+        """
+SELECT column_name, CAST(ordinal_position AS INT) AS pos,
+       data_type, is_nullable
+FROM information_schema.columns
+WHERE table_name = '__is_probe'
+ORDER BY ordinal_position
+"""
+    )
+
+
+register_split(
+    "information_schema_columns",
+    information_schema_columns,
+    """
+SELECT * FROM (VALUES
+  ('id',    1, 'bigint',                      'NO'),
+  ('name',  2, 'text',                        'YES'),
+  ('score', 3, 'double precision',            'YES'),
+  ('amt',   4, 'numeric(10,2)',               'YES'),
+  ('flag',  5, 'boolean',                     'YES'),
+  ('ts',    6, 'timestamp without time zone', 'YES')
+) AS t(column_name, pos, data_type, is_nullable)
+ORDER BY pos
+""",
+)

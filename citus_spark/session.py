@@ -131,6 +131,33 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+def _pg_type_name(spark_type: str) -> str:
+    """Spark simpleString type → the PG spelling information_schema
+    prints (information_schema.columns.data_type)."""
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return t.replace("decimal", "numeric")
+    if t.startswith("array"):
+        return "ARRAY"
+    if t.startswith("struct") or t.startswith("map"):
+        return "USER-DEFINED"
+    return {
+        "string": "text",
+        "bigint": "bigint",
+        "int": "integer",
+        "smallint": "smallint",
+        "tinyint": "smallint",
+        "double": "double precision",
+        "float": "real",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp without time zone",
+        "timestamp_ntz": "timestamp without time zone",
+        "binary": "bytea",
+        "interval": "interval",
+    }.get(t, t)
+
+
 def _interval_granularity(text: str | None) -> str | None:
     """Map a PG interval spelling ('1 day', '1 mon', 'hourly', 'month')
     to a partition granularity, or None if it doesn't look like one."""
@@ -1612,6 +1639,10 @@ class DistributedSession:
                     flags=_re.I,
                 ),
             )
+        if _re.search(
+            r"\binformation_schema\s*\.\s*(tables|columns)\b", query, _re.I
+        ):
+            query = self._register_information_schema(query)
         if not _re.search(r"\bpg_(tables|views|matviews)\b", query, _re.I):
             return query
 
@@ -1667,6 +1698,76 @@ class DistributedSession:
             )
 
         return _map_code(query, fix)
+
+    def _register_information_schema(self, query: str) -> str:
+        """information_schema.tables / .columns — the SQL-standard
+        introspection surface every ORM/BI tool queries first
+        (↔ PostgreSQL information_schema, inherited by the
+        reference). Populated from the session catalog; types print
+        with PG spellings; is_nullable reflects the NOT NULL CHECK
+        constraints the DDL layer records."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import _map_code
+
+        ents = list(self.catalog.tables().values())
+        if _re.search(
+            r"\binformation_schema\s*\.\s*tables\b", query, _re.I
+        ):
+            rows = [
+                ("citus", "public", t.name, "BASE TABLE") for t in ents
+            ] + [
+                ("citus", "public", n, "VIEW") for n in self._views
+            ]
+            self.spark.createDataFrame(
+                rows or [("", "", "", "")],
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            ).filter(F.col("table_name") != "").createOrReplaceTempView(
+                "_info_schema_tables"
+            )
+        if _re.search(
+            r"\binformation_schema\s*\.\s*columns\b", query, _re.I
+        ):
+            crows = []
+            for t in ents:
+                not_null = set()
+                for spec in (t.constraints or {}).values():
+                    m = _re.match(
+                        r"^\s*([A-Za-z_]\w*)\s+IS\s+NOT\s+NULL\s*$",
+                        spec.get("expr") or "",
+                        _re.I,
+                    )
+                    if spec.get("kind") == "c" and m:
+                        not_null.add(m.group(1).lower())
+                try:
+                    schema = self._live_read(t).schema
+                except Exception:
+                    continue
+                for i, f in enumerate(schema.fields, start=1):
+                    crows.append((
+                        "citus", "public", t.name, f.name, i,
+                        _pg_type_name(f.dataType.simpleString()),
+                        "NO" if f.name.lower() in not_null else "YES",
+                    ))
+            self.spark.createDataFrame(
+                crows or [("", "", "", "", 0, "", "")],
+                "table_catalog string, table_schema string, "
+                "table_name string, column_name string, "
+                "ordinal_position int, data_type string, "
+                "is_nullable string",
+            ).filter(F.col("table_name") != "").createOrReplaceTempView(
+                "_info_schema_columns"
+            )
+        return _map_code(
+            query,
+            lambda c: _re.sub(
+                r"\binformation_schema\s*\.\s*(tables|columns)\b",
+                lambda m: f"_info_schema_{m.group(1).lower()}",
+                c,
+                flags=_re.I,
+            ),
+        )
 
     def _register_pg_dist_views(self, query: str) -> str:
         """The reference's own catalog tables, queryable verbatim

@@ -263,3 +263,31 @@ def test_alter_column_not_null_lifecycle(spark):
     with pytest.raises(ValueError, match="in a primary key"):
         sess.sql("ALTER TABLE ann_t ALTER COLUMN a DROP NOT NULL")
     sess.sql("DROP TABLE ann_t")
+
+
+def test_inline_not_null_enforces(spark):
+    """CREATE TABLE (col .. NOT NULL) records the same enforcing
+    constraint ALTER COLUMN SET NOT NULL creates — a NULL insert must
+    reject like PG, not load silently (it was advisory before r8)."""
+    import pytest as _pytest
+
+    sess = DistributedSession(spark)
+    sess.sql("DROP TABLE IF EXISTS nn_t")
+    sess.sql("CREATE TABLE nn_t (id bigint NOT NULL, name text)")
+    with _pytest.raises(Exception, match="not_null"):
+        sess.sql("INSERT INTO nn_t VALUES (NULL, 'a')")
+    sess.sql("INSERT INTO nn_t VALUES (1, 'a')")
+    # a CHECK body containing NOT NULL must not fabricate a column
+    # constraint
+    sess.sql("DROP TABLE IF EXISTS nn_c")
+    sess.sql(
+        "CREATE TABLE nn_c (a bigint, b bigint "
+        "CHECK (a IS NOT NULL OR b IS NOT NULL))"
+    )
+    assert "nn_c_b_not_null" not in (
+        sess.catalog.get("nn_c").constraints or {}
+    )
+    # DROP NOT NULL detaches the inline-declared constraint
+    sess.sql("ALTER TABLE nn_t ALTER COLUMN id DROP NOT NULL")
+    sess.sql("INSERT INTO nn_t VALUES (NULL, 'b')")
+    assert sess.sql("SELECT count(*) FROM nn_t").collect()[0][0] == 2
