@@ -86,7 +86,12 @@ _NOOP = re.compile(
     # storage-layer permissions govern); reference tutorials and
     # regress scripts GRANT/REVOKE freely, so accept-and-report
     r"|GRANT\b.*|REVOKE\b.*|CREATE\s+ROLE\b.*|CREATE\s+USER\b.*"
-    r"|ALTER\s+ROLE\b.*|COMMENT\s+ON\b.*)\s*;?\s*$",
+    r"|ALTER\s+ROLE\b.*|COMMENT\s+ON\b.*"
+    # physical-maintenance statements with no analog here: parquet
+    # relations have no indexes to rebuild or heap to re-order
+    # (VACUUM's compaction analog IS implemented — see
+    # _execute_utility); pg_dump/maintenance scripts emit these
+    r"|REINDEX\b.*|CLUSTER\s+[A-Za-z_].*)\s*;?\s*$",
     re.I | re.S,
 )
 
@@ -232,12 +237,14 @@ def parse_alter_table(sql: str):
             am.group(3).strip() if am.group(3) else None,
         )
     dm = re.match(
-        r"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"DROP\s+(?:COLUMN\s+)?(?P<ie>IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
         r"\s*(?:CASCADE|RESTRICT)?$",
         action, re.I,
     )
     if dm:
-        return name, ("drop", dm.group(1))
+        if dm.group("ie"):
+            return name, ("drop_if_exists", dm.group(2))
+        return name, ("drop", dm.group(2))
     rm = re.match(
         r"RENAME\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
         action, re.I,
@@ -247,6 +254,18 @@ def parse_alter_table(sql: str):
     rt = re.match(r"RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I)
     if rt:
         return name, ("rename_table", rt.group(1))
+    # physical/ownership knobs with no analog on parquet relations —
+    # pg_dump emits these for any table with non-default settings, so
+    # a dump replay must accept them (recorded no-ops, like GRANT)
+    if re.match(
+        r"(OWNER\s+TO\s+\S+"
+        r"|ALTER\s+(?:COLUMN\s+)?[A-Za-z_]\w*\s+SET\s+STORAGE\s+\w+"
+        r"|ALTER\s+(?:COLUMN\s+)?[A-Za-z_]\w*\s+SET\s+STATISTICS\s+-?\d+"
+        r"|SET\s+\(.*\)"
+        r"|RESET\s+\(.*\))$",
+        action, re.I | re.S,
+    ):
+        return name, ("noop_metadata", action)
     at = re.match(
         r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?"
         r"TYPE\s+(.+?)(?:\s+USING\s+(.+))?$",

@@ -1303,3 +1303,55 @@ SELECT * FROM (VALUES
 ORDER BY pos
 """,
 )
+
+
+# --- CREATE TABLE (LIKE src INCLUDING ALL) -----------------------------------
+# PG's clone-the-shape spelling (session._expand_create_like). The
+# clone must inherit the DEFAULT (filled on insert), the NOT NULL and
+# CHECK enforcement, and the columns — the returned state proves the
+# default actually fills in the clone, and the oracle re-derives it
+# from the fixture without any DDL.
+def create_table_like_clone(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__lk_src", "__lk_clone"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql(
+        "CREATE TABLE __lk_src (okey bigint NOT NULL, "
+        "prio text DEFAULT 'none', total double precision, "
+        "CHECK (total IS NULL OR total >= 0))"
+    )
+    s.sql("CREATE TABLE __lk_clone (LIKE __lk_src INCLUDING ALL)")
+    s.sql(
+        "INSERT INTO __lk_clone (okey, total) "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey < 2000"
+    )
+    s.sql(
+        "INSERT INTO __lk_clone (okey, prio, total) "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "WHERE o_orderkey >= 2000 AND o_orderkey < 4000"
+    )
+    return s.sql(
+        """
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM __lk_clone GROUP BY prio ORDER BY prio
+"""
+    )
+
+
+register_split(
+    "create_table_like_clone",
+    create_table_like_clone,
+    """
+WITH state AS (
+  SELECT CASE WHEN o_orderkey < 2000 THEN 'none'
+              ELSE o_orderpriority END AS prio,
+         o_totalprice AS total
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM state GROUP BY prio ORDER BY prio
+""",
+)

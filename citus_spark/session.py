@@ -158,6 +158,24 @@ def _pg_type_name(spark_type: str) -> str:
     }.get(t, t)
 
 
+def _spark_to_pg_ddl(spark_type: str) -> str:
+    """Spark simpleString → a spelling ddl_sql._map_type re-parses
+    (used when CREATE TABLE (LIKE src) re-emits the source's columns
+    as DDL text)."""
+    t = spark_type.lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return _spark_to_pg_ddl(t[6:-1]) + "[]"
+    if t.startswith("struct") or t.startswith("map"):
+        raise ValueError(
+            f"LIKE: cannot re-emit nested type {spark_type!r} as PG DDL"
+        )
+    if t == "float":
+        return "real"
+    if t == "timestamp_ntz":
+        return "timestamp"
+    return t
+
+
 def _interval_granularity(text: str | None) -> str | None:
     """Map a PG interval spelling ('1 day', '1 mon', 'hourly', 'month')
     to a partition granularity, or None if it doesn't look like one."""
@@ -1699,6 +1717,143 @@ class DistributedSession:
 
         return _map_code(query, fix)
 
+    def _expand_create_like(self, query: str) -> str:
+        """CREATE TABLE .. (LIKE src [INCLUDING/EXCLUDING ..]) — PG's
+        clone-the-shape spelling. Expands the LIKE item into the
+        source's column DDL before the normal CREATE parse: columns
+        and NOT NULL always copy (PG semantics); DEFAULTS /
+        CONSTRAINTS (CHECKs) / GENERATED / IDENTITY / INDEXES
+        (PK/UNIQUE) copy under their INCLUDING options or INCLUDING
+        ALL. Options with no analog here (STATISTICS, STORAGE,
+        COMMENTS, COMPRESSION) are accepted and ignored, like the
+        index no-ops."""
+        import re as _re
+
+        from citus_spark.plans.rewrites import (
+            _masked_spans,
+            _split_top_level,
+        )
+
+        m = _re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"[A-Za-z_][\w.]*\s*\(",
+            query,
+            _re.I,
+        )
+        if m is None:
+            return query
+        open_idx = m.end() - 1
+        spans = _masked_spans(query)
+        depth, e = 0, open_idx
+        while e < len(query):
+            if not any(a <= e < b for a, b in spans):
+                if query[e] == "(":
+                    depth += 1
+                elif query[e] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            e += 1
+        if depth:
+            return query
+        items = _split_top_level(query[open_idx + 1 : e])
+        out: list[str] = []
+        changed = False
+        for it in items:
+            lm = _re.match(
+                r"^\s*LIKE\s+([A-Za-z_][\w.]*)"
+                r"(?P<opts>(?:\s+(?:INCLUDING|EXCLUDING)\s+\w+)*)\s*$",
+                it,
+                _re.I,
+            )
+            if lm is None:
+                out.append(it.strip())
+                continue
+            changed = True
+            src = lm.group(1)
+            opts: dict[str, bool] = {}
+            for om in _re.finditer(
+                r"(INCLUDING|EXCLUDING)\s+(\w+)", lm.group("opts") or "",
+                _re.I,
+            ):
+                opts[om.group(2).lower()] = (
+                    om.group(1).upper() == "INCLUDING"
+                )
+
+            def inc(k: str) -> bool:
+                return opts.get(k, opts.get("all", False))
+
+            entry = self.catalog.get(src)
+            try:
+                rel = (
+                    self.spark.table(src)
+                    if entry is None
+                    else self._live_read(entry)
+                )
+                schema = rel.schema
+            except Exception:
+                raise ValueError(
+                    f'LIKE source relation "{src}" does not exist'
+                )
+            not_null: set[str] = set()
+            checks: list[str] = []
+            keys: list[tuple[str, list[str]]] = []
+            if entry is not None:
+                for spec in (entry.constraints or {}).values():
+                    if spec.get("kind") == "c":
+                        nm = _re.match(
+                            r"^\s*([A-Za-z_]\w*)\s+IS\s+NOT\s+NULL\s*$",
+                            spec.get("expr") or "",
+                            _re.I,
+                        )
+                        if nm:
+                            not_null.add(nm.group(1).lower())
+                        elif inc("constraints"):
+                            checks.append(spec["expr"])
+                    elif spec.get("kind") in ("p", "u") and inc("indexes"):
+                        keys.append(
+                            (spec["kind"], list(spec.get("cols") or []))
+                        )
+            defaults = dict(
+                (entry.defaults or {}) if entry and inc("defaults") else {}
+            )
+            gens = dict(
+                (entry.generated or {})
+                if entry and inc("generated")
+                else {}
+            )
+            idents = dict(
+                (entry.identity or {})
+                if entry and inc("identity")
+                else {}
+            )
+            for f in schema.fields:
+                pg_t = _spark_to_pg_ddl(f.dataType.simpleString())
+                if f.name in gens:
+                    out.append(
+                        f"{f.name} {pg_t} GENERATED ALWAYS AS "
+                        f"({gens[f.name]}) STORED"
+                    )
+                    continue
+                txt = f"{f.name} {pg_t}"
+                if f.name in idents:
+                    txt += " GENERATED BY DEFAULT AS IDENTITY"
+                if f.name.lower() in not_null:
+                    txt += " NOT NULL"
+                if f.name in defaults and f.name not in idents:
+                    txt += f" DEFAULT {defaults[f.name]}"
+                out.append(txt)
+            for expr in checks:
+                out.append(f"CHECK ({expr})")
+            for kind, cols in keys:
+                head = "PRIMARY KEY" if kind == "p" else "UNIQUE"
+                out.append(f"{head} ({', '.join(cols)})")
+        if not changed:
+            return query
+        return (
+            query[: open_idx + 1] + ", ".join(out) + query[e:]
+        )
+
     def _register_information_schema(self, query: str) -> str:
         """information_schema.tables / .columns — the SQL-standard
         introspection surface every ORM/BI tool queries first
@@ -2565,6 +2720,12 @@ class DistributedSession:
         det = parse_detach_partition(query)
         if det is not None:
             return self._detach_partition(query, *det)
+        import re as _re
+
+        if _re.search(r"\bLIKE\b", query, _re.I) and _re.match(
+            r"\s*CREATE\s+TABLE\b", query, _re.I
+        ):
+            query = self._expand_create_like(query)
         created = parse_create_table(query)
         if created is not None:
             (
@@ -2685,6 +2846,15 @@ class DistributedSession:
                 return self.spark.createDataFrame(
                     [(con_tag,)], "status string"
                 )
+            if op[0] == "noop_metadata":
+                # ownership/storage knobs: accepted-and-recorded, no
+                # relation rewrite (see ddl_sql.parse_alter_table)
+                self.stat_statements.record(
+                    query, None, executor="utility"
+                )
+                return self.spark.createDataFrame(
+                    [("ALTER TABLE",)], "status string"
+                )
             if op[0] not in (
                 "rename_table", "set_default", "drop_default",
                 "set_not_null", "drop_not_null",
@@ -2732,8 +2902,15 @@ class DistributedSession:
                 entry.generated = {
                     **(entry.generated or {}), op[1]: op[3],
                 }
-            elif op[0] == "drop":
+            elif op[0] in ("drop", "drop_if_exists"):
                 if op[1] not in cur.columns:
+                    if op[0] == "drop_if_exists":
+                        self.stat_statements.record(
+                            query, None, executor="utility"
+                        )
+                        return self.spark.createDataFrame(
+                            [("ALTER TABLE",)], "status string"
+                        )
                     raise ValueError(f'column "{op[1]}" does not exist')
                 # external dependents veto FIRST (guard_column_change
                 # then auto-drops same-table constraints, PG-style)

@@ -291,3 +291,60 @@ def test_inline_not_null_enforces(spark):
     sess.sql("ALTER TABLE nn_t ALTER COLUMN id DROP NOT NULL")
     sess.sql("INSERT INTO nn_t VALUES (NULL, 'b')")
     assert sess.sql("SELECT count(*) FROM nn_t").collect()[0][0] == 2
+
+
+def test_create_table_like(spark):
+    """CREATE TABLE (LIKE src [INCLUDING ..]) clones the shape:
+    columns + NOT NULL always; DEFAULTS/CONSTRAINTS/INDEXES under
+    their options or ALL; mixes with extra columns."""
+    import pytest as _pytest
+
+    s = DistributedSession(spark)
+    for t in ("lk_src", "lk_all", "lk_bare", "lk_mix"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql(
+        "CREATE TABLE lk_src (id bigint NOT NULL, name text DEFAULT "
+        "'anon', amt numeric(10,2), CHECK (amt IS NULL OR amt >= 0), "
+        "UNIQUE (id))"
+    )
+    s.sql("CREATE TABLE lk_all (LIKE lk_src INCLUDING ALL)")
+    cons = s.catalog.get("lk_all").constraints or {}
+    kinds = sorted(spec["kind"] for spec in cons.values())
+    assert kinds == ["c", "c", "u"]  # not-null, check, unique
+    assert (s.catalog.get("lk_all").defaults or {}) == {"name": "'anon'"}
+    s.sql("INSERT INTO lk_all (id, amt) VALUES (1, 5.5)")
+    assert s.sql("SELECT name FROM lk_all").collect()[0][0] == "anon"
+    with _pytest.raises(Exception, match="not_null"):
+        s.sql("INSERT INTO lk_all (id, amt) VALUES (NULL, 1)")
+    with _pytest.raises(Exception, match="check"):
+        s.sql("INSERT INTO lk_all (id, amt) VALUES (2, -4)")
+    # bare LIKE: columns + NOT NULL only
+    s.sql("CREATE TABLE lk_bare (LIKE lk_src)")
+    bare = s.catalog.get("lk_bare").constraints or {}
+    assert [spec["kind"] for spec in bare.values()] == ["c"]
+    assert not (s.catalog.get("lk_bare").defaults or {})
+    # LIKE mixes with ordinary column items
+    s.sql("CREATE TABLE lk_mix (LIKE lk_src, extra boolean)")
+    assert dict(spark.table("lk_mix").dtypes)["extra"] == "boolean"
+    with _pytest.raises(ValueError, match="does not exist"):
+        s.sql("CREATE TABLE lk_no (LIKE no_such_rel)")
+
+
+def test_dump_replay_noops_and_if_exists(spark):
+    """pg_dump-emitted maintenance/ownership statements accept as
+    recorded no-ops; DROP COLUMN IF EXISTS tolerates absence."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS dr_t")
+    s.sql("CREATE TABLE dr_t (id bigint, name text)")
+    for stmt in (
+        "ALTER TABLE dr_t OWNER TO admin",
+        "ALTER TABLE dr_t ALTER COLUMN name SET STORAGE EXTERNAL",
+        "ALTER TABLE dr_t ALTER COLUMN name SET STATISTICS 500",
+        "ALTER TABLE dr_t SET (fillfactor = 70)",
+        "REINDEX TABLE dr_t",
+        "CLUSTER dr_t USING some_idx",
+    ):
+        assert s.sql(stmt).collect()  # accepted, informational row
+    s.sql("ALTER TABLE dr_t DROP COLUMN IF EXISTS nosuch")
+    s.sql("ALTER TABLE dr_t DROP COLUMN IF EXISTS name")
+    assert spark.table("dr_t").columns == ["id"]
