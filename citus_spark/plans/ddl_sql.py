@@ -59,8 +59,12 @@ _TYPE_MAP = {
     "short": "smallint", "tinyint": "tinyint", "binary": "binary",
 }
 
+# TEMP/TEMPORARY/UNLOGGED prefixes accepted: every relation here is
+# already session-scoped (temp views over scratch parquet), which IS
+# PG's temp-table lifetime, and nothing is WAL-logged to begin with
 _CREATE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+    r"|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*)\)\s*;?\s*$",
     re.I | re.S,
 )
@@ -68,7 +72,8 @@ _CREATE = re.compile(
 # forces the greedy body to backtrack to the right closing paren; an
 # optional suffix would let the body swallow the partition clause)
 _CREATE_PARTITIONED = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+    r"|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*)\)\s*"
     r"PARTITION\s+BY\s+(?P<pmethod>RANGE|LIST|HASH)\s*"
     r"\(\s*(?P<pcol>[A-Za-z_]\w*)\s*\)\s*;?\s*$",
@@ -91,7 +96,12 @@ _NOOP = re.compile(
     # relations have no indexes to rebuild or heap to re-order
     # (VACUUM's compaction analog IS implemented — see
     # _execute_utility); pg_dump/maintenance scripts emit these
-    r"|REINDEX\b.*|CLUSTER\s+[A-Za-z_].*)\s*;?\s*$",
+    r"|REINDEX\b.*|CLUSTER\s+[A-Za-z_].*"
+    # DROP INDEX is CREATE INDEX's no-op twin; LOCK acquires a lock
+    # this single-session engine cannot contend on; DISCARD resets
+    # psql session state that does not exist here
+    r"|DROP\s+INDEX\b.*|LOCK\s+(?:TABLE\s+)?[A-Za-z_].*"
+    r"|DISCARD\s+(?:ALL|PLANS|SEQUENCES|TEMP(?:ORARY)?))\s*;?\s*$",
     re.I | re.S,
 )
 
@@ -633,6 +643,22 @@ def parse_create_table(sql: str):
     {col: generated_expr}), or None."""
     from citus_spark.plans.sequence_sql import identity_of
 
+    oc = re.search(
+        r"\bON\s+COMMIT\s+(PRESERVE\s+ROWS|DROP|DELETE\s+ROWS)\s*;?\s*$",
+        sql, re.I,
+    )
+    if oc is not None and re.match(r"\s*CREATE\b", sql, re.I):
+        if not oc.group(1).upper().startswith("PRESERVE"):
+            # autocommit engine: DROP/DELETE ROWS at commit would fire
+            # after every statement — the table would be useless;
+            # reject rather than silently keep the rows
+            raise NotImplementedError(
+                "CREATE TEMP TABLE .. ON COMMIT "
+                f"{oc.group(1).upper()} is not supported (autocommit "
+                "semantics; ON COMMIT PRESERVE ROWS is the behavior "
+                "here)"
+            )
+        sql = sql[: oc.start()]  # PRESERVE ROWS is PG's default
     m = _CREATE_PARTITIONED.match(sql) or _CREATE.match(sql)
     if not m:
         return None

@@ -544,6 +544,15 @@ class DistributedSession:
             return self.spark.createDataFrame(
                 [(str(val),)], f"`{name}` string"
             )
+        # PG `SHOW <guc>` for non-citus names: Spark records arbitrary
+        # `SET k = v` in its runtime conf, and its bare `SET k` reads
+        # it back — SHOW is the PG spelling of that read
+        m = _re.match(r"^\s*SHOW\s+([A-Za-z_][\w.]*)\s*;?\s*$", query, _re.I)
+        if m and m.group(1).upper() not in ("TABLES", "DATABASES", "VIEWS"):
+            row = self.spark.sql(f"SET {m.group(1)}").collect()[0]
+            return self.spark.createDataFrame(
+                [(row[1],)], f"`{m.group(1)}` string"
+            )
         return None
 
     def sql(self, query: str) -> DataFrame:

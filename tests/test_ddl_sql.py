@@ -348,3 +348,33 @@ def test_dump_replay_noops_and_if_exists(spark):
     s.sql("ALTER TABLE dr_t DROP COLUMN IF EXISTS nosuch")
     s.sql("ALTER TABLE dr_t DROP COLUMN IF EXISTS name")
     assert spark.table("dr_t").columns == ["id"]
+
+
+def test_temp_unlogged_tables_and_session_noops(spark):
+    """CREATE TEMP/TEMPORARY/UNLOGGED TABLE parse as plain CREATE
+    (everything here is session-scoped and un-logged already);
+    ON COMMIT PRESERVE ROWS strips; DROP/DELETE ROWS reject loudly.
+    DROP INDEX / LOCK / DISCARD / SHOW accept."""
+    import pytest as _pytest
+
+    s = DistributedSession(spark)
+    for t in ("tm1", "tm2", "tm3"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TEMP TABLE tm1 (id bigint)")
+    s.sql("CREATE TEMPORARY TABLE tm2 (id bigint) ON COMMIT PRESERVE ROWS")
+    s.sql("CREATE UNLOGGED TABLE tm3 (id bigint NOT NULL)")
+    s.sql("INSERT INTO tm1 VALUES (1)")
+    assert s.sql("SELECT count(*) FROM tm1").collect()[0][0] == 1
+    with _pytest.raises(NotImplementedError, match="ON COMMIT"):
+        s.sql("CREATE TEMP TABLE tm4 (id bigint) ON COMMIT DROP")
+    assert s.catalog.get("tm4") is None
+    for stmt in (
+        "DROP INDEX IF EXISTS some_idx",
+        "DROP INDEX CONCURRENTLY other_idx",
+        "LOCK TABLE tm1 IN ACCESS EXCLUSIVE MODE",
+        "LOCK tm1",
+        "DISCARD ALL",
+    ):
+        assert s.sql(stmt).collect()
+    s.sql("SET work_mem = '128MB'")
+    assert s.sql("SHOW work_mem").collect()[0][0] == "'128MB'"
