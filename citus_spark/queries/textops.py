@@ -2909,3 +2909,169 @@ FROM b GROUP BY lang, bucket
 ORDER BY lang, bucket
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocation mining — association lift (the PMI argument
+# P(w1w2)/(P(w1)P(w2)) before the log, which is monotone in PMI, so
+# the ranking is PMI's) over lead()-derived bigrams. Scoring is pure
+# integer arithmetic (count products with scaled integer division) —
+# exact and portable. The e6 scale bounds the corpus to ~1e12 bigram
+# occurrences before BIGINT overflow; a production ranking at that
+# size drops to doubles (ordering, not reporting).
+def collocation_lift(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_COLLOC_SQL)
+
+
+_COLLOC_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, pos, sent AS tok
+  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, sent)
+        FROM documents)
+  WHERE sent <> ''
+), big AS (
+  SELECT tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bcounts AS (
+  SELECT w1, w2, count(*) AS n FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+), uni AS (
+  SELECT tok AS w, count(*) AS u FROM tok GROUP BY tok
+), tot AS (
+  SELECT sum(n) AS nb FROM bcounts
+)
+SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+       CAST((b.n * t.nb * 1000000) DIV (u1.u * u2.u) AS BIGINT)
+         AS lift_e6
+FROM bcounts b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot t
+WHERE b.n >= 5
+ORDER BY lift_e6 DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+_COLLOC_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, pos, sent AS tok FROM (
+    SELECT doc_id, unnest(range(1, len(sents) + 1)) AS pos,
+           unnest(sents) AS sent
+    FROM (SELECT doc_id, string_split(text, ' ') AS sents
+          FROM documents)
+  )
+  WHERE sent <> ''
+), big AS (
+  SELECT tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bcounts AS (
+  SELECT w1, w2, count(*) AS n FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+), uni AS (
+  SELECT tok AS w, count(*) AS u FROM tok GROUP BY tok
+), tot AS (
+  SELECT sum(n) AS nb FROM bcounts
+)
+SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+       CAST((b.n * t.nb * 1000000) // (u1.u * u2.u) AS BIGINT)
+         AS lift_e6
+FROM bcounts b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot t
+WHERE b.n >= 5
+ORDER BY lift_e6 DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+register_split("collocation_lift", collocation_lift, _COLLOC_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary overlap — token-set Jaccard between
+# every source pair (which crawls/registers duplicate each other is a
+# first-week question on any new corpus). Distinct-token sets join on
+# the token key (one hash shuffle, never all-pairs row comparisons);
+# the ratio is scaled integer division — exact.
+def source_jaccard_overlap(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_SRC_JACCARD_SQL)
+
+
+_SRC_JACCARD_SQL = """
+WITH tok AS (
+  SELECT source, explode(split(text, ' ')) AS token FROM documents
+), sets AS (
+  SELECT DISTINCT source, token FROM tok WHERE token <> ''
+), sizes AS (
+  SELECT source, count(*) AS c FROM sets GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS i
+  FROM sets a JOIN sets b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.s1, i.s2, CAST(i.i AS BIGINT) AS common_tokens,
+       CAST((i.i * 1000000) DIV (z1.c + z2.c - i.i) AS BIGINT)
+         AS jaccard_e6
+FROM inter i
+JOIN sizes z1 ON i.s1 = z1.source
+JOIN sizes z2 ON i.s2 = z2.source
+ORDER BY i.s1, i.s2
+"""
+
+register_split(
+    "source_jaccard_overlap",
+    source_jaccard_overlap,
+    _SRC_JACCARD_SQL.replace(
+        "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+    ).replace(" DIV ", " // "),
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy per language — the diversity
+# number next to the Zipf slope in any corpus health report (low
+# entropy = template/boilerplate-heavy). Per-row -(p·ln p) is the
+# same IEEE double in both engines (division, log, multiply — the
+# zipf_slope precedent); the cross-token sum uses DSUM so reduction
+# order cannot move the hash.
+def token_entropy_by_lang(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(_ENTROPY_SQL)
+
+
+_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT lang, explode(split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM tok WHERE token <> ''
+  GROUP BY lang, token
+), lang_tot AS (
+  SELECT lang, sum(n) AS ns FROM counts GROUP BY lang
+), terms AS (
+  SELECT c.lang, l.ns,
+         -(CAST(c.n AS DOUBLE) / CAST(l.ns AS DOUBLE))
+           * ln(CAST(c.n AS DOUBLE) / CAST(l.ns AS DOUBLE))
+           * 1000000.0 AS h_term_e6
+  FROM counts c JOIN lang_tot l ON c.lang = l.lang
+), sums AS (
+  SELECT lang, max(ns) AS ns, count(*) AS vocab,
+         {_DSUM2('h_term_e6', 's_h_e6')}
+  FROM terms GROUP BY lang
+)
+SELECT lang, CAST(ns AS BIGINT) AS ns, CAST(vocab AS BIGINT) AS vocab,
+       CAST(floor(s_h_e6 / 100.0 + 0.5) AS BIGINT) AS entropy_e4
+FROM sums
+ORDER BY lang
+"""
+
+register_split(
+    "token_entropy_by_lang",
+    token_entropy_by_lang,
+    _ENTROPY_SQL.replace(
+        "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
+    ),
+)

@@ -15,6 +15,9 @@ ENTRIES = [
     "rare_token_tail_mass",
     "sentence_dedup_within_doc",
     "curriculum_length_buckets",
+    "collocation_lift",
+    "source_jaccard_overlap",
+    "token_entropy_by_lang",
 ]
 
 
