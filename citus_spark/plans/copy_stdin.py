@@ -26,7 +26,10 @@ import re
 _HEAD = re.compile(
     r"^\s*COPY\s+(?P<table>[A-Za-z_][\w.]*)\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*FROM\s+STDIN"
-    r"(?:\s+WITH\s*\(\s*(?P<opts>[^)]*)\))?[ \t]*(?:;|\n|$)",
+    # [ \t]+ before WITH: the clause must sit on the head line — a
+    # newline there starts DATA, and a first data line that happens
+    # to read "WITH (..)" must not be eaten as options
+    r"(?:[ \t]+WITH[ \t]*\(\s*(?P<opts>[^)]*)\))?[ \t]*(?:;|\n|$)",
     re.I,
 )
 
@@ -169,8 +172,23 @@ def decode_payload(
     (PG never silently skips lines)."""
     rows: list[list[str | None]] = []
     if fmt == "csv":
+        # reassemble logical records first: PG CSV accepts embedded
+        # newlines inside quoted fields, so a physical line with an
+        # odd quote count leaves its record open (doubled-quote
+        # escapes add two quotes and keep parity). psql's own \.
+        # terminator scan is line-based too, so the terminator
+        # handling upstream matches PG's behavior.
+        records: list[str] = []
+        buf: str | None = None
         for ln in lines:
-            rows.append(_split_csv_line(ln))
+            buf = ln if buf is None else f"{buf}\n{ln}"
+            if buf.count('"') % 2 == 0:
+                records.append(buf)
+                buf = None
+        if buf is not None:
+            records.append(buf)  # unterminated — splitter errors
+        for rec in records:
+            rows.append(_split_csv_line(rec))
     else:
         for ln in lines:
             rows.append([

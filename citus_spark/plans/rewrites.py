@@ -2024,41 +2024,111 @@ def pg_regexp_replace_flags(sql: str) -> str:
 # PG `^` is exponentiation; Spark's `^` is bitwise XOR — the same
 # spelling with silently different answers (2 ^ 10 = 1024 vs 8), the
 # worst kind of port bug. Under pg_compat the PG meaning wins (PG
-# spells XOR `#`). Left-associative like PG: the repeated pass folds
-# `a ^ b ^ c` into power(power(a, b), c) because a completed
-# power(..) call matches the call-operand shape on the next pass.
-# the call-shaped alternative must not swallow `KEYWORD (expr)` —
-# `SELECT (1+1) ^ 2` is a paren operand after a keyword, not a call
-_CARET_KW = (
-    r"(?!(?i:SELECT|WHERE|AND|OR|NOT|THEN|ELSE|WHEN|CASE|END|FROM|ON"
+# spells XOR `#`). Left-associative like PG: each loop iteration
+# folds the LEFTMOST `^`, and the completed power(..) call matches
+# the call-operand shape on the next iteration, so `a ^ b ^ c`
+# becomes power(power(a, b), c). PG precedence quirk handled by a
+# backward scan: unary minus binds TIGHTER than ^ (-a ^ 2 is
+# power(-a, 2) = a², verified against DuckDB/PG), while binary minus
+# binds looser (b - a ^ 2 stays b - power(a, 2)).
+# The call-shaped alternative must not swallow `KEYWORD (expr)` —
+# `SELECT (1+1) ^ 2` is a paren operand after a keyword, not a call.
+_CARET_KW_NAMES = (
+    r"SELECT|WHERE|AND|OR|NOT|THEN|ELSE|WHEN|CASE|END|FROM|ON"
     r"|IN|BETWEEN|LIKE|ILIKE|IS|BY|AS|JOIN|HAVING|GROUP|ORDER|UNION"
     r"|ALL|ANY|SOME|DISTINCT|SET|VALUES|RETURNING|EXISTS|INTERVAL"
     r"|OVER|FILTER|LIMIT|OFFSET|USING|CROSS|INNER|LEFT|RIGHT|FULL"
-    r"|RETURN|IF|ELSIF)\s*\()"
+    r"|RETURN|IF|ELSIF"
 )
+_CARET_KW = rf"(?!(?i:{_CARET_KW_NAMES})\s*\()"
+# a bare-identifier operand must not be a keyword either — `.. END ^
+# 2` would otherwise fold as power(END, 2) instead of hitting the
+# loud leftover check
+_CARET_KW_IDENT = rf"(?!(?i:{_CARET_KW_NAMES})\b)"
+# parenthesized bodies admit two nesting levels — enough for the
+# folded power(a, f(b)) forms the left-assoc loop creates; deeper
+# residue hits the loud leftover check below instead of silent XOR
+_CARET_PAREN_BODY = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
 _CARET_OPERAND = (
-    rf"(?:(?<![\w.]){_CARET_KW}[A-Za-z_][\w.]*\s*\([^()]*\)"
-    r"|(?<![\w.])[A-Za-z_][\w.]*"
-    r"|(?<![\w.])-?[0-9]+(?:\.[0-9]+)?|\([^()]+\))"
+    rf"(?:(?<![\w.]){_CARET_KW}[A-Za-z_][\w.]*\s*\({_CARET_PAREN_BODY}\)"
+    rf"|(?<![\w.]){_CARET_KW_IDENT}[A-Za-z_][\w.]*"
+    rf"|(?<![\w.])[0-9]+(?:\.[0-9]+)?|\({_CARET_PAREN_BODY}\))"
 )
 _CARET = re.compile(
     rf"(?P<l>{_CARET_OPERAND})\s*\^\s*(?P<r>-?\s*{_CARET_OPERAND})"
 )
+_OPERAND_END = set(")]'\"")
+# keywords that put a following minus in UNARY position (an
+# identifier or literal there would make it binary subtraction)
+_UNARY_PRECEDERS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
+    "CASE", "RETURN", "RETURNING", "BY", "ON", "IN", "SET", "VALUES",
+    "HAVING", "LIMIT", "OFFSET", "ALL", "DISTINCT", "AS", "IS",
+    "BETWEEN", "LIKE", "ILIKE", "UNION", "INTERSECT", "EXCEPT",
+    "COALESCE", "IF", "ELSIF", "DEFAULT", "CHECK",
+}
 
 
 def pg_power_caret(sql: str) -> str:
     """Rewrite binary `a ^ b` to power(a, b) (PG semantics)."""
-
-    def one_pass(seg: str) -> str:
-        return _CARET.sub(
-            lambda m: f"power({m.group('l')}, {m.group('r')})", seg
-        )
-
     while True:
-        new = _map_code(sql, one_pass)
-        if new == sql:
+        spans = _masked_spans(sql)
+        m = next(
+            (
+                c
+                for c in _CARET.finditer(sql)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            leftover = next(
+                (
+                    i
+                    for i, ch in enumerate(sql)
+                    if ch == "^"
+                    and not any(a <= i < b for a, b in spans)
+                ),
+                None,
+            )
+            if leftover is not None:
+                raise NotImplementedError(
+                    "cannot translate this `^` operand shape to "
+                    f"power() — near: {sql[max(0, leftover - 30):leftover + 30]!r}"
+                )
             return sql
-        sql = new
+        left, start = m.group("l"), m.start()
+        # absorb a UNARY minus into the left operand (PG: unary minus
+        # binds tighter than ^; a minus preceded by an operand ending
+        # is binary and stays outside)
+        i = start - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i >= 0 and sql[i] == "-":
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j < 0:
+                unary = True
+            elif sql[j].isalpha() or sql[j] == "_":
+                # a word before the minus: keyword → unary position
+                # (SELECT -a ^ 2); identifier → binary (b - a ^ 2)
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                unary = sql[k + 1 : j + 1].upper() in _UNARY_PRECEDERS
+            else:
+                # after digits/')'/']'/quotes the minus is binary;
+                # after '(' ',' or another operator it is unary
+                unary = not (
+                    sql[j].isdigit() or sql[j] in _OPERAND_END
+                )
+            if unary:
+                left, start = f"-{left}", i
+        sql = (
+            f"{sql[:start]}power({left}, {m.group('r')})"
+            f"{sql[m.end():]}"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -2070,6 +2140,24 @@ def pg_power_caret(sql: str) -> str:
 # the earlier interval. Operand expressions substitute textually (a
 # volatile operand would evaluate more than once; none of the
 # supported deterministic expressions care).
+def _masked_close_paren(sql: str, start: int, spans, depth: int = 1) -> int:
+    """Index of the ')' that closes the group already `depth` levels
+    deep at `start`, skipping masked spans; -1 when unbalanced. The
+    shared scan for every rewrite that slices a parenthesized group
+    out of raw statement text."""
+    e = start
+    while e < len(sql):
+        if not any(a <= e < b for a, b in spans):
+            if sql[e] == "(":
+                depth += 1
+            elif sql[e] == ")":
+                depth -= 1
+                if depth == 0:
+                    return e
+        e += 1
+    return -1
+
+
 _OVERLAPS_KW = re.compile(r"\bOVERLAPS\b", re.I)
 
 
@@ -2112,16 +2200,9 @@ def pg_overlaps(sql: str) -> str:
                 "OVERLAPS needs parenthesized (start, end) row values "
                 "on both sides"
             )
-        depth, e = 0, k
-        while e < len(sql):
-            if not masked(e):
-                if sql[e] == "(":
-                    depth += 1
-                elif sql[e] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            e += 1
+        e = _masked_close_paren(sql, k + 1, spans)
+        if e < 0:
+            raise ValueError("OVERLAPS: unbalanced parentheses")
         la = _split_top_level(sql[j + 1 : i])
         ra = _split_top_level(sql[k + 1 : e])
         if len(la) != 2 or len(ra) != 2:
@@ -2193,17 +2274,8 @@ def pg_update_row_set(sql: str) -> str:
         )
         if m is None:
             return sql
-        depth, e = 1, m.end()
-        while e < len(sql) and depth:
-            if not any(a <= e < b for a, b in spans):
-                if sql[e] == "(":
-                    depth += 1
-                elif sql[e] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            e += 1
-        if depth:
+        e = _masked_close_paren(sql, m.end(), spans)
+        if e < 0:
             raise ValueError("SET (..) = (..): unbalanced parentheses")
         rhs = sql[m.end() : e]
         if re.match(r"\s*SELECT\b", rhs, re.I):
@@ -2259,17 +2331,8 @@ def pg_row_comparison(sql: str) -> str:
         )
         if m is None:
             return sql
-        depth, e = 1, m.end()
-        while e < len(sql) and depth:
-            if not any(a <= e < b for a, b in spans):
-                if sql[e] == "(":
-                    depth += 1
-                elif sql[e] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            e += 1
-        if depth:
+        e = _masked_close_paren(sql, m.end(), spans)
+        if e < 0:
             return sql  # unbalanced tail — leave for the parser
         rhs = sql[m.end() : e]
         if re.match(r"\s*(SELECT|WITH|VALUES)\b", rhs, re.I):

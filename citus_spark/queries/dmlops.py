@@ -1280,7 +1280,8 @@ def information_schema_columns(spark, sf_dir):
     return s.sql(
         """
 SELECT column_name, CAST(ordinal_position AS INT) AS pos,
-       data_type, is_nullable
+       data_type, CAST(numeric_precision AS INT) AS num_p,
+       CAST(numeric_scale AS INT) AS num_s, is_nullable
 FROM information_schema.columns
 WHERE table_name = '__is_probe'
 ORDER BY ordinal_position
@@ -1291,15 +1292,20 @@ ORDER BY ordinal_position
 register_split(
     "information_schema_columns",
     information_schema_columns,
+    # PG prints bare 'numeric' in data_type; precision/scale live in
+    # their own columns (NULL for non-numerics)
     """
-SELECT * FROM (VALUES
-  ('id',    1, 'bigint',                      'NO'),
-  ('name',  2, 'text',                        'YES'),
-  ('score', 3, 'double precision',            'YES'),
-  ('amt',   4, 'numeric(10,2)',               'YES'),
-  ('flag',  5, 'boolean',                     'YES'),
-  ('ts',    6, 'timestamp without time zone', 'YES')
-) AS t(column_name, pos, data_type, is_nullable)
+SELECT column_name, pos, data_type,
+       CAST(num_p AS INT) AS num_p, CAST(num_s AS INT) AS num_s,
+       is_nullable
+FROM (VALUES
+  ('id',    1, 'bigint',                      NULL, NULL, 'NO'),
+  ('name',  2, 'text',                        NULL, NULL, 'YES'),
+  ('score', 3, 'double precision',            NULL, NULL, 'YES'),
+  ('amt',   4, 'numeric',                     10,   2,    'YES'),
+  ('flag',  5, 'boolean',                     NULL, NULL, 'YES'),
+  ('ts',    6, 'timestamp without time zone', NULL, NULL, 'YES')
+) AS t(column_name, pos, data_type, num_p, num_s, is_nullable)
 ORDER BY pos
 """,
 )

@@ -133,10 +133,12 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
 
 def _pg_type_name(spark_type: str) -> str:
     """Spark simpleString type → the PG spelling information_schema
-    prints (information_schema.columns.data_type)."""
+    prints (information_schema.columns.data_type). PG prints bare
+    'numeric' — precision/scale live in the numeric_precision /
+    numeric_scale columns, not in data_type."""
     t = spark_type.lower()
     if t.startswith("decimal"):
-        return t.replace("decimal", "numeric")
+        return "numeric"
     if t.startswith("array"):
         return "ARRAY"
     if t.startswith("struct") or t.startswith("map"):
@@ -546,10 +548,21 @@ class DistributedSession:
             )
         # PG `SHOW <guc>` for non-citus names: Spark records arbitrary
         # `SET k = v` in its runtime conf, and its bare `SET k` reads
-        # it back — SHOW is the PG spelling of that read
+        # it back — SHOW is the PG spelling of that read. Spark's own
+        # SHOW commands (FUNCTIONS/SCHEMAS/CATALOGS/..) must keep
+        # falling through to Spark, and an unset name errors like PG
+        # instead of returning '<undefined>'.
         m = _re.match(r"^\s*SHOW\s+([A-Za-z_][\w.]*)\s*;?\s*$", query, _re.I)
-        if m and m.group(1).upper() not in ("TABLES", "DATABASES", "VIEWS"):
+        if m and m.group(1).upper() not in (
+            "TABLES", "DATABASES", "VIEWS", "FUNCTIONS", "SCHEMAS",
+            "CATALOGS", "NAMESPACES", "PARTITIONS", "COLUMNS",
+            "TBLPROPERTIES", "CREATE", "USERS",
+        ):
             row = self.spark.sql(f"SET {m.group(1)}").collect()[0]
+            if row[1] == "<undefined>":
+                raise ValueError(
+                    f'unrecognized configuration parameter "{m.group(1)}"'
+                )
             return self.spark.createDataFrame(
                 [(row[1],)], f"`{m.group(1)}` string"
             )
@@ -1744,7 +1757,8 @@ class DistributedSession:
         )
 
         m = _re.match(
-            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+            r"|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"[A-Za-z_][\w.]*\s*\(",
             query,
             _re.I,
@@ -1753,17 +1767,10 @@ class DistributedSession:
             return query
         open_idx = m.end() - 1
         spans = _masked_spans(query)
-        depth, e = 0, open_idx
-        while e < len(query):
-            if not any(a <= e < b for a, b in spans):
-                if query[e] == "(":
-                    depth += 1
-                elif query[e] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            e += 1
-        if depth:
+        from citus_spark.plans.rewrites import _masked_close_paren
+
+        e = _masked_close_paren(query, open_idx + 1, spans)
+        if e < 0:
             return query
         items = _split_top_level(query[open_idx + 1 : e])
         out: list[str] = []
@@ -1894,6 +1901,21 @@ class DistributedSession:
             r"\binformation_schema\s*\.\s*columns\b", query, _re.I
         ):
             crows = []
+
+            def _col_rows(rel_name, schema, not_null):
+                import re as _re2
+
+                for i, f in enumerate(schema.fields, start=1):
+                    simple = f.dataType.simpleString()
+                    dm = _re2.match(r"decimal\((\d+),(\d+)\)", simple)
+                    crows.append((
+                        "citus", "public", rel_name, f.name, i,
+                        _pg_type_name(simple),
+                        int(dm.group(1)) if dm else None,
+                        int(dm.group(2)) if dm else None,
+                        "NO" if f.name.lower() in not_null else "YES",
+                    ))
+
             for t in ents:
                 not_null = set()
                 for spec in (t.constraints or {}).values():
@@ -1905,20 +1927,22 @@ class DistributedSession:
                     if spec.get("kind") == "c" and m:
                         not_null.add(m.group(1).lower())
                 try:
-                    schema = self._live_read(t).schema
+                    _col_rows(t.name, self._live_read(t).schema, not_null)
                 except Exception:
                     continue
-                for i, f in enumerate(schema.fields, start=1):
-                    crows.append((
-                        "citus", "public", t.name, f.name, i,
-                        _pg_type_name(f.dataType.simpleString()),
-                        "NO" if f.name.lower() in not_null else "YES",
-                    ))
+            # views are listed in information_schema.tables, so their
+            # columns must resolve here too (PG does)
+            for vn in self._views:
+                try:
+                    _col_rows(vn, self.spark.table(vn).schema, set())
+                except Exception:
+                    continue
             self.spark.createDataFrame(
-                crows or [("", "", "", "", 0, "", "")],
+                crows or [("", "", "", "", 0, "", None, None, "")],
                 "table_catalog string, table_schema string, "
                 "table_name string, column_name string, "
                 "ordinal_position int, data_type string, "
+                "numeric_precision int, numeric_scale int, "
                 "is_nullable string",
             ).filter(F.col("table_name") != "").createOrReplaceTempView(
                 "_info_schema_columns"
@@ -2732,7 +2756,10 @@ class DistributedSession:
         import re as _re
 
         if _re.search(r"\bLIKE\b", query, _re.I) and _re.match(
-            r"\s*CREATE\s+TABLE\b", query, _re.I
+            r"\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+            r"|UNLOGGED\s+)?TABLE\b",
+            query,
+            _re.I,
         ):
             query = self._expand_create_like(query)
         created = parse_create_table(query)
@@ -3764,7 +3791,11 @@ class DistributedSession:
                 self._in_partition_route = False
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        self._register_partitioned_parent(entry)
+            # in the finally: a mid-route child failure must still
+            # re-register the parent union — children written before
+            # the failure are on disk, and the suppressed per-child
+            # refresh would otherwise leave the view stale
+            self._register_partitioned_parent(entry)
 
     def _require_partitioned(self, parent: str):
         pe = self.catalog.get(parent)

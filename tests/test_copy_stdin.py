@@ -186,3 +186,32 @@ def test_api_trailing_newline_not_a_row(sess):
     sess.sql("CREATE TABLE st_t (name text)")
     n = sess.copy_from_stdin("st_t", "a\n\n", cols=["name"])
     assert n.collect()[0][0] == 2  # 'a' and one empty-string row
+
+
+def test_csv_multiline_quoted_field(sess):
+    """PG CSV accepts embedded newlines inside quoted fields (review
+    fix: line-at-a-time split had dropped this)."""
+    sess.sql("CREATE TABLE st_t (id bigint, body text)")
+    out = sess.sql(
+        "COPY st_t (id, body) FROM STDIN WITH (FORMAT csv);\n"
+        '1,"line1\nline2"\n'
+        "2,plain\n"
+        "\\.\n"
+    )
+    assert out.collect()[0][0] == 2
+    rows = dict(
+        (r[0], r[1]) for r in sess.sql("SELECT * FROM st_t").collect()
+    )
+    assert rows == {1: "line1\nline2", 2: "plain"}
+
+
+def test_head_newline_then_with_shaped_data(sess):
+    """A first data line that reads 'WITH (..)' must stay DATA when
+    the head ended at the newline (review fix)."""
+    sess.sql("CREATE TABLE st_t (body text)")
+    out = sess.sql(
+        "COPY st_t (body) FROM STDIN\nWITH (FORMAT csv)\nplain\n\\.\n"
+    )
+    assert out.collect()[0][0] == 2
+    got = sorted(r[0] for r in sess.sql("SELECT * FROM st_t").collect())
+    assert got == ["WITH (FORMAT csv)", "plain"]

@@ -378,3 +378,27 @@ def test_temp_unlogged_tables_and_session_noops(spark):
         assert s.sql(stmt).collect()
     s.sql("SET work_mem = '128MB'")
     assert s.sql("SHOW work_mem").collect()[0][0] == "'128MB'"
+
+
+def test_temp_table_like_composes(spark):
+    """CREATE TEMP TABLE (LIKE src) — the classic scratch-clone idiom
+    (review fix: the LIKE gate only matched plain CREATE TABLE)."""
+    s = DistributedSession(spark)
+    for t in ("cl_src", "cl_tmp"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE cl_src (id bigint NOT NULL, v text DEFAULT 'd')")
+    s.sql("CREATE TEMP TABLE cl_tmp (LIKE cl_src INCLUDING ALL)")
+    s.sql("INSERT INTO cl_tmp (id) VALUES (1)")
+    assert s.sql("SELECT v FROM cl_tmp").collect()[0][0] == "d"
+
+
+def test_show_spark_commands_not_hijacked(spark):
+    """SHOW FUNCTIONS/SCHEMAS must keep reaching Spark; an unset GUC
+    errors like PG instead of returning '<undefined>' (review fix)."""
+    import pytest as _pytest
+
+    s = DistributedSession(spark)
+    assert s.sql("SHOW SCHEMAS").count() >= 1
+    assert s.sql("SHOW FUNCTIONS").count() > 100
+    with _pytest.raises(ValueError, match="unrecognized configuration"):
+        s.sql("SHOW never_set_parameter")

@@ -523,3 +523,23 @@ def test_pg_row_comparison_semantics(spark):
     assert pg_row_comparison(lam) == lam
     inq = "SELECT 1 WHERE (a, b) IN ((1, 2), (3, 4))"
     assert pg_row_comparison(inq) == inq
+
+
+def test_pg_power_caret_precedence_and_chains(spark):
+    """Review fixes: unary minus binds tighter than ^ (PG/DuckDB:
+    -a ^ 2 = a²), binary minus looser; folded chains with call/paren
+    operands keep folding; untranslatable residue raises instead of
+    silently XOR-ing."""
+    from citus_spark.plans.rewrites import pg_power_caret as f
+
+    assert f("SELECT -a ^ 2") == "SELECT power(-a, 2)"
+    assert f("SELECT b - a ^ 2") == "SELECT b - power(a, 2)"
+    assert f("SELECT a ^ f(b) ^ c") == "SELECT power(power(a, f(b)), c)"
+    assert (
+        f("SELECT (1+1) ^ 2 ^ 2") == "SELECT power(power((1+1), 2), 2)"
+    )
+    assert spark.sql(f("SELECT -2 ^ 2 AS v")).collect()[0][0] == 4.0
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="power"):
+        f("SELECT CASE WHEN x THEN 1 ELSE 2 END ^ 2")
