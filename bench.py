@@ -285,6 +285,20 @@ def main() -> None:
         # has gone linear, which is the honest ceiling.
         big_dir = _build_10x_corpus(spark, sf_dir)
         if big_dir:
+            # same steady-state discipline as the headline section:
+            # one untimed full pass per table so the big corpus's
+            # page-cache faults are paid OUTSIDE the timed runs (the
+            # r8 re-measure saw q3 read 5.0 → 2.5 → 1.59 s purely on
+            # cache warmth — the trend should compare computation, not
+            # first-touch disk I/O)
+            load_views(spark, big_dir)
+            for t in ALL_TABLES:
+                try:
+                    spark.table(t).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass
             trend_up: dict[str, dict[str, float]] = {}
             for name in (
                 "tpch_q1",
@@ -309,7 +323,7 @@ def main() -> None:
                 # for the new plan — measured 24x vs 6x on sessionize
                 # cold-vs-warm, pure measurement noise
                 run_big()
-                t_big = min(run_big() for _ in range(2))
+                t_big = min(run_big() for _ in range(3))
                 trend_up[name] = {
                     "bench_sec": times[name],
                     "sf10x_sec": round(t_big, 4),
