@@ -34,6 +34,9 @@ class InsertStatement:
     conflict_keys: list[str] = field(default_factory=list)
     assignments: list[tuple[str, str]] = field(default_factory=list)
     returning: str | None = None
+    # DO UPDATE .. WHERE guard (t./s. normalized); guard-failed
+    # conflicting rows keep their OLD image (PG)
+    conflict_where: str | None = None
 
 
 _HEAD = re.compile(
@@ -68,6 +71,7 @@ def parse_insert(sql: str) -> InsertStatement | None:
     on_conflict = None
     conflict_keys: list[str] = []
     assignments: list[tuple[str, str]] = []
+    conflict_where = None
     cm = _CONFLICT.search(rest)
     if cm:
         rest = rest[: cm.start()].strip()
@@ -80,24 +84,41 @@ def parse_insert(sql: str) -> InsertStatement | None:
         else:
             on_conflict = "update"
             from citus_spark.plans.merge_sql import _split_assignments
+            from citus_spark.plans.rewrites import _masked_spans
 
+            # PG grammar puts the conflict guard AFTER the SET list;
+            # a depth-0 unmasked WHERE splits it (WHEREs inside
+            # assignment subqueries sit behind parens)
+            spans = _masked_spans(action)
+            depth = 0
+            for wm in re.finditer(r"[()]|\bWHERE\b", action, re.I):
+                if any(a <= wm.start() < b for a, b in spans):
+                    continue
+                tok = wm.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    conflict_where = action[wm.end() :].strip()
+                    action = action[: wm.start()].rstrip()
+                    break
             assignments = _split_assignments(
                 re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
             )
             # PG aliasing: EXCLUDED = the proposed source row; the
             # target table name = the existing row
-            assignments = [
-                (
-                    c,
-                    re.sub(
-                        rf"\b{re.escape(head.group('table'))}\.",
-                        "t.",
-                        re.sub(r"\bEXCLUDED\.", "s.", e, flags=re.I),
-                        flags=re.I,
-                    ),
+            def _norm(e: str) -> str:
+                return re.sub(
+                    rf"\b{re.escape(head.group('table'))}\.",
+                    "t.",
+                    re.sub(r"\bEXCLUDED\.", "s.", e, flags=re.I),
+                    flags=re.I,
                 )
-                for c, e in assignments
-            ]
+
+            assignments = [(c, _norm(e)) for c, e in assignments]
+            if conflict_where is not None:
+                conflict_where = _norm(conflict_where)
     if re.fullmatch(r"DEFAULT\s+VALUES", rest, re.I):
         # INSERT INTO t DEFAULT VALUES — one all-defaults row. The
         # session substitutes per-column defaults (and identity
@@ -122,4 +143,5 @@ def parse_insert(sql: str) -> InsertStatement | None:
         conflict_keys=conflict_keys,
         assignments=assignments,
         returning=returning,
+        conflict_where=conflict_where,
     )

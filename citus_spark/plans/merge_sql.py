@@ -86,10 +86,15 @@ class MergeStatement:
 
     @property
     def is_whole_row(self) -> bool:
+        # positional INSERT VALUES (insert_values non-empty) and
+        # INSERT DEFAULT VALUES (insert_values None) are NOT the
+        # whole-source-row fast path — their values are expressions
+        # over defaults/source, not the source row itself
         return (
             not self.assignments
             and self.matched_condition is None
             and not self.insert_cols
+            and self.insert_values == []
             and not self.is_multi
         )
 
@@ -109,7 +114,8 @@ _WHEN = re.compile(
     r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
     r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|DO\s+NOTHING|INSERT\s*\*"
-    r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
+    r"|INSERT\s+DEFAULT\s+VALUES"
+    r"|INSERT\s*(?:\([^)]*\)\s*)?VALUES\s*\(.*?\))"
     # anchor on the next WHEN [NOT] MATCHED clause, NOT a bare WHEN —
     # assignment expressions legitimately contain CASE WHEN ... THEN
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
@@ -170,15 +176,29 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
     return out
 
 
-def _normalize_aliases(text: str, talias: str | None, salias: str | None) -> str:
+def _normalize_aliases(
+    text: str,
+    talias: str | None,
+    salias: str | None,
+    tname: str | None = None,
+    sname: str | None = None,
+) -> str:
     """Rewrite user-declared aliases to the canonical t./s. prefixes —
     in ONE simultaneous case-insensitive pass, so swapped aliases
-    (target AS s, source AS t) cannot cross-wire mid-rewrite."""
+    (target AS s, source AS t) cannot cross-wire mid-rewrite. A side
+    declared WITHOUT an alias is addressable by its bare table name
+    (PG semantics — `USING src ON t.id = src.id`), so the table name
+    maps too; once aliased, PG itself forbids the bare name, so the
+    alias wins and the name is left alone."""
     mapping = {}
     if talias:
         mapping[talias.lower()] = "t"
+    elif tname:
+        mapping[tname.split(".")[-1].lower()] = "t"
     if salias:
         mapping[salias.lower()] = "s"
+    elif sname:
+        mapping[sname.split(".")[-1].lower()] = "s"
     if not mapping:
         return text
     pat = re.compile(
@@ -200,7 +220,11 @@ def parse_merge(sql: str) -> MergeStatement:
     if not on:
         raise ValueError("MERGE: missing ON clause")
     rest = _normalize_aliases(
-        on.group("rest"), head.group("talias"), on.group("salias")
+        on.group("rest"),
+        head.group("talias"),
+        on.group("salias"),
+        tname=head.group("target"),
+        sname=None if is_sub else source,
     )
     first_when = re.search(r"\bWHEN\b", rest, re.I)
     if not first_when:
@@ -238,7 +262,18 @@ def parse_merge(sql: str) -> MergeStatement:
                 "branch of the same kind precedes it"
             )
 
-    for m in _WHEN.finditer(rest[first_when.start() :]):
+    when_text = rest[first_when.start() :]
+    covered_to = 0
+    for m in _WHEN.finditer(when_text):
+        if when_text[covered_to : m.start()].strip():
+            # a WHEN clause the action grammar didn't recognize must
+            # ERROR — finditer would otherwise skip it and the branch
+            # would silently vanish from the statement
+            raise NotImplementedError(
+                "MERGE: cannot parse clause "
+                f"{when_text[covered_to:m.start()].strip()[:80]!r}"
+            )
+        covered_to = m.end()
         action = m.group("action").strip()
         action_u = re.sub(r"\s+", " ", action).upper()
         cond = m.group("cond").strip() if m.group("cond") else None
@@ -264,9 +299,15 @@ def parse_merge(sql: str) -> MergeStatement:
                 not_matched_branches.append((cond, None, []))
             elif action_u == "INSERT *":
                 not_matched_branches.append((cond, [], []))
+            elif re.fullmatch(
+                r"INSERT\s+DEFAULT\s+VALUES", action_u, re.I
+            ):
+                # every column takes its declared default (NULL when
+                # none) — encoded as ([], None) for the executor
+                not_matched_branches.append((cond, [], None))
             elif action_u.startswith("INSERT"):
                 im = re.match(
-                    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                    r"INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$",
                     action, re.I | re.S,
                 )
                 if not im:
@@ -274,15 +315,19 @@ def parse_merge(sql: str) -> MergeStatement:
                         f"MERGE: cannot parse NOT MATCHED action {action!r}"
                     )
                 cols = [
-                    c.strip() for c in im.group(1).split(",") if c.strip()
+                    c.strip()
+                    for c in (im.group(1) or "").split(",")
+                    if c.strip()
                 ]
                 from citus_spark.plans.rewrites import _split_top_level
 
                 values = _split_top_level(im.group(2))
-                if len(cols) != len(values):
+                if cols and len(cols) != len(values):
                     raise ValueError(
                         "MERGE: INSERT column/value count mismatch"
                     )
+                # no column list (PG): values map to the target's
+                # leading columns in declared order — ([], values)
                 not_matched_branches.append((cond, cols, values))
             else:
                 raise NotImplementedError(
@@ -308,6 +353,11 @@ def parse_merge(sql: str) -> MergeStatement:
         "delete",
     ):
         matched_condition, when_matched, assignments = matched_branches[0]
+    trailing = when_text[covered_to:].strip().rstrip(";").strip()
+    if trailing:
+        raise NotImplementedError(
+            f"MERGE: cannot parse trailing clause {trailing[:80]!r}"
+        )
     insert_unmatched = False
     insert_cols: list[str] = []
     insert_values: list[str] = []

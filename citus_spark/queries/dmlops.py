@@ -1361,3 +1361,102 @@ SELECT prio, CAST(count(*) AS BIGINT) AS n,
 FROM state GROUP BY prio ORDER BY prio
 """,
 )
+
+
+# --- MERGE with bare table names + positional INSERT VALUES ------------------
+# PG addresses unaliased MERGE sides by table name, and a list-less
+# INSERT VALUES maps to the target's declared column order — the
+# review pass found the list-less form was silently DROPPED by the
+# WHEN grammar (rows vanished); this entry pins both spellings.
+def merge_insert_positional(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __mp_t")
+    s.sql("CREATE TABLE __mp_t (okey bigint, total double precision)")
+    s.sql(
+        "INSERT INTO __mp_t SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
+    s.sql("DROP VIEW IF EXISTS __mp_src")
+    s.sql(
+        "CREATE VIEW __mp_src AS SELECT o_orderkey AS okey, "
+        "o_totalprice FROM orders WHERE o_orderkey < 4000"
+    )
+    s.sql(
+        "MERGE INTO __mp_t USING __mp_src "
+        "ON __mp_t.okey = __mp_src.okey "
+        "WHEN MATCHED THEN UPDATE SET total = __mp_src.o_totalprice + 1 "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(__mp_src.okey, __mp_src.o_totalprice * 2)"
+    )
+    return s.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM __mp_t
+"""
+    )
+
+
+register_split(
+    "merge_insert_positional",
+    merge_insert_positional,
+    """
+WITH state AS (
+  SELECT CASE WHEN o_orderkey < 2000 THEN o_totalprice + 1
+              ELSE o_totalprice * 2 END AS total
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM state
+""",
+)
+
+
+# --- Conditional upsert: ON CONFLICT .. DO UPDATE .. WHERE -------------------
+# The PG idiom for monotone upserts (update only when the incoming
+# row wins); guard-failed conflicts keep their OLD image. Mapped to a
+# guarded matched branch in the shared merge executor —
+# first-true-wins with no fallback IS the PG semantics.
+def upsert_guarded_where(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __ug_t")
+    s.sql("CREATE TABLE __ug_t (okey bigint, total double precision)")
+    s.sql(
+        "INSERT INTO __ug_t SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 3000"
+    )
+    # re-insert a wider slice at double price; the guard updates only
+    # even keys — odd conflicting keys keep their OLD image (×2 keeps
+    # doubles exact; an integer-parity guard keeps the split
+    # deterministic in any engine)
+    s.sql(
+        "INSERT INTO __ug_t SELECT o_orderkey, o_totalprice * 2 "
+        "FROM orders WHERE o_orderkey < 5000 "
+        "ON CONFLICT (okey) DO UPDATE SET total = excluded.total "
+        "WHERE __ug_t.okey % 2 = 0"
+    )
+    return s.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM __ug_t
+"""
+    )
+
+
+register_split(
+    "upsert_guarded_where",
+    upsert_guarded_where,
+    """
+WITH state AS (
+  SELECT CASE WHEN o_orderkey >= 3000 OR o_orderkey % 2 = 0
+              THEN o_totalprice * 2
+              ELSE o_totalprice END AS total
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM state
+""",
+)

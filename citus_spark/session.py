@@ -3522,6 +3522,10 @@ class DistributedSession:
                     "ignore" if stmt.on_conflict == "nothing" else "update"
                 ),
                 assignments=stmt.assignments,
+                # DO UPDATE .. WHERE: guard-failed conflicting rows
+                # keep their OLD image — exactly a guarded matched
+                # branch with no fallback (first-true-wins, PG)
+                matched_condition=stmt.conflict_where,
                 insert_unmatched=True,
             )
             # generated columns recompute BEFORE RETURNING staging and
@@ -3533,13 +3537,31 @@ class DistributedSession:
                 # row (inserted or updated); DO NOTHING returns only
                 # rows actually inserted (keys not already present)
                 keys = stmt.conflict_keys
-                touched = (
-                    aligned.select(*keys).distinct()
-                    if stmt.on_conflict == "update"
-                    else aligned.join(cur, keys, "left_anti")
-                    .select(*keys)
-                    .distinct()
-                )
+                if stmt.on_conflict == "update":
+                    touched = aligned.select(*keys).distinct()
+                    if stmt.conflict_where:
+                        # guard-failed conflicting rows are NOT
+                        # returned (PG: only inserted/updated rows) —
+                        # keep inserted keys + guard-passing matches
+                        inserted = (
+                            aligned.join(cur, keys, "left_anti")
+                            .select(*keys)
+                            .distinct()
+                        )
+                        updated = (
+                            cur.alias("t")
+                            .join(aligned.alias("s"), keys, "inner")
+                            .filter(F.expr(stmt.conflict_where))
+                            .select(*[f"s.{k}" for k in keys])
+                            .distinct()
+                        )
+                        touched = inserted.unionByName(updated).distinct()
+                else:
+                    touched = (
+                        aligned.join(cur, keys, "left_anti")
+                        .select(*keys)
+                        .distinct()
+                    )
                 returned = self._stage_returning(
                     merged.join(touched, keys, "semi"), stmt.returning
                 )

@@ -258,15 +258,22 @@ def merge_apply_multi(
         if unknown:
             raise ValueError(f"MERGE: unknown column(s) {sorted(unknown)}")
     for _cond, cols, vals in not_matched_branches:
-        if cols is None:
+        if cols is None or vals is None:
+            # DO NOTHING / INSERT DEFAULT VALUES
             continue
         unknown = set(cols) - set(t_cols)
         if unknown:
             raise ValueError(
                 f"MERGE: INSERT into unknown column(s) {sorted(unknown)}"
             )
-        if len(cols) != len(vals):
+        if cols and len(cols) != len(vals):
             raise ValueError("MERGE: INSERT column/value count mismatch")
+        if not cols and len(vals) > len(t_cols):
+            # bare INSERT VALUES: positional over the target's
+            # declared column order (PG); surplus errors like PG
+            raise ValueError(
+                "MERGE: INSERT has more expressions than target columns"
+            )
 
     import re as _re
 
@@ -425,8 +432,12 @@ def merge_apply_multi(
             for i, (_cond, cols, vals) in enumerate(not_matched_branches):
                 if cols is None:  # DO NOTHING branch inserts nothing
                     continue
-                if cols:
-                    vmap = dict(zip(cols, vals))
+                if cols or (vals is not None and vals):
+                    # explicit column list, or bare INSERT VALUES —
+                    # PG maps a list-less VALUES to the target's
+                    # leading columns in declared order
+                    use_cols = cols or t_cols[: len(vals)]
+                    vmap = dict(zip(use_cols, vals))
                     if c in vmap:
                         # explicit value — the DEFAULT keyword resolves
                         # to the declared default inside _value_expr
@@ -435,6 +446,15 @@ def merge_apply_multi(
                         # unlisted columns take their DEFAULT (PG) —
                         # the caller passes the table's declared
                         # column defaults
+                        val = F.expr(dflts[c]).cast(
+                            target.schema[c].dataType
+                        )
+                    else:
+                        val = F.lit(None).cast(target.schema[c].dataType)
+                elif vals is None:
+                    # INSERT DEFAULT VALUES — every column takes its
+                    # declared default, NULL when none (PG)
+                    if c in dflts:
                         val = F.expr(dflts[c]).cast(
                             target.schema[c].dataType
                         )

@@ -106,3 +106,33 @@ def test_on_conflict_duplicate_proposed_rows_rejected(sess, spark):
             "INSERT INTO rollup_t VALUES (1, 1.0, 1), (1, 2.0, 2) "
             "ON CONFLICT (k) DO UPDATE SET total = EXCLUDED.total"
         )
+
+
+def test_on_conflict_do_update_where_guard(spark):
+    """PG conditional upsert: DO UPDATE .. WHERE updates only guard-
+    passing conflicting rows; the rest keep their OLD image and are
+    excluded from RETURNING."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ocw_t")
+    s.sql("CREATE TABLE ocw_t (id bigint, v bigint)")
+    s.sql("INSERT INTO ocw_t VALUES (1, 10), (2, 200)")
+    r = s.sql(
+        "INSERT INTO ocw_t VALUES (1, 5), (2, 5), (3, 5) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v "
+        "WHERE ocw_t.v < 100 RETURNING id, v"
+    ).collect()
+    assert sorted(tuple(x) for x in r) == [(1, 5), (3, 5)]
+    got = sorted(
+        tuple(x) for x in s.sql("SELECT * FROM ocw_t").collect()
+    )
+    assert got == [(1, 5), (2, 200), (3, 5)]
+    # a WHERE inside an assignment subquery is NOT the guard
+    s.sql(
+        "INSERT INTO ocw_t VALUES (2, 7) ON CONFLICT (id) DO UPDATE "
+        "SET v = (SELECT max(v) FROM ocw_t WHERE id <> 2)"
+    )
+    assert (
+        s.sql("SELECT v FROM ocw_t WHERE id = 2").collect()[0][0] == 5
+    )

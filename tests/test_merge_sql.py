@@ -463,3 +463,62 @@ def test_merge_duplicate_source_keys_rejected(sess, spark):
               o_totalprice = s.x
             """
         )
+
+
+def test_merge_bare_table_names_and_positional_insert(spark):
+    """PG: unaliased sides are addressable by table name, and INSERT
+    VALUES without a column list maps positionally (review: the WHEN
+    regex silently DROPPED the list-less form — rows vanished)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("mb_t", "mb_s"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE mb_t (id bigint, v bigint)")
+    s.sql("CREATE TABLE mb_s (id bigint, v bigint)")
+    s.sql("INSERT INTO mb_t VALUES (1, 10), (2, 20)")
+    s.sql("INSERT INTO mb_s VALUES (2, 99), (3, 30)")
+    s.sql(
+        "MERGE INTO mb_t USING mb_s ON mb_t.id = mb_s.id "
+        "WHEN MATCHED THEN UPDATE SET v = mb_s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (mb_s.id, mb_s.v)"
+    )
+    got = sorted(tuple(r) for r in s.sql("SELECT * FROM mb_t").collect())
+    assert got == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_merge_unparseable_when_clause_errors(spark):
+    """An unrecognized WHEN action must raise, never silently vanish
+    from the statement (review fix)."""
+    import pytest as _pytest
+
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("mu_t", "mu_s"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE mu_t (id bigint)")
+    s.sql("CREATE TABLE mu_s (id bigint)")
+    with _pytest.raises(Exception, match="cannot parse"):
+        s.sql(
+            "MERGE INTO mu_t USING mu_s ON mu_t.id = mu_s.id "
+            "WHEN MATCHED THEN FROBNICATE"
+        )
+
+
+def test_merge_insert_default_values(spark):
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("md_t", "md_s"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE md_t (id bigint DEFAULT 0, tag text DEFAULT 'x')")
+    s.sql("CREATE TABLE md_s (id bigint)")
+    s.sql("INSERT INTO md_s VALUES (9)")
+    s.sql(
+        "MERGE INTO md_t USING md_s ON md_t.id = md_s.id "
+        "WHEN NOT MATCHED THEN INSERT DEFAULT VALUES"
+    )
+    assert [tuple(r) for r in s.sql("SELECT * FROM md_t").collect()] == [
+        (0, "x")
+    ]
