@@ -24,6 +24,7 @@ import re
 
 from citus_spark.plans.rewrites import (
     _code_iter,
+    _find_call_span,
     _in_from_clause,
     _map_code,
     _masked_spans,
@@ -654,3 +655,59 @@ def pg_array_to_string(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# PG array-function spellings with generic element types — SQL UDFs
+# can't be generic, so these translate textually:
+#   array_cat(a, b)        → concat(a, b)   (Spark concat is array-aware)
+#   array_upper(a, 1)      → size(a)        (PG arrays are 1-based)
+#   array_lower(a, 1)      → 1
+#   array_fill(v, array(n)) → array_repeat(v, n)
+# Higher dimensions reject loudly (the engine's arrays are 1-D, like
+# the reference's distributed use of them).
+def pg_array_compat(sql: str) -> str:
+    sql = _map_code(
+        sql,
+        lambda c: re.sub(r"\barray_cat\s*\(", "concat(", c, flags=re.I),
+    )
+    for fn in ("array_upper", "array_lower"):
+        pat = re.compile(rf"\b{fn}\s*\(", re.I)
+        while True:
+            found = _find_call_span(sql, pat, 0)
+            if found is None:
+                break
+            _t, open_idx, close_idx = found
+            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            if len(args) != 2 or args[1].strip() != "1":
+                raise NotImplementedError(
+                    f"{fn}: only dimension 1 is supported "
+                    "(engine arrays are one-dimensional)"
+                )
+            start = _t.start()
+            repl = (
+                f"size({args[0].strip()})" if fn == "array_upper" else "1"
+            )
+            sql = sql[:start] + repl + sql[close_idx + 1 :]
+    pat = re.compile(r"\barray_fill\s*\(", re.I)
+    while True:
+        found = _find_call_span(sql, pat, 0)
+        if found is None:
+            break
+        _t, open_idx, close_idx = found
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        dim = re.fullmatch(
+            r"\s*array\s*\(\s*([^(),]+?)\s*\)\s*",
+            args[1] if len(args) == 2 else "",
+            re.I,
+        )
+        if dim is None:
+            raise NotImplementedError(
+                "array_fill: only the 1-D form "
+                "array_fill(value, ARRAY[n]) is supported"
+            )
+        sql = (
+            f"{sql[:_t.start()]}array_repeat({args[0].strip()}, "
+            f"{dim.group(1)}){sql[close_idx + 1 :]}"
+        )
+    return sql

@@ -4861,3 +4861,46 @@ SELECT
 FROM lineitem
 """,
 )
+
+
+# PG scalar-spelling shims (strpos/to_hex/quote_literal/starts_with/
+# array_upper & co — session-registered SQL UDFs + textual array
+# rewrites, all JVM codegen). The oracle spells DuckDB's equivalents
+# (lower() around its uppercase to_hex; concat/replace for
+# quote_literal, which DuckDB lacks).
+_PG_SHIMS_SQL = """
+SELECT p_partkey,
+       strpos(p_type, 'A') AS sp,
+       to_hex(p_partkey) AS hx,
+       starts_with(p_type, 'PROMO') AS sw,
+       quote_literal(p_type) AS ql,
+       array_upper(string_to_array(p_type, ' '), 1) AS au,
+       array_fill(CAST(p_size AS INT), ARRAY[2])[1] AS af
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
+def pg_scalar_shims(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.pg_compat = True  # [1] subscript is the PG spelling
+    return sess.sql(_PG_SHIMS_SQL)
+
+
+register_split(
+    "pg_scalar_shims",
+    pg_scalar_shims,
+    """
+SELECT p_partkey,
+       strpos(p_type, 'A') AS sp,
+       lower(to_hex(p_partkey)) AS hx,
+       starts_with(p_type, 'PROMO') AS sw,
+       concat('''', replace(p_type, '''', ''''''), '''') AS ql,
+       CAST(len(string_split(p_type, ' ')) AS INT) AS au,
+       CAST(p_size AS INT) AS af
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+)

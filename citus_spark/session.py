@@ -5083,6 +5083,47 @@ class DistributedSession:
             from citus_spark.plans.pgfmt_sql import pg_row_constructor
 
             query = pg_row_constructor(query)
+        if _re.search(
+            r"\barray_(cat|upper|lower|fill)\s*\(", query, _re.I
+        ):
+            from citus_spark.plans.pgfmt_sql import pg_array_compat
+
+            query = pg_array_compat(query)
+        if _re.search(
+            r"\b(strpos|to_hex|quote_literal|quote_ident|starts_with"
+            r"|gen_random_uuid|clock_timestamp)\s*\(",
+            query,
+            _re.I,
+        ):
+            # PG scalar spellings with direct Spark equivalents —
+            # registered once per session as SQL UDFs (JVM codegen,
+            # never Python). quote_ident always quotes, which is
+            # VALID PG quoting (PG itself omits quotes when safe — a
+            # cosmetic difference, not a semantic one).
+            if not getattr(self, "_pg_scalar_shims", False):
+                for ddl in (
+                    "CREATE OR REPLACE TEMPORARY FUNCTION strpos"
+                    "(s STRING, sub STRING) RETURNS INT "
+                    "RETURN instr(s, sub)",
+                    "CREATE OR REPLACE TEMPORARY FUNCTION to_hex"
+                    "(n BIGINT) RETURNS STRING RETURN lower(hex(n))",
+                    "CREATE OR REPLACE TEMPORARY FUNCTION quote_literal"
+                    "(s STRING) RETURNS STRING RETURN "
+                    "concat('''', replace(s, '''', ''''''), '''')",
+                    "CREATE OR REPLACE TEMPORARY FUNCTION quote_ident"
+                    "(s STRING) RETURNS STRING RETURN "
+                    'concat(\'"\', replace(s, \'"\', \'""\'), \'"\')',
+                    "CREATE OR REPLACE TEMPORARY FUNCTION starts_with"
+                    "(s STRING, p STRING) RETURNS BOOLEAN "
+                    "RETURN substring(s, 1, length(p)) = p",
+                    "CREATE OR REPLACE TEMPORARY FUNCTION "
+                    "gen_random_uuid() RETURNS STRING RETURN uuid()",
+                    "CREATE OR REPLACE TEMPORARY FUNCTION "
+                    "clock_timestamp() RETURNS TIMESTAMP "
+                    "RETURN current_timestamp()",
+                ):
+                    self.spark.sql(ddl)
+                self._pg_scalar_shims = True
         if _re.search(r"\bpg_size_pretty\s*\(", query, _re.I):
             # PG dbsize.c algorithm verbatim (shift-9 then shift-10
             # steps, limit2 = 20479, half-rounding) as a Spark SQL

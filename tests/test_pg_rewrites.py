@@ -543,3 +543,19 @@ def test_pg_power_caret_precedence_and_chains(spark):
 
     with _pytest.raises(NotImplementedError, match="power"):
         f("SELECT CASE WHEN x THEN 1 ELSE 2 END ^ 2")
+
+
+def test_pg_array_compat_shapes():
+    from citus_spark.plans.pgfmt_sql import pg_array_compat
+
+    assert pg_array_compat("SELECT array_cat(a, b)") == "SELECT concat(a, b)"
+    assert pg_array_compat("SELECT array_upper(xs, 1)") == "SELECT size(xs)"
+    assert pg_array_compat("SELECT array_lower(xs, 1)") == "SELECT 1"
+    assert (
+        pg_array_compat("SELECT array_fill(0, array(5))")
+        == "SELECT array_repeat(0, 5)"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="dimension 1"):
+        pg_array_compat("SELECT array_upper(xs, 2)")
