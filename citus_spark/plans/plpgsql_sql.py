@@ -190,6 +190,70 @@ def _translate_stmts(text: str, env: dict[str, str]) -> str:
     )
 
 
+_FOR_LOOP = re.compile(
+    r"^FOR\s+(?P<v>[A-Za-z_]\w*)\s+IN\s+(?P<q>(?:SELECT|WITH)\b.+?)"
+    r"\s+LOOP\s+(?P<body>.+?)\s*END\s+LOOP\s*;?\s*(?:RETURN\s*;?)?\s*$",
+    re.I | re.S,
+)
+_LOOP_RETURN_NEXT = re.compile(
+    r"^RETURN\s+NEXT\s+(?P<e>.+?)\s*;\s*$", re.I | re.S
+)
+_LOOP_IF_RETURN_NEXT = re.compile(
+    r"^IF\s+(?P<c>.+?)\s+THEN\s+RETURN\s+NEXT\s+(?P<e>.+?)\s*;\s*"
+    r"END\s+IF\s*;\s*$",
+    re.I | re.S,
+)
+
+
+def _translate_for_loop(fm: re.Match, env: dict[str, str]) -> str:
+    """FOR r IN <query> LOOP [IF c THEN] RETURN NEXT e; [END IF;]
+    END LOOP — the per-row streaming idiom of tutorial set-returning
+    functions. Relational translation: the loop IS a SELECT over the
+    query (projection = the RETURN NEXT expression with `r.` stripped,
+    filter = the IF guard), which is both the PG semantics — FOR
+    iterates the query in order, RETURN NEXT appends — and a plan
+    Spark distributes instead of interpreting row-at-a-time."""
+    var = fm.group("v")
+    body = fm.group("body").strip()
+    cond = None
+    bm = _LOOP_RETURN_NEXT.match(body)
+    if bm is None:
+        bm = _LOOP_IF_RETURN_NEXT.match(body)
+        if bm is None:
+            raise NotImplementedError(
+                "plpgsql: FOR loop bodies support `RETURN NEXT expr;` "
+                "optionally guarded by one IF .. THEN .. END IF; "
+                f"(got {body.splitlines()[0].strip()!r})"
+            )
+        cond = bm.group("c")
+    _check_volatile(fm.group("q"), "FOR query")
+    _check_volatile(bm.group("e"), "RETURN NEXT")
+
+    def strip_var(text: str) -> str:
+        # r.col → col; a bare `r` (whole-record RETURN NEXT) → *
+        text = re.sub(rf"\b{re.escape(var)}\s*\.\s*", "", text, flags=re.I)
+        if re.fullmatch(rf"\s*{re.escape(var)}\s*", text, re.I):
+            return "*"
+        return text
+
+    proj = strip_var(_subst(bm.group("e"), env))
+    # RETURN NEXT (a, b) — a PG row constructor — is a COLUMN LIST
+    # for a RETURNS TABLE function, not one struct column
+    pm = re.fullmatch(r"\s*\((.+)\)\s*", proj, re.S)
+    if pm is not None:
+        from citus_spark.plans.rewrites import _split_top_level
+
+        items = _split_top_level(pm.group(1))
+        if len(items) > 1:
+            proj = ", ".join(i.strip() for i in items)
+    out = (
+        f"SELECT {proj} FROM ({_subst(fm.group('q'), env)}) __for_row"
+    )
+    if cond is not None:
+        out += f" WHERE {strip_var(_subst(cond, env))}"
+    return out
+
+
 def plpgsql_body_to_sql(body: str) -> str:
     """plpgsql function body → a single-statement SQL body
     (`SELECT <expr>` or the RETURN QUERY query) that
@@ -224,6 +288,10 @@ def plpgsql_body_to_sql(body: str) -> str:
                 raise NotImplementedError(
                     f"plpgsql: cannot parse declaration {item!r}"
                 )
+            if dm.group("t").strip().lower() in ("record", "%rowtype"):
+                # loop-variable declaration — bound by FOR, carries no
+                # substitutable expression
+                continue
             t = _map_type(dm.group("t").strip())
             if dm.group("e") is not None:
                 _check_volatile(dm.group("e"), "declaration")
@@ -233,6 +301,9 @@ def plpgsql_body_to_sql(body: str) -> str:
             else:
                 env[dm.group("v").lower()] = f"CAST(NULL AS {t})"
     main = m.group("main").strip()
+    fm = _FOR_LOOP.match(main)
+    if fm is not None:
+        return _translate_for_loop(fm, env)
     qm = _STMT_RETURN_QUERY.match(main)
     if qm is not None:
         if qm.group("rest").strip():

@@ -4904,3 +4904,52 @@ FROM part WHERE p_partkey <= 200
 ORDER BY p_partkey
 """,
 )
+
+
+# plpgsql FOR-IN-SELECT / RETURN NEXT set-returning function — the
+# per-row streaming idiom of tutorial SRFs. The translator
+# (plans/plpgsql_sql.py _translate_for_loop) maps the loop to ONE
+# relational SELECT (projection = the RETURN NEXT row, filter = the
+# IF guard), so the function distributes instead of interpreting
+# row-at-a-time; the oracle states the equivalent SELECT directly.
+def plpgsql_for_loop_srf(spark, sf_dir):
+    from citus_spark.session import register_views
+
+    sess = register_views(spark, sf_dir)
+    sess.sql(
+        """
+CREATE OR REPLACE FUNCTION __priced_orders(lim double precision)
+RETURNS TABLE(okey bigint, total double precision) AS $$
+DECLARE r RECORD;
+BEGIN
+  FOR r IN SELECT o_orderkey, o_totalprice FROM orders LOOP
+    IF r.o_totalprice > lim THEN
+      RETURN NEXT (r.o_orderkey, r.o_totalprice);
+    END IF;
+  END LOOP;
+  RETURN;
+END
+$$ LANGUAGE plpgsql
+"""
+    )
+    return sess.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(okey) AS BIGINT) AS first_key,
+       CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_sum
+FROM __priced_orders(200000.0)
+"""
+    )
+
+
+register_split(
+    "plpgsql_for_loop_srf",
+    plpgsql_for_loop_srf,
+    """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_sum
+FROM orders WHERE o_totalprice > 200000.0
+""",
+)

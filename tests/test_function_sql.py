@@ -310,3 +310,35 @@ def test_plpgsql_rejects_beyond_subset(spark):
             "CREATE FUNCTION f() RETURNS int AS $$ return 1 $$ "
             "LANGUAGE plpython3u;"
         )
+
+
+def test_plpgsql_for_loop_translations():
+    """FOR r IN SELECT .. LOOP RETURN NEXT .. maps to one relational
+    SELECT; guards become WHERE; row constructors unpack to columns;
+    unsupported loop bodies reject loudly."""
+    import pytest as _pytest
+
+    from citus_spark.plans.plpgsql_sql import plpgsql_body_to_sql as f
+
+    assert f(
+        "BEGIN FOR r IN SELECT x, y FROM t LOOP "
+        "RETURN NEXT r.x * 2; END LOOP; RETURN; END"
+    ) == "SELECT x * 2 FROM (SELECT x, y FROM t) __for_row"
+    assert f(
+        "DECLARE r RECORD; BEGIN FOR r IN SELECT x FROM t LOOP "
+        "IF r.x > 3 THEN RETURN NEXT r.x; END IF; END LOOP; END"
+    ) == "SELECT x FROM (SELECT x FROM t) __for_row WHERE x > 3"
+    assert f(
+        "BEGIN FOR r IN SELECT x FROM t LOOP "
+        "RETURN NEXT (r.x, r.x + 1); END LOOP; END"
+    ) == "SELECT x, x + 1 FROM (SELECT x FROM t) __for_row"
+    with _pytest.raises(NotImplementedError, match="FOR loop"):
+        f(
+            "BEGIN FOR r IN SELECT x FROM t LOOP "
+            "UPDATE t SET x = 1; END LOOP; END"
+        )
+    with _pytest.raises(NotImplementedError, match="volatile"):
+        f(
+            "BEGIN FOR r IN SELECT nextval('s') AS x FROM t LOOP "
+            "RETURN NEXT r.x; END LOOP; END"
+        )
