@@ -55,6 +55,42 @@ def is_insert(sql: str) -> bool:
     return bool(_HEAD.match(sql))
 
 
+# SQL keywords/literals a bare identifier in a conflict guard can be —
+# everything else must be a TARGET column (PG scoping: only the target
+# row and EXCLUDED are visible in DO UPDATE .. WHERE), so it qualifies
+# as t.<name>; the merge executor's joined frame carries both sides
+# and an unqualified shared column would otherwise be ambiguous.
+_GUARD_KEYWORDS = frozenset({
+    "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS", "IN", "BETWEEN",
+    "LIKE", "ILIKE", "SIMILAR", "TO", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "EXISTS", "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER",
+    "LIMIT", "DISTINCT", "AS", "ON", "JOIN", "INTERVAL", "CAST", "ANY",
+    "ALL", "SOME", "ESCAPE", "T", "S",
+})
+
+
+def _qualify_guard(text: str) -> str:
+    """Qualify bare identifiers in a DO UPDATE guard with t. — PG
+    resolves them to the existing target row."""
+    from citus_spark.plans.rewrites import _masked_spans
+
+    spans = _masked_spans(text)
+
+    def repl(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        word = m.group(0)
+        if word.upper() in _GUARD_KEYWORDS:
+            return word
+        return f"t.{word}"
+
+    # an identifier not preceded by a dot and not followed by '(' or
+    # '.' (function calls and already-qualified refs stay)
+    return re.sub(
+        r"(?<![\w.$])([A-Za-z_]\w*)(?!\s*[(.])", repl, text
+    )
+
+
 def parse_insert(sql: str) -> InsertStatement | None:
     head = _HEAD.match(sql)
     if not head:
@@ -118,7 +154,7 @@ def parse_insert(sql: str) -> InsertStatement | None:
 
             assignments = [(c, _norm(e)) for c, e in assignments]
             if conflict_where is not None:
-                conflict_where = _norm(conflict_where)
+                conflict_where = _qualify_guard(_norm(conflict_where))
     if re.fullmatch(r"DEFAULT\s+VALUES", rest, re.I):
         # INSERT INTO t DEFAULT VALUES — one all-defaults row. The
         # session substitutes per-column defaults (and identity

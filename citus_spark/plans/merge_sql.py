@@ -201,11 +201,22 @@ def _normalize_aliases(
         mapping[sname.split(".")[-1].lower()] = "s"
     if not mapping:
         return text
+    from citus_spark.plans.rewrites import _masked_spans
+
+    spans = _masked_spans(text)
     pat = re.compile(
         r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\.",
         re.IGNORECASE,
     )
-    return pat.sub(lambda m: mapping[m.group(1).lower()] + ".", text)
+
+    def repl(m: re.Match) -> str:
+        # never rewrite inside string literals — 'from logs.err' is
+        # DATA even when logs is the target table
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return mapping[m.group(1).lower()] + "."
+
+    return pat.sub(repl, text)
 
 
 def parse_merge(sql: str) -> MergeStatement:
@@ -321,7 +332,14 @@ def parse_merge(sql: str) -> MergeStatement:
                 ]
                 from citus_spark.plans.rewrites import _split_top_level
 
-                values = _split_top_level(im.group(2))
+                values = [
+                    v for v in _split_top_level(im.group(2)) if v.strip()
+                ]
+                if not values:
+                    raise ValueError(
+                        "MERGE: INSERT VALUES () is empty "
+                        "(PG syntax error)"
+                    )
                 if cols and len(cols) != len(values):
                     raise ValueError(
                         "MERGE: INSERT column/value count mismatch"

@@ -673,8 +673,9 @@ def pg_array_compat(sql: str) -> str:
     )
     for fn in ("array_upper", "array_lower"):
         pat = re.compile(rf"\b{fn}\s*\(", re.I)
+        cursor = 0  # advance past each replacement — no O(n·k) rescan
         while True:
-            found = _find_call_span(sql, pat, 0)
+            found = _find_call_span(sql, pat, cursor)
             if found is None:
                 break
             _t, open_idx, close_idx = found
@@ -684,14 +685,15 @@ def pg_array_compat(sql: str) -> str:
                     f"{fn}: only dimension 1 is supported "
                     "(engine arrays are one-dimensional)"
                 )
-            start = _t.start()
             repl = (
                 f"size({args[0].strip()})" if fn == "array_upper" else "1"
             )
-            sql = sql[:start] + repl + sql[close_idx + 1 :]
+            sql = sql[: _t.start()] + repl + sql[close_idx + 1 :]
+            cursor = _t.start() + len(repl)
     pat = re.compile(r"\barray_fill\s*\(", re.I)
+    cursor = 0
     while True:
-        found = _find_call_span(sql, pat, 0)
+        found = _find_call_span(sql, pat, cursor)
         if found is None:
             break
         _t, open_idx, close_idx = found
@@ -706,8 +708,7 @@ def pg_array_compat(sql: str) -> str:
                 "array_fill: only the 1-D form "
                 "array_fill(value, ARRAY[n]) is supported"
             )
-        sql = (
-            f"{sql[:_t.start()]}array_repeat({args[0].strip()}, "
-            f"{dim.group(1)}){sql[close_idx + 1 :]}"
-        )
+        repl = f"array_repeat({args[0].strip()}, {dim.group(1)})"
+        sql = sql[: _t.start()] + repl + sql[close_idx + 1 :]
+        cursor = _t.start() + len(repl)
     return sql

@@ -230,8 +230,20 @@ def _translate_for_loop(fm: re.Match, env: dict[str, str]) -> str:
     _check_volatile(bm.group("e"), "RETURN NEXT")
 
     def strip_var(text: str) -> str:
-        # r.col → col; a bare `r` (whole-record RETURN NEXT) → *
-        text = re.sub(rf"\b{re.escape(var)}\s*\.\s*", "", text, flags=re.I)
+        # r.col → col; a bare `r` (whole-record RETURN NEXT) → *.
+        # Masked spans: a literal containing 'r.' is data, not a
+        # loop-variable reference
+        spans = _mask_spans(text)
+        text = re.sub(
+            rf"\b{re.escape(var)}\s*\.\s*",
+            lambda m: (
+                m.group(0)
+                if any(a <= m.start() < b for a, b in spans)
+                else ""
+            ),
+            text,
+            flags=re.I,
+        )
         if re.fullmatch(rf"\s*{re.escape(var)}\s*", text, re.I):
             return "*"
         return text

@@ -5105,8 +5105,14 @@ class DistributedSession:
                     "CREATE OR REPLACE TEMPORARY FUNCTION strpos"
                     "(s STRING, sub STRING) RETURNS INT "
                     "RETURN instr(s, sub)",
+                    # PG picks the int4 overload for int-range args:
+                    # to_hex(-1) = 'ffffffff' (32-bit two's
+                    # complement); int8-range negatives print 16
+                    # digits like PG's int8 overload
                     "CREATE OR REPLACE TEMPORARY FUNCTION to_hex"
-                    "(n BIGINT) RETURNS STRING RETURN lower(hex(n))",
+                    "(n BIGINT) RETURNS STRING RETURN lower(hex("
+                    "CASE WHEN n < 0 AND n >= -2147483648 "
+                    "THEN n & 4294967295 ELSE n END))",
                     "CREATE OR REPLACE TEMPORARY FUNCTION quote_literal"
                     "(s STRING) RETURNS STRING RETURN "
                     "concat('''', replace(s, '''', ''''''), '''')",
@@ -5115,9 +5121,14 @@ class DistributedSession:
                     'concat(\'"\', replace(s, \'"\', \'""\'), \'"\')',
                     "CREATE OR REPLACE TEMPORARY FUNCTION starts_with"
                     "(s STRING, p STRING) RETURNS BOOLEAN "
-                    "RETURN substring(s, 1, length(p)) = p",
+                    "RETURN startswith(s, p)",
                     "CREATE OR REPLACE TEMPORARY FUNCTION "
                     "gen_random_uuid() RETURNS STRING RETURN uuid()",
+                    # statement-constant — equivalent to PG's
+                    # statement_timestamp(), NOT its per-call
+                    # volatility (Spark SQL has no volatile wall
+                    # clock; the elapsed-time-within-one-statement
+                    # idiom reads 0 here)
                     "CREATE OR REPLACE TEMPORARY FUNCTION "
                     "clock_timestamp() RETURNS TIMESTAMP "
                     "RETURN current_timestamp()",
@@ -5270,6 +5281,7 @@ END
                 by_source_branches=stmt.by_source_branches,
                 with_actions=True,
                 column_defaults=entry.defaults,
+                generated_columns=set(entry.generated or {}),
             )
             # RETURNING ships the recomputed image, not stale generated
             # values (the action tag is not a generated column, so the
@@ -5301,6 +5313,7 @@ END
                 not_matched_branches=stmt.not_matched_branches,
                 by_source_branches=stmt.by_source_branches,
                 column_defaults=entry.defaults,
+                generated_columns=set(entry.generated or {}),
             )
             merged = self._recompute_generated(entry, merged)
             if entry.constraints:

@@ -200,6 +200,7 @@ def merge_apply_multi(
     by_source_branches: list[tuple[str | None, str, list[tuple[str, str]]]] = (),
     with_actions: bool = False,
     column_defaults: dict[str, str] | None = None,
+    generated_columns: set[str] | frozenset[str] | None = None,
 ) -> DataFrame:
     """Full PG MERGE branch semantics (↔ reference merge_planner.c —
     Citus inherits PostgreSQL's complete WHEN grammar):
@@ -237,6 +238,11 @@ def merge_apply_multi(
     not_matched_branches = list(not_matched_branches or [])
     by_source_branches = list(by_source_branches or [])
     t_cols = target.columns
+    # the implicit column list of a list-less INSERT VALUES: declared
+    # order minus stored generated columns (PG never includes them)
+    _implicit_cols = [
+        c for c in t_cols if c not in (generated_columns or ())
+    ]
     t = target.alias("t")
     s = source.alias("s")
 
@@ -268,9 +274,10 @@ def merge_apply_multi(
             )
         if cols and len(cols) != len(vals):
             raise ValueError("MERGE: INSERT column/value count mismatch")
-        if not cols and len(vals) > len(t_cols):
+        if not cols and len(vals) > len(_implicit_cols):
             # bare INSERT VALUES: positional over the target's
-            # declared column order (PG); surplus errors like PG
+            # declared column order MINUS generated columns — PG
+            # excludes them from the implicit list; surplus errors
             raise ValueError(
                 "MERGE: INSERT has more expressions than target columns"
             )
@@ -436,7 +443,7 @@ def merge_apply_multi(
                     # explicit column list, or bare INSERT VALUES —
                     # PG maps a list-less VALUES to the target's
                     # leading columns in declared order
-                    use_cols = cols or t_cols[: len(vals)]
+                    use_cols = cols or _implicit_cols[: len(vals)]
                     vmap = dict(zip(use_cols, vals))
                     if c in vmap:
                         # explicit value — the DEFAULT keyword resolves

@@ -342,3 +342,15 @@ def test_plpgsql_for_loop_translations():
             "BEGIN FOR r IN SELECT nextval('s') AS x FROM t LOOP "
             "RETURN NEXT r.x; END LOOP; END"
         )
+
+
+def test_plpgsql_loop_var_literals_untouched():
+    """A literal containing 'r.' is data, not a loop-variable
+    reference (review fix)."""
+    from citus_spark.plans.plpgsql_sql import plpgsql_body_to_sql as f
+
+    out = f(
+        "BEGIN FOR r IN SELECT x FROM t LOOP "
+        "RETURN NEXT concat('r.', r.x); END LOOP; END"
+    )
+    assert "concat('r.', x)" in out

@@ -136,3 +136,21 @@ def test_on_conflict_do_update_where_guard(spark):
     assert (
         s.sql("SELECT v FROM ocw_t WHERE id = 2").collect()[0][0] == 5
     )
+
+
+def test_on_conflict_where_unqualified_target_columns(spark):
+    """PG scoping: a bare identifier in the DO UPDATE guard is the
+    existing target row (review fix: it hit AMBIGUOUS_REFERENCE)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS oq_t")
+    s.sql("CREATE TABLE oq_t (id bigint, v bigint)")
+    s.sql("INSERT INTO oq_t VALUES (1, 10), (2, 200)")
+    r = s.sql(
+        "INSERT INTO oq_t VALUES (1, 99), (2, 99) ON CONFLICT (id) "
+        "DO UPDATE SET v = excluded.v WHERE v < 100 RETURNING id, v"
+    ).collect()
+    assert sorted(tuple(x) for x in r) == [(1, 99)]
+    got = sorted(tuple(x) for x in s.sql("SELECT * FROM oq_t").collect())
+    assert got == [(1, 99), (2, 200)]

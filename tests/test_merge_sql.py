@@ -522,3 +522,61 @@ def test_merge_insert_default_values(spark):
     assert [tuple(r) for r in s.sql("SELECT * FROM md_t").collect()] == [
         (0, "x")
     ]
+
+
+def test_merge_literals_not_alias_normalized(spark):
+    """String literals containing the bare table name must stay DATA
+    (review fix: the bare-name mapping rewrote inside literals)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("ml_logs", "ml_src"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE ml_logs (id bigint, msg text)")
+    s.sql("CREATE TABLE ml_src (id bigint)")
+    s.sql("INSERT INTO ml_logs VALUES (1, 'old')")
+    s.sql("INSERT INTO ml_src VALUES (1), (2)")
+    s.sql(
+        "MERGE INTO ml_logs USING ml_src ON ml_logs.id = ml_src.id "
+        "WHEN MATCHED THEN UPDATE SET msg = 'from ml_logs.err' "
+        "WHEN NOT MATCHED THEN INSERT VALUES (ml_src.id, 'ml_src.raw')"
+    )
+    got = dict(
+        (r[0], r[1]) for r in s.sql("SELECT * FROM ml_logs").collect()
+    )
+    assert got == {1: "from ml_logs.err", 2: "ml_src.raw"}
+
+
+def test_merge_positional_skips_generated_columns(spark):
+    """PG excludes stored generated columns from the implicit INSERT
+    column list (review fix: values silently shifted onto them)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("mg_t", "mg_s"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql(
+        "CREATE TABLE mg_t (id bigint, "
+        "dbl bigint GENERATED ALWAYS AS (id * 2) STORED, tag text)"
+    )
+    s.sql("CREATE TABLE mg_s (id bigint)")
+    s.sql("INSERT INTO mg_s VALUES (5)")
+    s.sql(
+        "MERGE INTO mg_t USING mg_s ON mg_t.id = mg_s.id "
+        "WHEN NOT MATCHED THEN INSERT VALUES (mg_s.id, 'x')"
+    )
+    assert [tuple(r) for r in s.sql("SELECT * FROM mg_t").collect()] == [
+        (5, 10, "x")
+    ]
+
+
+def test_merge_empty_values_rejects():
+    import pytest as _pytest
+
+    from citus_spark.plans.merge_sql import parse_merge
+
+    with _pytest.raises(ValueError, match="empty"):
+        parse_merge(
+            "MERGE INTO t USING s2 ON t.id = s2.id "
+            "WHEN NOT MATCHED THEN INSERT VALUES ()"
+        )
