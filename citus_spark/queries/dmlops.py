@@ -1460,3 +1460,130 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM state
 """,
 )
+
+
+# --- LIST partitioning with a DEFAULT partition ------------------------------
+# The third PARTITION BY method as PG DDL (RANGE and HASH have
+# entries already): explicit value lists route by IN, NULL keys and
+# unlisted values land in DEFAULT, and a cross-partition UPDATE moves
+# rows between children (PG 11+ row movement).
+def list_partition_default_routing(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    for t in ("__lp_o", "__lp_urgent", "__lp_mid", "__lp_rest"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql(
+        "CREATE TABLE __lp_o (okey bigint, prio text, "
+        "price double precision) PARTITION BY LIST (prio)"
+    )
+    s.sql(
+        "CREATE TABLE __lp_urgent PARTITION OF __lp_o "
+        "FOR VALUES IN ('1-URGENT', '2-HIGH')"
+    )
+    s.sql(
+        "CREATE TABLE __lp_mid PARTITION OF __lp_o "
+        "FOR VALUES IN ('3-MEDIUM')"
+    )
+    s.sql("CREATE TABLE __lp_rest PARTITION OF __lp_o DEFAULT")
+    s.sql(
+        "INSERT INTO __lp_o SELECT o_orderkey, o_orderpriority, "
+        "o_totalprice FROM orders WHERE o_orderkey < 4000"
+    )
+    # cross-partition row movement: demote every cheap HIGH order —
+    # rows must LEAVE __lp_urgent and arrive in __lp_mid
+    s.sql(
+        "UPDATE __lp_o SET prio = '3-MEDIUM' "
+        "WHERE prio = '2-HIGH' AND price < 100000"
+    )
+    return s.sql(
+        """
+SELECT part, n, price_sum FROM (
+  SELECT 'urgent' AS part, count(*) AS n,
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+  FROM __lp_urgent
+  UNION ALL
+  SELECT 'mid', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __lp_mid
+  UNION ALL
+  SELECT 'rest', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __lp_rest
+  UNION ALL
+  SELECT 'parent', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM __lp_o
+) ORDER BY part
+"""
+    )
+
+
+register_split(
+    "list_partition_default_routing",
+    list_partition_default_routing,
+    """
+WITH rows_ AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '2-HIGH' AND o_totalprice < 100000
+              THEN '3-MEDIUM' ELSE o_orderpriority END AS prio,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey < 4000
+), tagged AS (
+  SELECT CASE WHEN prio IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+              WHEN prio = '3-MEDIUM' THEN 'mid'
+              ELSE 'rest' END AS part, price
+  FROM rows_
+)
+SELECT part, n, price_sum FROM (
+  SELECT part, count(*) AS n,
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+  FROM tagged GROUP BY part
+  UNION ALL
+  SELECT 'parent', count(*),
+         CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+  FROM tagged
+) ORDER BY part
+""",
+)
+
+
+# --- MERGE .. RETURNING with merge_action() (PG 17) --------------------------
+# The action-tagged returning set: UPDATE rows as their NEW image,
+# INSERT rows tagged INSERT, untouched rows absent. The oracle
+# re-derives every action tag and image from the fixture.
+def merge_returning_actions(spark, sf_dir):
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __mr_t")
+    s.sql("CREATE TABLE __mr_t (okey bigint, total double precision)")
+    s.sql(
+        "INSERT INTO __mr_t SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
+    s.sql("DROP VIEW IF EXISTS __mr_src")
+    s.sql(
+        "CREATE VIEW __mr_src AS SELECT o_orderkey AS okey, "
+        "o_totalprice FROM orders WHERE o_orderkey < 3000"
+    )
+    return s.sql(
+        """
+MERGE INTO __mr_t USING __mr_src ON __mr_t.okey = __mr_src.okey
+WHEN MATCHED THEN UPDATE SET total = __mr_src.o_totalprice + 10
+WHEN NOT MATCHED THEN INSERT VALUES (__mr_src.okey,
+                                     __mr_src.o_totalprice * 3)
+RETURNING merge_action() AS action, okey, total
+"""
+    ).orderBy("okey")
+
+
+register_split(
+    "merge_returning_actions",
+    merge_returning_actions,
+    """
+SELECT CASE WHEN o_orderkey < 2000 THEN 'UPDATE' ELSE 'INSERT' END
+         AS action,
+       o_orderkey AS okey,
+       CASE WHEN o_orderkey < 2000 THEN o_totalprice + 10
+            ELSE o_totalprice * 3 END AS total
+FROM orders WHERE o_orderkey < 3000
+ORDER BY okey
+""",
+)
