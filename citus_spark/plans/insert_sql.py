@@ -66,6 +66,12 @@ _GUARD_KEYWORDS = frozenset({
     "END", "EXISTS", "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER",
     "LIMIT", "DISTINCT", "AS", "ON", "JOIN", "INTERVAL", "CAST", "ANY",
     "ALL", "SOME", "ESCAPE", "T", "S",
+    # niladic SQL functions / paren-less keywords — valid in a guard
+    # without being target columns (PG parses them as value
+    # expressions, not identifiers)
+    "CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME", "LOCALTIME",
+    "LOCALTIMESTAMP", "CURRENT_USER", "SESSION_USER", "CURRENT_ROLE",
+    "CURRENT_CATALOG", "CURRENT_SCHEMA", "USER", "DEFAULT",
 })
 
 

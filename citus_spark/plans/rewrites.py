@@ -2162,6 +2162,13 @@ _OVERLAPS_KW = re.compile(r"\bOVERLAPS\b", re.I)
 
 
 def pg_overlaps(sql: str) -> str:
+    # Known divergence: with a NULL endpoint, Spark's least/greatest
+    # skip NULLs, so (d, NULL) collapses to the instant d and the
+    # expansion yields FALSE where PG yields NULL when the overlap is
+    # undeterminable. Filtering semantics are identical (WHERE treats
+    # NULL and FALSE the same); only NULL-vs-FALSE projection fidelity
+    # differs. Acceptable per review — gate endpoints on non-null if a
+    # projected OVERLAPS ever needs PG's ternary result.
     while True:
         spans = _masked_spans(sql)
 
@@ -2260,15 +2267,48 @@ def _set_list_bounds(sql: str) -> tuple[int, int]:
     return start, end if end >= 0 else len(sql)
 
 
+def _assignment_item_starts(
+    sql: str, lo: int, hi: int, spans: list[tuple[int, int]]
+) -> set[int]:
+    """Positions where a SET-list assignment item begins: right after
+    SET itself and after each depth-0 comma (whitespace skipped). A
+    row-form `(a, b) = (..)` is only an assignment when it starts an
+    item — the same shape nested inside a SET expression (e.g. a
+    row-VALUE comparison in a CASE) must stay untouched."""
+    bounds: list[int] = [lo]
+    depth = 0
+    i = lo
+    while i < hi:
+        if any(a <= i < b for a, b in spans):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            bounds.append(i + 1)
+        i += 1
+    out = set()
+    for b in bounds:
+        while b < hi and sql[b].isspace():
+            b += 1
+        out.add(b)
+    return out
+
+
 def pg_update_row_set(sql: str) -> str:
     while True:
         lo, hi = _set_list_bounds(sql)
         spans = _masked_spans(sql)
+        starts = _assignment_item_starts(sql, lo, hi, spans)
         m = next(
             (
                 c
                 for c in _ROW_SET.finditer(sql, lo, hi)
-                if not any(a <= c.start() < b for a, b in spans)
+                if c.start() in starts
+                and not any(a <= c.start() < b for a, b in spans)
             ),
             None,
         )

@@ -519,6 +519,26 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "lexical_diversity_stats", "tfidf_topk_terms",
     "trigram_novelty_rate", "winnowing_fingerprints",
     "kgram_coverage_curve", "ab_split_events",
+    # CORRECTNESS_r08.json (50/50 green; the 11 names beyond these 39
+    # were window/setop re-verifies already listed above)
+    "plpgsql_function_textual", "regexp_replace_ci",
+    "merge_sync_by_source", "unnest_multi_zip", "pg_overlaps_textual",
+    "pg_power_operator", "row_value_compare", "pg_scalar_shims",
+    "plpgsql_for_loop_srf", "exclude_constraint_bookings",
+    "update_nextval_block", "generated_column_writes",
+    "update_from_cascade_rekey", "sequence_bounds_cycle",
+    "time_partition_ddl", "hash_partition_ddl", "copy_stdin_replay",
+    "update_set_row_form", "information_schema_columns",
+    "create_table_like_clone", "merge_insert_positional",
+    "upsert_guarded_where", "list_partition_default_routing",
+    "merge_returning_actions", "logreg_seed_train",
+    "power_iteration_top_direction", "embedding_drift_moments",
+    "keyword_tag_documents", "compression_ratio_by_source",
+    "ivf_stream_index_state", "hard_negative_mining",
+    "temperature_mixture_sample", "source_divergence_drift",
+    "rare_token_tail_mass", "sentence_dedup_within_doc",
+    "curriculum_length_buckets", "collocation_lift",
+    "source_jaccard_overlap", "token_entropy_by_lang",
 })
 
 

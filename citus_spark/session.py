@@ -58,6 +58,26 @@ DEFAULT_COLOCATION: dict[str, str] = {"lineitem": "orders"}
 TPCH_TABLES = tuple(DEFAULT_DISTRIBUTION)
 
 
+def session_confs(master: str, cpus: int) -> dict[str, str]:
+    """The conf set get_spark applies, keyed by master topology so the
+    local-only I/O posture can't ship to a cluster (see the compress
+    block below). Pure function for testability."""
+    confs: dict[str, str] = {}
+    if master.startswith("local"):
+        # Single-node I/O posture: shuffle/broadcast bytes never cross
+        # a network here, they round-trip the local page cache, so lz4
+        # on every block is pure CPU tax on the critical path (paired
+        # A/B on the 17-query headline set at sf0.1: −6-11% wall).
+        # A cluster master keeps compression ON — shuffles there are
+        # network-bound and lz4 pays for itself many times over; the
+        # gate on the master URL enforces what the r8 comment only
+        # documented.
+        confs["spark.shuffle.compress"] = "false"
+        confs["spark.shuffle.spill.compress"] = "false"
+        confs["spark.broadcast.compress"] = "false"
+    return confs
+
+
 def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSession:
     """Build the session with the scale-oriented defaults.
 
@@ -71,8 +91,9 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # reducer count: AQE coalescing owns the real decision at
         # runtime; the static number only bounds scheduling overhead.
@@ -109,23 +130,14 @@ def get_spark(app_name: str = "citus_spark", cpus: int | None = None) -> SparkSe
         # re-derives this per corpus (16 MiB floor ↔ 128 MiB default
         # ceiling for at-scale inputs where files outnumber cores).
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        # Single-node I/O posture: shuffle/broadcast bytes never cross
-        # a network here, they round-trip the local page cache, so lz4
-        # on every block is pure CPU tax on the critical path (paired
-        # A/B on the 17-query headline set at sf0.1: −6-11% wall).
-        # A real cluster keeps compression ON — shuffles there are
-        # network-bound and lz4 pays for itself many times over; these
-        # three lines are the local-mode analog of the reference
-        # tuning its intra-node transport separately from its
-        # inter-node one (connection_management.c local-node fast
-        # path). Kryo for the JVM-side closure/broadcast serializer is
-        # scale-neutral (it wins on both topologies).
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
-        .config("spark.broadcast.compress", "false")
+        # Kryo for the JVM-side closure/broadcast serializer is
+        # scale-neutral (it wins on both topologies); the local-only
+        # compression posture lives in session_confs, gated on master.
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in session_confs(master, cpus).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -552,6 +564,18 @@ class DistributedSession:
         # SHOW commands (FUNCTIONS/SCHEMAS/CATALOGS/..) must keep
         # falling through to Spark, and an unset name errors like PG
         # instead of returning '<undefined>'.
+        # multi-word PG spellings first: SHOW TIME ZONE is the SQL-
+        # standard alias of SHOW timezone, and SHOW ALL dumps every
+        # explicitly-set parameter (PG's name/setting projection;
+        # Spark's bare SET lists exactly the explicitly-set confs)
+        if _re.match(r"^\s*SHOW\s+TIME\s+ZONE\s*;?\s*$", query, _re.I):
+            query = "SHOW spark.sql.session.timeZone"
+        if _re.match(r"^\s*SHOW\s+ALL\s*;?\s*$", query, _re.I):
+            return (
+                self.spark.sql("SET")
+                .toDF("name", "setting")
+                .orderBy("name")
+            )
         m = _re.match(r"^\s*SHOW\s+([A-Za-z_][\w.]*)\s*;?\s*$", query, _re.I)
         if m and m.group(1).upper() not in (
             "TABLES", "DATABASES", "VIEWS", "FUNCTIONS", "SCHEMAS",
@@ -1826,10 +1850,18 @@ class DistributedSession:
                             not_null.add(nm.group(1).lower())
                         elif inc("constraints"):
                             checks.append(spec["expr"])
-                    elif spec.get("kind") in ("p", "u") and inc("indexes"):
-                        keys.append(
-                            (spec["kind"], list(spec.get("cols") or []))
-                        )
+                    elif spec.get("kind") in ("p", "u"):
+                        # PG's LIKE always copies the NOT NULL a
+                        # PRIMARY KEY implies, even when the key
+                        # constraint itself is not copied
+                        if spec.get("kind") == "p":
+                            not_null.update(
+                                c.lower() for c in (spec.get("cols") or [])
+                            )
+                        if inc("indexes"):
+                            keys.append(
+                                (spec["kind"], list(spec.get("cols") or []))
+                            )
             defaults = dict(
                 (entry.defaults or {}) if entry and inc("defaults") else {}
             )
@@ -1926,6 +1958,12 @@ class DistributedSession:
                     )
                     if spec.get("kind") == "c" and m:
                         not_null.add(m.group(1).lower())
+                    elif spec.get("kind") == "p":
+                        # PRIMARY KEY columns report is_nullable='NO'
+                        # in PG regardless of explicit NOT NULL
+                        not_null.update(
+                            c.lower() for c in (spec.get("cols") or [])
+                        )
                 try:
                     _col_rows(t.name, self._live_read(t).schema, not_null)
                 except Exception:

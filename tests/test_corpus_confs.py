@@ -78,3 +78,24 @@ def test_conf_reapplication_skips_the_expensive_path(spark):
         load_views(spark, SF_SMALL)
     per_call = (time.time() - t0) / 20
     assert per_call < 0.05, f"conf re-application too slow: {per_call:.3f}s"
+
+
+def test_non_local_master_keeps_compression_defaults():
+    """The compression-off I/O posture is local-mode-only: a cluster
+    master URL must NOT receive the three compress=false confs
+    (review fix: the gate was a comment, now it's code)."""
+    from citus_spark.session import session_confs
+
+    local = session_confs("local[32]", 32)
+    assert local["spark.shuffle.compress"] == "false"
+    assert local["spark.shuffle.spill.compress"] == "false"
+    assert local["spark.broadcast.compress"] == "false"
+    for master in (
+        "spark://coordinator:7077",
+        "yarn",
+        "k8s://https://host:6443",
+    ):
+        confs = session_confs(master, 512)
+        assert "spark.shuffle.compress" not in confs
+        assert "spark.shuffle.spill.compress" not in confs
+        assert "spark.broadcast.compress" not in confs

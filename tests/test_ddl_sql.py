@@ -402,3 +402,39 @@ def test_show_spark_commands_not_hijacked(spark):
     assert s.sql("SHOW FUNCTIONS").count() > 100
     with _pytest.raises(ValueError, match="unrecognized configuration"):
         s.sql("SHOW never_set_parameter")
+
+
+def test_create_like_copies_pk_implied_not_null(spark):
+    """PG's LIKE always copies the NOT NULL a PRIMARY KEY implies,
+    even without INCLUDING INDEXES; information_schema.columns also
+    reports is_nullable='NO' for PK columns (review fix)."""
+    import pytest as _pytest
+
+    s = DistributedSession(spark)
+    for t in ("pknn_src", "pknn_clone"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("CREATE TABLE pknn_src (id bigint PRIMARY KEY, v text)")
+    s.sql("CREATE TABLE pknn_clone (LIKE pknn_src)")
+    with _pytest.raises(Exception, match="(?i)null"):
+        s.sql("INSERT INTO pknn_clone VALUES (NULL, 'x')")
+    s.sql("INSERT INTO pknn_clone VALUES (1, 'ok')")
+    assert s.sql("SELECT count(*) FROM pknn_clone").collect()[0][0] == 1
+    rows = s.sql(
+        "SELECT column_name, is_nullable FROM information_schema.columns "
+        "WHERE table_name = 'pknn_src' ORDER BY ordinal_position"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("id", "NO"), ("v", "YES")]
+
+
+def test_show_time_zone_and_show_all(spark):
+    """SHOW TIME ZONE maps to the session timezone; SHOW ALL dumps the
+    explicitly-set parameters with name/setting columns (review fix:
+    multi-word SHOW fell through to Spark and errored)."""
+    s = DistributedSession(spark)
+    tz = s.sql("SHOW TIME ZONE").collect()[0][0]
+    assert tz == spark.conf.get("spark.sql.session.timeZone")
+    s.sql("SET work_mem = '64MB'")
+    allrows = s.sql("SHOW ALL")
+    assert allrows.columns == ["name", "setting"]
+    vals = {r["name"]: r["setting"] for r in allrows.collect()}
+    assert vals.get("work_mem") == "'64MB'"

@@ -154,3 +154,37 @@ def test_on_conflict_where_unqualified_target_columns(spark):
     assert sorted(tuple(x) for x in r) == [(1, 99)]
     got = sorted(tuple(x) for x in s.sql("SELECT * FROM oq_t").collect())
     assert got == [(1, 99), (2, 200)]
+
+
+def test_on_conflict_guard_niladic_keywords(spark):
+    """CURRENT_TIMESTAMP / CURRENT_DATE etc. in a DO UPDATE guard are
+    niladic SQL functions, not target columns — they must NOT be
+    qualified as t.CURRENT_TIMESTAMP (review fix)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS nk_t")
+    s.sql("CREATE TABLE nk_t (id bigint, updated_at timestamp, v bigint)")
+    s.sql(
+        "INSERT INTO nk_t VALUES "
+        "(1, TIMESTAMP '2020-01-01 00:00:00', 10), "
+        "(2, TIMESTAMP '2999-01-01 00:00:00', 20)"
+    )
+    s.sql(
+        "INSERT INTO nk_t VALUES (1, TIMESTAMP '2021-06-01 00:00:00', 11),"
+        " (2, TIMESTAMP '2021-06-01 00:00:00', 21) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v "
+        "WHERE nk_t.updated_at < CURRENT_TIMESTAMP"
+    )
+    got = sorted(
+        tuple(x) for x in s.sql("SELECT id, v FROM nk_t").collect()
+    )
+    # row 1 is stale (2020 < now) -> updated; row 2 is future -> kept
+    assert got == [(1, 11), (2, 20)]
+    # bare-identifier guard mixing a column with CURRENT_DATE
+    s.sql(
+        "INSERT INTO nk_t VALUES (1, TIMESTAMP '2022-01-01 00:00:00', 99)"
+        " ON CONFLICT (id) DO UPDATE SET v = excluded.v "
+        "WHERE updated_at < CURRENT_DATE"
+    )
+    assert s.sql("SELECT v FROM nk_t WHERE id = 1").collect()[0][0] == 99

@@ -559,3 +559,26 @@ def test_pg_array_compat_shapes():
 
     with _pytest.raises(NotImplementedError, match="dimension 1"):
         pg_array_compat("SELECT array_upper(xs, 2)")
+
+
+def test_pg_update_row_set_inside_expression_untouched():
+    """A row-VALUE comparison nested inside a SET expression (CASE
+    guard) is not an assignment — it must survive verbatim; only
+    item-leading row forms expand (review fix)."""
+    from citus_spark.plans.rewrites import pg_update_row_set
+
+    sql = (
+        "UPDATE t SET a = CASE WHEN (x, y) = (1, 2) THEN 3 ELSE 4 END "
+        "WHERE id = 1"
+    )
+    assert pg_update_row_set(sql) == sql
+    # mixed: a leading row-form item expands, the nested one stays
+    out = pg_update_row_set(
+        "UPDATE t SET (a, b) = (1, 2), "
+        "c = CASE WHEN (x, y) = (8, 9) THEN 1 ELSE 0 END"
+    )
+    assert "a = 1" in out and "b = 2" in out
+    assert "(x, y) = (8, 9)" in out
+    # second item in the list also expands
+    out2 = pg_update_row_set("UPDATE t SET z = 0, (a, b) = (1, 2)")
+    assert "a = 1" in out2 and "b = 2" in out2
