@@ -89,6 +89,10 @@ class TableDist:
     partition_by: dict | None = None
     partitions: dict | None = None
     partition_parent: str | None = None
+    # enum-typed columns (plans/type_sql.py): {column: type_name} —
+    # lets ALTER TYPE ADD/RENAME VALUE find the auto CHECK constraints
+    # and stored labels that must follow the type
+    enum_cols: dict | None = None
 
     @property
     def is_reference(self) -> bool:

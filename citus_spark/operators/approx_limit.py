@@ -42,14 +42,17 @@ def approx_grouped_topk(
     order_col: str,
     k: int,
     row_fetch: int = 1000,
+    tiebreak: list | None = None,
 ) -> DataFrame:
     """Grouped top-k with a per-partition pre-truncation: each
     partition contributes at most `row_fetch` best rows, bounding the
     shuffle no matter how hot a group is. Exact whenever every group's
     true top-k fits in some partition's top-`row_fetch` (always true
-    when row_fetch ≥ k × groups-per-partition)."""
-    pruned = per_partition_limit(df, row_fetch, order_by=[F.desc(order_col)])
-    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col))
+    when row_fetch ≥ k × groups-per-partition). `tiebreak` columns
+    make equal-value ranks deterministic (and thus oracle-comparable)."""
+    order = [F.desc(order_col)] + [F.col(c) for c in (tiebreak or [])]
+    pruned = per_partition_limit(df, row_fetch, order_by=order)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         pruned.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

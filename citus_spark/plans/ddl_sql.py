@@ -133,10 +133,13 @@ def _split_columns(body: str) -> list[str]:
     return _split_top_level(body)
 
 
-def _map_type(pg_type: str) -> str:
+def _map_type(pg_type: str, udts: dict[str, str] | None = None) -> str:
     t = re.sub(r"\s+", " ", pg_type.strip().lower())
-    # digit-bearing names (int4, float8) are real PG type names
-    base = re.match(r"([a-z][a-z0-9 ]*?)\s*(?:\(([^)]*)\))?(\s*\[\s*\])?$", t)
+    # digit-bearing names (int4, float8) are real PG type names; dots
+    # admit schema-qualified user-defined type names
+    base = re.match(
+        r"([a-z][a-z0-9 ._]*?)\s*(?:\(([^)]*)\))?(\s*\[\s*\])?$", t
+    )
     if not base:
         raise ValueError(f"CREATE TABLE: cannot parse type {pg_type!r}")
     name = base.group(1).strip()
@@ -148,6 +151,19 @@ def _map_type(pg_type: str) -> str:
         spark = f"decimal({p},{s})"
     elif name in _TYPE_MAP:
         spark = _TYPE_MAP[name]
+    elif udts and (
+        name in udts
+        or name.replace("__", ".") in udts
+        or name.split(".")[-1].split("__")[-1] in udts
+    ):
+        # session-registered ENUM / composite / DOMAIN (type_sql.py);
+        # the dict value is the Spark storage type. The "__" spelling
+        # is the session's schema-name mangling of sch.name.
+        spark = (
+            udts.get(name)
+            or udts.get(name.replace("__", "."))
+            or udts[name.split(".")[-1].split("__")[-1]]
+        )
     else:
         raise ValueError(
             f"CREATE TABLE: unsupported PostgreSQL type {pg_type!r}"
@@ -636,7 +652,7 @@ def check_generated_refs(generated: dict, col: str, expr: str) -> None:
             )
 
 
-def parse_create_table(sql: str):
+def parse_create_table(sql: str, udts: dict[str, str] | None = None):
     """→ (table, spark-DDL schema string, if_not_exists,
     [(identity_col, explicit_seq|None, opts_dict), ...],
     [constraint op tuples], {col: default_expr},
@@ -688,7 +704,7 @@ def parse_create_table(sql: str):
         )
         if not cm:
             raise ValueError(f"CREATE TABLE: cannot parse column {item!r}")
-        cols.append(f"{cm.group(1)} {_map_type(cm.group(2))}")
+        cols.append(f"{cm.group(1)} {_map_type(cm.group(2), udts)}")
         if gen is not None:
             generated[cm.group(1)] = gen
         dflt = _column_default(item)

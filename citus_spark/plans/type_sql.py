@@ -1,0 +1,779 @@
+"""PG type-system DDL: CREATE TYPE (ENUM / composite), CREATE DOMAIN,
+CREATE PROCEDURE / CALL — the textual surface a pasted PG schema hits
+first after tables and functions.
+
+Spark-first mapping (no PG type OIDs exist here):
+- ENUM → a string column + an auto CHECK constraint on the label set
+  + an ordered-comparison shim (PG orders enums by declaration order,
+  not lexically; comparisons and ORDER BY on enum-typed columns
+  rewrite to array_position over the label array, which stays inside
+  whole-stage codegen).
+- composite → a Spark struct column; `(a, b)::type` value casts
+  become named_struct, `(col).field` access becomes col.field.
+- DOMAIN → its base type + the recorded DEFAULT / NOT NULL / CHECK
+  constraints expanded onto every column declared with the domain
+  (PG enforces domain constraints at the column; so do we).
+- PROCEDURE (LANGUAGE SQL / plpgsql subset) → the body's statements
+  run sequentially at CALL with the arguments substituted for the
+  parameter names. COMMIT inside a plpgsql body is a no-op (this
+  engine is autocommit — every statement is already durable, which
+  is exactly PG's state after that COMMIT); ROLLBACK rejects loudly
+  (undoing a committed statement is impossible here). LANGUAGE SQL
+  bodies reject both at CALL, like PG ("invalid transaction
+  termination").
+
+↔ reference: src/backend/distributed/commands/type.c (enum/composite
+propagation; regress distributed_types.sql), commands/function.c +
+sql_procedure.sql (CREATE PROCEDURE/CALL), distributed_domain.sql
+(domains). The reference's work is metadata *propagation* to workers;
+this engine's registry IS the catalog, so what remains — and what is
+implemented — is the semantics: label ordering, check enforcement,
+call-time execution.
+"""
+
+from __future__ import annotations
+
+import re
+
+from citus_spark.plans.rewrites import (
+    _masked_close_paren,
+    _masked_spans,
+    _split_top_level,
+)
+
+# ---------------------------------------------------------------------------
+# CREATE TYPE
+
+_ENUM = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_][\w.]*)\s+AS\s+ENUM\s*"
+    r"\((?P<labels>.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_COMPOSITE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_][\w.]*)\s+AS\s*"
+    r"\((?P<fields>.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_TYPE_OTHER = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_][\w.]*)\s+AS\s+"
+    r"(?P<kind>RANGE|\w+)\b",
+    re.I,
+)
+
+
+def parse_create_type(sql: str):
+    """→ ("enum", name, [labels]) | ("composite", name,
+    [(field, pg_type)]) | None. Shell CREATE TYPE (no AS) and RANGE
+    reject loudly — silently dropping a type definition would break
+    every later use of it."""
+    m = _ENUM.match(sql)
+    if m:
+        labels = []
+        for item in _split_top_level(m.group("labels")):
+            lm = re.match(r"^\s*'((?:[^']|'')*)'\s*$", item)
+            if not lm:
+                raise ValueError(
+                    f"CREATE TYPE .. AS ENUM: bad label {item!r}"
+                )
+            labels.append(lm.group(1).replace("''", "'"))
+        if not labels:
+            raise ValueError("CREATE TYPE .. AS ENUM: no labels")
+        return ("enum", m.group("name"), labels)
+    m = _COMPOSITE.match(sql)
+    if m:
+        fields: list[tuple[str, str]] = []
+        for item in _split_top_level(m.group("fields")):
+            fm = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+(.+?)\s*(?:COLLATE\s+\S+\s*)?$",
+                item,
+                re.S,
+            )
+            if not fm:
+                raise ValueError(
+                    f"CREATE TYPE .. AS (..): bad attribute {item!r}"
+                )
+            fields.append((fm.group(1), fm.group(2).strip()))
+        if not fields:
+            raise ValueError("CREATE TYPE .. AS (..): no attributes")
+        return ("composite", m.group("name"), fields)
+    m = _TYPE_OTHER.match(sql)
+    if m:
+        raise NotImplementedError(
+            f"CREATE TYPE .. AS {m.group('kind').upper()} is not "
+            "supported (ENUM and composite types are)"
+        )
+    if re.match(r"^\s*CREATE\s+TYPE\s+[A-Za-z_][\w.]*\s*;?\s*$", sql, re.I):
+        raise NotImplementedError(
+            "shell CREATE TYPE (no AS clause) is not supported"
+        )
+    return None
+
+
+_ALTER_TYPE = re.compile(
+    r"^\s*ALTER\s+TYPE\s+(?P<name>[A-Za-z_][\w.]*)\s+(?P<action>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def parse_alter_type(sql: str):
+    """→ (name, action dict) | None. Supported: RENAME TO, ADD VALUE
+    [IF NOT EXISTS] [BEFORE|AFTER], RENAME VALUE .. TO .., SET SCHEMA.
+    Anything else (ADD/DROP ATTRIBUTE, OWNER) rejects loudly."""
+    m = _ALTER_TYPE.match(sql)
+    if not m:
+        return None
+    name, action = m.group("name"), m.group("action").strip()
+    am = re.match(r"^RENAME\s+TO\s+([A-Za-z_]\w*)$", action, re.I)
+    if am:
+        return (name, {"op": "rename", "to": am.group(1)})
+    am = re.match(
+        r"^ADD\s+VALUE\s+(?:IF\s+NOT\s+EXISTS\s+)?'((?:[^']|'')*)'"
+        r"(?:\s+(BEFORE|AFTER)\s+'((?:[^']|'')*)')?$",
+        action,
+        re.I,
+    )
+    if am:
+        return (
+            name,
+            {
+                "op": "add_value",
+                "label": am.group(1).replace("''", "'"),
+                "where": (am.group(2) or "").lower() or None,
+                "ref": (am.group(3) or "").replace("''", "'") or None,
+                "if_not_exists": bool(
+                    re.search(r"IF\s+NOT\s+EXISTS", action, re.I)
+                ),
+            },
+        )
+    am = re.match(
+        r"^RENAME\s+VALUE\s+'((?:[^']|'')*)'\s+TO\s+'((?:[^']|'')*)'$",
+        action,
+        re.I,
+    )
+    if am:
+        return (
+            name,
+            {
+                "op": "rename_value",
+                "from": am.group(1).replace("''", "'"),
+                "to": am.group(2).replace("''", "'"),
+            },
+        )
+    am = re.match(r"^SET\s+SCHEMA\s+([A-Za-z_]\w*)$", action, re.I)
+    if am:
+        return (name, {"op": "set_schema", "schema": am.group(1)})
+    if re.match(r"^OWNER\s+TO\b", action, re.I):
+        return (name, {"op": "noop", "tag": "ALTER TYPE OWNER"})
+    raise NotImplementedError(
+        f"ALTER TYPE {name} {action.split()[0].upper()} .. is not "
+        "supported (RENAME TO / ADD VALUE / RENAME VALUE / SET SCHEMA "
+        "are)"
+    )
+
+
+_DROP_TYPE = re.compile(
+    r"^\s*DROP\s+(?P<what>TYPE|DOMAIN)\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<names>[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)\s*"
+    r"(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+
+
+def parse_drop_type(sql: str):
+    """→ ("type"|"domain", [names], if_exists) | None."""
+    m = _DROP_TYPE.match(sql)
+    if not m:
+        return None
+    names = [n.strip() for n in m.group("names").split(",")]
+    return (m.group("what").lower(), names, bool(m.group("ine")))
+
+
+# ---------------------------------------------------------------------------
+# CREATE DOMAIN
+
+_DOMAIN = re.compile(
+    r"^\s*CREATE\s+DOMAIN\s+(?P<name>[A-Za-z_][\w.]*)\s+(?:AS\s+)?"
+    r"(?P<rest>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DOMAIN_KW = re.compile(
+    r"\b(DEFAULT|NOT\s+NULL|NULL|CHECK|CONSTRAINT|COLLATE)\b", re.I
+)
+
+
+def parse_create_domain(sql: str):
+    """→ (name, base_pg_type, default_expr|None, not_null: bool,
+    [check exprs containing VALUE]) | None."""
+    m = _DOMAIN.match(sql)
+    if not m:
+        return None
+    rest = m.group("rest")
+    spans = _masked_spans(rest)
+    first = None
+    for km in _DOMAIN_KW.finditer(rest):
+        if any(a <= km.start() < b for a, b in spans):
+            continue
+        first = km
+        break
+    base = (rest[: first.start()] if first else rest).strip()
+    if not base:
+        raise ValueError("CREATE DOMAIN: missing base type")
+    default = None
+    not_null = False
+    checks: list[str] = []
+    pos = first.start() if first else len(rest)
+    while pos < len(rest):
+        seg = rest[pos:]
+        km = re.match(
+            r"\s*(?:CONSTRAINT\s+[A-Za-z_]\w*\s+)?"
+            r"(DEFAULT|NOT\s+NULL|NULL|CHECK|COLLATE)\b",
+            seg,
+            re.I,
+        )
+        if not km:
+            raise ValueError(
+                f"CREATE DOMAIN: cannot parse constraint at {seg[:40]!r}"
+            )
+        kw = re.sub(r"\s+", " ", km.group(1).upper())
+        after = pos + km.end()
+        if kw == "CHECK":
+            op = rest.find("(", after)
+            if op < 0:
+                raise ValueError("CREATE DOMAIN: CHECK needs (..)")
+            cl = _masked_close_paren(rest, op + 1, _masked_spans(rest))
+            if cl < 0:
+                raise ValueError("CREATE DOMAIN: unbalanced CHECK")
+            checks.append(rest[op + 1 : cl].strip())
+            pos = cl + 1
+        elif kw == "NOT NULL":
+            not_null = True
+            pos = after
+        elif kw == "NULL":
+            pos = after
+        elif kw == "COLLATE":
+            nm = re.match(r"\s*\S+", rest[after:])
+            pos = after + (nm.end() if nm else 0)
+        else:  # DEFAULT — expression runs to the next top-level keyword
+            nxt = None
+            spans2 = _masked_spans(rest)
+            for km2 in _DOMAIN_KW.finditer(rest, after):
+                if any(a <= km2.start() < b for a, b in spans2):
+                    continue
+                nxt = km2.start()
+                break
+            default = rest[after : nxt if nxt else len(rest)].strip()
+            pos = nxt if nxt else len(rest)
+    return (m.group("name"), base, default, not_null, checks)
+
+
+# ---------------------------------------------------------------------------
+# CREATE PROCEDURE / CALL
+
+_PROC = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<params>[^)]*)\)\s*(?P<tail>.+)$",
+    re.I | re.S,
+)
+_DOLLAR_BODY = re.compile(r"\$(?P<tag>\w*)\$(?P<body>.*)\$(?P=tag)\$", re.S)
+_DROP_PROC = re.compile(
+    r"^\s*DROP\s+PROCEDURE\s+(?P<ine>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:\([^)]*\))?\s*"
+    r"(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+_CALL = re.compile(
+    r"^\s*CALL\s+(?P<name>[A-Za-z_][\w.]*)\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def parse_create_procedure(sql: str):
+    """→ (name, [(param, pg_type)], language, [body statements]) |
+    None. OUT/INOUT parameters reject loudly (no return channel in
+    CALL here)."""
+    m = _PROC.match(sql)
+    if not m:
+        return None
+    tail = m.group("tail")
+    lm = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.I)
+    if not lm:
+        raise ValueError("CREATE PROCEDURE: missing LANGUAGE")
+    language = lm.group(1).lower()
+    if language not in ("sql", "plpgsql"):
+        raise NotImplementedError(
+            f"CREATE PROCEDURE LANGUAGE {language} is not supported "
+            "(sql and plpgsql are)"
+        )
+    bm = _DOLLAR_BODY.search(tail)
+    if bm:
+        body = bm.group("body")
+    else:
+        qm = re.search(r"\bAS\s+'((?:[^']|'')*)'", tail, re.I | re.S)
+        if not qm:
+            raise ValueError("CREATE PROCEDURE: missing AS $$body$$")
+        body = qm.group(1).replace("''", "'")
+    params: list[tuple[str, str]] = []
+    for item in _split_top_level(m.group("params")):
+        if not item.strip():
+            continue
+        pm = re.match(
+            r"^\s*(?P<mode>IN\s+|OUT\s+|INOUT\s+|VARIADIC\s+)?"
+            r"(?P<pname>[A-Za-z_]\w*)\s+(?P<ptype>.+?)\s*"
+            r"(?:DEFAULT\s+.+|=\s*.+)?$",
+            item,
+            re.I | re.S,
+        )
+        if not pm:
+            raise ValueError(f"CREATE PROCEDURE: bad parameter {item!r}")
+        mode = (pm.group("mode") or "IN").strip().upper()
+        if mode in ("OUT", "INOUT", "VARIADIC"):
+            raise NotImplementedError(
+                f"CREATE PROCEDURE: {mode} parameters are not supported"
+            )
+        params.append((pm.group("pname"), pm.group("ptype").strip()))
+    return (m.group("name"), params, language, split_body(body, language))
+
+
+def split_body(body: str, language: str) -> list[str]:
+    """Procedure body → ordered statement list. plpgsql: the single
+    BEGIN..END block's statements (DECLARE sections reject — use the
+    plpgsql *function* subset for computation; procedures here are
+    DML sequences)."""
+    text = body.strip()
+    if language == "plpgsql":
+        if re.match(r"^\s*DECLARE\b", text, re.I):
+            raise NotImplementedError(
+                "plpgsql procedures with DECLARE sections are not "
+                "supported (LANGUAGE SQL or declaration-free bodies are)"
+            )
+        bm = re.match(r"^\s*BEGIN\b(.*)\bEND\s*;?\s*$", text, re.I | re.S)
+        if not bm:
+            raise ValueError(
+                "plpgsql procedure body must be a BEGIN .. END block"
+            )
+        text = bm.group(1)
+    stmts = []
+    for part in _split_statements(text):
+        s = part.strip()
+        if s:
+            stmts.append(s)
+    return stmts
+
+
+def _split_statements(text: str) -> list[str]:
+    spans = _masked_spans(text)
+    out, start = [], 0
+    for i, c in enumerate(text):
+        if c == ";" and not any(a <= i < b for a, b in spans):
+            out.append(text[start:i])
+            start = i + 1
+    out.append(text[start:])
+    return out
+
+
+def parse_drop_procedure(sql: str):
+    m = _DROP_PROC.match(sql)
+    if not m:
+        return None
+    return (m.group("name"), bool(m.group("ine")))
+
+
+def parse_call(sql: str):
+    """→ (name, [arg expression strings]) | None."""
+    m = _CALL.match(sql)
+    if not m:
+        return None
+    args = [a.strip() for a in _split_top_level(m.group("args")) if a.strip()]
+    return (m.group("name"), args)
+
+
+def substitute_params(
+    stmt: str, params: list[str], args: list[str]
+) -> str:
+    """Word-boundary substitution of parameter names with the CALL's
+    argument expressions (parenthesized), string literals masked. PG
+    resolves a name that is both a parameter and a column in favor of
+    the column only inside queries over that table; this textual
+    substitution always takes the parameter — same as PG's behavior in
+    VALUES/SET expression positions, and the reference's own procedure
+    tests prefix parameters (tt_id) to dodge the ambiguity."""
+    repl = {p.lower(): f"({a})" for p, a in zip(params, args)}
+    if not repl:
+        return stmt
+    spans = _masked_spans(stmt)
+    pat = re.compile(
+        r"(?<![\w.$])(" + "|".join(re.escape(p) for p in repl) + r")(?!\s*[(.])"
+        , re.I,
+    )
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return repl[m.group(1).lower()]
+
+    return pat.sub(sub, stmt)
+
+
+# ---------------------------------------------------------------------------
+# Expression rewrites for registered types
+
+def _re_label_array(labels: list[str]) -> str:
+    quoted = ", ".join("'" + l.replace("'", "''") + "'" for l in labels)
+    return f"array({quoted})"
+
+
+def rewrite_type_exprs(sql: str, types: dict[str, dict]) -> str:
+    """One pass over a statement for every registered type name:
+
+    - `(e1, e2)::comp` / `ROW(e1, e2)::comp` → named_struct(..)
+    - `(ident).field` → ident.field  (composite field access)
+    - `'label'::enumtype` → 'label' (validated against the label set)
+    - `expr::enumtype` / `expr::domain` → expr CAST to the base type
+
+    Names resolve case-insensitively, with a schema-qualified spelling
+    falling back to its last component (PG search_path behavior for
+    the single implicit schema here)."""
+    if not types or ("::" not in sql and ")." not in sql):
+        return sql
+
+    def resolve(name: str):
+        n = name.lower()
+        if n in types:
+            return types[n]
+        # schema-qualified spellings: the session mangles sch.name to
+        # sch__name before this rewrite runs
+        if n.replace("__", ".") in types:
+            return types[n.replace("__", ".")]
+        tail = n.split(".")[-1].split("__")[-1]
+        return types.get(tail)
+
+    # composite / row casts: (args)::type  |  ROW(args)::type
+    while True:
+        spans = _masked_spans(sql)
+        found = None
+        for m in re.finditer(
+            r"(?P<row>\bROW\s*)?\((?=[^)])", sql, re.I
+        ):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            close = _masked_close_paren(sql, m.end(), spans)
+            if close < 0:
+                continue
+            cm = re.match(
+                r"\s*::\s*([A-Za-z_][\w.]*)", sql[close + 1 :]
+            )
+            if not cm:
+                continue
+            t = resolve(cm.group(1))
+            if t is None or t["kind"] != "composite":
+                continue
+            found = (m, close, cm, t)
+            break
+        if found is None:
+            break
+        m, close, cm, t = found
+        exprs = _split_top_level(sql[m.end() : close])
+        fields = t["fields"]
+        if len(exprs) != len(fields):
+            raise ValueError(
+                f"cannot cast a {len(exprs)}-value row to composite "
+                f"type with {len(fields)} attributes"
+            )
+        pairs = ", ".join(
+            f"'{fname}', {expr.strip()}"
+            for (fname, _), expr in zip(fields, exprs)
+        )
+        start = m.start()
+        end = close + 1 + cm.end()
+        sql = sql[:start] + f"named_struct({pairs})" + sql[end:]
+
+    # scalar casts to enum / domain types
+    def cast_sub(m: re.Match) -> str:
+        t = resolve(m.group(2))
+        if t is None:
+            return m.group(0)
+        if t["kind"] == "enum":
+            lit = re.match(r"^'((?:[^']|'')*)'$", m.group(1))
+            if lit:
+                label = lit.group(1).replace("''", "'")
+                if label not in t["labels"]:
+                    raise ValueError(
+                        f"invalid input value for enum: {label!r}"
+                    )
+            return m.group(1)
+        if t["kind"] == "domain":
+            return f"CAST({m.group(1)} AS {t['spark']})"
+        return m.group(0)
+
+    spans = _masked_spans(sql)
+    out, last = [], 0
+    for m in re.finditer(
+        r"('(?:[^']|'')*'|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)"
+        r"\s*::\s*([A-Za-z_][\w.]*)",
+        sql,
+    ):
+        # skip when the cast target itself sits inside a string
+        # literal (the LHS being a literal is fine — that's the
+        # 'label'::enum form)
+        if any(a <= m.start(2) < b for a, b in spans) or m.start() < last:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(cast_sub(m))
+        last = m.end()
+    out.append(sql[last:])
+    sql = "".join(out)
+
+    # composite field access: (ident).field → ident.field
+    sql = re.sub(
+        r"\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*([A-Za-z_]\w*)",
+        r"\1.\2",
+        sql,
+    )
+    return sql
+
+
+def rewrite_enum_ordering(sql: str, col_labels: dict[str, list]) -> str:
+    """Enum columns order by declaration position, not lexically.
+    Rewrites, per registered enum-typed column name:
+
+    - `col <op> 'lit'` and `'lit' <op> col` (op in < <= > >=) →
+      array_position rank comparison
+    - `min(col)` / `max(col)` → the label back-mapped rank extreme
+    - bare `col [ASC|DESC]` items in ORDER BY lists → rank expression
+
+    Equality needs no shim. Column names are matched textually — the
+    session records the mapping at CREATE TABLE, and duplicate names
+    across tables share the (last-registered) label set, documented in
+    the session registry."""
+    if not col_labels:
+        return sql
+    for col, labels in col_labels.items():
+        if not re.search(rf"(?<![\w.]){re.escape(col)}\b", sql, re.I):
+            continue
+        arr = _re_label_array(labels)
+        rank = f"array_position({arr}, {col})"
+        spans = _masked_spans(sql)
+
+        def unmasked(m: re.Match) -> bool:
+            return not any(a <= m.start() < b for a, b in spans)
+
+        # col <op> 'lit'
+        def cmp1(m: re.Match) -> str:
+            if not unmasked(m):
+                return m.group(0)
+            return (
+                f"array_position({arr}, {m.group(1)}) {m.group(2)} "
+                f"array_position({arr}, {m.group(3)})"
+            )
+
+        sql = re.sub(
+            rf"(?<![\w.])({re.escape(col)})\s*(<=|>=|<|>)\s*('(?:[^']|'')*')",
+            cmp1,
+            sql,
+            flags=re.I,
+        )
+        spans = _masked_spans(sql)
+        sql = re.sub(
+            rf"('(?:[^']|'')*')\s*(<=|>=|<|>)\s*({re.escape(col)})(?![\w.])",
+            cmp1,
+            sql,
+            flags=re.I,
+        )
+        # min/max back-mapped through the label array
+        def agg_sub(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            return (
+                f"element_at({arr}, CAST({fn}(array_position({arr}, "
+                f"{col})) AS INT))"
+            )
+
+        sql = re.sub(
+            rf"\b(min|max)\s*\(\s*{re.escape(col)}\s*\)",
+            agg_sub,
+            sql,
+            flags=re.I,
+        )
+        # ORDER BY items
+        sql = _rewrite_order_items(sql, col, rank)
+    return sql
+
+
+_ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.I)
+_ORDER_END = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|WINDOW|UNION|INTERSECT|EXCEPT|ROWS|RANGE|GROUPS)\b"
+    r"|[;)]",
+    re.I,
+)
+
+
+def _rewrite_order_items(sql: str, col: str, rank: str) -> str:
+    """Replace bare `col [ASC|DESC] [NULLS ..]` items in every ORDER BY
+    list (top-level and window clauses) with the rank expression."""
+    result = sql
+    offset = 0
+    for ob in _ORDER_BY.finditer(sql):
+        start = ob.end()
+        spans = _masked_spans(sql)
+        if any(a <= ob.start() < b for a, b in spans):
+            continue
+        depth = 0
+        end = len(sql)
+        i = start
+        while i < len(sql):
+            if any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                m = _ORDER_END.match(sql, i)
+                if m and sql[i] not in "()":
+                    end = i
+                    break
+            i += 1
+        seg = sql[start:end]
+        items = _split_top_level(seg)
+        changed = False
+        new_items = []
+        for item in items:
+            im = re.match(
+                rf"^(\s*){re.escape(col)}(\s+(?:ASC|DESC))?"
+                rf"(\s+NULLS\s+(?:FIRST|LAST))?(\s*)$",
+                item,
+                re.I,
+            )
+            if im:
+                changed = True
+                new_items.append(
+                    f"{im.group(1)}{rank}{im.group(2) or ''}"
+                    f"{im.group(3) or ''}{im.group(4) or ''}"
+                )
+            else:
+                new_items.append(item)
+        if changed:
+            # _split_top_level strips items — rebuild with explicit
+            # spacing so "ORDER BY" keeps its separator
+            new_seg = " " + ", ".join(i.strip() for i in new_items) + " "
+            result = (
+                result[: start + offset]
+                + new_seg
+                + result[end + offset :]
+            )
+            offset += len(new_seg) - len(seg)
+    return result
+
+
+def _escape_literal_backslashes(expr: str) -> str:
+    """Double backslashes inside string literals: PG (standard
+    conforming strings) keeps them verbatim, Spark's SQL parser
+    consumes them as escapes."""
+    spans = _masked_spans(expr)
+    out = []
+    last = 0
+    for a, b in spans:
+        out.append(expr[last:a])
+        out.append(expr[a:b].replace("\\", "\\\\"))
+        last = b
+    out.append(expr[last:])
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE pre-pass: expand UDT-typed columns' implied constraints
+
+def expand_udt_columns(sql: str, types: dict[str, dict]):
+    """CREATE TABLE text → (rewritten text, {column: enum_type_name}).
+    Enum columns gain a CHECK on the label set; domain columns gain
+    the domain's DEFAULT / NOT NULL / CHECKs (VALUE → column). The
+    type NAMES stay in place — parse_create_table maps them to Spark
+    types through the udts dict."""
+    if not types:
+        return sql, {}
+    m = re.match(
+        r"^(?P<head>\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+        r"|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"[A-Za-z_][\w.]*\s*\()",
+        sql,
+        re.I,
+    )
+    if not m:
+        return sql, {}
+    open_end = m.end()
+    close = _masked_close_paren(sql, open_end, _masked_spans(sql))
+    if close < 0:
+        return sql, {}
+    body = sql[open_end:close]
+    items = _split_top_level(body)
+    enum_cols: dict[str, str] = {}
+    out_items = []
+    changed = False
+    for item in items:
+        cm = re.match(
+            r"^(\s*)([A-Za-z_]\w*)\s+([A-Za-z_][\w.]*)(\s*\[\s*\])?"
+            r"(?P<rest>.*)$",
+            item,
+            re.S,
+        )
+        if cm:
+            tname = cm.group(3).lower()
+            t = (
+                types.get(tname)
+                or types.get(tname.replace("__", "."))
+                or types.get(tname.split(".")[-1].split("__")[-1])
+            )
+            if t is not None and not cm.group(4):
+                col = cm.group(2)
+                extra = ""
+                if t["kind"] == "enum":
+                    quoted = ", ".join(
+                        "'" + l.replace("'", "''") + "'"
+                        for l in t["labels"]
+                    )
+                    extra = f" CHECK ({col} IN ({quoted}))"
+                    enum_cols[col] = t["name"]
+                elif t["kind"] == "domain":
+                    parts = []
+                    if t.get("default") is not None:
+                        parts.append(f"DEFAULT {t['default']}")
+                    if t.get("not_null"):
+                        parts.append("NOT NULL")
+                    for chk in t.get("checks") or []:
+                        expr = re.sub(
+                            r"(?<![\w.])VALUE(?![\w.])", col, chk,
+                            flags=re.I,
+                        )
+                        if "~" in expr:
+                            # PG regex operators in domain checks
+                            # (us_postal_code shape) must become
+                            # Spark expressions before the constraint
+                            # machinery analyzes them; PG string
+                            # literals keep backslashes verbatim
+                            # (standard_conforming_strings), Spark's
+                            # parser consumes them — double them so
+                            # '\d' survives parsing as \d
+                            from citus_spark.plans.rewrites import (
+                                pg_regex_ops,
+                            )
+
+                            expr = pg_regex_ops(expr)
+                            expr = _escape_literal_backslashes(expr)
+                        parts.append(f"CHECK ({expr})")
+                    extra = (" " + " ".join(parts)) if parts else ""
+                if extra:
+                    changed = True
+                    item = (
+                        f"{cm.group(1)}{col} {cm.group(3)}{extra}"
+                        f"{cm.group('rest')}"
+                    )
+        out_items.append(item)
+    if not changed and not enum_cols:
+        return sql, enum_cols
+    return sql[:open_end] + ", ".join(
+        i.strip() for i in out_items
+    ) + sql[close:], enum_cols

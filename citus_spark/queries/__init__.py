@@ -375,6 +375,7 @@ def _import_all() -> None:
         similarity,
         textops,
         tpch,
+        typeops,
     )
 
 

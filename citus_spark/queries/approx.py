@@ -205,6 +205,81 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Approximate LIMIT (↔ citus.limit_clause_row_fetch_count,
+# shared_library_init.c:1853; multi_limit_clause_approximate.sql):
+# per-partition row-fetch pre-truncation before the final grouped
+# top-k merge. Two runs in one entry: the exactness-guaranteed
+# configuration (row_fetch large enough that every group's true top-k
+# survives → hash-matched against DuckDB row_number), and a genuinely
+# truncating row_fetch=20 run whose reference-documented contract —
+# ≤k rows per group, and the global best row always survives (it is
+# in some partition's top-20) — folds into a boolean column the
+# oracle states as TRUE. A contract break flips the boolean and
+# hash-mismatches.
+def approx_limit_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citus_spark.operators.approx_limit import approx_grouped_topk
+
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    groups = ["l_returnflag", "l_linestatus"]
+    tie = ["l_orderkey", "l_linenumber"]
+    exact_mode = approx_grouped_topk(
+        li, groups, "l_extendedprice", k=3, row_fetch=1_000_000,
+        tiebreak=tie,
+    ).select(
+        *groups,
+        F.col("rank").cast("int").alias("rank"),
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+    )
+    approx = approx_grouped_topk(
+        li, groups, "l_extendedprice", k=3, row_fetch=20, tiebreak=tie
+    )
+    contract = (
+        approx.agg(
+            F.max("l_extendedprice").alias("_amax"),
+            F.count("*").alias("_acnt"),
+        )
+        .crossJoin(
+            li.agg(
+                F.max("l_extendedprice").alias("_emax"),
+                F.countDistinct(*groups).alias("_ngroups"),
+            )
+        )
+        .select(
+            (
+                (F.col("_amax") == F.col("_emax"))
+                & (F.col("_acnt") <= F.lit(3) * F.col("_ngroups"))
+            ).alias("approx_contract_ok")
+        )
+    )
+    return exact_mode.crossJoin(F.broadcast(contract)).orderBy(
+        *groups, "rank"
+    )
+
+
+register_split(
+    "approx_limit_grouped_topk",
+    approx_limit_grouped_topk,
+    """
+SELECT l_returnflag, l_linestatus, rank, l_orderkey, l_linenumber,
+       price, TRUE AS approx_contract_ok
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(row_number() OVER (
+             PARTITION BY l_returnflag, l_linestatus
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS INT) AS rank,
+         l_orderkey, l_linenumber, l_extendedprice AS price
+  FROM lineitem
+) t
+WHERE rank <= 3
+ORDER BY l_returnflag, l_linestatus, rank
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # TopN operator entries (↔ topn extension)
 def topn_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)

@@ -269,6 +269,17 @@ class DistributedSession:
         # cannot carry dots
         self._schemas: dict[str, dict] = {}
         self._next_schema_colocation = 100001
+        # user-defined types (plans/type_sql.py): lowercase name →
+        # {"kind": "enum"|"composite"|"domain", "name": str, ...}.
+        # _enum_columns: column name → labels list (shared object with
+        # the type entry, so ALTER TYPE ADD VALUE updates both) for
+        # the ordered-comparison rewrite; duplicate column names
+        # across tables share the last-registered label set.
+        self._types: dict[str, dict] = {}
+        self._enum_columns: dict[str, list] = {}
+        # procedures: lowercase name → {"params": [(name, pg_type)],
+        # "language": str, "stmts": [sql]}
+        self._procedures: dict[str, dict] = {}
 
     @property
     def tx_cluster(self):
@@ -334,6 +345,7 @@ class DistributedSession:
             entry.constraints = prior.constraints
             entry.defaults = prior.defaults
             entry.generated = prior.generated
+            entry.enum_cols = prior.enum_cols
         # distribution rules re-judge every constraint now that the
         # table is hash-distributed (↔ create_distributed_table.c
         # erroring on non-dist-col unique keys / unsupported FKs);
@@ -449,6 +461,7 @@ class DistributedSession:
             entry.constraints = prior.constraints
             entry.defaults = prior.defaults
             entry.generated = prior.generated
+            entry.enum_cols = prior.enum_cols
         df.hint("broadcast").createOrReplaceTempView(name)
         return df
 
@@ -618,6 +631,26 @@ class DistributedSession:
         # any executor parses the text
         if self._schemas and ("." in query or "SCHEMA" in query.upper()):
             query = self._mangle_schema_names(query)
+
+        # user-defined type expressions (plans/type_sql.py): composite
+        # row casts / field access, enum label casts, domain casts —
+        # rewritten before ANY executor parses the text, so INSERT /
+        # UPDATE / SELECT all see plain Spark expressions. Enum
+        # ordered-comparison shims apply to query/DML statements only
+        # (the DDL path records its CHECK text verbatim).
+        if self._types and not _re.match(
+            r"\s*(CREATE|ALTER|DROP)\s+(TYPE|DOMAIN|PROCEDURE)\b",
+            query, _re.I,
+        ):
+            from citus_spark.plans.type_sql import rewrite_type_exprs
+
+            query = rewrite_type_exprs(query, self._types)
+        if self._enum_columns and not _re.match(
+            r"\s*(CREATE|ALTER|DROP)\b", query, _re.I
+        ):
+            from citus_spark.plans.type_sql import rewrite_enum_ordering
+
+            query = rewrite_enum_ordering(query, self._enum_columns)
 
         # FROM ONLY <partitioned parent> (PG: the parent's own rows,
         # which a declaratively partitioned parent never has) → the
@@ -2724,6 +2757,265 @@ class DistributedSession:
         self._matviews[name] = (body, base)
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    def _udt_spark_types(self) -> dict[str, str]:
+        """Registered type name → Spark storage type, for
+        parse_create_table's column mapping."""
+        return {n: t["spark"] for n, t in self._types.items()}
+
+    def _resolve_type(self, name: str) -> dict | None:
+        n = name.lower()
+        t = self._types.get(n) or self._types.get(n.replace("__", "."))
+        if t is not None:
+            return t
+        tail = n.split(".")[-1].split("__")[-1]
+        return self._types.get(tail)
+
+    def _refresh_enum_checks(self, t: dict) -> None:
+        """ALTER TYPE ADD/RENAME VALUE: every table column of this
+        enum type carries an auto CHECK on the label set — rewrite
+        those constraint expressions to the new set."""
+        import re
+
+        quoted = ", ".join(
+            "'" + l.replace("'", "''") + "'" for l in t["labels"]
+        )
+        for entry in self.catalog.tables().values():
+            for col, tname in (entry.enum_cols or {}).items():
+                if self._resolve_type(tname) is not t:
+                    continue
+                for spec in (entry.constraints or {}).values():
+                    expr = spec.get("expr") or ""
+                    if spec.get("kind") == "c" and re.match(
+                        rf"^\s*{re.escape(col)}\s+IN\s*\(", expr, re.I
+                    ):
+                        spec["expr"] = f"{col} IN ({quoted})"
+
+    def _execute_type_ddl(self, query: str):
+        """CREATE/ALTER/DROP TYPE, CREATE/DROP DOMAIN, CREATE/DROP
+        PROCEDURE, CALL (plans/type_sql.py). None = not a type-system
+        statement."""
+        import re as _re
+
+        if not _re.match(
+            r"\s*(CREATE\s+(?:OR\s+REPLACE\s+)?(TYPE|DOMAIN|PROCEDURE)"
+            r"|ALTER\s+TYPE|DROP\s+(TYPE|DOMAIN|PROCEDURE)|CALL)\b",
+            query,
+            _re.I,
+        ):
+            return None
+        from citus_spark.plans import type_sql as _ts
+        from citus_spark.plans.ddl_sql import _map_type
+
+        def status(tag: str):
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame([(tag,)], "status string")
+
+        created = _ts.parse_create_type(query)
+        if created is not None:
+            kind, name, payload = created
+            key = name.lower()
+            if key in self._types:
+                raise ValueError(f'type "{name}" already exists')
+            if kind == "enum":
+                self._types[key] = {
+                    "kind": "enum", "name": key,
+                    "labels": list(payload), "spark": "string",
+                }
+            else:
+                udts = self._udt_spark_types()
+                fields = [
+                    (fn, _map_type(ft, udts)) for fn, ft in payload
+                ]
+                spark = (
+                    "struct<"
+                    + ",".join(f"{fn}:{ft}" for fn, ft in fields)
+                    + ">"
+                )
+                self._types[key] = {
+                    "kind": "composite", "name": key,
+                    "fields": fields, "spark": spark,
+                }
+            return status("CREATE TYPE")
+        dom = _ts.parse_create_domain(query)
+        if dom is not None:
+            name, base, default, not_null, checks = dom
+            key = name.lower()
+            if key in self._types:
+                raise ValueError(f'type "{name}" already exists')
+            self._types[key] = {
+                "kind": "domain", "name": key,
+                "spark": _map_type(base, self._udt_spark_types()),
+                "base": base, "default": default,
+                "not_null": not_null, "checks": checks,
+            }
+            return status("CREATE DOMAIN")
+        alt = _ts.parse_alter_type(query)
+        if alt is not None:
+            name, act = alt
+            t = self._resolve_type(name)
+            if t is None:
+                raise ValueError(f'type "{name}" does not exist')
+            op = act["op"]
+            if op == "noop":
+                return status(f"{act['tag']} accepted (no-op)")
+            if op in ("rename", "set_schema"):
+                new_name = (
+                    act["to"].lower()
+                    if op == "rename"
+                    else f"{act['schema'].lower()}."
+                    f"{t['name'].split('.')[-1]}"
+                )
+                # re-tag table columns recorded under the old name —
+                # they must keep following the type through later
+                # ADD/RENAME VALUE statements
+                for entry in self.catalog.tables().values():
+                    for col, tn in list((entry.enum_cols or {}).items()):
+                        if self._resolve_type(tn) is t:
+                            entry.enum_cols[col] = new_name
+                self._types.pop(t["name"], None)
+                t["name"] = new_name
+                self._types[new_name] = t
+                return status(
+                    "ALTER TYPE RENAME"
+                    if op == "rename"
+                    else "ALTER TYPE SET SCHEMA"
+                )
+            if t["kind"] != "enum":
+                raise ValueError(
+                    f'type "{name}" is not an enum'
+                )
+            if op == "add_value":
+                if act["label"] in t["labels"]:
+                    if act["if_not_exists"]:
+                        return status("ALTER TYPE ADD VALUE skipped")
+                    raise ValueError(
+                        f'enum label "{act["label"]}" already exists'
+                    )
+                labels = t["labels"]  # mutate in place — shared with
+                # _enum_columns so the ordering rewrite follows
+                if act["ref"] is not None:
+                    if act["ref"] not in labels:
+                        raise ValueError(
+                            f'enum label "{act["ref"]}" does not exist'
+                        )
+                    i = labels.index(act["ref"])
+                    labels.insert(
+                        i if act["where"] == "before" else i + 1,
+                        act["label"],
+                    )
+                else:
+                    labels.append(act["label"])
+                self._refresh_enum_checks(t)
+                return status("ALTER TYPE ADD VALUE")
+            if op == "rename_value":
+                if act["from"] not in t["labels"]:
+                    raise ValueError(
+                        f'enum label "{act["from"]}" does not exist'
+                    )
+                if act["to"] in t["labels"]:
+                    raise ValueError(
+                        f'enum label "{act["to"]}" already exists'
+                    )
+                t["labels"][t["labels"].index(act["from"])] = act["to"]
+                self._refresh_enum_checks(t)
+                # stored rows carry the label text — rewrite them (PG
+                # stores enum oids, so its rename is implicitly
+                # retroactive; ours must be explicit)
+                old = act["from"].replace("'", "''")
+                new = act["to"].replace("'", "''")
+                for entry in self.catalog.tables().values():
+                    for col, tname in (entry.enum_cols or {}).items():
+                        if self._resolve_type(tname) is t:
+                            self.sql(
+                                f"UPDATE {entry.name} SET {col} = "
+                                f"'{new}' WHERE {col} = '{old}'"
+                            )
+                return status("ALTER TYPE RENAME VALUE")
+        dropped = _ts.parse_drop_type(query)
+        if dropped is not None:
+            what, names, ine = dropped
+            for n in names:
+                t = self._resolve_type(n)
+                if t is None or (
+                    what == "domain"
+                ) != (t["kind"] == "domain"):
+                    if ine:
+                        continue
+                    raise ValueError(f'{what} "{n}" does not exist')
+                self._types.pop(t["name"], None)
+            return status(f"DROP {what.upper()}")
+        proc = _ts.parse_create_procedure(query)
+        if proc is not None:
+            name, params, language, stmts = proc
+            replace = bool(
+                _re.match(r"\s*CREATE\s+OR\s+REPLACE\b", query, _re.I)
+            )
+            key = name.lower()
+            if key in self._procedures and not replace:
+                raise ValueError(f'procedure "{name}" already exists')
+            self._procedures[key] = {
+                "params": params, "language": language, "stmts": stmts,
+            }
+            return status("CREATE PROCEDURE")
+        dproc = _ts.parse_drop_procedure(query)
+        if dproc is not None:
+            name, ine = dproc
+            key = name.lower().split(".")[-1]
+            hit = (
+                name.lower() if name.lower() in self._procedures else key
+            )
+            if hit not in self._procedures:
+                if ine:
+                    return status("DROP PROCEDURE skipped")
+                raise ValueError(f'procedure "{name}" does not exist')
+            del self._procedures[hit]
+            return status("DROP PROCEDURE")
+        call = _ts.parse_call(query)
+        if call is not None:
+            name, args = call
+            key = name.lower()
+            p = self._procedures.get(key) or self._procedures.get(
+                key.split(".")[-1].split("__")[-1]
+            )
+            if p is None:
+                raise ValueError(f'procedure "{name}" does not exist')
+            if len(args) != len(p["params"]):
+                raise ValueError(
+                    f'procedure "{name}" expects {len(p["params"])} '
+                    f"arguments, got {len(args)}"
+                )
+            pnames = [pn for pn, _ in p["params"]]
+            # validate transaction control BEFORE executing anything:
+            # PG fails the whole CALL, leaving no side effects — an
+            # autocommit engine can only match that by rejecting
+            # upfront, never mid-body
+            tx_heads = [
+                st.strip().rstrip(";").strip().upper()
+                for st in p["stmts"]
+            ]
+            for head in tx_heads:
+                if head in ("COMMIT", "ROLLBACK", "COMMIT WORK",
+                            "ROLLBACK WORK"):
+                    if p["language"] == "sql":
+                        # PG: transaction control is invalid in a
+                        # LANGUAGE SQL procedure — CALL fails
+                        raise ValueError(
+                            "invalid transaction termination: "
+                            f"{head} is not allowed in a SQL procedure"
+                        )
+                    if head.startswith("ROLLBACK"):
+                        raise NotImplementedError(
+                            "ROLLBACK inside a procedure is not "
+                            "supported (autocommit engine — prior "
+                            "statements are already durable)"
+                        )
+            for stmt, head in zip(p["stmts"], tx_heads):
+                if head in ("COMMIT", "COMMIT WORK"):
+                    continue  # plpgsql COMMIT: already committed
+                self.sql(_ts.substitute_params(stmt, pnames, args))
+            return status("CALL")
+        return None
+
     def _execute_ddl(self, query: str):
         """Textual DDL (plans/ddl_sql.py): CREATE TABLE materializes
         an empty writable relation with the PG column types mapped to
@@ -2732,6 +3024,9 @@ class DistributedSession:
         no-ops so reference tutorials run verbatim from their first
         statement. None = not DDL (or a DROP of a non-catalog table —
         Spark's own handling takes those)."""
+        typed = self._execute_type_ddl(query)
+        if typed is not None:
+            return typed
         schema = self._execute_schema_ddl(query)
         if schema is not None:
             return schema
@@ -2800,7 +3095,14 @@ class DistributedSession:
             _re.I,
         ):
             query = self._expand_create_like(query)
-        created = parse_create_table(query)
+        enum_cols: dict[str, str] = {}
+        if self._types:
+            from citus_spark.plans.type_sql import expand_udt_columns
+
+            query, enum_cols = expand_udt_columns(query, self._types)
+        created = parse_create_table(
+            query, self._udt_spark_types() or None
+        )
         if created is not None:
             (
                 name, ddl_schema, if_not_exists, identities, con_ops,
@@ -2835,6 +3137,14 @@ class DistributedSession:
             empty.write.mode("overwrite").parquet(path)
             self.spark.read.parquet(path).createOrReplaceTempView(name)
             entry = self.catalog.register(name, "none", path=path)
+            if enum_cols:
+                entry.enum_cols = dict(enum_cols)
+                for col, tname in enum_cols.items():
+                    t = self._resolve_type(tname)
+                    if t is not None:
+                        # shared list object: ALTER TYPE ADD VALUE
+                        # mutations are visible to the ordering rewrite
+                        self._enum_columns[col.lower()] = t["labels"]
             if partition_by is not None:
                 entry.partition_by = partition_by
                 entry.partitions = {}
@@ -4974,6 +5284,13 @@ class DistributedSession:
                 register_ts_functions(self.spark)
                 self._ts_registered = True
             query = pg_text_search(query)
+        # JSON_TABLE → LATERAL posexplode subquery (plans/
+        # json_table.py) before any cast/array rewrite touches the
+        # COLUMNS type names or path literals
+        if _re.search(r"\bJSON_TABLE\s*\(", query, _re.I):
+            from citus_spark.plans.json_table import pg_json_table
+
+            query = pg_json_table(query)
         # quantified comparisons BEFORE pg_casts: the quantifier's
         # '{...}'::type[] array literals are claimed (with their cast
         # suffix) by pg_quantified; pg_casts's scalar ::type rewrite

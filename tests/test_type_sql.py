@@ -1,0 +1,254 @@
+"""PG type-system DDL: CREATE TYPE (enum/composite), CREATE DOMAIN,
+CREATE PROCEDURE / CALL — behaviors from the reference regress heads
+distributed_types.sql:11-71, distributed_domain.sql:9-54,
+sql_procedure.sql:19-40."""
+
+import pytest
+
+from citus_spark.session import DistributedSession
+
+
+@pytest.fixture()
+def sess(spark):
+    return DistributedSession(spark)
+
+
+def test_composite_type_roundtrip(sess):
+    """distributed_types.sql:11-19: composite column, row-value cast,
+    rename propagation, field access."""
+    sess.sql("DROP TABLE IF EXISTS ty_t1")
+    sess.sql("DROP TYPE IF EXISTS ty_tc1")
+    sess.sql("DROP TYPE IF EXISTS ty_tc1_newname")
+    sess.sql("CREATE TYPE ty_tc1 AS (a int, b varchar(20))")
+    sess.sql("CREATE TABLE ty_t1 (a int PRIMARY KEY, b ty_tc1)")
+    sess.sql("INSERT INTO ty_t1 VALUES (1, (2,'3')::ty_tc1)")
+    r = sess.sql(
+        "SELECT a, (b).a AS ba, (b).b AS bb FROM ty_t1"
+    ).collect()
+    assert [tuple(x) for x in r] == [(1, 2, "3")]
+    sess.sql("ALTER TYPE ty_tc1 RENAME TO ty_tc1_newname")
+    sess.sql("INSERT INTO ty_t1 VALUES (3, (4,'5')::ty_tc1_newname)")
+    r = sess.sql(
+        "SELECT a, b.a AS ba FROM ty_t1 ORDER BY a"
+    ).collect()
+    assert [tuple(x) for x in r] == [(1, 2), (3, 4)]
+    # arity mismatch fails loudly
+    with pytest.raises(ValueError, match="composite"):
+        sess.sql("INSERT INTO ty_t1 VALUES (9, (1,2,3)::ty_tc1_newname)")
+
+
+def test_enum_type_full_lifecycle(sess):
+    """distributed_types.sql:25-41: enum column + CHECK, RENAME TO,
+    ADD VALUE, declaration-order comparisons, SET SCHEMA cast."""
+    sess.sql("DROP TABLE IF EXISTS ty_t2")
+    for t in ("ty_te1", "ty_te1_newname"):
+        sess.sql(f"DROP TYPE IF EXISTS {t}")
+    sess.sql("CREATE TYPE ty_te1 AS ENUM ('one', 'two', 'three')")
+    sess.sql("CREATE TABLE ty_t2 (a int PRIMARY KEY, b ty_te1)")
+    sess.sql("INSERT INTO ty_t2 VALUES (1, 'two')")
+    sess.sql("ALTER TYPE ty_te1 RENAME TO ty_te1_newname")
+    sess.sql("ALTER TYPE ty_te1_newname ADD VALUE 'four'")
+    sess.sql("UPDATE ty_t2 SET b = 'four'")
+    sess.sql("INSERT INTO ty_t2 VALUES (3, 'three'::ty_te1_newname)")
+    sess.sql("INSERT INTO ty_t2 VALUES (4, 'one')")
+    # declaration order, not lexical: one < three < four
+    r = sess.sql("SELECT a FROM ty_t2 ORDER BY b").collect()
+    assert [x.a for x in r] == [4, 3, 1]
+    assert [
+        x.a for x in sess.sql(
+            "SELECT a FROM ty_t2 WHERE b > 'three' ORDER BY a"
+        ).collect()
+    ] == [1]
+    mn, mx = sess.sql(
+        "SELECT min(b) AS mn, max(b) AS mx FROM ty_t2"
+    ).collect()[0]
+    assert (mn, mx) == ("one", "four")
+    # label outside the set → CHECK violation
+    with pytest.raises(ValueError, match="check constraint"):
+        sess.sql("INSERT INTO ty_t2 VALUES (9, 'nope')")
+    # invalid cast label errors at rewrite time
+    with pytest.raises(ValueError, match="invalid input value"):
+        sess.sql("INSERT INTO ty_t2 VALUES (9, 'nope'::ty_te1_newname)")
+
+
+def test_enum_add_value_before_and_rename_value(sess):
+    sess.sql("DROP TABLE IF EXISTS ty_t3")
+    sess.sql("DROP TYPE IF EXISTS ty_sz")
+    sess.sql("CREATE TYPE ty_sz AS ENUM ('small', 'large')")
+    sess.sql("ALTER TYPE ty_sz ADD VALUE 'medium' BEFORE 'large'")
+    sess.sql("ALTER TYPE ty_sz ADD VALUE IF NOT EXISTS 'medium'")
+    sess.sql("CREATE TABLE ty_t3 (a int, sz ty_sz)")
+    sess.sql(
+        "INSERT INTO ty_t3 VALUES (1,'small'), (2,'medium'), (3,'large')"
+    )
+    assert [
+        x.a for x in sess.sql(
+            "SELECT a FROM ty_t3 ORDER BY sz DESC"
+        ).collect()
+    ] == [3, 2, 1]
+    # RENAME VALUE rewrites stored rows (PG stores oids; we must
+    # rewrite the label text)
+    sess.sql("ALTER TYPE ty_sz RENAME VALUE 'medium' TO 'mid'")
+    assert sess.sql(
+        "SELECT sz FROM ty_t3 WHERE a = 2"
+    ).collect()[0][0] == "mid"
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("ALTER TYPE ty_sz RENAME VALUE 'medium' TO 'x'")
+
+
+def test_enum_set_schema_qualified_cast(sess):
+    sess.sql("DROP TABLE IF EXISTS ty_t4")
+    sess.sql("DROP TYPE IF EXISTS ty_mood")
+    sess.sql("CREATE SCHEMA IF NOT EXISTS ty_schema2")
+    sess.sql("CREATE TYPE ty_mood AS ENUM ('sad', 'ok', 'happy')")
+    sess.sql("CREATE TABLE ty_t4 (a int, m ty_mood)")
+    sess.sql("ALTER TYPE ty_mood SET SCHEMA ty_schema2")
+    sess.sql("INSERT INTO ty_t4 VALUES (1, 'ok'::ty_schema2.ty_mood)")
+    assert sess.sql("SELECT m FROM ty_t4").collect()[0][0] == "ok"
+
+
+def test_create_type_rejects_unsupported(sess):
+    with pytest.raises(NotImplementedError, match="RANGE"):
+        sess.sql("CREATE TYPE ty_r AS RANGE (subtype = int)")
+    with pytest.raises(NotImplementedError, match="shell"):
+        sess.sql("CREATE TYPE ty_shell")
+    sess.sql("DROP TYPE IF EXISTS ty_dup")
+    sess.sql("CREATE TYPE ty_dup AS ENUM ('x')")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("CREATE TYPE ty_dup AS ENUM ('y')")
+    with pytest.raises(NotImplementedError, match="ADD"):
+        sess.sql("ALTER TYPE ty_dup ADD ATTRIBUTE z int")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("DROP TYPE ty_never_created")
+    sess.sql("DROP TYPE IF EXISTS ty_never_created")  # no error
+
+
+def test_domain_constraints_enforced(sess):
+    """distributed_domain.sql:9-22 + 46-54: CHECK enforced on writes,
+    DEFAULT/NOT NULL from the domain, any clause order."""
+    for t in ("ty_bar", "ty_addr"):
+        sess.sql(f"DROP TABLE IF EXISTS {t}")
+    for d in ("ty_age", "ty_zip", "ty_wd"):
+        sess.sql(f"DROP DOMAIN IF EXISTS {d}")
+    sess.sql("CREATE DOMAIN ty_age AS int CHECK( VALUE >= 0 )")
+    sess.sql("CREATE TABLE ty_bar (a ty_age)")
+    sess.sql("INSERT INTO ty_bar VALUES (5)")
+    with pytest.raises(ValueError, match="check constraint"):
+        sess.sql("INSERT INTO ty_bar VALUES (-1)")
+    # regex-checked text domain (us_postal_code shape)
+    sess.sql(
+        "CREATE DOMAIN ty_zip AS TEXT CHECK( VALUE ~ '^\\d{5}$' )"
+    )
+    sess.sql("CREATE TABLE ty_addr (postal ty_zip NOT NULL)")
+    sess.sql("INSERT INTO ty_addr VALUES ('12345')")
+    with pytest.raises(ValueError, match="check constraint"):
+        sess.sql("INSERT INTO ty_addr VALUES ('1234x')")
+    # DEFAULT + NOT NULL + CHECK in one domain, CHECK-before-DEFAULT
+    # order (distributed_domain.sql:52)
+    sess.sql("CREATE DOMAIN ty_wd AS int CHECK (value > 0) DEFAULT 7")
+    sess.sql("DROP TABLE IF EXISTS ty_wdt")
+    sess.sql("CREATE TABLE ty_wdt (id int, v ty_wd)")
+    sess.sql("INSERT INTO ty_wdt (id) VALUES (1)")
+    assert sess.sql("SELECT v FROM ty_wdt").collect()[0][0] == 7
+    sess.sql("DROP DOMAIN ty_age")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("DROP DOMAIN ty_age")
+
+
+def test_procedure_sql_language(sess):
+    """sql_procedure.sql:19-40: CALL runs the body sequentially with
+    substituted arguments; COMMIT/ROLLBACK in a SQL body fail the
+    whole CALL with no side effects."""
+    sess.sql("DROP TABLE IF EXISTS ty_proc_t")
+    for p in ("ty_p_di", "ty_p_commit"):
+        sess.sql(f"DROP PROCEDURE IF EXISTS {p}")
+    sess.sql("CREATE TABLE ty_proc_t (id integer, org_id integer)")
+    sess.sql("INSERT INTO ty_proc_t VALUES (1, 1)")
+    sess.sql(
+        "CREATE PROCEDURE ty_p_di(id int, org_id int) LANGUAGE SQL "
+        "AS $$ DELETE FROM ty_proc_t; "
+        "INSERT INTO ty_proc_t VALUES(id, org_id); $$"
+    )
+    sess.sql("CALL ty_p_di(2,3)")
+    assert [
+        tuple(r)
+        for r in sess.sql(
+            "SELECT * FROM ty_proc_t ORDER BY 1, 2"
+        ).collect()
+    ] == [(2, 3)]
+    sess.sql(
+        "CREATE PROCEDURE ty_p_commit(tt_id int, tt_org_id int) "
+        "LANGUAGE SQL AS $$ DELETE FROM ty_proc_t; COMMIT; "
+        "INSERT INTO ty_proc_t VALUES(tt_id, -1); $$"
+    )
+    with pytest.raises(ValueError, match="transaction termination"):
+        sess.sql("CALL ty_p_commit(2,5)")
+    # the failed CALL left NO side effects (PG rolls the CALL back)
+    assert [
+        tuple(r) for r in sess.sql("SELECT * FROM ty_proc_t").collect()
+    ] == [(2, 3)]
+    with pytest.raises(ValueError, match="expects 2"):
+        sess.sql("CALL ty_p_di(1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("CALL ty_p_never(1)")
+    sess.sql("DROP PROCEDURE ty_p_di(int, int)")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("CALL ty_p_di(2,3)")
+
+
+def test_procedure_plpgsql(sess):
+    """sql_procedure.sql:63-95: plpgsql BEGIN..END procedures; COMMIT
+    is a no-op (autocommit == committed state), ROLLBACK rejects
+    loudly BEFORE any statement runs."""
+    sess.sql("DROP TABLE IF EXISTS ty_proc_p")
+    for p in ("ty_pp", "ty_pp_rb"):
+        sess.sql(f"DROP PROCEDURE IF EXISTS {p}")
+    sess.sql("CREATE TABLE ty_proc_p (id integer, org_id integer)")
+    sess.sql("INSERT INTO ty_proc_p VALUES (2, 3)")
+    sess.sql(
+        """CREATE PROCEDURE ty_pp(tt_id int, tt_org_id int)
+LANGUAGE PLPGSQL AS $$
+BEGIN
+    UPDATE ty_proc_p SET org_id = tt_org_id WHERE id = tt_id;
+    COMMIT;
+    INSERT INTO ty_proc_p VALUES (tt_id, tt_org_id);
+END;
+$$"""
+    )
+    sess.sql("CALL ty_pp(2,30)")
+    assert [
+        tuple(r)
+        for r in sess.sql(
+            "SELECT * FROM ty_proc_p ORDER BY 1, 2"
+        ).collect()
+    ] == [(2, 30), (2, 30)]
+    sess.sql(
+        """CREATE PROCEDURE ty_pp_rb(x int) LANGUAGE PLPGSQL AS $$
+BEGIN
+    DELETE FROM ty_proc_p;
+    ROLLBACK;
+END;
+$$"""
+    )
+    with pytest.raises(NotImplementedError, match="ROLLBACK"):
+        sess.sql("CALL ty_pp_rb(1)")
+    # rejected upfront — the DELETE never ran
+    assert sess.sql("SELECT count(*) FROM ty_proc_p").collect()[0][0] == 2
+
+
+def test_procedure_parse_rejections():
+    from citus_spark.plans.type_sql import parse_create_procedure
+
+    with pytest.raises(NotImplementedError, match="OUT"):
+        parse_create_procedure(
+            "CREATE PROCEDURE p(OUT x int) LANGUAGE SQL AS $$ SELECT 1 $$"
+        )
+    with pytest.raises(NotImplementedError, match="DECLARE"):
+        parse_create_procedure(
+            "CREATE PROCEDURE p(x int) LANGUAGE plpgsql AS $$ "
+            "DECLARE y int; BEGIN SELECT 1; END; $$"
+        )
+    with pytest.raises(NotImplementedError, match="LANGUAGE c"):
+        parse_create_procedure(
+            "CREATE PROCEDURE p(x int) LANGUAGE C AS 'lib', 'sym'"
+        )
