@@ -178,7 +178,7 @@ _ALTER = re.compile(
 )
 
 
-def parse_alter_table(sql: str):
+def parse_alter_table(sql: str, udts: dict[str, str] | None = None):
     """→ (table, op, args) for the supported ALTER TABLE actions:
     ('add', col, spark_type) / ('drop', col) / ('rename_col', a, b) /
     ('rename_table', new). None when not ALTER TABLE; raises on
@@ -244,7 +244,7 @@ def parse_alter_table(sql: str):
         return name, (
             "add_generated",
             gm.group(1),
-            _map_type(type_txt),
+            _map_type(type_txt, udts),
             gexpr,
         )
     am = re.match(
@@ -259,7 +259,7 @@ def parse_alter_table(sql: str):
         # PG's semantics (silently NULL-filling instead would diverge
         # aggregates on tutorial scripts)
         return name, (
-            "add", am.group(1), _map_type(am.group(2)),
+            "add", am.group(1), _map_type(am.group(2), udts),
             am.group(3).strip() if am.group(3) else None,
         )
     dm = re.match(
@@ -302,7 +302,7 @@ def parse_alter_table(sql: str):
         # through the DDL machinery); executed here as a
         # rewrite-with-cast through the copy-on-write path
         return name, (
-            "alter_type", at.group(1), _map_type(at.group(2)),
+            "alter_type", at.group(1), _map_type(at.group(2), udts),
             at.group(3).strip() if at.group(3) else None,
         )
     raise NotImplementedError(

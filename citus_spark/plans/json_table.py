@@ -32,9 +32,21 @@ from citus_spark.plans.rewrites import (
 _JSON_TABLE = re.compile(r"\bJSON_TABLE\s*\(", re.I)
 _REJECT = re.compile(
     r"\b(NESTED|EXISTS|FORMAT\s+JSON|WITH\s+WRAPPER|WITHOUT\s+WRAPPER"
-    r"|ON\s+EMPTY|ON\s+ERROR|PLAN\b)",
+    r"|ON\s+EMPTY|ON\s+ERROR|PLAN)\b",
     re.I,
 )
+
+
+def _unsupported_keyword(inner: str) -> str | None:
+    """First rejected JSON_TABLE keyword in `inner`, ignoring string
+    literals (a PATH like '$.nested_id' must not trigger) and
+    identifiers that merely contain a keyword (nested_id, exists_flag
+    stay valid — both boundaries are closed)."""
+    spans = _masked_spans(inner)
+    for m in _REJECT.finditer(inner):
+        if not any(a <= m.start() < b for a, b in spans):
+            return m.group(1).upper()
+    return None
 
 
 def has_json_table(sql: str) -> bool:
@@ -100,8 +112,8 @@ def pg_json_table(sql: str) -> str:
         if close < 0:
             raise ValueError("JSON_TABLE: unbalanced parentheses")
         inner = sql[m.end() : close]
-        if _REJECT.search(inner):
-            kw = _REJECT.search(inner).group(1).upper()
+        kw = _unsupported_keyword(inner)
+        if kw is not None:
             raise NotImplementedError(
                 f"JSON_TABLE {kw} clauses are not supported (flat "
                 "COLUMNS with PATH / FOR ORDINALITY are)"

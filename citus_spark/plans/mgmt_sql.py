@@ -137,6 +137,11 @@ def _parse_value(text: str):
     m = re.match(r"^'((?:[^']|'')*)'$", text)
     if m:
         return m.group(1).replace("''", "'")
+    # dollar-quoted argument ($$..$$ / $tag$..$tag$) — the regress
+    # scripts pass run_command_on_workers bodies this way
+    dm = re.match(r"^\$(?P<tag>\w*)\$(?P<body>.*)\$(?P=tag)\$$", text, re.S)
+    if dm:
+        return dm.group("body").strip()
     if re.match(r"^-?\d+$", text):
         return int(text)
     # PG numeric spellings: .5, 5., 1.25, 1e-3 (strategy thresholds)

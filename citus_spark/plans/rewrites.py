@@ -25,7 +25,13 @@ from __future__ import annotations
 import re
 
 # '...literal...' (with '' escapes), -- line comments, /* block */
-_SEGMENT = re.compile(r"('(?:[^']|'')*')|(--[^\n]*)|(/\*.*?\*/)", re.DOTALL)
+# dollar-quoted bodies ($$..$$ / $tag$..$tag$) are PG string literals
+# (function/procedure bodies, run_command_on_workers arguments) —
+# masked like '..' strings so splitters/rewrites never fire inside one
+_SEGMENT = re.compile(
+    r"('(?:[^']|'')*')|(\$(\w*)\$.*?\$\3\$)|(--[^\n]*)|(/\*.*?\*/)",
+    re.DOTALL,
+)
 
 # COUNT(DISTINCT col) with a simple column or qualified name inside
 _COUNT_DISTINCT = re.compile(
@@ -47,7 +53,15 @@ def _segments(sql: str) -> list[tuple[str, str]]:
     pos = 0
     for m in _SEGMENT.finditer(sql):
         out.append(("code", sql[pos : m.start()]))
-        kind = "literal" if m.group(1) is not None else "comment"
+        # group 1 = '..' string, group 2 = $tag$..$tag$ body — both
+        # are LITERALS (dollar quoting is PG string syntax); only the
+        # comment groups classify as 'comment' (review fix: literal-
+        # adjacency logic must fire for dollar-quoted strings too)
+        kind = (
+            "literal"
+            if m.group(1) is not None or m.group(2) is not None
+            else "comment"
+        )
         out.append((kind, m.group(0)))
         pos = m.end()
     out.append(("code", sql[pos:]))

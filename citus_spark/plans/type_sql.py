@@ -269,10 +269,10 @@ def parse_create_domain(sql: str):
 # ---------------------------------------------------------------------------
 # CREATE PROCEDURE / CALL
 
-_PROC = re.compile(
+_PROC_HEAD = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+"
-    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<params>[^)]*)\)\s*(?P<tail>.+)$",
-    re.I | re.S,
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\(",
+    re.I,
 )
 _DOLLAR_BODY = re.compile(r"\$(?P<tag>\w*)\$(?P<body>.*)\$(?P=tag)\$", re.S)
 _DROP_PROC = re.compile(
@@ -291,10 +291,16 @@ def parse_create_procedure(sql: str):
     """→ (name, [(param, pg_type)], language, [body statements]) |
     None. OUT/INOUT parameters reject loudly (no return channel in
     CALL here)."""
-    m = _PROC.match(sql)
+    m = _PROC_HEAD.match(sql)
     if not m:
         return None
-    tail = m.group("tail")
+    # balanced scan so parenthesized parameter types — numeric(18,2),
+    # varchar(10) — don't truncate the list (review fix)
+    close = _masked_close_paren(sql, m.end(), _masked_spans(sql))
+    if close < 0:
+        raise ValueError("CREATE PROCEDURE: unbalanced parameter list")
+    params_text = sql[m.end() : close]
+    tail = sql[close + 1 :]
     lm = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.I)
     if not lm:
         raise ValueError("CREATE PROCEDURE: missing LANGUAGE")
@@ -313,7 +319,7 @@ def parse_create_procedure(sql: str):
             raise ValueError("CREATE PROCEDURE: missing AS $$body$$")
         body = qm.group(1).replace("''", "'")
     params: list[tuple[str, str]] = []
-    for item in _split_top_level(m.group("params")):
+    for item in _split_top_level(params_text):
         if not item.strip():
             continue
         pm = re.match(
@@ -401,9 +407,15 @@ def substitute_params(
     if not repl:
         return stmt
     spans = _masked_spans(stmt)
+    # longest name first so a parameter that prefixes another (id /
+    # id_2) can't shadow it; both boundaries closed so `cap` never
+    # rewrites inside `capacity` (review fix)
+    names = sorted(repl, key=len, reverse=True)
     pat = re.compile(
-        r"(?<![\w.$])(" + "|".join(re.escape(p) for p in repl) + r")(?!\s*[(.])"
-        , re.I,
+        r"(?<![\w.$])("
+        + "|".join(re.escape(p) for p in names)
+        + r")(?![\w$])(?!\s*[(.])",
+        re.I,
     )
 
     def sub(m: re.Match) -> str:
@@ -523,13 +535,23 @@ def rewrite_type_exprs(sql: str, types: dict[str, dict]) -> str:
     out.append(sql[last:])
     sql = "".join(out)
 
-    # composite field access: (ident).field → ident.field
-    sql = re.sub(
-        r"\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*([A-Za-z_]\w*)",
-        r"\1.\2",
+    # composite field access: (ident).field → ident.field. The open
+    # paren must not follow an identifier character (substr(x).y is a
+    # CALL, not field access) and matches inside string literals stay
+    # verbatim (review fix).
+    spans = _masked_spans(sql)
+    out, last = [], 0
+    for m in re.finditer(
+        r"(?<![\w.$'])\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*([A-Za-z_]\w*)",
         sql,
-    )
-    return sql
+    ):
+        if any(a <= m.start() < b for a, b in spans) or m.start() < last:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f"{m.group(1)}.{m.group(2)}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def rewrite_enum_ordering(sql: str, col_labels: dict[str, list]) -> str:
@@ -561,6 +583,17 @@ def rewrite_enum_ordering(sql: str, col_labels: dict[str, list]) -> str:
         def cmp1(m: re.Match) -> str:
             if not unmasked(m):
                 return m.group(0)
+            lit = next(
+                g for g in (m.group(1), m.group(3)) if g.startswith("'")
+            )
+            label = lit[1:-1].replace("''", "'")
+            if label not in labels:
+                # PG raises, it never silently returns zero rows —
+                # and this also catches a same-named column of a
+                # DIFFERENT enum slipping into the rewrite
+                raise ValueError(
+                    f"invalid input value for enum: {label!r}"
+                )
             return (
                 f"array_position({arr}, {m.group(1)}) {m.group(2)} "
                 f"array_position({arr}, {m.group(3)})"
@@ -739,7 +772,19 @@ def expand_udt_columns(sql: str, types: dict[str, dict]):
                     enum_cols[col] = t["name"]
                 elif t["kind"] == "domain":
                     parts = []
-                    if t.get("default") is not None:
+                    rest_spans = _masked_spans(cm.group("rest"))
+                    has_own_default = any(
+                        not any(
+                            a <= dm.start() < b for a, b in rest_spans
+                        )
+                        for dm in re.finditer(
+                            r"\bDEFAULT\b", cm.group("rest"), re.I
+                        )
+                    )
+                    # PG precedence: a column's own DEFAULT overrides
+                    # the domain's (review fix — prepending both
+                    # produced the unparseable '1 DEFAULT 5')
+                    if t.get("default") is not None and not has_own_default:
                         parts.append(f"DEFAULT {t['default']}")
                     if t.get("not_null"):
                         parts.append("NOT NULL")

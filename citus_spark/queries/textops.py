@@ -3075,3 +3075,84 @@ register_split(
         "explode(split(text, ' '))", "unnest(string_split(text, ' '))"
     ),
 )
+
+
+# --- JSONL shard export round-trip (training-data handoff) ------------------
+# Drives sources/ingest.copy_to_jsonl_shards (hash-routed .json shard
+# files) and reads the export back: the aggregate per lang must equal
+# what DuckDB derives from the source table — any row lost, duplicated
+# or value-mangled by the export/parse cycle breaks the hash. The
+# shard count is part of the check (4 part files requested).
+def jsonl_shard_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from citus_spark.sources.ingest import copy_to_jsonl_shards
+
+    load_views(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"citus_spark_jsonl_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    docs = spark.table("documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    copy_to_jsonl_shards(docs, out, n_shards=4, shard_col="doc_id")
+    parts = len(
+        [f for f in os.listdir(out) if f.startswith("part-")]
+    )
+    back = spark.read.json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.countDistinct("doc_id").cast("long").alias("ids"),
+        )
+        .withColumn("shards", F.lit(parts).cast("long"))
+        .orderBy("lang")
+    )
+
+
+register_split(
+    "jsonl_shard_roundtrip",
+    jsonl_shard_roundtrip,
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS ids,
+       CAST(4 AS BIGINT) AS shards
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+
+
+# --- small-file compaction planning ------------------------------------------
+# The bin-pack assignment compact_table executes (sources/ingest.py),
+# expressed declaratively: cumulative bytes in doc_id order, files cut
+# at 64 KiB boundaries. All-integer arithmetic (65536 is a power of
+# two, so the double division is exact) → hash-exact across engines.
+register_shared_sql(
+    "compaction_binpack_plan",
+    """
+WITH sized AS (
+  SELECT doc_id, n_chars AS bytes,
+         sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT CAST(floor((cum - bytes) / 65536.0) AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bytes) AS BIGINT) AS sz,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM sized
+GROUP BY 1
+ORDER BY 1
+""",
+)

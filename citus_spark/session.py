@@ -271,12 +271,12 @@ class DistributedSession:
         self._next_schema_colocation = 100001
         # user-defined types (plans/type_sql.py): lowercase name →
         # {"kind": "enum"|"composite"|"domain", "name": str, ...}.
-        # _enum_columns: column name → labels list (shared object with
-        # the type entry, so ALTER TYPE ADD VALUE updates both) for
-        # the ordered-comparison rewrite; duplicate column names
-        # across tables share the last-registered label set.
+        # Enum-typed COLUMNS live on each catalog entry (enum_cols);
+        # the ordering rewrite resolves them per statement from the
+        # tables the statement references (review fix: a session-
+        # global column-name map mis-bound same-named columns of
+        # different enum types).
         self._types: dict[str, dict] = {}
-        self._enum_columns: dict[str, list] = {}
         # procedures: lowercase name → {"params": [(name, pg_type)],
         # "language": str, "stmts": [sql]}
         self._procedures: dict[str, dict] = {}
@@ -539,7 +539,22 @@ class DistributedSession:
             "enable_schema_based_sharding",
             lambda v: str(v).lower() in ("on", "true", "1"),
         ),
+        # bookkeeping GUCs the regress scripts set on every run:
+        # next_shard_id seeds shard naming (ours are content-derived —
+        # recorded, reported by SHOW, not load-bearing);
+        # enable_ddl_propagation gates worker metadata propagation the
+        # reference performs eagerly — this engine's registry IS the
+        # catalog, so types/domains are always "created just in time"
+        # on use, which is exactly the OFF behavior's contract
+        # (distributed_types.sql:70-76).
+        "citus.next_shard_id": ("next_shard_id", int),
+        "citus.enable_ddl_propagation": (
+            "enable_ddl_propagation",
+            lambda v: str(v).lower() in ("on", "true", "1"),
+        ),
     }
+    next_shard_id: int = 102008
+    enable_ddl_propagation: bool = True
     enable_schema_based_sharding: bool = False
 
     def _execute_guc(self, query: str) -> DataFrame | None:
@@ -561,6 +576,39 @@ class DistributedSession:
             raw = m.group(2).strip().strip("'\"")
             setattr(self, attr, parse(raw))
             return self.spark.sql("SELECT 'SET' AS status")
+        # SET search_path — every regress script's second statement.
+        # This engine resolves bare names in ONE session-global
+        # namespace (schema-qualified spellings mangle to it), which
+        # is PG's behavior when all objects live on the search path;
+        # the setting is recorded and SHOWable, not resolution-
+        # changing. RESET restores the PG default.
+        m = _re.match(
+            r"^\s*SET\s+SEARCH_PATH\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
+            query, _re.I,
+        )
+        if m:
+            self._search_path = m.group(1).strip()
+            return self.spark.sql("SELECT 'SET' AS status")
+        if _re.match(r"^\s*RESET\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
+            self._search_path = '"$user", public'
+            return self.spark.sql("SELECT 'RESET' AS status")
+        if _re.match(r"^\s*SHOW\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
+            return self.spark.createDataFrame(
+                [(getattr(self, "_search_path", '"$user", public'),)],
+                "search_path string",
+            )
+        m = _re.match(
+            r"^\s*RESET\s+(citus\.[\w.]+)\s*;?\s*$", query, _re.I
+        )
+        if m:
+            name = m.group(1).lower()
+            if name not in self._GUCS:
+                raise ValueError(f"unknown GUC {name!r}")
+            attr, _ = self._GUCS[name]
+            # restore the class-level default (instance attr shadowed)
+            if attr in self.__dict__:
+                del self.__dict__[attr]
+            return self.spark.sql("SELECT 'RESET' AS status")
         m = _re.match(r"^\s*SHOW\s+(citus\.[\w.]+)\s*;?\s*$", query, _re.I)
         if m:
             name = m.group(1).lower()
@@ -645,12 +693,16 @@ class DistributedSession:
             from citus_spark.plans.type_sql import rewrite_type_exprs
 
             query = rewrite_type_exprs(query, self._types)
-        if self._enum_columns and not _re.match(
+        if self._types and not _re.match(
             r"\s*(CREATE|ALTER|DROP)\b", query, _re.I
         ):
-            from citus_spark.plans.type_sql import rewrite_enum_ordering
+            col_labels = self._enum_cols_for_statement(query)
+            if col_labels:
+                from citus_spark.plans.type_sql import (
+                    rewrite_enum_ordering,
+                )
 
-            query = rewrite_enum_ordering(query, self._enum_columns)
+                query = rewrite_enum_ordering(query, col_labels)
 
         # FROM ONLY <partitioned parent> (PG: the parent's own rows,
         # which a declaratively partitioned parent never has) → the
@@ -897,8 +949,31 @@ class DistributedSession:
         return self.stat_statements.to_df(self.spark)
 
     def _execute_mgmt(self, query: str) -> DataFrame | None:
+        import re as _re
+
+        from citus_spark.plans.mgmt_sql import parse_mgmt as _pm
+
+        # regress idiom: `SELECT * FROM run_command_on_workers($$..$$)
+        # ORDER BY 1,2` — a positional ORDER BY on the management
+        # relation. Strip it for the call parse, re-apply on the
+        # result (only when the stripped text IS a management call —
+        # ordinary queries keep their ORDER BY untouched).
+        order_pos: list[int] = []
+        om = _re.search(
+            r"\)\s*ORDER\s+BY\s+([\d\s,]+);?\s*$", query, _re.I
+        )
+        if om and _pm(query) is None:
+            candidate = query[: om.start() + 1]
+            if _pm(candidate) is not None:
+                order_pos = [
+                    int(p) for p in om.group(1).split(",") if p.strip()
+                ]
+                query = candidate
         self._last_mgmt_call = None
         out = self._execute_mgmt_inner(query)
+        if out is not None and order_pos:
+            cols = out.columns
+            out = out.orderBy(*[cols[p - 1] for p in order_pos])
         call = self._last_mgmt_call
         if out is not None and call is not None and call.select_item == "1":
             # `SELECT 1 FROM fn(...)`: the call ran for effect; PG
@@ -1691,6 +1766,39 @@ class DistributedSession:
             query, _re.I,
         ):
             query = self._register_pg_dist_views(query)
+        if _re.search(r"\bpg_enum\b", query, _re.I):
+            # ↔ PostgreSQL pg_enum — the regress suites assert label
+            # order through it (distributed_types.sql:67). enumtypid
+            # carries the type NAME (no oids here); the ::regtype fold
+            # below resolves a quoted name to its canonical registry
+            # key so `enumtypid = 'schema.te2'::regtype` compares.
+            rows = [
+                (t["name"], float(i + 1), lbl)
+                for t in self._types.values()
+                if t["kind"] == "enum"
+                for i, lbl in enumerate(t["labels"])
+            ]
+            self.spark.createDataFrame(
+                rows or [("", 0.0, "")],
+                "enumtypid string, enumsortorder double, enumlabel string",
+            ).filter(F.col("enumtypid") != "").createOrReplaceTempView(
+                "_pg_enum"
+            )
+
+            def _regtype_fold(m: _re.Match) -> str:
+                t = self._resolve_type(m.group(1))
+                name = t["name"] if t is not None else m.group(1)
+                return f"'{name}'"
+
+            query = _re.sub(
+                r"'([\w.]+)'\s*::\s*regtype", _regtype_fold, query
+            )
+            query = _map_code(
+                query,
+                lambda c: _re.sub(
+                    r"\bpg_enum\b", "_pg_enum", c, flags=_re.I
+                ),
+            )
         if _re.search(r"\bpg_constraint\b", query, _re.I):
             # ↔ PostgreSQL pg_constraint, the regress suites' way of
             # asserting constraint state. conrelid/confrelid carry the
@@ -2770,6 +2878,43 @@ class DistributedSession:
         tail = n.split(".")[-1].split("__")[-1]
         return self._types.get(tail)
 
+    def _enum_cols_for_statement(self, query: str) -> dict[str, list]:
+        """Enum-typed columns of the tables THIS statement references
+        (word-boundary table-name match) → their label lists. Two
+        referenced tables binding the same column name to different
+        label sets reject loudly — a textual rewrite cannot resolve
+        per-alias scoping, and a silent wrong label order would
+        corrupt results. Columns reached only through views are not
+        rewritten (equality still works; ordering reverts to lexical
+        — documented divergence)."""
+        import re
+
+        out: dict[str, list] = {}
+        for entry in self.catalog.tables().values():
+            if not entry.enum_cols:
+                continue
+            if not re.search(
+                rf"(?<![\w.]){re.escape(entry.name)}(?![\w])",
+                query,
+                re.I,
+            ):
+                continue
+            for col, tname in entry.enum_cols.items():
+                t = self._resolve_type(tname)
+                if t is None:
+                    continue
+                prev = out.get(col.lower())
+                if prev is not None and list(prev) != list(t["labels"]):
+                    raise NotImplementedError(
+                        f'column "{col}" is enum-typed with different '
+                        "label sets in two tables referenced by this "
+                        "statement — qualify with distinct column "
+                        "names (textual enum-order rewriting cannot "
+                        "scope per alias)"
+                    )
+                out[col.lower()] = t["labels"]
+        return out
+
     def _refresh_enum_checks(self, t: dict) -> None:
         """ALTER TYPE ADD/RENAME VALUE: every table column of this
         enum type carries an auto CHECK on the label set — rewrite
@@ -2942,6 +3087,17 @@ class DistributedSession:
                     if ine:
                         continue
                     raise ValueError(f'{what} "{n}" does not exist')
+                # PG RESTRICT: a type with dependent table columns
+                # cannot be dropped (review fix: dropping it left the
+                # ordering rewrite reading a dead label set)
+                for entry in self.catalog.tables().values():
+                    for col, tname in (entry.enum_cols or {}).items():
+                        if self._resolve_type(tname) is t:
+                            raise ValueError(
+                                f'cannot drop {what} "{n}" because '
+                                f'column "{col}" of table '
+                                f'"{entry.name}" requires it'
+                            )
                 self._types.pop(t["name"], None)
             return status(f"DROP {what.upper()}")
         proc = _ts.parse_create_procedure(query)
@@ -2978,6 +3134,13 @@ class DistributedSession:
                 key.split(".")[-1].split("__")[-1]
             )
             if p is None:
+                from citus_spark.plans.mgmt_sql import _FNS
+
+                if key.split(".")[-1] in _FNS:
+                    # built-in management procedure (CALL
+                    # drop_old_time_partitions, ..) — the mgmt
+                    # executor owns it
+                    return None
                 raise ValueError(f'procedure "{name}" does not exist')
             if len(args) != len(p["params"]):
                 raise ValueError(
@@ -3139,12 +3302,6 @@ class DistributedSession:
             entry = self.catalog.register(name, "none", path=path)
             if enum_cols:
                 entry.enum_cols = dict(enum_cols)
-                for col, tname in enum_cols.items():
-                    t = self._resolve_type(tname)
-                    if t is not None:
-                        # shared list object: ALTER TYPE ADD VALUE
-                        # mutations are visible to the ordering rewrite
-                        self._enum_columns[col.lower()] = t["labels"]
             if partition_by is not None:
                 entry.partition_by = partition_by
                 entry.partitions = {}
@@ -3211,7 +3368,7 @@ class DistributedSession:
         from citus_spark.plans.ddl_sql import parse_alter_table
 
         altered = (
-            parse_alter_table(query)
+            parse_alter_table(query, self._udt_spark_types() or None)
             if query.lstrip()[:11].upper().startswith("ALTER TABLE")
             else None
         )
@@ -3263,6 +3420,34 @@ class DistributedSession:
                 new = cur.withColumn(op[1], fill.cast(op[2]))
                 if op[3] is not None:
                     entry.defaults = {**(entry.defaults or {}), op[1]: op[3]}
+                # an enum-typed added column carries the same label
+                # CHECK + ordering registration CREATE TABLE gives
+                tm = _re.search(
+                    r"\bADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?"
+                    r"\w+\s+([\w.]+)",
+                    query,
+                    _re.I,
+                )
+                t_enum = (
+                    self._resolve_type(tm.group(1)) if tm else None
+                )
+                if t_enum is not None and t_enum["kind"] == "enum":
+                    entry.enum_cols = {
+                        **(entry.enum_cols or {}),
+                        op[1]: t_enum["name"],
+                    }
+                    quoted = ", ".join(
+                        "'" + l.replace("'", "''") + "'"
+                        for l in t_enum["labels"]
+                    )
+                    entry.constraints = {
+                        **(entry.constraints or {}),
+                        f"{name}_{op[1]}_check": {
+                            "kind": "c",
+                            "expr": f"{op[1]} IN ({quoted})",
+                            "valid": True,
+                        },
+                    }
             elif op[0] == "add_generated":
                 if op[1] in cur.columns:
                     raise ValueError(f'column "{op[1]}" already exists')
@@ -5284,6 +5469,19 @@ class DistributedSession:
                 register_ts_functions(self.spark)
                 self._ts_registered = True
             query = pg_text_search(query)
+        # 'name'::regtype resolves a registered type name to its
+        # canonical registry key (PG resolves to the type oid and
+        # prints the name); unknown names stay put and error loudly
+        # downstream, like PG's "type does not exist"
+        if _re.search(r"::\s*regtype", query, _re.I):
+            def _regtype(m: _re.Match) -> str:
+                t = self._resolve_type(m.group(1))
+                return f"'{t['name']}'" if t is not None else m.group(0)
+
+            query = _re.sub(
+                r"'([\w.]+)'\s*::\s*regtype", _regtype, query,
+                flags=_re.I,
+            )
         # JSON_TABLE → LATERAL posexplode subquery (plans/
         # json_table.py) before any cast/array rewrite touches the
         # COLUMNS type names or path literals

@@ -99,3 +99,29 @@ WHERE jt_films.id = 1 ORDER BY 1
 """
     ).collect()
     assert [tuple(x) for x in r] == [(1, "comedy"), (2, "horror")]
+
+
+def test_json_table_keyword_like_names_allowed(films):
+    """Columns/paths that merely CONTAIN rejected keywords are fine
+    (review fix: nested_id / exists_flag / '$.plan[*]' were
+    rejected)."""
+    films.sql("DROP TABLE IF EXISTS jt_kw")
+    films.sql("CREATE TABLE jt_kw (js text)")
+    films.sql(
+        "INSERT INTO jt_kw VALUES ('[{\"nested_id\": 1, "
+        "\"exists_flag\": 2}]')"
+    )
+    r = films.sql(
+        "SELECT jt.nested_id, jt.exists_flag FROM jt_kw, "
+        "JSON_TABLE (js, '$' COLUMNS (nested_id int, "
+        "exists_flag int)) AS jt"
+    ).collect()
+    assert [tuple(x) for x in r] == [(1, 2)]
+    films.sql("DROP TABLE IF EXISTS jt_plan")
+    films.sql("CREATE TABLE jt_plan (js text)")
+    films.sql("INSERT INTO jt_plan VALUES ('{\"plan\": [{\"v\": 3}]}')")
+    r2 = films.sql(
+        "SELECT jt.v FROM jt_plan, JSON_TABLE (js, '$.plan[*]' "
+        "COLUMNS (v int)) AS jt"
+    ).collect()
+    assert [x.v for x in r2] == [3]

@@ -252,3 +252,122 @@ def test_procedure_parse_rejections():
         parse_create_procedure(
             "CREATE PROCEDURE p(x int) LANGUAGE C AS 'lib', 'sym'"
         )
+
+
+# --- review-fix regressions (r9 code-review pass) ---------------------------
+
+def test_substitute_params_word_boundaries():
+    from citus_spark.plans.type_sql import substitute_params
+
+    out = substitute_params(
+        "UPDATE t SET total = cap WHERE capacity > 1 AND cap < 9",
+        ["cap"], ["10"],
+    )
+    assert out == "UPDATE t SET total = (10) WHERE capacity > 1 AND (10) < 9"
+    # longest-first: a parameter that prefixes another
+    out2 = substitute_params("SELECT id, id_2", ["id", "id_2"], ["7", "8"])
+    assert out2 == "SELECT (7), (8)"
+    # literals stay put
+    out3 = substitute_params("SELECT 'cap', cap", ["cap"], ["1"])
+    assert out3 == "SELECT 'cap', (1)"
+
+
+def test_field_access_rewrite_scoped():
+    from citus_spark.plans.type_sql import rewrite_type_exprs
+
+    types = {"ct": {"kind": "composite", "name": "ct",
+                    "fields": [("a", "int")], "spark": "struct<a:int>"}}
+    # function call result and string literal stay verbatim
+    sql = "SELECT substr(x).y, 'keep (a).b' FROM t WHERE (c).a = 1"
+    out = rewrite_type_exprs(sql, types)
+    assert "substr(x).y" in out
+    assert "'keep (a).b'" in out
+    assert "c.a = 1" in out
+
+
+def test_domain_column_default_precedence(spark):
+    """PG: a column's own DEFAULT overrides the domain's."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_ddp")
+    s.sql("DROP DOMAIN IF EXISTS ty_qd")
+    s.sql("CREATE DOMAIN ty_qd AS int DEFAULT 1 CHECK (VALUE > 0)")
+    s.sql("CREATE TABLE ty_ddp (id int, q ty_qd DEFAULT 5)")
+    s.sql("INSERT INTO ty_ddp (id) VALUES (1)")
+    assert s.sql("SELECT q FROM ty_ddp").collect()[0][0] == 5
+
+
+def test_enum_ordering_is_table_scoped(spark):
+    """Two tables binding the same column name to DIFFERENT enums:
+    each table's statements use its own labels; a statement
+    referencing both rejects loudly; a non-label literal raises like
+    PG instead of silently dropping rows."""
+    s = DistributedSession(spark)
+    for t in ("ty_sc1", "ty_sc2"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    for ty in ("ty_ea", "ty_eb"):
+        s.sql(f"DROP TYPE IF EXISTS {ty}")
+    s.sql("CREATE TYPE ty_ea AS ENUM ('one', 'two', 'three')")
+    s.sql("CREATE TYPE ty_eb AS ENUM ('yes', 'no')")
+    s.sql("CREATE TABLE ty_sc1 (a int, b ty_ea)")
+    s.sql("CREATE TABLE ty_sc2 (a int, b ty_eb)")
+    s.sql("INSERT INTO ty_sc1 VALUES (1, 'one'), (2, 'three')")
+    s.sql("INSERT INTO ty_sc2 VALUES (1, 'yes'), (2, 'no')")
+    # each table resolves its own label set
+    assert [
+        x.a for x in s.sql(
+            "SELECT a FROM ty_sc1 WHERE b > 'one' ORDER BY a"
+        ).collect()
+    ] == [2]
+    assert [
+        x.a for x in s.sql(
+            "SELECT a FROM ty_sc2 ORDER BY b"
+        ).collect()
+    ] == [1, 2]
+    # invalid label raises (PG parity), never returns zero rows
+    with pytest.raises(ValueError, match="invalid input value"):
+        s.sql("SELECT a FROM ty_sc1 WHERE b > 'warn'")
+    # both tables in one statement with conflicting labels → loud
+    with pytest.raises(NotImplementedError, match="different"):
+        s.sql(
+            "SELECT t1.a FROM ty_sc1 t1, ty_sc2 t2 "
+            "WHERE t1.b > 'one' AND t2.a = t1.a"
+        )
+
+
+def test_drop_type_restrict(spark):
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_rt")
+    s.sql("DROP TYPE IF EXISTS ty_er")
+    s.sql("CREATE TYPE ty_er AS ENUM ('a', 'b')")
+    s.sql("CREATE TABLE ty_rt (x ty_er)")
+    with pytest.raises(ValueError, match="requires it"):
+        s.sql("DROP TYPE ty_er")
+    s.sql("DROP TABLE ty_rt")
+    s.sql("DROP TYPE ty_er")  # now drops
+
+
+def test_alter_table_add_enum_column(spark):
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_ac")
+    s.sql("DROP TYPE IF EXISTS ty_lvl")
+    s.sql("CREATE TYPE ty_lvl AS ENUM ('low', 'high')")
+    s.sql("CREATE TABLE ty_ac (id int)")
+    s.sql("INSERT INTO ty_ac VALUES (1)")
+    s.sql("ALTER TABLE ty_ac ADD COLUMN lvl ty_lvl")
+    s.sql("UPDATE ty_ac SET lvl = 'high' WHERE id = 1")
+    with pytest.raises(ValueError, match="check constraint"):
+        s.sql("INSERT INTO ty_ac VALUES (2, 'nope')")
+    # ordering rewrite active for the added column
+    assert s.sql(
+        "SELECT count(*) FROM ty_ac WHERE lvl >= 'low'"
+    ).collect()[0][0] == 1
+
+
+def test_procedure_parenthesized_param_types():
+    from citus_spark.plans.type_sql import parse_create_procedure
+
+    name, params, lang, stmts = parse_create_procedure(
+        "CREATE PROCEDURE p(a numeric(8,2), b int) LANGUAGE SQL "
+        "AS $$ SELECT 1; $$"
+    )
+    assert params == [("a", "numeric(8,2)"), ("b", "int")]
