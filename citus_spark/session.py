@@ -22,6 +22,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from citus_spark.session_mgmt import MgmtSurfaceMixin
+from citus_spark.session_writes import WriteFunnelMixin
 from citus_spark.catalog import (
     DEFAULT_SHARD_COUNT,
     DIST_HASH,
@@ -236,7 +238,7 @@ def _shard_label(dist_col: str, buckets: int, isolated: dict, splits=None):
     return label
 
 
-class DistributedSession:
+class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
     """SparkSession + distribution catalog.
 
     The reference's per-table distribution choice changes *physical*
@@ -935,689 +937,6 @@ class DistributedSession:
             query, key, executor="router" if key is not None else "adaptive"
         )
 
-    def citus_stat_tenants(self) -> DataFrame:
-        """↔ the reference's citus_stat_tenants view (11.3+): query
-        counts per tenant (distribution-key value), derived from
-        router-statement partition keys — the per-tenant resource
-        accounting the partition_key column exists for."""
-        return self.stat_statements.tenants_df(self.spark)
-
-    def citus_stat_statements(self) -> DataFrame:
-        """↔ the reference's citus_stat_statements view (one row per
-        executed statement shape with queryid, normalized text,
-        executor, router partition key, call count)."""
-        return self.stat_statements.to_df(self.spark)
-
-    def _execute_mgmt(self, query: str) -> DataFrame | None:
-        import re as _re
-
-        from citus_spark.plans.mgmt_sql import parse_mgmt as _pm
-
-        # regress idiom: `SELECT * FROM run_command_on_workers($$..$$)
-        # ORDER BY 1,2` — a positional ORDER BY on the management
-        # relation. Strip it for the call parse, re-apply on the
-        # result (only when the stripped text IS a management call —
-        # ordinary queries keep their ORDER BY untouched).
-        order_pos: list[int] = []
-        om = _re.search(
-            r"\)\s*ORDER\s+BY\s+([\d\s,]+);?\s*$", query, _re.I
-        )
-        if om and _pm(query) is None:
-            candidate = query[: om.start() + 1]
-            if _pm(candidate) is not None:
-                order_pos = [
-                    int(p) for p in om.group(1).split(",") if p.strip()
-                ]
-                query = candidate
-        self._last_mgmt_call = None
-        out = self._execute_mgmt_inner(query)
-        if out is not None and order_pos:
-            cols = out.columns
-            out = out.orderBy(*[cols[p - 1] for p in order_pos])
-        call = self._last_mgmt_call
-        if out is not None and call is not None and call.select_item == "1":
-            # `SELECT 1 FROM fn(...)`: the call ran for effect; PG
-            # returns one literal row PER result row (scalar functions
-            # give one, set-returning ones — run_command_on_*,
-            # citus_rebalance_status, citus_job_list — give many)
-            return out.selectExpr("1")
-        return out
-
-    def _execute_mgmt_inner(self, query: str) -> DataFrame | None:
-        """Route the reference's literal SQL management-UDF spellings
-        (SELECT create_distributed_table('t', 'col', colocate_with =>
-        'u'), create_reference_table, alter_distributed_table,
-        undistribute_table, and the citus_tables metadata view) to the
-        session API, so reference DDL scripts run unchanged. Returns
-        None when `query` is not a management call."""
-        from citus_spark.plans.mgmt_sql import (
-            parse_mgmt,
-            rewrite_active_worker_nodes,
-            rewrite_citus_shards,
-            rewrite_citus_stat_activity,
-            rewrite_citus_stat_statements,
-            rewrite_citus_stat_tenants,
-            rewrite_citus_tables,
-            uses_active_worker_nodes,
-            uses_citus_shards,
-            uses_citus_stat_activity,
-            uses_citus_stat_statements,
-            uses_citus_stat_tenants,
-            uses_citus_tables,
-        )
-
-        call = parse_mgmt(query)
-        self._last_mgmt_call = call
-        if call is None:
-            rewritten = query
-            if uses_citus_stat_tenants(rewritten):
-                self.citus_stat_tenants().createOrReplaceTempView(
-                    "_citus_stat_tenants"
-                )
-                rewritten = rewrite_citus_stat_tenants(
-                    rewritten, "_citus_stat_tenants"
-                )
-            if uses_citus_stat_activity(rewritten):
-                self.citus_stat_activity().createOrReplaceTempView(
-                    "_citus_stat_activity"
-                )
-                rewritten = rewrite_citus_stat_activity(
-                    rewritten, "_citus_stat_activity"
-                )
-            if uses_citus_stat_statements(rewritten):
-                self.citus_stat_statements().createOrReplaceTempView(
-                    "_citus_stat_statements"
-                )
-                rewritten = rewrite_citus_stat_statements(
-                    rewritten, "_citus_stat_statements"
-                )
-            if uses_citus_tables(rewritten):
-                self.citus_tables().createOrReplaceTempView("_citus_tables")
-                rewritten = rewrite_citus_tables(rewritten, "_citus_tables")
-            if uses_citus_shards(rewritten):
-                self.citus_shards().createOrReplaceTempView("_citus_shards")
-                rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
-            if uses_active_worker_nodes(rewritten):
-                self.citus_get_active_worker_nodes().createOrReplaceTempView(
-                    "_citus_worker_nodes"
-                )
-                rewritten = rewrite_active_worker_nodes(
-                    rewritten, "_citus_worker_nodes"
-                )
-            rewritten = self._rewrite_pg_catalog_views(rewritten)
-            if rewritten != query:
-                # re-enter the front door: the rewritten text (view
-                # names now _citus_*/_pg_* — no pattern re-fires) must
-                # still get the PG rewrites and statement recording
-                return self.sql(rewritten)
-            return None
-        kw = call.kwargs
-        if call.fn in (
-            "create_distributed_table",
-            # no lock manager here — the concurrent spelling IS the
-            # plain one (↔ create_distributed_table_concurrently.c)
-            "create_distributed_table_concurrently",
-        ):
-            name, dist_col = str(call.args[0]), str(
-                call.args[1] if len(call.args) > 1 else kw["distribution_column"]
-            )
-            if str(kw.get("distribution_type", "hash")).lower() == "range":
-                self.create_range_distributed_table(
-                    name,
-                    self.spark.table(name),
-                    dist_col,
-                    buckets=int(kw.get("shard_count", self.shard_count)),
-                )
-                return self.spark.sql(
-                    f"SELECT CAST(NULL AS STRING) AS {call.fn}"
-                )
-            self.create_distributed_table(
-                name,
-                self.spark.table(name),
-                dist_col,
-                buckets=int(kw.get("shard_count", self.shard_count)),
-                colocate_with=(
-                    None
-                    if kw.get("colocate_with") in (None, "default", "none")
-                    else str(kw["colocate_with"])
-                ),
-            )
-        elif call.fn == "create_reference_table":
-            name = str(call.args[0])
-            self.create_reference_table(name, self.spark.table(name))
-        elif call.fn == "alter_distributed_table":
-            name = str(call.args[0])
-            self.alter_distributed_table(
-                name,
-                dist_col=kw.get("distribution_column"),
-                buckets=(
-                    int(kw["shard_count"]) if "shard_count" in kw else None
-                ),
-                colocate_with=kw.get("colocate_with"),
-            )
-        elif call.fn == "undistribute_table":
-            self.undistribute_table(str(call.args[0]))
-        elif call.fn == "citus_stat_statements_reset":
-            self.stat_statements.reset()
-        elif call.fn in ("citus_schema_distribute",
-                         "citus_schema_undistribute"):
-            # ↔ Citus 12 tenant-schema conversion: flips the schema's
-            # distributed flag (its own colocation group). Placement
-            # itself is the scheduler's job on Spark — metadata only.
-            sname = str(call.args[0])
-            st = self._schemas.get(sname)
-            if st is None:
-                raise ValueError(f'schema "{sname}" does not exist')
-            if call.fn == "citus_schema_distribute":
-                if not st["distributed"]:
-                    st["distributed"] = True
-                    st["colocation_id"] = self._next_schema_colocation
-                    self._next_schema_colocation += 1
-            else:
-                st["distributed"] = False
-                st["colocation_id"] = 0
-            return self.spark.createDataFrame(
-                [(None,)], f"`{call.fn}` string"
-            )
-        elif call.fn == "create_distributed_function":
-            # ↔ reference create_distributed_function(regprocedure):
-            # Citus propagates the function DDL to workers. A Spark
-            # SQL UDF already ships with every plan, so distribution
-            # is inherent — the call validates and records only.
-            return self.spark.createDataFrame(
-                [(f"function {call.args[0]} is distributed "
-                  "(SQL UDFs ship with every Spark plan)",)],
-                "create_distributed_function string",
-            )
-        elif call.fn == "citus_version":
-            # ↔ reference citus_version(): a version banner. Reports
-            # the engine identity + the surveyed reference version so
-            # version-gated scripts have something stable to parse.
-            return self.spark.createDataFrame(
-                [("citus_spark 5.0 (reference surface: Citus 15.0-1) "
-                  "on Apache Spark "
-                  + self.spark.version,)],
-                "citus_version string",
-            )
-        elif call.fn == "update_distributed_table_colocation":
-            # ↔ reference update_distributed_table_colocation(table,
-            # colocate_with => 'other' | 'none'): re-group without
-            # changing key or data. colocate_with 'none' breaks the
-            # group (fresh colocation id).
-            name = str(call.args[0])
-            mate = str(
-                call.args[1] if len(call.args) > 1 else kw["colocate_with"]
-            )
-            entry = self.catalog.get(name)
-            if entry is None:
-                raise KeyError(f"unknown table {name!r}")
-            if mate.lower() == "none":
-                new_entry = self.catalog.register(
-                    name, entry.method, entry.dist_col,
-                    buckets=entry.buckets,
-                )
-            else:
-                other = self.catalog.get(mate)
-                if other is None:
-                    raise KeyError(f"unknown colocation target {mate!r}")
-                if other.buckets != entry.buckets:
-                    raise ValueError(
-                        "cannot colocate: shard counts differ "
-                        f"({entry.buckets} vs {other.buckets}); use "
-                        "alter_distributed_table(shard_count => ...)"
-                    )
-                new_entry = self.catalog.register(
-                    name, entry.method, entry.dist_col,
-                    buckets=entry.buckets, colocate_with=mate,
-                )
-            # re-registration must keep the physical metadata (same
-            # rule as create_distributed_table on an existing entry)
-            new_entry.path = entry.path
-            new_entry.columnar = entry.columnar
-            new_entry.time_partitioning = entry.time_partitioning
-        elif call.fn in (
-            "citus_table_size",
-            "citus_total_relation_size",
-            "citus_relation_size",
-        ):
-            # ↔ reference citus_table_size()/citus_relation_size()
-            # (sql/udfs/citus_*_size: sum of shard relation sizes).
-            # Here all three resolve to the live storage footprint —
-            # parquet carries no separate fsm/vm/index forks, so the
-            # three reference variants coincide by construction.
-            return self.spark.createDataFrame(
-                [(int(self._relation_size(str(call.args[0]))),)],
-                f"{call.fn} long",
-            )
-        elif call.fn == "create_time_partitions":
-            # reference positional signature is (table_name,
-            # partition_interval, end_at, start_from) — so a verbatim
-            # reference call puts the INTERVAL second. An
-            # interval-looking second arg binds as the interval
-            # (end_at/start_from are accepted and subsumed: partitions
-            # here exist by value coverage); the partition column has
-            # no PG partition key to be read from, so it comes from
-            # the ts_col keyword — or, for our API's older spelling, a
-            # non-interval positional second arg.
-            args2 = str(call.args[1]) if len(call.args) > 1 else None
-            gran = _interval_granularity(args2) if args2 else None
-            if gran is not None:
-                ts_col = kw.get("ts_col")
-                if ts_col is None:
-                    raise ValueError(
-                        "create_time_partitions: pass the timestamp "
-                        "column as ts_col => '<col>' (Spark tables "
-                        "carry no PG partition key to infer it from)"
-                    )
-            else:
-                ts_col = args2 if args2 is not None else kw.get("ts_col")
-                if ts_col is None:
-                    raise ValueError(
-                        "create_time_partitions: missing ts_col"
-                    )
-                gran = _interval_granularity(
-                    str(kw.get("partition_interval", "day"))
-                )
-                if gran is None:
-                    raise ValueError(
-                        "create_time_partitions: unsupported "
-                        f"partition_interval {kw.get('partition_interval')!r}"
-                        " (supported: hour/day/month spellings)"
-                    )
-            self.create_time_partitions(
-                str(call.args[0]), ts_col=str(ts_col), granularity=gran
-            )
-        elif call.fn == "drop_old_time_partitions":
-            self.drop_old_time_partitions(
-                str(call.args[0]),
-                older_than=str(
-                    call.args[1] if len(call.args) > 1 else kw["older_than"]
-                ),
-            )
-        elif call.fn == "alter_table_set_access_method":
-            self.alter_table_set_access_method(
-                str(call.args[0]),
-                access_method=str(
-                    call.args[1]
-                    if len(call.args) > 1
-                    else kw.get("access_method", "columnar")
-                ),
-            )
-        elif call.fn == "alter_columnar_table_set":
-            self.alter_columnar_table_set(
-                str(call.args[0]),
-                **{
-                    k: (str(v) if k == "compression" else int(v))
-                    for k, v in kw.items()
-                },
-            )
-        elif call.fn == "get_rebalance_table_shards_plan":
-            # plan functions return their report relation directly;
-            # the dry run must honor the SAME strategy the execute
-            # path would (silently planning by_shard_count for a
-            # by_disk_size request would lie about the outcome)
-            return self.get_rebalance_table_shards_plan(
-                str(call.args[0]),
-                target_shard_rows=int(
-                    kw.get("target_shard_rows", 100_000_000)
-                ),
-                rebalance_strategy=(
-                    str(kw["rebalance_strategy"])
-                    if "rebalance_strategy" in kw
-                    else None
-                ),
-                target_shard_bytes=int(
-                    kw.get("target_shard_bytes", 1 << 30)
-                ),
-            )
-        elif call.fn == "rebalance_table_shards":
-            return self.rebalance_table_shards(
-                str(call.args[0]),
-                shard_count=(
-                    int(kw["shard_count"]) if "shard_count" in kw else None
-                ),
-                target_shard_rows=int(
-                    kw.get("target_shard_rows", 100_000_000)
-                ),
-                rebalance_strategy=(
-                    str(kw["rebalance_strategy"])
-                    if "rebalance_strategy" in kw
-                    else None
-                ),
-            )
-        elif call.fn == "citus_add_rebalance_strategy":
-            from citus_spark import cluster
-
-            cluster.citus_add_rebalance_strategy(
-                self,
-                str(call.args[0]), str(call.args[1]), str(call.args[2]),
-                str(call.args[3]), float(call.args[4]),
-                float(call.args[5]) if len(call.args) > 5 else 0.0,
-            )
-            return self.spark.createDataFrame(
-                [(str(call.args[0]),)], "citus_add_rebalance_strategy string"
-            )
-        elif call.fn == "citus_set_default_rebalance_strategy":
-            from citus_spark import cluster
-
-            cluster.citus_set_default_rebalance_strategy(
-                self, str(call.args[0])
-            )
-            return self.spark.createDataFrame(
-                [("ok",)], "citus_set_default_rebalance_strategy string"
-            )
-        elif call.fn in ("citus_add_node", "master_add_node"):
-            nid = self.citus_add_node(
-                str(call.args[0] if call.args else kw["nodename"]),
-                int(
-                    call.args[1]
-                    if len(call.args) > 1
-                    else kw.get("nodeport", 5432)
-                ),
-                groupid=int(kw.get("groupid", -1)),
-            )
-            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
-        elif call.fn in ("citus_remove_node", "master_remove_node"):
-            self.citus_remove_node(
-                str(call.args[0]), int(call.args[1])
-            )
-        elif call.fn == "citus_activate_node":
-            nid = self.citus_activate_node(
-                str(call.args[0]), int(call.args[1])
-            )
-            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
-        elif call.fn == "citus_disable_node":
-            self.citus_disable_node(str(call.args[0]), int(call.args[1]))
-            return self.spark.createDataFrame(
-                [("ok",)], "citus_disable_node string"
-            )
-        elif call.fn == "citus_update_node":
-            self.citus_update_node(
-                int(call.args[0]), str(call.args[1]), int(call.args[2])
-            )
-            return self.spark.createDataFrame(
-                [("ok",)], "citus_update_node string"
-            )
-        elif call.fn == "citus_set_coordinator_host":
-            self.citus_set_coordinator_host(
-                str(call.args[0]),
-                int(call.args[1]) if len(call.args) > 1 else 5432,
-            )
-        elif call.fn == "master_create_distributed_table":
-            # legacy 3-argument spelling: (table, column, method)
-            method = str(
-                call.args[2] if len(call.args) > 2 else "hash"
-            ).lower()
-            if method != "hash":
-                raise ValueError(
-                    f"master_create_distributed_table: method {method!r} "
-                    "is the legacy append/range API — use "
-                    "create_distributed_table / "
-                    "create_range_distributed_table"
-                )
-            self.create_distributed_table(
-                str(call.args[0]),
-                self.spark.table(str(call.args[0])),
-                str(call.args[1]),
-            )
-        elif call.fn == "citus_create_restore_point":
-            manifest = self.tx_cluster.create_restore_point(
-                str(call.args[0])
-            )
-            # the reference returns the restore point's pg_lsn; the
-            # analog of "where to recover to" here is the recorded
-            # (table → version) vector, surfaced as its name
-            return self.spark.createDataFrame(
-                [(manifest["name"], len(manifest["tables"]))],
-                "citus_create_restore_point string, n_tables int",
-            )
-        elif call.fn == "citus_split_shard_by_split_points":
-            from citus_spark import cluster
-
-            new_ids = cluster.citus_split_shard_by_split_points(
-                self,
-                int(call.args[0]),
-                call.args[1] if len(call.args) > 1 else kw["split_points"],
-                node_ids=(
-                    call.args[2] if len(call.args) > 2
-                    else kw.get("node_ids")
-                ),
-                shard_transfer_mode=(
-                    str(call.args[3]) if len(call.args) > 3
-                    else kw.get("shard_transfer_mode")
-                ),
-            )
-            # the reference returns void; surfacing the child ids is
-            # strictly more useful and harmless to void-style callers
-            return self.spark.createDataFrame(
-                [(int(s),) for s in new_ids],
-                "citus_split_shard_by_split_points long",
-            )
-        elif call.fn == "isolate_tenant_to_new_shard":
-            sid = self.isolate_tenant_to_new_shard(
-                str(call.args[0]),
-                call.args[1] if len(call.args) > 1 else kw["tenant_id"],
-                cascade_option=(
-                    str(call.args[2])
-                    if len(call.args) > 2
-                    else kw.get("cascade_option")
-                ),
-            )
-            return self.spark.createDataFrame(
-                [(sid,)], "isolate_tenant_to_new_shard long"
-            )
-        elif call.fn == "get_shard_id_for_distribution_column":
-            from citus_spark import cluster
-
-            sid = cluster.get_shard_id_for_distribution_column(
-                self, str(call.args[0]), call.args[1]
-            )
-            return self.spark.createDataFrame([(sid,)], f"{call.fn} long")
-        elif call.fn in (
-            "citus_move_shard_placement", "master_move_shard_placement",
-            "citus_copy_shard_placement", "master_copy_shard_placement",
-        ):
-            from citus_spark import cluster
-
-            op = (
-                cluster.citus_move_shard_placement
-                if "move" in call.fn
-                else cluster.citus_copy_shard_placement
-            )
-            op(
-                self, int(call.args[0]), str(call.args[1]),
-                int(call.args[2]), str(call.args[3]), int(call.args[4]),
-            )
-        elif call.fn in ("citus_drain_node", "master_drain_node"):
-            from citus_spark import cluster
-
-            cluster.citus_drain_node(
-                self, str(call.args[0]), int(call.args[1])
-            )
-        elif call.fn == "citus_set_node_property":
-            from citus_spark import cluster
-
-            cluster.citus_set_node_property(
-                self, str(call.args[0]), int(call.args[1]),
-                str(call.args[2]),
-                str(call.args[3]).lower() in ("true", "t", "1"),
-            )
-        elif call.fn == "citus_rebalance_start":
-            from citus_spark import cluster
-
-            jid = cluster.citus_rebalance_start(self)
-            return self.spark.createDataFrame([(jid,)], f"{call.fn} long")
-        elif call.fn == "citus_rebalance_status":
-            from citus_spark import cluster
-
-            return cluster.citus_rebalance_status(self)
-        elif call.fn == "citus_rebalance_stop":
-            from citus_spark import cluster
-
-            cluster.citus_rebalance_stop(self)
-        elif call.fn == "citus_rebalance_wait":
-            from citus_spark import cluster  # noqa: F401  (synchronous)
-        elif call.fn == "citus_job_list":
-            from citus_spark import cluster
-
-            return cluster.citus_job_list(self)
-        elif call.fn == "citus_job_status":
-            from citus_spark import cluster
-
-            j = cluster.citus_job_status(self, int(call.args[0]))
-            return self.spark.createDataFrame(
-                [(j["job_id"], j["state"], j["job_type"],
-                  j["description"])],
-                "job_id long, state string, job_type string, "
-                "description string",
-            )
-        elif call.fn == "citus_job_wait":
-            from citus_spark import cluster
-
-            cluster.citus_job_wait(
-                self, int(call.args[0]),
-                str(kw["desired_status"]) if "desired_status" in kw
-                else (str(call.args[1]) if len(call.args) > 1 else None),
-            )
-        elif call.fn == "citus_job_cancel":
-            from citus_spark import cluster
-
-            cluster.citus_job_cancel(self, int(call.args[0]))
-        elif call.fn == "run_command_on_workers":
-            from citus_spark import cluster
-
-            return cluster.run_command_on_workers(self, str(call.args[0]))
-        elif call.fn == "run_command_on_all_nodes":
-            from citus_spark import cluster
-
-            return cluster.run_command_on_all_nodes(self, str(call.args[0]))
-        elif call.fn == "run_command_on_coordinator":
-            from citus_spark import cluster
-
-            return cluster.run_command_on_coordinator(
-                self, str(call.args[0])
-            )
-        elif call.fn == "run_command_on_shards":
-            from citus_spark import cluster
-
-            return cluster.run_command_on_shards(
-                self, str(call.args[0]), str(call.args[1])
-            )
-        elif call.fn == "citus_is_coordinator":
-            return self.spark.createDataFrame(
-                [(True,)], f"{call.fn} boolean"
-            )
-        elif call.fn == "citus_backend_gpid":
-            from citus_spark import cluster
-
-            return self.spark.createDataFrame(
-                [(cluster.citus_backend_gpid(self),)], f"{call.fn} long"
-            )
-        elif call.fn == "citus_calculate_gpid":
-            from citus_spark import cluster
-
-            return self.spark.createDataFrame(
-                [(cluster.citus_calculate_gpid(
-                    self, int(call.args[0]), int(call.args[1])
-                ),)],
-                f"{call.fn} long",
-            )
-        elif call.fn == "citus_coordinator_nodeid":
-            from citus_spark import cluster
-
-            return self.spark.createDataFrame(
-                [(cluster.citus_coordinator_nodeid(self),)], f"{call.fn} int"
-            )
-        elif call.fn in (
-            "citus_nodename_for_nodeid", "citus_nodeport_for_nodeid",
-        ):
-            from citus_spark import cluster
-
-            fn = getattr(cluster, call.fn)
-            v = fn(self, int(call.args[0]))
-            typ = "string" if "nodename" in call.fn else "int"
-            return self.spark.createDataFrame(
-                [(v,)], f"{call.fn} {typ}"
-            )
-        elif call.fn == "citus_server_id":
-            from citus_spark import cluster
-
-            return self.spark.createDataFrame(
-                [(cluster.citus_server_id(self),)], f"{call.fn} string"
-            )
-        elif call.fn == "citus_shard_sizes":
-            return self.citus_shards().selectExpr(
-                "shardid AS shard_id", "shard_size AS size"
-            )
-        elif call.fn == "master_get_table_ddl_events":
-            from citus_spark import cluster
-
-            return self.spark.createDataFrame(
-                [(s,) for s in cluster.master_get_table_ddl_events(
-                    self, str(call.args[0])
-                )],
-                f"{call.fn} string",
-            )
-        elif call.fn == "citus_check_cluster_node_health":
-            from citus_spark import cluster
-
-            return cluster.citus_check_cluster_node_health(self)
-        elif call.fn == "citus_check_connection_to_node":
-            from citus_spark import cluster
-
-            cluster._node_by_addr(
-                self, str(call.args[0]),
-                int(call.args[1]) if len(call.args) > 1 else 5432,
-            )
-            return self.spark.createDataFrame(
-                [(True,)], f"{call.fn} boolean"
-            )
-        elif call.fn == "citus_add_local_table_to_metadata":
-            from citus_spark.catalog import DIST_NONE
-
-            name = str(call.args[0])
-            self.spark.table(name)  # must exist
-            if self.catalog.get(name) is None:
-                self.catalog.register(name, DIST_NONE)
-        elif call.fn == "truncate_local_data_after_distributing_table":
-            # the distributing write already materialized the one copy
-            # (there is no separate coordinator-local heap here) —
-            # validate the target and succeed (↔ create_distributed_
-            # table.c's post-distribution truncate of the local data)
-            name = str(call.args[0])
-            if self.catalog.get(name) is None:
-                raise ValueError(
-                    f"{call.fn}: {name!r} is not a distributed table"
-                )
-        elif call.fn == "citus_update_shard_statistics":
-            from citus_spark import cluster
-
-            sid = int(call.args[0])
-            # resolve the owning table first — recomputing every
-            # table's shard stats to look up one shard would run one
-            # distributed count per catalog table
-            tbl, _label = cluster._shard_key(self, sid)
-            row = [
-                r for r in self.citus_shards(only_table=tbl).collect()
-                if r.shardid == sid
-            ]
-            if not row:
-                raise ValueError(f"shard {sid} does not exist")
-            return self.spark.createDataFrame(
-                [(row[0].shard_size,)], f"{call.fn} long"
-            )
-        elif call.fn == "citus_update_table_statistics":
-            name = str(call.args[0])
-            if self.catalog.get(name) is None:
-                raise ValueError(f"{name!r} is not a distributed table")
-        # mirror the reference: the call returns a single NULL-valued
-        # row named after the function
-        return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
-
-    # storage roots that writing statements must never rewrite — the
-    # driver's immutable source fixtures. Overridable per deployment.
-    protected_paths: tuple[str, ...] = ("/root/testdata",)
-
     def _writable_entry(self, name: str, verb: str):
         """Resolve a writing statement's target: a catalog table whose
         LIVE storage (the time-partitioned layout when set — after
@@ -1728,19 +1047,6 @@ class DistributedSession:
             return code
 
         return _map_code(query, fix)
-
-    def citus_schemas(self) -> DataFrame:
-        """↔ the reference's citus_schemas view (Citus 12): one row
-        per distributed schema with its colocation group."""
-        rows = [
-            (n, s["colocation_id"])
-            for n, s in self._schemas.items()
-            if s["distributed"]
-        ]
-        return self.spark.createDataFrame(
-            rows or [("", 0)],
-            "schema_name string, colocation_id int",
-        ).filter(F.col("schema_name") != "")
 
     def _rewrite_pg_catalog_views(self, query: str) -> str:
         """pg_catalog compatibility views — `pg_tables`, `pg_views`,
@@ -2718,73 +2024,6 @@ class DistributedSession:
             if not any(a <= m.start() < b for a, b in spans)
         ]
 
-    def _dml_update_with_sequences(
-        self, entry, df, stmt, pred, affected, assigned
-    ):
-        """UPDATE .. SET col = ..nextval('s').. — per-affected-row
-        draws (↔ reference multi_function_evaluation.c: volatile
-        nextval cannot be coordinator-folded in UPDATE; PG assigns a
-        distinct value to every affected row). Each textual occurrence
-        reserves one block of exactly `affected` values; rows take
-        base + k·inc via the two-phase prefix sum (never a global-sort
-        window), and the occurrence is replaced by its helper column
-        inside the assignment expression, so arithmetic around the
-        call (nextval('s') + 100) works. Two occurrences of the same
-        sequence draw independent blocks — uniqueness is guaranteed,
-        the exact interleaving (like PG's) is not."""
-        from citus_spark.operators.sequence import with_sequence_values
-
-        work = df.filter(pred)
-        new_assigned: dict[str, str] = {}
-        k = 0
-        for c, expr in assigned.items():
-            occ = self._nextval_occurrences(expr)
-            out, last = [], 0
-            for a, b, seq in occ:
-                st = self._sequences.get(seq)
-                if st is None:
-                    raise ValueError(f'sequence "{seq}" does not exist')
-                hcol = f"__citus_seq{k}"
-                k += 1
-                work = with_sequence_values(
-                    work,
-                    lambda n, s=seq: self._seq_alloc(s, n),
-                    st["inc"],
-                    hcol,
-                )
-                out.append(expr[last:a])
-                out.append(hcol)
-                last = b
-            out.append(expr[last:])
-            new_assigned[c] = "".join(out)
-        updated = work.select(
-            *[
-                F.expr(new_assigned[c]).cast(df.schema[c].dataType).alias(c)
-                if c in new_assigned
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
-        untouched = df.filter(~pred)
-        result = untouched.unionByName(updated)
-        # old__/new__ remap feeds ON UPDATE referential actions — the
-        # helper columns carry the drawn values alongside old columns
-        update_pairs = work.select(
-            *[F.col(c).alias(f"old__{c}") for c in df.columns],
-            *[
-                (
-                    F.expr(new_assigned[c]).cast(df.schema[c].dataType)
-                    if c in new_assigned
-                    else F.col(c)
-                ).alias(f"new__{c}")
-                for c in df.columns
-            ],
-        )
-        return self._dml_finish(
-            entry, stmt, result, updated, affected,
-            update_pairs=update_pairs,
-        )
-
     def _execute_view_ddl(self, query: str):
         """Textual view DDL (↔ reference multi_view.sql /
         materialized_view.sql). CREATE VIEW stores the defining SQL
@@ -3669,50 +2908,6 @@ class DistributedSession:
             )
         return None
 
-    @staticmethod
-    def _find_not_null(entry, col: str) -> str | None:
-        """The NOT NULL enforcing constraint for `col` — matched by
-        its expression shape, so table/constraint renames don't
-        detach it."""
-        import re as _re
-
-        for cn, spec in (entry.constraints or {}).items():
-            if spec["kind"] == "c" and _re.fullmatch(
-                rf"\s*{_re.escape(col)}\s+IS\s+NOT\s+NULL\s*",
-                spec.get("expr", ""),
-                _re.I,
-            ):
-                return cn
-        return None
-
-    def _normalize_update_assignments(
-        self, entry, assigned: dict, columns
-    ) -> dict:
-        """Shared UPDATE assignment rules (plain and FROM forms):
-        unknown columns reject; SET col = DEFAULT resolves to the
-        declared default (NULL when none); SET gcol = DEFAULT on a
-        generated column drops the assignment (the recompute pass
-        provides the value); any other write to a generated column
-        rejects with PG's error."""
-        unknown = set(assigned) - set(columns)
-        if unknown:
-            raise ValueError(
-                f"UPDATE: unknown column(s) {sorted(unknown)}"
-            )
-        gen = entry.generated or {}
-        for c in list(assigned):
-            if assigned[c].strip().upper() == "DEFAULT":
-                if c in gen:
-                    assigned.pop(c)
-                else:
-                    assigned[c] = (entry.defaults or {}).get(c, "NULL")
-            elif c in gen:
-                raise ValueError(
-                    f'column "{c}" can only be updated to DEFAULT'
-                    f'\nDETAIL: Column "{c}" is a generated column.'
-                )
-        return assigned
-
     def _alter_column_metadata(self, entry, name, op, cur, query):
         """ALTER COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL —
         metadata-only actions (SET DEFAULT affects FUTURE writes only,
@@ -3804,824 +2999,6 @@ class DistributedSession:
                     f'"{table}": generated column "{gcol}" references '
                     "it — drop the generated column first"
                 )
-
-    def _values_substitute_defaults(
-        self, values_sql: str, names: list[str], entry
-    ) -> str:
-        """`VALUES (1, DEFAULT), ...` — each standalone DEFAULT token
-        takes its column's DEFAULT expression (NULL when none
-        declared, PG's default-of-defaults). Positional: the token's
-        index within its row names the column. A DEFAULT aimed at an
-        identity/serial column draws one sequence value per token
-        (each textual occurrence draws independently, the VALUES
-        rule); aimed at a generated column it becomes NULL — the
-        recompute pass overwrites it anyway."""
-        import re as _re
-
-        from citus_spark.plans.rewrites import _split_top_level
-
-        if not _re.search(r"\bDEFAULT\b", values_sql, _re.I):
-            return values_sql
-        m = _re.match(r"\s*VALUES\s*(?P<rows>.+)$", values_sql,
-                      _re.I | _re.S)
-        if m is None:
-            return values_sql
-        dflts = entry.defaults or {}
-        ident = entry.identity or {}
-        gen = entry.generated or {}
-        rows_out = []
-        for row in _split_top_level(m.group("rows")):
-            row = row.strip()
-            if not (row.startswith("(") and row.endswith(")")):
-                raise ValueError(
-                    f"INSERT: cannot parse VALUES row {row[:40]!r}"
-                )
-            items = _split_top_level(row[1:-1])
-            out = []
-            for i, item in enumerate(items):
-                if _re.fullmatch(r"\s*DEFAULT\s*", item, _re.I):
-                    if i >= len(names):
-                        raise ValueError(
-                            "INSERT: VALUES row wider than target list"
-                        )
-                    col = names[i]
-                    if col in ident:
-                        out.append(str(self._seq_alloc(ident[col], 1)))
-                    elif col in gen:
-                        out.append("NULL")
-                    elif col in dflts:
-                        out.append(f"({dflts[col]})")
-                    else:
-                        out.append("NULL")
-                else:
-                    out.append(item)
-            rows_out.append("(" + ", ".join(out) + ")")
-        return "VALUES " + ", ".join(rows_out)
-
-    def _values_non_default_positions(
-        self, values_sql: str
-    ) -> list[set]:
-        """Per-row sets of 0-based positions whose entry is NOT the
-        standalone DEFAULT token (for the PG rule that a generated
-        column may appear in the target list only with DEFAULT)."""
-        import re as _re
-
-        from citus_spark.plans.rewrites import _split_top_level
-
-        m = _re.match(r"\s*VALUES\s*(?P<rows>.+)$", values_sql,
-                      _re.I | _re.S)
-        if m is None:
-            return []
-        out = []
-        for row in _split_top_level(m.group("rows")):
-            row = row.strip()
-            if not (row.startswith("(") and row.endswith(")")):
-                return []
-            out.append({
-                i
-                for i, item in enumerate(_split_top_level(row[1:-1]))
-                if not _re.fullmatch(r"\s*DEFAULT\s*", item, _re.I)
-            })
-        return out
-
-    def _execute_insert(self, query: str):
-        """Textual INSERT (plans/insert_sql.py): VALUES / SELECT
-        sources appended through the live storage; ON CONFLICT maps
-        onto the merge executor (the reference's rollup idiom,
-        distributed/README.md:1755-1767). Returns the psql-style
-        count, or None to fall through to Spark for non-catalog
-        targets."""
-        from pyspark.sql import types as T
-
-        from citus_spark.plans.insert_sql import parse_insert
-
-        stmt = parse_insert(query)
-        if stmt is None:
-            import re as _re
-
-            m = _re.match(
-                r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", query, _re.I
-            )
-            if m and self.catalog.get(m.group(1)) is not None:
-                raise ValueError(
-                    "INSERT on a catalog table supports VALUES / "
-                    "SELECT / WITH sources (PARTITION and TABLE "
-                    "clauses are not modeled)"
-                )
-            return None
-        if self.catalog.get(stmt.table) is None:
-            return None
-        entry = self._writable_entry(stmt.table, "INSERT")
-        self.stat_statements.record(query, None, executor="insert")
-        schema = self._live_read(entry).schema
-        if entry.time_partitioning:
-            from citus_spark.sources.partitions import PERIOD_COL
-
-            schema = T.StructType(
-                [f for f in schema.fields if f.name != PERIOD_COL]
-            )
-        t_cols = [f.name for f in schema.fields]
-        names = stmt.cols or t_cols
-        gen = entry.generated or {}
-        if stmt.source_sql == "__DEFAULT_VALUES__":
-            # INSERT .. DEFAULT VALUES ≡ one VALUES row of DEFAULT
-            # tokens over the non-generated columns (PG definition) —
-            # the substitution below resolves each token (declared
-            # default / identity draw / NULL)
-            names = [c for c in t_cols if c not in gen]
-            stmt.source_sql = (
-                "VALUES (" + ", ".join(["DEFAULT"] * len(names)) + ")"
-            )
-        listed_gen = [c for c in names if c in gen]
-        is_values = stmt.source_sql.upper().startswith("VALUES")
-        source_sql = stmt.source_sql
-        if listed_gen and stmt.cols:
-            # PG allows a generated column in the target list ONLY
-            # when every row supplies the DEFAULT keyword for it
-            bad = True
-            if is_values:
-                nd = self._values_non_default_positions(source_sql)
-                gen_pos = {names.index(c) for c in listed_gen}
-                bad = not nd or any(r & gen_pos for r in nd)
-            if bad:
-                raise ValueError(
-                    f'cannot insert a non-DEFAULT value into column '
-                    f'"{listed_gen[0]}"\nDETAIL: Column '
-                    f'"{listed_gen[0]}" is a generated column.'
-                )
-        if gen and not stmt.cols:
-            # PG: a bare INSERT (no column list) targets only the
-            # non-generated columns
-            names = [c for c in t_cols if c not in gen]
-        if is_values:
-            # standalone DEFAULT tokens in VALUES rows take the
-            # column's default (PG) — substituted BEFORE Spark parses
-            # the text (Spark's VALUES has no DEFAULT token)
-            source_sql = self._values_substitute_defaults(
-                source_sql, names, entry
-            )
-        src = (
-            self.spark.sql(source_sql)
-            if is_values
-            else self.sql(source_sql)
-        )
-        if len(src.columns) != len(names):
-            raise ValueError(
-                f"INSERT: source has {len(src.columns)} columns, "
-                f"target list has {len(names)}"
-            )
-        src = src.toDF(*names)
-        # omitted columns take their DEFAULT (PG), NULL otherwise;
-        # generated columns always recompute from the row
-        dflts = entry.defaults or {}
-        aligned = src.select(*[
-            F.col(c).cast(schema[c].dataType).alias(c)
-            if c in src.columns
-            else (
-                F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
-                if c in dflts
-                else F.lit(None).cast(schema[c].dataType).alias(c)
-            )
-            for c in t_cols
-        ])
-        if gen:
-            aligned = self._recompute_generated(entry, aligned)
-        # identity/serial columns omitted from the target list draw a
-        # sequence block (↔ reference multi_sequence_default.sql)
-        omitted_ident = [
-            (c, s)
-            for c, s in (entry.identity or {}).items()
-            if c not in names and c in t_cols
-        ]
-        if omitted_ident:
-            from citus_spark.operators.sequence import with_sequence_values
-
-            for col, seqname in omitted_ident:
-                st = self._sequences.get(seqname)
-                if st is None:
-                    raise ValueError(
-                        f'sequence "{seqname}" does not exist'
-                    )
-                aligned = with_sequence_values(
-                    aligned.drop(col),
-                    lambda n, s=seqname: self._seq_alloc(s, n),
-                    st["inc"],
-                    col,
-                ).select(*[
-                    F.col(c).cast(schema[c].dataType).alias(c)
-                    for c in t_cols
-                ])
-        if entry.constraints:
-            from citus_spark.plans import constraints as _cons
-
-            # under ON CONFLICT only the ARBITER key (the conflict
-            # target) is resolved by the action; CHECK, FK, and every
-            # OTHER unique constraint still raise, like PG
-            _cons.enforce_insert(
-                self, entry, stmt.table, aligned,
-                arbiter_cols=(
-                    stmt.conflict_keys if stmt.on_conflict else None
-                ),
-            )
-        n = aligned.count()
-        returned = None
-        if stmt.on_conflict is None:
-            if stmt.returning:
-                # staged BEFORE the append: a self-referencing source
-                # (INSERT INTO t SELECT .. FROM t) must return the
-                # pre-append evaluation, and RETURNING exprs see the
-                # inserted image (PG: post-default, post-cast row)
-                returned = self._stage_returning(aligned, stmt.returning)
-            self._live_append(entry, aligned, stmt.table)
-        else:
-            from citus_spark.sources.ingest import merge_apply
-
-            for c, _e in stmt.assignments or []:
-                if c in gen:
-                    raise ValueError(
-                        f'column "{c}" can only be updated to DEFAULT'
-                        f'\nDETAIL: Column "{c}" is a generated column.'
-                    )
-            cur = self._live_read(entry)
-            if entry.time_partitioning:
-                from citus_spark.sources.partitions import PERIOD_COL
-
-                cur = cur.drop(PERIOD_COL)
-            merged = merge_apply(
-                cur,
-                aligned,
-                stmt.conflict_keys,
-                when_matched=(
-                    "ignore" if stmt.on_conflict == "nothing" else "update"
-                ),
-                assignments=stmt.assignments,
-                # DO UPDATE .. WHERE: guard-failed conflicting rows
-                # keep their OLD image — exactly a guarded matched
-                # branch with no fallback (first-true-wins, PG)
-                matched_condition=stmt.conflict_where,
-                insert_unmatched=True,
-            )
-            # generated columns recompute BEFORE RETURNING staging and
-            # constraint checks see the image (the funnel recompute
-            # alone would let a violating row pass judgment)
-            merged = self._recompute_generated(entry, merged)
-            if stmt.returning:
-                # PG: DO UPDATE returns the post-image of every source
-                # row (inserted or updated); DO NOTHING returns only
-                # rows actually inserted (keys not already present)
-                keys = stmt.conflict_keys
-                if stmt.on_conflict == "update":
-                    touched = aligned.select(*keys).distinct()
-                    if stmt.conflict_where:
-                        # guard-failed conflicting rows are NOT
-                        # returned (PG: only inserted/updated rows) —
-                        # keep inserted keys + guard-passing matches
-                        inserted = (
-                            aligned.join(cur, keys, "left_anti")
-                            .select(*keys)
-                            .distinct()
-                        )
-                        updated = (
-                            cur.alias("t")
-                            .join(aligned.alias("s"), keys, "inner")
-                            .filter(F.expr(stmt.conflict_where))
-                            .select(*[f"s.{k}" for k in keys])
-                            .distinct()
-                        )
-                        touched = inserted.unionByName(updated).distinct()
-                else:
-                    touched = (
-                        aligned.join(cur, keys, "left_anti")
-                        .select(*keys)
-                        .distinct()
-                    )
-                returned = self._stage_returning(
-                    merged.join(touched, keys, "semi"), stmt.returning
-                )
-            if entry.constraints:
-                # DO UPDATE assignments can break CHECK/FK/other
-                # uniques even when the arbiter key resolves cleanly
-                from citus_spark.plans import constraints as _cons
-
-                _cons.enforce_full_image(self, entry, stmt.table, merged)
-            self._live_rewrite(entry, merged, stmt.table)
-        if returned is not None:
-            return returned
-        return self.spark.createDataFrame([(int(n),)], "inserted long")
-
-    def _execute_select_into(self, query: str):
-        """PostgreSQL `SELECT … INTO new_table FROM …` — the regress
-        suites' CTAS spelling (↔ the reference routes it through the
-        INSERT..SELECT machinery). The INTO clause is lifted out, the
-        remaining SELECT runs through the full front door, and the
-        result materializes as a catalog table on writable storage.
-        Returns the psql-style `SELECT n` count. None when the
-        statement isn't a top-level SELECT…INTO (INSERT INTO and
-        MERGE INTO never reach here — routed earlier)."""
-        import re as _re
-        import tempfile as _tf
-
-        head = query.lstrip()[:7].upper()
-        if not (head.startswith("SELECT") or head.startswith("WITH")):
-            return None
-        if not _re.search(r"\bINTO\b", query, _re.IGNORECASE):
-            return None  # cheap pre-gate: skip the char scan entirely
-        from citus_spark.plans.rewrites import _masked_spans
-
-        spans = _masked_spans(query)
-        depth = 0
-        j = 0
-        hit = None
-        while j < len(query):
-            if any(a <= j < b for a, b in spans):
-                j += 1
-                continue
-            c = query[j]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and c in "Ii":
-                m = _re.match(
-                    r"INTO\s+([A-Za-z_][\w.]*)", query[j:], _re.IGNORECASE
-                )
-                if m and (
-                    j == 0
-                    or not (query[j - 1].isalnum() or query[j - 1] == "_")
-                ):
-                    hit = (j, j + m.end(), m.group(1))
-                    break
-            j += 1
-        if hit is None:
-            return None
-        start, end, name = hit
-        if self.catalog.get(name) is not None:
-            raise ValueError(f'relation "{name}" already exists')
-        df = self.sql(query[:start] + query[end:])
-        import uuid as _uuid
-
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"citus_spark_tbl_{name}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
-        )
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        out.createOrReplaceTempView(name)
-        self.catalog.register(name, "none", path=path)
-        n = out.count()
-        return self.spark.createDataFrame([(int(n),)], "selected long")
-
-    def _relation_size(self, name: str) -> int:
-        """Bytes of the relation's LIVE storage (time-partitioned
-        layout when set). Errors for uncataloged or path-less
-        relations, like the reference on non-Citus tables."""
-        entry = self.catalog.get(name)
-        if entry is None or not self._live_path(entry):
-            raise ValueError(
-                f"relation size: {name!r} is not a Citus table with "
-                "materialized storage"
-            )
-        root = self._live_path(entry)
-        if os.path.isfile(root):
-            return os.path.getsize(root)
-        total = 0
-        for r, _d, files in os.walk(root):
-            total += sum(os.path.getsize(os.path.join(r, f)) for f in files)
-        return total
-
-    # -- live-storage helpers: every writing statement resolves the
-    # relation through these, so a time-partitioned table's DML/COPY/
-    # utility path reads and rewrites the PARTITIONED layout (the
-    # round-4 bug: they used entry.path, silently resurrecting dropped
-    # partitions and appending rows the view never saw)
-
-    @staticmethod
-    def _live_path(entry) -> str | None:
-        if entry.time_partitioning:
-            return entry.time_partitioning["path"]
-        return entry.path
-
-    def _live_read(self, entry) -> DataFrame:
-        """Current relation contents. For time-partitioned tables the
-        `_period` key column is included (the registered view exposes
-        it, so predicates may reference it). A declaratively
-        partitioned parent is the UNION of its children (the parent's
-        own storage stays empty — PG stores no rows in the parent)."""
-        if getattr(entry, "partition_by", None) is not None:
-            df = self.spark.read.parquet(entry.path)
-            for child in entry.partitions or {}:
-                ce = self.catalog.get(child)
-                if ce is not None:
-                    df = df.unionByName(self._live_read(ce))
-            return df
-        if entry.time_partitioning:
-            from citus_spark.sources.partitions import read_time_partitioned
-
-            return read_time_partitioned(
-                self.spark, entry.time_partitioning["path"]
-            )
-        return self.spark.read.parquet(entry.path)
-
-    def _live_register(self, entry, name: str) -> None:
-        if getattr(entry, "partition_by", None) is not None:
-            self._register_partitioned_parent(entry)
-            return
-        self.spark.catalog.refreshByPath(self._live_path(entry))
-        self._live_read(entry).createOrReplaceTempView(name)
-        # a child write changes what the parent union shows — refresh
-        # the parent view alongside. Suppressed while _partition_route
-        # iterates the children: it re-registers the parent ONCE at
-        # the end, and N child writes each rebuilding the N-way union
-        # view would make one parent write O(N²) in footer refreshes.
-        if getattr(entry, "partition_parent", None) and not getattr(
-            self, "_in_partition_route", False
-        ):
-            pe = self.catalog.get(entry.partition_parent)
-            if pe is not None:
-                self._register_partitioned_parent(pe)
-
-    def _register_partitioned_parent(self, entry) -> None:
-        """(Re-)register a partitioned parent's views: the parent name
-        = union of children; `<name>__only` = the parent's own empty
-        base relation (the FROM ONLY surface)."""
-        self.spark.catalog.refreshByPath(entry.path)
-        for child in entry.partitions or {}:
-            ce = self.catalog.get(child)
-            if ce is not None and ce.path:
-                self.spark.catalog.refreshByPath(ce.path)
-        self._live_read(entry).createOrReplaceTempView(entry.name)
-        self.spark.read.parquet(entry.path).createOrReplaceTempView(
-            f"{entry.name}__only"
-        )
-
-    def _partition_routes(self, entry):
-        """[(child_name, child_entry, bound_predicate_sql)] for a
-        partitioned parent."""
-        from citus_spark.plans.partition_ddl import bound_predicate_sql
-
-        col = entry.partition_by["col"]
-        bounds = entry.partitions or {}
-        sib = list(bounds.values())
-        return [
-            (child, self.catalog.get(child), bound_predicate_sql(col, b, sib))
-            for child, b in bounds.items()
-        ]
-
-    def _enforce_child_bound(self, entry, df: DataFrame) -> None:
-        """A direct write to a partition must satisfy its bound (PG's
-        partition constraint)."""
-        pe = self.catalog.get(entry.partition_parent)
-        if pe is None or pe.partition_by is None:
-            return
-        bound = (pe.partitions or {}).get(entry.name)
-        if bound is None:
-            return
-        from citus_spark.plans.partition_ddl import bound_predicate_sql
-
-        pred = bound_predicate_sql(
-            pe.partition_by["col"], bound, list(pe.partitions.values())
-        )
-        bad = (
-            df.filter(~F.coalesce(F.expr(pred), F.lit(False)))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f'new row for relation "{entry.name}" violates '
-                f"partition constraint\nDETAIL: Failing row: "
-                f"{tuple(bad[0])}."
-            )
-
-    def _partition_route(self, entry, df: DataFrame, name: str, mode: str):
-        """Route rows of `df` to the parent's children by bound and
-        append/rewrite each child. One staging materialization (the
-        source computes once; each child reads its column-pruned,
-        predicate-filtered slice of the staged parquet). Rows no
-        partition accepts error like PG. `mode='rewrite'` rewrites
-        EVERY child with its slice (the UPDATE/DELETE/TRUNCATE path —
-        this is also what makes cross-partition row movement work);
-        `mode='append'` appends only non-empty slices."""
-        import shutil
-        import uuid as _uuid
-
-        routes = self._partition_routes(entry)
-        if not routes:
-            raise ValueError(
-                f'no partitions defined for partitioned table "{name}"'
-            )
-        stage = os.path.join(
-            tempfile.gettempdir(),
-            f"citus_spark_route_{_uuid.uuid4().hex[:8]}",
-        )
-        df.write.mode("overwrite").parquet(stage)
-        try:
-            staged = self.spark.read.parquet(stage)
-            matched = " OR ".join(f"({p})" for _c, _e, p in routes)
-            bad = (
-                staged.filter(~F.coalesce(F.expr(matched), F.lit(False)))
-                .limit(1)
-                .collect()
-            )
-            if bad:
-                raise ValueError(
-                    f'no partition of relation "{name}" found for row'
-                    f"\nDETAIL: Failing row: {tuple(bad[0])}."
-                )
-            self._in_partition_route = True
-            try:
-                for child, ce, pred in routes:
-                    part = staged.filter(
-                        F.coalesce(F.expr(pred), F.lit(False))
-                    )
-                    if mode == "rewrite":
-                        self._live_rewrite(
-                            ce, part, child, _bound_checked=True
-                        )
-                    elif not part.isEmpty():
-                        self._live_append(
-                            ce, part, child, _bound_checked=True
-                        )
-            finally:
-                self._in_partition_route = False
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-            # in the finally: a mid-route child failure must still
-            # re-register the parent union — children written before
-            # the failure are on disk, and the suppressed per-child
-            # refresh would otherwise leave the view stale
-            self._register_partitioned_parent(entry)
-
-    def _require_partitioned(self, parent: str):
-        pe = self.catalog.get(parent)
-        if pe is None or getattr(pe, "partition_by", None) is None:
-            raise ValueError(
-                f'"{parent}" is not a partitioned table'
-            )
-        return pe
-
-    def _check_default_conflict(self, pe, bound: dict) -> None:
-        """A new non-default bound must not claim rows already in the
-        DEFAULT partition (PG: 'updated partition constraint for
-        default partition would be violated')."""
-        if bound["kind"] == "default":
-            return
-        default_child = next(
-            (
-                c
-                for c, b in (pe.partitions or {}).items()
-                if b["kind"] == "default"
-            ),
-            None,
-        )
-        if default_child is None:
-            return
-        from citus_spark.plans.partition_ddl import bound_predicate_sql
-
-        pred = bound_predicate_sql(pe.partition_by["col"], bound)
-        ce = self.catalog.get(default_child)
-        hit = (
-            self._live_read(ce)
-            .filter(F.coalesce(F.expr(pred), F.lit(False)))
-            .limit(1)
-            .collect()
-        )
-        if hit:
-            raise ValueError(
-                "updated partition constraint for default partition "
-                f'"{default_child}" would be violated by some row'
-            )
-
-    def _create_partition_of(
-        self, query: str, child: str, parent: str, bound: dict, ine: bool
-    ) -> DataFrame:
-        """CREATE TABLE <child> PARTITION OF <parent> FOR VALUES .. /
-        DEFAULT (↔ reference multi_partitioning.sql:21-25,292)."""
-        from citus_spark.plans.partition_ddl import validate_new_bound
-
-        pe = self._require_partitioned(parent)
-        if self.catalog.get(child) is not None:
-            if ine:
-                return self.spark.createDataFrame(
-                    [("CREATE TABLE skipped: exists",)], "status string"
-                )
-            raise ValueError(f'relation "{child}" already exists')
-        validate_new_bound(self.spark, pe, bound)
-        self._check_default_conflict(pe, bound)
-        import uuid as _uuid
-
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"citus_spark_tbl_{child}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
-        )
-        schema = self.spark.read.parquet(pe.path).schema
-        self.spark.createDataFrame([], schema).write.mode(
-            "overwrite"
-        ).parquet(path)
-        self.spark.read.parquet(path).createOrReplaceTempView(child)
-        centry = self.catalog.register(child, "none", path=path)
-        centry.partition_parent = parent
-        # children inherit the parent's write-funnel metadata (PG:
-        # defaults, generated columns, identity draws)
-        centry.defaults = pe.defaults
-        centry.generated = pe.generated
-        centry.identity = pe.identity
-        pe.partitions = {**(pe.partitions or {}), child: bound}
-        self._register_partitioned_parent(pe)
-        self.stat_statements.record(query, None, executor="utility")
-        return self.spark.createDataFrame(
-            [("CREATE TABLE",)], "status string"
-        )
-
-    def _attach_partition(
-        self, query: str, parent: str, child: str, bound: dict
-    ) -> DataFrame:
-        """ALTER TABLE .. ATTACH PARTITION (↔ reference
-        multi_partitioning.sql:116,144,311) — validates schema match,
-        bound compatibility, and that every existing child row
-        satisfies the bound (PG scans on attach)."""
-        from citus_spark.plans.partition_ddl import (
-            bound_predicate_sql,
-            validate_new_bound,
-        )
-
-        pe = self._require_partitioned(parent)
-        ce = self.catalog.get(child)
-        if ce is None:
-            raise ValueError(f'relation "{child}" does not exist')
-        if getattr(ce, "partition_parent", None):
-            raise ValueError(
-                f'"{child}" is already a partition of '
-                f'"{ce.partition_parent}"'
-            )
-        if getattr(ce, "partition_by", None) is not None:
-            raise ValueError(
-                "attaching a partitioned table as a partition "
-                "(sub-partitioning) is not supported"
-            )
-        parent_schema = {
-            (f.name, f.dataType.simpleString())
-            for f in self.spark.read.parquet(pe.path).schema.fields
-        }
-        child_schema = {
-            (f.name, f.dataType.simpleString())
-            for f in self._live_read(ce).schema.fields
-        }
-        if parent_schema != child_schema:
-            raise ValueError(
-                f'table "{child}" contains a column set that does not '
-                f'match parent "{parent}" '
-                f"(child {sorted(child_schema)}, "
-                f"parent {sorted(parent_schema)})"
-            )
-        validate_new_bound(self.spark, pe, bound)
-        self._check_default_conflict(pe, bound)
-        sib = list((pe.partitions or {}).values()) + [bound]
-        pred = bound_predicate_sql(pe.partition_by["col"], bound, sib)
-        bad = (
-            self._live_read(ce)
-            .filter(~F.coalesce(F.expr(pred), F.lit(False)))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f'partition constraint of relation "{child}" is '
-                f"violated by some row\nDETAIL: Failing row: "
-                f"{tuple(bad[0])}."
-            )
-        ce.partition_parent = parent
-        pe.partitions = {**(pe.partitions or {}), child: bound}
-        self._register_partitioned_parent(pe)
-        self.stat_statements.record(query, None, executor="utility")
-        return self.spark.createDataFrame(
-            [("ALTER TABLE",)], "status string"
-        )
-
-    def _detach_partition(
-        self, query: str, parent: str, child: str
-    ) -> DataFrame:
-        """ALTER TABLE .. DETACH PARTITION — the child becomes a
-        standalone table keeping its rows (↔ reference
-        multi_partitioning.sql:307,442)."""
-        pe = self._require_partitioned(parent)
-        if child not in (pe.partitions or {}):
-            raise ValueError(
-                f'"{child}" is not a partition of "{parent}"'
-            )
-        ce = self.catalog.get(child)
-        parts = dict(pe.partitions)
-        parts.pop(child)
-        pe.partitions = parts
-        if ce is not None:
-            ce.partition_parent = None
-        self._register_partitioned_parent(pe)
-        self.stat_statements.record(query, None, executor="utility")
-        return self.spark.createDataFrame(
-            [("ALTER TABLE",)], "status string"
-        )
-
-    def _recompute_generated(self, entry, df: DataFrame) -> DataFrame:
-        """Stored generated columns recompute from the row's base
-        columns on EVERY write (PG GENERATED ALWAYS AS .. STORED).
-        Idempotent — expressions reference only non-generated columns
-        (enforced at CREATE) — so funnel paths may re-apply it."""
-        if not entry.generated:
-            return df
-        return df.select(*[
-            F.expr(entry.generated[c]).cast(df.schema[c].dataType).alias(c)
-            if c in entry.generated
-            else F.col(c)
-            for c in df.columns
-        ])
-
-    def _live_rewrite(
-        self, entry, df: DataFrame, name: str, _bound_checked: bool = False
-    ) -> None:
-        """Replace the relation's contents with `df` (full copy-on-
-        write, the UPDATE/DELETE/TRUNCATE mechanism). Time-partitioned
-        targets re-derive `_period` from the timestamp column (an
-        UPDATE may move a row across periods) and swap the layout via
-        rename — never overwriting the directory being read. A rewrite
-        to EMPTY drops the partition layout (no period keys can exist)
-        and re-homes the relation on a plain writable path.
-        Stored generated columns recompute here — the universal
-        write funnel. A declaratively partitioned parent re-routes the
-        full image to its children (cross-partition row movement, PG
-        11 semantics); a partition child validates its bound unless
-        the router already did."""
-        import shutil
-        import tempfile as _tf
-
-        df = self._recompute_generated(entry, df)
-        if getattr(entry, "partition_by", None) is not None:
-            self._partition_route(entry, df, name, mode="rewrite")
-            return
-        if getattr(entry, "partition_parent", None) and not _bound_checked:
-            self._enforce_child_bound(entry, df)
-
-        from citus_spark.sources.partitions import (
-            PERIOD_COL,
-            write_time_partitioned,
-        )
-
-        if entry.time_partitioning:
-            tp = entry.time_partitioning
-            body = df.drop(PERIOD_COL)
-            if body.isEmpty():
-                new_path = os.path.join(
-                    _tf.gettempdir(), f"citus_spark_tbl_{name}_{os.getpid()}"
-                )
-                body.write.mode("overwrite").parquet(new_path)
-                shutil.rmtree(tp["path"], ignore_errors=True)
-                entry.time_partitioning = None
-                entry.path = new_path
-                self._live_register(entry, name)
-                return
-            tmp = tp["path"] + f".rw_tmp{os.getpid()}"
-            write_time_partitioned(
-                body, tmp, tp["ts_col"], tp["granularity"],
-                overwrite_touched_only=False,
-            )
-            shutil.rmtree(tp["path"])
-            os.rename(tmp, tp["path"])
-            self._live_register(entry, name)
-            return
-        tmp = entry.path + ".rw_tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            entry.path
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._live_register(entry, name)
-
-    def _live_append(
-        self, entry, df: DataFrame, name: str, _bound_checked: bool = False
-    ) -> None:
-        """Append rows (the COPY FROM path). Time-partitioned targets
-        route each row to its period directory. Stored generated
-        columns recompute here — the universal append funnel.
-        A declaratively partitioned parent routes rows to children by
-        bound; a partition child validates its bound unless the
-        router already did."""
-        df = self._recompute_generated(entry, df)
-        if getattr(entry, "partition_by", None) is not None:
-            self._partition_route(entry, df, name, mode="append")
-            return
-        if getattr(entry, "partition_parent", None) and not _bound_checked:
-            self._enforce_child_bound(entry, df)
-        if entry.time_partitioning:
-            from citus_spark.sources.partitions import (
-                append_time_partitioned,
-            )
-
-            tp = entry.time_partitioning
-            append_time_partitioned(
-                df, tp["path"], tp["ts_col"], tp["granularity"]
-            )
-        else:
-            df.write.mode("append").parquet(entry.path)
-        self._live_register(entry, name)
 
     def _execute_utility(self, query: str) -> DataFrame | None:
         """TRUNCATE / VACUUM / ANALYZE — the utility statements the
@@ -4747,620 +3124,6 @@ class DistributedSession:
             "column string, n_rows long, approx_ndv long, n_nulls long, "
             "min_value string, max_value string",
         )
-
-    def _execute_copy(self, query: str) -> DataFrame:
-        """Textual COPY (plans/copy_sql.py ↔ reference multi_copy.c):
-        FROM = parallel parse of the file appended to the target's
-        storage under the TARGET'S schema (the reference, too,
-        requires the table to exist and coerces to its types); TO =
-        distributed write of the relation or query. Returns the
-        psql-style COPY count."""
-        from citus_spark.plans.copy_sql import parse_copy
-
-        stmt = parse_copy(query)
-        self.stat_statements.record(query, None, executor="copy")
-        if stmt.direction == "from":
-            from pyspark.sql import types as T
-
-            entry = self._writable_entry(stmt.table, "COPY FROM")
-            schema = self._live_read(entry).schema
-            if entry.time_partitioning:
-                from citus_spark.sources.partitions import PERIOD_COL
-
-                schema = T.StructType(
-                    [f for f in schema.fields if f.name != PERIOD_COL]
-                )
-            if stmt.fmt == "binary":
-                from citus_spark.plans.copy_binary import (
-                    read_pgcopy_binary,
-                )
-
-                df = read_pgcopy_binary(self.spark, stmt.path, schema)
-            else:
-                # FAILFAST: PostgreSQL's COPY (and the reference's
-                # multi_copy) reject malformed input outright;
-                # PERMISSIVE would silently load bad lines as
-                # all-NULL rows
-                reader = self.spark.read.schema(schema).option(
-                    "mode", "FAILFAST"
-                )
-                if stmt.fmt == "csv":
-                    df = reader.option(
-                        "header", str(stmt.header).lower()
-                    ).csv(stmt.path)
-                else:
-                    df = reader.json(stmt.path)
-            n = df.count()
-            if entry.constraints:
-                from citus_spark.plans import constraints as _cons
-
-                _cons.enforce_insert(self, entry, stmt.table, df)
-            self._live_append(entry, df, stmt.table)
-        else:
-            df = (
-                # through the front door, not raw spark.sql — the
-                # subquery may reference citus_* views or use
-                # pg_compat spellings like any other statement
-                self.sql(stmt.query)
-                if stmt.query is not None
-                else self.spark.table(stmt.table)
-            )
-            if stmt.fmt == "binary":
-                from citus_spark.plans.copy_binary import (
-                    write_pgcopy_binary,
-                )
-
-                n = write_pgcopy_binary(df, stmt.path)
-                return self.spark.createDataFrame(
-                    [(int(n),)], "copied long"
-                )
-            n = df.count()
-            writer = df.write.mode("overwrite")
-            if stmt.fmt == "csv":
-                writer.option("header", str(stmt.header).lower()).csv(
-                    stmt.path
-                )
-            else:
-                writer.json(stmt.path)
-        return self.spark.createDataFrame([(int(n),)], "copied long")
-
-    def copy_from_stdin(
-        self,
-        table: str,
-        source,
-        fmt: str = "text",
-        cols: list[str] | None = None,
-    ) -> DataFrame:
-        """COPY <table> FROM STDIN with `source` as the stream — a
-        str payload, a file-like handle, or any iterable of lines
-        (↔ reference multi_copy.c stdin path). A trailing `\\.`
-        terminator line is accepted and ignored."""
-        if isinstance(source, str):
-            lines = source.split("\n")
-        elif hasattr(source, "read"):
-            lines = source.read().split("\n")
-        else:
-            lines = [ln.rstrip("\n") for ln in source]
-        # a final newline is a line TERMINATOR, not an empty last row
-        # (an intentional empty row shows as a doubled newline and
-        # keeps one element here); empty lines are data now — a text
-        # row with one empty-string field — so only this one artifact
-        # may be dropped
-        if isinstance(source, str) or hasattr(source, "read"):
-            if lines and lines[-1] == "":
-                lines.pop()
-        out = []
-        for ln in lines:
-            if ln.strip() == r"\.":
-                break
-            out.append(ln)
-        return self._copy_from_stdin(table, out, fmt=fmt, cols=cols)
-
-    def _copy_from_stdin(
-        self,
-        table: str,
-        lines: list[str],
-        fmt: str,
-        cols: list[str] | None,
-        query_text: str | None = None,
-    ) -> DataFrame:
-        """Decode PG text/csv data lines on the coordinator, coerce to
-        the target schema (a failed coercion errors like PG, never
-        loads NULL silently), apply column defaults and identity draws
-        for omitted columns, then append through the universal funnel
-        (constraints, generated columns, partition routing)."""
-        from pyspark.sql import types as T
-
-        from citus_spark.plans.copy_stdin import decode_payload
-
-        entry = self._writable_entry(table, "COPY FROM")
-        self.stat_statements.record(
-            query_text or f"COPY {table} FROM STDIN", None, executor="copy"
-        )
-        schema = self._live_read(entry).schema
-        if entry.time_partitioning:
-            from citus_spark.sources.partitions import PERIOD_COL
-
-            schema = T.StructType(
-                [f for f in schema.fields if f.name != PERIOD_COL]
-            )
-        t_cols = [f.name for f in schema.fields]
-        gen = entry.generated or {}
-        names = cols or [c for c in t_cols if c not in gen]
-        for c in names:
-            if c not in t_cols:
-                raise ValueError(
-                    f'COPY: column "{c}" of relation "{table}" '
-                    "does not exist"
-                )
-            if c in gen:
-                raise ValueError(
-                    f'column "{c}" is a generated column — COPY '
-                    "cannot load it"
-                )
-        rows = decode_payload(lines, fmt, len(names))
-        src = self.spark.createDataFrame(
-            [tuple(r) for r in rows],
-            T.StructType(
-                [T.StructField(c, T.StringType(), True) for c in names]
-            ),
-        )
-        dflts = entry.defaults or {}
-        aligned = src.select(*[
-            F.col(c).cast(schema[c].dataType).alias(c)
-            if c in names
-            else (
-                F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
-                if c in dflts
-                else F.lit(None).cast(schema[c].dataType).alias(c)
-            )
-            for c in t_cols
-        ])
-        # PG's COPY errors on malformed input; Spark's cast would load
-        # NULL silently — check every supplied field survived coercion
-        checked = [
-            c
-            for c in names
-            if not isinstance(schema[c].dataType, T.StringType)
-        ]
-        if checked:
-            # try_cast: under ANSI mode a plain cast would itself
-            # throw inside the probe job
-            bad = src.select(*[
-                (
-                    F.col(c).isNotNull()
-                    & F.col(c).try_cast(schema[c].dataType).isNull()
-                ).alias(c)
-                for c in checked
-            ]).filter(" OR ".join(f"`{c}`" for c in checked)).limit(1)
-            if bad.collect():
-                raise ValueError(
-                    f"COPY {table}: invalid input for the target "
-                    "column types (a field failed to coerce)"
-                )
-        omitted_ident = [
-            (c, s)
-            for c, s in (entry.identity or {}).items()
-            if c not in names and c in t_cols
-        ]
-        if omitted_ident:
-            from citus_spark.operators.sequence import with_sequence_values
-
-            for col, seqname in omitted_ident:
-                st = self._sequences.get(seqname)
-                if st is None:
-                    raise ValueError(f'sequence "{seqname}" does not exist')
-                aligned = with_sequence_values(
-                    aligned.drop(col),
-                    lambda n, s=seqname: self._seq_alloc(s, n),
-                    st["inc"],
-                    col,
-                ).select(*[
-                    F.col(c).cast(schema[c].dataType).alias(c)
-                    for c in t_cols
-                ])
-        if gen:
-            aligned = self._recompute_generated(entry, aligned)
-        if entry.constraints:
-            from citus_spark.plans import constraints as _cons
-
-            _cons.enforce_insert(self, entry, table, aligned)
-        n = aligned.count()
-        self._live_append(entry, aligned, table)
-        return self.spark.createDataFrame([(int(n),)], "copied long")
-
-    def _execute_dml(self, query: str) -> DataFrame:
-        """Textual UPDATE / DELETE (plans/dml_sql.py ↔ reference
-        multi_router_planner.c DML routing): copy-on-write rewrite of
-        the target relation — the same mechanism the MERGE path uses.
-        The target must be a catalog table with a WRITABLE storage
-        path (never a read-only fixture); the temp view is refreshed
-        so subsequent queries see the new state. Returns the affected
-        row count, like the psql tag."""
-        from citus_spark.plans.dml_sql import parse_dml
-
-        stmt = parse_dml(query)
-        entry = self._writable_entry(stmt.table, "DML")
-        # nextval is supported only in UPDATE SET expressions (the
-        # per-row block path below); in a predicate or through
-        # UPDATE..FROM it would reach Spark as an unresolved function
-        # — reject with a real message instead
-        if stmt.predicate and self._nextval_occurrences(stmt.predicate):
-            raise NotImplementedError(
-                "nextval() in a WHERE clause is not supported — PG "
-                "would advance the sequence per evaluated row; filter "
-                "on a materialized draw instead"
-            )
-        if stmt.from_clause is not None and self._nextval_occurrences(
-            query
-        ):
-            raise NotImplementedError(
-                "nextval() in UPDATE .. FROM is not supported — use a "
-                "plain UPDATE (per-row draws are supported there)"
-            )
-        # DML statements land in citus_stat_statements too (the
-        # reference records every statement its planner handles)
-        self.stat_statements.record(query, None, executor="dml")
-        df = self._live_read(entry)
-        if stmt.from_clause is not None:
-            result, affected_rows, affected, update_pairs = (
-                self._dml_with_from(entry, df, stmt)
-            )
-            return self._dml_finish(
-                entry, stmt, result, affected_rows, affected,
-                update_pairs=update_pairs,
-            )
-        # NULL predicate leaves a row unaffected (3-valued SQL DML)
-        pred = (
-            F.coalesce(F.expr(stmt.predicate), F.lit(False))
-            if stmt.predicate
-            else F.lit(True)
-        )
-        affected = df.filter(pred).count()
-        if stmt.kind == "delete":
-            result = df.filter(~pred)
-            # RETURNING on DELETE ships the OLD image of removed rows
-            affected_rows = df.filter(pred)
-        else:
-            assigned = self._normalize_update_assignments(
-                entry, dict(stmt.assignments), df.columns
-            )
-            # (when every assignment was a generated-column DEFAULT,
-            # assigned is empty and the rewrite below is a pure
-            # recompute pass — exactly what SET gcol = DEFAULT means)
-            if any(
-                self._nextval_occurrences(expr) for expr in assigned.values()
-            ):
-                # SET col = nextval('s'): PG draws a DISTINCT value per
-                # affected row — distributed block allocation, never a
-                # single coordinator substitution
-                return self._dml_update_with_sequences(
-                    entry, df, stmt, pred, affected, assigned
-                )
-            # one select over the ORIGINAL relation = simultaneous
-            # assignment semantics (every SET expr sees old values)
-            new_image = df.select(
-                *[
-                    F.when(pred, F.expr(assigned[c]).cast(df.schema[c].dataType))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in assigned
-                    else F.col(c)
-                    for c in df.columns
-                ],
-                # the predicate must be judged against OLD values (the
-                # new image may no longer satisfy it, e.g. SET x=x+10
-                # WHERE x<5) — carried as a hidden flag per row
-                pred.alias("__citus_affected"),
-            )
-            # RETURNING on UPDATE ships the NEW image of updated rows
-            affected_rows = new_image.filter("__citus_affected").drop(
-                "__citus_affected"
-            )
-            result = new_image.drop("__citus_affected")
-            # old__/new__ remap of the affected rows — feeds ON UPDATE
-            # referential actions (derived from the SAME old image +
-            # assignments, so the pairing needs no row ids)
-            update_pairs = df.filter(pred).select(
-                *[F.col(c).alias(f"old__{c}") for c in df.columns],
-                *[
-                    (
-                        F.expr(assigned[c]).cast(df.schema[c].dataType)
-                        if c in assigned
-                        else F.col(c)
-                    ).alias(f"new__{c}")
-                    for c in df.columns
-                ],
-            )
-            return self._dml_finish(
-                entry, stmt, result, affected_rows, affected,
-                update_pairs=update_pairs,
-            )
-        return self._dml_finish(entry, stmt, result, affected_rows, affected)
-
-    def _dml_finish(
-        self, entry, stmt, result, affected_rows, affected,
-        update_pairs=None,
-    ):
-        """Shared DML tail: constraint enforcement over the would-be
-        state, referential-action cascades (ON DELETE/UPDATE CASCADE /
-        SET NULL / SET DEFAULT propagate through the constraint graph
-        as dependent copy-on-write rewrites), RETURNING staging,
-        copy-on-write swap, psql-style tag. `update_pairs` is the
-        old__/new__ column remap of the affected rows (derived by the
-        plain, sequence-draw, and FROM update forms alike)."""
-        if entry.generated and stmt.kind != "delete":
-            # stored generated columns recompute from the NEW image
-            # BEFORE constraints judge it (a CHECK over a generated
-            # column must see the recomputed value); update_pairs'
-            # new__ side recomputes too, so ON UPDATE cascades keyed
-            # on a generated column remap with the fresh values
-            result = self._recompute_generated(entry, result)
-            affected_rows = self._recompute_generated(entry, affected_rows)
-            if update_pairs is not None:
-                # expose the new__ side under bare names so the stored
-                # expressions resolve, recompute, then re-prefix —
-                # no textual rewriting of the expressions
-                bare = update_pairs.select(*[
-                    F.col(c).alias(c[len("new__"):])
-                    if c.startswith("new__")
-                    else F.col(c)
-                    for c in update_pairs.columns
-                ])
-                bare = self._recompute_generated(entry, bare)
-                update_pairs = bare.select(*[
-                    F.col(c[len("new__"):]).alias(c)
-                    if c.startswith("new__")
-                    else F.col(c)
-                    for c in update_pairs.columns
-                ])
-        images = None
-        if entry.constraints or any(
-            e.constraints for e in self.catalog.tables().values()
-        ):
-            from citus_spark.plans import constraints as _cons
-
-            if stmt.kind == "delete":
-                if _cons.cascading_actions_exist(self, stmt.table, "delete"):
-                    images = _cons.propagate_referential_actions(
-                        self, stmt.table, self._live_read(entry), result,
-                        None,
-                    )
-                else:
-                    # inbound FKs: every child row must still find its
-                    # parent among the surviving rows (NO ACTION)
-                    _cons.enforce_delete(self, entry, stmt.table, result)
-            else:
-                assigned_cols = [c for c, _ in stmt.assignments]
-                if entry.generated:
-                    # a base-column update ripples into the generated
-                    # columns — UNIQUE/EXCLUDE/FK constraints over
-                    # them must re-judge too
-                    assigned_cols = assigned_cols + [
-                        g for g in entry.generated
-                        if g not in assigned_cols
-                    ]
-                _cons.enforce_update(
-                    self, entry, stmt.table, affected_rows, assigned_cols,
-                    post_image=result,
-                )
-                _cons.enforce_unique_post_update(
-                    self, entry, stmt.table, result, assigned_cols,
-                    changed=affected_rows,
-                )
-                # updating a column other tables reference re-checks
-                # those children against the post-update key set
-                inbound_refcols = {
-                    c
-                    for _t, _e, _c, ospec in _cons._inbound_fks(
-                        self, stmt.table
-                    )
-                    for c in ospec["refcols"]
-                }
-                if inbound_refcols & set(assigned_cols):
-                    if _cons.cascading_actions_exist(
-                        self, stmt.table, "update"
-                    ):
-                        if update_pairs is None:
-                            raise NotImplementedError(
-                                "ON UPDATE referential actions need "
-                                "the old/new row remap — this UPDATE "
-                                "form does not derive one"
-                            )
-                        images = _cons.propagate_referential_actions(
-                            self, stmt.table, self._live_read(entry),
-                            result, update_pairs,
-                        )
-                    else:
-                        _cons.enforce_delete(
-                            self, entry, stmt.table, result
-                        )
-        returned = (
-            self._stage_returning(affected_rows, stmt.returning)
-            if stmt.returning
-            else None
-        )
-        if images is not None:
-            # a self-referential cascade changes the ROOT image too —
-            # always write the propagated images, never the raw result.
-            # Every cascaded child must be writable BEFORE the first
-            # swap (a fixture-backed child vetoes the whole statement)
-            self._live_rewrite_many(
-                [
-                    (self._writable_entry(t, "DML cascade"), img, t)
-                    for t, img in images.items()
-                ]
-            )
-        else:
-            self._live_rewrite(entry, result, stmt.table)
-        if returned is not None:
-            return returned
-        return self.spark.createDataFrame(
-            [(int(affected),)], f"{stmt.kind}d long"
-        )
-
-    def _live_rewrite_many(self, items) -> None:
-        """Rewrite several relations as ONE statement (FK cascades).
-        Every new image is STAGED to a temp location first — each
-        image's plan reads the other tables' pre-statement parquet, so
-        no destination may be overwritten before every image has been
-        fully materialized — then all destinations swap.
-
-        ATOMICITY CAVEAT (honest scope): the swaps are per-table
-        renames, so a process crash BETWEEN swaps leaves the statement
-        partially applied — each table individually consistent, but
-        some cascaded children at the new state while others kept the
-        old one. PG's cascades are fully atomic; on this storage
-        layout full multi-table atomicity is the transaction log's
-        job (sources/txlog.MultiTableTxn gives it via 2PC for tables
-        that opt into the TxTable format)."""
-        if len(items) == 1:
-            self._live_rewrite(*items[0])
-            return
-        import shutil
-
-        from citus_spark.sources.partitions import (
-            PERIOD_COL,
-            write_time_partitioned,
-        )
-
-        staged = []
-        for entry, df, name in items:
-            if entry.time_partitioning:
-                tp = entry.time_partitioning
-                tmp = tp["path"] + f".rw_tmp{os.getpid()}"
-                write_time_partitioned(
-                    df.drop(PERIOD_COL), tmp, tp["ts_col"],
-                    tp["granularity"], overwrite_touched_only=False,
-                )
-                staged.append(("tp", entry, name, tmp))
-            else:
-                tmp = entry.path + ".rw_tmp"
-                df.write.mode("overwrite").parquet(tmp)
-                staged.append(("plain", entry, name, tmp))
-        for kind, entry, name, tmp in staged:
-            if kind == "tp":
-                shutil.rmtree(entry.time_partitioning["path"])
-                os.rename(tmp, entry.time_partitioning["path"])
-            else:
-                # rename swap: no second materialization, and the
-                # destination is never in a partially-written state
-                old = entry.path + ".rw_old"
-                shutil.rmtree(old, ignore_errors=True)
-                os.rename(entry.path, old)
-                os.rename(tmp, entry.path)
-                shutil.rmtree(old, ignore_errors=True)
-            self._live_register(entry, name)
-
-    def _dml_with_from(self, entry, df, stmt):
-        """UPDATE .. FROM / DELETE .. USING (PG join-DML; ↔ reference
-        modify planner routing UPDATE/DELETE with joins). The target
-        gets a synthetic row id, joins the extra relations through one
-        Spark SQL query (so the join plans like any other — broadcast
-        for small sources, shuffle otherwise), and the copy-on-write
-        image is reassembled by row id:
-
-          UPDATE t SET c = s.v FROM s WHERE t.k = s.k
-          DELETE FROM t USING s WHERE t.k = s.k
-
-        PG leaves the row value unspecified when several source rows
-        match one target row; here the winner is the deterministic
-        min over the computed values (stable across runs/partitions).
-        RETURNING sees the target image only (source columns in
-        RETURNING are not modeled — they raise unresolved, loudly)."""
-        from pyspark.sql import Window
-
-        rid = "__citus_rid"
-        eff = stmt.alias or stmt.table
-        tgt = df.withColumn(rid, F.monotonically_increasing_id())
-        tgt = tgt.localCheckpoint(eager=False)  # pin the nondeterministic ids
-        tmp = f"__citus_dml_target_{os.getpid()}"
-        tgt.createOrReplaceTempView(tmp)
-        try:
-            where = f" WHERE {stmt.predicate}" if stmt.predicate else ""
-            if stmt.kind == "delete":
-                matched = self.spark.sql(
-                    f"SELECT {eff}.{rid} AS {rid} FROM {tmp} AS {eff}, "
-                    f"{stmt.from_clause}{where}"
-                ).distinct()
-                affected = matched.count()
-                result = (
-                    tgt.join(matched, rid, "left_anti").drop(rid)
-                )
-                affected_rows = tgt.join(matched, rid, "semi").drop(rid)
-                return result, affected_rows, affected, None
-            assigned = self._normalize_update_assignments(
-                entry, dict(stmt.assignments), df.columns
-            )
-            if not assigned:
-                # every assignment was a generated-column DEFAULT —
-                # the matched rows rewrite unchanged (recompute runs
-                # in the shared DML tail)
-                assigned = {
-                    c: c
-                    for c, _e in stmt.assignments
-                    if c in df.columns
-                }
-            vals = ", ".join(
-                f"({expr}) AS __v{i}"
-                for i, (_c, expr) in enumerate(assigned.items())
-            )
-            joined = self.spark.sql(
-                f"SELECT {eff}.{rid} AS {rid}, {vals} "
-                f"FROM {tmp} AS {eff}, {stmt.from_clause}{where}"
-            )
-            w = Window.partitionBy(rid).orderBy(
-                *[f"__v{i}" for i in range(len(assigned))]
-            )
-            picked = (
-                joined.withColumn("__rn", F.row_number().over(w))
-                .filter("__rn = 1")
-                .drop("__rn")
-                .withColumn("__citus_matched", F.lit(True))
-            )
-            affected = picked.count()
-            full = tgt.join(picked, rid, "left")
-            matched_flag = F.coalesce(
-                F.col("__citus_matched"), F.lit(False)
-            )
-            new_image = full.select(
-                *[
-                    F.when(
-                        matched_flag,
-                        F.col(f"__v{list(assigned).index(c)}").cast(
-                            df.schema[c].dataType
-                        ),
-                    ).otherwise(F.col(c)).alias(c)
-                    if c in assigned
-                    else F.col(c)
-                    for c in df.columns
-                ],
-                matched_flag.alias("__citus_matched2"),
-            )
-            affected_rows = new_image.filter("__citus_matched2").drop(
-                "__citus_matched2"
-            )
-            result = new_image.drop("__citus_matched2")
-            # old__/new__ remap of the matched rows — `full` carries
-            # the OLD columns and the picked __vN values side by side,
-            # so ON UPDATE referential actions work through the FROM
-            # form exactly like plain UPDATE
-            update_pairs = full.filter(matched_flag).select(
-                *[F.col(c).alias(f"old__{c}") for c in df.columns],
-                *[
-                    (
-                        F.col(f"__v{list(assigned).index(c)}").cast(
-                            df.schema[c].dataType
-                        )
-                        if c in assigned
-                        else F.col(c)
-                    ).alias(f"new__{c}")
-                    for c in df.columns
-                ],
-            )
-            return result, affected_rows, affected, update_pairs
-        finally:
-            self.spark.catalog.dropTempView(tmp)
 
     def _execute_prepared(self, query: str) -> DataFrame:
         """PREPARE/EXECUTE/DEALLOCATE + DECLARE..CURSOR/FETCH/MOVE/
@@ -5746,929 +3509,6 @@ END
             query = pg_subscripts(query)
         return query
 
-    def _stage_returning(self, rows: DataFrame, returning: str) -> DataFrame:
-        """Materialize a RETURNING projection BEFORE the copy-on-write
-        swap invalidates the files it reads. Staged as parquet (a
-        distributed write — never a driver collect, so an UPDATE that
-        touches millions of rows still returns them scalably) and read
-        back from the staged copy. ↔ reference RETURNING: each shard
-        streams its projection back through the executor
-        (multi_router_planner.c); the staged directory is this engine's
-        equivalent of that intermediate-result transfer."""
-        import tempfile as _tf
-
-        from citus_spark.plans.rewrites import _split_top_level
-
-        exprs = [e.strip() for e in _split_top_level(returning) if e.strip()]
-        proj = rows.selectExpr(*exprs)
-        self._returning_seq = getattr(self, "_returning_seq", 0) + 1
-        path = os.path.join(
-            _tf.gettempdir(),
-            f"citus_spark_returning_{os.getpid()}_{self._returning_seq}",
-        )
-        proj.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
-
-    def _execute_merge(self, query: str) -> DataFrame:
-        """Textual MERGE INTO → sources.ingest.merge_into. The target
-        must be a catalog table with a storage path (the analog of the
-        reference's requirement that MERGE targets be Citus tables);
-        the temp view is refreshed after the rewrite so subsequent
-        queries see the merged state. Returns the new target relation."""
-        from citus_spark.plans.merge_sql import parse_merge
-        from citus_spark.sources.ingest import merge_into
-
-        stmt = parse_merge(query)
-        entry = self._writable_entry(stmt.target, "MERGE")
-        gen = entry.generated or {}
-        if gen:
-            # PG: MERGE may not SET or INSERT a generated column
-            # except with the DEFAULT keyword — silently discarding
-            # what the statement asked to write (funnel recompute
-            # would overwrite it) is worse than the error PG raises
-            import re as _re2
-
-            def _is_default(text: str) -> bool:
-                return bool(_re2.fullmatch(r"\s*DEFAULT\s*", text, _re2.I))
-
-            for _c, _a, asg in list(stmt.matched_branches) + list(
-                stmt.by_source_branches
-            ):
-                for col, e in asg or []:
-                    if col in gen and not _is_default(e):
-                        raise ValueError(
-                            f'column "{col}" can only be updated to '
-                            f'DEFAULT\nDETAIL: Column "{col}" is a '
-                            "generated column."
-                        )
-            for _c, cols, vals in stmt.not_matched_branches:
-                for col, v in zip(cols or [], vals or []):
-                    if col in gen and not _is_default(v):
-                        raise ValueError(
-                            f'cannot insert a non-DEFAULT value into '
-                            f'column "{col}"\nDETAIL: Column "{col}" '
-                            "is a generated column."
-                        )
-        source = (
-            self.spark.sql(stmt.source)
-            if stmt.source_is_subquery
-            else self.spark.table(stmt.source)
-        )
-        returned = None
-        if stmt.returning:
-            # PG 17 MERGE .. RETURNING: one action-tagged pass over
-            # the PRE-merge state (same single equi-join shape),
-            # staged before any rewrite invalidates the files
-            from citus_spark.sources.ingest import merge_apply_multi
-            from citus_spark.sources.partitions import PERIOD_COL
-
-            cur0 = self._live_read(entry)
-            if entry.time_partitioning:
-                cur0 = cur0.drop(PERIOD_COL)
-            affected = merge_apply_multi(
-                cur0,
-                source,
-                stmt.keys,
-                matched_branches=stmt.matched_branches,
-                not_matched_branches=stmt.not_matched_branches,
-                by_source_branches=stmt.by_source_branches,
-                with_actions=True,
-                column_defaults=entry.defaults,
-                generated_columns=set(entry.generated or {}),
-            )
-            # RETURNING ships the recomputed image, not stale generated
-            # values (the action tag is not a generated column, so the
-            # recompute projection passes it through untouched)
-            affected = self._recompute_generated(entry, affected)
-            returned = self._stage_returning(
-                affected,
-                _merge_returning_exprs(stmt.returning, cur0.columns),
-            )
-        if not stmt.is_whole_row or gen:
-            # general form (SET col = expr / AND guards / INSERT
-            # (cols) VALUES): one joined computation over the LIVE
-            # relation, then a copy-on-write swap — works uniformly
-            # for plain and time-partitioned storage. Tables with
-            # generated columns ALWAYS take this path so the
-            # recompute happens before constraints judge the image.
-            from citus_spark.sources.ingest import merge_apply_multi
-
-            from citus_spark.sources.partitions import PERIOD_COL
-
-            cur = self._live_read(entry)
-            if entry.time_partitioning:
-                cur = cur.drop(PERIOD_COL)
-            merged = merge_apply_multi(
-                cur,
-                source,
-                stmt.keys,
-                matched_branches=stmt.matched_branches,
-                not_matched_branches=stmt.not_matched_branches,
-                by_source_branches=stmt.by_source_branches,
-                column_defaults=entry.defaults,
-                generated_columns=set(entry.generated or {}),
-            )
-            merged = self._recompute_generated(entry, merged)
-            if entry.constraints:
-                from citus_spark.plans import constraints as _cons
-
-                _cons.enforce_full_image(self, entry, stmt.target, merged)
-            self._live_rewrite(entry, merged, stmt.target)
-            out = self._live_read(entry)
-            out.createOrReplaceTempView(stmt.target)
-            return returned if returned is not None else out
-        if entry.constraints:
-            # whole-row merge writes into storage in place — the
-            # would-be image must be judged BEFORE anything touches
-            # the files (no rollback afterwards)
-            from citus_spark.plans import constraints as _cons
-            from citus_spark.sources.ingest import merge_apply as _ma
-            from citus_spark.sources.partitions import PERIOD_COL as _PC
-
-            _cur = self._live_read(entry)
-            if entry.time_partitioning:
-                _cur = _cur.drop(_PC)
-            _cons.enforce_full_image(
-                self, entry, stmt.target,
-                _ma(
-                    _cur, source, stmt.keys,
-                    when_matched=stmt.when_matched,
-                    insert_unmatched=stmt.insert_unmatched,
-                ),
-            )
-        if entry.time_partitioning:
-            # stage the live partitioned relation on a plain path,
-            # merge there, then rewrite the layout (re-deriving
-            # periods — a matched UPDATE may move rows across them)
-            import shutil
-            import tempfile as _tf
-
-            from citus_spark.sources.partitions import PERIOD_COL
-
-            stage = os.path.join(
-                _tf.gettempdir(),
-                f"citus_spark_merge_{stmt.target}_{os.getpid()}",
-            )
-            self._live_read(entry).drop(PERIOD_COL).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            try:
-                merge_into(
-                    self.spark,
-                    stage,
-                    source,
-                    stmt.keys,
-                    when_matched=stmt.when_matched,
-                    insert_unmatched=stmt.insert_unmatched,
-                )
-                self._live_rewrite(
-                    entry, self.spark.read.parquet(stage), stmt.target
-                )
-            finally:
-                shutil.rmtree(stage, ignore_errors=True)
-            out = self._live_read(entry)
-            out.createOrReplaceTempView(stmt.target)
-            return returned if returned is not None else out
-        merge_into(
-            self.spark,
-            entry.path,
-            source,
-            stmt.keys,
-            when_matched=stmt.when_matched,
-            insert_unmatched=stmt.insert_unmatched,
-        )
-        out = self.spark.read.parquet(entry.path)
-        out.createOrReplaceTempView(stmt.target)
-        return returned if returned is not None else out
-
-    # ------------------------------------------------------------------
-    # Layout-maintenance API (↔ alter_distributed_table /
-    # undistribute_table management UDFs)
-    # ------------------------------------------------------------------
-    def alter_distributed_table(
-        self,
-        name: str,
-        dist_col: str | None = None,
-        buckets: int | None = None,
-        colocate_with: str | None = None,
-    ) -> DataFrame:
-        """Re-distribute a registered table (new key and/or bucket
-        count) — one repartition, exactly the reference's
-        shard-rewrite path."""
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        df = self.spark.table(name)
-        new_col = dist_col or entry.dist_col
-        new_buckets = buckets or entry.buckets
-        self.catalog.register(
-            name, DIST_HASH, new_col, buckets=new_buckets, colocate_with=colocate_with
-        )
-        out = df.repartition(new_buckets, F.col(new_col))
-        out.createOrReplaceTempView(name)
-        return out
-
-    def alter_columnar_table_set(self, name: str, **options) -> dict:
-        """Set columnar storage options on a registered table
-        (↔ reference alter_columnar_table_set(): compression,
-        compression_level, chunk_group_row_limit, stripe_row_limit —
-        stored in the catalog like the reference's columnar.options,
-        applied by sources.columnar.write_columnar on the next
-        materialization; see sources/columnar.py for the unit-for-unit
-        parquet mapping). Returns the table's effective options."""
-        from citus_spark.sources.columnar import columnar_options
-
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        merged = dict(entry.columnar or {})
-        merged.update(options)
-        entry.columnar = columnar_options(merged)  # validates
-        return dict(entry.columnar)
-
-    def alter_table_set_access_method(
-        self, name: str, access_method: str = "columnar",
-        path: str | None = None,
-    ) -> str:
-        """Materialize a registered table into the columnar layout
-        under its configured storage options (↔ reference
-        alter_table_set_access_method(), commands/alter_table.c — the
-        heap↔columnar converter; it, too, rewrites the whole
-        relation). The relation's rows are unchanged; only the
-        physical layout moves. `access_method='heap'` is rejected:
-        Spark's native format IS columnar parquet, and a row-oriented
-        rewrite would fabricate a storage engine the platform doesn't
-        have. Returns the new storage path."""
-        from citus_spark.sources.columnar import write_columnar
-
-        if access_method != "columnar":
-            raise ValueError(
-                "only access_method='columnar' exists on this engine "
-                "(Spark's storage is columnar parquet; there is no heap)"
-            )
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        if path is None:
-            path = os.path.join(
-                tempfile.gettempdir(), f"citus_spark_columnar_{name}"
-            )
-        df = self.spark.table(name)
-        write_columnar(df, path, entry.columnar)
-        entry.path = path
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
-        return path
-
-    def get_rebalance_table_shards_plan(
-        self, name: str, target_shard_rows: int = 100_000_000,
-        rebalance_strategy: str | None = None,
-        target_shard_bytes: int = 1 << 30,
-    ) -> DataFrame:
-        """Dry-run of `rebalance_table_shards` (↔ reference
-        get_rebalance_table_shards_plan(),
-        operations/shard_rebalancer.c): one row per table in `name`'s
-        colocation group with the current layout, measured per-bucket
-        skew, and the bucket count a rebalance would choose.
-
-        On Spark there are no static shard placements to move — the
-        scheduler assigns bucket partitions to executors per query, so
-        the reference's placement-move lever doesn't exist. The lever
-        that DOES exist is the bucket count itself: too few buckets
-        caps parallelism and makes each shuffle partition too large to
-        fit in executor memory; too many manufactures tiny tasks. The
-        proposal is ceil(largest member table / target_shard_rows),
-        applied to the WHOLE colocation group (the reference likewise
-        always moves colocation groups as a unit — a lone member
-        re-bucketed would break every exchange-free join in the
-        group). max_shard_rows / avg flags hash skew the rebalance
-        cannot fix (skewed *values* need salting, functions/skew.py).
-        """
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        if not entry.is_hash_distributed:
-            raise ValueError(f"{name!r} is not hash-distributed")
-        group = [
-            t
-            for t in self.catalog.tables().values()
-            if t.is_hash_distributed and t.colocation_id == entry.colocation_id
-        ]
-        counts = {}
-        for t in group:
-            per_bucket = (
-                self.spark.table(t.name)
-                .groupBy(
-                    F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets)).alias("b")
-                )
-                .count()
-                .agg(
-                    F.sum("count").alias("total"),
-                    F.max("count").alias("mx"),
-                )
-                .collect()[0]
-            )
-            counts[t.name] = (int(per_bucket.total or 0), int(per_bucket.mx or 0))
-        from citus_spark import cluster as _cluster
-
-        strategy = _cluster.resolve_rebalance_strategy(
-            self, rebalance_strategy
-        )
-        if strategy == "by_disk_size":
-            # ↔ pg_dist_rebalance_strategy 'by_disk_size': balance
-            # BYTES, not rows — sized through _relation_size, which
-            # ERRORS for path-less relations (a silent zero would
-            # collapse the whole colocation group to one bucket)
-            largest_bytes = max(
-                self._relation_size(t.name) for t in group
-            )
-            proposed = max(1, -(-largest_bytes // target_shard_bytes))
-        else:
-            largest = max(total for total, _ in counts.values())
-            proposed = max(1, -(-largest // target_shard_rows))
-        rows = [
-            (
-                t.name,
-                int(t.colocation_id),
-                int(t.buckets),
-                int(proposed),
-                counts[t.name][0],
-                counts[t.name][1],
-            )
-            for t in group
-        ]
-        return self.spark.createDataFrame(
-            rows,
-            "table_name string, colocation_id int, shard_count int, "
-            "proposed_shard_count int, total_rows long, max_shard_rows long",
-        )
-
-    def rebalance_table_shards(
-        self,
-        name: str,
-        shard_count: int | None = None,
-        target_shard_rows: int = 100_000_000,
-        rebalance_strategy: str | None = None,
-    ) -> DataFrame:
-        """Re-balance `name`'s colocation group to a new bucket count
-        (↔ reference rebalance_table_shards(),
-        operations/shard_rebalancer.c:893 — which moves shard
-        placements between nodes; see the plan function's docstring
-        for why bucket-count right-sizing is the Spark-native analog).
-        Every member of the colocation group is rewritten with ONE
-        repartition each, colocation ids are preserved, and the
-        registered views are replaced — so joins between members stay
-        exchange-free afterwards. Returns the executed plan."""
-        plan = self.get_rebalance_table_shards_plan(
-            name, target_shard_rows=target_shard_rows,
-            rebalance_strategy=rebalance_strategy,
-        )
-        rows = plan.collect()
-        new_buckets = (
-            int(shard_count)
-            if shard_count is not None
-            else int(rows[0].proposed_shard_count)
-        )
-        for r in rows:
-            entry = self.catalog.get(r.table_name)
-            df = self.spark.table(r.table_name)
-            out = df.repartition(new_buckets, F.col(entry.dist_col))
-            out.createOrReplaceTempView(r.table_name)
-            # mutate in place: the group keeps its colocation id (the
-            # reference's rebalancer likewise never re-groups)
-            entry.buckets = new_buckets
-        return self.spark.createDataFrame(
-            [
-                (r.table_name, r.shard_count, new_buckets, r.total_rows)
-                for r in rows
-            ],
-            "table_name string, old_shard_count int, new_shard_count int, "
-            "total_rows long",
-        )
-
-    # -- node management (↔ multi_cluster_management.sql regress;
-    # node_metadata.c). On Spark the executors ARE the workers and the
-    # scheduler owns placement, so this is the metadata half only: a
-    # pg_dist_node analog that reference scripts can populate and
-    # query unchanged. Shard/bucket accounting (citus_shards) is
-    # node-agnostic by design — a static placement map would be a
-    # fabrication here (see citus_shards docstring). --------------------
-    def citus_add_node(
-        self, nodename: str, nodeport: int, groupid: int = -1
-    ) -> int:
-        """Register a worker node; returns its nodeid (idempotent for
-        a (host, port) already present, like the reference)."""
-        nodes = getattr(self, "_nodes", None)
-        if nodes is None:
-            nodes = self._nodes = []
-        for n in nodes:
-            if n["nodename"] == nodename and n["nodeport"] == nodeport:
-                return n["nodeid"]
-        nid = len(nodes) + 1
-        nodes.append(
-            {
-                "nodeid": nid,
-                "groupid": nid if groupid < 0 else groupid,
-                "nodename": nodename,
-                "nodeport": int(nodeport),
-                "isactive": True,
-                "noderole": "primary",
-            }
-        )
-        self.stat_statements.record(
-            f"SELECT citus_add_node('{nodename}', {nodeport})", None,
-            executor="utility",
-        )
-        return nid
-
-    def citus_remove_node(self, nodename: str, nodeport: int) -> None:
-        nodes = getattr(self, "_nodes", []) or []
-        keep = [
-            n
-            for n in nodes
-            if not (n["nodename"] == nodename and n["nodeport"] == nodeport)
-        ]
-        if len(keep) == len(nodes):
-            raise ValueError(
-                f"node {nodename}:{nodeport} does not exist"
-            )
-        self._nodes = keep
-
-    def citus_activate_node(self, nodename: str, nodeport: int) -> int:
-        for n in getattr(self, "_nodes", []) or []:
-            if n["nodename"] == nodename and n["nodeport"] == nodeport:
-                n["isactive"] = True
-                return n["nodeid"]
-        raise ValueError(f"node {nodename}:{nodeport} does not exist")
-
-    def citus_disable_node(self, nodename: str, nodeport: int) -> None:
-        """↔ reference citus_disable_node (node_metadata.c): marks the
-        node inactive — it stops receiving default placements (the
-        round-robin map skips inactive nodes) but stays registered."""
-        for n in getattr(self, "_nodes", []) or []:
-            if n["nodename"] == nodename and n["nodeport"] == nodeport:
-                n["isactive"] = False
-                return
-        raise ValueError(f"node {nodename}:{nodeport} does not exist")
-
-    def citus_update_node(
-        self, node_id: int, new_name: str, new_port: int
-    ) -> None:
-        """↔ reference citus_update_node (node_metadata.c): re-address
-        a registered node in place — placements keyed by group id are
-        untouched, exactly the reference's failover re-point flow."""
-        for n in getattr(self, "_nodes", []) or []:
-            if int(n["nodeid"]) == int(node_id):
-                n["nodename"] = str(new_name)
-                n["nodeport"] = int(new_port)
-                return
-        raise ValueError(f"node {node_id} does not exist")
-
-    def citus_set_coordinator_host(
-        self, nodename: str, nodeport: int = 5432
-    ) -> None:
-        self._coordinator = (nodename, int(nodeport))
-
-    def citus_get_active_worker_nodes(self) -> DataFrame:
-        """(node_name, node_port) for active registered workers —
-        the reference's citus_get_active_worker_nodes() relation."""
-        rows = [
-            (n["nodename"], n["nodeport"])
-            for n in (getattr(self, "_nodes", []) or [])
-            if n["isactive"]
-        ]
-        return self.spark.createDataFrame(
-            rows, "node_name string, node_port int"
-        )
-
-    def isolate_tenant_to_new_shard(
-        self,
-        name: str,
-        tenant_value,
-        cascade_option: str | None = None,
-        path: str | None = None,
-    ) -> int:
-        """Give one tenant its own shard (↔ reference
-        isolate_tenant_to_new_shard(), operations/shard_split.c: the
-        shard containing the tenant's hash is split three ways so the
-        tenant occupies a dedicated shard; with cascade_option =>
-        'CASCADE' the split applies to the whole colocation group,
-        without it the call refuses when colocated tables exist).
-
-        Spark analog: the member tables' storage is rewritten
-        partitioned by a derived shard label — ``s<shardid>`` for the
-        isolated tenant, ``b<bucket>`` (the same pmod(hash) placement
-        as before) for everyone else — so the tenant's rows live in
-        their own directory. Single-tenant statements
-        (`WHERE <dist_col> = <tenant>`) are then routed by the front
-        door to ONLY that directory via partition pruning
-        (_route_isolated_tenants — the router-planner analog); every
-        other query reads the union, values unchanged. Returns the
-        new shard id for `name`, like the reference."""
-        import tempfile as _tf
-
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        if not entry.is_hash_distributed:
-            raise ValueError(
-                f"cannot isolate tenant because {name!r} is not "
-                "hash-distributed"
-            )
-        group = [
-            t
-            for t in self.catalog.tables().values()
-            if t.is_hash_distributed
-            and t.colocation_id == entry.colocation_id
-        ]
-        if len(group) > 1 and str(cascade_option or "").upper() != "CASCADE":
-            raise ValueError(
-                f"cannot isolate tenant because {name!r} has colocated "
-                "tables; use cascade_option => 'CASCADE'"
-            )
-        val = str(tenant_value)
-        new_id = None
-        for t in group:
-            if t.isolated and val in t.isolated:
-                # idempotent: a re-run returns the existing shard id
-                if t.name == name:
-                    new_id = t.isolated[val]
-                continue
-            self._isolated_shard_seq = getattr(
-                self, "_isolated_shard_seq", 104000
-            ) + 1
-            sid = self._isolated_shard_seq
-            df = self.spark.table(t.name)
-            cols = df.columns
-            iso = dict(t.isolated or {})
-            iso[val] = sid
-            label = _shard_label(
-                t.dist_col, t.buckets, iso, getattr(t, "splits", None)
-            )
-            if path:
-                # per-(table, shard-id) subdir: a CASCADE group must
-                # not share one directory, and a SECOND isolation on
-                # the same path must not overwrite the directory the
-                # table's registered view is lazily reading
-                dest = os.path.join(path, f"{t.name}_{sid}")
-            else:
-                dest = os.path.join(
-                    _tf.gettempdir(),
-                    f"citus_spark_isolated_{os.getpid()}_{sid}_{t.name}",
-                )
-            (
-                df.withColumn("__citus_shard", label)
-                .repartition("__citus_shard")
-                .write.partitionBy("__citus_shard")
-                .mode("overwrite")
-                .parquet(dest)
-            )
-            raw = self.spark.read.parquet(dest)
-            raw.createOrReplaceTempView(f"__{t.name}_shards")
-            raw.select(*cols).createOrReplaceTempView(t.name)
-            t.path = dest
-            t.isolated = iso
-            if t.name == name:
-                new_id = sid
-        self.stat_statements.record(
-            f"SELECT isolate_tenant_to_new_shard('{name}', ...)", None,
-            executor="utility",
-        )
-        return int(new_id)
-
-    def _route_isolated_tenants(self, query: str) -> str:
-        """Router-planner analog for isolated tenants (↔ reference
-        multi_router_planner.c): a statement whose restriction pins an
-        isolated table to its isolated tenant value is rewritten to
-        scan ONLY that tenant's storage partition (Catalyst partition
-        pruning does the rest).
-
-        Without the reference's restriction-equivalence analysis a
-        textual router must prove predicate OWNERSHIP and POLARITY
-        before narrowing a scan, so routing fires only for the shape
-        it can prove single-shard:
-
-        - the statement reads exactly ONE relation (one SELECT, one
-          FROM, no JOIN keyword, no depth-0 comma in the FROM clause
-          — a dist-col equality then necessarily restricts that
-          relation),
-        - the equality is a depth-0 conjunct of the WHERE clause
-          (never inside a subquery, CASE, or function argument),
-        - the WHERE clause contains no OR / NOT / CASE / IS / `!`
-          (any of which could invert or widen the restriction),
-        - the column is unqualified or qualified by exactly the table
-          name or its alias (a struct-field access like
-          `profile.user_id` never matches),
-        - the literal is a full token (`= 7` must not match `= 7.5`)
-          and is not itself compared onward (`user_id = 7 = flag`).
-
-        Anything else runs the normal full-relation plan, which is
-        always correct — exactly the reference's fallback from the
-        router to the adaptive executor."""
-        import re as _re
-
-        tables = [
-            t
-            for t in self.catalog.tables().values()
-            if getattr(t, "isolated", None) or getattr(t, "splits", None)
-        ]
-        if not tables:
-            return query
-        from citus_spark.plans.rewrites import _masked_spans
-
-        spans = _masked_spans(query)
-
-        def in_code(pos: int) -> bool:
-            return not any(a <= pos < b for a, b in spans)
-
-        def code_count(pat: str) -> int:
-            return sum(
-                1 for m in _re.finditer(pat, query, _re.I)
-                if in_code(m.start())
-            )
-
-        # single-relation statements only (ownership proof)
-        if (
-            code_count(r"\bSELECT\b") != 1
-            or code_count(r"\bFROM\b") != 1
-            or code_count(r"\bJOIN\b") != 0
-        ):
-            return query
-
-        # the WHERE clause region at paren depth 0
-        depth = 0
-        where_at = -1
-        where_end = len(query)
-        clause_kw = _re.compile(
-            r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
-            _re.I,
-        )
-        i = 0
-        while i < len(query):
-            if not in_code(i):
-                i += 1
-                continue
-            c = query[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0:
-                m = clause_kw.match(query, i)
-                if m and (i == 0 or not (query[i - 1].isalnum()
-                                         or query[i - 1] == "_")):
-                    if m.group(1).upper() == "WHERE":
-                        where_at = i
-                    elif where_at >= 0:
-                        where_end = i
-                        break
-                    i = m.end()
-                    continue
-            i += 1
-        if where_at < 0:
-            return query
-        where_region = query[where_at:where_end]
-        if (
-            _re.search(r"\b(OR|NOT|CASE|IS)\b", where_region, _re.I)
-            or "!" in where_region
-        ):
-            return query
-
-        # prefix depth table over the WHERE region: one linear pass,
-        # O(1) per later lookup (review finding: the per-match rescans
-        # were quadratic once any table was isolated)
-        depth_at: dict[int, int] = {}
-        d0 = 0
-        for j in range(where_at, where_end):
-            depth_at[j] = d0
-            if in_code(j):
-                if query[j] == "(":
-                    d0 += 1
-                elif query[j] == ")":
-                    d0 -= 1
-
-        def depth0_in_where(pos: int) -> bool:
-            return where_at <= pos < where_end and depth_at.get(pos) == 0
-
-        out = query
-        for t in tables:
-            refs = [
-                m
-                for m in _re.finditer(
-                    rf"\b(FROM)\s+({t.name})\b", out, _re.I
-                )
-                if in_code(m.start())
-            ]
-            if len(refs) != 1:
-                continue
-            m = refs[0]
-            tail = out[m.end():]
-            am = _re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail)
-            kw_after = (
-                "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
-                "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION",
-                "INTERSECT", "EXCEPT", "HAVING", "AS", "USING",
-            )
-            alias = (
-                am.group(1)
-                if am and am.group(1).upper() not in kw_after
-                else None
-            )
-            # a depth-0 comma between the relation and WHERE is a
-            # comma-list join — a second relation this gate must treat
-            # like a JOIN keyword
-            from_tail_start = m.end() + (am.end() if alias else 0)
-            d = 0
-            comma_join = False
-            for j in range(from_tail_start, where_at):
-                if not in_code(j):
-                    continue
-                if query[j] == "(":
-                    d += 1
-                elif query[j] == ")":
-                    d -= 1
-                elif query[j] == "," and d == 0:
-                    comma_join = True
-                    break
-            if comma_join:
-                continue
-            # qualifier may only be the table name or its alias —
-            # `other.user_id` (impossible here) and struct-field paths
-            # like `profile.user_id` must never match
-            quals = [t.name] + ([alias] if alias else [])
-            qual_alt = "|".join(_re.escape(x) for x in quals)
-            # ONE shared anchor + ONE shared tail guard for both the
-            # isolated and the split-route patterns (they must stay in
-            # lockstep). The tail guard requires the literal to END
-            # its conjunct: any trailing operator (`= 7 + 1`,
-            # `= 'a' || x`, chained `=`) widens the value Spark
-            # actually compares, so those shapes never route.
-            lhs = (
-                rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
-                rf"{t.dist_col}\s*=\s*"
-            )
-            tail_guard = r"(?![\w.])(?!\s*[=+\-*/%|&^<>])"
-            label = None
-            for v, sid in (t.isolated or {}).items():
-                alts = [rf"'{_re.escape(v)}'"]
-                if _re.fullmatch(r"-?\d+", v):
-                    alts.append(_re.escape(v))
-                pred = lhs + rf"(?:{'|'.join(alts)})" + tail_guard
-                if any(
-                    in_code(x.start()) and depth0_in_where(x.start())
-                    for x in _re.finditer(pred, out, _re.I)
-                ):
-                    label = f"s{sid}"
-                    break
-            if label is None and getattr(t, "splits", None):
-                # a SPLIT table's storage is partitioned by the shard
-                # label for EVERY bucket, so a dist-col equality can
-                # route to one directory (the reference's router
-                # prunes to one shard the same way) — but ONLY when
-                # the literal's type matches the column exactly:
-                # Spark's string↔numeric comparison COERCES (the full
-                # plan would match '07' = 7), while the hash routes on
-                # the literal text, so a cross-type equality must run
-                # the full plan. Integer literals must also fit the
-                # column type (an overflowing literal is a valid
-                # always-false comparison, never a routing error), and
-                # backslash-bearing string literals are skipped (the
-                # simple lexer cannot prove their extent under Spark's
-                # escape rules).
-                dtype = dict(self.spark.table(t.name).dtypes)[t.dist_col]
-                int_ranges = {
-                    "tinyint": 7, "smallint": 15, "int": 31,
-                    "bigint": 63,
-                }
-                generic = lhs + r"('(?:[^'\\]|'')*'|-?\d+)" + tail_guard
-                for x in _re.finditer(generic, out, _re.I):
-                    if not (
-                        in_code(x.start()) and depth0_in_where(x.start())
-                    ):
-                        continue
-                    lit = x.group(1)
-                    if lit.startswith("'"):
-                        if dtype != "string":
-                            continue  # cross-type: full plan
-                        val = lit[1:-1].replace("''", "'")
-                    else:
-                        if dtype not in int_ranges:
-                            continue  # cross-type: full plan
-                        val = int(lit)
-                        bits = int_ranges[dtype]
-                        if not (-(1 << bits) <= val < (1 << bits)):
-                            continue  # overflow: valid, never routed
-                    from citus_spark import cluster
-
-                    sid = cluster.get_shard_id_for_distribution_column(
-                        self, t.name, val
-                    )
-                    _tn, label = cluster._shard_key(self, sid)
-                    break
-            if label is None:
-                continue
-            cols = ", ".join(self.spark.table(t.name).columns)
-            sub = (
-                f"(SELECT {cols} FROM __{t.name}_shards "
-                f"WHERE __citus_shard = '{label}')"
-            )
-            out = (
-                out[: m.start()]
-                + f"{m.group(1)} {sub}"
-                + ("" if alias else f" {t.name}")
-                + tail
-            )
-            return out
-        return out
-
-    def create_time_partitions(
-        self,
-        name: str,
-        ts_col: str,
-        granularity: str = "day",
-        path: str | None = None,
-    ) -> list[str]:
-        """Convert a registered table to the time-partitioned layout
-        (↔ reference create_time_partitions(),
-        sql/udfs/create_time_partitions: creates the range partitions
-        covering the table's time span). Directory partitions are
-        created by value coverage — one per `granularity` period
-        present in the data — and the view is re-registered over the
-        layout, so time-scoped queries partition-prune from here on.
-        Returns the created period keys."""
-        from citus_spark.sources.partitions import (
-            list_partitions,
-            read_time_partitioned,
-            write_time_partitioned,
-        )
-
-        entry = self.catalog.get(name)
-        if entry is None:
-            raise KeyError(f"unknown table {name!r}")
-        tp = entry.time_partitioning
-        if tp and tp["ts_col"] == ts_col and tp["granularity"] == granularity:
-            # already partitioned this way: create-if-missing semantics
-            # (the reference call is likewise idempotent over existing
-            # partitions) — and never rewrite the layout from itself
-            return list_partitions(tp["path"])
-        if path is None:
-            # granularity-keyed session-temp dir — distinct from any
-            # PREVIOUS layout (a re-partition reads the current view,
-            # so writing over the old layout would overwrite a path
-            # being read), and NEVER beside entry.path (source
-            # fixtures may live on read-only storage)
-            path = os.path.join(
-                tempfile.gettempdir(),
-                f"citus_spark_tp_{name}_{granularity}_{ts_col}",
-            )
-        if tp and os.path.abspath(path) == os.path.abspath(tp["path"]):
-            raise ValueError(
-                f"{name!r} is already time-partitioned at {path!r} with "
-                f"different options ({tp['granularity']!r} on "
-                f"{tp['ts_col']!r}); re-partitioning must target a new "
-                "path — the current layout is the read source"
-            )
-        # drop a stale period key left by a previous layout (no-op on
-        # a first-time conversion)
-        df = self.spark.table(name).drop("_period")
-        if ts_col not in df.columns:
-            raise ValueError(f"timestamp column {ts_col!r} not in {name!r}")
-        write_time_partitioned(df, path, ts_col, granularity)
-        entry.time_partitioning = {
-            "path": path,
-            "ts_col": ts_col,
-            "granularity": granularity,
-        }
-        read_time_partitioned(self.spark, path).createOrReplaceTempView(name)
-        return list_partitions(path)
-
-    def drop_old_time_partitions(self, name: str, older_than: str) -> list[str]:
-        """Drop every period strictly older than `older_than`
-        (↔ reference drop_old_time_partitions() procedure). O(1) per
-        period — a directory remove, no data rewrite, exactly the
-        reference dropping a child table. Returns the dropped
-        periods."""
-        from citus_spark.sources.partitions import (
-            drop_old_partitions,
-            read_time_partitioned,
-        )
-
-        entry = self.catalog.get(name)
-        if entry is None or not entry.time_partitioning:
-            raise KeyError(f"{name!r} is not time-partitioned")
-        tp = entry.time_partitioning
-        fmt = {"day": 10, "month": 7, "hour": 13}[tp["granularity"]]
-        # partition keys spell hour as yyyy-MM-dd-HH; a timestamp-style
-        # cutoff ('2023-06-15 12:00') keeps its space separator, which
-        # sorts BELOW '-' and would retain every same-day hour —
-        # normalize the separator before the lexicographic compare
-        cutoff = str(older_than)[:fmt].replace(" ", "-")
-        dropped = drop_old_partitions(tp["path"], cutoff)
-        self.spark.catalog.refreshByPath(tp["path"])
-        read_time_partitioned(self.spark, tp["path"]).createOrReplaceTempView(
-            name
-        )
-        return dropped
-
     def explain_analyze(self, query: str | DataFrame) -> DataFrame:
         """EXPLAIN ANALYZE (↔ reference multi_explain.c): execute the
         plan and return one row per (operator, metric) with real
@@ -6713,174 +3553,6 @@ END
         cached.createOrReplaceTempView(name)
         self.catalog.register(name, "none")
         return cached
-
-    def citus_tables(self) -> DataFrame:
-        """↔ the reference's `citus_tables` view (a user-facing join
-        over pg_dist_partition/pg_dist_colocation): one row per
-        catalog-registered table with its distribution type, column,
-        colocation group, and shard (bucket) count."""
-        rows = [
-            (
-                t.name,
-                t.method,
-                t.dist_col,
-                int(t.colocation_id),
-                int(t.buckets) if t.is_hash_distributed else 1,
-            )
-            for t in self.catalog.tables().values()
-        ]
-        return self.spark.createDataFrame(
-            rows,
-            "table_name string, citus_table_type string, "
-            "distribution_column string, colocation_id int, shard_count int",
-        )
-
-    def citus_shards(self, only_table: str | None = None) -> DataFrame:
-        """↔ the reference's `citus_shards` view (a join over
-        pg_dist_shard/pg_dist_placement with shard sizes): one row per
-        shard. A hash-distributed table's shards here are its hash
-        buckets — pmod(hash(dist_col), buckets), the same placement
-        function the co-location machinery relies on — with shard ids
-        allocated from 102008 like the reference's first shard id.
-        `shard_rows` is computed with one distributed count per table;
-        `shard_size` prorates the relation's parquet bytes by row
-        share (NULL when the relation isn't file-backed). There is no
-        nodename/nodeport column: Spark assigns bucket partitions to
-        executors per query (the analog of the reference's
-        task-assignment policy), so a static placement would be a
-        fabrication."""
-        import os
-        from urllib.parse import urlparse
-
-        rows: list[tuple] = []
-        next_shard_id = 102008
-        for t in self.catalog.tables().values():
-            if not (t.is_hash_distributed or t.is_reference):
-                continue
-            if only_table is not None and t.name != only_table:
-                # id allocation must still walk the full catalog or the
-                # filtered view's shard ids would shift
-                next_shard_id += t.buckets if t.is_hash_distributed else 1
-                continue
-            df = self.spark.table(t.name)
-            nbytes = None
-            files = df.inputFiles()
-            if files:
-                paths = [urlparse(f).path for f in files]
-                if all(os.path.exists(p) for p in paths):
-                    nbytes = sum(os.path.getsize(p) for p in paths)
-            if t.is_hash_distributed:
-                # isolated tenants (isolate_tenant_to_new_shard) carry
-                # their own label and recorded shard id; everyone else
-                # stays in the pmod(hash) buckets. The label MUST be
-                # the same expression the isolation write partitioned
-                # by — _shard_label is the one implementation.
-                iso = getattr(t, "isolated", None) or {}
-                splits = getattr(t, "splits", None) or {}
-                counts = dict(
-                    df.groupBy(
-                        _shard_label(
-                            t.dist_col, t.buckets, iso, splits
-                        ).alias("b")
-                    )
-                    .count()
-                    .collect()
-                )
-                total = sum(counts.values())
-
-                def _row(shard_id: int, key: str):
-                    n = int(counts.get(key, 0))
-                    rows.append(
-                        (
-                            t.name,
-                            shard_id,
-                            f"{t.name}_{shard_id}",
-                            t.method,
-                            int(t.colocation_id),
-                            n,
-                            int(nbytes * n / total)
-                            if nbytes is not None and total
-                            else None,
-                        )
-                    )
-
-                for b in range(t.buckets):
-                    if b in splits:
-                        for sid, _lo, _hi in splits[b]:
-                            _row(int(sid), f"s{sid}")
-                    else:
-                        _row(next_shard_id + b, f"b{b}")
-                for v, s in sorted(iso.items(), key=lambda kv: kv[1]):
-                    _row(int(s), f"s{s}")
-                next_shard_id += t.buckets
-            else:
-                n = df.count()
-                rows.append(
-                    (
-                        t.name,
-                        next_shard_id,
-                        f"{t.name}_{next_shard_id}",
-                        t.method,
-                        int(t.colocation_id),
-                        int(n),
-                        int(nbytes) if nbytes is not None else None,
-                    )
-                )
-                next_shard_id += 1
-        return self.spark.createDataFrame(
-            rows,
-            "table_name string, shardid long, shard_name string, "
-            "citus_table_type string, colocation_id int, "
-            "shard_rows long, shard_size long",
-        )
-
-    def citus_stat_activity(self) -> DataFrame:
-        """↔ the reference's citus_stat_activity view (live distributed
-        queries with their per-node activity): one row per ACTIVE
-        (job, stage) with task progress. Sourced from Spark's
-        StatusTracker — the scheduler's own live state, the same data
-        the web UI shows. A stage here plays the role of the
-        reference's per-shard task batch: numTasks is the partition
-        count, active/completed the in-flight split. Empty when the
-        session is idle (like the reference with no queries running).
-        """
-        st = self.spark.sparkContext.statusTracker()
-        rows = []
-        for jid in st.getActiveJobsIds():
-            info = st.getJobInfo(jid)
-            if info is None:
-                continue
-            for sid in info.stageIds:
-                si = st.getStageInfo(sid)
-                if si is None:
-                    continue
-                rows.append(
-                    (
-                        int(jid),
-                        str(info.status),
-                        int(sid),
-                        str(si.name)[:100],
-                        int(si.numTasks),
-                        int(si.numActiveTasks),
-                        int(si.numCompletedTasks),
-                        int(si.numFailedTasks),
-                    )
-                )
-        return self.spark.createDataFrame(
-            rows,
-            "job_id long, status string, stage_id long, stage string, "
-            "num_tasks long, active_tasks long, completed_tasks long, "
-            "failed_tasks long",
-        )
-
-    def undistribute_table(self, name: str) -> DataFrame:
-        """Drop distribution metadata; the table becomes a plain
-        (coordinator-local in reference terms) relation."""
-        df = self.spark.table(name)
-        self.catalog.register(name, "none")
-        df.createOrReplaceTempView(name)
-        return df
-
 
 def register_views(spark: SparkSession, sf_dir: str) -> DistributedSession:
     """Convenience: a DistributedSession over `sf_dir`'s parquet tables."""

@@ -1,0 +1,1623 @@
+"""Management surface of DistributedSession — the reference's
+SQL-callable management-UDF twins and metadata views, carved out of
+session.py as a mixin (round-9 hygiene split; same class, same API).
+
+↔ reference src/backend/distributed/sql/udfs/ and the operations/
+family (shard_rebalancer.c, citus_add_node, tenant isolation,
+create_time_partitions) — see each method's docstring for the exact
+file mapping.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from citus_spark.catalog import DIST_HASH, DIST_NONE
+
+
+class MgmtSurfaceMixin:
+    """Management methods mixed into DistributedSession. `self` is
+    always a DistributedSession — the split is file organization, not
+    a behavioral boundary."""
+
+    def citus_stat_tenants(self) -> DataFrame:
+        """↔ the reference's citus_stat_tenants view (11.3+): query
+        counts per tenant (distribution-key value), derived from
+        router-statement partition keys — the per-tenant resource
+        accounting the partition_key column exists for."""
+        return self.stat_statements.tenants_df(self.spark)
+
+    def citus_stat_statements(self) -> DataFrame:
+        """↔ the reference's citus_stat_statements view (one row per
+        executed statement shape with queryid, normalized text,
+        executor, router partition key, call count)."""
+        return self.stat_statements.to_df(self.spark)
+
+    def _execute_mgmt(self, query: str) -> DataFrame | None:
+        import re as _re
+
+        from citus_spark.plans.mgmt_sql import parse_mgmt as _pm
+
+        # regress idiom: `SELECT * FROM run_command_on_workers($$..$$)
+        # ORDER BY 1,2` — a positional ORDER BY on the management
+        # relation. Strip it for the call parse, re-apply on the
+        # result (only when the stripped text IS a management call —
+        # ordinary queries keep their ORDER BY untouched).
+        order_pos: list[int] = []
+        om = _re.search(
+            r"\)\s*ORDER\s+BY\s+([\d\s,]+);?\s*$", query, _re.I
+        )
+        if om and _pm(query) is None:
+            candidate = query[: om.start() + 1]
+            if _pm(candidate) is not None:
+                order_pos = [
+                    int(p) for p in om.group(1).split(",") if p.strip()
+                ]
+                query = candidate
+        self._last_mgmt_call = None
+        out = self._execute_mgmt_inner(query)
+        if out is not None and order_pos:
+            cols = out.columns
+            out = out.orderBy(*[cols[p - 1] for p in order_pos])
+        call = self._last_mgmt_call
+        if out is not None and call is not None and call.select_item == "1":
+            # `SELECT 1 FROM fn(...)`: the call ran for effect; PG
+            # returns one literal row PER result row (scalar functions
+            # give one, set-returning ones — run_command_on_*,
+            # citus_rebalance_status, citus_job_list — give many)
+            return out.selectExpr("1")
+        return out
+
+    def _execute_mgmt_inner(self, query: str) -> DataFrame | None:
+        """Route the reference's literal SQL management-UDF spellings
+        (SELECT create_distributed_table('t', 'col', colocate_with =>
+        'u'), create_reference_table, alter_distributed_table,
+        undistribute_table, and the citus_tables metadata view) to the
+        session API, so reference DDL scripts run unchanged. Returns
+        None when `query` is not a management call."""
+
+        from citus_spark.session import _interval_granularity
+
+        from citus_spark.plans.mgmt_sql import (
+            parse_mgmt,
+            rewrite_active_worker_nodes,
+            rewrite_citus_shards,
+            rewrite_citus_stat_activity,
+            rewrite_citus_stat_statements,
+            rewrite_citus_stat_tenants,
+            rewrite_citus_tables,
+            uses_active_worker_nodes,
+            uses_citus_shards,
+            uses_citus_stat_activity,
+            uses_citus_stat_statements,
+            uses_citus_stat_tenants,
+            uses_citus_tables,
+        )
+
+        call = parse_mgmt(query)
+        self._last_mgmt_call = call
+        if call is None:
+            rewritten = query
+            if uses_citus_stat_tenants(rewritten):
+                self.citus_stat_tenants().createOrReplaceTempView(
+                    "_citus_stat_tenants"
+                )
+                rewritten = rewrite_citus_stat_tenants(
+                    rewritten, "_citus_stat_tenants"
+                )
+            if uses_citus_stat_activity(rewritten):
+                self.citus_stat_activity().createOrReplaceTempView(
+                    "_citus_stat_activity"
+                )
+                rewritten = rewrite_citus_stat_activity(
+                    rewritten, "_citus_stat_activity"
+                )
+            if uses_citus_stat_statements(rewritten):
+                self.citus_stat_statements().createOrReplaceTempView(
+                    "_citus_stat_statements"
+                )
+                rewritten = rewrite_citus_stat_statements(
+                    rewritten, "_citus_stat_statements"
+                )
+            if uses_citus_tables(rewritten):
+                self.citus_tables().createOrReplaceTempView("_citus_tables")
+                rewritten = rewrite_citus_tables(rewritten, "_citus_tables")
+            if uses_citus_shards(rewritten):
+                self.citus_shards().createOrReplaceTempView("_citus_shards")
+                rewritten = rewrite_citus_shards(rewritten, "_citus_shards")
+            if uses_active_worker_nodes(rewritten):
+                self.citus_get_active_worker_nodes().createOrReplaceTempView(
+                    "_citus_worker_nodes"
+                )
+                rewritten = rewrite_active_worker_nodes(
+                    rewritten, "_citus_worker_nodes"
+                )
+            rewritten = self._rewrite_pg_catalog_views(rewritten)
+            if rewritten != query:
+                # re-enter the front door: the rewritten text (view
+                # names now _citus_*/_pg_* — no pattern re-fires) must
+                # still get the PG rewrites and statement recording
+                return self.sql(rewritten)
+            return None
+        kw = call.kwargs
+        if call.fn in (
+            "create_distributed_table",
+            # no lock manager here — the concurrent spelling IS the
+            # plain one (↔ create_distributed_table_concurrently.c)
+            "create_distributed_table_concurrently",
+        ):
+            name, dist_col = str(call.args[0]), str(
+                call.args[1] if len(call.args) > 1 else kw["distribution_column"]
+            )
+            if str(kw.get("distribution_type", "hash")).lower() == "range":
+                self.create_range_distributed_table(
+                    name,
+                    self.spark.table(name),
+                    dist_col,
+                    buckets=int(kw.get("shard_count", self.shard_count)),
+                )
+                return self.spark.sql(
+                    f"SELECT CAST(NULL AS STRING) AS {call.fn}"
+                )
+            self.create_distributed_table(
+                name,
+                self.spark.table(name),
+                dist_col,
+                buckets=int(kw.get("shard_count", self.shard_count)),
+                colocate_with=(
+                    None
+                    if kw.get("colocate_with") in (None, "default", "none")
+                    else str(kw["colocate_with"])
+                ),
+            )
+        elif call.fn == "create_reference_table":
+            name = str(call.args[0])
+            self.create_reference_table(name, self.spark.table(name))
+        elif call.fn == "alter_distributed_table":
+            name = str(call.args[0])
+            self.alter_distributed_table(
+                name,
+                dist_col=kw.get("distribution_column"),
+                buckets=(
+                    int(kw["shard_count"]) if "shard_count" in kw else None
+                ),
+                colocate_with=kw.get("colocate_with"),
+            )
+        elif call.fn == "undistribute_table":
+            self.undistribute_table(str(call.args[0]))
+        elif call.fn == "citus_stat_statements_reset":
+            self.stat_statements.reset()
+        elif call.fn in ("citus_schema_distribute",
+                         "citus_schema_undistribute"):
+            # ↔ Citus 12 tenant-schema conversion: flips the schema's
+            # distributed flag (its own colocation group). Placement
+            # itself is the scheduler's job on Spark — metadata only.
+            sname = str(call.args[0])
+            st = self._schemas.get(sname)
+            if st is None:
+                raise ValueError(f'schema "{sname}" does not exist')
+            if call.fn == "citus_schema_distribute":
+                if not st["distributed"]:
+                    st["distributed"] = True
+                    st["colocation_id"] = self._next_schema_colocation
+                    self._next_schema_colocation += 1
+            else:
+                st["distributed"] = False
+                st["colocation_id"] = 0
+            return self.spark.createDataFrame(
+                [(None,)], f"`{call.fn}` string"
+            )
+        elif call.fn == "create_distributed_function":
+            # ↔ reference create_distributed_function(regprocedure):
+            # Citus propagates the function DDL to workers. A Spark
+            # SQL UDF already ships with every plan, so distribution
+            # is inherent — the call validates and records only.
+            return self.spark.createDataFrame(
+                [(f"function {call.args[0]} is distributed "
+                  "(SQL UDFs ship with every Spark plan)",)],
+                "create_distributed_function string",
+            )
+        elif call.fn == "citus_version":
+            # ↔ reference citus_version(): a version banner. Reports
+            # the engine identity + the surveyed reference version so
+            # version-gated scripts have something stable to parse.
+            return self.spark.createDataFrame(
+                [("citus_spark 5.0 (reference surface: Citus 15.0-1) "
+                  "on Apache Spark "
+                  + self.spark.version,)],
+                "citus_version string",
+            )
+        elif call.fn == "update_distributed_table_colocation":
+            # ↔ reference update_distributed_table_colocation(table,
+            # colocate_with => 'other' | 'none'): re-group without
+            # changing key or data. colocate_with 'none' breaks the
+            # group (fresh colocation id).
+            name = str(call.args[0])
+            mate = str(
+                call.args[1] if len(call.args) > 1 else kw["colocate_with"]
+            )
+            entry = self.catalog.get(name)
+            if entry is None:
+                raise KeyError(f"unknown table {name!r}")
+            if mate.lower() == "none":
+                new_entry = self.catalog.register(
+                    name, entry.method, entry.dist_col,
+                    buckets=entry.buckets,
+                )
+            else:
+                other = self.catalog.get(mate)
+                if other is None:
+                    raise KeyError(f"unknown colocation target {mate!r}")
+                if other.buckets != entry.buckets:
+                    raise ValueError(
+                        "cannot colocate: shard counts differ "
+                        f"({entry.buckets} vs {other.buckets}); use "
+                        "alter_distributed_table(shard_count => ...)"
+                    )
+                new_entry = self.catalog.register(
+                    name, entry.method, entry.dist_col,
+                    buckets=entry.buckets, colocate_with=mate,
+                )
+            # re-registration must keep the physical metadata (same
+            # rule as create_distributed_table on an existing entry)
+            new_entry.path = entry.path
+            new_entry.columnar = entry.columnar
+            new_entry.time_partitioning = entry.time_partitioning
+        elif call.fn in (
+            "citus_table_size",
+            "citus_total_relation_size",
+            "citus_relation_size",
+        ):
+            # ↔ reference citus_table_size()/citus_relation_size()
+            # (sql/udfs/citus_*_size: sum of shard relation sizes).
+            # Here all three resolve to the live storage footprint —
+            # parquet carries no separate fsm/vm/index forks, so the
+            # three reference variants coincide by construction.
+            return self.spark.createDataFrame(
+                [(int(self._relation_size(str(call.args[0]))),)],
+                f"{call.fn} long",
+            )
+        elif call.fn == "create_time_partitions":
+            # reference positional signature is (table_name,
+            # partition_interval, end_at, start_from) — so a verbatim
+            # reference call puts the INTERVAL second. An
+            # interval-looking second arg binds as the interval
+            # (end_at/start_from are accepted and subsumed: partitions
+            # here exist by value coverage); the partition column has
+            # no PG partition key to be read from, so it comes from
+            # the ts_col keyword — or, for our API's older spelling, a
+            # non-interval positional second arg.
+            args2 = str(call.args[1]) if len(call.args) > 1 else None
+            gran = _interval_granularity(args2) if args2 else None
+            if gran is not None:
+                ts_col = kw.get("ts_col")
+                if ts_col is None:
+                    raise ValueError(
+                        "create_time_partitions: pass the timestamp "
+                        "column as ts_col => '<col>' (Spark tables "
+                        "carry no PG partition key to infer it from)"
+                    )
+            else:
+                ts_col = args2 if args2 is not None else kw.get("ts_col")
+                if ts_col is None:
+                    raise ValueError(
+                        "create_time_partitions: missing ts_col"
+                    )
+                gran = _interval_granularity(
+                    str(kw.get("partition_interval", "day"))
+                )
+                if gran is None:
+                    raise ValueError(
+                        "create_time_partitions: unsupported "
+                        f"partition_interval {kw.get('partition_interval')!r}"
+                        " (supported: hour/day/month spellings)"
+                    )
+            self.create_time_partitions(
+                str(call.args[0]), ts_col=str(ts_col), granularity=gran
+            )
+        elif call.fn == "drop_old_time_partitions":
+            self.drop_old_time_partitions(
+                str(call.args[0]),
+                older_than=str(
+                    call.args[1] if len(call.args) > 1 else kw["older_than"]
+                ),
+            )
+        elif call.fn == "alter_table_set_access_method":
+            self.alter_table_set_access_method(
+                str(call.args[0]),
+                access_method=str(
+                    call.args[1]
+                    if len(call.args) > 1
+                    else kw.get("access_method", "columnar")
+                ),
+            )
+        elif call.fn == "alter_columnar_table_set":
+            self.alter_columnar_table_set(
+                str(call.args[0]),
+                **{
+                    k: (str(v) if k == "compression" else int(v))
+                    for k, v in kw.items()
+                },
+            )
+        elif call.fn == "get_rebalance_table_shards_plan":
+            # plan functions return their report relation directly;
+            # the dry run must honor the SAME strategy the execute
+            # path would (silently planning by_shard_count for a
+            # by_disk_size request would lie about the outcome)
+            return self.get_rebalance_table_shards_plan(
+                str(call.args[0]),
+                target_shard_rows=int(
+                    kw.get("target_shard_rows", 100_000_000)
+                ),
+                rebalance_strategy=(
+                    str(kw["rebalance_strategy"])
+                    if "rebalance_strategy" in kw
+                    else None
+                ),
+                target_shard_bytes=int(
+                    kw.get("target_shard_bytes", 1 << 30)
+                ),
+            )
+        elif call.fn == "rebalance_table_shards":
+            return self.rebalance_table_shards(
+                str(call.args[0]),
+                shard_count=(
+                    int(kw["shard_count"]) if "shard_count" in kw else None
+                ),
+                target_shard_rows=int(
+                    kw.get("target_shard_rows", 100_000_000)
+                ),
+                rebalance_strategy=(
+                    str(kw["rebalance_strategy"])
+                    if "rebalance_strategy" in kw
+                    else None
+                ),
+            )
+        elif call.fn == "citus_add_rebalance_strategy":
+            from citus_spark import cluster
+
+            cluster.citus_add_rebalance_strategy(
+                self,
+                str(call.args[0]), str(call.args[1]), str(call.args[2]),
+                str(call.args[3]), float(call.args[4]),
+                float(call.args[5]) if len(call.args) > 5 else 0.0,
+            )
+            return self.spark.createDataFrame(
+                [(str(call.args[0]),)], "citus_add_rebalance_strategy string"
+            )
+        elif call.fn == "citus_set_default_rebalance_strategy":
+            from citus_spark import cluster
+
+            cluster.citus_set_default_rebalance_strategy(
+                self, str(call.args[0])
+            )
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_set_default_rebalance_strategy string"
+            )
+        elif call.fn in ("citus_add_node", "master_add_node"):
+            nid = self.citus_add_node(
+                str(call.args[0] if call.args else kw["nodename"]),
+                int(
+                    call.args[1]
+                    if len(call.args) > 1
+                    else kw.get("nodeport", 5432)
+                ),
+                groupid=int(kw.get("groupid", -1)),
+            )
+            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
+        elif call.fn in ("citus_remove_node", "master_remove_node"):
+            self.citus_remove_node(
+                str(call.args[0]), int(call.args[1])
+            )
+        elif call.fn == "citus_activate_node":
+            nid = self.citus_activate_node(
+                str(call.args[0]), int(call.args[1])
+            )
+            return self.spark.createDataFrame([(nid,)], f"{call.fn} long")
+        elif call.fn == "citus_disable_node":
+            self.citus_disable_node(str(call.args[0]), int(call.args[1]))
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_disable_node string"
+            )
+        elif call.fn == "citus_update_node":
+            self.citus_update_node(
+                int(call.args[0]), str(call.args[1]), int(call.args[2])
+            )
+            return self.spark.createDataFrame(
+                [("ok",)], "citus_update_node string"
+            )
+        elif call.fn == "citus_set_coordinator_host":
+            self.citus_set_coordinator_host(
+                str(call.args[0]),
+                int(call.args[1]) if len(call.args) > 1 else 5432,
+            )
+        elif call.fn == "master_create_distributed_table":
+            # legacy 3-argument spelling: (table, column, method)
+            method = str(
+                call.args[2] if len(call.args) > 2 else "hash"
+            ).lower()
+            if method != "hash":
+                raise ValueError(
+                    f"master_create_distributed_table: method {method!r} "
+                    "is the legacy append/range API — use "
+                    "create_distributed_table / "
+                    "create_range_distributed_table"
+                )
+            self.create_distributed_table(
+                str(call.args[0]),
+                self.spark.table(str(call.args[0])),
+                str(call.args[1]),
+            )
+        elif call.fn == "citus_create_restore_point":
+            manifest = self.tx_cluster.create_restore_point(
+                str(call.args[0])
+            )
+            # the reference returns the restore point's pg_lsn; the
+            # analog of "where to recover to" here is the recorded
+            # (table → version) vector, surfaced as its name
+            return self.spark.createDataFrame(
+                [(manifest["name"], len(manifest["tables"]))],
+                "citus_create_restore_point string, n_tables int",
+            )
+        elif call.fn == "citus_split_shard_by_split_points":
+            from citus_spark import cluster
+
+            new_ids = cluster.citus_split_shard_by_split_points(
+                self,
+                int(call.args[0]),
+                call.args[1] if len(call.args) > 1 else kw["split_points"],
+                node_ids=(
+                    call.args[2] if len(call.args) > 2
+                    else kw.get("node_ids")
+                ),
+                shard_transfer_mode=(
+                    str(call.args[3]) if len(call.args) > 3
+                    else kw.get("shard_transfer_mode")
+                ),
+            )
+            # the reference returns void; surfacing the child ids is
+            # strictly more useful and harmless to void-style callers
+            return self.spark.createDataFrame(
+                [(int(s),) for s in new_ids],
+                "citus_split_shard_by_split_points long",
+            )
+        elif call.fn == "isolate_tenant_to_new_shard":
+            sid = self.isolate_tenant_to_new_shard(
+                str(call.args[0]),
+                call.args[1] if len(call.args) > 1 else kw["tenant_id"],
+                cascade_option=(
+                    str(call.args[2])
+                    if len(call.args) > 2
+                    else kw.get("cascade_option")
+                ),
+            )
+            return self.spark.createDataFrame(
+                [(sid,)], "isolate_tenant_to_new_shard long"
+            )
+        elif call.fn == "get_shard_id_for_distribution_column":
+            from citus_spark import cluster
+
+            sid = cluster.get_shard_id_for_distribution_column(
+                self, str(call.args[0]), call.args[1]
+            )
+            return self.spark.createDataFrame([(sid,)], f"{call.fn} long")
+        elif call.fn in (
+            "citus_move_shard_placement", "master_move_shard_placement",
+            "citus_copy_shard_placement", "master_copy_shard_placement",
+        ):
+            from citus_spark import cluster
+
+            op = (
+                cluster.citus_move_shard_placement
+                if "move" in call.fn
+                else cluster.citus_copy_shard_placement
+            )
+            op(
+                self, int(call.args[0]), str(call.args[1]),
+                int(call.args[2]), str(call.args[3]), int(call.args[4]),
+            )
+        elif call.fn in ("citus_drain_node", "master_drain_node"):
+            from citus_spark import cluster
+
+            cluster.citus_drain_node(
+                self, str(call.args[0]), int(call.args[1])
+            )
+        elif call.fn == "citus_set_node_property":
+            from citus_spark import cluster
+
+            cluster.citus_set_node_property(
+                self, str(call.args[0]), int(call.args[1]),
+                str(call.args[2]),
+                str(call.args[3]).lower() in ("true", "t", "1"),
+            )
+        elif call.fn == "citus_rebalance_start":
+            from citus_spark import cluster
+
+            jid = cluster.citus_rebalance_start(self)
+            return self.spark.createDataFrame([(jid,)], f"{call.fn} long")
+        elif call.fn == "citus_rebalance_status":
+            from citus_spark import cluster
+
+            return cluster.citus_rebalance_status(self)
+        elif call.fn == "citus_rebalance_stop":
+            from citus_spark import cluster
+
+            cluster.citus_rebalance_stop(self)
+        elif call.fn == "citus_rebalance_wait":
+            from citus_spark import cluster  # noqa: F401  (synchronous)
+        elif call.fn == "citus_job_list":
+            from citus_spark import cluster
+
+            return cluster.citus_job_list(self)
+        elif call.fn == "citus_job_status":
+            from citus_spark import cluster
+
+            j = cluster.citus_job_status(self, int(call.args[0]))
+            return self.spark.createDataFrame(
+                [(j["job_id"], j["state"], j["job_type"],
+                  j["description"])],
+                "job_id long, state string, job_type string, "
+                "description string",
+            )
+        elif call.fn == "citus_job_wait":
+            from citus_spark import cluster
+
+            cluster.citus_job_wait(
+                self, int(call.args[0]),
+                str(kw["desired_status"]) if "desired_status" in kw
+                else (str(call.args[1]) if len(call.args) > 1 else None),
+            )
+        elif call.fn == "citus_job_cancel":
+            from citus_spark import cluster
+
+            cluster.citus_job_cancel(self, int(call.args[0]))
+        elif call.fn == "run_command_on_workers":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_workers(self, str(call.args[0]))
+        elif call.fn == "run_command_on_all_nodes":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_all_nodes(self, str(call.args[0]))
+        elif call.fn == "run_command_on_coordinator":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_coordinator(
+                self, str(call.args[0])
+            )
+        elif call.fn == "run_command_on_shards":
+            from citus_spark import cluster
+
+            return cluster.run_command_on_shards(
+                self, str(call.args[0]), str(call.args[1])
+            )
+        elif call.fn == "citus_is_coordinator":
+            return self.spark.createDataFrame(
+                [(True,)], f"{call.fn} boolean"
+            )
+        elif call.fn == "citus_backend_gpid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_backend_gpid(self),)], f"{call.fn} long"
+            )
+        elif call.fn == "citus_calculate_gpid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_calculate_gpid(
+                    self, int(call.args[0]), int(call.args[1])
+                ),)],
+                f"{call.fn} long",
+            )
+        elif call.fn == "citus_coordinator_nodeid":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_coordinator_nodeid(self),)], f"{call.fn} int"
+            )
+        elif call.fn in (
+            "citus_nodename_for_nodeid", "citus_nodeport_for_nodeid",
+        ):
+            from citus_spark import cluster
+
+            fn = getattr(cluster, call.fn)
+            v = fn(self, int(call.args[0]))
+            typ = "string" if "nodename" in call.fn else "int"
+            return self.spark.createDataFrame(
+                [(v,)], f"{call.fn} {typ}"
+            )
+        elif call.fn == "citus_server_id":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(cluster.citus_server_id(self),)], f"{call.fn} string"
+            )
+        elif call.fn == "citus_shard_sizes":
+            return self.citus_shards().selectExpr(
+                "shardid AS shard_id", "shard_size AS size"
+            )
+        elif call.fn == "master_get_table_ddl_events":
+            from citus_spark import cluster
+
+            return self.spark.createDataFrame(
+                [(s,) for s in cluster.master_get_table_ddl_events(
+                    self, str(call.args[0])
+                )],
+                f"{call.fn} string",
+            )
+        elif call.fn == "citus_check_cluster_node_health":
+            from citus_spark import cluster
+
+            return cluster.citus_check_cluster_node_health(self)
+        elif call.fn == "citus_check_connection_to_node":
+            from citus_spark import cluster
+
+            cluster._node_by_addr(
+                self, str(call.args[0]),
+                int(call.args[1]) if len(call.args) > 1 else 5432,
+            )
+            return self.spark.createDataFrame(
+                [(True,)], f"{call.fn} boolean"
+            )
+        elif call.fn == "citus_add_local_table_to_metadata":
+            from citus_spark.catalog import DIST_NONE
+
+            name = str(call.args[0])
+            self.spark.table(name)  # must exist
+            if self.catalog.get(name) is None:
+                self.catalog.register(name, DIST_NONE)
+        elif call.fn == "truncate_local_data_after_distributing_table":
+            # the distributing write already materialized the one copy
+            # (there is no separate coordinator-local heap here) —
+            # validate the target and succeed (↔ create_distributed_
+            # table.c's post-distribution truncate of the local data)
+            name = str(call.args[0])
+            if self.catalog.get(name) is None:
+                raise ValueError(
+                    f"{call.fn}: {name!r} is not a distributed table"
+                )
+        elif call.fn == "citus_update_shard_statistics":
+            from citus_spark import cluster
+
+            sid = int(call.args[0])
+            # resolve the owning table first — recomputing every
+            # table's shard stats to look up one shard would run one
+            # distributed count per catalog table
+            tbl, _label = cluster._shard_key(self, sid)
+            row = [
+                r for r in self.citus_shards(only_table=tbl).collect()
+                if r.shardid == sid
+            ]
+            if not row:
+                raise ValueError(f"shard {sid} does not exist")
+            return self.spark.createDataFrame(
+                [(row[0].shard_size,)], f"{call.fn} long"
+            )
+        elif call.fn == "citus_update_table_statistics":
+            name = str(call.args[0])
+            if self.catalog.get(name) is None:
+                raise ValueError(f"{name!r} is not a distributed table")
+        # mirror the reference: the call returns a single NULL-valued
+        # row named after the function
+        return self.spark.sql(f"SELECT CAST(NULL AS STRING) AS {call.fn}")
+
+    # storage roots that writing statements must never rewrite — the
+    # driver's immutable source fixtures. Overridable per deployment.
+    protected_paths: tuple[str, ...] = ("/root/testdata",)
+
+    def citus_schemas(self) -> DataFrame:
+        """↔ the reference's citus_schemas view (Citus 12): one row
+        per distributed schema with its colocation group."""
+        rows = [
+            (n, s["colocation_id"])
+            for n, s in self._schemas.items()
+            if s["distributed"]
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", 0)],
+            "schema_name string, colocation_id int",
+        ).filter(F.col("schema_name") != "")
+
+    def alter_distributed_table(
+        self,
+        name: str,
+        dist_col: str | None = None,
+        buckets: int | None = None,
+        colocate_with: str | None = None,
+    ) -> DataFrame:
+        """Re-distribute a registered table (new key and/or bucket
+        count) — one repartition, exactly the reference's
+        shard-rewrite path."""
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        df = self.spark.table(name)
+        new_col = dist_col or entry.dist_col
+        new_buckets = buckets or entry.buckets
+        self.catalog.register(
+            name, DIST_HASH, new_col, buckets=new_buckets, colocate_with=colocate_with
+        )
+        out = df.repartition(new_buckets, F.col(new_col))
+        out.createOrReplaceTempView(name)
+        return out
+
+    def alter_columnar_table_set(self, name: str, **options) -> dict:
+        """Set columnar storage options on a registered table
+        (↔ reference alter_columnar_table_set(): compression,
+        compression_level, chunk_group_row_limit, stripe_row_limit —
+        stored in the catalog like the reference's columnar.options,
+        applied by sources.columnar.write_columnar on the next
+        materialization; see sources/columnar.py for the unit-for-unit
+        parquet mapping). Returns the table's effective options."""
+        from citus_spark.sources.columnar import columnar_options
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        merged = dict(entry.columnar or {})
+        merged.update(options)
+        entry.columnar = columnar_options(merged)  # validates
+        return dict(entry.columnar)
+
+    def alter_table_set_access_method(
+        self, name: str, access_method: str = "columnar",
+        path: str | None = None,
+    ) -> str:
+        """Materialize a registered table into the columnar layout
+        under its configured storage options (↔ reference
+        alter_table_set_access_method(), commands/alter_table.c — the
+        heap↔columnar converter; it, too, rewrites the whole
+        relation). The relation's rows are unchanged; only the
+        physical layout moves. `access_method='heap'` is rejected:
+        Spark's native format IS columnar parquet, and a row-oriented
+        rewrite would fabricate a storage engine the platform doesn't
+        have. Returns the new storage path."""
+        from citus_spark.sources.columnar import write_columnar
+
+        if access_method != "columnar":
+            raise ValueError(
+                "only access_method='columnar' exists on this engine "
+                "(Spark's storage is columnar parquet; there is no heap)"
+            )
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if path is None:
+            path = os.path.join(
+                tempfile.gettempdir(), f"citus_spark_columnar_{name}"
+            )
+        df = self.spark.table(name)
+        write_columnar(df, path, entry.columnar)
+        entry.path = path
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        return path
+
+    def get_rebalance_table_shards_plan(
+        self, name: str, target_shard_rows: int = 100_000_000,
+        rebalance_strategy: str | None = None,
+        target_shard_bytes: int = 1 << 30,
+    ) -> DataFrame:
+        """Dry-run of `rebalance_table_shards` (↔ reference
+        get_rebalance_table_shards_plan(),
+        operations/shard_rebalancer.c): one row per table in `name`'s
+        colocation group with the current layout, measured per-bucket
+        skew, and the bucket count a rebalance would choose.
+
+        On Spark there are no static shard placements to move — the
+        scheduler assigns bucket partitions to executors per query, so
+        the reference's placement-move lever doesn't exist. The lever
+        that DOES exist is the bucket count itself: too few buckets
+        caps parallelism and makes each shuffle partition too large to
+        fit in executor memory; too many manufactures tiny tasks. The
+        proposal is ceil(largest member table / target_shard_rows),
+        applied to the WHOLE colocation group (the reference likewise
+        always moves colocation groups as a unit — a lone member
+        re-bucketed would break every exchange-free join in the
+        group). max_shard_rows / avg flags hash skew the rebalance
+        cannot fix (skewed *values* need salting, functions/skew.py).
+        """
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if not entry.is_hash_distributed:
+            raise ValueError(f"{name!r} is not hash-distributed")
+        group = [
+            t
+            for t in self.catalog.tables().values()
+            if t.is_hash_distributed and t.colocation_id == entry.colocation_id
+        ]
+        counts = {}
+        for t in group:
+            per_bucket = (
+                self.spark.table(t.name)
+                .groupBy(
+                    F.pmod(F.hash(F.col(t.dist_col)), F.lit(t.buckets)).alias("b")
+                )
+                .count()
+                .agg(
+                    F.sum("count").alias("total"),
+                    F.max("count").alias("mx"),
+                )
+                .collect()[0]
+            )
+            counts[t.name] = (int(per_bucket.total or 0), int(per_bucket.mx or 0))
+        from citus_spark import cluster as _cluster
+
+        strategy = _cluster.resolve_rebalance_strategy(
+            self, rebalance_strategy
+        )
+        if strategy == "by_disk_size":
+            # ↔ pg_dist_rebalance_strategy 'by_disk_size': balance
+            # BYTES, not rows — sized through _relation_size, which
+            # ERRORS for path-less relations (a silent zero would
+            # collapse the whole colocation group to one bucket)
+            largest_bytes = max(
+                self._relation_size(t.name) for t in group
+            )
+            proposed = max(1, -(-largest_bytes // target_shard_bytes))
+        else:
+            largest = max(total for total, _ in counts.values())
+            proposed = max(1, -(-largest // target_shard_rows))
+        rows = [
+            (
+                t.name,
+                int(t.colocation_id),
+                int(t.buckets),
+                int(proposed),
+                counts[t.name][0],
+                counts[t.name][1],
+            )
+            for t in group
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, colocation_id int, shard_count int, "
+            "proposed_shard_count int, total_rows long, max_shard_rows long",
+        )
+
+    def rebalance_table_shards(
+        self,
+        name: str,
+        shard_count: int | None = None,
+        target_shard_rows: int = 100_000_000,
+        rebalance_strategy: str | None = None,
+    ) -> DataFrame:
+        """Re-balance `name`'s colocation group to a new bucket count
+        (↔ reference rebalance_table_shards(),
+        operations/shard_rebalancer.c:893 — which moves shard
+        placements between nodes; see the plan function's docstring
+        for why bucket-count right-sizing is the Spark-native analog).
+        Every member of the colocation group is rewritten with ONE
+        repartition each, colocation ids are preserved, and the
+        registered views are replaced — so joins between members stay
+        exchange-free afterwards. Returns the executed plan."""
+        plan = self.get_rebalance_table_shards_plan(
+            name, target_shard_rows=target_shard_rows,
+            rebalance_strategy=rebalance_strategy,
+        )
+        rows = plan.collect()
+        new_buckets = (
+            int(shard_count)
+            if shard_count is not None
+            else int(rows[0].proposed_shard_count)
+        )
+        for r in rows:
+            entry = self.catalog.get(r.table_name)
+            df = self.spark.table(r.table_name)
+            out = df.repartition(new_buckets, F.col(entry.dist_col))
+            out.createOrReplaceTempView(r.table_name)
+            # mutate in place: the group keeps its colocation id (the
+            # reference's rebalancer likewise never re-groups)
+            entry.buckets = new_buckets
+        return self.spark.createDataFrame(
+            [
+                (r.table_name, r.shard_count, new_buckets, r.total_rows)
+                for r in rows
+            ],
+            "table_name string, old_shard_count int, new_shard_count int, "
+            "total_rows long",
+        )
+
+    # -- node management (↔ multi_cluster_management.sql regress;
+    # node_metadata.c). On Spark the executors ARE the workers and the
+    # scheduler owns placement, so this is the metadata half only: a
+    # pg_dist_node analog that reference scripts can populate and
+    # query unchanged. Shard/bucket accounting (citus_shards) is
+    # node-agnostic by design — a static placement map would be a
+    # fabrication here (see citus_shards docstring). --------------------
+    def citus_add_node(
+        self, nodename: str, nodeport: int, groupid: int = -1
+    ) -> int:
+        """Register a worker node; returns its nodeid (idempotent for
+        a (host, port) already present, like the reference)."""
+        nodes = getattr(self, "_nodes", None)
+        if nodes is None:
+            nodes = self._nodes = []
+        for n in nodes:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                return n["nodeid"]
+        nid = len(nodes) + 1
+        nodes.append(
+            {
+                "nodeid": nid,
+                "groupid": nid if groupid < 0 else groupid,
+                "nodename": nodename,
+                "nodeport": int(nodeport),
+                "isactive": True,
+                "noderole": "primary",
+            }
+        )
+        self.stat_statements.record(
+            f"SELECT citus_add_node('{nodename}', {nodeport})", None,
+            executor="utility",
+        )
+        return nid
+
+    def citus_remove_node(self, nodename: str, nodeport: int) -> None:
+        nodes = getattr(self, "_nodes", []) or []
+        keep = [
+            n
+            for n in nodes
+            if not (n["nodename"] == nodename and n["nodeport"] == nodeport)
+        ]
+        if len(keep) == len(nodes):
+            raise ValueError(
+                f"node {nodename}:{nodeport} does not exist"
+            )
+        self._nodes = keep
+
+    def citus_activate_node(self, nodename: str, nodeport: int) -> int:
+        for n in getattr(self, "_nodes", []) or []:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                n["isactive"] = True
+                return n["nodeid"]
+        raise ValueError(f"node {nodename}:{nodeport} does not exist")
+
+    def citus_disable_node(self, nodename: str, nodeport: int) -> None:
+        """↔ reference citus_disable_node (node_metadata.c): marks the
+        node inactive — it stops receiving default placements (the
+        round-robin map skips inactive nodes) but stays registered."""
+        for n in getattr(self, "_nodes", []) or []:
+            if n["nodename"] == nodename and n["nodeport"] == nodeport:
+                n["isactive"] = False
+                return
+        raise ValueError(f"node {nodename}:{nodeport} does not exist")
+
+    def citus_update_node(
+        self, node_id: int, new_name: str, new_port: int
+    ) -> None:
+        """↔ reference citus_update_node (node_metadata.c): re-address
+        a registered node in place — placements keyed by group id are
+        untouched, exactly the reference's failover re-point flow."""
+        for n in getattr(self, "_nodes", []) or []:
+            if int(n["nodeid"]) == int(node_id):
+                n["nodename"] = str(new_name)
+                n["nodeport"] = int(new_port)
+                return
+        raise ValueError(f"node {node_id} does not exist")
+
+    def citus_set_coordinator_host(
+        self, nodename: str, nodeport: int = 5432
+    ) -> None:
+        self._coordinator = (nodename, int(nodeport))
+
+    def citus_get_active_worker_nodes(self) -> DataFrame:
+        """(node_name, node_port) for active registered workers —
+        the reference's citus_get_active_worker_nodes() relation."""
+        rows = [
+            (n["nodename"], n["nodeport"])
+            for n in (getattr(self, "_nodes", []) or [])
+            if n["isactive"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "node_name string, node_port int"
+        )
+
+    def isolate_tenant_to_new_shard(
+        self,
+        name: str,
+        tenant_value,
+        cascade_option: str | None = None,
+        path: str | None = None,
+    ) -> int:
+        """Give one tenant its own shard (↔ reference
+        isolate_tenant_to_new_shard(), operations/shard_split.c: the
+        shard containing the tenant's hash is split three ways so the
+        tenant occupies a dedicated shard; with cascade_option =>
+        'CASCADE' the split applies to the whole colocation group,
+        without it the call refuses when colocated tables exist).
+
+        Spark analog: the member tables' storage is rewritten
+        partitioned by a derived shard label — ``s<shardid>`` for the
+        isolated tenant, ``b<bucket>`` (the same pmod(hash) placement
+        as before) for everyone else — so the tenant's rows live in
+        their own directory. Single-tenant statements
+        (`WHERE <dist_col> = <tenant>`) are then routed by the front
+        door to ONLY that directory via partition pruning
+        (_route_isolated_tenants — the router-planner analog); every
+        other query reads the union, values unchanged. Returns the
+        new shard id for `name`, like the reference."""
+
+        from citus_spark.session import _shard_label
+
+        import tempfile as _tf
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        if not entry.is_hash_distributed:
+            raise ValueError(
+                f"cannot isolate tenant because {name!r} is not "
+                "hash-distributed"
+            )
+        group = [
+            t
+            for t in self.catalog.tables().values()
+            if t.is_hash_distributed
+            and t.colocation_id == entry.colocation_id
+        ]
+        if len(group) > 1 and str(cascade_option or "").upper() != "CASCADE":
+            raise ValueError(
+                f"cannot isolate tenant because {name!r} has colocated "
+                "tables; use cascade_option => 'CASCADE'"
+            )
+        val = str(tenant_value)
+        new_id = None
+        for t in group:
+            if t.isolated and val in t.isolated:
+                # idempotent: a re-run returns the existing shard id
+                if t.name == name:
+                    new_id = t.isolated[val]
+                continue
+            self._isolated_shard_seq = getattr(
+                self, "_isolated_shard_seq", 104000
+            ) + 1
+            sid = self._isolated_shard_seq
+            df = self.spark.table(t.name)
+            cols = df.columns
+            iso = dict(t.isolated or {})
+            iso[val] = sid
+            label = _shard_label(
+                t.dist_col, t.buckets, iso, getattr(t, "splits", None)
+            )
+            if path:
+                # per-(table, shard-id) subdir: a CASCADE group must
+                # not share one directory, and a SECOND isolation on
+                # the same path must not overwrite the directory the
+                # table's registered view is lazily reading
+                dest = os.path.join(path, f"{t.name}_{sid}")
+            else:
+                dest = os.path.join(
+                    _tf.gettempdir(),
+                    f"citus_spark_isolated_{os.getpid()}_{sid}_{t.name}",
+                )
+            (
+                df.withColumn("__citus_shard", label)
+                .repartition("__citus_shard")
+                .write.partitionBy("__citus_shard")
+                .mode("overwrite")
+                .parquet(dest)
+            )
+            raw = self.spark.read.parquet(dest)
+            raw.createOrReplaceTempView(f"__{t.name}_shards")
+            raw.select(*cols).createOrReplaceTempView(t.name)
+            t.path = dest
+            t.isolated = iso
+            if t.name == name:
+                new_id = sid
+        self.stat_statements.record(
+            f"SELECT isolate_tenant_to_new_shard('{name}', ...)", None,
+            executor="utility",
+        )
+        return int(new_id)
+
+    def _route_isolated_tenants(self, query: str) -> str:
+        """Router-planner analog for isolated tenants (↔ reference
+        multi_router_planner.c): a statement whose restriction pins an
+        isolated table to its isolated tenant value is rewritten to
+        scan ONLY that tenant's storage partition (Catalyst partition
+        pruning does the rest).
+
+        Without the reference's restriction-equivalence analysis a
+        textual router must prove predicate OWNERSHIP and POLARITY
+        before narrowing a scan, so routing fires only for the shape
+        it can prove single-shard:
+
+        - the statement reads exactly ONE relation (one SELECT, one
+          FROM, no JOIN keyword, no depth-0 comma in the FROM clause
+          — a dist-col equality then necessarily restricts that
+          relation),
+        - the equality is a depth-0 conjunct of the WHERE clause
+          (never inside a subquery, CASE, or function argument),
+        - the WHERE clause contains no OR / NOT / CASE / IS / `!`
+          (any of which could invert or widen the restriction),
+        - the column is unqualified or qualified by exactly the table
+          name or its alias (a struct-field access like
+          `profile.user_id` never matches),
+        - the literal is a full token (`= 7` must not match `= 7.5`)
+          and is not itself compared onward (`user_id = 7 = flag`).
+
+        Anything else runs the normal full-relation plan, which is
+        always correct — exactly the reference's fallback from the
+        router to the adaptive executor."""
+        import re as _re
+
+        tables = [
+            t
+            for t in self.catalog.tables().values()
+            if getattr(t, "isolated", None) or getattr(t, "splits", None)
+        ]
+        if not tables:
+            return query
+        from citus_spark.plans.rewrites import _masked_spans
+
+        spans = _masked_spans(query)
+
+        def in_code(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in spans)
+
+        def code_count(pat: str) -> int:
+            return sum(
+                1 for m in _re.finditer(pat, query, _re.I)
+                if in_code(m.start())
+            )
+
+        # single-relation statements only (ownership proof)
+        if (
+            code_count(r"\bSELECT\b") != 1
+            or code_count(r"\bFROM\b") != 1
+            or code_count(r"\bJOIN\b") != 0
+        ):
+            return query
+
+        # the WHERE clause region at paren depth 0
+        depth = 0
+        where_at = -1
+        where_end = len(query)
+        clause_kw = _re.compile(
+            r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+            _re.I,
+        )
+        i = 0
+        while i < len(query):
+            if not in_code(i):
+                i += 1
+                continue
+            c = query[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                m = clause_kw.match(query, i)
+                if m and (i == 0 or not (query[i - 1].isalnum()
+                                         or query[i - 1] == "_")):
+                    if m.group(1).upper() == "WHERE":
+                        where_at = i
+                    elif where_at >= 0:
+                        where_end = i
+                        break
+                    i = m.end()
+                    continue
+            i += 1
+        if where_at < 0:
+            return query
+        where_region = query[where_at:where_end]
+        if (
+            _re.search(r"\b(OR|NOT|CASE|IS)\b", where_region, _re.I)
+            or "!" in where_region
+        ):
+            return query
+
+        # prefix depth table over the WHERE region: one linear pass,
+        # O(1) per later lookup (review finding: the per-match rescans
+        # were quadratic once any table was isolated)
+        depth_at: dict[int, int] = {}
+        d0 = 0
+        for j in range(where_at, where_end):
+            depth_at[j] = d0
+            if in_code(j):
+                if query[j] == "(":
+                    d0 += 1
+                elif query[j] == ")":
+                    d0 -= 1
+
+        def depth0_in_where(pos: int) -> bool:
+            return where_at <= pos < where_end and depth_at.get(pos) == 0
+
+        out = query
+        for t in tables:
+            refs = [
+                m
+                for m in _re.finditer(
+                    rf"\b(FROM)\s+({t.name})\b", out, _re.I
+                )
+                if in_code(m.start())
+            ]
+            if len(refs) != 1:
+                continue
+            m = refs[0]
+            tail = out[m.end():]
+            am = _re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail)
+            kw_after = (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
+                "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION",
+                "INTERSECT", "EXCEPT", "HAVING", "AS", "USING",
+            )
+            alias = (
+                am.group(1)
+                if am and am.group(1).upper() not in kw_after
+                else None
+            )
+            # a depth-0 comma between the relation and WHERE is a
+            # comma-list join — a second relation this gate must treat
+            # like a JOIN keyword
+            from_tail_start = m.end() + (am.end() if alias else 0)
+            d = 0
+            comma_join = False
+            for j in range(from_tail_start, where_at):
+                if not in_code(j):
+                    continue
+                if query[j] == "(":
+                    d += 1
+                elif query[j] == ")":
+                    d -= 1
+                elif query[j] == "," and d == 0:
+                    comma_join = True
+                    break
+            if comma_join:
+                continue
+            # qualifier may only be the table name or its alias —
+            # `other.user_id` (impossible here) and struct-field paths
+            # like `profile.user_id` must never match
+            quals = [t.name] + ([alias] if alias else [])
+            qual_alt = "|".join(_re.escape(x) for x in quals)
+            # ONE shared anchor + ONE shared tail guard for both the
+            # isolated and the split-route patterns (they must stay in
+            # lockstep). The tail guard requires the literal to END
+            # its conjunct: any trailing operator (`= 7 + 1`,
+            # `= 'a' || x`, chained `=`) widens the value Spark
+            # actually compares, so those shapes never route.
+            lhs = (
+                rf"(?<![\w.$])(?:(?:{qual_alt})\s*\.\s*)?"
+                rf"{t.dist_col}\s*=\s*"
+            )
+            tail_guard = r"(?![\w.])(?!\s*[=+\-*/%|&^<>])"
+            label = None
+            for v, sid in (t.isolated or {}).items():
+                alts = [rf"'{_re.escape(v)}'"]
+                if _re.fullmatch(r"-?\d+", v):
+                    alts.append(_re.escape(v))
+                pred = lhs + rf"(?:{'|'.join(alts)})" + tail_guard
+                if any(
+                    in_code(x.start()) and depth0_in_where(x.start())
+                    for x in _re.finditer(pred, out, _re.I)
+                ):
+                    label = f"s{sid}"
+                    break
+            if label is None and getattr(t, "splits", None):
+                # a SPLIT table's storage is partitioned by the shard
+                # label for EVERY bucket, so a dist-col equality can
+                # route to one directory (the reference's router
+                # prunes to one shard the same way) — but ONLY when
+                # the literal's type matches the column exactly:
+                # Spark's string↔numeric comparison COERCES (the full
+                # plan would match '07' = 7), while the hash routes on
+                # the literal text, so a cross-type equality must run
+                # the full plan. Integer literals must also fit the
+                # column type (an overflowing literal is a valid
+                # always-false comparison, never a routing error), and
+                # backslash-bearing string literals are skipped (the
+                # simple lexer cannot prove their extent under Spark's
+                # escape rules).
+                dtype = dict(self.spark.table(t.name).dtypes)[t.dist_col]
+                int_ranges = {
+                    "tinyint": 7, "smallint": 15, "int": 31,
+                    "bigint": 63,
+                }
+                generic = lhs + r"('(?:[^'\\]|'')*'|-?\d+)" + tail_guard
+                for x in _re.finditer(generic, out, _re.I):
+                    if not (
+                        in_code(x.start()) and depth0_in_where(x.start())
+                    ):
+                        continue
+                    lit = x.group(1)
+                    if lit.startswith("'"):
+                        if dtype != "string":
+                            continue  # cross-type: full plan
+                        val = lit[1:-1].replace("''", "'")
+                    else:
+                        if dtype not in int_ranges:
+                            continue  # cross-type: full plan
+                        val = int(lit)
+                        bits = int_ranges[dtype]
+                        if not (-(1 << bits) <= val < (1 << bits)):
+                            continue  # overflow: valid, never routed
+                    from citus_spark import cluster
+
+                    sid = cluster.get_shard_id_for_distribution_column(
+                        self, t.name, val
+                    )
+                    _tn, label = cluster._shard_key(self, sid)
+                    break
+            if label is None:
+                continue
+            cols = ", ".join(self.spark.table(t.name).columns)
+            sub = (
+                f"(SELECT {cols} FROM __{t.name}_shards "
+                f"WHERE __citus_shard = '{label}')"
+            )
+            out = (
+                out[: m.start()]
+                + f"{m.group(1)} {sub}"
+                + ("" if alias else f" {t.name}")
+                + tail
+            )
+            return out
+        return out
+
+    def create_time_partitions(
+        self,
+        name: str,
+        ts_col: str,
+        granularity: str = "day",
+        path: str | None = None,
+    ) -> list[str]:
+        """Convert a registered table to the time-partitioned layout
+        (↔ reference create_time_partitions(),
+        sql/udfs/create_time_partitions: creates the range partitions
+        covering the table's time span). Directory partitions are
+        created by value coverage — one per `granularity` period
+        present in the data — and the view is re-registered over the
+        layout, so time-scoped queries partition-prune from here on.
+        Returns the created period keys."""
+        from citus_spark.sources.partitions import (
+            list_partitions,
+            read_time_partitioned,
+            write_time_partitioned,
+        )
+
+        entry = self.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"unknown table {name!r}")
+        tp = entry.time_partitioning
+        if tp and tp["ts_col"] == ts_col and tp["granularity"] == granularity:
+            # already partitioned this way: create-if-missing semantics
+            # (the reference call is likewise idempotent over existing
+            # partitions) — and never rewrite the layout from itself
+            return list_partitions(tp["path"])
+        if path is None:
+            # granularity-keyed session-temp dir — distinct from any
+            # PREVIOUS layout (a re-partition reads the current view,
+            # so writing over the old layout would overwrite a path
+            # being read), and NEVER beside entry.path (source
+            # fixtures may live on read-only storage)
+            path = os.path.join(
+                tempfile.gettempdir(),
+                f"citus_spark_tp_{name}_{granularity}_{ts_col}",
+            )
+        if tp and os.path.abspath(path) == os.path.abspath(tp["path"]):
+            raise ValueError(
+                f"{name!r} is already time-partitioned at {path!r} with "
+                f"different options ({tp['granularity']!r} on "
+                f"{tp['ts_col']!r}); re-partitioning must target a new "
+                "path — the current layout is the read source"
+            )
+        # drop a stale period key left by a previous layout (no-op on
+        # a first-time conversion)
+        df = self.spark.table(name).drop("_period")
+        if ts_col not in df.columns:
+            raise ValueError(f"timestamp column {ts_col!r} not in {name!r}")
+        write_time_partitioned(df, path, ts_col, granularity)
+        entry.time_partitioning = {
+            "path": path,
+            "ts_col": ts_col,
+            "granularity": granularity,
+        }
+        read_time_partitioned(self.spark, path).createOrReplaceTempView(name)
+        return list_partitions(path)
+
+    def drop_old_time_partitions(self, name: str, older_than: str) -> list[str]:
+        """Drop every period strictly older than `older_than`
+        (↔ reference drop_old_time_partitions() procedure). O(1) per
+        period — a directory remove, no data rewrite, exactly the
+        reference dropping a child table. Returns the dropped
+        periods."""
+        from citus_spark.sources.partitions import (
+            drop_old_partitions,
+            read_time_partitioned,
+        )
+
+        entry = self.catalog.get(name)
+        if entry is None or not entry.time_partitioning:
+            raise KeyError(f"{name!r} is not time-partitioned")
+        tp = entry.time_partitioning
+        fmt = {"day": 10, "month": 7, "hour": 13}[tp["granularity"]]
+        # partition keys spell hour as yyyy-MM-dd-HH; a timestamp-style
+        # cutoff ('2023-06-15 12:00') keeps its space separator, which
+        # sorts BELOW '-' and would retain every same-day hour —
+        # normalize the separator before the lexicographic compare
+        cutoff = str(older_than)[:fmt].replace(" ", "-")
+        dropped = drop_old_partitions(tp["path"], cutoff)
+        self.spark.catalog.refreshByPath(tp["path"])
+        read_time_partitioned(self.spark, tp["path"]).createOrReplaceTempView(
+            name
+        )
+        return dropped
+
+    def citus_tables(self) -> DataFrame:
+        """↔ the reference's `citus_tables` view (a user-facing join
+        over pg_dist_partition/pg_dist_colocation): one row per
+        catalog-registered table with its distribution type, column,
+        colocation group, and shard (bucket) count."""
+        rows = [
+            (
+                t.name,
+                t.method,
+                t.dist_col,
+                int(t.colocation_id),
+                int(t.buckets) if t.is_hash_distributed else 1,
+            )
+            for t in self.catalog.tables().values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, citus_table_type string, "
+            "distribution_column string, colocation_id int, shard_count int",
+        )
+
+    def citus_shards(self, only_table: str | None = None) -> DataFrame:
+        """↔ the reference's `citus_shards` view (a join over
+        pg_dist_shard/pg_dist_placement with shard sizes): one row per
+        shard. A hash-distributed table's shards here are its hash
+        buckets — pmod(hash(dist_col), buckets), the same placement
+        function the co-location machinery relies on — with shard ids
+        allocated from 102008 like the reference's first shard id.
+        `shard_rows` is computed with one distributed count per table;
+        `shard_size` prorates the relation's parquet bytes by row
+        share (NULL when the relation isn't file-backed). There is no
+        nodename/nodeport column: Spark assigns bucket partitions to
+        executors per query (the analog of the reference's
+        task-assignment policy), so a static placement would be a
+        fabrication."""
+
+        from citus_spark.session import _shard_label
+
+        import os
+        from urllib.parse import urlparse
+
+        rows: list[tuple] = []
+        next_shard_id = 102008
+        for t in self.catalog.tables().values():
+            if not (t.is_hash_distributed or t.is_reference):
+                continue
+            if only_table is not None and t.name != only_table:
+                # id allocation must still walk the full catalog or the
+                # filtered view's shard ids would shift
+                next_shard_id += t.buckets if t.is_hash_distributed else 1
+                continue
+            df = self.spark.table(t.name)
+            nbytes = None
+            files = df.inputFiles()
+            if files:
+                paths = [urlparse(f).path for f in files]
+                if all(os.path.exists(p) for p in paths):
+                    nbytes = sum(os.path.getsize(p) for p in paths)
+            if t.is_hash_distributed:
+                # isolated tenants (isolate_tenant_to_new_shard) carry
+                # their own label and recorded shard id; everyone else
+                # stays in the pmod(hash) buckets. The label MUST be
+                # the same expression the isolation write partitioned
+                # by — _shard_label is the one implementation.
+                iso = getattr(t, "isolated", None) or {}
+                splits = getattr(t, "splits", None) or {}
+                counts = dict(
+                    df.groupBy(
+                        _shard_label(
+                            t.dist_col, t.buckets, iso, splits
+                        ).alias("b")
+                    )
+                    .count()
+                    .collect()
+                )
+                total = sum(counts.values())
+
+                def _row(shard_id: int, key: str):
+                    n = int(counts.get(key, 0))
+                    rows.append(
+                        (
+                            t.name,
+                            shard_id,
+                            f"{t.name}_{shard_id}",
+                            t.method,
+                            int(t.colocation_id),
+                            n,
+                            int(nbytes * n / total)
+                            if nbytes is not None and total
+                            else None,
+                        )
+                    )
+
+                for b in range(t.buckets):
+                    if b in splits:
+                        for sid, _lo, _hi in splits[b]:
+                            _row(int(sid), f"s{sid}")
+                    else:
+                        _row(next_shard_id + b, f"b{b}")
+                for v, s in sorted(iso.items(), key=lambda kv: kv[1]):
+                    _row(int(s), f"s{s}")
+                next_shard_id += t.buckets
+            else:
+                n = df.count()
+                rows.append(
+                    (
+                        t.name,
+                        next_shard_id,
+                        f"{t.name}_{next_shard_id}",
+                        t.method,
+                        int(t.colocation_id),
+                        int(n),
+                        int(nbytes) if nbytes is not None else None,
+                    )
+                )
+                next_shard_id += 1
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, shardid long, shard_name string, "
+            "citus_table_type string, colocation_id int, "
+            "shard_rows long, shard_size long",
+        )
+
+    def citus_stat_activity(self) -> DataFrame:
+        """↔ the reference's citus_stat_activity view (live distributed
+        queries with their per-node activity): one row per ACTIVE
+        (job, stage) with task progress. Sourced from Spark's
+        StatusTracker — the scheduler's own live state, the same data
+        the web UI shows. A stage here plays the role of the
+        reference's per-shard task batch: numTasks is the partition
+        count, active/completed the in-flight split. Empty when the
+        session is idle (like the reference with no queries running).
+        """
+        st = self.spark.sparkContext.statusTracker()
+        rows = []
+        for jid in st.getActiveJobsIds():
+            info = st.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                si = st.getStageInfo(sid)
+                if si is None:
+                    continue
+                rows.append(
+                    (
+                        int(jid),
+                        str(info.status),
+                        int(sid),
+                        str(si.name)[:100],
+                        int(si.numTasks),
+                        int(si.numActiveTasks),
+                        int(si.numCompletedTasks),
+                        int(si.numFailedTasks),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "job_id long, status string, stage_id long, stage string, "
+            "num_tasks long, active_tasks long, completed_tasks long, "
+            "failed_tasks long",
+        )
+
+    def undistribute_table(self, name: str) -> DataFrame:
+        """Drop distribution metadata; the table becomes a plain
+        (coordinator-local in reference terms) relation."""
+        df = self.spark.table(name)
+        self.catalog.register(name, "none")
+        df.createOrReplaceTempView(name)
+        return df
+
+
