@@ -138,6 +138,28 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         str(total >= _AQE_MIN_BYTES).lower(),
     )
 
+    # Broadcast threshold sized to the corpus: broadcasting a side
+    # that is a large fraction of the corpus re-collects and re-ships
+    # it on every execution — at the 10× trend corpus (76 MiB), q3's
+    # 27 MiB orders broadcast WAS the scale cliff (interleaved
+    # min-of-5: 1657 ms → 1202 ms with the side shuffled instead, →
+    # 924 ms with shuffled-hash join). One-eighth of the corpus,
+    # floored at 8 MiB (every sf0.1 dim stays broadcast — all are
+    # <3 MiB) and capped at Spark-default-×6.4 64 MiB.
+    bcast = max(8 << 20, min(64 << 20, total // 8))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(bcast))
+
+    # Shuffled-hash join for sub-AQE corpora: SHJ skips the
+    # per-partition sorts SMJ needs on both sides (q3@10× above;
+    # no-op at sf0.1 where every join side broadcasts). Spark still
+    # stats-gates the hash build (canBuildLocalHashMap), and at
+    # ≥_AQE_MIN_BYTES the default SMJ preference returns — a 100 TB
+    # join's build side must spill, which SMJ handles.
+    spark.conf.set(
+        "spark.sql.join.preferSortMergeJoin",
+        str(total >= _AQE_MIN_BYTES).lower(),
+    )
+
     # Reducer count sized to the corpus: every shuffle stage schedules
     # this many tasks, and at fixture scale task scheduling IS the
     # cost (paired A/B at sf0.1: 8 vs 16 reducers = q9 0.58 → 0.46 s,

@@ -25,6 +25,12 @@ def _expected_confs(spark, sf_dir):
         "spark.sql.shuffle.partitions": str(
             max(8, min(2 * par, total // (32 << 20)))
         ),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            max(8 << 20, min(64 << 20, total // 8))
+        ),
+        "spark.sql.join.preferSortMergeJoin": str(
+            total >= _AQE_MIN_BYTES
+        ).lower(),
     }
 
 

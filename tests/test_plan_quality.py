@@ -53,10 +53,12 @@ def test_reference_table_broadcasts_above_threshold(spark):
     from citus_spark.session import DistributedSession
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         sess = DistributedSession(spark)
         sess.load_tables(SF_SMALL)
+        # AFTER load_tables: load_views re-derives the threshold per
+        # corpus, so the at-scale pin must come last
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = sess.sql(
             """
             SELECT p_brand, count(*) AS n
@@ -71,6 +73,7 @@ def test_reference_table_broadcasts_above_threshold(spark):
         from citus_spark.queries import load_views
 
         load_views(spark, SF_SMALL)  # re-register plain views
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plain = spark.sql(
             """
             SELECT p_brand, count(*) AS n
@@ -132,9 +135,11 @@ def test_ch_stock_level_dual_repartition_join(spark):
     # side; the dual-repartition claim is about the above-threshold
     # regime, so disable broadcast to see the at-scale plan
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # build FIRST (load_views re-derives the threshold per
+        # corpus), pin -1 before planning (plans resolve at explain)
         df = q.QUERIES["ch_stock_level"](spark, SF_SMALL)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = plan_str(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
