@@ -301,7 +301,17 @@ def parse_create_procedure(sql: str):
         raise ValueError("CREATE PROCEDURE: unbalanced parameter list")
     params_text = sql[m.end() : close]
     tail = sql[close + 1 :]
-    lm = re.search(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.I)
+    # LANGUAGE must be found OUTSIDE the (masked) body — a body
+    # string literal mentioning LANGUAGE must not hijack the clause
+    tail_spans = _masked_spans(tail)
+    lm = next(
+        (
+            c
+            for c in re.finditer(r"\bLANGUAGE\s+'?(\w+)'?", tail, re.I)
+            if not any(a <= c.start() < b for a, b in tail_spans)
+        ),
+        None,
+    )
     if not lm:
         raise ValueError("CREATE PROCEDURE: missing LANGUAGE")
     language = lm.group(1).lower()
@@ -468,6 +478,14 @@ def rewrite_type_exprs(sql: str, types: dict[str, dict]) -> str:
         ):
             if any(a <= m.start() < b for a, b in spans):
                 continue
+            # a '(' directly after an identifier is a CALL's argument
+            # list, not a row constructor — f(x, y)::ct must reach
+            # Spark intact (review fix)
+            if m.group("row") is None and m.start() > 0 and (
+                sql[m.start() - 1].isalnum()
+                or sql[m.start() - 1] in "_.$')"
+            ):
+                continue
             close = _masked_close_paren(sql, m.end(), spans)
             if close < 0:
                 continue
@@ -554,35 +572,64 @@ def rewrite_type_exprs(sql: str, types: dict[str, dict]) -> str:
     return "".join(out)
 
 
-def rewrite_enum_ordering(sql: str, col_labels: dict[str, list]) -> str:
-    """Enum columns order by declaration position, not lexically.
-    Rewrites, per registered enum-typed column name:
-
-    - `col <op> 'lit'` and `'lit' <op> col` (op in < <= > >=) →
-      array_position rank comparison
-    - `min(col)` / `max(col)` → the label back-mapped rank extreme
-    - bare `col [ASC|DESC]` items in ORDER BY lists → rank expression
-
-    Equality needs no shim. Column names are matched textually — the
-    session records the mapping at CREATE TABLE, and duplicate names
-    across tables share the (last-registered) label set, documented in
-    the session registry."""
-    if not col_labels:
-        return sql
-    for col, labels in col_labels.items():
-        if not re.search(rf"(?<![\w.]){re.escape(col)}\b", sql, re.I):
+def _masked_sub(sql: str, pattern: str, repl, flags=re.I) -> str:
+    """re.sub that leaves matches inside string literals untouched."""
+    spans = _masked_spans(sql)
+    out, last = [], 0
+    for m in re.finditer(pattern, sql, flags):
+        if any(a <= m.start() < b for a, b in spans) or m.start() < last:
             continue
-        arr = _re_label_array(labels)
-        rank = f"array_position({arr}, {col})"
-        spans = _masked_spans(sql)
+        out.append(sql[last : m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
-        def unmasked(m: re.Match) -> bool:
-            return not any(a <= m.start() < b for a, b in spans)
 
-        # col <op> 'lit'
+def rewrite_enum_ordering(
+    sql: str,
+    col_labels: dict[str, list],
+    conflicted: set[str] | None = None,
+) -> str:
+    """Enum columns order by declaration position, not lexically.
+    Rewrites, per registered enum-typed column name (bare or
+    alias-qualified — `b`, `t.b`):
+
+    - `ref <op> 'lit'` and `'lit' <op> ref` (op in < <= > >=) →
+      array_position rank comparison (non-label literals raise, like
+      PG's invalid-input-value error)
+    - `min(ref)` / `max(ref)` → the label back-mapped rank extreme
+    - `ref [ASC|DESC]` items in ORDER BY lists → rank expression
+
+    Equality needs no shim. `conflicted` columns (same name bound to
+    DIFFERENT enums by two referenced tables) raise only when a
+    rewrite site actually uses them — a statement that never orders or
+    compares them is untouched."""
+    if not col_labels and not conflicted:
+        return sql
+
+    def fail_conflict(col: str):
+        raise NotImplementedError(
+            f'column "{col}" is enum-typed with different label sets '
+            "in two tables referenced by this statement — textual "
+            "enum-order rewriting cannot scope per alias; use "
+            "distinct column names"
+        )
+
+    for col in sorted(
+        set(col_labels) | set(conflicted or ()), key=len, reverse=True
+    ):
+        # a column reference: optional table/alias qualifier + name
+        ref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?{re.escape(col)}"
+        if not re.search(rf"(?<![\w.]){ref}\b", sql, re.I):
+            continue
+        is_conflict = conflicted and col in conflicted
+        labels = col_labels.get(col) or []
+        arr = _re_label_array(labels) if labels else None
+
         def cmp1(m: re.Match) -> str:
-            if not unmasked(m):
-                return m.group(0)
+            if is_conflict:
+                fail_conflict(col)
             lit = next(
                 g for g in (m.group(1), m.group(3)) if g.startswith("'")
             )
@@ -599,35 +646,37 @@ def rewrite_enum_ordering(sql: str, col_labels: dict[str, list]) -> str:
                 f"array_position({arr}, {m.group(3)})"
             )
 
-        sql = re.sub(
-            rf"(?<![\w.])({re.escape(col)})\s*(<=|>=|<|>)\s*('(?:[^']|'')*')",
-            cmp1,
+        sql = _masked_sub(
             sql,
-            flags=re.I,
-        )
-        spans = _masked_spans(sql)
-        sql = re.sub(
-            rf"('(?:[^']|'')*')\s*(<=|>=|<|>)\s*({re.escape(col)})(?![\w.])",
+            rf"(?<![\w.])({ref})\s*(<=|>=|<|>)\s*('(?:[^']|'')*')",
             cmp1,
-            sql,
-            flags=re.I,
         )
-        # min/max back-mapped through the label array
+        sql = _masked_sub(
+            sql,
+            rf"('(?:[^']|'')*')\s*(<=|>=|<|>)\s*((?<![\w.]){ref})(?![\w.(])",
+            cmp1,
+        )
+
+        # min/max back-mapped through the label array (masked — a
+        # literal containing 'min(b)' stays text, review fix)
         def agg_sub(m: re.Match) -> str:
+            if is_conflict:
+                fail_conflict(col)
             fn = m.group(1).lower()
             return (
                 f"element_at({arr}, CAST({fn}(array_position({arr}, "
-                f"{col})) AS INT))"
+                f"{m.group(2)})) AS INT))"
             )
 
-        sql = re.sub(
-            rf"\b(min|max)\s*\(\s*{re.escape(col)}\s*\)",
-            agg_sub,
+        sql = _masked_sub(
             sql,
-            flags=re.I,
+            rf"\b(min|max)\s*\(\s*((?<![\w.]){ref})\s*\)",
+            agg_sub,
         )
         # ORDER BY items
-        sql = _rewrite_order_items(sql, col, rank)
+        sql = _rewrite_order_items(
+            sql, col, arr, is_conflict, fail_conflict
+        )
     return sql
 
 
@@ -639,9 +688,13 @@ _ORDER_END = re.compile(
 )
 
 
-def _rewrite_order_items(sql: str, col: str, rank: str) -> str:
-    """Replace bare `col [ASC|DESC] [NULLS ..]` items in every ORDER BY
-    list (top-level and window clauses) with the rank expression."""
+def _rewrite_order_items(
+    sql: str, col: str, arr: str | None, is_conflict=False,
+    fail_conflict=None,
+) -> str:
+    """Replace `[alias.]col [ASC|DESC] [NULLS ..]` items in every
+    ORDER BY list (top-level and window clauses) with the
+    declaration-order rank expression."""
     result = sql
     offset = 0
     for ob in _ORDER_BY.finditer(sql):
@@ -676,16 +729,20 @@ def _rewrite_order_items(sql: str, col: str, rank: str) -> str:
         new_items = []
         for item in items:
             im = re.match(
-                rf"^(\s*){re.escape(col)}(\s+(?:ASC|DESC))?"
+                rf"^(\s*)((?:[A-Za-z_]\w*\s*\.\s*)?{re.escape(col)})"
+                rf"(\s+(?:ASC|DESC))?"
                 rf"(\s+NULLS\s+(?:FIRST|LAST))?(\s*)$",
                 item,
                 re.I,
             )
             if im:
+                if is_conflict:
+                    fail_conflict(col)
                 changed = True
+                rank = f"array_position({arr}, {im.group(2)})"
                 new_items.append(
-                    f"{im.group(1)}{rank}{im.group(2) or ''}"
-                    f"{im.group(3) or ''}{im.group(4) or ''}"
+                    f"{im.group(1)}{rank}{im.group(3) or ''}"
+                    f"{im.group(4) or ''}{im.group(5) or ''}"
                 )
             else:
                 new_items.append(item)
@@ -773,12 +830,20 @@ def expand_udt_columns(sql: str, types: dict[str, dict]):
                 elif t["kind"] == "domain":
                     parts = []
                     rest_spans = _masked_spans(cm.group("rest"))
+                    # a real column DEFAULT, not the DEFAULT of an FK
+                    # referential action (ON DELETE/UPDATE SET
+                    # DEFAULT — review fix)
                     has_own_default = any(
                         not any(
                             a <= dm.start() < b for a, b in rest_spans
                         )
                         for dm in re.finditer(
                             r"\bDEFAULT\b", cm.group("rest"), re.I
+                        )
+                        if not re.search(
+                            r"\bSET\s*$",
+                            cm.group("rest")[: dm.start()],
+                            re.I,
                         )
                     )
                     # PG precedence: a column's own DEFAULT overrides

@@ -688,23 +688,28 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         # UPDATE / SELECT all see plain Spark expressions. Enum
         # ordered-comparison shims apply to query/DML statements only
         # (the DDL path records its CHECK text verbatim).
-        if self._types and not _re.match(
+        # COPY .. FROM STDIN carries inline payload DATA lines — no
+        # expression rewrite may touch those (review fix)
+        _is_copy_stmt = bool(_re.match(r"\s*COPY\b", query, _re.I))
+        if self._types and not _is_copy_stmt and not _re.match(
             r"\s*(CREATE|ALTER|DROP)\s+(TYPE|DOMAIN|PROCEDURE)\b",
             query, _re.I,
         ):
             from citus_spark.plans.type_sql import rewrite_type_exprs
 
             query = rewrite_type_exprs(query, self._types)
-        if self._types and not _re.match(
+        if self._types and not _is_copy_stmt and not _re.match(
             r"\s*(CREATE|ALTER|DROP)\b", query, _re.I
         ):
-            col_labels = self._enum_cols_for_statement(query)
-            if col_labels:
+            col_labels, conflicts = self._enum_cols_for_statement(query)
+            if col_labels or conflicts:
                 from citus_spark.plans.type_sql import (
                     rewrite_enum_ordering,
                 )
 
-                query = rewrite_enum_ordering(query, col_labels)
+                query = rewrite_enum_ordering(
+                    query, col_labels, conflicts
+                )
 
         # FROM ONLY <partitioned parent> (PG: the parent's own rows,
         # which a declaratively partitioned parent never has) → the
@@ -2117,26 +2122,37 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         tail = n.split(".")[-1].split("__")[-1]
         return self._types.get(tail)
 
-    def _enum_cols_for_statement(self, query: str) -> dict[str, list]:
+    def _enum_cols_for_statement(
+        self, query: str
+    ) -> tuple[dict[str, list], set[str]]:
         """Enum-typed columns of the tables THIS statement references
-        (word-boundary table-name match) → their label lists. Two
-        referenced tables binding the same column name to different
-        label sets reject loudly — a textual rewrite cannot resolve
-        per-alias scoping, and a silent wrong label order would
-        corrupt results. Columns reached only through views are not
-        rewritten (equality still works; ordering reverts to lexical
-        — documented divergence)."""
+        (word-boundary, literal-masked table-name match) → their label
+        lists, plus the set of CONFLICTED column names (same name
+        bound to different label sets by two referenced tables — the
+        rewrite raises only if the statement actually orders/compares
+        one; review fix: an unrelated cross join must not error).
+        Columns reached only through views are not rewritten (equality
+        still works; ordering reverts to lexical — documented
+        divergence)."""
         import re
 
+        from citus_spark.plans.rewrites import _masked_spans
+
+        spans = _masked_spans(query)
         out: dict[str, list] = {}
+        conflicts: set[str] = set()
         for entry in self.catalog.tables().values():
             if not entry.enum_cols:
                 continue
-            if not re.search(
-                rf"(?<![\w.]){re.escape(entry.name)}(?![\w])",
-                query,
-                re.I,
-            ):
+            hit = any(
+                not any(a <= m.start() < b for a, b in spans)
+                for m in re.finditer(
+                    rf"(?<![\w.]){re.escape(entry.name)}(?![\w])",
+                    query,
+                    re.I,
+                )
+            )
+            if not hit:
                 continue
             for col, tname in entry.enum_cols.items():
                 t = self._resolve_type(tname)
@@ -2144,15 +2160,12 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     continue
                 prev = out.get(col.lower())
                 if prev is not None and list(prev) != list(t["labels"]):
-                    raise NotImplementedError(
-                        f'column "{col}" is enum-typed with different '
-                        "label sets in two tables referenced by this "
-                        "statement — qualify with distinct column "
-                        "names (textual enum-order rewriting cannot "
-                        "scope per alias)"
-                    )
+                    conflicts.add(col.lower())
+                    continue
                 out[col.lower()] = t["labels"]
-        return out
+        for c in conflicts:
+            out.pop(c, None)
+        return out, conflicts
 
     def _refresh_enum_checks(self, t: dict) -> None:
         """ALTER TYPE ADD/RENAME VALUE: every table column of this
@@ -2729,10 +2742,33 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     entry.defaults.pop(op[1], None)
                 if entry.generated:
                     entry.generated.pop(op[1], None)
+                if entry.enum_cols:
+                    # a dropped enum column no longer pins its type
+                    # (DROP TYPE RESTRICT) nor drives the ordering
+                    # rewrite (review fix)
+                    entry.enum_cols.pop(op[1], None)
                 new = cur.drop(op[1])
             elif op[0] == "rename_col":
                 if op[1] not in cur.columns:
                     raise ValueError(f'column "{op[1]}" does not exist')
+                if entry.enum_cols and op[1] in entry.enum_cols:
+                    # the enum label CHECK is engine-generated — it
+                    # follows the rename instead of vetoing it (PG
+                    # constraints reference columns by number, not
+                    # text, so a rename never blocks there)
+                    for spec in (entry.constraints or {}).values():
+                        expr = spec.get("expr") or ""
+                        if spec.get("kind") == "c" and _re.match(
+                            rf"^\s*{_re.escape(op[1])}\s+IN\s*\(",
+                            expr,
+                            _re.I,
+                        ):
+                            spec["expr"] = _re.sub(
+                                rf"^\s*{_re.escape(op[1])}\b",
+                                op[2],
+                                expr,
+                                count=1,
+                            )
                 _cons.guard_column_change(entry, name, op[1], op[2])
                 _cons.guard_parent_column_change(self, name, op[1], op[2])
                 self._guard_generated_change(
@@ -2742,6 +2778,8 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     entry.defaults[op[2]] = entry.defaults.pop(op[1])
                 if entry.generated and op[1] in entry.generated:
                     entry.generated[op[2]] = entry.generated.pop(op[1])
+                if entry.enum_cols and op[1] in entry.enum_cols:
+                    entry.enum_cols[op[2]] = entry.enum_cols.pop(op[1])
                 new = cur.withColumnRenamed(op[1], op[2])
             elif op[0] == "alter_type":
                 # ALTER COLUMN .. TYPE [USING expr] — ↔ reference

@@ -371,3 +371,148 @@ def test_procedure_parenthesized_param_types():
         "AS $$ SELECT 1; $$"
     )
     assert params == [("a", "numeric(8,2)"), ("b", "int")]
+
+
+# --- second review pass (r9) ------------------------------------------------
+
+def test_composite_cast_not_applied_to_calls():
+    from citus_spark.plans.type_sql import rewrite_type_exprs
+
+    types = {"ct": {"kind": "composite", "name": "ct",
+                    "fields": [("a", "int"), ("b", "int")],
+                    "spark": "struct<a:int,b:int>"}}
+    # function-call cast stays intact (Spark would reject ::ct, which
+    # is loud — but the call itself must not be mangled)
+    out = rewrite_type_exprs("SELECT f(x, y)::ct FROM t", types)
+    assert "f(x, y)" in out and "fnamed_struct" not in out
+    # plain row cast still expands
+    out2 = rewrite_type_exprs("SELECT (x, y)::ct FROM t", types)
+    assert "named_struct('a', x, 'b', y)" in out2
+
+
+def test_enum_qualified_references(spark):
+    """alias.col references get the declaration-order rewrite too
+    (review fix: they silently fell back to lexical order)."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_q1")
+    s.sql("DROP TYPE IF EXISTS ty_eq")
+    s.sql("CREATE TYPE ty_eq AS ENUM ('one', 'two', 'three')")
+    s.sql("CREATE TABLE ty_q1 (a int, b ty_eq)")
+    s.sql("INSERT INTO ty_q1 VALUES (1,'one'), (2,'two'), (3,'three')")
+    assert [
+        x.a for x in s.sql(
+            "SELECT t.a FROM ty_q1 t WHERE t.b > 'two' ORDER BY t.a"
+        ).collect()
+    ] == [3]
+    assert [
+        x.a for x in s.sql(
+            "SELECT t.a FROM ty_q1 t ORDER BY t.b"
+        ).collect()
+    ] == [1, 2, 3]
+    mx = s.sql("SELECT max(t.b) AS m FROM ty_q1 t").collect()[0][0]
+    assert mx == "three"
+    # a literal containing min(b) stays text
+    r = s.sql(
+        "SELECT 'min(b) is here' AS lit, b FROM ty_q1 ORDER BY b LIMIT 1"
+    ).collect()[0]
+    assert r.lit == "min(b) is here" and r.b == "one"
+
+
+def test_enum_conflict_only_on_use(spark):
+    """Two same-named columns of different enums: harmless statements
+    (no ordering/comparison on the column) run fine; only a rewrite
+    site raises (review fix: building the map raised eagerly)."""
+    s = DistributedSession(spark)
+    for t in ("ty_cf1", "ty_cf2"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    for ty in ("ty_ca", "ty_cb"):
+        s.sql(f"DROP TYPE IF EXISTS {ty}")
+    s.sql("CREATE TYPE ty_ca AS ENUM ('one', 'two')")
+    s.sql("CREATE TYPE ty_cb AS ENUM ('yes', 'no')")
+    s.sql("CREATE TABLE ty_cf1 (a int, b ty_ca)")
+    s.sql("CREATE TABLE ty_cf2 (a int, b ty_cb)")
+    s.sql("INSERT INTO ty_cf1 VALUES (1, 'one')")
+    s.sql("INSERT INTO ty_cf2 VALUES (1, 'yes')")
+    # no enum ordering used → no error
+    assert s.sql(
+        "SELECT count(*) FROM ty_cf1, ty_cf2"
+    ).collect()[0][0] == 1
+    # equality too
+    assert s.sql(
+        "SELECT count(*) FROM ty_cf1 t1 JOIN ty_cf2 t2 ON t1.a = t2.a"
+    ).collect()[0][0] == 1
+    # ordering on the ambiguous column raises
+    with pytest.raises(NotImplementedError, match="different label"):
+        s.sql(
+            "SELECT t1.a FROM ty_cf1 t1, ty_cf2 t2 WHERE b > 'one'"
+        )
+
+
+def test_drop_rename_column_updates_enum_registry(spark):
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_dc")
+    s.sql("DROP TYPE IF EXISTS ty_de")
+    s.sql("CREATE TYPE ty_de AS ENUM ('a', 'b')")
+    s.sql("CREATE TABLE ty_dc (x ty_de, y int)")
+    s.sql("ALTER TABLE ty_dc RENAME COLUMN x TO z")
+    s.sql("INSERT INTO ty_dc VALUES ('b', 1)")
+    # renamed column still enum-ordered
+    assert s.sql(
+        "SELECT count(*) FROM ty_dc WHERE z >= 'a'"
+    ).collect()[0][0] == 1
+    s.sql("ALTER TABLE ty_dc DROP COLUMN z")
+    # with the column gone, the type drops (RESTRICT satisfied)
+    s.sql("DROP TYPE ty_de")
+
+
+def test_procedure_language_not_hijacked_by_body_literals():
+    from citus_spark.plans.type_sql import parse_create_procedure
+
+    name, params, lang, stmts = parse_create_procedure(
+        "CREATE PROCEDURE p(x int) AS $$ INSERT INTO log VALUES "
+        "('language c rocks'); $$ LANGUAGE sql"
+    )
+    assert lang == "sql"
+    name2, _, lang2, _ = parse_create_procedure(
+        "CREATE PROCEDURE p2(x int) AS $$ INSERT INTO log VALUES "
+        "('LANGUAGE plpgsql'); $$ LANGUAGE sql"
+    )
+    assert lang2 == "sql"
+
+
+def test_domain_default_survives_fk_set_default():
+    from citus_spark.plans.type_sql import expand_udt_columns
+
+    types = {"ty_qd": {"kind": "domain", "name": "ty_qd",
+                       "spark": "int", "base": "int", "default": "1",
+                       "not_null": False, "checks": []}}
+    out, _ = expand_udt_columns(
+        "CREATE TABLE t (id int, q ty_qd REFERENCES p(i) "
+        "ON DELETE SET DEFAULT)",
+        types,
+    )
+    # the domain's DEFAULT 1 is still applied — the FK action's SET
+    # DEFAULT is not a column default (review fix)
+    assert "DEFAULT 1" in out
+    # but an explicit column default suppresses the domain's
+    out2, _ = expand_udt_columns(
+        "CREATE TABLE t (id int, q ty_qd DEFAULT 5)", types
+    )
+    assert "DEFAULT 1" not in out2 and "DEFAULT 5" in out2
+
+
+def test_copy_stdin_payload_not_rewritten(spark):
+    """COPY payload lines are DATA — the composite/enum rewrites must
+    not fire inside them (review fix)."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_cp")
+    s.sql("DROP TYPE IF EXISTS ty_ce")
+    s.sql("CREATE TYPE ty_ce AS ENUM ('one', 'two')")
+    s.sql("CREATE TABLE ty_cp (note text, b ty_ce)")
+    s.sql(
+        "COPY ty_cp (note, b) FROM STDIN;\n"
+        "(note).ref and min(b) > 'one'\tone\n"
+        "\\.\n"
+    )
+    r = s.sql("SELECT note, b FROM ty_cp").collect()[0]
+    assert r.note == "(note).ref and min(b) > 'one'" and r.b == "one"
