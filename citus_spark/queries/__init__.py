@@ -402,167 +402,193 @@ def _import_all() -> None:
 
 
 # The driver's correctness gate hash-checks the FIRST 50 registry
-# entries each round. Rounds 1+2 together verified 99 distinct entries
-# (CORRECTNESS_r01.json + CORRECTNESS_r02.json); the rotation below is
-# self-maintaining: entries with no driver row yet sort FIRST
+# entries each round. The rotation is self-maintaining and
+# staleness-aware: entries with no driver row yet sort FIRST
 # (oracle-backed before rows-only, registration order within each
-# group), previously-verified entries sort last — their green rows
-# stand, and every new entry added in a later round automatically
-# lands inside the verify window.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # CORRECTNESS_r01.json (analytics surface; array_agg_sorted's red
-    # row was fixed and re-verified green in r02)
-    "window_rank", "window_lag_lead", "window_running_sum",
-    "window_ntile", "topk_per_group", "select_distinct",
-    "distinct_on_latest_event", "count_distinct", "setop_union_all",
-    "setop_union_distinct", "setop_intersect", "setop_except",
-    "grouping_sets", "rollup_orders_by_month", "cube_lineitem",
-    "having_filter", "global_topk", "limit_offset", "semi_join_exists",
-    "anti_join_not_exists", "subquery_in", "correlated_scalar_subquery",
-    "uncorrelated_scalar_subquery", "cte_query", "cross_join",
-    "left_outer_join", "full_outer_join", "inequality_theta_join",
-    "date_trunc_rollup", "date_interval_arith", "pivot_event_counts",
-    "lateral_join", "setop_intersect_all", "setop_except_all",
-    "values_relation_join", "window_range_frame", "token_frequency",
-    "join_on_expression", "self_join_reorders", "row_value_in",
-    "exists_or_predicate", "asof_view_before_purchase",
-    "distinct_on_expression", "global_having_no_groupby",
-    "orderby_expression_not_selected", "case_in_groupby",
-    "null_semantics", "null_aggregation", "subquery_agg_in_from",
-    # CORRECTNESS_r02.json
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "array_agg_sorted", "dedup_exact", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash16", "train_test_split",
-    "text_normalize", "contamination_check", "dedup_components",
-    "ngram_jaccard_topk", "ann_cosine_topk", "ivf_assign",
-    "ann_lsh_bucketed", "centroid_update", "text_fingerprint",
-    "doc_stats_by_source", "token_count", "text_quality", "lang_id",
-    "json_agg_by_type", "json_object_agg_counts", "window_groups_frame",
-    "recursive_order_chain", "ch_q1", "ch_q12", "ch_q14",
-    "ch_stock_level", "multimodal_byte_stats",
-    # CORRECTNESS_r03.json (49 green rows; scd2_purchase_history's red
-    # row — pandas-incompatible 9999-12-31 sentinel — is deliberately
-    # NOT listed so it re-verifies after the fix, same care taken with
-    # array_agg_sorted in r02)
-    "union_in_subquery", "window_in_subquery_join", "nested_cte_chain",
-    "limit_in_subquery", "timeseries_gapfill", "having_subquery",
-    "sessionize_events", "salted_join_skewed", "cdc_snapshot_diff",
-    "agg_filter_clause", "string_agg_ordered", "stats_moments_portable",
-    "interval_join_attribution", "gapfill_locf", "analyze_table_stats",
-    "window_percentiles", "histogram_totalprice",
-    "mode_event_type_per_user", "percentile_exact", "topn_operator",
-    "scalar_string_functions", "scalar_math_functions",
-    "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",
-    "regexp_functions", "array_functions", "pandas_udf_scoring",
-    "custom_udaf_median", "json_extract_props",
-    "ch_q2", "ch_q3", "ch_q4", "ch_q5", "ch_q6", "ch_q7", "ch_q8",
-    "ch_q9", "ch_q10", "ch_q11", "ch_q13", "ch_q15", "ch_q16",
-    "ch_q17", "ch_q18", "ch_q19", "ch_q20", "ch_q21", "ch_q22",
-    # CORRECTNESS_r04.json (50/50 green, incl. re-verified
-    # scd2_purchase_history and window_rank)
-    "extract_date_parts", "cdc_apply_latest_state",
-    "scd2_purchase_history", "citus_shards_rollup", "txlog_merge_upsert",
-    "window_exclude_modes", "funnel_view_click_purchase",
-    "retention_cohorts", "unpivot_lineitem_metrics", "txlog_time_travel",
-    "session_window_native", "cdc_debezium_apply", "window_agg_filter",
-    "approx_count_distinct_parts", "percentile_approx_prices",
-    "tablesample_scan", "percentile_disc_priority", "hll_ndv_by_flag",
-    "sketch_quantiles_by_priority", "tdigest_rank_error_bounds",
-    "simhash_dup_candidates", "stratified_sample_by_source", "ivf_topk",
-    "ivf_topk_nprobe2", "embedding_neardup_pairs", "semantic_dedup_keep",
-    "ann_lsh_multi_table", "kmeans_clusters", "pq_search_contract",
-    "video_frame_sample", "audio_clip_features", "repetition_ratio",
-    "quality_gopher_rules", "pii_redact", "edit_distance_pairs",
-    "deterministic_sample", "bm25_topk", "chunk_documents_overlap",
-    "weighted_sample_by_length", "image_phash_dedup",
-    "image_decode_roundtrip", "image_phash_real_dedup",
-    "audio_decode_roundtrip", "video_decode_frame_stats",
-    "theta_ndv_by_source", "theta_intersection_sources", "sequence_pack",
-    "domain_mix_weights", "python_udtf_ngrams",
-    # CORRECTNESS_r05.json (49/50 green; pg_subscript_textual ERRORED
-    # in the driver's hasher — its old form returned an array<float>
-    # column the pandas factorize path can't hash. Scalar-ized in
-    # analytics.py and re-queued into the verify window.)
-    "pg_distinct_on_textual", "pg_regex_operators",
-    "txlog_two_table_atomic", "pg_generate_series_join",
-    "pg_json_operators", "merge_general_form", "insert_on_conflict_rollup",
-    "pg_fetch_first_textual", "pg_similar_to_textual",
-    "pg_with_ties_textual", "pg_jsonpath_textual",
-    "schema_sharded_tenants", "pg_date_bin_rollup",
-    "behavioral_funnel_chain", "sql_function_textual", "pg_to_char_rollup",
-    "pg_unnest_tokens", "modifying_cte_archive", "text_search_rank",
-    "sequence_identity_ids", "view_matview_lifecycle",
-    "prepared_statement_exec", "cursor_fetch_scan", "time_weighted_avg",
-    "ohlc_hourly", "gapfill_interpolate", "pg_split_to_table_textual",
-    "crosstab_pivot", "tenant_isolation_shard", "width_bucket_histogram",
-    "lttb_downsample", "dup_passages_topk", "dup_passage_doc_share",
-    "pagerank_event_entities", "bfs_hops_user0", "triangle_count_cooc",
-    "clustering_coefficient", "int8_quant_topk", "matryoshka_topk",
-    "jpeg_decode_roundtrip", "gif_decode_roundtrip", "ngram_lm_quality",
-    "bpe_roundtrip", "adpcm_decode_spec", "mjpeg_avi_frame_stats",
-    "cms_user_frequency", "bloom_users_by_type",
-    "composite_quality_filter", "vocab_coverage_topn",
-    # CORRECTNESS_r06.json (49/50 green; embedding_gram_matrix's red
-    # row was a dtype-only divergence — DuckDB sum(BIGINT)→HUGEINT→
-    # float64 vs Spark int64; values bit-identical per the judge. The
-    # oracle now CASTs to BIGINT; deliberately NOT listed so it
-    # re-enters the r7 verify window.)
-    "pg_subscript_textual", "pg_quantified_textual",
-    "pg_at_time_zone_rollup", "pg_string_to_array_tokens",
-    "pg_agg_distinct_ordered", "shard_fanout_counts",
-    "shard_routing_counts", "topn_stream_rollup", "ewma_fir_user_values",
-    "zscore_outliers", "neardup_stream_batch",
-    "entity_resolution_customers", "dedup_keep_best_quality",
-    "hybrid_rrf_retrieval",
-    # CORRECTNESS_r07.json (50/50 green)
-    "text_search_phrase_prefix", "shard_split_routing",
-    "window_named_clause", "grouping_id_rollup", "unnest_with_ordinality",
-    "order_nulls_placement", "sql_standard_string_forms",
-    "pg_substring_regex_extract", "event_transition_matrix",
-    "equi_depth_histogram", "generate_series_timestamps",
-    "moving_distinct_types", "null_safe_comparison",
-    "setop_branch_limits", "regexp_replace_backrefs",
-    "window_ignore_nulls", "try_cast_ingest", "greatest_least_null_skip",
-    "not_in_null_semantics", "latest_value_per_user",
-    "weighted_percentile_disc", "percentile_cont_interpolated",
-    "dup_cluster_size_histogram", "fk_cascade_archive",
-    "fk_set_null_orphans", "fk_update_cascade_rekey",
-    "update_from_enrich", "delete_using_filter",
-    "alter_column_type_rollup", "truncate_cascade_state",
-    "restore_point_time_travel", "placement_round_robin",
-    "merge_matched_delete", "update_returning_values",
-    "insert_conflict_do_nothing", "copy_csv_roundtrip",
-    "redistribute_roundtrip", "split_placement_stability",
-    "embedding_gram_matrix", "mmr_diversified_topk",
-    "embedding_norm_stats", "zipf_slope_tokens",
-    "content_defined_chunks", "sentence_stats",
-    "lexical_diversity_stats", "tfidf_topk_terms",
-    "trigram_novelty_rate", "winnowing_fingerprints",
-    "kgram_coverage_curve", "ab_split_events",
-    # CORRECTNESS_r08.json (50/50 green; the 11 names beyond these 39
-    # were window/setop re-verifies already listed above)
-    "plpgsql_function_textual", "regexp_replace_ci",
-    "merge_sync_by_source", "unnest_multi_zip", "pg_overlaps_textual",
-    "pg_power_operator", "row_value_compare", "pg_scalar_shims",
-    "plpgsql_for_loop_srf", "exclude_constraint_bookings",
-    "update_nextval_block", "generated_column_writes",
-    "update_from_cascade_rekey", "sequence_bounds_cycle",
-    "time_partition_ddl", "hash_partition_ddl", "copy_stdin_replay",
-    "update_set_row_form", "information_schema_columns",
-    "create_table_like_clone", "merge_insert_positional",
-    "upsert_guarded_where", "list_partition_default_routing",
-    "merge_returning_actions", "logreg_seed_train",
-    "power_iteration_top_direction", "embedding_drift_moments",
-    "keyword_tag_documents", "compression_ratio_by_source",
-    "ivf_stream_index_state", "hard_negative_mining",
-    "temperature_mixture_sample", "source_divergence_drift",
-    "rare_token_tail_mass", "sentence_dedup_within_doc",
-    "curriculum_length_buckets", "collocation_lift",
-    "source_jaccard_overlap", "token_entropy_by_lang",
-})
+# group); previously-verified entries follow, ordered by the round of
+# their most recent green driver row ASCENDING — the stalest cohort
+# re-enters the window first, so every entry is periodically
+# re-proven against the live tree instead of standing on a years-old
+# green (r9 verdict item #7: the flat-set ordering re-verified the
+# already-fresh r1 cohort while the r2 cohort aged).
+#
+# Maintenance per round: after CORRECTNESS_r{N}.json lands, add one
+# `N: (names...)` entry holding that round's GREEN rows (red rows stay
+# at their old round — or absent — so they re-enter the window).
+# Later rounds overwrite earlier ones in _LAST_GREEN_ROUND, so listing
+# a re-verified name twice is correct, not a conflict.
+_VERIFIED_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # CORRECTNESS_r01.json green rows whose latest green is r1
+    1: (
+        "exists_or_predicate", "asof_view_before_purchase",
+        "distinct_on_expression", "global_having_no_groupby",
+        "orderby_expression_not_selected", "case_in_groupby",
+        "null_semantics", "null_aggregation", "subquery_agg_in_from"
+    ),
+    # CORRECTNESS_r02.json green rows whose latest green is r2
+    2: (
+        "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+        "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+        "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+        "dedup_exact", "minhash_signatures", "minhash_lsh_pairs", "simhash16",
+        "train_test_split", "text_normalize", "contamination_check",
+        "dedup_components", "ngram_jaccard_topk", "ann_cosine_topk",
+        "ivf_assign", "ann_lsh_bucketed", "centroid_update",
+        "text_fingerprint", "doc_stats_by_source", "token_count",
+        "text_quality", "lang_id", "json_agg_by_type",
+        "json_object_agg_counts", "window_groups_frame",
+        "recursive_order_chain", "ch_q1", "ch_q12", "ch_q14",
+        "ch_stock_level", "multimodal_byte_stats"
+    ),
+    # CORRECTNESS_r03.json green rows whose latest green is r3
+    3: (
+        "union_in_subquery", "window_in_subquery_join", "nested_cte_chain",
+        "limit_in_subquery", "timeseries_gapfill", "having_subquery",
+        "sessionize_events", "salted_join_skewed", "cdc_snapshot_diff",
+        "agg_filter_clause", "string_agg_ordered", "stats_moments_portable",
+        "interval_join_attribution", "gapfill_locf", "analyze_table_stats",
+        "window_percentiles", "histogram_totalprice",
+        "mode_event_type_per_user", "percentile_exact", "topn_operator",
+        "scalar_string_functions", "scalar_math_functions",
+        "scalar_conditionals", "bit_bool_aggregates", "right_outer_join",
+        "regexp_functions", "array_functions", "pandas_udf_scoring",
+        "custom_udaf_median", "json_extract_props", "ch_q6", "ch_q19",
+        "ch_q3", "ch_q4", "ch_q5", "ch_q7", "ch_q10", "ch_q11", "ch_q2",
+        "ch_q8", "ch_q9", "ch_q13", "ch_q15", "ch_q16", "ch_q17", "ch_q18",
+        "ch_q20", "ch_q21", "ch_q22"
+    ),
+    # CORRECTNESS_r04.json green rows whose latest green is r4
+    4: (
+        "cdc_apply_latest_state", "scd2_purchase_history",
+        "citus_shards_rollup", "txlog_merge_upsert", "window_exclude_modes",
+        "funnel_view_click_purchase", "retention_cohorts",
+        "unpivot_lineitem_metrics", "txlog_time_travel",
+        "session_window_native", "cdc_debezium_apply", "window_agg_filter",
+        "approx_count_distinct_parts", "percentile_approx_prices",
+        "tablesample_scan", "percentile_disc_priority", "hll_ndv_by_flag",
+        "sketch_quantiles_by_priority", "tdigest_rank_error_bounds",
+        "simhash_dup_candidates", "stratified_sample_by_source", "ivf_topk",
+        "ivf_topk_nprobe2", "embedding_neardup_pairs", "semantic_dedup_keep",
+        "ann_lsh_multi_table", "kmeans_clusters", "pq_search_contract",
+        "video_frame_sample", "audio_clip_features", "repetition_ratio",
+        "quality_gopher_rules", "pii_redact", "edit_distance_pairs",
+        "deterministic_sample", "bm25_topk", "chunk_documents_overlap",
+        "weighted_sample_by_length", "image_phash_dedup",
+        "image_decode_roundtrip", "image_phash_real_dedup",
+        "audio_decode_roundtrip", "video_decode_frame_stats",
+        "theta_ndv_by_source", "theta_intersection_sources", "sequence_pack",
+        "domain_mix_weights", "python_udtf_ngrams"
+    ),
+    # CORRECTNESS_r05.json green rows whose latest green is r5
+    5: (
+        "pg_distinct_on_textual", "pg_regex_operators",
+        "txlog_two_table_atomic", "pg_generate_series_join",
+        "pg_json_operators", "merge_general_form",
+        "insert_on_conflict_rollup", "pg_fetch_first_textual",
+        "pg_similar_to_textual", "pg_with_ties_textual",
+        "pg_jsonpath_textual", "schema_sharded_tenants", "pg_date_bin_rollup",
+        "behavioral_funnel_chain", "sql_function_textual",
+        "pg_to_char_rollup", "pg_unnest_tokens", "modifying_cte_archive",
+        "text_search_rank", "sequence_identity_ids", "view_matview_lifecycle",
+        "prepared_statement_exec", "cursor_fetch_scan", "time_weighted_avg",
+        "ohlc_hourly", "gapfill_interpolate", "pg_split_to_table_textual",
+        "crosstab_pivot", "tenant_isolation_shard", "width_bucket_histogram",
+        "lttb_downsample", "dup_passages_topk", "dup_passage_doc_share",
+        "pagerank_event_entities", "bfs_hops_user0", "triangle_count_cooc",
+        "clustering_coefficient", "int8_quant_topk", "matryoshka_topk",
+        "jpeg_decode_roundtrip", "gif_decode_roundtrip", "ngram_lm_quality",
+        "bpe_roundtrip", "adpcm_decode_spec", "mjpeg_avi_frame_stats",
+        "cms_user_frequency", "bloom_users_by_type",
+        "composite_quality_filter", "vocab_coverage_topn"
+    ),
+    # CORRECTNESS_r06.json green rows whose latest green is r6
+    6: (
+        "pg_subscript_textual", "pg_quantified_textual",
+        "pg_at_time_zone_rollup", "pg_string_to_array_tokens",
+        "pg_agg_distinct_ordered", "shard_fanout_counts",
+        "shard_routing_counts", "topn_stream_rollup", "ewma_fir_user_values",
+        "zscore_outliers", "neardup_stream_batch",
+        "entity_resolution_customers", "dedup_keep_best_quality",
+        "hybrid_rrf_retrieval"
+    ),
+    # CORRECTNESS_r07.json green rows whose latest green is r7
+    7: (
+        "text_search_phrase_prefix", "shard_split_routing",
+        "window_named_clause", "grouping_id_rollup", "unnest_with_ordinality",
+        "order_nulls_placement", "sql_standard_string_forms",
+        "pg_substring_regex_extract", "event_transition_matrix",
+        "equi_depth_histogram", "generate_series_timestamps",
+        "moving_distinct_types", "null_safe_comparison",
+        "setop_branch_limits", "regexp_replace_backrefs",
+        "window_ignore_nulls", "try_cast_ingest", "greatest_least_null_skip",
+        "not_in_null_semantics", "latest_value_per_user",
+        "weighted_percentile_disc", "percentile_cont_interpolated",
+        "dup_cluster_size_histogram", "fk_cascade_archive",
+        "fk_set_null_orphans", "fk_update_cascade_rekey",
+        "update_from_enrich", "delete_using_filter",
+        "alter_column_type_rollup", "truncate_cascade_state",
+        "restore_point_time_travel", "placement_round_robin",
+        "merge_matched_delete", "update_returning_values",
+        "insert_conflict_do_nothing", "copy_csv_roundtrip",
+        "redistribute_roundtrip", "split_placement_stability",
+        "embedding_gram_matrix", "mmr_diversified_topk",
+        "embedding_norm_stats", "zipf_slope_tokens", "content_defined_chunks",
+        "sentence_stats", "lexical_diversity_stats", "tfidf_topk_terms",
+        "trigram_novelty_rate", "winnowing_fingerprints",
+        "kgram_coverage_curve", "ab_split_events"
+    ),
+    # CORRECTNESS_r08.json green rows whose latest green is r8
+    8: (
+        "plpgsql_function_textual", "regexp_replace_ci",
+        "merge_sync_by_source", "unnest_multi_zip", "pg_overlaps_textual",
+        "pg_power_operator", "row_value_compare", "pg_scalar_shims",
+        "plpgsql_for_loop_srf", "exclude_constraint_bookings",
+        "update_nextval_block", "generated_column_writes",
+        "update_from_cascade_rekey", "sequence_bounds_cycle",
+        "time_partition_ddl", "hash_partition_ddl", "copy_stdin_replay",
+        "update_set_row_form", "information_schema_columns",
+        "create_table_like_clone", "merge_insert_positional",
+        "upsert_guarded_where", "list_partition_default_routing",
+        "merge_returning_actions", "logreg_seed_train",
+        "power_iteration_top_direction", "embedding_drift_moments",
+        "keyword_tag_documents", "compression_ratio_by_source",
+        "ivf_stream_index_state", "hard_negative_mining",
+        "temperature_mixture_sample", "source_divergence_drift",
+        "rare_token_tail_mass", "sentence_dedup_within_doc",
+        "curriculum_length_buckets", "collocation_lift",
+        "source_jaccard_overlap", "token_entropy_by_lang"
+    ),
+    # CORRECTNESS_r09.json green rows whose latest green is r9
+    9: (
+        "approx_limit_grouped_topk", "jsonl_shard_roundtrip",
+        "compaction_binpack_plan", "enum_type_ordering",
+        "composite_type_fields", "domain_checked_ingest",
+        "sql_procedure_call", "json_table_flat", "window_rank",
+        "window_lag_lead", "window_running_sum", "window_ntile",
+        "topk_per_group", "select_distinct", "distinct_on_latest_event",
+        "count_distinct", "setop_union_all", "setop_union_distinct",
+        "setop_intersect", "setop_except", "grouping_sets",
+        "rollup_orders_by_month", "cube_lineitem", "having_filter",
+        "global_topk", "limit_offset", "semi_join_exists",
+        "anti_join_not_exists", "subquery_in", "correlated_scalar_subquery",
+        "uncorrelated_scalar_subquery", "cte_query", "cross_join",
+        "left_outer_join", "full_outer_join", "inequality_theta_join",
+        "date_trunc_rollup", "date_interval_arith", "extract_date_parts",
+        "pivot_event_counts", "lateral_join", "setop_intersect_all",
+        "setop_except_all", "values_relation_join", "window_range_frame",
+        "token_frequency", "array_agg_sorted", "join_on_expression",
+        "self_join_reorders", "row_value_in"
+    ),
+}
+
+_LAST_GREEN_ROUND: dict[str, int] = {
+    name: rnd
+    for rnd in sorted(_VERIFIED_BY_ROUND)
+    for name in _VERIFIED_BY_ROUND[rnd]
+}
+
+_DRIVER_VERIFIED: frozenset[str] = frozenset(_LAST_GREEN_ROUND)
 
 
 def _finalize_order() -> None:
@@ -573,7 +599,11 @@ def _finalize_order() -> None:
     fresh_rows_only = [
         n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in ORACLES
     ]
-    verified = [n for n in QUERIES if n in _DRIVER_VERIFIED]
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    verified = sorted(
+        (n for n in QUERIES if n in _DRIVER_VERIFIED),
+        key=lambda n: (_LAST_GREEN_ROUND[n], reg_index[n]),
+    )
     QUERIES = {
         n: QUERIES[n] for n in fresh_oracle + fresh_rows_only + verified
     }
