@@ -49,81 +49,28 @@ HEADLINE = [
 ]
 
 
-def _build_10x_corpus(spark, sf_dir: str) -> str | None:
-    """Synthesize a ~10× corpus from `sf_dir` by unioning 10 key-offset
-    copies of the tables the upward-trend queries touch. SYNTHETIC
-    data (never a driver fixture): join keys offset per copy so each
-    copy joins within itself, and document text is salted with a
-    per-copy separator token so copies are NOT near-duplicates of each
-    other — the dedup workload grows linearly, like a real corpus.
-    Content-addressed temp cache; ~30 s one-time build."""
-    import hashlib
+def _build_10x_corpus(spark, sf_dir: str, sf_val) -> str | None:
+    """Native 10×-the-bench-scale corpus via tools/gen_sf.py (r9
+    verdict item #6): FRESH independent rows with dbgen-style key
+    ranges and the fixture's profiled distributions — not key-offset
+    copies of sf0.1. At the default bench scale (sf0.1) this is a
+    true sf1 fixture. Content-addressed temp cache; ~1 min one-time
+    build on local[32]."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    tables = {
-        # table -> [(key column, per-copy offset)]
-        "lineitem": [("l_orderkey", 10_000_000)],
-        "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
-        "customer": [("c_custkey", 1_000_000)],
-        "documents": [("doc_id", 1_000_000)],
-        "embeddings": [("vec_id", 1_000_000)],
-        "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
-    }
-    missing = [
-        t for t in tables if not os.path.exists(f"{sf_dir}/{t}.parquet")
-    ]
-    if missing:
+    try:
+        native_sf = float(sf_val) * 10
+    except (TypeError, ValueError):
         return None
-    sig = hashlib.sha1(
-        ("v3|" + "|".join(
-            f"{t}:{os.path.getmtime(f'{sf_dir}/{t}.parquet')}"
-            for t in sorted(tables)
-        )).encode()
-    ).hexdigest()[:12]
-    dest = os.path.join(tempfile.gettempdir(), f"citus_spark_10x_{sig}")
-    marker = os.path.join(dest, "_BUILD_OK")
-    if os.path.exists(marker):
-        return dest
-    os.makedirs(dest, exist_ok=True)
-    for t, offsets in tables.items():
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        out = df.withColumn(
-            "_copy", F.explode(F.sequence(F.lit(0), F.lit(9)))
-        )
-        for col, off in offsets:
-            out = out.withColumn(col, F.col(col) + F.col("_copy") * off)
-        if t == "documents":
-            # tag ~half the WORDS (content-hash selected, so the
-            # same word tags identically in both members of an
-            # in-copy near-dup pair — a position-based tag would
-            # de-duplicate shifted insertions and collapse the
-            # minhash workload; an inserted token would double the
-            # tokenization workload and skew the text_quality trend).
-            # ~88% of word 3-grams contain a tagged word, so copies
-            # share almost no shingles (cross-copy Jaccard ~7%, far
-            # below the near-dup threshold).
-            out = out.withColumn(
-                "text",
-                F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), r"\s+"),
-                        lambda w: F.when(
-                            F.crc32(w) % 2 == 0,
-                            F.concat(w, F.lit("x"),
-                                     F.col("_copy").cast("string")),
-                        ).otherwise(w),
-                    ),
-                    " ",
-                ),
-            )
-        out.drop("_copy").write.mode("overwrite").parquet(
-            os.path.join(dest, f"{t}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write(sf_dir)
-    return dest
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"
+    ))
+    from gen_sf import generate
+
+    dest = os.path.join(
+        tempfile.gettempdir(), f"citus_spark_native_sf{native_sf:g}"
+    )
+    return generate(spark, native_sf, dest)
 
 
 def main() -> None:
@@ -225,6 +172,10 @@ def main() -> None:
         "queries": times,
         "queries_median": medians,
         "sf": sf_val,
+        # drain methodology marker (r9 ADVICE #3): r1-r8 used a noop
+        # write (paid ~30-65 ms/query of commit protocol); r9+ uses
+        # toRdd().count(). Cross-round comparisons must account for it.
+        "drain": "toRdd",
     }
 
     if not os.environ.get("BENCH_SKIP_EXTRAS"):
@@ -294,14 +245,13 @@ def main() -> None:
                 }
             out["scale_trend"] = trend
 
-        # scale trend UPWARD: a synthesized ~10× corpus (sf~1) built by
-        # unioning 10 key-offset copies of the bench tables — SYNTHETIC
-        # (documented as such; per-copy text salting keeps the dedup
-        # workload shape linear instead of manufacturing cross-copy
-        # duplicates). ratio_10x far below 10 = per-row cost still
-        # amortizing above the bench scale; near/above 10 = the plan
-        # has gone linear, which is the honest ceiling.
-        big_dir = _build_10x_corpus(spark, sf_dir)
+        # scale trend UPWARD: a NATIVE 10× corpus (true sf1 at the
+        # default bench scale, tools/gen_sf.py — fresh rows, dbgen-
+        # style key ranges; replaced r9's key-offset-copy synthetic).
+        # ratio_10x far below 10 = per-row cost still amortizing above
+        # the bench scale; near/above 10 = the plan has gone linear,
+        # which is the honest ceiling.
+        big_dir = _build_10x_corpus(spark, sf_dir, sf_val)
         if big_dir:
             # same steady-state discipline as the headline section:
             # one untimed full pass per table so the big corpus's
@@ -344,9 +294,17 @@ def main() -> None:
                 t_big = min(run_big() for _ in range(3))
                 trend_up[name] = {
                     "bench_sec": times[name],
-                    "sf10x_sec": round(t_big, 4),
+                    "sf1_sec": round(t_big, 4),
                     "ratio_10x": round(t_big / max(times[name], 1e-6), 2),
                 }
+            # the r9 verdict's scale_sf1 block: native-fixture sf1
+            # wall times + sf0.1→sf1 scaling ratios. The old
+            # scale_trend_10x key carries the same dict so r1-r9
+            # BENCH comparisons keep working (corpus changed from
+            # key-offset-copy synthetic to native this round — noted
+            # here exactly like the drain-method change).
+            out["scale_sf1"] = trend_up
+            out["scale_sf1_corpus"] = "native (tools/gen_sf.py)"
             out["scale_trend_10x"] = trend_up
 
         # concurrent streams: the multi-tenant shape (Citus's core

@@ -46,10 +46,17 @@ def approx_grouped_topk(
 ) -> DataFrame:
     """Grouped top-k with a per-partition pre-truncation: each
     partition contributes at most `row_fetch` best rows, bounding the
-    shuffle no matter how hot a group is. Exact whenever every group's
-    true top-k fits in some partition's top-`row_fetch` (always true
-    when row_fetch ≥ k × groups-per-partition). `tiebreak` columns
-    make equal-value ranks deterministic (and thus oracle-comparable)."""
+    shuffle no matter how hot a group is.
+
+    Exactness (r9 ADVICE #4 correction): the pre-truncation keeps each
+    partition's top-`row_fetch` rows by the GLOBAL order column, not
+    per group — so a hot group's high values can evict every row of a
+    colder group sharing the partition. The guarantee is therefore:
+    exact when `row_fetch` ≥ rows-per-partition (nothing is pruned),
+    or when every group's true top-k rows rank within their
+    partition's global top-`row_fetch`. `k × groups-per-partition` is
+    NOT a sufficient bound. `tiebreak` columns make equal-value ranks
+    deterministic (and thus oracle-comparable)."""
     order = [F.desc(order_col)] + [F.col(c) for c in (tiebreak or [])]
     pruned = per_partition_limit(df, row_fetch, order_by=order)
     w = Window.partitionBy(*group_cols).orderBy(*order)

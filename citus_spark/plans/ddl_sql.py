@@ -92,6 +92,11 @@ _NOOP = re.compile(
     # regress scripts GRANT/REVOKE freely, so accept-and-report
     r"|GRANT\b.*|REVOKE\b.*|CREATE\s+ROLE\b.*|CREATE\s+USER\b.*"
     r"|ALTER\s+ROLE\b.*|COMMENT\s+ON\b.*"
+    # role switching / ownership: no auth model (storage-layer
+    # permissions govern); regress scripts SET ROLE around RLS and
+    # ownership probes (multi_alter_table_row_level_security.sql)
+    r"|SET\s+ROLE\b.*|RESET\s+ROLE"
+    r"|ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?[A-Za-z_][\w.]*\s+OWNER\s+TO\b.*"
     # physical-maintenance statements with no analog here: parquet
     # relations have no indexes to rebuild or heap to re-order
     # (VACUUM's compaction analog IS implemented — see

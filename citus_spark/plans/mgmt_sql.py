@@ -216,9 +216,18 @@ def parse_mgmt(sql: str) -> MgmtCall | None:
         from citus_spark.plans.rewrites import _split_top_level
 
         for part in _split_top_level(body):
-            if "=>" in part:
-                name, val = part.split("=>", 1)
-                kwargs[name.strip().lower()] = _parse_value(val)
+            # both PG named-argument spellings: name => val (SQL
+            # standard) and name := val (PG-historical; regress
+            # scripts use it, e.g. distributed_collations.sql:41).
+            # The name must be a bare identifier — a quoted value
+            # that happens to contain '=>' stays positional.
+            named = re.match(
+                r"^\s*([A-Za-z_]\w*)\s*(?:=>|:=)\s*(.+)$", part, re.S
+            )
+            if named:
+                kwargs[named.group(1).lower()] = _parse_value(
+                    named.group(2)
+                )
             else:
                 if kwargs:
                     raise ValueError(

@@ -727,9 +727,20 @@ def pg_casts(sql: str) -> str:
                 out.append(f"CAST({lit} AS {m.group(1)})")
                 text = text[m.end() :]
             text = _PG_CAST.sub(r"CAST(\1 AS \2)", text)
+            # PG admits length-less char types (CAST(x AS VARCHAR) =
+            # unbounded); Spark requires a length — map to STRING,
+            # the unbounded type. The `)` lookahead keeps VARCHAR(10)
+            # and quoted aliases untouched.
+            text = _BARE_CHAR_TYPE.sub(r"\1STRING", text)
         out.append(text)
         prev_kind = kind
     return "".join(out)
+
+
+_BARE_CHAR_TYPE = re.compile(
+    r"\b(AS\s+)(?:VARCHAR|CHARACTER\s+VARYING|CHAR|CHARACTER)(?=\s*\))",
+    re.IGNORECASE,
+)
 
 
 # ---------------------------------------------------------------------------

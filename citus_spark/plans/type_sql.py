@@ -598,22 +598,84 @@ def rewrite_enum_ordering(
     - `ref <op> 'lit'` and `'lit' <op> ref` (op in < <= > >=) →
       array_position rank comparison (non-label literals raise, like
       PG's invalid-input-value error)
-    - `min(ref)` / `max(ref)` → the label back-mapped rank extreme
+    - `ref <op> ref2` where either side is an enum column → both
+      sides ranked (labels must agree — comparing different enums is
+      a type error in PG too)
+    - `ref [NOT] BETWEEN lo AND hi` (label literals or enum refs) →
+      ranked BETWEEN
+    - `min(ref)` / `max(ref)` / `greatest(...)` / `least(...)` → the
+      label back-mapped rank extreme
     - `ref [ASC|DESC]` items in ORDER BY lists → rank expression
 
     Equality needs no shim. `conflicted` columns (same name bound to
-    DIFFERENT enums by two referenced tables) raise only when a
-    rewrite site actually uses them — a statement that never orders or
-    compares them is untouched."""
+    DIFFERENT enums — or shadowed by a same-named NON-enum column —
+    in two referenced tables) raise only when a rewrite site actually
+    uses them; a statement that never orders or compares them is
+    untouched. A final guard pass rejects any ORDERED use of an enum
+    column these rewrites did not reach (e.g. comparison against a
+    subquery or a computed expression): silent lexical fallback is
+    never allowed (r9 ADVICE #1)."""
     if not col_labels and not conflicted:
         return sql
 
     def fail_conflict(col: str):
         raise NotImplementedError(
-            f'column "{col}" is enum-typed with different label sets '
-            "in two tables referenced by this statement — textual "
+            f'column "{col}" resolves to different types across the '
+            "tables this statement references (different label sets, "
+            "or enum in one table and plain in another) — textual "
             "enum-order rewriting cannot scope per alias; use "
             "distinct column names"
+        )
+
+    # column-to-column comparisons FIRST (a.lvl < b.lvl): both sides
+    # ranked. Runs across all enum columns at once because the two
+    # sides may be different columns of the same enum type.
+    _qn = r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?"
+
+    def _terminal(name: str) -> str:
+        return re.split(r"\s*\.\s*", name)[-1].lower()
+
+    _kw = {
+        "all", "any", "some", "select", "case", "when", "then", "else",
+        "end", "and", "or", "not", "null", "true", "false", "interval",
+        "date", "timestamp", "exists", "between",
+    }
+
+    def colcmp(m: re.Match) -> str:
+        lref, op, rref = m.group(1), m.group(2), m.group(3)
+        lcol, rcol = _terminal(lref), _terminal(rref)
+        sides = {lcol, rcol}
+        if not sides & (set(col_labels) | set(conflicted or ())):
+            return m.group(0)
+        if sides & _kw:
+            # `enumcol < ANY (...)` and friends: not a plain column
+            # comparison — left for the final guard to reject
+            return m.group(0)
+        for c in sides & set(conflicted or ()):
+            fail_conflict(c)
+        llab = col_labels.get(lcol)
+        rlab = col_labels.get(rcol)
+        if llab is None or rlab is None or list(llab) != list(rlab):
+            # enum vs plain column, or two different enums: PG has no
+            # such comparison operator — reject, never compare
+            # lexically
+            raise NotImplementedError(
+                f"cannot compare {lref!r} with {rref!r}: ordered "
+                "comparison between an enum column and a column of a "
+                "different type has no enum-order semantics (PG "
+                "rejects it as an operator mismatch)"
+            )
+        arr_ = _re_label_array(llab)
+        return (
+            f"array_position({arr_}, {lref}) {op} "
+            f"array_position({arr_}, {rref})"
+        )
+
+    if re.search(r"<=|>=|<|>", sql):
+        sql = _masked_sub(
+            sql,
+            rf"(?<![\w.])({_qn})\s*(<=|>=|<|>)\s*({_qn})(?![\w.('])",
+            colcmp,
         )
 
     for col in sorted(
@@ -657,6 +719,69 @@ def rewrite_enum_ordering(
             cmp1,
         )
 
+        def _rank(operand: str) -> str:
+            """array_position rank of a label literal (validated) or
+            a column reference of the SAME enum (any registered column
+            whose label list equals this one's)."""
+            operand = operand.strip()
+            if operand.startswith("'"):
+                label = operand[1:-1].replace("''", "'")
+                if label not in labels:
+                    raise ValueError(
+                        f"invalid input value for enum: {label!r}"
+                    )
+                return f"array_position({arr}, {operand})"
+            if re.fullmatch(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?",
+                            operand):
+                other = re.split(r"\s*\.\s*", operand)[-1].lower()
+                if list(col_labels.get(other, ())) == list(labels):
+                    return f"array_position({arr}, {operand})"
+            raise NotImplementedError(
+                f"enum-ordered expression over {col!r} mixes in "
+                f"operand {operand!r} that is neither a label literal "
+                "nor a column of the same enum — rewrite it "
+                "explicitly with array_position()"
+            )
+
+        # [NOT] BETWEEN with label-literal or same-enum bounds
+        def betw(m: re.Match) -> str:
+            if is_conflict:
+                fail_conflict(col)
+            neg = m.group(2) or ""
+            return (
+                f"array_position({arr}, {m.group(1)}) {neg}BETWEEN "
+                f"{_rank(m.group(3))} AND {_rank(m.group(4))}"
+            )
+
+        _operand = rf"'(?:[^']|'')*'|(?<![\w.]){ref}(?![\w.(])"
+        sql = _masked_sub(
+            sql,
+            rf"(?<![\w.])({ref})\s+(NOT\s+)?BETWEEN\s+({_operand})"
+            rf"\s+AND\s+({_operand})",
+            betw,
+        )
+
+        # GREATEST/LEAST over enum refs / label literals → rank
+        # extreme back-mapped to the label (same shape as min/max)
+        def gl(m: re.Match) -> str:
+            if is_conflict:
+                fail_conflict(col)
+            from citus_spark.plans.rewrites import _split_top_level
+
+            ranked = ", ".join(
+                _rank(p) for p in _split_top_level(m.group(2))
+            )
+            return (
+                f"element_at({arr}, CAST({m.group(1).lower()}"
+                f"({ranked}) AS INT))"
+            )
+
+        sql = _masked_sub(
+            sql,
+            rf"\b(greatest|least)\s*\(([^()]*(?<![\w.]){ref}\b[^()]*)\)",
+            gl,
+        )
+
         # min/max back-mapped through the label array (masked — a
         # literal containing 'min(b)' stays text, review fix)
         def agg_sub(m: re.Match) -> str:
@@ -677,6 +802,34 @@ def rewrite_enum_ordering(
         sql = _rewrite_order_items(
             sql, col, arr, is_conflict, fail_conflict
         )
+
+    # final guard: any ORDERED use of an enum column the passes above
+    # did not reach (comparison against a subquery/expression,
+    # quantified comparison, BETWEEN with computed bounds,
+    # greatest/least with nested-call arguments) must REJECT — a
+    # silent lexical comparison returns wrong rows (r9 ADVICE #1).
+    spans_g = _masked_spans(sql)
+    for col in set(col_labels) | set(conflicted or ()):
+        ref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?{re.escape(col)}"
+        leftover = (
+            rf"(?<![\w.])(?:{ref})\s*(?:<=|>=|<|>)"
+            rf"|(?<![\w.])(?:{ref})\s+(?:NOT\s+)?BETWEEN\b"
+            rf"|(?:<=|>=|<|>)\s*(?:{ref})(?![\w.(])"
+            rf"|\b(?:greatest|least)\s*\(\s*(?!array_position)"
+            rf"[^)]*(?<![\w,.(])\s*(?:{ref})\s*[,)]"
+        )
+        for m in re.finditer(leftover, sql, re.I):
+            if any(a <= m.start() < b for a, b in spans_g):
+                continue
+            raise NotImplementedError(
+                f"ordered use of enum column {col!r} at "
+                f"...{sql[max(0, m.start() - 20):m.end() + 20]!r}... "
+                "is outside the supported rewrite forms (literal/"
+                "column comparisons, BETWEEN, min/max, greatest/"
+                "least, ORDER BY items) — enum declaration order "
+                "cannot be applied textually here; compare via "
+                "array_position() explicitly"
+            )
     return sql
 
 

@@ -332,12 +332,73 @@ def _ship_package(spark: SparkSession) -> None:
     sc._citus_spark_shipped = True
 
 
+def single_partition_sort(spark: SparkSession, df: DataFrame,
+                          sf_dir: str) -> DataFrame:
+    """Rewrite a terminal global ORDER BY into a single-partition
+    local sort when the corpus is below the AQE cutover.
+
+    A global Sort requires RangePartitioning, and computing range
+    bounds launches a separate SAMPLING JOB that re-executes the
+    plan's final stage — measured +40-130 ms per query at fixture
+    scale (NOTES.md floor itemization; having_filter with/without
+    ORDER BY: 270 vs 137 ms). When the sorted output is small, the
+    strictly cheaper plan is Exchange SinglePartition + one local
+    sort task: no sampling pass, no range exchange, identical total
+    order (the exact SortOrder expressions are preserved).
+
+    Scale gate: same corpus-size cutover as AQE/broadcast/reducer
+    sizing (load_views) — at ≥_AQE_MIN_BYTES the rewrite disables and
+    the stock range-partitioned sort returns, which is the correct
+    plan when the output itself can be large. This mirrors the
+    reference's fast-path planner split (fast_path_router_planner.c:
+    cheap statements skip the general planner).
+
+    The rewrite is a no-op unless the ANALYZED plan's top node is a
+    global Sort (optionally under WithCTE); LIMIT queries plan as
+    TakeOrderedAndProject already and never reach here. Any internal
+    API drift falls back to the original DataFrame.
+    """
+    if _CORPUS_BYTES.get(os.path.abspath(sf_dir), 1 << 62) >= _AQE_MIN_BYTES:
+        return df
+    try:
+        jvm = spark._jvm
+        an = df._jdf.queryExecution().analyzed()
+        wrapper = None
+        sort = an
+        if sort.getClass().getSimpleName() == "WithCTE":
+            wrapper = sort
+            sort = sort.children().apply(sort.children().size() - 1)
+        if sort.getClass().getSimpleName() != "Sort":
+            return df
+        if not getattr(sort, "global")():
+            return df
+        logical = jvm.org.apache.spark.sql.catalyst.plans.logical
+        rep = logical.Repartition(1, True, sort.child())
+        new_sort = logical.Sort(
+            sort.order(), False, rep, jvm.scala.Option.empty()
+        )
+        if wrapper is not None:
+            kids = wrapper.children()
+            jlist = [kids.apply(i) for i in range(kids.size() - 1)]
+            jlist.append(new_sort)
+            seq = spark.sparkContext._jvm.PythonUtils.toSeq(jlist)
+            new_plan = wrapper.withNewChildren(seq)
+        else:
+            new_plan = new_sort
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_plan
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return df
+
+
 def register_shared_sql(name: str, sql: str) -> None:
     """Register a query whose Spark and oracle forms are the same SQL."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
-        return spark.sql(sql)
+        return single_partition_sort(spark, spark.sql(sql), sf_dir)
 
     run.__name__ = name
     run.__doc__ = sql
@@ -347,8 +408,16 @@ def register_shared_sql(name: str, sql: str) -> None:
 
 def register_split(name: str, fn: QueryFn, oracle: str | None = None) -> None:
     """Register a Spark-side implementation with an optional
-    DuckDB-dialect oracle."""
-    QUERIES[name] = fn
+    DuckDB-dialect oracle. The result gets the same terminal-sort
+    treatment as shared SQL (no-op unless the plan ends in a global
+    Sort and the corpus is below the cutover)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return single_partition_sort(spark, fn(spark, sf_dir), sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", name)
+    run.__doc__ = fn.__doc__
+    QUERIES[name] = run
     if oracle is not None:
         ORACLES[name] = oracle
 

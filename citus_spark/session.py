@@ -282,6 +282,12 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         # procedures: lowercase name → {"params": [(name, pg_type)],
         # "language": str, "stmts": [sql]}
         self._procedures: dict[str, dict] = {}
+        # perimeter DDL records (plans/trigger_sql.py): accepted
+        # triggers ((table, name) → statement text; bodies never
+        # fire — visible no-ops) and registered collations (name →
+        # options; sorts stay binary-ordered, documented divergence)
+        self._triggers: dict[tuple[str, str], str] = {}
+        self._collations: dict[str, dict] = {}
 
     @property
     def tx_cluster(self):
@@ -330,6 +336,7 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         """
         if dist_col not in df.columns:
             raise ValueError(f"distribution column {dist_col!r} not in {df.columns}")
+        self._reject_if_triggers(name)
         if buckets is None:
             buckets = self.shard_count  # ↔ citus.shard_count GUC
         prior = self.catalog.get(name)
@@ -451,6 +458,7 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         however large. (Catalyst ignores the hint where broadcasting
         is illegal, e.g. the preserved side of an outer join — the
         same cases where the reference, too, must fall back.)"""
+        self._reject_if_triggers(name)
         prior = self.catalog.get(name)
         entry = self.catalog.register(name, DIST_REFERENCE)
         if prior is not None:
@@ -554,10 +562,24 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             "enable_ddl_propagation",
             lambda v: str(v).lower() in ("on", "true", "1"),
         ),
+        # logging toggle (shared_library_init.c) — recorded/SHOWable;
+        # per-task SQL is visible through Spark's own UI/event log
+        "citus.log_remote_commands": (
+            "log_remote_commands",
+            lambda v: str(v).lower() in ("on", "true", "1"),
+        ),
+        # replication factor: recorded/SHOWable only — durability is
+        # the storage layer's job here (parquet on replicated storage),
+        # so the engine never fans out writes N ways itself
+        "citus.shard_replication_factor": (
+            "shard_replication_factor", int,
+        ),
     }
     next_shard_id: int = 102008
     enable_ddl_propagation: bool = True
     enable_schema_based_sharding: bool = False
+    log_remote_commands: bool = False
+    shard_replication_factor: int = 1
 
     def _execute_guc(self, query: str) -> DataFrame | None:
         """`SET citus.<guc> = <value>` / `SHOW citus.<guc>` — session
@@ -594,6 +616,18 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         if _re.match(r"^\s*RESET\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
             self._search_path = '"$user", public'
             return self.spark.sql("SELECT 'RESET' AS status")
+        # PG's `SET <name> TO <value>` spelling for non-citus settings
+        # (client_min_messages, statement_timeout, ...): Spark records
+        # arbitrary `SET k = v` pairs in its runtime conf — map the TO
+        # spelling onto that, so SHOW <name> reads it back
+        m = _re.match(
+            r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_][\w.]*)\s+TO\s+"
+            r"(.+?)\s*;?\s*$",
+            query, _re.I,
+        )
+        if m and not m.group(1).lower().startswith("citus."):
+            val = m.group(2).strip()
+            return self.spark.sql(f"SET {m.group(1)} = {val}")
         if _re.match(r"^\s*SHOW\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
             return self.spark.createDataFrame(
                 [(getattr(self, "_search_path", '"$user", public'),)],
@@ -691,6 +725,18 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         # COPY .. FROM STDIN carries inline payload DATA lines — no
         # expression rewrite may touch those (review fix)
         _is_copy_stmt = bool(_re.match(r"\s*COPY\b", query, _re.I))
+        # COLLATE clauses (expressions, ORDER BY, column defs): strip
+        # after validating the name — sorts run in binary UTF-8 order,
+        # a documented divergence (plans/trigger_sql.py). COLLATION
+        # DDL itself is handled downstream; \b keeps COLLATION (no
+        # boundary before the I) from matching.
+        if (
+            _re.search(r"\bCOLLATE\b", query, _re.I)
+            and not _is_copy_stmt
+        ):
+            from citus_spark.plans.trigger_sql import strip_collate
+
+            query = strip_collate(query, self._collations)
         if self._types and not _is_copy_stmt and not _re.match(
             r"\s*(CREATE|ALTER|DROP)\s+(TYPE|DOMAIN|PROCEDURE)\b",
             query, _re.I,
@@ -730,6 +776,10 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                 e = self.catalog.get(t)
                 if e is not None and getattr(e, "partition_by", None):
                     return f"{m.group(1)} {t}__only"
+                if e is not None or self._table_exists(t):
+                    # FROM ONLY on an unpartitioned relation is PG for
+                    # plain FROM (no children to exclude)
+                    return f"{m.group(1)} {t}"
                 return m.group(0)
 
             query = _re.sub(
@@ -1037,12 +1087,33 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         from citus_spark.plans.rewrites import _map_code
 
         names = [n for n in self._schemas if n != "public"]
+        # schemas currently on the session search_path: a relation
+        # created BARE while `SET search_path TO sch` was active lives
+        # in sch (PG resolution), so a later qualified `sch.tbl` must
+        # reach it — fall back to the bare name when no mangled view
+        # exists but the bare one does (distributed_collations.sql:32)
+        on_path = {
+            p.strip().strip('"').lower()
+            for p in getattr(self, "_search_path", "public").split(",")
+        }
         pats = []
         if names:
             alt = "|".join(_re.escape(n) for n in names)
+
+            def _sch_sub(m: "_re.Match") -> str:
+                sch, tbl = m.group(1), m.group(2)
+                mangled = f"{sch}__{tbl}"
+                if (
+                    sch.lower() in on_path
+                    and not self._table_exists(mangled)
+                    and self._table_exists(tbl)
+                ):
+                    return tbl
+                return mangled
+
             pats.append((
                 _re.compile(rf"\b({alt})\.([A-Za-z_]\w*)", _re.I),
-                r"\1__\2",
+                _sch_sub,
             ))
         pats.append((_re.compile(r"\bpublic\.([A-Za-z_]\w*)", _re.I), r"\1"))
 
@@ -2141,9 +2212,8 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         spans = _masked_spans(query)
         out: dict[str, list] = {}
         conflicts: set[str] = set()
+        referenced = []
         for entry in self.catalog.tables().values():
-            if not entry.enum_cols:
-                continue
             hit = any(
                 not any(a <= m.start() < b for a, b in spans)
                 for m in re.finditer(
@@ -2152,9 +2222,10 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     re.I,
                 )
             )
-            if not hit:
-                continue
-            for col, tname in entry.enum_cols.items():
+            if hit:
+                referenced.append(entry)
+        for entry in referenced:
+            for col, tname in (entry.enum_cols or {}).items():
                 t = self._resolve_type(tname)
                 if t is None:
                     continue
@@ -2163,6 +2234,24 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     conflicts.add(col.lower())
                     continue
                 out[col.lower()] = t["labels"]
+        # enum-vs-PLAIN shadowing (r9 ADVICE #2): another referenced
+        # table carrying a same-named NON-enum column makes the bare
+        # name ambiguous — `b.status > 'x'` would be rewritten with
+        # the enum's labels and produce a spurious invalid-label error
+        # or a wrong rank comparison. Flag it conflicted (the rewrite
+        # raises only if the statement actually orders/compares it).
+        if out:
+            for entry in referenced:
+                enum_here = {c.lower() for c in (entry.enum_cols or {})}
+                try:
+                    cols = {
+                        c.lower() for c in self.spark.table(entry.name).columns
+                    }
+                except Exception:
+                    continue
+                for col in list(out):
+                    if col in cols and col not in enum_here:
+                        conflicts.add(col)
         for c in conflicts:
             out.pop(c, None)
         return out, conflicts
@@ -2439,6 +2528,9 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         no-ops so reference tutorials run verbatim from their first
         statement. None = not DDL (or a DROP of a non-catalog table —
         Spark's own handling takes those)."""
+        hook = self._execute_perimeter_ddl(query)
+        if hook is not None:
+            return hook
         typed = self._execute_type_ddl(query)
         if typed is not None:
             return typed
@@ -3038,6 +3130,160 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     "it — drop the generated column first"
                 )
 
+    def _table_exists(self, name: str) -> bool:
+        try:
+            return self.spark.catalog.tableExists(name)
+        except Exception:
+            return False
+
+    def _reject_if_triggers(self, name: str) -> None:
+        """↔ create_distributed_table.c / trigger checks: a relation
+        carrying triggers cannot become a citus table
+        (citus_table_triggers.out:109-111)."""
+        if any(t == name for t, _n in getattr(self, "_triggers", {})):
+            raise ValueError(
+                f'cannot distribute relation "{name}" because it has '
+                "triggers"
+            )
+
+    def _execute_perimeter_ddl(self, query: str) -> DataFrame | None:
+        """Trigger / collation / row-level-security DDL — the
+        statements a pg_dump replay hits first (plans/trigger_sql.py;
+        r9 verdict items #3-5). Exact reference parity on the trigger
+        gate: every trigger command against a distributed or
+        reference table ERRORs with the reference's own message while
+        citus.enable_ddl_propagation is on (commands/trigger.c:692,
+        697,719); otherwise the trigger is recorded as a visible
+        no-op (bodies never fire — writes go through the distributed
+        write funnel). RLS statements raise one named error instead
+        of a parse failure."""
+        import re as _re
+
+        if not _re.search(
+            r"\b(TRIGGER|COLLATION|POLICY|ROW\s+LEVEL\s+SECURITY)\b",
+            query, _re.I,
+        ):
+            return None
+        from citus_spark.plans.trigger_sql import (
+            RLS_ERROR,
+            is_rls_statement,
+            parse_collation,
+            parse_trigger,
+            parse_trigger_function,
+        )
+
+        if is_rls_statement(query):
+            raise NotImplementedError(RLS_ERROR)
+
+        tfn = parse_trigger_function(query)
+        if tfn is not None:
+            self._triggers[("", tfn)] = query  # function, not a trigger
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [(
+                    f"CREATE FUNCTION {tfn} (trigger function) recorded "
+                    "— runs only from triggers, which are no-ops here",
+                )],
+                "status string",
+            )
+
+        trg = parse_trigger(query)
+        if trg is not None:
+            kind, name, table, extra = trg
+            entry = self.catalog.get(table)
+            if entry is not None and self.enable_ddl_propagation:
+                if kind == "depends":
+                    # trigger.c:719-723 — same message for distributed
+                    # AND reference tables
+                    if entry.is_reference or entry.method != "none":
+                        raise ValueError(
+                            f'trigger "{name}" depends on an extension '
+                            "and this is not supported for distributed "
+                            "tables and local tables added to metadata"
+                        )
+                elif entry.is_reference:
+                    raise ValueError(
+                        "triggers are not supported on reference tables"
+                    )
+                elif entry.method != "none":
+                    raise ValueError(
+                        "triggers are not supported on distributed tables"
+                    )
+            key = (table, name)
+            if kind == "create":
+                self._triggers[key] = query
+                msg = (
+                    f"CREATE TRIGGER {name} recorded (no-op: trigger "
+                    "bodies do not fire in this engine — writes go "
+                    "through the distributed write funnel, not per-row "
+                    "procedures)"
+                )
+            elif kind in ("drop", "drop_if_exists"):
+                if key not in self._triggers and kind == "drop":
+                    raise ValueError(
+                        f'trigger "{name}" for table "{table}" does '
+                        "not exist"
+                    )
+                self._triggers.pop(key, None)
+                msg = "DROP TRIGGER"
+            elif kind == "rename":
+                new_name = extra  # 4th slot carries the new name
+                if key not in self._triggers:
+                    raise ValueError(
+                        f'trigger "{name}" for table "{table}" does '
+                        "not exist"
+                    )
+                self._triggers[(table, new_name)] = self._triggers.pop(key)
+                msg = "ALTER TRIGGER"
+            else:  # depends / toggle on an allowed table: recorded no-op
+                msg = f"ALTER TRIGGER {name} accepted (no-op)"
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame([(msg,)], "status string")
+
+        col = parse_collation(query)
+        if col is not None:
+            kind, name, payload = col
+            if kind == "create":
+                if name in self._collations:
+                    if payload.get("if_not_exists"):
+                        return self.spark.createDataFrame(
+                            [("CREATE COLLATION skipped: exists",)],
+                            "status string",
+                        )
+                    raise ValueError(f'collation "{name}" already exists')
+                src = payload.get("from")
+                if src is not None and src not in self._collations:
+                    raise ValueError(f'collation "{src}" does not exist')
+                self._collations[name] = (
+                    dict(self._collations[src]) if src is not None
+                    else {"options": payload.get("options", "")}
+                )
+                msg = (
+                    f"CREATE COLLATION {name} recorded (sorts and "
+                    "comparisons use binary UTF-8 code-point order, "
+                    "not locale order — documented divergence)"
+                )
+            elif kind == "drop":
+                if name not in self._collations:
+                    if payload.get("if_exists"):
+                        return self.spark.createDataFrame(
+                            [("DROP COLLATION skipped: missing",)],
+                            "status string",
+                        )
+                    raise ValueError(f'collation "{name}" does not exist')
+                del self._collations[name]
+                msg = "DROP COLLATION"
+            else:  # alter
+                if name not in self._collations:
+                    raise ValueError(f'collation "{name}" does not exist')
+                new = payload.get("rename_to")
+                if new:
+                    self._collations[new] = self._collations.pop(name)
+                msg = "ALTER COLLATION"
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame([(msg,)], "status string")
+        return None
+
     def _execute_utility(self, query: str) -> DataFrame | None:
         """TRUNCATE / VACUUM / ANALYZE — the utility statements the
         reference propagates to shards (commands/truncate.c,
@@ -3303,6 +3549,16 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             query = pg_quantified(query)
         if self.pg_compat:
             query = pg_casts(query)
+        elif _re.search(
+            r"\bAS\s+(?:VARCHAR|CHAR(?:ACTER)?)\b", query, _re.I
+        ):
+            # length-less char types are never valid Spark, so this
+            # piece of pg_casts is safe unconditionally
+            from citus_spark.plans.rewrites import _BARE_CHAR_TYPE, _map_code
+
+            query = _map_code(
+                query, lambda c: _BARE_CHAR_TYPE.sub(r"\1STRING", c)
+            )
         if "~" in query:
             from citus_spark.plans.rewrites import pg_regex_ops
 

@@ -113,3 +113,122 @@ def test_distributed_domain_head(spark):
     )
     # the domain table accepted the valid rows
     assert s.sql("SELECT count(*) FROM us_snail_addy").collect()[0][0] == 0
+
+
+def test_citus_table_triggers_head(spark):
+    """citus_table_triggers.sql head (through the deparse section) —
+    r9 verdict item #3. Exact reference parity: every trigger command
+    against a distributed/reference table fails with the reference's
+    message while ddl propagation is on (its .out:37-111); with
+    propagation OFF, or on plain tables, triggers are accepted
+    (recorded no-ops); a table carrying triggers refuses
+    create_distributed_table / create_reference_table."""
+    s = DistributedSession(spark)
+    path = f"{REGRESS}/citus_table_triggers.sql"
+    text = open(path).read()
+    head = text.find("-- test deparse logic")
+    stmts = _statements(path, head)
+    assert len(stmts) >= 30
+    prop_off = False
+    failures = []
+    for st in stmts:
+        up = " ".join(st.upper().split())
+        if up.startswith("SET CITUS.ENABLE_DDL_PROPAGATION"):
+            prop_off = up.endswith("OFF")
+        on_citus_table = (
+            "ON DISTRIBUTED_TABLE" in up.replace("ON distributed_table", "ON DISTRIBUTED_TABLE")
+            or " DISTRIBUTED_TABLE " in up + " "
+            or " REFERENCE_TABLE " in up + " "
+        ) and "_1" not in up
+        expected_fail = (
+            (("TRIGGER" in up) and on_citus_table and not prop_off
+             and not up.startswith("CREATE FUNCTION"))
+            or up.startswith("SELECT CREATE_DISTRIBUTED_TABLE('DISTRIBUTED_TABLE_1'")
+            or up.startswith("SELECT CREATE_REFERENCE_TABLE('REFERENCE_TABLE_1'")
+        )
+        try:
+            s.sql(st)
+            if expected_fail:
+                failures.append(("should have failed", st[:70]))
+        except Exception as e:
+            msg = str(e).split("\n")[0]
+            if not expected_fail:
+                failures.append((msg[:90], st[:70]))
+            elif "not supported" not in msg and "because it has triggers" not in msg:
+                failures.append((f"wrong error: {msg[:70]}", st[:70]))
+    assert not failures, failures
+    # the propagation-off + plain-table triggers were recorded
+    assert any(n == "update_value_dist" for _t, n in s._triggers)
+
+
+def test_distributed_collations_head(spark):
+    """distributed_collations.sql head — r9 verdict item #4. CREATE
+    COLLATION records the name; COLLATE clauses in column defs, WHERE,
+    and aggregates are accepted (binary-order divergence documented);
+    alter_distributed_table's := named args and the
+    citus.log_remote_commands GUC parse."""
+    s = DistributedSession(spark)
+    path = f"{REGRESS}/distributed_collations.sql"
+    text = open(path).read()
+    head = text.find("-- Test range table")
+    skipped = 0
+    failures = []
+    for st in _statements(path, head):
+        if "U&" in st or "pg_collation" in st:
+            # U&'..' unicode-escape literals and the pg_collation
+            # catalog join are out of surface; everything else replays
+            skipped += 1
+            continue
+        try:
+            s.sql(st)
+        except Exception as e:
+            failures.append((str(e).split("\n")[0][:90], st[:70]))
+    assert not failures, failures
+    assert skipped <= 3
+    assert "german_phonebook" in s._collations
+    assert "german_phonebook_unpropagated" in s._collations
+    # COLLATE in expressions: accepted for registered + built-in
+    # names, binary comparison semantics
+    s.sql("INSERT INTO test_propagate VALUES (1, 'aesop', 'asop'), (2, 'Vossr', 'Vossr')")
+    r = s.sql(
+        "SELECT id FROM test_propagate WHERE t2 COLLATE \"C\" < 'b' ORDER BY id"
+    ).collect()
+    # binary code-point order: 'V' (0x56) < 'b' (0x62), so BOTH rows
+    # qualify — exactly the documented divergence from locale order
+    # (PG's "C" collation gives the same answer here)
+    assert [x[0] for x in r] == [1, 2]
+    # qualified access to a table created bare under the search_path
+    assert s.sql(
+        "SELECT count(*) FROM collation_tests.test_propagate"
+    ).collect()[0][0] == 2
+    # unknown collation errors like PG
+    import pytest as _pytest
+    with _pytest.raises(Exception, match='collation "nope" does not exist'):
+        s.sql("SELECT * FROM test_propagate ORDER BY t1 COLLATE nope")
+
+
+def test_rls_head_named_reject(spark):
+    """multi_alter_table_row_level_security.sql head — r9 verdict
+    item #5: RLS statements produce ONE named reject, never a raw
+    parse error; everything around them (SET ROLE, OWNER TO, GRANT,
+    client_min_messages) replays."""
+    s = DistributedSession(spark)
+    path = f"{REGRESS}/multi_alter_table_row_level_security.sql"
+    text = open(path).read()
+    head = text.find("-- Create policy for tenants")
+    _replay(
+        s, path, head,
+        expect_fail_markers=("ENABLE ROW LEVEL SECURITY",),
+    )
+    import pytest as _pytest
+    for st in (
+        "CREATE POLICY user_mod ON events_rls FOR SELECT TO t1 "
+        "USING (current_user = 'x')",
+        "ALTER TABLE events_rls DISABLE ROW LEVEL SECURITY",
+        "ALTER TABLE events_rls FORCE ROW LEVEL SECURITY",
+        "DROP POLICY user_mod ON events_rls",
+    ):
+        with _pytest.raises(
+            NotImplementedError, match="row-level security"
+        ):
+            s.sql(st)

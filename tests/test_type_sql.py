@@ -516,3 +516,95 @@ def test_copy_stdin_payload_not_rewritten(spark):
     )
     r = s.sql("SELECT note, b FROM ty_cp").collect()[0]
     assert r.note == "(note).ref and min(b) > 'one'" and r.b == "one"
+
+
+def test_enum_between_col_cmp_greatest(spark):
+    """r9 ADVICE #1: BETWEEN, column-to-column comparison, and
+    GREATEST/LEAST on enum columns follow declaration order (were
+    silently lexical)."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_ord")
+    s.sql("DROP TYPE IF EXISTS ty_sev")
+    s.sql("CREATE TYPE ty_sev AS ENUM ('low', 'medium', 'high')")
+    s.sql("CREATE TABLE ty_ord (id int, lvl ty_sev, lvl2 ty_sev)")
+    s.sql(
+        "INSERT INTO ty_ord VALUES (1, 'low', 'high'), "
+        "(2, 'medium', 'medium'), (3, 'high', 'low')"
+    )
+    # BETWEEN by rank: 'high' > 'medium' declaration-wise even though
+    # 'high' < 'medium' lexically
+    r = s.sql(
+        "SELECT id FROM ty_ord WHERE lvl BETWEEN 'medium' AND 'high' "
+        "ORDER BY id"
+    ).collect()
+    assert [x[0] for x in r] == [2, 3]
+    r = s.sql(
+        "SELECT id FROM ty_ord WHERE lvl NOT BETWEEN 'medium' AND 'high' "
+        "ORDER BY id"
+    ).collect()
+    assert [x[0] for x in r] == [1]
+    # col-vs-col: lvl < lvl2 by declaration rank → only id=1
+    r = s.sql(
+        "SELECT id FROM ty_ord WHERE lvl < lvl2 ORDER BY id"
+    ).collect()
+    assert [x[0] for x in r] == [1]
+    # greatest/least back-map to labels by rank
+    r = s.sql(
+        "SELECT id, greatest(lvl, lvl2) AS g, least(lvl, 'medium') AS l "
+        "FROM ty_ord ORDER BY id"
+    ).collect()
+    assert [(x[0], x[1], x[2]) for x in r] == [
+        (1, "high", "low"), (2, "medium", "medium"), (3, "high", "medium"),
+    ]
+    # invalid label in BETWEEN raises like PG
+    with pytest.raises(Exception, match="invalid input value"):
+        s.sql("SELECT * FROM ty_ord WHERE lvl BETWEEN 'nope' AND 'high'")
+
+
+def test_enum_unreachable_ordered_use_rejects(spark):
+    """r9 ADVICE #1 guard: ordered enum uses outside the rewrite forms
+    (subquery comparison, quantified) reject loudly instead of
+    comparing lexically."""
+    s = DistributedSession(spark)
+    s.sql("DROP TABLE IF EXISTS ty_grd")
+    s.sql("DROP TYPE IF EXISTS ty_gsev")
+    s.sql("CREATE TYPE ty_gsev AS ENUM ('low', 'high')")
+    s.sql("CREATE TABLE ty_grd (id int, lvl ty_gsev)")
+    s.sql("INSERT INTO ty_grd VALUES (1, 'low')")
+    with pytest.raises(NotImplementedError, match="ordered use of enum"):
+        s.sql(
+            "SELECT * FROM ty_grd WHERE lvl < (SELECT max(lvl) FROM ty_grd)"
+        )
+    # equality needs no shim and is untouched by the guard
+    assert s.sql(
+        "SELECT count(*) FROM ty_grd WHERE lvl = 'low'"
+    ).collect()[0][0] == 1
+
+
+def test_enum_vs_plain_column_shadowing(spark):
+    """r9 ADVICE #2: a referenced table with a same-named NON-enum
+    column makes the bare name conflicted — ordering it raises instead
+    of mis-rewriting the plain column with the enum's labels."""
+    s = DistributedSession(spark)
+    for t in ("ty_sh1", "ty_sh2"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql("DROP TYPE IF EXISTS ty_shen")
+    s.sql("CREATE TYPE ty_shen AS ENUM ('a', 'b')")
+    s.sql("CREATE TABLE ty_sh1 (id int, status ty_shen)")
+    s.sql("CREATE TABLE ty_sh2 (id int, status string)")
+    s.sql("INSERT INTO ty_sh1 VALUES (1, 'a')")
+    s.sql("INSERT INTO ty_sh2 VALUES (1, 'zzz')")
+    # both referenced + ordered use → conflict raise (before this fix:
+    # b.status > 'zzz' was rewritten with the enum's labels →
+    # spurious invalid-label error)
+    with pytest.raises(NotImplementedError, match="different types|different label|distinct column"):
+        s.sql(
+            "SELECT count(*) FROM ty_sh1 a, ty_sh2 b WHERE status > 'a'"
+        )
+    # single-table statements keep working on both
+    assert s.sql(
+        "SELECT count(*) FROM ty_sh2 WHERE status > 'a'"
+    ).collect()[0][0] == 1
+    assert s.sql(
+        "SELECT count(*) FROM ty_sh1 WHERE status >= 'b'"
+    ).collect()[0][0] == 0
