@@ -295,6 +295,9 @@ def main() -> None:
                 trend_up[name] = {
                     "bench_sec": times[name],
                     "sf1_sec": round(t_big, 4),
+                    # alias keeps the r1-r9 per-query key shape alive
+                    # for cross-round tooling (review fix)
+                    "sf10x_sec": round(t_big, 4),
                     "ratio_10x": round(t_big / max(times[name], 1e-6), 2),
                 }
             # the r9 verdict's scale_sf1 block: native-fixture sf1

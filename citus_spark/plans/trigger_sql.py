@@ -193,17 +193,24 @@ def strip_collate(sql: str, registered: dict) -> str:
     for m in _COLLATE_CLAUSE.finditer(sql):
         if any(a <= m.start() < b for a, b in spans):
             continue
-        name = _unquote(m.group("name"))
+        raw = m.group("name")
+        name = _unquote(raw)
         short = name.split(".")[-1]
+        quoted = raw.strip().split(".")[-1].strip().startswith('"')
+        # locale-style names ("en_US", "de-u-co-phonebk") that PG
+        # resolves via libc/icu: accepted with a REQUIRED region/
+        # extension part, so a bare typo'd identifier still errors
+        # like PG ('collation "foo" does not exist'). Quoted names
+        # admit the full ICU shape; bare ones only lc_CC.
+        locale_shape = (
+            r"[a-z]{2,3}[_-][\w.\-@]+" if quoted
+            else r"[a-z]{2,3}_\w+"
+        )
         if (
             name not in registered
             and short not in registered
             and short.lower() not in BUILTIN_COLLATIONS
-            # locale-style names ("en_US", "de-u-co-phonebk") that PG
-            # resolves via libc/icu: accept the common dotted/dashed
-            # shapes rather than shipping a locale table
-            and not re.fullmatch(r"[a-z]{2,3}([_-][\w.\-@]+)?", short,
-                                 re.I)
+            and not re.fullmatch(locale_shape, short, re.I)
         ):
             raise ValueError(f'collation "{short}" does not exist')
         out.append(sql[pos:m.start()])

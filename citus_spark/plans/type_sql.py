@@ -678,6 +678,19 @@ def rewrite_enum_ordering(
             colcmp,
         )
 
+    # GREATEST/LEAST whose call body mentions ANY enum column → every
+    # TOP-LEVEL argument must rank (label literal or a column of the
+    # same enum; anything else — nested calls, other types — raises
+    # loudly). One pass across all columns (a per-column pass would
+    # re-visit its own output when two enum columns share a call);
+    # balanced-paren scan, not regex, so nested-call arguments cannot
+    # truncate the list (review fix — [^()]* silently skipped them,
+    # leaving the call lexical).
+    if re.search(r"\b(?:greatest|least)\s*\(", sql, re.I):
+        sql = _rewrite_gl_calls(
+            sql, col_labels, conflicted or set(), fail_conflict
+        )
+
     for col in sorted(
         set(col_labels) | set(conflicted or ()), key=len, reverse=True
     ):
@@ -753,7 +766,12 @@ def rewrite_enum_ordering(
                 f"{_rank(m.group(3))} AND {_rank(m.group(4))}"
             )
 
-        _operand = rf"'(?:[^']|'')*'|(?<![\w.]){ref}(?![\w.(])"
+        # bounds may be label literals OR column references — _rank
+        # validates (same-enum columns rank; anything else raises)
+        _operand = (
+            rf"'(?:[^']|'')*'"
+            rf"|(?<![\w.])[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?(?![\w.(])"
+        )
         sql = _masked_sub(
             sql,
             rf"(?<![\w.])({ref})\s+(NOT\s+)?BETWEEN\s+({_operand})"
@@ -761,25 +779,39 @@ def rewrite_enum_ordering(
             betw,
         )
 
-        # GREATEST/LEAST over enum refs / label literals → rank
-        # extreme back-mapped to the label (same shape as min/max)
-        def gl(m: re.Match) -> str:
+        # min/max compared against a label literal: keep the whole
+        # comparison in RANK space — back-mapping to the label first
+        # and comparing lexically is wrong (review fix)
+        def aggcmp(m: re.Match) -> str:
             if is_conflict:
                 fail_conflict(col)
-            from citus_spark.plans.rewrites import _split_top_level
-
-            ranked = ", ".join(
-                _rank(p) for p in _split_top_level(m.group(2))
-            )
             return (
-                f"element_at({arr}, CAST({m.group(1).lower()}"
-                f"({ranked}) AS INT))"
+                f"{m.group(1).lower()}(array_position({arr}, "
+                f"{m.group(2)})) {m.group(3)} {_rank(m.group(4))}"
+            )
+
+        _ordop = r"<=(?!>)|>=|<(?![>=])|>(?!=)"
+        sql = _masked_sub(
+            sql,
+            rf"\b(min|max)\s*\(\s*((?<![\w.]){ref})\s*\)\s*"
+            rf"({_ordop})\s*('(?:[^']|'')*')",
+            aggcmp,
+        )
+
+        def aggcmp_rev(m: re.Match) -> str:
+            if is_conflict:
+                fail_conflict(col)
+            return (
+                f"{_rank(m.group(1))} {m.group(2)} "
+                f"{m.group(3).lower()}(array_position({arr}, "
+                f"{m.group(4)}))"
             )
 
         sql = _masked_sub(
             sql,
-            rf"\b(greatest|least)\s*\(([^()]*(?<![\w.]){ref}\b[^()]*)\)",
-            gl,
+            rf"('(?:[^']|'')*')\s*({_ordop})\s*"
+            rf"\b(min|max)\s*\(\s*((?<![\w.]){ref})\s*\)",
+            aggcmp_rev,
         )
 
         # min/max back-mapped through the label array (masked — a
@@ -805,18 +837,20 @@ def rewrite_enum_ordering(
 
     # final guard: any ORDERED use of an enum column the passes above
     # did not reach (comparison against a subquery/expression,
-    # quantified comparison, BETWEEN with computed bounds,
-    # greatest/least with nested-call arguments) must REJECT — a
-    # silent lexical comparison returns wrong rows (r9 ADVICE #1).
+    # quantified comparison, BETWEEN with computed bounds) must
+    # REJECT — a silent lexical comparison returns wrong rows
+    # (r9 ADVICE #1). Ordered ops only: <>, !=, = and <=> are
+    # order-free equality and stay untouched (review fix — the first
+    # guard's bare <|> alternation matched the halves of <>).
+    _g_ord_l = r"(?:<=(?!>)|>=|<(?![>=])|>(?!=))"  # op after the ref
+    _g_ord_r = r"(?:<=(?!>)|>=|<(?![>=])|(?<![<>=!-])>(?!=))"  # before
     spans_g = _masked_spans(sql)
     for col in set(col_labels) | set(conflicted or ()):
         ref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?{re.escape(col)}"
         leftover = (
-            rf"(?<![\w.])(?:{ref})\s*(?:<=|>=|<|>)"
+            rf"(?<![\w.])(?:{ref})\s*{_g_ord_l}"
             rf"|(?<![\w.])(?:{ref})\s+(?:NOT\s+)?BETWEEN\b"
-            rf"|(?:<=|>=|<|>)\s*(?:{ref})(?![\w.(])"
-            rf"|\b(?:greatest|least)\s*\(\s*(?!array_position)"
-            rf"[^)]*(?<![\w,.(])\s*(?:{ref})\s*[,)]"
+            rf"|{_g_ord_r}\s*(?:{ref})(?![\w.(])"
         )
         for m in re.finditer(leftover, sql, re.I):
             if any(a <= m.start() < b for a, b in spans_g):
@@ -830,7 +864,123 @@ def rewrite_enum_ordering(
                 "cannot be applied textually here; compare via "
                 "array_position() explicitly"
             )
+    # ...and ordered comparisons against a BACK-MAPPED label (the
+    # element_at(..) result of min/max/greatest/least) — the rewrite
+    # output is a label STRING, so a following </> would be lexical.
+    # All back-mapped forms end in "AS INT))"; reject both directions.
+    backmap = (
+        rf"AS INT\)\)\s*{_g_ord_l}\s*'"
+        rf"|'\s*{_g_ord_r}\s*element_at\s*\(\s*array\s*\("
+    )
+    for m in re.finditer(backmap, sql, re.I):
+        if any(a <= m.start() < b for a, b in spans_g):
+            continue
+        raise NotImplementedError(
+            "ordered comparison against a back-mapped enum extreme "
+            f"(at ...{sql[max(0, m.start() - 30):m.end() + 10]!r}...) "
+            "would compare label STRINGS lexically — compare ranks "
+            "instead: array_position(<labels>, <expr>) on both sides"
+        )
     return sql
+
+
+def _rewrite_gl_calls(
+    sql: str, col_labels: dict, conflicted: set, fail_conflict
+) -> str:
+    """Balanced-paren rewrite of GREATEST/LEAST calls that mention
+    any enum column anywhere in their argument list: every top-level
+    argument must be a label literal (validated) or a column of the
+    same enum — anything else (nested calls, other types) raises
+    loudly — and the extreme is back-mapped to its label. Calls not
+    mentioning an enum column pass through untouched."""
+    from citus_spark.plans.rewrites import _split_top_level
+
+    spans = _masked_spans(sql)
+    ref_pats = {
+        c: re.compile(
+            rf"(?<![\w.])(?:[A-Za-z_]\w*\s*\.\s*)?{re.escape(c)}"
+            rf"(?![\w.(])",
+            re.I,
+        )
+        for c in set(col_labels) | set(conflicted)
+    }
+    pat = re.compile(r"\b(greatest|least)\s*\(", re.I)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            break
+        if any(a <= m.start() < b for a, b in spans):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp:
+                i = sp[1]
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        body = sql[m.end():i - 1]
+        body_spans = _masked_spans(body)
+        mentioned = [
+            c for c, rp in ref_pats.items()
+            if any(
+                not any(a <= hit.start() < b for a, b in body_spans)
+                for hit in rp.finditer(body)
+            )
+        ]
+        if not mentioned:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        for c in mentioned:
+            if c in conflicted:
+                fail_conflict(c)
+        labels = col_labels[mentioned[0]]
+        for c in mentioned[1:]:
+            if list(col_labels[c]) != list(labels):
+                raise NotImplementedError(
+                    f"{m.group(1).lower()}() mixes enum columns of "
+                    f"different label sets ({mentioned[0]!r} vs "
+                    f"{c!r}) — PG rejects this as a type mismatch"
+                )
+        arr = _re_label_array(labels)
+
+        def _rank(operand: str) -> str:
+            operand = operand.strip()
+            if operand.startswith("'"):
+                label = operand[1:-1].replace("''", "'")
+                if label not in labels:
+                    raise ValueError(
+                        f"invalid input value for enum: {label!r}"
+                    )
+                return f"array_position({arr}, {operand})"
+            if re.fullmatch(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?",
+                            operand):
+                other = re.split(r"\s*\.\s*", operand)[-1].lower()
+                if list(col_labels.get(other, ())) == list(labels):
+                    return f"array_position({arr}, {operand})"
+            raise NotImplementedError(
+                f"enum-ordered {m.group(1).lower()}() mixes in "
+                f"operand {operand!r} that is neither a label literal "
+                "nor a column of the same enum — rewrite it "
+                "explicitly with array_position()"
+            )
+
+        ranked = ", ".join(_rank(p) for p in _split_top_level(body))
+        out.append(sql[pos:m.start()])
+        out.append(
+            f"element_at({arr}, CAST({m.group(1).lower()}({ranked}) "
+            f"AS INT))"
+        )
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 _ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.I)
@@ -897,8 +1047,31 @@ def _rewrite_order_items(
                     f"{im.group(1)}{rank}{im.group(3) or ''}"
                     f"{im.group(4) or ''}{im.group(5) or ''}"
                 )
-            else:
-                new_items.append(item)
+                continue
+            # an ORDER BY item that IS a back-mapped extreme
+            # (element_at(arr, CAST(min(...) AS INT)) from agg_sub /
+            # the gl pass): sorting the LABEL would be lexical —
+            # unwrap to the inner rank expression, which carries the
+            # declaration order (the sort key's value is never
+            # projected, so the unwrap is order-exact)
+            if arr is not None:
+                bm = re.match(
+                    rf"^(\s*)element_at\({re.escape(arr)}, "
+                    rf"CAST\((?P<inner>.*) AS INT\)\)"
+                    rf"(\s+(?:ASC|DESC))?"
+                    rf"(\s+NULLS\s+(?:FIRST|LAST))?(\s*)$",
+                    item,
+                    re.I | re.S,
+                )
+                if bm:
+                    changed = True
+                    new_items.append(
+                        f"{bm.group(1)}{bm.group('inner')}"
+                        f"{bm.group(3) or ''}{bm.group(4) or ''}"
+                        f"{bm.group(5) or ''}"
+                    )
+                    continue
+            new_items.append(item)
         if changed:
             # _split_top_level strips items — rebuild with explicit
             # spacing so "ORDER BY" keeps its separator

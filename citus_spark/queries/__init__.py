@@ -463,6 +463,7 @@ def _import_all() -> None:
         graph,
         jsonagg,
         mlops,
+        perimeterops,
         similarity,
         textops,
         tpch,

@@ -288,6 +288,12 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         # options; sorts stay binary-ordered, documented divergence)
         self._triggers: dict[tuple[str, str], str] = {}
         self._collations: dict[str, dict] = {}
+        # (schema, table) pairs for relations created BARE while SET
+        # search_path pointed at a registered schema — PG resolution
+        # places them in that schema, so a later qualified sch.tbl
+        # must reach the bare view regardless of the CURRENT path
+        # (review fix: a current-path check broke after RESET)
+        self._schema_members: set[tuple[str, str]] = set()
 
     @property
     def tx_cluster(self):
@@ -1087,26 +1093,21 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         from citus_spark.plans.rewrites import _map_code
 
         names = [n for n in self._schemas if n != "public"]
-        # schemas currently on the session search_path: a relation
-        # created BARE while `SET search_path TO sch` was active lives
-        # in sch (PG resolution), so a later qualified `sch.tbl` must
-        # reach it — fall back to the bare name when no mangled view
-        # exists but the bare one does (distributed_collations.sql:32)
-        on_path = {
-            p.strip().strip('"').lower()
-            for p in getattr(self, "_search_path", "public").split(",")
-        }
         pats = []
         if names:
             alt = "|".join(_re.escape(n) for n in names)
 
             def _sch_sub(m: "_re.Match") -> str:
+                # a relation created BARE while `SET search_path TO
+                # sch` was active lives in sch (PG resolution; the
+                # membership is recorded at CREATE time, so a later
+                # qualified `sch.tbl` reaches it regardless of the
+                # CURRENT path — distributed_collations.sql:32)
                 sch, tbl = m.group(1), m.group(2)
                 mangled = f"{sch}__{tbl}"
                 if (
-                    sch.lower() in on_path
+                    (sch.lower(), tbl.lower()) in self._schema_members
                     and not self._table_exists(mangled)
-                    and self._table_exists(tbl)
                 ):
                     return tbl
                 return mangled
@@ -2644,6 +2645,13 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             empty.write.mode("overwrite").parquet(path)
             self.spark.read.parquet(path).createOrReplaceTempView(name)
             entry = self.catalog.register(name, "none", path=path)
+            if "." not in name:
+                # a bare CREATE under SET search_path TO sch places
+                # the relation in sch (PG resolution) — record the
+                # membership so qualified sch.{name} resolves later
+                cur = self._current_schema()
+                if cur in self._schemas:
+                    self._schema_members.add((cur, name.lower()))
             if enum_cols:
                 entry.enum_cols = dict(enum_cols)
             if partition_by is not None:
@@ -3030,6 +3038,14 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     parts.pop(name, None)
                     pe.partitions = parts
                     self._register_partitioned_parent(pe)
+            # triggers die with their table (PG dependency; review
+            # fix — a stale record blocked re-distribution of a
+            # recreated same-named table)
+            for key in [k for k in self._triggers if k[0] == name]:
+                del self._triggers[key]
+            self._schema_members.discard(
+                (self._current_schema(), name.lower())
+            )
             self.catalog.unregister(name)
             self.spark.catalog.dropTempView(name)
             self.stat_statements.record(query, None, executor="utility")
@@ -3130,6 +3146,15 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     "it — drop the generated column first"
                 )
 
+    def _current_schema(self) -> str:
+        """First resolvable schema on the session search_path."""
+        path = getattr(self, "_search_path", '"$user", public')
+        for p in path.split(","):
+            s = p.strip().strip('"').lower()
+            if s and s != "$user":
+                return s
+        return "public"
+
     def _table_exists(self, name: str) -> bool:
         try:
             return self.spark.catalog.tableExists(name)
@@ -3211,6 +3236,17 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     )
             key = (table, name)
             if kind == "create":
+                if entry is None and not self._table_exists(table):
+                    raise ValueError(
+                        f'relation "{table}" does not exist'
+                    )
+                if key in self._triggers:
+                    # PG has no CREATE OR REPLACE TRIGGER pre-14 form
+                    # without OR REPLACE — duplicate names error
+                    raise ValueError(
+                        f'trigger "{name}" for relation "{table}" '
+                        "already exists"
+                    )
                 self._triggers[key] = query
                 msg = (
                     f"CREATE TRIGGER {name} recorded (no-op: trigger "

@@ -248,10 +248,24 @@ def build_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
     }
 
 
+def _gen_signature(sf: float) -> str:
+    """Content hash of this generator + sf: editing distributions or
+    row counts in this file invalidates cached corpora (review fix —
+    a dir-keyed marker silently reused stale parquet after generator
+    changes, the exact cross-round comparability hazard the bench
+    flags elsewhere)."""
+    import hashlib
+
+    src = open(os.path.abspath(__file__), "rb").read()
+    return hashlib.sha1(src + f"|{sf:g}".encode()).hexdigest()[:16]
+
+
 def generate(spark: SparkSession, sf: float, outdir: str) -> str:
-    """Write all tables under outdir (skips if the marker exists)."""
+    """Write all tables under outdir (skips when the marker matches
+    the current generator content + sf)."""
+    sig = _gen_signature(sf)
     marker = os.path.join(outdir, "_GEN_OK")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == sig:
         return outdir
     os.makedirs(outdir, exist_ok=True)
     par = spark.sparkContext.defaultParallelism or 8
@@ -264,7 +278,7 @@ def generate(spark: SparkSession, sf: float, outdir: str) -> str:
             os.path.join(outdir, f"{name}.parquet")
         )
     with open(marker, "w") as fh:
-        fh.write(str(sf))
+        fh.write(sig)
     return outdir
 
 
