@@ -96,7 +96,10 @@ _NOOP = re.compile(
     # permissions govern); regress scripts SET ROLE around RLS and
     # ownership probes (multi_alter_table_row_level_security.sql)
     r"|SET\s+ROLE\b.*|RESET\s+ROLE"
-    r"|ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?[A-Za-z_][\w.]*\s+OWNER\s+TO\b.*"
+    r"|ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:ONLY\s+)?[A-Za-z_][\w.]*"
+    r"\s+OWNER\s+TO\b.*"
+    r"|ALTER\s+(?:SCHEMA|SEQUENCE|VIEW|FUNCTION|PROCEDURE|TYPE|DOMAIN)"
+    r"\s+[A-Za-z_][\w.]*\s+OWNER\s+TO\b.*"
     # physical-maintenance statements with no analog here: parquet
     # relations have no indexes to rebuild or heap to re-order
     # (VACUUM's compaction analog IS implemented — see
@@ -177,7 +180,12 @@ def _map_type(pg_type: str, udts: dict[str, str] | None = None) -> str:
 
 
 _ALTER = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w.]*)\s+"
+    # ONLY restricts to the parent relation — every relation here is
+    # its own storage (partition children are separate catalog
+    # entries), so the keyword strips; pg_dump emits it on every
+    # ALTER TABLE ONLY .. ADD CONSTRAINT / SET DEFAULT
+    r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:ONLY\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s+"
     r"(?P<action>.+?)\s*;?\s*$",
     re.I | re.S,
 )

@@ -622,6 +622,31 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         if _re.match(r"^\s*RESET\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
             self._search_path = '"$user", public'
             return self.spark.sql("SELECT 'RESET' AS status")
+        # pg_dump preamble: SELECT pg_catalog.set_config('k','v',bool)
+        # — the function-call spelling of SET (pg_dump always emits it
+        # for search_path). Returns the value, like PG.
+        m = _re.match(
+            r"^\s*SELECT\s+(?:pg_catalog\.)?set_config\(\s*"
+            r"'([^']*)'\s*,\s*'([^']*)'\s*,\s*(?:true|false)\s*\)"
+            r"\s*;?\s*$",
+            query, _re.I,
+        )
+        if m:
+            name, val = m.group(1), m.group(2)
+            low = name.lower()
+            if low == "search_path":
+                self._search_path = val or '"$user", public'
+            elif low in self._GUCS:
+                attr, parse = self._GUCS[low]
+                setattr(self, attr, parse(val))
+            else:
+                try:
+                    self.spark.conf.set(name, val)
+                except Exception:
+                    pass
+            return self.spark.createDataFrame(
+                [(val,)], "set_config string"
+            )
         # PG's `SET <name> TO <value>` spelling for non-citus settings
         # (client_min_messages, statement_timeout, ...): Spark records
         # arbitrary `SET k = v` pairs in its runtime conf — map the TO
@@ -1667,13 +1692,22 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
 
     # -- sequences (plans/sequence_sql.py ↔ reference sequences.sql /
     # multi_sequence_default.sql regress) ------------------------------
+    def _seq_name(self, name: str) -> str:
+        """Resolve a user-spelled sequence name: schema-qualified
+        spellings inside string literals ('sch.seq'::regclass) escape
+        the statement-level mangling, so try the mangled form too."""
+        if name in self._sequences:
+            return name
+        alt = name.replace(".", "__")
+        return alt if alt in self._sequences else name
+
     def _seq_alloc(self, name: str, n: int = 1) -> int:
         """Reserve n values; returns the first. The block-allocation
         analog of the reference's coordinator handing workers disjoint
         sequence ranges."""
         from citus_spark.plans.sequence_sql import PG_SEQ_MAX, PG_SEQ_MIN
 
-        st = self._sequences.get(name)
+        st = self._sequences.get(self._seq_name(name))
         if st is None:
             raise ValueError(f'sequence "{name}" does not exist')
         base = st["next"]
@@ -1880,7 +1914,7 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                 PG_SEQ_MIN,
             )
 
-            seq, n = m.group("seq"), int(m.group("n"))
+            seq, n = self._seq_name(m.group("seq")), int(m.group("n"))
             st = self._sequences.get(seq)
             if st is None:
                 raise ValueError(f'sequence "{seq}" does not exist')
@@ -1897,7 +1931,7 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             return str(n)
 
         def do_currval(m: _re.Match) -> str:
-            st = self._sequences.get(m.group("seq"))
+            st = self._sequences.get(self._seq_name(m.group("seq")))
             if st is None:
                 raise ValueError(
                     f'sequence "{m.group("seq")}" does not exist'
@@ -2071,6 +2105,7 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                 "standalone top-level select-list item"
             )
         sql2, seq, alias, pos = split
+        seq = self._seq_name(seq)
         st = self._sequences.get(seq)
         if st is None:
             raise ValueError(f'sequence "{seq}" does not exist')
@@ -3073,16 +3108,40 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     f'column "{col}" of relation "{name}" is an '
                     "identity column"
                 )
-            # the expression must resolve NOW (PG validates at ALTER
-            # time, not at the next INSERT)
-            try:
-                cur.select(F.expr(op[2]))
-            except Exception as e:
-                raise ValueError(
-                    f"DEFAULT expression {op[2]!r} does not resolve: "
-                    f"{e}"
-                ) from e
-            entry.defaults = {**(entry.defaults or {}), col: op[2]}
+            expr_txt = op[2]
+            import re as _re
+
+            nv = _re.match(
+                r"^\s*nextval\(\s*'([\w.]+)'\s*(?:::\s*regclass)?\s*\)"
+                r"\s*$",
+                expr_txt, _re.I,
+            )
+            if nv:
+                # sequence-backed default (pg_dump's ALTER COLUMN id
+                # SET DEFAULT nextval('sch.seq'::regclass)): keep the
+                # call TEXTUAL like CREATE TABLE defaults do, with the
+                # name resolved to its registered (schema-mangled)
+                # spelling; the regclass cast is PG catalog plumbing
+                seq = nv.group(1)
+                mangled = seq.replace(".", "__")
+                if seq not in self._sequences and mangled in self._sequences:
+                    seq = mangled
+                if seq not in self._sequences:
+                    raise ValueError(
+                        f'relation "{nv.group(1)}" does not exist'
+                    )
+                expr_txt = f"nextval('{seq}')"
+            else:
+                # the expression must resolve NOW (PG validates at
+                # ALTER time, not at the next INSERT)
+                try:
+                    cur.select(F.expr(expr_txt))
+                except Exception as e:
+                    raise ValueError(
+                        f"DEFAULT expression {op[2]!r} does not "
+                        f"resolve: {e}"
+                    ) from e
+            entry.defaults = {**(entry.defaults or {}), col: expr_txt}
         elif kind == "drop_default":
             if entry.defaults:
                 entry.defaults.pop(col, None)

@@ -45,6 +45,7 @@ class WriteFunnelMixin:
             occ = self._nextval_occurrences(expr)
             out, last = [], 0
             for a, b, seq in occ:
+                seq = self._seq_name(seq)
                 st = self._sequences.get(seq)
                 if st is None:
                     raise ValueError(f'sequence "{seq}" does not exist')
@@ -219,14 +220,14 @@ class WriteFunnelMixin:
         distributed/README.md:1755-1767). Returns the psql-style
         count, or None to fall through to Spark for non-catalog
         targets."""
+        import re as _re
+
         from pyspark.sql import types as T
 
         from citus_spark.plans.insert_sql import parse_insert
 
         stmt = parse_insert(query)
         if stmt is None:
-            import re as _re
-
             m = _re.match(
                 r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", query, _re.I
             )
@@ -300,14 +301,26 @@ class WriteFunnelMixin:
             )
         src = src.toDF(*names)
         # omitted columns take their DEFAULT (PG), NULL otherwise;
-        # generated columns always recompute from the row
+        # generated columns always recompute from the row. A
+        # nextval('seq') DEFAULT (pg_dump's serial spelling) is kept
+        # textual in the catalog — it cannot go through F.expr; those
+        # columns draw a sequence block below, exactly like identity.
         dflts = entry.defaults or {}
+        nextval_dflt: dict[str, str] = {}
+        for c in t_cols:
+            if c not in src.columns and c in dflts:
+                nm = _re.match(
+                    r"^\s*nextval\(\s*'([\w.]+)'\s*\)\s*$",
+                    dflts[c], _re.I,
+                )
+                if nm:
+                    nextval_dflt[c] = nm.group(1)
         aligned = src.select(*[
             F.col(c).cast(schema[c].dataType).alias(c)
             if c in src.columns
             else (
                 F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
-                if c in dflts
+                if c in dflts and c not in nextval_dflt
                 else F.lit(None).cast(schema[c].dataType).alias(c)
             )
             for c in t_cols
@@ -315,16 +328,18 @@ class WriteFunnelMixin:
         if gen:
             aligned = self._recompute_generated(entry, aligned)
         # identity/serial columns omitted from the target list draw a
-        # sequence block (↔ reference multi_sequence_default.sql)
+        # sequence block (↔ reference multi_sequence_default.sql);
+        # nextval('seq') DEFAULTs draw the same way
         omitted_ident = [
             (c, s)
             for c, s in (entry.identity or {}).items()
             if c not in names and c in t_cols
-        ]
+        ] + sorted(nextval_dflt.items())
         if omitted_ident:
             from citus_spark.operators.sequence import with_sequence_values
 
             for col, seqname in omitted_ident:
+                seqname = self._seq_name(seqname)
                 st = self._sequences.get(seqname)
                 if st is None:
                     raise ValueError(
@@ -1072,6 +1087,8 @@ class WriteFunnelMixin:
         loads NULL silently), apply column defaults and identity draws
         for omitted columns, then append through the universal funnel
         (constraints, generated columns, partition routing)."""
+        import re as _re
+
         from pyspark.sql import types as T
 
         from citus_spark.plans.copy_stdin import decode_payload
@@ -1109,12 +1126,21 @@ class WriteFunnelMixin:
             ),
         )
         dflts = entry.defaults or {}
+        nextval_dflt: dict[str, str] = {}
+        for c in t_cols:
+            if c not in names and c in dflts:
+                nm = _re.match(
+                    r"^\s*nextval\(\s*'([\w.]+)'\s*\)\s*$",
+                    dflts[c], _re.I,
+                )
+                if nm:
+                    nextval_dflt[c] = nm.group(1)
         aligned = src.select(*[
             F.col(c).cast(schema[c].dataType).alias(c)
             if c in names
             else (
                 F.expr(dflts[c]).cast(schema[c].dataType).alias(c)
-                if c in dflts
+                if c in dflts and c not in nextval_dflt
                 else F.lit(None).cast(schema[c].dataType).alias(c)
             )
             for c in t_cols
@@ -1145,11 +1171,12 @@ class WriteFunnelMixin:
             (c, s)
             for c, s in (entry.identity or {}).items()
             if c not in names and c in t_cols
-        ]
+        ] + sorted(nextval_dflt.items())
         if omitted_ident:
             from citus_spark.operators.sequence import with_sequence_values
 
             for col, seqname in omitted_ident:
+                seqname = self._seq_name(seqname)
                 st = self._sequences.get(seqname)
                 if st is None:
                     raise ValueError(f'sequence "{seqname}" does not exist')
