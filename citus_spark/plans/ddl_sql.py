@@ -98,8 +98,11 @@ _NOOP = re.compile(
     r"|SET\s+ROLE\b.*|RESET\s+ROLE"
     r"|ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:ONLY\s+)?[A-Za-z_][\w.]*"
     r"\s+OWNER\s+TO\b.*"
-    r"|ALTER\s+(?:SCHEMA|SEQUENCE|VIEW|FUNCTION|PROCEDURE|TYPE|DOMAIN)"
-    r"\s+[A-Za-z_][\w.]*\s+OWNER\s+TO\b.*"
+    # pg_dump always includes the argument signature on routines
+    # (ALTER FUNCTION public.audit_fn() OWNER TO ..)
+    r"|ALTER\s+(?:SCHEMA|SEQUENCE|VIEW|MATERIALIZED\s+VIEW|FUNCTION"
+    r"|PROCEDURE|AGGREGATE|TYPE|DOMAIN|INDEX|COLLATION)"
+    r"\s+[A-Za-z_][\w.]*\s*(?:\([^)]*\))?\s+OWNER\s+TO\b.*"
     # physical-maintenance statements with no analog here: parquet
     # relations have no indexes to rebuild or heap to re-order
     # (VACUUM's compaction analog IS implemented — see

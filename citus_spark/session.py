@@ -635,7 +635,10 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             name, val = m.group(1), m.group(2)
             low = name.lower()
             if low == "search_path":
-                self._search_path = val or '"$user", public'
+                # store '' verbatim — pg_dump's preamble value; name
+                # resolution treats an empty path as public, but SHOW
+                # must report what was set (review fix)
+                self._search_path = val
             elif low in self._GUCS:
                 attr, parse = self._GUCS[low]
                 setattr(self, attr, parse(val))
@@ -743,9 +746,24 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             self._refresh_textual_views()
 
         # schema-qualified names mangle to their view spelling before
-        # any executor parses the text
-        if self._schemas and ("." in query or "SCHEMA" in query.upper()):
-            query = self._mangle_schema_names(query)
+        # any executor parses the text; public./pg_catalog. qualifiers
+        # resolve to the unqualified namespace even with no registered
+        # schemas (pg_dump fully qualifies EVERYTHING after its
+        # set_config('search_path','') preamble)
+        if "." in query or "SCHEMA" in query.upper():
+            if self._schemas or _re.search(
+                r"\bpublic\s*\.", query, _re.I
+            ):
+                query = self._mangle_schema_names(query)
+            if _re.search(r"\bpg_catalog\s*\.", query, _re.I):
+                from citus_spark.plans.rewrites import _map_code
+
+                query = _map_code(
+                    query,
+                    lambda c: _re.sub(
+                        r"\bpg_catalog\s*\.\s*", "", c, flags=_re.I
+                    ),
+                )
 
         # user-defined type expressions (plans/type_sql.py): composite
         # row casts / field access, enum label casts, domain casts —
@@ -1695,11 +1713,19 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
     def _seq_name(self, name: str) -> str:
         """Resolve a user-spelled sequence name: schema-qualified
         spellings inside string literals ('sch.seq'::regclass) escape
-        the statement-level mangling, so try the mangled form too."""
+        the statement-level mangling, so try the mangled form — and
+        the bare form for public. (pg_dump fully qualifies EVERYTHING
+        after set_config('search_path',''), while public-schema
+        objects register bare here)."""
         if name in self._sequences:
             return name
-        alt = name.replace(".", "__")
-        return alt if alt in self._sequences else name
+        candidates = [name.replace(".", "__")]
+        if name.lower().startswith("public."):
+            candidates.append(name[len("public."):])
+        for c in candidates:
+            if c in self._sequences:
+                return c
+        return name
 
     def _seq_alloc(self, name: str, n: int = 1) -> int:
         """Reserve n values; returns the first. The block-allocation
@@ -3120,12 +3146,9 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                 # sequence-backed default (pg_dump's ALTER COLUMN id
                 # SET DEFAULT nextval('sch.seq'::regclass)): keep the
                 # call TEXTUAL like CREATE TABLE defaults do, with the
-                # name resolved to its registered (schema-mangled)
-                # spelling; the regclass cast is PG catalog plumbing
-                seq = nv.group(1)
-                mangled = seq.replace(".", "__")
-                if seq not in self._sequences and mangled in self._sequences:
-                    seq = mangled
+                # name resolved through the shared _seq_name rule; the
+                # regclass cast is PG catalog plumbing
+                seq = self._seq_name(nv.group(1))
                 if seq not in self._sequences:
                     raise ValueError(
                         f'relation "{nv.group(1)}" does not exist'

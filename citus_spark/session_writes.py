@@ -174,10 +174,22 @@ class WriteFunnelMixin:
                             "INSERT: VALUES row wider than target list"
                         )
                     col = names[i]
+                    nv = _re.match(
+                        r"^\s*nextval\(\s*'([\w.]+)'\s*"
+                        r"(?:::\s*regclass)?\s*\)\s*$",
+                        dflts.get(col, ""), _re.I,
+                    ) if col in dflts else None
                     if col in ident:
                         out.append(str(self._seq_alloc(ident[col], 1)))
                     elif col in gen:
                         out.append("NULL")
+                    elif nv:
+                        # textual nextval default (dump-restored
+                        # serial): draw HERE — splicing the call text
+                        # would reach Spark's parser, which has no
+                        # nextval (review fix); per-row loop, so each
+                        # VALUES row draws its own value like PG
+                        out.append(str(self._seq_alloc(nv.group(1), 1)))
                     elif col in dflts:
                         out.append(f"({dflts[col]})")
                     else:
@@ -211,6 +223,26 @@ class WriteFunnelMixin:
                 for i, item in enumerate(_split_top_level(row[1:-1]))
                 if not _re.fullmatch(r"\s*DEFAULT\s*", item, _re.I)
             })
+        return out
+
+    def _nextval_defaults(self, t_cols, present, dflts) -> dict:
+        """Columns absent from the supplied set whose DEFAULT is a
+        textual nextval('seq') call -> {col: seq}. These draw sequence
+        blocks exactly like identity columns — the call text cannot go
+        through F.expr (shared by the INSERT and COPY funnels; review
+        fix: the scan was copy-pasted between them)."""
+        import re as _re
+
+        out = {}
+        for c in t_cols:
+            if c not in present and c in dflts:
+                nm = _re.match(
+                    r"^\s*nextval\(\s*'([\w.]+)'\s*"
+                    r"(?:::\s*regclass)?\s*\)\s*$",
+                    dflts[c], _re.I,
+                )
+                if nm:
+                    out[c] = nm.group(1)
         return out
 
     def _execute_insert(self, query: str):
@@ -306,15 +338,7 @@ class WriteFunnelMixin:
         # textual in the catalog — it cannot go through F.expr; those
         # columns draw a sequence block below, exactly like identity.
         dflts = entry.defaults or {}
-        nextval_dflt: dict[str, str] = {}
-        for c in t_cols:
-            if c not in src.columns and c in dflts:
-                nm = _re.match(
-                    r"^\s*nextval\(\s*'([\w.]+)'\s*\)\s*$",
-                    dflts[c], _re.I,
-                )
-                if nm:
-                    nextval_dflt[c] = nm.group(1)
+        nextval_dflt = self._nextval_defaults(t_cols, src.columns, dflts)
         aligned = src.select(*[
             F.col(c).cast(schema[c].dataType).alias(c)
             if c in src.columns
@@ -1126,15 +1150,7 @@ class WriteFunnelMixin:
             ),
         )
         dflts = entry.defaults or {}
-        nextval_dflt: dict[str, str] = {}
-        for c in t_cols:
-            if c not in names and c in dflts:
-                nm = _re.match(
-                    r"^\s*nextval\(\s*'([\w.]+)'\s*\)\s*$",
-                    dflts[c], _re.I,
-                )
-                if nm:
-                    nextval_dflt[c] = nm.group(1)
+        nextval_dflt = self._nextval_defaults(t_cols, names, dflts)
         aligned = src.select(*[
             F.col(c).cast(schema[c].dataType).alias(c)
             if c in names

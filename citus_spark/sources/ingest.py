@@ -291,6 +291,18 @@ def merge_apply_multi(
         takes the column's declared default, NULL when none (PG)."""
         if _re.fullmatch(r"\s*DEFAULT\s*", text, _re.I):
             text = dflts.get(c, "NULL")
+            if _re.match(r"\s*nextval\s*\(", text, _re.I):
+                # a textual sequence default cannot evaluate inside
+                # the merge's branch expressions (Spark has no
+                # nextval, and per-branch row draws need the sequence
+                # operator) — reject loudly rather than crash in the
+                # analyzer or hand out a constant
+                raise NotImplementedError(
+                    f'column "{c}" defaults to {text} — drawing '
+                    "sequence values inside MERGE branches is not "
+                    "supported; supply the value explicitly or "
+                    "INSERT the unmatched rows separately"
+                )
         return F.expr(text).cast(target.schema[c].dataType)
 
     def branch_idx(branches, cond_of) -> F.Column:

@@ -99,3 +99,47 @@ def test_duplicate_and_missing_relation_trigger_errors(spark):
     s.sql("DROP TABLE trg_dup_t")
     s.sql("CREATE TABLE trg_dup_t (a int)")
     s.sql("SELECT create_distributed_table('trg_dup_t', 'a')")
+
+
+def test_public_schema_dump_shape(spark):
+    """pg_dump of a default-schema database fully qualifies with
+    public. after set_config('search_path','') — the bare-registered
+    objects must still resolve (review fix: _seq_name missed the
+    public-strips-to-bare rule)."""
+    s = DistributedSession(spark)
+    for st in (
+        "SELECT pg_catalog.set_config('search_path', '', false)",
+        "CREATE TABLE public.items (id bigint NOT NULL, name text)",
+        "CREATE SEQUENCE public.items_id_seq",
+        "ALTER SEQUENCE public.items_id_seq OWNED BY public.items.id",
+        "ALTER TABLE ONLY public.items ALTER COLUMN id "
+        "SET DEFAULT nextval('public.items_id_seq'::regclass)",
+        "COPY public.items (id, name) FROM stdin;\n1\tfirst\n\\.",
+        "SELECT pg_catalog.setval('public.items_id_seq', 1, true)",
+        "ALTER FUNCTION public.audit_fn() OWNER TO admin",
+    ):
+        s.sql(st)
+    # SHOW reports what was set — the empty preamble path verbatim
+    assert s.sql("SHOW search_path").collect()[0][0] == ""
+    # explicit DEFAULT keyword draws per row (was: raw nextval text
+    # spliced into Spark SQL)
+    s.sql("INSERT INTO items (id, name) VALUES (DEFAULT, 'second'), "
+          "(DEFAULT, 'third')")
+    rows = [
+        tuple(r) for r in s.sql(
+            "SELECT id, name FROM items ORDER BY id"
+        ).collect()
+    ]
+    assert rows == [(1, "first"), (2, "second"), (3, "third")]
+    # MERGE with a sequence DEFAULT rejects loudly, never silently
+    import pytest as _pytest
+    s.sql("CREATE TABLE items_src (name text)")
+    s.sql("INSERT INTO items_src VALUES ('fourth')")
+    with _pytest.raises(
+        NotImplementedError, match="sequence values inside MERGE"
+    ):
+        s.sql(
+            "MERGE INTO items t USING items_src s ON t.name = s.name "
+            "WHEN NOT MATCHED THEN INSERT (id, name) "
+            "VALUES (DEFAULT, s.name)"
+        )
