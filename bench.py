@@ -228,6 +228,15 @@ def main() -> None:
                 # holds when the corpus grows 10x
                 "text_quality",
                 "ann_cosine_topk",
+                # the WORST fixed-floor ratios at sf0.1 (topn 13x,
+                # having 12x, dedup 9x, q9 5.5x vs DuckDB): their
+                # near-flat sf0.1->sf1 walls are the direct evidence
+                # that those ratios are scheduling floor, not per-row
+                # cost (r10)
+                "topn_operator",
+                "having_filter",
+                "dedup_exact",
+                "tpch_q9",
             ):
                 def run_small() -> float:
                     df_small = q.QUERIES[name](spark, small_dir)
@@ -279,6 +288,15 @@ def main() -> None:
                 # holds when the corpus grows 10x
                 "text_quality",
                 "ann_cosine_topk",
+                # the WORST fixed-floor ratios at sf0.1 (topn 13x,
+                # having 12x, dedup 9x, q9 5.5x vs DuckDB): their
+                # near-flat sf0.1->sf1 walls are the direct evidence
+                # that those ratios are scheduling floor, not per-row
+                # cost (r10)
+                "topn_operator",
+                "having_filter",
+                "dedup_exact",
+                "tpch_q9",
             ):
                 def run_big() -> float:
                     df_big = q.QUERIES[name](spark, big_dir)
