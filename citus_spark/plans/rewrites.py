@@ -144,6 +144,33 @@ def extract_materialized_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
     return found, sql
 
 
+_RANK_NO_ORDER = re.compile(
+    r"\b(rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\)\s*"
+    r"OVER\s*\(\s*((?:PARTITION\s+BY\s+[^()]*?)?)\s*\)",
+    re.I,
+)
+
+
+def pg_rank_without_order(sql: str) -> str:
+    """PG permits ranking functions with no window ORDER BY (every
+    row is a peer: rank/dense_rank = 1, percent_rank = 0,
+    cume_dist = 1 — window_functions.sql:8-16); Spark requires an
+    ordered window. `ORDER BY 1` inside a window spec is the CONSTANT
+    1 (ordinals have no meaning there), making all rows peers —
+    value-identical to PG. Specs whose PARTITION BY carries nested
+    parens are left alone (Spark's own requires-order error is the
+    honest outcome there)."""
+
+    def sub(m: re.Match) -> str:
+        spec = m.group(2).strip()
+        if re.search(r"\bORDER\s+BY\b", spec, re.I):
+            return m.group(0)
+        inner = (spec + " " if spec else "") + "ORDER BY 1"
+        return f"{m.group(1)}() OVER ({inner})"
+
+    return _map_code(sql, lambda c: _RANK_NO_ORDER.sub(sub, c))
+
+
 def pg_regex_ops(sql: str) -> str:
     """Rewrite PostgreSQL regex/LIKE operators to Spark spellings
     (↔ reference regress scripts use them freely; ILIKE itself needs

@@ -580,12 +580,19 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         "citus.shard_replication_factor": (
             "shard_replication_factor", int,
         ),
+        # coordinator-pull aggregation toggle: Catalyst owns the
+        # partial/final split here, so the strategy is recorded only
+        # (regress scripts disable it around unsupported-agg probes)
+        "citus.coordinator_aggregation_strategy": (
+            "coordinator_aggregation_strategy", str,
+        ),
     }
     next_shard_id: int = 102008
     enable_ddl_propagation: bool = True
     enable_schema_based_sharding: bool = False
     log_remote_commands: bool = False
     shard_replication_factor: int = 1
+    coordinator_aggregation_strategy: str = "row-gather"
 
     def _execute_guc(self, query: str) -> DataFrame | None:
         """`SET citus.<guc> = <value>` / `SHOW citus.<guc>` — session
@@ -1818,7 +1825,18 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         al = parse_alter_sequence(query)
         if al is not None:
             name, opts = al
-            st = self._sequences.get(name)
+            if (
+                name.split(".")[-1].lower() == "pg_dist_shardid_seq"
+                and opts.get("restart") not in (None, "start")
+            ):
+                # the reference's internal shard-id sequence (regress
+                # scripts RESTART it instead of SET citus.next_shard_id;
+                # multi_schema_support.sql:4) — same recorded knob
+                self.next_shard_id = int(opts["restart"])
+                return self.spark.createDataFrame(
+                    [("ALTER SEQUENCE",)], "status string"
+                )
+            st = self._sequences.get(self._seq_name(name))
             if st is None:
                 raise ValueError(f'sequence "{name}" does not exist')
             from citus_spark.plans.sequence_sql import (
@@ -3237,6 +3255,21 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                 return s
         return "public"
 
+    def _rel_name(self, name: str) -> str:
+        """Resolve a user-spelled relation name from inside a string
+        literal (mgmt-call arguments escape statement-level schema
+        mangling): try verbatim, the schema-mangled spelling, then the
+        bare form for public."""
+        if "." not in name or self._table_exists(name):
+            return name
+        candidates = [name.replace(".", "__")]
+        if name.lower().startswith("public."):
+            candidates.append(name[len("public."):])
+        for c in candidates:
+            if self._table_exists(c) or self.catalog.get(c) is not None:
+                return c
+        return name
+
     def _table_exists(self, name: str) -> bool:
         try:
             return self.spark.catalog.tableExists(name)
@@ -3681,6 +3714,13 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             from citus_spark.plans.rewrites import pg_regex_ops
 
             query = pg_regex_ops(query)
+        if _re.search(
+            r"\b(?:rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\)",
+            query, _re.I,
+        ):
+            from citus_spark.plans.rewrites import pg_rank_without_order
+
+            query = pg_rank_without_order(query)
         if _re.search(r"\bDISTINCT\s+ON\b", query, _re.IGNORECASE):
             from citus_spark.plans.rewrites import rewrite_distinct_on
 

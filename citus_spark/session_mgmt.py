@@ -150,7 +150,7 @@ class MgmtSurfaceMixin:
             # plain one (↔ create_distributed_table_concurrently.c)
             "create_distributed_table_concurrently",
         ):
-            name, dist_col = str(call.args[0]), str(
+            name, dist_col = self._rel_name(str(call.args[0])), str(
                 call.args[1] if len(call.args) > 1 else kw["distribution_column"]
             )
             if str(kw.get("distribution_type", "hash")).lower() == "range":
@@ -175,7 +175,7 @@ class MgmtSurfaceMixin:
                 ),
             )
         elif call.fn == "create_reference_table":
-            name = str(call.args[0])
+            name = self._rel_name(str(call.args[0]))
             self.create_reference_table(name, self.spark.table(name))
         elif call.fn == "alter_distributed_table":
             name = str(call.args[0])

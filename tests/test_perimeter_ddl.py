@@ -214,3 +214,43 @@ def test_collation_lifecycle(sess):
     with pytest.raises(ValueError, match="does not exist"):
         sess.sql("DROP COLLATION g2r")
     sess.sql("DROP COLLATION IF EXISTS g2r")
+
+
+def test_rank_without_order_shim(sess):
+    """PG permits ranking functions with no window ORDER BY (all rows
+    peers); Spark requires order — the shim makes them value-identical
+    (window_functions.sql:8-16)."""
+    sess.sql("DROP TABLE IF EXISTS rk_shim_t")
+    sess.sql("CREATE TABLE rk_shim_t (u int, v int)")
+    sess.sql("INSERT INTO rk_shim_t VALUES (1,1),(1,2),(2,3)")
+    r = sess.sql(
+        "SELECT u, rank() OVER (PARTITION BY u) AS r, "
+        "dense_rank() OVER () AS d, "
+        "percent_rank() OVER (PARTITION BY u) AS p, "
+        "cume_dist() OVER (PARTITION BY u) AS c "
+        "FROM rk_shim_t ORDER BY u, v"
+    ).collect()
+    assert [tuple(x) for x in r] == [
+        (1, 1, 1, 0.0, 1.0), (1, 1, 1, 0.0, 1.0), (2, 1, 1, 0.0, 1.0),
+    ]
+    # ordered specs untouched
+    r2 = sess.sql(
+        "SELECT rank() OVER (PARTITION BY u ORDER BY v DESC) "
+        "FROM rk_shim_t ORDER BY u, v"
+    ).collect()
+    assert [x[0] for x in r2] == [2, 1, 1]
+
+
+def test_mgmt_qualified_relation_and_shardid_seq(sess):
+    """Schema-qualified relation literals in mgmt calls resolve
+    (bool_agg.sql:6); RESTARTing the reference's internal shard-id
+    sequence maps onto the next_shard_id knob
+    (multi_schema_support.sql:4)."""
+    sess.sql("CREATE SCHEMA IF NOT EXISTS ba_sch")
+    sess.sql("CREATE TABLE ba_sch.bool_test (id int, b bool)")
+    sess.sql("SELECT create_distributed_table('ba_sch.bool_test', 'id')")
+    assert sess.catalog.get("ba_sch__bool_test") is not None
+    sess.sql("ALTER SEQUENCE pg_catalog.pg_dist_shardid_seq RESTART 119000")
+    assert sess.next_shard_id == 119000
+    sess.sql("SET citus.coordinator_aggregation_strategy TO 'disabled'")
+    assert sess.coordinator_aggregation_strategy == "disabled"
