@@ -650,6 +650,26 @@ _VERIFIED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "token_frequency", "array_agg_sorted", "join_on_expression",
         "self_join_reorders", "row_value_in"
     ),
+    # CORRECTNESS_r10.json green rows whose latest green is r10 (50/50
+    # green: 3 fresh r10 entries + the re-verified r1/r2 stale cohort)
+    10: (
+        "enum_range_extremes", "collate_binary_order",
+        "trigger_noop_isolation", "exists_or_predicate",
+        "asof_view_before_purchase", "distinct_on_expression",
+        "global_having_no_groupby", "orderby_expression_not_selected",
+        "case_in_groupby", "null_semantics", "null_aggregation",
+        "subquery_agg_in_from", "window_groups_frame",
+        "recursive_order_chain", "ch_q1", "ch_q12", "ch_q14",
+        "ch_stock_level", "dedup_exact", "minhash_signatures",
+        "minhash_lsh_pairs", "simhash16", "train_test_split",
+        "text_normalize", "contamination_check", "dedup_components",
+        "ngram_jaccard_topk", "json_agg_by_type", "json_object_agg_counts",
+        "ann_cosine_topk", "ivf_assign", "ann_lsh_bucketed",
+        "centroid_update", "text_fingerprint", "doc_stats_by_source",
+        "token_count", "text_quality", "lang_id", "multimodal_byte_stats",
+        "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q12",
+        "tpch_q14", "tpch_q4", "tpch_q8", "tpch_q9", "tpch_q15"
+    ),
 }
 
 _LAST_GREEN_ROUND: dict[str, int] = {
