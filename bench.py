@@ -49,17 +49,17 @@ HEADLINE = [
 ]
 
 
-def _build_10x_corpus(spark, sf_dir: str, sf_val) -> str | None:
-    """Native 10×-the-bench-scale corpus via tools/gen_sf.py (r9
+def _build_native_corpus(spark, sf_val, mult: int) -> str | None:
+    """Native mult×-the-bench-scale corpus via tools/gen_sf.py (r9
     verdict item #6): FRESH independent rows with dbgen-style key
     ranges and the fixture's profiled distributions — not key-offset
-    copies of sf0.1. At the default bench scale (sf0.1) this is a
-    true sf1 fixture. Content-addressed temp cache; ~1 min one-time
-    build on local[32]."""
+    copies of sf0.1. At the default bench scale (sf0.1), mult=10 is a
+    true sf1 fixture and mult=30 a true sf3. Content-addressed temp
+    cache; ~1 min/sf one-time build on local[32]."""
     import tempfile
 
     try:
-        native_sf = float(sf_val) * 10
+        native_sf = float(sf_val) * mult
     except (TypeError, ValueError):
         return None
     sys.path.insert(0, os.path.join(
@@ -260,7 +260,7 @@ def main() -> None:
         # ratio_10x far below 10 = per-row cost still amortizing above
         # the bench scale; near/above 10 = the plan has gone linear,
         # which is the honest ceiling.
-        big_dir = _build_10x_corpus(spark, sf_dir, sf_val)
+        big_dir = _build_native_corpus(spark, sf_val, 10)
         if big_dir:
             # same steady-state discipline as the headline section:
             # one untimed full pass per table so the big corpus's

@@ -72,3 +72,70 @@ def with_global_offset(
         )
         .drop("_pid", "_v")
     )
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    out_col: str = "rn",
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global row_number() without a single-partition window — the
+    scale path for unpartitioned `OVER (ORDER BY ...)` ranks (r10
+    verdict item #5: a full-table global window single-partitions the
+    table at 100×; this is the same two-phase shape as
+    with_global_offset, counting rows instead of summing values).
+
+      1. range-repartition on the order expressions (disjoint ordered
+         ranges, parallel);
+      2. per-partition row counts → driver (one long per partition);
+      3. exclusive prefix of the counts → broadcast base offsets;
+      4. per-partition row_number (window WITHIN the partition) + the
+         partition's base = the global rank.
+
+    `order_exprs` must define a TOTAL order (same contract as any
+    rank the oracle checks). Returns (df_with_rank, total_rows)."""
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # persist BEFORE collecting counts: the range partitioner samples
+    # per execution — an unpersisted lineage recomputed for the window
+    # phase can place rows differently than the counts describe
+    d = d.persist()
+    counts = {
+        r._pid: r.c
+        for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += counts[pid]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    out = d.withColumn(
+        out_col,
+        (F.row_number().over(w) + base_map[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    return out, acc
+
+
+def ntile_from_rank(rank: Column, total: int, n_buckets: int) -> Column:
+    """PG/Spark NTILE(n) bucket from a 1-based global rank: with N
+    rows, the first N%n buckets hold ceil(N/n) rows, the rest
+    floor(N/n) (window_ntile semantics, arithmetically — so the
+    two-phase rank path is value-identical to the windowed form)."""
+    b = total // n_buckets
+    rem = total % n_buckets
+    big = rem * (b + 1)
+    if b == 0:
+        return rank.cast("int")
+    return (
+        F.when(rank <= big, (rank - 1) / (b + 1))
+        .otherwise(rem + (rank - big - 1) / b)
+        .cast("int")
+        + 1
+    ).cast("int")

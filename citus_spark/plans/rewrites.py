@@ -757,8 +757,11 @@ def pg_casts(sql: str) -> str:
             # PG admits length-less char types (CAST(x AS VARCHAR) =
             # unbounded); Spark requires a length — map to STRING,
             # the unbounded type. The `)` lookahead keeps VARCHAR(10)
-            # and quoted aliases untouched.
-            text = _BARE_CHAR_TYPE.sub(r"\1STRING", text)
+            # and quoted aliases untouched; the CAST-context check
+            # keeps a column ALIAS literally named char/varchar at the
+            # end of a parenthesized subquery untouched (ADVICE r10 —
+            # `(SELECT x AS char)` is an alias, not a cast target).
+            text = bare_char_cast_to_string(text)
         out.append(text)
         prev_kind = kind
     return "".join(out)
@@ -768,6 +771,41 @@ _BARE_CHAR_TYPE = re.compile(
     r"\b(AS\s+)(?:VARCHAR|CHARACTER\s+VARYING|CHAR|CHARACTER)(?=\s*\))",
     re.IGNORECASE,
 )
+
+_CAST_HEAD = re.compile(r"\b(?:CAST|TRY_CAST)\s*$", re.IGNORECASE)
+
+
+def bare_char_cast_to_string(text: str) -> str:
+    """Apply the length-less char-type → STRING mapping ONLY where the
+    `AS VARCHAR)` sits inside a CAST(...)/TRY_CAST(...) call: the close
+    paren after the type must pair with an open paren immediately
+    preceded by the CAST keyword. Anything else — e.g. a column alias
+    named char/varchar closing a parenthesized subquery — is left
+    alone."""
+    matches = list(_BARE_CHAR_TYPE.finditer(text))
+    if not matches:
+        return text
+    stack: list[int] = []
+    open_of: dict[int, int] = {}
+    for i, c in enumerate(text):
+        if c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            open_of[i] = stack.pop()
+    out: list[str] = []
+    last = 0
+    for m in matches:
+        j = m.end()
+        while j < len(text) and text[j].isspace():
+            j += 1
+        op = open_of.get(j)
+        if op is None or not _CAST_HEAD.search(text[:op]):
+            continue
+        out.append(text[last:m.start()])
+        out.append(m.group(1) + "STRING")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

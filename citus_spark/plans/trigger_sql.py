@@ -52,7 +52,7 @@ def _unquote(name: str) -> str:
 # --- triggers ---------------------------------------------------------
 
 _CREATE_TRIGGER = re.compile(
-    rf"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:CONSTRAINT\s+)?TRIGGER\s+"
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:CONSTRAINT\s+)?TRIGGER\s+"
     rf"(?P<name>{_IDENT})\s+"
     rf"(?P<timing>BEFORE|AFTER|INSTEAD\s+OF)\s+"
     rf"(?P<events>(?:INSERT|UPDATE(?:\s+OF\s+[\w\s,\"]+?)?|DELETE"
@@ -82,13 +82,16 @@ _TABLE_TRIGGER_TOGGLE = re.compile(
 
 
 def parse_trigger(sql: str):
-    """→ (kind, trigger_name, table, depends_on_extension) for any
-    trigger command, else None. kind ∈ {create, drop, rename,
-    depends, toggle}; names are unquoted/case-folded."""
+    """→ (kind, trigger_name, table, extra) for any trigger command,
+    else None. kind ∈ {create, drop, rename, depends, toggle}; names
+    are unquoted/case-folded. For create, extra is the PG14+
+    OR REPLACE flag (an existing (table, name) record is overwritten
+    instead of raising 'already exists'); for rename it is the new
+    name; for depends it is True."""
     m = _CREATE_TRIGGER.match(sql)
     if m:
         return ("create", _unquote(m.group("name")),
-                _unquote(m.group("table")), False)
+                _unquote(m.group("table")), bool(m.group("replace")))
     m = _DROP_TRIGGER.match(sql)
     if m:
         return (

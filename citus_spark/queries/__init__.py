@@ -207,6 +207,26 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 # per-stage overhead (see load_views)
 _AQE_MIN_BYTES = 256 << 20
 
+
+def corpus_above_cutover(sf_dir: str) -> bool:
+    """True when the corpus is above the at-scale conf cutover
+    (_AQE_MIN_BYTES) — the same gate the conf layer uses. Entries
+    whose fixture-scale formulation is a full-table unpartitioned
+    window switch to their two-phase scale path above this line
+    (r10 verdict item #5), exactly like AQE/SMJ/broadcast caps
+    switch. load_views has always run first, so the per-dir byte
+    total is already cached."""
+    key = os.path.abspath(sf_dir)
+    total = _CORPUS_BYTES.get(key)
+    if total is None:
+        total = sum(
+            _tree_bytes(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in ALL_TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        )
+        _CORPUS_BYTES[key] = total
+    return total >= _AQE_MIN_BYTES
+
 # per-dir corpus byte totals (fixture dirs are immutable), so the
 # every-call conf re-application above never re-walks the tree
 _CORPUS_BYTES: dict[str, int] = {}

@@ -72,15 +72,52 @@ ORDER BY user_id, event_id
 """,
 )
 
-register_shared_sql(
-    "window_ntile",
-    """
+# window_ntile: the windowed form's unpartitioned ORDER BY is a
+# single-partition sort of the whole table — fine at fixture scale,
+# a scale-killer at 100× (r10 verdict item #5). Above the corpus
+# cutover the SAME semantics run as the two-phase global rank
+# (operators/prefix_sum.two_phase_row_number: range-repartition +
+# per-partition counts + broadcast offsets — parallel end to end)
+# with NTILE derived arithmetically from the rank; below it the
+# windowed SQL stands (one small sort beats two extra stages).
+_WINDOW_NTILE_SQL = """
 SELECT c_custkey,
        ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
 FROM customer
 ORDER BY c_custkey
-""",
-)
+"""
+
+
+def window_ntile(spark, sf_dir):
+    from citus_spark.queries import corpus_above_cutover, load_views
+
+    load_views(spark, sf_dir)
+    if not corpus_above_cutover(sf_dir):
+        return spark.sql(_WINDOW_NTILE_SQL)
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.prefix_sum import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
+    ranked, total = two_phase_row_number(
+        spark.table("customer"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        out_col="_rk",
+    )
+    return (
+        ranked.select(
+            "c_custkey",
+            ntile_from_rank(F.col("_rk"), total, 4).alias(
+                "balance_quartile"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+register_split("window_ntile", window_ntile, _WINDOW_NTILE_SQL)
 
 # top-k per group — the reference's topn-extension workload shape
 # (multi_logical_optimizer.h:50-51) expressed as window + filter
@@ -4296,9 +4333,10 @@ ORDER BY prev_type, next_type
 # Equi-depth histogram boundaries via NTILE — the bucket borders a
 # cost model / data-profiler records. Deterministic under the unique
 # (price, key) order, so both engines produce identical borders.
-register_shared_sql(
-    "equi_depth_histogram",
-    """
+# Same scale gate as window_ntile: above the corpus cutover the
+# bucket assignment runs as the two-phase global rank instead of a
+# single-partition window over all of orders.
+_EQUI_DEPTH_SQL = """
 WITH b AS (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
@@ -4307,8 +4345,43 @@ WITH b AS (
 SELECT bucket, count(*) AS n,
        min(o_totalprice) AS lo, max(o_totalprice) AS hi
 FROM b GROUP BY bucket ORDER BY bucket
-""",
-)
+"""
+
+
+def equi_depth_histogram(spark, sf_dir):
+    from citus_spark.queries import corpus_above_cutover, load_views
+
+    load_views(spark, sf_dir)
+    if not corpus_above_cutover(sf_dir):
+        return spark.sql(_EQUI_DEPTH_SQL)
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.prefix_sum import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
+    ranked, total = two_phase_row_number(
+        spark.table("orders"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        out_col="_rk",
+    )
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("_rk"), total, 10).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register_split("equi_depth_histogram", equi_depth_histogram, _EQUI_DEPTH_SQL)
 
 
 # generate_series over timestamps with an interval step

@@ -620,10 +620,15 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         # the setting is recorded and SHOWable, not resolution-
         # changing. RESET restores the PG default.
         m = _re.match(
-            r"^\s*SET\s+SEARCH_PATH\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
+            r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?SEARCH_PATH\s*(?:=|TO)"
+            r"\s*(.+?)\s*;?\s*$",
             query, _re.I,
         )
         if m:
+            # SESSION/LOCAL prefixes accepted (SET LOCAL search_path
+            # is common inside regress transactions; without this it
+            # fell through to the generic TO handler and Spark's
+            # runtime conf, silently diverging from _search_path)
             self._search_path = m.group(1).strip()
             return self.spark.sql("SELECT 'SET' AS status")
         if _re.match(r"^\s*RESET\s+SEARCH_PATH\s*;?\s*$", query, _re.I):
@@ -2639,6 +2644,33 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         dfn = parse_drop_function(query)
         if dfn is not None:
             name, ine = dfn
+            # trigger functions were recorded, not registered with
+            # Spark (they only ever run FROM a trigger, and triggers
+            # are no-ops here) — a pg_restore --clean replay drops
+            # them, so pop the record instead of issuing Spark DDL
+            # that would error 'function does not exist'
+            from citus_spark.plans.trigger_sql import _unquote as _tq
+
+            dropped = _tq(name)
+            recs = getattr(self, "_triggers", {})
+            tkeys = [k for k in recs if k[0] == "" and k[1] == dropped]
+            if not tkeys:
+                # qualification mismatch between CREATE and DROP:
+                # match on the bare name only when one side is
+                # unqualified (never cross two different schemas)
+                tkeys = [
+                    k for k in recs
+                    if k[0] == ""
+                    and k[1].split(".")[-1] == dropped.split(".")[-1]
+                    and ("." not in k[1] or "." not in dropped)
+                ]
+            if tkeys:
+                for k in tkeys:
+                    self._triggers.pop(k)
+                return self.spark.createDataFrame(
+                    [("DROP FUNCTION (recorded trigger function)",)],
+                    "status string",
+                )
             self.spark.sql(
                 f"DROP TEMPORARY FUNCTION {'IF EXISTS ' if ine else ''}{name}"
             )
@@ -3122,9 +3154,16 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             # recreated same-named table)
             for key in [k for k in self._triggers if k[0] == name]:
                 del self._triggers[key]
-            self._schema_members.discard(
-                (self._current_schema(), name.lower())
-            )
+            # discard EVERY schema-membership record for the dropped
+            # relation, not just the one under the schema current at
+            # DROP time — dropping sch.tbl after RESET search_path
+            # left a stale (sch, tbl) member, so a later bare CREATE
+            # of the same name under a different path made qualified
+            # sch.tbl resolve to the wrong relation (ADVICE r10)
+            bare = name.split(".")[-1].lower()
+            self._schema_members -= {
+                k for k in self._schema_members if k[1] == bare
+            }
             self.catalog.unregister(name)
             self.spark.catalog.dropTempView(name)
             self.stat_statements.record(query, None, executor="utility")
@@ -3300,10 +3339,21 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         import re as _re
 
         if not _re.search(
-            r"\b(TRIGGER|COLLATION|POLICY|ROW\s+LEVEL\s+SECURITY)\b",
+            r"\b(TRIGGER|COLLATION|POLICY|ROW\s+LEVEL\s+SECURITY"
+            r"|SERVER|FOREIGN|USER\s+MAPPING|SECURITY\s+LABEL|RULE"
+            r"|LISTEN|UNLISTEN|NOTIFY)\b",
             query, _re.I,
         ):
             return None
+        from citus_spark.plans.perimeter_sql import (
+            FDW_ERROR,
+            RULE_ERROR,
+            SECLABEL_ERROR,
+            is_fdw_statement,
+            is_rule_statement,
+            is_seclabel_statement,
+            parse_listen_notify,
+        )
         from citus_spark.plans.trigger_sql import (
             RLS_ERROR,
             is_rls_statement,
@@ -3314,6 +3364,23 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
 
         if is_rls_statement(query):
             raise NotImplementedError(RLS_ERROR)
+        if is_fdw_statement(query):
+            raise NotImplementedError(FDW_ERROR)
+        if is_seclabel_statement(query):
+            raise NotImplementedError(SECLABEL_ERROR)
+        if is_rule_statement(query):
+            raise NotImplementedError(RULE_ERROR)
+        verb = parse_listen_notify(query)
+        if verb is not None:
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [(
+                    f"{verb} accepted (no-op: async notification "
+                    "channels have no listeners in this engine and no "
+                    "effect on query results)",
+                )],
+                "status string",
+            )
 
         tfn = parse_trigger_function(query)
         if tfn is not None:
@@ -3355,9 +3422,10 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     raise ValueError(
                         f'relation "{table}" does not exist'
                     )
-                if key in self._triggers:
-                    # PG has no CREATE OR REPLACE TRIGGER pre-14 form
-                    # without OR REPLACE — duplicate names error
+                if key in self._triggers and not extra:
+                    # duplicate names error unless the PG14+
+                    # OR REPLACE spelling was used (extra carries the
+                    # replace flag for create — ADVICE r10)
                     raise ValueError(
                         f'trigger "{name}" for relation "{table}" '
                         "already exists"
@@ -3453,7 +3521,68 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             _re.I,
         )
         if not m:
-            return None
+            # parenthesized-option and bare forms (PG 16 psql/pg_dump
+            # surface — r10 verdict item #7): VACUUM (ANALYZE, ...) t,
+            # VACUUM FULL ANALYZE t, bare VACUUM / ANALYZE. Unknown
+            # options error like PG; VERBOSE/FULL/FREEZE/PARALLEL etc.
+            # don't change query-visible state, so the table form runs
+            # the normal VACUUM/ANALYZE paths and the bare form (all
+            # tables) is a recorded no-op — a vacuum that compacts
+            # nothing is still correct, and compacting every catalog
+            # table on a bare VACUUM would surprise at scale.
+            vm = _re.match(
+                r"^\s*(VACUUM|ANALYZE)\s*"
+                r"(?:\(\s*(?P<opts>[^)]*)\)|"
+                r"(?P<words>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\s*)+))?"
+                r"\s*(?P<tbl>[A-Za-z_][\w.]*)?\s*;?\s*$",
+                query,
+                _re.I,
+            )
+            if not vm:
+                return None
+            head = vm.group(1).upper()
+            opts = [
+                o.strip().split()[0].upper()
+                for o in (vm.group("opts") or "").split(",")
+                if o.strip()
+            ] + [
+                w.upper() for w in (vm.group("words") or "").split()
+            ]
+            known = {
+                "FULL", "FREEZE", "VERBOSE", "ANALYZE", "ANALYSE",
+                "DISABLE_PAGE_SKIPPING", "SKIP_LOCKED", "INDEX_CLEANUP",
+                "PROCESS_MAIN", "PROCESS_TOAST", "TRUNCATE", "PARALLEL",
+                "SKIP_DATABASE_STATS", "ONLY_DATABASE_STATS",
+                "BUFFER_USAGE_LIMIT",
+            }
+            bad = [o for o in opts if o not in known]
+            if bad:
+                raise ValueError(
+                    f'unrecognized {head} option "{bad[0].lower()}"'
+                )
+            name = vm.group("tbl")
+            if name is None:
+                self.stat_statements.record(query, None, executor="utility")
+                return self.spark.createDataFrame(
+                    [(f"{head} accepted (no-op: database-wide "
+                      "maintenance has no query-visible effect here)",)],
+                    "status string",
+                )
+            if head == "VACUUM" and (
+                "ANALYZE" in opts or "ANALYSE" in opts
+            ):
+                # VACUUM (ANALYZE) t = vacuum then analyze; return the
+                # analyze stats (the query-visible half)
+                self._execute_utility(f"VACUUM {name}")
+                out = self._execute_utility(f"ANALYZE {name}")
+            else:
+                out = self._execute_utility(f"{head} {name}")
+            if out is None:
+                # don't fall through to Spark — it cannot parse the
+                # parenthesized form, and a raw ParseException is the
+                # exact failure mode this path exists to remove
+                raise ValueError(f'relation "{name}" does not exist')
+            return out
         verb = (m.group(1) or m.group(4)).upper()
         name = m.group(2) or m.group(5)
         truncate_cascade = bool(m.group(3)) and m.group(3).upper() == "CASCADE"
@@ -3703,13 +3832,16 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         elif _re.search(
             r"\bAS\s+(?:VARCHAR|CHAR(?:ACTER)?)\b", query, _re.I
         ):
-            # length-less char types are never valid Spark, so this
-            # piece of pg_casts is safe unconditionally
-            from citus_spark.plans.rewrites import _BARE_CHAR_TYPE, _map_code
-
-            query = _map_code(
-                query, lambda c: _BARE_CHAR_TYPE.sub(r"\1STRING", c)
+            # length-less char types inside a CAST are never valid
+            # Spark, so this piece of pg_casts is safe unconditionally
+            # (the CAST-context check keeps aliases named char/varchar
+            # untouched — ADVICE r10)
+            from citus_spark.plans.rewrites import (
+                _map_code,
+                bare_char_cast_to_string,
             )
+
+            query = _map_code(query, bare_char_cast_to_string)
         if "~" in query:
             from citus_spark.plans.rewrites import pg_regex_ops
 
