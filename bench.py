@@ -299,6 +299,8 @@ def main() -> None:
                 "tpch_q9",
             ):
                 def run_big() -> float:
+                    # same persisted-intermediate hygiene as run()
+                    spark.catalog.clearCache()
                     df_big = q.QUERIES[name](spark, big_dir)
                     t0 = time.time()
                     _drain(df_big)
@@ -378,6 +380,10 @@ def main() -> None:
                 "tpch_q9",
             ):
                 def run_sf3() -> float:
+                    # drop persisted intermediates (LSH band tables
+                    # persist() per execution — at 30x scale four
+                    # pinned copies would pressure every later query)
+                    spark.catalog.clearCache()
                     df_sf3 = q.QUERIES[name](spark, sf3_dir)
                     t0 = time.time()
                     _drain(df_sf3)
@@ -397,12 +403,13 @@ def main() -> None:
 
         # concurrent streams: the multi-tenant shape (Citus's core
         # deployment is many tenants querying at once). 4 threads each
-        # run the same 4-query mix; Spark's scheduler interleaves the
+        # run the same 8-query mix; Spark's scheduler interleaves the
         # jobs across the shared executor pool. speedup = serial wall /
         # concurrent wall — near 1 means full serialization, anything
         # meaningfully above 1 means idle-slot interleaving works.
         import threading
 
+        spark.catalog.clearCache()  # drop sf1/sf3 trend intermediates
         # r10 verdict item #6: the old 4-query mix gave a ~0.4 s
         # serial-equivalent — small enough that box noise swung the
         # speedup 3.4→6.3 between readings. Doubling the mix with the

@@ -72,10 +72,18 @@ def main() -> None:
     spark = get_spark("floor_ledger")
     q.load_views(spark, sf_dir)
     for t in q.ALL_TABLES:
-        spark.table(t).write.format("noop").mode("overwrite").save()
+        try:  # a corpus may lack some tables (load_views skips them)
+            spark.table(t).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     def drain(df):
-        df._jdf.queryExecution().toRdd().count()
+        # same drain as bench.py (incl. the fallback for internal-API
+        # drift — keep the two in lockstep)
+        try:
+            df._jdf.queryExecution().toRdd().count()
+        except Exception:
+            df.write.format("noop").mode("overwrite").save()
 
     def med_min(fn, n=7):
         xs = []
@@ -147,17 +155,29 @@ def main() -> None:
         # nothing (the same reason bench.py rebuilds per run)
         full = med_min_built(lambda: q.QUERIES[name](spark, sf_dir))
 
-        # agg-only variant: same SQL, terminal ORDER BY stripped
+        # agg-only variant: same SQL, terminal ORDER BY stripped.
+        # Only meaningful when (a) the registry entry IS the shared
+        # SQL (split impls time a different plan — the subtraction
+        # would compare two implementations), and (b) no LIMIT
+        # follows the ORDER BY (a top-k plans as TakeOrdered with no
+        # separate sort stage, and stripping the ORDER BY would also
+        # strip the LIMIT, changing the drained row count).
         agg_only = None
         sql = q.ORACLES.get(name)
-        if sql and sql.rstrip().rstrip(";").upper().rfind("ORDER BY") > 0:
+        is_shared = sql is not None and (
+            getattr(q.QUERIES[name], "__doc__", None) == sql
+        )
+        if is_shared and sql.rstrip().rstrip(";").upper().rfind(
+            "ORDER BY"
+        ) > 0:
             idx = sql.upper().rfind("ORDER BY")
-            stripped = sql[:idx]
-            try:
-                drain(spark.sql(stripped))
-                agg_only = med_min_built(lambda: spark.sql(stripped))
-            except Exception:
-                agg_only = None
+            if "LIMIT" not in sql[idx:].upper():
+                stripped = sql[:idx]
+                try:
+                    drain(spark.sql(stripped))
+                    agg_only = med_min_built(lambda: spark.sql(stripped))
+                except Exception:
+                    agg_only = None
 
         dd = []
         if sql:
