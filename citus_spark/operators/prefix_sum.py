@@ -94,7 +94,17 @@ def two_phase_row_number(
          partition's base = the global rank.
 
     `order_exprs` must define a TOTAL order (same contract as any
-    rank the oracle checks). Returns (df_with_rank, total_rows)."""
+    rank the oracle checks). Returns (df_with_rank, total_rows).
+
+    The range-partitioned input is persist()ed and NOT unpersisted
+    here: the persisted partitioning is load-bearing (the range
+    sampler is re-seeded per execution — an unpersisted recompute
+    could place rows differently than the collected counts describe),
+    and the returned frame is lazy, so the function cannot know when
+    consumption ends. Callers running timing/gate loops release it
+    between iterations with spark.catalog.clearCache() — the same
+    contract as the LSH band-table persist (bench.py run()/run_big()/
+    run_sf3() already do)."""
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_exprs).withColumn(

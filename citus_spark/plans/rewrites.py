@@ -754,17 +754,18 @@ def pg_casts(sql: str) -> str:
                 out.append(f"CAST({lit} AS {m.group(1)})")
                 text = text[m.end() :]
             text = _PG_CAST.sub(r"CAST(\1 AS \2)", text)
-            # PG admits length-less char types (CAST(x AS VARCHAR) =
-            # unbounded); Spark requires a length — map to STRING,
-            # the unbounded type. The `)` lookahead keeps VARCHAR(10)
-            # and quoted aliases untouched; the CAST-context check
-            # keeps a column ALIAS literally named char/varchar at the
-            # end of a parenthesized subquery untouched (ADVICE r10 —
-            # `(SELECT x AS char)` is an alias, not a cast target).
-            text = bare_char_cast_to_string(text)
         out.append(text)
         prev_kind = kind
-    return "".join(out)
+    # PG admits length-less char types (CAST(x AS VARCHAR) =
+    # unbounded); Spark requires a length — map to STRING, the
+    # unbounded type. The `)` lookahead keeps VARCHAR(10) and quoted
+    # aliases untouched; the CAST-context check keeps a column ALIAS
+    # literally named char/varchar at the end of a parenthesized
+    # subquery untouched (ADVICE r10). Applied over the REJOINED
+    # statement (not per segment) so a string-literal operand —
+    # CAST('abc' AS VARCHAR) — doesn't split the paren pairing
+    # (review fix); literal spans are masked internally.
+    return bare_char_cast_to_string("".join(out))
 
 
 _BARE_CHAR_TYPE = re.compile(
@@ -781,13 +782,27 @@ def bare_char_cast_to_string(text: str) -> str:
     paren after the type must pair with an open paren immediately
     preceded by the CAST keyword. Anything else — e.g. a column alias
     named char/varchar closing a parenthesized subquery — is left
-    alone."""
-    matches = list(_BARE_CHAR_TYPE.finditer(text))
+    alone.
+
+    Operates on the WHOLE statement, masking literal/comment spans for
+    both the keyword match and the paren pairing — a segment-scoped
+    scan would lose the open paren of `CAST('abc' AS VARCHAR)` to the
+    literal split and silently skip the rewrite (review fix)."""
+    matches = [
+        m for m in _BARE_CHAR_TYPE.finditer(text)
+    ]
     if not matches:
         return text
+    spans = _masked_spans(text)
+
+    def masked(i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
     stack: list[int] = []
     open_of: dict[int, int] = {}
     for i, c in enumerate(text):
+        if masked(i):
+            continue
         if c == "(":
             stack.append(i)
         elif c == ")" and stack:
@@ -795,6 +810,8 @@ def bare_char_cast_to_string(text: str) -> str:
     out: list[str] = []
     last = 0
     for m in matches:
+        if masked(m.start()):
+            continue
         j = m.end()
         while j < len(text) and text[j].isspace():
             j += 1

@@ -2664,6 +2664,23 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                     and k[1].split(".")[-1] == dropped.split(".")[-1]
                     and ("." not in k[1] or "." not in dropped)
                 ]
+            if len(tkeys) > 1:
+                # several schemas hold the same bare name: resolve the
+                # way PG's search_path would (current schema, then
+                # public); popping them all would drop functions the
+                # statement never named (review fix)
+                cur = self._current_schema()
+                pref = [
+                    k for k in tkeys
+                    if k[1] in (dropped, f"{cur}.{dropped}",
+                                f"public.{dropped}")
+                ]
+                if len(pref) == 1:
+                    tkeys = pref
+                else:
+                    raise ValueError(
+                        f'function name "{dropped}" is not unique'
+                    )
             if tkeys:
                 for k in tkeys:
                     self._triggers.pop(k)
@@ -3533,21 +3550,27 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             vm = _re.match(
                 r"^\s*(VACUUM|ANALYZE)\s*"
                 r"(?:\(\s*(?P<opts>[^)]*)\)|"
-                r"(?P<words>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\s*)+))?"
-                r"\s*(?P<tbl>[A-Za-z_][\w.]*)?\s*;?\s*$",
+                r"(?P<words>(?:(?:FULL|FREEZE|VERBOSE|ANALYZE)\b\s*)+))?"
+                r'\s*(?P<tbl>"[^"]+"|[A-Za-z_][\w.]*)?\s*;?\s*$',
                 query,
                 _re.I,
             )
             if not vm:
                 return None
             head = vm.group(1).upper()
-            opts = [
-                o.strip().split()[0].upper()
-                for o in (vm.group("opts") or "").split(",")
-                if o.strip()
-            ] + [
-                w.upper() for w in (vm.group("words") or "").split()
-            ]
+            # option name -> value; PG booleans: absent value = true,
+            # and FALSE/OFF/0 disable (VACUUM (ANALYZE FALSE) must
+            # NOT analyze — review fix)
+            opts: dict[str, bool] = {}
+            for o in (vm.group("opts") or "").split(","):
+                parts = o.strip().split()
+                if parts:
+                    val = parts[1].upper() if len(parts) > 1 else "TRUE"
+                    opts[parts[0].upper()] = val not in (
+                        "FALSE", "OFF", "0",
+                    )
+            for w in (vm.group("words") or "").split():
+                opts[w.upper()] = True
             known = {
                 "FULL", "FREEZE", "VERBOSE", "ANALYZE", "ANALYSE",
                 "DISABLE_PAGE_SKIPPING", "SKIP_LOCKED", "INDEX_CLEANUP",
@@ -3568,8 +3591,10 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
                       "maintenance has no query-visible effect here)",)],
                     "status string",
                 )
+            if name.startswith('"'):
+                name = name[1:-1]
             if head == "VACUUM" and (
-                "ANALYZE" in opts or "ANALYSE" in opts
+                opts.get("ANALYZE") or opts.get("ANALYSE")
             ):
                 # VACUUM (ANALYZE) t = vacuum then analyze; return the
                 # analyze stats (the query-visible half)
@@ -3580,8 +3605,25 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             if out is None:
                 # don't fall through to Spark — it cannot parse the
                 # parenthesized form, and a raw ParseException is the
-                # exact failure mode this path exists to remove
-                raise ValueError(f'relation "{name}" does not exist')
+                # exact failure mode this path exists to remove. Name
+                # the real condition: the relation may exist as a
+                # read-only view (fixture tables) without being
+                # engine-catalog-owned.
+                try:
+                    self.spark.table(name)
+                    raise NotImplementedError(
+                        f'cannot {head} "{name}": the relation is not '
+                        "owned by this engine's catalog (fixture views "
+                        "are read-only; only tables created or "
+                        "distributed through this session can be "
+                        "vacuumed)"
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    raise ValueError(
+                        f'relation "{name}" does not exist'
+                    ) from None
             return out
         verb = (m.group(1) or m.group(4)).upper()
         name = m.group(2) or m.group(5)
@@ -3835,13 +3877,11 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             # length-less char types inside a CAST are never valid
             # Spark, so this piece of pg_casts is safe unconditionally
             # (the CAST-context check keeps aliases named char/varchar
-            # untouched — ADVICE r10)
-            from citus_spark.plans.rewrites import (
-                _map_code,
-                bare_char_cast_to_string,
-            )
+            # untouched — ADVICE r10; applied whole-statement so a
+            # literal operand doesn't split the paren pairing)
+            from citus_spark.plans.rewrites import bare_char_cast_to_string
 
-            query = _map_code(query, bare_char_cast_to_string)
+            query = bare_char_cast_to_string(query)
         if "~" in query:
             from citus_spark.plans.rewrites import pg_regex_ops
 

@@ -119,3 +119,80 @@ def test_bare_char_type_only_rewrites_cast_targets():
 def test_bare_char_cast_executes(sess):
     rows = sess.sql("SELECT CAST(42 AS VARCHAR) AS s").collect()
     assert rows[0][0] == "42"
+
+
+# --- second-pass review findings on the r11 wave ---------------------
+
+def test_bare_char_cast_with_literal_operand():
+    """Review: a string-literal operand split the paren pairing when
+    the scan was segment-scoped — CAST('abc' AS VARCHAR) silently
+    kept the length-less type and Spark threw DATATYPE_MISSING_SIZE."""
+    assert pg_casts("SELECT CAST('abc' AS VARCHAR)") == (
+        "SELECT CAST('abc' AS STRING)"
+    )
+    assert bare_char_cast_to_string(
+        "SELECT CAST(replace(x, '(', '') AS VARCHAR) FROM t"
+    ) == "SELECT CAST(replace(x, '(', '') AS STRING) FROM t"
+    # literal containing the keyword shape: untouched
+    assert bare_char_cast_to_string(
+        "SELECT '(cast(x as varchar)' AS s"
+    ) == "SELECT '(cast(x as varchar)' AS s"
+
+
+def test_vacuum_word_options_do_not_eat_table_prefixes(sess):
+    """Review: FULL|FREEZE|... matched as a PREFIX of the table name
+    (VACUUM FULL freezer parsed table 'r')."""
+    sess.sql("CREATE TABLE freezer (a int)")
+    sess.sql("INSERT INTO freezer VALUES (1)")
+    sess.sql("VACUUM FULL freezer")  # must target 'freezer'
+    out = sess.sql("VACUUM (ANALYZE) freezer").collect()
+    assert out
+    sess.sql("DROP TABLE freezer")
+
+
+def test_vacuum_boolean_option_values(sess):
+    """Review: VACUUM (ANALYZE FALSE) t must NOT analyze."""
+    sess.sql("CREATE TABLE vac_bool_t (a int)")
+    sess.sql("INSERT INTO vac_bool_t VALUES (1)")
+    out = sess.sql("VACUUM (ANALYZE FALSE) vac_bool_t").collect()
+    # plain VACUUM returns the compacted-file count, not analyze stats
+    assert out[0].asDict().get("files") is not None
+    sess.sql("DROP TABLE vac_bool_t")
+
+
+def test_vacuum_quoted_identifier(sess):
+    # pg_dump quotes identifiers; the VACUUM parser must accept the
+    # quoted spelling (engine CREATE TABLE takes bare names — quoting
+    # a lowercase name refers to the same relation, as in PG)
+    sess.sql("CREATE TABLE vacquoted (a int)")
+    sess.sql('VACUUM (FULL) "vacquoted"')
+    out = sess.sql('VACUUM (ANALYZE) "vacquoted"').collect()
+    assert out
+    sess.sql("DROP TABLE vacquoted")
+
+
+def test_vacuum_fixture_view_gets_named_error(sess, spark):
+    """Review: a registered read-only view must produce the named
+    not-owned error, not a false 'relation does not exist'."""
+    from citus_spark.queries import load_views
+
+    load_views(spark, "/root/testdata/sf0.001")
+    with pytest.raises(NotImplementedError, match="not\\s+owned by"):
+        sess.sql("VACUUM (FULL) orders")
+
+
+def test_drop_trigger_function_ambiguous_raises(sess):
+    sess.sql(
+        "CREATE FUNCTION sch_a.trgdup() RETURNS trigger AS $$ BEGIN "
+        "RETURN NEW; END; $$ LANGUAGE plpgsql"
+    )
+    sess.sql(
+        "CREATE FUNCTION sch_b.trgdup() RETURNS trigger AS $$ BEGIN "
+        "RETURN NEW; END; $$ LANGUAGE plpgsql"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        sess.sql("DROP FUNCTION trgdup()")
+    # both records survive the failed drop
+    assert sum(1 for k in sess._triggers if k[1].endswith("trgdup")) == 2
+    sess.sql("DROP FUNCTION sch_a.trgdup()")
+    assert sum(1 for k in sess._triggers if k[1].endswith("trgdup")) == 1
