@@ -1022,3 +1022,23 @@ SELECT cluster_size, count(*) AS n_clusters,
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-QA: duplication rate per source — the first report a data
+# curator pulls before mixing sources (share of docs whose exact
+# fingerprint already occurred anywhere in the source). Same md5
+# fingerprint as dedup_exact; at scale one hash shuffle on (source,
+# fp) with map-side partial counts.
+register_shared_sql(
+    "dedup_rate_by_source",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_docs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)

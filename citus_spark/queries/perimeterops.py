@@ -180,3 +180,38 @@ SELECT CAST(count(*) AS BIGINT) AS n, {DSUM('o_totalprice', 'v_sum')}
 FROM orders WHERE o_orderkey < 5000
 """,
 )
+
+
+# --- r11: parenthesized VACUUM + async-notify no-op isolation ---------
+def vacuum_paren_isolation(spark, sf_dir):
+    """The PG 16 psql surface closed in r11 (verdict item #7): the
+    parenthesized VACUUM option form compacts + analyzes through the
+    real utility paths, and LISTEN/NOTIFY/UNLISTEN are recorded
+    no-ops — none of it may change the relation's contents, which the
+    oracle re-derives from the fixture alone."""
+    s = _sess(spark, sf_dir)
+    s.sql("DROP TABLE IF EXISTS __vac_t")
+    s.sql("CREATE TABLE __vac_t (k bigint, v double)")
+    s.sql(
+        "INSERT INTO __vac_t SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 4000"
+    )
+    s.sql("LISTEN vac_chan")
+    s.sql("NOTIFY vac_chan, 'compact now'")
+    s.sql("VACUUM (FULL, ANALYZE) __vac_t")
+    s.sql("VACUUM FULL __vac_t")
+    s.sql("UNLISTEN *")
+    return s.sql(
+        f"SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"{DSUM('v', 'v_sum')} FROM __vac_t"
+    )
+
+
+register_split(
+    "vacuum_paren_isolation",
+    vacuum_paren_isolation,
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n, {DSUM('o_totalprice', 'v_sum')}
+FROM orders WHERE o_orderkey < 4000
+""",
+)

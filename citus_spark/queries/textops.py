@@ -3162,3 +3162,73 @@ GROUP BY 1
 ORDER BY 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency — the curator-facing summary of the sequence_pack
+# layout: how many fixed-length training sequences the corpus fills,
+# the padding wasted in the final partial chunk, and how many
+# documents straddle a chunk boundary (each straddle = one attention
+# mask split). The Spark side derives offsets through the two-phase
+# distributed prefix sum (operators/prefix_sum.with_global_offset) —
+# never a single-partition global window — so the same code path is
+# the 100 TB path; the oracle re-derives the offsets with DuckDB's
+# window sum.
+def packing_efficiency(spark, sf_dir):
+    load_views(spark, sf_dir)
+    from citus_spark.operators.prefix_sum import with_global_offset
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    d = with_global_offset(docs, "doc_id", "n_tokens", out_col="tok_offset")
+    L = _SEQ_LEN
+    first = F.floor(F.col("tok_offset") / L)
+    last = F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / L)
+    agg = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((first != last).cast("long")).cast("long").alias(
+            "spanning_docs"
+        ),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "spanning_docs",
+        F.ceil(F.col("total_tokens") / L).cast("long").alias("n_chunks"),
+        (
+            F.ceil(F.col("total_tokens") / L).cast("long") * L
+            - F.col("total_tokens")
+        ).cast("long").alias("waste_tokens"),
+    )
+
+
+register_split(
+    "packing_efficiency",
+    packing_efficiency,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN CAST(floor(tok_offset / {_SEQ_LEN}.0) AS BIGINT)
+                      <> CAST(floor((tok_offset + n_tokens - 1)
+                              / {_SEQ_LEN}.0) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS spanning_docs,
+       CAST(ceil(sum(n_tokens) / {_SEQ_LEN}.0) AS BIGINT) AS n_chunks,
+       CAST(CAST(ceil(sum(n_tokens) / {_SEQ_LEN}.0) AS BIGINT)
+            * {_SEQ_LEN} - sum(n_tokens) AS BIGINT) AS waste_tokens
+FROM o
+""",
+)
