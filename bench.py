@@ -276,8 +276,15 @@ def main() -> None:
                     ).save()
                 except Exception:
                     pass
-            trend_up: dict[str, dict[str, float]] = {}
-            for name in (
+            def run_at(name: str, corpus_dir: str) -> float:
+                # same persisted-intermediate hygiene as run()
+                spark.catalog.clearCache()
+                df_c = q.QUERIES[name](spark, corpus_dir)
+                t0 = time.time()
+                _drain(df_c)
+                return time.time() - t0
+
+            trend_names = (
                 "tpch_q1",
                 "tpch_q6",
                 "minhash_lsh_pairs",
@@ -297,21 +304,27 @@ def main() -> None:
                 "having_filter",
                 "dedup_exact",
                 "tpch_q9",
-            ):
-                def run_big() -> float:
-                    # same persisted-intermediate hygiene as run()
-                    spark.catalog.clearCache()
-                    df_big = q.QUERIES[name](spark, big_dir)
-                    t0 = time.time()
-                    _drain(df_big)
-                    return time.time() - t0
-
+            )
+            trend_samples: dict[str, list[float]] = {}
+            for name in trend_names:
                 # one discarded warmup: the first execution against a
                 # freshly built corpus pays page-cache faults + codegen
                 # for the new plan — measured 24x vs 6x on sessionize
                 # cold-vs-warm, pure measurement noise
-                run_big()
-                t_big = min(run_big() for _ in range(3))
+                run_at(name, big_dir)
+                trend_samples[name] = [
+                    run_at(name, big_dir) for _ in range(3)
+                ]
+            for name in trend_names:
+                # round-robin spike-guard sweep (same protocol as the
+                # headline set): these samples land minutes after the
+                # consecutive ones, so a transient host-load spike
+                # can't poison every sample of one query (r11: one
+                # spike turned a 0.2 s sf3 q6 into a recorded 2.5 s)
+                trend_samples[name].append(run_at(name, big_dir))
+            trend_up: dict[str, dict[str, float]] = {}
+            for name in trend_names:
+                t_big = min(trend_samples[name])
                 trend_up[name] = {
                     "bench_sec": times[name],
                     "sf1_sec": round(t_big, 4),
@@ -365,8 +378,7 @@ def main() -> None:
                     ).save()
                 except Exception:
                     pass
-            trend_sf3: dict[str, dict[str, float]] = {}
-            for name in (
+            sf3_names = (
                 "tpch_q1",
                 "tpch_q6",
                 "minhash_lsh_pairs",
@@ -378,19 +390,28 @@ def main() -> None:
                 "having_filter",
                 "dedup_exact",
                 "tpch_q9",
-            ):
-                def run_sf3() -> float:
-                    # drop persisted intermediates (LSH band tables
-                    # persist() per execution — at 30x scale four
-                    # pinned copies would pressure every later query)
-                    spark.catalog.clearCache()
-                    df_sf3 = q.QUERIES[name](spark, sf3_dir)
-                    t0 = time.time()
-                    _drain(df_sf3)
-                    return time.time() - t0
+            )
 
-                run_sf3()  # discard: codegen + residual cache faults
-                t_sf3 = min(run_sf3() for _ in range(3))
+            def run_sf3(name: str) -> float:
+                # drop persisted intermediates (LSH band tables
+                # persist() per execution — at 30x scale four
+                # pinned copies would pressure every later query)
+                spark.catalog.clearCache()
+                df_sf3 = q.QUERIES[name](spark, sf3_dir)
+                t0 = time.time()
+                _drain(df_sf3)
+                return time.time() - t0
+
+            sf3_samples: dict[str, list[float]] = {}
+            for name in sf3_names:
+                run_sf3(name)  # discard: codegen + cache faults
+                sf3_samples[name] = [run_sf3(name) for _ in range(3)]
+            for name in sf3_names:
+                # spike-guard sweep (see scale_sf1 note)
+                sf3_samples[name].append(run_sf3(name))
+            trend_sf3: dict[str, dict[str, float]] = {}
+            for name in sf3_names:
+                t_sf3 = min(sf3_samples[name])
                 trend_sf3[name] = {
                     "bench_sec": times[name],
                     "sf3_sec": round(t_sf3, 4),
