@@ -304,7 +304,14 @@ def parse_alter_table(sql: str, udts: dict[str, str] | None = None):
         r"|ALTER\s+(?:COLUMN\s+)?[A-Za-z_]\w*\s+SET\s+STORAGE\s+\w+"
         r"|ALTER\s+(?:COLUMN\s+)?[A-Za-z_]\w*\s+SET\s+STATISTICS\s+-?\d+"
         r"|SET\s+\(.*\)"
-        r"|RESET\s+\(.*\))$",
+        r"|RESET\s+\(.*\)"
+        # logical-replication row identity (no replication consumer
+        # here) and physical clustering order (parquet layout is the
+        # engine's own) — pg_dump emits both when non-default
+        r"|REPLICA\s+IDENTITY\s+(?:DEFAULT|FULL|NOTHING"
+        r"|USING\s+INDEX\s+\S+)"
+        r"|CLUSTER\s+ON\s+\S+"
+        r"|SET\s+WITHOUT\s+CLUSTER)$",
         action, re.I | re.S,
     ):
         return name, ("noop_metadata", action)

@@ -131,3 +131,107 @@ def parse_listen_notify(sql: str) -> str | None:
     if not m:
         return None
     return sql.strip().split(None, 1)[0].upper()
+
+
+# --- admin statements with no query-visible effect here ---------------
+# pg_dump / psql admin-session surface accepted as RECORDED NO-OPS.
+# The test is always "can this statement change a query result in
+# THIS engine?" — privileges/ownership are already no-ops (GRANT/
+# REVOKE/OWNER TO), trigger bodies never fire (same policy extends to
+# event triggers), extended statistics only hint a planner Catalyst
+# replaces, publications have no replication consumer, ALTER SYSTEM
+# writes a server config file that does not exist here, CHECKPOINT is
+# pure maintenance, and text-search config NAMES are already accepted
+# -and-ignored at every ts call site (plans/textsearch_sql.py strips
+# the config argument — simple-config semantics, documented
+# divergence).
+_ADMIN_NOOP = re.compile(
+    rf"^\s*(?:"
+    rf"ALTER\s+DEFAULT\s+PRIVILEGES\b"
+    rf"|DROP\s+ROLE\b"
+    rf"|(?:CREATE|ALTER|DROP)\s+STATISTICS\b"
+    rf"|(?:CREATE|ALTER|DROP)\s+PUBLICATION\b"
+    rf"|(?:CREATE|ALTER|DROP)\s+EVENT\s+TRIGGER\b"
+    rf"|REASSIGN\s+OWNED\s+BY\b"
+    rf"|DROP\s+OWNED\s+BY\b"
+    rf"|ALTER\s+SYSTEM\s+(?:SET|RESET)\b"
+    rf"|CHECKPOINT\b"
+    rf"|LOAD\s+'[^']*'"
+    rf"|(?:CREATE|ALTER|DROP)\s+TEXT\s+SEARCH\s+"
+    rf"(?:CONFIGURATION|DICTIONARY|PARSER|TEMPLATE)\b"
+    rf")",
+    re.I,
+)
+
+
+def parse_admin_noop(sql: str) -> str | None:
+    """→ a short description when the statement is an accepted admin
+    no-op, else None."""
+    m = _ADMIN_NOOP.match(sql)
+    if not m:
+        return None
+    head = " ".join(sql.strip().split()[:3]).rstrip(";")
+    return head.upper()
+
+
+# --- object classes that would silently change query semantics --------
+# Accepting these as no-ops would LIE about capability: a custom cast/
+# operator/transform changes how later expressions evaluate, a
+# subscription claims live replication, an access method claims a
+# storage engine. One named error each.
+_UNSUPPORTED_OBJECTS = [
+    (
+        re.compile(r"^\s*CREATE\s+SUBSCRIPTION\b", re.I),
+        "logical-replication subscriptions are not supported: a "
+        "subscription actively pulls remote changes, and this engine "
+        "has no replication worker. Use the CDC apply operator "
+        "(streaming/cdc_apply.py) over a change feed instead.",
+    ),
+    (
+        re.compile(r"^\s*(?:CREATE|DROP)\s+ACCESS\s+METHOD\b", re.I),
+        "custom access methods are not supported: storage is parquet "
+        "(with the columnar-options layer of sources/columnar.py); a "
+        "C handler cannot run here. Reference surface: "
+        "commands/create_custom_am.c analog.",
+    ),
+    (
+        re.compile(r"^\s*(?:CREATE|DROP)\s+CAST\b", re.I),
+        "custom casts are not supported: a user-defined cast changes "
+        "how later expressions evaluate, and recording it as a no-op "
+        "would silently alter query semantics. Cast explicitly in "
+        "queries instead.",
+    ),
+    (
+        re.compile(
+            r"^\s*(?:CREATE|DROP)\s+OPERATOR\b(?!\s+(?:CLASS|FAMILY))",
+            re.I,
+        ),
+        "user-defined operators are not supported: queries using a "
+        "custom operator symbol cannot parse here, so accepting the "
+        "DDL would only defer the failure. Define a SQL function "
+        "(CREATE FUNCTION ... RETURN expr) and call it instead.",
+    ),
+    (
+        re.compile(
+            r"^\s*(?:CREATE|ALTER|DROP)\s+OPERATOR\s+(?:CLASS|FAMILY)\b",
+            re.I,
+        ),
+        "operator classes/families configure index access methods, "
+        "which this engine does not have (scans are parquet + "
+        "Catalyst pruning). Not supported.",
+    ),
+    (
+        re.compile(r"^\s*(?:CREATE|DROP)\s+TRANSFORM\b", re.I),
+        "CREATE TRANSFORM maps PG types into procedural-language "
+        "types; no such language runtime exists here. Not supported.",
+    ),
+]
+
+
+def unsupported_object_error(sql: str) -> str | None:
+    """→ the named error message when the statement creates an object
+    class this engine must refuse, else None."""
+    for rx, msg in _UNSUPPORTED_OBJECTS:
+        if rx.match(sql):
+            return msg
+    return None

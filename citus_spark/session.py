@@ -3360,6 +3360,17 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             r"|SERVER|FOREIGN|USER\s+MAPPING|SECURITY\s+LABEL|RULE"
             r"|LISTEN|UNLISTEN|NOTIFY)\b",
             query, _re.I,
+        ) and not _re.match(
+            # admin / unsupported-object statement heads (anchored so
+            # an ordinary SELECT with CAST/OPERATOR words skips this
+            # path entirely)
+            r"^\s*(?:ALTER\s+DEFAULT\s+PRIVILEGES|DROP\s+ROLE"
+            r"|(?:CREATE|ALTER|DROP)\s+(?:STATISTICS|PUBLICATION"
+            r"|SUBSCRIPTION|TEXT\s+SEARCH|OPERATOR|ACCESS\s+METHOD)"
+            r"|(?:CREATE|DROP)\s+(?:CAST|TRANSFORM)\b"
+            r"|REASSIGN\s+OWNED|DROP\s+OWNED|ALTER\s+SYSTEM"
+            r"|CHECKPOINT\b|LOAD\s+')",
+            query, _re.I,
         ):
             return None
         from citus_spark.plans.perimeter_sql import (
@@ -3369,8 +3380,26 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             is_fdw_statement,
             is_rule_statement,
             is_seclabel_statement,
+            parse_admin_noop,
             parse_listen_notify,
+            unsupported_object_error,
         )
+
+        err = unsupported_object_error(query)
+        if err is not None:
+            raise NotImplementedError(err)
+        noop = parse_admin_noop(query)
+        if noop is not None:
+            self.stat_statements.record(query, None, executor="utility")
+            return self.spark.createDataFrame(
+                [(
+                    f"{noop} accepted (no-op: no query-visible effect "
+                    "in this engine — privileges/ownership/planner "
+                    "statistics/replication publications/event-trigger "
+                    "bodies/ts-config names carry no semantics here)",
+                )],
+                "status string",
+            )
         from citus_spark.plans.trigger_sql import (
             RLS_ERROR,
             is_rls_statement,

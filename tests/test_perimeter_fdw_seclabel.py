@@ -154,3 +154,69 @@ def test_seclabel_head_replays(sess):
             NotImplementedError, match="SECURITY LABEL is not supported"
         ):
             sess.sql(st)
+
+
+# --- admin no-ops + unsupported-object rejects (r11 wave 2) ----------
+
+ADMIN_NOOPS = (
+    "ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT SELECT ON TABLES "
+    "TO r1",
+    "DROP ROLE IF EXISTS some_role",
+    "CREATE STATISTICS st_adm ON a, b FROM orders",
+    "CREATE PUBLICATION pub_adm FOR TABLE orders",
+    "ALTER PUBLICATION pub_adm ADD TABLE orders",
+    "DROP PUBLICATION pub_adm",
+    "CREATE EVENT TRIGGER et_adm ON ddl_command_start "
+    "EXECUTE FUNCTION f()",
+    "REASSIGN OWNED BY r1 TO r2",
+    "DROP OWNED BY r1 CASCADE",
+    "ALTER SYSTEM SET shared_buffers = '1GB'",
+    "CHECKPOINT",
+    "LOAD 'auto_explain'",
+    "CREATE TEXT SEARCH CONFIGURATION tsc_adm (COPY = simple)",
+    "CREATE TEXT SEARCH DICTIONARY tsd_adm (TEMPLATE = simple)",
+)
+
+
+@pytest.mark.parametrize("stmt", ADMIN_NOOPS)
+def test_admin_statements_are_recorded_noops(sess, stmt):
+    out = sess.sql(stmt).collect()[0][0]
+    assert "no-op" in out, (stmt, out)
+
+
+UNSUPPORTED_OBJECTS = (
+    ("CREATE SUBSCRIPTION s1 CONNECTION 'x' PUBLICATION p1",
+     "subscriptions are not supported"),
+    ("CREATE ACCESS METHOD am1 TYPE TABLE HANDLER h1",
+     "access methods are not supported"),
+    ("CREATE CAST (int AS text) WITH INOUT",
+     "custom casts are not supported"),
+    ("CREATE OPERATOR === (LEFTARG = int, RIGHTARG = int, FUNCTION = f)",
+     "operators are not supported"),
+    ("CREATE OPERATOR CLASS oc1 FOR TYPE int USING btree AS OPERATOR 1 <",
+     "operator classes"),
+    ("CREATE TRANSFORM FOR int LANGUAGE sql (FROM SQL WITH FUNCTION f)",
+     "TRANSFORM"),
+)
+
+
+@pytest.mark.parametrize("stmt,msg", UNSUPPORTED_OBJECTS)
+def test_unsupported_object_classes_raise_named_errors(sess, stmt, msg):
+    with pytest.raises(NotImplementedError, match=msg):
+        sess.sql(stmt)
+
+
+def test_replica_identity_and_cluster_on_are_noops(sess):
+    sess.sql("CREATE TABLE adm_ri_t (a int)")
+    sess.sql("ALTER TABLE adm_ri_t REPLICA IDENTITY FULL")
+    sess.sql("ALTER TABLE adm_ri_t REPLICA IDENTITY NOTHING")
+    sess.sql("ALTER TABLE adm_ri_t CLUSTER ON some_idx")
+    sess.sql("ALTER TABLE adm_ri_t SET WITHOUT CLUSTER")
+    sess.sql("DROP TABLE adm_ri_t")
+
+
+def test_queries_with_cast_and_operator_words_not_hijacked(sess):
+    assert sess.sql("SELECT CAST(1 AS INT) AS x").collect()[0][0] == 1
+    assert sess.sql(
+        "SELECT 1 AS v WHERE 'operator' = 'operator'"
+    ).collect()[0][0] == 1
