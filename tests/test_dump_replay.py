@@ -143,3 +143,39 @@ def test_public_schema_dump_shape(spark):
             "WHEN NOT MATCHED THEN INSERT (id, name) "
             "VALUES (DEFAULT, s.name)"
         )
+
+
+def test_pg16_dump_admin_tail_replays(spark):
+    """The admin statements a PG 16 pg_dump appends after the data
+    section (r11): publications, extended statistics, default
+    privileges, replica identity, comments, setval — plus the psql
+    session statements around a restore (CHECKPOINT, LISTEN,
+    VACUUM (ANALYZE)). Every one must replay with no raw
+    ParseException, and none may perturb the restored data."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for st in (
+        "SELECT pg_catalog.set_config('search_path', '', false)",
+        "CREATE TABLE public.acct (id bigint NOT NULL, bal double precision)",
+        "COPY public.acct (id, bal) FROM stdin;\n1\t10.5\n2\t20.25\n\\.",
+        "COMMENT ON TABLE public.acct IS 'account balances'",
+        "COMMENT ON COLUMN public.acct.bal IS 'current balance'",
+        "ALTER TABLE ONLY public.acct REPLICA IDENTITY FULL",
+        "CREATE STATISTICS public.acct_stats ON id, bal FROM public.acct",
+        "CREATE PUBLICATION dump_pub FOR TABLE public.acct",
+        "ALTER DEFAULT PRIVILEGES IN SCHEMA public "
+        "GRANT SELECT ON TABLES TO readers",
+        "GRANT SELECT ON TABLE public.acct TO readers",
+        "CHECKPOINT",
+        "LISTEN restore_done",
+        "NOTIFY restore_done",
+        "VACUUM (ANALYZE) acct",
+        "UNLISTEN *",
+    ):
+        s.sql(st)
+    rows = [
+        tuple(r)
+        for r in s.sql("SELECT id, bal FROM acct ORDER BY id").collect()
+    ]
+    assert rows == [(1, 10.5), (2, 20.25)]
