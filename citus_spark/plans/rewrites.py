@@ -703,7 +703,18 @@ def rewrite_distinct_on(sql: str) -> str:
     keys = [resolve(k) for k in _split_top_level(keys_text)]
     ob_items = [resolve(o) for o in _split_top_level(ob_text)] if ob_text else []
     win_order = ob_items if ob_items else keys
-    out_names = {_out_name(s) for s in sl_items}
+    # only names the OUTER scope can actually reference: an alias or a
+    # bare column path. An unaliased EXPRESSION item (`l_orderkey + 1`)
+    # surfaces under Spark's pretty name `(l_orderkey + 1)` — the raw
+    # expression text cannot be re-evaluated outside the subquery
+    # (base columns are gone), so such order items must travel as
+    # hidden __citus_obN columns like any unprojected expression
+    # (regress multi_limit_clause.sql:155-170 — review fix)
+    out_names = {
+        n
+        for n in (_out_name(s) for s in sl_items)
+        if re.fullmatch(r"[A-Za-z_][\w.]*", n)
+    }
     # outer ORDER BY must be COMPLETE or LIMIT selects different rows:
     # items not visible among the outputs are carried through the
     # subquery as hidden columns and excluded from the projection
@@ -2497,3 +2508,44 @@ def pg_row_comparison(sql: str) -> str:
                 f"({c}) <> ({x})" for c, x in zip(cols, exprs)
             )
         sql = f"{sql[: m.start()]}({body}){sql[e + 1 :]}"
+
+
+# --- PG LIMIT/OFFSET forms Spark's parser rejects ---------------------
+# PG: LIMIT NULL = no limit, OFFSET NULL = no offset, and the clauses
+# may appear in either order (regress multi_limit_clause.sql:226-242).
+# Spark accepts LIMIT ALL but not the NULL spellings, and requires
+# LIMIT before OFFSET. None of the rewritten spellings are valid
+# Spark, so the rewrite is unconditional-safe (literal spans masked).
+_LIMIT_NULL = re.compile(r"\bLIMIT\s+NULL\b", re.IGNORECASE)
+_OFFSET_NULL = re.compile(r"\bOFFSET\s+NULL\b", re.IGNORECASE)
+_OFFSET_BEFORE_LIMIT = re.compile(
+    r"\bOFFSET\s+(?P<off>\d+|NULL)\s+LIMIT\s+(?P<lim>\d+|ALL|NULL)\b",
+    re.IGNORECASE,
+)
+
+
+def pg_limit_forms(sql: str) -> str:
+    spans = _masked_spans(sql)
+
+    def unmasked(m) -> bool:
+        return not any(a <= m.start() < b for a, b in spans)
+
+    def sub(rx, repl, text):
+        out, pos = [], 0
+        for m in rx.finditer(text):
+            if not unmasked(m):
+                continue
+            out.append(text[pos:m.start()])
+            out.append(repl(m))
+            pos = m.end()
+        out.append(text[pos:])
+        return "".join(out)
+
+    sql = sub(
+        _OFFSET_BEFORE_LIMIT,
+        lambda m: f"LIMIT {m.group('lim')} OFFSET {m.group('off')}",
+        sql,
+    )
+    sql = sub(_LIMIT_NULL, lambda m: "LIMIT ALL", sql)
+    sql = sub(_OFFSET_NULL, lambda m: "OFFSET 0", sql)
+    return sql

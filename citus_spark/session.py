@@ -3911,6 +3911,17 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
             from citus_spark.plans.rewrites import bare_char_cast_to_string
 
             query = bare_char_cast_to_string(query)
+        if _re.search(
+            r"\bLIMIT\s+NULL\b|\bOFFSET\s+NULL\b"
+            r"|\bOFFSET\s+(?:\d+|NULL)\s+LIMIT\b",
+            query, _re.I,
+        ):
+            # PG LIMIT/OFFSET spellings Spark rejects (LIMIT NULL,
+            # OFFSET NULL, OFFSET-before-LIMIT) — never valid Spark,
+            # so unconditional (regress multi_limit_clause.sql)
+            from citus_spark.plans.rewrites import pg_limit_forms
+
+            query = pg_limit_forms(query)
         if "~" in query:
             from citus_spark.plans.rewrites import pg_regex_ops
 

@@ -582,3 +582,33 @@ def test_pg_update_row_set_inside_expression_untouched():
     # second item in the list also expands
     out2 = pg_update_row_set("UPDATE t SET z = 0, (a, b) = (1, 2)")
     assert "a = 1" in out2 and "b = 2" in out2
+
+
+def test_pg_limit_null_and_offset_order_forms(spark):
+    """regress multi_limit_clause.sql:226-242 — PG LIMIT NULL /
+    OFFSET NULL / OFFSET-before-LIMIT spellings."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables("/root/testdata/sf0.001")
+    assert len(s.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 9 "
+        "ORDER BY o_orderkey LIMIT null"
+    ).collect()) == len(s.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 9 "
+        "ORDER BY o_orderkey"
+    ).collect())
+    rows = s.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 9 "
+        "ORDER BY o_orderkey OFFSET 1 LIMIT 2"
+    ).collect()
+    assert len(rows) == 2
+    assert len(s.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 9 "
+        "ORDER BY o_orderkey OFFSET null LIMIT 1"
+    ).collect()) == 1
+    assert len(s.sql(
+        "SELECT count(*) AS n FROM orders OFFSET 0 LIMIT null"
+    ).collect()) == 1
+    # the spellings inside string literals stay data
+    assert s.sql("SELECT 'LIMIT NULL' AS s").collect()[0][0] == "LIMIT NULL"

@@ -232,3 +232,84 @@ def test_rls_head_named_reject(spark):
             NotImplementedError, match="row-level security"
         ):
             s.sql(st)
+
+
+def test_multi_limit_clause_head(spark):
+    """multi_limit_clause.sql head against the REAL fixture lineitem:
+    LIKE-clone + create_distributed_table + INSERT..SELECT, then the
+    LIMIT/ORDER BY battery (the reference's limit-pushdown surface)
+    replays statement-for-statement."""
+    import os
+
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables("/root/testdata/sf0.001")
+    s.sql("DROP TABLE IF EXISTS lineitem_hash")
+    path = f"{REGRESS}/multi_limit_clause.sql"
+    text = open(path).read()
+    # stop before the function-valued-LIMIT section: PG evaluates
+    # LIMIT my_limit() while Spark names the restriction
+    # (UNSUPPORTED_SQL_UDF_USAGE — a named error, not a parse error,
+    # so the perimeter policy is satisfied without claiming support)
+    head = text.find("-- non constants should not push down")
+    assert head > 0
+    # l_shipmode exists in dbgen lineitem but not the driver fixture
+    # schema — those two statements fail on the MISSING COLUMN (a
+    # fixture gap, not an engine gap)
+    n = _replay(s, path, head, expect_fail_markers=("l_shipmode",))
+    assert n >= 25
+    # the clone carried the data (INSERT INTO lineitem_hash SELECT *)
+    a = s.sql("SELECT count(*) FROM lineitem_hash").collect()[0][0]
+    b = s.sql("SELECT count(*) FROM lineitem").collect()[0][0]
+    assert a == b > 0
+    s.sql("DROP TABLE lineitem_hash")
+
+
+def test_window_functions_head(spark):
+    """window_functions.sql head over recreated regress fixtures
+    (users_table/events_table with the citus regress schema): the
+    top-level window-function battery replays. The reference
+    restricts PARTITION BY to the distribution column
+    (query_pushdown_planning.c:432); Spark's shuffle lifts that, so
+    every statement must simply succeed."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    for t in ("users_table", "events_table"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+    s.sql(
+        "CREATE TABLE users_table (user_id int, time timestamp, "
+        "value_1 int, value_2 int, value_3 double precision, "
+        "value_4 bigint)"
+    )
+    s.sql(
+        "CREATE TABLE events_table (user_id int, time timestamp, "
+        "event_type int, value_2 int, value_3 double precision, "
+        "value_4 bigint)"
+    )
+    # deterministic synthetic rows in the regress value ranges
+    s.sql(
+        "INSERT INTO users_table SELECT CAST(o_orderkey % 20 AS INT), "
+        "timestamp '2017-11-22 00:00:00' + "
+        "make_interval(0,0,0,0,0,0, CAST(o_orderkey % 1000 AS INT)), "
+        "CAST(o_orderkey % 7 AS INT), CAST(o_orderkey % 5 AS INT), "
+        "CAST(o_orderkey % 11 AS INT) * 1.5, o_orderkey % 13 "
+        "FROM orders WHERE o_orderkey < 600"
+    )
+    s.sql(
+        "INSERT INTO events_table SELECT CAST(o_orderkey % 20 AS INT), "
+        "timestamp '2017-11-22 00:00:00' + "
+        "make_interval(0,0,0,0,0,0, CAST(o_orderkey % 900 AS INT)), "
+        "CAST(o_orderkey % 7 AS INT), CAST(o_orderkey % 6 AS INT), "
+        "CAST(o_orderkey % 9 AS INT) * 0.5, o_orderkey % 17 "
+        "FROM orders WHERE o_orderkey < 800"
+    )
+    path = f"{REGRESS}/window_functions.sql"
+    text = open(path).read()
+    head = text.find("-- querying views that have window functions")
+    assert head > 0
+    n = _replay(s, path, head)
+    assert n >= 5
+    for t in ("users_table", "events_table"):
+        s.sql(f"DROP TABLE {t}")
