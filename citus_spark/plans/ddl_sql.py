@@ -91,7 +91,8 @@ _NOOP = re.compile(
     # storage-layer permissions govern); reference tutorials and
     # regress scripts GRANT/REVOKE freely, so accept-and-report
     r"|GRANT\b.*|REVOKE\b.*|CREATE\s+ROLE\b.*|CREATE\s+USER\b.*"
-    r"|ALTER\s+ROLE\b.*|COMMENT\s+ON\b.*"
+    r"|ALTER\s+ROLE\b.*|DROP\s+ROLE\b.*|ALTER\s+USER\b.*"
+    r"|DROP\s+USER\b.*|COMMENT\s+ON\b.*"
     # role switching / ownership: no auth model (storage-layer
     # permissions govern); regress scripts SET ROLE around RLS and
     # ownership probes (multi_alter_table_row_level_security.sql)

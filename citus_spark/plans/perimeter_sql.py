@@ -148,7 +148,8 @@ def parse_listen_notify(sql: str) -> str | None:
 _ADMIN_NOOP = re.compile(
     rf"^\s*(?:"
     rf"ALTER\s+DEFAULT\s+PRIVILEGES\b"
-    rf"|DROP\s+ROLE\b"
+    # (role lifecycle lives with its CREATE/ALTER siblings in
+    # ddl_sql._NOOP — one home for the whole role surface)
     rf"|(?:CREATE|ALTER|DROP)\s+STATISTICS\b"
     rf"|(?:CREATE|ALTER|DROP)\s+PUBLICATION\b"
     rf"|(?:CREATE|ALTER|DROP)\s+EVENT\s+TRIGGER\b"
@@ -166,12 +167,15 @@ _ADMIN_NOOP = re.compile(
 
 def parse_admin_noop(sql: str) -> str | None:
     """→ a short description when the statement is an accepted admin
-    no-op, else None."""
+    no-op, else None. The description is the matched KEYWORD HEAD
+    (e.g. 'DROP ROLE', 'ALTER SYSTEM SET'), never operand text — a
+    fixed word-count slice produced garbled status lines like
+    "DROP ROLE IF" and uppercased quoted file names (review fix)."""
     m = _ADMIN_NOOP.match(sql)
     if not m:
         return None
-    head = " ".join(sql.strip().split()[:3]).rstrip(";")
-    return head.upper()
+    head = m.group(0).split("'")[0].strip()
+    return " ".join(head.split()).upper()
 
 
 # --- object classes that would silently change query semantics --------
@@ -181,7 +185,7 @@ def parse_admin_noop(sql: str) -> str | None:
 # storage engine. One named error each.
 _UNSUPPORTED_OBJECTS = [
     (
-        re.compile(r"^\s*CREATE\s+SUBSCRIPTION\b", re.I),
+        re.compile(r"^\s*(?:CREATE|ALTER|DROP)\s+SUBSCRIPTION\b", re.I),
         "logical-replication subscriptions are not supported: a "
         "subscription actively pulls remote changes, and this engine "
         "has no replication worker. Use the CDC apply operator "
@@ -203,7 +207,7 @@ _UNSUPPORTED_OBJECTS = [
     ),
     (
         re.compile(
-            r"^\s*(?:CREATE|DROP)\s+OPERATOR\b(?!\s+(?:CLASS|FAMILY))",
+            r"^\s*(?:CREATE|ALTER|DROP)\s+OPERATOR\b(?!\s+(?:CLASS|FAMILY))",
             re.I,
         ),
         "user-defined operators are not supported: queries using a "
@@ -235,3 +239,18 @@ def unsupported_object_error(sql: str) -> str | None:
         if rx.match(sql):
             return msg
     return None
+
+
+# single source of truth for the session's statement-head gate: a
+# statement matching this MUST be classified by parse_admin_noop or
+# unsupported_object_error (the session references this regex instead
+# of hand-maintaining a duplicate list that can drift — review fix)
+ADMIN_HEAD = re.compile(
+    r"^\s*(?:ALTER\s+DEFAULT\s+PRIVILEGES"
+    r"|(?:CREATE|ALTER|DROP)\s+(?:STATISTICS|PUBLICATION|SUBSCRIPTION"
+    r"|TEXT\s+SEARCH|ACCESS\s+METHOD|EVENT\s+TRIGGER"
+    r"|OPERATOR\b|CAST\b|TRANSFORM\b)"
+    r"|REASSIGN\s+OWNED|DROP\s+OWNED|ALTER\s+SYSTEM"
+    r"|CHECKPOINT\b|LOAD\s+')",
+    re.I,
+)

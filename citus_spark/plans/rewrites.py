@@ -703,18 +703,58 @@ def rewrite_distinct_on(sql: str) -> str:
     keys = [resolve(k) for k in _split_top_level(keys_text)]
     ob_items = [resolve(o) for o in _split_top_level(ob_text)] if ob_text else []
     win_order = ob_items if ob_items else keys
-    # only names the OUTER scope can actually reference: an alias or a
-    # bare column path. An unaliased EXPRESSION item (`l_orderkey + 1`)
-    # surfaces under Spark's pretty name `(l_orderkey + 1)` — the raw
-    # expression text cannot be re-evaluated outside the subquery
-    # (base columns are gone), so such order items must travel as
-    # hidden __citus_obN columns like any unprojected expression
-    # (regress multi_limit_clause.sql:155-170 — review fix)
-    out_names = {
-        n
-        for n in (_out_name(s) for s in sl_items)
-        if re.fullmatch(r"[A-Za-z_][\w.]*", n)
-    }
+    # only names the OUTER scope can actually reference: an explicit
+    # alias, or an item that IS a bare column path. An unaliased
+    # EXPRESSION item (`l_orderkey + 1`) surfaces under Spark's pretty
+    # name `(l_orderkey + 1)` — the raw expression text cannot be
+    # re-evaluated outside the subquery (base columns are gone), so
+    # order items matching it must travel as hidden __citus_obN
+    # columns like any unprojected expression. The shape test is on
+    # the ITEM, not _out_name's last-identifier fallback (which would
+    # claim `y` as an output name of `x - y` — review fix).
+    out_names = set()
+    alias_expr: dict[str, str] = {}
+    for s_item in sl_items:
+        s_item = s_item.strip()
+        am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", s_item, re.IGNORECASE)
+        if am:
+            out_names.add(am.group(1))
+            alias_expr[am.group(1)] = s_item[: am.start()].strip()
+            continue
+        if re.fullmatch(r"[A-Za-z_][\w.]*", s_item):
+            out_names.add(s_item.split(".")[-1])
+            continue
+        # implicit alias (`count(*) n`, `c_name cn`): a trailing bare
+        # identifier whose preceding token CLOSES an expression —
+        # never after an operator character or a word operator, where
+        # the identifier is an operand (`x - y`, `a AND b`)
+        im = re.fullmatch(r"(.+?)\s+([A-Za-z_]\w*)", s_item, re.DOTALL)
+        if im:
+            head = im.group(1).rstrip()
+            last_word = re.search(r"([A-Za-z_]\w*)$", head)
+            word_ops = {
+                "and", "or", "not", "is", "like", "ilike", "in",
+                "between", "escape", "collate", "from", "distinct",
+                "similar", "to", "when", "then", "else", "case",
+            }
+            if head and (
+                head[-1] in ")]'\"" or head[-1].isalnum() or head[-1] == "_"
+            ) and not (
+                last_word and last_word.group(1).lower() in word_ops
+            ):
+                out_names.add(im.group(2))
+                alias_expr[im.group(2)] = head
+    # the window spec evaluates in the INNER scope, where a select-list
+    # alias is only a lateral reference — Spark forbids those inside
+    # window expressions (LATERAL_COLUMN_ALIAS_IN_WINDOW), so window
+    # order items naming an alias substitute its expression
+    win_resolved = []
+    for w in win_order:
+        wb, ws = split_dir(w)
+        win_resolved.append(
+            alias_expr[wb] + ws if wb in alias_expr else w
+        )
+    win_order = win_resolved
     # outer ORDER BY must be COMPLETE or LIMIT selects different rows:
     # items not visible among the outputs are carried through the
     # subquery as hidden columns and excluded from the projection
@@ -2525,15 +2565,15 @@ _OFFSET_BEFORE_LIMIT = re.compile(
 
 
 def pg_limit_forms(sql: str) -> str:
-    spans = _masked_spans(sql)
-
-    def unmasked(m) -> bool:
-        return not any(a <= m.start() < b for a, b in spans)
-
     def sub(rx, repl, text):
+        # spans recomputed per pass: the previous pass changed text
+        # lengths, so cached offsets would misclassify later matches
+        # (rewriting literal contents / skipping real code — review
+        # fix)
+        spans = _masked_spans(text)
         out, pos = [], 0
         for m in rx.finditer(text):
-            if not unmasked(m):
+            if any(a <= m.start() < b for a, b in spans):
                 continue
             out.append(text[pos:m.start()])
             out.append(repl(m))

@@ -3355,21 +3355,13 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         of a parse failure."""
         import re as _re
 
-        if not _re.search(
+        from citus_spark.plans.perimeter_sql import ADMIN_HEAD
+
+        admin_head = ADMIN_HEAD.match(query)
+        if not admin_head and not _re.search(
             r"\b(TRIGGER|COLLATION|POLICY|ROW\s+LEVEL\s+SECURITY"
             r"|SERVER|FOREIGN|USER\s+MAPPING|SECURITY\s+LABEL|RULE"
             r"|LISTEN|UNLISTEN|NOTIFY)\b",
-            query, _re.I,
-        ) and not _re.match(
-            # admin / unsupported-object statement heads (anchored so
-            # an ordinary SELECT with CAST/OPERATOR words skips this
-            # path entirely)
-            r"^\s*(?:ALTER\s+DEFAULT\s+PRIVILEGES|DROP\s+ROLE"
-            r"|(?:CREATE|ALTER|DROP)\s+(?:STATISTICS|PUBLICATION"
-            r"|SUBSCRIPTION|TEXT\s+SEARCH|OPERATOR|ACCESS\s+METHOD)"
-            r"|(?:CREATE|DROP)\s+(?:CAST|TRANSFORM)\b"
-            r"|REASSIGN\s+OWNED|DROP\s+OWNED|ALTER\s+SYSTEM"
-            r"|CHECKPOINT\b|LOAD\s+')",
             query, _re.I,
         ):
             return None
@@ -3389,6 +3381,15 @@ class DistributedSession(MgmtSurfaceMixin, WriteFunnelMixin):
         if err is not None:
             raise NotImplementedError(err)
         noop = parse_admin_noop(query)
+        if noop is None and admin_head:
+            # the head gate admitted it but no classifier claimed it —
+            # never fall through to a raw Spark ParseException on an
+            # admin statement class (closes the hand-list drift the
+            # review found: ALTER/DROP variants of a rejected CREATE)
+            raise NotImplementedError(
+                f"statement class {admin_head.group(0).strip().upper()!r} "
+                "is recognized but not supported by this engine"
+            )
         if noop is not None:
             self.stat_statements.record(query, None, executor="utility")
             return self.spark.createDataFrame(

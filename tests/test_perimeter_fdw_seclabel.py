@@ -220,3 +220,67 @@ def test_queries_with_cast_and_operator_words_not_hijacked(sess):
     assert sess.sql(
         "SELECT 1 AS v WHERE 'operator' = 'operator'"
     ).collect()[0][0] == 1
+
+
+def test_alter_drop_variants_of_rejected_classes(sess):
+    """Third review pass: ALTER/DROP variants of rejected CREATE
+    classes must produce the same named error family, and an
+    admin-head statement no classifier claims must never fall through
+    to a raw ParseException."""
+    with pytest.raises(NotImplementedError, match="subscriptions"):
+        sess.sql("DROP SUBSCRIPTION s1")
+    with pytest.raises(NotImplementedError, match="subscriptions"):
+        sess.sql("ALTER SUBSCRIPTION s1 DISABLE")
+    with pytest.raises(NotImplementedError, match="operators"):
+        sess.sql("ALTER OPERATOR === (int, int) OWNER TO u")
+
+
+def test_admin_noop_status_heads_are_clean(sess):
+    assert sess.sql("DROP ROLE IF EXISTS nobody_x").collect()[0][0].startswith(
+        "DROP ROLE"
+    )
+    out = sess.sql("LOAD 'auto_explain'").collect()[0][0]
+    assert out.startswith("LOAD accepted"), out
+
+
+def test_distinct_on_unprojected_base_column_order(spark):
+    """Third review pass: ORDER BY on a base column that shares its
+    name with an operand of an unaliased expression item must still
+    travel as a hidden column (out_names tests the ITEM shape)."""
+    from citus_spark.session import DistributedSession
+
+    s = DistributedSession(spark)
+    s.load_tables("/root/testdata/sf0.001")
+    rows = s.sql(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, "
+        "o_totalprice - o_shippriority FROM "
+        "(SELECT o_custkey, o_totalprice, "
+        " CAST(o_orderkey % 3 AS DOUBLE) AS o_shippriority FROM orders) t "
+        "ORDER BY o_custkey, o_shippriority DESC LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    # implicit alias still referenced by name in the outer ORDER BY
+    rows2 = s.sql(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, count(*) n "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey, n LIMIT 5"
+    ).collect()
+    assert len(rows2) == 5
+
+
+def test_limit_forms_multiple_occurrences_and_literals(spark):
+    """Third review pass: pg_limit_forms recomputes mask spans per
+    pass — multiple rewrites with literals in between stay exact."""
+    from citus_spark.plans.rewrites import pg_limit_forms as f
+
+    out = f(
+        "SELECT * FROM (SELECT a FROM t LIMIT NULL) x, "
+        "(SELECT b FROM u LIMIT NULL) y WHERE s = 'OFFSET NULL'"
+    )
+    assert out.count("LIMIT ALL") == 2
+    assert "'OFFSET NULL'" in out
+    out2 = f(
+        "SELECT * FROM (SELECT a FROM t LIMIT  NULL) x "
+        "WHERE s='ab' OFFSET NULL"
+    )
+    assert out2.endswith("OFFSET 0")
+    assert "'ab'" in out2
