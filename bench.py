@@ -461,9 +461,16 @@ def main() -> None:
         aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+        # 3 passes per stream: re-drains reuse materialized shuffle
+        # stages (cheap by design — that IS the multi-tenant serving
+        # shape), so a single pass left the serial-equivalent ~0.9 s,
+        # still inside box-noise territory. Three passes put it >2 s.
+        stream_passes = 3
+
         def one_stream() -> None:
-            for df in dfs:
-                _drain(df)
+            for _ in range(stream_passes):
+                for df in dfs:
+                    _drain(df)
 
         one_stream()  # warm plans, untimed
 
@@ -492,6 +499,7 @@ def main() -> None:
         out["concurrent_streams"] = {
             "streams": n_streams,
             "queries_per_stream": len(mix),
+            "passes_per_stream": stream_passes,
             "serial_equiv_sec": round(serial, 4),
             "concurrent_sec": round(concurrent, 4),
             "speedup": round(serial / max(concurrent, 1e-6), 2),
