@@ -25,7 +25,7 @@ deterministic across engines (the reference does the same in its
 regress suite by ordering on unique keys).
 """
 
-from citus_spark.queries import DAVG, DSUM, register_shared_sql
+from citus_spark.queries import DAVG, DSUM, register_shared_sql, register_split
 
 # ---------------------------------------------------------------------------
 # Derived partsupp: the driver fixture set has no partsupp.parquet
@@ -56,6 +56,80 @@ partsupp AS (
            / 100.0 + 1.0 AS ps_supplycost
   FROM ps_keys
 )"""
+
+
+def _partsupp_view(spark, sf_dir) -> None:
+    """Register the derived partsupp as the Spark-side temp view
+    ``partsupp`` — row-identical to ``_PARTSUPP_CTE`` but one narrow
+    pass over part with a per-row explode instead of the CTE's
+    CROSS JOIN gen + global SELECT DISTINCT (r11 optimization):
+
+    - the CTE's DISTINCT dedupes (ps_partkey, ps_suppkey) pairs; since
+      p_partkey is unique in part (dbgen primary key, asserted by the
+      oracle gate at every SF), duplicate pairs can only arise WITHIN
+      one part row's four generated suppkeys, so a per-row
+      array_distinct is exactly equivalent — and removes the CTE's
+      2-stage distinct shuffle plus the 4-row gen broadcast join;
+    - the scalar supplier count joins as a 1-row broadcast (the same
+      benign constant-relation BNLJ the CTE plan had for ``sc``).
+
+    Every arithmetic expression is the CTE's text verbatim, so the
+    per-row values are bit-identical in both engines. The oracle side
+    keeps the original CTE; equivalence is hash-proven per SF by
+    tools/oracle_check.py on q2/q9/q11/q16/q20.
+    """
+    from pyspark.sql import functions as F
+
+    from citus_spark.queries import load_views
+
+    load_views(spark, sf_dir)
+    step = (
+        "(CAST(floor(s / 4.0) AS BIGINT)"
+        " + CAST(floor(p_partkey / CAST(s AS DOUBLE)) AS BIGINT))"
+    )
+    keys = ", ".join(f"(p_partkey + {n} * {step}) % s" for n in range(4))
+    sc = spark.table("supplier").selectExpr("CAST(count(*) AS BIGINT) AS s")
+    ps = (
+        spark.table("part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(sc))
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            f"explode(array_distinct(array({keys}))) AS ps_suppkey",
+        )
+        .selectExpr(
+            "ps_partkey",
+            "ps_suppkey",
+            "CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)"
+            " AS ps_availqty",
+            "CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 AS DOUBLE)"
+            " / 100.0 + 1.0 AS ps_supplycost",
+        )
+    )
+    ps.createOrReplaceTempView("partsupp")
+
+
+def _register_with_partsupp(
+    name: str, body: str, extra_cte: str | None = None
+) -> None:
+    """Register a query over the derived partsupp: the oracle keeps the
+    original ``WITH _PARTSUPP_CTE`` formulation; the Spark side runs the
+    same body over the ``partsupp`` view from ``_partsupp_view`` (plan
+    shape: one generate pass, no distinct shuffle)."""
+    oracle = (
+        "WITH " + _PARTSUPP_CTE
+        + ("," + extra_cte if extra_cte else "")
+        + "\n" + body
+    )
+    spark_sql = ("WITH " + extra_cte + "\n" if extra_cte else "") + body
+
+    def fn(spark, sf_dir):
+        _partsupp_view(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = oracle
+    register_split(name, fn, oracle)
 
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary report.
@@ -284,10 +358,9 @@ ORDER BY o_year
 # derived (partkey, suppkey) pairs, so the partsupp join keeps the
 # ~4/|supplier| fraction of lines whose supplier happens to be one of
 # the part's four; deterministic and identical in both engines.
-register_shared_sql(
+_register_with_partsupp(
     "tpch_q9",
     f"""
-WITH {_PARTSUPP_CTE}
 SELECT nation, o_year,
        {DSUM("amount", "sum_profit")}
 FROM (
@@ -333,10 +406,9 @@ ORDER BY s_suppkey
 # Q16 — part/supplier relationship count, exact shape over the derived
 # partsupp (distinct-agg + NOT IN anti-join; p_type <> filter stands in
 # for the NOT LIKE over the fixture's single-word type domain).
-register_shared_sql(
+_register_with_partsupp(
     "tpch_q16",
     f"""
-WITH {_PARTSUPP_CTE}
 SELECT p_brand, p_size,
        CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
 FROM partsupp
@@ -487,10 +559,9 @@ ORDER BY cntrycode
 # Q2 — minimum-cost supplier (exact shape: correlated min subquery over
 # the region-filtered partsupp; adapted only in the projected supplier
 # columns the fixture lacks: s_address/s_phone/s_comment → s_acctbal).
-register_shared_sql(
+_register_with_partsupp(
     "tpch_q2",
     f"""
-WITH {_PARTSUPP_CTE}
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
 FROM part
 JOIN partsupp ON p_partkey = ps_partkey
@@ -514,17 +585,9 @@ LIMIT 100
 # Q11 — important stock identification (exact shape: grouped value sum
 # with a global-fraction HAVING subquery; NATION_7 stands in for
 # GERMANY).
-register_shared_sql(
+_register_with_partsupp(
     "tpch_q11",
     """
-WITH {cte},
-natps AS (
-  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
-  FROM partsupp
-  JOIN supplier ON s_suppkey = ps_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
-)
 SELECT ps_partkey,
        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value
 FROM natps
@@ -533,15 +596,22 @@ HAVING CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) >
        (SELECT CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) * 0.005
         FROM natps)
 ORDER BY value DESC, ps_partkey
-""".format(cte=_PARTSUPP_CTE),
+""",
+    extra_cte="""
+natps AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)""",
 )
 
 # Q20 — suppliers with excess stock (exact shape: IN → IN → correlated
 # half-of-shipped-quantity subquery; 'red%' parts, NATION_2).
-register_shared_sql(
+_register_with_partsupp(
     "tpch_q20",
     f"""
-WITH {_PARTSUPP_CTE}
 SELECT s_name, s_acctbal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
