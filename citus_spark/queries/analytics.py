@@ -1617,12 +1617,15 @@ register_shared_sql("analyze_table_stats", _ANALYZE_DOCS)
 
 # ---------------------------------------------------------------------------
 # Distribution-window battery: percent_rank / cume_dist over a total
-# order (shared SQL — both engines implement the SQL-standard
-# definitions; the (c_acctbal, c_custkey) order is total so frame
-# contents are engine-independent).
-register_shared_sql(
-    "window_percentiles",
-    """
+# order (both engines implement the SQL-standard definitions; the
+# (c_acctbal, c_custkey) order is total so frame contents are
+# engine-independent). Like window_ntile, the unpartitioned window is
+# a full-table single-partition sort — fine below the corpus cutover,
+# a scale-killer above it, where the SAME values derive from the
+# two-phase global rank: over a total order percent_rank = (rn-1)/(N-1)
+# and cume_dist = rn/N (every row is its own peer group), the exact
+# divisions WindowExec performs, so the scale path is bit-identical.
+_WINDOW_PERCENTILES_SQL = """
 SELECT c_custkey,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd,
@@ -1630,7 +1633,43 @@ SELECT c_custkey,
 FROM customer
 WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 ORDER BY c_custkey
-""",
+"""
+
+
+def window_percentiles(spark, sf_dir):
+    from citus_spark.queries import corpus_above_cutover, load_views
+
+    load_views(spark, sf_dir)
+    if not corpus_above_cutover(sf_dir):
+        return spark.sql(_WINDOW_PERCENTILES_SQL)
+    from pyspark.sql import functions as F
+
+    from citus_spark.operators.prefix_sum import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
+    ranked, total = two_phase_row_number(
+        spark.table("customer"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        out_col="_rk",
+    )
+    rk = F.col("_rk")
+    pr = (
+        ((rk - 1).cast("double") / F.lit(float(total - 1)))
+        if total > 1
+        else F.lit(0.0)
+    )
+    return ranked.select(
+        "c_custkey",
+        pr.alias("pr"),
+        (rk.cast("double") / F.lit(float(total))).alias("cd"),
+        ntile_from_rank(rk, total, 10).alias("decile"),
+    ).orderBy("c_custkey")
+
+
+register_split(
+    "window_percentiles", window_percentiles, _WINDOW_PERCENTILES_SQL
 )
 
 

@@ -3142,9 +3142,11 @@ GROUP BY lang ORDER BY lang
 # expressed declaratively: cumulative bytes in doc_id order, files cut
 # at 64 KiB boundaries. All-integer arithmetic (65536 is a power of
 # two, so the double division is exact) → hash-exact across engines.
-register_shared_sql(
-    "compaction_binpack_plan",
-    """
+# The windowed form's unpartitioned running sum single-partitions the
+# table; above the corpus cutover the SAME cumulative offsets come
+# from the two-phase distributed prefix sum (the exclusive offset IS
+# the SQL's `cum - bytes`), exactly like packing_efficiency below.
+_BINPACK_SQL = """
 WITH sized AS (
   SELECT doc_id, n_chars AS bytes,
          sum(n_chars) OVER (
@@ -3160,7 +3162,43 @@ SELECT CAST(floor((cum - bytes) / 65536.0) AS BIGINT) AS shard,
 FROM sized
 GROUP BY 1
 ORDER BY 1
-""",
+"""
+
+
+def compaction_binpack_plan(spark, sf_dir):
+    from citus_spark.queries import corpus_above_cutover
+
+    load_views(spark, sf_dir)
+    if not corpus_above_cutover(sf_dir):
+        return spark.sql(_BINPACK_SQL)
+    from citus_spark.operators.prefix_sum import with_global_offset
+
+    sized = with_global_offset(
+        spark.table("documents").selectExpr(
+            "doc_id", "n_chars AS bytes"
+        ),
+        "doc_id",
+        "bytes",
+        out_col="_off",
+    )
+    return (
+        sized.selectExpr(
+            "CAST(floor(_off / 65536.0) AS BIGINT) AS shard",
+            "bytes",
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bytes").cast("long").alias("sz"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+register_split(
+    "compaction_binpack_plan", compaction_binpack_plan, _BINPACK_SQL
 )
 
 

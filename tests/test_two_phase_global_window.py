@@ -69,7 +69,9 @@ def test_ntile_from_rank_matches_pg_semantics(spark, n_buckets, rows):
     assert sorted(_rows(windowed)) == sorted(_rows(arith))
 
 
-@pytest.mark.parametrize("name", ["window_ntile", "equi_depth_histogram"])
+@pytest.mark.parametrize("name", ["window_ntile", "equi_depth_histogram",
+                                  "window_percentiles",
+                                  "compaction_binpack_plan"])
 def test_scale_path_values_match_windowed_form(
     spark, sf_dir, force_above_cutover, name
 ):
@@ -77,15 +79,14 @@ def test_scale_path_values_match_windowed_form(
     plan = scale_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     # the two-phase path's only Window is partitioned by _pid
-    sql = {
-        "window_ntile": q.ORACLES["window_ntile"],
-        "equi_depth_histogram": q.ORACLES["equi_depth_histogram"],
-    }[name]
+    sql = q.ORACLES[name]
     q.load_views(spark, sf_dir)
     assert sorted(_rows(scale_df)) == sorted(_rows(spark.sql(sql)))
 
 
-@pytest.mark.parametrize("name", ["window_ntile", "equi_depth_histogram"])
+@pytest.mark.parametrize("name", ["window_ntile", "equi_depth_histogram",
+                                  "window_percentiles",
+                                  "compaction_binpack_plan"])
 def test_below_cutover_keeps_the_windowed_plan(spark, sf_dir, name):
     # fixture corpora sit far below the cutover: the single small
     # sort beats two extra stages there, so the windowed form stands
