@@ -54,10 +54,12 @@ MINIMALITY = {
         "A/B shuffle.partitions 1 vs 8 (interleaved, 7 reps): "
         "medians 381 vs 425 ms — exchange width is not the residual."
     ),
-    "tpch_q9": ("4 shuffles + 7 broadcast builds over a 6-table "
-                "join tree; every join side below threshold "
-                "broadcasts; 2 BNLJs are constant 4-row/1-row "
-                "relations (r10 judge audit: benign)."),
+    "tpch_q9": ("post-rewrite (r11 partsupp explode): 1 hash exchange "
+                "(agg pair) + SinglePartition terminal sort + 6 "
+                "broadcast builds over the 6-table join tree; the one "
+                "remaining BNLJ is the constant 1-row scalar relation "
+                "(benign). The DISTINCT shuffle and the 4-row gen "
+                "broadcast are gone — plans/r11/tpch_q9_after.txt."),
     "tpch_q3": "1 shuffle + 2 broadcasts; minimal for a 3-table join-agg.",
     "tpch_q12": "2 shuffles + 1 broadcast; join + agg + ordered output.",
     "tpch_q1": "2 exchanges: one agg pair (4 groups), one terminal sort.",
