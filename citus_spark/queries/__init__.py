@@ -352,6 +352,86 @@ def _ship_package(spark: SparkSession) -> None:
     sc._citus_spark_shipped = True
 
 
+def _serial_final_jsession(spark: SparkSession):
+    """JVM-side clone of the session pinned to ONE shuffle partition,
+    for the two-stage terminal-sort plan (see single_partition_sort).
+
+    cloneSession() copies the parent's session state (conf, at clone
+    time); the clone then diverges only in the three confs re-asserted
+    on EVERY call below. All sub-cutover corpora share identical
+    values for every other execution-relevant conf (AQE off, SHJ
+    preference, 16 MiB parquet splits at ≥8 cores), so re-asserting is
+    idempotent and a DataFrame planned under the clone can never see a
+    conf flip between construction and execution — the property the
+    parent session cannot give (its confs are re-derived per corpus on
+    every load_views call)."""
+    j = getattr(spark, "_citus_serial_jsession", None)
+    if j is None:
+        j = spark._jsparkSession.cloneSession()
+        spark._citus_serial_jsession = j
+    conf = j.conf()
+    # the one per-corpus conf that matters for join-free agg plans:
+    # scan split size (parallelism of the partial-agg stage)
+    conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    )
+    conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    )
+    conf.set("spark.sql.shuffle.partitions", "1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    return j
+
+
+def _joins_broadcast_safe(node, thresh: int) -> bool:
+    """True when every Join in the logical subtree is an INNER join
+    with at least one side estimated (logical stats — the same
+    size-only visitor the planner's broadcast decision reads) under
+    the session broadcast threshold: the 1-partition plan then keeps
+    every join a broadcast join over the scan's native splits, so no
+    raw-row shuffle serializes. Any other *Join flavor (Lateral,
+    AsOf, outer — where the planner may be forced to shuffle both
+    sides) disqualifies. Main-tree walk only; joins inside scalar
+    subqueries execute as separate one-value subquery jobs."""
+    cls = node.getClass().getSimpleName()
+    if cls == "Join":
+        jt = node.joinType().toString()
+        left = int(node.left().stats().sizeInBytes())
+        right = int(node.right().stats().sizeInBytes())
+        # which side(s) may the planner broadcast for this join type?
+        # Inner/Cross: either; outer/semi/anti: only the side that is
+        # not outer-preserved. FullOuter can never broadcast → reject.
+        if jt in ("Inner", "Cross"):
+            ok = min(left, right) <= thresh
+        elif jt in ("LeftOuter", "LeftSemi", "LeftAnti"):
+            ok = right <= thresh
+        elif jt == "RightOuter":
+            ok = left <= thresh
+        else:
+            ok = False
+        if not ok:
+            return False
+    elif cls.endswith("Join"):
+        return False
+    ch = node.children()
+    for i in range(ch.size()):
+        if not _joins_broadcast_safe(ch.apply(i), thresh):
+            return False
+    return True
+
+
+# Narrow (partitioning-preserving) logical nodes the two-stage rewrite
+# may walk through between the terminal Sort and the Aggregate whose
+# exchange will establish the single partition.
+_NARROW_TOPS = ("Project", "Filter", "Window", "SubqueryAlias")
+# Terminal nodes that plan as a partial/final physical pair around one
+# hash exchange (map-side combine BEFORE the wire — Distinct plans as
+# a grouping-only HashAggregate pair).
+_AGG_TOPS = ("Aggregate", "Distinct")
+
+
 def single_partition_sort(spark: SparkSession, df: DataFrame,
                           sf_dir: str) -> DataFrame:
     """Rewrite a terminal global ORDER BY into a single-partition
@@ -361,13 +441,29 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
     bounds launches a separate SAMPLING JOB that re-executes the
     plan's final stage — measured +40-130 ms per query at fixture
     scale (NOTES.md floor itemization; having_filter with/without
-    ORDER BY: 270 vs 137 ms). When the sorted output is small, the
-    strictly cheaper plan is Exchange SinglePartition + one local
-    sort task: no sampling pass, no range exchange, identical total
-    order (the exact SortOrder expressions are preserved).
+    ORDER BY: 270 vs 137 ms). Two progressively cheaper plans replace
+    it:
+
+    **Two-stage serial-final plan** (r11, guide §2.4 "remove shuffles
+    outright"): when the sort's input is an Aggregate/Distinct
+    (reached through narrow Project/Filter/Window tops) and nothing
+    BELOW that aggregate repartitions raw rows (no Join, no Window),
+    the whole query is re-planned in a cloned session pinned to
+    ``spark.sql.shuffle.partitions=1``. The aggregate's own exchange
+    then lands every combined partial in ONE partition, so a LOCAL
+    sort is already a total order: the terminal exchange AND its
+    whole stage disappear (scan+partial-agg → 1-task final-agg+sort).
+    Unlike the rejected terminal-stage fold (Repartition(1) below the
+    aggregate, which shipped 600 k raw rows to one task), the map-side
+    partial aggregation stays: only group-level partials cross the
+    wire, exactly as before, just to one reducer instead of eight.
+
+    **Single-partition sort** (r10): otherwise, when the sorted output
+    is small, Exchange SinglePartition + one local sort task — no
+    sampling pass, no range exchange, identical total order.
 
     Scale gate: same corpus-size cutover as AQE/broadcast/reducer
-    sizing (load_views) — at ≥_AQE_MIN_BYTES the rewrite disables and
+    sizing (load_views) — at ≥_AQE_MIN_BYTES both rewrites disable and
     the stock range-partitioned sort returns, which is the correct
     plan when the output itself can be large. This mirrors the
     reference's fast-path planner split (fast_path_router_planner.c:
@@ -393,6 +489,67 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
         if not getattr(sort, "global")():
             return df
         logical = jvm.org.apache.spark.sql.catalyst.plans.logical
+
+        # -- two-stage serial-final plan ---------------------------------
+        # Walk the narrow top chain to the aggregate whose exchange
+        # will own the single partition; verify nothing below it (and
+        # nothing anywhere in a CTE-bearing tree) either moves raw
+        # rows (Join/Window — a 1-partition exchange there would
+        # serialize real per-row work, e.g. sessionize's event
+        # windows) or could hand the aggregate a pre-established
+        # partitioning that elides its exchange (explicit
+        # Repartition/Rebalance, cached InMemoryRelation, catalog —
+        # possibly bucketed — tables, LogicalRDD): the local sort is a
+        # total order only because the aggregate's conf-1 exchange is
+        # guaranteed to exist. The guard is logical-plan-only on
+        # purpose: probing the physical plan here would pre-pay
+        # Catalyst optimization OUTSIDE the bench's timed window and
+        # silently change what the bench measures (its cold-query
+        # contract re-pays planning per rep).
+        try:
+            node = sort.child()
+            while node.getClass().getSimpleName() in _NARROW_TOPS:
+                node = node.child()
+            if node.getClass().getSimpleName() in _AGG_TOPS:
+                scope = wrapper if wrapper is not None else node.child()
+                below = scope.treeString()
+                bcast = int(
+                    spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                )
+                if not any(
+                    tok in below
+                    for tok in (
+                        "Window", "Repartition", "Rebalance",
+                        "InMemoryRelation", "spark_catalog", "LogicalRDD",
+                    )
+                ) and (
+                    "Join" not in below
+                    or _joins_broadcast_safe(scope, bcast)
+                ):
+                    new_sort = logical.Sort(
+                        sort.order(), False, sort.child(),
+                        jvm.scala.Option.empty(),
+                    )
+                    if wrapper is not None:
+                        kids = wrapper.children()
+                        jlist = [
+                            kids.apply(i) for i in range(kids.size() - 1)
+                        ]
+                        jlist.append(new_sort)
+                        seq = spark.sparkContext._jvm.PythonUtils.toSeq(
+                            jlist
+                        )
+                        new_plan = wrapper.withNewChildren(seq)
+                    else:
+                        new_plan = new_sort
+                    jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        _serial_final_jsession(spark), new_plan
+                    )
+                    return DataFrame(jdf, spark)
+        except Exception:
+            pass  # fall through to the single-partition-sort form
+
+        # -- single-partition terminal sort (r10 form) --------------------
         rep = logical.Repartition(1, True, sort.child())
         new_sort = logical.Sort(
             sort.order(), False, rep, jvm.scala.Option.empty()

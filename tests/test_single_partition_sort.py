@@ -14,11 +14,61 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_terminal_sort_becomes_single_partition(spark):
+def test_terminal_sort_agg_two_stage_plan(spark):
+    # join-free Sort-over-Aggregate: the two-stage serial-final plan —
+    # ONE hash exchange (1 partition, map-side combine preserved),
+    # local sort fused into the final-agg stage; no terminal exchange,
+    # no sampling pass.
     df = q.QUERIES["having_filter"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert ", 1)," in plan.split("Exchange hashpartitioning", 1)[1][:200]
+    assert plan.count("Exchange") == 1
+    # local (non-global) sort: printed as "Sort [...], false, 0"
+    assert "], false, 0" in plan
+
+
+def test_two_stage_rows_identical_to_stock(spark):
+    q.load_views(spark, SF)
+    for name in ("having_filter", "dedup_exact", "tpch_q1",
+                 "topn_operator"):
+        sql = q.ORACLES[name]
+        stock = [tuple(r) for r in spark.sql(sql).collect()]
+        rewritten = [
+            tuple(r) for r in q.QUERIES[name](spark, SF).collect()
+        ]
+        assert rewritten == stock, name
+
+
+def test_raw_row_window_below_agg_keeps_r10_form(spark):
+    # sessionize: event-level Windows BELOW the aggregate — a
+    # 1-partition plan would serialize the per-row window work, so it
+    # must stay on the single-partition terminal sort form.
+    df = q.QUERIES["sessionize_events"](spark, SF)
     plan = _plan(df)
     assert "Exchange SinglePartition" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pre_partitioned_input_falls_back(spark):
+    # An aggregate whose input is already hash-partitioned gets NO
+    # exchange from the planner — conf can't narrow it to one
+    # partition, so the post-hoc numPartitions check must reject the
+    # two-stage form and fall back to the r10 single-partition sort.
+    q.load_views(spark, SF)
+    base = (
+        spark.table("orders")
+        .repartition(4, "o_custkey")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy("o_custkey")
+    )
+    out = q.single_partition_sort(spark, base, SF)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" in plan
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == sorted(rows)
 
 
 def test_rows_and_order_identical_to_stock_sort(spark):
