@@ -54,8 +54,9 @@ def test_raw_row_window_below_agg_keeps_r10_form(spark):
 def test_pre_partitioned_input_falls_back(spark):
     # An aggregate whose input is already hash-partitioned gets NO
     # exchange from the planner — conf can't narrow it to one
-    # partition, so the post-hoc numPartitions check must reject the
-    # two-stage form and fall back to the r10 single-partition sort.
+    # partition. The guard's "Repartition" token scan on the analyzed
+    # tree must reject the two-stage form and fall back to the r10
+    # single-partition sort.
     q.load_views(spark, SF)
     base = (
         spark.table("orders")
@@ -69,6 +70,38 @@ def test_pre_partitioned_input_falls_back(spark):
     assert "Exchange SinglePartition" in plan
     rows = [tuple(r) for r in out.collect()]
     assert rows == sorted(rows)
+
+
+def test_cached_pre_partitioned_fragment_falls_back(spark):
+    # Cache substitution happens AFTER analysis, so a persisted
+    # hash-partitioned intermediate is invisible to the analyzed-tree
+    # token scan — the withCachedData check must catch it. Without it,
+    # the InMemoryRelation's hash(k, 8) partitioning satisfies the
+    # re-aggregate's distribution, the conf-1 exchange is elided, and
+    # the local sort orders 8 partitions independently (wrong order).
+    from pyspark.sql import functions as F
+
+    q.load_views(spark, SF)
+    inner = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    inner.cache()
+    try:
+        inner.count()  # materialize so substitution really fires
+        base = (
+            inner.groupBy("o_custkey")
+            .agg(F.sum("s").alias("t"))
+            .orderBy("o_custkey")
+        )
+        out = q.single_partition_sort(spark, base, SF)
+        plan = _plan(out)
+        assert "Exchange SinglePartition" in plan
+        keys = [r[0] for r in out.collect()]
+        assert keys == sorted(keys)
+    finally:
+        inner.unpersist()
 
 
 def test_rows_and_order_identical_to_stock_sort(spark):
