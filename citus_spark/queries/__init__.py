@@ -426,6 +426,19 @@ def _joins_broadcast_safe(node, thresh: int) -> bool:
     return True
 
 
+# The two-stage serial-final plan has its own, TIGHTER corpus gate
+# below the AQE cutover: its 1-task final stage costs O(G log G) in
+# the GROUP cardinality G, and G grows with the corpus. Measured at
+# sf0.1 (17 MiB, ~15 k groups) the fold wins −4..−33 % per query; at
+# native sf1 (186 MiB, ~150 k groups) it LOSES big on the
+# high-cardinality aggregates (having_filter 0.47 → 2.44 s, topn
+# 0.38 → 1.21 s — the serial merge+sort dwarfs the saved stage). The
+# gate stays within ~2× of the measured-win corpus; the 32 MiB–256 MiB
+# band keeps the r10 single-partition sort, whose sf0.1→sf1 walls are
+# near-flat (r10 trend evidence: having 1.53×, topn 1.12× for 10×
+# rows).
+_SERIAL_FINAL_MAX_BYTES = 32 << 20
+
 # Narrow (partitioning-preserving) logical nodes the two-stage rewrite
 # may walk through between the terminal Sort and the Aggregate whose
 # exchange will establish the single partition.
@@ -466,19 +479,25 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
     is small, Exchange SinglePartition + one local sort task — no
     sampling pass, no range exchange, identical total order.
 
-    Scale gate: same corpus-size cutover as AQE/broadcast/reducer
-    sizing (load_views) — at ≥_AQE_MIN_BYTES both rewrites disable and
-    the stock range-partitioned sort returns, which is the correct
-    plan when the output itself can be large. This mirrors the
-    reference's fast-path planner split (fast_path_router_planner.c:
-    cheap statements skip the general planner).
+    Scale gates: the two-stage plan additionally requires the corpus
+    under _SERIAL_FINAL_MAX_BYTES — its serial final stage costs
+    O(G log G) in the group cardinality, which grows with the corpus
+    (measured: wins at 17 MiB, loses at 186 MiB on 100 k-group
+    aggregates). Both rewrites disable at ≥_AQE_MIN_BYTES — the same
+    corpus-size cutover as AQE/broadcast/reducer sizing (load_views) —
+    and the stock range-partitioned sort returns, which is the
+    correct plan when the output itself can be large. This mirrors
+    the reference's fast-path planner split
+    (fast_path_router_planner.c: cheap statements skip the general
+    planner).
 
     The rewrite is a no-op unless the ANALYZED plan's top node is a
     global Sort (optionally under WithCTE); LIMIT queries plan as
     TakeOrderedAndProject already and never reach here. Any internal
     API drift falls back to the original DataFrame.
     """
-    if _CORPUS_BYTES.get(os.path.abspath(sf_dir), 1 << 62) >= _AQE_MIN_BYTES:
+    total = _CORPUS_BYTES.get(os.path.abspath(sf_dir), 1 << 62)
+    if total >= _AQE_MIN_BYTES:
         return df
     try:
         jvm = spark._jvm
@@ -533,37 +552,43 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
         # optimizer work: a persisted hash-partitioned intermediate
         # would otherwise satisfy the aggregate's distribution with
         # >1 partitions and break the total order.
-        try:
-            node = sort.child()
-            while node.getClass().getSimpleName() in _NARROW_TOPS:
-                node = node.child()
-            if node.getClass().getSimpleName() in _AGG_TOPS:
-                scope = wrapper if wrapper is not None else node.child()
-                below = scope.treeString()
-                bcast = int(
-                    spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-                )
-                if not any(
-                    tok in below
-                    for tok in (
-                        "Window", "Repartition", "Rebalance",
-                        "spark_catalog", "LogicalRDD",
+        if total < _SERIAL_FINAL_MAX_BYTES:
+            try:
+                node = sort.child()
+                while node.getClass().getSimpleName() in _NARROW_TOPS:
+                    node = node.child()
+                if node.getClass().getSimpleName() in _AGG_TOPS:
+                    scope = (
+                        wrapper if wrapper is not None else node.child()
                     )
-                ) and (
-                    "Join" not in below
-                    or _joins_broadcast_safe(scope, bcast)
-                ) and "InMemoryRelation" not in (
-                    df._jdf.queryExecution().withCachedData().treeString()
-                ):
-                    return build(
-                        _serial_final_jsession(spark),
-                        logical.Sort(
-                            sort.order(), False, sort.child(),
-                            jvm.scala.Option.empty(),
-                        ),
+                    below = scope.treeString()
+                    bcast = int(
+                        spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold"
+                        )
                     )
-        except Exception:
-            pass  # fall through to the single-partition-sort form
+                    if not any(
+                        tok in below
+                        for tok in (
+                            "Window", "Repartition", "Rebalance",
+                            "spark_catalog", "LogicalRDD",
+                        )
+                    ) and (
+                        "Join" not in below
+                        or _joins_broadcast_safe(scope, bcast)
+                    ) and "InMemoryRelation" not in (
+                        df._jdf.queryExecution().withCachedData()
+                        .treeString()
+                    ):
+                        return build(
+                            _serial_final_jsession(spark),
+                            logical.Sort(
+                                sort.order(), False, sort.child(),
+                                jvm.scala.Option.empty(),
+                            ),
+                        )
+            except Exception:
+                pass  # fall through to the single-partition-sort form
 
         # -- single-partition terminal sort (r10 form) --------------------
         rep = logical.Repartition(1, True, sort.child())

@@ -126,6 +126,27 @@ def test_with_cte_top_sort_rewritten(spark):
     assert "Exchange SinglePartition" in _plan(df)
 
 
+def test_mid_corpus_keeps_single_partition_sort(spark):
+    # 32 MiB–256 MiB band: the two-stage serial-final plan is gated
+    # off (its 1-task final stage scales with group cardinality — sf1
+    # measured having_filter 0.47→2.44 s), but the r10 single-
+    # partition sort still replaces the range sort.
+    key = os.path.abspath(SF)
+    q.load_views(spark, SF)
+    saved = q._CORPUS_BYTES.get(key)
+    try:
+        q._CORPUS_BYTES[key] = q._SERIAL_FINAL_MAX_BYTES
+        df = q.single_partition_sort(
+            spark, spark.sql(q.ORACLES["having_filter"]), SF
+        )
+        plan = _plan(df)
+        assert "Exchange SinglePartition" in plan
+        assert "rangepartitioning" not in plan
+    finally:
+        if saved is not None:
+            q._CORPUS_BYTES[key] = saved
+
+
 def test_large_corpus_keeps_range_sort(spark):
     # simulate a cluster-scale corpus: the gate reads _CORPUS_BYTES
     key = os.path.abspath(SF)

@@ -36,33 +36,39 @@ QUERIES = ["topn_operator", "dedup_exact", "having_filter", "tpch_q9",
 # alternative plans were tried and rejected, see NOTES r11):
 MINIMALITY = {
     "topn_operator": (
-        "3 exchanges: hash(type,user) carries the map-side-combined "
-        "counts; hash(type) clusters for the per-type window (merging "
-        "it into the first exchange needs partitioning on type alone "
-        "= raw 600k-row shuffle onto 5 skewed partitions, no "
-        "combine); SinglePartition terminal sort. WindowGroupLimit "
-        "partial/final already bounds the window input."
+        "2 exchanges (r11 two-stage terminal plan): hash(type,user) "
+        "carries the map-side-combined counts to ONE reducer; the "
+        "per-type window + local sort run in that same single "
+        "partition (the window input is the aggregated counts, "
+        "WindowGroupLimit-bounded). Merging the remaining pair needs "
+        "partitioning on type alone = raw 600k-row shuffle onto 5 "
+        "skewed partitions, no combine — rejected by ledger A/B."
     ),
     "dedup_exact": (
-        "2 exchanges: hash(fingerprint) for the partial/final count "
-        "pair (one exchange is the floor for any distributed "
-        "group-by); SinglePartition terminal sort."
+        "1 exchange (r11 two-stage terminal plan): hash(fingerprint) "
+        "lands the partial/final count pair in one partition; the "
+        "local sort fuses into the final-agg stage. One exchange is "
+        "the floor for any distributed group-by with combine."
     ),
     "having_filter": (
-        "2 exchanges: hash(l_orderkey) final agg (150k groups — "
-        "combine before the wire); SinglePartition terminal sort. "
-        "A/B shuffle.partitions 1 vs 8 (interleaved, 7 reps): "
-        "medians 381 vs 425 ms — exchange width is not the residual."
+        "1 exchange (r11 two-stage terminal plan): hash(o_custkey) "
+        "final agg + HAVING filter + local sort in one 1-task stage "
+        "— combine before the wire, no terminal exchange left."
     ),
-    "tpch_q9": ("post-rewrite (r11 partsupp explode): 1 hash exchange "
-                "(agg pair) + SinglePartition terminal sort + 6 "
-                "broadcast builds over the 6-table join tree; the one "
-                "remaining BNLJ is the constant 1-row scalar relation "
-                "(benign). The DISTINCT shuffle and the 4-row gen "
-                "broadcast are gone — plans/r11/tpch_q9_after.txt."),
+    "tpch_q9": ("post-rewrite (r11 partsupp explode + two-stage "
+                "terminal plan): ONE hash exchange (agg pair to a "
+                "single reducer, local sort fused) + 6 broadcast "
+                "builds over the 6-table join tree; the one remaining "
+                "BNLJ is the constant 1-row scalar relation (benign). "
+                "The DISTINCT shuffle, the 4-row gen broadcast, and "
+                "the terminal sort exchange are all gone — "
+                "plans/r11/tpch_q9_after.txt."),
     "tpch_q3": "1 shuffle + 2 broadcasts; minimal for a 3-table join-agg.",
-    "tpch_q12": "2 shuffles + 1 broadcast; join + agg + ordered output.",
-    "tpch_q1": "2 exchanges: one agg pair (4 groups), one terminal sort.",
+    "tpch_q12": ("1 exchange (r11 two-stage terminal plan): broadcast "
+                 "join + CASE-agg pair to one reducer, local sort "
+                 "fused into the final stage."),
+    "tpch_q1": ("1 exchange (r11 two-stage terminal plan): one agg "
+                "pair (4 groups) to one reducer, local sort fused."),
 }
 
 
