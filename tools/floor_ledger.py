@@ -58,11 +58,13 @@ MINIMALITY = {
     "tpch_q9": ("post-rewrite (r11 partsupp explode + two-stage "
                 "terminal plan): ONE hash exchange (agg pair to a "
                 "single reducer, local sort fused) + 6 broadcast "
-                "builds over the 6-table join tree; the one remaining "
-                "BNLJ is the constant 1-row scalar relation (benign). "
-                "The DISTINCT shuffle, the 4-row gen broadcast, and "
-                "the terminal sort exchange are all gone — "
-                "plans/r11/tpch_q9_after.txt."),
+                "builds over the 6-table join tree; the second "
+                "counted exchange is the 1-row scalar-count "
+                "SinglePartition inside the partsupp broadcast-build "
+                "subtree, and the one remaining BNLJ is that same "
+                "constant relation (benign). The DISTINCT shuffle, "
+                "the 4-row gen broadcast, and the terminal sort "
+                "exchange are all gone — plans/r11/tpch_q9_after.txt."),
     "tpch_q3": "1 shuffle + 2 broadcasts; minimal for a 3-table join-agg.",
     "tpch_q12": ("1 exchange (r11 two-stage terminal plan): broadcast "
                  "join + CASE-agg pair to one reducer, local sort "
