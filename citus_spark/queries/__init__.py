@@ -443,6 +443,10 @@ _SERIAL_FINAL_MAX_BYTES = 32 << 20
 # may walk through between the terminal Sort and the Aggregate whose
 # exchange will establish the single partition.
 _NARROW_TOPS = ("Project", "Filter", "Window", "SubqueryAlias")
+# Kill-switch for the window-chain exchange collapse (A/B hook; the
+# rewrite inserts a no-shuffle Repartition(1) above the aggregate when
+# a Window sits in the narrow chain — see single_partition_sort).
+_COLLAPSE_WINDOW_CHAIN = True
 # Terminal nodes that plan as a partial/final physical pair around one
 # hash exchange (map-side combine BEFORE the wire — Distinct plans as
 # a grouping-only HashAggregate pair).
@@ -554,8 +558,10 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
         # >1 partitions and break the total order.
         if total < _SERIAL_FINAL_MAX_BYTES:
             try:
+                chain = []
                 node = sort.child()
                 while node.getClass().getSimpleName() in _NARROW_TOPS:
+                    chain.append(node)
                     node = node.child()
                 if node.getClass().getSimpleName() in _AGG_TOPS:
                     scope = (
@@ -580,10 +586,45 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
                         df._jdf.queryExecution().withCachedData()
                         .treeString()
                     ):
+                        # A Window in the narrow chain demands
+                        # ClusteredDistribution over ITS partition
+                        # keys, which the aggregate's
+                        # HashPartitioning(groupKeys, 1) does not
+                        # satisfy — EnsureRequirements inserts a
+                        # useless 1→1 exchange (a whole extra stage)
+                        # to re-cluster one partition onto itself. A
+                        # no-shuffle Repartition(1) above the
+                        # aggregate reports SinglePartition, which
+                        # satisfies EVERY distribution, so the window
+                        # (and everything up to the terminal local
+                        # sort) fuses into the aggregate's final
+                        # stage. Physically a no-op: the clone pins
+                        # shuffle.partitions=1, so the coalesce maps
+                        # one partition onto itself. Only inserted
+                        # when a Window is present — otherwise it
+                        # would split the final-agg/sort codegen span
+                        # for no exchange saved.
+                        new_child = sort.child()
+                        if _COLLAPSE_WINDOW_CHAIN and any(
+                            c.getClass().getSimpleName() == "Window"
+                            for c in chain
+                        ):
+                            rebuilt = logical.Repartition(
+                                1, False, node
+                            )
+                            to_seq = (
+                                spark.sparkContext._jvm.PythonUtils
+                                .toSeq
+                            )
+                            for c in reversed(chain):
+                                rebuilt = c.withNewChildren(
+                                    to_seq([rebuilt])
+                                )
+                            new_child = rebuilt
                         return build(
                             _serial_final_jsession(spark),
                             logical.Sort(
-                                sort.order(), False, sort.child(),
+                                sort.order(), False, new_child,
                                 jvm.scala.Option.empty(),
                             ),
                         )

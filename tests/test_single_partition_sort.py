@@ -163,6 +163,33 @@ def test_large_corpus_keeps_range_sort(spark):
             q._CORPUS_BYTES[key] = saved
 
 
+def test_window_chain_collapses_to_one_exchange(spark):
+    # A Window in the narrow chain (topn: row_number over the
+    # aggregate's output, partitioned by a PREFIX of the group keys)
+    # used to pay a second 1→1 exchange purely for its
+    # ClusteredDistribution — HashPartitioning(groupKeys, 1) does not
+    # satisfy ClusteredDistribution(windowKeys). The no-shuffle
+    # Repartition(1) the rewrite inserts above the aggregate reports
+    # SinglePartition (satisfies every distribution), so the window
+    # fuses into the final-agg stage: ONE exchange total and the
+    # WindowGroupLimit collapses to a single Final pass.
+    df = q.QUERIES["topn_operator"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Coalesce 1" in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("WindowGroupLimit") == 1
+
+
+def test_windowless_chain_gets_no_coalesce(spark):
+    # Without a Window in the chain there is no exchange to save —
+    # the coalesce would only split the final-agg/sort codegen span,
+    # so it must not be inserted.
+    df = q.QUERIES["having_filter"](spark, SF)
+    assert "Coalesce" not in _plan(df)
+
+
 def test_no_terminal_sort_is_untouched(spark):
     q.load_views(spark, SF)
     df = spark.sql("SELECT count(*) AS n FROM orders")

@@ -36,13 +36,15 @@ QUERIES = ["topn_operator", "dedup_exact", "having_filter", "tpch_q9",
 # alternative plans were tried and rejected, see NOTES r11):
 MINIMALITY = {
     "topn_operator": (
-        "2 exchanges (r11 two-stage terminal plan): hash(type,user) "
-        "carries the map-side-combined counts to ONE reducer; the "
-        "per-type window + local sort run in that same single "
-        "partition (the window input is the aggregated counts, "
-        "WindowGroupLimit-bounded). Merging the remaining pair needs "
-        "partitioning on type alone = raw 600k-row shuffle onto 5 "
-        "skewed partitions, no combine — rejected by ledger A/B."
+        "1 exchange (r11 two-stage terminal plan + window-chain "
+        "collapse): hash(type,user) carries the map-side-combined "
+        "counts to ONE reducer; a no-shuffle Repartition(1) above "
+        "the aggregate reports SinglePartition, so the per-type "
+        "window's ClusteredDistribution is satisfied without the "
+        "former 1-to-1 re-exchange — window, WindowGroupLimit "
+        "(single Final pass) and local sort all fuse into the "
+        "final-agg stage. One exchange is the floor for any "
+        "distributed group-by with combine."
     ),
     "dedup_exact": (
         "1 exchange (r11 two-stage terminal plan): hash(fingerprint) "
