@@ -208,14 +208,9 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
 _AQE_MIN_BYTES = 256 << 20
 
 
-def corpus_above_cutover(sf_dir: str) -> bool:
-    """True when the corpus is above the at-scale conf cutover
-    (_AQE_MIN_BYTES) — the same gate the conf layer uses. Entries
-    whose fixture-scale formulation is a full-table unpartitioned
-    window switch to their two-phase scale path above this line
-    (r10 verdict item #5), exactly like AQE/SMJ/broadcast caps
-    switch. load_views has always run first, so the per-dir byte
-    total is already cached."""
+def corpus_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes of the corpus under sf_dir (cached per dir —
+    fixture dirs are immutable driver artifacts)."""
     key = os.path.abspath(sf_dir)
     total = _CORPUS_BYTES.get(key)
     if total is None:
@@ -225,7 +220,18 @@ def corpus_above_cutover(sf_dir: str) -> bool:
             if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
         )
         _CORPUS_BYTES[key] = total
-    return total >= _AQE_MIN_BYTES
+    return total
+
+
+def corpus_above_cutover(sf_dir: str) -> bool:
+    """True when the corpus is above the at-scale conf cutover
+    (_AQE_MIN_BYTES) — the same gate the conf layer uses. Entries
+    whose fixture-scale formulation is a full-table unpartitioned
+    window switch to their two-phase scale path above this line
+    (r10 verdict item #5), exactly like AQE/SMJ/broadcast caps
+    switch. load_views has always run first, so the per-dir byte
+    total is already cached."""
+    return corpus_bytes(sf_dir) >= _AQE_MIN_BYTES
 
 # per-dir corpus byte totals (fixture dirs are immutable), so the
 # every-call conf re-application above never re-walks the tree

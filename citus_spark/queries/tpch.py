@@ -27,6 +27,18 @@ regress suite by ordering on unique keys).
 
 from citus_spark.queries import DAVG, DSUM, register_shared_sql, register_split
 
+# Corpus-byte gate for the q3/q10 broadcast-side reassociation below:
+# the hinted customer⋈orders broadcast grows linearly with the corpus
+# (unlike the dimension broadcasts the conf-derived threshold governs),
+# so the hint must not outlive the scale where a driver-side build of
+# that relation is trivially cheap. 32 MiB ≈ 2× the measured-win corpus
+# (sf0.1, 17 MiB — ~73 k build rows for q3, ~5.4 k for q10); the 10×
+# trend corpus (native sf1, 186 MiB) and everything above keep the
+# original text, where the conf layer's corpus-proportional broadcast
+# threshold (and ≥256 MiB, AQE + SMJ) makes the call. Same gating
+# philosophy and scale band as _SERIAL_FINAL_MAX_BYTES.
+_BCAST_RESTRUCTURE_MAX_BYTES = 32 << 20
+
 # ---------------------------------------------------------------------------
 # Derived partsupp: the driver fixture set has no partsupp.parquet
 # (reference loads it in multi_create_table.sql from data/partsupp.*),
@@ -164,9 +176,21 @@ ORDER BY l_returnflag, l_linestatus
 # Q3 — shipping priority (adapted: driver schema has no o_shippriority).
 # customer is a reference table (broadcast); orders⋈lineitem is the
 # co-located dist-key join (LOCAL_PARTITION_JOIN, multi_join_order.h:34).
-register_shared_sql(
-    "tpch_q3",
-    f"""
+#
+# Below _BCAST_RESTRUCTURE_MAX_BYTES the Spark side reorders the join
+# (guide §3.1 "pick the strategy deliberately"): the stock left-deep
+# plan broadcasts the FILTERED LINEITEM (~270 k pruned rows at sf0.1 —
+# the single most expensive driver-side hashed-relation build of the
+# headline set, 400–1100 ms of q3's timed window per the r11 toRdd
+# decomposition) and probes it with the 1-task orders scan. Putting
+# lineitem first makes it the streamed side over its fanned-out
+# multi-split scan, and the hinted orders/customer builds (~73 k + 3 k
+# rows, overlapped as before) replace the 270 k-row one. Pure
+# inner-join reassociation — identical results (row parity asserted in
+# the A/B); the DuckDB oracle keeps the original form. Above the gate
+# the hint would force a linearly-growing orders broadcast, so the
+# original text (and at ≥256 MiB, AQE's own runtime choice) returns.
+_Q3_SQL = f"""
 SELECT
   l_orderkey,
   {DSUM("l_extendedprice * (1 - l_discount)", "revenue")},
@@ -180,8 +204,34 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
-""",
-)
+"""
+
+_Q3_SMALL_SQL = f"""
+SELECT /*+ BROADCAST(orders, customer) */
+  l_orderkey,
+  {DSUM("l_extendedprice * (1 - l_discount)", "revenue")},
+  o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < date '1997-03-15'
+  AND l_shipdate > date '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def _tpch_q3(spark, sf_dir):
+    from citus_spark.queries import corpus_bytes, load_views
+
+    load_views(spark, sf_dir)
+    small = corpus_bytes(sf_dir) < _BCAST_RESTRUCTURE_MAX_BYTES
+    return spark.sql(_Q3_SMALL_SQL if small else _Q3_SQL)
+
+
+register_split("tpch_q3", _tpch_q3, _Q3_SQL)
 
 # ---------------------------------------------------------------------------
 # Q6 — forecasting revenue change. Pure scan+filter+agg: the predicate
@@ -236,9 +286,15 @@ ORDER BY supp_nation, cust_nation, l_year
 
 # ---------------------------------------------------------------------------
 # Q10 — returned-item reporting (adapted to available customer columns).
-register_shared_sql(
-    "tpch_q10",
-    f"""
+#
+# Same sub-gate reorder as q3: the stock plan broadcasts the
+# l_returnflag='R' lineitem slice (~150 k pruned rows at sf0.1 — the
+# expensive driver-side build) and probes it with the 1-task orders
+# scan; streaming lineitem instead leaves only the quarter-filtered
+# orders (~5.4 k rows), customer (15 k) and nation builds, which
+# overlap. Inner-join reassociation only (row parity asserted in the
+# A/B); the DuckDB oracle keeps the original form.
+_Q10_SQL = f"""
 SELECT
   c_custkey,
   c_name,
@@ -255,8 +311,37 @@ WHERE o_orderdate >= date '1996-10-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
-""",
-)
+"""
+
+_Q10_SMALL_SQL = f"""
+SELECT /*+ BROADCAST(orders, customer, nation) */
+  c_custkey,
+  c_name,
+  {DSUM("l_extendedprice * (1 - l_discount)", "revenue")},
+  c_acctbal,
+  n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= date '1996-10-01'
+  AND o_orderdate < date '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _tpch_q10(spark, sf_dir):
+    from citus_spark.queries import corpus_bytes, load_views
+
+    load_views(spark, sf_dir)
+    small = corpus_bytes(sf_dir) < _BCAST_RESTRUCTURE_MAX_BYTES
+    return spark.sql(_Q10_SMALL_SQL if small else _Q10_SQL)
+
+
+register_split("tpch_q10", _tpch_q10, _Q10_SQL)
 
 # ---------------------------------------------------------------------------
 # Q12 — shipping modes / priority (adapted: no l_shipmode or
