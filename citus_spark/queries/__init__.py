@@ -459,6 +459,44 @@ _COLLAPSE_WINDOW_CHAIN = True
 _AGG_TOPS = ("Aggregate", "Distinct")
 
 
+def _window_chain_needs_coalesce(chain, agg) -> bool:
+    """True when some Window in the narrow chain demands a distribution
+    that the aggregate's own 1-partition exchange does NOT already
+    satisfy — only then is the no-shuffle Repartition(1) worth its
+    codegen-span split (r11 review finding #1).
+
+    Physical satisfaction rules (Partitioning.satisfies): a GLOBAL
+    aggregate plans an ``Exchange SinglePartition``, which satisfies
+    every distribution; a grouped aggregate plans
+    ``HashPartitioning(groupKeys, 1)``, which satisfies a Window's
+    ClusteredDistribution(windowKeys) iff groupKeys ⊆ windowKeys
+    (semantic equality), and satisfies the empty-partitionSpec
+    AllTuples case because numPartitions == 1. Expression-valued
+    grouping keys surface as fresh aliases above the aggregate, so
+    semanticEquals over the analyzed attributes is conservative in the
+    safe direction: an undetected match inserts a redundant (but
+    physically no-op) coalesce, never skips a needed one."""
+    cls = agg.getClass().getSimpleName()
+    if cls == "Distinct":
+        groups = agg.child().output()
+    else:
+        groups = agg.groupingExpressions()
+    glist = [groups.apply(i) for i in range(groups.size())]
+    if not glist:
+        return False  # global agg → SinglePartition, satisfies all
+    for c in chain:
+        if c.getClass().getSimpleName() != "Window":
+            continue
+        spec = c.partitionSpec()
+        plist = [spec.apply(i) for i in range(spec.size())]
+        if not plist:
+            continue  # AllTuples: satisfied at numPartitions == 1
+        for g in glist:
+            if not any(p.semanticEquals(g) for p in plist):
+                return True
+    return False
+
+
 def single_partition_sort(spark: SparkSession, df: DataFrame,
                           sf_dir: str) -> DataFrame:
     """Rewrite a terminal global ORDER BY into a single-partition
@@ -570,10 +608,24 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
                     chain.append(node)
                     node = node.child()
                 if node.getClass().getSimpleName() in _AGG_TOPS:
-                    scope = (
-                        wrapper if wrapper is not None else node.child()
-                    )
-                    below = scope.treeString()
+                    # Guard scope = everything BELOW the aggregate —
+                    # the subtree whose partitioning/row-movement could
+                    # break the two-stage plan — plus every CTE
+                    # definition (a def may be inlined anywhere below).
+                    # The narrow chain ABOVE the aggregate is excluded:
+                    # it runs inside the 1-task final stage regardless,
+                    # so a chain Window must not trip the token reject
+                    # (r11 review finding #2 — under WithCTE the old
+                    # scan covered the whole wrapper and knocked CTE
+                    # queries with chain Windows back to the 2-exchange
+                    # r10 form that the identical non-CTE query avoids).
+                    scopes = [node.child()]
+                    if wrapper is not None:
+                        kids = wrapper.children()
+                        scopes += [
+                            kids.apply(i) for i in range(kids.size() - 1)
+                        ]
+                    below = "".join(s.treeString() for s in scopes)
                     bcast = int(
                         spark.conf.get(
                             "spark.sql.autoBroadcastJoinThreshold"
@@ -587,15 +639,18 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
                         )
                     ) and (
                         "Join" not in below
-                        or _joins_broadcast_safe(scope, bcast)
+                        or all(
+                            _joins_broadcast_safe(s, bcast)
+                            for s in scopes
+                        )
                     ) and "InMemoryRelation" not in (
                         df._jdf.queryExecution().withCachedData()
                         .treeString()
                     ):
-                        # A Window in the narrow chain demands
-                        # ClusteredDistribution over ITS partition
-                        # keys, which the aggregate's
-                        # HashPartitioning(groupKeys, 1) does not
+                        # A Window in the narrow chain whose partition
+                        # keys do NOT cover the group keys demands a
+                        # ClusteredDistribution that the aggregate's
+                        # HashPartitioning(groupKeys, 1) cannot
                         # satisfy — EnsureRequirements inserts a
                         # useless 1→1 exchange (a whole extra stage)
                         # to re-cluster one partition onto itself. A
@@ -607,13 +662,15 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
                         # stage. Physically a no-op: the clone pins
                         # shuffle.partitions=1, so the coalesce maps
                         # one partition onto itself. Only inserted
-                        # when a Window is present — otherwise it
+                        # when some chain Window's distribution is
+                        # actually unsatisfied (windowKeys ⊉
+                        # groupKeys and non-empty — see
+                        # _window_chain_needs_coalesce); otherwise it
                         # would split the final-agg/sort codegen span
                         # for no exchange saved.
                         new_child = sort.child()
-                        if _COLLAPSE_WINDOW_CHAIN and any(
-                            c.getClass().getSimpleName() == "Window"
-                            for c in chain
+                        if _COLLAPSE_WINDOW_CHAIN and (
+                            _window_chain_needs_coalesce(chain, node)
                         ):
                             rebuilt = logical.Repartition(
                                 1, False, node

@@ -190,6 +190,75 @@ def test_windowless_chain_gets_no_coalesce(spark):
     assert "Coalesce" not in _plan(df)
 
 
+def test_satisfied_window_chain_gets_no_coalesce(spark):
+    # r11 review finding #1: a chain Window whose partition keys COVER
+    # the group keys is already satisfied by the aggregate's
+    # HashPartitioning(groupKeys, 1) — EnsureRequirements inserts no
+    # exchange, so the coalesce would only split the codegen span. The
+    # precise trigger must skip it: one exchange, no Coalesce.
+    q.load_views(spark, SF)
+    df = q.single_partition_sort(spark, spark.sql("""
+        SELECT o_custkey, o_orderpriority, count(*) AS cnt,
+               rank() OVER (PARTITION BY o_custkey, o_orderpriority
+                            ORDER BY count(*)) AS r
+        FROM orders
+        GROUP BY o_custkey, o_orderpriority
+        ORDER BY o_custkey, o_orderpriority
+    """), SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Coalesce" not in plan
+    assert "rangepartitioning" not in plan
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == sorted(rows, key=lambda t: (t[0], t[1]))
+
+
+def test_unpartitioned_window_chain_gets_no_coalesce(spark):
+    # Empty partitionSpec → AllTuples, which ANY 1-partition output
+    # satisfies (Partitioning.satisfies0: numPartitions == 1). No
+    # exchange is inserted, so no coalesce either.
+    q.load_views(spark, SF)
+    df = q.single_partition_sort(spark, spark.sql("""
+        SELECT o_orderpriority, count(*) AS cnt,
+               rank() OVER (ORDER BY count(*) DESC) AS r
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY r, o_orderpriority
+    """), SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Coalesce" not in plan
+
+
+def test_cte_chain_window_takes_two_stage_plan(spark):
+    # r11 review finding #2: under WithCTE the old guard token-scanned
+    # the WHOLE wrapper, so a chain Window in a CTE query tripped the
+    # 'Window' reject and fell back to the 2-exchange r10 form that
+    # the identical non-CTE query avoids. The guard now scopes to the
+    # below-aggregate subtree + CTE definitions: same one-exchange
+    # collapsed plan as the non-CTE shape.
+    q.load_views(spark, SF)
+    sql = """
+        WITH t AS (SELECT o_orderpriority AS pri, o_custkey AS ck
+                   FROM orders)
+        SELECT pri, ck, cnt FROM (
+          SELECT pri, ck, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY pri
+                                    ORDER BY count(*) DESC, ck) AS rn
+          FROM t GROUP BY pri, ck) x
+        WHERE rn <= 3
+        ORDER BY pri, cnt DESC, ck
+    """
+    df = q.single_partition_sort(spark, spark.sql(sql), SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Coalesce 1" in plan
+    assert "Exchange SinglePartition" not in plan
+    # row/order parity against the stock plan
+    stock = [tuple(r) for r in spark.sql(sql).collect()]
+    assert [tuple(r) for r in df.collect()] == stock
+
+
 def test_no_terminal_sort_is_untouched(spark):
     q.load_views(spark, SF)
     df = spark.sql("SELECT count(*) AS n FROM orders")
