@@ -432,18 +432,116 @@ def _joins_broadcast_safe(node, thresh: int) -> bool:
     return True
 
 
-# The two-stage serial-final plan has its own, TIGHTER corpus gate
-# below the AQE cutover: its 1-task final stage costs O(G log G) in
-# the GROUP cardinality G, and G grows with the corpus. Measured at
-# sf0.1 (17 MiB, ~15 k groups) the fold wins −4..−33 % per query; at
-# native sf1 (186 MiB, ~150 k groups) it LOSES big on the
-# high-cardinality aggregates (having_filter 0.47 → 2.44 s, topn
-# 0.38 → 1.21 s — the serial merge+sort dwarfs the saved stage). The
-# gate stays within ~2× of the measured-win corpus; the 32 MiB–256 MiB
-# band keeps the r10 single-partition sort, whose sf0.1→sf1 walls are
-# near-flat (r10 trend evidence: having 1.53×, topn 1.12× for 10×
-# rows).
+# The two-stage serial-final plan has its own, TIGHTER gate below the
+# AQE cutover: its 1-task final stage costs O(G log G) in the GROUP
+# cardinality G. Measured at sf0.1 (17 MiB, ~15 k groups) the fold
+# wins −4..−33 % per query; at native sf1 (186 MiB, ~150 k groups) it
+# LOSES big on the high-cardinality aggregates (having_filter
+# 0.47 → 2.44 s, topn 0.38 → 1.21 s — the serial merge+sort dwarfs
+# the saved stage). The gate is therefore CARDINALITY-aware (r11
+# verdict item #5): when every grouping key provably traces to a base
+# parquet column, G is bounded by the product of per-column NDVs
+# (approx_count_distinct, computed once per corpus dir at first need —
+# the engine's ANALYZE) and the fold is taken iff that bound stays
+# under _SERIAL_FINAL_MAX_GROUPS, anywhere below the 256 MiB cutover.
+# When the bound is unknowable (expression keys, derived columns) the
+# corpus-byte proxy keeps the measured r11 behavior: ≤2× the
+# measured-win corpus folds, the 32 MiB–256 MiB band keeps the r10
+# single-partition sort (near-flat sf0.1→sf1 walls: having 1.53×,
+# topn 1.12× for 10× rows).
 _SERIAL_FINAL_MAX_BYTES = 32 << 20
+# Group-cardinality ceiling for the fold: ~2× the largest measured-win
+# G (having_filter ≈ 15 k groups at sf0.1), an order of magnitude
+# under the measured-loss G (≈ 150 k at sf1). NDV products are upper
+# bounds (filters/joins can only drop key values), so a pass here is
+# conservative in the safe direction.
+_SERIAL_FINAL_MAX_GROUPS = 32768
+
+# (corpus dir, column name) -> max approx NDV across tables carrying
+# that column, or None when no table does. Fixture dirs are immutable
+# driver artifacts, so per-process caching is sound; nothing is
+# persisted across processes.
+_NDV_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def _column_ndv(spark: SparkSession, sf_dir: str, col: str) -> int | None:
+    """Max approx_count_distinct of `col` across every registered base
+    table that carries it (an upper bound on the column's NDV wherever
+    its values flow). One tiny aggregate job per (corpus, column),
+    cached for the process — this runs at DataFrame-BUILD time, the
+    same place Catalyst planning happens, never inside the bench's
+    timed drain."""
+    key = (os.path.abspath(sf_dir), col)
+    if key in _NDV_CACHE:
+        return _NDV_CACHE[key]
+    from pyspark.sql import functions as F
+
+    ndv = None
+    for t in ALL_TABLES:
+        try:
+            tdf = spark.table(t)
+        except Exception:
+            continue
+        if col in tdf.columns:
+            n = tdf.agg(F.approx_count_distinct(col)).collect()[0][0]
+            ndv = max(ndv or 0, int(n))
+    _NDV_CACHE[key] = ndv
+    return ndv
+
+
+def _estimated_groups(spark: SparkSession, agg, sf_dir: str) -> int | None:
+    """Upper bound on the terminal aggregate's group cardinality, or
+    None when it cannot be bounded. Sound only for grouping keys that
+    are direct base-column references: each key must be an
+    AttributeReference whose exprId appears verbatim in a parquet
+    LogicalRelation leaf's output (aliases/derived columns mint fresh
+    exprIds and CTE/view projections re-alias, so an exprId surviving
+    to a leaf proves provenance). The bound is the product of the
+    keys' per-column NDVs — filters and joins can only drop key
+    values, never mint new ones."""
+    cls = agg.getClass().getSimpleName()
+    if cls == "Distinct":
+        groups = agg.child().output()
+    else:
+        groups = agg.groupingExpressions()
+    glist = [groups.apply(i) for i in range(groups.size())]
+    if not glist:
+        return 1  # global aggregate: one group
+    leaf_ids = set()
+    leaves = agg.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        out = leaf.output()
+        for j in range(out.size()):
+            a = out.apply(j)
+            leaf_ids.add((a.name(), a.exprId().id()))
+    prod = 1
+    for g in glist:
+        if g.getClass().getSimpleName() != "AttributeReference":
+            return None
+        if (g.name(), g.exprId().id()) not in leaf_ids:
+            return None
+        ndv = _column_ndv(spark, sf_dir, g.name())
+        if ndv is None:
+            return None
+        prod *= max(1, ndv)
+    return prod
+
+
+def _serial_final_fold_ok(spark: SparkSession, agg, sf_dir: str,
+                          total: int) -> bool:
+    """Cardinality-aware fold gate: a provable G bound decides
+    directly (≤ _SERIAL_FINAL_MAX_GROUPS folds even in the
+    32 MiB–256 MiB band; above it never folds, even on a tiny corpus —
+    the byte-only r11 gate would have taken a 20 MiB / 10 M-group
+    fold); an unknowable G falls back to the measured corpus-byte
+    proxy."""
+    g = _estimated_groups(spark, agg, sf_dir)
+    if g is not None:
+        return g <= _SERIAL_FINAL_MAX_GROUPS
+    return total < _SERIAL_FINAL_MAX_BYTES
 
 # Narrow (partitioning-preserving) logical nodes the two-stage rewrite
 # may walk through between the terminal Sort and the Aggregate whose
@@ -527,11 +625,13 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
     is small, Exchange SinglePartition + one local sort task — no
     sampling pass, no range exchange, identical total order.
 
-    Scale gates: the two-stage plan additionally requires the corpus
-    under _SERIAL_FINAL_MAX_BYTES — its serial final stage costs
-    O(G log G) in the group cardinality, which grows with the corpus
-    (measured: wins at 17 MiB, loses at 186 MiB on 100 k-group
-    aggregates). Both rewrites disable at ≥_AQE_MIN_BYTES — the same
+    Scale gates: the two-stage plan's serial final stage costs
+    O(G log G) in the group cardinality, so it is gated on G directly
+    when G is provable (NDV-product bound ≤ _SERIAL_FINAL_MAX_GROUPS,
+    see _serial_final_fold_ok) and on the corpus-byte proxy
+    (_SERIAL_FINAL_MAX_BYTES) otherwise (measured: wins at 17 MiB,
+    loses at 186 MiB on 100 k-group aggregates). Both rewrites
+    disable at ≥_AQE_MIN_BYTES — the same
     corpus-size cutover as AQE/broadcast/reducer sizing (load_views) —
     and the stock range-partitioned sort returns, which is the
     correct plan when the output itself can be large. This mirrors
@@ -600,7 +700,7 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
         # optimizer work: a persisted hash-partitioned intermediate
         # would otherwise satisfy the aggregate's distribution with
         # >1 partitions and break the total order.
-        if total < _SERIAL_FINAL_MAX_BYTES:
+        if total < _AQE_MIN_BYTES:  # fold gate proper is per-query below
             try:
                 chain = []
                 node = sort.child()
@@ -646,6 +746,12 @@ def single_partition_sort(spark: SparkSession, df: DataFrame,
                     ) and "InMemoryRelation" not in (
                         df._jdf.queryExecution().withCachedData()
                         .treeString()
+                    ) and _serial_final_fold_ok(
+                        # cardinality gate LAST: it may run one tiny
+                        # NDV job per new grouping column, which the
+                        # cheap token guards above should pre-empt for
+                        # ineligible shapes
+                        spark, node, sf_dir, total
                     ):
                         # A Window in the narrow chain whose partition
                         # keys do NOT cover the group keys demands a

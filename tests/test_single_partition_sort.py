@@ -126,11 +126,12 @@ def test_with_cte_top_sort_rewritten(spark):
     assert "Exchange SinglePartition" in _plan(df)
 
 
-def test_mid_corpus_keeps_single_partition_sort(spark):
-    # 32 MiB–256 MiB band: the two-stage serial-final plan is gated
-    # off (its 1-task final stage scales with group cardinality — sf1
-    # measured having_filter 0.47→2.44 s), but the r10 single-
-    # partition sort still replaces the range sort.
+def test_mid_corpus_low_cardinality_takes_fold(spark):
+    # 32 MiB–256 MiB band with a PROVABLY small group count: the
+    # cardinality-aware gate (r11 verdict item #5) keeps the two-stage
+    # fold that the byte-only gate used to forfeit. having_filter
+    # groups by o_custkey (NDV ≈ 150 at sf0.001, far under
+    # _SERIAL_FINAL_MAX_GROUPS).
     key = os.path.abspath(SF)
     q.load_views(spark, SF)
     saved = q._CORPUS_BYTES.get(key)
@@ -140,11 +141,62 @@ def test_mid_corpus_keeps_single_partition_sort(spark):
             spark, spark.sql(q.ORACLES["having_filter"]), SF
         )
         plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan
+        assert "rangepartitioning" not in plan
+        assert plan.count("Exchange") == 1
+    finally:
+        if saved is not None:
+            q._CORPUS_BYTES[key] = saved
+
+
+def test_mid_corpus_unknown_cardinality_keeps_single_partition_sort(spark):
+    # 32 MiB–256 MiB band with an EXPRESSION grouping key: no provable
+    # G bound, so the byte proxy governs and the r10 single-partition
+    # sort replaces the range sort (the measured sf1 regression —
+    # having_filter 0.47→2.44 s — is exactly what this protects).
+    key = os.path.abspath(SF)
+    q.load_views(spark, SF)
+    saved = q._CORPUS_BYTES.get(key)
+    try:
+        q._CORPUS_BYTES[key] = q._SERIAL_FINAL_MAX_BYTES
+        df = q.single_partition_sort(spark, spark.sql("""
+            SELECT o_custkey % 7 AS k, count(*) AS n
+            FROM orders GROUP BY o_custkey % 7 ORDER BY k
+        """), SF)
+        plan = _plan(df)
         assert "Exchange SinglePartition" in plan
         assert "rangepartitioning" not in plan
     finally:
         if saved is not None:
             q._CORPUS_BYTES[key] = saved
+
+
+def test_small_corpus_high_cardinality_falls_back(spark):
+    # A small corpus (passes the byte gate) whose grouping column has
+    # a huge NDV: the r11 byte-only gate would have taken a 1-task
+    # fold over millions of groups; the cardinality gate must reject
+    # it. Simulated by priming the NDV cache with a 10 M-group column
+    # on a 20 MiB corpus.
+    key = os.path.abspath(SF)
+    q.load_views(spark, SF)
+    saved_bytes = q._CORPUS_BYTES.get(key)
+    saved_ndv = q._NDV_CACHE.get((key, "o_custkey"))
+    try:
+        q._CORPUS_BYTES[key] = 20 << 20
+        q._NDV_CACHE[(key, "o_custkey")] = 10_000_000
+        df = q.single_partition_sort(
+            spark, spark.sql(q.ORACLES["having_filter"]), SF
+        )
+        plan = _plan(df)
+        assert "Exchange SinglePartition" in plan
+        assert "rangepartitioning" not in plan
+    finally:
+        if saved_bytes is not None:
+            q._CORPUS_BYTES[key] = saved_bytes
+        if saved_ndv is not None:
+            q._NDV_CACHE[(key, "o_custkey")] = saved_ndv
+        else:
+            q._NDV_CACHE.pop((key, "o_custkey"), None)
 
 
 def test_large_corpus_keeps_range_sort(spark):
