@@ -43,13 +43,19 @@ WHERE json_extract_string(props, '$.k') IS NOT NULL
 
 def pagerank_event_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citus_spark.operators.pagerank import pagerank
+    from citus_spark.queries import corpus_above_cutover
 
     load_views(spark, sf_dir)
     fwd = spark.sql(_EDGES_SPARK)
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, iters=_ITERS)
+    # sub-cutover: the rank table (one row per node) broadcasts, so
+    # the compact loop removes every per-iteration shuffle; at scale
+    # the default shuffling loop returns (ranks cannot broadcast)
+    ranks = pagerank(
+        edges, iters=_ITERS, compact=not corpus_above_cutover(sf_dir)
+    )
     return (
         ranks.orderBy(F.desc("rank"), "node")
         .limit(20)

@@ -97,3 +97,20 @@ def test_bfs_hop_bound_and_partitioning(spark):
     b = {r.node: r.hops for r in bfs_hops(edges2, [0], 4).collect()}
     assert a == b
     assert max(a.values()) == 4 and 5 not in a  # bound respected
+
+
+def test_compact_loop_is_bit_identical_and_shuffle_free(spark):
+    # r12: below the corpus cutover the compact loop broadcasts the
+    # rank table into dst-partitioned cached edges — bit-identical
+    # ranks (integer fixed-point, order-free sums) with no shuffled
+    # join anywhere in the loop.
+    rows = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(4, 9), (9, 2)]
+    edges = _edges(spark, rows)
+    classic = pagerank(edges, iters=8, compact=False)
+    compact = pagerank(edges, iters=8, compact=True)
+    a = sorted((r.node, r.rank) for r in classic.collect())
+    b = sorted((r.node, r.rank) for r in compact.collect())
+    assert a == b
+    plan = compact._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in plan
+    assert "SortMergeJoin" not in plan

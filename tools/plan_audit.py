@@ -26,8 +26,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def audit_plan(plan: str) -> dict:
-    exchanges = len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
-    single_part = plan.count("Exchange SinglePartition")
+    # Count UNIQUE exchange nodes: cached lineage (InMemoryRelation) is
+    # re-printed at every InMemoryTableScan reference in toString(), so
+    # a raw substring count over-reports any plan that references a
+    # cached intermediate more than once (r12: pagerank's once-built
+    # edge table printed its one repartition exchange 8x). Exchange
+    # lines carry a stable [plan_id=N]; dedupe on it, falling back to
+    # the raw count for lines without one.
+    ex_lines = re.findall(
+        r"\bExchange (?:hash|range|Single)[^\n]*", plan
+    )
+    seen_ids = set()
+    exchanges = 0
+    for line in ex_lines:
+        m = re.search(r"\[plan_id=(\d+)\]", line)
+        if m:
+            seen_ids.add(m.group(1))
+        else:
+            exchanges += 1
+    exchanges += len(seen_ids)
+    single_part = len(
+        {
+            m.group(1)
+            for m in re.finditer(
+                r"Exchange SinglePartition[^\n]*\[plan_id=(\d+)\]", plan
+            )
+        }
+    ) or plan.count("Exchange SinglePartition")
     info = {
         "exchanges": exchanges,
         "single_partition_exchanges": single_part,
@@ -50,7 +75,10 @@ def audit_plan(plan: str) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--json" in sys.argv:
+        args = [a for a in args if a != sys.argv[sys.argv.index("--json") + 1]]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])  # optional: audit just these entries
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
@@ -61,6 +89,8 @@ def main() -> None:
     spark = get_spark("citus_spark_plan_audit")
     results: dict[str, dict] = {}
     for name, fn in q.QUERIES.items():
+        if only and name not in only:
+            continue
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
