@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from citus_spark.functions import hash64, hash64_duck, hash64_sql
-from citus_spark.queries import load_views, register_shared_sql, register_split
+from citus_spark.queries import (
+    corpus_above_cutover,
+    load_views,
+    register_shared_sql,
+    register_split,
+)
 
 N_MINHASH = 4  # minhash functions; bands of 2 → 2 bands
 SHINGLE_K = 3  # word 3-grams
@@ -116,13 +121,18 @@ def _signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     was ~10× slower at the same output).
     """
     load_views(spark, sf_dir)
-    # CPU-bound per-row compute: spread the rows across all cores even
-    # when the source is a single small parquet file (at production
-    # scale the scan has many partitions and this repartition is
-    # unnecessary but harmless — it hashes on doc_id, the dist col).
-    docs = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # CPU-bound per-row compute: spread the rows across all cores when
+    # the source is a small fixture whose (fanned-out) file count is
+    # below the core count. ABOVE the corpus cutover the scan already
+    # has ≥cores native splits, and the repartition was a pure extra
+    # exchange moving the full document text before the explode
+    # (guide §2.3 "shuffle fewer bytes": measured at native sf3 it
+    # shuffled the whole 17 MiB×33-file corpus for nothing).
+    docs = spark.table("documents")
+    if not corpus_above_cutover(sf_dir):
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
     hashed = _shingles_exploded(docs).select(
         "doc_id", F.md5("shingle").alias("_h")
     )
