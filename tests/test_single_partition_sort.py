@@ -122,8 +122,21 @@ def test_limit_queries_keep_take_ordered(spark):
 
 
 def test_with_cte_top_sort_rewritten(spark):
-    df = q.QUERIES["tpch_q9"](spark, SF)  # WithCTE-wrapped Sort
-    assert "Exchange SinglePartition" in _plan(df)
+    # q9's Spark side is a WithCTE-wrapped global Sort over an
+    # aggregate. Since the r12 partsupp-predicate rewrite its CTE
+    # subtree is broadcast-safe, so it takes the TWO-STAGE fold (the
+    # aggregate's own 1-partition exchange + a local terminal sort)
+    # rather than the r10 SinglePartition form this test used to pin:
+    # no range-sampling exchange, no extra SinglePartition stage, and
+    # the aggregate exchange lands everything in one partition.
+    df = q.QUERIES["tpch_q9"](spark, SF)
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert ", 1), ENSURE_REQUIREMENTS" in plan  # agg exchange → 1 part
+    rows = [tuple(r) for r in df.collect()]
+    keys = [(r[0], -r[1]) for r in rows]  # nation ASC, o_year DESC
+    assert keys == sorted(keys)
 
 
 def test_mid_corpus_low_cardinality_takes_fold(spark):
