@@ -340,22 +340,44 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_citus_spark_shipped", False):
         return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sc.addPyFile(_write_pkg_zip(pkg_dir))
+    sc._citus_spark_shipped = True
+
+
+def _write_pkg_zip(pkg_dir: str) -> str:
+    """Build the package zip under a CONTENT-ADDRESSED name.
+
+    A fixed path (the old /tmp/citus_spark_pkg.zip) is a race between
+    concurrent sessions from DIFFERENT source trees on one host: the
+    second process rewrites the zip in place, and the first's executors
+    then fail Spark's fetch consistency check ("exists and does not
+    match contents"). Hashing the bytes into the filename means a
+    different tree gets a different file, an identical tree re-lands
+    the same bytes, and the write-then-atomic-rename never exposes a
+    half-written zip to a concurrent reader."""
+    import hashlib
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zpath = os.path.join(tempfile.gettempdir(), "citus_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
+    zdir = tempfile.gettempdir()
+    fd, tmp = tempfile.mkstemp(dir=zdir, suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
+            _dirs.sort()  # deterministic walk → deterministic bytes
             if "__pycache__" in root:
                 continue
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
-    sc.addPyFile(zpath)
-    sc._citus_spark_shipped = True
+    with open(tmp, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:12]
+    zpath = os.path.join(zdir, f"citus_spark_pkg_{digest}.zip")
+    os.replace(tmp, zpath)
+    return zpath
 
 
 def _serial_final_jsession(spark: SparkSession):
