@@ -363,20 +363,51 @@ def _write_pkg_zip(pkg_dir: str) -> str:
     zdir = tempfile.gettempdir()
     fd, tmp = tempfile.mkstemp(dir=zdir, suffix=".zip")
     os.close(fd)
-    with zipfile.ZipFile(tmp, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            _dirs.sort()  # deterministic walk → deterministic bytes
-            if "__pycache__" in root:
-                continue
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    z.write(full, rel)
-    with open(tmp, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:12]
-    zpath = os.path.join(zdir, f"citus_spark_pkg_{digest}.zip")
-    os.replace(tmp, zpath)
+    try:
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, dirs, files in os.walk(pkg_dir):
+                # prune + sort in place: no __pycache__ descent, and a
+                # deterministic walk → deterministic bytes
+                dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir)
+                        )
+                        z.write(full, rel)
+        with open(tmp, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()[:12]
+        zpath = os.path.join(zdir, f"citus_spark_pkg_{digest}.zip")
+        # world-readable: executors (and other users' sessions that
+        # land on the same digest) must be able to fetch it
+        os.chmod(tmp, 0o644)
+        if os.path.exists(zpath):
+            # same digest ⇒ same bytes — nothing to do, and on a
+            # sticky-bit /tmp replacing ANOTHER USER's file would
+            # raise EPERM
+            os.unlink(tmp)
+        else:
+            os.replace(tmp, zpath)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    # best-effort aging of stale digests from old trees (never the one
+    # just landed — deleting by name-mismatch alone would break a
+    # concurrent live session still fetching its own digest)
+    import glob
+    import time
+
+    cutoff = time.time() - 7 * 86400
+    for old in glob.glob(os.path.join(zdir, "citus_spark_pkg_*.zip")):
+        try:
+            if old != zpath and os.path.getmtime(old) < cutoff:
+                os.unlink(old)
+        except OSError:
+            pass
     return zpath
 
 

@@ -8,14 +8,13 @@ files and identical trees re-land identical bytes atomically.
 """
 
 import os
-import sys
+import stat
 import zipfile
 
-sys.path.insert(0, "/root/repo")
-
+import citus_spark
 from citus_spark.queries import _write_pkg_zip
 
-PKG = "/root/repo/citus_spark"
+PKG = os.path.dirname(os.path.abspath(citus_spark.__file__))
 
 
 def test_zip_name_embeds_content_hash():
@@ -38,3 +37,6 @@ def test_zip_is_deterministic_and_complete():
     assert any(n.endswith("citus_spark/queries/__init__.py") for n in names)
     assert any(n.endswith("citus_spark/session.py") for n in names)
     assert not any("__pycache__" in n for n in names)
+    # world-readable so other sessions landing on the same digest (and
+    # cluster executors) can fetch it
+    assert stat.S_IMODE(os.stat(p1).st_mode) == 0o644
